@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship end-to-end slice on sf0.001 (SURVEY.md §7 Phase 0):
+    register the customer entity + a behavioral feature view over orders
+    (the README.md:160-167 aggregation shape), read it back through the
+    feature store, and return the result."""
+    from dbt_snowflake_feature_store_spark import Entity, FeatureStore, FeatureView
+    from dbt_snowflake_feature_store_spark.sources import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    fs = FeatureStore(spark, tempfile.mkdtemp(prefix="fs_entry_"), name="ENTRY_FS")
+    fs.register_entity(Entity("customer", ["o_custkey"], desc="Customer entity"))
+    fv = FeatureView(
+        "customer_order_features",
+        entities=["customer"],
+        sql="""
+            SELECT o_custkey,
+                   COUNT(*)           AS f_num_orders,
+                   SUM(o_totalprice)  AS f_total_spent,
+                   MAX(o_orderdate)   AS f_last_order_at
+            FROM orders
+            GROUP BY o_custkey
+        """,
+        desc="Behavioral order features per customer",
+    )
+    fs.register_feature_view(fv, version="1.0")
+    return fs.read_feature_view("CUSTOMER_ORDER_FEATURES$1.0")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from dbt_snowflake_feature_store_spark.operators import registry as op_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return op_registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each queries() key."""
+    from dbt_snowflake_feature_store_spark.operators import registry as op_registry
+
+    return op_registry.oracle_sql()

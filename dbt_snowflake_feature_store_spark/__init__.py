@@ -1,0 +1,40 @@
+"""dbt_snowflake_feature_store_spark — a PySpark-native feature-store engine.
+
+A brand-new engine with the query and data-processing capabilities of
+``sfc-gh-rsureshbabu/dbt-snowflake-feature-store`` (a dbt package that
+creates Snowflake Feature Store objects), re-expressed Spark-first:
+DataFrame/SQL plans optimized by Catalyst, Parquet storage, Structured
+Streaming for incremental materialization. See SURVEY.md for the full
+blueprint and reference citations.
+"""
+
+from .errors import (
+    ConfigurationChangeError,
+    DatasetNotFoundError,
+    EntityNotFoundError,
+    FeatureStoreError,
+    FeatureViewNotFoundError,
+    ValidationError,
+)
+from .objects import Dataset, Entity, FeatureView, RefreshSpec
+from .pit import asof_join
+from .session import get_spark
+from .store import FeatureStore
+
+__version__ = "1.0.0"
+
+__all__ = [
+    "FeatureStore",
+    "Entity",
+    "FeatureView",
+    "RefreshSpec",
+    "Dataset",
+    "asof_join",
+    "get_spark",
+    "FeatureStoreError",
+    "EntityNotFoundError",
+    "FeatureViewNotFoundError",
+    "DatasetNotFoundError",
+    "ValidationError",
+    "ConfigurationChangeError",
+]

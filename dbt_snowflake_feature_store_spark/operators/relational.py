@@ -1,0 +1,649 @@
+"""Relational query surface — SURVEY.md §2.B query keys.
+
+Every feature-view body in the reference is an arbitrary SELECT executed by
+Snowflake (/root/reference/macros/materializations/feature_view.sql:126,
+:192); the engine therefore exposes general Spark SQL. Each function below
+is one demonstrated construct, written DataFrame-first so Catalyst plans it
+(pushdown/pruning/codegen), with a DuckDB oracle twin in ``ORACLE``.
+
+Determinism rules for the oracle hash-compare:
+- every computed column is aliased identically on both sides;
+- double aggregations are computed EXACTLY: cast to DECIMAL before SUM
+  (order-independent), cast back to DOUBLE after — so Spark's and DuckDB's
+  different accumulation orders cannot produce differing low bits;
+- LIMIT queries carry a full ORDER BY with an id tiebreak;
+- no now()/current_timestamp in oracle-checked queries.
+
+Scale notes are per-query (broadcast choices, shuffle counts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# exact, order-independent double aggregation: decimal-sum then back to double
+_DEC = "decimal(28,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dsum(col, alias: str):
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+def _davg(col, alias: str):
+    return (F.sum(col.cast(_DEC)).cast("double") / F.count(col)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# §2.B queries
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename (test_base_customer_features.sql:12-18 shape).
+    Scale: column pruning reaches the parquet scan — only 4 of 5 columns read."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_name").alias("f_name"),
+        F.col("c_mktsegment").alias("f_segment"),
+        F.col("c_acctbal").alias("f_acctbal"),
+    )
+
+
+def q_filter_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-false filter — the entity-body idiom ``SELECT 1 WHERE FALSE``
+    (test_customer_entity.sql:9). Catalyst folds this to LocalRelation(empty):
+    zero tasks launched."""
+    return spark.range(1).select(F.lit(1).alias("one")).filter(F.lit(False))
+
+
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicates with AND/OR. Scale: pushed to the parquet
+    reader as PushedFilters (row-group skipping via min/max stats)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        ((F.col("c_acctbal") > 5000.0) & (F.col("c_nationkey") < 10))
+        | (F.col("c_mktsegment") == "MACHINERY")
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN multi-branch + modulo (test_derived_customer_features.sql:
+    22-34; CASE WHEN i % 3 = 0 test_feature_store_workflows.py:78)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("f_qty_band"),
+        F.when(F.col("l_linenumber") % 3 == 0, "Gold")
+        .otherwise("Silver")
+        .alias("f_tier"),
+    )
+
+
+def q_arith_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic incl. int→double division (f_age_months / 365.0 pattern,
+    test_feature_store_workflows.py:396). Pure per-row IEEE ops — bitwise
+    identical across engines, no rounding needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "f_revenue"
+        ),
+        (F.col("l_quantity") * 12).alias("f_qty_x12"),
+        (F.col("l_linenumber") / 2.0).alias("f_halfline"),
+        (F.col("l_extendedprice") + F.col("l_tax")).alias("f_price_tax"),
+    )
+
+
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical behavioral-feature aggregation
+    (/root/reference/README.md:160-167: COUNT(*) AS f_num_orders,
+    SUM(amount) AS f_total_spent ... GROUP BY customer_id).
+    Scale: HashAggregate with map-side partial agg — one shuffle on the
+    group key; AQE coalesces post-shuffle partitions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("f_num_orders"),
+        _dsum(F.col("o_totalprice"), "f_total_spent"),
+    )
+
+
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate per group: min/max/avg/count-distinct (§2.B)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("f_count"),
+        F.min("l_quantity").alias("f_min_qty"),
+        F.max("l_quantity").alias("f_max_qty"),
+        _davg(F.col("l_extendedprice"), "f_avg_price"),
+        F.countDistinct("l_partkey").alias("f_distinct_parts"),
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT. Scale: partial-distinct before the shuffle (hash agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner FK equi-join orders⋈customer⋈nation (multi-entity FV pattern,
+    test_feature_store_workflows.py:432-450). Scale: nation (25 rows) is
+    broadcast explicitly; orders⋈customer shuffles on the key — at 100 TB
+    pre-bucketing both sides on custkey removes that shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("c_name").alias("f_customer_name"),
+            F.col("n_name").alias("f_nation"),
+            "o_totalprice",
+        )
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — spine keeps all rows (dataset invariant,
+    test_feature_store_workflows.py:178-183)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_multi_fv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spine joined to ≥2 feature views on the same entity
+    (test_feature_store_workflows.py:186-217): two aggregate FVs over
+    orders folded onto the customer spine. Scale: both agg subplans shuffle
+    on o_custkey; the joins then reuse that partitioning (no extra
+    exchange) because the join key equals the group key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    fv1 = o.groupBy("o_custkey").agg(F.count("*").alias("f_num_orders"))
+    fv2 = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("o_totalprice"), "f_filled_spend"))
+    )
+    return (
+        c.join(fv1, c.c_custkey == fv1.o_custkey, "left")
+        .drop("o_custkey")
+        .join(fv2, c.c_custkey == fv2.o_custkey, "left")
+        .drop("o_custkey")
+        .select("c_custkey", "c_name", "f_num_orders", "f_filled_spend")
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join — THE core generate_dataset semantic
+    ("features from BEFORE the event_time",
+    test_feature_store_workflows.py:153-184). Spine = purchase events;
+    features = latest error-event value at-or-before each purchase, per
+    user. Uses the union+last(ignorenulls) single-shuffle strategy
+    (pit.py) — no join explosion at 100 TB."""
+    from ..pit import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("event_time")
+    )
+    feats = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("f_last_error_value")
+    )
+    return asof_join(
+        spine,
+        feats,
+        on=["user_id"],
+        spine_ts="event_time",
+        feature_ts="ts",
+        feature_cols=["f_last_error_value"],
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join (EXISTS / NOT EXISTS membership). Scale: Spark
+    plans left-semi/anti as broadcast or shuffled hash joins with only the
+    key column of the right side read (pruned scan)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_orders").alias("f_status")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("f_status")
+    )
+    return with_orders.unionByName(without)
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL fan-in of heterogeneous sources (§2.B closure)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+    ).unionByName(
+        s.select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_name").alias("name"),
+            F.lit("supplier").alias("src"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — the canonical feature-store snapshot
+    read (row_number over desc timestamp). Deterministic tiebreak by
+    o_orderkey. Scale: one shuffle on the partition key; at 100 TB prefer
+    max_by-struct agg when only the top row is needed (same result, hash
+    agg instead of full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("f_last_orderkey"),
+            F.col("o_orderdate").alias("f_last_orderdate"),
+            F.col("o_totalprice").alias("f_last_totalprice"),
+        )
+    )
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window frame — rolling sum/avg of the last 4 events per user
+    (the fine-grained Dynamic-Table FV pattern, README.md:160-167).
+    Decimal-exact rolling sum so segment-tree vs running accumulation
+    cannot diverge."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("f_rolling_sum"),
+        F.count("*").over(w).alias("f_rolling_n"),
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (LIMIT 10 reads,
+    test_feature_store_workflows.py:352-354). Scale: Spark plans
+    TakeOrderedAndProject — per-partition top-k then merge on the driver;
+    never a global sort."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(10)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+def q_scalar_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: UPPER (the reference uppercases every
+    identifier, entity.sql:26), LIKE, replace, concat, substring, length."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("f_segment_upper"),
+        F.length(F.col("c_name")).cast("long").alias("f_name_len"),
+        F.substring(F.col("c_name"), 10, 9).alias("f_name_digits"),
+        F.regexp_replace(F.col("c_name"), "0", "#").alias("f_name_masked"),
+        F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment")).alias("f_name_seg"),
+    )
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp functions (deterministic subset — no now()): day
+    truncation, extract parts, interval arithmetic; daily rollup.
+    This is the time-bucketed feature pattern; at scale the day column is
+    the managed-FV partition key (partition pruning on time predicates)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.to_date(F.col("ts")).alias("f_day"),
+            F.year(F.col("ts")).cast("long").alias("f_year"),
+            F.month(F.col("ts")).cast("long").alias("f_month"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("f_ts_plus7d"),
+            F.col("value"),
+        )
+        .groupBy("f_day", "f_year", "f_month")
+        .agg(
+            F.count("*").alias("f_events"),
+            _dsum(F.col("value"), "f_value_sum"),
+            F.max("f_ts_plus7d").alias("f_max_plus7d"),
+        )
+    )
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse/extract/cast (PARSE_JSON + ``:field::type`` pattern,
+    test_feature_view_metadata_structure.sql:20-33) over the events
+    ``props`` JSON column. get_json_object is JVM-side (Jackson) — no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("f_k_str"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("f_k_int"),
+    ).filter(F.col("f_k_int") >= 50)
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (HAVING COUNT(DISTINCT ...) pattern,
+    tests/test_feature_view_tags.sql:24-27)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("f_n_items"),
+            _dsum(F.col("l_quantity"), "f_total_qty"),
+            F.countDistinct("l_suppkey").alias("f_n_suppliers"),
+        )
+        .filter(F.col("f_n_items") > 5)
+    )
+
+
+def q_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE pipeline (3 CTEs, mirroring
+    test_feature_view_metadata_structure.sql:4-50). Written in Spark SQL —
+    Catalyst produces the same plan as the DataFrame form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q_customer")
+    return spark.sql(
+        f"""
+        WITH order_totals AS (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS spend
+            FROM _q_orders
+            GROUP BY o_custkey
+        ),
+        enriched AS (
+            SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.spend
+            FROM _q_customer c
+            JOIN order_totals t ON c.c_custkey = t.o_custkey
+        ),
+        banded AS (
+            SELECT c_mktsegment,
+                   CASE WHEN spend >= 100000 THEN 'big' ELSE 'small' END AS band,
+                   n_orders, spend
+            FROM enriched
+        )
+        SELECT c_mktsegment, band,
+               COUNT(*) AS f_customers,
+               CAST(SUM(CAST(spend AS {_DEC})) AS DOUBLE) AS f_spend,
+               CAST(SUM(n_orders) AS BIGINT) AS f_orders
+        FROM banded
+        GROUP BY c_mktsegment, band
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "q_scan_project": """
+        SELECT c_custkey, c_name AS f_name, c_mktsegment AS f_segment,
+               c_acctbal AS f_acctbal
+        FROM customer
+    """,
+    "q_filter_false": """
+        SELECT 1 AS one WHERE FALSE
+    """,
+    "q_filter_pred": """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE (c_acctbal > 5000.0 AND c_nationkey < 10)
+           OR c_mktsegment = 'MACHINERY'
+    """,
+    "q_case_when": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS f_qty_band,
+               CASE WHEN l_linenumber % 3 = 0 THEN 'Gold'
+                    ELSE 'Silver' END AS f_tier
+        FROM lineitem
+    """,
+    "q_arith_expr": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS f_revenue,
+               l_quantity * 12 AS f_qty_x12,
+               l_linenumber / 2.0 AS f_halfline,
+               l_extendedprice + l_tax AS f_price_tax
+        FROM lineitem
+    """,
+    "q_groupby_agg": """
+        SELECT o_custkey,
+               COUNT(*) AS f_num_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS f_total_spent
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    "q_agg_multi": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS f_count,
+               MIN(l_quantity) AS f_min_qty,
+               MAX(l_quantity) AS f_max_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(l_extendedprice) AS f_avg_price,
+               COUNT(DISTINCT l_partkey) AS f_distinct_parts
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_distinct": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "q_join_equi": """
+        SELECT o.o_orderkey, o.o_custkey,
+               c.c_name AS f_customer_name,
+               n.n_name AS f_nation,
+               o.o_totalprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    "q_join_left": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    "q_join_multi_fv": """
+        WITH fv1 AS (
+            SELECT o_custkey, COUNT(*) AS f_num_orders
+            FROM orders GROUP BY o_custkey
+        ),
+        fv2 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS f_filled_spend
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, fv1.f_num_orders, fv2.f_filled_spend
+        FROM customer c
+        LEFT JOIN fv1 ON c.c_custkey = fv1.o_custkey
+        LEFT JOIN fv2 ON c.c_custkey = fv2.o_custkey
+    """,
+    "q_join_asof": """
+        WITH spine AS (
+            SELECT event_id, user_id, ts AS event_time
+            FROM events WHERE event_type = 'purchase'
+        ),
+        feats AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        ),
+        ranked AS (
+            SELECT s.event_id, s.user_id, s.event_time, f.value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.event_id
+                       ORDER BY f.ts DESC
+                   ) AS rn
+            FROM spine s
+            LEFT JOIN feats f
+              ON s.user_id = f.user_id AND f.ts <= s.event_time
+        )
+        SELECT event_id, user_id, event_time,
+               value AS f_last_error_value
+        FROM ranked WHERE rn = 1
+    """,
+    "q_semi_anti": """
+        SELECT c_custkey, c_name, 'has_orders' AS f_status
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, 'no_orders' AS f_status
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_union_all": """
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+    """,
+    "q_window_rank": """
+        SELECT o_custkey,
+               o_orderkey AS f_last_orderkey,
+               o_orderdate AS f_last_orderdate,
+               o_totalprice AS f_last_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "q_window_frame": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS f_rolling_sum,
+               COUNT(*) OVER w AS f_rolling_n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "q_sort_limit": """
+        SELECT p_partkey, p_name, p_brand, p_retailprice
+        FROM part
+        ORDER BY p_retailprice DESC, p_partkey ASC
+        LIMIT 10
+    """,
+    "q_scalar_str": """
+        SELECT c_custkey,
+               UPPER(c_mktsegment) AS f_segment_upper,
+               LENGTH(c_name) AS f_name_len,
+               SUBSTR(c_name, 10, 9) AS f_name_digits,
+               REGEXP_REPLACE(c_name, '0', '#', 'g') AS f_name_masked,
+               CONCAT_WS('|', c_name, c_mktsegment) AS f_name_seg
+        FROM customer
+        WHERE c_name LIKE '%1%'
+    """,
+    "q_scalar_date": """
+        SELECT CAST(ts AS DATE) AS f_day,
+               CAST(YEAR(ts) AS BIGINT) AS f_year,
+               CAST(MONTH(ts) AS BIGINT) AS f_month,
+               COUNT(*) AS f_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS f_value_sum,
+               MAX(ts + INTERVAL 7 DAY) AS f_max_plus7d
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "q_scalar_json": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS f_k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS f_k_int
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+    "q_agg_having": """
+        SELECT l_orderkey,
+               COUNT(*) AS f_n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS f_total_qty,
+               COUNT(DISTINCT l_suppkey) AS f_n_suppliers
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(*) > 5
+    """,
+    "q_cte_pipeline": """
+        WITH order_totals AS (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        enriched AS (
+            SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.spend
+            FROM customer c
+            JOIN order_totals t ON c.c_custkey = t.o_custkey
+        ),
+        banded AS (
+            SELECT c_mktsegment,
+                   CASE WHEN spend >= 100000 THEN 'big' ELSE 'small' END AS band,
+                   n_orders, spend
+            FROM enriched
+        )
+        SELECT c_mktsegment, band,
+               COUNT(*) AS f_customers,
+               CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE) AS f_spend,
+               CAST(SUM(n_orders) AS BIGINT) AS f_orders
+        FROM banded
+        GROUP BY c_mktsegment, band
+    """,
+}
+
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter_false": q_filter_false,
+    "q_filter_pred": q_filter_pred,
+    "q_case_when": q_case_when,
+    "q_arith_expr": q_arith_expr,
+    "q_groupby_agg": q_groupby_agg,
+    "q_agg_multi": q_agg_multi,
+    "q_distinct": q_distinct,
+    "q_join_equi": q_join_equi,
+    "q_join_left": q_join_left,
+    "q_join_multi_fv": q_join_multi_fv,
+    "q_join_asof": q_join_asof,
+    "q_semi_anti": q_semi_anti,
+    "q_union_all": q_union_all,
+    "q_window_rank": q_window_rank,
+    "q_window_frame": q_window_frame,
+    "q_sort_limit": q_sort_limit,
+    "q_scalar_str": q_scalar_str,
+    "q_scalar_date": q_scalar_date,
+    "q_scalar_json": q_scalar_json,
+    "q_agg_having": q_agg_having,
+    "q_cte_pipeline": q_cte_pipeline,
+}

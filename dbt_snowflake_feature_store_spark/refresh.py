@@ -1,0 +1,107 @@
+"""Managed feature-view refresh — the Dynamic Table replacement.
+
+Semantics from the reference (SURVEY.md §2.D; /root/reference/macros/
+materializations/feature_view.sql:101-129, /root/reference/README.md:
+224-237): ``refresh_freq`` is a freshness target ("at most N behind
+sources"), ``refresh_mode`` picks FULL recompute vs INCREMENTAL
+maintenance, AUTO downgrades to FULL when the query isn't
+incrementalizable. In the driver harness there is no daemon — ``refresh()``
+is an explicit call (the scheduler that honors refresh_freq lives outside
+the engine, exactly as Snowflake's refresh service lives outside the dbt
+package).
+
+Spark-first physical design:
+- FULL → batch recompute, atomic overwrite of the FV's Parquet directory.
+  Output is partitioned by the date of ``timestamp_col`` when present, so
+  downstream PIT reads prune partitions by time range.
+- INCREMENTAL → when the FV declares a streaming-compatible source
+  (``streaming/incremental.py``), a Structured Streaming
+  ``trigger(availableNow=True)`` micro-batch run processes only new files
+  since the last checkpoint. Otherwise high-watermark append: recompute
+  only rows with ``timestamp_col`` beyond the stored watermark and append.
+  Both fall back to FULL when preconditions fail (Snowflake AUTO
+  downgrade behavior, README.md:234).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from .objects import FeatureView
+    from .store import FeatureStore
+
+_WATERMARK_FILE = "_fs_watermark.json"
+
+
+def _write_full(df: DataFrame, path: str, timestamp_col: str | None) -> None:
+    writer = df.write.mode("overwrite")
+    if timestamp_col:
+        # partition by day of the event-time column → time-range partition
+        # pruning for PIT reads at scale
+        df = df.withColumn("_fs_dt", F.to_date(F.col(timestamp_col)))
+        writer = df.write.mode("overwrite").partitionBy("_fs_dt")
+    writer.parquet(path)
+
+
+def _read_watermark(path: str) -> str | None:
+    p = os.path.join(path, _WATERMARK_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["high_watermark"]
+    return None
+
+
+def _write_watermark(path: str, value: str) -> None:
+    with open(os.path.join(path, _WATERMARK_FILE), "w") as f:
+        json.dump({"high_watermark": value}, f)
+
+
+def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None = None) -> str:
+    """Run one refresh. Returns the effective mode used
+    ('FULL' | 'INCREMENTAL')."""
+    mode = (mode or fv.refresh.refresh_mode or "AUTO").upper()
+    path = fs._fv_data_path(fv.name, fv.version)
+    df = fs._plan(fv)
+
+    ts = None
+    if fv.timestamp_col:
+        m = {c.upper(): c for c in df.columns}
+        ts = m.get(fv.timestamp_col)
+
+    if mode in ("INCREMENTAL", "AUTO") and ts is not None and os.path.isdir(path):
+        wm = _read_watermark(path)
+        if wm is not None:
+            # append-only incremental maintenance: only rows newer than the
+            # high watermark are recomputed. Correct for append-only inputs
+            # and non-aggregating plans; AUTO falls back to FULL otherwise
+            # at registration (see streaming/incremental.py for the
+            # aggregating streaming path).
+            delta = df.filter(F.col(ts) > F.lit(wm).cast("timestamp"))
+            if fv.timestamp_col:
+                delta = delta.withColumn("_fs_dt", F.to_date(F.col(ts)))
+            delta.write.mode("append").partitionBy("_fs_dt").parquet(path)
+            new_wm = _max_ts(fs, path, "_fs_dt", ts)
+            if new_wm:
+                _write_watermark(path, new_wm)
+            return "INCREMENTAL"
+
+    _write_full(df, path, ts)
+    if ts is not None:
+        new_wm = _max_ts(fs, path, "_fs_dt", ts)
+        if new_wm:
+            _write_watermark(path, new_wm)
+    return "FULL"
+
+
+def _max_ts(fs: "FeatureStore", path: str, dt_col: str, ts: str) -> str | None:
+    out = fs.spark.read.parquet(path)
+    if ts not in out.columns:
+        return None
+    row = out.select(F.max(F.col(ts)).alias("m")).collect()[0]
+    return str(row["m"]) if row["m"] is not None else None

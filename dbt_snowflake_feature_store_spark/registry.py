@@ -1,0 +1,98 @@
+"""Metadata registry — the Spark-native replacement for Snowflake TAGs.
+
+The reference encodes ALL feature-store metadata in Snowflake TAG objects
+and discovers it with ``SHOW TAGS`` / ``INFORMATION_SCHEMA.TAG_REFERENCES``
+(/root/reference/macros/materializations/entity.sql:23-34,
+/root/reference/macros/materializations/feature_view.sql:59-97). That is a
+metadata-plane concern, not a data-plane one: the payload is a handful of
+small JSON documents. We therefore keep the registry as JSON documents under
+``<root>/_registry/<kind>/<key>.json`` with atomic tmp+rename writes — no
+Spark job is ever needed for a metadata read, which also removes the
+reference's N+1 ``SHOW TAGS`` round-trip anti-pattern
+(feature_view.sql:45-57 + :85-96 — one ``SHOW TAGS`` per entity, twice).
+
+Scale note: at 100 TB the *data* lives in partitioned Parquet/Delta read by
+executors; the registry stays O(number of registered objects) and is read
+only by the driver. Single-writer semantics are assumed (the reference has
+the same implicit model — dbt runs serially per target). On a real cluster
+the same layout works on any Hadoop-compatible FS; the local-FS backend here
+is the only container-testable one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Iterator
+
+VALID_KINDS = ("entities", "feature_views", "datasets", "sources")
+
+
+class Registry:
+    """JSON-document registry rooted at ``<root>/_registry``."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        self.base = os.path.join(self.root, "_registry")
+
+    # -- lifecycle ---------------------------------------------------------
+    def initialize(self) -> None:
+        """Idempotent create, mirroring ``CREATE SCHEMA/TAG IF NOT EXISTS``
+        (/root/reference/macros/feature_store/init_feature_store.sql:20-32).
+        """
+        for kind in VALID_KINDS:
+            os.makedirs(os.path.join(self.base, kind), exist_ok=True)
+
+    def is_initialized(self) -> bool:
+        return os.path.isdir(self.base)
+
+    # -- low-level document ops ---------------------------------------------
+    def _path(self, kind: str, key: str) -> str:
+        assert kind in VALID_KINDS, kind
+        return os.path.join(self.base, kind, f"{key}.json")
+
+    def put(self, kind: str, key: str, doc: dict[str, Any]) -> None:
+        """Atomic upsert (write tmp file in the same dir, rename over)."""
+        path = self._path(kind, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def get(self, kind: str, key: str) -> dict[str, Any] | None:
+        path = self._path(kind, key)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def delete(self, kind: str, key: str) -> bool:
+        path = self._path(kind, key)
+        if os.path.exists(path):
+            os.unlink(path)
+            return True
+        return False
+
+    def exists(self, kind: str, key: str) -> bool:
+        return os.path.exists(self._path(kind, key))
+
+    def list(self, kind: str) -> Iterator[dict[str, Any]]:
+        d = os.path.join(self.base, kind)
+        if not os.path.isdir(d):
+            return
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    yield json.load(f)
+
+    def keys(self, kind: str) -> list[str]:
+        d = os.path.join(self.base, kind)
+        if not os.path.isdir(d):
+            return []
+        return sorted(fn[:-5] for fn in os.listdir(d) if fn.endswith(".json"))

@@ -1,0 +1,68 @@
+"""Source-table access for the driver testdata (TESTDATA.md).
+
+The reference reads sources via dbt ``{{ source(...) }}`` bindings
+(/root/reference/integration_tests/models/sources.yml:4-9); our equivalent
+is plain Parquet scans registered as temp views, so FV SQL bodies resolve
+the same names. Parquet scans get predicate pushdown, column pruning and
+(where partitioned) partition pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Parquet TIMESTAMP(NANOS) columns per table: Spark has no nanosecond
+# timestamp type, so we read them as int64 nanos
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to microsecond
+# timestamps with integer division — the same ns→µs truncation DuckDB
+# applies, so oracle comparisons agree exactly.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one source table; normalizes nanosecond timestamps."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _NANOS_TS_COLS.get(name, ())
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load each parquet table as a DataFrame."""
+    return {t: read_table(spark, sf_dir, t) for t in tables}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (name = table name)."""
+    dfs = load_tables(spark, sf_dir, tables)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

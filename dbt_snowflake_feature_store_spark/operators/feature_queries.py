@@ -1,0 +1,206 @@
+"""Feature-store-machinery queries — the FS lifecycle itself under the
+DuckDB oracle gate.
+
+Unlike the relational keys (plain Spark plans), these exercise the engine's
+own registration → materialization → read-back → generate_dataset paths
+end-to-end, and the oracle states what the *result* must equal in plain
+SQL. This mirrors the reference's flagship test technique: produce the
+object through the API, then compare the observable result against an
+independically-derived golden form
+(/root/reference/integration_tests/python_tests/
+test_metadata_compatibility.py:52-104).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..objects import Entity, FeatureView, RefreshSpec
+from ..sources.tables import read_table
+from ..store import FeatureStore
+
+_DEC = "decimal(28,6)"
+
+
+def _fs(spark: SparkSession) -> FeatureStore:
+    return FeatureStore(spark, tempfile.mkdtemp(prefix="fs_q_"), name="Q_FS")
+
+
+def q_fv_static_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static ("external") FV: register SQL body, read back — the body is
+    NOT executed at registration, only lazily re-planned by Catalyst at
+    read (CREATE OR REPLACE VIEW semantics, feature_view.sql:183-195).
+    The read plan inlines the view → filters/pruning push into the scan."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("q_customer")
+    fs = _fs(spark)
+    fs.register_entity(Entity("customer", ["c_custkey"]))
+    fs.register_feature_view(
+        FeatureView(
+            "static_cust",
+            ["customer"],
+            sql="""SELECT c_custkey,
+                          c_acctbal AS f_acctbal,
+                          c_mktsegment AS f_segment
+                   FROM q_customer
+                   WHERE c_acctbal > 0""",
+        ),
+        version="1.0",
+    )
+    return fs.read_feature_view("STATIC_CUST$1.0")
+
+
+def q_fv_managed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed FV: register + materialize (Dynamic Table ON_CREATE
+    semantics, feature_view.sql:115-129), read back from the parquet
+    materialization — values must round-trip exactly."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("q_orders")
+    fs = _fs(spark)
+    fs.register_entity(Entity("customer", ["o_custkey"]))
+    fs.register_feature_view(
+        FeatureView(
+            "managed_orders",
+            ["customer"],
+            sql=f"""SELECT o_custkey,
+                           COUNT(*) AS f_num_orders,
+                           CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                               AS f_total_spent
+                    FROM q_orders
+                    GROUP BY o_custkey""",
+            refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+        ),
+        version="1.0",
+    )
+    return fs.read_feature_view("MANAGED_ORDERS$1.0")
+
+
+def q_fv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FV chaining — an FV defined over another FV (multi-hop DAG,
+    test_feature_store_workflows.py:286-414; ref() of another FV
+    test_derived_customer_features.sql:36). The derived FV's plan expands
+    recursively; Catalyst collapses the stack into one optimized plan."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q_lineitem")
+    fs = _fs(spark)
+    fs.register_entity(Entity("order_ent", ["l_orderkey"]))
+    base = fs.register_feature_view(
+        FeatureView(
+            "base_items",
+            ["order_ent"],
+            sql=f"""SELECT l_orderkey,
+                           COUNT(*) AS f_n_items,
+                           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE)
+                               AS f_total_qty
+                    FROM q_lineitem
+                    GROUP BY l_orderkey""",
+        ),
+        version="1.0",
+    )
+    # expose the registered FV for the derived body (view composition)
+    fs.read_feature_view(base).createOrReplaceTempView("q_base_items")
+    fs.register_feature_view(
+        FeatureView(
+            "derived_items",
+            ["order_ent"],
+            sql="""SELECT l_orderkey,
+                          f_n_items,
+                          f_total_qty,
+                          CASE WHEN f_total_qty / f_n_items > 25 THEN 'bulky'
+                               ELSE 'light' END AS f_band
+                   FROM q_base_items
+                   WHERE f_n_items >= 2""",
+        ),
+        version="1.0",
+    )
+    return fs.read_feature_view("DERIVED_ITEMS$1.0")
+
+
+def q_generate_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full generate_dataset path through the API: spine (purchase
+    events + label) PIT-joined to a timestamped FV (error-event values) —
+    test_feature_store_workflows.py:128-151 re-expressed over the driver's
+    events table. Every spine row preserved; features strictly
+    at-or-before event_time."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("q_events")
+    fs = _fs(spark)
+    fs.register_entity(Entity("user", ["user_id"]))
+    fs.register_feature_view(
+        FeatureView(
+            "user_errors",
+            ["user"],
+            sql="""SELECT user_id, ts, value AS f_last_error_value
+                   FROM q_events WHERE event_type = 'error'""",
+            timestamp_col="ts",
+        ),
+        version="1.0",
+    )
+    spine = spark.sql(
+        """SELECT event_id, user_id, ts AS event_time,
+                  user_id % 2 AS label
+           FROM q_events WHERE event_type = 'purchase'"""
+    )
+    fv = fs.get_feature_view("user_errors", "1.0")
+    ds = fs.generate_dataset(
+        "train",
+        spine,
+        [fv],
+        version="1",
+        spine_timestamp_col="event_time",
+        spine_label_cols=["label"],
+    )
+    return ds.read.to_df()
+
+
+ORACLE: dict[str, str] = {
+    "q_fv_static_read": """
+        SELECT c_custkey, c_acctbal AS f_acctbal, c_mktsegment AS f_segment
+        FROM customer WHERE c_acctbal > 0
+    """,
+    "q_fv_managed_read": """
+        SELECT o_custkey,
+               COUNT(*) AS f_num_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS f_total_spent
+        FROM orders GROUP BY o_custkey
+    """,
+    "q_fv_chain": """
+        WITH base AS (
+            SELECT l_orderkey,
+                   COUNT(*) AS f_n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS f_total_qty
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, f_n_items, f_total_qty,
+               CASE WHEN f_total_qty / f_n_items > 25 THEN 'bulky'
+                    ELSE 'light' END AS f_band
+        FROM base WHERE f_n_items >= 2
+    """,
+    "q_generate_dataset": """
+        WITH spine AS (
+            SELECT event_id, user_id, ts AS event_time, user_id % 2 AS label
+            FROM events WHERE event_type = 'purchase'
+        ),
+        feats AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        ),
+        ranked AS (
+            SELECT s.event_id, s.user_id, s.event_time, s.label, f.value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.event_id ORDER BY f.ts DESC
+                   ) AS rn
+            FROM spine s
+            LEFT JOIN feats f
+              ON s.user_id = f.user_id AND f.ts <= s.event_time
+        )
+        SELECT event_id, user_id, event_time, label,
+               value AS f_last_error_value
+        FROM ranked WHERE rn = 1
+    """,
+}
+
+QUERIES = {
+    "q_fv_static_read": q_fv_static_read,
+    "q_fv_managed_read": q_fv_managed_read,
+    "q_fv_chain": q_fv_chain,
+    "q_generate_dataset": q_generate_dataset,
+}

@@ -1,0 +1,157 @@
+"""EXT operator tests: dedup/similarity/text/multimodal semantics that the
+oracle harness can't fully check (approx ops, agreement between exact and
+fast paths, stub behavior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark.functions import multimodal as MM
+from dbt_snowflake_feature_store_spark.functions import similarity as SIM
+from dbt_snowflake_feature_store_spark.functions import text as TXT
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox  jumps over the lazy dog!"),  # near-exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_normalizes(self, spark, docs_with_dups):
+        out = TXT.dedup_exact(docs_with_dups).collect()
+        # 1, 2, 5 collapse (normalization strips case/punct/extra ws)
+        by_id = {r["doc_id"]: r["n_copies"] for r in out}
+        assert by_id[1] == 3
+        assert by_id[3] == 1
+        assert by_id[4] == 1
+        assert len(out) == 3
+
+    def test_minhash_finds_near_dups(self, spark, docs_with_dups):
+        pairs = TXT.dedup_near_minhash(
+            docs_with_dups, jaccard_threshold=0.3, shingle_k=2
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 5) in found  # exact dup always caught
+        assert (1, 2) in found  # normalization-level dup
+        assert not any(4 in p for p in found)  # unrelated doc never pairs
+
+    def test_minhash_deterministic(self, spark, docs_with_dups):
+        a = sorted(map(tuple, TXT.dedup_near_minhash(docs_with_dups, jaccard_threshold=0.3).collect()))
+        b = sorted(map(tuple, TXT.dedup_near_minhash(docs_with_dups, jaccard_threshold=0.3).collect()))
+        assert a == b
+
+    def test_simhash_close_for_near_dups(self, spark, docs_with_dups):
+        rows = docs_with_dups.select(
+            "doc_id", TXT.simhash64(F.col("text")).alias("h")
+        ).collect()
+        h = {r["doc_id"]: r["h"] for r in rows}
+        assert h[1] == h[5]  # identical text → identical simhash
+        ham_12 = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+        ham_14 = bin((h[1] ^ h[4]) & ((1 << 64) - 1)).count("1")
+        assert ham_12 < ham_14  # near-dup closer than unrelated
+
+
+class TestSimilarity:
+    def test_fast_path_agrees_with_exact(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_similarity import (
+            q_sim_topk,
+            q_sim_topk_fast,
+        )
+
+        exact_ids = [r["vec_id"] for r in q_sim_topk(spark, sf_dir).collect()]
+        fast_ids = [r["vec_id"] for r in q_sim_topk_fast(spark, sf_dir).collect()]
+        assert exact_ids == fast_ids
+
+    def test_ann_results_subset_scored_correctly(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_similarity import (
+            q_sim_ann_lsh,
+        )
+
+        rows = q_sim_ann_lsh(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 10
+        scores = [r["cosine"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_cosine_self_similarity_is_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-1.0, 0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = SIM.cosine_topk(df, [1.0, 2.0, 3.0], k=3)
+        rows = out.collect()
+        assert rows[0]["vec_id"] in (1, 2)  # colinear vectors tie at 1.0
+        assert abs(rows[0]["cosine"] - 1.0) < 1e-9
+        assert rows[2]["vec_id"] == 3
+
+    def test_embed_dedup_pairs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0] * 64),
+                (2, [1.0] * 64),  # identical
+                (3, [float(i) for i in range(64)]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        pairs = SIM.cosine_pairs_lsh(df, threshold=0.999, num_bits=4).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+class TestTextFunctions:
+    def test_lang_id_obvious_cases(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it was good"),
+                (2, "der Hund ist nicht auf das Auto und die Katze"),
+                (3, "le chat est dans la maison et les chiens pour que"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["pred_lang"] for r in TXT.lang_id(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr"}
+
+    def test_winnowing_overlap_for_near_dups(self, spark, docs_with_dups):
+        rows = docs_with_dups.select(
+            "doc_id", TXT.winnowing_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+        fp = {r["doc_id"]: set(r["fp"]) for r in rows}
+        assert fp[1] == fp[5]
+        overlap_near = len(fp[1] & fp[3])
+        overlap_far = len(fp[1] & fp[4])
+        assert overlap_near > overlap_far
+
+    def test_quality_score_bounds(self, spark, tables, sf_dir):
+        out = TXT.quality_score(tables["documents"]).select("q_score").collect()
+        assert all(0.0 <= r["q_score"] <= 1.0 for r in out)
+
+
+class TestMultimodal:
+    def test_strict_mode_raises(self, spark, tables):
+        media = MM.documents_as_media(tables["documents"].limit(5))
+        out = MM.decode_and_featurize(media, deterministic_fake=False)
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            out.collect()
+
+    def test_fake_decode_plumbing(self, spark, tables):
+        media = MM.documents_as_media(tables["documents"].limit(20))
+        out = MM.decode_and_featurize(media, deterministic_fake=True).collect()
+        assert len(out) == 20
+        assert all(r["decode_ok"] for r in out)
+        assert all(len(r["feat"]) == 8 for r in out)
+        assert all(r["modality"] == "image" for r in out)
+        # deterministic: same content → same feature
+        again = MM.decode_and_featurize(media, deterministic_fake=True).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_content_stats_no_decode(self, spark, tables):
+        media = MM.documents_as_media(tables["documents"].limit(5))
+        stats = MM.with_content_stats(media).collect()
+        assert all(r["content_bytes"] > 0 for r in stats)
+        assert all(len(r["content_sha256"]) == 64 for r in stats)

@@ -1,0 +1,227 @@
+"""Point-in-time correctness tests — the spec is the reference's own PIT
+test ("Features should be from BEFORE the event_time",
+/root/reference/integration_tests/python_tests/
+test_feature_store_workflows.py:60-184): 10 customers × 5 snapshots at
+30/20/10/5/1 days back, spine at 7 days back → the join must pick the
+10-days-back snapshot, never a future one. Plus edge cases from SURVEY.md
+§7's risk register: ties, duplicate timestamps, no-prior-row nulls,
+multi-FV folding, strategy equivalence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark import Entity, FeatureView, asof_join
+
+BASE = dt.datetime(2024, 6, 30, 12, 0, 0)
+
+
+def _days_back(n: int) -> dt.datetime:
+    return BASE - dt.timedelta(days=n)
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    """customer_base_table: 10 customers × 5 snapshots (FIXTURES.md §1)."""
+    rows = []
+    for cid in range(10):
+        for back in (30, 20, 10, 5, 1):
+            rows.append(
+                (
+                    cid,
+                    _days_back(back),
+                    20 + cid + (30 - back),  # age changes per snapshot
+                    "US" if cid % 2 == 0 else "DE",
+                    "Gold" if cid % 3 == 0 else "Silver",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "customer_id long, updated_at timestamp, age int, country string, tier string"
+    )
+
+
+@pytest.fixture(scope="module")
+def spine(spark):
+    """training_spine: spine at 7 days back — strictly between the
+    10-day and 5-day snapshots."""
+    rows = [(cid, _days_back(7), cid % 2) for cid in range(10)]
+    return spark.createDataFrame(
+        rows, "customer_id long, event_time timestamp, label int"
+    )
+
+
+class TestAsofJoin:
+    def test_picks_latest_before_not_future(self, spark, snapshots, spine):
+        out = asof_join(
+            spine,
+            snapshots,
+            on=["customer_id"],
+            spine_ts="event_time",
+            feature_ts="updated_at",
+        ).collect()
+        assert len(out) == 10  # spine preserved
+        for r in out:
+            # spine at 7 days back → latest snapshot <= that is 10 days back
+            # → age = 20 + cid + (30-10)
+            assert r["age"] == 20 + r["customer_id"] + 20, r
+            assert r["country"] is not None
+
+    def test_no_prior_row_gives_nulls(self, spark, snapshots):
+        early_spine = spark.createDataFrame(
+            [(0, _days_back(40)), (1, _days_back(31))],
+            "customer_id long, event_time timestamp",
+        )
+        out = asof_join(
+            early_spine,
+            snapshots,
+            on=["customer_id"],
+            spine_ts="event_time",
+            feature_ts="updated_at",
+        ).collect()
+        assert len(out) == 2
+        assert all(r["age"] is None and r["tier"] is None for r in out)
+
+    def test_tie_timestamp_included(self, spark, snapshots):
+        """fv.ts == spine.ts must match (<= semantics)."""
+        tie_spine = spark.createDataFrame(
+            [(3, _days_back(5))], "customer_id long, event_time timestamp"
+        )
+        out = asof_join(
+            tie_spine,
+            snapshots,
+            on=["customer_id"],
+            spine_ts="event_time",
+            feature_ts="updated_at",
+        ).collect()
+        assert out[0]["age"] == 20 + 3 + 25  # the 5-days-back snapshot itself
+
+    def test_unknown_key_gives_nulls(self, spark, snapshots):
+        ghost = spark.createDataFrame(
+            [(999, _days_back(1))], "customer_id long, event_time timestamp"
+        )
+        out = asof_join(
+            ghost, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at",
+        ).collect()
+        assert len(out) == 1 and out[0]["age"] is None
+
+    def test_duplicate_spine_rows_preserved(self, spark, snapshots):
+        dup = spark.createDataFrame(
+            [(2, _days_back(7)), (2, _days_back(7))],
+            "customer_id long, event_time timestamp",
+        )
+        out = asof_join(
+            dup, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at",
+        ).collect()
+        assert len(out) == 2
+        assert out[0]["age"] == out[1]["age"] == 20 + 2 + 20
+
+    def test_strategies_agree(self, spark, snapshots, spine):
+        a = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="union",
+        )
+        b = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="broadcast",
+        )
+        ka = sorted(tuple(r) for r in a.collect())
+        kb = sorted(tuple(r) for r in b.select(a.columns).collect())
+        assert ka == kb
+
+    def test_tolerance_cuts_stale_features(self, spark, snapshots, spine):
+        out = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", tolerance="2 days",
+        ).collect()
+        # nearest prior snapshot is 3 days older than the spine → cut
+        assert all(r["age"] is None for r in out)
+        out2 = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", tolerance="4 days",
+        ).collect()
+        assert all(r["age"] is not None for r in out2)
+
+
+class TestGenerateDataset:
+    @pytest.fixture()
+    def ready_fs(self, fs, spark, snapshots):
+        snapshots.createOrReplaceTempView("cust_snapshots")
+        fs.register_entity(Entity("customer", ["customer_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "cust_profile",
+                ["customer"],
+                sql="""SELECT customer_id, updated_at,
+                              age AS f_age, country AS f_country, tier AS f_tier
+                       FROM cust_snapshots""",
+                timestamp_col="updated_at",
+            ),
+            version="1.0",
+        )
+        return fs
+
+    def test_dataset_columns_and_pit(self, ready_fs, spark, spine):
+        """Column assertions mirror test_feature_store_workflows.py:128-151
+        (CUSTOMER_ID / EVENT_TIME / LABEL / features)."""
+        fv = ready_fs.get_feature_view("cust_profile", "1.0")
+        ds = ready_fs.generate_dataset(
+            "train",
+            spine,
+            [fv],
+            version="1",
+            spine_timestamp_col="event_time",
+            spine_label_cols=["label"],
+        )
+        pdf = ds.read.to_pandas()
+        assert set(pdf.columns) == {
+            "customer_id",
+            "event_time",
+            "label",
+            "f_age",
+            "f_country",
+            "f_tier",
+        }
+        assert len(pdf) == 10  # every spine row preserved
+        # PIT: features from BEFORE event_time (never the 5/1-day snapshots)
+        assert (pdf["f_age"] == 20 + pdf["customer_id"] + 20).all()
+
+    def test_multi_fv_fold_mixed_types(self, ready_fs, spark, spine, snapshots):
+        """Mixed static+timestamped FVs (test_feature_store_workflows.py:
+        494-530): second FV has no timestamp_col → plain left equi-join."""
+        snapshots.groupBy("customer_id").count().withColumnRenamed(
+            "count", "f_n_snapshots"
+        ).createOrReplaceTempView("cust_counts")
+        ready_fs.register_feature_view(
+            FeatureView(
+                "cust_counts_fv",
+                ["customer"],
+                sql="SELECT customer_id, f_n_snapshots FROM cust_counts",
+            ),
+            version="1.0",
+        )
+        fvs = [
+            ready_fs.get_feature_view("cust_profile", "1.0"),
+            ready_fs.get_feature_view("cust_counts_fv", "1.0"),
+        ]
+        df = ready_fs.dataset_df(spine, fvs, spine_timestamp_col="event_time")
+        rows = df.collect()
+        assert len(rows) == 10
+        assert all(r["f_n_snapshots"] == 5 for r in rows)
+        assert all(r["f_age"] is not None for r in rows)
+
+    def test_dataset_lifecycle(self, ready_fs, spark, spine):
+        fv = ready_fs.get_feature_view("cust_profile", "1.0")
+        ready_fs.generate_dataset(
+            "ds_life", spine, [fv], version="2.0",
+            spine_timestamp_col="event_time",
+        )
+        got = ready_fs.get_dataset("ds_life", "2.0")
+        assert got.read.to_df().count() == 10
+        lst = ready_fs.list_datasets()
+        assert lst.filter("NAME = 'DS_LIFE' AND VERSION = '2.0'").count() == 1

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized through the noop sink (all compute, no
+write cost), except q_generate_dataset which includes its parquet write —
+that IS the operation. AQE on; timings are end-to-end wall clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the shuffling/joining/windowing queries that dominate at
+# scale + the feature-store machinery path + EXT pipeline ops
+HEADLINE = [
+    "q_groupby_agg",
+    "q_agg_multi",
+    "q_join_equi",
+    "q_join_left",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_frame",
+    "q_cte_pipeline",
+    "q_generate_dataset",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_text_quality",
+    "q_sim_topk_fast",
+]
+
+
+def main() -> None:
+    from dbt_snowflake_feature_store_spark.session import get_spark
+
+    spark = get_spark("fs-bench")
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # JVM/codegen warmup on a trivial plan (not counted)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # two iterations per query, report the min: steady-state engine time,
+    # not first-run JVM/codegen warmup (measured ~2s one-off per shape)
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries[key]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (noop sink, AQE on, min of 2 runs)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

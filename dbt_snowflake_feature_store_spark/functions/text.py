@@ -158,27 +158,40 @@ def content_fingerprint(text: Column) -> Column:
     return F.sha2(normalized_text(text), 256)
 
 
-def winnowing_fingerprint(
-    text: Column, k: int = 5, window: int = 4
-) -> Column:
+def with_winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash
     every k-gram of tokens (rolling set), keep each window's minimum hash,
-    distinct. Pure native exprs: transform over index range + xxhash64 +
-    sliding-window array_min."""
-    toks = ws_tokens(normalized_text(text))
-    n = F.size(toks)
-    # k-gram hashes: hash of the joined k consecutive tokens
-    kgram_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    distinct. Pure native exprs.
+
+    PERF INVARIANT: each intermediate array (tokens, k-gram hashes) is
+    materialized as a real column BEFORE a lambda references it — Spark
+    re-evaluates expressions referenced inside higher-order-function
+    lambdas once per element (no CSE inside lambdas), which turns a naive
+    single-expression formulation into O(n²) regex work per document."""
+    toks_c, kh_c = f"__w_toks_{out_col}", f"__w_kh_{out_col}"
+    d = df.withColumn(toks_c, ws_tokens(normalized_text(F.col(text_col))))
+    toks = F.col(toks_c)
+    d = d.withColumn(
+        kh_c,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
     )
-    m = F.size(kgram_hashes)
-    # window minima (fingerprint selection)
+    kh = F.col(kh_c)
     mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(kgram_hashes, i + 1, window)),
+        F.sequence(F.lit(0), F.greatest(F.size(kh) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(kh, i + 1, window)),
     )
-    return F.array_sort(F.array_distinct(mins))
+    return d.withColumn(out_col, F.array_sort(F.array_distinct(mins))).drop(
+        toks_c, kh_c
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +250,11 @@ def dedup_exact(
     return keep.drop("_fp")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles of normalized text (distinct, sorted)."""
-    toks = ws_tokens(normalized_text(text))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from a token-array COLUMN (distinct).
+
+    ``toks`` must be a materialized column reference, not a compound
+    expression — see the perf invariant on ``with_winnowing_fingerprint``."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -248,17 +263,22 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Native exprs — transform + array_min."""
+def minhash_from_hashes(base_hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from a pre-hashed shingle array COLUMN.
+    Permutation i = xxhash64(h, seed=i) — cheap long re-hash, overflow-free
+    under ANSI mode."""
+
+    def _perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_arr, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(base_hashes, _perm(i)))
             for i in range(num_hashes)
         ]
     )
+
+
 
 
 def dedup_near_minhash(
@@ -279,16 +299,33 @@ def dedup_near_minhash(
     Jaccard verify (array_intersect/array_union on shingle sets) runs
     only on bucket collisions.
     """
+    from ..sources.tables import ensure_parallelism
+
     rows_per_band = num_hashes // bands
+    # column-materialized pipeline (see perf invariant above): tokens →
+    # shingles → shingle hashes → signature, each step a real column
+    # Empty docs are filtered on the RAW text (predicate pushes into the
+    # scan). Filtering on size(_sh) instead would push the predicate below
+    # the projection and re-evaluate the whole shingle expression per row
+    # (measured 10×+ slowdown).
     base = (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn("_sh", shingles(F.col(text_col), shingle_k))
-        .filter(F.size("_sh") > 0)
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col)).filter(
+                F.length(F.trim(F.col(text_col))) > 0
+            )
+        )
+        .withColumn("_toks", ws_tokens(normalized_text(F.col(text_col))))
+        .withColumn("_sh", shingles_from_tokens(F.col("_toks"), shingle_k))
+        .select(id_col, "_sh")
     )
-    banded = base.select(
+    # (id, band, bucket) rows ONLY — the shingle arrays never enter the
+    # banding shuffle (they would multiply the shuffle volume ~bands×),
+    # and the signature is computed once per row, not once per band expr
+    sig_df = base.withColumn(
+        "_bh", F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+    ).select(id_col, minhash_from_hashes(F.col("_bh"), num_hashes).alias("_sig"))
+    banded = sig_df.select(
         id_col,
-        "_sh",
         F.posexplode(
             F.array(
                 *[
@@ -306,21 +343,45 @@ def dedup_near_minhash(
             )
         ).alias("_band", "_bucket"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "_band", "_bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "_band", "_bucket"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "_band", "_bucket")
+    # shuffle-hash, NOT broadcast: with identical shuffles on both sides
+    # Spark's ReusedExchange computes the signature pipeline ONCE; a
+    # broadcast join would materialize it twice (measured 2×), and at real
+    # scale the banded corpus can't be broadcast anyway
     cand = (
-        left.join(right, ["_band", "_bucket"])
+        left.hint("shuffle_hash")
+        .join(right, ["_band", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+    # exact-Jaccard verify: join candidate ids back to the raw TEXT and
+    # shingle only the (few) candidate rows post-join — the corpus is
+    # shingled exactly once (in the signature pass), not three times
+    texts = df.select(F.col(id_col), F.col(text_col))
+    jac = (
+        cand.join(
+            texts.select(
+                F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+            ),
+            "id_b",
+        )
+        .withColumn("_toks_a", ws_tokens(normalized_text(F.col("_text_a"))))
+        .withColumn("_toks_b", ws_tokens(normalized_text(F.col("_text_b"))))
+        .withColumn("sh_a", shingles_from_tokens(F.col("_toks_a"), shingle_k))
+        .withColumn("sh_b", shingles_from_tokens(F.col("_toks_b"), shingle_k))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
     )
     return jac.filter(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", "jaccard"

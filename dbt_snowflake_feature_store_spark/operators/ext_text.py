@@ -122,11 +122,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint (xxhash64 k-grams → rows-only check)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.size(TXT.winnowing_fingerprint(F.col("text"))).alias("f_n_fingerprints"),
-    )
+    d = TXT.with_winnowing_fingerprint(_docs(spark, sf_dir), "text", out_col="_fp")
+    return d.select("doc_id", F.size("_fp").alias("f_n_fingerprints"))
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,3 +1,9 @@
-from .tables import TABLES, load_tables, read_table, register_views
+from .tables import TABLES, ensure_parallelism, load_tables, read_table, register_views
 
-__all__ = ["TABLES", "load_tables", "read_table", "register_views"]
+__all__ = [
+    "TABLES",
+    "ensure_parallelism",
+    "load_tables",
+    "read_table",
+    "register_views",
+]

@@ -51,6 +51,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the scan produced fewer partitions than the
+    cluster has cores (single-row-group local files). At real scale inputs
+    already have >= cores partitions and this is a no-op — we never pay an
+    all-to-all of a large corpus. Use before CPU-heavy per-row operators
+    (shingling, hashing, Pandas UDFs), not scan-bound queries."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

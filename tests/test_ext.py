@@ -118,9 +118,11 @@ class TestTextFunctions:
         assert out == {1: "en", 2: "de", 3: "fr"}
 
     def test_winnowing_overlap_for_near_dups(self, spark, docs_with_dups):
-        rows = docs_with_dups.select(
-            "doc_id", TXT.winnowing_fingerprint(F.col("text")).alias("fp")
-        ).collect()
+        rows = (
+            TXT.with_winnowing_fingerprint(docs_with_dups, "text", out_col="fp")
+            .select("doc_id", "fp")
+            .collect()
+        )
         fp = {r["doc_id"]: set(r["fp"]) for r in rows}
         assert fp[1] == fp[5]
         overlap_near = len(fp[1] & fp[3])

@@ -64,32 +64,44 @@ def _write_watermark(path: str, value: str) -> None:
 
 def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None = None) -> str:
     """Run one refresh. Returns the effective mode used
-    ('FULL' | 'INCREMENTAL')."""
+    ('FULL' | 'INCREMENTAL' | 'INCREMENTAL_WATERMARK')."""
     mode = (mode or fv.refresh.refresh_mode or "AUTO").upper()
     path = fs._fv_data_path(fv.name, fv.version)
-    df = fs._plan(fv)
 
+    if mode in ("INCREMENTAL", "AUTO"):
+        # preferred: Structured Streaming availableNow over registered
+        # sources — checkpoint gives exactly-once file processing and
+        # watermarked windowed aggs (streaming/incremental.py)
+        from .streaming.incremental import StreamingNotSupported, incremental_refresh
+
+        try:
+            return incremental_refresh(fs, fv)
+        except StreamingNotSupported:
+            if mode == "INCREMENTAL":
+                # explicit INCREMENTAL may still use the batch
+                # high-watermark append below; AUTO prefers FULL for
+                # unconditional correctness (Snowflake AUTO downgrade)
+                pass
+
+    df = fs._plan(fv)
     ts = None
     if fv.timestamp_col:
         m = {c.upper(): c for c in df.columns}
         ts = m.get(fv.timestamp_col)
 
-    if mode in ("INCREMENTAL", "AUTO") and ts is not None and os.path.isdir(path):
+    if mode == "INCREMENTAL" and ts is not None and os.path.isdir(path):
         wm = _read_watermark(path)
         if wm is not None:
-            # append-only incremental maintenance: only rows newer than the
-            # high watermark are recomputed. Correct for append-only inputs
-            # and non-aggregating plans; AUTO falls back to FULL otherwise
-            # at registration (see streaming/incremental.py for the
-            # aggregating streaming path).
+            # batch high-watermark append: only rows with ts beyond the
+            # stored watermark are recomputed. Correct for append-only
+            # inputs and non-aggregating plans.
             delta = df.filter(F.col(ts) > F.lit(wm).cast("timestamp"))
-            if fv.timestamp_col:
-                delta = delta.withColumn("_fs_dt", F.to_date(F.col(ts)))
+            delta = delta.withColumn("_fs_dt", F.to_date(F.col(ts)))
             delta.write.mode("append").partitionBy("_fs_dt").parquet(path)
             new_wm = _max_ts(fs, path, "_fs_dt", ts)
             if new_wm:
                 _write_watermark(path, new_wm)
-            return "INCREMENTAL"
+            return "INCREMENTAL_WATERMARK"
 
     _write_full(df, path, ts)
     if ts is not None:

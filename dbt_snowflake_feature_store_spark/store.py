@@ -121,6 +121,52 @@ class FeatureStore:
         return [self.get_entity(n) for n in names]
 
     # ------------------------------------------------------------------
+    # Sources (≡ dbt {{ source(...) }} bindings, sources.yml:4-9)
+    # ------------------------------------------------------------------
+    def register_source(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        watermark_col: str | None = None,
+        watermark_delay: str | None = None,
+    ) -> None:
+        """Register a named source table. FV SQL references sources by
+        name; the engine binds them to batch reads at plan time and to
+        streaming reads at incremental-refresh time (streaming/
+        incremental.py). ``watermark_col``/``watermark_delay`` set the
+        late-data contract for streaming aggregations."""
+        key = canonical_name(name)
+        self.registry.put(
+            "sources",
+            key,
+            {
+                "kind": "source",
+                "name": name,
+                "path": path,
+                "format": format,
+                "watermark_col": watermark_col,
+                "watermark_delay": watermark_delay,
+            },
+        )
+
+    def list_sources(self) -> DataFrame:
+        rows = [
+            (d["name"], d["path"], d.get("format", "parquet"))
+            for d in self.registry.list("sources")
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="NAME string, PATH string, FORMAT string"
+        )
+
+    def _bind_batch_sources(self) -> None:
+        for doc in self.registry.list("sources"):
+            df = self.spark.read.format(doc.get("format", "parquet")).load(
+                doc["path"]
+            )
+            df.createOrReplaceTempView(doc["name"])
+
+    # ------------------------------------------------------------------
     # Feature views (feature_view.sql materialization)
     # ------------------------------------------------------------------
     def _fv_key(self, name: str, version: str) -> str:
@@ -280,8 +326,10 @@ class FeatureStore:
     # -- planning / reading --------------------------------------------
     def _plan(self, fv: FeatureView) -> DataFrame:
         """Logical plan for the FV body: SQL text re-planned by Catalyst
-        (view inlining + pushdown are free), or the cached DataFrame."""
+        (view inlining + pushdown are free), or the cached DataFrame.
+        Registered sources are bound as batch views first."""
         if fv.sql is not None:
+            self._bind_batch_sources()
             return self.spark.sql(fv.sql)
         if fv.df is not None:
             return fv.df
@@ -319,9 +367,10 @@ class FeatureStore:
         return self._plan(fv)
 
     # -- managed refresh --------------------------------------------------
-    def refresh(self, name: str, version: str, mode: str | None = None) -> None:
-        """Refresh a managed FV's materialization. FULL → overwrite
-        recompute; INCREMENTAL/AUTO → see refresh.py (streaming or merge,
+    def refresh(self, name: str, version: str, mode: str | None = None) -> str:
+        """Refresh a managed FV's materialization; returns the effective
+        mode used. FULL → overwrite recompute; INCREMENTAL/AUTO → see
+        refresh.py (streaming availableNow or high-watermark append,
         falling back to FULL when the plan isn't incrementalizable —
         mirrors Snowflake's AUTO downgrade, README.md:234)."""
         from .refresh import refresh_feature_view
@@ -331,7 +380,7 @@ class FeatureStore:
             raise ValidationError(
                 f"Feature view '{fv.logical_name}' is static; nothing to refresh"
             )
-        refresh_feature_view(self, fv, mode=mode)
+        return refresh_feature_view(self, fv, mode=mode)
 
     # ------------------------------------------------------------------
     # Datasets (generate_dataset — the PIT training-set generator)

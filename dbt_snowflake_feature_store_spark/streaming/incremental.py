@@ -1,0 +1,124 @@
+"""Structured-Streaming incremental refresh — the Dynamic Table
+INCREMENTAL/AUTO engine (SURVEY.md §2.D; /root/reference/macros/
+materializations/feature_view.sql:101-129, README.md:232-234).
+
+Mechanism: every source the FV's SQL references must be a REGISTERED
+source (``fs.register_source`` — our equivalent of dbt's
+``{{ source(...) }}`` binding, /root/reference/integration_tests/models/
+sources.yml:4-9). For an incremental refresh we re-plan the same SQL text
+against *streaming* temp views (``spark.readStream``) instead of batch
+views; Spark's incrementalization then does the real work:
+
+- ``trigger(availableNow=True)`` processes exactly the files that arrived
+  since the last checkpoint, then stops — a scheduled micro-batch, which
+  is precisely Snowflake's target-lag refresh model (the scheduler that
+  honors ``refresh_freq`` lives outside the engine, like Snowflake's
+  refresh service outside the dbt package).
+- the parquet-file checkpoint gives exactly-once file processing across
+  refreshes (no high-watermark bookkeeping of our own).
+- watermark + tumbling ``window()`` aggregations emit a window once the
+  watermark passes it (append mode): late data within the watermark delay
+  is incorporated, later data is dropped — documented lateness semantics.
+
+AUTO semantics: if Catalyst rejects the streaming plan (non-windowed
+aggregate in append mode, sort, multiple aggs, ...) we fall back to FULL
+recompute — exactly Snowflake's AUTO downgrade (README.md:234).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from ..objects import FeatureView
+    from ..store import FeatureStore
+
+
+class StreamingNotSupported(Exception):
+    """The FV plan cannot be maintained incrementally (AUTO → FULL)."""
+
+
+def _source_views(fs: "FeatureStore", streaming: bool) -> list[str]:
+    """Create temp views for every registered source: batch reads or
+    streaming reads of the same paths. Returns the view names created."""
+    names = []
+    for doc in fs.registry.list("sources"):
+        name, path, fmt = doc["name"], doc["path"], doc.get("format", "parquet")
+        if streaming:
+            # streaming sources need an explicit schema: read it from the
+            # existing batch footprint (cheap metadata-only read)
+            schema = fs.spark.read.format(fmt).load(path).schema
+            df = fs.spark.readStream.format(fmt).schema(schema).load(path)
+            if doc.get("watermark_col") and doc.get("watermark_delay"):
+                df = df.withWatermark(doc["watermark_col"], doc["watermark_delay"])
+        else:
+            df = fs.spark.read.format(fmt).load(path)
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
+    """Run one availableNow micro-batch maintaining the FV's parquet
+    materialization. Raises StreamingNotSupported if the plan can't
+    stream (caller falls back to FULL)."""
+    if not list(fs.registry.list("sources")):
+        raise StreamingNotSupported("no registered sources to stream from")
+    if fv.sql is None:
+        raise StreamingNotSupported("DataFrame-registered FV cannot be re-planned")
+
+    _source_views(fs, streaming=True)
+    try:
+        df = fs.spark.sql(fv.sql)
+    except Exception as e:  # analysis error against streaming views
+        _source_views(fs, streaming=False)
+        raise StreamingNotSupported(str(e)) from e
+    if not df.isStreaming:
+        _source_views(fs, streaming=False)
+        raise StreamingNotSupported("plan has no streaming source")
+
+    path = fs._fv_data_path(fv.name, fv.version)
+    ckpt = os.path.join(path + "_ckpt")
+
+    ts_col = None
+    if fv.timestamp_col:
+        m = {c.upper(): c for c in df.columns}
+        ts_col = m.get(fv.timestamp_col)
+    if ts_col is not None:
+        df = df.withColumn("_fs_dt", F.to_date(F.col(ts_col)))
+
+    writer = (
+        df.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+    )
+    if ts_col is not None:
+        writer = writer.partitionBy("_fs_dt")
+
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    except Exception as e:
+        # e.g. non-windowed aggregation in append mode → AUTO downgrade
+        _source_views(fs, streaming=False)
+        raise StreamingNotSupported(str(e)) from e
+    finally:
+        # restore batch views so subsequent batch reads/plans see tables
+        _source_views(fs, streaming=False)
+    return "INCREMENTAL"
+
+
+def describe_lateness(doc: dict[str, Any]) -> str:
+    """Human-readable lateness contract for a source registration."""
+    wm = doc.get("watermark_delay")
+    if not wm:
+        return "no watermark: append-only source, all rows processed"
+    return (
+        f"late rows within {wm} of the max seen event time are incorporated; "
+        "rows later than that are dropped (documented watermark semantics)"
+    )

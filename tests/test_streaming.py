@@ -1,0 +1,159 @@
+"""Structured-Streaming incremental refresh tests (SURVEY.md §2.D):
+exactly-once file processing across refreshes, watermarked windowed
+aggregation semantics, and the AUTO → FULL downgrade."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark import Entity, FeatureView, RefreshSpec
+from dbt_snowflake_feature_store_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def split_events(spark, tmp_path):
+    """Events split into two halves by time, written as separate files so
+    the second half 'arrives' later."""
+    ev = read_table(spark, SF, "events")
+    cut = ev.select(F.expr("percentile_approx(cast(ts as double), 0.5)")).head()[0]
+    src = str(tmp_path / "events_src")
+    half1 = ev.filter(F.col("ts").cast("double") <= cut)
+    half2 = ev.filter(F.col("ts").cast("double") > cut)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+    return {
+        "src": src,
+        "half1": half1.count(),
+        "half2": half2.count(),
+        "half2_df": half2,
+        "total": ev.count(),
+    }
+
+
+def _arrive_half2(split):
+    split["half2_df"].coalesce(1).write.mode("append").parquet(split["src"])
+
+
+class TestStreamingIncremental:
+    def test_exactly_once_across_refreshes(self, fs, spark, split_events):
+        fs.register_source("STREAM_EVENTS", split_events["src"])
+        fs.register_entity(Entity("user", ["user_id"]))
+        fv = FeatureView(
+            "err_stream",
+            ["user"],
+            sql="""SELECT user_id, ts, value AS f_value
+                   FROM STREAM_EVENTS WHERE event_type = 'error'""",
+            timestamp_col="ts",
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        n1 = fs.read_feature_view("ERR_STREAM$1.0").count()
+        assert n1 > 0
+
+        # no new data → no change
+        mode = fs.refresh("err_stream", "1.0")
+        assert mode == "INCREMENTAL"
+        assert fs.read_feature_view("ERR_STREAM$1.0").count() == n1
+
+        # second half arrives → exactly the new rows appended, no dupes
+        _arrive_half2(split_events)
+        fs.refresh("err_stream", "1.0")
+        out = fs.read_feature_view("ERR_STREAM$1.0")
+        batch_expected = (
+            spark.read.parquet(split_events["src"])
+            .filter(F.col("event_type") == "error")
+            .count()
+        )
+        assert out.count() == batch_expected
+        assert out.select("user_id", "ts").distinct().count() == batch_expected
+
+    def test_windowed_agg_with_watermark(self, fs, spark, split_events):
+        fs.register_source(
+            "STREAM_EVENTS_W",
+            split_events["src"],
+            watermark_col="ts",
+            watermark_delay="1 hour",
+        )
+        fs.register_entity(Entity("etype", ["event_type"]))
+        fv = FeatureView(
+            "daily_counts",
+            ["etype"],
+            sql="""SELECT window(ts, '1 day').start AS day_start,
+                          event_type,
+                          COUNT(*) AS f_n,
+                          SUM(value) AS f_sum
+                   FROM STREAM_EVENTS_W
+                   GROUP BY window(ts, '1 day'), event_type""",
+            refresh=RefreshSpec("1 hour", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        # append mode emits a window only once the watermark passes it —
+        # "result at most <lag> behind sources" (README.md:232 semantics)
+        first = fs.read_feature_view("DAILY_COUNTS$1.0").count()
+
+        _arrive_half2(split_events)
+        fs.refresh("daily_counts", "1.0")
+        out = fs.read_feature_view("DAILY_COUNTS$1.0")
+        n2 = out.count()
+        assert n2 > first  # new closed windows emitted after half2
+        # emitted windows are exact: compare against batch recompute for
+        # the days strictly before the watermark
+        batch = (
+            spark.read.parquet(split_events["src"])
+            .groupBy(F.window("ts", "1 day").getField("start").alias("day_start"), "event_type")
+            .agg(F.count("*").alias("f_n"))
+        )
+        emitted = {
+            (r["day_start"], r["event_type"]): r["f_n"] for r in out.collect()
+        }
+        expected = {
+            (r["day_start"], r["event_type"]): r["f_n"] for r in batch.collect()
+        }
+        for k, v in emitted.items():
+            assert expected[k] == v, k
+        # no duplicate (window, type) keys: exactly-once emission
+        assert len(emitted) == n2
+
+    def test_auto_downgrades_to_full(self, fs, spark, split_events):
+        fs.register_source("STREAM_EVENTS_A", split_events["src"])
+        fs.register_entity(Entity("user", ["user_id"]))
+        fv = FeatureView(
+            "user_counts",
+            ["user"],
+            # global (non-windowed) aggregation: not append-streamable
+            sql="""SELECT user_id, COUNT(*) AS f_n
+                   FROM STREAM_EVENTS_A GROUP BY user_id""",
+            refresh=RefreshSpec("1 hour", "AUTO", "ON_SCHEDULE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        mode = fs.refresh("user_counts", "1.0")
+        assert mode == "FULL"
+        out = fs.read_feature_view("USER_COUNTS$1.0")
+        batch = (
+            spark.read.parquet(split_events["src"]).groupBy("user_id").count()
+        )
+        assert out.count() == batch.count()
+        # FULL recompute is always exact
+        got = {r["user_id"]: r["f_n"] for r in out.collect()}
+        exp = {r["user_id"]: r["count"] for r in batch.collect()}
+        assert got == exp
+
+    def test_full_mode_ignores_streaming(self, fs, spark, split_events):
+        fs.register_source("STREAM_EVENTS_F", split_events["src"])
+        fs.register_entity(Entity("user", ["user_id"]))
+        fv = FeatureView(
+            "full_fv",
+            ["user"],
+            sql="SELECT user_id, ts, value FROM STREAM_EVENTS_F",
+            timestamp_col="ts",
+            refresh=RefreshSpec("1 day", "FULL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        assert fs.read_feature_view("FULL_FV$1.0").count() == split_events["half1"]
+        _arrive_half2(split_events)
+        assert fs.refresh("full_fv", "1.0") == "FULL"
+        assert fs.read_feature_view("FULL_FV$1.0").count() == split_events["total"]

@@ -406,6 +406,54 @@ def q_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (SURVEY.md §2.B deferred closure —
+    free in Spark). grouping_id disambiguates subtotal rows from genuine
+    NULL groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("f_count"),
+            _dsum(F.col("l_quantity"), "f_qty"),
+            F.grouping_id().cast("long").alias("f_grouping"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (deferred closure)."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_c.intersect(filled_c).select(
+        "o_custkey", F.lit("both").alias("f_bucket")
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll would keep surplus duplicates)
+    only_open = open_c.subtract(filled_c).select(
+        "o_custkey", F.lit("open_only").alias("f_bucket")
+    )
+    return both.unionByName(only_open)
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by status spread to columns per priority.
+    Spark's pivot compiles to a single hash aggregate with conditional
+    aggregation — one shuffle on the grouping key."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("f_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("f_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("f_pending"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -623,6 +671,36 @@ ORACLE: dict[str, str] = {
 }
 
 
+ORACLE["q_rollup"] = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS f_count,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS f_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS f_grouping
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+ORACLE["q_set_ops"] = """
+    WITH open_c AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         filled_c AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT o_custkey, 'both' AS f_bucket
+    FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM filled_c)
+    UNION ALL
+    SELECT DISTINCT o_custkey, 'open_only' AS f_bucket
+    FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM filled_c)
+"""
+ORACLE["q_pivot"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_pending
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
 QUERIES = {
     "q_scan_project": q_scan_project,
     "q_filter_false": q_filter_false,
@@ -646,4 +724,7 @@ QUERIES = {
     "q_scalar_json": q_scalar_json,
     "q_agg_having": q_agg_having,
     "q_cte_pipeline": q_cte_pipeline,
+    "q_rollup": q_rollup,
+    "q_set_ops": q_set_ops,
+    "q_pivot": q_pivot,
 }

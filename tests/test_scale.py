@@ -1,0 +1,112 @@
+"""Scale-behavior tests: the properties that keep plans efficient at
+100 TB — partition pruning on managed FVs, filter pushdown through
+registered views, single-shuffle as-of, broadcast of small dimensions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark import Entity, FeatureView, RefreshSpec
+from dbt_snowflake_feature_store_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestScaleProperties:
+    def test_managed_fv_partition_pruning(self, fs, spark):
+        """Managed FVs materialize partitioned by day of timestamp_col;
+        a time-range read must prune partitions, not scan them all."""
+        read_table(spark, SF, "events").createOrReplaceTempView("sc_events")
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "pruned_fv",
+                ["user"],
+                sql="SELECT user_id, ts, value FROM sc_events",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        path = fs._fv_data_path("PRUNED_FV", "1")
+        raw = spark.read.parquet(path)
+        pruned = raw.filter(F.col("_fs_dt") == "2024-01-05")
+        # partition filter reaches the scan: at execution time only the
+        # matching partition directory's files are read
+        files_all = raw.select(F.input_file_name()).distinct().count()
+        files_pruned = pruned.select(F.input_file_name()).distinct().count()
+        assert files_pruned < files_all
+        assert files_pruned >= 1
+        assert "_fs_dt" in _executed_plan(pruned)
+        assert pruned.count() > 0
+
+    def test_static_fv_pushdown_through_view(self, fs, spark):
+        """Reading a static FV and filtering must push the predicate
+        through the inlined view body into the parquet scan."""
+        read_table(spark, SF, "customer").createOrReplaceTempView("sc_customer")
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        fs.register_feature_view(
+            FeatureView(
+                "pushdown_fv",
+                ["customer"],
+                sql="SELECT c_custkey, c_acctbal AS f_bal, c_mktsegment AS f_seg FROM sc_customer",
+            ),
+            version="1",
+        )
+        df = fs.read_feature_view("PUSHDOWN_FV$1").filter(F.col("f_bal") > 5000)
+        plan = _executed_plan(df)
+        assert "PushedFilters: [" in plan
+        assert "GreaterThan(c_acctbal,5000" in plan.replace(" ", "")
+
+    def test_asof_union_single_shuffle(self, spark):
+        """The union as-of strategy must introduce exactly ONE
+        hash-partitioning exchange (on the join keys) — no join, no
+        second shuffle, no explosion."""
+        from dbt_snowflake_feature_store_spark import asof_join
+
+        ev = read_table(spark, SF, "events")
+        spine = ev.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", F.col("ts").alias("event_time")
+        )
+        feats = ev.filter("event_type = 'error'").select("user_id", "ts", "value")
+        out = asof_join(
+            spine, feats, on=["user_id"], spine_ts="event_time", feature_ts="ts"
+        )
+        plan = _executed_plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan  # pure union+window formulation
+
+    def test_small_dim_join_broadcasts(self, spark):
+        """Catalyst/AQE must broadcast the 25-row nation dim, not
+        shuffle the fact side."""
+        from dbt_snowflake_feature_store_spark.operators.relational import q_join_equi
+
+        plan = _executed_plan(q_join_equi(spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_topk_never_global_sorts(self, spark):
+        """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+        top-k + driver merge), never a global Sort."""
+        from dbt_snowflake_feature_store_spark.operators.relational import q_sort_limit
+
+        plan = _executed_plan(q_sort_limit(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_no_collect_in_operators(self):
+        """Operator modules must not collect data to the driver (the
+        only allowed driver-side values are scalar query parameters)."""
+        import inspect
+
+        from dbt_snowflake_feature_store_spark.functions import similarity, text
+        from dbt_snowflake_feature_store_spark.operators import relational
+
+        for mod in (relational, text):
+            src = inspect.getsource(mod)
+            assert ".collect()" not in src, mod.__name__
+        # similarity collects exactly one row: the query-vector parameter
+        assert inspect.getsource(similarity).count(".collect()") <= 1

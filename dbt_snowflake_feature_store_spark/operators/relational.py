@@ -454,6 +454,55 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: events per user split into sessions at >30-minute
+    gaps (lag + conditional cumsum — the canonical behavioral-feature
+    pattern). One shuffle on user_id; both windows reuse the same
+    partitioning (single exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_break = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("_new_sess"),
+    )
+    sess = with_break.withColumn(
+        "f_session", F.sum("_new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "f_session")
+        .agg(
+            F.count("*").alias("f_events"),
+            F.min("ts").alias("f_session_start"),
+            F.max("ts").alias("f_session_end"),
+            _dsum(F.col("value"), "f_session_value"),
+        )
+    )
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/interval) join: parts banded by size via
+    lo <= p_size < hi. Scale: the band dimension is tiny → broadcast
+    nested-loop with a range predicate; Catalyst broadcasts automatically
+    (never a cartesian shuffle)."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0, 10, "small"), (10, 25, "medium"), (25, 1000, "large")],
+        "lo int, hi int, f_band string",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_size >= bands.lo) & (p.p_size < bands.hi),
+            "inner",
+        )
+        .select("p_partkey", "p_size", "f_band", "p_retailprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -689,6 +738,38 @@ ORACLE["q_set_ops"] = """
     SELECT DISTINCT o_custkey, 'open_only' AS f_bucket
     FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM filled_c)
 """
+ORACLE["q_sessionize"] = """
+    WITH gaps AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT *,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS f_session
+        FROM gaps
+    )
+    SELECT user_id, f_session,
+           COUNT(*) AS f_events,
+           MIN(ts) AS f_session_start,
+           MAX(ts) AS f_session_end,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS f_session_value
+    FROM sess
+    GROUP BY user_id, f_session
+"""
+ORACLE["q_join_range"] = """
+    SELECT p.p_partkey, p.p_size, b.f_band, p.p_retailprice
+    FROM part p
+    JOIN (VALUES (0, 10, 'small'), (10, 25, 'medium'), (25, 1000, 'large'))
+         AS b(lo, hi, f_band)
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+"""
 ORACLE["q_pivot"] = """
     SELECT o_orderpriority,
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
@@ -727,4 +808,6 @@ QUERIES = {
     "q_rollup": q_rollup,
     "q_set_ops": q_set_ops,
     "q_pivot": q_pivot,
+    "q_join_range": q_join_range,
+    "q_sessionize": q_sessionize,
 }

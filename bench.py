@@ -33,6 +33,7 @@ HEADLINE = [
     "q_window_frame",
     "q_cte_pipeline",
     "q_generate_dataset",
+    "q_sessionize",
     "q_dedup_exact",
     "q_dedup_near",
     "q_text_quality",

@@ -454,6 +454,31 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — identical interpolation, bit-exact). The
+    approx variant for 100 TB is q_agg_approx."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("f_n"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("f_p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("f_p90"),
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregations — the 100 TB variants of exact distinct /
+    percentile (HLL++ / KLL-style sketches, mergeable across partitions,
+    O(1) memory per group). Deterministic for a fixed input but engine-
+    specific → rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("f_approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("f_approx_p50"),
+        F.count("*").alias("f_n"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: events per user split into sessions at >30-minute
     gaps (lag + conditional cumsum — the canonical behavioral-feature
@@ -738,6 +763,14 @@ ORACLE["q_set_ops"] = """
     SELECT DISTINCT o_custkey, 'open_only' AS f_bucket
     FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM filled_c)
 """
+ORACLE["q_percentile"] = """
+    SELECT o_orderpriority,
+           COUNT(*) AS f_n,
+           quantile_cont(o_totalprice, 0.5) AS f_p50,
+           quantile_cont(o_totalprice, 0.9) AS f_p90
+    FROM orders
+    GROUP BY o_orderpriority
+"""
 ORACLE["q_sessionize"] = """
     WITH gaps AS (
         SELECT event_id, user_id, ts, value,
@@ -810,4 +843,6 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_join_range": q_join_range,
     "q_sessionize": q_sessionize,
+    "q_percentile": q_percentile,
+    "q_agg_approx": q_agg_approx,
 }

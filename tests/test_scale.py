@@ -97,6 +97,29 @@ class TestScaleProperties:
         plan = _executed_plan(q_sort_limit(spark, SF))
         assert "TakeOrderedAndProject" in plan
 
+    def test_bucketed_join_avoids_shuffle(self, spark, tmp_path):
+        """Pre-bucketing both join sides on the key removes the join
+        shuffle entirely — the strategy for repeated 100 TB fact⋈fact
+        joins (SURVEY.md §4.3: 'pre-bucket FVs by join key')."""
+        orders = read_table(spark, SF, "orders")
+        customer = read_table(spark, SF, "customer")
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+            "path", str(tmp_path / "b_orders")
+        ).mode("overwrite").saveAsTable("b_orders")
+        customer.withColumnRenamed("c_custkey", "o_custkey").write.bucketBy(
+            8, "o_custkey"
+        ).sortBy("o_custkey").option("path", str(tmp_path / "b_customer")).mode(
+            "overwrite"
+        ).saveAsTable("b_customer")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer").hint("merge"), "o_custkey"
+        )
+        plan = _executed_plan(j)
+        assert "Exchange hashpartitioning" not in plan  # co-located join
+        assert j.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+
     def test_no_collect_in_operators(self):
         """Operator modules must not collect data to the driver (the
         only allowed driver-side values are scalar query parameters)."""

@@ -380,7 +380,107 @@ class FeatureStore:
             raise ValidationError(
                 f"Feature view '{fv.logical_name}' is static; nothing to refresh"
             )
-        return refresh_feature_view(self, fv, mode=mode)
+        effective = refresh_feature_view(self, fv, mode=mode)
+        try:
+            n = self.read_feature_view(fv).count()
+        except Exception:
+            n = None
+        self._record_refresh(fv, effective, n)
+        return effective
+
+    # ------------------------------------------------------------------
+    # Metadata introspection & maintenance
+    # ------------------------------------------------------------------
+    def metadata_df(self) -> DataFrame:
+        """The whole registry as a queryable DataFrame — our equivalent of
+        INFORMATION_SCHEMA.TAG_REFERENCES introspection
+        (/root/reference/integration_tests/python_tests/
+        test_metadata_compatibility.py:107-128). Columns: KIND, NAME,
+        VERSION, METADATA (JSON string parseable with from_json)."""
+        import json as _json
+
+        rows = []
+        for kind in ("entities", "feature_views", "datasets", "sources"):
+            for d in self.registry.list(kind):
+                rows.append(
+                    (kind, d.get("name"), d.get("version"), _json.dumps(d))
+                )
+        return self.spark.createDataFrame(
+            rows, schema="KIND string, NAME string, VERSION string, METADATA string"
+        )
+
+    def migrate_metadata(self, dry_run: bool = True) -> list[dict[str, Any]]:
+        """Find feature views whose ``entities`` metadata uses the legacy
+        STRING form and upgrade them to the canonical object form
+        ``{"name", "joinKeys"}`` — the engine-side equivalent of the
+        reference's cleanup script, which classifies string-entities as
+        OLD/BAD and object-entities as OK
+        (/root/reference/scripts/cleanup_old_metadata.py:70-85;
+        background: SURVEY.md §1.2 strings-vs-objects inconsistency).
+
+        Returns a report row per affected FV; applies the rewrite when
+        ``dry_run=False``."""
+        report: list[dict[str, Any]] = []
+        for key in self.registry.keys("feature_views"):
+            doc = self.registry.get("feature_views", key)
+            ents = doc.get("metadata", {}).get("entities", [])
+            bad = [e for e in ents if isinstance(e, str)]
+            if not bad:
+                continue
+            fixed = []
+            for e in ents:
+                if isinstance(e, str):
+                    try:
+                        jk = self.get_entity(e).join_keys
+                    except EntityNotFoundError:
+                        jk = []
+                    fixed.append({"name": canonical_name(e), "joinKeys": jk})
+                else:
+                    fixed.append(e)
+            report.append(
+                {
+                    "feature_view": f"{doc['name']}${doc['version']}",
+                    "status": "OLD_FORMAT",
+                    "string_entities": bad,
+                    "action": "upgraded" if not dry_run else "would upgrade",
+                }
+            )
+            if not dry_run:
+                doc["metadata"]["entities"] = fixed
+                self.registry.put("feature_views", key, doc)
+        return report
+
+    def refresh_history(self, name: str, version: str) -> DataFrame:
+        """Refresh audit log for a managed FV — the engine-side
+        DYNAMIC_TABLE_REFRESH_HISTORY equivalent. Columns: MODE,
+        COMPLETED_AT (ISO string), ROWS."""
+        key = self._fv_key(name, str(version))
+        doc = self.registry.get("feature_views", key)
+        if doc is None:
+            raise FeatureViewNotFoundError(canonical_name(name), str(version))
+        rows = [
+            (h["mode"], h["completed_at"], h.get("rows"))
+            for h in doc.get("refresh_history", [])
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="MODE string, COMPLETED_AT string, ROWS bigint"
+        )
+
+    def _record_refresh(self, fv: FeatureView, mode: str, n_rows: int | None) -> None:
+        import datetime as _dt
+
+        key = self._fv_key(fv.name, fv.version)
+        doc = self.registry.get("feature_views", key)
+        if doc is None:
+            return
+        doc.setdefault("refresh_history", []).append(
+            {
+                "mode": mode,
+                "completed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                "rows": n_rows,
+            }
+        )
+        self.registry.put("feature_views", key, doc)
 
     # ------------------------------------------------------------------
     # Datasets (generate_dataset — the PIT training-set generator)

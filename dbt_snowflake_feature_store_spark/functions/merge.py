@@ -1,0 +1,92 @@
+"""MERGE-style maintenance without a Delta/Iceberg runtime.
+
+The reference's INCREMENTAL Dynamic Tables imply keyed upserts; with
+Delta jars absent (environment note in README) we emulate ``MERGE INTO``
+with the classic anti-join + union snapshot pattern, plus an SCD2 helper:
+
+- ``merge_upsert``: new snapshot = (target ⟕anti updates on keys) ∪ updates
+  — written to a fresh snapshot directory and atomically swapped in, the
+  same copy-on-write shape Delta itself uses underneath.
+- ``scd2_apply``: slowly-changing-dimension type 2 — close current rows
+  whose attributes changed (set ``valid_to``), append the new versions.
+
+Scale: both are one shuffle on the merge keys; the anti-join broadcast's
+the updates side when small (Catalyst decides). At 100 TB the swap is a
+metadata pointer flip on the table format; here it is a directory rename.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """Upsert ``updates`` into the parquet table at ``target_path`` by
+    ``keys`` (last-writer-wins per key). Returns the new row count.
+
+    Copy-on-write: the merged snapshot is fully written to a side
+    directory before the swap, so a failure mid-write never corrupts the
+    current table."""
+    if os.path.isdir(target_path):
+        target = spark.read.parquet(target_path)
+        kept = target.join(
+            updates.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        merged = kept.unionByName(updates.select(target.columns))
+    else:
+        merged = updates
+
+    tmp = f"{target_path}__snapshot_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    return n
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD type-2: ``current`` has (keys, attrs, valid_from, valid_to
+    [null = open]); ``updates`` has (keys, attrs, ts_col). Rows whose key
+    appears in updates get their open version closed at the update time;
+    the update becomes the new open version. Unchanged keys pass through."""
+    upd_times = updates.groupBy(*keys).agg(F.max(ts_col).alias("__new_ts"))
+    closed = (
+        current.join(upd_times, on=keys, how="left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col(valid_to).isNull() & F.col("__new_ts").isNotNull(),
+                F.col("__new_ts"),
+            ).otherwise(F.col(valid_to)),
+        )
+        .drop("__new_ts")
+    )
+    attr_cols = [c for c in updates.columns if c not in keys and c != ts_col]
+    new_versions = updates.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+    )
+    return closed.unionByName(new_versions.select(closed.columns))

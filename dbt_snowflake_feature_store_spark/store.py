@@ -598,6 +598,22 @@ class FeatureStore:
                 feature_ts=ts_col,
                 feature_cols=feature_cols,
             )
+        if fv.timestamp_col and not spine_timestamp_col:
+            # timestamped FV, timeless spine → join the LATEST snapshot per
+            # key (max_by over the feature struct: one hash aggregate, no
+            # window sort). A plain equi-join would duplicate spine rows —
+            # violating the spine row-count invariant
+            # (test_feature_store_workflows.py:143).
+            latest = fv_df.groupBy(*join_keys).agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in feature_cols]), F.col(ts_col)
+                ).alias("__fs_latest")
+            )
+            latest = latest.select(
+                *join_keys,
+                *[F.col(f"__fs_latest.{c}").alias(c) for c in feature_cols],
+            )
+            return spine.join(latest, on=join_keys, how="left")
         return spine.join(
             fv_df.select(*join_keys, *feature_cols), on=join_keys, how="left"
         )

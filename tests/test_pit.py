@@ -215,6 +215,19 @@ class TestGenerateDataset:
         assert all(r["f_n_snapshots"] == 5 for r in rows)
         assert all(r["f_age"] is not None for r in rows)
 
+    def test_timeless_spine_gets_latest_snapshot(self, ready_fs, spark):
+        """Timestamped FV + spine WITHOUT a timestamp → latest snapshot
+        per key, spine row count preserved (never one row per snapshot)."""
+        spine = spark.createDataFrame(
+            [(cid, cid % 2) for cid in range(10)], "customer_id long, label int"
+        )
+        fv = ready_fs.get_feature_view("cust_profile", "1.0")
+        rows = ready_fs.dataset_df(spine, [fv]).collect()
+        assert len(rows) == 10  # not 10 × 5 snapshots
+        for r in rows:
+            # latest snapshot is 1 day back → age = 20 + cid + 29
+            assert r["f_age"] == 20 + r["customer_id"] + 29
+
     def test_dataset_lifecycle(self, ready_fs, spark, spine):
         fv = ready_fs.get_feature_view("cust_profile", "1.0")
         ready_fs.generate_dataset(

@@ -454,6 +454,43 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per-user rolling 1-hour event count/sum keyed
+    on event time (epoch seconds ordering, rangeBetween). The time-decay
+    feature pattern — distinct from the ROWS frame in q_window_frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("f_events_1h"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("f_value_1h"),
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS in one statement (standard SQL
+    closure; Catalyst rewrites the scalar subquery to a broadcast and the
+    EXISTS to a left-semi join)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q_sub_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q_sub_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _q_sub_orders o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM _q_sub_orders)
+          AND EXISTS (SELECT 1 FROM _q_sub_customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        """
+    )
+
+
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ≡
     DuckDB ``quantile_cont`` — identical interpolation, bit-exact). The
@@ -763,6 +800,25 @@ ORACLE["q_set_ops"] = """
     SELECT DISTINCT o_custkey, 'open_only' AS f_bucket
     FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM filled_c)
 """
+ORACLE["q_window_range"] = """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS f_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS f_value_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch(ts)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+"""
+ORACLE["q_scalar_subquery"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      AND EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+"""
 ORACLE["q_percentile"] = """
     SELECT o_orderpriority,
            COUNT(*) AS f_n,
@@ -845,4 +901,6 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_percentile": q_percentile,
     "q_agg_approx": q_agg_approx,
+    "q_window_range": q_window_range,
+    "q_scalar_subquery": q_scalar_subquery,
 }

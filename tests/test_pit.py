@@ -228,6 +228,34 @@ class TestGenerateDataset:
             # latest snapshot is 1 day back → age = 20 + cid + 29
             assert r["f_age"] == 20 + r["customer_id"] + 29
 
+    def test_colliding_feature_columns_suffixed(self, ready_fs, spark, spine, snapshots):
+        """Two FVs emitting the same feature column name: the second gets
+        an FV-name suffix instead of silently shadowing (SURVEY §7 risk
+        'column collisions across FVs')."""
+        snapshots.createOrReplaceTempView("cust_snapshots2")
+        ready_fs.register_feature_view(
+            FeatureView(
+                "cust_profile_b",
+                ["customer"],
+                sql="""SELECT customer_id, updated_at, age + 100 AS f_age
+                       FROM cust_snapshots2""",
+                timestamp_col="updated_at",
+            ),
+            version="1.0",
+        )
+        fvs = [
+            ready_fs.get_feature_view("cust_profile", "1.0"),
+            ready_fs.get_feature_view("cust_profile_b", "1.0"),
+        ]
+        df = ready_fs.dataset_df(spine, fvs, spine_timestamp_col="event_time")
+        assert "f_age" in df.columns
+        assert "f_age_CUST_PROFILE_B" in df.columns
+        rows = df.collect()
+        assert len(rows) == 10
+        assert all(
+            r["f_age_CUST_PROFILE_B"] == r["f_age"] + 100 for r in rows
+        )
+
     def test_dataset_lifecycle(self, ready_fs, spark, spine):
         fv = ready_fs.get_feature_view("cust_profile", "1.0")
         ready_fs.generate_dataset(

@@ -454,6 +454,22 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL FLATTEN ≡ explode (the reference's metadata-validation
+    pattern, test_feature_view_metadata_structure.sql:20-33, applied to
+    data): explode document tokens → top-20 token frequencies.
+    Scale: explode is pipelined (no shuffle); the count shuffles on the
+    token key; top-k is TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f_count"))
+        .orderBy(F.col("f_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed window: per-user rolling 1-hour event count/sum keyed
     on event time (epoch seconds ordering, rangeBetween). The time-decay
@@ -800,6 +816,16 @@ ORACLE["q_set_ops"] = """
     SELECT DISTINCT o_custkey, 'open_only' AS f_bucket
     FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM filled_c)
 """
+ORACLE["q_explode_tokens"] = """
+    SELECT token, COUNT(*) AS f_count
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY f_count DESC, token ASC
+    LIMIT 20
+"""
 ORACLE["q_window_range"] = """
     SELECT event_id, user_id, ts,
            COUNT(*) OVER w AS f_events_1h,
@@ -903,4 +929,5 @@ QUERIES = {
     "q_agg_approx": q_agg_approx,
     "q_window_range": q_window_range,
     "q_scalar_subquery": q_scalar_subquery,
+    "q_explode_tokens": q_explode_tokens,
 }

@@ -250,32 +250,29 @@ def dedup_exact(
     return keep.drop("_fp")
 
 
-def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
-    """Word k-shingles from a token-array COLUMN (distinct).
+def shingles_from_tokens(toks_col: str, k: int = 3) -> Column:
+    """Word k-shingles from a token-array COLUMN NAME (distinct).
 
-    ``toks`` must be a materialized column reference, not a compound
-    expression — see the perf invariant on ``with_winnowing_fingerprint``."""
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    Must be a materialized column, not a compound expression — see the
+    perf invariant on ``with_winnowing_fingerprint``. Built as ONE
+    ``F.expr`` (a single py4j call): constructing the same tree
+    Column-by-Column costs thousands of driver round-trips."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(0, greatest(size({toks_col}) - {k}, 0)),"
+        f"  i -> concat_ws(' ', slice({toks_col}, i + 1, {k}))))"
     )
-    return F.array_distinct(grams)
 
 
-def minhash_from_hashes(base_hashes: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature from a pre-hashed shingle array COLUMN.
-    Permutation i = xxhash64(h, seed=i) — cheap long re-hash, overflow-free
-    under ANSI mode."""
-
-    def _perm(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    return F.array(
-        *[
-            F.array_min(F.transform(base_hashes, _perm(i)))
-            for i in range(num_hashes)
-        ]
+def minhash_from_hashes(bh_col: str, num_hashes: int = 32) -> Column:
+    """MinHash signature from a pre-hashed shingle array COLUMN NAME.
+    Permutation i = xxhash64(h, seed=i) — cheap long re-hash, overflow-
+    free under ANSI mode. One nested-lambda ``F.expr``: the outer
+    sequence supplies the permutation index captured by the inner
+    lambda."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f"  i -> array_min(transform({bh_col}, h -> xxhash64(h, i))))"
     )
 
 
@@ -315,7 +312,7 @@ def dedup_near_minhash(
             )
         )
         .withColumn("_toks", ws_tokens(normalized_text(F.col(text_col))))
-        .withColumn("_sh", shingles_from_tokens(F.col("_toks"), shingle_k))
+        .withColumn("_sh", shingles_from_tokens("_toks", shingle_k))
         .select(id_col, "_sh")
     )
     # (id, band, bucket) rows ONLY — the shingle arrays never enter the
@@ -323,23 +320,17 @@ def dedup_near_minhash(
     # and the signature is computed once per row, not once per band expr
     sig_df = base.withColumn(
         "_bh", F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
-    ).select(id_col, minhash_from_hashes(F.col("_bh"), num_hashes).alias("_sig"))
+    ).select(id_col, minhash_from_hashes("_bh", num_hashes).alias("_sig"))
+    # band hash = xxhash64 of the comma-joined signature slice; one expr
     banded = sig_df.select(
         id_col,
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("_sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f"  b -> xxhash64(concat_ws(',',"
+                f"       transform(slice(_sig, b * {rows_per_band} + 1,"
+                f"                       {rows_per_band}),"
+                f"                 x -> cast(x AS string)))))"
             )
         ).alias("_band", "_bucket"),
     )
@@ -375,8 +366,8 @@ def dedup_near_minhash(
         )
         .withColumn("_toks_a", ws_tokens(normalized_text(F.col("_text_a"))))
         .withColumn("_toks_b", ws_tokens(normalized_text(F.col("_text_b"))))
-        .withColumn("sh_a", shingles_from_tokens(F.col("_toks_a"), shingle_k))
-        .withColumn("sh_b", shingles_from_tokens(F.col("_toks_b"), shingle_k))
+        .withColumn("sh_a", shingles_from_tokens("_toks_a", shingle_k))
+        .withColumn("sh_b", shingles_from_tokens("_toks_b", shingle_k))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

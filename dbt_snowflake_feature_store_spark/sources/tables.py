@@ -58,7 +58,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     all-to-all of a large corpus. Use before CPU-heavy per-row operators
     (shingling, hashing, Pandas UDFs), not scan-bound queries."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # metadata-only estimate: number of input files lower-bounds the
+        # scan partitions. df.rdd.getNumPartitions() would be exact but
+        # costs a full plan→RDD conversion (~1 s of driver time per call).
+        n = len(df.inputFiles())
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

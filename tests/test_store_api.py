@@ -215,6 +215,55 @@ class TestFeatureViews:
         fs.delete_entity("customer")
 
 
+class TestDataFrameRegistration:
+    """FVs registered from a DataFrame instead of SQL text: session-scoped
+    for static FVs (the SQL text is the only cross-session plan carrier),
+    fully durable for managed FVs (data materialized)."""
+
+    def test_static_df_fv_in_session(self, fs, tables, customer_entity):
+        df = tables["customer"].selectExpr(
+            "c_custkey", "c_acctbal * 2 AS f_double_bal"
+        )
+        fs.register_feature_view(
+            FeatureView("df_fv", ["customer"], df=df), version="1"
+        )
+        out = fs.read_feature_view("DF_FV$1")
+        assert out.count() == tables["customer"].count()
+        assert "f_double_bal" in out.columns
+
+    def test_managed_df_fv_cross_instance(self, fs, spark, tables, customer_entity):
+        df = tables["customer"].selectExpr("c_custkey", "c_acctbal AS f_bal")
+        fs.register_feature_view(
+            FeatureView(
+                "df_managed", ["customer"], df=df,
+                refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        # a NEW FeatureStore instance (no df cache) still reads the data
+        from dbt_snowflake_feature_store_spark import FeatureStore
+
+        fs2 = FeatureStore(spark, fs.root, name=fs.name)
+        assert fs2.read_feature_view("DF_MANAGED$1").count() == tables[
+            "customer"
+        ].count()
+
+    def test_static_df_fv_other_session_errors(self, fs, spark, tables, customer_entity):
+        df = tables["customer"].selectExpr("c_custkey", "c_acctbal AS f_bal")
+        fs.register_feature_view(
+            FeatureView("df_static", ["customer"], df=df), version="1"
+        )
+        from dbt_snowflake_feature_store_spark import FeatureStore
+
+        fs2 = FeatureStore(spark, fs.root, name=fs.name)
+        with pytest.raises(ValidationError, match="not materialized"):
+            fs2.read_feature_view("DF_STATIC$1")
+
+    def test_fv_requires_sql_or_df(self):
+        with pytest.raises(ValidationError, match="sql body or a DataFrame"):
+            FeatureView("x", ["customer"])
+
+
 class TestManagedFeatureViews:
     def test_managed_fv_materializes_on_create(self, fs, tables, customer_entity):
         fv = FeatureView(

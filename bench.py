@@ -34,6 +34,9 @@ HEADLINE = [
     "q_cte_pipeline",
     "q_generate_dataset",
     "q_sessionize",
+    "q_tpch_q1like",
+    "q_tpch_q3like",
+    "q_tpch_q5like",
     "q_dedup_exact",
     "q_dedup_near",
     "q_text_quality",

@@ -118,6 +118,39 @@ class TestStreamingIncremental:
         # no duplicate (window, type) keys: exactly-once emission
         assert len(emitted) == n2
 
+    def test_session_window_streaming_agg(self, fs, spark, split_events):
+        """session_window (gap-based session aggregation) as an
+        incrementally-maintained managed FV — the streaming counterpart
+        of q_sessionize."""
+        fs.register_source(
+            "STREAM_EVENTS_S",
+            split_events["src"],
+            watermark_col="ts",
+            watermark_delay="1 hour",
+        )
+        fs.register_entity(Entity("user", ["user_id"]))
+        fv = FeatureView(
+            "sessions",
+            ["user"],
+            sql="""SELECT session_window(ts, '30 minutes').start AS s_start,
+                          session_window(ts, '30 minutes').end AS s_end,
+                          user_id,
+                          COUNT(*) AS f_events
+                   FROM STREAM_EVENTS_S
+                   GROUP BY session_window(ts, '30 minutes'), user_id""",
+            refresh=RefreshSpec("1 hour", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        _arrive_half2(split_events)
+        assert fs.refresh("sessions", "1.0") == "INCREMENTAL"
+        out = fs.read_feature_view("SESSIONS$1.0")
+        rows = out.collect()
+        assert len(rows) > 0
+        # session invariants: end - start >= 0; no (user, start) dupes
+        assert all(r["s_end"] >= r["s_start"] for r in rows)
+        keys = [(r["user_id"], r["s_start"]) for r in rows]
+        assert len(keys) == len(set(keys))
+
     def test_auto_downgrades_to_full(self, fs, spark, split_events):
         fs.register_source("STREAM_EVENTS_A", split_events["src"])
         fs.register_entity(Entity("user", ["user_id"]))

@@ -108,6 +108,61 @@ def ann_lsh_topk(
     return cosine_topk(cand, query_vec, k, emb_col, id_col)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into ``num_centroids`` cells; the query scans only the
+    ``n_probe`` nearest cells. Deterministic (fixed k-means seed).
+
+    Scale: assignment is one pass; at 100 TB the cell id becomes the
+    table's partition column so a probe reads n_probe/num_centroids of
+    the data (partition pruning), and the centroid table (tiny) is the
+    only driver-side state. Falls back to brute force when pyspark.ml is
+    unavailable.
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    except ImportError:  # pragma: no cover
+        return cosine_topk(df, query_vec, k, emb_col, id_col)
+
+    from pyspark.ml.functions import array_to_vector
+
+    import math
+
+    vecs = df.withColumn("_v", array_to_vector(F.col(emb_col).cast("array<double>")))
+    km = KMeans(k=num_centroids, maxIter=max_iter, seed=seed, featuresCol="_v")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed(
+        model.getOrDefault(model.predictionCol), "_cell"
+    )
+
+    centers = model.clusterCenters()  # tiny driver-side state (the quantizer)
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def _cos(c) -> float:
+        dot = float(sum(a * b for a, b in zip(c, query_vec)))
+        cn = math.sqrt(float(sum(a * a for a in c))) or 1.0
+        return dot / (cn * qn)
+
+    probe_cells = [
+        i for i, _ in sorted(
+            enumerate(centers), key=lambda t: -_cos(t[1])
+        )[:n_probe]
+    ]
+    cand = assigned.filter(F.col("_cell").isin(probe_cells)).drop("_v", "_cell")
+    return cosine_topk(cand, query_vec, k, emb_col, id_col)
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,

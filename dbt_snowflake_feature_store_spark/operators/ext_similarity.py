@@ -83,6 +83,14 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(e, qv, k=_K, num_bits=4)
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + n_probe nearest cells
+    (approx → rows-only; deterministic via fixed seed)."""
+    qv = _query_vec(spark, sf_dir)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != _QUERY_ID)
+    return SIM.ivf_topk(e, qv, k=_K, num_centroids=8, n_probe=3)
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets (approx → rows-only)."""
     e = _emb(spark, sf_dir)
@@ -119,5 +127,6 @@ QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_topk_fast": q_sim_topk_fast,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_sim_ivf": q_sim_ivf,
     "q_dedup_embed": q_dedup_embed,
 }

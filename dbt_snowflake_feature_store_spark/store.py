@@ -450,6 +450,54 @@ class FeatureStore:
                 self.registry.put("feature_views", key, doc)
         return report
 
+    def compact(
+        self, name: str, version: str, target_partitions_per_day: int = 1
+    ) -> int:
+        """Rewrite a managed FV's materialization into few large files per
+        date partition. Incremental refreshes append one file per
+        micro-batch — at high refresh frequency that degrades scans
+        (small-files problem). Copy-on-write snapshot swap, same safety
+        as functions/merge.py. Returns the resulting file count."""
+        import shutil
+        import uuid
+
+        fv = self.get_feature_view(name, version)
+        if not fv.is_managed:
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is static; nothing to compact"
+            )
+        path = self._fv_data_path(fv.name, fv.version)
+        if not os.path.isdir(path):
+            return 0
+        if os.path.isdir(os.path.join(path, "_spark_metadata")):
+            # streaming-sink dirs track files in _spark_metadata; a batch
+            # rewrite would orphan the log (reads would miss compacted
+            # files). Needs a log-aware rewrite — out of scope for v1.
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is maintained by a "
+                "streaming sink; compaction of streaming materializations "
+                "is not supported (run a FULL refresh first)"
+            )
+        df = self.spark.read.parquet(path)
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        if "_fs_dt" in df.columns:
+            (
+                df.repartition(target_partitions_per_day, "_fs_dt")
+                .write.mode("overwrite")
+                .partitionBy("_fs_dt")
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(max(1, target_partitions_per_day)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        out = self.spark.read.parquet(path)
+        return len(out.inputFiles())
+
     def refresh_history(self, name: str, version: str) -> DataFrame:
         """Refresh audit log for a managed FV — the engine-side
         DYNAMIC_TABLE_REFRESH_HISTORY equivalent. Columns: MODE,

@@ -80,6 +80,19 @@ class TestSimilarity:
         scores = [r["cosine"] for r in rows]
         assert scores == sorted(scores, reverse=True)
 
+    def test_ivf_recall_and_determinism(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_similarity import (
+            q_sim_ivf,
+            q_sim_topk,
+        )
+
+        ivf1 = [r["vec_id"] for r in q_sim_ivf(spark, sf_dir).collect()]
+        ivf2 = [r["vec_id"] for r in q_sim_ivf(spark, sf_dir).collect()]
+        assert ivf1 == ivf2  # deterministic (fixed k-means seed)
+        exact = [r["vec_id"] for r in q_sim_topk(spark, sf_dir).collect()]
+        # ANN recall: probing 3/8 cells should still find most true top-k
+        assert len(set(ivf1) & set(exact)) >= 5
+
     def test_cosine_self_similarity_is_one(self, spark):
         df = spark.createDataFrame(
             [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-1.0, 0.0, 1.0])],

@@ -79,6 +79,49 @@ class TestIntrospection:
         assert all(r["ROWS"] == tables["customer"].count() for r in hist)
 
 
+class TestCompaction:
+    def test_compact_reduces_files(self, fs, spark, tables):
+        fs.register_entity(Entity("user", ["user_id"]))
+        tables["events"].createOrReplaceTempView("cmp_events")
+        fs.register_feature_view(
+            FeatureView(
+                "cmp_fv", ["user"],
+                sql="SELECT user_id, ts, value FROM cmp_events",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        path = fs._fv_data_path("CMP_FV", "1")
+        before = len(spark.read.parquet(path).inputFiles())
+        n_rows_before = fs.read_feature_view("CMP_FV$1").count()
+        after = fs.compact("cmp_fv", "1")
+        assert after <= before
+        # one file per day partition
+        days = fs.read_feature_view("CMP_FV$1").select(
+            F.to_date("ts")
+        ).distinct().count()
+        assert after == days
+        assert fs.read_feature_view("CMP_FV$1").count() == n_rows_before
+
+    def test_compact_static_fv_rejected(self, fs, tables):
+        fs.register_entity(Entity("user", ["user_id"]))
+        tables["events"].createOrReplaceTempView("cmp_events2")
+        fs.register_feature_view(
+            FeatureView(
+                "cmp_static", ["user"],
+                sql="SELECT user_id, value FROM cmp_events2",
+            ),
+            version="1",
+        )
+        import pytest as _pt
+
+        from dbt_snowflake_feature_store_spark import ValidationError
+
+        with _pt.raises(ValidationError, match="static"):
+            fs.compact("cmp_static", "1")
+
+
 class TestCompositeKeys:
     def test_asof_join_composite_keys(self, spark):
         """PIT with a two-column entity key (e.g. (tenant, user))."""

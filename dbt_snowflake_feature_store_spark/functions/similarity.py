@@ -131,7 +131,7 @@ def ivf_topk(
     """
     try:
         from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+        from pyspark.ml.functions import array_to_vector  # noqa: F401
     except ImportError:  # pragma: no cover
         return cosine_topk(df, query_vec, k, emb_col, id_col)
 

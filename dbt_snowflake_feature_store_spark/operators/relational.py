@@ -19,8 +19,6 @@ Scale notes are per-query (broadcast choices, shuffle counts).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

@@ -39,7 +39,6 @@ from .objects import (
     FeatureView,
     RefreshSpec,
     canonical_name,
-    logical_fv_name,
     parse_logical_fv_name,
     physical_fv_name,
 )

@@ -45,6 +45,23 @@ from .objects import (
 from .registry import Registry
 
 
+_FREQ_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def parse_freq(freq: str):
+    """Parse a target-lag string like '1 minute' / '2 hours' into a
+    timedelta (the refresh_freq surface, README.md:153, :232)."""
+    import datetime as _dt
+
+    parts = freq.strip().lower().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _FREQ_UNITS:
+        raise ValidationError(f"Invalid refresh_freq: {freq!r}")
+    return _dt.timedelta(seconds=int(parts[0]) * _FREQ_UNITS[parts[1]])
+
+
 def _spec_hash(doc: dict[str, Any]) -> str:
     """Stable hash of a feature-view spec — the no-recreate guarantee
     (feature_view.sql:175-180; test_feature_store_api.py:266-287)."""
@@ -497,6 +514,26 @@ class FeatureStore:
         out = self.spark.read.parquet(path)
         return len(out.inputFiles())
 
+    def due_for_refresh(self, name: str, version: str) -> bool:
+        """Freshness decision honoring ``refresh_freq`` (the Dynamic
+        Table target-lag contract, README.md:232: "result is at most N
+        behind sources"): True when the last completed refresh is older
+        than the target lag (or there is none). The external scheduler —
+        which lives outside the engine, as Snowflake's refresh service
+        lives outside the dbt package — calls this per FV."""
+        import datetime as _dt
+
+        fv = self.get_feature_view(name, version)
+        if not fv.is_managed:
+            return False
+        doc = self.registry.get("feature_views", self._fv_key(fv.name, fv.version))
+        hist = doc.get("refresh_history", [])
+        if not hist:
+            return True
+        last = _dt.datetime.fromisoformat(hist[-1]["completed_at"])
+        lag = parse_freq(fv.refresh.refresh_freq)
+        return _dt.datetime.now(_dt.timezone.utc) - last >= lag
+
     def refresh_history(self, name: str, version: str) -> DataFrame:
         """Refresh audit log for a managed FV — the engine-side
         DYNAMIC_TABLE_REFRESH_HISTORY equivalent. Columns: MODE,
@@ -664,6 +701,18 @@ class FeatureStore:
         return spine.join(
             fv_df.select(*join_keys, *feature_cols), on=join_keys, how="left"
         )
+
+    def delete_dataset(self, name: str, version: str) -> None:
+        key = f"{canonical_name(name)}__v{version}".replace(".", "_")
+        doc = self.registry.get("datasets", key)
+        if doc is None:
+            raise DatasetNotFoundError(canonical_name(name), str(version))
+        self.registry.delete("datasets", key)
+        path = doc.get("path")
+        if path and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
 
     def get_dataset(self, name: str, version: str) -> Dataset:
         key = f"{canonical_name(name)}__v{version}".replace(".", "_")

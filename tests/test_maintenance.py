@@ -122,6 +122,90 @@ class TestCompaction:
             fs.compact("cmp_static", "1")
 
 
+class TestLifecycleExtras:
+    def test_delete_dataset(self, fs, spark, tables):
+        import os
+
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        fs.register_feature_view(
+            FeatureView("cf2", ["customer"], sql=FV_SQL), version="1"
+        )
+        spine = tables["customer"].select("c_custkey").limit(5)
+        ds = fs.generate_dataset(
+            "doomed", spine, [fs.get_feature_view("cf2", "1")], version="1"
+        )
+        assert os.path.isdir(ds.path)
+        fs.delete_dataset("doomed", "1")
+        assert not os.path.isdir(ds.path)
+        from dbt_snowflake_feature_store_spark import DatasetNotFoundError
+
+        import pytest as _pt
+
+        with _pt.raises(DatasetNotFoundError):
+            fs.get_dataset("doomed", "1")
+
+    def test_due_for_refresh_honors_target_lag(self, fs, tables):
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        fs.register_feature_view(
+            FeatureView(
+                "lagged", ["customer"], sql=FV_SQL,
+                refresh=RefreshSpec("1 hour", "FULL", "ON_SCHEDULE"),
+            ),
+            version="1",
+        )
+        assert fs.due_for_refresh("lagged", "1")  # never refreshed
+        fs.refresh("lagged", "1")
+        assert not fs.due_for_refresh("lagged", "1")  # fresh within 1 hour
+        # age the last refresh beyond the lag
+        doc = fs.registry.get("feature_views", "LAGGED__v1")
+        import datetime as dt
+
+        doc["refresh_history"][-1]["completed_at"] = (
+            dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=2)
+        ).isoformat()
+        fs.registry.put("feature_views", "LAGGED__v1", doc)
+        assert fs.due_for_refresh("lagged", "1")
+
+    def test_parse_freq_validation(self):
+        import pytest as _pt
+
+        from dbt_snowflake_feature_store_spark import ValidationError
+        from dbt_snowflake_feature_store_spark.store import parse_freq
+
+        assert parse_freq("5 minutes").total_seconds() == 300
+        assert parse_freq("1 day").total_seconds() == 86400
+        with _pt.raises(ValidationError):
+            parse_freq("whenever")
+
+    def test_multi_entity_feature_view(self, fs, spark, tables):
+        """FV carrying TWO entities (multi-entity config, reference
+        README.md:229): join keys concatenate across entities."""
+        tables["events"].createOrReplaceTempView("me_events")
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_entity(Entity("etype", ["event_type"]))
+        fs.register_feature_view(
+            FeatureView(
+                "user_type_stats",
+                ["user", "etype"],
+                sql="""SELECT user_id, event_type, COUNT(*) AS f_n
+                       FROM me_events GROUP BY user_id, event_type""",
+            ),
+            version="1",
+        )
+        got = fs.get_feature_view("user_type_stats", "1")
+        assert got.entity_docs == [
+            {"name": "USER", "joinKeys": ["USER_ID"]},
+            {"name": "ETYPE", "joinKeys": ["EVENT_TYPE"]},
+        ]
+        spine = spark.sql(
+            "SELECT DISTINCT user_id, event_type FROM me_events LIMIT 20"
+        )
+        out = fs.dataset_df(spine, [got])
+        rows = out.collect()
+        assert len(rows) == spine.count()
+        assert all(r["f_n"] >= 1 for r in rows)
+
+
 class TestCompositeKeys:
     def test_asof_join_composite_keys(self, spark):
         """PIT with a two-column entity key (e.g. (tenant, user))."""

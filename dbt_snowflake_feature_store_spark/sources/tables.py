@@ -38,7 +38,13 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one source table; normalizes nanosecond timestamps."""
+    """Read one source table; normalizes nanosecond timestamps.
+
+    Pins the session timezone to UTC: parquet timestamps are UTC
+    instants and the DuckDB oracle compares naive-UTC values — a host
+    session left on a local timezone would shift every collected
+    timestamp and break value comparison."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos = _NANOS_TS_COLS.get(name, ())
     if not nanos:

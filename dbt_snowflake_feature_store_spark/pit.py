@@ -104,20 +104,26 @@ def _asof_union(
     # passes through the union exactly once, so row multiplicity is
     # preserved structurally (the spine-row-count invariant the reference
     # asserts, test_feature_store_workflows.py:143, :178-183).
-    tagged_spine = spine.withColumn(_IS_SPINE, F.lit(1)).withColumn(
-        _TS, F.col(spine_ts)
+    tagged_spine = (
+        spine.withColumn(_IS_SPINE, F.lit(1))
+        .withColumn(_TS, F.col(spine_ts))
+        .withColumn("__fs_row", F.lit(None))
     )
-    for c in feature_cols:
-        tagged_spine = tagged_spine.withColumn(f"__fs_f_{c}", F.lit(None))
 
-    tagged_feat = (
-        features.select(
-            *on,
-            F.col(feature_ts).alias(_TS),
-            *[F.col(c).alias(f"__fs_f_{c}") for c in feature_cols],
-        )
-        .withColumn(_IS_SPINE, F.lit(0))
+    # The feature payload travels as ONE struct so the carry-forward is
+    # atomic: the join attaches a feature ROW, never a per-column mix.
+    # Filling each column independently with last(ignorenulls) would
+    # backfill NULL fields of the latest row from older rows —
+    # synthesizing a feature row that never existed.
+    feat_struct = F.struct(
+        F.col(feature_ts).alias("__fs_row_ts"),
+        *[F.col(c).alias(c) for c in feature_cols],
     )
+    tagged_feat = features.select(
+        *on,
+        F.col(feature_ts).alias(_TS),
+        feat_struct.alias("__fs_row"),
+    ).withColumn(_IS_SPINE, F.lit(0))
     for c in spine_cols:
         if c not in on:
             tagged_feat = tagged_feat.withColumn(c, F.lit(None))
@@ -126,36 +132,32 @@ def _asof_union(
 
     # Feature rows (_IS_SPINE=0) sort BEFORE spine rows at equal ts →
     # fv.ts <= spine.ts inclusive semantics. Among duplicate feature
-    # timestamps per key the window's last() takes the final row in
-    # (ts, is_spine) order; add feature_ts itself as the final tiebreak so
-    # the choice is stable under AQE re-ordering of equal keys.
+    # timestamps per key, the struct hash is the final tiebreak so the
+    # chosen row is stable across runs/AQE reordering (which row of an
+    # exact (key, ts) tie wins is engine-defined, but deterministic).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_IS_SPINE).asc())
+        .orderBy(
+            F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    filled = unioned
-    for c in feature_cols:
-        filled = filled.withColumn(
-            f"__fs_filled_{c}", F.last(f"__fs_f_{c}", ignorenulls=True).over(w)
-        )
-    # carry the feature timestamp forward too, for tolerance filtering
-    filled = filled.withColumn(
-        "__fs_filled_ts",
-        F.last(F.when(F.col(_IS_SPINE) == 0, F.col(_TS)), ignorenulls=True).over(w),
+    filled = unioned.withColumn(
+        "__fs_filled", F.last("__fs_row", ignorenulls=True).over(w)
     )
 
     out = filled.filter(F.col(_IS_SPINE) == 1)
     if tolerance is not None:
-        within = F.col("__fs_filled_ts") >= F.col(spine_ts) - F.expr(
+        within = F.col("__fs_filled.__fs_row_ts") >= F.col(spine_ts) - F.expr(
             f"INTERVAL {tolerance}"
         )
         sel: list[Column] = [
-            F.when(within, F.col(f"__fs_filled_{c}")).alias(c) for c in feature_cols
+            F.when(within, F.col(f"__fs_filled.{c}")).alias(c)
+            for c in feature_cols
         ]
     else:
-        sel = [F.col(f"__fs_filled_{c}").alias(c) for c in feature_cols]
+        sel = [F.col(f"__fs_filled.{c}").alias(c) for c in feature_cols]
     return out.select(*[F.col(c) for c in spine_cols], *sel)
 
 

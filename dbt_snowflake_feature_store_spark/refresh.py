@@ -89,7 +89,14 @@ def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None
         m = {c.upper(): c for c in df.columns}
         ts = m.get(fv.timestamp_col)
 
-    if mode == "INCREMENTAL" and ts is not None and os.path.isdir(path):
+    if (
+        mode == "INCREMENTAL"
+        and ts is not None
+        and os.path.isdir(path)
+        # never batch-append into a streaming-sink dir: files not in its
+        # _spark_metadata log are invisible to reads
+        and not os.path.isdir(os.path.join(path, "_spark_metadata"))
+    ):
         wm = _read_watermark(path)
         if wm is not None:
             # batch high-watermark append: only rows with ts beyond the
@@ -103,6 +110,15 @@ def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None
                 _write_watermark(path, new_wm)
             return "INCREMENTAL_WATERMARK"
 
+    # batch FULL recompute: any streaming checkpoint is now stale (the
+    # overwrite killed the sink's file log) — remove it so a later
+    # incremental refresh rebuilds from scratch instead of resuming a
+    # checkpoint that believes old files were already written
+    ckpt = path + "_ckpt"
+    if os.path.isdir(ckpt):
+        import shutil
+
+        shutil.rmtree(ckpt)
     _write_full(df, path, ts)
     if ts is not None:
         new_wm = _max_ts(fs, path, "_fs_dt", ts)

@@ -118,12 +118,21 @@ class FeatureStore:
             rows, schema="NAME string, JOIN_KEYS array<string>, DESC string"
         )
 
+    @staticmethod
+    def _entity_names_of(doc: dict[str, Any]) -> list[str]:
+        """Entity names from FV metadata, tolerating the legacy string
+        form alongside canonical objects (SURVEY.md §1.2)."""
+        return [
+            e if isinstance(e, str) else e["name"]
+            for e in doc.get("metadata", {}).get("entities", [])
+        ]
+
     def delete_entity(self, name: str) -> None:
         name = canonical_name(name)
         users = [
             f"{d['name']}${d['version']}"
             for d in self.registry.list("feature_views")
-            if name in [e["name"] for e in d["metadata"]["entities"]]
+            if name in self._entity_names_of(d)
         ]
         if users:
             raise ValidationError(
@@ -177,10 +186,15 @@ class FeatureStore:
 
     def _bind_batch_sources(self) -> None:
         for doc in self.registry.list("sources"):
-            df = self.spark.read.format(doc.get("format", "parquet")).load(
-                doc["path"]
-            )
-            df.createOrReplaceTempView(doc["name"])
+            try:
+                df = self.spark.read.format(doc.get("format", "parquet")).load(
+                    doc["path"]
+                )
+                df.createOrReplaceTempView(doc["name"])
+            except Exception:
+                # a broken source must not block FVs that don't reference
+                # it; an FV that DOES gets a clear unresolved-view error
+                continue
 
     # ------------------------------------------------------------------
     # Feature views (feature_view.sql materialization)
@@ -230,6 +244,12 @@ class FeatureStore:
         new_doc = self._fv_doc(fv)
         old_doc = self.registry.get("feature_views", key)
 
+        # cache BEFORE any early return: re-registering a DataFrame-backed
+        # FV in a new session must restore readability even when the spec
+        # is unchanged (the no-op branch below)
+        if fv.df is not None and fv.sql is None:
+            self._df_cache[key] = fv.df
+
         if old_doc is not None and not overwrite:
             old_core = {k: old_doc[k] for k in ("sql", "metadata", "schema")}
             new_core = {k: new_doc[k] for k in ("sql", "metadata", "schema")}
@@ -251,10 +271,10 @@ class FeatureStore:
                 )
             if policy == "continue":
                 return self.get_feature_view(fv.name, fv.version)
-            # 'apply' falls through to full re-create
-
-        if fv.df is not None and fv.sql is None:
-            self._df_cache[key] = fv.df
+            # 'apply' falls through to full re-create: the previous
+            # definition's materialization is now stale — drop it (and its
+            # streaming checkpoint) so reads never serve old-query data
+            self._drop_materialization(fv.name, fv.version)
 
         fv.status = "ACTIVE"
         self.registry.put("feature_views", key, self._fv_doc(fv))
@@ -293,7 +313,12 @@ class FeatureStore:
         fv.schema_json = doc.get("schema")
         fv.status = doc.get("status", "ACTIVE")
         fv.fv_type = doc["object_info"]["type"]
-        fv.entity_docs = doc["metadata"]["entities"]
+        # tolerate legacy string-form entities (readable pre-migration;
+        # migrate_metadata upgrades them in the registry)
+        fv.entity_docs = [
+            {"name": canonical_name(e), "joinKeys": []} if isinstance(e, str) else e
+            for e in doc["metadata"]["entities"]
+        ]
         fv.entities = [e["name"] for e in fv.entity_docs]
         return fv
 
@@ -324,20 +349,27 @@ class FeatureStore:
             ),
         )
 
+    def _drop_materialization(self, name: str, version: str) -> None:
+        """Remove an FV's data directory AND its streaming checkpoint —
+        a stale checkpoint would make a later incremental refresh skip
+        every already-processed source file (silent data loss)."""
+        import shutil
+
+        path = self._fv_data_path(name, version)
+        for p in (path, path + "_ckpt"):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
     def delete_feature_view(self, name: str, version: str) -> None:
-        """Drop registry row + materialized data (cleanup_old_metadata.py:
-        28-105 ≡ DROP VIEW / DYNAMIC TABLE)."""
+        """Drop registry row + materialized data + streaming checkpoint
+        (cleanup_old_metadata.py:28-105 ≡ DROP VIEW / DYNAMIC TABLE)."""
         key = self._fv_key(name, str(version))
         doc = self.registry.get("feature_views", key)
         if doc is None:
             raise FeatureViewNotFoundError(canonical_name(name), str(version))
         self.registry.delete("feature_views", key)
         self._df_cache.pop(key, None)
-        path = doc.get("data_path")
-        if path and os.path.isdir(path):
-            import shutil
-
-            shutil.rmtree(path)
+        self._drop_materialization(canonical_name(name), str(version))
 
     # -- planning / reading --------------------------------------------
     def _plan(self, fv: FeatureView) -> DataFrame:
@@ -397,10 +429,15 @@ class FeatureStore:
                 f"Feature view '{fv.logical_name}' is static; nothing to refresh"
             )
         effective = refresh_feature_view(self, fv, mode=mode)
-        try:
-            n = self.read_feature_view(fv).count()
-        except Exception:
-            n = None
+        # row count is recorded only for FULL recomputes (bounded by the
+        # rewrite that just happened); counting after an incremental
+        # refresh would add a whole-table scan per micro-batch
+        n = None
+        if effective == "FULL":
+            try:
+                n = self.read_feature_view(fv).count()
+            except Exception:
+                n = None
         self._record_refresh(fv, effective, n)
         return effective
 
@@ -664,8 +701,11 @@ class FeatureStore:
             ts_col = fv_map.get(fv.timestamp_col, fv.timestamp_col.lower())
             feature_cols = [c for c in feature_cols if c != ts_col]
         # avoid column collisions across FVs (keep the first occurrence —
-        # later FVs would otherwise shadow; collisions get a suffix)
-        collisions = set(feature_cols) & set(spine.columns)
+        # later FVs would otherwise shadow; collisions get a suffix).
+        # Compare case-insensitively: Spark resolves names that way by
+        # default, so 'F_TOTAL' vs 'f_total' is a real collision.
+        spine_upper = {c.upper() for c in spine.columns}
+        collisions = {c for c in feature_cols if c.upper() in spine_upper}
         if collisions:
             for c in collisions:
                 fv_df = fv_df.withColumnRenamed(c, f"{c}_{fv.name}")

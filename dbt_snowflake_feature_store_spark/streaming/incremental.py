@@ -47,15 +47,23 @@ def _source_views(fs: "FeatureStore", streaming: bool) -> list[str]:
     names = []
     for doc in fs.registry.list("sources"):
         name, path, fmt = doc["name"], doc["path"], doc.get("format", "parquet")
-        if streaming:
-            # streaming sources need an explicit schema: read it from the
-            # existing batch footprint (cheap metadata-only read)
-            schema = fs.spark.read.format(fmt).load(path).schema
-            df = fs.spark.readStream.format(fmt).schema(schema).load(path)
-            if doc.get("watermark_col") and doc.get("watermark_delay"):
-                df = df.withWatermark(doc["watermark_col"], doc["watermark_delay"])
-        else:
-            df = fs.spark.read.format(fmt).load(path)
+        try:
+            if streaming:
+                # streaming sources need an explicit schema: read it from
+                # the existing batch footprint (metadata-only read)
+                schema = fs.spark.read.format(fmt).load(path).schema
+                df = fs.spark.readStream.format(fmt).schema(schema).load(path)
+                if doc.get("watermark_col") and doc.get("watermark_delay"):
+                    df = df.withWatermark(
+                        doc["watermark_col"], doc["watermark_delay"]
+                    )
+            else:
+                df = fs.spark.read.format(fmt).load(path)
+        except Exception:
+            # a broken source must not block FVs that don't reference it;
+            # an FV that does fails at spark.sql with unresolved view →
+            # StreamingNotSupported → FULL downgrade
+            continue
         df.createOrReplaceTempView(name)
         names.append(name)
     return names
@@ -70,8 +78,10 @@ def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
     if fv.sql is None:
         raise StreamingNotSupported("DataFrame-registered FV cannot be re-planned")
 
-    _source_views(fs, streaming=True)
     try:
+        # source binding itself can fail (missing/empty source path) —
+        # that must downgrade AUTO to FULL, not crash the refresh
+        _source_views(fs, streaming=True)
         df = fs.spark.sql(fv.sql)
     except Exception as e:  # analysis error against streaming views
         _source_views(fs, streaming=False)
@@ -82,6 +92,25 @@ def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
 
     path = fs._fv_data_path(fv.name, fv.version)
     ckpt = os.path.join(path + "_ckpt")
+
+    # Streaming writes only into directories it owns end-to-end: the data
+    # dir's _spark_metadata file log and the checkpoint must exist as a
+    # PAIR. If a batch FULL refresh overwrote the dir (killing the log)
+    # or the checkpoint is missing, resuming would either silently drop
+    # the batch-written rows (reads trust the new log) or re-append
+    # already-materialized source files. Wipe both and let availableNow
+    # rebuild the whole materialization from scratch — a stream-executed
+    # full recompute, never a silent mix.
+    import shutil
+
+    has_log = os.path.isdir(os.path.join(path, "_spark_metadata"))
+    has_ckpt = os.path.isdir(ckpt)
+    if os.path.isdir(path) and not (has_log and has_ckpt):
+        shutil.rmtree(path)
+        if has_ckpt:
+            shutil.rmtree(ckpt)
+    elif has_ckpt and not os.path.isdir(path):
+        shutil.rmtree(ckpt)
 
     ts_col = None
     if fv.timestamp_col:

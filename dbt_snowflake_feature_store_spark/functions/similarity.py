@@ -58,6 +58,38 @@ def cosine_topk(
     )
 
 
+def _hyperplane_weights(num_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights per (bit, dim) — md5-derived,
+    reproducible anywhere without shipping a weight matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{b}:{d}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for b in range(num_bits)
+    ]
+
+
+def _signature_expr(emb_col: str, weights: list[list[float]]) -> Column:
+    """Hyperplane-sign signature as ONE SQL expression. The weights are
+    Python constants inlined as array literals — building the same tree
+    Column-by-Column costs hundreds of py4j round-trips per bit
+    (measured ~5 s of driver time at 8 bits × 64 dims)."""
+    bit_terms = []
+    for b, w in enumerate(weights):
+        arr = "array(" + ",".join(f"{x}D" for x in w) + ")"
+        proj = (
+            f"aggregate(zip_with({emb_col}, {arr},"
+            f" (x, w) -> double(x) * w), 0D, (acc, x) -> acc + x)"
+        )
+        bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr(" + ".join(bit_terms))
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -67,43 +99,22 @@ def ann_lsh_topk(
     num_bits: int = 8,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature → search the query's
-    bucket only. Hyperplane weights are deterministic pseudo-random
-    (xxhash64(bit, dim) mapped to ±1) so signatures are reproducible
-    without shipping a weight matrix.
+    bucket only.
 
     Scale: the signature is a row-local expression; candidate filtering is
     a pushed-down equality predicate on the (small-cardinality) bucket
     column — on a bucketed/partitioned-by-signature layout this prunes
     ~(1 - 2^-num_bits) of the data before any scoring."""
     dim = len(query_vec)
+    weights = _hyperplane_weights(num_bits, dim)
 
-    def signature(vec: Column) -> Column:
-        bits = []
-        for b in range(num_bits):
-            # deterministic ±1 weights per (bit, dim)
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[
-                        F.when(
-                            F.xxhash64(F.lit(b * 10007 + d)) % 2 == 0, F.lit(1.0)
-                        ).otherwise(F.lit(-1.0))
-                        for d in range(dim)
-                    ]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+    # the query's signature is plain Python arithmetic on the parameter
+    q_sig = 0
+    for b, w in enumerate(weights):
+        if sum(x * y for x, y in zip(query_vec, w)) >= 0:
+            q_sig += 1 << b
 
-    with_sig = df.withColumn("_sig", signature(F.col(emb_col)))
-    q_df = df.sparkSession.createDataFrame([(query_vec,)], f"{emb_col} array<float>")
-    q_sig = q_df.select(signature(F.col(emb_col)).alias("s")).collect()[0]["s"]
+    with_sig = df.withColumn("_sig", _signature_expr(emb_col, weights))
     cand = with_sig.filter(F.col("_sig") == q_sig)
     return cosine_topk(cand, query_vec, k, emb_col, id_col)
 
@@ -174,34 +185,12 @@ def cosine_pairs_lsh(
     """Embedding-cosine near-duplicate PAIRS: bucket by hyperplane
     signature, exact-cosine verify within buckets (id_a < id_b).
     O(n²/2^bits) instead of O(n²)."""
-    def signature(vec: Column) -> Column:
-        bits = []
-        for b in range(num_bits):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[
-                        F.when(
-                            F.xxhash64(F.lit(b * 10007 + d)) % 2 == 0, F.lit(1.0)
-                        ).otherwise(F.lit(-1.0))
-                        for d in range(dim)
-                    ]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
-
+    weights = _hyperplane_weights(num_bits, dim)
     norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
     base = df.select(
         F.col(id_col),
         F.col(emb_col),
-        signature(F.col(emb_col)).alias("_sig"),
+        _signature_expr(emb_col, weights).alias("_sig"),
         norm.alias("_norm"),
     )
     a = base.select(

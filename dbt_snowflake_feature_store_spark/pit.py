@@ -192,11 +192,17 @@ def _asof_broadcast(
     joined = sid.join(F.broadcast(feat), cond, "left")
 
     # latest feature row per spine row: max_by over the feature struct —
-    # a single hash aggregate, no global window.
+    # a single hash aggregate, no global window. The ordering key is
+    # (ts, struct hash) so exact-(key, ts) ties resolve to the same row
+    # the union strategy picks (deterministic across strategies/runs).
     feat_struct = F.struct(F.col(_TS), *[F.col(f"__fs_f_{c}") for c in feature_cols])
+    order_key = F.when(
+        F.col(_TS).isNotNull(),
+        F.struct(F.col(_TS).alias("t"), F.xxhash64(feat_struct).alias("h")),
+    )
     agg = (
         joined.groupBy(_SPINE_ID, *[F.col(c) for c in spine_cols])
-        .agg(F.max_by(feat_struct, F.col(_TS)).alias("__fs_best"))
+        .agg(F.max_by(feat_struct, order_key).alias("__fs_best"))
     )
     sel = [F.col(f"__fs_best.__fs_f_{c}").alias(c) for c in feature_cols]
     return agg.select(*spine_cols, *sel)

@@ -42,6 +42,28 @@ class TestAsofAtomicRows:
         assert row["a"] is None  # from the t2 row, NOT backfilled to 1.0
         assert row["b"] == 3.0
 
+    def test_union_and_broadcast_agree_on_exact_ts_ties(self, spark):
+        """Two feature rows with identical (key, ts): which wins is
+        engine-defined but must be DETERMINISTIC and IDENTICAL across
+        strategies (both use the struct-hash tiebreak)."""
+        feats = spark.createDataFrame(
+            [(1, _h(1), 10.0), (1, _h(1), 20.0), (1, _h(0), 5.0)],
+            "k long, fts timestamp, v double",
+        )
+        spine = spark.createDataFrame([(1, _h(2))], "k long, ts timestamp")
+        kw = dict(on=["k"], spine_ts="ts", feature_ts="fts", feature_cols=["v"])
+        u = [
+            asof_join(spine, feats, strategy="union", **kw).collect()[0]["v"]
+            for _ in range(3)
+        ]
+        b = [
+            asof_join(spine, feats, strategy="broadcast", **kw).collect()[0]["v"]
+            for _ in range(3)
+        ]
+        assert len(set(u)) == 1 and len(set(b)) == 1  # each stable
+        assert u[0] == b[0]  # and they agree
+        assert u[0] in (10.0, 20.0)  # one of the tied rows, never t0's 5.0
+
     def test_union_and_broadcast_agree_on_nulls(self, spark):
         feats = spark.createDataFrame(
             [(1, _h(0), 1.0, 2.0), (1, _h(2), None, 3.0), (2, _h(1), 9.0, None)],

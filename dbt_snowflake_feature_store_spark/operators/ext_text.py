@@ -43,6 +43,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TXT.simhash64(F.col("text")).alias("f_simhash"))
 
 
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs with length-bucket
+    blocking — the oracle-checkable exact counterpart of q_dedup_near
+    (which approximates the same Jaccard via MinHash banding).
+
+    Candidate pairs are blocked on (lang, n_chars // 32): near-dups have
+    near-identical lengths, so the block rarely splits a true pair, and
+    the self-join is O(Σ block²) not O(n²). At 100 TB the MinHash-LSH
+    path (q_dedup_near) replaces blocking; this key is the exact-verify
+    stage both pipelines share. Shingle arrays are materialized columns
+    before the lambda (HOF re-evaluation rule), distinct before the join
+    so array_intersect/array_union are set ops."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 32).cast("int").alias("bucket"),
+        F.filter(
+            F.split(
+                F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " ")), " +"
+            ),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    sh = toks.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        "lang",
+        "bucket",
+        F.expr(
+            "array_distinct(transform(sequence(0, size(toks) - 3),"
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
+        ).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        (
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+            / F.size(F.array_union("a.sh", "b.sh"))
+        ).alias("f_jaccard"),
+    )
+    return pairs.filter(F.col("f_jaccard") >= 0.5)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc count, exact avg char/token
     counts. The canonical corpus-accounting scan — single pass, one
@@ -262,10 +313,39 @@ ORACLE: dict[str, str] = {
     """,
 }
 ORACLE["q_lang_id"] = _langid_oracle()
+ORACLE["q_dedup_ngram"] = """
+    WITH tok AS (
+        SELECT doc_id, lang, CAST(n_chars // 32 AS INTEGER) AS bucket,
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+                       ' +'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, bucket,
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               )) AS s
+        FROM tok WHERE len(toks) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS f_jaccard
+        FROM sh a
+        JOIN sh b ON a.lang = b.lang AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, f_jaccard FROM pairs WHERE f_jaccard >= 0.5
+"""
 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
+    "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_simhash": q_dedup_simhash,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,

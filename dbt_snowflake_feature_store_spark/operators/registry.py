@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational
+from . import relational, relational2
 
-_MODULES = [relational]
+_MODULES = [relational, relational2]
 
 
 def _try_ext_modules() -> None:

@@ -1,0 +1,353 @@
+"""Relational query surface, part 2 — additional SURVEY.md §2.B closure keys.
+
+Same contract as ``relational.py``: each key is a DataFrame-first Spark
+implementation with a DuckDB oracle twin, deterministic under the driver's
+order-insensitive value-hash (identical aliases both sides, decimal-exact
+double aggregation, full ORDER BY tiebreaks where row identity matters).
+
+These keys extend coverage to constructs the reference's arbitrary-SELECT
+feature-view bodies (/root/reference/macros/materializations/feature_view.sql:126,
+:192) imply but round-1 part 1 did not yet declare: native session windows,
+GROUPING SETS, window navigation functions, exact moment statistics
+(variance/stddev/correlation), NULL semantics, array aggregation, numeric
+scalar functions, and the TPC-H Q13 left-join count-distribution shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dsum(col, alias: str):
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap) per user —
+    the Structured-Streaming-compatible form of q_sessionize: the exact
+    same groupBy works under readStream with a watermark (streaming/
+    incremental.py). Session end = last event + gap (Spark semantics; an
+    event at exactly gap distance starts a NEW session — the oracle's
+    gaps-and-islands uses >= gap accordingly).
+    Scale: one shuffle on user_id; sessions merge map-side first."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("f_events"),
+            _dsum(F.col("value"), "f_value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("f_session_start"),
+            F.col("session_window.end").alias("f_session_end"),
+            "f_events",
+            "f_value_sum",
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube (q_rollup covers the
+    hierarchy special case). grouping() arithmetic disambiguates subtotal
+    rows from genuine NULL groups. Single expand + one hash aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q2_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS f_count,
+               CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS f_spend,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS f_grouping
+        FROM _q2_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation: lag/lead/first/last + ntile/percent_rank/
+    cume_dist per customer order history. Full (date, orderkey) ordering
+    makes every rank deterministic. One shuffle on o_custkey; all seven
+    functions share the same sort (single window exec)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("f_prev_price"),
+        F.lead("o_totalprice").over(w).alias("f_next_price"),
+        F.first("o_orderdate").over(w).alias("f_first_date"),
+        F.last("o_orderkey").over(wfull).alias("f_last_key"),
+        F.ntile(4).over(w).cast("long").alias("f_quartile"),
+        F.percent_rank().over(w).alias("f_pct_rank"),
+        F.cume_dist().over(w).alias("f_cume"),
+    )
+
+
+# shared SQL body for q_stats_moments: the EXACT same expression tree runs
+# in Spark SQL and DuckDB (only the table identifier differs), so the
+# double arithmetic after the exact sufficient statistics is bit-identical
+# (IEEE ops in identical association order). The inputs are 2-decimal-place
+# doubles, so ROUND(x*100) is an exact integer-valued double; all products
+# and sums then happen in exact integer decimals (no double→decimal
+# rounding, which differs between engines in the last micro-unit), and are
+# descaled to doubles once at the end.
+_MOMENTS_SQL = """
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100) AS DECIMAL(18,0)) AS xc,
+               CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0)) AS yc
+        FROM {lineitem}
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(xc) AS DOUBLE) / 100 AS sx,
+               CAST(SUM(xc * xc) AS DOUBLE) / 10000 AS sxx,
+               CAST(SUM(yc) AS DOUBLE) / 100 AS sy,
+               CAST(SUM(yc * yc) AS DOUBLE) / 10000 AS syy,
+               CAST(SUM(xc * yc) AS DOUBLE) / 10000 AS sxy
+        FROM c
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS f_n,
+           sx / n AS f_mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS f_var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS f_std_qty,
+           (sxy - sx * sy / n)
+               / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+               AS f_corr_qty_price
+    FROM s
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moment statistics per group — variance, stddev, Pearson
+    correlation — via decimal-exact sufficient statistics (n, Σx, Σx²,
+    Σxy). Spark's var_samp/corr accumulate doubles in partition order
+    (nondeterministic low bits at scale); the sufficient-statistics form
+    is order-independent AND a single hash aggregate (same shuffle count),
+    which is also the mergeable form incremental refresh needs.
+    Scale: one shuffle on the tiny returnflag key; everything map-side."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q2_lineitem")
+    return spark.sql(_MOMENTS_SQL.format(lineitem="_q2_lineitem"))
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: NULLIF/CASE null injection, COUNT(col)
+    vs COUNT(*), COALESCE in aggregation, distinct-over-nulls, null
+    fraction. The canonical data-quality profile for a feature column."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("n_status"),
+        F.when(F.col("o_totalprice") < 50000.0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("n_price"),
+    )
+    return base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("f_rows"),
+        F.count("n_status").alias("f_status_nonnull"),
+        (F.count("*") - F.count("n_price")).alias("f_price_nulls"),
+        _dsum(F.coalesce(F.col("n_price"), F.lit(0.0)), "f_price_or_zero"),
+        ((F.count("*") - F.count("n_price")).cast("double") / F.count("*")).alias(
+            "f_null_frac"
+        ),
+        F.countDistinct("n_status").alias("f_distinct_status"),
+    )
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions: collect → sort → join/distinct/
+    element_at. Output is scalar columns (joined string, sizes) so the
+    hash-compare stays type-stable. Scale: collect_list is bounded by
+    per-key cardinality (orders per customer), never global."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderpriority")), ",").alias(
+            "f_prio_list"
+        ),
+        F.count("*").alias("f_n_orders"),
+        F.size(F.array_distinct(F.collect_list("o_orderpriority")))
+        .cast("long")
+        .alias("f_n_distinct_prio"),
+        F.element_at(F.array_sort(F.collect_list("o_orderstatus")), 1).alias(
+            "f_min_status"
+        ),
+    )
+
+
+def q_num_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar functions: floor/ceil/abs/sign/sqrt/power/greatest/
+    least. All IEEE-exact on these inputs (sqrt is correctly rounded;
+    power has an exact small-integer base). Pure per-row codegen — no
+    shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice")).cast("double").alias("f_floor"),
+        F.ceil(F.col("p_retailprice")).cast("double").alias("f_ceil"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("f_abs_delta"),
+        F.signum((F.col("p_size") - 25).cast("double")).alias("f_sign"),
+        F.sqrt(F.col("p_retailprice")).alias("f_sqrt"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("f_size_sq"),
+        F.greatest(F.col("p_retailprice"), F.lit(1000.0)).alias("f_hi"),
+        F.least(F.col("p_retailprice"), F.lit(1000.0)).alias("f_lo"),
+    )
+
+
+def q_tpch_q13like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via left join
+    with a join-level filter (not a WHERE — preserves zero-order
+    customers), double aggregation. Scale: join shuffles on custkey, the
+    second agg's key (c_count) is tiny; AQE coalesces it."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+ORACLE: dict[str, str] = {
+    "q_session_window": """
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sess_id
+            FROM gaps
+        )
+        SELECT user_id,
+               MIN(ts) AS f_session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS f_session_end,
+               COUNT(*) AS f_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS f_value_sum
+        FROM sess
+        GROUP BY user_id, sess_id
+    """,
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS f_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS f_spend,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS f_grouping
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    "q_window_nav": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_totalprice) OVER w AS f_prev_price,
+               LEAD(o_totalprice) OVER w AS f_next_price,
+               FIRST_VALUE(o_orderdate) OVER w AS f_first_date,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS f_last_key,
+               CAST(NTILE(4) OVER w AS BIGINT) AS f_quartile,
+               PERCENT_RANK() OVER w AS f_pct_rank,
+               CUME_DIST() OVER w AS f_cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "q_stats_moments": _MOMENTS_SQL.format(lineitem="lineitem"),
+    "q_null_handling": """
+        WITH base AS (
+            SELECT o_orderpriority,
+                   NULLIF(o_orderstatus, 'P') AS n_status,
+                   CASE WHEN o_totalprice < 50000.0 THEN NULL
+                        ELSE o_totalprice END AS n_price
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS f_rows,
+               COUNT(n_status) AS f_status_nonnull,
+               COUNT(*) - COUNT(n_price) AS f_price_nulls,
+               CAST(SUM(CAST(COALESCE(n_price, 0.0) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS f_price_or_zero,
+               CAST(COUNT(*) - COUNT(n_price) AS DOUBLE) / COUNT(*)
+                   AS f_null_frac,
+               COUNT(DISTINCT n_status) AS f_distinct_status
+        FROM base
+        GROUP BY o_orderpriority
+    """,
+    "q_array_agg": """
+        SELECT o_custkey,
+               string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                   AS f_prio_list,
+               COUNT(*) AS f_n_orders,
+               COUNT(DISTINCT o_orderpriority) AS f_n_distinct_prio,
+               MIN(o_orderstatus) AS f_min_status
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    "q_num_fns": """
+        SELECT p_partkey,
+               CAST(FLOOR(p_retailprice) AS DOUBLE) AS f_floor,
+               CAST(CEIL(p_retailprice) AS DOUBLE) AS f_ceil,
+               ABS(p_retailprice - 1000.0) AS f_abs_delta,
+               CAST(SIGN(CAST(p_size - 25 AS DOUBLE)) AS DOUBLE) AS f_sign,
+               SQRT(p_retailprice) AS f_sqrt,
+               POWER(CAST(p_size AS DOUBLE), 2.0) AS f_size_sq,
+               GREATEST(p_retailprice, 1000.0) AS f_hi,
+               LEAST(p_retailprice, 1000.0) AS f_lo
+        FROM part
+    """,
+    "q_tpch_q13like": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) t
+        GROUP BY c_count
+    """,
+}
+
+QUERIES = {
+    "q_session_window": q_session_window,
+    "q_grouping_sets": q_grouping_sets,
+    "q_window_nav": q_window_nav,
+    "q_stats_moments": q_stats_moments,
+    "q_null_handling": q_null_handling,
+    "q_array_agg": q_array_agg,
+    "q_num_fns": q_num_fns,
+    "q_tpch_q13like": q_tpch_q13like,
+}

@@ -13,10 +13,11 @@ reference's N+1 ``SHOW TAGS`` round-trip anti-pattern
 
 Scale note: at 100 TB the *data* lives in partitioned Parquet/Delta read by
 executors; the registry stays O(number of registered objects) and is read
-only by the driver. Single-writer semantics are assumed (the reference has
-the same implicit model — dbt runs serially per target). On a real cluster
-the same layout works on any Hadoop-compatible FS; the local-FS backend here
-is the only container-testable one.
+only by the driver. Plain ``put`` assumes a single writer (the reference has
+the same implicit model — dbt runs serially per target); concurrent writers
+use ``locked_update`` (flock-serialized read-modify-write with a ``_rev``
+counter). On a real cluster the same layout works on any Hadoop-compatible
+FS; the local-FS backend here is the only container-testable one.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from typing import Any, Iterator
+from typing import Any, Callable, Iterator
 
 VALID_KINDS = ("entities", "feature_views", "datasets", "sources")
 
@@ -64,6 +65,42 @@ class Registry:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def locked_update(
+        self,
+        kind: str,
+        key: str,
+        mutate: Callable[[dict[str, Any] | None], dict[str, Any]],
+    ) -> dict[str, Any]:
+        """Serialized read-modify-write for concurrent writers.
+
+        ``put`` is atomic (tmp+rename) but last-writer-wins: two writers
+        doing read→modify→put on the same document can lose an update.
+        ``locked_update`` holds an exclusive ``flock`` on a per-document
+        lock file across the read-modify-write, so concurrent updates
+        serialize instead of clobbering. Each write bumps a ``_rev``
+        counter, which doubles as the change-detection epoch.
+
+        This is the multi-writer path; single-writer callers can keep
+        using ``put`` (the reference has the same implicit single-writer
+        model — dbt runs serially per target). On object stores without
+        POSIX locks, replace with a conditional-put (ETag) backend.
+        """
+        path = self._path(kind, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lock_path = path + ".lock"
+        import fcntl
+
+        with open(lock_path, "a") as lock_f:
+            fcntl.flock(lock_f.fileno(), fcntl.LOCK_EX)
+            try:
+                current = self.get(kind, key)
+                doc = mutate(current)
+                doc["_rev"] = (current.get("_rev", 0) if current else 0) + 1
+                self.put(kind, key, doc)
+                return doc
+            finally:
+                fcntl.flock(lock_f.fileno(), fcntl.LOCK_UN)
 
     def get(self, kind: str, key: str) -> dict[str, Any] | None:
         path = self._path(kind, key)

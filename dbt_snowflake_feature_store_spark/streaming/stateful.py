@@ -60,3 +60,129 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor API. Typed state
+# variables (ValueState/ListState/MapState), timers, and per-state TTL;
+# requires the RocksDB state store provider
+# (spark.sql.streaming.stateStore.providerClass =
+#  ...state.RocksDBStateStoreProvider), which is also what a production
+# cluster runs for large state. Same horizontal-scale story: state is
+# partitioned by the grouping key.
+# ---------------------------------------------------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs ``protobuf`` at runtime (its state
+    protocol is protobuf-encoded; PySpark ships the generated stubs but
+    not the library). Absent in minimal containers → gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _tws_classes():
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    return StatefulProcessor, StatefulProcessorHandle
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """``running_user_stats`` re-expressed on transformWithStateInPandas
+    (Spark 4 typed-state API): a ValueState holds (n, total, last_ts) per
+    user; each micro-batch folds its rows in and emits the updated row.
+    Output contract is identical to the applyInPandasWithState form —
+    tests assert both match the batch recompute."""
+    StatefulProcessor, _ = _tws_classes()
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, total, last_ts = self._state.get()
+            else:
+                n, total, last_ts = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf["ts"].max()
+                if last_ts is None or batch_max > last_ts:
+                    last_ts = batch_max
+            self._state.update((n, total, last_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "f_n": [n],
+                    "f_total": [total],
+                    "f_last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+DEDUP_OUTPUT_SCHEMA = "dedup_key STRING, doc_id LONG"
+
+
+def streaming_dedup_first_seen(keyed_stream: DataFrame) -> DataFrame:
+    """Cross-batch exact streaming dedup: emit only the FIRST row ever
+    seen per dedup_key (content hash), remembering seen keys in a
+    ValueState forever. This is the streaming form of q_dedup_exact —
+    Spark's built-in ``dropDuplicates`` needs a watermark to bound state
+    and forgets keys past it; a training-data ingest pipeline needs
+    corpus-lifetime dedup, which is exactly what explicit state gives.
+    Input: (dedup_key STRING, doc_id LONG, ...); grouped on dedup_key so
+    state scales horizontally with distinct-content cardinality."""
+    StatefulProcessor, _ = _tws_classes()
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._seen = handle.getValueState("seen", "first_doc_id LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (dedup_key,) = key
+            if self._seen.exists():
+                # key known from a prior batch — drop everything
+                for _ in rows:
+                    pass
+                return
+            first_id = None
+            for pdf in rows:
+                if len(pdf):
+                    batch_min = int(pdf["doc_id"].min())
+                    if first_id is None or batch_min < first_id:
+                        first_id = batch_min
+            if first_id is not None:
+                self._seen.update((first_id,))
+                yield pd.DataFrame(
+                    {"dedup_key": [dedup_key], "doc_id": [first_id]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return keyed_stream.groupBy("dedup_key").transformWithStateInPandas(
+        statefulProcessor=_FirstSeen(),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -41,6 +41,13 @@ HEADLINE = [
     "q_dedup_near",
     "q_text_quality",
     "q_sim_topk_fast",
+    # round-1 late additions (extend, never shrink: BENCH totals are
+    # compared per-query against BASELINE, so new keys add new lines)
+    "q_session_window",
+    "q_stats_moments",
+    "q_window_nav",
+    "q_tpch_q13like",
+    "q_dedup_ngram",
 ]
 
 

@@ -91,6 +91,30 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, qv, k=_K, num_centroids=8, n_probe=3)
 
 
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the leading embedding dimensions — the
+    cluster-profile aggregation an embedding pipeline runs for drift /
+    balance checks. Exactness: each float is widened to double (exact),
+    scaled by 1e6 and rounded to an integer-valued double (a float times
+    1e6 can never land exactly on .5 — floats are dyadic rationals, .5
+    offsets need a factor of 5⁶ — so half-up vs half-even cannot
+    diverge), summed as DECIMAL (order-independent), descaled once.
+    Single hash aggregate, one shuffle on the tiny label key."""
+    e = _emb(spark, sf_dir)
+
+    def cdim(i: int):
+        scaled = F.round(F.element_at("embedding", i).cast("double") * 1000000.0)
+        return (
+            F.sum(scaled.cast("decimal(18,0)")).cast("double")
+            / 1000000.0
+            / F.count("*")
+        ).alias(f"f_c{i}")
+
+    return e.groupBy("label").agg(
+        F.count("*").alias("f_n"), cdim(1), cdim(2), cdim(3), cdim(4)
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets (approx → rows-only)."""
     e = _emb(spark, sf_dir)
@@ -121,10 +145,25 @@ ORACLE: dict[str, str] = {
         ORDER BY f_cosine DESC, d.vec_id ASC
         LIMIT 10
     """,
+    "q_embed_centroid": """
+        SELECT label,
+               COUNT(*) AS f_n,
+               CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+                    AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS f_c1,
+               CAST(SUM(CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+                    AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS f_c2,
+               CAST(SUM(CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000000.0)
+                    AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS f_c3,
+               CAST(SUM(CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1000000.0)
+                    AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS f_c4
+        FROM embeddings
+        GROUP BY label
+    """,
 }
 
 QUERIES = {
     "q_sim_topk": q_sim_topk,
+    "q_embed_centroid": q_embed_centroid,
     "q_sim_topk_fast": q_sim_topk_fast,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ivf": q_sim_ivf,

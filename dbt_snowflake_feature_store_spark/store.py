@@ -666,6 +666,31 @@ class FeatureStore:
             out = self._join_one_fv(out, fv, spine_timestamp_col)
         return out
 
+    def retrieve_feature_values(
+        self,
+        spine_df: DataFrame,
+        features: Sequence[FeatureView],
+        spine_timestamp_col: str | None = None,
+        exclude_columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Enrich a spine with feature values WITHOUT saving a dataset —
+        the ``snowflake-ml-python`` ``FeatureStore.retrieve_feature_values``
+        surface the reference certifies wire-compat with
+        (/root/reference/README.md:7-10; same PIT semantics as
+        ``generate_dataset``, /root/reference/integration_tests/
+        python_tests/test_feature_store_workflows.py:153-184). Lazy: the
+        returned DataFrame is the join plan; nothing is materialized."""
+        out = self.dataset_df(spine_df, features, spine_timestamp_col)
+        if exclude_columns:
+            have = {c.upper(): c for c in out.columns}
+            missing = [c for c in exclude_columns if c.upper() not in have]
+            if missing:
+                raise ValidationError(
+                    f"exclude_columns not in result: {missing}"
+                )
+            out = out.drop(*[have[c.upper()] for c in exclude_columns])
+        return out
+
     def _join_one_fv(
         self,
         spine: DataFrame,

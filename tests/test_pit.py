@@ -215,6 +215,35 @@ class TestGenerateDataset:
         assert all(r["f_n_snapshots"] == 5 for r in rows)
         assert all(r["f_age"] is not None for r in rows)
 
+    def test_retrieve_feature_values(self, ready_fs, spark, spine):
+        """snowflake-ml-compatible retrieve_feature_values: same PIT
+        result as generate_dataset, nothing saved, exclude_columns
+        dropped case-insensitively."""
+        fv = ready_fs.get_feature_view("cust_profile", "1.0")
+        df = ready_fs.retrieve_feature_values(
+            spine, [fv], spine_timestamp_col="event_time"
+        )
+        rows = df.collect()
+        assert len(rows) == 10
+        assert all(r["f_age"] == 20 + r["customer_id"] + 20 for r in rows)
+        # nothing saved: no dataset registered
+        assert ready_fs.list_datasets().count() == 0
+
+        df2 = ready_fs.retrieve_feature_values(
+            spine,
+            [fv],
+            spine_timestamp_col="event_time",
+            exclude_columns=["F_TIER", "f_country"],
+        )
+        assert set(df2.columns) == {"customer_id", "event_time", "label", "f_age"}
+        from dbt_snowflake_feature_store_spark import ValidationError
+
+        with pytest.raises(ValidationError, match="exclude_columns"):
+            ready_fs.retrieve_feature_values(
+                spine, [fv], spine_timestamp_col="event_time",
+                exclude_columns=["nope"],
+            )
+
     def test_timeless_spine_gets_latest_snapshot(self, ready_fs, spark):
         """Timestamped FV + spine WITHOUT a timestamp → latest snapshot
         per key, spine row count preserved (never one row per snapshot)."""

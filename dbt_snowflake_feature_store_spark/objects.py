@@ -147,7 +147,7 @@ class FeatureView:
     # filled on registration:
     version: str | None = None
     schema_json: str | None = None
-    status: str = "DRAFT"  # DRAFT | ACTIVE (materialized/registered)
+    status: str = "DRAFT"  # DRAFT | ACTIVE (registered) | SUSPENDED (paused)
     fv_type: str | None = None  # EXTERNAL_FEATURE_VIEW | MANAGED_FEATURE_VIEW
     entity_docs: list[dict[str, Any]] = field(default_factory=list)
 

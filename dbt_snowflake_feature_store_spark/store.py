@@ -428,6 +428,10 @@ class FeatureStore:
             raise ValidationError(
                 f"Feature view '{fv.logical_name}' is static; nothing to refresh"
             )
+        if fv.status == "SUSPENDED":
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is SUSPENDED; resume it first"
+            )
         effective = refresh_feature_view(self, fv, mode=mode)
         # row count is recorded only for FULL recomputes (bounded by the
         # rewrite that just happened); counting after an incremental
@@ -440,6 +444,35 @@ class FeatureStore:
                 n = None
         self._record_refresh(fv, effective, n)
         return effective
+
+    def suspend_feature_view(self, name: str, version: str) -> FeatureView:
+        """Pause a managed FV's refreshes (snowflake-ml
+        ``FeatureStore.suspend_feature_view`` surface; the reference
+        certifies wire-compat with that API, README.md:7-10, and asserts
+        the ``status`` attribute, test_feature_store_api.py:97). The
+        materialized data stays readable; ``refresh`` raises and
+        ``due_for_refresh`` is False until resumed."""
+        return self._set_fv_status(name, version, "SUSPENDED", managed_only=True)
+
+    def resume_feature_view(self, name: str, version: str) -> FeatureView:
+        """Re-activate a suspended managed FV (status → ACTIVE)."""
+        return self._set_fv_status(name, version, "ACTIVE", managed_only=True)
+
+    def _set_fv_status(
+        self, name: str, version: str, status: str, managed_only: bool = False
+    ) -> FeatureView:
+        fv = self.get_feature_view(name, version)
+        if managed_only and not fv.is_managed:
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is static; "
+                f"suspend/resume applies to managed feature views"
+            )
+        key = self._fv_key(fv.name, fv.version)
+        doc = self.registry.get("feature_views", key)
+        doc["status"] = status
+        self.registry.put("feature_views", key, doc)
+        fv.status = status
+        return fv
 
     # ------------------------------------------------------------------
     # Metadata introspection & maintenance
@@ -561,7 +594,7 @@ class FeatureStore:
         import datetime as _dt
 
         fv = self.get_feature_view(name, version)
-        if not fv.is_managed:
+        if not fv.is_managed or fv.status == "SUSPENDED":
             return False
         doc = self.registry.get("feature_views", self._fv_key(fv.name, fv.version))
         hist = doc.get("refresh_history", [])

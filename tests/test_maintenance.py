@@ -166,6 +166,40 @@ class TestLifecycleExtras:
         fs.registry.put("feature_views", "LAGGED__v1", doc)
         assert fs.due_for_refresh("lagged", "1")
 
+    def test_suspend_resume_lifecycle(self, fs, tables):
+        """snowflake-ml suspend/resume surface: SUSPENDED blocks refresh
+        and due_for_refresh; data stays readable; resume reactivates.
+        Status survives a registry round-trip."""
+        from dbt_snowflake_feature_store_spark import ValidationError
+
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        fs.register_feature_view(
+            FeatureView(
+                "pausable", ["customer"], sql=FV_SQL,
+                refresh=RefreshSpec("1 hour", "FULL"),
+            ),
+            version="1",
+        )
+        fv = fs.suspend_feature_view("pausable", "1")
+        assert fv.status == "SUSPENDED"
+        assert fs.get_feature_view("pausable", "1").status == "SUSPENDED"
+        assert not fs.due_for_refresh("pausable", "1")
+        with pytest.raises(ValidationError, match="SUSPENDED"):
+            fs.refresh("pausable", "1")
+        # materialized data still readable while suspended
+        assert fs.read_feature_view("PAUSABLE$1").count() > 0
+
+        fv = fs.resume_feature_view("pausable", "1")
+        assert fv.status == "ACTIVE"
+        assert fs.refresh("pausable", "1") == "FULL"
+
+        # static FVs reject suspend
+        fs.register_feature_view(
+            FeatureView("static_fv", ["customer"], sql=FV_SQL), version="1"
+        )
+        with pytest.raises(ValidationError, match="static"):
+            fs.suspend_feature_view("static_fv", "1")
+
     def test_parse_freq_validation(self):
         import pytest as _pt
 

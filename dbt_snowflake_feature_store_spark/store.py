@@ -155,12 +155,22 @@ class FeatureStore:
         format: str = "parquet",
         watermark_col: str | None = None,
         watermark_delay: str | None = None,
+        schema: str | None = None,
+        options: dict[str, str] | None = None,
     ) -> None:
         """Register a named source table. FV SQL references sources by
         name; the engine binds them to batch reads at plan time and to
         streaming reads at incremental-refresh time (streaming/
         incremental.py). ``watermark_col``/``watermark_delay`` set the
-        late-data contract for streaming aggregations."""
+        late-data contract for streaming aggregations.
+
+        ``format`` is any Spark DataSource (parquet, csv, json, orc,
+        text, delta where the jar exists); ``schema`` (DDL string) and
+        ``options`` (e.g. ``{"header": "true"}`` for CSV) make the
+        non-self-describing formats usable — without an explicit schema
+        CSV/JSON fall back to Spark inference, which costs an extra read
+        of the data and can drift between runs, so production sources
+        should always pin one."""
         key = canonical_name(name)
         self.registry.put(
             "sources",
@@ -172,6 +182,8 @@ class FeatureStore:
                 "format": format,
                 "watermark_col": watermark_col,
                 "watermark_delay": watermark_delay,
+                "schema": schema,
+                "options": options or {},
             },
         )
 
@@ -184,12 +196,18 @@ class FeatureStore:
             rows, schema="NAME string, PATH string, FORMAT string"
         )
 
+    def _source_reader(self, doc: dict[str, Any]):
+        reader = self.spark.read.format(doc.get("format", "parquet"))
+        if doc.get("schema"):
+            reader = reader.schema(doc["schema"])
+        for k, v in (doc.get("options") or {}).items():
+            reader = reader.option(k, v)
+        return reader
+
     def _bind_batch_sources(self) -> None:
         for doc in self.registry.list("sources"):
             try:
-                df = self.spark.read.format(doc.get("format", "parquet")).load(
-                    doc["path"]
-                )
+                df = self._source_reader(doc).load(doc["path"])
                 df.createOrReplaceTempView(doc["name"])
             except Exception:
                 # a broken source must not block FVs that don't reference

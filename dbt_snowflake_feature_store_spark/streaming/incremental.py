@@ -47,18 +47,27 @@ def _source_views(fs: "FeatureStore", streaming: bool) -> list[str]:
     names = []
     for doc in fs.registry.list("sources"):
         name, path, fmt = doc["name"], doc["path"], doc.get("format", "parquet")
+        opts = doc.get("options") or {}
         try:
             if streaming:
-                # streaming sources need an explicit schema: read it from
-                # the existing batch footprint (metadata-only read)
-                schema = fs.spark.read.format(fmt).load(path).schema
-                df = fs.spark.readStream.format(fmt).schema(schema).load(path)
+                # streaming sources need an explicit schema: the
+                # registered one, else read it from the existing batch
+                # footprint (metadata-only read for parquet/orc)
+                schema = doc.get("schema") or fs.spark.read.format(fmt).options(
+                    **opts
+                ).load(path).schema
+                df = (
+                    fs.spark.readStream.format(fmt)
+                    .schema(schema)
+                    .options(**opts)
+                    .load(path)
+                )
                 if doc.get("watermark_col") and doc.get("watermark_delay"):
                     df = df.withWatermark(
                         doc["watermark_col"], doc["watermark_delay"]
                     )
             else:
-                df = fs.spark.read.format(fmt).load(path)
+                df = fs._source_reader(doc).load(path)
         except Exception:
             # a broken source must not block FVs that don't reference it;
             # an FV that does fails at spark.sql with unresolved view →

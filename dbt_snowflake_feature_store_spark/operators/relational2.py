@@ -231,7 +231,103 @@ def q_tpch_q13like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated views (customers with open vs
+    filled orders) — keys existing on either side survive with nulls on
+    the other. Both inputs aggregate on the join key first, so the outer
+    join reuses the agg's hash partitioning (no extra exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    open_spend = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("o_totalprice"), "f_open_spend"))
+    )
+    filled_spend = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(_dsum(F.col("o_totalprice"), "f_filled_spend"))
+    )
+    joined = open_spend.join(
+        filled_spend,
+        open_spend.o_custkey == filled_spend.f_custkey,
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("o_custkey"), F.col("f_custkey")).alias("custkey"),
+        "f_open_spend",
+        "f_filled_spend",
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension CROSS JOIN (region × distinct order status): the
+    scaffold grid for dense feature matrices (every key × every bucket
+    before a left join fills observed values). Both sides tiny →
+    BroadcastNestedLoopJoin, never a shuffled cartesian."""
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    statuses = o.select("o_orderstatus").distinct()
+    return r.select("r_name").crossJoin(statuses).select(
+        "r_name", F.col("o_orderstatus").alias("f_status")
+    )
+
+
+_Q17_SQL = """
+    WITH avgs AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                      / COUNT(l_quantity)) AS qty_threshold
+        FROM {lineitem}
+        GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small_qty_rows
+    FROM {lineitem} l
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    JOIN avgs a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < a.qty_threshold
+"""
+
+
+def q_tpch_q17like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity revenue against a per-part
+    correlated average (written as the decorrelated join Catalyst would
+    produce, identically on both engines so the threshold doubles are
+    bit-equal). Scale: the per-part average is a map-side-combinable agg
+    sharing the lineitem scan partitioning; the brand filter prunes part
+    before the join (broadcast-able dim)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q2_li17")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q2_part17")
+    return spark.sql(_Q17_SQL.format(lineitem="_q2_li17", part="_q2_part17"))
+
+
 ORACLE: dict[str, str] = {
+    "q_join_full": """
+        WITH open_spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS f_open_spend
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+        ),
+        filled_spend AS (
+            SELECT o_custkey AS f_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS f_filled_spend
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        )
+        SELECT COALESCE(o.o_custkey, f.f_custkey) AS custkey,
+               o.f_open_spend, f.f_filled_spend
+        FROM open_spend o
+        FULL OUTER JOIN filled_spend f ON o.o_custkey = f.f_custkey
+    """,
+    "q_cross_join": """
+        SELECT r_name, f_status
+        FROM (SELECT r_name FROM region)
+        CROSS JOIN (SELECT DISTINCT o_orderstatus AS f_status FROM orders)
+    """,
+    "q_tpch_q17like": _Q17_SQL.format(lineitem="lineitem", part="part"),
     "q_session_window": """
         WITH gaps AS (
             SELECT user_id, ts, value,
@@ -342,6 +438,9 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_join_full": q_join_full,
+    "q_cross_join": q_cross_join,
+    "q_tpch_q17like": q_tpch_q17like,
     "q_session_window": q_session_window,
     "q_grouping_sets": q_grouping_sets,
     "q_window_nav": q_window_nav,

@@ -230,6 +230,26 @@ class Dataset:
     def read(self) -> "DatasetReader":
         return DatasetReader(self)
 
+    def export(
+        self,
+        path: str,
+        format: str = "parquet",
+        mode: str = "error",
+        options: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Export the dataset to an external sink (parquet/csv/json/orc;
+        any Spark DataSource). The training-consumer hand-off: write once
+        to the downstream layout, optionally partitioned (e.g. by a date
+        column for incremental trainer pickup). Returns the path."""
+        writer = self.read.to_df().write.format(format).mode(mode)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return path
+
     def to_doc(self) -> dict[str, Any]:
         return {
             "kind": "dataset",

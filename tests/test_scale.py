@@ -97,6 +97,46 @@ class TestScaleProperties:
         plan = _executed_plan(q_sort_limit(spark, SF))
         assert "TakeOrderedAndProject" in plan
 
+    def test_cross_join_broadcast_nested_loop(self, spark):
+        """Tiny-dim cross join plans BroadcastNestedLoopJoin — never a
+        shuffled CartesianProduct."""
+        from dbt_snowflake_feature_store_spark.operators.relational2 import (
+            q_cross_join,
+        )
+
+        plan = _executed_plan(q_cross_join(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dedup_ngram_filter_not_in_join_condition(self, spark):
+        """The Jaccard threshold must stay ABOVE the aggregation barrier:
+        if Catalyst substitutes it into the join condition the
+        array_intersect runs 3× per key-matching pair (measured 6×
+        slower). Exactly one array_intersect may appear in the plan, and
+        never inside the join node's condition."""
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_dedup_ngram,
+        )
+
+        plan = _executed_plan(q_dedup_ngram(spark, SF))
+        assert plan.count("array_intersect") == 1
+        join_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "condition" in ln.lower()
+        ] or [ln for ln in plan.splitlines() if "HashJoin" in ln]
+        for ln in join_lines:
+            assert "array_intersect" not in ln
+
+    def test_stats_moments_single_aggregate_exchange(self, spark):
+        """Sufficient-statistics moments must be ONE hash aggregate pair
+        (partial+final) with a single exchange on the group key — not a
+        per-statistic replan."""
+        from dbt_snowflake_feature_store_spark.operators.relational2 import (
+            q_stats_moments,
+        )
+
+        plan = _executed_plan(q_stats_moments(spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_bucketed_join_avoids_shuffle(self, spark, tmp_path):
         """Pre-bucketing both join sides on the key removes the join
         shuffle entirely — the strategy for repeated 100 TB fact⋈fact

@@ -63,6 +63,37 @@ def test_json_source_without_schema_infers(fs, spark, tmp_path):
     assert fs.read_feature_view("JSON_FV$1").count() == 2
 
 
+def test_dataset_export_sinks(fs, spark, tables):
+    """Dataset.export writes the training set to csv/json sinks with
+    options; row counts and values survive the round-trip."""
+    fs.register_entity(Entity("customer", ["c_custkey"]))
+    fs.register_feature_view(
+        FeatureView(
+            "exp_fv", ["customer"],
+            sql="SELECT c_custkey, c_acctbal AS f_bal FROM customer",
+        ),
+        version="1",
+    )
+    spine = spark.table("customer").select("c_custkey").limit(20)
+    ds = fs.generate_dataset("exp_ds", spine, [fs.get_feature_view("exp_fv", "1")])
+
+    import tempfile
+
+    out_csv = tempfile.mkdtemp(prefix="ds_csv_") + "/out"
+    ds.export(out_csv, format="csv", options={"header": "true"})
+    back = spark.read.option("header", "true").csv(
+        out_csv, schema="c_custkey BIGINT, f_bal DOUBLE"
+    )
+    assert back.count() == 20
+    orig = {r["c_custkey"]: r["f_bal"] for r in ds.read.to_df().collect()}
+    got = {r["c_custkey"]: r["f_bal"] for r in back.collect()}
+    assert got == orig
+
+    out_json = tempfile.mkdtemp(prefix="ds_json_") + "/out"
+    ds.export(out_json, format="json")
+    assert spark.read.json(out_json).count() == 20
+
+
 def test_csv_source_managed_fv_refresh(fs, spark, csv_src):
     """Managed FV over a CSV source: FULL materialization + refresh works
     through the format-aware reader; the streaming (INCREMENTAL) path

@@ -48,6 +48,8 @@ HEADLINE = [
     "q_window_nav",
     "q_tpch_q13like",
     "q_dedup_ngram",
+    "q_tpch_q17like",
+    "q_join_full",
 ]
 
 

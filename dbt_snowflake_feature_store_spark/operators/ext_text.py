@@ -150,6 +150,57 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test split (80/10/10) — the
+    reproducible-sampling op every training pipeline needs: no rand(),
+    no seed files; membership is a pure function of the id so re-runs,
+    engines, and backfills agree row-for-row. Knuth multiplicative hash
+    mod 1000; per (lang, split) corpus accounting. Single scan + one
+    tiny-key shuffle."""
+    d = _docs(spark, sf_dir)
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    split = (
+        F.when(h < 800, "train").when(h < 900, "valid").otherwise("test")
+    ).alias("f_split")
+    return (
+        d.select("lang", split, "n_chars")
+        .groupBy("lang", "f_split")
+        .agg(
+            F.count("*").alias("f_docs"),
+            F.sum("n_chars").alias("f_chars"),
+        )
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs (ordered by doc_id within a
+    language) to fixed 2048-token bins by cumulative token offset — the
+    batch-construction op for LLM pretraining shards. Window cumsum
+    shares one shuffle on lang; pack assignment is pure arithmetic.
+    At 100 TB the order column becomes a shard key so packing
+    parallelizes per shard."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", TXT.ws_token_count(F.col("text")).alias("n_toks")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = toks.withColumn("cum", F.sum("n_toks").over(w))
+    packed = cum.withColumn(
+        "f_pack",
+        F.floor((F.col("cum") - F.col("n_toks")) / F.lit(2048)).cast("long"),
+    )
+    return packed.groupBy("lang", "f_pack").agg(
+        F.count("*").alias("f_docs"),
+        F.sum("n_toks").alias("f_tokens"),
+        F.min("doc_id").alias("f_first_doc"),
+        F.max("doc_id").alias("f_last_doc"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc count, exact avg char/token
     counts. The canonical corpus-accounting scan — single pass, one
@@ -369,6 +420,39 @@ ORACLE: dict[str, str] = {
     """,
 }
 ORACLE["q_lang_id"] = _langid_oracle()
+ORACLE["q_sample_split"] = """
+    SELECT lang,
+           CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+                ELSE 'test' END AS f_split,
+           COUNT(*) AS f_docs,
+           SUM(n_chars) AS f_chars
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+ORACLE["q_pack_sequences"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_WS_COUNT} AS n_toks FROM documents
+    ),
+    cums AS (
+        SELECT doc_id, lang, n_toks,
+               SUM(n_toks) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(CAST(cum - n_toks AS DOUBLE) / 2048) AS BIGINT) AS f_pack,
+           COUNT(*) AS f_docs,
+           SUM(n_toks) AS f_tokens,
+           MIN(doc_id) AS f_first_doc,
+           MAX(doc_id) AS f_last_doc
+    FROM cums
+    GROUP BY 1, 2
+"""
+
 ORACLE["q_ngram_freq"] = """
     WITH tok AS (
         SELECT lang, string_split_regex(trim(text), '\\s+') AS t
@@ -425,6 +509,8 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
+    "q_sample_split": q_sample_split,
+    "q_pack_sequences": q_pack_sequences,
     "q_dedup_simhash": q_dedup_simhash,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,

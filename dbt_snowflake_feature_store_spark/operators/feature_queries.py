@@ -152,7 +152,48 @@ def q_generate_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.read.to_df()
 
 
+def q_fv_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeless spine × timestamped FV → LATEST snapshot per key through
+    ``retrieve_feature_values`` (the max_by-struct path in _join_one_fv:
+    one hash aggregate, no window sort — the scalable "current feature
+    values" read). The FV pre-aggregates per (user, ts) so the max_by
+    ordering key is tie-free → deterministic."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("q_ls_events")
+    fs = _fs(spark)
+    fs.register_entity(Entity("user", ["user_id"]))
+    fs.register_feature_view(
+        FeatureView(
+            "user_latest",
+            ["user"],
+            sql="""SELECT user_id, ts, MAX(value) AS f_latest_value
+                   FROM q_ls_events GROUP BY user_id, ts""",
+            timestamp_col="ts",
+        ),
+        version="1.0",
+    )
+    spine = spark.sql("SELECT DISTINCT user_id FROM q_ls_events")
+    fv = fs.get_feature_view("user_latest", "1.0")
+    return fs.retrieve_feature_values(spine, [fv])
+
+
 ORACLE: dict[str, str] = {
+    "q_fv_latest_snapshot": """
+        WITH fvsrc AS (
+            SELECT user_id, ts, MAX(value) AS f_latest_value
+            FROM events GROUP BY user_id, ts
+        ),
+        ranked AS (
+            SELECT user_id, f_latest_value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC
+                   ) AS rn
+            FROM fvsrc
+        ),
+        spine AS (SELECT DISTINCT user_id FROM events)
+        SELECT s.user_id, r.f_latest_value
+        FROM spine s
+        LEFT JOIN ranked r ON s.user_id = r.user_id AND r.rn = 1
+    """,
     "q_fv_static_read": """
         SELECT c_custkey, c_acctbal AS f_acctbal, c_mktsegment AS f_segment
         FROM customer WHERE c_acctbal > 0
@@ -200,6 +241,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "q_fv_static_read": q_fv_static_read,
+    "q_fv_latest_snapshot": q_fv_latest_snapshot,
     "q_fv_managed_read": q_fv_managed_read,
     "q_fv_chain": q_fv_chain,
     "q_generate_dataset": q_generate_dataset,

@@ -104,6 +104,108 @@ def decode_and_featurize(
     return df.mapInPandas(batch_fn, schema=_DECODE_OUT_SCHEMA)
 
 
+_RESIZE_OUT_SCHEMA = (
+    "media_id long, content binary, width int, height int, resized_ok boolean"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (width, height) — ``mapInPandas`` over
+    Arrow batches, executor-local, partition-preserving (the shape a real
+    PIL/opencv resize would use; at 100 TB this is the pre-processing
+    stage before feature extraction, pipelined with the scan).
+
+    STUB: no codecs in this container. ``deterministic_fake=True``
+    truncates/right-pads the raw bytes to exactly width*height — a
+    reproducible stand-in with the correct output SHAPE; strict mode
+    raises where the real decoder plugs in."""
+    target = width * height
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries (PIL/opencv) not "
+                    "present in this environment; pass deterministic_fake=True"
+                )
+            outs = []
+            for content in pdf["content"]:
+                if content is None:
+                    outs.append(None)
+                    continue
+                b = bytes(content)
+                outs.append(b[:target].ljust(target, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": outs,
+                    "width": width,
+                    "height": height,
+                    "resized_ok": [o is not None for o in outs],
+                }
+            )
+
+    return df.mapInPandas(batch_fn, schema=_RESIZE_OUT_SCHEMA)
+
+
+_FRAMES_OUT_SCHEMA = (
+    "media_id long, frame_idx long, frame_ts_ms long, frame binary"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Sample video frames every ``every_ms`` — a FAN-OUT mapInPandas
+    (one input row → duration/every_ms output rows), the decode-side
+    explode a real ffmpeg sampler performs. Frame count comes from the
+    TYPED metadata (meta.duration_ms), so pruning by duration happens
+    before any byte is touched.
+
+    STUB: fake frames are deterministic byte slices of the content;
+    strict mode raises where ffmpeg would plug in."""
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg, not present in this "
+                    "environment; pass deterministic_fake=True"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                dur = (meta or {}).get("duration_ms")
+                if content is None or dur is None:
+                    continue
+                b = bytes(content)
+                n_frames = max(int(dur) // every_ms, 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    start = (i * 16) % max(len(b), 1)
+                    frames.append(b[start : start + 16])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(batch_fn, schema=_FRAMES_OUT_SCHEMA)
+
+
 def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapter used by tests/queries: treat document text bytes as an
     opaque media payload so the multimodal plumbing is exercised against
@@ -116,7 +218,11 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.lit("raw").alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            # pseudo-duration (1 "ms" per byte) so frame-sampling plumbing
+            # has a deterministic, metadata-driven fan-out to exercise
+            F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+            .cast("long")
+            .alias("duration_ms"),
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )

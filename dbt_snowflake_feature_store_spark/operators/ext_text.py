@@ -118,6 +118,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("f_jaccard") >= 0.5)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out plumbing (mapInPandas: one media row ->
+    duration//step frame rows; stubbed sampler -> rows-only check).
+    Per-media frame counts are metadata-driven and deterministic."""
+    from ..functions import multimodal as MM
+
+    media = MM.documents_as_media(_docs(spark, sf_dir))
+    frames = MM.sample_frames(media, every_ms=100, deterministic_fake=True)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("f_n_frames"),
+        F.max("frame_ts_ms").alias("f_last_ts_ms"),
+    )
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 word bigrams per language — the corpus n-gram profile used
     for language modeling / contamination scans. Tokens and bigram
@@ -521,4 +535,5 @@ QUERIES = {
     "q_fingerprint_winnow": q_fingerprint_winnow,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_frames": q_multimodal_frames,
 }

@@ -170,3 +170,34 @@ class TestMultimodal:
         stats = MM.with_content_stats(media).collect()
         assert all(r["content_bytes"] > 0 for r in stats)
         assert all(len(r["content_sha256"]) == 64 for r in stats)
+
+    def test_resize_shapes_and_strict(self, spark, tables):
+        media = MM.documents_as_media(tables["documents"].limit(10))
+        out = MM.resize_media(media, 8, 4, deterministic_fake=True).collect()
+        assert len(out) == 10
+        assert all(len(r["content"]) == 32 for r in out)
+        assert all(r["width"] == 8 and r["height"] == 4 for r in out)
+        with pytest.raises(Exception, match="NotImplementedError|codec|PIL"):
+            MM.resize_media(media, 8, 4, deterministic_fake=False).collect()
+
+    def test_frame_sampling_fanout(self, spark, tables):
+        """One media row fans out to duration//step frame rows; counts
+        follow the typed metadata exactly."""
+        media = MM.documents_as_media(tables["documents"].limit(10))
+        frames = MM.sample_frames(media, every_ms=100, deterministic_fake=True)
+        counts = {
+            r["media_id"]: r["n"]
+            for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+        }
+        expected = {
+            r["media_id"]: max(r["meta"]["duration_ms"] // 100, 1)
+            for r in media.collect()
+        }
+        assert counts == expected
+        one = frames.filter("media_id = 0").orderBy("frame_idx").collect()
+        if one:
+            assert [r["frame_ts_ms"] for r in one] == [
+                i * 100 for i in range(len(one))
+            ]
+        with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+            MM.sample_frames(media, deterministic_fake=False).collect()

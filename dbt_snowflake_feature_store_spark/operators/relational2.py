@@ -303,7 +303,65 @@ def q_tpch_q17like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q17_SQL.format(lineitem="_q2_li17", part="_q2_part17"))
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 maintenance through ``functions.merge.scd2_apply``:
+    current = each user's FIRST event as the open version; updates =
+    each user's LAST event. Apply closes the old version at the update
+    time and appends the new open version — the dimension-history
+    pattern INCREMENTAL feature views imply. Deterministic: first/last
+    rows picked with (ts, event_id) tiebreaks. One shuffle on the key."""
+    from ..functions.merge import scd2_apply
+
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    first_ev = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("value").alias("f_value"),
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    last_ev = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .filter("rn = 1")
+        .select("user_id", F.col("value").alias("f_value"), "ts")
+    )
+    return scd2_apply(first_ev, last_ev, keys=["user_id"], ts_col="ts")
+
+
 ORACLE: dict[str, str] = {
+    "q_scd2_history": """
+        WITH firsts AS (
+            SELECT user_id, value AS f_value, ts
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ) AS rn FROM events
+            ) WHERE rn = 1
+        ),
+        lasts AS (
+            SELECT user_id, value AS f_value, ts
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn FROM events
+            ) WHERE rn = 1
+        )
+        SELECT f.user_id, f.f_value, f.ts AS valid_from, l.ts AS valid_to
+        FROM firsts f JOIN lasts l USING (user_id)
+        UNION ALL
+        SELECT user_id, f_value, ts AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM lasts
+    """,
     "q_join_full": """
         WITH open_spend AS (
             SELECT o_custkey,
@@ -438,6 +496,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_scd2_history": q_scd2_history,
     "q_join_full": q_join_full,
     "q_cross_join": q_cross_join,
     "q_tpch_q17like": q_tpch_q17like,

@@ -13,32 +13,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import relational, relational2
 
-_MODULES = [relational, relational2]
+# Module merge order determines registry iteration order, which determines
+# which keys the driver's 50-entry CORRECTNESS record covers. High-value
+# keys first: feature-store machinery (generate_dataset, FV reads/chain),
+# then the EXT similarity/text families, then relational2; the plain
+# relational keys (lowest risk, all green in CORRECTNESS_r01) come last
+# and absorb the cap.
+_MODULES = [relational2, relational]
 
 
 def _try_ext_modules() -> None:
     global _MODULES
+    ordered = []
     try:
-        from . import ext_text
+        from . import feature_queries
 
-        if ext_text not in _MODULES:
-            _MODULES.append(ext_text)
+        ordered.append(feature_queries)
     except ImportError:
         pass
     try:
         from . import ext_similarity
 
-        if ext_similarity not in _MODULES:
-            _MODULES.append(ext_similarity)
+        ordered.append(ext_similarity)
     except ImportError:
         pass
     try:
-        from . import feature_queries
+        from . import ext_text
 
-        if feature_queries not in _MODULES:
-            _MODULES.append(feature_queries)
+        ordered.append(ext_text)
     except ImportError:
         pass
+    _MODULES = ordered + [m for m in [relational2, relational] if m not in ordered]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -48,6 +48,28 @@ class TestDedup:
         b = sorted(map(tuple, TXT.dedup_near_minhash(docs_with_dups, jaccard_threshold=0.3).collect()))
         assert a == b
 
+    def test_minhash_recall_vs_exact_ngram(self, spark, sf_dir):
+        """MinHash-LSH candidates must recover the exact word-3-gram
+        Jaccard pairs (q_dedup_ngram is the exact counterpart) on real
+        documents. Guards the numpy hash family against recall
+        regressions."""
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_dedup_near,
+            q_dedup_ngram,
+        )
+
+        exact = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in q_dedup_ngram(spark, sf_dir).collect()
+            if r["f_jaccard"] >= 0.7
+        }
+        approx = {
+            (r["id_a"], r["id_b"]) for r in q_dedup_near(spark, sf_dir).collect()
+        }
+        assert exact, "fixture data must contain exact near-dup pairs"
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8 ({exact - approx})"
+
     def test_simhash_close_for_near_dups(self, spark, docs_with_dups):
         rows = docs_with_dups.select(
             "doc_id", TXT.simhash64(F.col("text")).alias("h")

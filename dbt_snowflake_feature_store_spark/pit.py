@@ -44,6 +44,19 @@ _IS_SPINE = "__fs_is_spine"
 _TS = "__fs_ts"
 
 
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark's autoBroadcast default
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a plan (bytes), or None if
+    unavailable. For a bare parquet scan this is file-size based, so it
+    is the same signal Spark's own broadcast-join planning uses."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return None
+
+
 def asof_join(
     spine: DataFrame,
     features: DataFrame,
@@ -51,8 +64,10 @@ def asof_join(
     spine_ts: str,
     feature_ts: str,
     feature_cols: Sequence[str] | None = None,
-    strategy: str = "union",
+    strategy: str = "auto",
     tolerance: str | None = None,
+    salt: int | None = None,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_BYTES,
 ) -> DataFrame:
     """Left as-of join: every spine row + latest feature values at-or-before
     ``spine_ts``.
@@ -62,10 +77,19 @@ def asof_join(
     on : entity join keys (must exist on both sides).
     feature_cols : feature columns to attach; defaults to every feature
         column that is neither a key nor the feature timestamp.
-    strategy : 'union' (single-shuffle scale path) or 'broadcast'
-        (small feature side).
+    strategy : 'auto' (default) picks 'broadcast' when Catalyst's size
+        estimate for the feature side is under ``broadcast_threshold``
+        (dimension-sized FV → no shuffle of the spine at all), else
+        'union' (single-shuffle scale path). Both can be forced.
     tolerance : optional max lookback as an INTERVAL string (e.g.
         '30 days'); older feature rows yield NULLs.
+    salt : hot-key escape hatch for the union strategy. With ``salt=R``
+        each spine row lands in one of R sub-partitions of its entity key
+        while feature rows are replicated to all R — a pathological key's
+        window splits across R tasks (AQE cannot split a running window).
+        Results are identical for any R; cost is R× the feature rows of
+        the salted window shuffle. Ignored by the broadcast strategy
+        (joins after broadcast never shuffle on the key).
     """
     on = list(on)
     for k in on:
@@ -82,8 +106,16 @@ def asof_join(
         feature_cols = [c for c in features.columns if c not in on and c != feature_ts]
     feature_cols = list(feature_cols)
 
+    if strategy == "auto":
+        sz = _plan_size_bytes(features)
+        strategy = (
+            "broadcast" if sz is not None and 0 < sz <= broadcast_threshold else "union"
+        )
+
     if strategy == "union":
-        return _asof_union(spine, features, on, spine_ts, feature_ts, feature_cols, tolerance)
+        return _asof_union(
+            spine, features, on, spine_ts, feature_ts, feature_cols, tolerance, salt
+        )
     if strategy == "broadcast":
         return _asof_broadcast(spine, features, on, spine_ts, feature_ts, feature_cols, tolerance)
     raise ValidationError(f"Unknown as-of strategy: {strategy!r}")
@@ -97,6 +129,7 @@ def _asof_union(
     feature_ts: str,
     feature_cols: list[str],
     tolerance: str | None,
+    salt: int | None = None,
 ) -> DataFrame:
     spine_cols = spine.columns
 
@@ -128,7 +161,25 @@ def _asof_union(
         if c not in on:
             tagged_feat = tagged_feat.withColumn(c, F.lit(None))
 
-    unioned = tagged_spine.unionByName(tagged_feat.select(tagged_spine.columns))
+    part_keys: list[Column | str] = list(on)
+    if salt is not None and salt > 1:
+        # Hot-key split: each spine row hashes to one of `salt` sub-
+        # partitions (deterministic — xxhash64 of the full row, no rand(),
+        # safe under stage retry); every feature row is replicated to all
+        # of them, so carry-forward within (key, salt) sees the complete
+        # feature timeline. Output rows are independent of the salt value.
+        _SALT = "__fs_salt"
+        tagged_spine = tagged_spine.withColumn(
+            _SALT,
+            F.pmod(F.xxhash64(*[F.col(c) for c in spine_cols]), F.lit(salt)),
+        )
+        tagged_feat = tagged_feat.withColumn(
+            _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+        )
+        part_keys.append(_SALT)
+        unioned = tagged_spine.unionByName(tagged_feat.select(tagged_spine.columns))
+    else:
+        unioned = tagged_spine.unionByName(tagged_feat.select(tagged_spine.columns))
 
     # Feature rows (_IS_SPINE=0) sort BEFORE spine rows at equal ts →
     # fv.ts <= spine.ts inclusive semantics. Among duplicate feature
@@ -136,7 +187,7 @@ def _asof_union(
     # chosen row is stable across runs/AQE reordering (which row of an
     # exact (key, ts) tie wins is engine-defined, but deterministic).
     w = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*part_keys)
         .orderBy(
             F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
         )

@@ -134,6 +134,50 @@ class TestAsofJoin:
         kb = sorted(tuple(r) for r in b.select(a.columns).collect())
         assert ka == kb
 
+    def test_salted_union_agrees_with_unsalted(self, spark, snapshots, spine):
+        base = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="union",
+        )
+        salted = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="union", salt=4,
+        )
+        assert sorted(tuple(r) for r in base.collect()) == sorted(
+            tuple(r) for r in salted.select(base.columns).collect()
+        )
+        assert "__fs_salt" not in salted.columns
+
+    def test_auto_broadcasts_small_feature_side(
+        self, spark, snapshots, spine, tmp_path
+    ):
+        """strategy='auto' must pick the broadcast plan when Catalyst's
+        estimate for the feature side is under the threshold, and the
+        union plan when it is not. The feature side is parquet-backed
+        (like a real materialized FV) so Catalyst has a file-size
+        estimate; RDD-backed frames have no estimate and conservatively
+        stay on the union path."""
+        path = str(tmp_path / "snap")
+        snapshots.write.parquet(path)
+        snapshots = spark.read.parquet(path)
+        auto = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="auto",
+        )
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan, plan[:2000]
+        assert "Window" not in plan  # broadcast path has no as-of window
+
+        forced_union = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="auto", broadcast_threshold=0,
+        )
+        uplan = forced_union._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in uplan
+        assert sorted(tuple(r) for r in auto.collect()) == sorted(
+            tuple(r) for r in forced_union.select(auto.columns).collect()
+        )
+
     def test_tolerance_cuts_stale_features(self, spark, snapshots, spine):
         out = asof_join(
             spine, snapshots, on=["customer_id"], spine_ts="event_time",

@@ -21,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -68,9 +68,21 @@ def scd2_apply(
 ) -> DataFrame:
     """SCD type-2: ``current`` has (keys, attrs, valid_from, valid_to
     [null = open]); ``updates`` has (keys, attrs, ts_col). Rows whose key
-    appears in updates get their open version closed at the update time;
-    the update becomes the new open version. Unchanged keys pass through."""
-    upd_times = updates.groupBy(*keys).agg(F.max(ts_col).alias("__new_ts"))
+    appears in updates get their open version closed at the EARLIEST
+    update time; the update rows become chained versions — each row's
+    ``valid_to`` is the next update's timestamp for that key
+    (``lead`` over the key window), and only the LATEST update per key
+    stays open (``valid_to`` NULL). One open version per key is the
+    invariant, for any number of update rows per key in a batch.
+
+    Determinism: updates sharing an exact (key, ts) chain in attribute-
+    hash order — which of an exact tie is 'later' is engine-defined but
+    stable across runs."""
+    attr_cols = [c for c in updates.columns if c not in keys and c != ts_col]
+
+    # close the currently-open row at the FIRST update's timestamp —
+    # the chain of new versions begins there
+    upd_times = updates.groupBy(*keys).agg(F.min(ts_col).alias("__new_ts"))
     closed = (
         current.join(upd_times, on=keys, how="left")
         .withColumn(
@@ -82,11 +94,18 @@ def scd2_apply(
         )
         .drop("__new_ts")
     )
-    attr_cols = [c for c in updates.columns if c not in keys and c != ts_col]
-    new_versions = updates.select(
-        *keys,
-        *attr_cols,
-        F.col(ts_col).alias(valid_from),
-        F.lit(None).cast("timestamp").alias(valid_to),
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(valid_from).asc(),
+        F.xxhash64(F.struct(*[F.col(c) for c in attr_cols])).asc(),
+    )
+    new_versions = (
+        updates.select(
+            *keys,
+            *attr_cols,
+            F.col(ts_col).alias(valid_from),
+        )
+        .withColumn(valid_to, F.lead(valid_from).over(w))
+        .withColumn(valid_to, F.col(valid_to).cast("timestamp"))
     )
     return closed.unionByName(new_versions.select(closed.columns))

@@ -284,6 +284,11 @@ class DatasetReader:
         self._ds = ds
 
     def to_df(self) -> DataFrame:
+        # generate_dataset(save=False) keeps the join plan in memory
+        # (ds._df) and writes nothing — reading the path would raise
+        # path-not-found for a dataset the API just handed out
+        if getattr(self._ds, "_df", None) is not None:
+            return self._ds._df
         return self._ds._spark.read.parquet(self._ds.path)
 
     def to_pandas(self):

@@ -98,11 +98,30 @@ def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None
         and not os.path.isdir(os.path.join(path, "_spark_metadata"))
     ):
         wm = _read_watermark(path)
-        if wm is not None:
-            # batch high-watermark append: only rows with ts beyond the
-            # stored watermark are recomputed. Correct for append-only
-            # inputs and non-aggregating plans.
-            delta = df.filter(F.col(ts) > F.lit(wm).cast("timestamp"))
+        if wm is not None and not _plan_aggregates(df):
+            # batch high-watermark append: only rows with ts at-or-beyond
+            # the stored watermark are recomputed. Correct for append-only
+            # inputs and non-aggregating plans (aggregating/windowed plans
+            # are guarded out above — appending recomputed aggregate rows
+            # would duplicate groups — and fall through to FULL, the
+            # Snowflake AUTO-downgrade behavior).
+            wm_ts = F.lit(wm).cast("timestamp")
+            # `>=` so late rows landing EXACTLY at the watermark are not
+            # silently dropped; rows at the boundary that were already
+            # written are removed with an anti-join against the (partition-
+            # pruned) boundary slice of the target. Limitation: an exact
+            # duplicate row at the boundary timestamp is treated as
+            # already-written.
+            existing_boundary = (
+                fs.spark.read.parquet(path)
+                .filter(
+                    (F.col("_fs_dt") == F.to_date(wm_ts)) & (F.col(ts) == wm_ts)
+                )
+                .drop("_fs_dt")
+            )
+            delta = df.filter(F.col(ts) >= wm_ts).join(
+                existing_boundary.select(df.columns), on=df.columns, how="left_anti"
+            )
             delta = delta.withColumn("_fs_dt", F.to_date(F.col(ts)))
             delta.write.mode("append").partitionBy("_fs_dt").parquet(path)
             new_wm = _max_ts(fs, path, "_fs_dt", ts)
@@ -125,6 +144,15 @@ def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None
         if new_wm:
             _write_watermark(path, new_wm)
     return "FULL"
+
+
+def _plan_aggregates(df: DataFrame) -> bool:
+    """True when the plan contains an Aggregate/Window/distinct — the
+    docstring precondition of the watermark append path, enforced: such
+    plans are not incrementalizable by row append (a recomputed group
+    would land NEXT TO its stale version instead of replacing it)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return any(node in plan for node in ("Aggregate [", "Window [", "Deduplicate"))
 
 
 def _max_ts(fs: "FeatureStore", path: str, dt_col: str, ts: str) -> str | None:

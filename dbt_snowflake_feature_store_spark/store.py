@@ -45,6 +45,12 @@ from .objects import (
 from .registry import Registry
 
 
+class _DocVanished(Exception):
+    """Raised inside a locked_update mutator when the document was
+    deleted between the caller's existence check and the locked read —
+    the caller decides whether that is an error or a no-op."""
+
+
 _FREQ_UNITS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
@@ -486,9 +492,17 @@ class FeatureStore:
                 f"suspend/resume applies to managed feature views"
             )
         key = self._fv_key(fv.name, fv.version)
-        doc = self.registry.get("feature_views", key)
-        doc["status"] = status
-        self.registry.put("feature_views", key, doc)
+
+        def _mut(doc: dict[str, Any] | None) -> dict[str, Any]:
+            if doc is None:
+                raise _DocVanished()
+            doc["status"] = status
+            return doc
+
+        try:
+            self.registry.locked_update("feature_views", key, _mut)
+        except _DocVanished:
+            raise FeatureViewNotFoundError(fv.name, fv.version) from None
         fv.status = status
         return fv
 
@@ -550,8 +564,19 @@ class FeatureStore:
                 }
             )
             if not dry_run:
-                doc["metadata"]["entities"] = fixed
-                self.registry.put("feature_views", key, doc)
+
+                def _mut(
+                    cur: dict[str, Any] | None, fixed: list = fixed
+                ) -> dict[str, Any]:
+                    if cur is None:
+                        raise _DocVanished()
+                    cur.setdefault("metadata", {})["entities"] = fixed
+                    return cur
+
+                try:
+                    self.registry.locked_update("feature_views", key, _mut)
+                except _DocVanished:
+                    pass
         return report
 
     def compact(
@@ -642,17 +667,24 @@ class FeatureStore:
         import datetime as _dt
 
         key = self._fv_key(fv.name, fv.version)
-        doc = self.registry.get("feature_views", key)
-        if doc is None:
-            return
-        doc.setdefault("refresh_history", []).append(
-            {
-                "mode": mode,
-                "completed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
-                "rows": n_rows,
-            }
-        )
-        self.registry.put("feature_views", key, doc)
+        entry = {
+            "mode": mode,
+            "completed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "rows": n_rows,
+        }
+
+        # locked read-modify-write: a concurrent refresh of the same FV
+        # (or a suspend/resume) must not clobber this history append
+        def _mut(doc: dict[str, Any] | None) -> dict[str, Any]:
+            if doc is None:
+                raise _DocVanished()
+            doc.setdefault("refresh_history", []).append(entry)
+            return doc
+
+        try:
+            self.registry.locked_update("feature_views", key, _mut)
+        except _DocVanished:
+            pass
 
     # ------------------------------------------------------------------
     # Datasets (generate_dataset — the PIT training-set generator)

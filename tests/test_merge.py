@@ -49,3 +49,38 @@ def test_scd2_apply(spark):
     assert rows == [(1, "gold", False), (1, "platinum", True), (2, "silver", True)]
     closed = [r for r in out.collect() if r["id"] == 1 and r["tier"] == "gold"][0]
     assert closed["valid_to"] == base + dt.timedelta(days=30)
+
+
+def test_scd2_apply_multiple_updates_per_key_chain(spark):
+    """A batch with several updates for one key must produce a CHAINED
+    history: exactly one open version (the latest), each intermediate
+    version closed at the next one's timestamp, and the prior open row
+    closed at the FIRST update's timestamp."""
+    base = dt.datetime(2024, 1, 1)
+    cur = spark.createDataFrame(
+        [(1, "bronze", base, None)],
+        "id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "silver", base + dt.timedelta(days=10)),
+            (1, "gold", base + dt.timedelta(days=20)),
+            (1, "platinum", base + dt.timedelta(days=30)),
+        ],
+        "id long, tier string, changed_at timestamp",
+    )
+    out = scd2_apply(cur, upd, ["id"], "changed_at").collect()
+    by_tier = {r["tier"]: r for r in out}
+    assert len(out) == 4
+    open_rows = [r for r in out if r["valid_to"] is None]
+    assert [r["tier"] for r in open_rows] == ["platinum"]
+    assert by_tier["bronze"]["valid_to"] == base + dt.timedelta(days=10)
+    assert by_tier["silver"]["valid_from"] == base + dt.timedelta(days=10)
+    assert by_tier["silver"]["valid_to"] == base + dt.timedelta(days=20)
+    assert by_tier["gold"]["valid_to"] == base + dt.timedelta(days=30)
+    # validity intervals tile the timeline with no gaps or overlaps
+    versions = sorted(
+        (r["valid_from"], r["valid_to"]) for r in out
+    )
+    for (_, prev_to), (next_from, _) in zip(versions, versions[1:]):
+        assert prev_to == next_from

@@ -212,3 +212,110 @@ class TestLegacyMetadataTolerance:
         assert got.entities == ["CUSTOMER"]
         with pytest.raises(Exception, match="referenced"):
             fs.delete_entity("customer")  # must report, not TypeError
+
+class TestWatermarkBoundary:
+    """Batch high-watermark append (ADVICE round 1): late rows landing
+    exactly AT the watermark must not be dropped, already-written
+    boundary rows must not duplicate, and aggregating plans must never
+    take the append path."""
+
+    @pytest.fixture()
+    def no_streaming(self, monkeypatch):
+        from dbt_snowflake_feature_store_spark.streaming import incremental
+
+        def _raise(fs, fv):
+            raise incremental.StreamingNotSupported("forced by test")
+
+        monkeypatch.setattr(incremental, "incremental_refresh", _raise)
+
+    def test_late_row_at_watermark_not_dropped_or_duped(
+        self, fs, spark, tmp_path, no_streaming
+    ):
+        src = str(tmp_path / "wm_src")
+        spark.createDataFrame(
+            [(1, _h(1), 10.0), (1, _h(2), 20.0)],
+            "user_id long, ts timestamp, value double",
+        ).write.parquet(src)
+        fs.register_source("WM_EVENTS", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "wm_fv", ["user"],
+                sql="SELECT user_id, ts, value FROM WM_EVENTS",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        assert fs.read_feature_view("WM_FV$1").count() == 2  # watermark = _h(2)
+
+        # a LATE row lands exactly at the watermark, plus one new row
+        spark.createDataFrame(
+            [(1, _h(2), 99.0), (1, _h(3), 30.0)],
+            "user_id long, ts timestamp, value double",
+        ).write.mode("append").parquet(src)
+        mode = fs.refresh("wm_fv", "1", mode="INCREMENTAL")
+        assert mode == "INCREMENTAL_WATERMARK"
+        rows = sorted(
+            (r["ts"], r["value"])
+            for r in fs.read_feature_view("WM_FV$1").collect()
+        )
+        assert rows == [
+            (_h(1), 10.0),
+            (_h(2), 20.0),   # original boundary row, exactly once
+            (_h(2), 99.0),   # late row AT the watermark: kept
+            (_h(3), 30.0),
+        ]
+
+    def test_aggregating_plan_never_takes_append_path(
+        self, fs, spark, tmp_path, no_streaming
+    ):
+        src = str(tmp_path / "agg_src")
+        spark.createDataFrame(
+            [(1, _h(1), 10.0), (1, _h(2), 20.0), (2, _h(2), 5.0)],
+            "user_id long, ts timestamp, value double",
+        ).write.parquet(src)
+        fs.register_source("AGG_EVENTS", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "agg_fv", ["user"],
+                sql="SELECT user_id, MAX(ts) AS ts, SUM(value) AS f_total"
+                    " FROM AGG_EVENTS GROUP BY user_id",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        spark.createDataFrame(
+            [(1, _h(3), 1.0)], "user_id long, ts timestamp, value double"
+        ).write.mode("append").parquet(src)
+        # an append would land a recomputed user-1 aggregate NEXT TO the
+        # stale one; the guard must downgrade to FULL instead
+        assert fs.refresh("agg_fv", "1", mode="INCREMENTAL") == "FULL"
+        rows = {
+            r["user_id"]: r["f_total"]
+            for r in fs.read_feature_view("AGG_FV$1").collect()
+        }
+        assert rows == {1: 31.0, 2: 5.0}
+
+
+class TestUnsavedDatasetRead:
+    def test_generate_dataset_save_false_readable(self, fs, spark, tables):
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        tables["customer"].createOrReplaceTempView("uds_customer")
+        fs.register_feature_view(
+            FeatureView(
+                "uds_fv", ["customer"],
+                sql="SELECT c_custkey, c_acctbal AS f_bal FROM uds_customer",
+            ),
+            version="1",
+        )
+        spine = tables["customer"].select("c_custkey").limit(5)
+        ds = fs.generate_dataset(
+            "uds", spine, [fs.get_feature_view("uds_fv", "1")], save=False
+        )
+        # the unsaved dataset's reader must serve the in-memory plan,
+        # not raise path-not-found
+        pdf = ds.read.to_pandas()
+        assert len(pdf) == 5 and "f_bal" in pdf.columns

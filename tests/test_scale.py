@@ -75,7 +75,8 @@ class TestScaleProperties:
         )
         feats = ev.filter("event_type = 'error'").select("user_id", "ts", "value")
         out = asof_join(
-            spine, feats, on=["user_id"], spine_ts="event_time", feature_ts="ts"
+            spine, feats, on=["user_id"], spine_ts="event_time",
+            feature_ts="ts", strategy="union",
         )
         plan = _executed_plan(out)
         assert plan.count("Exchange hashpartitioning") == 1

@@ -17,10 +17,6 @@ metadata pointer flip on the table format; here it is a directory rename.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,28 +30,13 @@ def merge_upsert(
     """Upsert ``updates`` into the parquet table at ``target_path`` by
     ``keys`` (last-writer-wins per key). Returns the new row count.
 
-    Copy-on-write: the merged snapshot is fully written to a side
-    directory before the swap, so a failure mid-write never corrupts the
-    current table."""
-    if os.path.isdir(target_path):
-        target = spark.read.parquet(target_path)
-        kept = target.join(
-            updates.select(*keys).distinct(), on=keys, how="left_anti"
-        )
-        merged = kept.unionByName(updates.select(target.columns))
-    else:
-        merged = updates
+    Delegates to the storage layer's copy-on-write MERGE emulation: the
+    merged snapshot is fully written + commit-marked before a crash-safe
+    directory swap, and interrupted swaps are auto-repaired on the next
+    read (storage.ParquetSnapshotFormat.recover)."""
+    from ..storage import ParquetSnapshotFormat
 
-    tmp = f"{target_path}__snapshot_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.isdir(target_path):
-        os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    return n
+    return ParquetSnapshotFormat().merge(spark, target_path, updates, keys)
 
 
 def scd2_apply(

@@ -289,6 +289,9 @@ class DatasetReader:
         # path-not-found for a dataset the API just handed out
         if getattr(self._ds, "_df", None) is not None:
             return self._ds._df
+        storage = getattr(self._ds, "_storage", None)
+        if storage is not None:
+            return storage.read(self._ds._spark, self._ds.path)
         return self._ds._spark.read.parquet(self._ds.path)
 
     def to_pandas(self):

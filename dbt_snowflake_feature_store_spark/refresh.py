@@ -39,14 +39,16 @@ if TYPE_CHECKING:
 _WATERMARK_FILE = "_fs_watermark.json"
 
 
-def _write_full(df: DataFrame, path: str, timestamp_col: str | None) -> None:
-    writer = df.write.mode("overwrite")
+def _write_full(
+    fs: "FeatureStore", df: DataFrame, path: str, timestamp_col: str | None
+) -> None:
     if timestamp_col:
         # partition by day of the event-time column → time-range partition
         # pruning for PIT reads at scale
         df = df.withColumn("_fs_dt", F.to_date(F.col(timestamp_col)))
-        writer = df.write.mode("overwrite").partitionBy("_fs_dt")
-    writer.parquet(path)
+        fs.storage.write_full(df, path, partition_by=["_fs_dt"])
+    else:
+        fs.storage.write_full(df, path)
 
 
 def _read_watermark(path: str) -> str | None:
@@ -99,31 +101,46 @@ def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None
     ):
         wm = _read_watermark(path)
         if wm is not None and not _plan_aggregates(df):
-            # batch high-watermark append: only rows with ts at-or-beyond
-            # the stored watermark are recomputed. Correct for append-only
-            # inputs and non-aggregating plans (aggregating/windowed plans
-            # are guarded out above — appending recomputed aggregate rows
-            # would duplicate groups — and fall through to FULL, the
-            # Snowflake AUTO-downgrade behavior).
+            # batch high-watermark maintenance: only rows with ts
+            # at-or-beyond the stored watermark are recomputed. Correct
+            # for append-only inputs and non-aggregating plans
+            # (aggregating/windowed plans are guarded out above —
+            # appending recomputed aggregate rows would duplicate groups
+            # — and fall through to FULL, the Snowflake AUTO-downgrade).
             wm_ts = F.lit(wm).cast("timestamp")
-            # `>=` so late rows landing EXACTLY at the watermark are not
-            # silently dropped; rows at the boundary that were already
-            # written are removed with an anti-join against the (partition-
-            # pruned) boundary slice of the target. Limitation: an exact
-            # duplicate row at the boundary timestamp is treated as
-            # already-written.
-            existing_boundary = (
-                fs.spark.read.parquet(path)
-                .filter(
-                    (F.col("_fs_dt") == F.to_date(wm_ts)) & (F.col(ts) == wm_ts)
+            delta = df.filter(F.col(ts) >= wm_ts)
+            if fs.storage.transactional:
+                # real table format → MERGE INTO keyed on (entity keys,
+                # ts): re-delivered boundary rows upsert instead of
+                # duplicating (feature_view.sql:115-129 semantics)
+                keys = _merge_keys(fs, fv, df) + [ts]
+                fs.storage.merge(
+                    fs.spark,
+                    path,
+                    delta.withColumn("_fs_dt", F.to_date(F.col(ts))),
+                    keys,
                 )
-                .drop("_fs_dt")
-            )
-            delta = df.filter(F.col(ts) >= wm_ts).join(
-                existing_boundary.select(df.columns), on=df.columns, how="left_anti"
-            )
-            delta = delta.withColumn("_fs_dt", F.to_date(F.col(ts)))
-            delta.write.mode("append").partitionBy("_fs_dt").parquet(path)
+            else:
+                # parquet fallback (documented): `>=` so late rows landing
+                # EXACTLY at the watermark are not silently dropped; rows
+                # at the boundary that were already written are removed
+                # with an anti-join against the (partition-pruned)
+                # boundary slice of the target. Limitation: an exact
+                # duplicate row at the boundary timestamp is treated as
+                # already-written.
+                existing_boundary = (
+                    fs.storage.read(fs.spark, path)
+                    .filter(
+                        (F.col("_fs_dt") == F.to_date(wm_ts)) & (F.col(ts) == wm_ts)
+                    )
+                    .drop("_fs_dt")
+                )
+                delta = delta.join(
+                    existing_boundary.select(df.columns),
+                    on=df.columns,
+                    how="left_anti",
+                ).withColumn("_fs_dt", F.to_date(F.col(ts)))
+                fs.storage.append(delta, path, partition_by=["_fs_dt"])
             new_wm = _max_ts(fs, path, "_fs_dt", ts)
             if new_wm:
                 _write_watermark(path, new_wm)
@@ -138,12 +155,26 @@ def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None
         import shutil
 
         shutil.rmtree(ckpt)
-    _write_full(df, path, ts)
+    _write_full(fs, df, path, ts)
     if ts is not None:
         new_wm = _max_ts(fs, path, "_fs_dt", ts)
         if new_wm:
             _write_watermark(path, new_wm)
     return "FULL"
+
+
+def _merge_keys(fs: "FeatureStore", fv: "FeatureView", df: DataFrame) -> list[str]:
+    """The FV's entity join keys, spelled as they appear in the plan's
+    output columns (canonical names are UPPER; plans usually emit
+    lower)."""
+    canon: list[str] = []
+    for e in fv.entity_docs or [
+        {"name": n, "joinKeys": fs.get_entity(n).join_keys}
+        for n in fv.entity_names()
+    ]:
+        canon.extend(e["joinKeys"])
+    m = {c.upper(): c for c in df.columns}
+    return [m[k] for k in canon if k in m]
 
 
 def _plan_aggregates(df: DataFrame) -> bool:
@@ -156,7 +187,7 @@ def _plan_aggregates(df: DataFrame) -> bool:
 
 
 def _max_ts(fs: "FeatureStore", path: str, dt_col: str, ts: str) -> str | None:
-    out = fs.spark.read.parquet(path)
+    out = fs.storage.read(fs.spark, path)
     if ts not in out.columns:
         return None
     row = out.select(F.max(F.col(ts)).alias("m")).collect()[0]

@@ -1,0 +1,251 @@
+"""Table-format abstraction for managed materializations.
+
+The reference materializes managed feature views as Snowflake Dynamic
+Tables with transactional incremental maintenance
+(/root/reference/macros/materializations/feature_view.sql:115-129). The
+Spark-native analog is a transactional table format (Delta/Iceberg) with
+``MERGE INTO`` + change-data-feed. This container ships neither, so the
+engine is written against a small ``TableFormat`` interface:
+
+- ``ParquetSnapshotFormat`` (default, always available): plain parquet
+  directories, with keyed MERGE emulated by copy-on-write — anti-join +
+  union into a NEW snapshot directory, then a crash-safe directory swap
+  (commit-marker protocol below). This is the same copy-on-write shape
+  Delta performs underneath; what parquet cannot give is file-level
+  pruning of untouched data, so ``merge`` rewrites the table and
+  ``incremental_upsert`` degrades to the boundary-deduplicated
+  high-watermark append (documented fallback).
+- ``DeltaFormat`` (auto-detected): real ``MERGE INTO`` via delta-spark
+  when the runtime has it; incremental refresh then upserts instead of
+  appending, and the swap protocol is unnecessary (Delta's log is the
+  pointer).
+
+Crash-safe swap protocol (ParquetSnapshotFormat.replace):
+
+1. write the new snapshot fully to ``<path>__snapshot_<id>``
+2. create the ``_FS_COMMIT`` marker inside it (write is complete)
+3. ``rename(path, <path>__old_<id>)``
+4. ``rename(<path>__snapshot_<id>, path)``
+5. remove the old directory
+
+``recover(path)`` repairs every crash point: an unmarked snapshot dir is
+an aborted write (dropped); a marked snapshot with the target missing is
+rolled FORWARD (rename into place); an orphaned old dir with the target
+present is dropped; an old dir with no marked snapshot and no target is
+rolled BACK. Readers call it implicitly via ``read``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_COMMIT_MARKER = "_FS_COMMIT"
+
+
+def _siblings(path: str, tag: str) -> list[str]:
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    if not os.path.isdir(parent):
+        return []
+    pref = f"{base}__{tag}_"
+    return sorted(
+        os.path.join(parent, d) for d in os.listdir(parent) if d.startswith(pref)
+    )
+
+
+class TableFormat:
+    """Interface for managed-table storage. All paths are directories."""
+
+    name = "base"
+    transactional = False
+
+    def recover(self, path: str) -> None:
+        """Repair interrupted maintenance, if the format needs it
+        (no-op for transactional formats)."""
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        raise NotImplementedError
+
+    def write_full(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        raise NotImplementedError
+
+    def append(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        raise NotImplementedError
+
+    def merge(
+        self, spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """Keyed upsert (last-writer-wins per key). Returns new row count."""
+        raise NotImplementedError
+
+    def replace(self, spark: SparkSession, path: str, df: DataFrame,
+                partition_by: list[str] | None = None) -> None:
+        """Atomically replace the table's contents with ``df``
+        (compaction, migration): full write then commit."""
+        raise NotImplementedError
+
+
+class ParquetSnapshotFormat(TableFormat):
+    name = "parquet"
+    transactional = False
+
+    # -- recovery ------------------------------------------------------
+    def recover(self, path: str) -> None:
+        """Repair an interrupted ``replace`` swap — see module docstring.
+        Idempotent; cheap when there is nothing to do (one listdir)."""
+        snaps = _siblings(path, "snapshot")
+        olds = _siblings(path, "old")
+        if not snaps and not olds:
+            return
+        committed = [
+            s for s in snaps if os.path.exists(os.path.join(s, _COMMIT_MARKER))
+        ]
+        if not os.path.isdir(path):
+            if committed:
+                # crash between the two renames: roll FORWARD — the
+                # marked snapshot is complete by construction
+                os.rename(committed[-1], path)
+                committed = committed[:-1]
+            elif olds:
+                # aborted before the new snapshot was complete: roll back
+                os.rename(olds[-1], path)
+                olds = olds[:-1]
+        for d in snaps:
+            if d in committed or not os.path.isdir(d):
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+        for d in committed:
+            shutil.rmtree(d, ignore_errors=True)
+        for d in olds:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # -- interface -----------------------------------------------------
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        self.recover(path)
+        return spark.read.parquet(path)
+
+    def write_full(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def append(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def replace(self, spark: SparkSession, path: str, df: DataFrame,
+                partition_by: list[str] | None = None) -> None:
+        self.recover(path)
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{path}__snapshot_{token}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        # marker AFTER the data: its presence certifies a complete write
+        with open(os.path.join(tmp, _COMMIT_MARKER), "w") as f:
+            f.write(token)
+        old = f"{path}__old_{token}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def merge(
+        self, spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    ) -> int:
+        self.recover(path)
+        if os.path.isdir(path):
+            target = spark.read.parquet(path)
+            kept = target.join(
+                updates.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = kept.unionByName(updates.select(target.columns))
+        else:
+            merged = updates
+        self.replace(spark, path, merged)
+        return spark.read.parquet(path).count()
+
+
+class DeltaFormat(TableFormat):
+    """Transactional path when delta-spark is on the classpath: real
+    MERGE INTO, atomicity from the Delta log (no directory swaps)."""
+
+    name = "delta"
+    transactional = True
+
+    def __init__(self) -> None:
+        import delta  # noqa: F401  (ImportError → caller falls back)
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.format("delta").load(path)
+
+    def write_full(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        writer = df.write.format("delta").mode("overwrite").option(
+            "overwriteSchema", "true"
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+    def append(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        writer = df.write.format("delta").mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+    def replace(self, spark: SparkSession, path: str, df: DataFrame,
+                partition_by: list[str] | None = None) -> None:
+        self.write_full(df, path, partition_by)
+
+    def merge(
+        self, spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    ) -> int:
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, path):
+            self.write_full(updates, path)
+        else:
+            t = DeltaTable.forPath(spark, path)
+            cond = " AND ".join(f"t.{k} <=> u.{k}" for k in keys)
+            (
+                t.alias("t")
+                .merge(updates.alias("u"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        return self.read(spark, path).count()
+
+
+def get_format(name: str = "parquet") -> TableFormat:
+    """Resolve a format by name. ``delta`` falls back to parquet with no
+    error when delta-spark is absent (this container) — callers can check
+    ``.name`` to see what they got."""
+    if name == "delta":
+        try:
+            return DeltaFormat()
+        except ImportError:
+            return ParquetSnapshotFormat()
+    if name == "parquet":
+        return ParquetSnapshotFormat()
+    raise ValueError(f"Unknown table format: {name!r}")

@@ -43,6 +43,7 @@ from .objects import (
     physical_fv_name,
 )
 from .registry import Registry
+from .storage import get_format
 
 
 class _DocVanished(Exception):
@@ -86,11 +87,16 @@ class FeatureStore:
         root: str,
         name: str = "FEATURE_STORE",
         create_if_not_exists: bool = True,
+        table_format: str = "parquet",
     ):
         self.spark = spark
         self.root = os.path.abspath(root)
         self.name = canonical_name(name)
         self.registry = Registry(self.root)
+        # managed-table storage backend: 'parquet' (snapshot-swap merge
+        # emulation, always available) or 'delta' (real MERGE INTO when
+        # delta-spark is present; silently falls back here — storage.py)
+        self.storage = get_format(table_format)
         # session-scoped DataFrame cache for FVs registered from a df
         self._df_cache: dict[str, DataFrame] = {}
         if create_if_not_exists:
@@ -426,8 +432,11 @@ class FeatureStore:
             fv = self.get_feature_view(name, version)
         if fv.is_managed:
             path = self._fv_data_path(fv.name, fv.version)
+            # repair any interrupted snapshot swap BEFORE the existence
+            # check — a crash between swap renames leaves no target dir
+            self.storage.recover(path)
             if os.path.isdir(path):
-                df = self.spark.read.parquet(path)
+                df = self.storage.read(self.spark, path)
                 # drop the internal date-partition column (refresh.py) —
                 # it exists for partition pruning, not for users
                 return df.drop("_fs_dt") if "_fs_dt" in df.columns else df
@@ -607,24 +616,21 @@ class FeatureStore:
                 "streaming sink; compaction of streaming materializations "
                 "is not supported (run a FULL refresh first)"
             )
-        df = self.spark.read.parquet(path)
-        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        df = self.storage.read(self.spark, path)
+        # crash-safe snapshot swap (storage.replace commit-marker
+        # protocol) — a failure at any point leaves a readable table
         if "_fs_dt" in df.columns:
-            (
-                df.repartition(target_partitions_per_day, "_fs_dt")
-                .write.mode("overwrite")
-                .partitionBy("_fs_dt")
-                .parquet(tmp)
+            self.storage.replace(
+                self.spark,
+                path,
+                df.repartition(target_partitions_per_day, "_fs_dt"),
+                partition_by=["_fs_dt"],
             )
         else:
-            df.coalesce(max(1, target_partitions_per_day)).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-        out = self.spark.read.parquet(path)
+            self.storage.replace(
+                self.spark, path, df.coalesce(max(1, target_partitions_per_day))
+            )
+        out = self.storage.read(self.spark, path)
         return len(out.inputFiles())
 
     def due_for_refresh(self, name: str, version: str) -> bool:
@@ -728,8 +734,9 @@ class FeatureStore:
             desc=desc,
             _spark=self.spark,
         )
+        ds._storage = self.storage  # type: ignore[attr-defined]
         if save:
-            out.write.mode("overwrite").parquet(ds.path)
+            self.storage.write_full(out, ds.path)
             self.registry.put(
                 "datasets", f"{name}__v{ds.version}".replace(".", "_"), ds.to_doc()
             )

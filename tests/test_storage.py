@@ -1,0 +1,157 @@
+"""Storage-layer tests: snapshot-swap MERGE emulation, the crash-recovery
+protocol at every interruption point, and the Delta fallback."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from dbt_snowflake_feature_store_spark.storage import (
+    ParquetSnapshotFormat,
+    get_format,
+)
+
+
+@pytest.fixture()
+def fmt():
+    return ParquetSnapshotFormat()
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+class TestMerge:
+    def test_merge_upserts_and_inserts(self, spark, tmp_path, fmt):
+        path = str(tmp_path / "t")
+        _write(spark, path, [(1, "a"), (2, "b")])
+        n = fmt.merge(
+            spark,
+            path,
+            spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string"),
+            ["id"],
+        )
+        assert n == 3
+        rows = {r["id"]: r["v"] for r in fmt.read(spark, path).collect()}
+        assert rows == {1: "a", 2: "b2", 3: "c"}
+        # no stray snapshot/old dirs
+        assert [d for d in os.listdir(tmp_path) if "__" in d] == []
+
+    def test_merge_creates_missing_table(self, spark, tmp_path, fmt):
+        path = str(tmp_path / "new")
+        n = fmt.merge(
+            spark, path, spark.createDataFrame([(1, "a")], "id long, v string"), ["id"]
+        )
+        assert n == 1
+
+
+class TestRecovery:
+    """Simulate a crash at each point of the swap protocol and assert
+    recover() restores a readable, correct table."""
+
+    def _committed_snapshot(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write(spark, path, [(1, "old")])
+        snap = f"{path}__snapshot_dead"
+        _write(spark, snap, [(1, "new")])
+        open(os.path.join(snap, "_FS_COMMIT"), "w").write("dead")
+        return path, snap
+
+    def test_uncommitted_snapshot_dropped(self, spark, tmp_path, fmt):
+        path = str(tmp_path / "t")
+        _write(spark, path, [(1, "old")])
+        snap = f"{path}__snapshot_dead"
+        _write(spark, snap, [(1, "half")])  # no commit marker: aborted write
+        fmt.recover(path)
+        assert not os.path.isdir(snap)
+        assert [r["v"] for r in fmt.read(spark, path).collect()] == ["old"]
+
+    def test_committed_snapshot_target_present_dropped(self, spark, tmp_path, fmt):
+        # crash after marker but before the first rename: target intact,
+        # the merge never reported success → snapshot is garbage
+        path, snap = self._committed_snapshot(spark, tmp_path)
+        fmt.recover(path)
+        assert not os.path.isdir(snap)
+        assert [r["v"] for r in fmt.read(spark, path).collect()] == ["old"]
+
+    def test_crash_between_renames_rolls_forward(self, spark, tmp_path, fmt):
+        # crash between rename(target, old) and rename(snap, target):
+        # no target dir; the committed snapshot must be installed
+        path, snap = self._committed_snapshot(spark, tmp_path)
+        os.rename(path, f"{path}__old_dead")
+        fmt.recover(path)
+        assert os.path.isdir(path)
+        assert [r["v"] for r in fmt.read(spark, path).collect()] == ["new"]
+        assert [d for d in os.listdir(tmp_path) if "__" in d] == []
+
+    def test_crash_before_snapshot_complete_rolls_back(self, spark, tmp_path, fmt):
+        # pathological: target renamed away but snapshot has NO marker
+        # (should not happen in protocol order, but recover must still
+        # restore a readable table from the old dir)
+        path = str(tmp_path / "t")
+        _write(spark, f"{path}__old_dead", [(1, "old")])
+        snap = f"{path}__snapshot_dead"
+        _write(spark, snap, [(1, "half")])
+        shutil.rmtree(snap)  # simulate partial write
+        os.makedirs(snap)
+        fmt.recover(path)
+        assert [r["v"] for r in fmt.read(spark, path).collect()] == ["old"]
+
+    def test_orphaned_old_dir_removed(self, spark, tmp_path, fmt):
+        # crash after the swap completed but before cleanup
+        path = str(tmp_path / "t")
+        _write(spark, path, [(1, "new")])
+        _write(spark, f"{path}__old_dead", [(1, "old")])
+        fmt.recover(path)
+        assert [d for d in os.listdir(tmp_path) if "__" in d] == []
+        assert [r["v"] for r in fmt.read(spark, path).collect()] == ["new"]
+
+
+class TestFormatResolution:
+    def test_delta_falls_back_to_parquet_here(self):
+        # this container has no delta-spark: requesting delta must give a
+        # working parquet backend, not an ImportError
+        f = get_format("delta")
+        assert f.name in ("delta", "parquet")
+        try:
+            import delta  # noqa: F401
+
+            assert f.name == "delta"
+        except ImportError:
+            assert f.name == "parquet"
+
+    def test_unknown_format_rejected(self):
+        with pytest.raises(ValueError, match="Unknown table format"):
+            get_format("iceberg")
+
+
+class TestStoreIntegration:
+    def test_store_uses_storage_for_managed_reads(self, fs, spark, tables):
+        from dbt_snowflake_feature_store_spark import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        tables["customer"].createOrReplaceTempView("st_customer")
+        fs.register_feature_view(
+            FeatureView(
+                "st_fv", ["customer"],
+                sql="SELECT c_custkey, c_acctbal AS f_bal FROM st_customer",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        path = fs._fv_data_path("ST_FV", "1")
+        # sabotage: simulate an interrupted compaction swap
+        os.rename(path, f"{path}__old_dead")
+        snap = f"{path}__snapshot_dead"
+        shutil.copytree(f"{path}__old_dead", snap)
+        open(os.path.join(snap, "_FS_COMMIT"), "w").write("dead")
+        # the read path must self-heal and serve the committed snapshot
+        assert fs.read_feature_view("ST_FV$1").count() == tables["customer"].count()

@@ -16,6 +16,7 @@ from .errors import (
     FeatureViewNotFoundError,
     ValidationError,
 )
+from .models import load_project
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
 from .pit import asof_join
 from .session import get_spark
@@ -31,6 +32,7 @@ __all__ = [
     "Dataset",
     "asof_join",
     "get_spark",
+    "load_project",
     "FeatureStoreError",
     "EntityNotFoundError",
     "FeatureViewNotFoundError",

@@ -1,0 +1,363 @@
+"""Declarative model loader — the dbt front-end analog.
+
+The reference's entire UX is a dbt project: a directory of ``.sql``
+files whose ``{{ config(...) }}`` block selects a materialization
+(``entity`` | ``feature_view``) and whose body is the defining SELECT
+(/root/reference/integration_tests/models/entities/
+test_customer_entity.sql:1-9, models/features/
+test_managed_customer_features.sql:1-12; config-key table
+/root/reference/README.md:206-237). ``load_project`` ingests such a
+directory against a :class:`~.store.FeatureStore`:
+
+- ``materialized='entity'`` → ``register_entity`` (the SQL body is
+  ignored, as in the reference where it is ``SELECT 1 WHERE FALSE`` —
+  entity.sql:23-34 materializes a tag, not a relation).
+- ``materialized='feature_view'`` → ``register_feature_view`` with the
+  resolved SELECT body; ``refresh_freq`` present (and not ``'none'``)
+  makes it managed (Dynamic Table analog, feature_view.sql:24).
+
+Jinja surface resolved (the subset the reference's models use):
+
+- ``{{ source('src', 'table') }}`` → the registered source's view name
+  (``FeatureStore.register_source``). An optional ``source_map``
+  overrides the default ``table``-name binding.
+- ``{{ ref('model') }}`` → for a managed model, its physical view name
+  (bound to the materialized table by ``_bind_batch_sources``); for a
+  static model, a same-named CTE holding the referenced model's fully
+  resolved body — the Spark analog of Snowflake inlining a referenced
+  VIEW at query time, and of dbt's ephemeral-model CTE injection. The
+  stored SQL is therefore self-contained across sessions.
+
+Validation mirrors the reference's compile-error shapes exactly
+(entity.sql:3-9, feature_view.sql:14-26): missing ``join_keys`` /
+``entities`` / ``feature_view_version``, and ``warehouse`` required for
+dynamic-table (managed) feature views. ``warehouse`` maps to a Spark
+FAIR-scheduler pool at refresh time (objects.RefreshSpec.warehouse).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+from .errors import ValidationError
+from .objects import FeatureView, RefreshSpec, canonical_name, physical_fv_name
+
+if TYPE_CHECKING:
+    from .store import FeatureStore
+
+# {{ config( ... ) }} — reference configs never contain ')}}' inside
+_CONFIG_RE = re.compile(r"\{\{-?\s*config\s*\((.*?)\)\s*-?\}\}", re.DOTALL)
+# {{ source('a', 'b') }} / {{ ref('m') }}, either quote style
+_EXPR_RE = re.compile(
+    r"\{\{-?\s*(source|ref)\s*\(\s*['\"]([^'\"]+)['\"]\s*"
+    r"(?:,\s*['\"]([^'\"]+)['\"]\s*)?\)\s*-?\}\}"
+)
+
+
+def _literal(node: ast.expr, model: str) -> Any:
+    """Evaluate a config-value AST node. Jinja literals are Python-ish;
+    bare ``true``/``false``/``none`` also appear in dbt projects."""
+    if isinstance(node, ast.Name):
+        mapped = {"true": True, "false": False, "none": None}.get(node.id.lower())
+        if mapped is not None or node.id.lower() == "none":
+            return mapped
+        raise ValidationError(
+            f"Model '{model}': unsupported config expression {node.id!r} "
+            "(only literals are supported)"
+        )
+    try:
+        return ast.literal_eval(node)
+    except (ValueError, SyntaxError) as exc:
+        raise ValidationError(
+            f"Model '{model}': config values must be literals ({exc})"
+        ) from exc
+
+
+def _parse_config(args_src: str, model: str) -> dict[str, Any]:
+    try:
+        tree = ast.parse(f"_c({args_src})", mode="eval")
+    except SyntaxError as exc:
+        raise ValidationError(
+            f"Model '{model}': cannot parse config(...) block ({exc})"
+        ) from exc
+    call = tree.body
+    if not isinstance(call, ast.Call):
+        raise ValidationError(f"Model '{model}': malformed config(...) block")
+    cfg: dict[str, Any] = {}
+    for kw in call.keywords:
+        if kw.arg is None:
+            raise ValidationError(
+                f"Model '{model}': config(...) takes keyword arguments only"
+            )
+        cfg[kw.arg] = _literal(kw.value, model)
+    return cfg
+
+
+@dataclass
+class Model:
+    """One parsed ``.sql`` model file (name = file stem, dbt convention)."""
+
+    name: str
+    path: str
+    config: dict[str, Any]
+    body: str  # SQL with the config block stripped, jinja not yet resolved
+    refs: list[str] = field(default_factory=list)
+    sources: list[tuple[str, str]] = field(default_factory=list)
+
+    @property
+    def materialized(self) -> str:
+        return str(self.config.get("materialized", ""))
+
+    @property
+    def is_managed(self) -> bool:
+        freq = self.config.get("refresh_freq")
+        return bool(freq) and str(freq).lower() != "none"
+
+
+def parse_model(path: str) -> Model:
+    name = os.path.splitext(os.path.basename(path))[0]
+    with open(path) as f:
+        raw = f.read()
+    m = _CONFIG_RE.search(raw)
+    if not m:
+        raise ValidationError(f"Model '{name}': no {{{{ config(...) }}}} block")
+    cfg = _parse_config(m.group(1), name)
+    body = (raw[: m.start()] + raw[m.end() :]).strip()
+    refs, sources = [], []
+    for em in _EXPR_RE.finditer(body):
+        kind, a, b = em.group(1), em.group(2), em.group(3)
+        if kind == "ref":
+            refs.append(a)
+        else:
+            if b is None:
+                raise ValidationError(
+                    f"Model '{name}': source() requires (source_name, table_name)"
+                )
+            sources.append((a, b))
+    return Model(name=name, path=path, config=cfg, body=body, refs=refs, sources=sources)
+
+
+def _validate(model: Model) -> None:
+    """Reference-shaped compile-time validation (entity.sql:3-9,
+    feature_view.sql:14-26)."""
+    mat = model.materialized
+    if mat == "entity":
+        if not model.config.get("join_keys"):
+            raise ValidationError(
+                f"Entity '{model.name}' requires 'join_keys' config"
+            )
+    elif mat == "feature_view":
+        if not model.config.get("entities"):
+            raise ValidationError(
+                f"Feature View '{model.name}' requires 'entities' config"
+            )
+        if not model.config.get("feature_view_version"):
+            raise ValidationError(
+                f"Feature View '{model.name}' requires 'feature_view_version' config"
+            )
+        if model.is_managed and not model.config.get("warehouse"):
+            raise ValidationError(
+                f"Dynamic Table Feature View '{model.name}' requires "
+                "'warehouse' config"
+            )
+    else:
+        raise ValidationError(
+            f"Model '{model.name}': unknown materialization {mat!r} "
+            "(expected 'entity' or 'feature_view')"
+        )
+
+
+def _topo_order(models: dict[str, Model]) -> list[str]:
+    """Topological order of feature-view models by ref() edges
+    (project-local, like dbt's DAG)."""
+    state: dict[str, int] = {}  # 0 visiting, 1 done
+    order: list[str] = []
+
+    def visit(name: str, chain: tuple[str, ...]) -> None:
+        if state.get(name) == 1:
+            return
+        if state.get(name) == 0:
+            cycle = " -> ".join(chain + (name,))
+            raise ValidationError(f"Circular ref() between models: {cycle}")
+        state[name] = 0
+        for dep in models[name].refs:
+            if dep not in models:
+                raise ValidationError(
+                    f"Model '{name}' references unknown model '{dep}' "
+                    "(ref() targets must be models in the same project)"
+                )
+            if models[dep].materialized == "entity":
+                raise ValidationError(
+                    f"Model '{name}' cannot ref() entity model '{dep}'"
+                )
+            visit(dep, chain + (name,))
+        state[name] = 1
+        order.append(name)
+
+    for name in sorted(models):
+        if models[name].materialized == "feature_view":
+            visit(name, ())
+    return order
+
+
+def _resolve_source(
+    fs: "FeatureStore",
+    model: Model,
+    src: str,
+    table: str,
+    source_map: dict[Any, str] | None,
+) -> str:
+    bound = None
+    if source_map:
+        bound = source_map.get((src, table)) or source_map.get(f"{src}.{table}")
+    bound = bound or table
+    if fs.registry.get("sources", canonical_name(bound)) is None and not any(
+        d["name"] == bound for d in fs.registry.list("sources")
+    ):
+        raise ValidationError(
+            f"Model '{model.name}': source '{src}.{table}' resolves to "
+            f"'{bound}', which is not a registered source — call "
+            f"FeatureStore.register_source('{bound}', <path>) first"
+        )
+    return bound
+
+
+def _resolve_body(
+    fs: "FeatureStore",
+    model: Model,
+    models: dict[str, Model],
+    resolved: dict[str, str],
+    source_map: dict[Any, str] | None,
+) -> str:
+    """Substitute jinja expressions and inject CTEs for static refs."""
+    ctes: dict[str, str] = {}
+
+    def sub(m: re.Match[str]) -> str:
+        kind, a, b = m.group(1), m.group(2), m.group(3)
+        if kind == "source":
+            return _resolve_source(fs, model, a, b, source_map)
+        dep = models[a]
+        if dep.is_managed:
+            # managed dep is materialized; read the physical table, the
+            # Dynamic-Table-chaining semantics (README.md:108-121)
+            return physical_fv_name(
+                dep.name, str(dep.config["feature_view_version"])
+            )
+        # static dep inlines as a same-named CTE (Snowflake VIEW /
+        # dbt-ephemeral semantics) — self-contained stored SQL
+        ctes[a] = resolved[a]
+        return a
+
+    body = _EXPR_RE.sub(sub, model.body)
+    if ctes:
+        # newline before ')' so a trailing '-- comment' in the inlined
+        # body cannot swallow the closing paren
+        with_clause = ", ".join(
+            "{} AS ({}\n)".format(n, sql.rstrip().rstrip(";"))
+            for n, sql in ctes.items()
+        )
+        stripped = body.lstrip()
+        if stripped.upper().startswith("WITH"):
+            # merge with the model's own CTE list
+            body = f"WITH {with_clause}, {stripped[4:].lstrip()}"
+        else:
+            body = f"WITH {with_clause} {body}"
+    return body
+
+
+def load_project(
+    fs: "FeatureStore",
+    project_dir: str,
+    source_map: dict[Any, str] | None = None,
+    on_configuration_change: str = "apply",
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Ingest a directory of dbt-style model files into ``fs``.
+
+    Walks ``project_dir`` recursively for ``*.sql`` models, validates
+    configs with the reference's error shapes, registers entities first,
+    then feature views in ref()-dependency order. ``source_map``
+    optionally rebinds ``{{ source('s','t') }}`` keys (``(s, t)`` tuple
+    or ``"s.t"`` string) to registered source names; the default binding
+    is the bare table name. ``dry_run=True`` parses, validates and
+    resolves everything without registering.
+
+    Returns ``{"entities": [names], "feature_views": [(name, version)],
+    "order": [model names in registration order]}``.
+    """
+    from .objects import Entity  # local import: avoid cycle at module load
+
+    paths = []
+    for root, _dirs, files in os.walk(project_dir):
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                paths.append(os.path.join(root, fn))
+    if not paths:
+        raise ValidationError(f"No .sql models under {project_dir!r}")
+
+    models: dict[str, Model] = {}
+    for p in sorted(paths):
+        mdl = parse_model(p)
+        if mdl.name in models:
+            raise ValidationError(
+                f"Duplicate model name '{mdl.name}' "
+                f"({models[mdl.name].path} and {p})"
+            )
+        _validate(mdl)
+        models[mdl.name] = mdl
+
+    entities = [m for m in models.values() if m.materialized == "entity"]
+    fv_order = _topo_order(models)
+
+    report: dict[str, Any] = {"entities": [], "feature_views": [], "order": []}
+
+    for mdl in sorted(entities, key=lambda m: m.name):
+        if not dry_run:
+            fs.register_entity(
+                Entity(
+                    name=mdl.name,
+                    join_keys=list(mdl.config["join_keys"]),
+                    desc=str(mdl.config.get("desc", "")),
+                )
+            )
+        report["entities"].append(canonical_name(mdl.name))
+        report["order"].append(mdl.name)
+
+    resolved: dict[str, str] = {}
+    for name in fv_order:
+        mdl = models[name]
+        resolved[name] = _resolve_body(fs, mdl, models, resolved, source_map)
+        cfg = mdl.config
+        version = str(cfg["feature_view_version"])
+        refresh = None
+        if mdl.is_managed:
+            refresh = RefreshSpec(
+                refresh_freq=str(cfg["refresh_freq"]),
+                refresh_mode=str(cfg.get("refresh_mode", "AUTO")),
+                initialize=str(cfg.get("initialize", "ON_CREATE")),
+                warehouse=str(cfg["warehouse"]),
+            )
+        if not dry_run:
+            fv = FeatureView(
+                name=mdl.name,
+                entities=[str(e) for e in cfg["entities"]],
+                sql=resolved[name],
+                timestamp_col=cfg.get("timestamp_col"),
+                desc=str(cfg.get("desc", "")),
+                refresh=refresh,
+            )
+            fs.register_feature_view(
+                fv,
+                version=version,
+                on_configuration_change=str(
+                    cfg.get("on_configuration_change", on_configuration_change)
+                ),
+            )
+        report["feature_views"].append((canonical_name(mdl.name), version))
+        report["order"].append(mdl.name)
+
+    return report

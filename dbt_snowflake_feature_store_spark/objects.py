@@ -103,6 +103,12 @@ class RefreshSpec:
     refresh_freq: str  # target lag, e.g. '1 minute' — presence ⇒ managed
     refresh_mode: str = "AUTO"  # AUTO | FULL | INCREMENTAL
     initialize: str = "ON_CREATE"  # ON_CREATE | ON_SCHEDULE
+    # Snowflake 'warehouse' analog (feature_view.sql:19-26, README.md:
+    # 224-237): the compute pool the refresh runs in. Mapped to a Spark
+    # FAIR-scheduler pool (spark.scheduler.pool local property) for the
+    # duration of the refresh job — the closest Spark concept to routing
+    # a Dynamic Table refresh to a named warehouse.
+    warehouse: str | None = None
 
     def __post_init__(self) -> None:
         self.refresh_mode = self.refresh_mode.upper()
@@ -117,6 +123,7 @@ class RefreshSpec:
             "refresh_freq": self.refresh_freq,
             "refresh_mode": self.refresh_mode,
             "initialize": self.initialize,
+            "warehouse": self.warehouse,
         }
 
     @classmethod

@@ -66,7 +66,29 @@ def _write_watermark(path: str, value: str) -> None:
 
 def refresh_feature_view(fs: "FeatureStore", fv: "FeatureView", mode: str | None = None) -> str:
     """Run one refresh. Returns the effective mode used
-    ('FULL' | 'INCREMENTAL' | 'INCREMENTAL_WATERMARK')."""
+    ('FULL' | 'INCREMENTAL' | 'INCREMENTAL_WATERMARK').
+
+    The FV's ``warehouse`` (feature_view.sql:19-26) routes the refresh
+    jobs to the same-named FAIR-scheduler pool for the duration of the
+    refresh — Spark's analog of running a Dynamic Table refresh in a
+    dedicated warehouse (pools isolate refresh workloads from ad-hoc
+    queries when ``spark.scheduler.mode=FAIR``; under the default FIFO
+    scheduler the property is recorded but inert)."""
+    wh = fv.refresh.warehouse if fv.refresh else None
+    sc = fs.spark.sparkContext
+    if wh:
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", wh)
+        try:
+            return _refresh_feature_view(fs, fv, mode)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev_pool)
+    return _refresh_feature_view(fs, fv, mode)
+
+
+def _refresh_feature_view(
+    fs: "FeatureStore", fv: "FeatureView", mode: str | None = None
+) -> str:
     mode = (mode or fv.refresh.refresh_mode or "AUTO").upper()
     path = fs._fv_data_path(fv.name, fv.version)
 

@@ -225,6 +225,24 @@ class FeatureStore:
                 # a broken source must not block FVs that don't reference
                 # it; an FV that DOES gets a clear unresolved-view error
                 continue
+        # Managed, materialized FVs are also addressable from SQL by
+        # physical name (NAME__v1_0) — the analog of referencing a
+        # Dynamic Table from a downstream model ({{ ref(...) }},
+        # test_derived_customer_features.sql:1-12). A parquet-scan temp
+        # view is cheap to bind (lazy, no job) and cannot recurse: only
+        # materialized data is bound, never a re-planned SQL body.
+        for doc in self.registry.list("feature_views"):
+            path = doc.get("data_path")
+            if path and os.path.isdir(path):
+                try:
+                    df = self.storage.read(self.spark, path)
+                    if "_fs_dt" in df.columns:
+                        df = df.drop("_fs_dt")
+                    df.createOrReplaceTempView(
+                        physical_fv_name(doc["name"], doc["version"])
+                    )
+                except Exception:
+                    continue
 
     # ------------------------------------------------------------------
     # Feature views (feature_view.sql materialization)

@@ -1,0 +1,349 @@
+"""Declarative model loader (models.py) — the dbt front-end analog.
+
+The project fixture is the reference's own integration-test project
+translated verbatim (/root/reference/integration_tests/models/): two
+entity models, a static FV, a source-reading base FV, a derived FV
+chaining off it via {{ ref(...) }}, and a managed (Dynamic Table
+analog) FV. The only translation: the managed model's fully-qualified
+``rsureshbabu.FEATURE_STORE.customer_base_table`` becomes
+``{{ source('test_sources', 'customer_base_table') }}`` — Snowflake
+three-part names have no Spark-local analog (documented in models.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_snowflake_feature_store_spark import ValidationError, load_project
+from dbt_snowflake_feature_store_spark.models import parse_model
+
+ENTITY_CUSTOMER = """\
+{{
+  config(
+    materialized='entity',
+    join_keys=['customer_id'],
+    desc='Test customer entity for integration testing'
+  )
+}}
+
+SELECT 1 WHERE FALSE
+"""
+
+ENTITY_ORDER = """\
+{{
+  config(
+    materialized='entity',
+    join_keys=['order_id'],
+    desc='Test order entity'
+  )
+}}
+
+SELECT 1 WHERE FALSE
+"""
+
+FV_STATIC = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0',
+    timestamp_col='updated_at',
+    desc='Customer features for testing'
+  )
+}}
+
+SELECT
+  1 AS customer_id,
+  CURRENT_TIMESTAMP() AS updated_at,
+  25 AS f_age,
+  'US' AS f_country
+"""
+
+FV_BASE = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0',
+    timestamp_col='updated_at',
+    desc='Base customer features - source for derived features'
+  )
+}}
+
+-- Base features directly from source table
+SELECT
+  customer_id,
+  updated_at,
+  age AS f_base_age,
+  country AS f_base_country,
+  tier AS f_base_tier
+FROM {{ source('test_sources', 'customer_base_table') }}
+"""
+
+FV_DERIVED = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0',
+    timestamp_col='updated_at',
+    desc='Derived customer features - uses base features as source'
+  )
+}}
+
+-- Derived features that transform base features
+-- This demonstrates feature view chaining: base_fv -> derived_fv
+SELECT
+  customer_id,
+  updated_at,
+
+  f_base_age,
+  f_base_country,
+
+  CASE
+    WHEN f_base_age < 25 THEN 'Young'
+    WHEN f_base_age < 40 THEN 'Middle'
+    WHEN f_base_age < 60 THEN 'Senior'
+    ELSE 'Elder'
+  END AS f_age_group,
+
+  CASE
+    WHEN f_base_country = 'US' THEN 'Domestic'
+    ELSE 'International'
+  END AS f_customer_segment,
+
+  f_base_age * 12 AS f_age_in_months
+
+FROM {{ ref('test_base_customer_features') }}
+"""
+
+FV_MANAGED = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0',
+    timestamp_col='updated_at',
+    refresh_freq='1 minute',
+    warehouse='ADMIN_WH',
+    desc='Managed customer features (DYNAMIC TABLE)'
+  )
+}}
+
+-- Dynamic Tables require at least one base table (not a view)
+SELECT
+  customer_id,
+  updated_at,
+  age AS f_age,
+  tier AS f_tier
+FROM {{ source('test_sources', 'customer_base_table') }}
+"""
+
+
+def _write_project(root, models: dict[str, str]) -> str:
+    proj = root / "models"
+    for rel, text in models.items():
+        p = proj / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+    return str(proj)
+
+
+REFERENCE_PROJECT = {
+    "entities/test_customer_entity.sql": ENTITY_CUSTOMER,
+    "entities/test_order_entity.sql": ENTITY_ORDER,
+    "features/test_static_customer_features.sql": FV_STATIC,
+    "features/test_base_customer_features.sql": FV_BASE,
+    "features/test_derived_customer_features.sql": FV_DERIVED,
+    "features/test_managed_customer_features.sql": FV_MANAGED,
+}
+
+
+@pytest.fixture()
+def base_table(spark, tmp_path):
+    path = str(tmp_path / "customer_base_table")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 23, "US", "gold"),
+            (2, "2024-01-01 00:00:00", 35, "DE", "silver"),
+            (3, "2024-01-02 00:00:00", 61, "US", "bronze"),
+        ],
+        schema="customer_id int, updated_at string, age int, country string, tier string",
+    ).selectExpr(
+        "customer_id", "CAST(updated_at AS timestamp) updated_at",
+        "age", "country", "tier",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_reference_project_loads(fs, tmp_path, base_table):
+    proj = _write_project(tmp_path, REFERENCE_PROJECT)
+    fs.register_source("customer_base_table", base_table)
+
+    report = load_project(fs, proj)
+
+    assert report["entities"] == ["TEST_CUSTOMER_ENTITY", "TEST_ORDER_ENTITY"]
+    assert ("TEST_BASE_CUSTOMER_FEATURES", "1.0") in report["feature_views"]
+    assert len(report["feature_views"]) == 4
+    # base must register before derived (ref dependency)
+    order = report["order"]
+    assert order.index("test_base_customer_features") < order.index(
+        "test_derived_customer_features"
+    )
+
+    # derived FV: chaining produced the derived columns from base rows
+    derived = fs.read_feature_view("TEST_DERIVED_CUSTOMER_FEATURES", "1.0")
+    rows = {r["customer_id"]: r for r in derived.collect()}
+    assert rows[1]["f_age_group"] == "Young"
+    assert rows[2]["f_age_group"] == "Middle"
+    assert rows[3]["f_age_group"] == "Elder"
+    assert rows[1]["f_customer_segment"] == "Domestic"
+    assert rows[2]["f_customer_segment"] == "International"
+    assert rows[2]["f_age_in_months"] == 420
+
+    # managed FV materialized on registration (initialize=ON_CREATE)
+    managed = fs.get_feature_view("TEST_MANAGED_CUSTOMER_FEATURES", "1.0")
+    assert managed.is_managed
+    assert managed.refresh.warehouse == "ADMIN_WH"
+    assert fs.read_feature_view(managed).count() == 3
+
+    # static FV evaluates its verbatim body
+    static = fs.read_feature_view("TEST_STATIC_CUSTOMER_FEATURES", "1.0")
+    srow = static.collect()[0]
+    assert srow["f_age"] == 25 and srow["f_country"] == "US"
+
+
+def test_reload_is_idempotent(fs, tmp_path, base_table):
+    proj = _write_project(tmp_path, REFERENCE_PROJECT)
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    # second run: unchanged specs -> no-op (feature_view.sql:175-180),
+    # including under on_configuration_change='fail'
+    report = load_project(fs, proj, on_configuration_change="fail")
+    assert len(report["feature_views"]) == 4
+
+
+def test_chained_static_sql_is_self_contained(fs, tmp_path, base_table, spark):
+    """The stored SQL of a ref()-chained static FV inlines its parent as
+    a CTE, so a SECOND store instance (fresh registry read, no loader
+    state) can still read it."""
+    from dbt_snowflake_feature_store_spark import FeatureStore
+
+    proj = _write_project(tmp_path, REFERENCE_PROJECT)
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+
+    fs2 = FeatureStore(spark, fs.root, name="TEST_FS")
+    derived = fs2.read_feature_view("TEST_DERIVED_CUSTOMER_FEATURES", "1.0")
+    assert derived.count() == 3
+    doc_sql = fs2.get_feature_view("TEST_DERIVED_CUSTOMER_FEATURES", "1.0").sql
+    assert "test_base_customer_features AS (" in doc_sql
+
+
+def test_ref_to_managed_resolves_to_physical_table(fs, tmp_path, base_table):
+    """A model ref()ing a MANAGED model reads the materialized table by
+    physical name, not a recomputation (Dynamic-Table chaining)."""
+    project = dict(REFERENCE_PROJECT)
+    project["features/test_on_managed.sql"] = """\
+{{ config(materialized='feature_view', entities=['test_customer_entity'],
+          feature_view_version='2.0', desc='reads managed') }}
+SELECT customer_id, f_age FROM {{ ref('test_managed_customer_features') }}
+"""
+    proj = _write_project(tmp_path, project)
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    fv = fs.get_feature_view("TEST_ON_MANAGED", "2.0")
+    assert "TEST_MANAGED_CUSTOMER_FEATURES__v1_0" in fv.sql
+    assert fs.read_feature_view(fv).count() == 3
+
+
+@pytest.mark.parametrize(
+    "model,msg",
+    [
+        (
+            "{{ config(materialized='entity', desc='x') }}\nSELECT 1",
+            "requires 'join_keys' config",
+        ),
+        (
+            "{{ config(materialized='feature_view', feature_view_version='1.0') }}\nSELECT 1",
+            "requires 'entities' config",
+        ),
+        (
+            "{{ config(materialized='feature_view', entities=['e']) }}\nSELECT 1",
+            "requires 'feature_view_version' config",
+        ),
+        (
+            "{{ config(materialized='feature_view', entities=['e'],"
+            " feature_view_version='1.0', refresh_freq='1 minute') }}\nSELECT 1",
+            "requires 'warehouse' config",
+        ),
+        (
+            "{{ config(materialized='table') }}\nSELECT 1",
+            "unknown materialization",
+        ),
+    ],
+)
+def test_reference_shaped_validation_errors(fs, tmp_path, model, msg):
+    proj = _write_project(tmp_path, {"bad_model.sql": model})
+    with pytest.raises(ValidationError, match=msg):
+        load_project(fs, proj, dry_run=True)
+
+
+def test_circular_ref_detected(fs, tmp_path):
+    proj = _write_project(
+        tmp_path,
+        {
+            "a.sql": "{{ config(materialized='feature_view', entities=['e'],"
+            " feature_view_version='1.0') }}\nSELECT * FROM {{ ref('b') }}",
+            "b.sql": "{{ config(materialized='feature_view', entities=['e'],"
+            " feature_view_version='1.0') }}\nSELECT * FROM {{ ref('a') }}",
+        },
+    )
+    with pytest.raises(ValidationError, match="Circular ref"):
+        load_project(fs, proj, dry_run=True)
+
+
+def test_unknown_ref_and_unregistered_source(fs, tmp_path):
+    proj = _write_project(
+        tmp_path,
+        {
+            "a.sql": "{{ config(materialized='feature_view', entities=['e'],"
+            " feature_view_version='1.0') }}\nSELECT * FROM {{ ref('nope') }}"
+        },
+    )
+    with pytest.raises(ValidationError, match="unknown model 'nope'"):
+        load_project(fs, proj, dry_run=True)
+
+    proj2 = _write_project(
+        tmp_path / "p2",
+        {
+            "b.sql": "{{ config(materialized='feature_view', entities=['e'],"
+            " feature_view_version='1.0') }}\n"
+            "SELECT * FROM {{ source('s', 'no_such_table') }}"
+        },
+    )
+    with pytest.raises(ValidationError, match="not a registered source"):
+        load_project(fs, proj2, dry_run=True)
+
+
+def test_entity_missing_for_fv(fs, tmp_path, base_table):
+    """Reference error shape: Entity 'X' not found (feature_view.sql:46-56)."""
+    from dbt_snowflake_feature_store_spark import EntityNotFoundError
+
+    proj = _write_project(
+        tmp_path,
+        {"f.sql": FV_BASE},  # references test_customer_entity, never registered
+    )
+    fs.register_source("customer_base_table", base_table)
+    with pytest.raises(EntityNotFoundError, match="not found"):
+        load_project(fs, proj)
+
+
+def test_parse_model_extracts_config_and_deps(tmp_path):
+    p = tmp_path / "m.sql"
+    p.write_text(FV_DERIVED)
+    mdl = parse_model(str(p))
+    assert mdl.name == "m"
+    assert mdl.config["feature_view_version"] == "1.0"
+    assert mdl.refs == ["test_base_customer_features"]
+    assert "config" not in mdl.body

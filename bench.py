@@ -50,6 +50,12 @@ HEADLINE = [
     "q_dedup_ngram",
     "q_tpch_q17like",
     "q_join_full",
+    # round-2 additions (VERDICT r1 item 8): regressions in the newly
+    # driver-recorded machinery + EXT keys must be visible
+    "q_sim_topk",
+    "q_scd2_history",
+    "q_fv_latest_snapshot",
+    "q_multimodal_frames",
 ]
 
 

@@ -95,12 +95,13 @@ def _tws_classes():
     return StatefulProcessor, StatefulProcessorHandle
 
 
-def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
-    """``running_user_stats`` re-expressed on transformWithStateInPandas
-    (Spark 4 typed-state API): a ValueState holds (n, total, last_ts) per
-    user; each micro-batch folds its rows in and emits the updated row.
-    Output contract is identical to the applyInPandasWithState form —
-    tests assert both match the batch recompute."""
+def make_running_stats_processor():
+    """The RunningStats StatefulProcessor, exposed for direct unit
+    testing: the container lacks ``protobuf`` so the state-server
+    round-trip can't run here, but the processor's own semantics
+    (state fold + emit) are fully testable against a mock handle
+    (tests/test_stateful_tws.py). On a real cluster the SAME object is
+    what transformWithStateInPandas executes."""
     StatefulProcessor, _ = _tws_classes()
 
     class _RunningStats(StatefulProcessor):
@@ -132,8 +133,17 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _RunningStats()
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """``running_user_stats`` re-expressed on transformWithStateInPandas
+    (Spark 4 typed-state API): a ValueState holds (n, total, last_ts) per
+    user; each micro-batch folds its rows in and emits the updated row.
+    Output contract is identical to the applyInPandasWithState form —
+    tests assert both match the batch recompute."""
     return events_stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_RunningStats(),
+        statefulProcessor=make_running_stats_processor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
@@ -143,15 +153,9 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
 DEDUP_OUTPUT_SCHEMA = "dedup_key STRING, doc_id LONG"
 
 
-def streaming_dedup_first_seen(keyed_stream: DataFrame) -> DataFrame:
-    """Cross-batch exact streaming dedup: emit only the FIRST row ever
-    seen per dedup_key (content hash), remembering seen keys in a
-    ValueState forever. This is the streaming form of q_dedup_exact —
-    Spark's built-in ``dropDuplicates`` needs a watermark to bound state
-    and forgets keys past it; a training-data ingest pipeline needs
-    corpus-lifetime dedup, which is exactly what explicit state gives.
-    Input: (dedup_key STRING, doc_id LONG, ...); grouped on dedup_key so
-    state scales horizontally with distinct-content cardinality."""
+def make_first_seen_processor():
+    """The FirstSeen dedup StatefulProcessor, exposed for direct unit
+    testing (see make_running_stats_processor)."""
     StatefulProcessor, _ = _tws_classes()
 
     class _FirstSeen(StatefulProcessor):
@@ -180,8 +184,20 @@ def streaming_dedup_first_seen(keyed_stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _FirstSeen()
+
+
+def streaming_dedup_first_seen(keyed_stream: DataFrame) -> DataFrame:
+    """Cross-batch exact streaming dedup: emit only the FIRST row ever
+    seen per dedup_key (content hash), remembering seen keys in a
+    ValueState forever. This is the streaming form of q_dedup_exact —
+    Spark's built-in ``dropDuplicates`` needs a watermark to bound state
+    and forgets keys past it; a training-data ingest pipeline needs
+    corpus-lifetime dedup, which is exactly what explicit state gives.
+    Input: (dedup_key STRING, doc_id LONG, ...); grouped on dedup_key so
+    state scales horizontally with distinct-content cardinality."""
     return keyed_stream.groupBy("dedup_key").transformWithStateInPandas(
-        statefulProcessor=_FirstSeen(),
+        statefulProcessor=make_first_seen_processor(),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode="None",

@@ -14,6 +14,13 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "feature_store_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # activate the vendored protobuf fallback BEFORE the JVM launches:
+    # transformWithStateInPandas state clients need google.protobuf in
+    # the PYTHON WORKERS, which inherit PYTHONPATH through the JVM
+    # (vendor/__init__.py; no-op when real protobuf is installed)
+    from .vendor import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

@@ -80,13 +80,14 @@ ROCKSDB_PROVIDER = (
 def tws_available() -> bool:
     """transformWithStateInPandas needs ``protobuf`` at runtime (its state
     protocol is protobuf-encoded; PySpark ships the generated stubs but
-    not the library). Absent in minimal containers → gate, don't crash."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    not the library). Minimal containers lack it → the vendored minipb
+    clean-room runtime (vendor/minipb) satisfies the generated module's
+    API subset; activation is a no-op when real protobuf is installed.
+    Must run before the SparkSession exists so workers inherit the
+    PYTHONPATH (session.get_spark also activates it)."""
+    from ..vendor import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def _tws_classes():

@@ -151,6 +151,62 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
     )
 
 
+TYPE_COUNTS_OUTPUT_SCHEMA = "user_id LONG, event_type STRING, f_count LONG"
+
+
+def make_type_counts_processor():
+    """Per-user categorical counter on MapState, exposed for unit
+    testing (see make_running_stats_processor)."""
+    StatefulProcessor, _ = _tws_classes()
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type STRING", "n LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    touched[et] = touched.get(et, 0) + int(n)
+            for et, add in touched.items():
+                prev = self._counts.getValue((et,))
+                total = (int(prev[0]) if prev else 0) + add
+                self._counts.updateValue((et,), (total,))
+                touched[et] = total
+            if touched:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(touched),
+                        "event_type": list(touched),
+                        "f_count": list(touched.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return _TypeCounts()
+
+
+def running_type_counts_tws(events_stream: DataFrame) -> DataFrame:
+    """Streaming crosstab: per (user, event_type) running counts in a
+    MapState keyed by user — the map key is the category, so per-user
+    state is O(categories) and the operator shuffles once on user_id.
+    Emits the UPDATED (user_id, event_type, count) rows each batch
+    (only categories that arrived, not the whole map — state reads are
+    point lookups, never a full iteration, which is what keeps the
+    per-batch cost independent of history at 100 TB)."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_type_counts_processor(),
+        outputStructType=TYPE_COUNTS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 DEDUP_OUTPUT_SCHEMA = "dedup_key STRING, doc_id LONG"
 
 

@@ -28,6 +28,8 @@ from dbt_snowflake_feature_store_spark.streaming.stateful import (
     ROCKSDB_PROVIDER,
     make_first_seen_processor,
     make_running_stats_processor,
+    make_type_counts_processor,
+    running_type_counts_tws,
     running_user_stats_tws,
     streaming_dedup_first_seen,
     tws_available,
@@ -91,12 +93,35 @@ class _MockValueState:
         self._v, self._set = v, True
 
 
+class _MockMapState:
+    def __init__(self):
+        self._m = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def getValue(self, key):
+        return self._m.get(key)
+
+    def containsKey(self, key) -> bool:
+        return key in self._m
+
+    def updateValue(self, key, value) -> None:
+        self._m[key] = value
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
 class _MockHandle:
     def __init__(self):
         self.states = {}
 
     def getValueState(self, name, schema):
         return self.states.setdefault(name, _MockValueState())
+
+    def getMapState(self, name, key_schema, value_schema, ttl=None):
+        return self.states.setdefault(name, _MockMapState())
 
 
 def _replay(processor_factory, batches):
@@ -157,6 +182,70 @@ def test_tws_first_seen_dedup_semantics_mock_handle():
     # is sticky), k3 is new
     assert emitted == {"k1": 3, "k2": 5, "k3": 9}
     assert len(out) == 3
+
+
+def test_tws_type_counts_semantics_mock_handle():
+    """MapState categorical counts accumulate across batches; only
+    arrived categories are emitted per batch."""
+    b1 = {1: pd.DataFrame({"event_type": ["click", "click", "view"]})}
+    b2 = {1: pd.DataFrame({"event_type": ["click"]}), 2: pd.DataFrame({"event_type": ["view"]})}
+    out = _replay(make_type_counts_processor, [b1, b2])
+    rows = {}
+    for o in out:
+        for _, r in o.iterrows():
+            rows[(int(r["user_id"]), r["event_type"])] = int(r["f_count"])
+    assert rows == {(1, "click"): 3, (1, "view"): 1, (2, "view"): 1}
+    # batch-2 emit for user 1 contains only 'click' (the arrived
+    # category), not the untouched 'view'
+    last_u1 = [o for o in out if int(o["user_id"][0]) == 1][-1]
+    assert list(last_u1["event_type"]) == ["click"]
+
+
+@needs_protobuf
+def test_tws_type_counts_matches_batch(rocksdb, tmp_path):
+    """End-to-end MapState path through the state server: final counts
+    per (user, event_type) equal the batch groupBy recompute."""
+    spark = rocksdb
+    ev = read_table(spark, SF, "events").select("user_id", "event_type")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    epoch = {"n": 0}
+
+    def sink(df, epoch_id):
+        epoch["n"] += 1
+        df.withColumn("_epoch", F.lit(epoch["n"])).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        running_type_counts_tws(stream)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    latest = out.groupBy("user_id", "event_type").agg(
+        F.max("_epoch").alias("_epoch")
+    )
+    got = {
+        (r["user_id"], r["event_type"]): r["f_count"]
+        for r in out.join(latest, ["user_id", "event_type", "_epoch"]).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
 
 
 def test_tws_first_seen_empty_batch_no_state_write():

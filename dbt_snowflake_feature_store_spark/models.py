@@ -349,6 +349,7 @@ def load_project(
                 timestamp_col=cfg.get("timestamp_col"),
                 desc=str(cfg.get("desc", "")),
                 refresh=refresh,
+                buckets=cfg.get("buckets"),
             )
             fs.register_feature_view(
                 fv,

@@ -151,6 +151,13 @@ class FeatureView:
     timestamp_col: str | None = None
     desc: str = ""
     refresh: RefreshSpec | None = None
+    # Snowflake CLUSTER BY analog for managed FVs: materialize bucketed
+    # on the entity join keys (``bucketBy(buckets, keys).sortBy(keys)``
+    # + catalog table). Joins against the FV then shuffle ONLY the other
+    # side — the FV-side Exchange disappears (SelectedBucketsCount scan).
+    # Bucketed tables are rebuilt FULLY on refresh (incremental
+    # maintenance of a bucketed layout needs a transactional format).
+    buckets: int | None = None
     # filled on registration:
     version: str | None = None
     schema_json: str | None = None

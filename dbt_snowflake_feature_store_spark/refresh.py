@@ -32,6 +32,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .errors import ValidationError
+
 if TYPE_CHECKING:
     from .objects import FeatureView
     from .store import FeatureStore
@@ -91,6 +93,31 @@ def _refresh_feature_view(
 ) -> str:
     mode = (mode or fv.refresh.refresh_mode or "AUTO").upper()
     path = fs._fv_data_path(fv.name, fv.version)
+
+    if fv.buckets:
+        # bucketed (CLUSTER BY analog) materializations rebuild fully:
+        # appending unbucketed files would corrupt the layout contract,
+        # and the bucket metadata lives in the catalog (objects.py)
+        df = fs._plan(fv)
+        keys = _merge_keys(fs, fv, df)
+        ts = None
+        if fv.timestamp_col:
+            ts = {c.upper(): c for c in df.columns}.get(fv.timestamp_col)
+        if not keys:
+            raise ValidationError(
+                f"Bucketed feature view '{fv.logical_name}': no entity "
+                "join keys found in the plan output to bucket by"
+            )
+        fs.storage.write_bucketed(
+            fs.spark,
+            df,
+            path,
+            table=fv.physical_name,
+            buckets=fv.buckets,
+            bucket_cols=keys,
+            sort_cols=keys + ([ts] if ts else []),
+        )
+        return "FULL"
 
     if mode in ("INCREMENTAL", "AUTO"):
         # preferred: Structured Streaming availableNow over registered

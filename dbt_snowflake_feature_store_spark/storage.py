@@ -91,6 +91,38 @@ class TableFormat:
         (compaction, migration): full write then commit."""
         raise NotImplementedError
 
+    def write_bucketed(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        table: str,
+        buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Materialize bucketed-by-key (Snowflake CLUSTER BY analog).
+
+        Parquet bucketing needs a catalog entry (``saveAsTable``) to
+        carry the bucket metadata; the table is external (data at
+        ``path``). The catalog entry is session-scoped with the
+        in-memory catalog — a later session reading the bare path still
+        gets the data, just without the shuffle-elimination metadata
+        (a metastore-backed cluster keeps it). The rebuild is offline
+        (drop + rewrite), not a snapshot swap: bucket metadata lives in
+        the catalog, which cannot be swapped atomically with the
+        directory — transactional formats own the online path."""
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        w = df.write.mode("overwrite").option("path", path)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w = w.bucketBy(buckets, *bucket_cols)
+        w = w.sortBy(*(sort_cols or bucket_cols))
+        w.saveAsTable(table)
+
 
 class ParquetSnapshotFormat(TableFormat):
     name = "parquet"
@@ -216,6 +248,29 @@ class DeltaFormat(TableFormat):
     def replace(self, spark: SparkSession, path: str, df: DataFrame,
                 partition_by: list[str] | None = None) -> None:
         self.write_full(df, path, partition_by)
+
+    def write_bucketed(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        table: str,
+        buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Delta has no Hive bucketing; its clustering analog is liquid
+        clustering / Z-ORDER. Co-locate by repartitioning + sorting on
+        the keys (file-level clustering keeps data-skipping effective;
+        the shuffle-elimination metadata is a parquet-catalog feature)."""
+        self.write_full(
+            df.repartition(buckets, *bucket_cols).sortWithinPartitions(
+                *(sort_cols or bucket_cols)
+            ),
+            path,
+            partition_by,
+        )
 
     def merge(
         self, spark: SparkSession, path: str, updates: DataFrame, keys: list[str]

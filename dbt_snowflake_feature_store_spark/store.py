@@ -341,6 +341,7 @@ class FeatureStore:
             "object_info": fv.object_info_json(),
             "schema": fv.schema_json,
             "refresh": fv.refresh.to_doc() if fv.refresh else None,
+            "buckets": fv.buckets,
             "desc": fv.desc,
             "status": fv.status,
             "data_path": self._fv_data_path(fv.name, fv.version)
@@ -358,6 +359,7 @@ class FeatureStore:
         fv.timestamp_col = None if ts == "NULL" else ts
         fv.desc = doc.get("desc", "")
         fv.refresh = RefreshSpec.from_doc(doc.get("refresh"))
+        fv.buckets = doc.get("buckets")
         fv.schema_json = doc.get("schema")
         fv.status = doc.get("status", "ACTIVE")
         fv.fv_type = doc["object_info"]["type"]
@@ -400,9 +402,13 @@ class FeatureStore:
     def _drop_materialization(self, name: str, version: str) -> None:
         """Remove an FV's data directory AND its streaming checkpoint —
         a stale checkpoint would make a later incremental refresh skip
-        every already-processed source file (silent data loss)."""
+        every already-processed source file (silent data loss). Also the
+        catalog entry a bucketed materialization may hold."""
         import shutil
 
+        self.spark.sql(
+            f"DROP TABLE IF EXISTS {physical_fv_name(name, version)}"
+        )
         path = self._fv_data_path(name, version)
         for p in (path, path + "_ckpt"):
             if os.path.isdir(p):
@@ -450,6 +456,11 @@ class FeatureStore:
             fv = self.get_feature_view(name, version)
         if fv.is_managed:
             path = self._fv_data_path(fv.name, fv.version)
+            # bucketed FV: prefer the catalog table — that is where the
+            # bucket metadata lives, and reading it is what eliminates
+            # the FV-side Exchange in joins (objects.FeatureView.buckets)
+            if fv.buckets and self.spark.catalog.tableExists(fv.physical_name):
+                return self.spark.table(fv.physical_name)
             # repair any interrupted snapshot swap BEFORE the existence
             # check — a crash between swap renames leaves no target dir
             self.storage.recover(path)

@@ -18,6 +18,8 @@ Three tiers, all over an ``array<float>`` embedding column:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -181,6 +183,25 @@ class IVFIndex:
                 break
             cent = new
         return cls([[float(v) for v in c] for c in cent])
+
+    def save(self, path: str) -> None:
+        """Persist the quantizer (centroids are the ONLY state) — the
+        index survives the session, like a FAISS index file: build once
+        at ingest, load on the query path forever after."""
+        import json
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"format": "ivf-centroids-v1", "centroids": self.centroids}, f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        return cls(doc["centroids"])
 
     def cell_expr(self, emb_col: str, dists_col: str) -> Column:
         """Nearest-centroid id from a MATERIALIZED distance-array column

@@ -151,6 +151,62 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
     )
 
 
+RECENT_OUTPUT_SCHEMA = "user_id LONG, f_n LONG, f_recent_mean DOUBLE"
+
+
+def make_recent_values_processor(n: int = 5):
+    """Recent-N rolling window on ListState, exposed for unit testing
+    (see make_running_stats_processor)."""
+    StatefulProcessor, _ = _tws_classes()
+
+    class _RecentValues(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._recent = handle.getListState(
+                "recent", "ts TIMESTAMP, value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            items = [tuple(t) for t in self._recent.get()] if self._recent.exists() else []
+            for pdf in rows:
+                items.extend(
+                    zip(list(pdf["ts"]), (float(v) for v in pdf["value"]))
+                )
+            # top-N most recent by event time (value tiebreak for
+            # determinism under equal timestamps)
+            items.sort(key=lambda t: (t[0], t[1]), reverse=True)
+            items = items[:n]
+            self._recent.put(items)
+            vals = [v for _, v in items]
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "f_n": [len(vals)],
+                    "f_recent_mean": [sum(vals) / len(vals) if vals else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _RecentValues()
+
+
+def recent_values_tws(events_stream: DataFrame, n: int = 5) -> DataFrame:
+    """Per-user rolling last-N feature (mean over the N most recent
+    events by event time) — the 'last N transactions' feature-store
+    pattern. ListState holds exactly N (ts, value) rows per key, so
+    state is O(N) per entity regardless of history length; each batch
+    rewrites one small list (ListState.put) and emits the updated
+    feature row. Shuffles once on user_id."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_recent_values_processor(n),
+        outputStructType=RECENT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 TYPE_COUNTS_OUTPUT_SCHEMA = "user_id LONG, event_type STRING, f_count LONG"
 
 

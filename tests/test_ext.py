@@ -115,6 +115,20 @@ class TestSimilarity:
         # ANN recall: probing 3/8 cells should still find most true top-k
         assert len(set(ivf1) & set(exact)) >= 5
 
+    def test_ivf_index_persists_to_disk(self, spark, sf_dir, tmp_path):
+        """FAISS-style index-state lifecycle: build once, save, load in
+        a 'later session', identical assignments and search results."""
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        e = read_table(spark, sf_dir, "embeddings")
+        idx = SIM.IVFIndex.build(e, num_centroids=8, seed=42)
+        p = str(tmp_path / "ivf_index.json")
+        idx.save(p)
+        loaded = SIM.IVFIndex.load(p)
+        assert loaded.centroids == idx.centroids
+        q = [0.1] * len(idx.centroids[0])
+        assert loaded.probe_cells(q, 3) == idx.probe_cells(q, 3)
+
     def test_cosine_self_similarity_is_one(self, spark):
         df = spark.createDataFrame(
             [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-1.0, 0.0, 1.0])],

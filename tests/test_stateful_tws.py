@@ -27,8 +27,10 @@ from dbt_snowflake_feature_store_spark.sources import read_table
 from dbt_snowflake_feature_store_spark.streaming.stateful import (
     ROCKSDB_PROVIDER,
     make_first_seen_processor,
+    make_recent_values_processor,
     make_running_stats_processor,
     make_type_counts_processor,
+    recent_values_tws,
     running_type_counts_tws,
     running_user_stats_tws,
     streaming_dedup_first_seen,
@@ -113,6 +115,26 @@ class _MockMapState:
         return iter(self._m.items())
 
 
+class _MockListState:
+    def __init__(self):
+        self._l = []
+
+    def exists(self) -> bool:
+        return bool(self._l)
+
+    def get(self):
+        return iter(self._l)
+
+    def put(self, new_state) -> None:
+        self._l = list(new_state)
+
+    def appendValue(self, v) -> None:
+        self._l.append(v)
+
+    def appendList(self, vs) -> None:
+        self._l.extend(vs)
+
+
 class _MockHandle:
     def __init__(self):
         self.states = {}
@@ -122,6 +144,9 @@ class _MockHandle:
 
     def getMapState(self, name, key_schema, value_schema, ttl=None):
         return self.states.setdefault(name, _MockMapState())
+
+    def getListState(self, name, schema, ttl=None):
+        return self.states.setdefault(name, _MockListState())
 
 
 def _replay(processor_factory, batches):
@@ -246,6 +271,85 @@ def test_tws_type_counts_matches_batch(rocksdb, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_tws_recent_values_semantics_mock_handle():
+    """ListState rolling last-N: state holds exactly N most-recent rows,
+    the emitted mean is over those rows only."""
+    mk = lambda: make_recent_values_processor(n=3)  # noqa: E731
+    b1 = {
+        1: pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01", "2024-01-02"]), "value": [1.0, 2.0]}
+        )
+    }
+    b2 = {
+        1: pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-04", "2024-01-03"]), "value": [4.0, 3.0]}
+        )
+    }
+    out = _replay(mk, [b1, b2])
+    # after batch 2: recent-3 = values at 01-04, 01-03, 01-02 -> mean 3.0
+    assert int(out[-1]["f_n"][0]) == 3
+    assert out[-1]["f_recent_mean"][0] == pytest.approx(3.0)
+    # an old row arriving later does not displace newer ones
+    b3 = {1: pd.DataFrame({"ts": pd.to_datetime(["2023-12-01"]), "value": [100.0]})}
+    out = _replay(mk, [b1, b2, b3])
+    assert out[-1]["f_recent_mean"][0] == pytest.approx(3.0)
+
+
+@needs_protobuf
+def test_tws_recent_values_matches_batch(rocksdb, tmp_path):
+    """End-to-end ListState path (get/put through the state server):
+    final rolling means equal the batch window recompute."""
+    from pyspark.sql import Window
+
+    spark = rocksdb
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    epoch = {"n": 0}
+
+    def sink(df, epoch_id):
+        epoch["n"] += 1
+        df.withColumn("_epoch", F.lit(epoch["n"])).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        recent_values_tws(stream, n=5)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    latest = out.groupBy("user_id").agg(F.max("_epoch").alias("_epoch"))
+    got = {
+        r["user_id"]: (r["f_n"], r["f_recent_mean"])
+        for r in out.join(latest, ["user_id", "_epoch"]).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    exp = {
+        r["user_id"]: (r["n"], r["m"])
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn <= 5")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert got[k][1] == pytest.approx(exp[k][1]), k
 
 
 def test_tws_first_seen_empty_batch_no_state_write():

@@ -151,6 +151,149 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, f_events LONG"
+)
+
+
+def make_sessionizer_processor(gap_ms: int):
+    """Gap-based sessionizer with EVENT-TIME TIMERS, exposed for unit
+    testing (see make_running_stats_processor).
+
+    State per key: the OPEN sessions as (start_ms, end_ms, n) intervals
+    in a ListState (several can be open at once — a batch may contain
+    multiple gap-separated bursts whose closes the watermark has not
+    passed yet), plus one live timer at min(end)+gap. Each batch does an
+    interval merge of (open sessions ∪ batch events) — late events
+    bridge two open sessions into one, exactly like Spark's own
+    session-window merge. The timer fires when the watermark passes the
+    earliest close: emit every session with end+gap ≤ expiry, keep the
+    rest, re-arm at the new earliest close."""
+    StatefulProcessor, _ = _tws_classes()
+
+    gap_us = gap_ms * 1000  # session math is exact at µs (timestamp
+    # precision); only TIMERS are ms-granular (the runtime's unit), so a
+    # close timer rounds UP — firing early would close a session the
+    # watermark hasn't actually passed
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._open = handle.getListState(
+                "open", "start_us LONG, end_us LONG, n LONG"
+            )
+            self._timer = handle.getValueState("timer", "at_ms LONG")
+
+        def _rearm(self, sessions: list[tuple[int, int, int]]) -> None:
+            new_at = (
+                -(-(min(e for _, e, _ in sessions) + gap_us) // 1000)
+                if sessions
+                else None
+            )
+            old_at = self._timer.get()[0] if self._timer.exists() else None
+            if old_at == new_at:
+                return
+            if old_at is not None:
+                self._handle.deleteTimer(old_at)
+            if new_at is not None:
+                self._handle.registerTimer(new_at)
+                self._timer.update((new_at,))
+            else:
+                self._timer.clear()
+
+        def handleInputRows(self, key, rows, timerValues):
+            ivals = (
+                [tuple(t) for t in self._open.get()] if self._open.exists() else []
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                for t in pdf["ts"].astype("int64") // 1000:  # ns -> µs
+                    ivals.append((int(t), int(t), 1))
+            if not ivals:
+                return iter(())
+            ivals.sort()
+            merged = [ivals[0]]
+            for s, e, n in ivals[1:]:
+                ps, pe, pn = merged[-1]
+                if s - pe <= gap_us:
+                    merged[-1] = (ps, max(pe, e), pn + n)
+                else:
+                    merged.append((s, e, n))
+            self._open.put(merged)
+            self._rearm(merged)
+            return iter(())  # sessions emit on CLOSE only (append mode)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self._open.exists():
+                return
+            # close by the CURRENT WATERMARK, not the fired timer's
+            # expiry: the watermark can jump far past several pending
+            # closes in one batch, and one fire must drain all of them
+            # (a chain of one-close-per-no-data-batch never catches up)
+            wm_ms = timerValues.getCurrentWatermarkInMs() if timerValues else -1
+            expiry_us = max(expiredTimerInfo.getExpiryTimeInMs(), wm_ms) * 1000
+            sessions = [tuple(t) for t in self._open.get()]
+            closed = [t for t in sessions if t[1] + gap_us <= expiry_us]
+            still_open = [t for t in sessions if t[1] + gap_us > expiry_us]
+            self._open.put(still_open) if still_open else self._open.clear()
+            self._timer.clear()
+            self._rearm(still_open)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(closed),
+                        "session_start": [
+                            pd.to_datetime(s, unit="us") for s, _, _ in closed
+                        ],
+                        "session_end": [
+                            pd.to_datetime(e, unit="us") for _, e, _ in closed
+                        ],
+                        "f_events": [n for _, _, n in closed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return _Sessionizer()
+
+
+def sessionize_tws(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming gap-sessionization via event-time timers — the custom
+    stateful operator Spark's built-in ``session_window`` approximates
+    but cannot extend (arbitrary per-session state, exact one-live-timer
+    bookkeeping, custom close conditions).
+
+    A session closes when the WATERMARK passes last_event + gap: the
+    timer fires once, emits the closed session, clears state. Per-key
+    state is O(1) (one open session) and timers are per-key in the state
+    store, so the operator scales with key cardinality, not history.
+    Input must carry (user_id, ts, ...); the watermark is applied here.
+    """
+    import re as _re
+
+    m = _re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    if not m:
+        raise ValueError(f"unparseable gap: {gap!r}")
+    gap_ms = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600}[
+        m.group(2)
+    ] * 1000
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_sessionizer_processor(gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 RECENT_OUTPUT_SCHEMA = "user_id LONG, f_n LONG, f_recent_mean DOUBLE"
 
 

@@ -29,10 +29,12 @@ from dbt_snowflake_feature_store_spark.streaming.stateful import (
     make_first_seen_processor,
     make_recent_values_processor,
     make_running_stats_processor,
+    make_sessionizer_processor,
     make_type_counts_processor,
     recent_values_tws,
     running_type_counts_tws,
     running_user_stats_tws,
+    sessionize_tws,
     streaming_dedup_first_seen,
     tws_available,
 )
@@ -94,6 +96,9 @@ class _MockValueState:
     def update(self, v) -> None:
         self._v, self._set = v, True
 
+    def clear(self) -> None:
+        self._v, self._set = None, False
+
 
 class _MockMapState:
     def __init__(self):
@@ -134,10 +139,20 @@ class _MockListState:
     def appendList(self, vs) -> None:
         self._l.extend(vs)
 
+    def clear(self) -> None:
+        self._l = []
+
 
 class _MockHandle:
     def __init__(self):
         self.states = {}
+        self.timers = set()
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
 
     def getValueState(self, name, schema):
         return self.states.setdefault(name, _MockValueState())
@@ -350,6 +365,134 @@ def test_tws_recent_values_matches_batch(rocksdb, tmp_path):
     for k in exp:
         assert got[k][0] == exp[k][0], k
         assert got[k][1] == pytest.approx(exp[k][1]), k
+
+
+def test_tws_sessionizer_semantics_mock_handle():
+    """Interval-merge + timer bookkeeping: a batch with two gap-separated
+    bursts opens two sessions with ONE timer at the earliest close; the
+    timer emits only watermark-passed sessions and re-arms; a bridging
+    event merges two open sessions."""
+    from pyspark.sql.streaming.stateful_processor import ExpiredTimerInfo
+
+    gap = 60_000
+    proc = make_sessionizer_processor(gap)
+    h = _MockHandle()
+    proc.init(h)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ms = lambda t: int(t.value // 1_000_000)  # noqa: E731
+    sec = lambda s: pd.Timedelta(seconds=s)  # noqa: E731
+
+    def fire(at_ms):
+        # the runtime removes a fired timer before invoking the handler
+        h.timers.discard(at_ms)
+        return list(proc.handleExpiredTimer((1,), None, ExpiredTimerInfo(at_ms)))
+
+    # two bursts 5 minutes apart -> two open sessions
+    b1 = pd.DataFrame({"ts": [t0, t0 + sec(30), t0 + sec(300), t0 + sec(310)]})
+    list(proc.handleInputRows((1,), iter([b1]), None))
+    assert h.timers == {ms(t0 + sec(30)) + gap}
+
+    # earliest close fires: burst-1 emitted, timer re-armed for burst 2
+    out = fire(ms(t0 + sec(30)) + gap)
+    assert len(out) == 1 and out[0].iloc[0]["f_events"] == 2
+    assert out[0].iloc[0]["session_end"] == t0 + sec(30)
+    assert h.timers == {ms(t0 + sec(310)) + gap}
+
+    # two new bursts, the first bridging into the open session
+    b2 = pd.DataFrame({"ts": [t0 + sec(350), t0 + sec(1000)]})
+    list(proc.handleInputRows((1,), iter([b2]), None))
+    assert h.timers == {ms(t0 + sec(350)) + gap}
+
+    # merged session closes on its timer; the later burst stays open
+    out = fire(ms(t0 + sec(350)) + gap)
+    assert len(out) == 1
+    assert (out[0].iloc[0]["f_events"], out[0].iloc[0]["session_end"]) == (
+        3,
+        t0 + sec(350),
+    )
+    assert h.timers == {ms(t0 + sec(1000)) + gap}
+
+    # last session closes on the re-armed timer; nothing remains
+    out = fire(ms(t0 + sec(1000)) + gap)
+    assert len(out) == 1
+    assert (out[0].iloc[0]["f_events"], out[0].iloc[0]["session_end"]) == (
+        1,
+        t0 + sec(1000),
+    )
+    assert not h.states["open"].exists() and h.timers == set()
+
+
+@needs_protobuf
+def test_tws_sessionize_event_time_timers_match_batch(rocksdb, tmp_path):
+    """End-to-end event-time-timer path: closed sessions equal the batch
+    gaps-and-islands recompute. A future sentinel event pushes the
+    watermark past every real session's close in the second run."""
+    from pyspark.sql import Window
+
+    spark = rocksdb
+    ev = (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts")
+        .filter("user_id IS NOT NULL")
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_tws(stream, gap="30 minutes")
+            .writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # sentinel far in the future closes every real session
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(999_999, max_ts + pd.Timedelta(days=2))], schema="user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["f_events"])
+        for r in spark.read.parquet(out_dir).filter("user_id != 999999").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("_prev")
+                    > 1800 * 1_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn("_sid", F.sum("_new").over(w))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("f_events"),
+        )
+    )
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["f_events"])
+        for r in sess.collect()
+    }
+    assert got == exp
 
 
 def test_tws_first_seen_empty_batch_no_state_write():

@@ -112,7 +112,7 @@ def _refresh_feature_view(
             fs.spark,
             df,
             path,
-            table=fv.physical_name,
+            table=fs._fv_catalog_name(fv.name, fv.version),
             buckets=fv.buckets,
             bucket_cols=keys,
             sort_cols=keys + ([ts] if ts else []),

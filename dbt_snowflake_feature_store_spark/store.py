@@ -250,6 +250,12 @@ class FeatureStore:
     def _fv_key(self, name: str, version: str) -> str:
         return physical_fv_name(name, version)
 
+    def _fv_catalog_name(self, name: str, version: str) -> str:
+        """Catalog table name for a bucketed materialization, prefixed
+        with the store name: two FeatureStores in one session (or one
+        metastore) must not collide on a same-named FV."""
+        return f"{self.name}__{physical_fv_name(name, version)}"
+
     def _fv_data_path(self, name: str, version: str) -> str:
         return os.path.join(self.root, "feature_views", physical_fv_name(name, version))
 
@@ -407,7 +413,7 @@ class FeatureStore:
         import shutil
 
         self.spark.sql(
-            f"DROP TABLE IF EXISTS {physical_fv_name(name, version)}"
+            f"DROP TABLE IF EXISTS {self._fv_catalog_name(name, version)}"
         )
         path = self._fv_data_path(name, version)
         for p in (path, path + "_ckpt"):
@@ -459,8 +465,9 @@ class FeatureStore:
             # bucketed FV: prefer the catalog table — that is where the
             # bucket metadata lives, and reading it is what eliminates
             # the FV-side Exchange in joins (objects.FeatureView.buckets)
-            if fv.buckets and self.spark.catalog.tableExists(fv.physical_name):
-                return self.spark.table(fv.physical_name)
+            tbl = self._fv_catalog_name(fv.name, fv.version)
+            if fv.buckets and self.spark.catalog.tableExists(tbl):
+                return self.spark.table(tbl)
             # repair any interrupted snapshot swap BEFORE the existence
             # check — a crash between swap renames leaves no target dir
             self.storage.recover(path)

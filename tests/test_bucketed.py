@@ -75,7 +75,8 @@ def test_bucketed_fv_survives_reopen_without_catalog(fs, spark, bucketed_fv):
 
     fv = fs.get_feature_view("cust_bucketed", "1.0")
     assert fv.buckets == 8  # registry round-trip
-    spark.sql(f"DROP TABLE IF EXISTS {fv.physical_name}")  # simulate new session
+    # simulate a new session (catalog gone)
+    spark.sql(f"DROP TABLE IF EXISTS {fs._fv_catalog_name(fv.name, fv.version)}")
     fs2 = FeatureStore(spark, fs.root, name="TEST_FS")
     assert fs2.read_feature_view("cust_bucketed", "1.0").count() == 150
 
@@ -89,6 +90,7 @@ def test_bucketed_refresh_rebuilds(fs, spark, bucketed_fv):
 
 def test_bucketed_fv_dropped_from_catalog(fs, spark, bucketed_fv):
     fv = fs.get_feature_view("cust_bucketed", "1.0")
-    assert spark.catalog.tableExists(fv.physical_name)
+    tbl = fs._fv_catalog_name(fv.name, fv.version)
+    assert spark.catalog.tableExists(tbl)
     fs.delete_feature_view("cust_bucketed", "1.0")
-    assert not spark.catalog.tableExists(fv.physical_name)
+    assert not spark.catalog.tableExists(tbl)

@@ -240,6 +240,35 @@ def test_chained_static_sql_is_self_contained(fs, tmp_path, base_table, spark):
     assert "test_base_customer_features AS (" in doc_sql
 
 
+def test_two_hop_static_chain_nested_ctes(fs, tmp_path, base_table, spark):
+    """a <- b <- c static chain: c's stored SQL nests b's CTE (which
+    itself nests a's) — Spark parses nested WITH inside a CTE body, and
+    a fresh store re-plans it."""
+    from dbt_snowflake_feature_store_spark import FeatureStore
+
+    proj = _write_project(
+        tmp_path,
+        {
+            "entities/test_customer_entity.sql": ENTITY_CUSTOMER,
+            "a.sql": "{{ config(materialized='feature_view', entities="
+            "['test_customer_entity'], feature_view_version='1.0') }}\n"
+            "SELECT customer_id, age*2 AS f1 FROM "
+            "{{ source('test_sources','customer_base_table') }}",
+            "b.sql": "{{ config(materialized='feature_view', entities="
+            "['test_customer_entity'], feature_view_version='1.0') }}\n"
+            "SELECT customer_id, f1+1 AS f2 FROM {{ ref('a') }}",
+            "c.sql": "{{ config(materialized='feature_view', entities="
+            "['test_customer_entity'], feature_view_version='1.0') }}\n"
+            "SELECT customer_id, f2*10 AS f3 FROM {{ ref('b') }}",
+        },
+    )
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    fs2 = FeatureStore(spark, fs.root, name="TEST_FS")
+    rows = {r["customer_id"]: r["f3"] for r in fs2.read_feature_view("C", "1.0").collect()}
+    assert rows == {1: 470.0, 2: 710.0, 3: 1230.0}
+
+
 def test_ref_to_managed_resolves_to_physical_table(fs, tmp_path, base_table):
     """A model ref()ing a MANAGED model reads the materialized table by
     physical name, not a recomputation (Dynamic-Table chaining)."""

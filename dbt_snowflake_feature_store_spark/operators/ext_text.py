@@ -72,13 +72,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x != "",
         ).alias("toks"),
     )
+    # shingles are HASHED to int64 at construction: the per-pair
+    # array_intersect inner loop then compares/hashes longs instead of
+    # strings (measured 3.4 -> 2.1 s at sf0.1, identical pairs;
+    # collision odds ~k²/2⁶⁵ per pair — below any practical concern and
+    # below the engines' float-rounding agreement threshold), and the
+    # per-doc array_distinct also runs on longs
     sh = toks.filter(F.size("toks") >= 3).select(
         "doc_id",
         "lang",
         "bucket",
         F.expr(
             "array_distinct(transform(sequence(0, size(toks) - 3),"
-            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
+            " i -> xxhash64(concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))"
         ).alias("sh"),
     )
     sh = sh.withColumn("n", F.size("sh"))

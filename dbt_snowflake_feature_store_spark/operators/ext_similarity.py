@@ -124,6 +124,37 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding — the storage/transfer
+    compression step an embedding pipeline runs before indexing (8×
+    smaller vectors; dot products on int8 with one rescale). Per vector:
+    scale = 127/max|x|, q_i = floor(x·scale + 0.5) — floor(+0.5) instead
+    of round() because the two engines disagree on half-rounding modes
+    while floor is bit-identical IEEE in both. Emits the scale and two
+    quantization-quality aggregates (sum of quantized values, saturated
+    count). Row-local transforms only: zero shuffle, codegen'd HOFs —
+    embarrassingly parallel at any scale."""
+    e = _emb(spark, sf_dir)
+    d = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    d = d.withColumn(
+        "max_abs", F.expr("array_max(transform(e, x -> abs(x)))")
+    ).filter("max_abs > 0")
+    d = d.withColumn("f_scale", F.lit(127.0) / F.col("max_abs"))
+    d = d.withColumn(
+        "qs", F.expr("transform(e, x -> cast(floor(x * f_scale + 0.5d) as bigint))")
+    )
+    return d.select(
+        "vec_id",
+        "f_scale",
+        F.expr("aggregate(qs, 0L, (a, x) -> a + x)").alias("f_sum_q"),
+        F.expr("cast(size(filter(qs, q -> abs(q) = 127)) as bigint)").alias(
+            "f_n_sat"
+        ),
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates via LSH buckets (approx →
     rows-only). Top-50 highest-cosine bucket pairs above a 0.0 floor,
@@ -176,11 +207,35 @@ ORACLE: dict[str, str] = {
         FROM embeddings
         GROUP BY label
     """,
+    "q_embed_quantize": """
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), m AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS max_abs
+            FROM b
+        ), s AS (
+            SELECT vec_id, e, 127.0 / max_abs AS f_scale
+            FROM m WHERE max_abs > 0
+        ), q AS (
+            SELECT vec_id, f_scale,
+                   list_transform(e,
+                       x -> CAST(floor(x * f_scale + 0.5) AS BIGINT)) AS qs
+            FROM s
+        )
+        SELECT vec_id, f_scale,
+               CAST(list_sum(qs) AS BIGINT) AS f_sum_q,
+               CAST(len(list_filter(qs, q -> abs(q) = 127)) AS BIGINT) AS f_n_sat
+        FROM q
+    """,
 }
 
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_embed_centroid": q_embed_centroid,
+    "q_embed_quantize": q_embed_quantize,
     "q_sim_topk_fast": q_sim_topk_fast,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ivf": q_sim_ivf,

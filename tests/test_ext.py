@@ -115,6 +115,25 @@ class TestSimilarity:
         # ANN recall: probing 3/8 cells should still find most true top-k
         assert len(set(ivf1) & set(exact)) >= 5
 
+    def test_embed_quantize_properties(self, spark, sf_dir):
+        """Every vector saturates at least one element (the max |x|
+        quantizes to exactly ±127), scale is positive, and the sum of
+        quantized values is bounded by 127·dim."""
+        from dbt_snowflake_feature_store_spark.operators.ext_similarity import (
+            q_embed_quantize,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        dim = len(
+            read_table(spark, sf_dir, "embeddings").head()["embedding"]
+        )
+        rows = q_embed_quantize(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["f_scale"] > 0
+            assert r["f_n_sat"] >= 1
+            assert abs(r["f_sum_q"]) <= 127 * dim
+
     def test_ivf_index_persists_to_disk(self, spark, sf_dir, tmp_path):
         """FAISS-style index-state lifecycle: build once, save, load in
         a 'later session', identical assignments and search results."""

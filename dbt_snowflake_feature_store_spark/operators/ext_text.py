@@ -376,9 +376,9 @@ ORACLE: dict[str, str] = {
     "q_text_stats": f"""
         SELECT lang,
                COUNT(*) AS f_docs,
-               SUM(n_chars) AS f_total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS f_total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS f_avg_chars,
-               SUM({_WS_COUNT}) AS f_total_tokens
+               CAST(SUM({_WS_COUNT}) AS BIGINT) AS f_total_tokens
         FROM documents
         GROUP BY lang
     """,
@@ -446,7 +446,7 @@ ORACLE["q_sample_split"] = """
                 WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
                 ELSE 'test' END AS f_split,
            COUNT(*) AS f_docs,
-           SUM(n_chars) AS f_chars
+           CAST(SUM(n_chars) AS BIGINT) AS f_chars
     FROM documents
     GROUP BY 1, 2
 """
@@ -466,7 +466,7 @@ ORACLE["q_pack_sequences"] = f"""
     SELECT lang,
            CAST(FLOOR(CAST(cum - n_toks AS DOUBLE) / 2048) AS BIGINT) AS f_pack,
            COUNT(*) AS f_docs,
-           SUM(n_toks) AS f_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS f_tokens,
            MIN(doc_id) AS f_first_doc,
            MAX(doc_id) AS f_last_doc
     FROM cums

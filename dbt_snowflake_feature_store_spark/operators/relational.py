@@ -555,7 +555,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.unix_timestamp(F.col("ts")))
         .rangeBetween(-3600, 0)
     )
     return ev.select(
@@ -617,7 +617,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (single exchange)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_timestamp(F.col("ts")) - F.lag(F.unix_timestamp(F.col("ts"))).over(w)
     with_break = ev.select(
         "event_id",
         "user_id",

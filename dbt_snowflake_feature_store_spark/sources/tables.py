@@ -29,16 +29,24 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet TIMESTAMP(NANOS) columns per table: Spark has no nanosecond
-# timestamp type, so we read them as int64 nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to microsecond
-# timestamps with integer division — the same ns→µs truncation DuckDB
-# applies, so oracle comparisons agree exactly.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns per table that must come out as session-TZ (UTC)
+# TIMESTAMP regardless of the physical parquet layout. The driver's
+# testdata has shipped two layouts across rounds:
+#   * TIMESTAMP(NANOS): Spark has no ns type — read as int64 nanos
+#     (spark.sql.legacy.parquet.nanosAsLong) and truncate ns→µs, the
+#     same truncation DuckDB applies.
+#   * timestamp[us] (current): Spark infers TIMESTAMP_NTZ, which is
+#     poison downstream — TIMESTAMP_NTZ → BIGINT casts throw
+#     AnalysisException. Cast to TIMESTAMP under the UTC session TZ
+#     (identical wall-clock values, so the DuckDB oracle agrees).
+# Normalizing HERE, not per-operator, is the 100 TB posture: source
+# type drift must not take down every downstream query.
+_EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one source table; normalizes nanosecond timestamps.
+    """Read one source table; normalizes event-time columns to UTC
+    TIMESTAMP whether the file stores ns-int64 or timestamp[us]/NTZ.
 
     Pins the session timezone to UTC: parquet timestamps are UTC
     instants and the DuckDB oracle compares naive-UTC values — a host
@@ -46,14 +54,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp and break value comparison."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos = _NANOS_TS_COLS.get(name, ())
-    if not nanos:
+    ts_cols = _EVENT_TS_COLS.get(name, ())
+    if not ts_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in nanos:
-        if dict(df.dtypes).get(c) == "bigint":
+    dtypes = dict(df.dtypes)
+    for c in ts_cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":  # TIMESTAMP(NANOS) layout
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":  # timestamp[us] layout
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -407,15 +407,18 @@ ORACLE: dict[str, str] = {
                CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE) / q_n_tokens
                    AS q_mean_word_len,
                q_punct_ratio, q_digit_ratio, q_stopword_ratio,
+               -- each term cast to DOUBLE so the chain-add is the same
+               -- IEEE double sum Spark computes (a DECIMAL sum here would
+               -- type-diverge from Spark's double q_score)
                (CASE WHEN q_n_tokens >= 10 AND q_n_tokens <= 100000
-                     THEN 0.4 ELSE 0.0 END
-                + CASE WHEN q_punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
-                + CASE WHEN q_digit_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+                     THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN q_punct_ratio < 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN q_digit_ratio < 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
                 + CASE WHEN (CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE)
                              / q_n_tokens) > 2.0
                         AND (CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE)
                              / q_n_tokens) < 12.0
-                     THEN 0.2 ELSE 0.0 END) AS q_score
+                     THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END) AS q_score
         FROM feats
     """,
     "q_text_search": """

@@ -21,6 +21,29 @@ from . import relational, relational2
 # and absorb the cap.
 _MODULES = [relational2, relational]
 
+# Rotation policy (round 4+): the 50-entry cap left 26 relational keys with
+# no driver-dated record for two rounds, and round 3 proved the blind spot
+# bites (q_sessionize rotted unseen). Keys least-recently recorded by the
+# driver are promoted to the FRONT of the registry for one round; update
+# this tuple each round to whatever CORRECTNESS_r{N}.json did NOT cover.
+# Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
+# (written by .claude/skills/verify/drive_verify.py) records all keys.
+_PRIORITY_KEYS: tuple[str, ...] = (
+    "q_join_left", "q_join_multi_fv", "q_join_asof", "q_semi_anti",
+    "q_union_all", "q_window_rank", "q_window_frame", "q_sort_limit",
+    "q_scalar_str", "q_scalar_date", "q_scalar_json", "q_agg_having",
+    "q_cte_pipeline", "q_rollup", "q_set_ops", "q_pivot", "q_join_range",
+    "q_sessionize", "q_percentile", "q_agg_approx", "q_window_range",
+    "q_scalar_subquery", "q_explode_tokens", "q_tpch_q1like",
+    "q_tpch_q3like", "q_tpch_q5like",
+)
+
+
+def _rotate(out: dict) -> dict:
+    front = {k: out[k] for k in _PRIORITY_KEYS if k in out}
+    front.update((k, v) for k, v in out.items() if k not in front)
+    return front
+
 
 def _try_ext_modules() -> None:
     global _MODULES
@@ -51,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         out.update(getattr(m, "QUERIES", {}))
-    return out
+    return _rotate(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -59,4 +82,4 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(getattr(m, "ORACLE", {}))
-    return out
+    return _rotate(out)

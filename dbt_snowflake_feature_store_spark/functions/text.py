@@ -158,22 +158,34 @@ def content_fingerprint(text: Column) -> Column:
     return F.sha2(normalized_text(text), 256)
 
 
+def portable_hash64(s: Column) -> Column:
+    """Engine-portable 60-bit integer hash: top 15 hex chars of md5,
+    parsed base-16. Identical in Spark (``conv``) and DuckDB
+    (``('0x'||substr(md5(s),1,15))::BIGINT``) — used to oracle-gate
+    hash-driven operators (winnowing) that default to xxhash64."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def with_winnowing_fingerprint(
     df: DataFrame,
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
     out_col: str = "fingerprints",
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash
     every k-gram of tokens (rolling set), keep each window's minimum hash,
-    distinct. Pure native exprs.
+    distinct. Pure native exprs. ``portable=True`` swaps xxhash64 for
+    :func:`portable_hash64` so DuckDB can replay the exact pipeline
+    (slower — md5 vs xxhash — so production keeps the default).
 
     PERF INVARIANT: each intermediate array (tokens, k-gram hashes) is
     materialized as a real column BEFORE a lambda references it — Spark
     re-evaluates expressions referenced inside higher-order-function
     lambdas once per element (no CSE inside lambdas), which turns a naive
     single-expression formulation into O(n²) regex work per document."""
+    hash_fn = portable_hash64 if portable else F.xxhash64
     toks_c, kh_c = f"__w_toks_{out_col}", f"__w_kh_{out_col}"
     d = df.withColumn(toks_c, ws_tokens(normalized_text(F.col(text_col))))
     toks = F.col(toks_c)
@@ -181,7 +193,7 @@ def with_winnowing_fingerprint(
         kh_c,
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
     )
     kh = F.col(kh_c)

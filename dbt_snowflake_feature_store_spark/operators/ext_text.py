@@ -299,9 +299,20 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint (xxhash64 k-grams → rows-only check)."""
-    d = TXT.with_winnowing_fingerprint(_docs(spark, sf_dir), "text", out_col="_fp")
-    return d.select("doc_id", F.size("_fp").alias("f_n_fingerprints"))
+    """Winnowing fingerprint, oracle-gated: the portable md5-derived
+    60-bit hash lets DuckDB replay the identical k-gram → window-minima
+    → distinct pipeline, so the winnow selection logic itself is
+    hash-checked (count + min + max fingerprint per doc). Production
+    callers use the xxhash64 default (faster, same logic)."""
+    d = TXT.with_winnowing_fingerprint(
+        _docs(spark, sf_dir), "text", out_col="_fp", portable=True
+    )
+    return d.select(
+        "doc_id",
+        F.size("_fp").cast("long").alias("f_n_fp"),
+        F.array_min("_fp").alias("f_min_fp"),
+        F.array_max("_fp").alias("f_max_fp"),
+    )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +444,38 @@ ORACLE: dict[str, str] = {
     "q_fingerprint": f"""
         SELECT doc_id, sha256({_NORM}) AS f_fingerprint
         FROM documents
+    """,
+    # Winnowing (k=5 token grams, window=4): DuckDB replays the exact
+    # pipeline with the same portable md5-derived 60-bit hash. Spark's
+    # slice(arr, i+1, k) is (start, LENGTH); DuckDB list_slice is
+    # (begin, END) inclusive — hence i+1 .. i+5 / i+1 .. i+4 below.
+    "q_fingerprint_winnow": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ),
+        kh AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(len(t) - 5, 0) + 1),
+                       i -> ('0x' || substr(md5(array_to_string(
+                                list_slice(t, i + 1, i + 5), ' ')), 1, 15)
+                            )::BIGINT
+                   ) AS h
+            FROM toks
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(h) - 4, 0) + 1),
+                       i -> list_min(list_slice(h, i + 1, i + 4))
+                   )) AS fp
+            FROM kh
+        )
+        SELECT doc_id,
+               CAST(len(fp) AS BIGINT) AS f_n_fp,
+               list_min(fp) AS f_min_fp,
+               list_max(fp) AS f_max_fp
+        FROM fps
     """,
     "q_multimodal_meta": """
         SELECT doc_id AS media_id,

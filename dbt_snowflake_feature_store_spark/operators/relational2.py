@@ -337,7 +337,73 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(first_ev, last_ev, keys=["user_id"], ts_col="ts")
 
 
+def q_scd2_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with MULTIPLE updates per key in one batch: each user's 2nd
+    and 3rd events (collapsed to one row per (user_id, ts) so the chain
+    order is engine-deterministic without the xxhash tiebreak) are
+    applied against the first-event open version. Hash-checks the
+    lead()-chained validity path in ``functions.merge.scd2_apply`` —
+    each new version's valid_to is the NEXT update's ts, only the last
+    stays open — which q_scd2_history's one-update fixture never
+    exercises. One shuffle on the key."""
+    from ..functions.merge import scd2_apply
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    current = ranked.filter("rn = 1").select(
+        "user_id",
+        F.col("value").alias("f_value"),
+        F.col("ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        ranked.filter(F.col("rn").isin(2, 3))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("f_value"))
+        .select("user_id", "f_value", "ts")
+    )
+    return scd2_apply(current, updates, keys=["user_id"], ts_col="ts")
+
+
 ORACLE: dict[str, str] = {
+    "q_scd2_multi": """
+        WITH ranked AS (
+            SELECT user_id, value, ts, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS rn
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, value AS f_value, ts FROM ranked WHERE rn = 1
+        ),
+        upd AS (
+            SELECT user_id, ts, MAX(value) AS f_value
+            FROM ranked WHERE rn IN (2, 3)
+            GROUP BY user_id, ts
+        ),
+        upd_min AS (
+            SELECT user_id, MIN(ts) AS new_ts FROM upd GROUP BY user_id
+        ),
+        closed AS (
+            SELECT f.user_id, f.f_value, f.ts AS valid_from,
+                   m.new_ts AS valid_to
+            FROM firsts f LEFT JOIN upd_min m ON f.user_id = m.user_id
+        ),
+        chained AS (
+            SELECT user_id, f_value, ts AS valid_from,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                   ) AS valid_to
+            FROM upd
+        )
+        SELECT user_id, f_value, valid_from, valid_to FROM closed
+        UNION ALL
+        SELECT user_id, f_value, valid_from, valid_to FROM chained
+    """,
     "q_scd2_history": """
         WITH firsts AS (
             SELECT user_id, value AS f_value, ts
@@ -497,6 +563,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "q_scd2_history": q_scd2_history,
+    "q_scd2_multi": q_scd2_multi,
     "q_join_full": q_join_full,
     "q_cross_join": q_cross_join,
     "q_tpch_q17like": q_tpch_q17like,

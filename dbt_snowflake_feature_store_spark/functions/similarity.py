@@ -295,18 +295,33 @@ def cosine_pairs_lsh(
     num_bits: int = 6,
     dim: int = 64,
     top_n: int | None = None,
+    multi_probe: bool = False,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: bucket by hyperplane
     signature, exact-cosine verify within buckets (id_a < id_b).
     O(n²/2^bits) instead of O(n²).
 
-    With ``top_n`` set, returns the N highest-cosine bucket pairs
-    (ties broken by ids — fully deterministic) instead of only pairs
-    above ``threshold``; the threshold still acts as a pre-limit floor.
-    This keeps the output non-empty on corpora whose nearest pairs sit
-    below the threshold, so a rows-only correctness check actually
-    checks the pipeline. Top-N is TakeOrderedAndProject (per-partition
-    top-N, driver merge) — no global sort at scale."""
+    Skew hardening (the 100 TB path):
+
+    - ``multi_probe``: the probe side also joins on every Hamming-1
+      neighbor of its signature, so ``num_bits`` can be raised (smaller,
+      skew-resistant buckets) without the recall cliff — a near-dup pair
+      whose projections disagree on ONE hyperplane is still found. Each
+      unordered pair surfaces exactly once: for Hamming-0 via the shared
+      signature, for Hamming-1 via the lower id's flipped probe (the
+      reverse match is removed by ``id_a < id_b``), so no distinct pass
+      is needed. Cost: probe side ×(bits+1) rows vs buckets ÷2^Δbits —
+      net candidate reduction whenever bits rise by ≥ log2(bits+2).
+    - ``max_bucket_size``: buckets larger than the cap are EXCLUDED from
+      the pair join (one map-side-combinable count per signature decides;
+      predicates stay pushed below the join). A clustered corpus that
+      collapses into one signature otherwise makes the self-join
+      quadratic in that bucket — the classic LSH scale-killer. Capped
+      buckets are near-identical-content clusters; exact/MinHash dedup
+      (functions.text) is the right tool for them, and ``log_dropped``
+      reports how many buckets/rows were excluded (one extra count job)."""
     weights = _hyperplane_weights(num_bits, dim)
     norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
     base = df.select(
@@ -315,12 +330,38 @@ def cosine_pairs_lsh(
         _signature_expr(emb_col, weights).alias("_sig"),
         norm.alias("_norm"),
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col(emb_col).alias("emb_a"),
-        "_sig",
-        F.col("_norm").alias("norm_a"),
-    )
+    if max_bucket_size is not None:
+        sizes = base.groupBy("_sig").agg(F.count("*").alias("_bkt_n"))
+        if log_dropped:
+            import logging
+
+            dropped = sizes.filter(F.col("_bkt_n") > max_bucket_size).agg(
+                F.count("*").alias("b"), F.coalesce(F.sum("_bkt_n"), F.lit(0)).alias("r")
+            ).collect()[0]
+            logging.getLogger(__name__).warning(
+                "cosine_pairs_lsh: dropping %d over-cap buckets (%d rows, cap=%d)",
+                dropped["b"], dropped["r"], max_bucket_size,
+            )
+        keep = sizes.filter(F.col("_bkt_n") <= max_bucket_size).select("_sig")
+        base = base.join(F.broadcast(keep), "_sig")
+    if multi_probe:
+        probes = F.expr(
+            f"array_union(array(_sig), transform(sequence(0, {num_bits - 1}),"
+            f" j -> _sig ^ shiftleft(1, j)))"
+        )
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(emb_col).alias("emb_a"),
+            F.col("_norm").alias("norm_a"),
+            F.explode(probes).alias("_sig"),
+        )
+    else:
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(emb_col).alias("emb_a"),
+            F.col("_norm").alias("norm_a"),
+            "_sig",
+        )
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),

@@ -162,10 +162,13 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check exercises the whole bucket-join + verify pipeline
     (a 0.9-threshold-only form returned 0 rows at sf0.01: vacuous; the
     synthetic embeddings are near-orthogonal, max bucket-pair cosine
-    ~0.45)."""
+    ~0.45). Skew-hardened settings: 12 bits (4096 buckets) + Hamming-1
+    multi-probe for recall + a 64-row bucket cap so no clustered corpus
+    can make the bucket self-join quadratic (see cosine_pairs_lsh)."""
     e = _emb(spark, sf_dir)
     return SIM.cosine_pairs_lsh(
-        e, threshold=0.0, num_bits=6, dim=64, top_n=50
+        e, threshold=0.0, num_bits=12, dim=64, top_n=50,
+        multi_probe=True, max_bucket_size=64,
     )
 
 

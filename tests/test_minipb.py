@@ -150,3 +150,120 @@ def test_packed_repeated_varint_accepted_on_read():
     # field 1 LEN: varints 1, 300 -> tag 0x0a, len 3, 0x01, 0xac 0x02
     m.ParseFromString(bytes([0x0A, 0x03, 0x01, 0xAC, 0x02]))
     assert m.xs == [1, 300]
+
+
+# ---------------------------------------------------------------------------
+# round-4 codec extension: floats, fixed-width, zigzag, packed write, maps
+# ---------------------------------------------------------------------------
+
+from dbt_snowflake_feature_store_spark.vendor.minipb.google.protobuf import (  # noqa: E402
+    message as mp,
+)
+
+
+def _mk(name, fields):
+    """Build a message class the way the builder does (synthetic proto)."""
+    desc = mp.MessageDesc(name, f".t4.{name}", fields)
+    cls = type(name, (mp.Message,), {"_desc": desc})
+    mp.MESSAGE_CLASSES[f".t4.{name}"] = cls
+    return cls
+
+
+def test_wire_vectors_fixed_and_zigzag():
+    """Hand-checked against the public encoding spec."""
+    import struct
+
+    M = _mk(
+        "Vec",
+        [
+            mp.FieldDesc("d", 1, mp.TYPE_DOUBLE),
+            mp.FieldDesc("f", 2, mp.TYPE_FLOAT),
+            mp.FieldDesc("s32", 3, mp.TYPE_SINT32),
+            mp.FieldDesc("s64", 4, mp.TYPE_SINT64),
+            mp.FieldDesc("fx32", 5, mp.TYPE_FIXED32),
+            mp.FieldDesc("sfx64", 6, mp.TYPE_SFIXED64),
+        ],
+    )
+    assert M(d=1.0).SerializeToString().hex() == "09" + struct.pack("<d", 1.0).hex()
+    assert M(f=1.5).SerializeToString().hex() == "15" + struct.pack("<f", 1.5).hex()
+    assert M(s32=-1).SerializeToString().hex() == "1801"  # zigzag(-1) = 1
+    assert M(s64=-2).SerializeToString().hex() == "2003"  # zigzag(-2) = 3
+    assert M(fx32=7).SerializeToString().hex() == "2d07000000"
+    assert M(sfx64=-1).SerializeToString().hex() == "31" + "ff" * 8
+
+
+def test_packed_repeated_double_write_and_read():
+    """proto3 packs repeated scalars on WRITE now: one LEN record."""
+    import struct
+
+    M = _mk("PackedD", [mp.FieldDesc("xs", 4, mp.TYPE_DOUBLE, repeated=True)])
+    m = M(xs=[1.0, -2.5])
+    wire = m.SerializeToString()
+    payload = struct.pack("<d", 1.0) + struct.pack("<d", -2.5)
+    assert wire.hex() == "22" + bytes([len(payload)]).hex() + payload.hex()
+    p = M()
+    p.ParseFromString(wire)
+    assert p.xs == [1.0, -2.5]
+    # unpacked form from a foreign writer must also decode
+    unpacked = b"\x21" + struct.pack("<d", 3.0) + b"\x21" + struct.pack("<d", 4.0)
+    p2 = M()
+    p2.ParseFromString(unpacked)
+    assert p2.xs == [3.0, 4.0]
+
+
+def test_packed_repeated_varint_written_packed():
+    M = _mk("PackedV", [mp.FieldDesc("xs", 1, mp.TYPE_INT64, repeated=True)])
+    m = M(xs=[1, 300])
+    assert m.SerializeToString().hex() == "0a0301ac02"
+    p = M()
+    p.ParseFromString(m.SerializeToString())
+    assert p.xs == [1, 300]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    d=st.floats(allow_nan=False),
+    f=st.floats(allow_nan=False, width=32),
+    s=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    xs=st.lists(st.floats(allow_nan=False), max_size=8),
+)
+def test_roundtrip_float_types(d, f, s, xs):
+    M = _mk(
+        "Floats",
+        [
+            mp.FieldDesc("d", 1, mp.TYPE_DOUBLE),
+            mp.FieldDesc("f", 2, mp.TYPE_FLOAT),
+            mp.FieldDesc("s", 3, mp.TYPE_SINT64),
+            mp.FieldDesc("xs", 4, mp.TYPE_DOUBLE, repeated=True),
+        ],
+    )
+    m = M(d=d, f=f, s=s, xs=xs)
+    p = M()
+    p.ParseFromString(m.SerializeToString())
+    assert p.d == d and p.f == f and p.s == s and p.xs == xs
+
+
+def test_map_field_as_repeated_entries():
+    """map<string,int64> is, on the wire, a repeated entry message
+    (key=1, value=2) — the form descriptor_pool synthesizes for map
+    fields. Round-trip through the repeated-message path."""
+    Entry = _mk(
+        "CountsEntry",
+        [
+            mp.FieldDesc("key", 1, mp.TYPE_STRING),
+            mp.FieldDesc("value", 2, mp.TYPE_INT64),
+        ],
+    )
+    M = _mk(
+        "WithMap",
+        [
+            mp.FieldDesc(
+                "counts", 1, mp.TYPE_MESSAGE, repeated=True,
+                type_name=".t4.CountsEntry",
+            )
+        ],
+    )
+    m = M(counts=[Entry(key="a", value=1), Entry(key="b", value=-2)])
+    p = M()
+    p.ParseFromString(m.SerializeToString())
+    assert {e.key: e.value for e in p.counts} == {"a": 1, "b": -2}

@@ -56,6 +56,11 @@ HEADLINE = [
     "q_scd2_history",
     "q_fv_latest_snapshot",
     "q_multimodal_frames",
+    # round-4 additions: chained SCD2, skew-hardened LSH pairs, oracle-
+    # gated winnowing (portable-hash path is the benched one)
+    "q_scd2_multi",
+    "q_dedup_embed",
+    "q_fingerprint_winnow",
 ]
 
 

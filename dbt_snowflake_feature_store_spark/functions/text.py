@@ -472,3 +472,155 @@ def dedup_near_minhash(
     return jac.filter(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+# ---------------------------------------------------------------------------
+# portable MinHash (oracle-checkable variant of dedup_near_minhash)
+# ---------------------------------------------------------------------------
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_perm_consts(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation constants over Z/(2^61−1),
+    md5-derived so any engine (or the oracle SQL generator) reproduces
+    them without shipping state: a ∈ [1, p−1], b ∈ [0, p−1]."""
+    import hashlib
+
+    a = (
+        int.from_bytes(hashlib.md5(f"mh-a:{i}".encode()).digest()[:8], "big")
+        % (_MERSENNE61 - 1)
+        + 1
+    )
+    b = int.from_bytes(
+        hashlib.md5(f"mh-b:{i}".encode()).digest()[:8], "big"
+    ) % _MERSENNE61
+    return a, b
+
+
+def dedup_near_minhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with ENGINE-PORTABLE arithmetic, so a
+    SQL oracle replays the identical pipeline and the minhash/band logic
+    is hash-checked (the production path, ``dedup_near_minhash``, keeps
+    xxhash64 + the Arrow numpy stage — same algorithm, faster hashes).
+
+    Portability choices: shingle hash = :func:`portable_hash64` (60-bit
+    md5-derived); permutation i = (aᵢ·x + bᵢ) mod 2^61−1 with md5-derived
+    constants — products stay < 2^121, inside DECIMAL(38,0) on Spark and
+    HUGEINT on DuckDB; band key = '_'-joined minima (no re-hash needed
+    for the bucket join). Returns (id_a, id_b, f_n_bands) — candidate
+    pairs with the number of colliding bands. Same O(n·bands) shape as
+    the production path; only the per-element hash arithmetic differs."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    p = _MERSENNE61
+    d = (
+        df.select(F.col(id_col), F.col(text_col))
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("_toks", ws_tokens(normalized_text(F.col(text_col))))
+        .withColumn("_sh", shingles_from_tokens("_toks", shingle_k))
+        .withColumn(
+            "_shh",
+            F.expr(
+                "transform(_sh, x ->"
+                " cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+    )
+    mh_terms = []
+    for i in range(num_hashes):
+        a, b = minhash_perm_consts(i)
+        mh_terms.append(
+            f"array_min(transform(_shh, x ->"
+            f" cast((cast({a} as decimal(19,0)) * x + {b}) % {p} as bigint)))"
+        )
+    d = d.withColumn("_mh", F.expr("array(" + ",".join(mh_terms) + ")"))
+    d = d.withColumn(
+        "_bkeys",
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), j -> array_join("
+            f"transform(slice(_mh, j * {rows_per_band} + 1, {rows_per_band}),"
+            f" v -> cast(v as string)), '_'))"
+        ),
+    )
+    banded = d.select(
+        F.col(id_col), F.posexplode_outer("_bkeys").alias("_band", "_bkey")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bkey")
+    right = banded.select(F.col(id_col).alias("id_b"), "_band", "_bkey")
+    return (
+        left.hint("shuffle_hash")
+        .join(right, ["_band", "_bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("f_n_bands"))
+    )
+
+
+def minhash_portable_oracle_sql(
+    norm_sql: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """DuckDB SQL replaying :func:`dedup_near_minhash_portable` on the
+    ``documents`` view, generated from the SAME permutation constants.
+    DuckDB list_slice is inclusive-end (Spark slice takes a length)."""
+    rows_per_band = num_hashes // bands
+    p = _MERSENNE61
+    mh_terms = []
+    for i in range(num_hashes):
+        a, b = minhash_perm_consts(i)
+        mh_terms.append(
+            f"list_min(list_transform(h, x ->"
+            f" (({a}::HUGEINT * x + {b}) % {p})::BIGINT))"
+        )
+    mh_list = ",\n                   ".join(mh_terms)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split({norm_sql}, ' ') AS t
+            FROM documents
+            WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(t) - {shingle_k}, 0) + 1),
+                       i -> array_to_string(
+                                list_slice(t, i + 1, i + {shingle_k}), ' ')
+                   )) AS s
+            FROM base
+        ),
+        shh AS (
+            SELECT doc_id,
+                   list_transform(
+                       s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                   ) AS h
+            FROM sh
+        ),
+        mh AS (
+            SELECT doc_id, [{mh_list}] AS m
+            FROM shh
+        ),
+        banded AS (
+            SELECT doc_id, j AS band,
+                   array_to_string(
+                       list_slice(m, j * {rows_per_band} + 1,
+                                  j * {rows_per_band} + {rows_per_band}),
+                       '_') AS bkey
+            FROM mh, range({bands}) r(j)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS f_n_bands
+        FROM banded a
+        JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """

@@ -37,6 +37,19 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, oracle-gated: identical pipeline to
+    q_dedup_near (shingle → 32-permutation minhash → 8-band fold →
+    bucket self-join) but with portable md5-derived hashes and mod-
+    (2^61−1) affine permutations that DuckDB replays exactly — the
+    minhash/banding LOGIC gets a hash-checked record while the
+    production key keeps the fast xxhash64/Arrow path."""
+    return TXT.dedup_near_minhash_portable(
+        _docs(spark, sf_dir), "text", "doc_id", shingle_k=3, num_hashes=32,
+        bands=8,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (Pandas-UDF path → rows-only check)."""
     d = _docs(spark, sf_dir)
@@ -445,6 +458,9 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, sha256({_NORM}) AS f_fingerprint
         FROM documents
     """,
+    "q_dedup_near_portable": TXT.minhash_portable_oracle_sql(
+        _NORM, shingle_k=3, num_hashes=32, bands=8
+    ),
     # Winnowing (k=5 token grams, window=4): DuckDB replays the exact
     # pipeline with the same portable md5-derived 60-bit hash. Spark's
     # slice(arr, i+1, k) is (start, LENGTH); DuckDB list_slice is
@@ -573,6 +589,7 @@ ORACLE["q_dedup_ngram"] = """
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
+    "q_dedup_near_portable": q_dedup_near_portable,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_sample_split": q_sample_split,

@@ -29,6 +29,10 @@ _MODULES = [relational2, relational]
 # Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
 _PRIORITY_KEYS: tuple[str, ...] = (
+    # new/changed this round — need a driver-dated record
+    "q_scd2_multi", "q_fingerprint_winnow", "q_dedup_near_portable",
+    "q_dedup_embed",
+    # least-recently recorded by the driver (not in CORRECTNESS_r03)
     "q_join_left", "q_join_multi_fv", "q_join_asof", "q_semi_anti",
     "q_union_all", "q_window_rank", "q_window_frame", "q_sort_limit",
     "q_scalar_str", "q_scalar_date", "q_scalar_json", "q_agg_having",

@@ -297,6 +297,81 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash60_terms(spark_dialect: bool) -> tuple[str, str]:
+    """(per-bit sums SQL fragment, signature fold SQL fragment) for the
+    60-bit portable SimHash — generated for both engines from one place
+    so the bit logic cannot drift. Only the shift spelling differs
+    (Spark: shiftright; DuckDB: >>)."""
+    def bit(b: int) -> str:
+        return f"(shiftright(x, {b}) & 1)" if spark_dialect else f"((x >> {b}) & 1)"
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return sums, fold
+
+
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash (Charikar'02), oracle-gated: token hash = portable
+    md5-derived 60-bit integer, per-bit ±1 vote sums, bit set where the
+    sum is positive — all native JVM exprs (explode + 60 map-side-
+    combinable sums + one fold), no Python in the row path; DuckDB
+    replays it bit-for-bit. The 64-bit pandas-UDF key (q_dedup_simhash)
+    stays as the Arrow-path variant; at 100 TB this native form is the
+    one to prefer anyway (whole-stage codegen, partial aggregation)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = (
+        d.withColumn("_toks", TXT.ws_tokens(TXT.normalized_text(F.col("text"))))
+        .select("doc_id", F.explode("_toks").alias("_tok"))
+        .selectExpr(
+            "doc_id",
+            "cast(conv(substr(md5(_tok), 1, 15), 16, 10) as bigint) AS x",
+        )
+    )
+    sums, fold = _simhash60_terms(spark_dialect=True)
+    toks.createOrReplaceTempView("_simhash_toks")
+    return spark.sql(
+        f"""
+        WITH s AS (
+            SELECT doc_id, {sums}
+            FROM _simhash_toks
+            GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fold} AS BIGINT) AS f_simhash60 FROM s
+        """
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (Gopher-style quality filter): fraction of
+    duplicate word-2-grams per document. Row-local HOFs on materialized
+    columns — zero shuffle; the ratio is ONE double division (identical
+    IEEE result in any engine)."""
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", TXT.ws_tokens(TXT.normalized_text(F.col("text"))))
+        .withColumn(
+            "_grams",
+            F.expr(
+                "transform(sequence(0, greatest(size(_toks) - 2, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i + 1, 2)))"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.expr("cast(size(_grams) as bigint)").alias("f_n_2grams"),
+        F.expr(
+            "1.0D - cast(size(array_distinct(_grams)) as double)"
+            " / cast(size(_grams) as double)"
+        ).alias("f_dup_2gram_ratio"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by stopword-profile argmax (deterministic ties)."""
     d = TXT.lang_id(_docs(spark, sf_dir), "text", "f_pred_lang")
@@ -502,6 +577,40 @@ ORACLE: dict[str, str] = {
     """,
 }
 ORACLE["q_lang_id"] = _langid_oracle()
+
+_SH_SUMS, _SH_FOLD = _simhash60_terms(spark_dialect=False)
+ORACLE["q_dedup_simhash_portable"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x
+        FROM toks
+    ),
+    s AS (SELECT doc_id, {_SH_SUMS} FROM hx GROUP BY doc_id)
+    SELECT doc_id, CAST({_SH_FOLD} AS BIGINT) AS f_simhash60 FROM s
+"""
+
+ORACLE["q_text_repetition"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')
+               ) AS grams
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS f_n_2grams,
+           CAST(1.0 AS DOUBLE)
+               - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE) AS f_dup_2gram_ratio
+    FROM g
+"""
 ORACLE["q_sample_split"] = """
     SELECT lang,
            CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
@@ -595,6 +704,8 @@ QUERIES = {
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_portable": q_dedup_simhash_portable,
+    "q_text_repetition": q_text_repetition,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,

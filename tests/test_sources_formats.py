@@ -121,3 +121,45 @@ def test_csv_source_managed_fv_refresh(fs, spark, csv_src):
         r["grp"]: r["f_amt"] for r in fs.read_feature_view("CSV_MANAGED$1").collect()
     }
     assert got == {"a": 17.75, "b": 20.0}
+
+
+def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
+    """The driver's events.parquet has shipped TWO physical ts layouts
+    across rounds (TIMESTAMP(NANOS) → read as int64 nanos; timestamp[us]
+    → inferred TIMESTAMP_NTZ). read_table must yield identical UTC
+    TIMESTAMP values for both, and the result must survive the casts
+    operators use (unix_timestamp)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    us_vals = [1_600_000_000_000_000, 1_600_000_123_456_789]
+    ns = tmp_path / "ns_layout"
+    us = tmp_path / "us_layout"
+    ns.mkdir()
+    us.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([v * 1000 + 999 for v in us_vals], pa.timestamp("ns")),
+        }),
+        str(ns / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(us_vals, pa.timestamp("us")),
+        }),
+        str(us / "events.parquet"),
+    )
+
+    a = read_table(spark, str(ns), "events").orderBy("event_id")
+    b = read_table(spark, str(us), "events").orderBy("event_id")
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    # ns layout truncates to µs — identical instants across layouts
+    assert [r.ts for r in a.collect()] == [r.ts for r in b.collect()]
+    # the cast that broke round 3 (NTZ→BIGINT) must have a working path
+    secs = [r.s for r in b.select(F.unix_timestamp("ts").alias("s")).collect()]
+    assert secs == [v // 1_000_000 for v in us_vals]

@@ -82,19 +82,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # three iterations per query, report the min: steady-state engine
-    # time, not first-run JVM/codegen warmup or cold page cache. A round-4
+    # adaptive min-of-N per query (3..5 runs): steady-state engine time,
+    # not first-run JVM/codegen warmup or cold page cache. A round-4
     # idle-machine A/B showed min-of-2 still carries ~±40% per-key noise
-    # from page-cache state; the third iteration runs fully warm.
+    # from page-cache state, and window-heavy keys (q_window_nav) keep
+    # improving through run 4 (JIT tiers) — so keep iterating while the
+    # latest run still beats the best by >10%, up to 5 runs.
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries[key]
         best = float("inf")
-        for _ in range(3):
+        for it in range(5):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            improved = t < best * 0.9
+            best = min(best, t)
+            if it >= 2 and not improved:
+                break
         timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -5,6 +5,9 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from dbt_snowflake_feature_store_spark.functions.merge import merge_upsert, scd2_apply
 
 
@@ -84,3 +87,58 @@ def test_scd2_apply_multiple_updates_per_key_chain(spark):
     )
     for (_, prev_to), (next_from, _) in zip(versions, versions[1:]):
         assert prev_to == next_from
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    upds=st.dictionaries(
+        keys=st.integers(min_value=0, max_value=5),
+        values=st.lists(
+            st.integers(min_value=1, max_value=60), unique=True,
+            min_size=0, max_size=4,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_scd2_apply_chain_invariants_property(spark, upds):
+    """For ANY batch shape (several keys, 0..4 distinct-ts updates each):
+    exactly one open version per key, row count = 1 + n_updates, and the
+    validity intervals tile each key's timeline with no gaps."""
+    base = dt.datetime(2024, 1, 1)
+    cur = spark.createDataFrame(
+        [(k, f"v0_{k}", base, None) for k in upds],
+        "id long, val string, valid_from timestamp, valid_to timestamp",
+    )
+    upd_rows = [
+        (k, f"v{i}_{k}", base + dt.timedelta(days=off))
+        for k, offs in upds.items()
+        for i, off in enumerate(sorted(offs), start=1)
+    ]
+    if not upd_rows:
+        upd_rows = [(99, "x", base)]  # scd2_apply needs a non-empty frame
+        upds = {**upds, 99: [0]}
+        cur = cur.unionByName(
+            spark.createDataFrame(
+                [(99, "v0_99", base, None)],
+                "id long, val string, valid_from timestamp, valid_to timestamp",
+            )
+        )
+    upd = spark.createDataFrame(
+        upd_rows, "id long, val string, changed_at timestamp"
+    )
+    out = scd2_apply(cur, upd, ["id"], "changed_at").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["id"], []).append(r)
+    for k, offs in upds.items():
+        rows = by_key[k]
+        assert len(rows) == 1 + len(offs)
+        opens = [r for r in rows if r["valid_to"] is None]
+        assert len(opens) == 1
+        ivals = sorted(
+            ((r["valid_from"], r["valid_to"]) for r in rows),
+            key=lambda p: (p[0], p[1] or dt.datetime.max),
+        )
+        for (_, prev_to), (next_from, _) in zip(ivals, ivals[1:]):
+            assert prev_to == next_from
+        assert ivals[-1][1] is None  # the chain's last version is the open one

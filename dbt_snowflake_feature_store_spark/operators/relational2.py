@@ -368,7 +368,128 @@ def q_scd2_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(current, updates, keys=["user_id"], ts_col="ts")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel attribution (view → click → purchase): per user,
+    the earliest view, the earliest click AT/AFTER that view, and the
+    earliest purchase at/after that click — the MATCH_RECOGNIZE-class
+    sequence op, expressed as three chained conditional aggregations.
+
+    Scale: all three aggs group on user_id and share the events scan's
+    shuffle partitioning; the per-user aggregates are tiny next to the
+    event log, so the chain joins broadcast (AQE decides). No window
+    over the raw log, no per-event state."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_q2_funnel_ev")
+    return spark.sql(
+        """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM _q2_funnel_ev WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM _q2_funnel_ev e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM _q2_funnel_ev e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT a.user_id,
+               CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                         WHEN c.t_click IS NOT NULL THEN 2
+                         WHEN v.t_view IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS f_stage,
+               v.t_view AS f_t_view,
+               c.t_click AS f_t_click,
+               p.t_purchase AS f_t_purchase
+        FROM (SELECT DISTINCT user_id FROM _q2_funnel_ev) a
+        LEFT JOIN v ON a.user_id = v.user_id
+        LEFT JOIN c ON a.user_id = c.user_id
+        LEFT JOIN p ON a.user_id = p.user_id
+        """
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-event week (cohort),
+    counted distinct-active per calendar week — the standard cohort
+    matrix. Two aggs sharing the user_id shuffle + one join of two
+    already-small per-user/per-week frames; date_trunc('week') has
+    identical Monday-start semantics in Spark and DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_q2_ret_ev")
+    return spark.sql(
+        """
+        WITH f AS (
+            SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS f_cohort_week
+            FROM _q2_ret_ev GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS f_active_week
+            FROM _q2_ret_ev
+        )
+        SELECT f.f_cohort_week, a.f_active_week,
+               CAST(COUNT(*) AS BIGINT) AS f_users
+        FROM f JOIN a ON f.user_id = a.user_id
+        GROUP BY f.f_cohort_week, a.f_active_week
+        """
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_retention": """
+        -- DuckDB date_trunc('week') yields DATE, Spark yields TIMESTAMP:
+        -- cast here so the physical types agree (same midnight instants)
+        WITH f AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP)
+                       AS f_cohort_week
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS f_active_week
+            FROM events
+        )
+        SELECT f.f_cohort_week, a.f_active_week,
+               CAST(COUNT(*) AS BIGINT) AS f_users
+        FROM f JOIN a ON f.user_id = a.user_id
+        GROUP BY f.f_cohort_week, a.f_active_week
+    """,
+    "q_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT a.user_id,
+               CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                         WHEN c.t_click IS NOT NULL THEN 2
+                         WHEN v.t_view IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS f_stage,
+               v.t_view AS f_t_view,
+               c.t_click AS f_t_click,
+               p.t_purchase AS f_t_purchase
+        FROM (SELECT DISTINCT user_id FROM events) a
+        LEFT JOIN v ON a.user_id = v.user_id
+        LEFT JOIN c ON a.user_id = c.user_id
+        LEFT JOIN p ON a.user_id = p.user_id
+    """,
     "q_scd2_multi": """
         WITH ranked AS (
             SELECT user_id, value, ts, event_id,
@@ -564,6 +685,8 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_scd2_multi": q_scd2_multi,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
     "q_join_full": q_join_full,
     "q_cross_join": q_cross_join,
     "q_tpch_q17like": q_tpch_q17like,

@@ -50,6 +50,32 @@ def q_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: portable MinHash candidate pairs → connected
+    components (iterative min-label propagation, functions/graph.py) →
+    (doc_id, cluster = min doc_id in component, cluster size). The stage
+    a dedup pipeline runs after pairs — keep min(doc_id) per cluster,
+    drop the rest. Oracle-gated: the unique fixed point of min-label
+    propagation lets a DuckDB recursive CTE verify the clustering."""
+    from pyspark.sql import Window
+
+    from ..functions.graph import connected_components
+
+    edges = TXT.dedup_near_minhash_portable(
+        _docs(spark, sf_dir), "text", "doc_id", shingle_k=3, num_hashes=32,
+        bands=8,
+    ).select("id_a", "id_b")
+    cc = connected_components(edges, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("f_cluster"),
+        F.count("*")
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("f_cluster_size"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (Pandas-UDF path → rows-only check)."""
     d = _docs(spark, sf_dir)
@@ -536,6 +562,37 @@ ORACLE: dict[str, str] = {
     "q_dedup_near_portable": TXT.minhash_portable_oracle_sql(
         _NORM, shingle_k=3, num_hashes=32, bands=8
     ),
+    # Connected components over the portable MinHash pairs: min-label
+    # propagation has a UNIQUE fixed point (component-min id), so the
+    # recursive closure here and Spark's iterative propagation must
+    # agree exactly.
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM (
+                {TXT.minhash_portable_oracle_sql(_NORM, 3, 32, 8)}
+            ) t
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+            SELECT node, node AS label FROM nodes
+            UNION
+            SELECT e.b AS node, r.label AS label
+            FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        cc AS (
+            SELECT node AS doc_id, MIN(label) AS f_cluster
+            FROM reach GROUP BY node
+        )
+        SELECT doc_id, f_cluster,
+               CAST(COUNT(*) OVER (PARTITION BY f_cluster) AS BIGINT)
+                   AS f_cluster_size
+        FROM cc
+    """,
     # Winnowing (k=5 token grams, window=4): DuckDB replays the exact
     # pipeline with the same portable md5-derived 60-bit hash. Spark's
     # slice(arr, i+1, k) is (start, LENGTH); DuckDB list_slice is
@@ -699,6 +756,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_near_portable": q_dedup_near_portable,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_sample_split": q_sample_split,

@@ -43,11 +43,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     elems = e.filter(F.col("vec_id") != _QUERY_ID).select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("decimal(20,9)"))
+    ).withColumn("x", F.col("x").cast("decimal(18,9)"))
     q = (
         e.filter(F.col("vec_id") == _QUERY_ID)
         .select(F.posexplode("embedding").alias("i", "qx"))
-        .withColumn("qx", F.col("qx").cast("decimal(20,9)"))
+        .withColumn("qx", F.col("qx").cast("decimal(18,9)"))
     )
     dots = (
         elems.join(F.broadcast(q), "i")
@@ -65,6 +65,64 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_cosine"),
     )
     return scored.orderBy(F.col("f_cosine").desc(), F.col("vec_id").asc()).limit(_K)
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join (every vector's top-3 cosine neighbors),
+    decimal-exact and oracle-gated on a bounded slice (vec_id < 200 —
+    documented exactness pin; the ALL-vectors scale path is the LSH /
+    IVF candidate generation (q_sim_ann_lsh / q_sim_ivf) feeding the
+    same rescoring). Plan: posexplode to (vec_id, pos, x), position
+    self-join, decimal dot per pair, row_number per id_a over the
+    ROUNDED cosine with id tiebreak — fully deterministic."""
+    from pyspark.sql import Window
+
+    k = 3
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    elems = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("decimal(18,9)"))
+    a = elems.select(
+        F.col("vec_id").alias("id_a"), "i", F.col("x").alias("xa")
+    )
+    b = elems.select(
+        F.col("vec_id").alias("id_b"), "i", F.col("x").alias("xb")
+    )
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("_dot"))
+    )
+    norms = (
+        elems.groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("_n"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("vec_id").alias("id_a"),
+                               F.col("_n").alias("_na")), "id_a")
+        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_b"),
+                                       F.col("_n").alias("_nb"))), "id_b")
+        .select(
+            "id_a", "id_b",
+            # NOT round(): engines disagree at exact half-boundaries of
+            # double→decimal rounding (observed at sf0.01: 0.284494 vs
+            # 0.284493). floor(x·1e6 + 0.5)/1e6 is pure IEEE double
+            # arithmetic — bit-identical on any engine.
+            F.expr(
+                "floor(_dot / (sqrt(_na) * sqrt(_nb)) * 1000000.0D + 0.5D)"
+                " / 1000000.0D"
+            ).alias("f_cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("f_cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_rank") <= k)
+        .select("id_a", "f_rank", "id_b", "f_cosine")
+    )
 
 
 def q_sim_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,11 +231,46 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_knn_join": """
+        WITH elems AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+            FROM embeddings WHERE vec_id < 200
+        ),
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+            FROM elems a JOIN elems b USING (i)
+            WHERE a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        norms AS (
+            SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS n
+            FROM elems GROUP BY vec_id
+        ),
+        scored AS (
+            SELECT d.id_a, d.id_b,
+                   FLOOR(d.dot / (SQRT(na.n) * SQRT(nb.n)) * 1000000.0
+                         + 0.5) / 1000000.0 AS f_cosine
+            FROM dots d
+            JOIN norms na ON d.id_a = na.vec_id
+            JOIN norms nb ON d.id_b = nb.vec_id
+        ),
+        ranked AS (
+            SELECT id_a, id_b, f_cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY id_a ORDER BY f_cosine DESC, id_b ASC
+                   ) AS BIGINT) AS f_rank
+            FROM scored
+        )
+        SELECT id_a, f_rank, id_b, f_cosine FROM ranked WHERE f_rank <= 3
+    """,
     "q_sim_topk": """
         WITH elems AS (
             SELECT vec_id,
                    generate_subscripts(embedding, 1) AS i,
-                   CAST(unnest(embedding) AS DECIMAL(20,9)) AS x
+                   CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
             FROM embeddings
         ),
         q AS (SELECT i, x AS qx FROM elems WHERE vec_id = 0),
@@ -237,6 +330,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "q_sim_topk": q_sim_topk,
+    "q_knn_join": q_knn_join,
     "q_embed_centroid": q_embed_centroid,
     "q_embed_quantize": q_embed_quantize,
     "q_sim_topk_fast": q_sim_topk_fast,

@@ -482,14 +482,18 @@ _MERSENNE61 = (1 << 61) - 1
 
 
 def minhash_perm_consts(i: int) -> tuple[int, int]:
-    """Deterministic affine-permutation constants over Z/(2^61−1),
-    md5-derived so any engine (or the oracle SQL generator) reproduces
-    them without shipping state: a ∈ [1, p−1], b ∈ [0, p−1]."""
+    """Deterministic affine-permutation constants, md5-derived so any
+    engine (or the oracle SQL generator) reproduces them without
+    shipping state. Widths are chosen so (a·x + b) stays inside BIGINT
+    with 32-bit shingle hashes — a ∈ [1, 2^30), b ∈ [0, 2^61−1):
+    a·x < 2^62, +b < 2^63, so BOTH engines run plain int64 arithmetic
+    (whole-stage codegen / native — a DECIMAL/HUGEINT formulation was
+    measured 20× slower at sf0.1)."""
     import hashlib
 
     a = (
         int.from_bytes(hashlib.md5(f"mh-a:{i}".encode()).digest()[:8], "big")
-        % (_MERSENNE61 - 1)
+        % ((1 << 30) - 1)
         + 1
     )
     b = int.from_bytes(
@@ -511,13 +515,15 @@ def dedup_near_minhash_portable(
     is hash-checked (the production path, ``dedup_near_minhash``, keeps
     xxhash64 + the Arrow numpy stage — same algorithm, faster hashes).
 
-    Portability choices: shingle hash = :func:`portable_hash64` (60-bit
-    md5-derived); permutation i = (aᵢ·x + bᵢ) mod 2^61−1 with md5-derived
-    constants — products stay < 2^121, inside DECIMAL(38,0) on Spark and
-    HUGEINT on DuckDB; band key = '_'-joined minima (no re-hash needed
-    for the bucket join). Returns (id_a, id_b, f_n_bands) — candidate
-    pairs with the number of colliding bands. Same O(n·bands) shape as
-    the production path; only the per-element hash arithmetic differs."""
+    Portability choices: shingle hash = 32-bit md5-derived int (top 8
+    hex chars); permutation i = (aᵢ·x + bᵢ) mod 2^61−1 with md5-derived
+    constants sized so every intermediate fits BIGINT (see
+    :func:`minhash_perm_consts`) — both engines run codegen'd int64
+    arithmetic, no DECIMAL/HUGEINT slow path; band key = '_'-joined
+    minima (no re-hash needed for the bucket join). Returns (id_a,
+    id_b, f_n_bands) — candidate pairs with the number of colliding
+    bands. Same O(n·bands) shape as the production path; only the
+    per-element hash arithmetic differs."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
     p = _MERSENNE61
@@ -530,7 +536,7 @@ def dedup_near_minhash_portable(
             "_shh",
             F.expr(
                 "transform(_sh, x ->"
-                " cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
+                " cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"
             ),
         )
     )
@@ -538,8 +544,7 @@ def dedup_near_minhash_portable(
     for i in range(num_hashes):
         a, b = minhash_perm_consts(i)
         mh_terms.append(
-            f"array_min(transform(_shh, x ->"
-            f" cast((cast({a} as decimal(19,0)) * x + {b}) % {p} as bigint)))"
+            f"array_min(transform(_shh, x -> ({a}L * x + {b}L) % {p}L))"
         )
     d = d.withColumn("_mh", F.expr("array(" + ",".join(mh_terms) + ")"))
     d = d.withColumn(
@@ -580,7 +585,7 @@ def minhash_portable_oracle_sql(
         a, b = minhash_perm_consts(i)
         mh_terms.append(
             f"list_min(list_transform(h, x ->"
-            f" (({a}::HUGEINT * x + {b}) % {p})::BIGINT))"
+            f" ({a}::BIGINT * x + {b}::BIGINT) % {p}::BIGINT))"
         )
     mh_list = ",\n                   ".join(mh_terms)
     return f"""
@@ -601,7 +606,7 @@ def minhash_portable_oracle_sql(
         shh AS (
             SELECT doc_id,
                    list_transform(
-                       s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                       s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
                    ) AS h
             FROM sh
         ),

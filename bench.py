@@ -57,10 +57,14 @@ HEADLINE = [
     "q_fv_latest_snapshot",
     "q_multimodal_frames",
     # round-4 additions: chained SCD2, skew-hardened LSH pairs, oracle-
-    # gated winnowing (portable-hash path is the benched one)
+    # gated winnowing (portable-hash path is the benched one), funnel /
+    # retention analytics, exact k-NN slice
     "q_scd2_multi",
     "q_dedup_embed",
     "q_fingerprint_winnow",
+    "q_funnel",
+    "q_retention",
+    "q_knn_join",
 ]
 
 

@@ -172,5 +172,7 @@ class TestScaleProperties:
         for mod in (relational, text):
             src = inspect.getsource(mod)
             assert ".collect()" not in src, mod.__name__
-        # similarity collects exactly one row: the query-vector parameter
-        assert inspect.getsource(similarity).count(".collect()") <= 1
+        # similarity collects exactly two single-row scalars: the
+        # query-vector parameter and the opt-in log_dropped bucket-count
+        # diagnostic (one aggregated row, off by default) — never data
+        assert inspect.getsource(similarity).count(".collect()") <= 2

@@ -414,6 +414,33 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h windows every 30 min) — the batch
+    twin of the streaming windowed agg (streaming/incremental.py uses
+    the same F.window). Each event lands in exactly 2 windows; Spark's
+    window() epoch alignment is replayed in the oracle with integer
+    floor-division on epoch microseconds. Decimal-exact value sums.
+    Scale: explode-by-2 then one hash agg on the window start — no
+    per-event state, map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("f_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("f_sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("f_win_start"),
+            F.col("w.end").alias("f_win_end"),
+            "f_events",
+            "f_sum_value",
+        )
+    )
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-event week (cohort),
     counted distinct-active per calendar week — the standard cohort
@@ -441,6 +468,28 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # hop = 30 min = 1.8e9 us, width = 1 h = 3.6e9 us; every event is in
+    # the windows starting at floor(us/hop)*hop and one hop earlier —
+    # the same 1970-epoch alignment Spark's window() uses
+    "q_hopping": """
+        WITH e AS (
+            SELECT value, epoch_us(ts) AS us FROM events
+        ),
+        x AS (
+            SELECT value, us,
+                   unnest([(us // 1800000000) * 1800000000,
+                           (us // 1800000000) * 1800000000 - 1800000000])
+                       AS s
+            FROM e
+        )
+        SELECT make_timestamp(s) AS f_win_start,
+               make_timestamp(s + 3600000000) AS f_win_end,
+               CAST(COUNT(*) AS BIGINT) AS f_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS f_sum_value
+        FROM x
+        GROUP BY s
+    """,
     "q_retention": """
         -- DuckDB date_trunc('week') yields DATE, Spark yields TIMESTAMP:
         -- cast here so the physical types agree (same midnight instants)
@@ -687,6 +736,7 @@ QUERIES = {
     "q_scd2_multi": q_scd2_multi,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
+    "q_hopping": q_hopping,
     "q_join_full": q_join_full,
     "q_cross_join": q_cross_join,
     "q_tpch_q17like": q_tpch_q17like,

@@ -76,6 +76,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup accounting — the number a corpus owner actually
+    asks for: per language, how many docs/tokens survive (1) exact
+    dedup (keep min doc_id per normalized-content hash) and (2)
+    near-dup cluster collapse (keep only each connected component's
+    min-id representative, clusters from the portable MinHash pairs).
+    Composes dedup_exact + connected_components; both stages already
+    oracle-gated standalone (q_dedup_exact, q_dedup_clusters), this key
+    hash-checks their COMPOSITION. Two semi/anti joins against small
+    id-sets, one agg on the tiny lang key."""
+    from pyspark.sql import Window
+
+    from ..functions.graph import connected_components
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text",
+        TXT.ws_token_count(F.col("text")).alias("_n_toks"),
+    )
+    exact_keep = TXT.dedup_exact(d, "text", "doc_id").select("doc_id")
+    edges = TXT.dedup_near_minhash_portable(
+        d, "text", "doc_id", shingle_k=3, num_hashes=32, bands=8
+    ).select("id_a", "id_b")
+    cluster_drop = (
+        connected_components(edges, "id_a", "id_b")
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = (
+        d.join(exact_keep, "doc_id", "left_semi")
+        .join(cluster_drop, "doc_id", "left_anti")
+        .select("doc_id", F.lit(1).alias("_kept"))
+    )
+    return (
+        d.join(kept.select("doc_id", "_kept"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("f_docs_total"),
+            F.sum(F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("f_docs_kept"),
+            F.sum(
+                F.when(F.col("_kept").isNotNull(), F.col("_n_toks")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("f_tokens_kept"),
+        )
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (Pandas-UDF path → rows-only check)."""
     d = _docs(spark, sf_dir)
@@ -635,6 +686,47 @@ ORACLE: dict[str, str] = {
 }
 ORACLE["q_lang_id"] = _langid_oracle()
 
+ORACLE["q_corpus_dedup_stats"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            {TXT.minhash_portable_oracle_sql(_NORM, 3, 32, 8)}
+        ) t
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.b AS node, r.label AS label
+        FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    dropped AS (
+        SELECT node AS doc_id
+        FROM (SELECT node, MIN(label) AS lbl FROM reach GROUP BY node)
+        WHERE node <> lbl
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256({_NORM})
+    ),
+    base AS (
+        SELECT doc_id, lang, {_WS_COUNT} AS n_toks,
+               (doc_id IN (SELECT doc_id FROM exact_keep)
+                AND doc_id NOT IN (SELECT doc_id FROM dropped)) AS kept
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS f_docs_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_docs_kept,
+           CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+               AS f_tokens_kept
+    FROM base GROUP BY lang
+"""
+
 _SH_SUMS, _SH_FOLD = _simhash60_terms(spark_dialect=False)
 ORACLE["q_dedup_simhash_portable"] = f"""
     WITH toks AS (
@@ -757,6 +849,7 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_near_portable": q_dedup_near_portable,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_corpus_dedup_stats": q_corpus_dedup_stats,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_sample_split": q_sample_split,

@@ -31,7 +31,8 @@ _MODULES = [relational2, relational]
 _PRIORITY_KEYS: tuple[str, ...] = (
     # new/changed this round — need a driver-dated record
     "q_scd2_multi", "q_fingerprint_winnow", "q_dedup_near_portable",
-    "q_dedup_simhash_portable", "q_dedup_clusters", "q_text_repetition",
+    "q_dedup_simhash_portable", "q_dedup_clusters", "q_corpus_dedup_stats",
+    "q_text_repetition",
     "q_funnel", "q_retention", "q_hopping", "q_knn_join", "q_sim_topk",
     "q_dedup_embed",
     # least-recently recorded by the driver (not in CORRECTNESS_r03)

@@ -125,8 +125,61 @@ class TableFormat:
 
 
 class ParquetSnapshotFormat(TableFormat):
+    """``history=N`` keeps the N most recent replaced snapshots under
+    ``<path>__history/<seq>_<token>`` for time-travel reads
+    (:meth:`snapshots` / :meth:`read_version`) — the Delta/Iceberg
+    version-travel affordance at the pointer-swap layer, so a training
+    run can be reproduced against the exact table state it saw. History
+    retention is bounded (pruned on every replace); the history move
+    happens strictly AFTER the atomic swap, so crash recovery is
+    unchanged (an interrupted move loses at most one history entry,
+    never the live table)."""
+
     name = "parquet"
     transactional = False
+
+    def __init__(self, history: int = 0) -> None:
+        self.history = history
+
+    # -- time travel ---------------------------------------------------
+    def _history_dir(self, path: str) -> str:
+        return f"{path}__history"
+
+    def snapshots(self, path: str) -> list[int]:
+        """Ascending sequence numbers of retained historical versions
+        (the live table is always newer than every listed version)."""
+        hdir = self._history_dir(path)
+        if not os.path.isdir(hdir):
+            return []
+        out = []
+        for d in os.listdir(hdir):
+            seq = d.split("_", 1)[0]
+            if seq.isdigit():
+                out.append(int(seq))
+        return sorted(out)
+
+    def read_version(
+        self, spark: SparkSession, path: str, version: int
+    ) -> DataFrame:
+        hdir = self._history_dir(path)
+        for d in sorted(os.listdir(hdir) if os.path.isdir(hdir) else []):
+            if d.split("_", 1)[0] == f"{version:08d}":
+                return spark.read.parquet(os.path.join(hdir, d))
+        raise FileNotFoundError(
+            f"no retained snapshot version {version} under {path}"
+        )
+
+    def _retain(self, path: str, old_dir: str) -> None:
+        """Move a replaced snapshot into history and prune to bound."""
+        hdir = self._history_dir(path)
+        os.makedirs(hdir, exist_ok=True)
+        seqs = self.snapshots(path)
+        seq = (seqs[-1] + 1) if seqs else 1
+        token = os.path.basename(old_dir).rsplit("_", 1)[-1]
+        os.rename(old_dir, os.path.join(hdir, f"{seq:08d}_{token}"))
+        entries = sorted(os.listdir(hdir))
+        for d in entries[: max(0, len(entries) - self.history)]:
+            shutil.rmtree(os.path.join(hdir, d), ignore_errors=True)
 
     # -- recovery ------------------------------------------------------
     def recover(self, path: str) -> None:
@@ -196,7 +249,10 @@ class ParquetSnapshotFormat(TableFormat):
             os.rename(path, old)
         os.rename(tmp, path)
         if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+            if self.history > 0:
+                self._retain(path, old)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
 
     def merge(
         self, spark: SparkSession, path: str, updates: DataFrame, keys: list[str]

@@ -155,3 +155,57 @@ class TestStoreIntegration:
         open(os.path.join(snap, "_FS_COMMIT"), "w").write("dead")
         # the read path must self-heal and serve the committed snapshot
         assert fs.read_feature_view("ST_FV$1").count() == tables["customer"].count()
+
+
+class TestTimeTravel:
+    def _write(self, spark, fmt, path, vals):
+        df = spark.createDataFrame([(i,) for i in vals], "v long")
+        fmt.replace(spark, path, df)
+
+    def test_history_retained_and_readable(self, spark, tmp_path):
+        from dbt_snowflake_feature_store_spark.storage import (
+            ParquetSnapshotFormat,
+        )
+
+        fmt = ParquetSnapshotFormat(history=2)
+        path = str(tmp_path / "tbl")
+        self._write(spark, fmt, path, [1])          # live v-implicit
+        self._write(spark, fmt, path, [1, 2])       # v1 = [1] retained
+        self._write(spark, fmt, path, [1, 2, 3])    # v2 = [1,2] retained
+        assert fmt.snapshots(path) == [1, 2]
+        assert sorted(
+            r.v for r in fmt.read_version(spark, path, 1).collect()
+        ) == [1]
+        assert sorted(
+            r.v for r in fmt.read_version(spark, path, 2).collect()
+        ) == [1, 2]
+        assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1, 2, 3]
+
+    def test_history_pruned_to_bound(self, spark, tmp_path):
+        from dbt_snowflake_feature_store_spark.storage import (
+            ParquetSnapshotFormat,
+        )
+
+        fmt = ParquetSnapshotFormat(history=2)
+        path = str(tmp_path / "tbl")
+        for n in range(1, 6):  # 5 replaces -> 4 candidate history entries
+            self._write(spark, fmt, path, list(range(n)))
+        assert fmt.snapshots(path) == [3, 4]  # oldest pruned, seq monotonic
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            fmt.read_version(spark, path, 1)
+
+    def test_zero_history_unchanged(self, spark, tmp_path):
+        import os
+
+        from dbt_snowflake_feature_store_spark.storage import (
+            ParquetSnapshotFormat,
+        )
+
+        fmt = ParquetSnapshotFormat()
+        path = str(tmp_path / "tbl")
+        self._write(spark, fmt, path, [1])
+        self._write(spark, fmt, path, [2])
+        assert fmt.snapshots(path) == []
+        assert not os.path.isdir(f"{path}__history")

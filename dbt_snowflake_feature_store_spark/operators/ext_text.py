@@ -455,6 +455,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "f_pred_lang")
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: the K hash-smallest docs per
+    language — the training-mix balancer (equal per-stratum quota, no
+    rand(), reproducible across engines/backfills). Knuth multiplicative
+    hash orders each stratum; (hash, doc_id) tiebreak makes row_number
+    exact. One shuffle on the tiny lang key; at 100 TB the same shape
+    holds because the window partitions by stratum, never globally."""
+    k = 20
+    d = _docs(spark, sf_dir)
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000000007
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", h.alias("f_h"))
+        .withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_rank") <= k)
+        .select("lang", "f_rank", "doc_id", "n_chars")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: SHA-256 over normalized text."""
     d = _docs(spark, sf_dir)
@@ -760,6 +783,18 @@ ORACLE["q_text_repetition"] = f"""
                  / CAST(len(grams) AS DOUBLE) AS f_dup_2gram_ratio
     FROM g
 """
+ORACLE["q_sample_stratified"] = """
+    SELECT lang, f_rank, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000000007 ASC,
+                            doc_id ASC
+               ) AS BIGINT) AS f_rank
+        FROM documents
+    ) WHERE f_rank <= 20
+"""
+
 ORACLE["q_sample_split"] = """
     SELECT lang,
            CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
@@ -850,6 +885,7 @@ QUERIES = {
     "q_dedup_near_portable": q_dedup_near_portable,
     "q_dedup_clusters": q_dedup_clusters,
     "q_corpus_dedup_stats": q_corpus_dedup_stats,
+    "q_sample_stratified": q_sample_stratified,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_sample_split": q_sample_split,

@@ -44,13 +44,20 @@ _WATERMARK_FILE = "_fs_watermark.json"
 def _write_full(
     fs: "FeatureStore", df: DataFrame, path: str, timestamp_col: str | None
 ) -> None:
+    part = None
     if timestamp_col:
         # partition by day of the event-time column → time-range partition
         # pruning for PIT reads at scale
         df = df.withColumn("_fs_dt", F.to_date(F.col(timestamp_col)))
-        fs.storage.write_full(df, path, partition_by=["_fs_dt"])
+        part = ["_fs_dt"]
+    if os.path.isdir(path):
+        # recompute of an EXISTING table goes through the crash-safe
+        # snapshot swap: a plain overwrite deletes before it writes, so
+        # a mid-refresh crash would leave a partial table; replace also
+        # feeds snapshot_history retention (time-travel reads)
+        fs.storage.replace(fs.spark, path, df, partition_by=part)
     else:
-        fs.storage.write_full(df, path)
+        fs.storage.write_full(df, path, partition_by=part)
 
 
 def _read_watermark(path: str) -> str | None:

@@ -348,15 +348,17 @@ class DeltaFormat(TableFormat):
         return self.read(spark, path).count()
 
 
-def get_format(name: str = "parquet") -> TableFormat:
+def get_format(name: str = "parquet", history: int = 0) -> TableFormat:
     """Resolve a format by name. ``delta`` falls back to parquet with no
     error when delta-spark is absent (this container) — callers can check
-    ``.name`` to see what they got."""
+    ``.name`` to see what they got. ``history`` (parquet only) retains
+    that many replaced snapshots for time-travel reads; Delta has its
+    own log-based versioning."""
     if name == "delta":
         try:
             return DeltaFormat()
         except ImportError:
-            return ParquetSnapshotFormat()
+            return ParquetSnapshotFormat(history=history)
     if name == "parquet":
-        return ParquetSnapshotFormat()
+        return ParquetSnapshotFormat(history=history)
     raise ValueError(f"Unknown table format: {name!r}")

@@ -88,6 +88,7 @@ class FeatureStore:
         name: str = "FEATURE_STORE",
         create_if_not_exists: bool = True,
         table_format: str = "parquet",
+        snapshot_history: int = 0,
     ):
         self.spark = spark
         self.root = os.path.abspath(root)
@@ -95,8 +96,10 @@ class FeatureStore:
         self.registry = Registry(self.root)
         # managed-table storage backend: 'parquet' (snapshot-swap merge
         # emulation, always available) or 'delta' (real MERGE INTO when
-        # delta-spark is present; silently falls back here — storage.py)
-        self.storage = get_format(table_format)
+        # delta-spark is present; silently falls back here — storage.py).
+        # snapshot_history=N keeps the last N replaced managed-table
+        # snapshots for time-travel (read_feature_view_snapshot).
+        self.storage = get_format(table_format, history=snapshot_history)
         # session-scoped DataFrame cache for FVs registered from a df
         self._df_cache: dict[str, DataFrame] = {}
         if create_if_not_exists:
@@ -482,6 +485,42 @@ class FeatureStore:
                     "refreshed yet (initialize=ON_SCHEDULE); call refresh()"
                 )
         return self._plan(fv)
+
+    def list_feature_view_snapshots(
+        self, name: str, version: str
+    ) -> list[int]:
+        """Retained time-travel versions of a managed FV's table (empty
+        unless the store was built with ``snapshot_history > 0``)."""
+        fv = self.get_feature_view(name, version)
+        if not fv.is_managed:
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is static; no snapshots"
+            )
+        return getattr(self.storage, "snapshots", lambda p: [])(
+            self._fv_data_path(fv.name, fv.version)
+        )
+
+    def read_feature_view_snapshot(
+        self, name: str, version: str, snapshot: int
+    ) -> DataFrame:
+        """Time-travel read: the managed FV's table as it was BEFORE the
+        replace that superseded retained snapshot ``snapshot`` — the
+        reproducibility hook for re-running training against the exact
+        state a past job saw."""
+        fv = self.get_feature_view(name, version)
+        if not fv.is_managed:
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is static; no snapshots"
+            )
+        if not hasattr(self.storage, "read_version"):
+            raise ValidationError(
+                "time travel requires the parquet snapshot format "
+                "(Delta keeps its own log-based versions)"
+            )
+        df = self.storage.read_version(
+            self.spark, self._fv_data_path(fv.name, fv.version), snapshot
+        )
+        return df.drop("_fs_dt") if "_fs_dt" in df.columns else df
 
     # -- managed refresh --------------------------------------------------
     def refresh(self, name: str, version: str, mode: str | None = None) -> str:

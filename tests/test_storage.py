@@ -209,3 +209,54 @@ class TestTimeTravel:
         self._write(spark, fmt, path, [2])
         assert fmt.snapshots(path) == []
         assert not os.path.isdir(f"{path}__history")
+
+
+class TestFeatureViewTimeTravel:
+    def test_managed_fv_snapshot_reads(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"
+        ).write.parquet(src)
+
+        fs = FeatureStore(
+            spark, str(tmp_path / "fs_root"), name="TT_FS", snapshot_history=2
+        )
+        fs.register_source("TT_SRC", src)
+        fs.register_entity(Entity("k_ent", ["k"]))
+        fs.register_feature_view(
+            FeatureView(
+                "tt_fv", ["k_ent"],
+                sql="SELECT k, v FROM TT_SRC",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        assert fs.list_feature_view_snapshots("tt_fv", "1") == []
+
+        # source grows; two FULL refreshes -> two retained past states
+        spark.createDataFrame([(3, 30.0)], "k long, v double").write.mode(
+            "append"
+        ).parquet(src)
+        fs.refresh("tt_fv", "1", mode="FULL")
+        spark.createDataFrame([(4, 40.0)], "k long, v double").write.mode(
+            "append"
+        ).parquet(src)
+        fs.refresh("tt_fv", "1", mode="FULL")
+
+        snaps = fs.list_feature_view_snapshots("tt_fv", "1")
+        assert len(snaps) == 2
+        v_first = fs.read_feature_view_snapshot("tt_fv", "1", snaps[0])
+        assert sorted(r.k for r in v_first.collect()) == [1, 2]
+        v_mid = fs.read_feature_view_snapshot("tt_fv", "1", snaps[1])
+        assert sorted(r.k for r in v_mid.collect()) == [1, 2, 3]
+        live = fs.read_feature_view("TT_FV$1")
+        assert sorted(r.k for r in live.collect()) == [1, 2, 3, 4]

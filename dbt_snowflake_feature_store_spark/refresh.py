@@ -248,3 +248,73 @@ def _max_ts(fs: "FeatureStore", path: str, dt_col: str, ts: str) -> str | None:
         return None
     row = out.select(F.max(F.col(ts)).alias("m")).collect()[0]
     return str(row["m"]) if row["m"] is not None else None
+
+
+def backfill_feature_view(
+    fs: "FeatureStore",
+    fv: "FeatureView",
+    start: str,
+    end: str,
+    step_days: int = 1,
+) -> list[str]:
+    """Chunked historical materialization: run the FV query one
+    [chunk_start, chunk_end) event-time slice at a time and commit each
+    slice via DYNAMIC partition overwrite on the ``_fs_dt`` day
+    partitions — Spark's idiomatic backfill. Returns the chunk starts
+    processed.
+
+    Why chunks: at 100 TB a whole-history recompute in one job holds the
+    entire shuffle in flight; per-chunk jobs bound executor memory and
+    make the backfill resumable (re-running a chunk overwrites exactly
+    its own partitions — idempotent, no dedup pass). Requires a
+    ``timestamp_col`` (the slicing axis) and a non-aggregating plan for
+    correctness of per-slice commits is NOT required — each slice is a
+    full recompute of its own partitions, so aggregates grouped within a
+    slice are fine as long as groups don't span slices (the same
+    contract Snowflake puts on partitioned backfills)."""
+    import datetime as _dt
+
+    if not fv.timestamp_col:
+        raise ValidationError(
+            f"backfill needs a timestamp_col on '{fv.logical_name}'"
+        )
+    ts = {c.upper(): c for c in fs._plan(fv).columns}.get(fv.timestamp_col)
+    if ts is None:
+        raise ValidationError(
+            f"timestamp_col '{fv.timestamp_col}' not in the plan output"
+        )
+    path = fs._fv_data_path(fv.name, fv.version)
+    d0 = _dt.date.fromisoformat(start)
+    d1 = _dt.date.fromisoformat(end)
+    if d1 <= d0:
+        raise ValidationError("backfill end must be after start")
+
+    spark = fs.spark
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done: list[str] = []
+    try:
+        cur = d0
+        while cur < d1:
+            nxt = min(cur + _dt.timedelta(days=step_days), d1)
+            chunk = (
+                fs._plan(fv)
+                .filter(
+                    (F.col(ts) >= F.lit(cur.isoformat()).cast("timestamp"))
+                    & (F.col(ts) < F.lit(nxt.isoformat()).cast("timestamp"))
+                )
+                .withColumn("_fs_dt", F.to_date(F.col(ts)))
+            )
+            (
+                chunk.write.mode("overwrite")
+                .partitionBy("_fs_dt")
+                .parquet(path)
+            )
+            done.append(cur.isoformat())
+            cur = nxt
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    new_wm = _max_ts(fs, path, "_fs_dt", ts)
+    if new_wm:
+        _write_watermark(path, new_wm)
+    return done

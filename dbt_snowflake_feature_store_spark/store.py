@@ -522,6 +522,28 @@ class FeatureStore:
         )
         return df.drop("_fs_dt") if "_fs_dt" in df.columns else df
 
+    def backfill(
+        self,
+        name: str,
+        version: str,
+        start: str,
+        end: str,
+        step_days: int = 1,
+    ) -> list[int | str]:
+        """Chunked historical materialization of a managed FV over
+        [start, end) (ISO dates): one bounded job per ``step_days``
+        slice, committed via dynamic partition overwrite — idempotent
+        per chunk, resumable, bounded executor memory at any corpus
+        size. See refresh.backfill_feature_view."""
+        from .refresh import backfill_feature_view
+
+        fv = self.get_feature_view(name, version)
+        if not fv.is_managed:
+            raise ValidationError(
+                f"Feature view '{fv.logical_name}' is static; nothing to backfill"
+            )
+        return backfill_feature_view(self, fv, start, end, step_days)
+
     # -- managed refresh --------------------------------------------------
     def refresh(self, name: str, version: str, mode: str | None = None) -> str:
         """Refresh a managed FV's materialization; returns the effective

@@ -297,3 +297,80 @@ class TestCompositeKeys:
         )
         rows = df.collect()
         assert len(rows) == 1 and rows[0]["f_v"] == 5.0
+
+
+class TestBackfill:
+    def test_chunked_backfill_idempotent(self, spark, tmp_path):
+        import datetime as dt
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        # 6 days of events, two rows/day
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (i, i % 3, base + dt.timedelta(days=i // 2, hours=i % 2), float(i))
+            for i in range(12)
+        ]
+        src = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).write.parquet(src)
+
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="BF_FS")
+        fs.register_source("BF_EV", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "bf_fv", ["user"],
+                sql="SELECT user_id, ts, value FROM BF_EV",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_SCHEDULE"),
+            ),
+            version="1",
+        )
+
+        # backfill the first 4 days in 2-day chunks
+        done = fs.backfill("bf_fv", "1", "2024-03-01", "2024-03-05", step_days=2)
+        assert done == ["2024-03-01", "2024-03-03"]
+        got = fs.read_feature_view("BF_FV$1")
+        assert got.count() == 8  # 4 days x 2 rows
+
+        # re-running a chunk is idempotent (dynamic partition overwrite)
+        fs.backfill("bf_fv", "1", "2024-03-01", "2024-03-03", step_days=2)
+        assert fs.read_feature_view("BF_FV$1").count() == 8
+
+        # extend the range; only the new days add rows
+        fs.backfill("bf_fv", "1", "2024-03-05", "2024-03-07", step_days=2)
+        assert fs.read_feature_view("BF_FV$1").count() == 12
+
+    def test_backfill_requires_timestamp(self, spark, tmp_path):
+        import pytest
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        src = str(tmp_path / "s")
+        spark.createDataFrame([(1, 1.0)], "user_id long, v double").write.parquet(src)
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="BF2_FS")
+        fs.register_source("BF2_S", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "bf2_fv", ["user"],
+                sql="SELECT user_id, v FROM BF2_S",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_SCHEDULE"),
+            ),
+            version="1",
+        )
+        with pytest.raises(ValidationError, match="timestamp_col"):
+            fs.backfill("bf2_fv", "1", "2024-01-01", "2024-01-02")

@@ -441,6 +441,45 @@ def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer features — the canonical feature-engineering recipe:
+    recency (days from last order to the corpus max date — a data-
+    derived anchor, never now()), frequency (order count), monetary
+    (decimal-exact spend), plus ntile(4) scores per dimension with full
+    ordering tiebreaks. One agg on o_custkey + three shared-sort
+    windows over the (small) per-customer frame; the anchor is a
+    broadcast scalar."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count("*").cast("long").alias("f_frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("f_monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    scored = rfm.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("_anchor"), F.col("_last"))
+        .cast("long")
+        .alias("f_recency_days"),
+        "f_frequency",
+        "f_monetary",
+    )
+    w_r = Window.orderBy(F.col("f_recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("f_frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("f_monetary").desc(), F.col("o_custkey").asc())
+    return scored.select(
+        "o_custkey",
+        "f_recency_days",
+        "f_frequency",
+        "f_monetary",
+        F.ntile(4).over(w_r).cast("long").alias("f_r_score"),
+        F.ntile(4).over(w_f).cast("long").alias("f_f_score"),
+        F.ntile(4).over(w_m).cast("long").alias("f_m_score"),
+    )
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-event week (cohort),
     counted distinct-active per calendar week — the standard cohort
@@ -468,6 +507,36 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_rfm": """
+        WITH rfm AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_o,
+                   CAST(COUNT(*) AS BIGINT) AS f_frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS f_monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+        scored AS (
+            SELECT o_custkey,
+                   CAST(DATE_DIFF('day', CAST(last_o AS DATE),
+                                  CAST(anchor.a AS DATE)) AS BIGINT)
+                       AS f_recency_days,
+                   f_frequency, f_monetary
+            FROM rfm, anchor
+        )
+        SELECT o_custkey, f_recency_days, f_frequency, f_monetary,
+               CAST(NTILE(4) OVER (
+                   ORDER BY f_recency_days ASC, o_custkey ASC
+               ) AS BIGINT) AS f_r_score,
+               CAST(NTILE(4) OVER (
+                   ORDER BY f_frequency DESC, o_custkey ASC
+               ) AS BIGINT) AS f_f_score,
+               CAST(NTILE(4) OVER (
+                   ORDER BY f_monetary DESC, o_custkey ASC
+               ) AS BIGINT) AS f_m_score
+        FROM scored
+    """,
     # hop = 30 min = 1.8e9 us, width = 1 h = 3.6e9 us; every event is in
     # the windows starting at floor(us/hop)*hop and one hop earlier —
     # the same 1970-epoch alignment Spark's window() uses
@@ -737,6 +806,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_hopping": q_hopping,
+    "q_rfm": q_rfm,
     "q_join_full": q_join_full,
     "q_cross_join": q_cross_join,
     "q_tpch_q17like": q_tpch_q17like,

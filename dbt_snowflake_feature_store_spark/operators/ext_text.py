@@ -455,6 +455,38 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "f_pred_lang")
 
 
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal (the exact-arithmetic cousin of
+    CCNet-style perplexity filtering — log-prob can't be oracle-gated
+    because IEEE log isn't correctly-rounded across engines): per doc,
+    the mean corpus-wide occurrence count of its tokens. Common-
+    vocabulary docs score high, OOV/gibberish docs score low. All
+    integer sums (BIGINT both engines), ONE division at the end.
+
+    Scale: the corpus token-frequency dictionary is |vocab| rows —
+    ~10M entries even at 100 TB — so the score join BROADCASTS the
+    dictionary; the exploded token stream never shuffles on the (badly
+    skewed: stopwords) token key."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(TXT.ws_tokens(TXT.normalized_text(F.col("text")))).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("f_n_tokens"),
+            (F.sum("tf").cast("double") / F.count("*").cast("double")).alias(
+                "f_mean_tf"
+            ),
+        )
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: the K hash-smallest docs per
     language — the training-mix balancer (equal per-stratum quota, no
@@ -783,6 +815,22 @@ ORACLE["q_text_repetition"] = f"""
                  / CAST(len(grams) AS DOUBLE) AS f_dup_2gram_ratio
     FROM g
 """
+ORACLE["q_token_rarity"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS f_n_tokens,
+           CAST(SUM(f.tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS f_mean_tf
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+"""
+
 ORACLE["q_sample_stratified"] = """
     SELECT lang, f_rank, doc_id, n_chars FROM (
         SELECT lang, doc_id, n_chars,
@@ -886,6 +934,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_corpus_dedup_stats": q_corpus_dedup_stats,
     "q_sample_stratified": q_sample_stratified,
+    "q_token_rarity": q_token_rarity,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_sample_split": q_sample_split,

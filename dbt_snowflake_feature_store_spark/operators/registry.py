@@ -34,7 +34,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_dedup_simhash_portable", "q_dedup_clusters", "q_corpus_dedup_stats",
     "q_text_repetition",
     "q_funnel", "q_retention", "q_hopping", "q_knn_join", "q_sim_topk",
-    "q_sample_stratified", "q_rfm", "q_dedup_embed",
+    "q_sample_stratified", "q_rfm", "q_token_rarity", "q_dedup_embed",
     # least-recently recorded by the driver (not in CORRECTNESS_r03)
     "q_join_left", "q_join_multi_fv", "q_join_asof", "q_semi_anti",
     "q_union_all", "q_window_rank", "q_window_frame", "q_sort_limit",

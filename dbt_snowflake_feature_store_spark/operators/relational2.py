@@ -446,9 +446,16 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency (days from last order to the corpus max date — a data-
     derived anchor, never now()), frequency (order count), monetary
     (decimal-exact spend), plus ntile(4) scores per dimension with full
-    ordering tiebreaks. One agg on o_custkey + three shared-sort
-    windows over the (small) per-customer frame; the anchor is a
-    broadcast scalar."""
+    ordering tiebreaks. One agg on o_custkey + three windows over the
+    per-customer frame; the anchor is a broadcast scalar.
+
+    Scale note: the ntile windows are GLOBAL (quartiles are corpus-wide
+    by definition) — a single-partition sort, but of the aggregated
+    per-customer frame (|customers| rows, not |orders|). At extreme
+    cardinality swap the exact ntile for percentile-threshold
+    bucketing (approx_percentile thresholds broadcast, then a CASE) —
+    same feature, no global sort; the exact form stays here because
+    the oracle pins exactness."""
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),

@@ -452,10 +452,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the ntile windows are GLOBAL (quartiles are corpus-wide
     by definition) — a single-partition sort, but of the aggregated
     per-customer frame (|customers| rows, not |orders|). At extreme
-    cardinality swap the exact ntile for percentile-threshold
-    bucketing (approx_percentile thresholds broadcast, then a CASE) —
-    same feature, no global sort; the exact form stays here because
-    the oracle pins exactness."""
+    cardinality swap the exact ntile for
+    ``functions.features.quantile_bucket`` (approx-percentile
+    thresholds + row-local CASE, plan-asserted sort-free) — same
+    feature, no global sort; the exact form stays here because the
+    oracle pins exactness."""
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),

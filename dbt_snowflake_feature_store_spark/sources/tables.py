@@ -41,6 +41,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #     (identical wall-clock values, so the DuckDB oracle agrees).
 # Normalizing HERE, not per-operator, is the 100 TB posture: source
 # type drift must not take down every downstream query.
+# The bigint-nanos repair needs a per-table allowlist (a bare int64
+# column is indistinguishable from an id); the NTZ repair is safe for
+# EVERY timestamp column of EVERY table, so it runs unconditionally —
+# if the driver rotates another table's timestamps to timestamp[us]
+# (as events.ts did in round 3), nothing downstream notices.
 _EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -54,18 +59,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp and break value comparison."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ts_cols = _EVENT_TS_COLS.get(name, ())
-    if not ts_cols:
-        return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    dtypes = dict(df.dtypes)
-    for c in ts_cols:
-        dt = dtypes.get(c)
-        if dt == "bigint":  # TIMESTAMP(NANOS) layout
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif dt == "timestamp_ntz":  # timestamp[us] layout
+    ns_cols = _EVENT_TS_COLS.get(name, ())
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":  # timestamp[us] layout, any table
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dt == "bigint" and c in ns_cols:  # TIMESTAMP(NANOS) layout
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

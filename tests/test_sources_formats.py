@@ -163,3 +163,26 @@ def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
     # the cast that broke round 3 (NTZ→BIGINT) must have a working path
     secs = [r.s for r in b.select(F.unix_timestamp("ts").alias("s")).collect()]
     assert secs == [v // 1_000_000 for v in us_vals]
+
+
+def test_read_table_normalizes_ntz_in_any_table(spark, tmp_path):
+    """The NTZ repair is table-agnostic: if the driver rotates ANOTHER
+    table's timestamps to timestamp[us] (as events.ts did in round 3),
+    read_table must still yield UTC TIMESTAMP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_orderdate": pa.array([1_600_000_000_000_000], pa.timestamp("us")),
+        }),
+        str(d / "orders.parquet"),
+    )
+    o = read_table(spark, str(d), "orders")
+    assert dict(o.dtypes)["o_orderdate"] == "timestamp"
+    assert o.select(F.unix_timestamp("o_orderdate").alias("s")).collect()[0].s == 1_600_000_000

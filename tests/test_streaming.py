@@ -118,6 +118,52 @@ class TestStreamingIncremental:
         # no duplicate (window, type) keys: exactly-once emission
         assert len(emitted) == n2
 
+    def test_hopping_window_streaming_matches_batch(self, fs, spark, split_events):
+        """Hopping (sliding) windows stream correctly: every emitted
+        (window_start) count equals the batch recompute — the streaming
+        twin of the oracle-gated q_hopping batch key."""
+        fs.register_source(
+            "STREAM_EVENTS_H",
+            split_events["src"],
+            watermark_col="ts",
+            watermark_delay="1 hour",
+        )
+        fs.register_entity(Entity("huser", ["user_id"]))
+        fv = FeatureView(
+            "hop_counts",
+            ["huser"],
+            sql="""SELECT window(ts, '1 hour', '30 minutes').start AS w_start,
+                          user_id,
+                          COUNT(*) AS f_n
+                   FROM STREAM_EVENTS_H
+                   GROUP BY window(ts, '1 hour', '30 minutes'), user_id""",
+            refresh=RefreshSpec("1 hour", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        _arrive_half2(split_events)
+        fs.refresh("hop_counts", "1.0")
+        out = fs.read_feature_view("HOP_COUNTS$1.0")
+        batch = (
+            spark.read.parquet(split_events["src"])
+            .groupBy(
+                F.window("ts", "1 hour", "30 minutes")
+                .getField("start")
+                .alias("w_start"),
+                "user_id",
+            )
+            .agg(F.count("*").alias("f_n"))
+        )
+        emitted = {
+            (r["w_start"], r["user_id"]): r["f_n"] for r in out.collect()
+        }
+        expected = {
+            (r["w_start"], r["user_id"]): r["f_n"] for r in batch.collect()
+        }
+        assert emitted, "no hopping windows emitted"
+        for k, v in emitted.items():
+            assert expected[k] == v, k
+        assert len(emitted) == out.count()  # exactly-once emission
+
     def test_session_window_streaming_agg(self, fs, spark, split_events):
         """session_window (gap-based session aggregation) as an
         incrementally-maintained managed FV — the streaming counterpart

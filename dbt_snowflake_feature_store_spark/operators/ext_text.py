@@ -133,7 +133,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TXT.simhash64(F.col("text")).alias("f_simhash"))
 
 
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_ngram(
+    spark: SparkSession,
+    sf_dir: str,
+    max_block_size: int = 64,
+    log_dropped: bool = False,
+) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs with length-bucket
     blocking — the oracle-checkable exact counterpart of q_dedup_near
     (which approximates the same Jaccard via MinHash banding).
@@ -149,8 +154,33 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH path (q_dedup_near) generates the candidates instead and
     this key is the exact-verify stage both pipelines share. Shingle
     arrays are materialized columns before the lambda (HOF re-evaluation
-    rule), distinct so the intersection is a set op."""
-    d = _docs(spark, sf_dir)
+    rule), distinct so the intersection is a set op.
+
+    ``max_block_size`` is the quadratic-blowup guard (same policy as
+    ``cosine_pairs_lsh``): a block larger than the cap — a dedup-heavy
+    boilerplate corpus where everything has ~the same length — is
+    EXCLUDED from the self-join via a broadcast semi-filter on the
+    block-size count, so Σ block² is bounded by cap·n instead of n².
+    Over-cap blocks are near-identical-length clusters; exact-hash or
+    MinHash dedup handles them, and the SAME cap is replayed in the
+    DuckDB oracle (HAVING COUNT(*) <= cap), so the guard itself is
+    hash-checked. ``log_dropped`` reports excluded blocks/rows."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        max_block_size=max_block_size,
+        log_dropped=log_dropped,
+    )
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    threshold: float = 0.5,
+    max_block_size: int | None = 64,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """The q_dedup_ngram pipeline over an arbitrary documents frame
+    (columns: doc_id, lang, n_chars, text) — exposed so skew tests and
+    store-facing recipes can run it on synthetic corpora."""
     toks = d.select(
         "doc_id",
         "lang",
@@ -178,6 +208,27 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     sh = sh.withColumn("n", F.size("sh"))
+    if max_block_size is not None:
+        sizes = sh.groupBy("lang", "bucket").agg(F.count("*").alias("_blk_n"))
+        if log_dropped:
+            import logging
+
+            dropped = (
+                sizes.filter(F.col("_blk_n") > max_block_size)
+                .agg(
+                    F.count("*").alias("b"),
+                    F.coalesce(F.sum("_blk_n"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]
+            )
+            logging.getLogger(__name__).warning(
+                "q_dedup_ngram: dropping %d over-cap blocks (%d rows, cap=%d)",
+                dropped["b"], dropped["r"], max_block_size,
+            )
+        keep = sizes.filter(F.col("_blk_n") <= max_block_size).select(
+            "lang", "bucket"
+        )
+        sh = sh.join(F.broadcast(keep), ["lang", "bucket"])
     a = sh.alias("a")
     b = sh.alias("b")
     # Join condition stays CHEAP (equi keys + id order only). The
@@ -211,7 +262,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         ).alias("f_jaccard"),
-    ).filter(F.col("f_jaccard") >= 0.5)
+    ).filter(F.col("f_jaccard") >= threshold)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,23 +336,37 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: assign docs (ordered by doc_id within a
     language) to fixed 2048-token bins by cumulative token offset — the
-    batch-construction op for LLM pretraining shards. Window cumsum
-    shares one shuffle on lang; pack assignment is pure arithmetic.
-    At 100 TB the order column becomes a shard key so packing
-    parallelizes per shard."""
+    batch-construction op for LLM pretraining shards.
+
+    SHARD-KEYED (the 100 TB shape): packing is inherently sequential in
+    the ordering key, so a cumsum window partitioned by ``lang`` alone
+    puts an entire stratum's sort + running sum in ONE task. Instead the
+    cumsum partitions by ``(lang, doc_id div 256)`` — a deterministic
+    shard of the ordering key — so bins never cross shard boundaries and
+    every shard packs independently in parallel (the only cost is one
+    possibly-underfull final bin per shard, ≤ 2047 tokens of padding per
+    256 docs). The emitted pack id is globally unique and deterministic:
+    ``shard * 1_000_000 + local_pack`` (a 256-doc shard cannot reach 10⁶
+    local bins)."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
     toks = d.select(
-        "doc_id", "lang", TXT.ws_token_count(F.col("text")).alias("n_toks")
+        "doc_id",
+        "lang",
+        F.expr("doc_id div 256").alias("f_shard"),
+        TXT.ws_token_count(F.col("text")).alias("n_toks"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+    w = Window.partitionBy("lang", "f_shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = toks.withColumn("cum", F.sum("n_toks").over(w))
     packed = cum.withColumn(
         "f_pack",
-        F.floor((F.col("cum") - F.col("n_toks")) / F.lit(2048)).cast("long"),
+        (
+            F.col("f_shard") * F.lit(1_000_000)
+            + F.expr("(cum - n_toks) div 2048")
+        ).cast("long"),
     )
     return packed.groupBy("lang", "f_pack").agg(
         F.count("*").alias("f_docs"),
@@ -492,19 +557,42 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     language — the training-mix balancer (equal per-stratum quota, no
     rand(), reproducible across engines/backfills). Knuth multiplicative
     hash orders each stratum; (hash, doc_id) tiebreak makes row_number
-    exact. One shuffle on the tiny lang key; at 100 TB the same shape
-    holds because the window partitions by stratum, never globally."""
+    exact.
+
+    TWO-PHASE top-K (the 100 TB shape — a single window partitioned by
+    the ~5-value ``lang`` key would sort |corpus|/5 rows in ONE task):
+
+    1. Local phase: every input partition keeps its own K hash-smallest
+       rows per stratum — window over ``(lang, spark_partition_id())``,
+       a high-cardinality key, so the big sort spreads across ALL tasks
+       and each sorts only its slice. The global per-stratum top-K is
+       invariant to the partition layout: whatever partition a winner
+       sits in, it is also in that partition's local top-K, so phase 1
+       always emits a superset (≤ K·P rows/stratum) of the answer.
+    2. Merge phase: the exact window over ``lang`` alone runs on that
+       K·P-bounded candidate set — single-task per stratum but over at
+       most a few thousand rows regardless of corpus size.
+    """
     k = 20
     d = _docs(spark, sf_dir)
     h = (F.col("doc_id") * F.lit(2654435761)) % 1000000007
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy(
-        h.asc(), F.col("doc_id").asc()
+    base = d.select("doc_id", "lang", "n_chars", h.alias("f_h")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("lang", "_pid").orderBy(
+        F.col("f_h").asc(), F.col("doc_id").asc()
+    )
+    cand = (
+        base.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+    )
+    w_merge = Window.partitionBy("lang").orderBy(
+        F.col("f_h").asc(), F.col("doc_id").asc()
     )
     return (
-        d.select("doc_id", "lang", "n_chars", h.alias("f_h"))
-        .withColumn("f_rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("f_rank", F.row_number().over(w_merge).cast("long"))
         .filter(F.col("f_rank") <= k)
         .select("lang", "f_rank", "doc_id", "n_chars")
     )
@@ -856,18 +944,20 @@ ORACLE["q_sample_split"] = """
 
 ORACLE["q_pack_sequences"] = f"""
     WITH toks AS (
-        SELECT doc_id, lang, {_WS_COUNT} AS n_toks FROM documents
+        SELECT doc_id, lang, doc_id // 256 AS f_shard,
+               {_WS_COUNT} AS n_toks
+        FROM documents
     ),
     cums AS (
-        SELECT doc_id, lang, n_toks,
+        SELECT doc_id, lang, f_shard, n_toks,
                SUM(n_toks) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang, f_shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS cum
         FROM toks
     )
     SELECT lang,
-           CAST(FLOOR(CAST(cum - n_toks AS DOUBLE) / 2048) AS BIGINT) AS f_pack,
+           CAST(f_shard * 1000000 + (cum - n_toks) // 2048 AS BIGINT) AS f_pack,
            COUNT(*) AS f_docs,
            CAST(SUM(n_toks) AS BIGINT) AS f_tokens,
            MIN(doc_id) AS f_first_doc,
@@ -916,12 +1006,19 @@ ORACLE["q_dedup_ngram"] = """
                )) AS s
         FROM tok WHERE len(toks) >= 3
     ),
+    keep AS (
+        SELECT lang, bucket FROM sh
+        GROUP BY lang, bucket HAVING COUNT(*) <= 64
+    ),
+    shf AS (
+        SELECT sh.* FROM sh JOIN keep USING (lang, bucket)
+    ),
     pairs AS (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / len(list_distinct(list_concat(a.s, b.s))) AS f_jaccard
-        FROM sh a
-        JOIN sh b ON a.lang = b.lang AND a.bucket = b.bucket
+        FROM shf a
+        JOIN shf b ON a.lang = b.lang AND a.bucket = b.bucket
                  AND a.doc_id < b.doc_id
     )
     SELECT doc_id_a, doc_id_b, f_jaccard FROM pairs WHERE f_jaccard >= 0.5

@@ -29,20 +29,20 @@ _MODULES = [relational2, relational]
 # Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # new/changed this round — need a driver-dated record
-    "q_scd2_multi", "q_fingerprint_winnow", "q_dedup_near_portable",
-    "q_dedup_simhash_portable", "q_dedup_clusters", "q_corpus_dedup_stats",
-    "q_text_repetition",
-    "q_funnel", "q_retention", "q_hopping", "q_knn_join", "q_sim_topk",
-    "q_sample_stratified", "q_rfm", "q_token_rarity", "q_dedup_embed",
-    # least-recently recorded by the driver (not in CORRECTNESS_r03)
-    "q_join_left", "q_join_multi_fv", "q_join_asof", "q_semi_anti",
-    "q_union_all", "q_window_rank", "q_window_frame", "q_sort_limit",
-    "q_scalar_str", "q_scalar_date", "q_scalar_json", "q_agg_having",
-    "q_cte_pipeline", "q_rollup", "q_set_ops", "q_pivot", "q_join_range",
-    "q_sessionize", "q_percentile", "q_agg_approx", "q_window_range",
-    "q_scalar_subquery", "q_explode_tokens", "q_tpch_q1like",
-    "q_tpch_q3like", "q_tpch_q5like",
+    # changed this round (round 5: scale-safe rewrites / block caps) —
+    # need a fresh driver-dated record
+    "q_sample_stratified", "q_pack_sequences", "q_dedup_ngram",
+    # not recorded by CORRECTNESS_r04.json (the r01/r02-dated greens)
+    "q_agg_multi", "q_arith_expr", "q_array_agg", "q_case_when",
+    "q_cross_join", "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
+    "q_distinct", "q_filter_false", "q_filter_pred", "q_fingerprint",
+    "q_groupby_agg", "q_grouping_sets", "q_join_equi", "q_join_full",
+    "q_lang_id", "q_multimodal_decode", "q_multimodal_frames",
+    "q_multimodal_meta", "q_ngram_freq", "q_null_handling", "q_num_fns",
+    "q_sample_split", "q_scan_project", "q_scd2_history",
+    "q_session_window", "q_sim_ann_lsh", "q_sim_ivf", "q_stats_moments",
+    "q_text_quality", "q_text_search", "q_text_stats", "q_token_count",
+    "q_tpch_q13like", "q_tpch_q17like", "q_window_nav",
 )
 
 

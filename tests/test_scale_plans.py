@@ -1,0 +1,175 @@
+"""Scale-design plan assertions for the round-5 rewrites.
+
+The three operators the round-4 verdict flagged as `weak` carried plan
+shapes that are correct at sf0.1 but collapse at 100 TB:
+
+- q_sample_stratified: one window partitioned by the ~5-value ``lang``
+  key → a single task sorts |corpus|/5 rows. Now two-phase top-K.
+- q_pack_sequences: cumsum window partitioned by ``lang`` alone → one
+  sequential task per language. Now shard-keyed.
+- q_dedup_ngram: O(Σ block²) self-join with no block-size cap → a dense
+  length bucket goes quadratic. Now capped like cosine_pairs_lsh.
+
+These tests pin the PLAN shape (no full-data sort partitioned only by a
+low-cardinality stratum key) and the cap behavior, not just the values —
+value correctness is the DuckDB oracle's job (all three keys hash-MATCH).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark.operators.ext_text import (
+    ngram_jaccard_pairs,
+    q_pack_sequences,
+    q_sample_stratified,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+def _executed_plan(df) -> str:
+    df.count()  # force execution so AQE finalizes the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# q_sample_stratified: two-phase top-K
+# ---------------------------------------------------------------------------
+
+def test_stratified_local_phase_partitions_by_pid(spark):
+    """The window that sees the FULL corpus must partition by
+    (lang, _pid) — never by lang alone — so no single task sorts a whole
+    stratum. The lang-only merge window exists but runs on the K·P-row
+    candidate set."""
+    plan = _executed_plan(q_sample_stratified(spark, SF_DIR))
+    assert "_pid" in plan  # local phase key survived into the plan
+    # both windows present: local (lang, _pid) then merge (lang)
+    assert plan.count("Window") >= 2
+    # the local phase's exchange hashes on both keys
+    assert any(
+        "lang" in line and "_pid" in line
+        for line in plan.splitlines()
+        if "hashpartitioning" in line
+    )
+
+
+def test_stratified_matches_single_window_form(spark):
+    """Two-phase result == the exact one-window form (superset property:
+    every global winner is a local winner of its own partition)."""
+    from pyspark.sql import Window
+
+    from dbt_snowflake_feature_store_spark.sources.tables import read_table
+
+    d = read_table(spark, SF_DIR, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000000007
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    exact = (
+        d.select("doc_id", "lang", "n_chars", h.alias("f_h"))
+        .withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_rank") <= 20)
+        .select("lang", "f_rank", "doc_id", "n_chars")
+    )
+    got = sorted(map(tuple, q_sample_stratified(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want
+
+
+def test_stratified_two_phase_invariant_to_layout(spark):
+    """Repartitioning the input (different _pid assignment) must not
+    change the answer — the local phase keeps a superset under ANY
+    layout."""
+    baseline = sorted(map(tuple, q_sample_stratified(spark, SF_DIR).collect()))
+    # same pipeline, scrambled input layout
+    from pyspark.sql import Window
+
+    from dbt_snowflake_feature_store_spark.sources.tables import read_table
+
+    d = read_table(spark, SF_DIR, "documents").repartition(13, "n_chars")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000000007
+    base = d.select("doc_id", "lang", "n_chars", h.alias("f_h")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("lang", "_pid").orderBy(
+        F.col("f_h").asc(), F.col("doc_id").asc()
+    )
+    cand = base.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= 20
+    )
+    w_merge = Window.partitionBy("lang").orderBy(
+        F.col("f_h").asc(), F.col("doc_id").asc()
+    )
+    scrambled = sorted(
+        map(
+            tuple,
+            cand.withColumn("f_rank", F.row_number().over(w_merge).cast("long"))
+            .filter(F.col("f_rank") <= 20)
+            .select("lang", "f_rank", "doc_id", "n_chars")
+            .collect(),
+        )
+    )
+    assert scrambled == baseline
+
+
+# ---------------------------------------------------------------------------
+# q_pack_sequences: shard-keyed cumsum
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_window_is_shard_keyed(spark):
+    """The cumsum window must partition by (lang, f_shard) — packing
+    parallelizes per 256-doc shard instead of one task per language."""
+    plan = _executed_plan(q_pack_sequences(spark, SF_DIR))
+    assert any(
+        "lang" in line and "f_shard" in line
+        for line in plan.splitlines()
+        if "hashpartitioning" in line
+    )
+
+
+def test_pack_sequences_bins_never_cross_shards(spark):
+    """Every pack's doc range stays inside one 256-doc shard, and pack
+    ids decompose as shard * 1e6 + local."""
+    rows = q_pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        shard = r.f_pack // 1_000_000
+        assert r.f_first_doc // 256 == shard
+        assert r.f_last_doc // 256 == shard
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_ngram: block-size cap
+# ---------------------------------------------------------------------------
+
+def _dense_corpus(spark, n=120):
+    """n docs, same lang, same length bucket, all mutually ~identical →
+    one dense block that would otherwise yield n(n−1)/2 pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(i, "en", len(base), base) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars int, text string"
+    )
+
+
+def test_ngram_cap_prevents_quadratic_blowup(spark):
+    dense = _dense_corpus(spark, 120)
+    uncapped = ngram_jaccard_pairs(dense, max_block_size=None)
+    assert uncapped.count() == 120 * 119 // 2  # the blowup is real
+    capped = ngram_jaccard_pairs(dense, max_block_size=64, log_dropped=True)
+    assert capped.count() == 0  # over-cap block never reaches the join
+
+
+def test_ngram_cap_keeps_under_cap_blocks(spark):
+    """Blocks at or under the cap flow through unchanged."""
+    small = _dense_corpus(spark, 10)
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs(small, max_block_size=64).collect())
+    )
+    uncapped = sorted(
+        map(tuple, ngram_jaccard_pairs(small, max_block_size=None).collect())
+    )
+    assert capped == uncapped == sorted(
+        (a, b, 1.0) for a in range(10) for b in range(a + 1, 10)
+    )

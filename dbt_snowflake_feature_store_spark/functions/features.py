@@ -29,11 +29,21 @@ def quantile_bucket(
     ``ntile(buckets) OVER (ORDER BY col [DESC])``).
 
     ``accuracy`` is Spark's percentile_approx knob: rank error is at
-    most n/accuracy rows per threshold."""
+    most n/accuracy rows per threshold.
+
+    NULL handling: a NULL input gets a NULL bucket (unlike ``ntile``,
+    which under Spark's default NULLS FIRST ascending ordering counts
+    NULLs into bucket 1 — bucketing a missing measurement as "smallest"
+    is almost never the wanted feature semantics, so the divergence is
+    deliberate and documented here). Requires ``buckets >= 2``."""
+    if buckets < 2:
+        raise ValueError(f"quantile_bucket requires buckets >= 2, got {buckets}")
     probs = [i / buckets for i in range(1, buckets)]
     row = df.agg(
         F.percentile_approx(col, probs, accuracy).alias("_t")
     ).collect()[0]
+    if row["_t"] is None:  # no non-null values: every bucket is NULL
+        return F.lit(None).cast("int")
     thresholds = list(row["_t"])
     c = F.col(col)
     if not ascending:
@@ -43,8 +53,88 @@ def quantile_bucket(
         expr = F.when(c > F.lit(thresholds[-1]), 1)
         for i, th in enumerate(reversed(thresholds[:-1]), start=2):
             expr = expr.when(c > F.lit(th), i)
-        return expr.otherwise(buckets)
+        return F.when(c.isNotNull(), expr.otherwise(buckets))
     expr = F.when(c <= F.lit(thresholds[0]), 1)
     for i, th in enumerate(thresholds[1:], start=2):
         expr = expr.when(c <= F.lit(th), i)
-    return expr.otherwise(buckets)
+    return F.when(c.isNotNull(), expr.otherwise(buckets))
+
+
+def rfm_features(
+    orders: DataFrame,
+    buckets: int = 4,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    exact: bool = False,
+) -> DataFrame:
+    """RFM customer features — the store-facing recipe behind the
+    q_rfm query key (operators/relational2.py), with the SCALE path as
+    the default: recency/frequency/monetary aggregates per customer,
+    scored 1..``buckets`` per dimension.
+
+    ``exact=False`` (default, the 100 TB shape) scores via
+    ``quantile_bucket`` — three approx-percentile sketches + row-local
+    CASEs, NO window and NO global sort anywhere in the plan
+    (plan-asserted in tests/test_features.py). ``exact=True`` scores
+    via global ``ntile`` windows (single-partition sort of the
+    per-customer frame) — the form the DuckDB oracle pins; use it only
+    when exact quartile boundaries matter more than the sort.
+
+    Scores agree with the exact form everywhere except rows tied with /
+    within the sketch's rank error of a quartile boundary."""
+    rfm = orders.groupBy(customer_col).agg(
+        F.max(date_col).alias("_last"),
+        F.count("*").cast("long").alias("f_frequency"),
+        F.sum(F.col(amount_col).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("f_monetary"),
+    )
+    anchor = orders.agg(F.max(date_col).alias("_anchor"))
+    scored = rfm.crossJoin(F.broadcast(anchor)).select(
+        customer_col,
+        F.datediff(F.col("_anchor"), F.col("_last"))
+        .cast("long")
+        .alias("f_recency_days"),
+        "f_frequency",
+        "f_monetary",
+    )
+    if exact:
+        from pyspark.sql import Window
+
+        w_r = Window.orderBy(
+            F.col("f_recency_days").asc(), F.col(customer_col).asc()
+        )
+        w_f = Window.orderBy(
+            F.col("f_frequency").desc(), F.col(customer_col).asc()
+        )
+        w_m = Window.orderBy(
+            F.col("f_monetary").desc(), F.col(customer_col).asc()
+        )
+        return scored.select(
+            customer_col,
+            "f_recency_days",
+            "f_frequency",
+            "f_monetary",
+            F.ntile(buckets).over(w_r).cast("long").alias("f_r_score"),
+            F.ntile(buckets).over(w_f).cast("long").alias("f_f_score"),
+            F.ntile(buckets).over(w_m).cast("long").alias("f_m_score"),
+        )
+    # the three sketches each collect `buckets-1` scalars; the scored
+    # frame itself is never globally sorted
+    scored = scored.cache()
+    return scored.select(
+        customer_col,
+        "f_recency_days",
+        "f_frequency",
+        "f_monetary",
+        quantile_bucket(scored, "f_recency_days", buckets)
+        .cast("long")
+        .alias("f_r_score"),
+        quantile_bucket(scored, "f_frequency", buckets, ascending=False)
+        .cast("long")
+        .alias("f_f_score"),
+        quantile_bucket(scored, "f_monetary", buckets, ascending=False)
+        .cast("long")
+        .alias("f_m_score"),
+    )

@@ -449,43 +449,15 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering tiebreaks. One agg on o_custkey + three windows over the
     per-customer frame; the anchor is a broadcast scalar.
 
-    Scale note: the ntile windows are GLOBAL (quartiles are corpus-wide
-    by definition) — a single-partition sort, but of the aggregated
-    per-customer frame (|customers| rows, not |orders|). At extreme
-    cardinality swap the exact ntile for
-    ``functions.features.quantile_bucket`` (approx-percentile
-    thresholds + row-local CASE, plan-asserted sort-free) — same
-    feature, no global sort; the exact form stays here because the
-    oracle pins exactness."""
-    o = _t(spark, sf_dir, "orders")
-    rfm = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("_last"),
-        F.count("*").cast("long").alias("f_frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("f_monetary"),
-    )
-    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
-    scored = rfm.crossJoin(F.broadcast(anchor)).select(
-        "o_custkey",
-        F.datediff(F.col("_anchor"), F.col("_last"))
-        .cast("long")
-        .alias("f_recency_days"),
-        "f_frequency",
-        "f_monetary",
-    )
-    w_r = Window.orderBy(F.col("f_recency_days").asc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("f_frequency").desc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(F.col("f_monetary").desc(), F.col("o_custkey").asc())
-    return scored.select(
-        "o_custkey",
-        "f_recency_days",
-        "f_frequency",
-        "f_monetary",
-        F.ntile(4).over(w_r).cast("long").alias("f_r_score"),
-        F.ntile(4).over(w_f).cast("long").alias("f_f_score"),
-        F.ntile(4).over(w_m).cast("long").alias("f_m_score"),
-    )
+    This key pins the EXACT ntile form (the oracle needs exact quartile
+    boundaries); the store-facing recipe is
+    ``functions.features.rfm_features``, whose default scale path scores
+    via ``quantile_bucket`` (approx-percentile thresholds + row-local
+    CASE, plan-asserted sort-free in tests/test_features.py) — same
+    feature, no global single-partition sort at extreme cardinality."""
+    from ..functions.features import rfm_features
+
+    return rfm_features(_t(spark, sf_dir, "orders"), buckets=4, exact=True)
 
 
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,16 +267,35 @@ def backfill_feature_view(
     entire shuffle in flight; per-chunk jobs bound executor memory and
     make the backfill resumable (re-running a chunk overwrites exactly
     its own partitions — idempotent, no dedup pass). Requires a
-    ``timestamp_col`` (the slicing axis) and a non-aggregating plan for
-    correctness of per-slice commits is NOT required — each slice is a
-    full recompute of its own partitions, so aggregates grouped within a
-    slice are fine as long as groups don't span slices (the same
-    contract Snowflake puts on partitioned backfills)."""
+    ``timestamp_col`` (the slicing axis).
+
+    Chunk commits go through ``fs.storage.overwrite_partitions`` — the
+    per-format dynamic-overwrite primitive — never raw parquet writes,
+    so a Delta-managed FV stays inside its transaction log and the
+    parquet path keeps its recovery semantics.
+
+    Aggregation caveat: each slice is recomputed independently, so an
+    aggregating plan is only correct when no group spans a slice
+    boundary (e.g. groups keyed by day with day-aligned chunks — the
+    same contract Snowflake puts on partitioned backfills). A plan that
+    aggregates triggers a WARNING naming this contract; it is not
+    rejected because day-keyed aggregation over day chunks is the
+    common, correct case."""
     import datetime as _dt
 
     if not fv.timestamp_col:
         raise ValidationError(
             f"backfill needs a timestamp_col on '{fv.logical_name}'"
+        )
+    if _plan_aggregates(fs._plan(fv)):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "backfill_feature_view('%s'): the plan aggregates — per-chunk "
+            "results are only correct if no group spans a chunk boundary "
+            "(groups must be keyed within one %d-day slice, e.g. by day)",
+            fv.logical_name,
+            step_days,
         )
     ts = {c.upper(): c for c in fs._plan(fv).columns}.get(fv.timestamp_col)
     if ts is None:
@@ -290,30 +309,21 @@ def backfill_feature_view(
         raise ValidationError("backfill end must be after start")
 
     spark = fs.spark
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done: list[str] = []
-    try:
-        cur = d0
-        while cur < d1:
-            nxt = min(cur + _dt.timedelta(days=step_days), d1)
-            chunk = (
-                fs._plan(fv)
-                .filter(
-                    (F.col(ts) >= F.lit(cur.isoformat()).cast("timestamp"))
-                    & (F.col(ts) < F.lit(nxt.isoformat()).cast("timestamp"))
-                )
-                .withColumn("_fs_dt", F.to_date(F.col(ts)))
+    cur = d0
+    while cur < d1:
+        nxt = min(cur + _dt.timedelta(days=step_days), d1)
+        chunk = (
+            fs._plan(fv)
+            .filter(
+                (F.col(ts) >= F.lit(cur.isoformat()).cast("timestamp"))
+                & (F.col(ts) < F.lit(nxt.isoformat()).cast("timestamp"))
             )
-            (
-                chunk.write.mode("overwrite")
-                .partitionBy("_fs_dt")
-                .parquet(path)
-            )
-            done.append(cur.isoformat())
-            cur = nxt
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            .withColumn("_fs_dt", F.to_date(F.col(ts)))
+        )
+        fs.storage.overwrite_partitions(spark, chunk, path, "_fs_dt")
+        done.append(cur.isoformat())
+        cur = nxt
     new_wm = _max_ts(fs, path, "_fs_dt", ts)
     if new_wm:
         _write_watermark(path, new_wm)

@@ -41,12 +41,41 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #     (identical wall-clock values, so the DuckDB oracle agrees).
 # Normalizing HERE, not per-operator, is the 100 TB posture: source
 # type drift must not take down every downstream query.
-# The bigint-nanos repair needs a per-table allowlist (a bare int64
-# column is indistinguishable from an id); the NTZ repair is safe for
-# EVERY timestamp column of EVERY table, so it runs unconditionally —
-# if the driver rotates another table's timestamps to timestamp[us]
-# (as events.ts did in round 3), nothing downstream notices.
+# The bigint-nanos repair is driven by the parquet FOOTER: a column
+# that reads as bigint only because nanosAsLong is set still declares a
+# timestamp logical type in the file schema, so _footer_ts_cols
+# identifies it for ANY table — no silent bigint timestamps outside a
+# static allowlist. The allowlist remains as a fallback for the case
+# where footer probing fails (e.g. an exotic filesystem). The NTZ
+# repair is safe for EVERY timestamp column of EVERY table, so it runs
+# unconditionally — if the driver rotates another table's timestamps to
+# timestamp[us] (as events.ts did in round 3), nothing downstream
+# notices.
 _EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _footer_ts_cols(path: str) -> set[str] | None:
+    """Column names the parquet footer declares as timestamps (any
+    unit). Returns None when the footer cannot be probed — callers fall
+    back to the static allowlist. One footer read per read_table call:
+    metadata-only, no row data."""
+    try:
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            probe = path
+        else:
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return None
+            probe = parts[0]
+        schema = pq.ParquetFile(probe).schema_arrow
+        return {f.name for f in schema if pa.types.is_timestamp(f.type)}
+    except Exception:
+        return None
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,11 +90,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    ns_cols = _EVENT_TS_COLS.get(name, ())
+    footer_ts = _footer_ts_cols(path)
+    ns_cols = (
+        footer_ts if footer_ts is not None else set(_EVENT_TS_COLS.get(name, ()))
+    )
     for c, dt in df.dtypes:
         if dt == "timestamp_ntz":  # timestamp[us] layout, any table
             df = df.withColumn(c, F.col(c).cast("timestamp"))
         elif dt == "bigint" and c in ns_cols:  # TIMESTAMP(NANOS) layout
+            if c not in _EVENT_TS_COLS.get(name, ()):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "read_table(%s): footer-detected nanos timestamp "
+                    "column '%s' (not in the static allowlist) — repairing",
+                    name,
+                    c,
+                )
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

@@ -85,6 +85,19 @@ class TableFormat:
         """Keyed upsert (last-writer-wins per key). Returns new row count."""
         raise NotImplementedError
 
+    def overwrite_partitions(
+        self, spark: SparkSession, df: DataFrame, path: str, partition_col: str
+    ) -> None:
+        """Dynamic partition overwrite: replace exactly the
+        ``partition_col`` partitions present in ``df``, leave every other
+        partition untouched — the idempotent per-chunk commit primitive
+        backfills need. Each format implements its own transactional (or
+        best-effort) variant; callers must never write raw files under a
+        managed path themselves (a raw parquet write into a Delta
+        directory lands outside the transaction log and corrupts the
+        table)."""
+        raise NotImplementedError
+
     def replace(self, spark: SparkSession, path: str, df: DataFrame,
                 partition_by: list[str] | None = None) -> None:
         """Atomically replace the table's contents with ``df``
@@ -254,6 +267,28 @@ class ParquetSnapshotFormat(TableFormat):
             else:
                 shutil.rmtree(old, ignore_errors=True)
 
+    def overwrite_partitions(
+        self, spark: SparkSession, df: DataFrame, path: str, partition_col: str
+    ) -> None:
+        """Spark's dynamic partitionOverwriteMode on a plain parquet
+        directory: per-partition replacement is atomic at the directory
+        level (Spark stages files then moves them in), re-running the
+        same chunk rewrites exactly its own partitions. The session conf
+        is restored afterwards — it is session-global."""
+        self.recover(path)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def merge(
         self, spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
     ) -> int:
@@ -326,6 +361,21 @@ class DeltaFormat(TableFormat):
             ),
             path,
             partition_by,
+        )
+
+    def overwrite_partitions(
+        self, spark: SparkSession, df: DataFrame, path: str, partition_col: str
+    ) -> None:
+        """Delta's transactional dynamic partition overwrite (the write
+        goes through the Delta log, so a mid-chunk crash leaves the
+        previous table version live — readers never see a partial
+        partition)."""
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .save(path)
         )
 
     def merge(

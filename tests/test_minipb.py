@@ -211,6 +211,29 @@ def test_packed_repeated_double_write_and_read():
     assert p2.xs == [3.0, 4.0]
 
 
+def test_packed_fixed_width_truncated_raises_decode_error():
+    """A packed LEN record whose declared length overruns the buffer
+    must raise DecodeError (the codec contract), never a raw
+    struct.error from unpack_from."""
+    import pytest
+
+    M = _mk("PackedT", [mp.FieldDesc("xs", 4, mp.TYPE_DOUBLE, repeated=True)])
+    # tag for field 4 wire 2, declared len 16, only 8 bytes present
+    wire = b"\x22\x10" + b"\x00" * 8
+    with pytest.raises(mp.DecodeError):
+        M().ParseFromString(wire)
+
+
+def test_packed_fixed_width_ragged_raises_decode_error():
+    import pytest
+
+    M = _mk("PackedR", [mp.FieldDesc("xs", 4, mp.TYPE_DOUBLE, repeated=True)])
+    # declared len 9: not a multiple of 8
+    wire = b"\x22\x09" + b"\x00" * 9
+    with pytest.raises(mp.DecodeError):
+        M().ParseFromString(wire)
+
+
 def test_packed_repeated_varint_written_packed():
     M = _mk("PackedV", [mp.FieldDesc("xs", 1, mp.TYPE_INT64, repeated=True)])
     m = M(xs=[1, 300])

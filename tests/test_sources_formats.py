@@ -165,6 +165,37 @@ def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
     assert secs == [v // 1_000_000 for v in us_vals]
 
 
+def test_read_table_repairs_nanos_outside_allowlist(spark, tmp_path):
+    """nanosAsLong turns ANY TIMESTAMP(NANOS) column into bigint — not
+    just the allowlisted events.ts. The footer probe must detect the
+    declared timestamp logical type and repair the column for any
+    table/column, so layout drift can't silently ship id-like bigints
+    where timestamps belong."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    us = 1_600_000_000_000_000
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([7], pa.int64()),  # real bigint: untouched
+            "o_shipts": pa.array([us * 1000 + 999], pa.timestamp("ns")),
+        }),
+        str(d / "orders.parquet"),
+    )
+    o = read_table(spark, str(d), "orders")
+    dt = dict(o.dtypes)
+    assert dt["o_shipts"] == "timestamp"
+    assert dt["o_orderkey"] == "bigint"
+    row = o.select(
+        "o_orderkey", F.unix_timestamp("o_shipts").alias("s")
+    ).collect()[0]
+    assert (row.o_orderkey, row.s) == (7, us // 1_000_000)
+
+
 def test_read_table_normalizes_ntz_in_any_table(spark, tmp_path):
     """The NTZ repair is table-agnostic: if the driver rotates ANOTHER
     table's timestamps to timestamp[us] (as events.ts did in round 3),

@@ -25,6 +25,36 @@ def _write(spark, path, rows):
     ).parquet(path)
 
 
+class TestOverwritePartitions:
+    def _part_write(self, spark, fmt, path, rows):
+        fmt.overwrite_partitions(
+            spark,
+            spark.createDataFrame(rows, "id long, v string, dt string"),
+            path,
+            "dt",
+        )
+
+    def test_replaces_only_matching_partitions(self, spark, tmp_path, fmt):
+        path = str(tmp_path / "t")
+        self._part_write(
+            spark, fmt, path, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]
+        )
+        # re-run d1 with different contents: d1 replaced, d2 untouched
+        self._part_write(spark, fmt, path, [(9, "z", "d1")])
+        rows = sorted(
+            (r.id, r.v, r.dt) for r in fmt.read(spark, path).collect()
+        )
+        assert rows == [(3, "c", "d2"), (9, "z", "d1")]
+
+    def test_session_conf_restored(self, spark, tmp_path, fmt):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        self._part_write(spark, fmt, str(tmp_path / "t"), [(1, "a", "d1")])
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "static"
+        )
+
+
 class TestMerge:
     def test_merge_upserts_and_inserts(self, spark, tmp_path, fmt):
         path = str(tmp_path / "t")

@@ -53,6 +53,20 @@ class TestDeltaFormatContract:
         dfmt.write_full(_df(spark, [(1, "a"), (2, "b")]), path, partition_by=["v"])
         assert dfmt.read(spark, path).count() == 2
 
+    def test_overwrite_partitions_replaces_only_matching(self, spark, tmp_path, dfmt):
+        """Backfill chunk commits route through the format (never raw
+        parquet into a Delta dir): dynamic overwrite replaces exactly
+        the partitions present in the chunk."""
+        path = str(tmp_path / "op")
+        df1 = spark.createDataFrame(
+            [(1, "a", "d1"), (2, "b", "d2")], "id long, v string, dt string"
+        )
+        dfmt.overwrite_partitions(spark, df1, path, "dt")
+        df2 = spark.createDataFrame([(9, "z", "d1")], "id long, v string, dt string")
+        dfmt.overwrite_partitions(spark, df2, path, "dt")
+        rows = sorted((r.id, r.dt) for r in dfmt.read(spark, path).collect())
+        assert rows == [(2, "d2"), (9, "d1")]
+
     def test_append(self, spark, tmp_path, dfmt):
         path = str(tmp_path / "t")
         dfmt.write_full(_df(spark, [(1, "a")]), path)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -257,6 +257,50 @@ class IVFIndex:
     ) -> DataFrame:
         cells = self.probe_cells(query_vec, n_probe)
         cand = self.assign(df, emb_col).filter(F.col("_cell").isin(cells)).drop("_cell")
+        return cosine_topk(cand, query_vec, k, emb_col, id_col)
+
+    def materialize(
+        self,
+        df: DataFrame,
+        path: str,
+        emb_col: str = "embedding",
+        cell_col: str = "_cell",
+    ) -> None:
+        """Ingest-time layout: write the corpus PARTITIONED BY the
+        nearest-centroid cell. This is the production counterpart of
+        ``search``'s on-the-fly assignment — the cell argmin runs once
+        per row at write time, and every later probe prunes to its
+        n_probe partition directories at the FileIndex level (files in
+        unprobed cells are never even listed). Plan-asserted in
+        tests/test_scale_plans.py."""
+        (
+            self.assign(df, emb_col, cell_col)
+            .write.mode("overwrite")
+            .partitionBy(cell_col)
+            .parquet(path)
+        )
+
+    def search_materialized(
+        self,
+        spark: SparkSession,
+        path: str,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        cell_col: str = "_cell",
+    ) -> DataFrame:
+        """Probe a :meth:`materialize`-d corpus: the ``isin`` filter on
+        the partition column becomes a PartitionFilter on the parquet
+        scan — only n_probe/num_centroids of the data is read, the
+        100 TB search path."""
+        cells = self.probe_cells(query_vec, n_probe)
+        cand = (
+            spark.read.parquet(path)
+            .filter(F.col(cell_col).isin(cells))
+            .drop(cell_col)
+        )
         return cosine_topk(cand, query_vec, k, emb_col, id_col)
 
 

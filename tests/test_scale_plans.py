@@ -161,6 +161,48 @@ def test_ngram_cap_prevents_quadratic_blowup(spark):
     assert capped.count() == 0  # over-cap block never reaches the join
 
 
+def test_ivf_materialized_probe_prunes_partitions(spark, tmp_path):
+    """The IVF 100 TB search path end-to-end: materialize the corpus
+    partitioned by nearest-centroid cell, then plan-assert a probe reads
+    ONLY the n_probe cells (PartitionFilters on the parquet scan; files
+    in unprobed cells never reach the scan) and returns exactly the same
+    top-k as the on-the-fly search."""
+    import os
+
+    from dbt_snowflake_feature_store_spark.functions.similarity import (
+        IVFIndex,
+    )
+    from dbt_snowflake_feature_store_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx = IVFIndex.build(emb, num_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_corpus")
+    idx.materialize(emb, path)
+    # one directory per cell materialized
+    cells_on_disk = sorted(
+        d for d in os.listdir(path) if d.startswith("_cell=")
+    )
+    assert len(cells_on_disk) >= 2
+
+    query = [float(x % 7 - 3) for x in range(len(emb.head().embedding))]
+    probed = idx.search_materialized(spark, path, query, k=10, n_probe=2)
+    plan = _executed_plan(probed)
+    scan_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert scan_lines, "probe scan lost its partition filter"
+    assert any("_cell" in line and " IN " in line for line in scan_lines)
+    # pruning excludes real data: more cells exist on disk than probed
+    probe_cells = set(idx.probe_cells(query, 2))
+    assert len(probe_cells) == 2
+    assert len(cells_on_disk) > len(probe_cells)
+    # results identical to the unpartitioned on-the-fly search
+    direct = idx.search(emb, query, k=10, n_probe=2)
+    assert [
+        (r.vec_id, round(r.cosine, 9)) for r in probed.collect()
+    ] == [(r.vec_id, round(r.cosine, 9)) for r in direct.collect()]
+
+
 def test_ngram_cap_keeps_under_cap_blocks(spark):
     """Blocks at or under the cap flow through unchanged."""
     small = _dense_corpus(spark, 10)

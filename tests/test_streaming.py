@@ -196,6 +196,31 @@ class TestStreamingIncremental:
         assert all(r["s_end"] >= r["s_start"] for r in rows)
         keys = [(r["user_id"], r["s_start"]) for r in rows]
         assert len(keys) == len(set(keys))
+        # PARITY with the batch key (q_session_window's groupBy): every
+        # emitted session must be identical — same end, same count — to
+        # the batch recompute over the full source. Emitted sessions are
+        # final by construction: a session emits only once the watermark
+        # passes its end + gap, and the half2 cut is > 30 min past every
+        # emitted end, so no later event can merge into one.
+        batch = (
+            spark.read.parquet(split_events["src"])
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("f_events"))
+            .select(
+                F.col("session_window.start").alias("s_start"),
+                F.col("session_window.end").alias("s_end"),
+                "user_id",
+                "f_events",
+            )
+        )
+        expected = {
+            (r["user_id"], r["s_start"]): (r["s_end"], r["f_events"])
+            for r in batch.collect()
+        }
+        for r in rows:
+            k = (r["user_id"], r["s_start"])
+            assert k in expected, k
+            assert expected[k] == (r["s_end"], r["f_events"]), k
 
     def test_auto_downgrades_to_full(self, fs, spark, split_events):
         fs.register_source("STREAM_EVENTS_A", split_events["src"])

@@ -65,6 +65,20 @@ HEADLINE = [
     "q_funnel",
     "q_retention",
     "q_knn_join",
+    # round-5 additions (VERDICT r4 item 6): the round-4 cost classes —
+    # int64 portable MinHash banding, iterative connected components,
+    # dedup-composition accounting, global-quartile RFM, hopping
+    # windows, broadcast-dictionary token rarity — plus the two
+    # round-5 scale rewrites (two-phase stratified top-K, shard-keyed
+    # packing) so their new plan shapes are regression-watched
+    "q_dedup_near_portable",
+    "q_dedup_clusters",
+    "q_corpus_dedup_stats",
+    "q_rfm",
+    "q_hopping",
+    "q_token_rarity",
+    "q_sample_stratified",
+    "q_pack_sequences",
 ]
 
 

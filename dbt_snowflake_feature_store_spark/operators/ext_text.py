@@ -598,6 +598,93 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan — flag corpus docs sharing any
+    normalized word-8-gram with a held-out benchmark set (here the
+    deterministic ``doc_id % 10 == 0`` slice stands in for an eval
+    suite). The standard pretraining hygiene pass: an eval example
+    whose 8-grams appear in training data is contaminated, so the
+    training side must be scanned before every run.
+
+    Scale: the benchmark gram set is |bench|·|grams/doc| — dimension-
+    sized next to the corpus — so it BROADCASTS into the probe join and
+    the corpus gram stream never shuffles on the (skewed) gram key; the
+    per-doc count aggregation shuffles only (doc_id, count) pairs. Gram
+    arrays are materialized columns (HOF rule) and per-doc distinct, so
+    joined rows = distinct shared grams with no dedup pass."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        TXT.ws_tokens(TXT.normalized_text(F.col("text"))).alias("t"),
+    ).filter(F.size("t") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(t) - 8),"
+                " i -> array_join(slice(t, i + 1, 8), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("f_shared_grams"))
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan: per-doc counts of email / IPv4 / phone-shaped
+    spans — the redaction-triage pass every corpus release runs. Pure
+    native ``regexp_count`` (zero Python in the row path, single scan,
+    no shuffle at all before the driver-side collect of results).
+    Patterns are deliberately backtracking-free so Java regex (Spark)
+    and RE2 (DuckDB) count identically."""
+    d = _docs(spark, sf_dir)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\+?\d[\d -]{7,}\d"
+    n_email = F.regexp_count(F.col("text"), F.lit(email)).cast("long")
+    n_ip = F.regexp_count(F.col("text"), F.lit(ipv4)).cast("long")
+    n_phone = F.regexp_count(F.col("text"), F.lit(phone)).cast("long")
+    return d.select(
+        "doc_id",
+        n_email.alias("f_emails"),
+        n_ip.alias("f_ipv4"),
+        n_phone.alias("f_phones"),
+        ((n_email + n_ip + n_phone) > 0).cast("boolean").alias("f_has_pii"),
+    )
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mix reweighting (α = 0.5, i.e.
+    p^α sampling): per-language corpus shares are flattened by taking
+    sqrt(doc count) and renormalizing — the standard recipe for keeping
+    low-resource languages visible in the training mix. α is pinned at
+    0.5 because sqrt is IEEE-correctly-rounded on BOTH engines (pow is
+    not), so the weights are bit-reproducible; the sqrt goes through
+    DECIMAL(28,6) before summing (engine-deterministic total) and the
+    per-100k target uses the half-up floor spelling (cross-engine ROUND
+    invariant). One tiny-key aggregation + a broadcast scalar join —
+    nothing here grows with corpus size except the first count."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("f_docs"))
+    w = counts.withColumn(
+        "f_sqrt_docs",
+        F.sqrt(F.col("f_docs").cast("double")).cast("decimal(28,6)"),
+    )
+    tot = w.agg(F.sum("f_sqrt_docs").cast("decimal(28,6)").alias("_tot"))
+    share = F.col("f_sqrt_docs").cast("double") / F.col("_tot").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "f_docs",
+        "f_sqrt_docs",
+        F.floor(share * 1000000 + F.lit(0.5)).cast("long").alias("f_ppm"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: SHA-256 over normalized text."""
     d = _docs(spark, sf_dir)
@@ -931,6 +1018,64 @@ ORACLE["q_sample_stratified"] = """
     ) WHERE f_rank <= 20
 """
 
+ORACLE["q_contamination"] = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 6),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')
+               ))) AS gram
+        FROM tok WHERE len(t) >= 8
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS f_shared_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+"""
+
+ORACLE["q_pii_scan"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS f_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+               AS f_ipv4,
+           CAST(len(regexp_extract_all(text,
+               '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS f_phones,
+           (len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+            + len(regexp_extract_all(text,
+                '\\+?\\d[\\d -]{7,}\\d'))) > 0 AS f_has_pii
+    FROM documents
+"""
+
+ORACLE["q_sample_temperature"] = """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS f_docs
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, f_docs,
+               CAST(sqrt(CAST(f_docs AS DOUBLE)) AS DECIMAL(28,6))
+                   AS f_sqrt_docs
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(f_sqrt_docs) AS DECIMAL(28,6)) AS t FROM w
+    )
+    SELECT lang, f_docs, f_sqrt_docs,
+           CAST(FLOOR(CAST(f_sqrt_docs AS DOUBLE) / CAST(t AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS f_ppm
+    FROM w, tot
+"""
+
 ORACLE["q_sample_split"] = """
     SELECT lang,
            CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
@@ -1031,6 +1176,9 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_corpus_dedup_stats": q_corpus_dedup_stats,
     "q_sample_stratified": q_sample_stratified,
+    "q_contamination": q_contamination,
+    "q_pii_scan": q_pii_scan,
+    "q_sample_temperature": q_sample_temperature,
     "q_token_rarity": q_token_rarity,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,

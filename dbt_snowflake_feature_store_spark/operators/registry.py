@@ -29,8 +29,9 @@ _MODULES = [relational2, relational]
 # Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # changed this round (round 5: scale-safe rewrites / block caps) —
-    # need a fresh driver-dated record
+    # new/changed this round (round 5: new LLM-pipeline keys,
+    # scale-safe rewrites, block caps) — need a driver-dated record
+    "q_contamination", "q_pii_scan", "q_sample_temperature",
     "q_sample_stratified", "q_pack_sequences", "q_dedup_ngram",
     # not recorded by CORRECTNESS_r04.json (the r01/r02-dated greens)
     "q_agg_multi", "q_arith_expr", "q_array_agg", "q_case_when",

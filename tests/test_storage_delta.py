@@ -143,3 +143,52 @@ class TestStoreWithDeltaFormat:
         fs = FeatureStore(spark, root=str(tmp_path / "root"), table_format="delta")
         assert fs.storage.name == "delta"
         assert fs.storage.transactional
+
+    def test_backfill_routes_through_delta_format(self, spark, tmp_path, monkeypatch):
+        """The ADVICE finding: backfill chunks used to write raw
+        parquet under the FV path, which on a Delta store drops files
+        outside the transaction log. Chunks now commit through
+        storage.overwrite_partitions — run the whole backfill loop
+        against a Delta-format store and read everything back through
+        the Delta reader."""
+        import datetime as dt
+
+        delta_shim.install(monkeypatch)
+        from dbt_snowflake_feature_store_spark import (
+            Entity,
+            FeatureStore,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (i, i % 3, base + dt.timedelta(days=i // 2, hours=i % 2), float(i))
+            for i in range(12)
+        ]
+        src = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).write.parquet(src)
+
+        fs = FeatureStore(
+            spark, str(tmp_path / "root"), name="BFD_FS", table_format="delta"
+        )
+        assert fs.storage.name == "delta"
+        fs.register_source("BFD_EV", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "bfd_fv", ["user"],
+                sql="SELECT user_id, ts, value FROM BFD_EV",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_SCHEDULE"),
+            ),
+            version="1",
+        )
+        done = fs.backfill("bfd_fv", "1", "2024-03-01", "2024-03-05", step_days=2)
+        assert done == ["2024-03-01", "2024-03-03"]
+        assert fs.read_feature_view("BFD_FV$1").count() == 8
+        # idempotent re-run through the format's dynamic overwrite
+        fs.backfill("bfd_fv", "1", "2024-03-01", "2024-03-03", step_days=2)
+        assert fs.read_feature_view("BFD_FV$1").count() == 8

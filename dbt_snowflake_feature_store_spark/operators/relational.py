@@ -217,6 +217,32 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the label-lookahead twin of q_join_asof: for
+    each purchase event, the EARLIEST error-event value at-or-after it
+    per user (next-outcome attachment when building supervised targets).
+    Same union+last single-shuffle machinery (pit.py), reversed ts order;
+    no join explosion at 100 TB."""
+    from ..pit import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("event_time")
+    )
+    feats = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("f_next_error_value")
+    )
+    return asof_join(
+        spine,
+        feats,
+        on=["user_id"],
+        spine_ts="event_time",
+        feature_ts="ts",
+        feature_cols=["f_next_error_value"],
+        direction="forward",
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join (EXISTS / NOT EXISTS membership). Scale: Spark
     plans left-semi/anti as broadcast or shuffled hash joins with only the
@@ -767,6 +793,28 @@ ORACLE: dict[str, str] = {
                value AS f_last_error_value
         FROM ranked WHERE rn = 1
     """,
+    "q_join_asof_fwd": """
+        WITH spine AS (
+            SELECT event_id, user_id, ts AS event_time
+            FROM events WHERE event_type = 'purchase'
+        ),
+        feats AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        ),
+        ranked AS (
+            SELECT s.event_id, s.user_id, s.event_time, f.value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.event_id
+                       ORDER BY f.ts ASC
+                   ) AS rn
+            FROM spine s
+            LEFT JOIN feats f
+              ON s.user_id = f.user_id AND f.ts >= s.event_time
+        )
+        SELECT event_id, user_id, event_time,
+               value AS f_next_error_value
+        FROM ranked WHERE rn = 1
+    """,
     "q_semi_anti": """
         SELECT c_custkey, c_name, 'has_orders' AS f_status
         FROM customer c
@@ -1027,6 +1075,7 @@ QUERIES = {
     "q_join_left": q_join_left,
     "q_join_multi_fv": q_join_multi_fv,
     "q_join_asof": q_join_asof,
+    "q_join_asof_fwd": q_join_asof_fwd,
     "q_semi_anti": q_semi_anti,
     "q_union_all": q_union_all,
     "q_window_rank": q_window_rank,

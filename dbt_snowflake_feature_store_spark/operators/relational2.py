@@ -486,7 +486,81 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event deduplication: keep the FIRST event per
+    (user_id, event_type, 10-minute tumbling window) — the batch twin of
+    Structured Streaming's watermark dedup (dropDuplicates on the window
+    key; parity test in tests/test_streaming.py). The standard at-least-
+    once ingestion repair: upstream retries re-emit events, the sink
+    keeps one per idempotency window.
+
+    Scale: one shuffle on the high-cardinality (user, type, window) key;
+    row_number frames are burst-sized (a handful of rows), never a
+    stratum. Deterministic: (ts, event_id) tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    win = (F.unix_timestamp("ts") / 600).cast("long").alias("f_win")
+    w = Window.partitionBy("user_id", "event_type", "f_win").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", "value", win)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value", "f_win")
+    )
+
+
+def q_tpch_q4like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority distribution of orders with at
+    least one late-shipping lineitem (EXISTS → left-semi join) in a
+    3-month order-date band. Scale: the date filter pushes to the orders
+    scan; the semi-join reads only l_orderkey + l_shipdate from lineitem
+    (pruned scan) and shuffles on the join key once; the final agg key
+    has 5 values (map-side combinable)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1996-02-01").cast("timestamp"))
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("f_order_count"))
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_event_dedup": """
+        WITH base AS (
+            SELECT event_id, user_id, event_type, ts, value,
+                   CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS f_win
+            FROM events
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type, f_win
+                       ORDER BY ts ASC, event_id ASC
+                   ) AS rn
+            FROM base
+        )
+        SELECT event_id, user_id, event_type, ts, value, f_win
+        FROM ranked WHERE rn = 1
+    """,
+    "q_tpch_q4like": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS f_order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1996-02-01'
+          )
+        GROUP BY o_orderpriority
+    """,
     "q_rfm": """
         WITH rfm AS (
             SELECT o_custkey,
@@ -798,4 +872,6 @@ QUERIES = {
     "q_array_agg": q_array_agg,
     "q_num_fns": q_num_fns,
     "q_tpch_q13like": q_tpch_q13like,
+    "q_event_dedup": q_event_dedup,
+    "q_tpch_q4like": q_tpch_q4like,
 }

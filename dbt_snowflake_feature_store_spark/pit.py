@@ -68,9 +68,12 @@ def asof_join(
     tolerance: str | None = None,
     salt: int | None = None,
     broadcast_threshold: int = BROADCAST_THRESHOLD_BYTES,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every spine row + latest feature values at-or-before
-    ``spine_ts``.
+    ``spine_ts`` (``direction='backward'``, the PIT default) or earliest
+    values at-or-after it (``direction='forward'`` — label lookahead /
+    next-reading attachment).
 
     Parameters
     ----------
@@ -81,8 +84,13 @@ def asof_join(
         estimate for the feature side is under ``broadcast_threshold``
         (dimension-sized FV → no shuffle of the spine at all), else
         'union' (single-shuffle scale path). Both can be forced.
-    tolerance : optional max lookback as an INTERVAL string (e.g.
-        '30 days'); older feature rows yield NULLs.
+    tolerance : optional max lookback (backward) / lookahead (forward) as
+        an INTERVAL string (e.g. '30 days'); rows outside yield NULLs.
+    direction : 'backward' (default) attaches the greatest
+        ``feature_ts <= spine_ts``; 'forward' the smallest
+        ``feature_ts >= spine_ts``. Both inclusive; both deterministic
+        under exact (key, ts) ties (struct-hash tiebreak, identical row
+        chosen by either strategy).
     salt : hot-key escape hatch for the union strategy. With ``salt=R``
         each spine row lands in one of R sub-partitions of its entity key
         while feature rows are replicated to all R — a pathological key's
@@ -106,6 +114,9 @@ def asof_join(
         feature_cols = [c for c in features.columns if c not in on and c != feature_ts]
     feature_cols = list(feature_cols)
 
+    if direction not in ("backward", "forward"):
+        raise ValidationError(f"Unknown as-of direction: {direction!r}")
+
     if strategy == "auto":
         sz = _plan_size_bytes(features)
         strategy = (
@@ -114,10 +125,13 @@ def asof_join(
 
     if strategy == "union":
         return _asof_union(
-            spine, features, on, spine_ts, feature_ts, feature_cols, tolerance, salt
+            spine, features, on, spine_ts, feature_ts, feature_cols, tolerance, salt,
+            direction,
         )
     if strategy == "broadcast":
-        return _asof_broadcast(spine, features, on, spine_ts, feature_ts, feature_cols, tolerance)
+        return _asof_broadcast(
+            spine, features, on, spine_ts, feature_ts, feature_cols, tolerance, direction
+        )
     raise ValidationError(f"Unknown as-of strategy: {strategy!r}")
 
 
@@ -130,6 +144,7 @@ def _asof_union(
     feature_cols: list[str],
     tolerance: str | None,
     salt: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     spine_cols = spine.columns
 
@@ -182,15 +197,26 @@ def _asof_union(
         unioned = tagged_spine.unionByName(tagged_feat.select(tagged_spine.columns))
 
     # Feature rows (_IS_SPINE=0) sort BEFORE spine rows at equal ts →
-    # fv.ts <= spine.ts inclusive semantics. Among duplicate feature
-    # timestamps per key, the struct hash is the final tiebreak so the
-    # chosen row is stable across runs/AQE reordering (which row of an
-    # exact (key, ts) tie wins is engine-defined, but deterministic).
+    # fv.ts <= spine.ts inclusive semantics (backward; the forward
+    # direction reverses the ts sort so the carry picks the EARLIEST
+    # at-or-after row instead). Among duplicate feature timestamps per
+    # key, the struct hash is the final tiebreak so the chosen row is
+    # stable across runs/AQE reordering (which row of an exact (key, ts)
+    # tie wins is engine-defined, but deterministic). The hash direction
+    # flips with ts so both strategies pick the identical tied row
+    # (backward: max ts, max hash ↔ max_by; forward: min ts, min hash ↔
+    # min_by).
+    if direction == "backward":
+        order = [
+            F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
+        ]
+    else:
+        order = [
+            F.col(_TS).desc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").desc()
+        ]
     w = (
         Window.partitionBy(*part_keys)
-        .orderBy(
-            F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
-        )
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
@@ -200,9 +226,14 @@ def _asof_union(
 
     out = filled.filter(F.col(_IS_SPINE) == 1)
     if tolerance is not None:
-        within = F.col("__fs_filled.__fs_row_ts") >= F.col(spine_ts) - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            within = F.col("__fs_filled.__fs_row_ts") >= F.col(spine_ts) - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            within = F.col("__fs_filled.__fs_row_ts") <= F.col(spine_ts) + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         sel: list[Column] = [
             F.when(within, F.col(f"__fs_filled.{c}")).alias(c)
             for c in feature_cols
@@ -220,10 +251,12 @@ def _asof_broadcast(
     feature_ts: str,
     feature_cols: list[str],
     tolerance: str | None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Broadcast range-join + max_by: correct for any size but joins can
-    explode when a key has many feature rows — reserve for small feature
-    sides (Catalyst broadcasts, no shuffle of the spine)."""
+    """Broadcast range-join + max_by (min_by forward): correct for any
+    size but joins can explode when a key has many feature rows — reserve
+    for small feature sides (Catalyst broadcasts, no shuffle of the
+    spine)."""
     spine_cols = spine.columns
     sid = spine.withColumn(_SPINE_ID, F.monotonically_increasing_id())
 
@@ -236,24 +269,35 @@ def _asof_broadcast(
     cond = F.lit(True)
     for k in on:
         cond = cond & (F.col(k) == F.col(f"__fs_k_{k}"))
-    cond = cond & (F.col(_TS) <= F.col(spine_ts))
-    if tolerance is not None:
-        cond = cond & (F.col(_TS) >= F.col(spine_ts) - F.expr(f"INTERVAL {tolerance}"))
+    if direction == "backward":
+        cond = cond & (F.col(_TS) <= F.col(spine_ts))
+        if tolerance is not None:
+            cond = cond & (
+                F.col(_TS) >= F.col(spine_ts) - F.expr(f"INTERVAL {tolerance}")
+            )
+    else:
+        cond = cond & (F.col(_TS) >= F.col(spine_ts))
+        if tolerance is not None:
+            cond = cond & (
+                F.col(_TS) <= F.col(spine_ts) + F.expr(f"INTERVAL {tolerance}")
+            )
 
     joined = sid.join(F.broadcast(feat), cond, "left")
 
-    # latest feature row per spine row: max_by over the feature struct —
-    # a single hash aggregate, no global window. The ordering key is
-    # (ts, struct hash) so exact-(key, ts) ties resolve to the same row
-    # the union strategy picks (deterministic across strategies/runs).
+    # latest (earliest, forward) feature row per spine row: max_by/min_by
+    # over the feature struct — a single hash aggregate, no global window.
+    # The ordering key is (ts, struct hash) so exact-(key, ts) ties
+    # resolve to the same row the union strategy picks (deterministic
+    # across strategies/runs).
     feat_struct = F.struct(F.col(_TS), *[F.col(f"__fs_f_{c}") for c in feature_cols])
     order_key = F.when(
         F.col(_TS).isNotNull(),
         F.struct(F.col(_TS).alias("t"), F.xxhash64(feat_struct).alias("h")),
     )
+    pick = F.max_by if direction == "backward" else F.min_by
     agg = (
         joined.groupBy(_SPINE_ID, *[F.col(c) for c in spine_cols])
-        .agg(F.max_by(feat_struct, order_key).alias("__fs_best"))
+        .agg(pick(feat_struct, order_key).alias("__fs_best"))
     )
     sel = [F.col(f"__fs_best.__fs_f_{c}").alias(c) for c in feature_cols]
     return agg.select(*spine_cols, *sel)

@@ -134,6 +134,66 @@ class TestAsofJoin:
         kb = sorted(tuple(r) for r in b.select(a.columns).collect())
         assert ka == kb
 
+    def test_forward_picks_earliest_at_or_after(self, spark, snapshots, spine):
+        out = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", direction="forward",
+        ).collect()
+        assert len(out) == 10  # spine preserved
+        for r in out:
+            # spine at 7 days back → earliest snapshot >= that is 5 days
+            # back → age = 20 + cid + (30-5)
+            assert r["age"] == 20 + r["customer_id"] + 25, r
+
+    def test_forward_tie_included_and_no_future_nulls(self, spark, snapshots):
+        tie_spine = spark.createDataFrame(
+            [(3, _days_back(5)), (4, _days_back(0))],
+            "customer_id long, event_time timestamp",
+        )
+        out = {
+            r["customer_id"]: r
+            for r in asof_join(
+                tie_spine, snapshots, on=["customer_id"],
+                spine_ts="event_time", feature_ts="updated_at",
+                direction="forward",
+            ).collect()
+        }
+        # ts == spine ts matches (>= inclusive)
+        assert out[3]["age"] == 20 + 3 + 25
+        # spine after every snapshot → no at-or-after row → NULLs
+        assert out[4]["age"] is None and out[4]["tier"] is None
+
+    def test_forward_strategies_agree(self, spark, snapshots, spine):
+        a = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="union", direction="forward",
+        )
+        b = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", strategy="broadcast", direction="forward",
+        )
+        assert sorted(tuple(r) for r in a.collect()) == sorted(
+            tuple(r) for r in b.select(a.columns).collect()
+        )
+
+    def test_forward_tolerance_cuts_far_future(self, spark, snapshots, spine):
+        # spine at 7 days back; nearest at-or-after snapshot is 5 days
+        # back (2 days ahead). A 1-day lookahead cap must null it out.
+        out = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", direction="forward", tolerance="1 days",
+        ).collect()
+        assert all(r["age"] is None for r in out)
+
+    def test_bad_direction_rejected(self, spark, snapshots, spine):
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError):
+            asof_join(
+                spine, snapshots, on=["customer_id"], spine_ts="event_time",
+                feature_ts="updated_at", direction="sideways",
+            )
+
     def test_salted_union_agrees_with_unsalted(self, spark, snapshots, spine):
         base = asof_join(
             spine, snapshots, on=["customer_id"], spine_ts="event_time",

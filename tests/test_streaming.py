@@ -164,6 +164,61 @@ class TestStreamingIncremental:
             assert expected[k] == v, k
         assert len(emitted) == out.count()  # exactly-once emission
 
+    def test_event_dedup_streaming_matches_batch(self, fs, spark, split_events):
+        """Windowed event dedup streams correctly: keep-first-per-
+        (user, type, 10-min window) expressed as a watermarked streaming
+        aggregation (min_by over the window group — the streaming twin of
+        the oracle-gated q_event_dedup batch key). Every emitted winner
+        equals the batch recompute, exactly once."""
+        fs.register_source(
+            "STREAM_EVENTS_D",
+            split_events["src"],
+            watermark_col="ts",
+            watermark_delay="1 hour",
+        )
+        fs.register_entity(Entity("duser", ["user_id"]))
+        fv = FeatureView(
+            "dedup_first",
+            ["duser"],
+            sql="""SELECT user_id, event_type,
+                          window(ts, '10 minutes').start AS w_start,
+                          min_by(event_id,
+                                 named_struct('t', ts, 'e', event_id))
+                              AS f_first_event
+                   FROM STREAM_EVENTS_D
+                   GROUP BY user_id, event_type, window(ts, '10 minutes')""",
+            refresh=RefreshSpec("1 hour", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        _arrive_half2(split_events)
+        fs.refresh("dedup_first", "1.0")
+        out = fs.read_feature_view("DEDUP_FIRST$1.0")
+        batch = (
+            spark.read.parquet(split_events["src"])
+            .groupBy(
+                "user_id",
+                "event_type",
+                F.window("ts", "10 minutes").getField("start").alias("w_start"),
+            )
+            .agg(
+                F.min_by(
+                    "event_id", F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("f_first_event")
+            )
+        )
+        emitted = {
+            (r["user_id"], r["event_type"], r["w_start"]): r["f_first_event"]
+            for r in out.collect()
+        }
+        expected = {
+            (r["user_id"], r["event_type"], r["w_start"]): r["f_first_event"]
+            for r in batch.collect()
+        }
+        assert emitted, "no dedup winners emitted"
+        for k, v in emitted.items():
+            assert expected[k] == v, k
+        assert len(emitted) == out.count()  # exactly-once emission
+
     def test_session_window_streaming_agg(self, fs, spark, split_events):
         """session_window (gap-based session aggregation) as an
         incrementally-maintained managed FV — the streaming counterpart

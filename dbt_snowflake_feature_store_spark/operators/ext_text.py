@@ -737,6 +737,162 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup accounting (the C4 "three-sentence span" pass at
+    chunk grain): split each normalized doc into consecutive 16-token
+    chunks and report, per doc, how many of its chunk occurrences are
+    globally duplicated (the chunk text appears more than once anywhere
+    in the corpus — other docs or repeats within the same doc). The
+    boilerplate detector that exact whole-doc dedup misses.
+
+    Scale: per-(doc, chunk) pre-aggregation shrinks the exploded stream
+    before any join; the chunk dictionary aggregation is map-side
+    combinable; the count-back join shuffles on the high-cardinality
+    chunk key (AQE skew split handles pathological boilerplate chunks);
+    final agg on doc_id. No all-pairs anything — cost is linear in
+    corpus chunks."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TXT.normalized_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") > 0)
+    toks = d.select("doc_id", F.split("norm", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (size(t) - 1) div 16),"
+                " i -> array_join(slice(t, i * 16 + 1, 16), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    per_dc = chunks.groupBy("doc_id", "chunk").agg(F.count("*").alias("k"))
+    per_c = per_dc.groupBy("chunk").agg(F.sum("k").cast("long").alias("n_occ"))
+    joined = per_dc.join(per_c, "chunk")
+    dup_k = F.when(F.col("n_occ") > 1, F.col("k")).otherwise(F.lit(0))
+    return joined.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("f_n_chunks"),
+        F.sum(dup_k).cast("long").alias("f_dup_chunks"),
+        (
+            F.sum(dup_k).cast("double") / F.sum("k").cast("double")
+        ).alias("f_dup_ratio"),
+    )
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary construction: the top-100 corpus tokens
+    by frequency with deterministic ranks (count desc, token asc),
+    per-token ppm and cumulative-coverage ppm — the frequency table a
+    BPE/unigram tokenizer trainer starts from, plus the coverage curve
+    that picks the vocab size.
+
+    Scale: the token-frequency agg is map-side combinable; top-100 is
+    TakeOrderedAndProject (never a global sort of the dictionary); the
+    rank/cumsum window runs on the V-bounded result (100 rows) so the
+    single-task window is bounded regardless of corpus size; the corpus
+    total joins as a broadcast scalar. Although the total is a second
+    aggregate over the same token-frequency frame, Spark's exchange
+    reuse makes the corpus scan+explode+partial-agg run ONCE
+    (ReusedExchange in the executed plan — verified) — the total branch
+    reads the shuffle output, not the corpus. ppm uses the half-up floor
+    spelling (cross-engine ROUND invariant)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(TXT.ws_tokens(TXT.normalized_text(F.col("text")))).alias(
+            "f_token"
+        )
+    )
+    freq = toks.groupBy("f_token").agg(F.count("*").cast("long").alias("f_count"))
+    tot = freq.agg(F.sum("f_count").cast("long").alias("_tot"))
+    top = freq.orderBy(F.col("f_count").desc(), F.col("f_token").asc()).limit(100)
+    w = Window.orderBy(F.col("f_count").desc(), F.col("f_token").asc())
+    ranked = (
+        top.withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "_cum",
+            F.sum("f_count")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    ppm = lambda c: F.floor(  # noqa: E731 - local spelling helper
+        (c.cast("double") / F.col("_tot").cast("double")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "f_rank",
+        "f_token",
+        "f_count",
+        ppm(F.col("f_count")).alias("f_ppm"),
+        ppm(F.col("_cum")).alias("f_cum_ppm"),
+    )
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) corpus accounting: docs, token mass, language
+    spread, and each source's share of total tokens in ppm — the table a
+    data-mix owner balances before training. One agg on the tiny source
+    key + a broadcast total scalar; share uses the half-up floor ppm
+    spelling."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_t"),
+        TXT.ws_token_count(F.col("text")).alias("n_toks"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("f_docs"),
+        F.sum("n_toks").cast("long").alias("f_tokens"),
+        F.countDistinct("lang").cast("long").alias("f_langs"),
+        (F.sum("n_chars_t").cast("double") / F.count("*").cast("double")).alias(
+            "f_avg_chars"
+        ),
+    )
+    tot = per_src.agg(F.sum("f_tokens").cast("long").alias("_tot"))
+    share = F.col("f_tokens").cast("double") / F.col("_tot").cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "f_docs",
+        "f_tokens",
+        "f_langs",
+        "f_avg_chars",
+        F.floor(share * 1000000 + F.lit(0.5)).cast("long").alias("f_token_ppm"),
+    )
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel accounting: per language, how many docs
+    survive each successive gate (length → word count → word shape →
+    digit ratio) — the drop-off report a pipeline owner reads before
+    loosening or tightening a filter. All gates are native exprs over
+    one scan; conditional sums in a single agg on the tiny lang key
+    (zero extra shuffles). Gate formulas are shared verbatim with
+    q_text_quality so the funnel and the per-doc scores can't drift."""
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("long")
+    n_words = TXT.ws_token_count(F.col("text"))
+    mean_wl = (n_chars - n_words + 1).cast("double") / n_words.cast("double")
+    digit_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0)).cast(
+            "double"
+        )
+        / n_chars.cast("double")
+    )
+    g1 = n_chars >= 100
+    g2 = g1 & (n_words >= 20)
+    g3 = g2 & (mean_wl > 2.0) & (mean_wl < 12.0)
+    g4 = g3 & (digit_ratio < 0.2)
+    cnt = lambda cond, name: F.sum(  # noqa: E731 - local spelling helper
+        F.when(cond, 1).otherwise(0)
+    ).cast("long").alias(name)
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("f_total"),
+        cnt(g1, "f_pass_len"),
+        cnt(g2, "f_pass_words"),
+        cnt(g3, "f_pass_shape"),
+        cnt(g4, "f_pass_all"),
+    )
+
+
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
@@ -1169,8 +1325,127 @@ ORACLE["q_dedup_ngram"] = """
     SELECT doc_id_a, doc_id_b, f_jaccard FROM pairs WHERE f_jaccard >= 0.5
 """
 
+ORACLE["q_dedup_chunks"] = f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM} AS nrm FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, string_split(nrm, ' ') AS t
+        FROM norm WHERE length(nrm) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, (len(t) - 1) // 16 + 1),
+                   i -> array_to_string(
+                       list_slice(t, i * 16 + 1, i * 16 + 16), ' ')
+               )) AS chunk
+        FROM toks
+    ),
+    per_dc AS (
+        SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS k
+        FROM chunks GROUP BY doc_id, chunk
+    ),
+    per_c AS (
+        SELECT chunk, CAST(SUM(k) AS BIGINT) AS n_occ
+        FROM per_dc GROUP BY chunk
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS f_n_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN k ELSE 0 END) AS BIGINT)
+               AS f_dup_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN k ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(k) AS DOUBLE) AS f_dup_ratio
+    FROM per_dc JOIN per_c USING (chunk)
+    GROUP BY doc_id
+"""
+
+ORACLE["q_vocab_build"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS f_token
+        FROM documents
+    ),
+    freq AS (
+        SELECT f_token, CAST(COUNT(*) AS BIGINT) AS f_count
+        FROM toks GROUP BY f_token
+    ),
+    tot AS (SELECT CAST(SUM(f_count) AS BIGINT) AS t FROM freq),
+    top AS (
+        SELECT f_token, f_count FROM freq
+        ORDER BY f_count DESC, f_token ASC LIMIT 100
+    ),
+    ranked AS (
+        SELECT f_token, f_count,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS f_rank,
+               CAST(SUM(f_count) OVER (
+                   ORDER BY f_count DESC, f_token ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM top
+        WINDOW w AS (ORDER BY f_count DESC, f_token ASC)
+    )
+    SELECT f_rank, f_token, f_count,
+           CAST(FLOOR(CAST(f_count AS DOUBLE) / CAST(t AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS f_ppm,
+           CAST(FLOOR(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS f_cum_ppm
+    FROM ranked, tot
+"""
+
+ORACLE["q_domain_mix"] = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS f_docs,
+               CAST(SUM({_WS_COUNT}) AS BIGINT) AS f_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS f_langs,
+               CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS f_avg_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(f_tokens) AS BIGINT) AS t FROM per_src)
+    SELECT source, f_docs, f_tokens, f_langs, f_avg_chars,
+           CAST(FLOOR(CAST(f_tokens AS DOUBLE) / CAST(t AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS f_token_ppm
+    FROM per_src, tot
+"""
+
+ORACLE["q_filter_funnel"] = f"""
+    WITH feats AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars_t,
+               CAST({_WS_COUNT} AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / length(text) AS digit_ratio
+        FROM documents
+    ),
+    gates AS (
+        SELECT lang,
+               (n_chars_t >= 100) AS g1,
+               (n_chars_t >= 100 AND n_words >= 20) AS g2,
+               (n_chars_t >= 100 AND n_words >= 20
+                AND CAST(n_chars_t - n_words + 1 AS DOUBLE) / n_words > 2.0
+                AND CAST(n_chars_t - n_words + 1 AS DOUBLE) / n_words < 12.0)
+                   AS g3,
+               digit_ratio
+        FROM feats
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS f_total,
+           CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS f_pass_len,
+           CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS f_pass_words,
+           CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS f_pass_shape,
+           CAST(SUM(CASE WHEN g3 AND digit_ratio < 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_pass_all
+    FROM gates
+    GROUP BY lang
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_chunks": q_dedup_chunks,
+    "q_vocab_build": q_vocab_build,
+    "q_domain_mix": q_domain_mix,
+    "q_filter_funnel": q_filter_funnel,
     "q_dedup_near": q_dedup_near,
     "q_dedup_near_portable": q_dedup_near_portable,
     "q_dedup_clusters": q_dedup_clusters,

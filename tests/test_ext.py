@@ -256,3 +256,75 @@ class TestMultimodal:
             ]
         with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
             MM.sample_frames(media, deterministic_fake=False).collect()
+
+
+class TestCorpusAccounting:
+    """Invariant tests for the corpus-accounting keys (q_dedup_chunks,
+    q_vocab_build, q_domain_mix, q_filter_funnel) — value-level
+    correctness is oracle-gated; these pin the structural properties a
+    pipeline consumer relies on."""
+
+    def test_chunk_dedup_bounds_and_exact_dups(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_dedup_chunks,
+        )
+
+        out = q_dedup_chunks(spark, sf_dir)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["f_dup_chunks"] <= r["f_n_chunks"]
+            assert 0.0 <= r["f_dup_ratio"] <= 1.0
+        # every member of an exact-duplicate group has ALL chunks
+        # duplicated (the whole normalized text repeats verbatim)
+        from dbt_snowflake_feature_store_spark.functions.text import dedup_exact
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        groups = dedup_exact(docs, "text", "doc_id").filter("n_copies > 1")
+        dup_reps = [r["doc_id"] for r in groups.collect()]
+        if dup_reps:
+            by_id = {r["doc_id"]: r for r in rows}
+            for rep in dup_reps:
+                assert by_id[rep]["f_dup_ratio"] == 1.0, rep
+
+    def test_vocab_ranks_and_coverage_monotone(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_vocab_build,
+        )
+
+        rows = q_vocab_build(spark, sf_dir).orderBy("f_rank").collect()
+        assert rows
+        assert [r["f_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        counts = [r["f_count"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        cums = [r["f_cum_ppm"] for r in rows]
+        assert cums == sorted(cums)
+        assert cums[-1] <= 1000001
+
+    def test_domain_mix_shares_sum_to_one(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_domain_mix,
+        )
+
+        rows = q_domain_mix(spark, sf_dir).collect()
+        assert rows
+        total_ppm = sum(r["f_token_ppm"] for r in rows)
+        # half-up rounding drift: at most 0.5 ppm per source
+        assert abs(total_ppm - 1000000) <= len(rows)
+
+    def test_filter_funnel_is_monotone(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_filter_funnel,
+        )
+
+        rows = q_filter_funnel(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert (
+                r["f_total"]
+                >= r["f_pass_len"]
+                >= r["f_pass_words"]
+                >= r["f_pass_shape"]
+                >= r["f_pass_all"]
+            ), r

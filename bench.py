@@ -79,6 +79,15 @@ HEADLINE = [
     "q_token_rarity",
     "q_sample_stratified",
     "q_pack_sequences",
+    # round-5 late additions: new cost classes from the second half of
+    # the round — forward as-of (reversed-order union window), windowed
+    # event dedup (high-cardinality row_number), span-level chunk dedup
+    # (count-back join on the chunk key), vocabulary build (exchange-
+    # reused double aggregate)
+    "q_join_asof_fwd",
+    "q_event_dedup",
+    "q_dedup_chunks",
+    "q_vocab_build",
 ]
 
 

@@ -30,7 +30,10 @@ _MODULES = [relational2, relational]
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
 _PRIORITY_KEYS: tuple[str, ...] = (
     # new/changed this round (round 5: new LLM-pipeline keys,
-    # scale-safe rewrites, block caps) — need a driver-dated record
+    # scale-safe rewrites, block caps, forward as-of, corpus
+    # accounting) — need a driver-dated record
+    "q_join_asof_fwd", "q_event_dedup", "q_tpch_q4like",
+    "q_dedup_chunks", "q_vocab_build", "q_domain_mix", "q_filter_funnel",
     "q_contamination", "q_pii_scan", "q_sample_temperature",
     "q_sample_stratified", "q_pack_sequences", "q_dedup_ngram",
     # not recorded by CORRECTNESS_r04.json (the r01/r02-dated greens)

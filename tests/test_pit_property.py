@@ -98,6 +98,61 @@ def test_union_asof_matches_reference(spark, case):
     assert got == expected
 
 
+def _reference_fwd(spine_rows, feat_rows):
+    """Forward twin of _reference: min feature ts >= spine ts per key."""
+    out = []
+    for k, off in spine_rows:
+        cands = [
+            (foff, v)
+            for fk, foff, v in feat_rows
+            if fk == k and foff >= off
+        ]
+        if cands:
+            out.append((k, off, min(cands)[1]))
+        else:
+            out.append((k, off, None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_case())
+def test_union_asof_forward_matches_reference(spark, case):
+    spine_rows, feat_rows = case
+    feat_rows = list({(k, o): (k, o, v) for k, o, v in feat_rows}.values())
+
+    spine = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=o)) for k, o in spine_rows],
+        "k long, ts timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            (k, BASE + dt.timedelta(minutes=o), v)
+            for k, o, v in feat_rows
+        ],
+        "k long, fts timestamp, v long",
+    ) if feat_rows else spark.createDataFrame([], "k long, fts timestamp, v long")
+
+    out = asof_join(
+        spine, feats, on=["k"], spine_ts="ts", feature_ts="fts",
+        feature_cols=["v"], direction="forward",
+    ).collect()
+
+    got = sorted(
+        (
+            r["k"],
+            int((r["ts"] - BASE).total_seconds() // 60),
+            r["v"],
+        )
+        for r in out
+    )
+    got = sorted(got, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+    assert got == _reference_fwd(spine_rows, feat_rows)
+
+
 def test_merge_asof_parity_on_events(spark, sf_dir):
     """Cross-check the union strategy against pandas merge_asof on the
     real events table (purchases vs latest prior error per user)."""

@@ -88,6 +88,7 @@ HEADLINE = [
     "q_event_dedup",
     "q_dedup_chunks",
     "q_vocab_build",
+    "q_embed_outliers",
 ]
 
 

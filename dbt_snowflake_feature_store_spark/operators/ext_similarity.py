@@ -230,7 +230,108 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per vector, the exact squared
+    distance to its label centroid over the leading 4 dims (the same
+    scaled-integer convention as q_embed_centroid) and a flag for
+    vectors more than 4× the label's mean squared distance out — the
+    cleaning pass that drops mislabeled/corrupt vectors before index
+    build or training.
+
+    Exactness: dims are scaled to int64 (round(x·1e6) — a float×1e6
+    can never land on .5, see q_embed_centroid), and the centered
+    distance is computed in integers without division:
+    dist2 = Σ(xᵢ·n − Sᵢ)², i.e. n²·Σ(xᵢ−μᵢ)² — exact BIGINT up to
+    ~1000 vectors/label (covers every test SF; the production path at
+    larger label groups uses plain float distances, same plan shape).
+    The outlier test dist2·n > 4·Σdist2 compares doubles derived from
+    identical integers by identical IEEE ops — bit-identical cross-
+    engine, no rounding spelling needed.
+
+    Scale: two tiny label-keyed aggs broadcast back into the row
+    stream; zero wide shuffles, zero windows — embarrassingly parallel
+    at any corpus size."""
+    e = _emb(spark, sf_dir)
+    dims = (1, 2, 3, 4)
+    base = e.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.element_at("embedding", i).cast("double") * 1000000.0)
+            .cast("long")
+            .alias(f"x{i}")
+            for i in dims
+        ],
+    )
+    stats = base.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"x{i}").cast("decimal(18,0)")).cast("long").alias(f"s{i}")
+            for i in dims
+        ],
+    )
+    j = base.join(F.broadcast(stats), "label")
+    dist2 = None
+    for i in dims:
+        d = F.col(f"x{i}") * F.col("n") - F.col(f"s{i}")
+        dist2 = d * d if dist2 is None else dist2 + d * d
+    scored = j.select(
+        "vec_id", "label", F.col("n"), dist2.cast("long").alias("f_dist2")
+    )
+    tot = scored.groupBy("label").agg(
+        F.sum(F.col("f_dist2").cast("decimal(28,0)")).alias("_t")
+    )
+    out = scored.join(F.broadcast(tot), "label")
+    flag = (
+        F.col("f_dist2").cast("double") * F.col("n").cast("double")
+        > F.lit(4.0) * F.col("_t").cast("double")
+    )
+    return out.select(
+        "vec_id", "label", "f_dist2", flag.alias("f_outlier")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_embed_outliers": """
+        WITH base AS (
+            SELECT vec_id, label,
+                   CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS x1,
+                   CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS x2,
+                   CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS x3,
+                   CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS x4
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x3) AS BIGINT) AS s3,
+                   CAST(SUM(x4) AS BIGINT) AS s4
+            FROM base GROUP BY label
+        ),
+        dist AS (
+            SELECT b.vec_id, b.label, s.n,
+                   CAST((b.x1 * s.n - s.s1) * (b.x1 * s.n - s.s1)
+                      + (b.x2 * s.n - s.s2) * (b.x2 * s.n - s.s2)
+                      + (b.x3 * s.n - s.s3) * (b.x3 * s.n - s.s3)
+                      + (b.x4 * s.n - s.s4) * (b.x4 * s.n - s.s4)
+                        AS BIGINT) AS f_dist2
+            FROM base b JOIN stats s USING (label)
+        ),
+        tot AS (
+            SELECT label, CAST(SUM(CAST(f_dist2 AS DECIMAL(28,0)))
+                               AS DECIMAL(28,0)) AS t
+            FROM dist GROUP BY label
+        )
+        SELECT d.vec_id, d.label, d.f_dist2,
+               (CAST(d.f_dist2 AS DOUBLE) * CAST(d.n AS DOUBLE)
+                > 4.0 * CAST(t.t AS DOUBLE)) AS f_outlier
+        FROM dist d JOIN tot t USING (label)
+    """,
     "q_knn_join": """
         WITH elems AS (
             SELECT vec_id,
@@ -337,4 +438,5 @@ QUERIES = {
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ivf": q_sim_ivf,
     "q_dedup_embed": q_dedup_embed,
+    "q_embed_outliers": q_embed_outliers,
 }

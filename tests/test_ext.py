@@ -328,3 +328,23 @@ class TestCorpusAccounting:
                 >= r["f_pass_shape"]
                 >= r["f_pass_all"]
             ), r
+
+    def test_embed_outliers_flags_planted_vector(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.operators import ext_similarity as ES
+
+        rows = [(i, [0.1, 0.1, 0.1, 0.1] + [0.0] * 60, 1) for i in range(20)]
+        rows.append((99, [0.9, -0.9, 0.9, -0.9] + [0.0] * 60, 1))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+        orig_emb = ES._emb
+        try:
+            ES._emb = lambda s, d: df
+            res = {r["vec_id"]: r for r in ES.q_embed_outliers(spark, sf_dir).collect()}
+        finally:
+            ES._emb = orig_emb
+        assert res[99]["f_outlier"] is True
+        assert all(not res[i]["f_outlier"] for i in range(20))
+        # identical vectors inside the cluster -> identical dist2
+        assert len({res[i]["f_dist2"] for i in range(20)}) == 1

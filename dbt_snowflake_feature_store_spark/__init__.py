@@ -16,6 +16,7 @@ from .errors import (
     FeatureViewNotFoundError,
     ValidationError,
 )
+from .functions.profile import profile
 from .models import load_project
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
 from .pit import asof_join
@@ -31,6 +32,7 @@ __all__ = [
     "RefreshSpec",
     "Dataset",
     "asof_join",
+    "profile",
     "get_spark",
     "load_project",
     "FeatureStoreError",

@@ -486,6 +486,22 @@ class FeatureStore:
                 )
         return self._plan(fv)
 
+    def profile_feature_view(
+        self,
+        fv: FeatureView | str,
+        version: str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Per-column data-quality profile of an FV (nulls, cardinality,
+        range, moments) — one row per column, computed in a SINGLE
+        aggregation pass over the FV regardless of column count
+        (functions/profile.py). The sanity report behind the reference's
+        own all-rows-have-features workflow assertions
+        (test_feature_store_workflows.py:178-183)."""
+        from .functions.profile import profile
+
+        return profile(self.read_feature_view(fv, version), columns)
+
     def list_feature_view_snapshots(
         self, name: str, version: str
     ) -> list[int]:

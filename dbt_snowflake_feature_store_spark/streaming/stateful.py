@@ -458,3 +458,104 @@ def streaming_dedup_first_seen(keyed_stream: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+HEAVY_HITTERS_OUTPUT_SCHEMA = (
+    "group_key STRING, f_rank LONG, f_token STRING, f_count LONG, f_err LONG"
+)
+
+
+def make_heavy_hitters_processor(k: int = 16):
+    """SpaceSaving top-K StatefulProcessor (Metwally et al., "Efficient
+    computation of frequent and top-k elements in data streams",
+    ICDT'05), exposed for unit testing (see
+    make_running_stats_processor)."""
+    StatefulProcessor, _ = _tws_classes()
+
+    class _HeavyHitters(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._summary = handle.getListState(
+                "summary", "token STRING, n LONG, err LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (group_key,) = key
+            counters: dict[str, list[int]] = {}
+            if self._summary.exists():
+                for tok, n, err in self._summary.get():
+                    counters[tok] = [int(n), int(err)]
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for tok, cnt in pdf.groupby("token").size().items():
+                    batch[tok] = batch.get(tok, 0) + int(cnt)
+            # apply in sorted token order so the eviction sequence (and
+            # therefore the summary) is deterministic for a given batch
+            for tok in sorted(batch):
+                add = batch[tok]
+                if tok in counters:
+                    counters[tok][0] += add
+                elif len(counters) < k:
+                    counters[tok] = [add, 0]
+                else:
+                    # evict the min counter; ties broken by evicting the
+                    # lexicographically greatest token (fixed, arbitrary)
+                    evict_tok, (m, _) = min(
+                        counters.items(),
+                        key=lambda kv: (kv[1][0], _desc_str(kv[0])),
+                    )
+                    del counters[evict_tok]
+                    counters[tok] = [m + add, m]
+            ranked = sorted(
+                counters.items(), key=lambda kv: (-kv[1][0], kv[0])
+            )
+            self._summary.put(
+                [(tok, n, err) for tok, (n, err) in ranked]
+            )
+            yield pd.DataFrame(
+                {
+                    "group_key": [group_key] * len(ranked),
+                    "f_rank": list(range(1, len(ranked) + 1)),
+                    "f_token": [tok for tok, _ in ranked],
+                    "f_count": [n for _, (n, _) in ranked],
+                    "f_err": [err for _, (_, err) in ranked],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _HeavyHitters()
+
+
+class _desc_str(str):
+    """Reverses string comparison — lets one min() key mix an ascending
+    count with a descending token tiebreak."""
+
+    __slots__ = ()
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+
+def heavy_hitters_tws(keyed_stream: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming heavy hitters: per group_key, the approximate top-K
+    tokens by count via the SpaceSaving summary — the streaming twin of
+    the batch q_vocab_build key (hot-token / vocabulary-drift tracking
+    over an ingest stream, e.g. per-language).
+
+    Guarantees (SpaceSaving): at most K counters per group ever exist
+    (state is O(K) per key — bounded forever, no watermark needed);
+    every reported count overestimates the true count by at most its
+    ``f_err``; any token whose true count exceeds total/K is guaranteed
+    present in the summary. With K ≥ distinct tokens the counts are
+    EXACT (err 0) — the property the parity test pins.
+
+    Input: (group_key STRING, token STRING, ...); shuffles once on
+    group_key; each batch rewrites one K-row list and emits the updated
+    ranked summary (Update mode)."""
+    return keyed_stream.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=make_heavy_hitters_processor(k),
+        outputStructType=HEAVY_HITTERS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

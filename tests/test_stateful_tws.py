@@ -616,3 +616,96 @@ def test_tws_dedup_first_seen_across_batches(rocksdb, tmp_path):
     got = {r["dedup_key"]: r["doc_id"] for r in out.collect()}
     for k, m in exp_min.items():
         assert got[k] == m, k
+
+
+def test_tws_heavy_hitters_semantics_mock_handle():
+    """SpaceSaving semantics against the mock handle: exact when K >=
+    distinct tokens; bounded and conservative when capped."""
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        make_heavy_hitters_processor,
+    )
+
+    b1 = {"en": pd.DataFrame({"token": ["a", "a", "b", "c"]})}
+    b2 = {"en": pd.DataFrame({"token": ["a", "b", "b", "b"]})}
+    out = _replay(lambda: make_heavy_hitters_processor(k=16), [b1, b2])
+    last = out[-1]
+    got = dict(zip(last["f_token"], last["f_count"]))
+    assert got == {"a": 3, "b": 4, "c": 1}
+    assert list(last["f_token"]) == ["b", "a", "c"]  # count desc, token asc
+    assert all(e == 0 for e in last["f_err"])  # K >= distinct -> exact
+
+    # capped: k=2, 'z' dominates; summary never exceeds 2 counters and
+    # every count is within its error bound of the truth
+    tokens = ["z"] * 10 + ["a", "b", "c", "a", "z", "z"]
+    b = {"en": pd.DataFrame({"token": tokens})}
+    out = _replay(lambda: make_heavy_hitters_processor(k=2), [b])
+    last = out[-1]
+    assert len(last) == 2
+    truth = {"z": 12, "a": 2, "b": 1, "c": 1}
+    for tok, n, err in zip(last["f_token"], last["f_count"], last["f_err"]):
+        assert n - err <= truth[tok] <= n, (tok, n, err)
+    assert last["f_token"][0] == "z"  # the true heavy hitter surfaces
+
+
+def test_tws_heavy_hitters_deterministic_across_replays():
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        make_heavy_hitters_processor,
+    )
+
+    b = {"en": pd.DataFrame({"token": ["d", "c", "b", "a", "e", "e"]})}
+    a = _replay(lambda: make_heavy_hitters_processor(k=3), [b])
+    bb = _replay(lambda: make_heavy_hitters_processor(k=3), [b])
+    assert a[-1].equals(bb[-1])
+
+
+@needs_protobuf
+def test_tws_heavy_hitters_matches_batch(rocksdb, tmp_path):
+    """End-to-end through the state server with K large enough to be
+    exact: final summary equals the batch token counts per language."""
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        heavy_hitters_tws,
+    )
+
+    spark = rocksdb
+    docs = read_table(spark, SF, "documents")
+    toks = docs.select(
+        F.col("lang").alias("group_key"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    src = str(tmp_path / "src")
+    toks.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    epoch = {"n": 0}
+
+    def sink(df, epoch_id):
+        epoch["n"] += 1
+        df.withColumn("_epoch", F.lit(epoch["n"])).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        heavy_hitters_tws(stream, k=4096)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    latest = out.groupBy("group_key").agg(F.max("_epoch").alias("_epoch"))
+    got = {
+        (r["group_key"], r["f_token"]): r["f_count"]
+        for r in out.join(latest, ["group_key", "_epoch"]).collect()
+    }
+    exp = {
+        (r["group_key"], r["token"]): r["n"]
+        for r in toks.groupBy("group_key", "token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp

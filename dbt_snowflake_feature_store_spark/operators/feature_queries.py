@@ -176,7 +176,67 @@ def q_fv_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs.retrieve_feature_values(spine, [fv])
 
 
+def q_fv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling machinery under the oracle gate: register a static
+    FV, run ``profile_feature_view``, and hash-check the exact-arithmetic
+    fields (counts, null fractions, min/max) against plain SQL. The
+    approx/IEEE-order-dependent fields (HLL distinct, mean, stddev) are
+    excluded — they are pytest-covered (tests/test_profile.py) but not
+    cross-engine-stable. Columns are integer/string-typed so min/max
+    string rendering is identical in both engines (double→string
+    formatting is not)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("q_prof_orders")
+    fs = _fs(spark)
+    fs.register_entity(Entity("order", ["o_orderkey"]))
+    fs.register_feature_view(
+        FeatureView(
+            "prof_orders",
+            ["order"],
+            sql="""SELECT o_orderkey, o_orderstatus,
+                          CASE WHEN o_totalprice < 50000.0 THEN NULL
+                               ELSE o_custkey END AS f_big_cust
+                   FROM q_prof_orders""",
+        ),
+        version="1.0",
+    )
+    prof = fs.profile_feature_view("PROF_ORDERS$1.0")
+    return prof.select(
+        "column", "dtype", "n_rows", "n_nulls", "null_frac", "min", "max"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_fv_profile": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_totalprice < 50000.0 THEN NULL
+                        ELSE o_custkey END AS f_big_cust
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE) / COUNT(*)
+                   AS null_frac,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max
+        FROM base
+        UNION ALL
+        SELECT 'o_orderstatus', 'string',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / COUNT(*),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM base
+        UNION ALL
+        SELECT 'f_big_cust', 'bigint',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(f_big_cust) AS BIGINT),
+               CAST(COUNT(*) - COUNT(f_big_cust) AS DOUBLE) / COUNT(*),
+               CAST(MIN(f_big_cust) AS VARCHAR),
+               CAST(MAX(f_big_cust) AS VARCHAR)
+        FROM base
+    """,
     "q_fv_latest_snapshot": """
         WITH fvsrc AS (
             SELECT user_id, ts, MAX(value) AS f_latest_value
@@ -245,4 +305,5 @@ QUERIES = {
     "q_fv_managed_read": q_fv_managed_read,
     "q_fv_chain": q_fv_chain,
     "q_generate_dataset": q_generate_dataset,
+    "q_fv_profile": q_fv_profile,
 }

@@ -215,3 +215,65 @@ def test_ngram_cap_keeps_under_cap_blocks(spark):
     assert capped == uncapped == sorted(
         (a, b, 1.0) for a in range(10) for b in range(a + 1, 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 second-wave keys: plan shapes that must hold at 100 TB
+# ---------------------------------------------------------------------------
+
+def test_embed_outliers_no_windows_no_wide_joins(spark):
+    """q_embed_outliers: both label aggs broadcast back into the row
+    stream — the executed plan must contain NO Window, NO sort-merge
+    join, and NO Sort over the vector stream."""
+    from dbt_snowflake_feature_store_spark.operators.ext_similarity import (
+        q_embed_outliers,
+    )
+
+    plan = _executed_plan(q_embed_outliers(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_vocab_build_topk_not_global_sort(spark):
+    """q_vocab_build: the dictionary top-100 must be
+    TakeOrderedAndProject (partial per-partition top-K), never a global
+    Sort of the vocabulary; the rank window runs after the 100-row
+    truncation."""
+    from dbt_snowflake_feature_store_spark.operators.ext_text import (
+        q_vocab_build,
+    )
+
+    plan = _executed_plan(q_vocab_build(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_funnel_single_shuffle(spark):
+    """q_filter_funnel: one scan, one partial+final agg pair — exactly
+    one Exchange in the final plan."""
+    from dbt_snowflake_feature_store_spark.operators.ext_text import (
+        q_filter_funnel,
+    )
+
+    plan = _executed_plan(q_filter_funnel(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") - final.count("ReusedExchange") == 1
+
+
+def test_event_dedup_single_shuffle_one_window(spark):
+    """q_event_dedup: one shuffle on the high-cardinality
+    (user, type, window) key feeding one Window — no second sort pass."""
+    from dbt_snowflake_feature_store_spark.operators.relational2 import (
+        q_event_dedup,
+    )
+
+    plan = _executed_plan(q_event_dedup(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    window_ops = [
+        ln for ln in final.splitlines() if ln.lstrip("+- ").startswith("Window [")
+    ]
+    assert len(window_ops) == 1
+    assert final.count("Exchange") - final.count("ReusedExchange") == 1
+    # bonus: Spark inserts a map-side WindowGroupLimit (rank<=1 prune)
+    # BEFORE the exchange — only burst winners shuffle, not every event
+    assert "WindowGroupLimit" in final

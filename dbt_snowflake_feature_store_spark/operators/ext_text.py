@@ -745,12 +745,15 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the corpus — other docs or repeats within the same doc). The
     boilerplate detector that exact whole-doc dedup misses.
 
-    Scale: per-(doc, chunk) pre-aggregation shrinks the exploded stream
-    before any join; the chunk dictionary aggregation is map-side
-    combinable; the count-back join shuffles on the high-cardinality
-    chunk key (AQE skew split handles pathological boilerplate chunks);
-    final agg on doc_id. No all-pairs anything — cost is linear in
-    corpus chunks."""
+    Scale: chunks shuffle as 8-byte xxhash64 keys, never as the ~100-
+    byte chunk strings (the oracle replays string identity — identical
+    results absent a 64-bit collision, ~n²/2⁶⁵, and the exact-string
+    form is one flag away); per-(doc, chunk) pre-aggregation shrinks
+    the exploded stream before any join; the chunk dictionary
+    aggregation is map-side combinable; the count-back join shuffles on
+    the high-cardinality hash key (AQE skew split handles pathological
+    boilerplate chunks); final agg on doc_id. No all-pairs anything —
+    cost is linear in corpus chunks."""
     d = _docs(spark, sf_dir).select(
         "doc_id", TXT.normalized_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") > 0)
@@ -763,10 +766,10 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> array_join(slice(t, i * 16 + 1, 16), ' '))"
             )
         ).alias("chunk"),
-    )
-    per_dc = chunks.groupBy("doc_id", "chunk").agg(F.count("*").alias("k"))
-    per_c = per_dc.groupBy("chunk").agg(F.sum("k").cast("long").alias("n_occ"))
-    joined = per_dc.join(per_c, "chunk")
+    ).select("doc_id", F.xxhash64("chunk").alias("chunk_h"))
+    per_dc = chunks.groupBy("doc_id", "chunk_h").agg(F.count("*").alias("k"))
+    per_c = per_dc.groupBy("chunk_h").agg(F.sum("k").cast("long").alias("n_occ"))
+    joined = per_dc.join(per_c, "chunk_h")
     dup_k = F.when(F.col("n_occ") > 1, F.col("k")).otherwise(F.lit(0))
     return joined.groupBy("doc_id").agg(
         F.sum("k").cast("long").alias("f_n_chunks"),

@@ -67,6 +67,42 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("f_cosine").desc(), F.col("vec_id").asc()).limit(_K)
 
 
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity RANGE search: every vector whose cosine vs the
+    vec_id=0 query clears a threshold (τ=0.15) — the radius-probe read
+    ("all near neighbors", e.g. collecting every candidate duplicate of
+    a query doc) next to q_sim_topk's top-k. Same decimal-exact dot
+    machinery; the only difference is a filter on the rounded score
+    instead of TakeOrderedAndProject, so output size is data-dependent.
+    At 100 TB the LSH/IVF bucket probes generate candidates and this
+    exact rescoring runs on the pruned set — identical plan tail."""
+    e = _emb(spark, sf_dir)
+    elems = e.filter(F.col("vec_id") != _QUERY_ID).select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("decimal(18,9)"))
+    q = (
+        e.filter(F.col("vec_id") == _QUERY_ID)
+        .select(F.posexplode("embedding").alias("i", "qx"))
+        .withColumn("qx", F.col("qx").cast("decimal(18,9)"))
+    )
+    dots = (
+        elems.join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("na"),
+        )
+    )
+    nq = q.agg(F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq"))
+    scored = dots.crossJoin(F.broadcast(nq)).select(
+        "vec_id",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nq"))), 6
+        ).alias("f_cosine"),
+    )
+    return scored.filter(F.col("f_cosine") >= 0.15)
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN self-join (every vector's top-3 cosine neighbors),
     decimal-exact and oracle-gated on a bounded slice (vec_id < 200 —
@@ -390,6 +426,28 @@ ORACLE: dict[str, str] = {
         ORDER BY f_cosine DESC, d.vec_id ASC
         LIMIT 10
     """,
+    "q_sim_range": """
+        WITH elems AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+            FROM embeddings
+        ),
+        q AS (SELECT i, x AS qx FROM elems WHERE vec_id = 0),
+        dots AS (
+            SELECT el.vec_id,
+                   CAST(SUM(el.x * q.qx) AS DOUBLE) AS dot,
+                   CAST(SUM(el.x * el.x) AS DOUBLE) AS na
+            FROM elems el JOIN q USING (i)
+            WHERE el.vec_id <> 0
+            GROUP BY el.vec_id
+        ),
+        qn AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q)
+        SELECT d.vec_id,
+               ROUND(d.dot / (SQRT(d.na) * SQRT(qn.nq)), 6) AS f_cosine
+        FROM dots d, qn
+        WHERE ROUND(d.dot / (SQRT(d.na) * SQRT(qn.nq)), 6) >= 0.15
+    """,
     "q_embed_centroid": """
         SELECT label,
                COUNT(*) AS f_n,
@@ -439,4 +497,5 @@ QUERIES = {
     "q_sim_ivf": q_sim_ivf,
     "q_dedup_embed": q_dedup_embed,
     "q_embed_outliers": q_embed_outliers,
+    "q_sim_range": q_sim_range,
 }

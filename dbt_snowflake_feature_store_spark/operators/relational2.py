@@ -530,7 +530,63 @@ def q_tpch_q4like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-revenue in a
+    quarter — 3-way join (customer ⋈ orders ⋈ lineitem) + nation dim,
+    grouped revenue, deterministic top-20. Scale: date filter pushes to
+    the orders scan and the R-flag filter to the lineitem scan before
+    either join; nation broadcasts; the revenue agg shuffles once on
+    c_custkey; top-20 is TakeOrderedAndProject (revenue desc, custkey
+    tiebreak)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # operands at DECIMAL(15,4) keep the product at (32,8) — exact on
+    # both engines (a (28,6)×(28,6) product exceeds p38 and Spark
+    # silently reduces its scale); values carry ≤2+2 decimal digits so
+    # the re-cast to (28,6) before summing is exact
+    rev = (
+        F.col("l_extendedprice").cast("decimal(15,4)")
+        * (F.lit(1).cast("decimal(15,4)") - F.col("l_discount").cast("decimal(15,4)"))
+    ).cast(_DEC)
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev.cast(_DEC)).cast("double").alias("f_revenue"),
+        F.count("*").cast("long").alias("f_items"),
+    )
+    return agg.orderBy(
+        F.col("f_revenue").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
 ORACLE: dict[str, str] = {
+    "q_tpch_q10like": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(
+                   CAST(l.l_extendedprice AS DECIMAL(15,4))
+                   * (CAST(1 AS DECIMAL(15,4))
+                      - CAST(l.l_discount AS DECIMAL(15,4)))
+                   AS DECIMAL(28,6))) AS DOUBLE) AS f_revenue,
+               CAST(COUNT(*) AS BIGINT) AS f_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY f_revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """,
     "q_event_dedup": """
         WITH base AS (
             SELECT event_id, user_id, event_type, ts, value,
@@ -874,4 +930,5 @@ QUERIES = {
     "q_tpch_q13like": q_tpch_q13like,
     "q_event_dedup": q_event_dedup,
     "q_tpch_q4like": q_tpch_q4like,
+    "q_tpch_q10like": q_tpch_q10like,
 }

@@ -89,6 +89,7 @@ HEADLINE = [
     "q_dedup_chunks",
     "q_vocab_build",
     "q_embed_outliers",
+    "q_tpch_q10like",
 ]
 
 

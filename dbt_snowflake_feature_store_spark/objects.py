@@ -158,6 +158,15 @@ class FeatureView:
     # Bucketed tables are rebuilt FULLY on refresh (incremental
     # maintenance of a bucketed layout needs a transactional format).
     buckets: int | None = None
+    # Sorted-file layout for managed FVs (the lightweight half of
+    # CLUSTER BY): materializations sort rows by these columns WITHIN
+    # each written task/partition, so parquet row-group min/max stats
+    # become tight and key-predicate reads skip row groups (data
+    # skipping without a catalog table — composes with the `_fs_dt`
+    # date partitioning). Unlike ``buckets`` this changes only file
+    # layout, never the plan contract; incremental appends are not
+    # re-sorted until ``compact()`` (which re-applies the sort).
+    cluster_by: list[str] | None = None
     # filled on registration:
     version: str | None = None
     schema_json: str | None = None

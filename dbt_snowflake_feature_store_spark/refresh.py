@@ -42,7 +42,11 @@ _WATERMARK_FILE = "_fs_watermark.json"
 
 
 def _write_full(
-    fs: "FeatureStore", df: DataFrame, path: str, timestamp_col: str | None
+    fs: "FeatureStore",
+    df: DataFrame,
+    path: str,
+    timestamp_col: str | None,
+    cluster_by: list[str] | None = None,
 ) -> None:
     part = None
     if timestamp_col:
@@ -50,6 +54,12 @@ def _write_full(
         # pruning for PIT reads at scale
         df = df.withColumn("_fs_dt", F.to_date(F.col(timestamp_col)))
         part = ["_fs_dt"]
+    if cluster_by:
+        # sorted-file layout (FeatureView.cluster_by): rows sorted by the
+        # cluster keys within each task (and within each date partition
+        # when partitioned) → tight parquet row-group min/max stats →
+        # key-predicate scans skip row groups
+        df = df.sortWithinPartitions(*((part or []) + list(cluster_by)))
     if os.path.isdir(path):
         # recompute of an EXISTING table goes through the crash-safe
         # snapshot swap: a plain overwrite deletes before it writes, so
@@ -211,7 +221,7 @@ def _refresh_feature_view(
         import shutil
 
         shutil.rmtree(ckpt)
-    _write_full(fs, df, path, ts)
+    _write_full(fs, df, path, ts, cluster_by=fv.cluster_by)
     if ts is not None:
         new_wm = _max_ts(fs, path, "_fs_dt", ts)
         if new_wm:

@@ -351,6 +351,7 @@ class FeatureStore:
             "schema": fv.schema_json,
             "refresh": fv.refresh.to_doc() if fv.refresh else None,
             "buckets": fv.buckets,
+            "cluster_by": fv.cluster_by,
             "desc": fv.desc,
             "status": fv.status,
             "data_path": self._fv_data_path(fv.name, fv.version)
@@ -369,6 +370,7 @@ class FeatureStore:
         fv.desc = doc.get("desc", "")
         fv.refresh = RefreshSpec.from_doc(doc.get("refresh"))
         fv.buckets = doc.get("buckets")
+        fv.cluster_by = doc.get("cluster_by")
         fv.schema_json = doc.get("schema")
         fv.status = doc.get("status", "ACTIVE")
         fv.fv_type = doc["object_info"]["type"]
@@ -731,18 +733,22 @@ class FeatureStore:
             )
         df = self.storage.read(self.spark, path)
         # crash-safe snapshot swap (storage.replace commit-marker
-        # protocol) — a failure at any point leaves a readable table
+        # protocol) — a failure at any point leaves a readable table.
+        # cluster_by layouts are re-established here: incremental
+        # appends land unsorted, compaction restores the sorted files.
+        cluster = list(fv.cluster_by or [])
         if "_fs_dt" in df.columns:
+            out_df = df.repartition(target_partitions_per_day, "_fs_dt")
+            if cluster:
+                out_df = out_df.sortWithinPartitions("_fs_dt", *cluster)
             self.storage.replace(
-                self.spark,
-                path,
-                df.repartition(target_partitions_per_day, "_fs_dt"),
-                partition_by=["_fs_dt"],
+                self.spark, path, out_df, partition_by=["_fs_dt"],
             )
         else:
-            self.storage.replace(
-                self.spark, path, df.coalesce(max(1, target_partitions_per_day))
-            )
+            out_df = df.coalesce(max(1, target_partitions_per_day))
+            if cluster:
+                out_df = out_df.sortWithinPartitions(*cluster)
+            self.storage.replace(self.spark, path, out_df)
         out = self.storage.read(self.spark, path)
         return len(out.inputFiles())
 

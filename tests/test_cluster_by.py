@@ -1,0 +1,93 @@
+"""cluster_by sorted-file layout: managed FV materializations sort rows
+by the cluster keys within each written file, so parquet row-group
+min/max stats are tight and key-predicate scans skip row groups."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from dbt_snowflake_feature_store_spark import Entity, FeatureView, RefreshSpec
+from dbt_snowflake_feature_store_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _data_files(root):
+    return [
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if "_fs_snapshots" not in p
+    ]
+
+
+def _file_is_sorted(path, col):
+    t = pq.read_table(path, columns=[col])
+    vals = t.column(col).to_pylist()
+    return vals == sorted(vals)
+
+
+def _rowgroup_stats_tight(path, col):
+    """Row-group min/max ranges must be non-overlapping (sorted file)."""
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(col)
+    prev_max = None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None:
+            return True  # no stats written — nothing to assert
+        if prev_max is not None and st.min < prev_max:
+            return False
+        prev_max = st.max
+    return True
+
+
+@pytest.fixture()
+def clustered_fv(fs, spark):
+    read_table(spark, SF, "events").createOrReplaceTempView("cb_events")
+    fs.register_entity(Entity("user", ["user_id"]))
+    fv = FeatureView(
+        "clustered",
+        ["user"],
+        sql="SELECT user_id, ts, value AS f_value FROM cb_events",
+        timestamp_col="ts",
+        refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+        cluster_by=["user_id"],
+    )
+    fs.register_feature_view(fv, version="1.0")
+    return fs
+
+
+def test_files_sorted_by_cluster_key(clustered_fv):
+    fs = clustered_fv
+    path = fs._fv_data_path("clustered", "1.0")
+    files = _data_files(path)
+    assert files
+    for f in files:
+        assert _file_is_sorted(f, "user_id"), f
+        assert _rowgroup_stats_tight(f, "user_id"), f
+
+
+def test_cluster_by_round_trips_through_registry(clustered_fv, spark, tmp_path):
+    fs = clustered_fv
+    from dbt_snowflake_feature_store_spark import FeatureStore
+
+    fs2 = FeatureStore(spark, fs.root, name=fs.name)
+    assert fs2.get_feature_view("clustered", "1.0").cluster_by == ["user_id"]
+
+
+def test_values_unchanged_and_compact_restores_sort(clustered_fv, spark):
+    fs = clustered_fv
+    before = sorted(
+        map(tuple, fs.read_feature_view("CLUSTERED$1.0").collect())
+    )
+    n_files = fs.compact("clustered", "1.0")
+    assert n_files >= 1
+    after = sorted(map(tuple, fs.read_feature_view("CLUSTERED$1.0").collect()))
+    assert before == after
+    path = fs._fv_data_path("clustered", "1.0")
+    for f in _data_files(path):
+        assert _file_is_sorted(f, "user_id"), f

@@ -142,6 +142,23 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     return df.withColumn(out_col, best)
 
 
+def lang_id_confidence(
+    df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+) -> DataFrame:
+    """lang_id + a confidence margin: best score minus runner-up score
+    (integers — exact in any engine). Low-margin docs are ambiguous /
+    mixed-language and a mix pipeline typically drops or routes them.
+    Row-local; no shuffle."""
+    out = lang_id(df, text_col, out_col)
+    scores = lang_scores(F.col(text_col))
+    arr = F.sort_array(
+        F.array(*[scores[lang] for lang in sorted(scores)]), asc=False
+    )
+    return out.withColumn(
+        f"{out_col}_margin", (arr[0] - arr[1]).cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------

@@ -520,6 +520,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "f_pred_lang")
 
 
+def q_lang_id_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with a confidence margin (best stopword-profile score
+    minus runner-up) — the ambiguity signal a multilingual mix pipeline
+    uses to drop or re-route mixed-language docs. Integer margins are
+    exact in any engine; row-local, zero shuffle."""
+    d = TXT.lang_id_confidence(_docs(spark, sf_dir), "text", "f_pred_lang")
+    return d.select(
+        "doc_id",
+        "lang",
+        "f_pred_lang",
+        F.col("f_pred_lang_margin").alias("f_margin"),
+        (F.col("f_pred_lang_margin") >= 2).alias("f_confident"),
+    )
+
+
 def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-rarity quality signal (the exact-arithmetic cousin of
     CCNet-style perplexity filtering — log-prob can't be oracle-gated
@@ -908,7 +923,7 @@ _WS_COUNT = (
 _STOP = "['the','a','an','and','or','of','to','in','is','are','was','were','for','on','with','as','at','by','it','this','that']"
 
 
-def _langid_oracle() -> str:
+def _langid_oracle(conf: bool = False) -> str:
     from ..functions.text import LANG_PROFILES
 
     langs = sorted(LANG_PROFILES)
@@ -920,6 +935,14 @@ def _langid_oracle() -> str:
     )
     greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs)
+    arr = "[" + ", ".join(f"s_{lang}" for lang in langs) + "]"
+    conf_g = f", list_sort({arr}) AS ls" if conf else ""
+    conf_sel = (
+        ",\n               CAST(ls[-1] - ls[-2] AS BIGINT) AS f_margin,"
+        "\n               (ls[-1] - ls[-2] >= 2) AS f_confident"
+        if conf
+        else ""
+    )
     return f"""
         WITH toksrc AS (
             SELECT doc_id, lang,
@@ -927,8 +950,8 @@ def _langid_oracle() -> str:
             FROM documents
         ),
         scored AS (SELECT doc_id, lang, {score_cols} FROM toksrc),
-        g AS (SELECT *, {greatest} AS g FROM scored)
-        SELECT doc_id, lang, CASE {case} END AS f_pred_lang FROM g
+        g AS (SELECT *, {greatest} AS g{conf_g} FROM scored)
+        SELECT doc_id, lang, CASE {case} END AS f_pred_lang{conf_sel} FROM g
     """
 
 
@@ -1074,6 +1097,7 @@ ORACLE: dict[str, str] = {
     """,
 }
 ORACLE["q_lang_id"] = _langid_oracle()
+ORACLE["q_lang_id_conf"] = _langid_oracle(conf=True)
 
 ORACLE["q_corpus_dedup_stats"] = f"""
     WITH RECURSIVE pairs AS (
@@ -1470,6 +1494,7 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_text_search": q_text_search,
     "q_lang_id": q_lang_id,
+    "q_lang_id_conf": q_lang_id_conf,
     "q_fingerprint": q_fingerprint,
     "q_fingerprint_winnow": q_fingerprint_winnow,
     "q_multimodal_meta": q_multimodal_meta,

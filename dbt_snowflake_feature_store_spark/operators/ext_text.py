@@ -700,6 +700,72 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix ENFORCEMENT: deterministically downsample each language so the
+    kept corpus hits the α=0.5 temperature-target shares
+    (q_sample_temperature computes the targets; this key applies them).
+    Per language: keep rate = K·target/n where K = min over languages of
+    n/target — the largest scale at which no language needs upsampling
+    (the most-constrained language is kept whole). Membership is the
+    Knuth hash of doc_id against a per-language ppm threshold — no
+    rand(), reproducible across engines/backfills, and a re-run with a
+    bigger budget keeps a SUPERSET of the docs (thresholds only rise).
+
+    Exactness: thresholds derive from integer counts through identical
+    IEEE double ops on both engines (division, ×1e6, half-up floor);
+    membership is integer arithmetic. One tiny lang agg + two broadcast
+    scalars; the corpus scan filters row-locally."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("f_docs"))
+    w = counts.withColumn(
+        "_sqrt",
+        F.sqrt(F.col("f_docs").cast("double")).cast("decimal(28,6)"),
+    )
+    tot = w.agg(F.sum("_sqrt").cast("decimal(28,6)").alias("_tot"))
+    share = F.col("_sqrt").cast("double") / F.col("_tot").cast("double")
+    targets = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "f_docs",
+        F.floor(share * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("f_target_ppm"),
+    )
+    k = targets.agg(
+        F.min(
+            F.col("f_docs").cast("double") / F.col("f_target_ppm").cast("double")
+        ).alias("_k")
+    )
+    thr = targets.crossJoin(F.broadcast(k)).select(
+        "lang",
+        "f_docs",
+        "f_target_ppm",
+        F.floor(
+            F.col("_k")
+            * F.col("f_target_ppm").cast("double")
+            / F.col("f_docs").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f_threshold"),
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000000
+    kept = (
+        d.select("doc_id", "lang", h.alias("_h"))
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("_h") < F.col("f_threshold"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("f_kept"))
+    )
+    return thr.join(kept, "lang", "left").select(
+        "lang",
+        "f_docs",
+        "f_target_ppm",
+        "f_threshold",
+        F.coalesce(F.col("f_kept"), F.lit(0)).cast("long").alias("f_kept"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: SHA-256 over normalized text."""
     d = _docs(spark, sf_dir)
@@ -1352,6 +1418,46 @@ ORACLE["q_dedup_ngram"] = """
     SELECT doc_id_a, doc_id_b, f_jaccard FROM pairs WHERE f_jaccard >= 0.5
 """
 
+ORACLE["q_sample_to_mix"] = """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS f_docs
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, f_docs,
+               CAST(sqrt(CAST(f_docs AS DOUBLE)) AS DECIMAL(28,6)) AS s
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(s) AS DECIMAL(28,6)) AS t FROM w),
+    targets AS (
+        SELECT lang, f_docs,
+               CAST(FLOOR(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT) AS f_target_ppm
+        FROM w, tot
+    ),
+    kk AS (
+        SELECT MIN(CAST(f_docs AS DOUBLE) / CAST(f_target_ppm AS DOUBLE))
+            AS k
+        FROM targets
+    ),
+    thr AS (
+        SELECT lang, f_docs, f_target_ppm,
+               CAST(FLOOR(k * CAST(f_target_ppm AS DOUBLE)
+                          / CAST(f_docs AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS f_threshold
+        FROM targets, kk
+    ),
+    kept AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS f_kept
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE (d.doc_id * 2654435761) % 1000000 < thr.f_threshold
+        GROUP BY d.lang
+    )
+    SELECT t.lang, t.f_docs, t.f_target_ppm, t.f_threshold,
+           CAST(COALESCE(k.f_kept, 0) AS BIGINT) AS f_kept
+    FROM thr t LEFT JOIN kept k ON t.lang = k.lang
+"""
+
 ORACLE["q_dedup_chunks"] = f"""
     WITH norm AS (
         SELECT doc_id, {_NORM} AS nrm FROM documents
@@ -1481,6 +1587,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_pii_scan": q_pii_scan,
     "q_sample_temperature": q_sample_temperature,
+    "q_sample_to_mix": q_sample_to_mix,
     "q_token_rarity": q_token_rarity,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,

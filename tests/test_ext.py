@@ -348,3 +348,24 @@ class TestCorpusAccounting:
         assert all(not res[i]["f_outlier"] for i in range(20))
         # identical vectors inside the cluster -> identical dist2
         assert len({res[i]["f_dist2"] for i in range(20)}) == 1
+
+    def test_sample_to_mix_hits_targets(self, spark, sf_dir):
+        """The kept per-language counts must reproduce the temperature
+        targets: kept_lang/total_kept within hash-granularity tolerance
+        of target_ppm/1e6, and the most-constrained language kept whole
+        (threshold == 1e6 for at least one language)."""
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_sample_to_mix,
+        )
+
+        rows = q_sample_to_mix(spark, sf_dir).collect()
+        assert rows
+        total_kept = sum(r["f_kept"] for r in rows)
+        assert total_kept > 0
+        assert any(r["f_threshold"] >= 999999 for r in rows)
+        for r in rows:
+            assert 0 <= r["f_kept"] <= r["f_docs"]
+            got_share = r["f_kept"] / total_kept
+            want_share = r["f_target_ppm"] / 1e6
+            # small strata + hash granularity: generous but bounded
+            assert abs(got_share - want_share) < 0.08, (r, got_share)

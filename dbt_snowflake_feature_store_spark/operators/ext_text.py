@@ -713,10 +713,19 @@ def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: thresholds derive from integer counts through identical
     IEEE double ops on both engines (division, ×1e6, half-up floor);
-    membership is integer arithmetic. One tiny lang agg + two broadcast
-    scalars; the corpus scan filters row-locally."""
+    membership is integer arithmetic. The per-language count frame is
+    |langs| rows — localCheckpoint materializes it ONCE so the corpus
+    is scanned exactly twice (the count pass and the filter pass), not
+    once per derived branch (targets/K/thresholds all reuse the tiny
+    checkpointed frame — same bounded-scalar pattern as the IVF index
+    build); the corpus-side filter join is a broadcast of ~|langs|
+    thresholds, row-local."""
     d = _docs(spark, sf_dir)
-    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("f_docs"))
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("f_docs"))
+        .localCheckpoint()
+    )
     w = counts.withColumn(
         "_sqrt",
         F.sqrt(F.col("f_docs").cast("double")).cast("decimal(28,6)"),
@@ -757,7 +766,7 @@ def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("f_kept"))
     )
-    return thr.join(kept, "lang", "left").select(
+    return thr.join(F.broadcast(kept), "lang", "left").select(
         "lang",
         "f_docs",
         "f_target_ppm",

@@ -775,6 +775,55 @@ def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE matrix at span grain: for every source pair
+    (a < b), how many distinct 16-token normalized chunks appear in
+    BOTH — the who-mirrors-whom analysis behind per-domain dedup policy
+    (mirrored/boilerplate content double-counts a domain's weight in
+    the mix; whole-doc fingerprints miss partial mirroring, which is
+    the common case).
+
+    Scale: the self-join is keyed on the chunk (8-byte xxhash64 on the
+    Spark side; the oracle replays string identity) whose groups are
+    per-chunk source-cardinality-sized — never a cross product over
+    sources or docs; distinct (chunk, source) first shrinks the stream
+    to one row per span per source, and a per-chunk source cap (same
+    policy as the LSH bucket cap) would bound a pathological universal
+    boilerplate chunk — at 20 sources the worst group is 20 rows, so
+    no cap is needed until the source count itself is huge."""
+    d = _docs(spark, sf_dir).select(
+        "source", TXT.normalized_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") > 0)
+    toks = d.select("source", F.split("norm", " ").alias("t"))
+    chunks = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, (size(t) - 1) div 16),"
+                    " i -> array_join(slice(t, i * 16 + 1, 16), ' '))"
+                )
+            ).alias("chunk"),
+        )
+        .select("source", F.xxhash64("chunk").alias("chunk_h"))
+        .distinct()
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_h") == F.col("b.chunk_h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("f_source_a"),
+            F.col("b.source").alias("f_source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("f_shared_chunks"))
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: SHA-256 over normalized text."""
     d = _docs(spark, sf_dir)
@@ -1427,6 +1476,30 @@ ORACLE["q_dedup_ngram"] = """
     SELECT doc_id_a, doc_id_b, f_jaccard FROM pairs WHERE f_jaccard >= 0.5
 """
 
+ORACLE["q_dedup_cross_source"] = f"""
+    WITH norm AS (
+        SELECT source, {_NORM} AS nrm FROM documents
+    ),
+    toks AS (
+        SELECT source, string_split(nrm, ' ') AS t
+        FROM norm WHERE length(nrm) > 0
+    ),
+    chunks AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   range(0, (len(t) - 1) // 16 + 1),
+                   i -> array_to_string(
+                       list_slice(t, i * 16 + 1, i * 16 + 16), ' ')
+               )) AS chunk
+        FROM toks
+    )
+    SELECT a.source AS f_source_a, b.source AS f_source_b,
+           CAST(COUNT(*) AS BIGINT) AS f_shared_chunks
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
 ORACLE["q_sample_to_mix"] = """
     WITH counts AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS f_docs
@@ -1597,6 +1670,7 @@ QUERIES = {
     "q_pii_scan": q_pii_scan,
     "q_sample_temperature": q_sample_temperature,
     "q_sample_to_mix": q_sample_to_mix,
+    "q_dedup_cross_source": q_dedup_cross_source,
     "q_token_rarity": q_token_rarity,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,

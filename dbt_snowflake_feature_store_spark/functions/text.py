@@ -261,6 +261,70 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (batch construction)
+# ---------------------------------------------------------------------------
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bin_tokens: int = 2048,
+    shard_docs: int = 256,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing: within each
+    ``(lang, id div shard_docs)`` shard, docs are sorted by token count
+    descending and each placed into the open bin with the LEAST
+    remaining room that still fits (new bin otherwise) — the classic
+    bin-packing heuristic, wasting measurably less padding than the
+    doc-id-order greedy cumsum (``q_pack_sequences``) at the cost of
+    reordering docs within a shard.
+
+    Packing is inherently imperative, so this is the legitimate
+    Arrow-batch path: one ``applyInPandas`` over the shard key — each
+    shard is ≤ ``shard_docs`` rows, bins never cross shards, and every
+    shard packs independently in parallel (same shard-keyed 100 TB
+    shape as the greedy form; the Python stage sees (id, n_toks) pairs
+    only, never text). Deterministic: sort by (-n_toks, id); bin scan
+    order is insertion order; pack id = shard·10⁶ + local index."""
+    import pandas as _pd
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.expr(f"{id_col} div {shard_docs}").alias("f_shard"),
+        ws_token_count(F.col(text_col)).alias("n_toks"),
+    )
+
+    def _pack(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_toks", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["f_shard"].iloc[0]) if len(pdf) else 0
+        remaining: list[int] = []  # per-bin room left
+        packs: list[int] = []
+        for n in pdf["n_toks"]:
+            n = int(n)
+            best, best_room = -1, None
+            for i, room in enumerate(remaining):
+                if n <= room and (best_room is None or room < best_room):
+                    best, best_room = i, room
+            if best < 0:
+                remaining.append(max(bin_tokens - n, 0))
+                best = len(remaining) - 1
+            else:
+                remaining[best] -= n
+            packs.append(shard * 1_000_000 + best)
+        pdf["f_pack"] = _pd.Series(packs, dtype="int64")
+        return pdf
+
+    return toks.groupBy("lang", "f_shard").applyInPandas(
+        _pack,
+        schema="doc_id long, lang string, f_shard long, n_toks long, f_pack long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
 

@@ -376,6 +376,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing stats per language (rows-only by
+    design — bin packing is stateful/imperative, no SQL oracle): packs,
+    docs, tokens, and padding waste in ppm of bin capacity. The quality
+    twin of q_pack_sequences (which is stream CHUNKING — docs straddle
+    bin boundaries); tests assert bins respect capacity, determinism,
+    and that BFD never needs more bins than a no-split next-fit
+    baseline."""
+    packed = TXT.pack_sequences_bfd(_docs(spark, sf_dir))
+    per_pack = packed.groupBy("lang", "f_pack").agg(
+        F.sum("n_toks").alias("_toks"), F.count("*").alias("_docs")
+    )
+    waste = F.when(
+        F.col("_toks") < 2048, F.lit(2048) - F.col("_toks")
+    ).otherwise(F.lit(0))
+    return per_pack.groupBy("lang").agg(
+        F.count("*").cast("long").alias("f_packs"),
+        F.sum("_docs").cast("long").alias("f_docs"),
+        F.sum("_toks").cast("long").alias("f_tokens"),
+        F.floor(
+            F.sum(waste).cast("double")
+            / (F.count("*") * 2048).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f_waste_ppm"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc count, exact avg char/token
     counts. The canonical corpus-accounting scan — single pass, one
@@ -1676,6 +1706,7 @@ QUERIES = {
     "q_ngram_freq": q_ngram_freq,
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_bfd": q_pack_bfd,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_portable": q_dedup_simhash_portable,
     "q_text_repetition": q_text_repetition,

@@ -369,3 +369,58 @@ class TestCorpusAccounting:
             want_share = r["f_target_ppm"] / 1e6
             # small strata + hash granularity: generous but bounded
             assert abs(got_share - want_share) < 0.08, (r, got_share)
+
+    def test_pack_bfd_capacity_and_beats_greedy(self, spark, sf_dir):
+        """BFD bins respect capacity (single-doc overflow excepted),
+        packing is deterministic, every doc lands exactly once, and BFD
+        wastes no more padding than the doc-id-order greedy cumsum."""
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_pack_bfd,
+            q_pack_sequences,
+        )
+        from dbt_snowflake_feature_store_spark.functions.text import (
+            pack_sequences_bfd,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        packed = pack_sequences_bfd(docs)
+        rows = packed.collect()
+        assert len(rows) == docs.count()  # every doc exactly once
+        per_bin = {}
+        for r in rows:
+            key = (r["lang"], r["f_pack"])
+            per_bin.setdefault(key, []).append(r["n_toks"])
+        for key, toks in per_bin.items():
+            if len(toks) > 1:
+                assert sum(toks) <= 2048, key
+
+        again = sorted(map(tuple, pack_sequences_bfd(docs).collect()))
+        assert again == sorted(map(tuple, rows))  # deterministic
+
+        # Baseline: no-split NEXT-FIT in doc_id order per (lang, shard)
+        # (q_pack_sequences is stream CHUNKING — docs straddle bin
+        # boundaries — so its bin count is a lower bound, not a
+        # comparable no-split packer). BFD must never need more bins.
+        by_shard = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            by_shard.setdefault((r["lang"], r["f_shard"]), []).append(
+                r["n_toks"]
+            )
+        nf_bins = {}
+        for (lang, _), toks in by_shard.items():
+            bins, room = 0, 0
+            for n in toks:
+                if bins == 0 or n > room:
+                    bins += 1
+                    room = max(2048 - n, 0)
+                else:
+                    room -= n
+            nf_bins[lang] = nf_bins.get(lang, 0) + bins
+        bfd = {r["lang"]: r for r in q_pack_bfd(spark, sf_dir).collect()}
+        total_toks = {}
+        for r in rows:
+            total_toks[r["lang"]] = total_toks.get(r["lang"], 0) + r["n_toks"]
+        for lang, b in bfd.items():
+            assert b["f_tokens"] == total_toks[lang]  # same token mass
+            assert b["f_packs"] <= nf_bins[lang], lang  # never worse than NF

@@ -17,7 +17,7 @@ from .errors import (
     ValidationError,
 )
 from .functions.profile import profile
-from .models import load_project
+from .models import load_project, run_data_tests
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
 from .pit import asof_join
 from .session import get_spark
@@ -35,6 +35,7 @@ __all__ = [
     "profile",
     "get_spark",
     "load_project",
+    "run_data_tests",
     "FeatureStoreError",
     "EntityNotFoundError",
     "FeatureViewNotFoundError",

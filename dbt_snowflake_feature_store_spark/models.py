@@ -362,3 +362,89 @@ def load_project(
         report["order"].append(mdl.name)
 
     return report
+
+
+def run_data_tests(
+    fs: "FeatureStore",
+    project_dir: str,
+    tests_dir: str | None = None,
+    source_map: dict[Any, str] | None = None,
+    strict: bool = False,
+) -> list[dict[str, Any]]:
+    """dbt-style DATA TESTS: every ``*.sql`` under ``tests_dir``
+    (default ``<project_dir>/tests``) is a SELECT that must return ZERO
+    rows — the reference's own assertion layer ("fail if rows
+    returned": /root/reference/integration_tests/tests/
+    test_feature_view_tags.sql:8-27,
+    test_feature_view_metadata_structure.sql:4-50). ``ref()`` /
+    ``source()`` resolve exactly as in :func:`load_project` (static
+    refs inline as CTEs, managed refs read their materialized tables,
+    which are bound as views before execution).
+
+    Returns ``[{"name", "rows", "passed"}]`` per test, in name order.
+    ``strict=True`` raises :class:`ValidationError` naming every failed
+    test (``dbt test``'s exit-nonzero behavior).
+    """
+    tests_dir = tests_dir or os.path.join(project_dir, "tests")
+    if not os.path.isdir(tests_dir):
+        raise ValidationError(f"No data-test directory at {tests_dir!r}")
+
+    # parse + resolve the project's models (dry) so tests can ref() them
+    models: dict[str, Model] = {}
+    norm_tests = os.path.abspath(tests_dir)
+    for root, _dirs, files in os.walk(project_dir):
+        if os.path.abspath(root).startswith(norm_tests):
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                mdl = parse_model(os.path.join(root, fn))
+                _validate(mdl)
+                models[mdl.name] = mdl
+    resolved: dict[str, str] = {}
+    for name in _topo_order(models):
+        resolved[name] = _resolve_body(
+            fs, models[name], models, resolved, source_map
+        )
+
+    test_paths = []
+    for root, _dirs, files in os.walk(tests_dir):
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                test_paths.append(os.path.join(root, fn))
+    if not test_paths:
+        raise ValidationError(f"No .sql data tests under {tests_dir!r}")
+
+    fs._bind_batch_sources()
+    results: list[dict[str, Any]] = []
+    for p in sorted(test_paths):
+        tname = os.path.splitext(os.path.basename(p))[0]
+        with open(p) as f:
+            raw = f.read()
+        # tests may carry a config block (severity etc.) — strip it
+        body = _CONFIG_RE.sub("", raw).strip()
+        pseudo = Model(name=f"test:{tname}", path=p, config={}, body=body)
+        for em in _EXPR_RE.finditer(body):
+            if em.group(1) == "ref":
+                dep = models.get(em.group(2))
+                if dep is None:
+                    raise ValidationError(
+                        f"Data test '{tname}': ref('{em.group(2)}') does "
+                        "not match any model in the project"
+                    )
+                if dep.is_managed:
+                    phys = physical_fv_name(
+                        dep.name, str(dep.config["feature_view_version"])
+                    )
+                    fs.read_feature_view(
+                        dep.name, str(dep.config["feature_view_version"])
+                    ).createOrReplaceTempView(phys)
+        sql = _resolve_body(fs, pseudo, models, resolved, source_map)
+        n = fs.spark.sql(sql).count()
+        results.append({"name": tname, "rows": n, "passed": n == 0})
+
+    failed = [r["name"] for r in results if not r["passed"]]
+    if strict and failed:
+        raise ValidationError(
+            f"{len(failed)} data test(s) returned rows: {', '.join(failed)}"
+        )
+    return results

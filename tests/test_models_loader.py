@@ -376,3 +376,59 @@ def test_parse_model_extracts_config_and_deps(tmp_path):
     assert mdl.config["feature_view_version"] == "1.0"
     assert mdl.refs == ["test_base_customer_features"]
     assert "config" not in mdl.body
+
+
+class TestDataTests:
+    """run_data_tests — the reference's fail-if-rows-returned assertion
+    layer (tests/test_feature_view_tags.sql style) executed against
+    loaded models."""
+
+    def _project_with_tests(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark.models import load_project
+
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        tests = tmp_path / "models" / "tests"
+        tests.mkdir()
+        # passes: no base customer has a negative age
+        (tests / "test_no_negative_age.sql").write_text(
+            "SELECT * FROM {{ ref('test_base_customer_features') }}\n"
+            "WHERE f_base_age < 0\n"
+        )
+        # passes: managed FV ref binds to the materialized table
+        (tests / "test_managed_nonempty.sql").write_text(
+            "SELECT 1 WHERE (SELECT COUNT(*) FROM "
+            "{{ ref('test_managed_customer_features') }}) = 0\n"
+        )
+        # fails: every row returned
+        (tests / "test_always_fails.sql").write_text(
+            "SELECT * FROM {{ source('fs_sources', 'customer_base_table') }}\n"
+        )
+        return proj
+
+    def test_results_and_strict(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+        from dbt_snowflake_feature_store_spark.models import run_data_tests
+
+        proj = self._project_with_tests(fs, tmp_path, base_table)
+        results = {r["name"]: r for r in run_data_tests(fs, proj)}
+        assert results["test_no_negative_age"]["passed"]
+        assert results["test_managed_nonempty"]["passed"]
+        assert not results["test_always_fails"]["passed"]
+        assert results["test_always_fails"]["rows"] == 3
+        with pytest.raises(ValidationError, match="test_always_fails"):
+            run_data_tests(fs, proj, strict=True)
+
+    def test_unknown_ref_and_missing_dir(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+        from dbt_snowflake_feature_store_spark.models import run_data_tests
+
+        proj = self._project_with_tests(fs, tmp_path, base_table)
+        (tmp_path / "models" / "tests" / "test_bad_ref.sql").write_text(
+            "SELECT * FROM {{ ref('no_such_model') }}"
+        )
+        with pytest.raises(ValidationError, match="no_such_model"):
+            run_data_tests(fs, proj)
+        with pytest.raises(ValidationError, match="data-test directory"):
+            run_data_tests(fs, str(tmp_path / "nowhere"))

@@ -710,3 +710,50 @@ def minhash_portable_oracle_sql(
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     """
+
+
+def corpus_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Corpus keep-set selection — the composition a dedup pipeline
+    actually runs, as one call: (1) exact dedup (keep the min-id row
+    per normalized content), then (2) near-dup cluster collapse
+    (connected components over the near-dup pair graph; keep each
+    component's min-id representative). Returns the KEPT rows with all
+    original columns.
+
+    ``method='minhash'`` (default) generates pairs with the production
+    xxhash64 MinHash+LSH path (``dedup_near_minhash`` — includes the
+    exact-Jaccard verify stage); ``method='portable'`` uses the
+    oracle-portable pipeline (``dedup_near_minhash_portable``) —
+    q_corpus_dedup_stats hash-checks this composition end to end.
+
+    Scale: both stages are the already-bounded building blocks (banded
+    LSH, one-shuffle-per-round components); the final selection is one
+    semi- and one anti-join against id-sets far smaller than the
+    corpus."""
+    from .graph import connected_components
+
+    if method == "portable":
+        pairs = dedup_near_minhash_portable(
+            df, text_col, id_col, **near_dup_kwargs
+        )
+    elif method == "minhash":
+        pairs = dedup_near_minhash(df, text_col, id_col, **near_dup_kwargs)
+    else:
+        raise ValueError(f"corpus_dedup: unknown method {method!r}")
+    exact_keep = dedup_exact(df, text_col, id_col).select(id_col)
+    drop = (
+        connected_components(
+            pairs.select("id_a", "id_b"), "id_a", "id_b"
+        )
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(exact_keep, id_col, "left_semi").join(
+        drop, id_col, "left_anti"
+    )

@@ -82,32 +82,19 @@ def q_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (keep min doc_id per normalized-content hash) and (2)
     near-dup cluster collapse (keep only each connected component's
     min-id representative, clusters from the portable MinHash pairs).
-    Composes dedup_exact + connected_components; both stages already
+    Composes ``functions.text.corpus_dedup`` (the public keep-set API:
+    dedup_exact + connected_components); both stages already
     oracle-gated standalone (q_dedup_exact, q_dedup_clusters), this key
     hash-checks their COMPOSITION. Two semi/anti joins against small
     id-sets, one agg on the tiny lang key."""
-    from pyspark.sql import Window
-
-    from ..functions.graph import connected_components
-
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "text",
         TXT.ws_token_count(F.col("text")).alias("_n_toks"),
     )
-    exact_keep = TXT.dedup_exact(d, "text", "doc_id").select("doc_id")
-    edges = TXT.dedup_near_minhash_portable(
-        d, "text", "doc_id", shingle_k=3, num_hashes=32, bands=8
-    ).select("id_a", "id_b")
-    cluster_drop = (
-        connected_components(edges, "id_a", "id_b")
-        .filter(F.col("node") != F.col("label"))
-        .select(F.col("node").alias("doc_id"))
-    )
-    kept = (
-        d.join(exact_keep, "doc_id", "left_semi")
-        .join(cluster_drop, "doc_id", "left_anti")
-        .select("doc_id", F.lit(1).alias("_kept"))
-    )
+    kept = TXT.corpus_dedup(
+        d, "text", "doc_id", method="portable",
+        shingle_k=3, num_hashes=32, bands=8,
+    ).select("doc_id", F.lit(1).alias("_kept"))
     return (
         d.join(kept.select("doc_id", "_kept"), "doc_id", "left")
         .groupBy("lang")

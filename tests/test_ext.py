@@ -424,3 +424,32 @@ class TestCorpusAccounting:
         for lang, b in bfd.items():
             assert b["f_tokens"] == total_toks[lang]  # same token mass
             assert b["f_packs"] <= nf_bins[lang], lang  # never worse than NF
+
+    def test_corpus_dedup_api_consistent_with_stats_key(self, spark, sf_dir):
+        """The public keep-set API must agree with the accounting the
+        oracle-gated q_corpus_dedup_stats reports (same per-language
+        kept counts) and preserve the input schema."""
+        from dbt_snowflake_feature_store_spark.functions.text import (
+            corpus_dedup,
+        )
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_corpus_dedup_stats,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        kept = corpus_dedup(
+            docs, method="portable", shingle_k=3, num_hashes=32, bands=8
+        )
+        assert kept.columns == docs.columns  # original schema preserved
+        per_lang = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        stats = {
+            r["lang"]: r["f_docs_kept"]
+            for r in q_corpus_dedup_stats(spark, sf_dir).collect()
+        }
+        assert per_lang == stats
+        with pytest.raises(ValueError, match="unknown method"):
+            corpus_dedup(docs, method="bogus")

@@ -488,6 +488,21 @@ class FeatureStore:
                 )
         return self._plan(fv)
 
+    def explain_feature_view(
+        self, fv: FeatureView | str, version: str | None = None
+    ) -> str:
+        """Scale audit of an FV read: the one-line plan summary the
+        PLANS.md audit uses (shuffle count, join strategies, top-k
+        form, Python stages, pushed filters — plans/inspect.py)
+        followed by Spark's physical plan. Planning only — no job
+        runs."""
+        from .plans.inspect import summarize
+
+        df = self.read_feature_view(fv, version)
+        line = summarize(df).line()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return f"{line}\n\n{plan}"
+
     def profile_feature_view(
         self,
         fv: FeatureView | str,

@@ -92,3 +92,22 @@ class TestStoreProfile:
         n = fs.read_feature_view("PROF_FV$1.0").count()
         assert rows["f_value"]["n_rows"] == n
         assert rows["f_value"]["dtype"] == "double"
+
+
+class TestExplain:
+    def test_explain_feature_view(self, fs, spark, sf_dir):
+        fs.register_source("EV2", f"{sf_dir}/events.parquet")
+        fs.register_entity(Entity("xuser", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "explained",
+                ["xuser"],
+                sql="""SELECT user_id, COUNT(*) AS f_n
+                       FROM EV2 GROUP BY user_id""",
+            ),
+            version="1.0",
+        )
+        out = fs.explain_feature_view("EXPLAINED$1.0")
+        first = out.splitlines()[0]
+        assert "shuffles=" in first and "aggs=" in first
+        assert "HashAggregate" in out

@@ -176,3 +176,52 @@ class TestScaleProperties:
         # query-vector parameter and the opt-in log_dropped bucket-count
         # diagnostic (one aggregated row, off by default) — never data
         assert inspect.getsource(similarity).count(".collect()") <= 2
+
+
+class TestPackBfdProperty:
+    """Property-based bin-packing invariants for pack_sequences_bfd on
+    arbitrary token-count distributions (hypothesis)."""
+
+    def test_bfd_invariants_random_sizes(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from dbt_snowflake_feature_store_spark.functions.text import (
+            pack_sequences_bfd,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            st.lists(
+                st.integers(min_value=1, max_value=3000),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def _run(sizes):
+            rows = [
+                (i, "en", " ".join(["w"] * n)) for i, n in enumerate(sizes)
+            ]
+            df = spark.createDataFrame(
+                rows, "doc_id long, lang string, text string"
+            )
+            out = pack_sequences_bfd(df, bin_tokens=2048, shard_docs=256)
+            got = out.collect()
+            assert len(got) == len(sizes)  # every doc exactly once
+            bins: dict = {}
+            for r in got:
+                bins.setdefault(r["f_pack"], []).append(r["n_toks"])
+            for toks in bins.values():
+                # capacity holds unless a single doc alone exceeds it
+                if len(toks) > 1:
+                    assert sum(toks) <= 2048
+            # oversized docs are always alone in their bin
+            for toks in bins.values():
+                if any(t > 2048 for t in toks):
+                    assert len(toks) == 1
+
+        _run()

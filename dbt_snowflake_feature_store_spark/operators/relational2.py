@@ -530,6 +530,25 @@ def q_tpch_q4like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long), the inverse of q_pivot: per-status order
+    aggregates melted into (status, metric, value) rows via ``stack`` —
+    one generator projection after the agg, no extra shuffle. The
+    long-form reshape feature tooling needs when a metrics table feeds
+    a generic consumer."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        _dsum(F.col("o_totalprice"), "f_total"),
+        F.count("*").cast("double").alias("f_cnt"),
+        F.max("o_totalprice").alias("f_max"),
+    )
+    return agg.selectExpr(
+        "o_orderstatus",
+        "stack(3, 'total', f_total, 'count', f_cnt, 'max', f_max)"
+        " AS (f_metric, f_value)",
+    )
+
+
 def q_tpch_q10like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-revenue in a
     quarter — 3-way join (customer ⋈ orders ⋈ lineitem) + nation dim,
@@ -568,6 +587,21 @@ def q_tpch_q10like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_unpivot": """
+        WITH agg AS (
+            SELECT o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS f_total,
+                   CAST(COUNT(*) AS DOUBLE) AS f_cnt,
+                   MAX(o_totalprice) AS f_max
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'total' AS f_metric, f_total AS f_value FROM agg
+        UNION ALL
+        SELECT o_orderstatus, 'count', f_cnt FROM agg
+        UNION ALL
+        SELECT o_orderstatus, 'max', f_max FROM agg
+    """,
     "q_tpch_q10like": """
         SELECT c.c_custkey, c.c_name, n.n_name,
                CAST(SUM(CAST(
@@ -931,4 +965,5 @@ QUERIES = {
     "q_event_dedup": q_event_dedup,
     "q_tpch_q4like": q_tpch_q4like,
     "q_tpch_q10like": q_tpch_q10like,
+    "q_unpivot": q_unpivot,
 }

@@ -90,6 +90,8 @@ HEADLINE = [
     "q_vocab_build",
     "q_embed_outliers",
     "q_tpch_q10like",
+    "q_sample_to_mix",
+    "q_dedup_cross_source",
 ]
 
 

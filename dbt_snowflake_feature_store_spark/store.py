@@ -767,6 +767,101 @@ class FeatureStore:
         out = self.storage.read(self.spark, path)
         return len(out.inputFiles())
 
+    def fsck(self, repair_orphans: bool = False) -> list[dict[str, Any]]:
+        """Store-wide integrity audit — the engine-side analog of the
+        reference's stale-metadata scan
+        (/root/reference/scripts/cleanup_old_metadata.py:28-105):
+        cross-check the registry against on-disk state and report one
+        finding per inconsistency.
+
+        Checks: managed FVs registered ON_CREATE whose data directory
+        is missing; materializations whose columns diverge from the
+        registered schema; unreadable materializations; orphan data
+        directories with no registry row (deleted when
+        ``repair_orphans=True``); datasets whose files are gone.
+        Returns ``[{"kind", "object", "issue", ...}]`` (empty = clean).
+        Read-only unless ``repair_orphans``."""
+        import json as _json
+        import shutil as _shutil
+
+        findings: list[dict[str, Any]] = []
+        fv_phys: set[str] = set()
+        for doc in self.registry.list("feature_views"):
+            name, version = doc["name"], doc["version"]
+            fv_phys.add(physical_fv_name(name, version))
+            if doc.get("data_path") is None:
+                continue  # static FV: nothing materialized
+            path = doc["data_path"]
+            initialize = (doc.get("refresh") or {}).get(
+                "initialize", "ON_CREATE"
+            )
+            if not os.path.isdir(path):
+                if initialize == "ON_CREATE":
+                    findings.append(
+                        {
+                            "kind": "feature_view",
+                            "object": f"{name}${version}",
+                            "issue": "missing_data",
+                            "path": path,
+                        }
+                    )
+                continue
+            try:
+                self.storage.recover(path)
+                df = self.storage.read(self.spark, path)
+                got = {c for c in df.columns if c != "_fs_dt"}
+            except Exception as e:
+                findings.append(
+                    {
+                        "kind": "feature_view",
+                        "object": f"{name}${version}",
+                        "issue": "unreadable",
+                        "path": path,
+                        "error": str(e)[:200],
+                    }
+                )
+                continue
+            if doc.get("schema"):
+                want = {
+                    f["name"] for f in _json.loads(doc["schema"])["fields"]
+                }
+                if got != want:
+                    findings.append(
+                        {
+                            "kind": "feature_view",
+                            "object": f"{name}${version}",
+                            "issue": "schema_drift",
+                            "missing": sorted(want - got),
+                            "unexpected": sorted(got - want),
+                        }
+                    )
+        fv_root = os.path.join(self.root, "feature_views")
+        if os.path.isdir(fv_root):
+            for d in sorted(os.listdir(fv_root)):
+                if d not in fv_phys:
+                    finding = {
+                        "kind": "feature_view",
+                        "object": d,
+                        "issue": "orphan_data",
+                        "path": os.path.join(fv_root, d),
+                    }
+                    if repair_orphans:
+                        _shutil.rmtree(os.path.join(fv_root, d))
+                        finding["repaired"] = True
+                    findings.append(finding)
+        for doc in self.registry.list("datasets"):
+            path = doc.get("path")
+            if path and not os.path.isdir(path):
+                findings.append(
+                    {
+                        "kind": "dataset",
+                        "object": f"{doc['name']}.v{doc['version']}",
+                        "issue": "missing_data",
+                        "path": path,
+                    }
+                )
+        return findings
+
     def due_for_refresh(self, name: str, version: str) -> bool:
         """Freshness decision honoring ``refresh_freq`` (the Dynamic
         Table target-lag contract, README.md:232: "result is at most N

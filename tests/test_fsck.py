@@ -1,0 +1,82 @@
+"""fsck — store-wide registry/disk integrity audit."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark import Entity, FeatureView, RefreshSpec
+from dbt_snowflake_feature_store_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store_with_objects(fs, spark):
+    read_table(spark, SF, "events").createOrReplaceTempView("fsck_events")
+    fs.register_entity(Entity("user", ["user_id"]))
+    fs.register_feature_view(
+        FeatureView(
+            "managed_ok",
+            ["user"],
+            sql="SELECT user_id, ts, value AS f_v FROM fsck_events",
+            timestamp_col="ts",
+            refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+        ),
+        version="1.0",
+    )
+    fs.register_feature_view(
+        FeatureView(
+            "static_ok",
+            ["user"],
+            sql="SELECT user_id, COUNT(*) AS f_n FROM fsck_events GROUP BY user_id",
+        ),
+        version="1.0",
+    )
+    spine = spark.sql("SELECT DISTINCT user_id FROM fsck_events LIMIT 5")
+    fs.generate_dataset(
+        "fsck_ds", spine, [fs.get_feature_view("managed_ok", "1.0")],
+        spine_timestamp_col=None,
+    )
+    return fs
+
+
+def test_clean_store_has_no_findings(store_with_objects):
+    assert store_with_objects.fsck() == []
+
+
+def test_missing_data_and_dataset(store_with_objects):
+    fs = store_with_objects
+    shutil.rmtree(fs._fv_data_path("managed_ok", "1.0"))
+    shutil.rmtree(os.path.join(fs.root, "datasets", "FSCK_DS"))
+    issues = {(f["kind"], f["issue"]) for f in fs.fsck()}
+    assert ("feature_view", "missing_data") in issues
+    assert ("dataset", "missing_data") in issues
+
+
+def test_orphan_detection_and_repair(store_with_objects, spark):
+    fs = store_with_objects
+    stray = os.path.join(fs.root, "feature_views", "GHOST__V9_9")
+    os.makedirs(stray)
+    found = [f for f in fs.fsck() if f["issue"] == "orphan_data"]
+    assert found and found[0]["object"] == "GHOST__V9_9"
+    assert os.path.isdir(stray)  # read-only by default
+    fs.fsck(repair_orphans=True)
+    assert not os.path.isdir(stray)
+    assert fs.fsck() == []
+
+
+def test_schema_drift_detected(store_with_objects, spark):
+    fs = store_with_objects
+    path = fs._fv_data_path("managed_ok", "1.0")
+    shutil.rmtree(path)
+    spark.range(3).selectExpr(
+        "id AS user_id", "CAST(id AS double) AS f_other"
+    ).write.parquet(path)
+    drift = [f for f in fs.fsck() if f["issue"] == "schema_drift"]
+    assert drift
+    assert "f_v" in drift[0]["missing"]
+    assert "f_other" in drift[0]["unexpected"]

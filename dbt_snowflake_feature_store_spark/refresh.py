@@ -331,6 +331,10 @@ def backfill_feature_view(
             )
             .withColumn("_fs_dt", F.to_date(F.col(ts)))
         )
+        if fv.cluster_by:
+            # keep the sorted-file layout through backfills (same
+            # data-skipping contract as _write_full / compact)
+            chunk = chunk.sortWithinPartitions("_fs_dt", *fv.cluster_by)
         fs.storage.overwrite_partitions(spark, chunk, path, "_fs_dt")
         done.append(cur.isoformat())
         cur = nxt

@@ -91,3 +91,26 @@ def test_values_unchanged_and_compact_restores_sort(clustered_fv, spark):
     path = fs._fv_data_path("clustered", "1.0")
     for f in _data_files(path):
         assert _file_is_sorted(f, "user_id"), f
+
+
+def test_backfill_keeps_cluster_sort(fs, spark):
+    """Backfilled chunks preserve the sorted-file layout."""
+    read_table(spark, SF, "events").createOrReplaceTempView("cb_bf_events")
+    fs.register_entity(Entity("bfuser", ["user_id"]))
+    fv = FeatureView(
+        "clustered_bf",
+        ["bfuser"],
+        sql="SELECT user_id, ts, value AS f_value FROM cb_bf_events",
+        timestamp_col="ts",
+        refresh=RefreshSpec("1 hour", "FULL", "ON_SCHEDULE"),
+        cluster_by=["user_id"],
+    )
+    fs.register_feature_view(fv, version="1.0")
+    done = fs.backfill("clustered_bf", "1.0", "2024-01-01", "2024-01-04",
+                       step_days=1)
+    assert len(done) == 3
+    path = fs._fv_data_path("clustered_bf", "1.0")
+    files = _data_files(path)
+    assert files
+    for f in files:
+        assert _file_is_sorted(f, "user_id"), f

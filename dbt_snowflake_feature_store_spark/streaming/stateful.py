@@ -559,3 +559,86 @@ def heavy_hitters_tws(keyed_stream: DataFrame, k: int = 16) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+QUANTILES_OUTPUT_SCHEMA = (
+    "user_id LONG, f_n LONG, f_sampled LONG, f_p25 DOUBLE, f_p50 DOUBLE, "
+    "f_p75 DOUBLE"
+)
+
+
+def make_running_quantiles_processor(k: int = 64):
+    """Bottom-k-by-hash streaming sample + quantiles StatefulProcessor,
+    exposed for unit testing (see make_running_stats_processor)."""
+    StatefulProcessor, _ = _tws_classes()
+
+    class _RunningQuantiles(StatefulProcessor):
+        def init(self, handle) -> None:
+            # sample rows keyed by a deterministic per-observation hash:
+            # keeping the k hash-SMALLEST observations is a uniform
+            # sample of the stream so far (hash order is independent of
+            # value and arrival order)
+            self._sample = handle.getListState("sample", "h LONG, v DOUBLE")
+            self._n = handle.getValueState("n", "n LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import zlib
+
+            (user_id,) = key
+            items = (
+                [(int(h), float(v)) for h, v in self._sample.get()]
+                if self._sample.exists()
+                else []
+            )
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            for pdf in rows:
+                for eid, v in zip(pdf["event_id"], pdf["value"]):
+                    # observation identity (not value) feeds the hash so
+                    # duplicate values sample independently
+                    h = zlib.crc32(f"{user_id}:{int(eid)}".encode())
+                    items.append((h, float(v)))
+                    n += 1
+            items.sort()
+            items = items[:k]
+            self._sample.put(items)
+            self._n.update((n,))
+            vals = sorted(v for _, v in items)
+
+            def q(p: float) -> float:
+                # 'lower' sample quantile — index floor(p*(m-1)); exact
+                # and engine-independent (no interpolation arithmetic)
+                return vals[int(p * (len(vals) - 1))]
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "f_n": [n],
+                    "f_sampled": [len(vals)],
+                    "f_p25": [q(0.25)],
+                    "f_p50": [q(0.50)],
+                    "f_p75": [q(0.75)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _RunningQuantiles()
+
+
+def running_quantiles_tws(events_stream: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming per-key quantiles over a BOUNDED deterministic sample:
+    keep the k hash-smallest observations per key (a uniform sample of
+    the full history — bottom-k by an identity hash is order- and
+    value-independent), emit 'lower' sample quantiles each batch. State
+    is O(k) per key forever — no watermark needed; with k ≥ the key's
+    history the quantiles are EXACT (the property the parity test
+    pins), and at scale they are classic sample quantiles with the
+    usual O(1/√k) error. Input: (user_id, event_id, value); shuffles
+    once on user_id."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_quantiles_processor(k),
+        outputStructType=QUANTILES_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -709,3 +709,82 @@ def test_tws_heavy_hitters_matches_batch(rocksdb, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_tws_running_quantiles_semantics_mock_handle():
+    """Exactness when k covers the history; bounded sample otherwise;
+    insensitive to batch boundaries."""
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        make_running_quantiles_processor,
+    )
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0]
+    b1 = {7: pd.DataFrame({"event_id": range(5), "value": vals[:5]})}
+    b2 = {7: pd.DataFrame({"event_id": range(5, 9), "value": vals[5:]})}
+    out = _replay(lambda: make_running_quantiles_processor(k=64), [b1, b2])
+    last = out[-1]
+    assert int(last["f_n"][0]) == 9 and int(last["f_sampled"][0]) == 9
+    # exact 'lower' quantiles of 1..9
+    assert float(last["f_p50"][0]) == 5.0
+    assert float(last["f_p25"][0]) == 3.0
+    assert float(last["f_p75"][0]) == 7.0
+
+    # same data in ONE batch -> identical emission (batching invariance)
+    b = {7: pd.DataFrame({"event_id": range(9), "value": vals})}
+    one = _replay(lambda: make_running_quantiles_processor(k=64), [b])[-1]
+    assert one.equals(last)
+
+    # capped: sample never exceeds k, n keeps counting
+    capped = _replay(lambda: make_running_quantiles_processor(k=4), [b1, b2])[-1]
+    assert int(capped["f_sampled"][0]) == 4 and int(capped["f_n"][0]) == 9
+
+
+@needs_protobuf
+def test_tws_running_quantiles_matches_batch(rocksdb, tmp_path):
+    """End-to-end through the state server with k large enough to be
+    exact: final quantiles equal the batch recompute of the same
+    'lower' sample-quantile definition."""
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        running_quantiles_tws,
+    )
+
+    spark = rocksdb
+    ev = read_table(spark, SF, "events").select("user_id", "event_id", "value")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    epoch = {"n": 0}
+
+    def sink(df, epoch_id):
+        epoch["n"] += 1
+        df.withColumn("_epoch", F.lit(epoch["n"])).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        running_quantiles_tws(stream, k=100000)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    latest = out.groupBy("user_id").agg(F.max("_epoch").alias("_epoch"))
+    got = {
+        r["user_id"]: (r["f_n"], r["f_p25"], r["f_p50"], r["f_p75"])
+        for r in out.join(latest, ["user_id", "_epoch"]).collect()
+    }
+    pdf = ev.toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        vals = sorted(grp["value"])
+        exp = tuple(
+            vals[int(p * (len(vals) - 1))] for p in (0.25, 0.50, 0.75)
+        )
+        assert got[uid][0] == len(vals)
+        assert got[uid][1:] == exp, uid

@@ -350,6 +350,9 @@ def load_project(
                 desc=str(cfg.get("desc", "")),
                 refresh=refresh,
                 buckets=cfg.get("buckets"),
+                cluster_by=[str(c) for c in cfg["cluster_by"]]
+                if cfg.get("cluster_by")
+                else None,
             )
             fs.register_feature_view(
                 fv,
@@ -393,12 +396,20 @@ def run_data_tests(
     models: dict[str, Model] = {}
     norm_tests = os.path.abspath(tests_dir)
     for root, _dirs, files in os.walk(project_dir):
-        if os.path.abspath(root).startswith(norm_tests):
+        absroot = os.path.abspath(root)
+        # exact dir or below it — a sibling like tests_shared/ is a
+        # model dir, not the test dir
+        if absroot == norm_tests or absroot.startswith(norm_tests + os.sep):
             continue
         for fn in sorted(files):
             if fn.endswith(".sql"):
                 mdl = parse_model(os.path.join(root, fn))
                 _validate(mdl)
+                if mdl.name in models:
+                    raise ValidationError(
+                        f"Duplicate model name '{mdl.name}' "
+                        f"({models[mdl.name].path} and {mdl.path})"
+                    )
                 models[mdl.name] = mdl
     resolved: dict[str, str] = {}
     for name in _topo_order(models):

@@ -94,11 +94,13 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nq = q.agg(F.sum(F.col("qx") * F.col("qx")).cast("double").alias("nq"))
+    # floor(x·1e6 + 0.5)/1e6, never round(): the rounded value feeds the
+    # FILTER, so a half-boundary divergence between engines would change
+    # the row-set itself (CLAUDE.md rounding invariant)
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nq")))
     scored = dots.crossJoin(F.broadcast(nq)).select(
         "vec_id",
-        F.round(
-            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nq"))), 6
-        ).alias("f_cosine"),
+        (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias("f_cosine"),
     )
     return scored.filter(F.col("f_cosine") >= 0.15)
 
@@ -277,9 +279,11 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: dims are scaled to int64 (round(x·1e6) — a float×1e6
     can never land on .5, see q_embed_centroid), and the centered
     distance is computed in integers without division:
-    dist2 = Σ(xᵢ·n − Sᵢ)², i.e. n²·Σ(xᵢ−μᵢ)² — exact BIGINT up to
-    ~1000 vectors/label (covers every test SF; the production path at
-    larger label groups uses plain float distances, same plan shape).
+    dist2 = Σ(xᵢ·n − Sᵢ)², i.e. n²·Σ(xᵢ−μᵢ)². Overflow bound: with
+    |xᵢ| ≤ 1, |xᵢ·n − Sᵢ| ≤ 2e6·n, so dist2 ≤ 1.6e13·n² — int64-exact
+    for label groups up to n ≈ 750 (test SFs peak at ~220/label; the
+    production path at larger label groups uses plain float distances,
+    same plan shape — this key pins exactness, not the scale form).
     The outlier test dist2·n > 4·Σdist2 compares doubles derived from
     identical integers by identical IEEE ops — bit-identical cross-
     engine, no rounding spelling needed.
@@ -444,9 +448,11 @@ ORACLE: dict[str, str] = {
         ),
         qn AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS nq FROM q)
         SELECT d.vec_id,
-               ROUND(d.dot / (SQRT(d.na) * SQRT(qn.nq)), 6) AS f_cosine
+               FLOOR(d.dot / (SQRT(d.na) * SQRT(qn.nq)) * 1000000 + 0.5)
+                   / 1000000.0 AS f_cosine
         FROM dots d, qn
-        WHERE ROUND(d.dot / (SQRT(d.na) * SQRT(qn.nq)), 6) >= 0.15
+        WHERE FLOOR(d.dot / (SQRT(d.na) * SQRT(qn.nq)) * 1000000 + 0.5)
+                  / 1000000.0 >= 0.15
     """,
     "q_embed_centroid": """
         SELECT label,

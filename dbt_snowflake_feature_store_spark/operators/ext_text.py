@@ -306,7 +306,7 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 1000; per (lang, split) corpus accounting. Single scan + one
     tiny-key shuffle."""
     d = _docs(spark, sf_dir)
-    h = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    h = ((F.col("doc_id") % 1000) * F.lit(2654435761 % 1000)) % 1000
     split = (
         F.when(h < 800, "train").when(h < 900, "valid").otherwise("test")
     ).alias("f_split")
@@ -607,7 +607,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = 20
     d = _docs(spark, sf_dir)
-    h = (F.col("doc_id") * F.lit(2654435761)) % 1000000007
+    h = (
+        (F.col("doc_id") % 1000000007) * F.lit(2654435761 % 1000000007)
+    ) % 1000000007
     from pyspark.sql import Window
 
     base = d.select("doc_id", "lang", "n_chars", h.alias("f_h")).withColumn(
@@ -775,7 +777,7 @@ def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_threshold"),
     )
-    h = (F.col("doc_id") * F.lit(2654435761)) % 1000000
+    h = ((F.col("doc_id") % 1000000) * F.lit(2654435761 % 1000000)) % 1000000
     kept = (
         d.select("doc_id", "lang", h.alias("_h"))
         .join(F.broadcast(thr), "lang")
@@ -816,10 +818,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             "source",
             F.explode(
-                F.expr(
-                    "transform(sequence(0, (size(t) - 1) div 16),"
-                    " i -> array_join(slice(t, i * 16 + 1, 16), ' '))"
-                )
+                F.expr(_CHUNK16_SPARK)
             ).alias("chunk"),
         )
         .select("source", F.xxhash64("chunk").alias("chunk_h"))
@@ -893,6 +892,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16-token non-overlapping chunking of a token-array column ``t`` —
+# shared by q_dedup_chunks and q_dedup_cross_source (Spark expr + DuckDB
+# oracle twin kept in ONE place so span grain cannot drift between the
+# two oracle-gated keys). Spark slice(arr, start, LENGTH) vs DuckDB
+# list_slice(l, begin, END-inclusive) — hence the differing indices.
+_CHUNK16_SPARK = (
+    "transform(sequence(0, (size(t) - 1) div 16),"
+    " i -> array_join(slice(t, i * 16 + 1, 16), ' '))"
+)
+_CHUNK16_DUCK = (
+    "list_transform(range(0, (len(t) - 1) // 16 + 1),"
+    " i -> array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' '))"
+)
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup accounting (the C4 "three-sentence span" pass at
     chunk grain): split each normalized doc into consecutive 16-token
@@ -917,10 +931,7 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(0, (size(t) - 1) div 16),"
-                " i -> array_join(slice(t, i * 16 + 1, 16), ' '))"
-            )
+            F.expr(_CHUNK16_SPARK)
         ).alias("chunk"),
     ).select("doc_id", F.xxhash64("chunk").alias("chunk_h"))
     per_dc = chunks.groupBy("doc_id", "chunk_h").agg(F.count("*").alias("k"))
@@ -1335,7 +1346,8 @@ ORACLE["q_sample_stratified"] = """
         SELECT lang, doc_id, n_chars,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY (doc_id * 2654435761) % 1000000007 ASC,
+                   ORDER BY ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                            % 1000000007 ASC,
                             doc_id ASC
                ) AS BIGINT) AS f_rank
         FROM documents
@@ -1402,8 +1414,8 @@ ORACLE["q_sample_temperature"] = """
 
 ORACLE["q_sample_split"] = """
     SELECT lang,
-           CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-                WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+           CASE WHEN ((doc_id % 1000) * (2654435761 % 1000)) % 1000 < 800 THEN 'train'
+                WHEN ((doc_id % 1000) * (2654435761 % 1000)) % 1000 < 900 THEN 'valid'
                 ELSE 'test' END AS f_split,
            COUNT(*) AS f_docs,
            CAST(SUM(n_chars) AS BIGINT) AS f_chars
@@ -1503,11 +1515,7 @@ ORACLE["q_dedup_cross_source"] = f"""
     ),
     chunks AS (
         SELECT DISTINCT source,
-               unnest(list_transform(
-                   range(0, (len(t) - 1) // 16 + 1),
-                   i -> array_to_string(
-                       list_slice(t, i * 16 + 1, i * 16 + 16), ' ')
-               )) AS chunk
+               unnest({_CHUNK16_DUCK}) AS chunk
         FROM toks
     )
     SELECT a.source AS f_source_a, b.source AS f_source_b,
@@ -1549,7 +1557,8 @@ ORACLE["q_sample_to_mix"] = """
     kept AS (
         SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS f_kept
         FROM documents d JOIN thr ON d.lang = thr.lang
-        WHERE (d.doc_id * 2654435761) % 1000000 < thr.f_threshold
+        WHERE ((d.doc_id % 1000000) * (2654435761 % 1000000)) % 1000000
+              < thr.f_threshold
         GROUP BY d.lang
     )
     SELECT t.lang, t.f_docs, t.f_target_ppm, t.f_threshold,
@@ -1567,11 +1576,7 @@ ORACLE["q_dedup_chunks"] = f"""
     ),
     chunks AS (
         SELECT doc_id,
-               unnest(list_transform(
-                   range(0, (len(t) - 1) // 16 + 1),
-                   i -> array_to_string(
-                       list_slice(t, i * 16 + 1, i * 16 + 16), ' ')
-               )) AS chunk
+               unnest({_CHUNK16_DUCK}) AS chunk
         FROM toks
     ),
     per_dc AS (

@@ -795,6 +795,14 @@ class FeatureStore:
             initialize = (doc.get("refresh") or {}).get(
                 "initialize", "ON_CREATE"
             )
+            # recover BEFORE the existence check — a crash between the
+            # swap renames leaves no target dir but a committed
+            # __snapshot_<token> sibling; read_feature_view orders these
+            # the same way (store.py read path)
+            try:
+                self.storage.recover(path)
+            except Exception:
+                pass
             if not os.path.isdir(path):
                 if initialize == "ON_CREATE":
                     findings.append(
@@ -807,7 +815,6 @@ class FeatureStore:
                     )
                 continue
             try:
-                self.storage.recover(path)
                 df = self.storage.read(self.spark, path)
                 got = {c for c in df.columns if c != "_fs_dt"}
             except Exception as e:
@@ -835,10 +842,22 @@ class FeatureStore:
                             "unexpected": sorted(got - want),
                         }
                     )
+        def _is_maintenance_dir(d: str) -> bool:
+            # ParquetSnapshotFormat siblings of a registered FV path:
+            # <name>__history (time travel), transient __snapshot_<id> /
+            # __old_<id> (crash-safe swap, cleaned by recover) — never
+            # orphans when their base FV is registered (storage.py:25-28,
+            # :142-159)
+            for marker in ("__history", "__snapshot_", "__old_"):
+                idx = d.rfind(marker)
+                if idx > 0 and d[:idx] in fv_phys:
+                    return True
+            return False
+
         fv_root = os.path.join(self.root, "feature_views")
         if os.path.isdir(fv_root):
             for d in sorted(os.listdir(fv_root)):
-                if d not in fv_phys:
+                if d not in fv_phys and not _is_maintenance_dir(d):
                     finding = {
                         "kind": "feature_view",
                         "object": d,

@@ -80,3 +80,32 @@ def test_schema_drift_detected(store_with_objects, spark):
     assert drift
     assert "f_v" in drift[0]["missing"]
     assert "f_other" in drift[0]["unexpected"]
+
+
+def test_history_and_snapshot_dirs_are_not_orphans(spark, tmp_path):
+    """Time-travel/__history and swap sibling dirs of a REGISTERED FV
+    must never be reported (or deleted) as orphans."""
+    from dbt_snowflake_feature_store_spark import FeatureStore
+
+    fs = FeatureStore(
+        spark, str(tmp_path / "fs_hist"), name="HIST_FS", snapshot_history=1
+    )
+    read_table(spark, SF, "events").createOrReplaceTempView("fsck_h_events")
+    fs.register_entity(Entity("huser", ["user_id"]))
+    fs.register_feature_view(
+        FeatureView(
+            "hist_fv",
+            ["huser"],
+            sql="SELECT user_id, ts, value AS f_v FROM fsck_h_events",
+            timestamp_col="ts",
+            refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+        ),
+        version="1.0",
+    )
+    fs.refresh("hist_fv", "1.0")  # second materialization -> history kept
+    hist = fs._fv_data_path("hist_fv", "1.0") + "__history"
+    assert os.path.isdir(hist), "fixture must produce a history dir"
+    assert fs.fsck() == []
+    fs.fsck(repair_orphans=True)
+    assert os.path.isdir(hist)  # repair must not touch it
+    assert fs.list_feature_view_snapshots("hist_fv", "1.0")

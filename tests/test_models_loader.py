@@ -432,3 +432,67 @@ class TestDataTests:
             run_data_tests(fs, proj)
         with pytest.raises(ValidationError, match="data-test directory"):
             run_data_tests(fs, str(tmp_path / "nowhere"))
+
+
+def test_cluster_by_config_wired_through_loader(fs, tmp_path, base_table):
+    """A model's cluster_by config must reach the registered FV (and
+    therefore the sorted-file materialization)."""
+    from dbt_snowflake_feature_store_spark.models import load_project
+
+    project = dict(REFERENCE_PROJECT)
+    project["features/test_clustered_features.sql"] = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0',
+    timestamp_col='updated_at',
+    refresh_freq='1 hour',
+    refresh_mode='FULL',
+    initialize='ON_CREATE',
+    warehouse='wh',
+    cluster_by=['customer_id']
+  )
+}}
+
+SELECT customer_id, updated_at, age AS f_age
+FROM {{ source('fs_sources', 'customer_base_table') }}
+"""
+    proj = _write_project(tmp_path, project)
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    fv = fs.get_feature_view("test_clustered_features", "1.0")
+    assert fv.cluster_by == ["customer_id"]
+
+
+def test_data_tests_sibling_dir_not_swallowed(fs, tmp_path, base_table):
+    """A model dir named tests_shared/ (sharing the tests/ prefix) must
+    still be loaded as models by run_data_tests."""
+    from dbt_snowflake_feature_store_spark.models import run_data_tests
+
+    project = dict(REFERENCE_PROJECT)
+    project["tests_shared/shared_model.sql"] = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0'
+  )
+}}
+
+SELECT customer_id, age AS f_age
+FROM {{ source('fs_sources', 'customer_base_table') }}
+"""
+    proj = _write_project(tmp_path, project)
+    fs.register_source("customer_base_table", base_table)
+    from dbt_snowflake_feature_store_spark.models import load_project
+
+    load_project(fs, proj)
+    tests = tmp_path / "models" / "tests"
+    tests.mkdir()
+    (tests / "test_shared_ref.sql").write_text(
+        "SELECT * FROM {{ ref('shared_model') }} WHERE f_age < 0"
+    )
+    results = run_data_tests(fs, proj)
+    assert [r["name"] for r in results] == ["test_shared_ref"]
+    assert results[0]["passed"]

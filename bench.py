@@ -92,6 +92,7 @@ HEADLINE = [
     "q_tpch_q10like",
     "q_sample_to_mix",
     "q_dedup_cross_source",
+    "q_pack_bfd",
 ]
 
 

@@ -331,7 +331,55 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: embeddings ⋈ their source documents
+    (vec_id = doc_id) with per-label text accounting — the alignment
+    read every multimodal pipeline runs (are the vectors' source texts
+    balanced per label? how much text mass does each cluster carry?).
+    Scale: one equi-join shuffle on the id key (AQE broadcasts when the
+    embedding side is dimension-sized), integer sums on the tiny label
+    key."""
+    from ..functions import text as TXT
+    from ..sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        TXT.ws_token_count(F.col("text")).alias("n_toks"),
+    )
+    e = _emb(spark, sf_dir).select("vec_id", "label")
+    return (
+        e.join(d, e.vec_id == d.doc_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("f_docs"),
+            F.sum("n_chars").cast("long").alias("f_chars"),
+            F.sum("n_toks").cast("long").alias("f_tokens"),
+            (
+                F.sum("n_chars").cast("double") / F.count("*").cast("double")
+            ).alias("f_avg_chars"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_text_embed_join": """
+        WITH toks AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_toks
+            FROM documents
+        )
+        SELECT e.label,
+               CAST(COUNT(*) AS BIGINT) AS f_docs,
+               CAST(SUM(t.n_chars) AS BIGINT) AS f_chars,
+               CAST(SUM(t.n_toks) AS BIGINT) AS f_tokens,
+               CAST(SUM(t.n_chars) AS DOUBLE) / COUNT(*) AS f_avg_chars
+        FROM embeddings e
+        JOIN toks t ON e.vec_id = t.doc_id
+        GROUP BY e.label
+    """,
     "q_embed_outliers": """
         WITH base AS (
             SELECT vec_id, label,
@@ -504,4 +552,5 @@ QUERIES = {
     "q_dedup_embed": q_dedup_embed,
     "q_embed_outliers": q_embed_outliers,
     "q_sim_range": q_sim_range,
+    "q_text_embed_join": q_text_embed_join,
 }

@@ -880,6 +880,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (mapInPandas over Arrow batches, stubbed
+    codec → rows-only): each media row resized to a fixed 32×32 payload;
+    per-modality accounting of resized bytes. Exercises the
+    partition-preserving executor-local transform shape a real
+    PIL/opencv stage uses."""
+    from ..functions import multimodal as MM
+
+    media = MM.documents_as_media(_docs(spark, sf_dir))
+    resized = MM.resize_media(media, 32, 32, deterministic_fake=True)
+    return resized.groupBy().agg(
+        F.count("*").cast("long").alias("f_media"),
+        F.sum(F.when(F.col("resized_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("f_ok"),
+        F.sum(F.octet_length("content")).cast("long").alias("f_bytes"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/featurize plumbing with the deterministic fake
     decoder (codec libs absent → rows-only check)."""
@@ -1712,5 +1731,6 @@ QUERIES = {
     "q_fingerprint_winnow": q_fingerprint_winnow,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
 }

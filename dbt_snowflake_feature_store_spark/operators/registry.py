@@ -35,6 +35,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_join_asof_fwd", "q_event_dedup", "q_tpch_q4like", "q_embed_outliers",
     "q_fv_profile", "q_sim_range", "q_tpch_q10like", "q_lang_id_conf",
     "q_sample_to_mix", "q_dedup_cross_source", "q_pack_bfd", "q_unpivot",
+    "q_text_embed_join", "q_multimodal_resize",
     "q_dedup_chunks", "q_vocab_build", "q_domain_mix", "q_filter_funnel",
     "q_contamination", "q_pii_scan", "q_sample_temperature",
     "q_sample_stratified", "q_pack_sequences", "q_dedup_ngram",

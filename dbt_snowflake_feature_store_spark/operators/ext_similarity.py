@@ -343,13 +343,14 @@ def q_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import read_table
 
     d = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "n_chars",
-        TXT.ws_token_count(F.col("text")).alias("n_toks"),
+        "doc_id", "n_chars", "text"
     )
     e = _emb(spark, sf_dir).select("vec_id", "label")
+    # tokenize AFTER the join: only the embedding-matched subset pays
+    # the regex split (the documents side streams through the join)
     return (
         e.join(d, e.vec_id == d.doc_id)
+        .withColumn("n_toks", TXT.ws_token_count(F.col("text")))
         .groupBy("label")
         .agg(
             F.count("*").cast("long").alias("f_docs"),
@@ -363,12 +364,11 @@ def q_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # _WS_COUNT imported below (module bottom) from ext_text — ONE
+    # spelling of the whitespace token count feeds every oracle
     "q_text_embed_join": """
         WITH toks AS (
-            SELECT doc_id, n_chars,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_toks
+            SELECT doc_id, n_chars, {WS_COUNT} AS n_toks
             FROM documents
         )
         SELECT e.label,
@@ -554,3 +554,11 @@ QUERIES = {
     "q_sim_range": q_sim_range,
     "q_text_embed_join": q_text_embed_join,
 }
+
+# single source of truth for the whitespace token-count SQL spelling
+# (must mirror functions/text.ws_token_count exactly — see ext_text)
+from .ext_text import _WS_COUNT as _WS_COUNT_SQL  # noqa: E402
+
+ORACLE["q_text_embed_join"] = ORACLE["q_text_embed_join"].format(
+    WS_COUNT=_WS_COUNT_SQL
+)

@@ -41,7 +41,7 @@ import ast
 import os
 import re
 from dataclasses import dataclass, field
-from typing import TYPE_CHECKING, Any
+from typing import TYPE_CHECKING, Any, Sequence
 
 from .errors import ValidationError
 from .objects import FeatureView, RefreshSpec, canonical_name, physical_fv_name
@@ -275,6 +275,7 @@ def load_project(
     source_map: dict[Any, str] | None = None,
     on_configuration_change: str = "apply",
     dry_run: bool = False,
+    exclude_dirs: Sequence[str] | None = None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -286,13 +287,26 @@ def load_project(
     is the bare table name. ``dry_run=True`` parses, validates and
     resolves everything without registering.
 
+    A ``tests/`` subdirectory (the dbt data-test layout that
+    ``run_data_tests`` consumes — bare SELECTs with no config block) is
+    skipped, so both APIs can share one project directory;
+    ``exclude_dirs`` overrides the skip list.
+
     Returns ``{"entities": [names], "feature_views": [(name, version)],
     "order": [model names in registration order]}``.
     """
     from .objects import Entity  # local import: avoid cycle at module load
 
+    if exclude_dirs is None:
+        exclude_dirs = ["tests"]
+    excluded = {
+        os.path.abspath(os.path.join(project_dir, d)) for d in exclude_dirs
+    }
     paths = []
-    for root, _dirs, files in os.walk(project_dir):
+    for root, dirs, files in os.walk(project_dir):
+        dirs[:] = [
+            d for d in dirs if os.path.abspath(os.path.join(root, d)) not in excluded
+        ]
         for fn in sorted(files):
             if fn.endswith(".sql"):
                 paths.append(os.path.join(root, fn))

@@ -22,6 +22,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+def _sqrt_micro(c) -> F.Column:
+    """Portable sqrt in integer micro-units: floor(sqrt(x)·1e6 + 0.5) as
+    BIGINT. sqrt is IEEE-correctly-rounded on both engines and half-up
+    floor is the cross-engine rounding invariant, so the value is
+    bit-identical everywhere — unlike a double→DECIMAL cast, which is an
+    engine-version-sensitive rounding op (the r5 driver-RED on
+    q_sample_temperature). Shared by q_sample_temperature and
+    q_sample_to_mix; SQL twin: _SQRT_MICRO_SQL."""
+    return F.floor(F.sqrt(c.cast("double")) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+
+
+_SQRT_MICRO_SQL = (
+    "CAST(FLOOR(sqrt(CAST({x} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash, keep smallest doc_id.
     One skew-free shuffle on the content hash."""
@@ -698,23 +716,22 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(doc count) and renormalizing — the standard recipe for keeping
     low-resource languages visible in the training mix. α is pinned at
     0.5 because sqrt is IEEE-correctly-rounded on BOTH engines (pow is
-    not), so the weights are bit-reproducible; the sqrt goes through
-    DECIMAL(28,6) before summing (engine-deterministic total) and the
-    per-100k target uses the half-up floor spelling (cross-engine ROUND
-    invariant). One tiny-key aggregation + a broadcast scalar join —
-    nothing here grows with corpus size except the first count."""
+    not), so the weights are bit-reproducible; the sqrt lands in BIGINT
+    micro-units via the half-up floor spelling (_sqrt_micro — NO
+    double→DECIMAL cast exists anywhere in the query, the r5 failure
+    class), the total is an exact BIGINT sum, and the per-million target
+    divides the two integers in identical IEEE doubles. One tiny-key
+    aggregation + a broadcast scalar join — nothing here grows with
+    corpus size except the first count."""
     d = _docs(spark, sf_dir)
     counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("f_docs"))
-    w = counts.withColumn(
-        "f_sqrt_docs",
-        F.sqrt(F.col("f_docs").cast("double")).cast("decimal(28,6)"),
-    )
-    tot = w.agg(F.sum("f_sqrt_docs").cast("decimal(28,6)").alias("_tot"))
-    share = F.col("f_sqrt_docs").cast("double") / F.col("_tot").cast("double")
+    w = counts.withColumn("f_sqrt_micro", _sqrt_micro(F.col("f_docs")))
+    tot = w.agg(F.sum("f_sqrt_micro").cast("long").alias("_tot"))
+    share = F.col("f_sqrt_micro").cast("double") / F.col("_tot").cast("double")
     return w.crossJoin(F.broadcast(tot)).select(
         "lang",
         "f_docs",
-        "f_sqrt_docs",
+        "f_sqrt_micro",
         F.floor(share * 1000000 + F.lit(0.5)).cast("long").alias("f_ppm"),
     )
 
@@ -745,12 +762,9 @@ def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("f_docs"))
         .localCheckpoint()
     )
-    w = counts.withColumn(
-        "_sqrt",
-        F.sqrt(F.col("f_docs").cast("double")).cast("decimal(28,6)"),
-    )
-    tot = w.agg(F.sum("_sqrt").cast("decimal(28,6)").alias("_tot"))
-    share = F.col("_sqrt").cast("double") / F.col("_tot").cast("double")
+    w = counts.withColumn("_sqrt_micro", _sqrt_micro(F.col("f_docs")))
+    tot = w.agg(F.sum("_sqrt_micro").cast("long").alias("_tot"))
+    share = F.col("_sqrt_micro").cast("double") / F.col("_tot").cast("double")
     targets = w.crossJoin(F.broadcast(tot)).select(
         "lang",
         "f_docs",
@@ -794,7 +808,9 @@ def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_cross_source(
+    spark: SparkSession, sf_dir: str, exact_keys: bool = False
+) -> DataFrame:
     """Duplicate PROVENANCE matrix at span grain: for every source pair
     (a < b), how many distinct 16-token normalized chunks appear in
     BOTH — the who-mirrors-whom analysis behind per-domain dedup policy
@@ -803,8 +819,9 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the common case).
 
     Scale: the self-join is keyed on the chunk (8-byte xxhash64 on the
-    Spark side; the oracle replays string identity) whose groups are
-    per-chunk source-cardinality-sized — never a cross product over
+    Spark side; the oracle replays string identity; ``exact_keys=True``
+    joins the strings themselves, pytest-asserted equal) whose groups
+    are per-chunk source-cardinality-sized — never a cross product over
     sources or docs; distinct (chunk, source) first shrinks the stream
     to one row per span per source, and a per-chunk source cap (same
     policy as the LSH bucket cap) would bound a pathological universal
@@ -814,6 +831,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", TXT.normalized_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") > 0)
     toks = d.select("source", F.split("norm", " ").alias("t"))
+    key = F.col("chunk") if exact_keys else F.xxhash64("chunk")
     chunks = (
         toks.select(
             "source",
@@ -821,7 +839,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_CHUNK16_SPARK)
             ).alias("chunk"),
         )
-        .select("source", F.xxhash64("chunk").alias("chunk_h"))
+        .select("source", key.alias("chunk_h"))
         .distinct()
     )
     a = chunks.alias("a")
@@ -926,7 +944,9 @@ _CHUNK16_DUCK = (
 )
 
 
-def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_chunks(
+    spark: SparkSession, sf_dir: str, exact_keys: bool = False
+) -> DataFrame:
     """Span-level dedup accounting (the C4 "three-sentence span" pass at
     chunk grain): split each normalized doc into consecutive 16-token
     chunks and report, per doc, how many of its chunk occurrences are
@@ -936,23 +956,25 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: chunks shuffle as 8-byte xxhash64 keys, never as the ~100-
     byte chunk strings (the oracle replays string identity — identical
-    results absent a 64-bit collision, ~n²/2⁶⁵, and the exact-string
-    form is one flag away); per-(doc, chunk) pre-aggregation shrinks
-    the exploded stream before any join; the chunk dictionary
-    aggregation is map-side combinable; the count-back join shuffles on
-    the high-cardinality hash key (AQE skew split handles pathological
-    boilerplate chunks); final agg on doc_id. No all-pairs anything —
-    cost is linear in corpus chunks."""
+    results absent a 64-bit collision, ~n²/2⁶⁵; ``exact_keys=True``
+    shuffles the strings themselves for collision-free accounting,
+    pytest-asserted equal on the test corpus); per-(doc, chunk)
+    pre-aggregation shrinks the exploded stream before any join; the
+    chunk dictionary aggregation is map-side combinable; the count-back
+    join shuffles on the high-cardinality hash key (AQE skew split
+    handles pathological boilerplate chunks); final agg on doc_id. No
+    all-pairs anything — cost is linear in corpus chunks."""
     d = _docs(spark, sf_dir).select(
         "doc_id", TXT.normalized_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") > 0)
     toks = d.select("doc_id", F.split("norm", " ").alias("t"))
+    key = F.col("chunk") if exact_keys else F.xxhash64("chunk")
     chunks = toks.select(
         "doc_id",
         F.explode(
             F.expr(_CHUNK16_SPARK)
         ).alias("chunk"),
-    ).select("doc_id", F.xxhash64("chunk").alias("chunk_h"))
+    ).select("doc_id", key.alias("chunk_h"))
     per_dc = chunks.groupBy("doc_id", "chunk_h").agg(F.count("*").alias("k"))
     per_c = per_dc.groupBy("chunk_h").agg(F.sum("k").cast("long").alias("n_occ"))
     joined = per_dc.join(per_c, "chunk_h")
@@ -1411,22 +1433,21 @@ ORACLE["q_pii_scan"] = """
     FROM documents
 """
 
-ORACLE["q_sample_temperature"] = """
+ORACLE["q_sample_temperature"] = f"""
     WITH counts AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS f_docs
         FROM documents GROUP BY lang
     ),
     w AS (
         SELECT lang, f_docs,
-               CAST(sqrt(CAST(f_docs AS DOUBLE)) AS DECIMAL(28,6))
-                   AS f_sqrt_docs
+               {_SQRT_MICRO_SQL.format(x="f_docs")} AS f_sqrt_micro
         FROM counts
     ),
     tot AS (
-        SELECT CAST(SUM(f_sqrt_docs) AS DECIMAL(28,6)) AS t FROM w
+        SELECT CAST(SUM(f_sqrt_micro) AS BIGINT) AS t FROM w
     )
-    SELECT lang, f_docs, f_sqrt_docs,
-           CAST(FLOOR(CAST(f_sqrt_docs AS DOUBLE) / CAST(t AS DOUBLE)
+    SELECT lang, f_docs, f_sqrt_micro,
+           CAST(FLOOR(CAST(f_sqrt_micro AS DOUBLE) / CAST(t AS DOUBLE)
                       * 1000000 + 0.5) AS BIGINT) AS f_ppm
     FROM w, tot
 """
@@ -1544,17 +1565,17 @@ ORACLE["q_dedup_cross_source"] = f"""
     GROUP BY a.source, b.source
 """
 
-ORACLE["q_sample_to_mix"] = """
+ORACLE["q_sample_to_mix"] = f"""
     WITH counts AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS f_docs
         FROM documents GROUP BY lang
     ),
     w AS (
         SELECT lang, f_docs,
-               CAST(sqrt(CAST(f_docs AS DOUBLE)) AS DECIMAL(28,6)) AS s
+               {_SQRT_MICRO_SQL.format(x="f_docs")} AS s
         FROM counts
     ),
-    tot AS (SELECT CAST(SUM(s) AS DECIMAL(28,6)) AS t FROM w),
+    tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM w),
     targets AS (
         SELECT lang, f_docs,
                CAST(FLOOR(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)

@@ -197,15 +197,23 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_feature_store_workflows.py:153-184). Spine = purchase events;
     features = latest error-event value at-or-before each purchase, per
     user. Uses the union+last(ignorenulls) single-shuffle strategy
-    (pit.py) — no join explosion at 100 TB."""
+    (pit.py) — no join explosion at 100 TB.
+
+    The feature side is collapsed to ONE row per (user, ts) — max value —
+    before the as-of, so exact-timestamp ties cannot reach the join and
+    the oracle's ROW_NUMBER order is unique (the engine-arbitrary-tie
+    ADVICE finding; asof_join's own hash tiebreak still guards arbitrary
+    user data)."""
     from ..pit import asof_join
 
     ev = _t(spark, sf_dir, "events")
     spine = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("event_time")
     )
-    feats = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", F.col("value").alias("f_last_error_value")
+    feats = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("f_last_error_value"))
     )
     return asof_join(
         spine,
@@ -222,15 +230,19 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     each purchase event, the EARLIEST error-event value at-or-after it
     per user (next-outcome attachment when building supervised targets).
     Same union+last single-shuffle machinery (pit.py), reversed ts order;
-    no join explosion at 100 TB."""
+    no join explosion at 100 TB. Feature side collapsed to one row per
+    (user, ts) — max value — so ties cannot reach the join (see
+    q_join_asof)."""
     from ..pit import asof_join
 
     ev = _t(spark, sf_dir, "events")
     spine = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("event_time")
     )
-    feats = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", F.col("value").alias("f_next_error_value")
+    feats = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("f_next_error_value"))
     )
     return asof_join(
         spine,
@@ -777,7 +789,9 @@ ORACLE: dict[str, str] = {
             FROM events WHERE event_type = 'purchase'
         ),
         feats AS (
-            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, ts
         ),
         ranked AS (
             SELECT s.event_id, s.user_id, s.event_time, f.value,
@@ -799,7 +813,9 @@ ORACLE: dict[str, str] = {
             FROM events WHERE event_type = 'purchase'
         ),
         feats AS (
-            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, ts
         ),
         ranked AS (
             SELECT s.event_id, s.user_id, s.event_time, f.value,

@@ -498,7 +498,9 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number frames are burst-sized (a handful of rows), never a
     stratum. Deterministic: (ts, event_id) tiebreak."""
     ev = _t(spark, sf_dir, "events")
-    win = (F.unix_timestamp("ts") / 600).cast("long").alias("f_win")
+    # FLOOR, not cast-truncation: for pre-1970 (negative-epoch) events
+    # trunc-toward-zero and the oracle's FLOOR pick different buckets.
+    win = F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("f_win")
     w = Window.partitionBy("user_id", "event_type", "f_win").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )

@@ -148,6 +148,13 @@ def _asof_union(
 ) -> DataFrame:
     spine_cols = spine.columns
 
+    # A feature row with NULL feature_ts can never satisfy "at-or-before"
+    # or "at-or-after" (the broadcast strategy's range predicate is NULL →
+    # no match), so drop it up front — otherwise it would sort at a frame
+    # edge and the carry-forward could attach a timestampless row the
+    # broadcast path never produces (the r5 ADVICE strategy-divergence).
+    features = features.filter(F.col(feature_ts).isNotNull())
+
     # Deterministic spine identity is NOT required here: each spine row
     # passes through the union exactly once, so row multiplicity is
     # preserved structurally (the spine-row-count invariant the reference
@@ -206,13 +213,20 @@ def _asof_union(
     # flips with ts so both strategies pick the identical tied row
     # (backward: max ts, max hash ↔ max_by; forward: min ts, min hash ↔
     # min_by).
+    # NULL-ts SPINE rows must see no features in either direction (the
+    # broadcast range predicate is NULL → no match): asc() is nulls-first
+    # already, and forward needs desc_nulls_first explicitly (plain desc()
+    # is nulls-LAST — a NULL-ts spine row would sort after every feature
+    # row and the carry would attach the earliest one).
     if direction == "backward":
         order = [
             F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
         ]
     else:
         order = [
-            F.col(_TS).desc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").desc()
+            F.col(_TS).desc_nulls_first(),
+            F.col(_IS_SPINE).asc(),
+            F.xxhash64("__fs_row").desc(),
         ]
     w = (
         Window.partitionBy(*part_keys)

@@ -48,6 +48,22 @@ class TestDedup:
         b = sorted(map(tuple, TXT.dedup_near_minhash(docs_with_dups, jaccard_threshold=0.3).collect()))
         assert a == b
 
+    def test_chunk_dedup_exact_keys_flag(self, spark, sf_dir):
+        """The documented exact-string fallback (r5 ADVICE): joining on
+        the chunk strings must produce the identical accounting as the
+        8-byte-hash scale path on the real corpus."""
+        from dbt_snowflake_feature_store_spark.operators.ext_text import (
+            q_dedup_chunks,
+            q_dedup_cross_source,
+        )
+
+        for q in (q_dedup_chunks, q_dedup_cross_source):
+            hashed = sorted(map(tuple, q(spark, sf_dir).collect()))
+            exact = sorted(
+                map(tuple, q(spark, sf_dir, exact_keys=True).collect())
+            )
+            assert hashed == exact
+
     def test_minhash_recall_vs_exact_ngram(self, spark, sf_dir):
         """MinHash-LSH candidates must recover the exact word-3-gram
         Jaccard pairs (q_dedup_ngram is the exact counterpart) on real

@@ -420,6 +420,29 @@ class TestDataTests:
         with pytest.raises(ValidationError, match="test_always_fails"):
             run_data_tests(fs, proj, strict=True)
 
+    def test_load_project_skips_tests_dir(self, fs, tmp_path, base_table):
+        """load_project on a directory that ALREADY contains data tests
+        (the dbt layout run_data_tests expects) must not choke on the
+        config-less test SQL — the r5 ADVICE: the two APIs share one
+        project dir (tests/ created BEFORE load_project here)."""
+        from dbt_snowflake_feature_store_spark.models import (
+            load_project,
+            run_data_tests,
+        )
+
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        tests = tmp_path / "models" / "tests"
+        tests.mkdir()
+        (tests / "test_no_negative_age.sql").write_text(
+            "SELECT * FROM {{ ref('test_base_customer_features') }}\n"
+            "WHERE f_base_age < 0\n"
+        )
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(fs, proj)  # would raise 'no config block'
+        assert report["feature_views"]
+        results = {r["name"]: r for r in run_data_tests(fs, proj)}
+        assert results["test_no_negative_age"]["passed"]
+
     def test_unknown_ref_and_missing_dir(self, fs, tmp_path, base_table):
         from dbt_snowflake_feature_store_spark.errors import ValidationError
         from dbt_snowflake_feature_store_spark.models import run_data_tests

@@ -153,6 +153,53 @@ def test_union_asof_forward_matches_reference(spark, case):
     assert got == _reference_fwd(spine_rows, feat_rows)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_null_ts_strategy_parity(spark, direction):
+    """NULL timestamps (r5 ADVICE): a NULL-ts spine row must get NULL
+    features (the range predicate is NULL → no match) and a NULL-ts
+    feature row must never be attached — identically under BOTH
+    strategies. Forward previously diverged: plain desc() is nulls-last,
+    so the union carry attached the earliest feature to NULL-ts spine
+    rows while broadcast returned NULL."""
+    spine = spark.createDataFrame(
+        [
+            (1, BASE + dt.timedelta(minutes=10)),
+            (1, None),
+            (2, None),
+            (3, BASE),
+        ],
+        "k long, ts timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            (1, BASE, 100),
+            (1, BASE + dt.timedelta(minutes=20), 200),
+            (1, None, 999),  # timestampless feature: never attachable
+            (2, BASE, 300),
+            (3, None, 888),
+        ],
+        "k long, fts timestamp, v long",
+    )
+    rows = {}
+    for strategy in ("union", "broadcast"):
+        out = asof_join(
+            spine, feats, on=["k"], spine_ts="ts", feature_ts="fts",
+            feature_cols=["v"], strategy=strategy, direction=direction,
+        ).collect()
+        rows[strategy] = sorted(
+            ((r["k"], r["ts"], r["v"]) for r in out),
+            key=lambda r: (r[0], r[1] is not None, r[1] or BASE, r[2] or 0),
+        )
+    assert rows["union"] == rows["broadcast"]
+    by_key_null = {
+        k: v for k, ts, v in rows["union"] if ts is None
+    }
+    # NULL-ts spine rows attach nothing
+    assert by_key_null == {1: None, 2: None}
+    # key 3's only feature row has NULL fts → never attached
+    assert [v for k, ts, v in rows["union"] if k == 3] == [None]
+
+
 def test_merge_asof_parity_on_events(spark, sf_dir):
     """Cross-check the union strategy against pandas merge_asof on the
     real events table (purchases vs latest prior error per user)."""

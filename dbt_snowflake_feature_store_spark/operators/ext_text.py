@@ -61,11 +61,34 @@ def q_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join) but with portable md5-derived hashes and mod-
     (2^61−1) affine permutations that DuckDB replays exactly — the
     minhash/banding LOGIC gets a hash-checked record while the
-    production key keeps the fast xxhash64/Arrow path."""
-    return TXT.dedup_near_minhash_portable(
-        _docs(spark, sf_dir), "text", "doc_id", shingle_k=3, num_hashes=32,
-        bands=8,
-    )
+    production key keeps the fast xxhash64/Arrow path. Served from the
+    session-scoped _portable_pairs cache shared with the cluster keys."""
+    return _portable_pairs(spark, sf_dir)
+
+
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _portable_pairs(
+    spark: SparkSession, sf_dir: str, ids_only: bool = False
+) -> DataFrame:
+    """The portable MinHash candidate-pair frame (shingle_k=3,
+    num_hashes=32, bands=8; columns id_a, id_b, f_n_bands), lazily
+    localCheckpointed and MEMOIZED per (SparkSession, sf_dir):
+    q_dedup_near_portable, q_dedup_clusters and q_corpus_dedup_stats
+    consume the identical pair definition, so within one session (the
+    driver's, bench's) the band stage runs once — the ``pairs=``
+    injection seam of ``corpus_dedup`` made automatic. Keyed on the
+    application id so a restarted session never sees a stale frame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        df = TXT.dedup_near_minhash_portable(
+            _docs(spark, sf_dir), "text", "doc_id", shingle_k=3,
+            num_hashes=32, bands=8,
+        ).localCheckpoint(eager=False)
+        _PAIR_CACHE[key] = df
+    return df.select("id_a", "id_b") if ids_only else df
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,15 +97,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster = min doc_id in component, cluster size). The stage
     a dedup pipeline runs after pairs — keep min(doc_id) per cluster,
     drop the rest. Oracle-gated: the unique fixed point of min-label
-    propagation lets a DuckDB recursive CTE verify the clustering."""
+    propagation lets a DuckDB recursive CTE verify the clustering.
+    Pair frame shared with q_corpus_dedup_stats via _portable_pairs."""
     from pyspark.sql import Window
 
     from ..functions.graph import connected_components
 
-    edges = TXT.dedup_near_minhash_portable(
-        _docs(spark, sf_dir), "text", "doc_id", shingle_k=3, num_hashes=32,
-        bands=8,
-    ).select("id_a", "id_b")
+    edges = _portable_pairs(spark, sf_dir, ids_only=True)
     cc = connected_components(edges, "id_a", "id_b")
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -104,14 +125,15 @@ def q_corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact + connected_components); both stages already
     oracle-gated standalone (q_dedup_exact, q_dedup_clusters), this key
     hash-checks their COMPOSITION. Two semi/anti joins against small
-    id-sets, one agg on the tiny lang key."""
+    id-sets, one agg on the tiny lang key. The MinHash pair stage is
+    injected via corpus_dedup's ``pairs=`` seam from the _portable_pairs
+    session cache — shared with q_dedup_clusters, computed once."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "text",
         TXT.ws_token_count(F.col("text")).alias("_n_toks"),
     )
     kept = TXT.corpus_dedup(
-        d, "text", "doc_id", method="portable",
-        shingle_k=3, num_hashes=32, bands=8,
+        d, "text", "doc_id", pairs=_portable_pairs(spark, sf_dir, ids_only=True),
     ).select("doc_id", F.lit(1).alias("_kept"))
     return (
         d.join(kept.select("doc_id", "_kept"), "doc_id", "left")

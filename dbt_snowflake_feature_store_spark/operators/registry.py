@@ -29,27 +29,16 @@ _MODULES = [relational2, relational]
 # Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # new/changed this round (round 5: new LLM-pipeline keys,
-    # scale-safe rewrites, block caps, forward as-of, corpus
-    # accounting) — need a driver-dated record
-    "q_join_asof_fwd", "q_event_dedup", "q_tpch_q4like", "q_embed_outliers",
-    "q_fv_profile", "q_sim_range", "q_tpch_q10like", "q_lang_id_conf",
-    "q_sample_to_mix", "q_dedup_cross_source", "q_pack_bfd", "q_unpivot",
-    "q_text_embed_join", "q_multimodal_resize",
-    "q_dedup_chunks", "q_vocab_build", "q_domain_mix", "q_filter_funnel",
-    "q_contamination", "q_pii_scan", "q_sample_temperature",
-    "q_sample_stratified", "q_pack_sequences", "q_dedup_ngram",
-    # not recorded by CORRECTNESS_r04.json (the r01/r02-dated greens)
-    "q_agg_multi", "q_arith_expr", "q_array_agg", "q_case_when",
-    "q_cross_join", "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
-    "q_distinct", "q_filter_false", "q_filter_pred", "q_fingerprint",
-    "q_groupby_agg", "q_grouping_sets", "q_join_equi", "q_join_full",
-    "q_lang_id", "q_multimodal_decode", "q_multimodal_frames",
-    "q_multimodal_meta", "q_ngram_freq", "q_null_handling", "q_num_fns",
-    "q_sample_split", "q_scan_project", "q_scd2_history",
+    # round 6: the r5 driver-RED key, fixed this round — MUST re-record
+    "q_sample_temperature",
+    # the 11 keys with no r4/r5 driver-dated record (VERDICT r5 item 2)
     "q_session_window", "q_sim_ann_lsh", "q_sim_ivf", "q_stats_moments",
     "q_text_quality", "q_text_search", "q_text_stats", "q_token_count",
     "q_tpch_q13like", "q_tpch_q17like", "q_window_nav",
+    # keys whose code or oracle changed this round (advice fixes)
+    "q_sample_to_mix", "q_join_asof", "q_join_asof_fwd", "q_event_dedup",
+    "q_dedup_chunks", "q_dedup_cross_source", "q_generate_dataset",
+    "q_fv_latest_snapshot",
 )
 
 

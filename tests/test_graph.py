@@ -1,6 +1,9 @@
-"""Connected components (functions/graph.py) — min-label propagation."""
+"""Connected components (functions/graph.py) — min-label propagation and
+the large-star/small-star contraction, which must agree everywhere."""
 
 from __future__ import annotations
+
+import random
 
 import pytest
 
@@ -9,9 +12,9 @@ from dbt_snowflake_feature_store_spark.functions.graph import (
 )
 
 
-def _cc(spark, pairs):
+def _cc(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, "id_a long, id_b long")
-    rows = connected_components(edges, "id_a", "id_b").collect()
+    rows = connected_components(edges, "id_a", "id_b", **kw).collect()
     return {r.node: r.label for r in rows}
 
 
@@ -31,3 +34,55 @@ def test_nonconvergence_raises(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, "id_a", "id_b", max_iter=2)
+
+
+def test_star_matches_propagation_on_shapes(spark):
+    """Both algorithms share one fixed point: component = min id. Chain,
+    disjoint stars, a cycle, duplicate/reversed edges, self-loop."""
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+        [(1, 2), (2, 3), (3, 1)],  # cycle
+        [(5, 5), (5, 6)],  # self-loop
+        [(7, 3), (3, 7), (3, 9)],  # reversed duplicates
+    ]
+    for pairs in cases:
+        prop = _cc(spark, pairs, algorithm="propagation")
+        star = _cc(spark, pairs, algorithm="star")
+        assert star == prop, pairs
+
+
+def test_star_matches_propagation_random(spark):
+    """Property: on random graphs the two algorithms agree exactly."""
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(35)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        prop = _cc(spark, pairs, algorithm="propagation", max_iter=50)
+        star = _cc(spark, pairs, algorithm="star", max_iter=50)
+        assert star == prop
+
+
+def test_star_fewer_rounds_on_chain(spark, monkeypatch):
+    """The contraction's point: a 33-node chain converges within a round
+    budget that propagation (rounds = diameter) blows."""
+    pairs = [(i, i + 1) for i in range(1, 33)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, "id_a", "id_b", max_iter=8)
+    labels = {
+        r.node: r.label
+        for r in connected_components(
+            edges, "id_a", "id_b", max_iter=8, algorithm="star"
+        ).collect()
+    }
+    assert labels == {i: 1 for i in range(1, 34)}
+
+
+def test_unknown_algorithm_raises(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="nope")

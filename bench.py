@@ -121,6 +121,29 @@ def main() -> None:
     # improving through run 4 (JIT tiers) — so keep iterating while the
     # latest run still beats the best by >10%, up to 5 runs.
     timings: dict[str, float] = {}
+
+    # The shared MinHash pair stage (ext_text._portable_pairs) is built
+    # once per session and reused by q_dedup_near_portable /
+    # q_dedup_clusters / q_corpus_dedup_stats — exactly what a real
+    # pipeline does, but it made the first consumer's per-key time carry
+    # the whole band stage (or, with min-of-N, attributed it to NOBODY —
+    # VERDICT r6 item 2). Report the build as its own bench line: each
+    # timed run starts from a cleared cache (cold cost), and the cache is
+    # left WARM afterwards so the three consumer keys report their honest
+    # incremental cost. Total = cold build + warm consumers, no double
+    # count, no vanished cost.
+    from dbt_snowflake_feature_store_spark.operators import ext_text
+
+    best = float("inf")
+    for _ in range(3):
+        ext_text._PAIR_CACHE.clear()
+        t0 = time.perf_counter()
+        ext_text._portable_pairs(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    timings["pair_stage_build"] = round(best, 3)
+
     for key in HEADLINE:
         fn = queries[key]
         best = float("inf")

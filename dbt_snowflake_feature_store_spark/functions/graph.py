@@ -5,18 +5,28 @@ CLUSTERS (connected components) → one kept representative per cluster.
 The reference has no analog (its engine is a SQL warehouse); this is
 the piece a 100 TB dedup actually needs after the pair stage.
 
-Two algorithms, identical fixed point (component = min node id):
+Three algorithms, identical fixed point (component = min node id):
 
-``propagation`` (default)
+``auto`` (default)
+    Min-label propagation for a few rounds (dedup graphs are shallow —
+    rounds = diameter, usually ≤ 3), then, if not yet converged, CONDENSE
+    the graph by the partial labels (every ≤-``switch_after``-diameter
+    neighborhood collapses to one node) and finish with the star
+    contraction on the condensed graph. Caps the worst case (a chain
+    component) at O(log n) total rounds without the user having to know
+    their graph's shape.
+
+``propagation``
     Iterative min-label propagation: every node starts labeled with its
     own id; each round takes the min of its label and its neighbors'
-    labels. Rounds needed = graph diameter — near-dup clusters are
-    shallow, so a handful of rounds. One shuffle per round; the
+    labels. Rounds needed = graph diameter. One shuffle per round; the
     convergence check is folded into the label pass as a ``_chg`` flag
-    aggregated over the checkpointed result (ONE real job per round,
-    not a second join-shaped job). The unique fixed point makes the
-    result deterministic regardless of schedule — which is what makes
-    an oracle comparison (DuckDB recursive CTE) possible.
+    aggregated over the round's checkpointed result (ONE real job per
+    round — the per-round ``localCheckpoint(eager=False)`` is
+    materialized by that same aggregation action, so no separate
+    checkpoint pass either). The unique fixed point makes the result
+    deterministic regardless of schedule — which is what makes an
+    oracle comparison (DuckDB recursive CTE) possible.
 
 ``star``
     Alternating large-star/small-star edge contraction (Kiveris et al.,
@@ -24,12 +34,17 @@ Two algorithms, identical fixed point (component = min node id):
     round rewires edges toward per-neighborhood minima, converging in
     O(log n) rounds on adversarial chains where propagation needs
     O(diameter). Two shuffles per round (one per half-step), so for
-    shallow dedup graphs propagation is cheaper; ``star`` is the escape
-    hatch for deep/chain-shaped graphs. Property-tested equivalent to
-    propagation on random graphs (tests/test_graph.py).
+    shallow dedup graphs propagation is cheaper. Convergence is
+    detected by a (count, two independent bounded-hash-sums) signature match
+    CONFIRMED by an exact set comparison on the two already-
+    checkpointed frames — the exact check runs once, at the fixed
+    point, so a signature collision can delay but never corrupt the
+    result.
 
 Scale notes: every round is a bounded number of shuffles; lineage is
-cut with ``localCheckpoint`` so plans don't grow unboundedly.
+cut with lazy ``localCheckpoint`` (materialized by the round's own
+convergence aggregation, not an extra eager pass) so plans don't grow
+unboundedly.
 """
 
 from __future__ import annotations
@@ -43,13 +58,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
+    switch_after: int = 4,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with its
     component's minimum node id. Returns (node, label).
 
-    Raises if the chosen algorithm hasn't converged after ``max_iter``
-    rounds (would mean a silently wrong fixed point)."""
+    ``max_iter`` is the total round budget (shared across both phases
+    of ``auto``); ``switch_after`` is the number of propagation rounds
+    ``auto`` tries before condensing and switching to ``star``.
+
+    Raises if the chosen algorithm hasn't converged within the budget
+    (would mean a silently wrong fixed point)."""
+    if algorithm == "auto":
+        return _cc_auto(edges, src, dst, max_iter, switch_after)
     if algorithm == "propagation":
         return _cc_propagation(edges, src, dst, max_iter)
     if algorithm == "star":
@@ -57,25 +79,24 @@ def connected_components(
     raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
 
 
-def _cc_propagation(
-    edges: DataFrame, src: str, dst: str, max_iter: int
-) -> DataFrame:
+def _adjacency(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # materialize the adjacency ONCE — without this every propagation
     # round re-executes the upstream edge pipeline (for dedup that's the
     # whole MinHash banding; measured 17 s → 9 s at sf0.1)
-    adj = (
+    return (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    labels = (
-        adj.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
+
+
+def _propagate(
+    adj: DataFrame, labels: DataFrame, rounds: int
+) -> tuple[DataFrame, bool]:
+    """Up to ``rounds`` min-label passes over ``labels`` (node, label).
+    Returns (labels, converged)."""
+    for _ in range(rounds):
         nbr_min = (
             adj.join(
                 labels.select(
@@ -87,8 +108,10 @@ def _cc_propagation(
             .agg(F.min("_bl").alias("_nbr_min"))
         )
         # the improved label AND a did-it-change flag in the same pass:
-        # the convergence check is then a cheap max() scan over the
-        # checkpointed partitions, not a second join-shaped job.
+        # the convergence check is a cheap max() over the round result,
+        # and that same action materializes the lazy checkpoint — one
+        # real job per round, no separate checkpoint or join-shaped
+        # convergence job.
         new = F.least(
             F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
         )
@@ -99,29 +122,102 @@ def _cc_propagation(
                 new.alias("label"),
                 (new < F.col("label")).cast("int").alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.max("_chg").alias("c")).first()["c"]
         labels = new_labels.drop("_chg")
         if not changed:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+            return labels, True
+    return labels, False
+
+
+def _cc_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    adj = _adjacency(edges, src, dst)
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    labels, converged = _propagate(adj, labels, max_iter)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
+def _cc_auto(
+    edges: DataFrame, src: str, dst: str, max_iter: int, switch_after: int
+) -> DataFrame:
+    """Propagation for ``switch_after`` rounds, then star on the
+    label-condensed graph. Condensing is sound because every partial
+    label is the min of a connected subset containing itself: condensed
+    components biject with original components and the min condensed
+    node id IS the min original node id."""
+    rounds = min(switch_after, max_iter)
+    adj = _adjacency(edges, src, dst)
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    labels, converged = _propagate(adj, labels, rounds)
+    if converged:
+        return labels
+    # condense: contract each edge to its endpoints' current labels;
+    # intra-cluster edges become self-loops and vanish. The condensed
+    # graph has one node per partial cluster — for a diameter-d chain
+    # that's n/(switch_after+1) nodes, and star finishes in O(log) rounds.
+    lab_a = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lab_b = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    condensed = (
+        adj.join(lab_a, "a")
+        .join(lab_b, "b")
+        .select(F.col("_la").alias("id_a"), F.col("_lb").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    star = _cc_star(condensed, "id_a", "id_b", max_iter - rounds)
+    # a label with no surviving inter-cluster edge keeps itself
+    final = star.select(
+        F.col("node").alias("label"), F.col("label").alias("_final")
+    )
+    return labels.join(final, "label", "left").select(
+        "node", F.coalesce(F.col("_final"), F.col("label")).alias("label")
     )
 
 
-def _sig(e: DataFrame) -> tuple[int, int]:
-    """Cheap set signature for convergence: (count, sum of bounded edge
-    hashes). pmod bounds each term < 2³¹ so the BIGINT sum cannot
-    overflow (ANSI mode throws on overflow) below ~2³² edges."""
+def _sig(e: DataFrame) -> tuple[int, int, int]:
+    """Cheap set signature for convergence screening: (count, plus two
+    independent bounded-hash sums — xxhash64 over the edge in both
+    argument orders, distinct hash functions). pmod bounds the sum
+    terms < 2³¹ so the BIGINT sum cannot overflow (ANSI mode
+    throws on overflow) below ~2³² edges. A match is only a SCREEN —
+    the caller confirms with an exact set comparison before declaring
+    the fixed point."""
     row = e.agg(
         F.count("*").alias("n"),
         F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2147483647))).alias("h"),
+        F.sum(F.pmod(F.xxhash64("b", "a"), F.lit(2147483647))).alias("h2"),
     ).first()
-    return (row["n"], row["h"] or 0)
+    return (row["n"], row["h"] or 0, row["h2"] or 0)
 
 
 def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    # node set from the RAW endpoints: a node appearing only in
+    # self-loop edges still belongs in the output (labeled itself),
+    # exactly as propagation keeps it — the two algorithms must agree
+    # on every input, degenerate ones included.
+    orig_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # canonical undirected edge set: (a < b), self-loops dropped
     e = (
         edges.select(
@@ -130,13 +226,7 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
-    )
-    orig_nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = _sig(e)
     if sig[0] == 0:
@@ -168,16 +258,21 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
             .union(joined.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(small)
-        e = small
-        if new_sig == sig:
-            # fixed point: e is a star forest rooted at component minima
-            labels = e.select(
+        # signature match is a screen; the EXACT check (both frames are
+        # distinct and equal-count when sigs match, so one-sided
+        # exceptAll-empty ⇔ set equality) runs only here — once at the
+        # true fixed point, or on the ~2⁻⁶² per-round chance of a
+        # collision, where it correctly sends us back around the loop.
+        if new_sig == sig and small.exceptAll(e).isEmpty():
+            # fixed point: small is a star forest rooted at component
+            # minima
+            labels = small.select(
                 F.col("b").alias("node"), F.col("a").alias("label")
             ).union(
-                e.select(F.col("a").alias("node"), F.col("a").alias("label"))
+                small.select(F.col("a").alias("node"), F.col("a").alias("label"))
             ).distinct()
             return (
                 orig_nodes.join(labels, "node", "left")
@@ -186,7 +281,7 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
                     F.coalesce(F.col("label"), F.col("node")).alias("label"),
                 )
             )
-        sig = new_sig
+        e, sig = small, new_sig
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_iter} rounds"
     )

@@ -79,8 +79,17 @@ def _portable_pairs(
     consume the identical pair definition, so within one session (the
     driver's, bench's) the band stage runs once — the ``pairs=``
     injection seam of ``corpus_dedup`` made automatic. Keyed on the
-    application id so a restarted session never sees a stale frame."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    application id so a restarted session never sees a stale frame;
+    entries from DEAD applications are evicted on every lookup, so the
+    cache holds at most the live application's frames for the life of
+    the process. Caveat (documented contract): the documents table at
+    ``sf_dir`` is assumed immutable within one Spark application — an
+    in-session rewrite requires a new session (or clearing the cache);
+    the test corpora and the driver's tables never rewrite in-session."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PAIR_CACHE if k[0] != app_id]:
+        del _PAIR_CACHE[k]
+    key = (app_id, sf_dir)
     df = _PAIR_CACHE.get(key)
     if df is None:
         df = TXT.dedup_near_minhash_portable(

@@ -29,16 +29,24 @@ _MODULES = [relational2, relational]
 # Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # round 6: the r5 driver-RED key, fixed this round — MUST re-record
-    "q_sample_temperature",
-    # the 11 keys with no r4/r5 driver-dated record (VERDICT r5 item 2)
-    "q_session_window", "q_sim_ann_lsh", "q_sim_ivf", "q_stats_moments",
-    "q_text_quality", "q_text_search", "q_text_stats", "q_token_count",
-    "q_tpch_q13like", "q_tpch_q17like", "q_window_nav",
-    # keys whose code or oracle changed this round (advice fixes)
-    "q_sample_to_mix", "q_join_asof", "q_join_asof_fwd", "q_event_dedup",
-    "q_dedup_chunks", "q_dedup_cross_source", "q_generate_dataset",
-    "q_fv_latest_snapshot",
+    # round 7, part 1: keys whose code paths changed THIS round — the
+    # connected-components rewrite (auto default, lazy checkpoints,
+    # star exact-confirm) and the pair-cache eviction feed these three
+    "q_dedup_clusters", "q_corpus_dedup_stats", "q_dedup_near_portable",
+    # the multimodal decode path gained a real PNG codec this round
+    "q_multimodal_decode",
+    # part 2: the 33 keys whose latest driver record is r04 (VERDICT r6
+    # item 1) — relational.py/pit.py-adjacent ones first (those files
+    # changed in r6 after the r4 record)
+    "q_sessionize", "q_join_left", "q_join_multi_fv", "q_join_range",
+    "q_window_frame", "q_window_range", "q_window_rank", "q_semi_anti",
+    "q_union_all", "q_agg_having", "q_cte_pipeline", "q_explode_tokens",
+    "q_percentile", "q_pivot", "q_rollup", "q_set_ops", "q_sort_limit",
+    "q_scalar_date", "q_scalar_json", "q_scalar_str", "q_scalar_subquery",
+    "q_tpch_q1like", "q_tpch_q3like", "q_tpch_q5like", "q_agg_approx",
+    "q_dedup_simhash_portable", "q_fingerprint_winnow", "q_funnel",
+    "q_hopping", "q_retention", "q_rfm", "q_scd2_multi",
+    "q_text_repetition",
 )
 
 

@@ -1,5 +1,6 @@
-"""Connected components (functions/graph.py) — min-label propagation and
-the large-star/small-star contraction, which must agree everywhere."""
+"""Connected components (functions/graph.py) — min-label propagation,
+the large-star/small-star contraction, and the ``auto`` hybrid, which
+must all agree everywhere."""
 
 from __future__ import annotations
 
@@ -18,6 +19,17 @@ def _cc(spark, pairs, **kw):
     return {r.node: r.label for r in rows}
 
 
+SHAPES = [
+    [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+    [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+    [(1, 2), (2, 3), (3, 1)],  # cycle
+    [(5, 5), (5, 6)],  # self-loop
+    [(7, 3), (3, 7), (3, 9)],  # reversed duplicates
+    [(4, 4)],  # ONLY a self-loop: the node must still be labeled
+    [(9, 9), (1, 2)],  # self-loop node disjoint from a real edge
+]
+
+
 def test_chain_converges_to_min(spark):
     # a 6-node path: propagation needs several rounds (diameter 5)
     labels = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
@@ -33,27 +45,33 @@ def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 9)],
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, "id_a", "id_b", max_iter=2)
+        connected_components(
+            edges, "id_a", "id_b", max_iter=2, algorithm="propagation"
+        )
 
 
 def test_star_matches_propagation_on_shapes(spark):
-    """Both algorithms share one fixed point: component = min id. Chain,
-    disjoint stars, a cycle, duplicate/reversed edges, self-loop."""
-    cases = [
-        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
-        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
-        [(1, 2), (2, 3), (3, 1)],  # cycle
-        [(5, 5), (5, 6)],  # self-loop
-        [(7, 3), (3, 7), (3, 9)],  # reversed duplicates
-    ]
-    for pairs in cases:
+    """All three algorithms share one fixed point: component = min id —
+    including degenerate inputs (self-loop-only nodes)."""
+    for pairs in SHAPES:
         prop = _cc(spark, pairs, algorithm="propagation")
         star = _cc(spark, pairs, algorithm="star")
+        auto = _cc(spark, pairs, algorithm="auto", switch_after=1)
         assert star == prop, pairs
+        assert auto == prop, pairs
+
+
+def test_self_loop_only_node_kept_by_all(spark):
+    """A node appearing ONLY in self-loop edges is its own component in
+    every algorithm (star used to drop it: node set was built after the
+    self-loop filter)."""
+    pairs = [(4, 4)]
+    for algo in ("propagation", "star", "auto"):
+        assert _cc(spark, pairs, algorithm=algo) == {4: 4}, algo
 
 
 def test_star_matches_propagation_random(spark):
-    """Property: on random graphs the two algorithms agree exactly."""
+    """Property: on random graphs the three algorithms agree exactly."""
     rng = random.Random(42)
     for _ in range(3):
         n = 40
@@ -63,16 +81,21 @@ def test_star_matches_propagation_random(spark):
         pairs = [(a, b) for a, b in pairs if a != b]
         prop = _cc(spark, pairs, algorithm="propagation", max_iter=50)
         star = _cc(spark, pairs, algorithm="star", max_iter=50)
+        auto = _cc(spark, pairs, algorithm="auto", max_iter=50,
+                   switch_after=2)
         assert star == prop
+        assert auto == prop
 
 
-def test_star_fewer_rounds_on_chain(spark, monkeypatch):
+def test_star_fewer_rounds_on_chain(spark):
     """The contraction's point: a 33-node chain converges within a round
     budget that propagation (rounds = diameter) blows."""
     pairs = [(i, i + 1) for i in range(1, 33)]
     edges = spark.createDataFrame(pairs, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, "id_a", "id_b", max_iter=8)
+        connected_components(
+            edges, "id_a", "id_b", max_iter=8, algorithm="propagation"
+        )
     labels = {
         r.node: r.label
         for r in connected_components(
@@ -80,6 +103,69 @@ def test_star_fewer_rounds_on_chain(spark, monkeypatch):
         ).collect()
     }
     assert labels == {i: 1 for i in range(1, 34)}
+
+
+def test_auto_caps_chain_without_user_choice(spark):
+    """``auto`` (the default) finishes a 65-node chain inside a budget
+    propagation alone cannot: 4 propagation rounds condense the chain
+    ~5×, star contracts the rest in O(log) rounds."""
+    pairs = [(i, i + 1) for i in range(1, 65)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(
+            edges, "id_a", "id_b", max_iter=12, algorithm="propagation"
+        )
+    labels = {
+        r.node: r.label
+        for r in connected_components(edges, "id_a", "id_b",
+                                      max_iter=12).collect()
+    }
+    assert labels == {i: 1 for i in range(1, 66)}
+
+
+def test_auto_converged_early_skips_star(spark):
+    """A shallow graph converges inside the propagation phase — auto
+    returns the propagation result directly (same labels)."""
+    pairs = [(1, 2), (1, 3), (1, 4), (10, 11)]
+    assert _cc(spark, pairs) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def _count_jobs(spark, fn):
+    sc = spark.sparkContext
+    group = f"graph-jobcount-{random.randrange(1 << 30)}"
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_propagation_one_job_per_round(spark):
+    """The lazy per-round checkpoint is materialized by the round's own
+    convergence aggregation — ONE Spark job per propagation round (plus
+    the bounded collect machinery), not a separate eager-checkpoint
+    pass. AQE is disabled for the measurement (it splits every query
+    into per-stage jobs, which hides the eager-vs-lazy difference).
+    Diameter-2 star graph: 2 improving rounds + 1 confirm round."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        jobs = _count_jobs(
+            spark,
+            lambda: connected_components(
+                edges, "id_a", "id_b", algorithm="propagation"
+            ).collect(),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    # 3 rounds × 1 agg job + the final collect; allow slack for Spark's
+    # collect-limit job splitting but pin UNDER the eager regime's floor
+    # (2 initial checkpoint jobs + 2 jobs/round + collect ≥ 9).
+    assert jobs <= 8, jobs
 
 
 def test_unknown_algorithm_raises(spark):

@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns + a typed metadata
 struct. The Spark-side plumbing — schema, partition-preserving batch
-iteration, Arrow transfer shape — is real and tested; the actual
-byte-decoding (PIL/ffmpeg et al.) is STUBBED because the codec libraries
-are not in this container. Each stub either raises ``NotImplementedError``
-(strict mode) or produces a deterministic fake (test mode), clearly
-marked.
+iteration, Arrow transfer shape — is real and tested. Byte decoding:
+**PNG payloads decode/resize FOR REAL** via the pure-stdlib codec in
+``functions/png_codec.py`` (zlib + chunk/scanline parsing — zero new
+dependencies); other formats (JPEG, audio, video) keep their honest
+seam, raising ``NotImplementedError`` in strict mode or producing a
+clearly-marked deterministic fake in test mode, because those codec
+libraries (PIL/soundfile/ffmpeg) are not in this container.
 
 Design for 100 TB: media bytes travel in the ``content`` column of
 Parquet row groups; decode/feature-extraction runs as ``mapInPandas``
@@ -66,37 +68,61 @@ def decode_and_featurize(
     ``mapInPandas`` over Arrow batches (the shape a real CLIP/whisper
     featurizer would use: batch in, batch out, executor-local).
 
-    STUB: the container has no image/audio codecs. With
-    ``deterministic_fake=True`` the "feature" is a reproducible function
-    of the content hash (for plumbing tests); otherwise rows raise
-    ``NotImplementedError`` exactly where a real decoder would plug in.
-    """
+    PNG payloads decode FOR REAL (``png_codec``): the feature is
+    [width, height, channels, per-channel pixel means…] zero-padded to
+    ``feat_dim`` — genuine pixel statistics, not a hash. A malformed
+    PNG yields ``decode_ok=False`` (never a crashed batch). Non-PNG
+    payloads keep the codec seam: ``deterministic_fake=True`` emits a
+    reproducible content-hash fake (plumbing tests); otherwise they
+    raise ``NotImplementedError`` exactly where PIL/soundfile/ffmpeg
+    would plug in."""
 
     def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from . import png_codec
+
         for pdf in it:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries (PIL/soundfile/"
-                    "ffmpeg) not present in this environment; pass "
-                    "deterministic_fake=True to exercise the plumbing"
-                )
-            feats = []
+            feats, oks = [], []
             for content in pdf["content"]:
                 if content is None:
                     feats.append(None)
+                    oks.append(False)
                     continue
-                digest = hashlib.sha256(bytes(content)).digest()
-                feats.append(
-                    [b / 255.0 for b in digest[:feat_dim]]
-                )
+                b = bytes(content)
+                if png_codec.is_png(b):
+                    try:
+                        s = png_codec.png_stats(b)
+                    except png_codec.PngFormatError:
+                        feats.append(None)
+                        oks.append(False)
+                        continue
+                    f = [
+                        float(s["width"]),
+                        float(s["height"]),
+                        float(s["channels"]),
+                        *s["channel_means"],
+                    ]
+                    feats.append((f + [0.0] * feat_dim)[:feat_dim])
+                    oks.append(True)
+                elif deterministic_fake:
+                    digest = hashlib.sha256(b).digest()
+                    feats.append([x / 255.0 for x in digest[:feat_dim]])
+                    oks.append(True)
+                else:
+                    raise NotImplementedError(
+                        "non-PNG media decode requires codec libraries "
+                        "(PIL/soundfile/ffmpeg) not present in this "
+                        "environment; PNG decodes natively — pass "
+                        "deterministic_fake=True to exercise the plumbing "
+                        "for other formats"
+                    )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": [m["modality"] if m is not None else None for m in pdf["meta"]],
                     "feat": feats,
-                    "decode_ok": [f is not None for f in feats],
+                    "decode_ok": oks,
                 }
             )
             yield out
@@ -120,26 +146,48 @@ def resize_media(
     PIL/opencv resize would use; at 100 TB this is the pre-processing
     stage before feature extraction, pipelined with the scan).
 
-    STUB: no codecs in this container. ``deterministic_fake=True``
-    truncates/right-pads the raw bytes to exactly width*height — a
-    reproducible stand-in with the correct output SHAPE; strict mode
-    raises where the real decoder plugs in."""
+    PNG payloads resize FOR REAL: decode (``png_codec``) →
+    nearest-neighbor resample → re-encode as a valid PNG of the target
+    dimensions (round-trip decodable, pixel-exact nearest sampling). A
+    malformed PNG yields ``resized_ok=False``. Non-PNG payloads keep the
+    codec seam: ``deterministic_fake=True`` truncates/right-pads the raw
+    bytes to exactly width*height — a reproducible stand-in with the
+    correct output SHAPE; strict mode raises where PIL/opencv plugs in."""
     target = width * height
 
     def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import png_codec
+
         for pdf in it:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image resize requires codec libraries (PIL/opencv) not "
-                    "present in this environment; pass deterministic_fake=True"
-                )
             outs = []
             for content in pdf["content"]:
                 if content is None:
                     outs.append(None)
                     continue
                 b = bytes(content)
-                outs.append(b[:target].ljust(target, b"\x00"))
+                if png_codec.is_png(b):
+                    try:
+                        w0, h0, ch, pixels = png_codec.decode_png(b)
+                        outs.append(
+                            png_codec.encode_png(
+                                width,
+                                height,
+                                ch,
+                                png_codec.resize_nearest(
+                                    pixels, w0, h0, ch, width, height
+                                ),
+                            )
+                        )
+                    except png_codec.PngFormatError:
+                        outs.append(None)
+                elif deterministic_fake:
+                    outs.append(b[:target].ljust(target, b"\x00"))
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image resize requires codec libraries "
+                        "(PIL/opencv) not present in this environment; PNG "
+                        "resizes natively — pass deterministic_fake=True"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -204,6 +252,61 @@ def sample_frames(
             )
 
     return df.mapInPandas(batch_fn, schema=_FRAMES_OUT_SCHEMA)
+
+
+def documents_as_png_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Adapter used by tests/queries: render each document's UTF-8 bytes
+    as a REAL grayscale PNG payload (truncated/zero-padded to
+    width×height pixels, encoded by ``png_codec``) so the genuine decode
+    path runs against the driver-provided tables — deterministic,
+    derived entirely from driver data, and a spec-valid PNG any decoder
+    opens. Runs as ``mapInPandas`` (encode is Python; this is the
+    test-fixture path, not a hot operator)."""
+    from . import png_codec
+
+    n_px = width * height
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                raw = text.encode("utf-8")[:n_px].ljust(n_px, b"\x00")
+                payloads.append(png_codec.encode_png(width, height, 1, raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": payloads,
+                    "fmt": "png",
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    enc = df.select(id_col, text_col).mapInPandas(
+        batch_fn,
+        schema="media_id long, content binary, fmt string, width int, height int",
+    )
+    return enc.select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("fmt").alias("format"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
 
 
 def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -930,15 +930,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (mapInPandas over Arrow batches, stubbed
-    codec → rows-only): each media row resized to a fixed 32×32 payload;
-    per-modality accounting of resized bytes. Exercises the
-    partition-preserving executor-local transform shape a real
-    PIL/opencv stage uses."""
+    """REAL image resize end-to-end (round 7): documents rendered as
+    genuine 16×16 grayscale PNGs (functions/multimodal.py
+    documents_as_png_media), decoded, nearest-neighbor-resampled to
+    32×32 and re-encoded by the pure-stdlib codec
+    (functions/png_codec.py) — strict mode, no fake. mapInPandas over
+    Arrow batches, executor-local, partition-preserving. Python decode
+    is nondeterministic-compression territory (zlib level choices), so
+    the key stays rows-only; pixel-exactness is pytest-gated
+    (tests/test_png_codec.py round-trip)."""
     from ..functions import multimodal as MM
 
-    media = MM.documents_as_media(_docs(spark, sf_dir))
-    resized = MM.resize_media(media, 32, 32, deterministic_fake=True)
+    media = MM.documents_as_png_media(_docs(spark, sf_dir))
+    resized = MM.resize_media(media, 32, 32)
     return resized.groupBy().agg(
         F.count("*").cast("long").alias("f_media"),
         F.sum(F.when(F.col("resized_ok"), 1).otherwise(0))
@@ -949,14 +953,26 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/featurize plumbing with the deterministic fake
-    decoder (codec libs absent → rows-only check)."""
+    """REAL PNG decode (round 7): documents rendered as genuine 16×16
+    grayscale PNGs, decoded by the pure-stdlib codec — the reported
+    f_width/f_height/f_mean_px are actual decoded dimensions and pixel
+    statistics, not metadata echoes (the decoder de-filters scanlines
+    and inflates IDAT; tests/test_png_codec.py proves pixel-exactness
+    against hand-built filtered images). Strict mode — any non-PNG here
+    would raise at the codec seam. Stays rows-only: the feature floats
+    come from Python-side division; dims/means over a mapInPandas round
+    trip are not worth an oracle-side byte-reimplementation."""
     from ..functions import multimodal as MM
 
-    media = MM.documents_as_media(_docs(spark, sf_dir))
-    out = MM.decode_and_featurize(media, deterministic_fake=True)
+    media = MM.documents_as_png_media(_docs(spark, sf_dir))
+    out = MM.decode_and_featurize(media, feat_dim=4)
     return out.select(
-        "media_id", "modality", "decode_ok", F.size("feat").alias("f_dim")
+        "media_id",
+        "modality",
+        "decode_ok",
+        F.element_at("feat", 1).alias("f_width"),
+        F.element_at("feat", 2).alias("f_height"),
+        F.element_at("feat", 4).alias("f_mean_px"),
     )
 
 

@@ -58,11 +58,20 @@ def physical_fv_name(name: str, version: str) -> str:
 def parse_logical_fv_name(logical: str) -> tuple[str, str]:
     """Resolve ``NAME$1.0`` (and the Snowflake-mangled ``NAME$1_0``
     spelling — both appear in the reference's tests,
-    test_feature_store_api.py:128, :178) to (name, version)."""
-    if "$" not in logical:
-        raise ValidationError(f"Not a versioned feature-view name: {logical!r}")
-    name, ver = logical.split("$", 1)
-    return canonical_name(name), ver
+    test_feature_store_api.py:128, :178) to (name, version). The
+    registry-key spelling ``name__v1_0`` is accepted too, so every
+    identifier a user can observe (logical, mangled, physical) reads
+    back the same FV; version-dot vs underscore is normalized at the
+    registry-key layer (store._fv_key)."""
+    if "$" in logical:
+        name, ver = logical.split("$", 1)
+        return canonical_name(name), ver
+    # only the NAME is case-normalized; the version substring keeps its
+    # case (physical_fv_name never case-folds versions)
+    idx = logical.upper().rfind("__V")
+    if idx > 0 and idx + 3 < len(logical):
+        return canonical_name(logical[:idx]), logical[idx + 3 :]
+    raise ValidationError(f"Not a versioned feature-view name: {logical!r}")
 
 
 @dataclass

@@ -252,8 +252,75 @@ def _plan_aggregates(df: DataFrame) -> bool:
     return any(node in plan for node in ("Aggregate [", "Window [", "Deduplicate"))
 
 
+def _top_brackets(line: str) -> list[str]:
+    """Top-level ``[...]`` segments of a plan node's first line (plan
+    text nests brackets inside expressions — only depth-1 groups are the
+    node's argument lists)."""
+    out, depth, start = [], 0, -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                out.append(line[start:i])
+                start = -1
+    return out
+
+
+def _chunk_unsafe_nodes(df: DataFrame, ts: str) -> list[str]:
+    """Inspect the ANALYZED plan for Aggregate/Window/Deduplicate nodes
+    whose grouping keys / partition spec / dedup keys do NOT reference
+    the event-time column ``ts`` — those groups can span a chunk
+    boundary, so per-chunk recomputation silently drops cross-chunk
+    rows from each group.
+
+    The check is a conservative SYNTACTIC inspector: a group keyed by
+    the timestamp (directly or through a derived expression such as
+    ``date_trunc('day', ts)`` or ``window(ts, …)``) is accepted —
+    day-keyed aggregation over day-aligned chunks is the common correct
+    backfill (the caller still owns step/key alignment); a grouping
+    that never mentions ``ts`` (global aggregates, per-user windows,
+    entity-keyed dedup) is reported. The analyzed plan (not the
+    optimized one) is inspected because the optimizer pulls derived
+    grouping expressions into a child Project, hiding the ts reference
+    from the Aggregate node's own line."""
+    import re
+
+    pat = re.compile(rf"(?i)\b{re.escape(ts)}#\d+")
+    bad: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+        name = n.nodeName()
+        if name not in ("Aggregate", "Window", "Deduplicate"):
+            continue
+        first = n.toString().split("\n", 1)[0]
+        brackets = _top_brackets(first)
+        if name == "Window":
+            # Window [exprs], [partitionSpec], [orderSpec]
+            seg = brackets[1] if len(brackets) > 1 else ""
+        else:
+            # Aggregate [grouping], [aggExprs] / Deduplicate [keys]
+            seg = brackets[0] if brackets else ""
+        if not pat.search(seg):
+            bad.append(first.strip())
+    return bad
+
+
 def _max_ts(fs: "FeatureStore", path: str, dt_col: str, ts: str) -> str | None:
-    out = fs.storage.read(fs.spark, path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        out = fs.storage.read(fs.spark, path)
+    except AnalysisException:
+        # a backfill whose every chunk filtered to zero rows never wrote
+        # the path at all — no data means no watermark, not a crash
+        return None
     if ts not in out.columns:
         return None
     row = out.select(F.max(F.col(ts)).alias("m")).collect()[0]
@@ -266,6 +333,7 @@ def backfill_feature_view(
     start: str,
     end: str,
     step_days: int = 1,
+    strict: bool = False,
 ) -> list[str]:
     """Chunked historical materialization: run the FV query one
     [chunk_start, chunk_end) event-time slice at a time and commit each
@@ -290,27 +358,42 @@ def backfill_feature_view(
     same contract Snowflake puts on partitioned backfills). A plan that
     aggregates triggers a WARNING naming this contract; it is not
     rejected because day-keyed aggregation over day chunks is the
-    common, correct case."""
+    common, correct case. With ``strict=True`` the contract is ENFORCED
+    by the ``_chunk_unsafe_nodes`` inspector: every Aggregate/Window/
+    Deduplicate in the plan must key on (an expression of) the event
+    timestamp, else ValidationError — a day-keyed agg passes, a global
+    or entity-only-keyed one raises instead of silently computing
+    per-chunk partial groups."""
     import datetime as _dt
 
     if not fv.timestamp_col:
         raise ValidationError(
             f"backfill needs a timestamp_col on '{fv.logical_name}'"
         )
-    if _plan_aggregates(fs._plan(fv)):
+    ts = {c.upper(): c for c in fs._plan(fv).columns}.get(fv.timestamp_col)
+    if ts is None:
+        raise ValidationError(
+            f"timestamp_col '{fv.timestamp_col}' not in the plan output"
+        )
+    if strict:
+        bad = _chunk_unsafe_nodes(fs._plan(fv), ts)
+        if bad:
+            raise ValidationError(
+                f"backfill(strict=True) on '{fv.logical_name}': these plan "
+                f"nodes group across chunk boundaries (no '{ts}' in their "
+                f"keys) — per-chunk recomputation would emit partial "
+                f"groups: {bad}"
+            )
+    elif _plan_aggregates(fs._plan(fv)):
         import logging
 
         logging.getLogger(__name__).warning(
             "backfill_feature_view('%s'): the plan aggregates — per-chunk "
             "results are only correct if no group spans a chunk boundary "
-            "(groups must be keyed within one %d-day slice, e.g. by day)",
+            "(groups must be keyed within one %d-day slice, e.g. by day); "
+            "pass strict=True to enforce this contract",
             fv.logical_name,
             step_days,
-        )
-    ts = {c.upper(): c for c in fs._plan(fv).columns}.get(fv.timestamp_col)
-    if ts is None:
-        raise ValidationError(
-            f"timestamp_col '{fv.timestamp_col}' not in the plan output"
         )
     path = fs._fv_data_path(fv.name, fv.version)
     d0 = _dt.date.fromisoformat(start)

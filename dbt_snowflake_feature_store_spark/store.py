@@ -562,12 +562,16 @@ class FeatureStore:
         start: str,
         end: str,
         step_days: int = 1,
+        strict: bool = False,
     ) -> list[int | str]:
         """Chunked historical materialization of a managed FV over
         [start, end) (ISO dates): one bounded job per ``step_days``
         slice, committed via dynamic partition overwrite — idempotent
         per chunk, resumable, bounded executor memory at any corpus
-        size. See refresh.backfill_feature_view."""
+        size. ``strict=True`` REJECTS plans whose aggregation/window/
+        dedup keys don't include the event timestamp (those groups span
+        chunk boundaries → silent partial results); the default warns.
+        See refresh.backfill_feature_view."""
         from .refresh import backfill_feature_view
 
         fv = self.get_feature_view(name, version)
@@ -575,7 +579,7 @@ class FeatureStore:
             raise ValidationError(
                 f"Feature view '{fv.logical_name}' is static; nothing to backfill"
             )
-        return backfill_feature_view(self, fv, start, end, step_days)
+        return backfill_feature_view(self, fv, start, end, step_days, strict)
 
     # -- managed refresh --------------------------------------------------
     def refresh(self, name: str, version: str, mode: str | None = None) -> str:
@@ -868,8 +872,11 @@ class FeatureStore:
                         _shutil.rmtree(os.path.join(fv_root, d))
                         finding["repaired"] = True
                     findings.append(finding)
+        ds_paths: set[str] = set()
         for doc in self.registry.list("datasets"):
             path = doc.get("path")
+            if path:
+                ds_paths.add(os.path.abspath(path))
             if path and not os.path.isdir(path):
                 findings.append(
                     {
@@ -879,6 +886,33 @@ class FeatureStore:
                         "path": path,
                     }
                 )
+        # the reverse audit (VERDICT r6 item 8, the cleanup_old_metadata
+        # stale-object scan applied to datasets): data directories under
+        # datasets/<name>/<version> with no registry row are orphans —
+        # reported always, deleted only under repair_orphans, same
+        # opt-in contract as the FV orphan sweep above
+        ds_root = os.path.join(self.root, "datasets")
+        if os.path.isdir(ds_root):
+            for nm in sorted(os.listdir(ds_root)):
+                nd = os.path.join(ds_root, nm)
+                if not os.path.isdir(nd):
+                    continue
+                for ver in sorted(os.listdir(nd)):
+                    p = os.path.join(nd, ver)
+                    if not os.path.isdir(p) or os.path.abspath(p) in ds_paths:
+                        continue
+                    finding = {
+                        "kind": "dataset",
+                        "object": f"{nm}.v{ver}",
+                        "issue": "orphan_data",
+                        "path": p,
+                    }
+                    if repair_orphans:
+                        _shutil.rmtree(p)
+                        finding["repaired"] = True
+                    findings.append(finding)
+                if repair_orphans and os.path.isdir(nd) and not os.listdir(nd):
+                    os.rmdir(nd)
         return findings
 
     def due_for_refresh(self, name: str, version: str) -> bool:

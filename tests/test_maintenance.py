@@ -374,3 +374,78 @@ class TestBackfill:
         )
         with pytest.raises(ValidationError, match="timestamp_col"):
             fs.backfill("bf2_fv", "1", "2024-01-01", "2024-01-02")
+
+    def test_backfill_strict_mode(self, spark, tmp_path):
+        """strict=True enforces the chunk-boundary contract: a DAY-KEYED
+        aggregate passes the inspector (its groups live inside one
+        day-aligned chunk), a GLOBAL / entity-only-keyed aggregate
+        raises ValidationError instead of committing partial groups."""
+        import datetime as dt
+
+        import pytest
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (i, i % 3, base + dt.timedelta(days=i // 2, hours=i % 2), float(i))
+            for i in range(12)
+        ]
+        src = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).write.parquet(src)
+
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="BFS_FS")
+        fs.register_source("BFS_EV", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        mk = lambda nm, sql: fs.register_feature_view(
+            FeatureView(
+                nm, ["user"], sql=sql, timestamp_col="ts",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_SCHEDULE"),
+            ),
+            version="1",
+        )
+
+        # day-keyed agg: groups are within one day -> passes strict
+        mk("day_agg", "SELECT user_id, date_trunc('day', ts) AS ts, "
+                      "SUM(value) AS f_v FROM BFS_EV "
+                      "GROUP BY user_id, date_trunc('day', ts)")
+        done = fs.backfill(
+            "day_agg", "1", "2024-03-01", "2024-03-03", strict=True
+        )
+        assert done == ["2024-03-01", "2024-03-02"]
+        # strict result == the day-keyed recompute (2 days x 3 users, but
+        # only users present that day)
+        got = fs.read_feature_view("DAY_AGG$1")
+        assert got.count() == got.select("user_id", "ts").distinct().count()
+
+        # entity-only-keyed agg (no ts in grouping): raises under strict
+        mk("user_agg", "SELECT user_id, MAX(ts) AS ts, SUM(value) AS f_v "
+                       "FROM BFS_EV GROUP BY user_id")
+        with pytest.raises(ValidationError, match="chunk boundaries"):
+            fs.backfill(
+                "user_agg", "1", "2024-03-01", "2024-03-03", strict=True
+            )
+        # ...but only warns (legacy behavior) without strict
+        fs.backfill("user_agg", "1", "2024-03-01", "2024-03-03")
+
+        # per-user window function: partition spec has no ts -> raises
+        mk("user_win", "SELECT user_id, ts, SUM(value) OVER "
+                       "(PARTITION BY user_id) AS f_tot FROM BFS_EV")
+        with pytest.raises(ValidationError, match="chunk boundaries"):
+            fs.backfill(
+                "user_win", "1", "2024-03-01", "2024-03-03", strict=True
+            )
+
+        # plain row-level plan: nothing groups, strict passes
+        mk("plain", "SELECT user_id, ts, value AS f_v FROM BFS_EV")
+        assert fs.backfill(
+            "plain", "1", "2024-03-01", "2024-03-03", strict=True
+        ) == ["2024-03-01", "2024-03-02"]

@@ -78,6 +78,33 @@ class TestFeatureViews:
         assert df.count() == tables["customer"].count()
         assert set(df.columns) == {"c_custkey", "f_name", "f_acctbal"}
 
+    def test_dual_spelling_resolution(self, fs, tables, customer_entity):
+        """Every identifier a user can observe reads back the SAME FV:
+        the logical ``NAME$1.0``, the Snowflake-mangled ``NAME$1_0``,
+        and the physical/registry ``name__v1_0`` (the reference uses the
+        first two interchangeably, test_feature_store_api.py:128, :178;
+        the third is what appears on disk and in metadata_df)."""
+        fv = FeatureView("customer_features", ["customer"], sql=FV_SQL)
+        fs.register_feature_view(fv, version="1.0")
+        a = fs.read_feature_view("CUSTOMER_FEATURES$1.0")
+        b = fs.read_feature_view("CUSTOMER_FEATURES$1_0")
+        c = fs.read_feature_view("customer_features__v1_0")
+        assert a.columns == b.columns == c.columns
+        rows = sorted(map(tuple, a.collect()))
+        assert rows == sorted(map(tuple, b.collect()))
+        assert rows == sorted(map(tuple, c.collect()))
+        # a name that itself contains __v resolves on the LAST marker
+        fs.register_entity(Entity("part", ["p_partkey"]))
+        fs.register_feature_view(
+            FeatureView(
+                "doc__vault", ["part"],
+                sql="SELECT p_partkey, p_retailprice AS f_p FROM part",
+            ),
+            version="2",
+        )
+        d = fs.read_feature_view("DOC__VAULT__v2")
+        assert d.columns == ["p_partkey", "f_p"]
+
     def test_metadata_object_form(self, fs, tables, customer_entity):
         """Canonical entities are OBJECTS {name, joinKeys} — the structure
         the reference's newest artifacts require (SURVEY.md §1.2;

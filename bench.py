@@ -93,6 +93,12 @@ HEADLINE = [
     "q_sample_to_mix",
     "q_dedup_cross_source",
     "q_pack_bfd",
+    # round-7 additions: nation-pair bilateral fact join (Q7), six-way
+    # snowflake ratio aggregate (Q8), gram-grain first-seen novelty
+    # (high-cardinality min-agg + count-back join)
+    "q_tpch_q7like",
+    "q_tpch_q8like",
+    "q_ngram_novelty",
 ]
 
 

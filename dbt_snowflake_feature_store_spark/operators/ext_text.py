@@ -633,6 +633,50 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY — the fraction of a document's distinct
+    word-3-grams that first appear in that document (corpus order =
+    doc_id): the incremental-crawl freshness metric a training-data
+    pipeline uses to decide whether a newly scraped doc adds anything
+    beyond boilerplate already seen. 1.0 = all-new content; near 0 =
+    the doc is stitched from already-crawled phrases. The gram-grain
+    complement of q_dedup_chunks' span accounting.
+
+    Scale: per-doc DISTINCT pre-shrinks the exploded gram stream before
+    the global first-seen aggregation; the min(doc_id) agg map-side
+    combines; the count-back join shuffles on the high-cardinality gram
+    key (AQE handles boilerplate skew); the ratio is one final double
+    division of exact BIGINTs. Linear in corpus grams, no all-pairs."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("f_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+            ).cast("long").alias("f_novel"),
+        )
+        .withColumn(
+            "f_novelty",
+            F.col("f_novel").cast("double") / F.col("f_grams").cast("double"),
+        )
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: the K hash-smallest docs per
     language — the training-mix balancer (equal per-stratum quota, no
@@ -1461,6 +1505,31 @@ ORACLE["q_contamination"] = f"""
     GROUP BY g.doc_id
 """
 
+ORACLE["q_ngram_novelty"] = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - 2),
+                          i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+                       AS gram
+            FROM tok WHERE len(t) >= 3
+        )
+    ),
+    first AS (SELECT gram, MIN(doc_id) AS _first FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS f_grams,
+           CAST(SUM(CASE WHEN g.doc_id = f._first THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_novel,
+           CAST(SUM(CASE WHEN g.doc_id = f._first THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS f_novelty
+    FROM grams g JOIN first f USING (gram)
+    GROUP BY g.doc_id
+"""
+
 ORACLE["q_pii_scan"] = """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
@@ -1783,6 +1852,7 @@ QUERIES = {
     "q_token_rarity": q_token_rarity,
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
+    "q_ngram_novelty": q_ngram_novelty,
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_bfd": q_pack_bfd,

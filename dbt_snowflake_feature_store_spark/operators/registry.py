@@ -35,6 +35,9 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_dedup_clusters", "q_corpus_dedup_stats", "q_dedup_near_portable",
     # the multimodal decode path gained a real PNG codec this round
     "q_multimodal_decode",
+    # NEW round-7 keys (relational3 TPC-H shapes + ngram novelty)
+    "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like", "q_tpch_q22like",
+    "q_ngram_novelty",
     # part 2: the 33 keys whose latest driver record is r04 (VERDICT r6
     # item 1) — relational.py/pit.py-adjacent ones first (those files
     # changed in r6 after the r4 record)
@@ -75,6 +78,12 @@ def _try_ext_modules() -> None:
         from . import ext_text
 
         ordered.append(ext_text)
+    except ImportError:
+        pass
+    try:
+        from . import relational3
+
+        ordered.append(relational3)
     except ImportError:
         pass
     _MODULES = ordered + [m for m in [relational2, relational] if m not in ordered]

@@ -1,0 +1,309 @@
+"""Relational query surface, part 3 — round-7 TPC-H-shape closure keys.
+
+Same contract as ``relational.py``/``relational2.py``: DataFrame-first
+Spark implementations with DuckDB oracle twins (identical aliases both
+sides, decimal-exact double aggregation, deterministic output). These
+add the remaining classic TPC-H join/aggregate shapes expressible over
+the driver's tables (no partsupp → Q2/Q11/Q16/Q20 are out of reach):
+the nation-pair volume join (Q7), the market-share ratio (Q8), the
+promo-revenue ratio (Q14), and the scalar-subquery + anti-join customer
+audit (Q22) — all plan shapes the reference's arbitrary-SELECT
+feature-view bodies imply
+(/root/reference/macros/materializations/feature_view.sql:126, :192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# revenue operands at DECIMAL(15,4): the product lands at (32,8) — exact
+# on both engines; a (28,6)×(28,6) product exceeds p38 and Spark silently
+# reduces its scale (CLAUDE.md invariant)
+def _rev() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(15,4)")
+        * (
+            F.lit(1).cast("decimal(15,4)")
+            - F.col("l_discount").cast("decimal(15,4)")
+        )
+    ).cast(_DEC)
+
+
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(15,4))"
+    " * (CAST(1 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4)))"
+    " AS DECIMAL(28,6))"
+)
+
+
+def q_tpch_q7like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — lineitem ⋈ orders ⋈ customer ⋈ supplier with BOTH
+    endpoint nations resolved and the (supp, cust) pair filtered in
+    either direction.
+
+    Scale: the nation-key filters reduce supplier/customer BEFORE the
+    fact joins (predicate pushdown into the dim scans); supplier and
+    nation broadcast; the two fact joins shuffle on their natural keys
+    (orderkey, custkey); the final agg key (two nations × years) is
+    tiny and map-side combinable. The pair filter is applied on the
+    nationkey INTs, not names — names join in only for output."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(1, 2)
+    )
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2))
+            | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+        )
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "f_supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(
+                n.withColumnRenamed("n_name", "f_cust_nation").withColumnRenamed(
+                    "n_nationkey", "n2_nationkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n2_nationkey"),
+        )
+    )
+    return joined.groupBy(
+        "f_supp_nation",
+        "f_cust_nation",
+        F.year("l_shipdate").cast("long").alias("f_year"),
+    ).agg(
+        F.sum(_rev()).cast("double").alias("f_volume"),
+        F.count("*").cast("long").alias("f_items"),
+    )
+
+
+def q_tpch_q8like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's market share of PROMO-part
+    revenue sold to ASIA-region customers, per order year — the
+    conditional-numerator / total-denominator ratio aggregate.
+
+    Scale: part (type filter) and the nation/region dims broadcast;
+    customer pre-filters to one region before joining the fact; both
+    decimal sums come out of ONE aggregation pass (no second scan for
+    the denominator); the ratio is a final DOUBLE division of exact
+    decimal sums (IEEE division of identical operands — deterministic
+    cross-engine)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.join(
+        F.broadcast(r), n.n_regionkey == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("f_year")
+    ).agg(
+        F.sum(F.when(F.col("s_nationkey") == 2, _rev()).otherwise(
+            F.lit(0).cast(_DEC)
+        )).alias("_nat"),
+        F.sum(_rev()).alias("_all"),
+    )
+    return agg.select(
+        "f_year",
+        F.col("_nat").cast("double").alias("f_nation_volume"),
+        F.col("_all").cast("double").alias("f_total_volume"),
+        (F.col("_nat").cast("double") / F.col("_all").cast("double")).alias(
+            "f_mkt_share"
+        ),
+    )
+
+
+def q_tpch_q14like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one ship month —
+    conditional revenue over total revenue, part dim broadcast, the
+    month filter pushed to the lineitem scan. One aggregation pass
+    produces both sums; the percentage is a final double division."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).alias("_promo"),
+        F.sum(_rev()).alias("_all"),
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("f_promo_revenue"),
+        F.col("_all").cast("double").alias("f_total_revenue"),
+        (
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_all").cast("double")
+        ).alias("f_promo_pct"),
+    )
+
+
+def q_tpch_q22like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global
+    average balance with no RECENT order (none since 2000-01-01 — the
+    driver corpus gives every customer SOME order, so Q22's literal
+    never-ordered set is empty; the date-filtered anti join keeps the
+    identical plan shape non-vacuous), grouped by a name-derived code —
+    scalar aggregate subquery + LEFT ANTI join + group count.
+
+    Scale: the scalar aggregate is a one-row broadcast (Catalyst
+    rewrites the subquery); the anti join shuffles customer against the
+    o_custkey projection only (2 columns scanned from orders); the
+    group key (two name digits) is tiny.
+
+    Exactness: the above-average filter is spelled MULTIPLICATIVELY —
+    ``bal · n_pos > sum_pos`` — because an actual AVG would divide
+    (Spark: DECIMAL with engine-chosen result scale, DuckDB: DOUBLE)
+    and a threshold FEEDING A FILTER must never carry an
+    engine-dependent rounding (CLAUDE.md invariant). All three operands
+    stay exact decimals on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    tot = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("_sum"),
+        F.count("*").cast("decimal(10,0)").alias("_n"),
+    )
+    cand = (
+        c.join(F.broadcast(tot))
+        .filter(
+            F.col("c_acctbal").cast("decimal(15,4)") * F.col("_n")
+            > F.col("_sum")
+        )
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return cand.groupBy(
+        F.expr("substr(c_name, length(c_name) - 1, 2)").alias("f_code")
+    ).agg(
+        F.count("*").cast("long").alias("f_numcust"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("f_totacctbal"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_tpch_q7like": f"""
+        SELECT sn.n_name AS f_supp_nation,
+               cn.n_name AS f_cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS f_year,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS f_volume,
+               CAST(COUNT(*) AS BIGINT) AS f_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((s.s_nationkey = 1 AND c.c_nationkey = 2)
+            OR (s.s_nationkey = 2 AND c.c_nationkey = 1))
+        GROUP BY sn.n_name, cn.n_name, f_year
+    """,
+    "q_tpch_q8like": f"""
+        WITH agg AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS f_year,
+                   SUM(CASE WHEN s.s_nationkey = 2 THEN {_REV_SQL}
+                            ELSE CAST(0 AS DECIMAL(28,6)) END) AS _nat,
+                   SUM({_REV_SQL}) AS _all
+            FROM lineitem l
+            JOIN part p     ON l.l_partkey = p.p_partkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+            GROUP BY f_year
+        )
+        SELECT f_year,
+               CAST(_nat AS DOUBLE) AS f_nation_volume,
+               CAST(_all AS DOUBLE) AS f_total_volume,
+               CAST(_nat AS DOUBLE) / CAST(_all AS DOUBLE) AS f_mkt_share
+        FROM agg
+    """,
+    "q_tpch_q14like": f"""
+        WITH agg AS (
+            SELECT SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                            ELSE CAST(0 AS DECIMAL(28,6)) END) AS _promo,
+                   SUM({_REV_SQL}) AS _all
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        )
+        SELECT CAST(_promo AS DOUBLE) AS f_promo_revenue,
+               CAST(_all AS DOUBLE) AS f_total_revenue,
+               100.0 * CAST(_promo AS DOUBLE) / CAST(_all AS DOUBLE)
+                   AS f_promo_pct
+        FROM agg
+    """,
+    "q_tpch_q22like": """
+        WITH tot AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS _sum,
+                   CAST(COUNT(*) AS DECIMAL(10,0)) AS _n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT substr(c_name, length(c_name) - 1, 2) AS f_code,
+               CAST(COUNT(*) AS BIGINT) AS f_numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   AS f_totacctbal
+        FROM customer c, tot
+        WHERE CAST(c_acctbal AS DECIMAL(15,4)) * _n > _sum
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY f_code
+    """,
+}
+
+QUERIES = {
+    "q_tpch_q7like": q_tpch_q7like,
+    "q_tpch_q8like": q_tpch_q8like,
+    "q_tpch_q14like": q_tpch_q14like,
+    "q_tpch_q22like": q_tpch_q22like,
+}

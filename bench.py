@@ -99,6 +99,7 @@ HEADLINE = [
     "q_tpch_q7like",
     "q_tpch_q8like",
     "q_ngram_novelty",
+    "q_embed_covariance",
 ]
 
 

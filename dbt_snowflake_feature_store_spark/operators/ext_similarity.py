@@ -251,6 +251,71 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the leading 16 embedding dimensions —
+    the drift/whitening statistic an embedding pipeline computes before
+    PCA or quantizer training. One pass, fully distributed: each vector
+    emits its upper-triangle outer-product terms row-locally (codegen'd
+    HOFs over a materialized micro-int array — no UDF), the (i, j) sums
+    are map-side combinable on a 136-key agg, and the 16 per-dim sums
+    broadcast back. No vector ever meets another vector: cost is
+    n·d²/2 products, zero self-joins — the sufficient-statistics form
+    that survives 100 TB (and the mergeable form incremental refresh
+    needs).
+
+    Exactness: floats → micro-unit BIGINTs via the floor(x·1e6 + 0.5)
+    portable rounding; products summed as DECIMAL (order-independent);
+    cov = (n·Σxy − Σx·Σy) / n² descaled by 1e12 with one final double
+    division — identical operand sequence both engines. Per-dim sums at
+    DECIMAL(18,0) keep the Σx·Σy product ≤ p38 (no silent Spark scale
+    loss)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(slice(embedding, 1, 16),"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))"
+        ).alias("em"),
+    )
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(em, (x, i) ->"
+                " transform(slice(em, i + 1, 16 - i),"
+                " (y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(28,0)")).alias("_sxy"),
+        F.count("*").cast("decimal(10,0)").alias("_n"),
+    )
+    dims = (
+        e.select(F.posexplode("em").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast("decimal(18,0)")).alias("_s"))
+    )
+    di = dims.select(F.col("i").alias("_di"), F.col("_s").alias("_sx"))
+    dj = dims.select(F.col("i").alias("_dj"), F.col("_s").alias("_sy"))
+    out = (
+        sums.join(F.broadcast(di), sums["i"] == di["_di"])
+        .join(F.broadcast(dj), sums["j"] == dj["_dj"])
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    return out.select(
+        F.col("i").cast("long").alias("f_i"),
+        F.col("j").cast("long").alias("f_j"),
+        F.col("_sxy").cast("double").alias("f_sxy"),
+        (
+            num.cast("double")
+            / (
+                F.col("_n").cast("double")
+                * F.col("_n").cast("double")
+                * F.lit(1000000000000.0)
+            )
+        ).alias("f_cov"),
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates via LSH buckets (approx →
     rows-only). Top-50 highest-cosine bucket pairs above a 0.0 floor,
@@ -364,6 +429,39 @@ def q_text_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_embed_covariance": """
+        WITH em AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:16],
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)) AS em
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT t.i AS i, s.j AS j,
+                   SUM(CAST(em[t.i + 1] * em[s.j + 1] AS DECIMAL(28,0)))
+                       AS _sxy,
+                   CAST(COUNT(*) AS DECIMAL(10,0)) AS _n
+            FROM em, range(0, 16) t(i), range(0, 16) s(j)
+            WHERE s.j >= t.i
+            GROUP BY t.i, s.j
+        ),
+        dims AS (
+            SELECT t.i AS i,
+                   SUM(CAST(em[t.i + 1] AS DECIMAL(18,0))) AS _s
+            FROM em, range(0, 16) t(i)
+            GROUP BY t.i
+        )
+        SELECT CAST(su.i AS BIGINT) AS f_i,
+               CAST(su.j AS BIGINT) AS f_j,
+               CAST(su._sxy AS DOUBLE) AS f_sxy,
+               CAST(su._n * su._sxy - d1._s * d2._s AS DOUBLE)
+                   / (CAST(su._n AS DOUBLE) * CAST(su._n AS DOUBLE)
+                      * 1000000000000.0) AS f_cov
+        FROM sums su
+        JOIN dims d1 ON su.i = d1.i
+        JOIN dims d2 ON su.j = d2.i
+    """,
     # _WS_COUNT imported below (module bottom) from ext_text — ONE
     # spelling of the whitespace token count feeds every oracle
     "q_text_embed_join": """
@@ -546,6 +644,7 @@ QUERIES = {
     "q_knn_join": q_knn_join,
     "q_embed_centroid": q_embed_centroid,
     "q_embed_quantize": q_embed_quantize,
+    "q_embed_covariance": q_embed_covariance,
     "q_sim_topk_fast": q_sim_topk_fast,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ivf": q_sim_ivf,

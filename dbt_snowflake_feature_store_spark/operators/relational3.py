@@ -225,7 +225,42 @@ def q_tpch_q22like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist, ntile —
+    each line item ranked by price WITHIN ITS ORDER. The window
+    partitions on the HIGH-CARDINALITY l_orderkey (bounded ~4 rows per
+    partition), never on a handful of strata: per-stratum global ranks
+    are the single-task-sort scale killer the two-phase top-K keys
+    exist to avoid (tests/test_scale_plans.py), so the per-entity form
+    is the one that ships. Determinism: the (price, linenumber) order
+    key is unique per partition → no peers → percent_rank/cume_dist are
+    exact integer ratios and ntile splits are stable."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_extendedprice", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.percent_rank().over(w).alias("f_prank"),
+        F.cume_dist().over(w).alias("f_cume"),
+        F.ntile(4).over(w).cast("long").alias("f_quartile"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_window_percentile": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               percent_rank() OVER w AS f_prank,
+               cume_dist() OVER w AS f_cume,
+               CAST(ntile(4) OVER w AS BIGINT) AS f_quartile
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_extendedprice, l_linenumber)
+    """,
     "q_tpch_q7like": f"""
         SELECT sn.n_name AS f_supp_nation,
                cn.n_name AS f_cust_nation,
@@ -306,4 +341,5 @@ QUERIES = {
     "q_tpch_q8like": q_tpch_q8like,
     "q_tpch_q14like": q_tpch_q14like,
     "q_tpch_q22like": q_tpch_q22like,
+    "q_window_percentile": q_window_percentile,
 }

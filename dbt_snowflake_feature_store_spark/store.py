@@ -555,6 +555,68 @@ class FeatureStore:
         )
         return df.drop("_fs_dt") if "_fs_dt" in df.columns else df
 
+    def feature_view_changes(
+        self,
+        name: str,
+        version: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Change feed between two states of a managed FV — the engine-
+        side analog of Delta's Change Data Feed / a Dynamic Table's
+        refresh delta: every row that differs between retained snapshot
+        ``from_snapshot`` and ``to_snapshot`` (``None`` = the current
+        table), labeled in ``_change_type`` with the Delta CDF
+        vocabulary: ``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage``.
+
+        Row-level semantics: the diff is an exact row MULTISET
+        difference (``exceptAll`` both ways — duplicate rows count);
+        rows whose entity key appears on BOTH sides of the diff are
+        labeled updates (pre/post), keys on one side only are plain
+        inserts/deletes. For FVs whose entity key is not unique per row
+        (timestamped histories), update labeling is key-grain: any
+        changed key's rows are all pre/postimage.
+
+        Scale: two exceptAll anti-diffs (one shuffle each on the full
+        row hash), one DISTINCT key intersection (shuffles only the
+        already-diffed rows — the delta, not the table), and broadcast
+        semi/anti labeling of the delta against the changed-key set."""
+        fv = self.get_feature_view(name, version)
+        old = self.read_feature_view_snapshot(name, version, from_snapshot)
+        new = (
+            self.read_feature_view_snapshot(name, version, to_snapshot)
+            if to_snapshot is not None
+            else self.read_feature_view(fv)
+        )
+        new = new.select(old.columns)
+        from .refresh import _merge_keys
+
+        keys = _merge_keys(self, fv, old)
+        if not keys:
+            raise ValidationError(
+                f"feature_view_changes('{fv.logical_name}'): no entity join "
+                "keys present in the FV output"
+            )
+        added = new.exceptAll(old)
+        removed = old.exceptAll(new)
+        upd_keys = (
+            added.select(keys).intersect(removed.select(keys))
+        )  # DISTINCT by construction (intersect is set semantics)
+        post = added.join(F.broadcast(upd_keys), keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = added.join(F.broadcast(upd_keys), keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        pre = removed.join(F.broadcast(upd_keys), keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        dele = removed.join(F.broadcast(upd_keys), keys, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return post.unionAll(ins).unionAll(pre).unionAll(dele)
+
     def backfill(
         self,
         name: str,

@@ -449,3 +449,106 @@ class TestBackfill:
         assert fs.backfill(
             "plain", "1", "2024-03-01", "2024-03-03", strict=True
         ) == ["2024-03-01", "2024-03-02"]
+
+
+class TestChangeFeed:
+    def test_feature_view_changes_cdc(self, spark, tmp_path):
+        """feature_view_changes labels the row diff between a retained
+        snapshot and the current table with the Delta-CDF vocabulary:
+        unchanged rows absent, new keys insert, vanished keys delete,
+        changed keys update_preimage/update_postimage."""
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "user_id long, v double"
+        ).write.mode("overwrite").parquet(src)
+        fs = FeatureStore(
+            spark, str(tmp_path / "root"), name="CDC_FS", snapshot_history=2
+        )
+        fs.register_source("CDC_SRC", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "cdc_fv", ["user"],
+                sql="SELECT user_id, v AS f_v FROM CDC_SRC",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        # new state: user 2 changed, user 3 gone, user 4 new
+        spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (4, 40.0)], "user_id long, v double"
+        ).write.mode("overwrite").parquet(src)
+        fs.refresh("cdc_fv", "1")
+        snaps = fs.list_feature_view_snapshots("cdc_fv", "1")
+        assert snaps == [1]
+
+        rows = fs.feature_view_changes("cdc_fv", "1", from_snapshot=1).collect()
+        got = {(r["user_id"], r["f_v"], r["_change_type"]) for r in rows}
+        assert got == {
+            (4, 40.0, "insert"),
+            (3, 30.0, "delete"),
+            (2, 20.0, "update_preimage"),
+            (2, 99.0, "update_postimage"),
+        }
+        # unchanged user 1 appears nowhere
+        assert all(r["user_id"] != 1 for r in rows)
+
+    def test_changes_between_two_snapshots_and_errors(self, spark, tmp_path):
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(1, 1.0)], "user_id long, v double").write.mode(
+            "overwrite"
+        ).parquet(src)
+        fs = FeatureStore(
+            spark, str(tmp_path / "root"), name="CDC2_FS", snapshot_history=3
+        )
+        fs.register_source("CDC2_SRC", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "c2_fv", ["user"],
+                sql="SELECT user_id, v AS f_v FROM CDC2_SRC",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        spark.createDataFrame([(1, 2.0)], "user_id long, v double").write.mode(
+            "overwrite"
+        ).parquet(src)
+        fs.refresh("c2_fv", "1")
+        spark.createDataFrame([(1, 3.0)], "user_id long, v double").write.mode(
+            "overwrite"
+        ).parquet(src)
+        fs.refresh("c2_fv", "1")
+        # snapshot 1 = v1.0 state, snapshot 2 = v2.0 state, current = 3.0
+        rows = fs.feature_view_changes(
+            "c2_fv", "1", from_snapshot=1, to_snapshot=2
+        ).collect()
+        got = {(r["f_v"], r["_change_type"]) for r in rows}
+        assert got == {(1.0, "update_preimage"), (2.0, "update_postimage")}
+        # identical states -> empty feed
+        assert fs.feature_view_changes(
+            "c2_fv", "1", from_snapshot=2, to_snapshot=2
+        ).count() == 0
+        # static FV refuses (no snapshots)
+        fs.register_feature_view(
+            FeatureView("s_fv", ["user"],
+                        sql="SELECT user_id, v AS f_v FROM CDC2_SRC"),
+            version="1",
+        )
+        with pytest.raises(ValidationError, match="static"):
+            fs.feature_view_changes("s_fv", "1", from_snapshot=1)

@@ -277,6 +277,63 @@ class TestStreamingIncremental:
             assert k in expected, k
             assert expected[k] == (r["s_end"], r["f_events"]), k
 
+    def test_interval_join_streaming_matches_batch(self, fs, spark, split_events):
+        """Watermarked STREAM-STREAM interval join (SURVEY §2.D): each
+        click joined to the same user's errors within the following 10
+        minutes — two watermarked streaming sources, append-mode inner
+        join with a time-range condition (state bounded by the
+        watermark). The availableNow result must equal the batch range
+        join row-for-row, exactly once."""
+        fs.register_source(
+            "S_CLK", split_events["src"],
+            watermark_col="ts", watermark_delay="2 hours",
+        )
+        fs.register_source(
+            "S_ERR", split_events["src"],
+            watermark_col="ts", watermark_delay="2 hours",
+        )
+        fs.register_entity(Entity("juser", ["user_id"]))
+        fv = FeatureView(
+            "clk_err_join",
+            ["juser"],
+            sql="""SELECT a.user_id, a.event_id AS click_id,
+                          b.event_id AS err_id,
+                          a.ts AS click_ts, b.ts AS err_ts
+                   FROM (SELECT * FROM S_CLK WHERE event_type = 'click') a
+                   JOIN (SELECT * FROM S_ERR WHERE event_type = 'error') b
+                     ON a.user_id = b.user_id
+                    AND b.ts >= a.ts
+                    AND b.ts <= a.ts + INTERVAL 10 MINUTES""",
+            timestamp_col="click_ts",
+            refresh=RefreshSpec("1 hour", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        _arrive_half2(split_events)
+        mode = fs.refresh("clk_err_join", "1.0")
+        assert mode == "INCREMENTAL"
+        out = fs.read_feature_view("CLK_ERR_JOIN$1.0")
+
+        ev = spark.read.parquet(split_events["src"])
+        clk = ev.filter("event_type = 'click'").select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        err = ev.filter("event_type = 'error'").select(
+            F.col("user_id").alias("u2"), F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        batch = clk.join(
+            err,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("err_ts") >= F.col("click_ts"))
+            & (F.col("err_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).select("user_id", "click_id", "err_id", "click_ts", "err_ts")
+
+        got = sorted(map(tuple, out.select(*batch.columns).collect()))
+        want = sorted(map(tuple, batch.collect()))
+        assert got, "interval join emitted nothing"
+        assert got == want  # exactly-once, row-for-row
+
     def test_auto_downgrades_to_full(self, fs, spark, split_events):
         fs.register_source("STREAM_EVENTS_A", split_events["src"])
         fs.register_entity(Entity("user", ["user_id"]))

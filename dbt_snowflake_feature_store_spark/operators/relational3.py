@@ -251,6 +251,35 @@ def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (functions/sketches.py):
+    per-event-type approx distinct users from per-(type, day) sketches
+    ROLLED UP across days — the incremental-refresh form (each refresh
+    sketches only new days; any range query unions kilobyte sketches
+    instead of rescanning events). Emits the estimate, the exact count,
+    and the absolute error so the driver's rows-only record still
+    witnesses accuracy. No oracle: DuckDB's approx_count_distinct is a
+    different sketch — pytest gates the 5% bound, merge algebra, and
+    layout invariance (tests/test_sketches.py)."""
+    from ..functions import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    daily = SK.distinct_over_time(ev, "event_type", "user_id")
+    est = SK.hll_rollup(daily, ["event_type"]).select(
+        "event_type", F.col("approx_distinct").alias("f_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("f_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "f_approx",
+        "f_exact",
+        F.abs(F.col("f_approx") - F.col("f_exact")).alias("f_abs_err"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "q_window_percentile": """
         SELECT l_orderkey, l_linenumber, l_extendedprice,
@@ -342,4 +371,5 @@ QUERIES = {
     "q_tpch_q14like": q_tpch_q14like,
     "q_tpch_q22like": q_tpch_q22like,
     "q_window_percentile": q_window_percentile,
+    "q_approx_distinct_sketch": q_approx_distinct_sketch,
 }

@@ -1,0 +1,119 @@
+"""Scale-safe GLOBAL ordering primitives.
+
+``Window.orderBy(...)`` with no partition key puts the entire table in
+ONE task (`WindowExec: No Partition Defined`) — the classic Spark scale
+killer. The distributed spelling is two-phase:
+
+1. ``repartitionByRange`` on the order key (sampled range exchange —
+   every partition holds a contiguous key range, partitions sort in
+   parallel),
+2. local ``row_number`` per range partition, shifted by the exclusive
+   prefix-sum of partition sizes (one bounded P-row collect — P =
+   shuffle partitions, never data rows).
+
+With a TOTAL order (unique tiebreak) the result is the exact global
+``ROW_NUMBER() OVER (ORDER BY …)``, independent of partition boundaries
+— which is what makes it oracle-checkable (q_global_rank).
+
+Reference frame: Snowflake parallelizes global ORDER BY internally; on
+Spark the engine must spell it, so the feature store ships it as a
+primitive (used for corpus-wide priority ranks, global quantile cuts,
+deterministic dataset sharding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ranked(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """(globally ranked frame, total rows). ONE range exchange total:
+    after ``repartitionByRange`` + ``sortWithinPartitions``, the local
+    sequence number comes from ``monotonically_increasing_id`` — whose
+    documented layout is ``partitionId·2³³ + record number``, assigned
+    in stream order over the sorted partition (the nondeterministic
+    expression is never reordered below the sort) — so no Window node,
+    no second exchange on the partition id. ``localCheckpoint`` pins
+    the sampled range boundaries so the size collect and the ranked
+    output see the SAME partitioning (repartitionByRange re-samples per
+    action otherwise); AQE may coalesce ADJACENT ranges — harmless,
+    both passes see the coalesced layout."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = (
+        df.repartitionByRange(int(parts), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_fs_pid", F.spark_partition_id())
+        .withColumn("_fs_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    # bounded: P rows, not data rows
+    sizes = {
+        r["_fs_pid"]: r["n"]
+        for r in ranged.groupBy("_fs_pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = F.col("_fs_mid") - F.col("_fs_pid").cast("long") * F.lit(1 << 33)
+    out = ranged.withColumn(
+        out_col, (local + off[F.col("_fs_pid")] + 1).cast("long")
+    ).drop("_fs_pid", "_fs_mid")
+    return out, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    out_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number by ``order`` (must be a TOTAL
+    order — include a unique tiebreak — or ranks within ties follow the
+    range-partition layout). No single-task sort anywhere: the widest
+    stage is a per-range-partition local sort; driver traffic is one
+    P-row size collect."""
+    out, _ = _ranked(df, order, out_col, num_partitions)
+    return out
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    n: int,
+    out_col: str = "global_bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global n-quantile bucket (1..n) by ``order`` — ntile over
+    the whole table without a global window. Matches SQL ``NTILE(n)
+    OVER (ORDER BY …)``: the first ``total % n`` buckets get one extra
+    row. The total comes from the rank pass's P-row size collect — a
+    driver-side int, NOT an unpartitioned max() window (which would
+    re-introduce the single-task stage this module exists to avoid)."""
+    if n < 1:
+        raise ValueError(f"global_ntile: n must be >= 1, got {n}")
+    ranked, total = _ranked(df, order, "_fs_grank", num_partitions)
+    q, r = divmod(total, n)
+    cut = r * (q + 1)  # rows in the first r (larger) buckets
+    rank0 = F.col("_fs_grank") - 1
+    if q == 0:
+        bucket = rank0 + 1  # fewer rows than buckets: one row per bucket
+    else:
+        bucket = F.when(
+            rank0 < cut, F.floor(rank0 / F.lit(q + 1)) + 1
+        ).otherwise(F.floor((rank0 - cut) / F.lit(q)) + r + 1)
+    return ranked.withColumn(out_col, bucket.cast("long")).drop("_fs_grank")

@@ -280,7 +280,67 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL row number over the whole table — the operation
+    Spark's own `Window.orderBy()` (no partition) executes in a single
+    task. functions/ranks.global_row_number spells it distributed:
+    range exchange on the order key, parallel per-partition local
+    sorts, prefix-sum offsets from a bounded P-row collect. Unique
+    (price, orderkey, linenumber) tiebreak ⇒ identical to SQL
+    ROW_NUMBER() OVER (ORDER BY …) — oracle-gated; the no-single-task
+    plan shape is asserted in tests/test_scale_plans.py."""
+    from ..functions.ranks import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return global_row_number(
+        li,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        out_col="f_rank",
+    )
+
+
+def q_global_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global NTILE(7) by order value without a global window
+    (functions/ranks.global_ntile — driver-side total from the P-row
+    size collect, arithmetic bucketing). Output: per-bucket count and
+    value range — the global quantile-cut table a dataset sharder uses."""
+    from ..functions.ranks import global_ntile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = global_ntile(
+        o, ["o_totalprice", "o_orderkey"], 7, out_col="f_bucket"
+    )
+    return b.groupBy("f_bucket").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.min("o_totalprice").alias("f_lo"),
+        F.max("o_totalprice").alias("f_hi"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_global_rank": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS BIGINT) AS f_rank
+        FROM lineitem
+    """,
+    "q_global_ntile": """
+        WITH b AS (
+            SELECT o_totalprice,
+                   NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS f_bucket
+            FROM orders
+        )
+        SELECT CAST(f_bucket AS BIGINT) AS f_bucket,
+               CAST(COUNT(*) AS BIGINT) AS f_n,
+               MIN(o_totalprice) AS f_lo,
+               MAX(o_totalprice) AS f_hi
+        FROM b GROUP BY f_bucket
+    """,
     "q_window_percentile": """
         SELECT l_orderkey, l_linenumber, l_extendedprice,
                percent_rank() OVER w AS f_prank,
@@ -372,4 +432,6 @@ QUERIES = {
     "q_tpch_q22like": q_tpch_q22like,
     "q_window_percentile": q_window_percentile,
     "q_approx_distinct_sketch": q_approx_distinct_sketch,
+    "q_global_rank": q_global_rank,
+    "q_global_ntile": q_global_ntile,
 }

@@ -277,3 +277,83 @@ def test_event_dedup_single_shuffle_one_window(spark):
     # bonus: Spark inserts a map-side WindowGroupLimit (rank<=1 prune)
     # BEFORE the exchange — only burst winners shuffle, not every event
     assert "WindowGroupLimit" in final
+
+
+# ---------------------------------------------------------------------------
+# global_row_number / global_ntile: distributed global ordering (round 7)
+# ---------------------------------------------------------------------------
+
+def test_global_rank_no_single_task_window(spark):
+    """The global rank runs NO window at all (a fortiori no
+    unpartitioned one-task global sort): the monotonic-id spelling's
+    only data movement is the range exchange inside the checkpoint job
+    — parallel per-range local sorts, then pure projections."""
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        global_row_number,
+    )
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = global_row_number(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "f_rank"
+    )
+    plan = _executed_plan(out)
+    # no Window node and no single-partition exchange anywhere: the
+    # local sequence comes from monotonically_increasing_id over the
+    # sorted range partitions
+    assert "Window [" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_global_rank_layout_invariant(spark):
+    """Identical ranks for identical data under different input
+    layouts — the prefix-sum offsets depend only on the range bounds,
+    and the total order pins every tie."""
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        global_row_number,
+    )
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    # the synthetic lineitem contains FULL-ROW duplicates, so compare
+    # output MULTISETS (identical rows receive the same contiguous rank
+    # block under any layout), not per-key dicts
+    a = sorted(
+        map(tuple, global_row_number(li.repartition(3), order, "f_rank").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            global_row_number(
+                li.repartition(17, "l_orderkey"), order, "f_rank",
+                num_partitions=5,
+            ).collect(),
+        )
+    )
+    assert a == b
+    ranks = sorted(r[-1] for r in a)
+    assert ranks == list(range(1, len(a) + 1))
+
+
+def test_global_ntile_small_inputs(spark):
+    """Edge cases: fewer rows than buckets (one row per bucket, SQL
+    semantics) and the uneven-split row distribution."""
+    from dbt_snowflake_feature_store_spark.functions.ranks import global_ntile
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, v double")
+    got = {
+        r["id"]: r["b"]
+        for r in global_ntile(df, ["v", "id"], 7, out_col="b").collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5}
+    # 5 rows, 3 buckets -> sizes 2,2,1
+    got3 = [
+        r["b"] for r in global_ntile(df, ["v", "id"], 3, out_col="b")
+        .orderBy("v").collect()
+    ]
+    assert got3 == [1, 1, 2, 2, 3]

@@ -100,6 +100,10 @@ HEADLINE = [
     "q_tpch_q8like",
     "q_ngram_novelty",
     "q_embed_covariance",
+    # round-7: iterative driver-coordinated cost class — 20 BPE merge
+    # rounds on the word dictionary (corpus pass only for the count);
+    # wall-clock is round-trip-bound, scale-independent past the count
+    "q_bpe_train",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016).
+
+The tokenizer-training step of an LLM data pipeline, spelled for Spark's
+execution model. The classic algorithm never iterates over the corpus:
+it iterates over the WORD-FREQUENCY DICTIONARY. So the corpus-sized work
+here is exactly one distributed word count (one shuffle over the token
+stream); every merge round after that runs on the |vocab|-row dictionary
+— an adjacent-pair count (map-side combinable agg), a 1-row argmax
+collect, and a row-local fold applying the merge. 100 TB of text, same
+20 cheap rounds.
+
+Everything is native Spark exprs — the merge application is an
+``aggregate`` higher-order fold (greedy left-to-right non-overlapping,
+the standard BPE semantics), no Python in any row path. Determinism:
+pair argmax ties break on (count DESC, pair ASC); given the same corpus
+the merge table is bit-identical across runs and layouts
+(tests/test_bpe.py pins a hand-computed example and layout invariance).
+
+No DuckDB oracle: 20 data-dependent iterations don't fit a SQL replay —
+the q_bpe_train driver key is rows-only; correctness is pytest-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_MARK = "▁"  # ▁ word-end sentinel (SentencePiece convention)
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """The one corpus-scale pass: whitespace words → (word, n) dict.
+    Map-side combinable; the only shuffle keyed on the word."""
+    w = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    out = w.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    return out.filter(F.col("n") >= min_count) if min_count > 1 else out
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right fold replacing adjacent (a, b) with a||b —
+    literal values are SQL-escaped; the fold is the textbook BPE merge
+    application (non-overlapping: a merged symbol never re-merges with
+    the next occurrence's left half in the same round)."""
+    qa = a.replace("\\", "\\\\").replace("'", "\\'")
+    qb = b.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
+        f"AND x = '{qb}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_count: int = 1,
+) -> list[dict]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    merge table: [{rank, left, right, merged, count}] in learned order —
+    the artifact a tokenizer ships.
+
+    Scale: the dictionary frame (word symbols × count) is
+    lazily localCheckpointed every round (lineage would otherwise grow
+    by one fold per merge); per round the executors see |vocab| rows
+    twice (pair agg + merge fold) and the driver sees ONE row."""
+    dict_df = word_frequencies(docs, text_col, min_count).select(
+        F.expr(
+            f"concat(split(word, ''), array('{END_MARK}'))"
+        ).alias("syms"),
+        "n",
+    ).localCheckpoint(eager=False)
+
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        pairs = dict_df.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2 THEN CAST(array() AS "
+                    "ARRAY<STRUCT<a: STRING, b: STRING>>) ELSE "
+                    "transform(sequence(0, size(syms) - 2), "
+                    "i -> struct(syms[i] AS a, syms[i + 1] AS b)) END"
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break  # nothing left worth merging
+        a, b, c = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["c"])
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b, "count": c}
+        )
+        dict_df = dict_df.select(
+            F.expr(_merge_expr(a, b)).alias("syms"), "n"
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table to text — per-word char split + the
+    merge folds in learned order, all native exprs (the fold chain is
+    ``len(merges)`` nested expressions; fine for the tens-of-merges
+    regime this trainer targets — a production 32k-merge vocab would
+    compile the merge table into a pandas_udf trie instead)."""
+    words = df.withColumn(
+        "_w", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    seg = (
+        f"transform(_w, wrd -> concat(split(wrd, ''), array('{END_MARK}')))"
+    )
+    col = F.expr(seg)
+    words = words.withColumn("_syms_list", col)
+    # fold each learned merge over every word's symbol array, in order
+    apply_all = "x"
+    for m in merges:
+        qa = m["left"].replace("\\", "\\\\").replace("'", "\\'")
+        qb = m["right"].replace("\\", "\\\\").replace("'", "\\'")
+        apply_all = (
+            "aggregate(" + apply_all + ", CAST(array() AS ARRAY<STRING>), "
+            f"(acc, s) -> CASE WHEN size(acc) > 0 AND "
+            f"element_at(acc, -1) = '{qa}' AND s = '{qb}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+            "ELSE concat(acc, array(s)) END)"
+        )
+    return words.withColumn(
+        out_col,
+        F.expr(f"flatten(transform(_syms_list, x -> {apply_all}))"),
+    ).drop("_w", "_syms_list")

@@ -633,6 +633,26 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): 20 merges
+    learned from the documents corpus — ONE corpus-scale word count,
+    then 20 dictionary-sized rounds (pair agg + 1-row argmax + HOF
+    merge fold; the driver sees one row per round). The merge table is
+    deterministic (count desc, pair asc tiebreak; layout-invariant —
+    pytest-pinned vs the hand-computed Sennrich example), but 20
+    data-dependent iterations don't fit a SQL replay → rows-only."""
+    from ..functions import bpe
+
+    merges = bpe.bpe_train(_docs(spark, sf_dir), num_merges=20)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["count"])
+            for m in merges
+        ],
+        "f_rank long, f_left string, f_right string, f_merged string, f_count long",
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram NOVELTY — the fraction of a document's distinct
     word-3-grams that first appear in that document (corpus order =
@@ -1853,6 +1873,7 @@ QUERIES = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_bpe_train": q_bpe_train,
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_bfd": q_pack_bfd,

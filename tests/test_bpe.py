@@ -1,0 +1,75 @@
+"""Distributed BPE training (functions/bpe.py): hand-computed merge
+sequence, greedy non-overlapping application, determinism across
+layouts, and segmentation round-trip."""
+
+from __future__ import annotations
+
+from dbt_snowflake_feature_store_spark.functions import bpe
+from dbt_snowflake_feature_store_spark.functions.bpe import END_MARK as E
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def test_hand_computed_merges(spark):
+    """The Sennrich toy corpus: low (x5), lower (x2), newest (x6),
+    widest (x3). First merges must follow the exact pair-frequency
+    order with the (count desc, pair asc) tiebreak."""
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = _docs(spark, [" ".join(texts)])
+    merges = bpe.bpe_train(docs, num_merges=4)
+    got = [(m["left"], m["right"], m["count"]) for m in merges]
+    # pair counts round 1: (e,s)=9, (s,t)=9, (t,▁)=9, (w,e)=8 … tie on 9
+    # broken by pair asc: ('e','s') < ('s','t') < ('t','▁')
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)
+    assert got[2] == ("est", E, 9)
+    # next: lo (7) vs we (8): 'w','e' was consumed? 'newest'→n e w est▁:
+    # (w, est▁) count 6, (l,o)=7, (n,e)=6, (e,w)=6, (o,w)=7, (w,▁)=5 …
+    assert got[3] == ("l", "o", 7)
+
+
+def test_greedy_non_overlapping(spark):
+    """'aaa' under merge (a,a): greedy left-to-right gives (aa, a) —
+    the merged symbol never re-merges in the same round."""
+    docs = _docs(spark, ["aaa aaa aaa"])
+    merges = bpe.bpe_train(docs, num_merges=1)
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    seg = bpe.bpe_segment(docs, merges).head()["bpe_tokens"]
+    assert list(seg) == ["aa", "a", E] * 3
+
+
+def test_layout_invariance(spark):
+    """Same corpus, different partitioning → identical merge table."""
+    texts = ["the cat sat on the mat", "the bat and the cat", "mat cat"] * 7
+    a = bpe.bpe_train(_docs(spark, texts).repartition(1), num_merges=6)
+    b = bpe.bpe_train(_docs(spark, texts).repartition(13), num_merges=6)
+    assert a == b
+
+
+def test_segment_applies_merges_in_order(spark):
+    texts = ["banana bandana"] * 4
+    docs = _docs(spark, texts)
+    merges = bpe.bpe_train(docs, num_merges=3)
+    seg = bpe.bpe_segment(docs, merges).head()["bpe_tokens"]
+    # re-joining segments reproduces the original words + end marks
+    assert "".join(seg) == "banana" + E + "bandana" + E
+    # at least one learned merge actually shortened the symbol stream
+    assert len(seg) < len("banana") + len("bandana") + 2
+
+
+def test_stops_when_no_pair_repeats(spark):
+    docs = _docs(spark, ["ab cd ef"])
+    merges = bpe.bpe_train(docs, num_merges=10)
+    # every adjacent pair occurs once -> count<2 -> stop immediately
+    assert merges == []
+
+
+def test_min_count_prunes_rare_words(spark):
+    docs = _docs(spark, ["zz zz zz qq"])
+    merges = bpe.bpe_train(docs, num_merges=1, min_count=2)
+    assert merges[0]["left"] == "z" and merges[0]["count"] == 3

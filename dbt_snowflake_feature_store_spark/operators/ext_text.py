@@ -653,6 +653,35 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (size 32, stride 16) — the
+    RAG/retrieval prep step (non-overlapping chunk16 is the dedup
+    grain; retrieval wants overlap so no span straddles a boundary).
+    Row-local HOF transforms, explode pipelined with the scan, zero
+    shuffle — embarrassingly parallel at any corpus size. Emits per
+    chunk: index, start token offset, length, first/last token."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") > 0)
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 1, 16),"
+                " s -> struct(s AS start, slice(t, s + 1, 32) AS c))"
+            )
+        ).alias("ch"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("ch.start") / 16).cast("long").alias("f_idx"),
+        F.col("ch.start").cast("long").alias("f_start"),
+        F.size("ch.c").cast("long").alias("f_n"),
+        F.element_at("ch.c", 1).alias("f_first"),
+        F.element_at("ch.c", -1).alias("f_last"),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram NOVELTY — the fraction of a document's distinct
     word-3-grams that first appear in that document (corpus order =
@@ -1550,6 +1579,26 @@ ORACLE["q_ngram_novelty"] = """
     GROUP BY g.doc_id
 """
 
+ORACLE["q_chunk_overlap"] = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, s,
+               list_slice(t, s + 1, s + 32) AS c
+        FROM (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS s
+              FROM tok WHERE len(t) > 0)
+    )
+    SELECT doc_id,
+           CAST(s // 16 AS BIGINT) AS f_idx,
+           CAST(s AS BIGINT) AS f_start,
+           CAST(len(c) AS BIGINT) AS f_n,
+           c[1] AS f_first,
+           c[-1] AS f_last
+    FROM ch
+"""
+
 ORACLE["q_pii_scan"] = """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
@@ -1874,6 +1923,7 @@ QUERIES = {
     "q_ngram_freq": q_ngram_freq,
     "q_ngram_novelty": q_ngram_novelty,
     "q_bpe_train": q_bpe_train,
+    "q_chunk_overlap": q_chunk_overlap,
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_bfd": q_pack_bfd,

@@ -255,6 +255,36 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — pandas merge_asof(direction='nearest')
+    parity: for each purchase event, the error-event value CLOSEST in
+    time per user, either side; equal distances prefer the backward row.
+    Both direction candidates come out of ONE window pass over the same
+    union shuffle (pit.py 'nearest' branch) — still a single shuffle on
+    the entity key, no join explosion. Feature side collapsed to one row
+    per (user, ts) so ties cannot reach the join (see q_join_asof)."""
+    from ..pit import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("event_time")
+    )
+    feats = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("f_near_error_value"))
+    )
+    return asof_join(
+        spine,
+        feats,
+        on=["user_id"],
+        spine_ts="event_time",
+        feature_ts="ts",
+        feature_cols=["f_near_error_value"],
+        direction="nearest",
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join (EXISTS / NOT EXISTS membership). Scale: Spark
     plans left-semi/anti as broadcast or shuffled hash joins with only the
@@ -783,6 +813,32 @@ ORACLE: dict[str, str] = {
         LEFT JOIN fv1 ON c.c_custkey = fv1.o_custkey
         LEFT JOIN fv2 ON c.c_custkey = fv2.o_custkey
     """,
+    "q_join_asof_near": """
+        WITH spine AS (
+            SELECT event_id, user_id, ts AS event_time
+            FROM events WHERE event_type = 'purchase'
+        ),
+        feats AS (
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, ts
+        ),
+        ranked AS (
+            SELECT s.event_id, s.user_id, s.event_time, f.value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.event_id
+                       ORDER BY CASE WHEN f.ts <= s.event_time
+                                     THEN s.event_time - f.ts
+                                     ELSE f.ts - s.event_time END ASC,
+                                f.ts ASC
+                   ) AS rn
+            FROM spine s
+            LEFT JOIN feats f ON s.user_id = f.user_id
+        )
+        SELECT event_id, user_id, event_time,
+               value AS f_near_error_value
+        FROM ranked WHERE rn = 1
+    """,
     "q_join_asof": """
         WITH spine AS (
             SELECT event_id, user_id, ts AS event_time
@@ -1091,6 +1147,7 @@ QUERIES = {
     "q_join_left": q_join_left,
     "q_join_multi_fv": q_join_multi_fv,
     "q_join_asof": q_join_asof,
+    "q_join_asof_near": q_join_asof_near,
     "q_join_asof_fwd": q_join_asof_fwd,
     "q_semi_anti": q_semi_anti,
     "q_union_all": q_union_all,

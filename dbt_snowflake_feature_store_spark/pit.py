@@ -71,9 +71,12 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every spine row + latest feature values at-or-before
-    ``spine_ts`` (``direction='backward'``, the PIT default) or earliest
+    ``spine_ts`` (``direction='backward'``, the PIT default), earliest
     values at-or-after it (``direction='forward'`` — label lookahead /
-    next-reading attachment).
+    next-reading attachment), or whichever side is closer in time
+    (``direction='nearest'`` — pandas ``merge_asof`` parity; equal
+    distances prefer the backward row, so an exact-timestamp match
+    always wins).
 
     Parameters
     ----------
@@ -114,14 +117,26 @@ def asof_join(
         feature_cols = [c for c in features.columns if c not in on and c != feature_ts]
     feature_cols = list(feature_cols)
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValidationError(f"Unknown as-of direction: {direction!r}")
+    if direction == "nearest" and strategy == "broadcast":
+        raise ValidationError(
+            "as-of direction='nearest' is served by the union strategy "
+            "(both direction candidates come out of ONE window pass; a "
+            "broadcast range join would need an unbounded key-equality "
+            "join to see both sides)"
+        )
 
     if strategy == "auto":
-        sz = _plan_size_bytes(features)
-        strategy = (
-            "broadcast" if sz is not None and 0 < sz <= broadcast_threshold else "union"
-        )
+        if direction == "nearest":
+            strategy = "union"
+        else:
+            sz = _plan_size_bytes(features)
+            strategy = (
+                "broadcast"
+                if sz is not None and 0 < sz <= broadcast_threshold
+                else "union"
+            )
 
     if strategy == "union":
         return _asof_union(
@@ -218,6 +233,55 @@ def _asof_union(
     # already, and forward needs desc_nulls_first explicitly (plain desc()
     # is nulls-LAST — a NULL-ts spine row would sort after every feature
     # row and the carry would attach the earliest one).
+    if direction == "nearest":
+        # BOTH direction candidates out of the SAME sorted partition pass
+        # (still one shuffle): the backward frame carries the latest
+        # at-or-before row forward; the forward frame looks ahead to the
+        # earliest strictly-after row (equal-ts features sort before the
+        # spine row, so they are backward candidates at distance zero —
+        # which nearest prefers anyway). Ties at equal nonzero distance
+        # prefer backward (pandas merge_asof convention); distances are
+        # compared as day-time INTERVALS — no epoch casts, no sub-second
+        # precision loss.
+        order = [
+            F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
+        ]
+        w_b = (
+            Window.partitionBy(*part_keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy(*part_keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = unioned.withColumn(
+            "__fs_back", F.last("__fs_row", ignorenulls=True).over(w_b)
+        ).withColumn(
+            "__fs_fwd", F.first("__fs_row", ignorenulls=True).over(w_f)
+        )
+        out = filled.filter(F.col(_IS_SPINE) == 1)
+        st = F.col(spine_ts)
+        b_ts = F.col("__fs_back.__fs_row_ts")
+        f_ts = F.col("__fs_fwd.__fs_row_ts")
+        b_d = st - b_ts
+        f_d = f_ts - st
+        valid_b = st.isNotNull() & b_ts.isNotNull()
+        valid_f = st.isNotNull() & f_ts.isNotNull()
+        if tolerance is not None:
+            tol = F.expr(f"INTERVAL {tolerance}")
+            valid_b = valid_b & (b_d <= tol)
+            valid_f = valid_f & (f_d <= tol)
+        use_b = valid_b & (~valid_f | (b_d <= f_d))
+        chosen = F.when(use_b, F.col("__fs_back")).when(
+            valid_f, F.col("__fs_fwd")
+        )
+        return out.select(
+            *[F.col(c) for c in spine_cols],
+            *[chosen.getField(c).alias(c) for c in feature_cols],
+        )
+
     if direction == "backward":
         order = [
             F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()

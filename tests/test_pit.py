@@ -185,6 +185,65 @@ class TestAsofJoin:
         ).collect()
         assert all(r["age"] is None for r in out)
 
+    def test_nearest_picks_closer_side(self, spark, snapshots, spine):
+        """Spine at 7 days back: backward candidate is 10 days back
+        (3 away), forward is 5 days back (2 away) -> forward wins."""
+        out = asof_join(
+            spine, snapshots, on=["customer_id"], spine_ts="event_time",
+            feature_ts="updated_at", direction="nearest",
+        ).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["age"] == 20 + r["customer_id"] + 25, r  # 5-day snap
+
+    def test_nearest_tie_prefers_backward(self, spark, snapshots):
+        """Spine at 7.5 days back: 10-day (2.5 back) vs 5-day (2.5
+        ahead) — equal distance prefers the BACKWARD row (pandas
+        merge_asof convention); exact-ts match wins at distance 0."""
+        half = _days_back(7) - dt.timedelta(hours=12)
+        sp = spark.createDataFrame(
+            [(2, half), (3, _days_back(10))],
+            "customer_id long, event_time timestamp",
+        )
+        out = {
+            r["customer_id"]: r
+            for r in asof_join(
+                sp, snapshots, on=["customer_id"], spine_ts="event_time",
+                feature_ts="updated_at", direction="nearest",
+            ).collect()
+        }
+        assert out[2]["age"] == 20 + 2 + 20  # 10-day snapshot (backward)
+        assert out[3]["age"] == 20 + 3 + 20  # exact match, distance 0
+
+    def test_nearest_tolerance_and_null_ts(self, spark, snapshots):
+        """Tolerance bounds BOTH sides; a NULL-ts spine row attaches
+        nothing in nearest mode (neither candidate is valid)."""
+        sp = spark.createDataFrame(
+            [(5, _days_back(7)), (6, None)],
+            "customer_id long, event_time timestamp",
+        )
+        out = {
+            r["customer_id"]: r
+            for r in asof_join(
+                sp, snapshots, on=["customer_id"], spine_ts="event_time",
+                feature_ts="updated_at", direction="nearest",
+                tolerance="1 days",
+            ).collect()
+        }
+        # nearest is 2 days away > 1 day tolerance -> NULL
+        assert out[5]["age"] is None
+        assert out[6]["age"] is None
+
+    def test_nearest_rejects_broadcast(self, spark, snapshots, spine):
+        from dbt_snowflake_feature_store_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="nearest"):
+            asof_join(
+                spine, snapshots, on=["customer_id"], spine_ts="event_time",
+                feature_ts="updated_at", direction="nearest",
+                strategy="broadcast",
+            )
+
     def test_bad_direction_rejected(self, spark, snapshots, spine):
         from dbt_snowflake_feature_store_spark.errors import ValidationError
 

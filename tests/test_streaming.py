@@ -334,29 +334,115 @@ class TestStreamingIncremental:
         assert got, "interval join emitted nothing"
         assert got == want  # exactly-once, row-for-row
 
-    def test_auto_downgrades_to_full(self, fs, spark, split_events):
+    def test_keyed_agg_merge_maintenance(self, fs, spark, split_events):
+        """NON-WINDOWED keyed aggregation maintained INCREMENTALLY via
+        update-mode streaming agg + foreachBatch MERGE (the Dynamic-
+        Table keyed-aggregate semantic): per-user lifetime counts/sums,
+        refreshed across two source arrivals, must equal the batch
+        recompute — with the second refresh reading ONLY the new files
+        (state carries the running totals)."""
+        import os
+
+        fs.register_source("S_AGG", split_events["src"])
+        fs.register_entity(Entity("auser", ["user_id"]))
+        fv = FeatureView(
+            "user_totals",
+            ["auser"],
+            sql="""SELECT user_id, COUNT(*) AS f_n,
+                          SUM(value) AS f_sum
+                   FROM S_AGG GROUP BY user_id""",
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_expect():
+            return {
+                r["user_id"]: (r["f_n"], r["f_sum"])
+                for r in spark.read.parquet(split_events["src"])
+                .groupBy("user_id")
+                .agg(F.count("*").alias("f_n"), F.sum("value").alias("f_sum"))
+                .collect()
+            }
+
+        got1 = {
+            r["user_id"]: (r["f_n"], r["f_sum"])
+            for r in fs.read_feature_view("USER_TOTALS$1.0").collect()
+        }
+        want1 = batch_expect()
+        assert set(got1) == set(want1)
+        for k in want1:
+            assert got1[k][0] == want1[k][0]
+            assert got1[k][1] == pytest.approx(want1[k][1])
+
+        # merge-maintained: merge checkpoint exists, no append file log
+        data_path = fs._fv_data_path("user_totals", "1.0")
+        assert os.path.isdir(data_path + "_ckpt_merge")
+        assert not os.path.isdir(os.path.join(data_path, "_spark_metadata"))
+
+        _arrive_half2(split_events)
+        mode = fs.refresh("user_totals", "1.0")
+        assert mode == "INCREMENTAL"
+        got2 = {
+            r["user_id"]: (r["f_n"], r["f_sum"])
+            for r in fs.read_feature_view("USER_TOTALS$1.0").collect()
+        }
+        want2 = batch_expect()
+        assert set(got2) == set(want2)
+        for k in want2:
+            assert got2[k][0] == want2[k][0], k
+            assert got2[k][1] == pytest.approx(want2[k][1])
+        # exactly-once: a third refresh with no new data changes nothing
+        fs.refresh("user_totals", "1.0")
+        got3 = {
+            r["user_id"]: (r["f_n"], r["f_sum"])
+            for r in fs.read_feature_view("USER_TOTALS$1.0").collect()
+        }
+        assert {k: v[0] for k, v in got3.items()} == {
+            k: v[0] for k, v in got2.items()
+        }
+
+    def test_auto_keeps_keyed_agg_incremental(self, fs, spark, split_events):
+        """Round 7: a keyed non-windowed aggregation under AUTO no
+        longer downgrades — the update-mode foreachBatch MERGE path
+        maintains it incrementally (and exactly)."""
         fs.register_source("STREAM_EVENTS_A", split_events["src"])
         fs.register_entity(Entity("user", ["user_id"]))
         fv = FeatureView(
             "user_counts",
             ["user"],
-            # global (non-windowed) aggregation: not append-streamable
             sql="""SELECT user_id, COUNT(*) AS f_n
                    FROM STREAM_EVENTS_A GROUP BY user_id""",
             refresh=RefreshSpec("1 hour", "AUTO", "ON_SCHEDULE"),
         )
         fs.register_feature_view(fv, version="1.0")
         mode = fs.refresh("user_counts", "1.0")
-        assert mode == "FULL"
+        assert mode == "INCREMENTAL"
         out = fs.read_feature_view("USER_COUNTS$1.0")
         batch = (
             spark.read.parquet(split_events["src"]).groupBy("user_id").count()
         )
         assert out.count() == batch.count()
-        # FULL recompute is always exact
         got = {r["user_id"]: r["f_n"] for r in out.collect()}
         exp = {r["user_id"]: r["count"] for r in batch.collect()}
         assert got == exp
+
+    def test_auto_downgrades_to_full(self, fs, spark, split_events):
+        """A genuinely non-incrementalizable plan (streaming sort) still
+        takes the AUTO -> FULL downgrade, exactly."""
+        fs.register_source("STREAM_EVENTS_A2", split_events["src"])
+        fs.register_entity(Entity("user", ["user_id"]))
+        fv = FeatureView(
+            "sorted_fv",
+            ["user"],
+            sql="""SELECT user_id, ts, value AS f_v
+                   FROM STREAM_EVENTS_A2 ORDER BY ts""",
+            refresh=RefreshSpec("1 hour", "AUTO", "ON_SCHEDULE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        mode = fs.refresh("sorted_fv", "1.0")
+        assert mode == "FULL"
+        out = fs.read_feature_view("SORTED_FV$1.0")
+        assert out.count() == spark.read.parquet(split_events["src"]).count()
 
     def test_full_mode_ignores_streaming(self, fs, spark, split_events):
         fs.register_source("STREAM_EVENTS_F", split_events["src"])

@@ -997,6 +997,52 @@ class FeatureStore:
         lag = parse_freq(fv.refresh.refresh_freq)
         return _dt.datetime.now(_dt.timezone.utc) - last >= lag
 
+    def freshness_report(self) -> DataFrame:
+        """Store-wide target-lag audit — one row per MANAGED FV: the
+        engine-side analog of monitoring DYNAMIC_TABLE_REFRESH_HISTORY
+        lag (README.md:232 "result is at most N behind sources").
+        Columns: NAME, VERSION, STATUS, TARGET_LAG, LAST_REFRESH_AT
+        (ISO or null), LAG_SECONDS (age of the last refresh; null if
+        never), DUE (the due_for_refresh decision), LAST_ROWS. The
+        external scheduler reads this to decide what to refresh —
+        registry-only, no table scans."""
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc)
+        rows = []
+        for doc in self.registry.list("feature_views"):
+            if not (doc.get("refresh") or {}).get("refresh_freq"):
+                continue
+            hist = doc.get("refresh_history", [])
+            last = hist[-1] if hist else None
+            lag = None
+            if last:
+                lag = int(
+                    (
+                        now - _dt.datetime.fromisoformat(last["completed_at"])
+                    ).total_seconds()
+                )
+            rows.append(
+                (
+                    doc["name"],
+                    doc["version"],
+                    doc.get("status", "ACTIVE"),
+                    doc["refresh"]["refresh_freq"],
+                    last["completed_at"] if last else None,
+                    lag,
+                    self.due_for_refresh(doc["name"], doc["version"]),
+                    last.get("rows") if last else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            schema=(
+                "NAME string, VERSION string, STATUS string, "
+                "TARGET_LAG string, LAST_REFRESH_AT string, "
+                "LAG_SECONDS bigint, DUE boolean, LAST_ROWS bigint"
+            ),
+        )
+
     def refresh_history(self, name: str, version: str) -> DataFrame:
         """Refresh audit log for a managed FV — the engine-side
         DYNAMIC_TABLE_REFRESH_HISTORY equivalent. Columns: MODE,

@@ -552,3 +552,50 @@ class TestChangeFeed:
         )
         with pytest.raises(ValidationError, match="static"):
             fs.feature_view_changes("s_fv", "1", from_snapshot=1)
+
+
+class TestFreshnessReport:
+    def test_freshness_report(self, fs, tables):
+        from dbt_snowflake_feature_store_spark import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        fs.register_entity(Entity("customer", ["c_custkey"]))
+        # static FV: excluded from the report
+        fs.register_feature_view(
+            FeatureView("static_f", ["customer"], sql=FV_SQL), version="1"
+        )
+        # managed, refreshed on create: fresh (not due) under a long lag
+        fs.register_feature_view(
+            FeatureView(
+                "fresh_f", ["customer"], sql=FV_SQL,
+                refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        # managed, never refreshed (ON_SCHEDULE): due, no last refresh
+        fs.register_feature_view(
+            FeatureView(
+                "stale_f", ["customer"], sql=FV_SQL,
+                refresh=RefreshSpec("1 minute", "FULL", "ON_SCHEDULE"),
+            ),
+            version="1",
+        )
+        rep = {r["NAME"]: r for r in fs.freshness_report().collect()}
+        assert set(rep) == {"FRESH_F", "STALE_F"}  # static excluded
+        fresh = rep["FRESH_F"]
+        assert fresh["DUE"] is False
+        assert fresh["LAG_SECONDS"] is not None and fresh["LAG_SECONDS"] >= 0
+        assert fresh["LAST_ROWS"] > 0
+        assert fresh["TARGET_LAG"] == "1 hour"
+        stale = rep["STALE_F"]
+        assert stale["DUE"] is True
+        assert stale["LAST_REFRESH_AT"] is None
+        assert stale["LAG_SECONDS"] is None
+        # suspended FVs are never due
+        fs.suspend_feature_view("fresh_f", "1")
+        rep2 = {r["NAME"]: r for r in fs.freshness_report().collect()}
+        assert rep2["FRESH_F"]["STATUS"] == "SUSPENDED"
+        assert rep2["FRESH_F"]["DUE"] is False

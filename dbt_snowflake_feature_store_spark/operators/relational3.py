@@ -320,7 +320,70 @@ def q_global_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^k grouping-set combinations (the third
+    member of the rollup / grouping-sets family; q_rollup and
+    q_grouping_sets pin the other two). Spark expands CUBE into one
+    Expand + single hash aggregate — one shuffle regardless of the
+    number of grouping sets. GROUPING() flags disambiguate real NULLs
+    from subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("f_n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias(
+                "f_qty"
+            ),
+            F.grouping("l_returnflag").cast("long").alias("f_g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("f_g_ls"),
+        )
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy
+    pre-release check a dataset publisher runs: every (mktsegment,
+    nation) combination carried by fewer than k=10 customers is a
+    re-identification risk. One map-side-combinable agg on the
+    quasi-identifier key + a HAVING filter; linear, no joins. The
+    release gate companion to q_pii_scan (direct identifiers)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").cast("long").alias("f_group_size"))
+        .filter(F.col("f_group_size") < 10)
+        .withColumn(
+            "f_risk",
+            F.when(F.col("f_group_size") == 1, F.lit("unique"))
+            .when(F.col("f_group_size") <= 4, F.lit("high"))
+            .otherwise(F.lit("low")),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS f_n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS f_qty,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS f_g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS f_g_ls
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_k_anonymity": """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS f_group_size,
+               CASE WHEN COUNT(*) = 1 THEN 'unique'
+                    WHEN COUNT(*) <= 4 THEN 'high'
+                    ELSE 'low' END AS f_risk
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+        HAVING COUNT(*) < 10
+    """,
     "q_global_rank": """
         SELECT l_orderkey, l_linenumber, l_extendedprice,
                CAST(ROW_NUMBER() OVER (
@@ -434,4 +497,6 @@ QUERIES = {
     "q_approx_distinct_sketch": q_approx_distinct_sketch,
     "q_global_rank": q_global_rank,
     "q_global_ntile": q_global_ntile,
+    "q_cube": q_cube,
+    "q_k_anonymity": q_k_anonymity,
 }

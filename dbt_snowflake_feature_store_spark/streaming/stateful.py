@@ -642,3 +642,75 @@ def running_quantiles_tws(events_stream: DataFrame, k: int = 64) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+DECAY_OUTPUT_SCHEMA = "user_id LONG, f_decayed DOUBLE, f_last_ts TIMESTAMP"
+
+
+def make_decayed_value_processor(halflife_s: float):
+    """Exponentially time-decayed running value per key — the classic
+    streaming feature ("activity score with a 1-hour half-life") that a
+    plain windowed aggregation cannot express (every event's weight
+    decays CONTINUOUSLY with event-time age, not in bucket steps).
+
+    State: one ValueState (last_ts_us, decayed). Each batch's rows fold
+    in EVENT-TIME order (ts, then value for exact-tie stability):
+    ``decayed = decayed · 2^(−Δt/halflife) + value``. The fold is the
+    closed form of the per-event recurrence, so the result depends only
+    on the (key-local) event sequence, not on how batches split it —
+    batching invariance is pytest-replayed. O(1) state per key forever."""
+    StatefulProcessor, _ = _tws_classes()
+    hl_us = float(halflife_s) * 1_000_000.0
+
+    class _Decayed(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "decay", "last_ts_us LONG, decayed DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                last_us, decayed = self._state.get()
+            else:
+                last_us, decayed = None, 0.0
+            pdfs = [pdf for pdf in rows]
+            batch = pd.concat(pdfs, ignore_index=True)
+            batch = batch.sort_values(["ts", "value"], kind="mergesort")
+            for ts, value in zip(batch["ts"], batch["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None:
+                    dt = ts_us - last_us
+                    # late rows (dt < 0) UN-decay: 2^(+|dt|/hl) re-inflates
+                    # the accumulator to the late row's time, keeping the
+                    # fold order-consistent instead of silently wrong
+                    decayed = decayed * (2.0 ** (-(dt) / hl_us))
+                decayed += float(value)
+                last_us = ts_us
+            self._state.update((last_us, decayed))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "f_decayed": [decayed],
+                    "f_last_ts": [pd.Timestamp(last_us * 1000)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _Decayed()
+
+
+def decayed_value_tws(
+    events_stream: DataFrame, halflife_s: float = 3600.0
+) -> DataFrame:
+    """Per-user exponentially decayed activity value on
+    transformWithStateInPandas. Emits one updated row per key per
+    micro-batch (Update mode)."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_decayed_value_processor(halflife_s),
+        outputStructType=DECAY_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+

@@ -469,3 +469,22 @@ class TestCorpusAccounting:
         assert per_lang == stats
         with pytest.raises(ValueError, match="unknown method"):
             corpus_dedup(docs, method="bogus")
+
+
+class TestPairCacheEviction:
+    def test_dead_application_entries_evicted(self, spark, sf_dir):
+        """_portable_pairs evicts cache entries whose applicationId no
+        longer matches the live session (ADVICE r6): dead-app frames
+        never accumulate and never get served."""
+        from dbt_snowflake_feature_store_spark.operators import ext_text
+
+        live_key = (spark.sparkContext.applicationId, sf_dir)
+        ext_text._PAIR_CACHE[("dead-app-123", sf_dir)] = "stale-frame"
+        ext_text._PAIR_CACHE[("dead-app-123", "/other/dir")] = "stale-frame2"
+        df = ext_text._portable_pairs(spark, sf_dir)
+        assert df.count() > 0
+        assert all(k[0] == live_key[0] for k in ext_text._PAIR_CACHE)
+        assert ("dead-app-123", sf_dir) not in ext_text._PAIR_CACHE
+        # the live entry is memoized: same object served back
+        assert ext_text._portable_pairs(spark, sf_dir) is not None
+        assert live_key in ext_text._PAIR_CACHE

@@ -788,3 +788,85 @@ def test_tws_running_quantiles_matches_batch(rocksdb, tmp_path):
         )
         assert got[uid][0] == len(vals)
         assert got[uid][1:] == exp, uid
+
+
+# ---------------------------------------------------------------------------
+# decayed_value_tws: exponentially time-decayed running value
+# ---------------------------------------------------------------------------
+
+def _replay_decay(halflife_s, batches):
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        make_decayed_value_processor,
+    )
+
+    proc = make_decayed_value_processor(halflife_s)
+    proc.init(_MockHandle())
+    out = None
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = list(proc.handleInputRows((7,), iter([pdf]), None))[-1]
+    return out
+
+
+def test_decay_halflife_semantics():
+    """One unit at t0, read at t0+halflife via a zero-value event: the
+    first unit must weigh exactly 0.5."""
+    out = _replay_decay(
+        3600.0,
+        [
+            [("2024-01-01 00:00:00", 1.0)],
+            [("2024-01-01 01:00:00", 0.0)],
+        ],
+    )
+    assert out["f_decayed"][0] == pytest.approx(0.5)
+    assert out["user_id"][0] == 7
+
+
+def test_decay_batching_invariance():
+    """The same event sequence folded as 1 batch vs 3 batches gives the
+    same accumulator — state carries (last_ts, value) exactly."""
+    events = [
+        ("2024-01-01 00:00:00", 2.0),
+        ("2024-01-01 00:30:00", 1.0),
+        ("2024-01-01 02:00:00", 4.0),
+        ("2024-01-01 02:00:00", 0.5),  # exact tie: value order stable
+        ("2024-01-01 03:15:00", 1.5),
+    ]
+    one = _replay_decay(3600.0, [events])
+    three = _replay_decay(3600.0, [events[:2], events[2:4], events[4:]])
+    assert one["f_decayed"][0] == pytest.approx(three["f_decayed"][0], rel=1e-12)
+    assert one["f_last_ts"][0] == three["f_last_ts"][0]
+
+
+def test_decay_matches_closed_form():
+    """Fold == the closed form Σ vᵢ·2^(−(T−tᵢ)/hl) at the last event."""
+    import datetime as dt
+
+    events = [
+        ("2024-01-01 00:00:00", 3.0),
+        ("2024-01-01 00:45:00", 2.0),
+        ("2024-01-01 01:30:00", 5.0),
+    ]
+    out = _replay_decay(1800.0, [events])
+    T = dt.datetime(2024, 1, 1, 1, 30)
+    expect = sum(
+        v * 2 ** (-(T - dt.datetime.fromisoformat(t)).total_seconds() / 1800.0)
+        for t, v in events
+    )
+    assert out["f_decayed"][0] == pytest.approx(expect, rel=1e-12)
+
+
+def test_decay_plan_constructs(spark):
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        decayed_value_tws,
+    )
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "value")
+    df = decayed_value_tws(ev, halflife_s=3600.0)
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "f_decayed", "f_last_ts",
+    ]
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithStateInPySpark" in plan
+    assert "Update" in plan and "NoTime" in plan

@@ -53,7 +53,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG byte string → (width, height, channels, pixels).
 
     ``pixels`` is row-major interleaved bytes, ``len == width * height *
-    channels``. Palette images are expanded to RGB (channels == 3)."""
+    channels``. Palette images are expanded to RGB (channels == 3).
+
+    Every malformation raises ``PngFormatError`` — including corrupt
+    DEFLATE streams (``zlib.error``) and truncations inside a chunk
+    length/CRC word (``struct.error``) — so callers need exactly one
+    except clause and a bad payload can never crash a mapInPandas batch."""
+    try:
+        return _decode_png(data)
+    except PngFormatError:
+        raise
+    except (zlib.error, struct.error) as e:
+        raise PngFormatError(f"malformed PNG stream: {e}") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     data = bytes(data)
     if not is_png(data):
         raise PngFormatError("missing PNG signature")

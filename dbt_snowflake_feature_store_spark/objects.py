@@ -66,11 +66,18 @@ def parse_logical_fv_name(logical: str) -> tuple[str, str]:
     if "$" in logical:
         name, ver = logical.split("$", 1)
         return canonical_name(name), ver
-    # only the NAME is case-normalized; the version substring keeps its
-    # case (physical_fv_name never case-folds versions)
+    # Physical spelling: split on the LAST __v marker, and only when the
+    # remainder is VERSION-shaped (digit-led, as every physical_fv_name
+    # suffix of a real version is) — an unversioned name that merely
+    # contains '__v' mid-word ('events__volume') must keep raising the
+    # not-versioned error, never silently resolve to a different FV.
+    # Only the NAME is case-normalized; the version substring keeps its
+    # case (physical_fv_name never case-folds versions).
     idx = logical.upper().rfind("__V")
     if idx > 0 and idx + 3 < len(logical):
-        return canonical_name(logical[:idx]), logical[idx + 3 :]
+        ver = logical[idx + 3 :]
+        if re.fullmatch(r"[0-9][A-Za-z0-9_]*", ver):
+            return canonical_name(logical[:idx]), ver
     raise ValidationError(f"Not a versioned feature-view name: {logical!r}")
 
 

@@ -269,13 +269,17 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — identical operand sequence both engines. Per-dim sums at
     DECIMAL(18,0) keep the Σx·Σy product ≤ p38 (no silent Spark scale
     loss)."""
+    # explicit 16-element guard BOTH sides: a NULL or short embedding
+    # would otherwise diverge between Spark (explode drops the row from
+    # the pair count) and the oracle's range() cross join (keeps it) —
+    # the count feeding cov must see identical row sets
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.expr(
             "transform(slice(embedding, 1, 16),"
             " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))"
         ).alias("em"),
-    )
+    ).filter(F.size("em") == 16)
     pairs = e.select(
         F.explode(
             F.expr(
@@ -436,6 +440,7 @@ ORACLE: dict[str, str] = {
                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                  AS BIGINT)) AS em
             FROM embeddings
+            WHERE len(embedding) >= 16
         ),
         sums AS (
             SELECT t.i AS i, s.j AS j,

@@ -213,14 +213,17 @@ def _refresh_feature_view(
             return "INCREMENTAL_WATERMARK"
 
     # batch FULL recompute: any streaming checkpoint is now stale (the
-    # overwrite killed the sink's file log) — remove it so a later
-    # incremental refresh rebuilds from scratch instead of resuming a
-    # checkpoint that believes old files were already written
-    ckpt = path + "_ckpt"
-    if os.path.isdir(ckpt):
-        import shutil
+    # overwrite killed the sink's file log / superseded the merged
+    # totals) — remove BOTH the append checkpoint and the merge-
+    # maintenance checkpoint, else a later incremental refresh resumes
+    # state that believes old files were already folded in (the merge
+    # checkpoint's per-key running totals would silently double-count
+    # or keep pre-rewrite rows)
+    import shutil
 
-        shutil.rmtree(ckpt)
+    for stale in (path + "_ckpt", path + "_ckpt_merge"):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     _write_full(fs, df, path, ts, cluster_by=fv.cluster_by)
     if ts is not None:
         new_wm = _max_ts(fs, path, "_fs_dt", ts)
@@ -252,63 +255,58 @@ def _plan_aggregates(df: DataFrame) -> bool:
     return any(node in plan for node in ("Aggregate [", "Window [", "Deduplicate"))
 
 
-def _top_brackets(line: str) -> list[str]:
-    """Top-level ``[...]`` segments of a plan node's first line (plan
-    text nests brackets inside expressions — only depth-1 groups are the
-    node's argument lists)."""
-    out, depth, start = [], 0, -1
-    for i, ch in enumerate(line):
-        if ch == "[":
-            if depth == 0:
-                start = i + 1
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-            if depth == 0 and start >= 0:
-                out.append(line[start:i])
-                start = -1
-    return out
-
-
 def _chunk_unsafe_nodes(df: DataFrame, ts: str) -> list[str]:
-    """Inspect the ANALYZED plan for Aggregate/Window/Deduplicate nodes
-    whose grouping keys / partition spec / dedup keys do NOT reference
-    the event-time column ``ts`` — those groups can span a chunk
-    boundary, so per-chunk recomputation silently drops cross-chunk
-    rows from each group.
+    """PUSHDOWN PROBE for the chunk-boundary contract: apply a dummy
+    event-time range filter on ``ts`` (exactly what backfill's chunk
+    loop does) and let CATALYST decide whether it pushes below every
+    Aggregate / Window / Deduplicate in the optimized plan.
 
-    The check is a conservative SYNTACTIC inspector: a group keyed by
-    the timestamp (directly or through a derived expression such as
-    ``date_trunc('day', ts)`` or ``window(ts, …)``) is accepted —
-    day-keyed aggregation over day-aligned chunks is the common correct
-    backfill (the caller still owns step/key alignment); a grouping
-    that never mentions ``ts`` (global aggregates, per-user windows,
-    entity-keyed dedup) is reported. The analyzed plan (not the
-    optimized one) is inspected because the optimizer pulls derived
-    grouping expressions into a child Project, hiding the ts reference
-    from the Aggregate node's own line."""
-    import re
+    - Pushes fully below (day-keyed aggregation — Catalyst rewrites the
+      filter on the ``date_trunc`` alias and sinks it through the
+      grouping): each chunk recomputes only its own groups → chunk-safe
+      AND chunk-incremental. Accepted.
+    - Sticks above a grouping node (global aggregate, entity-keyed agg
+      whose ts is MAX(ts), per-user window, same-named dimension ts in
+      the grouping): the group is not a function of the chunk range —
+      per-chunk recomputation is a FULL recompute per chunk at best and
+      silently partial under source growth. Reported.
 
-    pat = re.compile(rf"(?i)\b{re.escape(ts)}#\d+")
+    Deciding by the optimizer's own pushdown (not by string-matching
+    grouping expressions) is what makes a same-NAMED-but-different
+    timestamp column in the grouping fail the check: the filter on the
+    real event-time attribute cannot push through it."""
+    probe = df.filter(
+        (F.col(ts) >= F.lit("1970-01-01").cast("timestamp"))
+        & (F.col(ts) < F.lit("1970-01-02").cast("timestamp"))
+    )
+    root = probe._jdf.queryExecution().optimizedPlan()
+
+    _BLOCKERS = ("Aggregate", "Window", "Deduplicate")
+
+    def _blockers_below(node) -> list[str]:
+        found, stack = [], [node]
+        while stack:
+            n = stack.pop()
+            if n.nodeName() in _BLOCKERS:
+                found.append(n.toString().split("\n", 1)[0].strip())
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        return found
+
     bad: list[str] = []
-    stack = [df._jdf.queryExecution().analyzed()]
+    stack = [root]
     while stack:
         n = stack.pop()
+        if n.nodeName() == "Filter":
+            below = []
+            for i in range(n.children().size()):
+                below.extend(_blockers_below(n.children().apply(i)))
+            if below:
+                # the chunk filter stayed ABOVE these grouping nodes
+                bad.extend(below)
+                continue  # their subtrees are already reported
         for i in range(n.children().size()):
             stack.append(n.children().apply(i))
-        name = n.nodeName()
-        if name not in ("Aggregate", "Window", "Deduplicate"):
-            continue
-        first = n.toString().split("\n", 1)[0]
-        brackets = _top_brackets(first)
-        if name == "Window":
-            # Window [exprs], [partitionSpec], [orderSpec]
-            seg = brackets[1] if len(brackets) > 1 else ""
-        else:
-            # Aggregate [grouping], [aggExprs] / Deduplicate [keys]
-            seg = brackets[0] if brackets else ""
-        if not pat.search(seg):
-            bad.append(first.strip())
     return bad
 
 
@@ -359,32 +357,35 @@ def backfill_feature_view(
     aggregates triggers a WARNING naming this contract; it is not
     rejected because day-keyed aggregation over day chunks is the
     common, correct case. With ``strict=True`` the contract is ENFORCED
-    by the ``_chunk_unsafe_nodes`` inspector: every Aggregate/Window/
-    Deduplicate in the plan must key on (an expression of) the event
-    timestamp, else ValidationError — a day-keyed agg passes, a global
-    or entity-only-keyed one raises instead of silently computing
-    per-chunk partial groups."""
+    by the ``_chunk_unsafe_nodes`` PUSHDOWN PROBE: the chunk's own
+    event-time range filter must sink below every Aggregate/Window/
+    Deduplicate in Catalyst's optimized plan (then each chunk recomputes
+    only its own groups); a grouping it cannot push through (global
+    aggregate, entity-keyed MAX(ts), a same-named dimension timestamp)
+    raises ValidationError instead of silently computing per-chunk
+    partial groups."""
     import datetime as _dt
 
     if not fv.timestamp_col:
         raise ValidationError(
             f"backfill needs a timestamp_col on '{fv.logical_name}'"
         )
-    ts = {c.upper(): c for c in fs._plan(fv).columns}.get(fv.timestamp_col)
+    plan_df = fs._plan(fv)
+    ts = {c.upper(): c for c in plan_df.columns}.get(fv.timestamp_col)
     if ts is None:
         raise ValidationError(
             f"timestamp_col '{fv.timestamp_col}' not in the plan output"
         )
     if strict:
-        bad = _chunk_unsafe_nodes(fs._plan(fv), ts)
+        bad = _chunk_unsafe_nodes(plan_df, ts)
         if bad:
             raise ValidationError(
-                f"backfill(strict=True) on '{fv.logical_name}': these plan "
-                f"nodes group across chunk boundaries (no '{ts}' in their "
-                f"keys) — per-chunk recomputation would emit partial "
-                f"groups: {bad}"
+                f"backfill(strict=True) on '{fv.logical_name}': the chunk "
+                f"range filter on '{ts}' cannot push below these plan "
+                f"nodes — their groups span chunk boundaries and per-chunk "
+                f"recomputation would emit partial groups: {bad}"
             )
-    elif _plan_aggregates(fs._plan(fv)):
+    elif _plan_aggregates(plan_df):
         import logging
 
         logging.getLogger(__name__).warning(

@@ -110,8 +110,14 @@ def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
     if os.path.isdir(ckpt_merge):
         keys = _entity_merge_keys(fs, fv, df)
         if keys:
+            # same un-augmented frame as activation (no _fs_dt — the
+            # merged table's schema must match across refreshes), and the
+            # same failure contract: any merge error downgrades to FULL
+            # instead of crashing refresh().
             try:
                 return _incremental_merge(fs, df, path, ckpt_merge, keys)
+            except Exception as e:
+                raise StreamingNotSupported(str(e)) from e
             finally:
                 _source_views(fs, streaming=False)
 
@@ -138,6 +144,10 @@ def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
     if fv.timestamp_col:
         m = {c.upper(): c for c in df.columns}
         ts_col = m.get(fv.timestamp_col)
+    # the merge fallback must see the UN-augmented plan: merge-maintained
+    # tables never carry _fs_dt (resume path merges without it, and the
+    # schemas must agree across refreshes)
+    df_plan = df
     if ts_col is not None:
         df = df.withColumn("_fs_dt", F.to_date(F.col(ts_col)))
 
@@ -164,10 +174,10 @@ def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
         # and the FV's entity keys appear in the plan output; anything
         # else keeps the AUTO → FULL downgrade.
         msg = str(e)
-        keys = _entity_merge_keys(fs, fv, df)
+        keys = _entity_merge_keys(fs, fv, df_plan)
         if keys and "streaming aggregations" in msg and "watermark" in msg:
             try:
-                return _incremental_merge(fs, df, path, ckpt_merge, keys)
+                return _incremental_merge(fs, df_plan, path, ckpt_merge, keys)
             except Exception as e2:  # merge path failed → FULL downgrade
                 raise StreamingNotSupported(str(e2)) from e2
             finally:

@@ -678,14 +678,24 @@ def make_decayed_value_processor(halflife_s: float):
             batch = batch.sort_values(["ts", "value"], kind="mergesort")
             for ts, value in zip(batch["ts"], batch["value"]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
-                if last_us is not None:
-                    dt = ts_us - last_us
-                    # late rows (dt < 0) UN-decay: 2^(+|dt|/hl) re-inflates
-                    # the accumulator to the late row's time, keeping the
-                    # fold order-consistent instead of silently wrong
-                    decayed = decayed * (2.0 ** (-(dt) / hl_us))
-                decayed += float(value)
-                last_us = ts_us
+                if last_us is None or ts_us >= last_us:
+                    if last_us is not None:
+                        decayed = decayed * (
+                            2.0 ** (-(ts_us - last_us) / hl_us)
+                        )
+                    decayed += float(value)
+                    last_us = ts_us
+                else:
+                    # LATE row (older than the reference time): discount
+                    # its value to the reference instead of un-decaying
+                    # the whole accumulator — algebraically identical
+                    # (the fold is linear) but the exponent stays
+                    # NEGATIVE, so a row arbitrarily many half-lives old
+                    # underflows toward 0.0 instead of overflowing
+                    # 2^(+huge) and crashing the batch
+                    decayed += float(value) * (
+                        2.0 ** (-(last_us - ts_us) / hl_us)
+                    )
             self._state.update((last_us, decayed))
             yield pd.DataFrame(
                 {

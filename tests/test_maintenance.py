@@ -450,6 +450,25 @@ class TestBackfill:
             "plain", "1", "2024-03-01", "2024-03-03", strict=True
         ) == ["2024-03-01", "2024-03-02"]
 
+        # a SAME-NAMED timestamp from a joined dimension in the grouping
+        # must NOT satisfy the check: the chunk filter on the EVENT ts
+        # cannot push through a grouping keyed on the dimension's ts
+        # (the name-matching inspector this probe replaced passed it)
+        dim = str(tmp_path / "dim")
+        spark.createDataFrame(
+            [(u, dt.datetime(2024, 3, 1)) for u in range(3)],
+            "user_id long, ts timestamp",
+        ).write.parquet(dim)
+        fs.register_source("BFS_DIM", dim)
+        mk("dim_agg", "SELECT e.user_id, MAX(e.ts) AS ts, d.ts AS dim_ts, "
+                      "SUM(e.value) AS f_v "
+                      "FROM BFS_EV e JOIN BFS_DIM d ON e.user_id = d.user_id "
+                      "GROUP BY e.user_id, d.ts")
+        with pytest.raises(ValidationError, match="chunk boundaries"):
+            fs.backfill(
+                "dim_agg", "1", "2024-03-01", "2024-03-03", strict=True
+            )
+
 
 class TestChangeFeed:
     def test_feature_view_changes_cdc(self, spark, tmp_path):

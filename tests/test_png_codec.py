@@ -170,6 +170,23 @@ def test_malformed_inputs_raise():
         P.decode_png(good[:-12])
 
 
+def test_zlib_and_struct_errors_become_png_format_error():
+    """Corruption that passes CRC (garbage IDAT with a freshly stamped
+    CRC) or truncates inside a CRC word must surface as PngFormatError —
+    never zlib.error / struct.error escaping into a Spark batch."""
+    bad_idat = (
+        P.PNG_SIGNATURE
+        + _ihdr(2, 2, 8, 0)
+        + _chunk(b"IDAT", b"this is not deflate data")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(P.PngFormatError, match="malformed PNG stream"):
+        P.decode_png(bad_idat)
+    good = P.encode_png(2, 2, 1, bytes(4))
+    with pytest.raises(P.PngFormatError):
+        P.decode_png(good[:-14])  # cut inside the IEND length/CRC words
+
+
 def test_resize_nearest_checkerboard():
     # 2×2 checkerboard upsampled 2× → each source pixel becomes 2×2
     px = bytes([0, 255, 255, 0])

@@ -870,3 +870,35 @@ def test_decay_plan_constructs(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "TransformWithStateInPySpark" in plan
     assert "Update" in plan and "NoTime" in plan
+
+
+def test_decay_ancient_late_row_no_overflow():
+    """A late row thousands of half-lives old must fold in as ~0 weight
+    (discounted to the reference time), never OverflowError."""
+    out = _replay_decay(
+        3600.0,
+        [
+            [("2024-06-01 00:00:00", 5.0)],
+            [("2014-01-01 00:00:00", 100.0)],  # ~10 years late
+        ],
+    )
+    assert out["f_decayed"][0] == pytest.approx(5.0)
+    # reference time unchanged by the late row
+    assert str(out["f_last_ts"][0]).startswith("2024-06-01")
+
+
+def test_decay_late_row_equivalence():
+    """Late-row discounting is algebraically the same fold: shuffling a
+    mildly-late row across batches changes nothing."""
+    ordered = _replay_decay(
+        3600.0,
+        [[("2024-01-01 00:00:00", 2.0), ("2024-01-01 01:00:00", 3.0)]],
+    )
+    late = _replay_decay(
+        3600.0,
+        [
+            [("2024-01-01 01:00:00", 3.0)],
+            [("2024-01-01 00:00:00", 2.0)],  # arrives after its successor
+        ],
+    )
+    assert ordered["f_decayed"][0] == pytest.approx(late["f_decayed"][0])

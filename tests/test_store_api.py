@@ -104,6 +104,10 @@ class TestFeatureViews:
         )
         d = fs.read_feature_view("DOC__VAULT__v2")
         assert d.columns == ["p_partkey", "f_p"]
+        # an unversioned name merely CONTAINING __v keeps raising the
+        # not-versioned error (never resolves to a different FV)
+        with pytest.raises(ValidationError, match="Not a versioned"):
+            fs.read_feature_view("events__volume")
 
     def test_metadata_object_form(self, fs, tables, customer_entity):
         """Canonical entities are OBJECTS {name, joinKeys} — the structure

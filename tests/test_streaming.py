@@ -401,6 +401,62 @@ class TestStreamingIncremental:
             k: v[0] for k, v in got2.items()
         }
 
+    def test_merge_maintenance_with_timestamp_col(self, fs, spark, split_events):
+        """A merge-maintained FV whose agg output includes timestamp_col
+        must survive RESUME (activation and resume see the same
+        un-augmented schema — no _fs_dt in the merged table), and a
+        forced FULL recompute invalidates the merge checkpoint so the
+        next incremental refresh rebuilds instead of replaying stale
+        running totals."""
+        fs.register_source("S_AGG_TS", split_events["src"])
+        fs.register_entity(Entity("tuser", ["user_id"]))
+        fv = FeatureView(
+            "user_latest",
+            ["tuser"],
+            sql="""SELECT user_id, MAX(ts) AS ts, COUNT(*) AS f_n
+                   FROM S_AGG_TS GROUP BY user_id""",
+            timestamp_col="ts",
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def expect():
+            return {
+                r["user_id"]: r["f_n"]
+                for r in spark.read.parquet(split_events["src"])
+                .groupBy("user_id").agg(F.count("*").alias("f_n")).collect()
+            }
+
+        got1 = {
+            r["user_id"]: r["f_n"]
+            for r in fs.read_feature_view("USER_LATEST$1.0").collect()
+        }
+        assert got1 == expect()
+
+        # RESUME with new data: previously crashed on the _fs_dt schema
+        # mismatch between activation and resume
+        _arrive_half2(split_events)
+        assert fs.refresh("user_latest", "1.0") == "INCREMENTAL"
+        got2 = {
+            r["user_id"]: r["f_n"]
+            for r in fs.read_feature_view("USER_LATEST$1.0").collect()
+        }
+        assert got2 == expect()
+
+        # forced FULL must invalidate the merge checkpoint: the next
+        # incremental refresh rebuilds (same totals, no double count)
+        import os
+
+        data_path = fs._fv_data_path("user_latest", "1.0")
+        assert fs.refresh("user_latest", "1.0", mode="FULL") == "FULL"
+        assert not os.path.isdir(data_path + "_ckpt_merge")
+        assert fs.refresh("user_latest", "1.0") == "INCREMENTAL"
+        got3 = {
+            r["user_id"]: r["f_n"]
+            for r in fs.read_feature_view("USER_LATEST$1.0").collect()
+        }
+        assert got3 == expect()
+
     def test_auto_keeps_keyed_agg_incremental(self, fs, spark, split_events):
         """Round 7: a keyed non-windowed aggregation under AUTO no
         longer downgrades — the update-mode foreachBatch MERGE path

@@ -104,6 +104,12 @@ HEADLINE = [
     # rounds on the word dictionary (corpus pass only for the count);
     # wall-clock is round-trip-bound, scale-independent past the count
     "q_bpe_train",
+    # round-7 late additions: distributed global ordering (range
+    # exchange + parallel sorts, no window), per-order distribution
+    # windows, dual-frame nearest as-of
+    "q_global_rank",
+    "q_window_percentile",
+    "q_join_asof_near",
 ]
 
 

@@ -138,3 +138,59 @@ def rfm_features(
         .cast("long")
         .alias("f_m_score"),
     )
+
+
+def decayed_value_batch(
+    df: "DataFrame",
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_s: float = 3600.0,
+    out_col: str = "f_decayed",
+) -> "DataFrame":
+    """Batch recompute of the exponentially time-decayed running value —
+    the backfill/bootstrap twin of ``streaming.stateful.decayed_value_tws``
+    (same closed form: Σ vᵢ·2^(−(T−tᵢ)/halflife) at T = the key's last
+    event). Used to seed or audit the streaming state; the two are
+    parity-tested (tests/test_stateful_tws.py).
+
+    Shape: one shuffle on the key. The closed form is order-independent
+    mathematically; the fold runs in a sorted higher-order ``aggregate``
+    over each key's (ts, value) pairs so the float-addition ORDER also
+    matches the streaming fold (parity to ~1 ulp — JVM Math.pow vs
+    Python ``**`` may differ in the last bit, so the parity test uses a
+    1e-12 relative bound, not bit equality). Per-key arrays bound memory
+    to the key's history; for unbounded histories the streaming operator
+    IS the scale path (O(1) state), this batch form is the recompute."""
+    from pyspark.sql import functions as F
+
+    hl_us = float(halflife_s) * 1_000_000.0
+    pairs = df.groupBy(key).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("t"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("_evs")
+    )
+    # fold: (acc, last_t) -> acc·2^(−(t−last)/hl) + v — identical
+    # recurrence (and order) to the streaming processor's in-order path
+    fold = (
+        "aggregate(_evs, struct(CAST(0.0 AS DOUBLE) AS d, "
+        "CAST(NULL AS LONG) AS lt), "
+        "(acc, e) -> struct("
+        " CASE WHEN acc.lt IS NULL THEN acc.d + e.v"
+        f"     ELSE acc.d * power(2.0D, -(e.t - acc.lt) / {hl_us}D) + e.v END,"
+        " e.t))"
+    )
+    # materialize the fold ONCE (HOF lambdas re-evaluate per reference)
+    return (
+        pairs.withColumn("_acc", F.expr(fold))
+        .select(
+            key,
+            F.col("_acc.d").alias(out_col),
+            F.expr("timestamp_micros(_acc.lt)").alias("f_last_ts"),
+        )
+    )

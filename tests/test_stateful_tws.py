@@ -902,3 +902,33 @@ def test_decay_late_row_equivalence():
         ],
     )
     assert ordered["f_decayed"][0] == pytest.approx(late["f_decayed"][0])
+
+
+def test_decay_batch_twin_parity(spark):
+    """decayed_value_batch (backfill/bootstrap recompute) matches the
+    streaming processor's fold per key over real events."""
+    from dbt_snowflake_feature_store_spark.functions.features import (
+        decayed_value_batch,
+    )
+    from dbt_snowflake_feature_store_spark.streaming.stateful import (
+        make_decayed_value_processor,
+    )
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "value")
+    batch = {
+        r["user_id"]: (r["f_decayed"], r["f_last_ts"])
+        for r in decayed_value_batch(
+            ev, "user_id", halflife_s=3600.0
+        ).collect()
+    }
+    pdf = ev.toPandas()
+    for uid, grp in list(pdf.groupby("user_id"))[:20]:
+        proc = make_decayed_value_processor(3600.0)
+        proc.init(_MockHandle())
+        out = list(
+            proc.handleInputRows((uid,), iter([grp[["ts", "value"]]]), None)
+        )[-1]
+        assert out["f_decayed"][0] == pytest.approx(
+            batch[uid][0], rel=1e-12
+        ), uid
+        assert pd.Timestamp(batch[uid][1]) == out["f_last_ts"][0], uid

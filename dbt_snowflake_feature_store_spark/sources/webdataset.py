@@ -1,0 +1,140 @@
+"""WebDataset-style sharded tar export/import (pure stdlib ``tarfile``).
+
+The delivery format multimodal training loaders consume (WebDataset:
+"a tar per shard, files per sample, extension per modality" —
+sample ``000017.txt`` + ``000017.png`` + ``000017.json`` grouped by
+basename). A 100 TB corpus ships as thousands of independent shards that
+data loaders stream sequentially — exactly the layout this writer
+produces from any DataFrame.
+
+Spark-first design: the export is ``foreachPartition`` — every partition
+writes its OWN shard tars (no driver involvement, no shuffle beyond the
+caller's partitioning); shard files are named ``shard-{partition:05d}-
+{seq:05d}.tar`` so re-runs overwrite deterministically. Rows must carry
+a unique ``key_col`` (the sample basename); every OTHER column becomes
+one member file per sample: ``bytes``/``bytearray`` columns verbatim
+(e.g. a PNG payload), strings as UTF-8 ``.txt``, everything else JSON.
+Determinism: members are written in (key, extension) order with zeroed
+mtimes, so a shard's bytes depend only on its rows — re-exports of
+identical partitions are byte-identical (pytest-pinned).
+
+Scale note: ``samples_per_shard`` bounds shard size (loaders want
+100–1000 samples/shard); a partition with more rows emits several
+sequential tars. Import (``read_webdataset``) is the inverse — a
+``binaryFile`` scan of the tars + a ``mapInPandas`` member parser —
+provided for round-trip tests and small-scale reads; big pipelines read
+shards directly in their data loader, not through Spark.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _member_bytes(value, col: str) -> tuple[str, bytes]:
+    """(extension, payload) for one column value."""
+    if isinstance(value, (bytes, bytearray)):
+        ext = "png" if bytes(value[:8]) == b"\x89PNG\r\n\x1a\n" else "bin"
+        return ext, bytes(value)
+    if isinstance(value, str):
+        return "txt", value.encode("utf-8")
+    return "json", json.dumps(value, default=str).encode("utf-8")
+
+
+def export_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    samples_per_shard: int = 256,
+) -> int:
+    """Write ``df`` as WebDataset shard tars under ``out_dir``. Returns
+    the number of shards written. Columns other than ``key_col`` become
+    per-sample member files named ``{key}.{ext}``."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+    if key_col not in cols:
+        raise ValueError(f"key_col '{key_col}' not in DataFrame columns")
+    data_cols = [c for c in cols if c != key_col]
+    if not data_cols:
+        raise ValueError("export needs at least one non-key column")
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq, n_in_shard, tar = 0, 0, None
+
+        def _open(seq_no: int):
+            return tarfile.open(
+                os.path.join(out_dir, f"shard-{pid:05d}-{seq_no:05d}.tar"),
+                "w",
+            )
+
+        for row in rows:
+            if tar is None:
+                tar = _open(seq)
+            d = row.asDict()
+            key = str(d[key_col])
+            for c in sorted(data_cols):
+                ext, payload = _member_bytes(d[c], c)
+                info = tarfile.TarInfo(name=f"{key}.{c}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0  # deterministic bytes
+                tar.addfile(info, io.BytesIO(payload))
+            n_in_shard += 1
+            if n_in_shard >= samples_per_shard:
+                tar.close()
+                tar, seq, n_in_shard = None, seq + 1, 0
+        if tar is not None:
+            tar.close()
+
+    df.foreachPartition(write_partition)
+    return len([f for f in os.listdir(out_dir) if f.endswith(".tar")])
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse scan: one output row per (shard, sample key, member) —
+    ``binaryFile`` over the tars + an Arrow ``mapInPandas`` member
+    parser (executor-local; shards never pass through the driver)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar")
+    ).select("path", "content")
+
+    def parse(it):
+        for pdf in it:
+            shards, keys, members, exts, sizes, payloads = [], [], [], [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        base, col, ext = m.name.rsplit(".", 2)
+                        shards.append(os.path.basename(p))
+                        keys.append(base)
+                        members.append(col)
+                        exts.append(ext)
+                        sizes.append(m.size)
+                        payloads.append(tar.extractfile(m).read())
+            yield pd.DataFrame(
+                {
+                    "shard": shards,
+                    "key": keys,
+                    "column": members,
+                    "ext": exts,
+                    "n_bytes": sizes,
+                    "payload": payloads,
+                }
+            )
+
+    return files.mapInPandas(
+        parse,
+        schema=(
+            "shard string, key string, column string, ext string, "
+            "n_bytes long, payload binary"
+        ),
+    )

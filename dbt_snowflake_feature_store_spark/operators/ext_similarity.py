@@ -320,6 +320,29 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (functions/similarity.PQIndex): 64-float
+    vectors stored as 8 codes (~32× compression), ADC scoring off a
+    per-query lookup table (all native zip_with/aggregate exprs), top-50
+    candidates re-ranked EXACTLY by cosine for the final top-10 — the
+    FAISS IVF+PQ read path's memory half. Approx by construction →
+    rows-only; recall floors + determinism pytest-pinned
+    (tests/test_ext.py::TestPQ)."""
+    from ..functions.similarity import PQIndex, cosine_scores
+
+    e = _emb(spark, sf_dir)
+    idx = PQIndex.build(e, m=8, k=16)
+    enc = idx.encode(e).select("vec_id", "_pq")
+    q = _query_vec(spark, sf_dir)
+    cand = idx.search(enc, q, k=50).select("vec_id")
+    rerank = cosine_scores(e.join(cand, "vec_id"), q)
+    return (
+        rerank.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(_K)
+        .select("vec_id", F.col("cosine").alias("f_cosine"))
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates via LSH buckets (approx →
     rows-only). Top-50 highest-cosine bucket pairs above a 0.0 floor,
@@ -653,6 +676,7 @@ QUERIES = {
     "q_sim_topk_fast": q_sim_topk_fast,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ivf": q_sim_ivf,
+    "q_sim_pq": q_sim_pq,
     "q_dedup_embed": q_dedup_embed,
     "q_embed_outliers": q_embed_outliers,
     "q_sim_range": q_sim_range,

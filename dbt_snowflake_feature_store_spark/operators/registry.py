@@ -38,7 +38,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # NEW round-7 keys (relational3 TPC-H shapes + ngram novelty)
     "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like", "q_tpch_q22like",
     "q_ngram_novelty", "q_embed_covariance", "q_window_percentile",
-    "q_approx_distinct_sketch", "q_global_rank", "q_global_ntile", "q_bpe_train", "q_chunk_overlap", "q_join_asof_near", "q_cube", "q_k_anonymity",
+    "q_approx_distinct_sketch", "q_global_rank", "q_global_ntile", "q_bpe_train", "q_chunk_overlap", "q_join_asof_near", "q_cube", "q_k_anonymity", "q_sim_pq",
     # part 2: 31 of the 33 keys whose latest driver record is r04
     # (VERDICT r6 item 1) — relational.py/pit.py-adjacent ones first
     # (those files changed in r6 after the r4 record). q_agg_approx

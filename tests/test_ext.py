@@ -488,3 +488,63 @@ class TestPairCacheEviction:
         # the live entry is memoized: same object served back
         assert ext_text._portable_pairs(spark, sf_dir) is not None
         assert live_key in ext_text._PAIR_CACHE
+
+
+class TestPQ:
+    def test_pq_compression_determinism_roundtrip(self, spark, sf_dir, tmp_path):
+        from dbt_snowflake_feature_store_spark.functions.similarity import (
+            PQIndex,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = PQIndex.build(emb, m=8, k=16)
+        assert (idx.m, idx.k, idx.dsub) == (8, 16, 8)
+        enc = idx.encode(emb).select("vec_id", "_pq")
+        rows = enc.collect()
+        # 64 floats -> 8 small codes, all within [0, k)
+        assert all(len(r["_pq"]) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r["_pq"])
+        # deterministic: same sample order, same seed -> same codebooks
+        idx2 = PQIndex.build(emb, m=8, k=16)
+        assert idx2.codebooks == idx.codebooks
+        # index file round-trip
+        p = str(tmp_path / "pq.json")
+        idx.save(p)
+        assert PQIndex.load(p).codebooks == idx.codebooks
+
+    def test_pq_adc_recall_and_self_match(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.functions.similarity import (
+            PQIndex,
+            cosine_topk,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = PQIndex.build(emb, m=8, k=16)
+        enc = idx.encode(emb).select("vec_id", "_pq").localCheckpoint()
+        q = [
+            float(x)
+            for x in emb.filter("vec_id = 0").head()["embedding"]
+        ]
+        exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+        got10 = [r["vec_id"] for r in idx.search(enc, q, k=10).collect()]
+        got50 = [r["vec_id"] for r in idx.search(enc, q, k=50).collect()]
+        # the query vector itself quantizes to itself -> rank 1
+        assert got10[0] == 0
+        # 32x compression on near-orthogonal synthetic vectors: measured
+        # 0.4 raw / 0.8 candidate recall — floors pinned below that
+        assert len(set(got10) & set(exact)) / 10 >= 0.2
+        assert len(set(got50) & set(exact)) / 10 >= 0.6
+
+    def test_pq_rejects_indivisible_dim(self, spark, sf_dir):
+        from dbt_snowflake_feature_store_spark.functions.similarity import (
+            PQIndex,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not divisible"):
+            PQIndex.build(emb, m=7)

@@ -42,9 +42,10 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # part 2: 31 of the 33 keys whose latest driver record is r04
     # (VERDICT r6 item 1) — relational.py/pit.py-adjacent ones first
     # (those files changed in r6 after the r4 record). q_agg_approx
-    # (rows-only — a driver record adds little) and q_percentile
-    # (unchanged since r1) are the two names squeezed out by the 50-key
-    # cap; both are covered by CORRECTNESS_LOCAL_r07's full sweep.
+    # (rows-only — a driver record adds little), q_percentile and
+    # q_text_repetition (both unchanged since r1/r4) are the names
+    # squeezed out by the 50-key cap; all are covered by
+    # CORRECTNESS_LOCAL_r07's full sweep.
     "q_sessionize", "q_join_left", "q_join_multi_fv", "q_join_range",
     "q_window_frame", "q_window_range", "q_window_rank", "q_semi_anti",
     "q_union_all", "q_agg_having", "q_cte_pipeline", "q_explode_tokens",
@@ -53,7 +54,6 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_tpch_q1like", "q_tpch_q3like", "q_tpch_q5like",
     "q_dedup_simhash_portable", "q_fingerprint_winnow", "q_funnel",
     "q_hopping", "q_retention", "q_rfm", "q_scd2_multi",
-    "q_text_repetition",
 )
 
 

@@ -196,6 +196,46 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _IVF_CACHE[key].search(e, qv, k=_K, n_probe=3)
 
 
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE FAISS-style read path composed from this engine's
+    pieces: IVF coarse probe (3 of 8 cells — partition-prunable at
+    scale) → PQ asymmetric-distance scoring over 8-byte codes within
+    the probed cells → exact cosine re-rank of the top-50 candidates.
+    At 100 TB: the scan touches n_probe/num_cells of the CODES table
+    (~3% of 3% of raw bytes), full vectors load only for the bounded
+    re-rank set. Both index structures are build-once bounded-sample
+    state (cached per corpus here). Approx → rows-only; the component
+    recalls are pytest-pinned (TestPQ, ANN tests)."""
+    from ..functions.similarity import PQIndex, cosine_scores
+
+    qv = _query_vec(spark, sf_dir)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != _QUERY_ID)
+    key = (sf_dir, 8)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = SIM.IVFIndex.build(e, num_centroids=8, seed=42)
+    ivf = _IVF_CACHE[key]
+    pq_key = (sf_dir, "pq")
+    if pq_key not in _PQ_CACHE:
+        _PQ_CACHE[pq_key] = PQIndex.build(e, m=8, k=16)
+    pq = _PQ_CACHE[pq_key]
+    # coarse probe: vectors whose cell is among the query's 3 nearest
+    probed = ivf.assign(e).filter(
+        F.col("_cell").isin(*ivf.probe_cells(qv, n_probe=3))
+    )
+    cand = pq.search(
+        pq.encode(probed).select("vec_id", "_pq"), qv, k=50
+    ).select("vec_id")
+    rerank = cosine_scores(e.join(cand, "vec_id"), qv)
+    return (
+        rerank.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(_K)
+        .select("vec_id", F.col("cosine").alias("f_cosine"))
+    )
+
+
+_PQ_CACHE: dict = {}
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the leading embedding dimensions — the
     cluster-profile aggregation an embedding pipeline runs for drift /
@@ -677,6 +717,7 @@ QUERIES = {
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_pq": q_sim_pq,
+    "q_sim_ivfpq": q_sim_ivfpq,
     "q_dedup_embed": q_dedup_embed,
     "q_embed_outliers": q_embed_outliers,
     "q_sim_range": q_sim_range,

@@ -682,6 +682,39 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training
+    (embedding-model prep): for each anchor doc (doc_id % 50 == 0), the
+    4 pseudo-random negatives ranked by a portable md5-derived hash of
+    the (anchor, candidate) pair — reproducible across runs, engines and
+    partitionings, which is what makes a training set auditable (and
+    lets DuckDB hash-check the sampler). Anchors broadcast against the
+    candidate stream; rank ≤ 4 per anchor gets Spark 4's map-side
+    WindowGroupLimit (losers pruned BEFORE the shuffle)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    anchors = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("f_anchor")
+    )
+    pairs = d.crossJoin(F.broadcast(anchors)).filter(
+        F.col("doc_id") != F.col("f_anchor")
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat(cast(f_anchor as string), '_', "
+        "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("f_anchor").orderBy(
+        F.col("f_hash").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pairs.withColumn("f_hash", h)
+        .withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_rank") <= 4)
+        .select("f_anchor", "f_rank", F.col("doc_id").alias("f_negative"), "f_hash")
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram NOVELTY — the fraction of a document's distinct
     word-3-grams that first appear in that document (corpus order =
@@ -1599,6 +1632,28 @@ ORACLE["q_chunk_overlap"] = """
     FROM ch
 """
 
+ORACLE["q_negative_sample"] = """
+    WITH d AS (SELECT doc_id FROM documents),
+    anchors AS (SELECT doc_id AS f_anchor FROM d WHERE doc_id % 50 = 0),
+    pairs AS (
+        SELECT a.f_anchor, d.doc_id,
+               ('0x' || substr(md5(CAST(a.f_anchor AS VARCHAR) || '_' ||
+                                   CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS f_hash
+        FROM anchors a, d
+        WHERE d.doc_id <> a.f_anchor
+    ),
+    ranked AS (
+        SELECT f_anchor, doc_id, f_hash,
+               ROW_NUMBER() OVER (PARTITION BY f_anchor
+                                  ORDER BY f_hash ASC, doc_id ASC) AS rn
+        FROM pairs
+    )
+    SELECT f_anchor, CAST(rn AS BIGINT) AS f_rank,
+           doc_id AS f_negative, f_hash
+    FROM ranked WHERE rn <= 4
+"""
+
 ORACLE["q_pii_scan"] = """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
@@ -1924,6 +1979,7 @@ QUERIES = {
     "q_ngram_novelty": q_ngram_novelty,
     "q_bpe_train": q_bpe_train,
     "q_chunk_overlap": q_chunk_overlap,
+    "q_negative_sample": q_negative_sample,
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_bfd": q_pack_bfd,

@@ -22,6 +22,7 @@ the q_bpe_train driver key is rows-only; correctness is pytest-gated.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,3 +145,55 @@ def bpe_segment(
         out_col,
         F.expr(f"flatten(transform(_syms_list, x -> {apply_all}))"),
     ).drop("_w", "_syms_list")
+
+
+def bpe_segment_fast(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Production segmenter for LARGE merge tables: an Arrow-batched
+    pandas_udf applying merges by RANK PRIORITY with a per-word cache —
+    the path a 32k-merge production vocab takes (the native
+    ``bpe_segment`` compiles one nested fold per merge, fine for tens of
+    merges, quadratic plan growth beyond). Rank-priority application is
+    equivalent to sequential rank-order application (a merge can never
+    create an adjacency of literal earlier-merge symbols), which the
+    tests assert empirically against the native segmenter."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+
+    @pandas_udf("array<string>")
+    def seg(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word_syms(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [END_MARK]
+            while len(syms) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [
+                    syms[best_i] + syms[best_i + 1]
+                ]
+            cache[w] = syms
+            return syms
+
+        return texts.map(
+            lambda t: [
+                s
+                for w in (t or "").strip().split()
+                for s in word_syms(w)
+            ]
+        )
+
+    return df.withColumn(out_col, seg(F.col(text_col)))

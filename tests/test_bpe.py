@@ -73,3 +73,35 @@ def test_min_count_prunes_rare_words(spark):
     docs = _docs(spark, ["zz zz zz qq"])
     merges = bpe.bpe_train(docs, num_merges=1, min_count=2)
     assert merges[0]["left"] == "z" and merges[0]["count"] == 3
+
+
+def test_fast_segmenter_matches_native(spark):
+    """The Arrow rank-priority segmenter (production path for big merge
+    tables) equals the native fold segmenter word-for-word on the real
+    corpus — the sequential-vs-priority equivalence, checked."""
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    merges = bpe.bpe_train(docs, num_merges=12)
+    a = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_segment(docs, merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_segment_fast(docs, merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_fast_segmenter_greedy_tie(spark):
+    """'aaa' under merge (a,a): priority application gives the same
+    leftmost-greedy (aa, a) split as the fold."""
+    docs = _docs(spark, ["aaa"])
+    merges = [{"rank": 0, "left": "a", "right": "a", "merged": "aa", "count": 9}]
+    got = bpe.bpe_segment_fast(docs, merges).head()["bpe_tokens"]
+    assert list(got) == ["aa", "a", E]

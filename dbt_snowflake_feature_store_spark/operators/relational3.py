@@ -363,7 +363,54 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave key over two bucketed dimensions
+    (functions/features.zorder_value — the OPTIMIZE ZORDER BY analog
+    driving two-dimensional file skipping, row-group-stat-proved in
+    tests/test_cluster_by.py). Pure row-local shift/mask bit arithmetic
+    (whole-stage codegen, zero shuffle) — and bit-exact across engines,
+    so the layout key itself is oracle-gated."""
+    from ..functions.features import zorder_value
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 128).alias("f_a"),
+        (F.col("o_custkey") % 128).alias("f_b"),
+        zorder_value(
+            F.col("o_orderkey") % 128, F.col("o_custkey") % 128, bits=7
+        ).alias("f_z"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_zorder_key": """
+        WITH b AS (
+            SELECT o_orderkey,
+                   o_orderkey % 128 AS f_a,
+                   o_custkey % 128 AS f_b
+            FROM orders
+        )
+        SELECT o_orderkey, f_a, f_b,
+               CAST((
+                   (((f_a >> 0) & 1) << 0) |
+                   (((f_b >> 0) & 1) << 1) |
+                   (((f_a >> 1) & 1) << 2) |
+                   (((f_b >> 1) & 1) << 3) |
+                   (((f_a >> 2) & 1) << 4) |
+                   (((f_b >> 2) & 1) << 5) |
+                   (((f_a >> 3) & 1) << 6) |
+                   (((f_b >> 3) & 1) << 7) |
+                   (((f_a >> 4) & 1) << 8) |
+                   (((f_b >> 4) & 1) << 9) |
+                   (((f_a >> 5) & 1) << 10) |
+                   (((f_b >> 5) & 1) << 11) |
+                   (((f_a >> 6) & 1) << 12) |
+                   (((f_b >> 6) & 1) << 13)
+               ) AS BIGINT) AS f_z
+        FROM b
+    """,
     "q_cube": """
         SELECT l_returnflag, l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS f_n,
@@ -499,4 +546,5 @@ QUERIES = {
     "q_global_ntile": q_global_ntile,
     "q_cube": q_cube,
     "q_k_anonymity": q_k_anonymity,
+    "q_zorder_key": q_zorder_key,
 }

@@ -172,10 +172,14 @@ class TestScaleProperties:
         for mod in (relational, text):
             src = inspect.getsource(mod)
             assert ".collect()" not in src, mod.__name__
-        # similarity collects exactly two single-row scalars: the
-        # query-vector parameter and the opt-in log_dropped bucket-count
-        # diagnostic (one aggregated row, off by default) — never data
-        assert inspect.getsource(similarity).count(".collect()") <= 2
+        # similarity collects exactly three bounded things: the
+        # query-vector parameter (1 row), the opt-in log_dropped
+        # bucket-count diagnostic (1 aggregated row, off by default),
+        # and the PQIndex.build training sample (hash-ordered top-N cap,
+        # index-BUILD time only — the same bounded-sample pattern as
+        # IVFIndex.build, which shares its collect with the query-vector
+        # count here) — never unbounded data, never in a query path
+        assert inspect.getsource(similarity).count(".collect()") <= 3
 
 
 class TestPackBfdProperty:

@@ -384,7 +384,85 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — INTERSECT ALL / EXCEPT ALL (the
+    bag-semantics twins of q_set_ops' distinct forms; SQL:2003 feature
+    both engines implement natively). Duplicate o_custkey rows survive
+    with min-count / count-difference multiplicity — the semantics that
+    matter when rows are events, not identities. One shuffle each on the
+    compared column."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_c.intersectAll(filled_c).select(
+        "o_custkey", F.lit("both_all").alias("f_bucket")
+    )
+    surplus = open_c.exceptAll(filled_c).select(
+        "o_custkey", F.lit("open_surplus").alias("f_bucket")
+    )
+    return both.unionByName(surplus)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — 20 buckets over the
+    [min, max] range (two-pass: a 1-row bounds aggregate broadcast into
+    a floor-spelled bucket projection, then a map-side-combinable
+    count). The distribution profile every data-quality report carries.
+    The bucket edge arithmetic uses identical double operation order on
+    both engines and floor (never round) because the bucket id feeds
+    the GROUP BY."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    b = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / 20.0)
+            ),
+            F.lit(19),
+        ).cast("long").alias("f_bucket"),
+        "_lo",
+        "_hi",
+    )
+    return b.groupBy("f_bucket").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.min("_lo").alias("f_range_lo"),
+        F.max("_hi").alias("f_range_hi"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_set_ops_all": """
+        WITH o1 AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             f1 AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT o_custkey, 'both_all' AS f_bucket
+        FROM (SELECT o_custkey FROM o1 INTERSECT ALL
+              SELECT o_custkey FROM f1)
+        UNION ALL
+        SELECT o_custkey, 'open_surplus' AS f_bucket
+        FROM (SELECT o_custkey FROM o1 EXCEPT ALL
+              SELECT o_custkey FROM f1)
+    """,
+    "q_histogram": """
+        WITH bounds AS (
+            SELECT MIN(o_totalprice) AS _lo, MAX(o_totalprice) AS _hi
+            FROM orders
+        ),
+        b AS (
+            SELECT LEAST(FLOOR((o_totalprice - _lo) / ((_hi - _lo) / 20.0)),
+                         19) AS f_bucket,
+                   _lo, _hi
+            FROM orders, bounds
+        )
+        SELECT CAST(f_bucket AS BIGINT) AS f_bucket,
+               CAST(COUNT(*) AS BIGINT) AS f_n,
+               MIN(_lo) AS f_range_lo,
+               MAX(_hi) AS f_range_hi
+        FROM b GROUP BY f_bucket
+    """,
     "q_zorder_key": """
         WITH b AS (
             SELECT o_orderkey,
@@ -547,4 +625,6 @@ QUERIES = {
     "q_cube": q_cube,
     "q_k_anonymity": q_k_anonymity,
     "q_zorder_key": q_zorder_key,
+    "q_set_ops_all": q_set_ops_all,
+    "q_histogram": q_histogram,
 }

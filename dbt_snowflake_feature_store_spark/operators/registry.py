@@ -38,14 +38,14 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # NEW round-7 keys (relational3 TPC-H shapes + ngram novelty)
     "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like", "q_tpch_q22like",
     "q_ngram_novelty", "q_embed_covariance", "q_window_percentile",
-    "q_approx_distinct_sketch", "q_global_rank", "q_global_ntile", "q_bpe_train", "q_chunk_overlap", "q_join_asof_near", "q_cube", "q_k_anonymity", "q_sim_pq", "q_sim_ivfpq", "q_negative_sample", "q_zorder_key", "q_set_ops_all", "q_histogram",
+    "q_approx_distinct_sketch", "q_global_rank", "q_global_ntile", "q_bpe_train", "q_chunk_overlap", "q_join_asof_near", "q_cube", "q_k_anonymity", "q_sim_pq", "q_sim_ivfpq", "q_negative_sample", "q_zorder_key", "q_set_ops_all", "q_histogram", "q_lateral_topn",
     # part 2: 31 of the 33 keys whose latest driver record is r04
     # (VERDICT r6 item 1) — relational.py/pit.py-adjacent ones first
     # (those files changed in r6 after the r4 record). q_agg_approx
     # (rows-only — a driver record adds little), q_percentile,
-    # q_text_repetition, q_scd2_multi, q_rfm, q_retention, q_hopping and
-    # q_funnel (unchanged since r1/r4) are the names squeezed out by the
-    # 50-key cap; all are covered by
+    # q_text_repetition, q_scd2_multi, q_rfm, q_retention, q_hopping,
+    # q_funnel and q_fingerprint_winnow (unchanged since r1/r4) are the
+    # names squeezed out by the 50-key cap; all are covered by
     # CORRECTNESS_LOCAL_r07's full sweep.
     "q_sessionize", "q_join_left", "q_join_multi_fv", "q_join_range",
     "q_window_frame", "q_window_range", "q_window_rank", "q_semi_anti",
@@ -53,7 +53,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_pivot", "q_rollup", "q_set_ops", "q_sort_limit",
     "q_scalar_date", "q_scalar_json", "q_scalar_str", "q_scalar_subquery",
     "q_tpch_q1like", "q_tpch_q3like", "q_tpch_q5like",
-    "q_dedup_simhash_portable", "q_fingerprint_winnow",
+    "q_dedup_simhash_portable",
 )
 
 

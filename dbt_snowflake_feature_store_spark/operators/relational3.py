@@ -434,7 +434,41 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY … LIMIT (SQL:1999
+    lateral derived table; Spark ≥3.2 and DuckDB both execute it) —
+    each customer joined to their single highest-value order. Catalyst
+    decorrelates the lateral into a ranked join (same physical family
+    as the window top-1), so the declarative per-row-subquery form
+    costs one shuffle, not |customers| subquery executions."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q3_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q3_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey AS f_top_order,
+               t.o_totalprice AS f_top_price
+        FROM _q3_customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM _q3_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+        ) t
+        """
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_lateral_topn": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey AS f_top_order,
+               t.o_totalprice AS f_top_price
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+        ) t ON TRUE
+    """,
     "q_set_ops_all": """
         WITH o1 AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
              f1 AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -627,4 +661,5 @@ QUERIES = {
     "q_zorder_key": q_zorder_key,
     "q_set_ops_all": q_set_ops_all,
     "q_histogram": q_histogram,
+    "q_lateral_topn": q_lateral_topn,
 }

@@ -47,23 +47,46 @@ def _ranked(
     action otherwise); AQE may coalesce ADJACENT ranges — harmless,
     both passes see the coalesced layout."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
+    if num_partitions:
+        parts = int(num_partitions)
+    else:
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            parts = int(conf)
+        except (TypeError, ValueError):  # e.g. 'auto' on some platforms
+            parts = max(1, df.rdd.getNumPartitions())
     ranged = (
-        df.repartitionByRange(int(parts), *cols)
+        df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_fs_pid", F.spark_partition_id())
         .withColumn("_fs_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )
-    # bounded: P rows, not data rows
-    sizes = {
-        r["_fs_pid"]: r["n"]
-        for r in ranged.groupBy("_fs_pid")
-        .agg(F.count("*").alias("n"))
+    # bounded: P rows, not data rows. The same collect PROVES the
+    # monotonically_increasing_id layout assumption (pid·2³³ + local
+    # record number): for every partition the min/max mid must span
+    # exactly [pid·2³³, pid·2³³ + n - 1]. A Spark version changing the
+    # layout fails loudly here instead of silently corrupting ranks.
+    sizes = {}
+    for r in (
+        ranged.groupBy("_fs_pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_fs_mid").alias("lo"),
+            F.max("_fs_mid").alias("hi"),
+        )
         .collect()
-    }
+    ):
+        pid, n = r["_fs_pid"], r["n"]
+        base = pid * (1 << 33)
+        if r["lo"] != base or r["hi"] != base + n - 1 or n > (1 << 33):
+            raise RuntimeError(
+                "monotonically_increasing_id layout assumption broken "
+                f"(pid={pid}, n={n}, mid range=[{r['lo']}, {r['hi']}], "
+                f"expected [{base}, {base + n - 1}]) — global ranks "
+                "would be corrupt; check the Spark version's mid layout"
+            )
+        sizes[pid] = n
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc

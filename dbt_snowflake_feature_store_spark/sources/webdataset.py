@@ -62,6 +62,21 @@ def export_webdataset(
     data_cols = [c for c in cols if c != key_col]
     if not data_cols:
         raise ValueError("export needs at least one non-key column")
+    # Member names are '{key}.{column}.{ext}' and the reader splits on
+    # the LAST two dots — a dot inside a column name would round-trip
+    # with the wrong (key, column, ext) split. Fail fast at export.
+    dotted = [c for c in data_cols if "." in c]
+    if dotted:
+        raise ValueError(
+            f"column names must not contain '.' (member-name separator): "
+            f"{dotted}; rename before export"
+        )
+    # A re-export that yields fewer shards (fewer rows/partitions) must
+    # not leave stale tars from the previous run mixed into the corpus:
+    # clear every shard tar up front, then foreachPartition rewrites.
+    for f in os.listdir(out_dir):
+        if f.startswith("shard-") and f.endswith(".tar"):
+            os.unlink(os.path.join(out_dir, f))
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext

@@ -603,16 +603,27 @@ class FeatureStore:
         upd_keys = (
             added.select(keys).intersect(removed.select(keys))
         )  # DISTINCT by construction (intersect is set semantics)
-        post = added.join(F.broadcast(upd_keys), keys, "left_semi").withColumn(
+        # NULL-safe labeling: intersect treats NULL keys as equal, so
+        # upd_keys can contain NULL-keyed rows — the semi/anti joins must
+        # match them too (eqNullSafe), else a changed NULL-keyed row is
+        # mislabeled insert+delete instead of update_pre/postimage.
+        uk = upd_keys.select(
+            *[F.col(k).alias(f"_fs_uk_{k}") for k in keys]
+        )
+        cond = None
+        for k in keys:
+            term = F.col(k).eqNullSafe(F.col(f"_fs_uk_{k}"))
+            cond = term if cond is None else cond & term
+        post = added.join(F.broadcast(uk), cond, "left_semi").withColumn(
             "_change_type", F.lit("update_postimage")
         )
-        ins = added.join(F.broadcast(upd_keys), keys, "left_anti").withColumn(
+        ins = added.join(F.broadcast(uk), cond, "left_anti").withColumn(
             "_change_type", F.lit("insert")
         )
-        pre = removed.join(F.broadcast(upd_keys), keys, "left_semi").withColumn(
+        pre = removed.join(F.broadcast(uk), cond, "left_semi").withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        dele = removed.join(F.broadcast(upd_keys), keys, "left_anti").withColumn(
+        dele = removed.join(F.broadcast(uk), cond, "left_anti").withColumn(
             "_change_type", F.lit("delete")
         )
         return post.unionAll(ins).unionAll(pre).unionAll(dele)

@@ -133,12 +133,24 @@ def incremental_refresh(fs: "FeatureStore", fv: "FeatureView") -> str:
 
     has_log = os.path.isdir(os.path.join(path, "_spark_metadata"))
     has_ckpt = os.path.isdir(ckpt)
+    rebuilt = False
     if os.path.isdir(path) and not (has_log and has_ckpt):
         shutil.rmtree(path)
         if has_ckpt:
             shutil.rmtree(ckpt)
+        rebuilt = True
     elif has_ckpt and not os.path.isdir(path):
         shutil.rmtree(ckpt)
+        rebuilt = True
+    # Whenever the append path rebuilds the materialization, a stale
+    # merge checkpoint must die with it: if the merge-resume gate above
+    # fell through (e.g. entity keys no longer resolve) and the table is
+    # append-rebuilt, a later refresh whose keys resolve again would
+    # resume the obsolete merge checkpoint's running totals against the
+    # rebuilt table and double-count groups (mirrors refresh.py's FULL
+    # recompute cleanup, which removes both checkpoints).
+    if rebuilt and os.path.isdir(ckpt_merge):
+        shutil.rmtree(ckpt_merge)
 
     ts_col = None
     if fv.timestamp_col:

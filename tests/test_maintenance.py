@@ -519,6 +519,46 @@ class TestChangeFeed:
         # unchanged user 1 appears nowhere
         assert all(r["user_id"] != 1 for r in rows)
 
+    def test_changes_null_key_row_is_update(self, spark, tmp_path):
+        """A changed NULL-keyed row is labeled update_pre/postimage, not
+        insert+delete: intersect treats NULL keys as equal, and the
+        semi/anti labeling joins must match them too (null-safe join —
+        ADVICE r7)."""
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+            RefreshSpec,
+        )
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, 10.0), (None, 7.0)], "user_id long, v double"
+        ).write.mode("overwrite").parquet(src)
+        fs = FeatureStore(
+            spark, str(tmp_path / "root"), name="CDCN_FS", snapshot_history=2
+        )
+        fs.register_source("CDCN_SRC", src)
+        fs.register_entity(Entity("user", ["user_id"]))
+        fs.register_feature_view(
+            FeatureView(
+                "cdcn_fv", ["user"],
+                sql="SELECT user_id, v AS f_v FROM CDCN_SRC",
+                refresh=RefreshSpec("1 minute", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        spark.createDataFrame(
+            [(1, 10.0), (None, 8.0)], "user_id long, v double"
+        ).write.mode("overwrite").parquet(src)
+        fs.refresh("cdcn_fv", "1")
+        rows = fs.feature_view_changes("cdcn_fv", "1", from_snapshot=1).collect()
+        got = {(r["user_id"], r["f_v"], r["_change_type"]) for r in rows}
+        assert got == {
+            (None, 7.0, "update_preimage"),
+            (None, 8.0, "update_postimage"),
+        }
+
     def test_changes_between_two_snapshots_and_errors(self, spark, tmp_path):
         from dbt_snowflake_feature_store_spark import FeatureStore
         from dbt_snowflake_feature_store_spark.errors import ValidationError

@@ -457,6 +457,42 @@ class TestStreamingIncremental:
         }
         assert got3 == expect()
 
+    def test_append_rebuild_clears_stale_merge_ckpt(
+        self, fs, spark, split_events
+    ):
+        """When the merge-resume gate falls through (entity keys absent
+        from the plan output) and the APPEND path rebuilds the
+        materialization, a stale _ckpt_merge must die with it — else a
+        later refresh whose keys resolve again would replay obsolete
+        running totals against the rebuilt table (ADVICE r7)."""
+        import shutil
+
+        fs.register_source("S_REBUILD", split_events["src"])
+        fs.register_entity(Entity("muser", ["user_id"]))
+        # output LACKS user_id → _entity_merge_keys is empty → append path
+        fv = FeatureView(
+            "no_key_stream",
+            ["muser"],
+            sql="SELECT ts, value AS f_value FROM S_REBUILD",
+            timestamp_col="ts",
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+        n1 = fs.read_feature_view("NO_KEY_STREAM$1.0").count()
+        assert n1 == split_events["half1"]
+
+        data_path = fs._fv_data_path("no_key_stream", "1.0")
+        # simulate the stale state: a leftover merge checkpoint plus a
+        # broken append pair (checkpoint gone, file log still present)
+        os.makedirs(data_path + "_ckpt_merge", exist_ok=True)
+        shutil.rmtree(data_path + "_ckpt")
+        assert fs.refresh("no_key_stream", "1.0") == "INCREMENTAL"
+        assert not os.path.isdir(data_path + "_ckpt_merge")
+        assert (
+            fs.read_feature_view("NO_KEY_STREAM$1.0").count()
+            == split_events["half1"]
+        )
+
     def test_auto_keeps_keyed_agg_incremental(self, fs, spark, split_events):
         """Round 7: a keyed non-windowed aggregation under AUTO no
         longer downgrades — the update-mode foreachBatch MERGE path

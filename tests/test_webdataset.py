@@ -107,3 +107,27 @@ def test_bad_inputs(spark, media_df, tmp_path):
         export_webdataset(
             media_df.select("key"), str(tmp_path / "y"), key_col="key"
         )
+    # dots in data column names would corrupt the member-name split on
+    # read — rejected at export time
+    with pytest.raises(ValueError, match="meta.width"):
+        export_webdataset(
+            media_df.withColumn("meta.width", F.lit(16)),
+            str(tmp_path / "z"),
+            key_col="key",
+        )
+
+
+def test_reexport_clears_stale_shards(spark, tmp_path, media_df):
+    """A re-export that yields FEWER shards must not leave the previous
+    run's extra tars mixed into the corpus (ADVICE r7)."""
+    out = str(tmp_path / "wds_re")
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )  # 30 rows / 5 per shard = 6 tars
+    assert len(os.listdir(out)) == 6
+    smaller = media_df.limit(4).repartition(1)
+    n = export_webdataset(smaller, out, key_col="key", samples_per_shard=5)
+    assert n == 1
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 1
+    # and the read sees only the re-exported rows
+    assert read_webdataset(spark, out).select("key").distinct().count() == 4

@@ -77,9 +77,11 @@ def rfm_features(
     ``quantile_bucket`` — three approx-percentile sketches + row-local
     CASEs, NO window and NO global sort anywhere in the plan
     (plan-asserted in tests/test_features.py). ``exact=True`` scores
-    via global ``ntile`` windows (single-partition sort of the
-    per-customer frame) — the form the DuckDB oracle pins; use it only
-    when exact quartile boundaries matter more than the sort.
+    exact NTILE boundaries via ``ranks.global_ntile`` (range exchange +
+    parallel per-range sort + prefix-sum offsets) — identical values to
+    ``NTILE(n) OVER (ORDER BY …)`` (the form the DuckDB oracle pins)
+    with NO unpartitioned Window node anywhere: three range exchanges,
+    never a single-task sort.
 
     Scores agree with the exact form everywhere except rows tied with /
     within the sketch's rank error of a quartile boundary."""
@@ -100,25 +102,37 @@ def rfm_features(
         "f_monetary",
     )
     if exact:
-        from pyspark.sql import Window
+        from .ranks import global_ntile
 
-        w_r = Window.orderBy(
-            F.col("f_recency_days").asc(), F.col(customer_col).asc()
+        # three distributed exact ntiles (one range exchange each; the
+        # unique customer tiebreak makes every order TOTAL, so the
+        # result is independent of partition layout and hash-checkable)
+        out = global_ntile(
+            scored,
+            [F.col("f_recency_days").asc(), F.col(customer_col).asc()],
+            buckets,
+            "f_r_score",
         )
-        w_f = Window.orderBy(
-            F.col("f_frequency").desc(), F.col(customer_col).asc()
+        out = global_ntile(
+            out,
+            [F.col("f_frequency").desc(), F.col(customer_col).asc()],
+            buckets,
+            "f_f_score",
         )
-        w_m = Window.orderBy(
-            F.col("f_monetary").desc(), F.col(customer_col).asc()
+        out = global_ntile(
+            out,
+            [F.col("f_monetary").desc(), F.col(customer_col).asc()],
+            buckets,
+            "f_m_score",
         )
-        return scored.select(
+        return out.select(
             customer_col,
             "f_recency_days",
             "f_frequency",
             "f_monetary",
-            F.ntile(buckets).over(w_r).cast("long").alias("f_r_score"),
-            F.ntile(buckets).over(w_f).cast("long").alias("f_f_score"),
-            F.ntile(buckets).over(w_m).cast("long").alias("f_m_score"),
+            "f_r_score",
+            "f_f_score",
+            "f_m_score",
         )
     # the three sketches each collect `buckets-1` scalars; the scored
     # frame itself is never globally sorted

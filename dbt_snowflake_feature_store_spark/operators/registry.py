@@ -28,32 +28,30 @@ _MODULES = [relational2, relational]
 # this tuple each round to whatever CORRECTNESS_r{N}.json did NOT cover.
 # Full coverage every round regardless: CORRECTNESS_LOCAL_r{N}.json
 # (written by .claude/skills/verify/drive_verify.py) records all keys.
+# STANDING TWO-ROUND CYCLE (round 8+): 132 keys > 2× the 50-key driver
+# cap, so the record rotates in halves — each round promotes (a) every
+# key whose code changed this round, (b) every key whose latest driver
+# record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
+# latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # round 7, part 1: keys whose code paths changed THIS round — the
-    # connected-components rewrite (auto default, lazy checkpoints,
-    # star exact-confirm) and the pair-cache eviction feed these three
-    "q_dedup_clusters", "q_corpus_dedup_stats", "q_dedup_near_portable",
-    # the multimodal decode path gained a real PNG codec this round
-    "q_multimodal_decode",
-    # NEW round-7 keys (relational3 TPC-H shapes + ngram novelty)
-    "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like", "q_tpch_q22like",
-    "q_ngram_novelty", "q_embed_covariance", "q_window_percentile",
-    "q_approx_distinct_sketch", "q_global_rank", "q_global_ntile", "q_bpe_train", "q_chunk_overlap", "q_join_asof_near", "q_cube", "q_k_anonymity", "q_sim_pq", "q_sim_ivfpq", "q_negative_sample", "q_zorder_key", "q_set_ops_all", "q_histogram", "q_lateral_topn",
-    # part 2: 31 of the 33 keys whose latest driver record is r04
-    # (VERDICT r6 item 1) — relational.py/pit.py-adjacent ones first
-    # (those files changed in r6 after the r4 record). q_agg_approx
-    # (rows-only — a driver record adds little), q_percentile,
-    # q_text_repetition, q_scd2_multi, q_rfm, q_retention, q_hopping,
-    # q_funnel and q_fingerprint_winnow (unchanged since r1/r4) are the
-    # names squeezed out by the 50-key cap; all are covered by
-    # CORRECTNESS_LOCAL_r07's full sweep.
-    "q_sessionize", "q_join_left", "q_join_multi_fv", "q_join_range",
-    "q_window_frame", "q_window_range", "q_window_rank", "q_semi_anti",
-    "q_union_all", "q_agg_having", "q_cte_pipeline", "q_explode_tokens",
-    "q_pivot", "q_rollup", "q_set_ops", "q_sort_limit",
-    "q_scalar_date", "q_scalar_json", "q_scalar_str", "q_scalar_subquery",
-    "q_tpch_q1like", "q_tpch_q3like", "q_tpch_q5like",
-    "q_dedup_simhash_portable",
+    # round 8, part 1: keys whose code paths changed THIS round —
+    # q_rfm's exact ntile rerouted through ranks.global_ntile (de-weak),
+    # and the ranks.py layout-guard touches the global ordering keys
+    "q_rfm", "q_global_rank", "q_global_ntile",
+    # part 2: the 9 keys whose latest driver record is r4 (oldest)
+    "q_agg_approx", "q_percentile", "q_funnel", "q_hopping",
+    "q_retention", "q_scd2_multi", "q_text_repetition",
+    "q_fingerprint_winnow",
+    # part 3: the 26 keys whose latest driver record is r5
+    "q_agg_multi", "q_arith_expr", "q_array_agg", "q_case_when",
+    "q_cross_join", "q_dedup_simhash", "q_distinct", "q_filter_false",
+    "q_filter_pred", "q_fingerprint", "q_groupby_agg", "q_grouping_sets",
+    "q_join_equi", "q_join_full", "q_lang_id", "q_lang_id_conf",
+    "q_multimodal_frames", "q_multimodal_resize", "q_null_handling",
+    "q_num_fns", "q_scan_project", "q_scd2_history", "q_stats_moments",
+    "q_tpch_q10like", "q_tpch_q4like", "q_unpivot",
+    # part 4: new round-8 keys land here (keep total ≤ 50); the
+    # remaining slots absorb r6-dated keys next round per the cycle
 )
 
 

@@ -446,15 +446,17 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency (days from last order to the corpus max date — a data-
     derived anchor, never now()), frequency (order count), monetary
     (decimal-exact spend), plus ntile(4) scores per dimension with full
-    ordering tiebreaks. One agg on o_custkey + three windows over the
-    per-customer frame; the anchor is a broadcast scalar.
+    ordering tiebreaks. One agg on o_custkey + three DISTRIBUTED exact
+    ntiles (ranks.global_ntile: range exchange + parallel per-range
+    sort — no unpartitioned Window node anywhere); the anchor is a
+    broadcast scalar.
 
     This key pins the EXACT ntile form (the oracle needs exact quartile
     boundaries); the store-facing recipe is
     ``functions.features.rfm_features``, whose default scale path scores
     via ``quantile_bucket`` (approx-percentile thresholds + row-local
     CASE, plan-asserted sort-free in tests/test_features.py) — same
-    feature, no global single-partition sort at extreme cardinality."""
+    feature, one pass, zero exchanges on the scored frame."""
     from ..functions.features import rfm_features
 
     return rfm_features(_t(spark, sf_dir, "orders"), buckets=4, exact=True)

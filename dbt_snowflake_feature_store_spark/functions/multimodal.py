@@ -3,12 +3,14 @@
 Images/audio/video are opaque ``binary`` columns + a typed metadata
 struct. The Spark-side plumbing — schema, partition-preserving batch
 iteration, Arrow transfer shape — is real and tested. Byte decoding:
-**PNG payloads decode/resize FOR REAL** via the pure-stdlib codec in
-``functions/png_codec.py`` (zlib + chunk/scanline parsing — zero new
-dependencies); other formats (JPEG, audio, video) keep their honest
-seam, raising ``NotImplementedError`` in strict mode or producing a
-clearly-marked deterministic fake in test mode, because those codec
-libraries (PIL/soundfile/ffmpeg) are not in this container.
+**PNG and baseline JPEG payloads decode/resize FOR REAL** via the
+pure-stdlib codecs in ``functions/png_codec.py`` and
+``functions/jpeg_codec.py`` (zlib/chunk/scanline parsing; Huffman +
+IDCT + chroma upsampling — zero new dependencies); other formats
+(progressive JPEG, audio, video) keep their honest seam, raising
+``NotImplementedError`` in strict mode or producing a clearly-marked
+deterministic fake in test mode, because those codec libraries
+(PIL/soundfile/ffmpeg) are not in this container.
 
 Design for 100 TB: media bytes travel in the ``content`` column of
 Parquet row groups; decode/feature-extraction runs as ``mapInPandas``
@@ -68,19 +70,20 @@ def decode_and_featurize(
     ``mapInPandas`` over Arrow batches (the shape a real CLIP/whisper
     featurizer would use: batch in, batch out, executor-local).
 
-    PNG payloads decode FOR REAL (``png_codec``): the feature is
-    [width, height, channels, per-channel pixel means…] zero-padded to
-    ``feat_dim`` — genuine pixel statistics, not a hash. A malformed
-    PNG yields ``decode_ok=False`` (never a crashed batch). Non-PNG
-    payloads keep the codec seam: ``deterministic_fake=True`` emits a
-    reproducible content-hash fake (plumbing tests); otherwise they
-    raise ``NotImplementedError`` exactly where PIL/soundfile/ffmpeg
-    would plug in."""
+    PNG and baseline JPEG payloads decode FOR REAL (``png_codec`` /
+    ``jpeg_codec``): the feature is [width, height, channels,
+    per-channel pixel means…] zero-padded to ``feat_dim`` — genuine
+    pixel statistics, not a hash. A malformed payload yields
+    ``decode_ok=False`` (never a crashed batch). Other formats keep the
+    codec seam: ``deterministic_fake=True`` emits a reproducible
+    content-hash fake (plumbing tests); otherwise they raise
+    ``NotImplementedError`` exactly where PIL/soundfile/ffmpeg would
+    plug in."""
 
     def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from . import png_codec
+        from . import jpeg_codec, png_codec
 
         for pdf in it:
             feats, oks = [], []
@@ -90,10 +93,14 @@ def decode_and_featurize(
                     oks.append(False)
                     continue
                 b = bytes(content)
-                if png_codec.is_png(b):
+                if png_codec.is_png(b) or jpeg_codec.is_jpeg(b):
                     try:
-                        s = png_codec.png_stats(b)
-                    except png_codec.PngFormatError:
+                        s = (
+                            png_codec.png_stats(b)
+                            if png_codec.is_png(b)
+                            else jpeg_codec.jpeg_stats(b)
+                        )
+                    except (png_codec.PngFormatError, jpeg_codec.JpegFormatError):
                         feats.append(None)
                         oks.append(False)
                         continue
@@ -111,11 +118,11 @@ def decode_and_featurize(
                     oks.append(True)
                 else:
                     raise NotImplementedError(
-                        "non-PNG media decode requires codec libraries "
-                        "(PIL/soundfile/ffmpeg) not present in this "
-                        "environment; PNG decodes natively — pass "
-                        "deterministic_fake=True to exercise the plumbing "
-                        "for other formats"
+                        "media decode beyond PNG/baseline-JPEG requires "
+                        "codec libraries (PIL/soundfile/ffmpeg) not present "
+                        "in this environment; PNG and baseline JPEG decode "
+                        "natively — pass deterministic_fake=True to "
+                        "exercise the plumbing for other formats"
                     )
             out = pd.DataFrame(
                 {
@@ -146,17 +153,19 @@ def resize_media(
     PIL/opencv resize would use; at 100 TB this is the pre-processing
     stage before feature extraction, pipelined with the scan).
 
-    PNG payloads resize FOR REAL: decode (``png_codec``) →
-    nearest-neighbor resample → re-encode as a valid PNG of the target
-    dimensions (round-trip decodable, pixel-exact nearest sampling). A
-    malformed PNG yields ``resized_ok=False``. Non-PNG payloads keep the
-    codec seam: ``deterministic_fake=True`` truncates/right-pads the raw
-    bytes to exactly width*height — a reproducible stand-in with the
-    correct output SHAPE; strict mode raises where PIL/opencv plugs in."""
+    PNG and baseline JPEG payloads resize FOR REAL: decode
+    (``png_codec`` / ``jpeg_codec``) → nearest-neighbor resample →
+    re-encode in the SAME format at the target dimensions (round-trip
+    decodable; pixel-exact nearest sampling, then JPEG's usual lossy
+    re-encode for JPEG payloads). A malformed payload yields
+    ``resized_ok=False``. Other formats keep the codec seam:
+    ``deterministic_fake=True`` truncates/right-pads the raw bytes to
+    exactly width*height — a reproducible stand-in with the correct
+    output SHAPE; strict mode raises where PIL/opencv plugs in."""
     target = width * height
 
     def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import png_codec
+        from . import jpeg_codec, png_codec
 
         for pdf in it:
             outs = []
@@ -180,13 +189,30 @@ def resize_media(
                         )
                     except png_codec.PngFormatError:
                         outs.append(None)
+                elif jpeg_codec.is_jpeg(b):
+                    try:
+                        w0, h0, ch, pixels = jpeg_codec.decode_jpeg(b)
+                        outs.append(
+                            jpeg_codec.encode_jpeg(
+                                width,
+                                height,
+                                ch,
+                                png_codec.resize_nearest(
+                                    pixels, w0, h0, ch, width, height
+                                ),
+                                quality=90,
+                            )
+                        )
+                    except jpeg_codec.JpegFormatError:
+                        outs.append(None)
                 elif deterministic_fake:
                     outs.append(b[:target].ljust(target, b"\x00"))
                 else:
                     raise NotImplementedError(
-                        "non-PNG image resize requires codec libraries "
-                        "(PIL/opencv) not present in this environment; PNG "
-                        "resizes natively — pass deterministic_fake=True"
+                        "image resize beyond PNG/baseline-JPEG requires "
+                        "codec libraries (PIL/opencv) not present in this "
+                        "environment; PNG and baseline JPEG resize "
+                        "natively — pass deterministic_fake=True"
                     )
             yield pd.DataFrame(
                 {
@@ -286,6 +312,122 @@ def documents_as_png_media(
                     "media_id": pdf[id_col],
                     "content": payloads,
                     "fmt": "png",
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    enc = df.select(id_col, text_col).mapInPandas(
+        batch_fn,
+        schema="media_id long, content binary, fmt string, width int, height int",
+    )
+    return enc.select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("fmt").alias("format"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def documents_as_jpeg_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    quality: int = 90,
+) -> DataFrame:
+    """Adapter used by tests/queries: render each document's UTF-8 bytes
+    as a REAL baseline-JPEG payload (grayscale, truncated/zero-padded to
+    width×height pixels, encoded by ``jpeg_codec``) — deterministic,
+    derived entirely from driver data, and a spec-valid JFIF file any
+    decoder opens. Mirrors ``documents_as_png_media`` for the dominant
+    web format."""
+    from . import jpeg_codec
+
+    n_px = width * height
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                if text is None:
+                    payloads.append(None)
+                    continue
+                raw = text.encode("utf-8")[:n_px].ljust(n_px, b"\x00")
+                payloads.append(
+                    jpeg_codec.encode_jpeg(width, height, 1, raw, quality)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": payloads,
+                    "fmt": "jpeg",
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    enc = df.select(id_col, text_col).mapInPandas(
+        batch_fn,
+        schema="media_id long, content binary, fmt string, width int, height int",
+    )
+    return enc.select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("fmt").alias("format"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def documents_as_mixed_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """PNG payloads for even ids, baseline JPEG for odd — one corpus
+    exercising BOTH real decoders in a single mapInPandas pass (the
+    mixed-format reality of a scraped 100 TB image corpus)."""
+    from . import jpeg_codec, png_codec
+
+    n_px = width * height
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, fmts = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    payloads.append(None)
+                    fmts.append(None)
+                    continue
+                raw = text.encode("utf-8")[:n_px].ljust(n_px, b"\x00")
+                if int(mid) % 2 == 0:
+                    payloads.append(png_codec.encode_png(width, height, 1, raw))
+                    fmts.append("png")
+                else:
+                    payloads.append(
+                        jpeg_codec.encode_jpeg(width, height, 1, raw, 90)
+                    )
+                    fmts.append("jpeg")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": payloads,
+                    "fmt": fmts,
                     "width": width,
                     "height": height,
                 }

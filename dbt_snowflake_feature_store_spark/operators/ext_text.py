@@ -1056,18 +1056,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize end-to-end (round 7): documents rendered as
-    genuine 16×16 grayscale PNGs (functions/multimodal.py
-    documents_as_png_media), decoded, nearest-neighbor-resampled to
-    32×32 and re-encoded by the pure-stdlib codec
-    (functions/png_codec.py) — strict mode, no fake. mapInPandas over
-    Arrow batches, executor-local, partition-preserving. Python decode
-    is nondeterministic-compression territory (zlib level choices), so
-    the key stays rows-only; pixel-exactness is pytest-gated
-    (tests/test_png_codec.py round-trip)."""
+    """REAL mixed-format image resize end-to-end (round 7 PNG, round 8
+    JPEG): documents rendered as genuine 16×16 grayscale payloads (PNG
+    even ids / baseline JPEG odd ids), decoded,
+    nearest-neighbor-resampled to 32×32 and re-encoded in the SAME
+    format by the pure-stdlib codecs (functions/png_codec.py,
+    functions/jpeg_codec.py) — strict mode, no fake. mapInPandas over
+    Arrow batches, executor-local, partition-preserving. Python
+    encoding is nondeterministic-compression territory (zlib level
+    choices), so the key stays rows-only; pixel-exactness is
+    pytest-gated (tests/test_png_codec.py, tests/test_jpeg_codec.py)."""
     from ..functions import multimodal as MM
 
-    media = MM.documents_as_png_media(_docs(spark, sf_dir))
+    media = MM.documents_as_mixed_media(_docs(spark, sf_dir))
     resized = MM.resize_media(media, 32, 32)
     return resized.groupBy().agg(
         F.count("*").cast("long").alias("f_media"),
@@ -1079,18 +1080,23 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode (round 7): documents rendered as genuine 16×16
-    grayscale PNGs, decoded by the pure-stdlib codec — the reported
-    f_width/f_height/f_mean_px are actual decoded dimensions and pixel
-    statistics, not metadata echoes (the decoder de-filters scanlines
-    and inflates IDAT; tests/test_png_codec.py proves pixel-exactness
-    against hand-built filtered images). Strict mode — any non-PNG here
-    would raise at the codec seam. Stays rows-only: the feature floats
-    come from Python-side division; dims/means over a mapInPandas round
-    trip are not worth an oracle-side byte-reimplementation."""
+    """REAL mixed-format image decode (round 7 PNG, round 8 JPEG):
+    documents rendered as genuine 16×16 grayscale payloads — PNG for
+    even doc ids, baseline JFIF JPEG for odd — decoded by the
+    pure-stdlib codecs (functions/png_codec.py, functions/jpeg_codec.py:
+    Huffman + dequant + IDCT). The reported f_width/f_height/f_mean_px
+    are actual decoded dimensions and pixel statistics, not metadata
+    echoes; one mapInPandas pass handles both formats, the scraped-
+    corpus reality. Strict mode — any OTHER format here would raise at
+    the codec seam. Stays rows-only: the feature floats come from
+    Python-side division; dims/means over a mapInPandas round trip are
+    not worth an oracle-side byte-reimplementation (codec correctness
+    is pytest-gated: tests/test_png_codec.py pixel-exact,
+    tests/test_jpeg_codec.py vs numpy DCT reference + third-party
+    fixtures)."""
     from ..functions import multimodal as MM
 
-    media = MM.documents_as_png_media(_docs(spark, sf_dir))
+    media = MM.documents_as_mixed_media(_docs(spark, sf_dir))
     out = MM.decode_and_featurize(media, feat_dim=4)
     return out.select(
         "media_id",

@@ -38,6 +38,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # q_rfm's exact ntile rerouted through ranks.global_ntile (de-weak),
     # and the ranks.py layout-guard touches the global ordering keys
     "q_rfm", "q_global_rank", "q_global_ntile",
+    "q_multimodal_decode", "q_multimodal_meta",
     # part 2: the 9 keys whose latest driver record is r4 (oldest)
     "q_agg_approx", "q_percentile", "q_funnel", "q_hopping",
     "q_retention", "q_scd2_multi", "q_text_repetition",

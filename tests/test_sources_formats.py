@@ -123,6 +123,127 @@ def test_csv_source_managed_fv_refresh(fs, spark, csv_src):
     assert got == {"a": 17.75, "b": 20.0}
 
 
+@pytest.fixture()
+def orc_src(spark, tmp_path):
+    p = str(tmp_path / "orc_src")
+    spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.0), (3, "a", 7.25)],
+        "id INT, grp STRING, amount DOUBLE",
+    ).coalesce(1).write.orc(p)
+    return p
+
+
+def test_orc_source_feeds_fv(fs, spark, orc_src):
+    """ORC is a first-class source format (reference ties sources to FV
+    bodies via integration_tests/models/sources.yml): register_source
+    passes the format through, batch reads preserve ORC's embedded
+    schema, and an FV over it materializes."""
+    fs.register_entity(Entity("grp", ["grp"]))
+    fs.register_source("ORC_EVENTS", orc_src, format="orc")
+    fs.register_feature_view(
+        FeatureView(
+            "orc_agg",
+            ["grp"],
+            sql="""SELECT grp, COUNT(*) AS f_n,
+                          SUM(amount) AS f_amount
+                   FROM ORC_EVENTS GROUP BY grp""",
+        ),
+        version="1",
+    )
+    rows = {
+        r["grp"]: (r["f_n"], r["f_amount"])
+        for r in fs.read_feature_view("ORC_AGG$1").collect()
+    }
+    assert rows == {"a": (2, 17.75), "b": (1, 20.0)}
+    # ORC files carry their own schema — no inference drift
+    fs._bind_batch_sources()
+    assert dict(spark.table("ORC_EVENTS").dtypes)["id"] == "int"
+
+
+def test_orc_source_managed_fv_refresh(fs, spark, orc_src):
+    fs.register_entity(Entity("grp", ["grp"]))
+    fs.register_source("ORC_M", orc_src, format="orc")
+    fs.register_feature_view(
+        FeatureView(
+            "orc_managed",
+            ["grp"],
+            sql="SELECT grp, SUM(amount) AS f_amt FROM ORC_M GROUP BY grp",
+            refresh=RefreshSpec("1 hour", "FULL"),
+        ),
+        version="1",
+    )
+    assert fs.read_feature_view("ORC_MANAGED$1").count() == 2
+    assert fs.refresh("orc_managed", "1") == "FULL"
+    got = {
+        r["grp"]: r["f_amt"]
+        for r in fs.read_feature_view("ORC_MANAGED$1").collect()
+    }
+    assert got == {"a": 17.75, "b": 20.0}
+
+
+def test_dataset_export_orc_sink(fs, spark, tables):
+    fs.register_entity(Entity("customer", ["c_custkey"]))
+    fs.register_feature_view(
+        FeatureView(
+            "orc_exp_fv", ["customer"],
+            sql="SELECT c_custkey, c_acctbal AS f_bal FROM customer",
+        ),
+        version="1",
+    )
+    spine = spark.table("customer").select("c_custkey").limit(20)
+    ds = fs.generate_dataset(
+        "orc_exp_ds", spine, [fs.get_feature_view("orc_exp_fv", "1")]
+    )
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ds_orc_") + "/out"
+    ds.export(out, format="orc")
+    back = spark.read.orc(out)
+    assert back.count() == 20
+    orig = {r["c_custkey"]: r["f_bal"] for r in ds.read.to_df().collect()}
+    got = {r["c_custkey"]: r["f_bal"] for r in back.collect()}
+    assert got == orig
+
+
+def _avro_available(spark) -> bool:
+    """The spark-avro module is EXTERNAL (not bundled in pyspark) — on
+    this sandbox there is no jar and no network to fetch one, so Avro
+    sources are environment-blocked. This probe keeps the test honest:
+    it runs for real wherever the jar exists."""
+    import tempfile
+
+    try:
+        spark.createDataFrame([(1,)], "id INT").write.format("avro").save(
+            tempfile.mkdtemp(prefix="avro_probe_") + "/x"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_source_or_documented_block(fs, spark, tmp_path):
+    if not _avro_available(spark):
+        pytest.skip(
+            "spark-avro jar absent (external module, no network) — "
+            "Avro sources environment-blocked; register_source('...', "
+            "format='avro') is format-passthrough and needs no code change"
+        )
+    p = str(tmp_path / "avro_src")
+    spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.0)], "id INT, grp STRING, amount DOUBLE"
+    ).write.format("avro").save(p)
+    fs.register_entity(Entity("grp", ["grp"]))
+    fs.register_source("AVRO_EVENTS", p, format="avro")
+    fs.register_feature_view(
+        FeatureView(
+            "avro_agg", ["grp"],
+            sql="SELECT grp, SUM(amount) AS f_amt FROM AVRO_EVENTS GROUP BY grp",
+        ),
+        version="1",
+    )
+    assert fs.read_feature_view("AVRO_AGG$1").count() == 2
+
+
 def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
     """The driver's events.parquet has shipped TWO physical ts layouts
     across rounds (TIMESTAMP(NANOS) → read as int64 nanos; timestamp[us]

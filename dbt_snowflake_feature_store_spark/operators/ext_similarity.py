@@ -400,6 +400,105 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HP_BITS = 6
+_HP_DIM = 64
+
+
+def _hyperplane_weights() -> list[tuple[int, int, int, int]]:
+    """(bit, dim, weight, 2^bit) rows for the portable embedding-LSH
+    signature — md5-derived integer weights in [-1000, 1000], generated
+    once in Python and injected as LITERALS into both engines (the
+    ``minhash_perm_consts`` pattern: no engine-specific RNG anywhere).
+    Bound: |w·xq| ≤ 1000·2e6 per term, ≤ 1.3e11 per 64-dim dot —
+    int64-exact in both engines."""
+    import hashlib
+
+    rows = []
+    for b in range(_HP_BITS):
+        for d in range(_HP_DIM):
+            h = int.from_bytes(
+                hashlib.md5(f"hp:{b}:{d}".encode()).digest()[:8], "big"
+            )
+            rows.append((b, d, h % 2001 - 1000, 1 << b))
+    return rows
+
+
+def q_dedup_embed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via random-hyperplane LSH,
+    ORACLE-GATED: the hash-checked logic twin of q_dedup_embed
+    (mirroring q_dedup_near_portable for MinHash). Pipeline: scale each
+    embedding to int64 micro-units (round(x·1e6) — float-derived, never
+    lands on .5), take 6 md5-derived integer-hyperplane sign bits as the
+    bucket signature, self-join buckets (id_a < id_b), then score each
+    candidate pair with the EXACT integer dot product
+    (Σ xqa·xqb ≤ 64·4e12 — int64-exact) and floor-rounded cosine, top-50
+    deterministic. Every arithmetic step is integer or identical-IEEE
+    double, so DuckDB replays it bit-for-bit.
+
+    Scale shape: one explode-join-agg for signatures (O(n·64) rows, two
+    key-grain shuffles), one bucket self-join; candidate scoring is a
+    native zip_with fold per pair — no Python anywhere. The PRODUCTION
+    path (q_dedup_embed / cosine_pairs_lsh) adds the 64-row bucket cap +
+    Hamming-1 multi-probe for 100 TB skew; this key pins the sign/bucket
+    /rescore LOGIC at a fixed 6-bit width where bucket fan-out is
+    bounded by construction (2^6 buckets, near-uniform signs)."""
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _HP_DIM)
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
+    w = spark.createDataFrame(
+        _hyperplane_weights(), "b INT, d INT, w LONG, pw LONG"
+    )
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    dots = (
+        el.join(F.broadcast(w), el["_d"] == w["d"])
+        .groupBy("vec_id", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("_x")).alias("_dot"),
+            F.max("pw").alias("_pw"),
+        )
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("_dot") >= 0, F.col("_pw")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_sig")
+    )
+    v = base.join(sig, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_xq").alias("_xa"),
+        F.col("_na").alias("_naa"),
+        "_sig",
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_xq").alias("_xb"),
+        F.col("_na").alias("_nab"),
+        "_sig",
+    )
+    pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(
+        "aggregate(zip_with(_xa, _xb, (p, q) -> p * q), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("_naa").cast("double"))
+        * F.sqrt(F.col("_nab").cast("double"))
+    )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias("f_cosine"),
+    )
+    return scored.orderBy(
+        F.col("f_cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(50)
+
+
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier detection: per vector, the exact squared
     distance to its label centroid over the leading 4 dims (the same
@@ -621,6 +720,66 @@ ORACLE: dict[str, str] = {
         )
         SELECT id_a, f_rank, id_b, f_cosine FROM ranked WHERE f_rank <= 3
     """,
+    # weights injected below (module bottom) from _hyperplane_weights —
+    # ONE Python generator feeds both engines' literals
+    "q_dedup_embed_portable": """
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                   ) AS xq
+            FROM embeddings
+            WHERE len(embedding) = 64
+        ),
+        norms AS (
+            SELECT vec_id, xq,
+                   CAST(list_sum(list_transform(xq, v -> v * v)) AS BIGINT)
+                       AS na
+            FROM base
+        ),
+        weights(b, d, w, pw) AS (VALUES {HP_WEIGHTS}),
+        el AS (
+            SELECT vec_id,
+                   generate_subscripts(xq, 1) - 1 AS d,
+                   unnest(xq) AS x
+            FROM base
+        ),
+        dots AS (
+            SELECT el.vec_id, wt.b,
+                   SUM(wt.w * el.x) AS dot, MAX(wt.pw) AS pw
+            FROM el JOIN weights wt ON el.d = wt.d
+            GROUP BY el.vec_id, wt.b
+        ),
+        sig AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dot >= 0 THEN pw ELSE 0 END)
+                        AS BIGINT) AS sig
+            FROM dots GROUP BY vec_id
+        ),
+        v AS (
+            SELECT n.vec_id, n.xq, n.na, s.sig
+            FROM norms n JOIN sig s ON n.vec_id = s.vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.xq AS xa, b.xq AS xb, a.na AS naa, b.na AS nab
+            FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT id_a, id_b,
+                   FLOOR(
+                       CAST(list_sum(list_transform(range(1, 65),
+                                i -> xa[i] * xb[i])) AS DOUBLE)
+                       / (SQRT(CAST(naa AS DOUBLE))
+                          * SQRT(CAST(nab AS DOUBLE)))
+                       * 1000000.0 + 0.5) / 1000000.0 AS f_cosine
+            FROM pairs
+        )
+        SELECT id_a, id_b, f_cosine
+        FROM scored
+        ORDER BY f_cosine DESC, id_a ASC, id_b ASC
+        LIMIT 50
+    """,
     "q_sim_topk": """
         WITH elems AS (
             SELECT vec_id,
@@ -719,6 +878,7 @@ QUERIES = {
     "q_sim_pq": q_sim_pq,
     "q_sim_ivfpq": q_sim_ivfpq,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_embed_portable": q_dedup_embed_portable,
     "q_embed_outliers": q_embed_outliers,
     "q_sim_range": q_sim_range,
     "q_text_embed_join": q_text_embed_join,
@@ -730,4 +890,9 @@ from .ext_text import _WS_COUNT as _WS_COUNT_SQL  # noqa: E402
 
 ORACLE["q_text_embed_join"] = ORACLE["q_text_embed_join"].format(
     WS_COUNT=_WS_COUNT_SQL
+)
+
+ORACLE["q_dedup_embed_portable"] = ORACLE["q_dedup_embed_portable"].replace(
+    "{HP_WEIGHTS}",
+    ", ".join(f"({b}, {d}, {w}, {pw})" for b, d, w, pw in _hyperplane_weights()),
 )

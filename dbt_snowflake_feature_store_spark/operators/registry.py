@@ -53,6 +53,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_tpch_q10like", "q_tpch_q4like", "q_unpivot",
     # part 4: new round-8 keys land here (keep total ≤ 50); the
     # remaining slots absorb r6-dated keys next round per the cycle
+    "q_dedup_embed_portable",
 )
 
 

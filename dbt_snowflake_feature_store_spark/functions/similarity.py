@@ -139,8 +139,16 @@ class IVFIndex:
     computes it on the fly only because the testdata is unpartitioned.
     """
 
-    def __init__(self, centroids: list[list[float]]):
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        train_residual: float | None = None,
+    ):
         self.centroids = centroids
+        # mean squared distance of the TRAINING sample to its nearest
+        # centroid at build time — the drift baseline (None for indexes
+        # persisted before the v2 format; those can't drift-check)
+        self.train_residual = train_residual
 
     @classmethod
     def build(
@@ -182,17 +190,31 @@ class IVFIndex:
             if np.allclose(new, cent):
                 break
             cent = new
-        return cls([[float(v) for v in c] for c in cent])
+        d2 = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * x @ cent.T
+            + (cent * cent).sum(1)[None, :]
+        )
+        train_residual = float(np.maximum(d2.min(1), 0.0).mean())
+        return cls([[float(v) for v in c] for c in cent], train_residual)
 
     def save(self, path: str) -> None:
-        """Persist the quantizer (centroids are the ONLY state) — the
-        index survives the session, like a FAISS index file: build once
-        at ingest, load on the query path forever after."""
+        """Persist the quantizer (centroids + drift baseline are the
+        ONLY state) — the index survives the session, like a FAISS index
+        file: build once at ingest, load on the query path forever
+        after."""
         import json
 
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"format": "ivf-centroids-v1", "centroids": self.centroids}, f)
+            json.dump(
+                {
+                    "format": "ivf-centroids-v2",
+                    "centroids": self.centroids,
+                    "train_residual": self.train_residual,
+                },
+                f,
+            )
         os.replace(tmp, path)
 
     @classmethod
@@ -201,7 +223,68 @@ class IVFIndex:
 
         with open(path) as f:
             doc = json.load(f)
-        return cls(doc["centroids"])
+        # v1 files carry no drift baseline — they load fine but can't
+        # drift-check (needs_refresh raises with the upgrade hint)
+        return cls(doc["centroids"], doc.get("train_residual"))
+
+    def mean_residual(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        max_sample: int = 10_000,
+    ) -> float:
+        """Mean squared distance of a bounded, deterministic corpus
+        sample to its nearest CURRENT centroid — the drift probe. Same
+        hash-ordered sample discipline as :meth:`build` (per-partition
+        TakeOrdered, no shuffle); the only driver traffic is ONE scalar
+        row. The residual is ‖x‖² + min_c(−2x·c + ‖c‖²), all native
+        exprs over materialized columns (HOF re-evaluation rule)."""
+        probe = (
+            df.select(
+                F.col(id_col),
+                F.col(emb_col).cast("array<double>").alias("_e"),
+            )
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(max_sample)
+            .withColumn("_ivf_dists", self.dists_expr("_e"))
+            .withColumn(
+                "_x2",
+                F.expr("aggregate(_e, 0D, (acc, x) -> acc + x * x)"),
+            )
+            .withColumn(
+                "_res2",
+                F.greatest(
+                    F.array_min("_ivf_dists") + F.col("_x2"), F.lit(0.0)
+                ),
+            )
+        )
+        row = probe.agg(F.avg("_res2").alias("r")).head()
+        return float(row["r"]) if row and row["r"] is not None else 0.0
+
+    def needs_refresh(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        drift_factor: float = 1.5,
+        max_sample: int = 10_000,
+    ) -> bool:
+        """True when the corpus has drifted away from the trained
+        centroids: current mean residual > ``drift_factor`` × the
+        build-time baseline. A drifted coarse quantizer concentrates
+        vectors in few cells and probe recall decays — the FAISS
+        re-train trigger, spelled as a cheap one-scalar probe."""
+        if self.train_residual is None:
+            raise ValueError(
+                "index has no recorded train_residual (v1 file) — "
+                "rebuild once with the current build() to enable "
+                "drift checks"
+            )
+        if self.train_residual == 0.0:
+            return self.mean_residual(df, emb_col, id_col, max_sample) > 0.0
+        cur = self.mean_residual(df, emb_col, id_col, max_sample)
+        return cur > drift_factor * self.train_residual
 
     def cell_expr(self, emb_col: str, dists_col: str) -> Column:
         """Nearest-centroid id from a MATERIALIZED distance-array column

@@ -27,7 +27,7 @@ import os
 import tempfile
 from typing import Any, Callable, Iterator
 
-VALID_KINDS = ("entities", "feature_views", "datasets", "sources")
+VALID_KINDS = ("entities", "feature_views", "datasets", "sources", "ann_indexes")
 
 
 class Registry:

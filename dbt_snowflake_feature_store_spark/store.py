@@ -723,6 +723,132 @@ class FeatureStore:
         return fv
 
     # ------------------------------------------------------------------
+    # ANN indexes (IVF coarse quantizer + cell-partitioned layout):
+    # build once at ingest, probe via partition pruning, and REFRESH ON
+    # DRIFT — when the corpus walks away from the trained centroids the
+    # coarse quantizer concentrates vectors in few cells and probe
+    # recall decays, so refresh re-trains from a fresh bounded sample
+    # and re-materializes the layout (the FAISS re-train discipline,
+    # wired into the store's refresh surface).
+    # ------------------------------------------------------------------
+    def _ann_index_dir(self, name: str) -> str:
+        return os.path.join(self.root, "ann_indexes", canonical_name(name))
+
+    def build_ann_index(
+        self,
+        name: str,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        num_centroids: int = 16,
+        max_sample: int = 10_000,
+    ) -> None:
+        """Train an IVF coarse quantizer on a bounded deterministic
+        sample of ``df`` (the ONLY collect in the build) and materialize
+        the corpus partitioned by nearest-centroid cell, so later
+        probes prune to n_probe/num_centroids of the files. State on
+        disk: ``index.json`` (centroids + drift baseline) + the
+        cell-partitioned parquet layout; the registry records the
+        parameters for introspection."""
+        from .functions.similarity import IVFIndex
+
+        name = canonical_name(name)
+        d = self._ann_index_dir(name)
+        os.makedirs(d, exist_ok=True)
+        idx = IVFIndex.build(
+            df,
+            emb_col=emb_col,
+            id_col=id_col,
+            num_centroids=num_centroids,
+            max_sample=max_sample,
+        )
+        idx.save(os.path.join(d, "index.json"))
+        idx.materialize(df, os.path.join(d, "data"), emb_col=emb_col)
+        self.registry.put(
+            "ann_indexes",
+            name,
+            {
+                "name": name,
+                "emb_col": emb_col,
+                "id_col": id_col,
+                "num_centroids": num_centroids,
+                "max_sample": max_sample,
+                "refresh_count": 0,
+            },
+        )
+
+    def refresh_ann_index(
+        self,
+        name: str,
+        df: DataFrame,
+        drift_factor: float = 1.5,
+        force: bool = False,
+    ) -> str:
+        """Drift-aware maintenance: probe the current corpus's mean
+        residual against the index's build-time baseline (one scalar
+        action); if it exceeds ``drift_factor``× (or ``force``),
+        re-train the quantizer from a fresh bounded sample and
+        re-materialize the cell layout. Returns ``'REFRESHED'`` or
+        ``'SKIPPED'`` — the same vocabulary as FV refresh modes."""
+        from .functions.similarity import IVFIndex
+
+        name = canonical_name(name)
+        doc = self.registry.get("ann_indexes", name)
+        if doc is None:
+            raise ValidationError(f"ANN index '{name}' is not registered")
+        d = self._ann_index_dir(name)
+        idx = IVFIndex.load(os.path.join(d, "index.json"))
+        if not force and not idx.needs_refresh(
+            df,
+            emb_col=doc["emb_col"],
+            id_col=doc["id_col"],
+            drift_factor=drift_factor,
+            max_sample=doc["max_sample"],
+        ):
+            return "SKIPPED"
+        new = IVFIndex.build(
+            df,
+            emb_col=doc["emb_col"],
+            id_col=doc["id_col"],
+            num_centroids=doc["num_centroids"],
+            max_sample=doc["max_sample"],
+        )
+        new.save(os.path.join(d, "index.json"))
+        new.materialize(df, os.path.join(d, "data"), emb_col=doc["emb_col"])
+        doc["refresh_count"] = int(doc.get("refresh_count", 0)) + 1
+        self.registry.put("ann_indexes", name, doc)
+        return "REFRESHED"
+
+    def ann_search(
+        self,
+        name: str,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """Probe the materialized layout: the cell ``isin`` filter is a
+        PartitionFilter on the parquet scan — only n_probe cells' files
+        are read (plan-asserted for the underlying machinery in
+        tests/test_scale_plans.py)."""
+        from .functions.similarity import IVFIndex
+
+        name = canonical_name(name)
+        doc = self.registry.get("ann_indexes", name)
+        if doc is None:
+            raise ValidationError(f"ANN index '{name}' is not registered")
+        d = self._ann_index_dir(name)
+        idx = IVFIndex.load(os.path.join(d, "index.json"))
+        return idx.search_materialized(
+            self.spark,
+            os.path.join(d, "data"),
+            query_vec,
+            k=k,
+            n_probe=n_probe,
+            emb_col=doc["emb_col"],
+            id_col=doc["id_col"],
+        )
+
+    # ------------------------------------------------------------------
     # Metadata introspection & maintenance
     # ------------------------------------------------------------------
     def metadata_df(self) -> DataFrame:

@@ -110,6 +110,18 @@ HEADLINE = [
     "q_global_rank",
     "q_window_percentile",
     "q_join_asof_near",
+    # round-8 additions: the remaining partsupp-free TPC-H cost classes
+    # (scan-agg pushdown probe Q6, conditional-count join Q12, scalar-
+    # max view Q15, HAVING-reduced semijoin Q18, disjunctive-predicate
+    # broadcast join Q19, double-correlated semi/anti Q21) + portable
+    # hyperplane-LSH embedding dedup
+    "q_tpch_q6like",
+    "q_tpch_q12like",
+    "q_tpch_q15like",
+    "q_tpch_q18like",
+    "q_tpch_q19like",
+    "q_tpch_q21like",
+    "q_dedup_embed_portable",
 ]
 
 

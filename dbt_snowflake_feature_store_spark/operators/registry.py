@@ -54,6 +54,8 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # part 4: new round-8 keys land here (keep total ≤ 50); the
     # remaining slots absorb r6-dated keys next round per the cycle
     "q_dedup_embed_portable",
+    "q_tpch_q6like", "q_tpch_q12like", "q_tpch_q15like", "q_tpch_q18like",
+    "q_tpch_q19like", "q_tpch_q21like",
 )
 
 

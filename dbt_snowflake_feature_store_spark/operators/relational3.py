@@ -458,7 +458,311 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecast-revenue-change scan-aggregate — one
+    pushed-filter pass over lineitem (ship year + discount band +
+    quantity cap), SUM(extendedprice·discount), no join at all.
+
+    Scale: the canonical 'does the filter reach the scan' probe — all
+    three predicates push into the parquet scan (PushedFilters), the
+    aggregation is map-side partial into a 1-row result; the whole plan
+    is one WholeStageCodegen span over the fact scan. At 100 TB this is
+    bandwidth-bound and embarrassingly parallel."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev = (
+        F.col("l_extendedprice").cast("decimal(15,4)")
+        * F.col("l_discount").cast("decimal(15,4)")
+    ).cast(_DEC)
+    return li.agg(
+        F.sum(disc_rev).cast("double").alias("f_revenue"),
+        F.count("*").cast("long").alias("f_items"),
+    )
+
+
+def q_tpch_q12like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts after the
+    orders⋈lineitem join — per line status (the driver schema has no
+    l_shipmode/l_receiptdate, so line status stands in for ship mode
+    and the ship-year window for the receipt-lateness predicate;
+    documented deviation, same join + dual-CASE-count plan shape).
+
+    Scale: the date filter pushes into the fact scan; the join shuffles
+    on orderkey once; the 2-group agg is map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "f_high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "f_low_line_count"
+            ),
+        )
+    )
+
+
+def q_tpch_q15like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    view + scalar-MAX-subquery pattern. The winner filter compares the
+    EXACT decimal revenue sums (never the double projection), so the
+    row-set is engine-exact; revenue is cast to double only for output.
+
+    Scale: one fact-scan agg keyed by suppkey, a 1-row broadcast of the
+    max, and a broadcast supplier join for the name — no window, no
+    global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("_rev"))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("f_revenue"),
+        )
+    )
+
+
+def q_tpch_q18like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — orders whose total
+    quantity clears a threshold (HAVING over the fact agg), joined back
+    to orders + customer, top-100 by price.
+
+    Scale: the quantity agg shuffles the fact once on orderkey; the
+    surviving order set is small, so the orders/customer joins run on
+    the REDUCED side; TakeOrderedAndProject caps the output (full
+    tiebreak on the unique orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(15,4)")).alias("_qty")
+        )
+        .filter(F.col("_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("f_sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under a DISJUNCTION of three
+    (brand, size-band, quantity-band) clauses — the OR-of-conjunctions
+    predicate that exercises join-predicate normalization (the driver
+    schema has no l_shipmode/l_shipinstruct; those conjuncts are
+    dropped, same three-clause disjunctive shape).
+
+    Scale: part broadcasts; the brand/size disjunction prunes part
+    BEFORE the join (only rows matching SOME clause join); the quantity
+    conjuncts evaluate post-join row-locally. One fact pass, 1-row
+    result."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(_rev()).cast("double").alias("f_revenue"),
+            F.count("*").cast("long").alias("f_items"),
+        )
+    )
+
+
+def q_tpch_q21like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS double-correlation —
+    suppliers who were the ONLY supplier with returned lines on a
+    multi-supplier order (the driver schema has no commit/receipt
+    dates, so 'returned' stands in for 'late'; identical correlated
+    semi + anti join plan shape). Count qualifying orders per supplier,
+    top-20.
+
+    Scale: the (order, supplier) pair sets are DISTINCT-reduced before
+    any join; EXISTS becomes a left_semi and NOT EXISTS a left_anti on
+    (orderkey, suppkey≠) — both shuffle the reduced pair set, never raw
+    lineitem; the final per-supplier count broadcasts into the name
+    join and TakeOrderedAndProject caps at 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    r_sup = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other_all = all_sup.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_r = r_sup.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    # EXISTS another supplier on the order
+    cand = r_sup.join(
+        other_all,
+        (r_sup.l_orderkey == other_all._ok)
+        & (r_sup.l_suppkey != other_all._sk),
+        "left_semi",
+    )
+    # NOT EXISTS another R-supplier on the order
+    only = cand.join(
+        other_r,
+        (cand.l_orderkey == other_r._ok) & (cand.l_suppkey != other_r._sk),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("f_numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "f_numwait")
+        .orderBy(
+            F.col("f_numwait").desc(),
+            F.col("s_name").asc(),
+            F.col("s_suppkey").asc(),
+        )
+        .limit(20)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_tpch_q6like": """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,4))
+                             * CAST(l_discount AS DECIMAL(15,4))
+                             AS DECIMAL(28,6))) AS DOUBLE) AS f_revenue,
+               CAST(COUNT(*) AS BIGINT) AS f_items
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q_tpch_q12like": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f_high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS f_low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    "q_tpch_q15like": f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({_REV_SQL}) AS _rev
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r._rev AS DOUBLE) AS f_revenue
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r._rev = (SELECT MAX(_rev) FROM rev)
+    """,
+    "q_tpch_q18like": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(15,4))) AS _qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(15,4))) > 250
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, CAST(b._qty AS DOUBLE) AS f_sum_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 100
+    """,
+    "q_tpch_q19like": f"""
+        SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS f_revenue,
+               CAST(COUNT(*) AS BIGINT) AS f_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_tpch_q21like": """
+        WITH allsup AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ),
+        rsup AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R'
+        ),
+        only_r AS (
+            SELECT r.l_orderkey, r.l_suppkey
+            FROM rsup r
+            WHERE EXISTS (
+                      SELECT 1 FROM allsup a
+                      WHERE a.l_orderkey = r.l_orderkey
+                        AND a.l_suppkey <> r.l_suppkey)
+              AND NOT EXISTS (
+                      SELECT 1 FROM rsup r2
+                      WHERE r2.l_orderkey = r.l_orderkey
+                        AND r2.l_suppkey <> r.l_suppkey)
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS f_numwait
+        FROM only_r o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY f_numwait DESC, s.s_name ASC, s.s_suppkey ASC
+        LIMIT 20
+    """,
     "q_lateral_topn": """
         SELECT c.c_custkey, c.c_mktsegment,
                t.o_orderkey AS f_top_order,
@@ -648,9 +952,15 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_tpch_q6like": q_tpch_q6like,
     "q_tpch_q7like": q_tpch_q7like,
     "q_tpch_q8like": q_tpch_q8like,
+    "q_tpch_q12like": q_tpch_q12like,
     "q_tpch_q14like": q_tpch_q14like,
+    "q_tpch_q15like": q_tpch_q15like,
+    "q_tpch_q18like": q_tpch_q18like,
+    "q_tpch_q19like": q_tpch_q19like,
+    "q_tpch_q21like": q_tpch_q21like,
     "q_tpch_q22like": q_tpch_q22like,
     "q_window_percentile": q_window_percentile,
     "q_approx_distinct_sketch": q_approx_distinct_sketch,

@@ -122,6 +122,7 @@ HEADLINE = [
     "q_tpch_q19like",
     "q_tpch_q21like",
     "q_dedup_embed_portable",
+    "q_quantile_sketch",
 ]
 
 

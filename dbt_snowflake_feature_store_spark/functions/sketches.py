@@ -68,6 +68,121 @@ def hll_estimate(col: Column | str) -> Column:
     return F.hll_sketch_estimate(c).cast("long")
 
 
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE sketches (HDR-histogram style): log2 octaves × 16
+# linear sub-buckets over non-negative integer micro-units. Like the HLL
+# family above, the point is INCREMENTAL maintainability: percentiles
+# don't re-aggregate, but bucket counts ADD — materialize one sketch per
+# (key, day), roll any date range up by summing counts, and read
+# quantiles off the cumulative histogram with ≤ 1/16 (6.25%) relative
+# error. Every step is INTEGER arithmetic (bit-length octaves via
+# length(bin(v)), shifts for sub-buckets), so unlike the hash-based HLL
+# sketches this family IS oracle-expressible — q_quantile_sketch is
+# hash-checked against DuckDB replaying the identical buckets.
+#
+# The sketch's physical form is deliberately RELATIONAL — (keys…,
+# bucket, cnt) rows, not an array blob: merge is a plain SUM group
+# (map-side combinable, AQE-friendly), rollup is a coarser GROUP BY, and
+# the bucket universe is bounded (≤ ~1000 buckets for the full int64
+# range), so per-key sketch size is bounded regardless of data size.
+# ---------------------------------------------------------------------------
+
+HDR_SCALE = 1_000_000  # micro-units: 6 decimal digits of input precision
+
+
+def hdr_bucket(col: str) -> Column:
+    """Bucket index for a non-negative BIGINT micro-unit COLUMN (by
+    name — the shift distance is itself a column, which only the SQL
+    spelling of shiftright accepts): values < 16 map to themselves
+    (exact); above that, octave e = ⌊log2 v⌋ (spelled as
+    length(bin(v)) − 1 — integer-exact, no transcendental log) with 16
+    linear sub-buckets: idx = (e−3)·16 + (v >> (e−4)) − 16. Contiguous
+    by construction (v=15→15, v=16→16, v=32→32)."""
+    return F.expr(
+        f"CAST(CASE WHEN {col} < 16 THEN {col} "
+        f"ELSE (CAST(length(bin({col})) AS BIGINT) - 4) * 16 "
+        f"+ shiftright({col}, CAST(length(bin({col})) AS INT) - 5) - 16 "
+        f"END AS BIGINT)"
+    )
+
+
+def hdr_bucket_lo(col: str) -> Column:
+    """Lower bound of a bucket COLUMN, in micro-units (the
+    deterministic representative the quantile reader returns; true
+    value is within [lo, lo·(1+1/16)) for octave buckets, exact for
+    idx < 16)."""
+    return F.expr(
+        f"CAST(CASE WHEN {col} < 16 THEN {col} "
+        f"ELSE shiftleft(CAST({col} % 16 + 16 AS INT), "
+        f"CAST({col} DIV 16 - 1 AS INT)) END AS BIGINT)"
+    )
+
+
+def hdr_sketch_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = HDR_SCALE,
+) -> DataFrame:
+    """MATERIALIZATION: (keys…, bucket, cnt) rows for non-negative
+    ``value_col`` (values are rounded to 1/scale units; negatives raise
+    at read time via the bin() of a negative long producing a 64-char
+    string → octave out of range — callers filter or shift first, the
+    documented contract). One map-side-combinable exchange."""
+    v = F.round(F.col(value_col).cast("double") * F.lit(float(scale))).cast(
+        "long"
+    )
+    return (
+        df.select(*keys, v.alias("_mv"))
+        .select(*keys, hdr_bucket("_mv").alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_rollup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """MERGE: roll materialized sketches to a coarser key set — counts
+    add, exactly (no estimate error is introduced by merging)."""
+    return df.groupBy(*keys, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    scale: int = HDR_SCALE,
+) -> DataFrame:
+    """QUERY: per-key quantile estimates from sketch rows. The rank
+    target is ceil(q·n); the answer is the lower bound of the first
+    bucket whose cumulative count reaches it. The cumulative window is
+    partitioned by key and ordered by bucket — bounded at ≤ ~1000 rows
+    per partition by the bucket universe, never data-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    d = df.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(tot)
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for q in qs:
+        pct = int(round(q * 100))
+        target = F.ceil(F.lit(float(q)) * F.col("_n")).cast("long")
+        aggs.append(
+            (
+                F.min(
+                    F.when(F.col("_cum") >= target, hdr_bucket_lo("bucket"))
+                ).cast("double")
+                / F.lit(float(scale))
+            ).alias(f"p{pct}")
+        )
+    return d.groupBy(*keys).agg(*aggs)
+
+
 def distinct_over_time(
     events: DataFrame,
     key: str,

@@ -55,7 +55,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # remaining slots absorb r6-dated keys next round per the cycle
     "q_dedup_embed_portable",
     "q_tpch_q6like", "q_tpch_q12like", "q_tpch_q15like", "q_tpch_q18like",
-    "q_tpch_q19like", "q_tpch_q21like",
+    "q_tpch_q19like", "q_tpch_q21like", "q_quantile_sketch",
 )
 
 

@@ -281,6 +281,39 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR-histogram QUANTILE sketches (functions/sketches.py
+    hdr_*), ORACLE-GATED: per-event-type p50/p95 of event value read
+    off per-(type, day) bucket-count sketches ROLLED UP across days —
+    the incremental percentile recipe (percentiles don't re-aggregate;
+    bucket counts ADD, so each refresh sketches only new days and any
+    date range is a SUM-merge). Unlike the hash-based HLL key this is
+    pure INTEGER arithmetic — micro-unit scaling, bit-length octaves,
+    shift sub-buckets — so DuckDB replays the exact buckets and the
+    merge-exactness claim is hash-checked, not just pytest-asserted
+    (the oracle skips the day stage entirely: rollup is additive-exact
+    by construction, same counts either way).
+
+    Scale: two map-side-combinable exchanges (day sketch + rollup);
+    the quantile read is a window over ≤ ~1000 bucket rows per key —
+    bounded by the bucket universe, never by data size."""
+    from ..functions import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    daily = SK.hdr_sketch_by_key(
+        ev.withColumn("_fs_day", F.to_date("ts")),
+        ["event_type", "_fs_day"],
+        "value",
+    )
+    merged = SK.hdr_rollup(daily, ["event_type"])
+    return SK.hdr_quantiles(merged, ["event_type"], [0.5, 0.95]).select(
+        "event_type",
+        F.col("n").alias("f_n"),
+        F.col("p50").alias("f_p50"),
+        F.col("p95").alias("f_p95"),
+    )
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact GLOBAL row number over the whole table — the operation
     Spark's own `Window.orderBy()` (no partition) executes in a single
@@ -763,6 +796,49 @@ ORACLE: dict[str, str] = {
         ORDER BY f_numwait DESC, s.s_name ASC, s.s_suppkey ASC
         LIMIT 20
     """,
+    "q_quantile_sketch": """
+        WITH v AS (
+            SELECT event_type,
+                   CAST(ROUND(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS mv
+            FROM events
+        ),
+        b AS (
+            SELECT event_type,
+                   CASE WHEN mv < 16 THEN mv
+                        ELSE (CAST(length(bin(mv)) AS BIGINT) - 4) * 16
+                             + (mv >> (CAST(length(bin(mv)) AS INT) - 5))
+                             - 16
+                   END AS bucket
+            FROM v
+        ),
+        sk AS (
+            SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY event_type, bucket
+        ),
+        c AS (
+            SELECT event_type, bucket, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY bucket) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM sk
+        ),
+        lo AS (
+            SELECT event_type, cum, n,
+                   CASE WHEN bucket < 16 THEN bucket
+                        ELSE ((16 + (bucket % 16)) << ((bucket // 16) - 1))
+                   END AS blo
+            FROM c
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS f_n,
+               CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN blo END)
+                    AS DOUBLE) / 1000000.0 AS f_p50,
+               CAST(MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN blo END)
+                    AS DOUBLE) / 1000000.0 AS f_p95
+        FROM lo
+        GROUP BY event_type
+    """,
     "q_lateral_topn": """
         SELECT c.c_custkey, c.c_mktsegment,
                t.o_orderkey AS f_top_order,
@@ -964,6 +1040,7 @@ QUERIES = {
     "q_tpch_q22like": q_tpch_q22like,
     "q_window_percentile": q_window_percentile,
     "q_approx_distinct_sketch": q_approx_distinct_sketch,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_global_rank": q_global_rank,
     "q_global_ntile": q_global_ntile,
     "q_cube": q_cube,

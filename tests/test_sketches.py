@@ -114,3 +114,91 @@ def test_sketch_column_is_compact(spark):
     ev = _events(spark)
     row = SK.hll_sketch_by_key(ev, ["event_type"], "user_id").head()
     assert len(bytes(row["hll_sketch"])) < 16384
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketches (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _hdr_daily(spark):
+    ev = _events(spark).withColumn("_fs_day", F.to_date("ts"))
+    return SK.hdr_sketch_by_key(ev, ["event_type", "_fs_day"], "value")
+
+
+def test_hdr_quantile_error_bound(spark):
+    """p50/p95 from the sketch land within the bucket's guaranteed
+    relative error (1/16 per octave, + micro-unit rounding) of the
+    exact percentile, per event type."""
+    ev = _events(spark)
+    merged = SK.hdr_rollup(_hdr_daily(spark), ["event_type"])
+    got = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in SK.hdr_quantiles(merged, ["event_type"], [0.5, 0.95]).collect()
+    }
+    exact = {
+        r["event_type"]: (r["e50"], r["e95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.95)").alias("e95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et in got:
+        for g, e in zip(got[et], exact[et]):
+            # lower-bound representative: g <= true value < g * 17/16
+            assert g <= e * 1.001 + 1e-6, (et, g, e)
+            assert e <= g * (17 / 16) * 1.001 + 1e-6, (et, g, e)
+
+
+def test_hdr_merge_is_exact(spark):
+    """Counts ADD: the day-rollup sketch equals the sketch of the whole
+    table, bucket-for-bucket (merging introduces NO error — unlike the
+    estimate, this is exact set equality)."""
+    ev = _events(spark)
+    from_days = SK.hdr_rollup(_hdr_daily(spark), ["event_type"])
+    whole = SK.hdr_sketch_by_key(ev, ["event_type"], "value")
+    a = {(r["event_type"], r["bucket"]): r["cnt"] for r in from_days.collect()}
+    b = {(r["event_type"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert a == b
+
+
+def test_hdr_layout_invariance(spark):
+    """Sketch rows are identical regardless of partitioning."""
+    ev = _events(spark)
+    a = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in SK.hdr_sketch_by_key(ev.repartition(37), ["event_type"], "value").collect()
+    }
+    b = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in SK.hdr_sketch_by_key(ev.coalesce(1), ["event_type"], "value").collect()
+    }
+    assert a == b
+
+
+def test_hdr_bucket_contiguity_and_bounds(spark):
+    """The integer bucket function is monotone, contiguous at octave
+    boundaries, and its lower bound inverts to within 1/16."""
+    vals = [0, 1, 15, 16, 17, 31, 32, 33, 255, 256, 1023, 1024, 10**6, 10**9]
+    df = spark.createDataFrame([(v,) for v in vals], "_mv long")
+    rows = (
+        df.select("_mv", SK.hdr_bucket("_mv").alias("b"))
+        .withColumn("lo", SK.hdr_bucket_lo("b"))
+        .orderBy("_mv")
+        .collect()
+    )
+    prev_b = -1
+    for r in rows:
+        assert r["b"] >= prev_b  # non-decreasing in value (buckets widen)
+        prev_b = r["b"]
+        assert r["lo"] <= r["_mv"], r
+        if r["_mv"] >= 16:
+            assert r["_mv"] < r["lo"] + (r["lo"] // 16) + 1, r
+        else:
+            assert r["lo"] == r["_mv"]
+    # exact contiguity pins
+    by_v = {r["_mv"]: r["b"] for r in rows}
+    assert by_v[15] == 15 and by_v[16] == 16 and by_v[32] == 32

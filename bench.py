@@ -123,6 +123,7 @@ HEADLINE = [
     "q_tpch_q21like",
     "q_dedup_embed_portable",
     "q_quantile_sketch",
+    "q_heavy_hitters_sketch",
 ]
 
 

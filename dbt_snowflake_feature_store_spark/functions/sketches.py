@@ -183,6 +183,91 @@ def hdr_quantiles(
     return d.groupBy(*keys).agg(*aggs)
 
 
+# ---------------------------------------------------------------------------
+# Mergeable COUNT-MIN sketches: frequency estimation for high-cardinality
+# item streams (token counts, URL hits) in bounded memory. D md5-derived
+# hash rows × width W; the sketch is relational (keys…, d, w, cnt) rows
+# like the HDR family — merge is a plain SUM group, and estimate(x) =
+# min_d cnt[d, h_d(x)] NEVER underestimates (the classic CM guarantee;
+# overestimate ≤ 2N/W with prob ≥ 1 − (1/2)^D). The md5-substring hash
+# is the repo's portable spelling, so the whole pipeline — sketch build,
+# merge, estimate — is oracle-expressible and q_heavy_hitters_sketch is
+# hash-checked against a DuckDB replay.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_hashes(
+    col: Column | str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> Column:
+    """Array of the item's D cell indices — portable md5 arithmetic
+    (Spark ``conv(substr(md5(…)))`` ≡ DuckDB ``('0x'||…)::BIGINT``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cm{d}:"), c)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cm_sketch_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """MATERIALIZATION: (keys…, d, w, cnt) rows — one posexplode of the
+    precomputed hash array (D× inflation, all codegen) + one map-side-
+    combinable exchange. Sketch size per key group ≤ depth·width rows
+    regardless of item cardinality."""
+    return (
+        df.select(*keys, F.posexplode(cm_hashes(item_col, depth, width)).alias("d", "w"))
+        .groupBy(*keys, "d", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_rollup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """MERGE: counts add exactly — rolling per-slice sketches to a
+    coarser key set introduces NO additional error."""
+    return df.groupBy(*keys, "d", "w").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    out_col: str = "cm_est",
+) -> DataFrame:
+    """QUERY against a GLOBAL (un-keyed) sketch: each item's D cells
+    left-joined to the sketch (absent cell ⇒ 0), min over d. The
+    sketch side is ≤ depth·width rows — always broadcastable."""
+    probes = items.select(
+        item_col, F.posexplode(cm_hashes(item_col, depth, width)).alias("d", "w")
+    )
+    joined = probes.join(F.broadcast(sketch.select("d", "w", "cnt")), ["d", "w"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col)
+    )
+
+
 def distinct_over_time(
     events: DataFrame,
     key: str,

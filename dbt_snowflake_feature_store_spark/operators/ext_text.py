@@ -1283,6 +1283,51 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN frequency sketch over the corpus token
+    stream, ORACLE-GATED (functions/sketches.py cm_*): per-SOURCE
+    sketches (the per-slice materialization an incremental refresh
+    writes) SUM-merged to a global sketch, then the exact top-20 tokens
+    probed against it — emitting exact count, CM estimate, and the
+    overestimate (≥ 0 always: the one-sided CM guarantee, here
+    hash-checked cross-engine rather than merely asserted). md5-derived
+    hash rows are the repo's portable spelling, so DuckDB replays the
+    build, merge, and probe bit-for-bit.
+
+    Scale: sketch build is one posexplode (D=4× token inflation) + a
+    map-side-combinable exchange into ≤ D·W=4096 cells per slice —
+    bounded memory at ANY token cardinality (the point of CM: exact
+    counts of a 100 TB token stream don't fit; 4096 cells do). The
+    probe side broadcasts the ≤4096-row sketch."""
+    from ..functions import sketches as SK
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                TXT.ws_tokens(TXT.normalized_text(F.col("text")))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_source = SK.cm_sketch_by_key(toks, ["source"], "tok")
+    merged = SK.cm_rollup(per_source, [])
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("f_exact")
+    )
+    top = exact.orderBy(
+        F.col("f_exact").desc(), F.col("tok").asc()
+    ).limit(20)
+    est = SK.cm_estimate(merged, top.select("tok"), "tok", out_col="f_est")
+    return top.join(est, "tok").select(
+        "tok",
+        "f_exact",
+        "f_est",
+        (F.col("f_est") - F.col("f_exact")).cast("long").alias("f_over"),
+    )
+
+
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
@@ -1591,6 +1636,48 @@ ORACLE["q_contamination"] = f"""
     FROM g JOIN bench USING (gram)
     WHERE g.doc_id % 10 <> 0
     GROUP BY g.doc_id
+"""
+
+ORACLE["q_heavy_hitters_sketch"] = f"""
+    WITH toks AS (
+        SELECT t.tok FROM (
+            SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+        ) t
+        WHERE t.tok <> ''
+    ),
+    cells AS (
+        SELECT d.d,
+               ('0x' || substr(md5('cm' || CAST(d.d AS VARCHAR) || ':'
+                                   || tok), 1, 8))::BIGINT % 1024 AS w
+        FROM toks, range(0, 4) d(d)
+    ),
+    sk AS (
+        SELECT d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY d, w
+    ),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f_exact
+        FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, f_exact FROM exact
+        ORDER BY f_exact DESC, tok ASC LIMIT 20
+    ),
+    probes AS (
+        SELECT top.tok, d.d,
+               ('0x' || substr(md5('cm' || CAST(d.d AS VARCHAR) || ':'
+                                   || top.tok), 1, 8))::BIGINT % 1024 AS w
+        FROM top, range(0, 4) d(d)
+    ),
+    est AS (
+        SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS f_est
+        FROM probes p LEFT JOIN sk s ON p.d = s.d AND p.w = s.w
+        GROUP BY p.tok
+    )
+    SELECT t.tok, t.f_exact,
+           CAST(e.f_est AS BIGINT) AS f_est,
+           CAST(e.f_est - t.f_exact AS BIGINT) AS f_over
+    FROM top t JOIN est e ON t.tok = e.tok
 """
 
 ORACLE["q_ngram_novelty"] = """
@@ -1983,6 +2070,7 @@ QUERIES = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_heavy_hitters_sketch": q_heavy_hitters_sketch,
     "q_bpe_train": q_bpe_train,
     "q_chunk_overlap": q_chunk_overlap,
     "q_negative_sample": q_negative_sample,

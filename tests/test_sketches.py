@@ -202,3 +202,68 @@ def test_hdr_bucket_contiguity_and_bounds(spark):
     # exact contiguity pins
     by_v = {r["_mv"]: r["b"] for r in rows}
     assert by_v[15] == 15 and by_v[16] == 16 and by_v[32] == 32
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketches (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _user_items(spark):
+    """High-cardinality item stream (distinct user_ids exceed the
+    sketch width, so collisions — the thing CM exists to bound — are
+    actually present; the sf0.01 document vocabulary is only ~31
+    tokens, which would make every estimate trivially exact)."""
+    return _events(spark).select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+
+
+def test_cm_never_underestimates_and_bound(spark):
+    """The one-sided CM guarantee at a width SMALLER than the item
+    cardinality (W=64 < 150 users, so collisions — the thing CM exists
+    to bound — are genuinely present): estimate >= exact for EVERY
+    probed item, and the average overestimate stays near the N/W
+    expectation (loose 4x allowance — a property check, not a tail
+    bound)."""
+    W = 64
+    items = _user_items(spark).cache()
+    n = items.count()
+    assert items.select("item").distinct().count() > W
+    sk = SK.cm_rollup(SK.cm_sketch_by_key(items, [], "item", width=W), [])
+    exact = items.groupBy("item").agg(F.count("*").cast("long").alias("x"))
+    sample = exact.orderBy(F.col("x").desc(), F.col("item").asc()).limit(100)
+    est = SK.cm_estimate(sk, sample.select("item"), "item", width=W)
+    rows = sample.join(est, "item").collect()
+    assert len(rows) == 100
+    overs = []
+    for r in rows:
+        assert r["cm_est"] >= r["x"], (r["item"], r["cm_est"], r["x"])
+        overs.append(r["cm_est"] - r["x"])
+    assert max(overs) > 0  # collisions actually happened
+    assert sum(overs) / len(overs) <= 4.0 * n / W
+    items.unpersist()
+
+
+def test_cm_merge_is_exact(spark):
+    """Rolling per-event-type sketches to global equals sketching the
+    whole stream directly — cell-for-cell (merge adds counts, no
+    estimate error)."""
+    items = _user_items(spark)
+    merged = SK.cm_rollup(
+        SK.cm_sketch_by_key(items, ["event_type"], "item"), []
+    )
+    direct = SK.cm_sketch_by_key(items, [], "item")
+    a = {(r["d"], r["w"]): r["cnt"] for r in merged.collect()}
+    b = {(r["d"], r["w"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+
+def test_cm_sketch_size_bounded(spark):
+    """Cell count never exceeds depth x width no matter the item
+    cardinality — the bounded-memory point of the sketch."""
+    W = 64
+    items = _user_items(spark)
+    sk = SK.cm_sketch_by_key(items, [], "item", width=W)
+    assert sk.count() <= SK.CM_DEPTH * W
+    assert items.select("item").distinct().count() > W

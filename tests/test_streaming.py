@@ -457,6 +457,87 @@ class TestStreamingIncremental:
         }
         assert got3 == expect()
 
+    def test_hdr_sketch_fv_incremental_maintenance(
+        self, fs, spark, split_events
+    ):
+        """Incremental PERCENTILE maintenance end-to-end: an FV whose
+        body is the HDR bucket-count sketch (plain SQL — integer
+        octave/shift bucketing) is a keyed non-windowed aggregation, so
+        the update-mode foreachBatch-MERGE path maintains it across
+        arrivals; the maintained bucket counts equal the batch sketch
+        EXACTLY (counts add), and quantiles read off the maintained
+        table match the batch-sketch quantiles."""
+        from dbt_snowflake_feature_store_spark.functions import (
+            sketches as SK,
+        )
+
+        fs.register_source("S_HDR", split_events["src"])
+        fs.register_entity(Entity("etype_bucket", ["event_type", "bucket"]))
+        bucket_sql = (
+            "CAST(CASE WHEN mv < 16 THEN mv "
+            "ELSE (CAST(length(bin(mv)) AS BIGINT) - 4) * 16 "
+            "+ shiftright(mv, CAST(length(bin(mv)) AS INT) - 5) - 16 "
+            "END AS BIGINT)"
+        )
+        fv = FeatureView(
+            "hdr_sketch",
+            ["etype_bucket"],
+            sql=f"""SELECT event_type, {bucket_sql} AS bucket,
+                           COUNT(*) AS f_cnt
+                    FROM (SELECT event_type,
+                                 CAST(ROUND(CAST(value AS DOUBLE)
+                                      * 1000000.0) AS BIGINT) AS mv
+                          FROM S_HDR)
+                    GROUP BY event_type, {bucket_sql}""",
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_sketch():
+            ev = spark.read.parquet(split_events["src"])
+            return {
+                (r["event_type"], r["bucket"]): r["cnt"]
+                for r in SK.hdr_sketch_by_key(
+                    ev, ["event_type"], "value"
+                ).collect()
+            }
+
+        got1 = {
+            (r["event_type"], r["bucket"]): r["f_cnt"]
+            for r in fs.read_feature_view("HDR_SKETCH$1.0").collect()
+        }
+        assert got1 == batch_sketch()
+
+        _arrive_half2(split_events)
+        assert fs.refresh("hdr_sketch", "1.0") == "INCREMENTAL"
+        maintained = fs.read_feature_view("HDR_SKETCH$1.0")
+        got2 = {
+            (r["event_type"], r["bucket"]): r["f_cnt"]
+            for r in maintained.collect()
+        }
+        assert got2 == batch_sketch()  # cell-exact after the merge
+
+        # quantiles off the MAINTAINED table == quantiles off the batch
+        # sketch (the point: percentile queries never rescan raw events)
+        q_m = {
+            r["event_type"]: (r["p50"], r["p95"])
+            for r in SK.hdr_quantiles(
+                maintained.withColumnRenamed("f_cnt", "cnt"),
+                ["event_type"],
+                [0.5, 0.95],
+            ).collect()
+        }
+        ev = spark.read.parquet(split_events["src"])
+        q_b = {
+            r["event_type"]: (r["p50"], r["p95"])
+            for r in SK.hdr_quantiles(
+                SK.hdr_sketch_by_key(ev, ["event_type"], "value"),
+                ["event_type"],
+                [0.5, 0.95],
+            ).collect()
+        }
+        assert q_m == q_b
+
     def test_append_rebuild_clears_stale_merge_ckpt(
         self, fs, spark, split_events
     ):

@@ -99,9 +99,11 @@ class TableFormat:
         raise NotImplementedError
 
     def replace(self, spark: SparkSession, path: str, df: DataFrame,
-                partition_by: list[str] | None = None) -> None:
+                partition_by: list[str] | None = None,
+                options: dict[str, str] | None = None) -> None:
         """Atomically replace the table's contents with ``df``
-        (compaction, migration): full write then commit."""
+        (compaction, migration): full write then commit. ``options``
+        pass through to the writer (e.g. maxRecordsPerFile)."""
         raise NotImplementedError
 
     def write_bucketed(
@@ -246,11 +248,14 @@ class ParquetSnapshotFormat(TableFormat):
         writer.parquet(path)
 
     def replace(self, spark: SparkSession, path: str, df: DataFrame,
-                partition_by: list[str] | None = None) -> None:
+                partition_by: list[str] | None = None,
+                options: dict[str, str] | None = None) -> None:
         self.recover(path)
         token = uuid.uuid4().hex[:8]
         tmp = f"{path}__snapshot_{token}"
         writer = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
@@ -337,8 +342,18 @@ class DeltaFormat(TableFormat):
         writer.save(path)
 
     def replace(self, spark: SparkSession, path: str, df: DataFrame,
-                partition_by: list[str] | None = None) -> None:
-        self.write_full(df, path, partition_by)
+                partition_by: list[str] | None = None,
+                options: dict[str, str] | None = None) -> None:
+        # Delta's log makes the overwrite atomic on its own; writer
+        # options (maxRecordsPerFile) pass straight through.
+        writer = df.write.format("delta").mode("overwrite").option(
+            "overwriteSchema", "true"
+        )
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
 
     def write_bucketed(
         self,

@@ -922,13 +922,22 @@ class FeatureStore:
         return report
 
     def compact(
-        self, name: str, version: str, target_partitions_per_day: int = 1
+        self,
+        name: str,
+        version: str,
+        target_partitions_per_day: int = 1,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Rewrite a managed FV's materialization into few large files per
         date partition. Incremental refreshes append one file per
         micro-batch — at high refresh frequency that degrades scans
         (small-files problem). Copy-on-write snapshot swap, same safety
-        as functions/merge.py. Returns the resulting file count."""
+        as functions/merge.py. Returns the resulting file count.
+
+        ``max_records_per_file`` (r8) bounds file size from above — the
+        scale guard for skewed days: one task per day directory still
+        writes MULTIPLE right-sized files when a hot day exceeds the
+        cap, so compaction can never produce a single monster file."""
         import shutil
         import uuid
 
@@ -955,18 +964,24 @@ class FeatureStore:
         # cluster_by layouts are re-established here: incremental
         # appends land unsorted, compaction restores the sorted files.
         cluster = list(fv.cluster_by or [])
+        opts = (
+            {"maxRecordsPerFile": str(max_records_per_file)}
+            if max_records_per_file
+            else None
+        )
         if "_fs_dt" in df.columns:
             out_df = df.repartition(target_partitions_per_day, "_fs_dt")
             if cluster:
                 out_df = out_df.sortWithinPartitions("_fs_dt", *cluster)
             self.storage.replace(
                 self.spark, path, out_df, partition_by=["_fs_dt"],
+                options=opts,
             )
         else:
             out_df = df.coalesce(max(1, target_partitions_per_day))
             if cluster:
                 out_df = out_df.sortWithinPartitions(*cluster)
-            self.storage.replace(self.spark, path, out_df)
+            self.storage.replace(self.spark, path, out_df, options=opts)
         out = self.storage.read(self.spark, path)
         return len(out.inputFiles())
 

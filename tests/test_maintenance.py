@@ -104,6 +104,38 @@ class TestCompaction:
         assert after == days
         assert fs.read_feature_view("CMP_FV$1").count() == n_rows_before
 
+    def test_compact_max_records_per_file_bounds_hot_days(
+        self, fs, spark, tables
+    ):
+        """The r8 scale guard: with max_records_per_file set, one task
+        per day directory still writes MULTIPLE right-sized files when
+        a day exceeds the cap — compaction can never emit one monster
+        file for a skewed day."""
+        fs.register_entity(Entity("user", ["user_id"]))
+        tables["events"].createOrReplaceTempView("cmp_events3")
+        fs.register_feature_view(
+            FeatureView(
+                "cmp_cap", ["user"],
+                sql="SELECT user_id, ts, value FROM cmp_events3",
+                timestamp_col="ts",
+                refresh=RefreshSpec("1 hour", "FULL", "ON_CREATE"),
+            ),
+            version="1",
+        )
+        n_rows = fs.read_feature_view("CMP_CAP$1").count()
+        after = fs.compact("cmp_cap", "1", max_records_per_file=5)
+        days = fs.read_feature_view("CMP_CAP$1").select(
+            F.to_date("ts")
+        ).distinct().count()
+        # more files than days (hot days split), but bounded by rows/cap
+        assert after > days
+        assert after <= n_rows // 5 + 2 * days
+        # every file respects the cap, values intact
+        path = fs._fv_data_path("CMP_CAP", "1")
+        for f in spark.read.parquet(path).inputFiles():
+            assert spark.read.parquet(f.replace("file:", "")).count() <= 5
+        assert fs.read_feature_view("CMP_CAP$1").count() == n_rows
+
     def test_compact_static_fv_rejected(self, fs, tables):
         fs.register_entity(Entity("user", ["user_id"]))
         tables["events"].createOrReplaceTempView("cmp_events2")

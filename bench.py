@@ -124,6 +124,7 @@ HEADLINE = [
     "q_dedup_embed_portable",
     "q_quantile_sketch",
     "q_heavy_hitters_sketch",
+    "q_epoch_shuffle",
 ]
 
 

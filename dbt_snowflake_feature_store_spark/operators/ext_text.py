@@ -369,6 +369,38 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-EPOCH shuffle + shard assignment — the
+    reproducible data-ordering op a training loader needs: epoch 3's
+    order is a pure function of (doc_id, epoch) via the portable md5
+    hash, so re-runs, engines, restarts, and elastic re-shards agree
+    row-for-row with no RNG state anywhere. Every doc gets its global
+    position in the epoch's order (ranks.global_row_number — range
+    exchange + parallel per-range sorts, NO single-task sort; the
+    machinery q_global_rank pins) and a shard id for an 8-way loader.
+
+    Scale: one range exchange + a bounded P-row collect; the shard id
+    is row-local. Re-keying by epoch re-randomizes order BETWEEN epochs
+    while each epoch stays internally deterministic — exactly torch
+    DataLoader's (seed, epoch) contract, distributed."""
+    from ..functions.ranks import global_row_number
+    from ..functions.text import portable_hash64
+
+    epoch = 3
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        portable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":ep{epoch}"))
+        ).alias("_h"),
+    )
+    ranked = global_row_number(d, ["_h", "doc_id"], out_col="f_epoch_pos")
+    return ranked.select(
+        "doc_id",
+        "f_epoch_pos",
+        (F.col("_h") % 8).cast("long").alias("f_shard"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: assign docs (ordered by doc_id within a
     language) to fixed 2048-token bins by cumulative token offset — the
@@ -1638,6 +1670,20 @@ ORACLE["q_contamination"] = f"""
     GROUP BY g.doc_id
 """
 
+ORACLE["q_epoch_shuffle"] = """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep3'),
+                               1, 15))::BIGINT AS _h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY _h ASC, doc_id ASC)
+                AS BIGINT) AS f_epoch_pos,
+           CAST(_h % 8 AS BIGINT) AS f_shard
+    FROM h
+"""
+
 ORACLE["q_heavy_hitters_sketch"] = f"""
     WITH toks AS (
         SELECT t.tok FROM (
@@ -2071,6 +2117,7 @@ QUERIES = {
     "q_ngram_freq": q_ngram_freq,
     "q_ngram_novelty": q_ngram_novelty,
     "q_heavy_hitters_sketch": q_heavy_hitters_sketch,
+    "q_epoch_shuffle": q_epoch_shuffle,
     "q_bpe_train": q_bpe_train,
     "q_chunk_overlap": q_chunk_overlap,
     "q_negative_sample": q_negative_sample,

@@ -56,7 +56,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_dedup_embed_portable",
     "q_tpch_q6like", "q_tpch_q12like", "q_tpch_q15like", "q_tpch_q18like",
     "q_tpch_q19like", "q_tpch_q21like", "q_quantile_sketch",
-    "q_heavy_hitters_sketch",
+    "q_heavy_hitters_sketch", "q_epoch_shuffle",
 )
 
 

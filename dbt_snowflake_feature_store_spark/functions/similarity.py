@@ -531,11 +531,18 @@ class PQIndex:
     and a TakeOrdered top-k. Exact re-ranking of the top candidates
     (``rerank``) reads full vectors for a bounded set only."""
 
-    def __init__(self, codebooks: list[list[list[float]]]):
+    def __init__(
+        self,
+        codebooks: list[list[list[float]]],
+        train_mse: float | None = None,
+    ):
         self.codebooks = codebooks  # [m][k][dsub]
         self.m = len(codebooks)
         self.k = len(codebooks[0]) if codebooks else 0
         self.dsub = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+        # mean squared reconstruction error of the TRAINING sample at
+        # the final codebooks — the drift baseline (None for v1 files)
+        self.train_mse = train_mse
 
     @classmethod
     def build(
@@ -584,14 +591,33 @@ class PQIndex:
                     break
                 cent = new
             books.append([[float(v) for v in c] for c in cent])
-        return cls(books)
+        # drift baseline: sample MSE at the final codebooks (sum of
+        # per-subspace min squared distances, averaged over rows)
+        mse = 0.0
+        for j, book in enumerate(books):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            cent = np.asarray(book)
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * xs @ cent.T
+                + (cent * cent).sum(1)[None, :]
+            )
+            mse += float(np.maximum(d2.min(1), 0.0).mean())
+        return cls(books, mse)
 
     def save(self, path: str) -> None:
         import json
 
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"format": "pq-codebooks-v1", "codebooks": self.codebooks}, f)
+            json.dump(
+                {
+                    "format": "pq-codebooks-v2",
+                    "codebooks": self.codebooks,
+                    "train_mse": self.train_mse,
+                },
+                f,
+            )
         os.replace(tmp, path)
 
     @classmethod
@@ -599,7 +625,81 @@ class PQIndex:
         import json
 
         with open(path) as f:
-            return cls(json.load(f)["codebooks"])
+            doc = json.load(f)
+        return cls(doc["codebooks"], doc.get("train_mse"))
+
+    def mean_reconstruction_error(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        max_sample: int = 10_000,
+    ) -> float:
+        """Drift probe: mean squared reconstruction error of a bounded
+        deterministic corpus sample against the CURRENT codebooks —
+        per subspace, ‖x_sub‖² + min_c(−2x_sub·c + ‖c‖²), summed (the
+        same inlined native distance arrays the encoder uses; one
+        scalar row to the driver)."""
+        probe = (
+            df.select(
+                F.col(id_col),
+                F.col(emb_col).cast("array<double>").alias("_e"),
+            )
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(max_sample)
+        )
+        total = None
+        for j, book in enumerate(self.codebooks):
+            sub = f"slice(_e, {j * self.dsub + 1}, {self.dsub})"
+            terms = []
+            for c in book:
+                arr = "array(" + ",".join(f"{v}D" for v in c) + ")"
+                dot = (
+                    f"aggregate(zip_with({sub}, {arr},"
+                    f" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
+                )
+                c2 = sum(v * v for v in c)
+                terms.append(f"(-2D * ({dot}) + {c2}D)")
+            x2 = (
+                f"aggregate({sub}, 0D, (acc, x) -> acc + x * x)"
+            )
+            dcol = f"_pq_r{j}"
+            probe = probe.withColumn(
+                dcol, F.expr("array(" + ",".join(terms) + ")")
+            ).withColumn(
+                dcol,
+                F.greatest(
+                    F.array_min(dcol) + F.expr(x2), F.lit(0.0)
+                ),
+            )
+            col = F.col(dcol)
+            total = col if total is None else total + col
+        probe = probe.withColumn("_pq_mse", total)
+        row = probe.agg(F.avg("_pq_mse").alias("r")).head()
+        return float(row["r"]) if row and row["r"] is not None else 0.0
+
+    def needs_refresh(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        drift_factor: float = 1.5,
+        max_sample: int = 10_000,
+    ) -> bool:
+        """True when the corpus has drifted from the trained codebooks
+        (current sample MSE > drift_factor × the build-time baseline) —
+        drifted codebooks quantize coarsely and ADC candidate recall
+        decays; re-train with :meth:`build` (same discipline as
+        IVFIndex.needs_refresh)."""
+        if self.train_mse is None:
+            raise ValueError(
+                "index has no recorded train_mse (v1 file) — rebuild "
+                "once with the current build() to enable drift checks"
+            )
+        cur = self.mean_reconstruction_error(df, emb_col, id_col, max_sample)
+        if self.train_mse == 0.0:
+            return cur > 0.0
+        return cur > drift_factor * self.train_mse
 
     def encode(
         self, df: DataFrame, emb_col: str = "embedding", codes_col: str = "_pq"

@@ -618,10 +618,56 @@ class TestPQ:
         # deterministic: same sample order, same seed -> same codebooks
         idx2 = PQIndex.build(emb, m=8, k=16)
         assert idx2.codebooks == idx.codebooks
-        # index file round-trip
+        # index file round-trip (incl. the r8 drift baseline)
         p = str(tmp_path / "pq.json")
         idx.save(p)
-        assert PQIndex.load(p).codebooks == idx.codebooks
+        loaded = PQIndex.load(p)
+        assert loaded.codebooks == idx.codebooks
+        assert loaded.train_mse == idx.train_mse
+        assert idx.train_mse is not None and idx.train_mse > 0
+
+    def test_pq_drift_detection(self, spark, sf_dir, tmp_path):
+        """Same re-train discipline as IVF (r8): the corpus walking away
+        from the trained codebooks trips the reconstruction-error probe;
+        re-training on the drifted corpus clears it. v1 index files load
+        but demand a rebuild for drift checks."""
+        import json
+
+        from dbt_snowflake_feature_store_spark.functions.similarity import (
+            PQIndex,
+        )
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = PQIndex.build(emb, m=8, k=16)
+        assert not idx.needs_refresh(emb)
+        # probe ≈ baseline on the training corpus itself
+        cur = idx.mean_reconstruction_error(emb)
+        assert cur <= 1.2 * idx.train_mse
+
+        drifted = emb.select(
+            "vec_id",
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x as double) + "
+                "CASE WHEN i = cast(label % 8 AS INT) THEN 1.0 "
+                "ELSE 0.0 END)"
+            ).alias("embedding"),
+        )
+        assert idx.needs_refresh(drifted)
+        fresh = PQIndex.build(drifted, m=8, k=16)
+        assert not fresh.needs_refresh(drifted)
+
+        # v1 file: loads, searches, but drift check raises loudly
+        p = str(tmp_path / "pq_v1.json")
+        with open(p, "w") as f:
+            json.dump(
+                {"format": "pq-codebooks-v1", "codebooks": idx.codebooks}, f
+            )
+        v1 = PQIndex.load(p)
+        assert v1.train_mse is None
+        with pytest.raises(ValueError, match="train_mse"):
+            v1.needs_refresh(emb)
 
     def test_pq_adc_recall_and_self_match(self, spark, sf_dir):
         from dbt_snowflake_feature_store_spark.functions.similarity import (

@@ -235,6 +235,10 @@ def _decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise JpegFormatError("ran off the end before SOS")
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (third-party files use them for padding)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:
@@ -273,6 +277,8 @@ def _decode(data: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegFormatError(f"{prec}-bit precision unsupported")
+            if w == 0 or h == 0:
+                raise JpegFormatError(f"zero frame dimensions ({w}x{h})")
             if nc not in (1, 3):
                 raise JpegFormatError(f"{nc}-component images unsupported")
             comps = []
@@ -317,6 +323,14 @@ def _decode_scan(
     data, pos, frame, qt, huff_dc, huff_ac, scan_tables, restart_interval
 ):
     w, h, comps = frame
+    # T.81 A.2: a SINGLE-component scan is NON-interleaved — one data
+    # unit per MCU in raster order over the component's own block grid,
+    # regardless of its declared sampling factors (some encoders emit
+    # H=V=2 on the sole component of a grayscale frame; treating that
+    # as interleaved 4-block MCUs desynchronizes the entropy stream).
+    if len(comps) == 1:
+        cid, _h1, _v1, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)

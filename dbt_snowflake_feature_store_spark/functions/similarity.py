@@ -649,23 +649,14 @@ class PQIndex:
             .limit(max_sample)
         )
         total = None
-        for j, book in enumerate(self.codebooks):
+        for j in range(self.m):
             sub = f"slice(_e, {j * self.dsub + 1}, {self.dsub})"
-            terms = []
-            for c in book:
-                arr = "array(" + ",".join(f"{v}D" for v in c) + ")"
-                dot = (
-                    f"aggregate(zip_with({sub}, {arr},"
-                    f" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
-                )
-                c2 = sum(v * v for v in c)
-                terms.append(f"(-2D * ({dot}) + {c2}D)")
             x2 = (
                 f"aggregate({sub}, 0D, (acc, x) -> acc + x * x)"
             )
             dcol = f"_pq_r{j}"
             probe = probe.withColumn(
-                dcol, F.expr("array(" + ",".join(terms) + ")")
+                dcol, F.expr(self._subspace_dist_terms(j, sub))
             ).withColumn(
                 dcol,
                 F.greatest(
@@ -701,6 +692,22 @@ class PQIndex:
             return cur > 0.0
         return cur > drift_factor * self.train_mse
 
+    def _subspace_dist_terms(self, j: int, sub: str) -> str:
+        """SQL array of ``−2·x_sub·c + ‖c‖²`` per centroid of subspace
+        ``j`` over the slice expression ``sub`` — the ONE spelling of
+        the inlined native distance array, shared by :meth:`encode`
+        (argmin) and :meth:`mean_reconstruction_error` (min value)."""
+        terms = []
+        for c in self.codebooks[j]:
+            arr = "array(" + ",".join(f"{v}D" for v in c) + ")"
+            dot = (
+                f"aggregate(zip_with({sub}, {arr},"
+                f" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
+            )
+            c2 = sum(v * v for v in c)
+            terms.append(f"(-2D * ({dot}) + {c2}D)")
+        return "array(" + ",".join(terms) + ")"
+
     def encode(
         self, df: DataFrame, emb_col: str = "embedding", codes_col: str = "_pq"
     ) -> DataFrame:
@@ -708,19 +715,10 @@ class PQIndex:
         column per subspace (two-step argmin, HOF rule), all native."""
         out = df
         code_cols = []
-        for j, book in enumerate(self.codebooks):
+        for j in range(self.m):
             sub = f"slice(cast({emb_col} as array<double>), {j * self.dsub + 1}, {self.dsub})"
-            terms = []
-            for c in book:
-                arr = "array(" + ",".join(f"{v}D" for v in c) + ")"
-                dot = (
-                    f"aggregate(zip_with({sub}, {arr},"
-                    f" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
-                )
-                c2 = sum(v * v for v in c)
-                terms.append(f"(-2D * ({dot}) + {c2}D)")
             dcol = f"_pq_d{j}"
-            out = out.withColumn(dcol, F.expr("array(" + ",".join(terms) + ")"))
+            out = out.withColumn(dcol, F.expr(self._subspace_dist_terms(j, sub)))
             out = out.withColumn(
                 f"_pq_c{j}",
                 (F.array_position(F.col(dcol), F.array_min(dcol)) - 1).cast("int"),

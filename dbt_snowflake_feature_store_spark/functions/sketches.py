@@ -97,9 +97,15 @@ def hdr_bucket(col: str) -> Column:
     (exact); above that, octave e = ⌊log2 v⌋ (spelled as
     length(bin(v)) − 1 — integer-exact, no transcendental log) with 16
     linear sub-buckets: idx = (e−3)·16 + (v >> (e−4)) − 16. Contiguous
-    by construction (v=15→15, v=16→16, v=32→32)."""
+    by construction (v=15→15, v=16→16, v=32→32). NEGATIVE values fail
+    loudly (raise_error) — they would otherwise identity-bucket one row
+    per distinct value and silently break the bounded-size guarantee;
+    callers shift or filter first (documented contract)."""
     return F.expr(
-        f"CAST(CASE WHEN {col} < 16 THEN {col} "
+        f"CAST(CASE WHEN {col} < 0 THEN "
+        f"raise_error(concat('hdr sketch requires non-negative values, "
+        f"got ', CAST({col} AS STRING))) "
+        f"WHEN {col} < 16 THEN {col} "
         f"ELSE (CAST(length(bin({col})) AS BIGINT) - 4) * 16 "
         f"+ shiftright({col}, CAST(length(bin({col})) AS INT) - 5) - 16 "
         f"END AS BIGINT)"
@@ -110,10 +116,12 @@ def hdr_bucket_lo(col: str) -> Column:
     """Lower bound of a bucket COLUMN, in micro-units (the
     deterministic representative the quantile reader returns; true
     value is within [lo, lo·(1+1/16)) for octave buckets, exact for
-    idx < 16)."""
+    idx < 16). The shift BASE stays BIGINT — an INT base would wrap at
+    2^31 micro-units (~2147 input units) where DuckDB's BIGINT shift
+    doesn't (code-review r8 finding, regression-pinned)."""
     return F.expr(
         f"CAST(CASE WHEN {col} < 16 THEN {col} "
-        f"ELSE shiftleft(CAST({col} % 16 + 16 AS INT), "
+        f"ELSE shiftleft(CAST({col} % 16 + 16 AS BIGINT), "
         f"CAST({col} DIV 16 - 1 AS INT)) END AS BIGINT)"
     )
 
@@ -125,10 +133,10 @@ def hdr_sketch_by_key(
     scale: int = HDR_SCALE,
 ) -> DataFrame:
     """MATERIALIZATION: (keys…, bucket, cnt) rows for non-negative
-    ``value_col`` (values are rounded to 1/scale units; negatives raise
-    at read time via the bin() of a negative long producing a 64-char
-    string → octave out of range — callers filter or shift first, the
-    documented contract). One map-side-combinable exchange."""
+    ``value_col`` (values are rounded to 1/scale units; a negative
+    value raises via the explicit raise_error guard in
+    :func:`hdr_bucket` — callers filter or shift first, the documented
+    contract). One map-side-combinable exchange."""
     v = F.round(F.col(value_col).cast("double") * F.lit(float(scale))).cast(
         "long"
     )

@@ -734,6 +734,51 @@ class FeatureStore:
     def _ann_index_dir(self, name: str) -> str:
         return os.path.join(self.root, "ann_indexes", canonical_name(name))
 
+    def _ann_current_dir(self, name: str) -> str:
+        """Resolve the LIVE index version: ``CURRENT`` (written last,
+        atomically via os.replace) names the version directory holding
+        a matched (index.json, data) pair — centroids and the layout
+        they partitioned can never be observed mismatched."""
+        d = self._ann_index_dir(name)
+        cur = os.path.join(d, "CURRENT")
+        if not os.path.isfile(cur):
+            raise ValidationError(
+                f"ANN index '{name}' has no committed version on disk"
+            )
+        with open(cur) as f:
+            token = f.read().strip()
+        vdir = os.path.join(d, f"v_{token}")
+        if not os.path.isdir(vdir):
+            raise ValidationError(
+                f"ANN index '{name}': CURRENT points at missing {vdir}"
+            )
+        return vdir
+
+    def _ann_commit_version(
+        self, name: str, idx, df: DataFrame, emb_col: str
+    ) -> None:
+        """Write a NEW (index.json, data) version dir fully, then flip
+        ``CURRENT`` atomically; old versions are pruned after the flip.
+        A crash at any point leaves the previous version live (the
+        compact()/storage.replace commit-ordering discipline)."""
+        import shutil
+        import uuid as _uuid
+
+        d = self._ann_index_dir(name)
+        os.makedirs(d, exist_ok=True)
+        token = _uuid.uuid4().hex[:8]
+        vdir = os.path.join(d, f"v_{token}")
+        os.makedirs(vdir)
+        idx.materialize(df, os.path.join(vdir, "data"), emb_col=emb_col)
+        idx.save(os.path.join(vdir, "index.json"))
+        tmp = os.path.join(d, f"CURRENT.{token}.tmp")
+        with open(tmp, "w") as f:
+            f.write(token)
+        os.replace(tmp, os.path.join(d, "CURRENT"))  # the commit point
+        for entry in os.listdir(d):
+            if entry.startswith("v_") and entry != f"v_{token}":
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+
     def build_ann_index(
         self,
         name: str,
@@ -747,14 +792,12 @@ class FeatureStore:
         sample of ``df`` (the ONLY collect in the build) and materialize
         the corpus partitioned by nearest-centroid cell, so later
         probes prune to n_probe/num_centroids of the files. State on
-        disk: ``index.json`` (centroids + drift baseline) + the
-        cell-partitioned parquet layout; the registry records the
-        parameters for introspection."""
+        disk: a VERSIONED (index.json + cell-partitioned layout) pair
+        committed by an atomic ``CURRENT`` pointer flip; the registry
+        records the parameters for introspection."""
         from .functions.similarity import IVFIndex
 
         name = canonical_name(name)
-        d = self._ann_index_dir(name)
-        os.makedirs(d, exist_ok=True)
         idx = IVFIndex.build(
             df,
             emb_col=emb_col,
@@ -762,8 +805,7 @@ class FeatureStore:
             num_centroids=num_centroids,
             max_sample=max_sample,
         )
-        idx.save(os.path.join(d, "index.json"))
-        idx.materialize(df, os.path.join(d, "data"), emb_col=emb_col)
+        self._ann_commit_version(name, idx, df, emb_col)
         self.registry.put(
             "ann_indexes",
             name,
@@ -788,16 +830,19 @@ class FeatureStore:
         residual against the index's build-time baseline (one scalar
         action); if it exceeds ``drift_factor``× (or ``force``),
         re-train the quantizer from a fresh bounded sample and
-        re-materialize the cell layout. Returns ``'REFRESHED'`` or
-        ``'SKIPPED'`` — the same vocabulary as FV refresh modes."""
+        re-materialize the cell layout AS A NEW VERSION, committed by
+        the atomic CURRENT flip — a failure mid-refresh leaves the old
+        matched (centroids, layout) pair live, never new centroids over
+        an old layout. Returns ``'REFRESHED'`` or ``'SKIPPED'`` — the
+        same vocabulary as FV refresh modes."""
         from .functions.similarity import IVFIndex
 
         name = canonical_name(name)
         doc = self.registry.get("ann_indexes", name)
         if doc is None:
             raise ValidationError(f"ANN index '{name}' is not registered")
-        d = self._ann_index_dir(name)
-        idx = IVFIndex.load(os.path.join(d, "index.json"))
+        vdir = self._ann_current_dir(name)
+        idx = IVFIndex.load(os.path.join(vdir, "index.json"))
         if not force and not idx.needs_refresh(
             df,
             emb_col=doc["emb_col"],
@@ -813,8 +858,7 @@ class FeatureStore:
             num_centroids=doc["num_centroids"],
             max_sample=doc["max_sample"],
         )
-        new.save(os.path.join(d, "index.json"))
-        new.materialize(df, os.path.join(d, "data"), emb_col=doc["emb_col"])
+        self._ann_commit_version(name, new, df, doc["emb_col"])
         doc["refresh_count"] = int(doc.get("refresh_count", 0)) + 1
         self.registry.put("ann_indexes", name, doc)
         return "REFRESHED"
@@ -836,11 +880,11 @@ class FeatureStore:
         doc = self.registry.get("ann_indexes", name)
         if doc is None:
             raise ValidationError(f"ANN index '{name}' is not registered")
-        d = self._ann_index_dir(name)
-        idx = IVFIndex.load(os.path.join(d, "index.json"))
+        vdir = self._ann_current_dir(name)
+        idx = IVFIndex.load(os.path.join(vdir, "index.json"))
         return idx.search_materialized(
             self.spark,
-            os.path.join(d, "data"),
+            os.path.join(vdir, "data"),
             query_vec,
             k=k,
             n_probe=n_probe,

@@ -185,7 +185,7 @@ class TestSimilarity:
         import os
 
         idx_path = os.path.join(
-            fs._ann_index_dir("emb_idx"), "index.json"
+            fs._ann_current_dir("emb_idx"), "index.json"
         )
         stale_idx = SIM.IVFIndex.load(idx_path)
         assert stale_idx.train_residual is not None
@@ -223,7 +223,9 @@ class TestSimilarity:
         assert (
             fs.registry.get("ann_indexes", "EMB_IDX")["refresh_count"] == 1
         )
-        fresh_idx = SIM.IVFIndex.load(idx_path)
+        fresh_idx = SIM.IVFIndex.load(
+            os.path.join(fs._ann_current_dir("emb_idx"), "index.json")
+        )
         assert not fresh_idx.needs_refresh(drifted)
         fresh_recall = _recall(fresh_idx)
         assert fresh_recall >= 0.85  # measured 0.90
@@ -238,6 +240,45 @@ class TestSimilarity:
         got0 = {r["vec_id"] for r in served.collect()}
         assert len(exact0 & got0) / 10.0 >= 0.8
         drifted.unpersist()
+
+    def test_ann_refresh_crash_leaves_matched_pair(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """Code-review r8 finding: a failure mid-refresh must leave the
+        OLD matched (centroids, layout) pair live — never new centroids
+        over an old layout. The commit is the atomic CURRENT flip,
+        which happens only after the new version dir is complete."""
+        import os
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        e = read_table(spark, sf_dir, "embeddings")
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="ANN_CR")
+        fs.build_ann_index("cr_idx", e, num_centroids=8)
+        vdir_before = fs._ann_current_dir("cr_idx")
+        idx_before = SIM.IVFIndex.load(
+            os.path.join(vdir_before, "index.json")
+        )
+
+        # make the re-materialization blow up mid-refresh
+        def boom(self, df, path, emb_col="embedding", cell_col="_cell"):
+            raise RuntimeError("simulated executor loss")
+
+        monkeypatch.setattr(SIM.IVFIndex, "materialize", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            fs.refresh_ann_index("cr_idx", e, force=True)
+        monkeypatch.undo()
+
+        # CURRENT still points at the old, complete version
+        assert fs._ann_current_dir("cr_idx") == vdir_before
+        idx_after = SIM.IVFIndex.load(
+            os.path.join(vdir_before, "index.json")
+        )
+        assert idx_after.centroids == idx_before.centroids
+        # and the layout it references still serves searches
+        q = [float(x) for x in e.head()["embedding"]]
+        assert fs.ann_search("cr_idx", q, k=5, n_probe=2).count() == 5
 
     def test_ivf_v1_index_file_backcompat(self, spark, sf_dir, tmp_path):
         """Pre-drift (v1) index files still load and search; only the

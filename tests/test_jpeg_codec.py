@@ -311,6 +311,46 @@ class TestSparkJpegPath:
         assert rrows[0]["resized_ok"] is False
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; third-party files use them as padding (code-review r8)."""
+    data = J.encode_jpeg(8, 8, 1, bytes([77] * 64), quality=90)
+    i = data.find(b"\xff\xdb")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]  # fill before DQT
+    w, h, ch, out = J.decode_jpeg(padded)
+    assert (w, h, ch) == (8, 8, 1)
+    assert out == J.decode_jpeg(data)[3]
+
+
+def test_zero_dimensions_rejected():
+    """A SOF declaring 0x0 must raise the typed error, not divide by
+    zero downstream (code-review r8)."""
+    data = bytearray(J.encode_jpeg(8, 8, 1, bytes(64), quality=90))
+    i = data.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) — zero both dims
+    for off in (5, 6, 7, 8):
+        data[i + off] = 0
+    with pytest.raises(J.JpegFormatError, match="zero frame"):
+        J.decode_jpeg(bytes(data))
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is NON-interleaved — one data
+    unit per MCU regardless of declared sampling factors. Some wild
+    grayscale encoders declare H=V=2 on the sole component; the block
+    layout must not change (code-review r8)."""
+    g = _gradient_gray(16, 16)
+    data = bytearray(J.encode_jpeg(16, 16, 1, g, quality=95))
+    i = data.find(b"\xff\xc0")
+    # component spec starts at SOF payload byte 6: id, HV, Tq
+    hv_off = i + 4 + 6 + 1  # marker(2)+len(2) then 6 bytes, then id
+    assert data[hv_off] == 0x11
+    data[hv_off] = 0x22  # declare 2x2 sampling on the sole component
+    w, h, ch, out = J.decode_jpeg(bytes(data))
+    assert (w, h, ch) == (16, 16, 1)
+    assert out == J.decode_jpeg(J.encode_jpeg(16, 16, 1, g, quality=95))[3]
+
+
 def test_decoder_reads_tables_from_file_not_constants():
     """Re-quantize the DQT segment in-place: the decoder must follow the
     FILE's table (pixels shift), proving it doesn't assume the Annex-K

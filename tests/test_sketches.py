@@ -4,6 +4,7 @@ and the incremental per-day recipe matching the whole-table answer."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_snowflake_feature_store_spark.functions import sketches as SK
@@ -202,6 +203,34 @@ def test_hdr_bucket_contiguity_and_bounds(spark):
     # exact contiguity pins
     by_v = {r["_mv"]: r["b"] for r in rows}
     assert by_v[15] == 15 and by_v[16] == 16 and by_v[32] == 32
+
+
+def test_hdr_bucket_lo_no_int32_overflow(spark):
+    """Code-review r8 finding: an INT shift base wraps at 2^31
+    micro-units (~2147 input units) where DuckDB's BIGINT shift
+    doesn't. The lower bound must stay positive and <= value across
+    the full int64-octave range."""
+    vals = [2**31, 2**31 + 1, 2**40, 2**50, 2**62 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "_mv long")
+    rows = (
+        df.select("_mv", SK.hdr_bucket("_mv").alias("b"))
+        .withColumn("lo", SK.hdr_bucket_lo("b"))
+        .collect()
+    )
+    for r in rows:
+        assert r["lo"] > 0, r
+        assert r["lo"] <= r["_mv"], r
+        assert r["_mv"] < r["lo"] + (r["lo"] // 16) + 1, r
+
+
+def test_hdr_negative_values_raise(spark):
+    """Code-review r8 finding: negatives must FAIL LOUDLY, not
+    identity-bucket one row per distinct value (which would destroy the
+    bounded-size guarantee)."""
+    df = spark.createDataFrame([(1, -5.0)], "k long, value double")
+    with pytest.raises(Exception) as ei:
+        SK.hdr_sketch_by_key(df, ["k"], "value").collect()
+    assert "non-negative" in str(ei.value)
 
 
 # ---------------------------------------------------------------------------

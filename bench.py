@@ -125,6 +125,13 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_heavy_hitters_sketch",
     "q_epoch_shuffle",
+    "q_kmv_sketch",
+    "q_kmv_jaccard",
+    "q_gap_fill",
+    "q_feature_drift",
+    "q_join_skew_salted",
+    "q_token_pmi",
+    "q_bpe_segment",
 ]
 
 

@@ -57,6 +57,45 @@ def _merge_expr(a: str, b: str) -> str:
     )
 
 
+# A FIXED merge table over the corpus vocabulary — the "shipped
+# tokenizer artifact" shape: production segmentation runs a frozen
+# vocab, not a fresh training pass, so the oracle-gated q_bpe_segment
+# key applies THIS table (literals on both engines, single source of
+# truth) rather than a data-dependent trained one. Deliberately deep
+# cascades: later merges consume earlier merges' outputs ('spar'+'k',
+# 'ta'+'ble') so the rank-sequential fold semantics are actually
+# exercised, not just single-step pairs.
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("the", END_MARK),
+    ("a", "g"), ("ag", "g"), ("agg", END_MARK),
+    ("r", "o"), ("ro", "w"), ("row", END_MARK),
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"), ("spark", END_MARK),
+    ("a", END_MARK),
+    ("e", "y"), ("k", "ey"), ("key", END_MARK),
+    ("t", "a"), ("b", "l"), ("bl", "e"), ("ta", "ble"), ("table", END_MARK),
+]
+
+
+def fixed_merge_table() -> list[dict]:
+    """FIXED_MERGES in the [{rank, left, right, merged, count}] shape
+    ``bpe_segment`` consumes."""
+    return [
+        {"rank": i, "left": a, "right": b, "merged": a + b, "count": 0}
+        for i, (a, b) in enumerate(FIXED_MERGES)
+    ]
+
+
+def fixed_merge_values_sql() -> str:
+    """The same table as a SQL VALUES list ``(rank, l, r)`` — the
+    DuckDB oracle's copy, emitted from the ONE Python source of truth
+    (the q_dedup_embed_portable hyperplane-generator precedent)."""
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(i, a.replace("'", "''"), b.replace("'", "''"))
+        for i, (a, b) in enumerate(FIXED_MERGES)
+    )
+    return rows
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",

@@ -276,6 +276,107 @@ def cm_estimate(
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable KMV (k-minimum-values) distinct sketches: the PORTABLE twin
+# of the HLL family above. Where DataSketches HLL is opaque binary (no
+# DuckDB oracle), KMV is fully relational and fully deterministic: hash
+# every value into [0, 2^32) with the repo's md5-substring spelling,
+# keep the k SMALLEST distinct hashes per key group — that row set IS
+# the sketch. Merge = union the rows, re-take the k smallest (min-k of
+# a union is the min-k of the min-ks, so per-slice sketches compose
+# exactly). Estimate: if fewer than k hashes exist the count is EXACT;
+# else E[distinct] = (k−1)·2^32 / h_k (Bar-Yossef et al. 2002, the
+# classic KMV estimator — relative error ~1/√(k−2)).
+#
+# KMV's extra power over HLL: SET OPERATIONS. The k smallest hashes of
+# A ∪ B are a uniform sample of the union, so |{h ∈ kmin(A∪B) : h ∈ A
+# ∧ h ∈ B}| / k estimates the Jaccard similarity directly — the shard-
+# overlap / corpus-contamination measure a training pipeline needs
+# without comparing raw keys. Every step is integer arithmetic on
+# md5-derived hashes ⇒ oracle-expressible and hash-checked
+# (q_kmv_sketch, q_kmv_jaccard).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = 1 << 32
+
+
+def kmv_hash(col: Column | str, salt: str = "kmv:") -> Column:
+    """Portable 32-bit hash of a value's string form: Spark
+    ``conv(substring(md5(…), 1, 8), 16, 10)`` ≡ DuckDB
+    ``('0x' || substr(md5(…), 1, 8))::BIGINT``. Domain-separated from
+    the count-min hashes by the salt prefix."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+
+
+def kmv_kmin(df: DataFrame, keys: Sequence[str], k: int = KMV_K) -> DataFrame:
+    """Keep the k smallest DISTINCT ``h`` per key group — the sketch
+    body and also the merge step (feed it the union of per-slice
+    sketches). Two-stage at scale: a first min-k pass over (keys,
+    pmod(h, 32)) sub-groups bounds every window partition by the
+    upstream slice size BEFORE the final per-key window sees at most
+    32·k rows — min-k composes, so staging never changes the result
+    (pytest-pinned). The final window is over ≤ 32·k rows per key,
+    never data-sized."""
+    from pyspark.sql import Window
+
+    d = df.select(*keys, "h").distinct()
+    w1 = Window.partitionBy(*keys, F.pmod(F.col("h"), F.lit(32))).orderBy("h")
+    staged = (
+        d.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("h")
+    return (
+        staged.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_sketch_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """MATERIALIZATION: (keys…, h) rows — the k smallest distinct
+    hashes of ``col`` per key group. ≤ k rows per group regardless of
+    cardinality."""
+    return kmv_kmin(df.select(*keys, kmv_hash(col)), keys, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    keys: Sequence[str],
+    k: int = KMV_K,
+    out_col: str = "kmv_distinct",
+) -> DataFrame:
+    """QUERY: distinct-count estimate per key group. Exact when the
+    group's cardinality is below k (the sketch holds every hash);
+    otherwise (k−1)·2^32 // h_k — pure BIGINT arithmetic, no floats
+    anywhere (the product (k−1)·2^32 needs k < 2^31, comfortably
+    true)."""
+    agg = sketch.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("_cnt"),
+        F.max("h").cast("long").alias("_hk"),
+    )
+    est = F.when(F.col("_cnt") < k, F.col("_cnt")).otherwise(
+        F.expr(f"CAST(({k} - 1) * {_KMV_SPACE} DIV greatest(_hk, 1) AS BIGINT)")
+    )
+    return agg.select(*keys, est.cast("long").alias(out_col))
+
+
 def distinct_over_time(
     events: DataFrame,
     key: str,

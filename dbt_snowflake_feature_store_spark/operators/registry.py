@@ -43,13 +43,17 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_agg_approx", "q_percentile", "q_funnel", "q_hopping",
     "q_retention", "q_scd2_multi", "q_text_repetition",
     "q_fingerprint_winnow",
-    # part 3: the 26 keys whose latest driver record is r5
-    "q_agg_multi", "q_arith_expr", "q_array_agg", "q_case_when",
-    "q_cross_join", "q_dedup_simhash", "q_distinct", "q_filter_false",
+    # part 3: the r5-dated keys (6 trivial projection/filter keys —
+    # q_arith_expr, q_case_when, q_cross_join, q_distinct,
+    # q_filter_false, q_scan_project — were DEMOTED to make room for
+    # the second-wave keys below; r9 MUST promote them, they will be
+    # 4 rounds stale)
+    "q_agg_multi", "q_array_agg",
+    "q_dedup_simhash",
     "q_filter_pred", "q_fingerprint", "q_groupby_agg", "q_grouping_sets",
     "q_join_equi", "q_join_full", "q_lang_id", "q_lang_id_conf",
     "q_multimodal_frames", "q_multimodal_resize", "q_null_handling",
-    "q_num_fns", "q_scan_project", "q_scd2_history", "q_stats_moments",
+    "q_num_fns", "q_scd2_history", "q_stats_moments",
     "q_tpch_q10like", "q_tpch_q4like", "q_unpivot",
     # part 4: new round-8 keys land here (keep total ≤ 50); the
     # remaining slots absorb r6-dated keys next round per the cycle
@@ -57,6 +61,10 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_tpch_q6like", "q_tpch_q12like", "q_tpch_q15like", "q_tpch_q18like",
     "q_tpch_q19like", "q_tpch_q21like", "q_quantile_sketch",
     "q_heavy_hitters_sketch", "q_epoch_shuffle",
+    # part 5: round-8 second wave (relational4.py — all new, never
+    # driver-recorded)
+    "q_kmv_sketch", "q_kmv_jaccard", "q_gap_fill", "q_feature_drift",
+    "q_join_skew_salted", "q_token_pmi", "q_bpe_segment",
 )
 
 
@@ -91,6 +99,12 @@ def _try_ext_modules() -> None:
         from . import relational3
 
         ordered.append(relational3)
+    except ImportError:
+        pass
+    try:
+        from . import relational4
+
+        ordered.append(relational4)
     except ImportError:
         pass
     _MODULES = ordered + [m for m in [relational2, relational] if m not in ordered]

@@ -105,3 +105,46 @@ def test_fast_segmenter_greedy_tie(spark):
     merges = [{"rank": 0, "left": "a", "right": "a", "merged": "aa", "count": 9}]
     got = bpe.bpe_segment_fast(docs, merges).head()["bpe_tokens"]
     assert list(got) == ["aa", "a", E]
+
+
+def test_fixed_merge_table_cascades(spark):
+    """The frozen FIXED_MERGES artifact (q_bpe_segment's table) drives
+    deep cascades: 'table' resolves through (t,a),(b,l),(bl,e),
+    (ta,ble),(table,▁) to the single token 'table▁', and 'the'/'spark'
+    collapse likewise. Hand-computed pins for the oracle-gated key."""
+    from dbt_snowflake_feature_store_spark.functions.bpe import (
+        bpe_segment,
+        fixed_merge_table,
+    )
+
+    df = spark.createDataFrame(
+        [("table the spark agg",)], ["text"]
+    )
+    out = bpe_segment(df, fixed_merge_table()).head()["bpe_tokens"]
+    assert out == ["table▁", "the▁", "spark▁", "agg▁"]
+
+
+def test_fixed_table_fast_matches_native_on_corpus(spark):
+    """bpe_segment_fast (rank-priority pandas_udf trie) must equal the
+    native rank-sequential fold under the FROZEN table on the real
+    documents corpus — extends the trained-table equivalence pin to
+    the q_bpe_segment artifact."""
+    from dbt_snowflake_feature_store_spark.functions.bpe import (
+        bpe_segment,
+        bpe_segment_fast,
+        fixed_merge_table,
+    )
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    m = fixed_merge_table()
+    native = {
+        r["doc_id"]: r["bpe_tokens"] for r in bpe_segment(d, m).collect()
+    }
+    fast = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_fast(d, m).collect()
+    }
+    assert native == fast

@@ -296,3 +296,104 @@ def test_cm_sketch_size_bounded(spark):
     sk = SK.cm_sketch_by_key(items, [], "item", width=W)
     assert sk.count() <= SK.CM_DEPTH * W
     assert items.select("item").distinct().count() > W
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches (portable distinct + set operations)
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    """Groups whose cardinality is below k hold EVERY hash — the
+    estimate is the exact distinct count, not an approximation."""
+    ev = _events(spark)
+    sk = SK.kmv_sketch_by_key(ev, ["event_type"], "user_id", k=4096)
+    est = {
+        r["event_type"]: r["kmv_distinct"]
+        for r in SK.kmv_estimate(sk, ["event_type"], k=4096).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est == exact
+
+
+def test_kmv_estimate_within_bound(spark):
+    """k=64 has ~1/sqrt(62) ≈ 13% standard error; assert within 35%
+    (≈ 2.7 sigma) of exact per event type."""
+    ev = _events(spark)
+    sk = SK.kmv_sketch_by_key(ev, ["event_type"], "user_id", k=64)
+    est = {
+        r["event_type"]: r["kmv_distinct"]
+        for r in SK.kmv_estimate(sk, ["event_type"], k=64).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= 0.35 * exact[k], (k, est[k], exact[k])
+
+
+def test_kmv_merge_equals_direct(spark):
+    """min-k of per-day sketch unions == min-k of the whole table: the
+    EXACT row-set identity (not merely close estimates) that makes the
+    incremental per-slice recipe correct."""
+    ev = _events(spark)
+    daily = SK.kmv_sketch_by_key(
+        ev.withColumn("_d", F.to_date("ts")),
+        ["event_type", "_d"],
+        "user_id",
+        k=64,
+    )
+    merged = SK.kmv_kmin(
+        daily.select("event_type", "h"), ["event_type"], k=64
+    )
+    direct = SK.kmv_sketch_by_key(ev, ["event_type"], "user_id", k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_two_stage_equals_single_window(spark):
+    """kmv_kmin's sub-bucketed first stage never changes the result:
+    identical to a naive single global-window min-k."""
+    from pyspark.sql import Window
+
+    ev = _events(spark)
+    hashed = ev.select("event_type", SK.kmv_hash("user_id"))
+    staged = SK.kmv_kmin(hashed, ["event_type"], k=64)
+    w = Window.partitionBy("event_type").orderBy("h")
+    naive = (
+        hashed.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .drop("_rn")
+    )
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_kmv_jaccard_tracks_exact_overlap(spark):
+    """Sketch-estimated Jaccard must track the exact user-set Jaccard
+    per event-type pair within 0.25 absolute (k=64 union sample)."""
+    from dbt_snowflake_feature_store_spark.operators.relational4 import (
+        q_kmv_jaccard,
+    )
+
+    ev = _events(spark)
+    est = {
+        (r["f_a"], r["f_b"]): r["f_jaccard_ppm"] / 1e6
+        for r in q_kmv_jaccard(spark, SF).collect()
+    }
+    sets: dict = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    for (a, b), j in est.items():
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(j - exact) <= 0.25, (a, b, j, exact)

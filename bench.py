@@ -132,6 +132,9 @@ HEADLINE = [
     "q_join_skew_salted",
     "q_token_pmi",
     "q_bpe_segment",
+    "q_ewma_decay",
+    "q_event_corr",
+    "q_pagerank",
 ]
 
 

@@ -285,3 +285,77 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_iter} rounds"
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 10,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank with ALL-INTEGER arithmetic — ranks live in
+    ppb units (BIGINT), per-edge contributions and the damping factor
+    apply as integer floor divisions, so given the same graph the
+    result is bit-identical on any engine, schedule, or layout (which
+    is what lets q_pagerank hash-check a fixed-iteration run against a
+    DuckDB unrolled-CTE replay — double-precision PageRank sums are
+    reduction-order-dependent and could never be).
+
+    Per iteration: r'(v) = base + (damping · Σ_{u→v} ⌊r(u)·w(u,v) /
+    out_w(u)⌋) ÷ 100, base = ⌊(100−damping)·scale / (N·100)⌋. Nodes
+    without in-edges get base; dangling-node mass leaks (the standard
+    simplification — documented, deterministic).
+
+    Scale: one shuffle per iteration (contribution agg keyed on dst;
+    the rank join shuffles on src) — the textbook distributed
+    PageRank; lineage cut per round with lazy localCheckpoint exactly
+    like connected_components. N is a single driver-side scalar (one
+    count — a graph-level constant, not per-row data)."""
+    outw = edges.groupBy(src).agg(F.sum(weight).cast("long").alias("_ow"))
+    e = edges.join(outw, src).select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("long").alias("_w"),
+        "_ow",
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("r", F.lit(0).cast("long"))
+    base = ((100 - damping_pct) * scale) // (n * 100)
+    r = nodes.withColumn("r", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e._src == r.node)
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("(r * _w) DIV _ow").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("long").alias("_s"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * coalesce(_s, CAST(0 AS"
+                    f" BIGINT))) DIV 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r

@@ -43,18 +43,18 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_agg_approx", "q_percentile", "q_funnel", "q_hopping",
     "q_retention", "q_scd2_multi", "q_text_repetition",
     "q_fingerprint_winnow",
-    # part 3: the r5-dated keys (6 trivial projection/filter keys —
+    # part 3: the r5-dated keys (9 trivial scalar/projection keys —
     # q_arith_expr, q_case_when, q_cross_join, q_distinct,
-    # q_filter_false, q_scan_project — were DEMOTED to make room for
-    # the second-wave keys below; r9 MUST promote them, they will be
-    # 4 rounds stale)
+    # q_filter_false, q_scan_project, q_null_handling, q_num_fns,
+    # q_unpivot — were DEMOTED to make room for the second-wave keys
+    # below; r9 MUST promote them, they will be 4 rounds stale)
     "q_agg_multi", "q_array_agg",
     "q_dedup_simhash",
     "q_filter_pred", "q_fingerprint", "q_groupby_agg", "q_grouping_sets",
     "q_join_equi", "q_join_full", "q_lang_id", "q_lang_id_conf",
-    "q_multimodal_frames", "q_multimodal_resize", "q_null_handling",
-    "q_num_fns", "q_scd2_history", "q_stats_moments",
-    "q_tpch_q10like", "q_tpch_q4like", "q_unpivot",
+    "q_multimodal_frames", "q_multimodal_resize",
+    "q_scd2_history", "q_stats_moments",
+    "q_tpch_q10like", "q_tpch_q4like",
     # part 4: new round-8 keys land here (keep total ≤ 50); the
     # remaining slots absorb r6-dated keys next round per the cycle
     "q_dedup_embed_portable",
@@ -65,6 +65,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # driver-recorded)
     "q_kmv_sketch", "q_kmv_jaccard", "q_gap_fill", "q_feature_drift",
     "q_join_skew_salted", "q_token_pmi", "q_bpe_segment",
+    "q_ewma_decay", "q_event_corr", "q_pagerank",
 )
 
 

@@ -650,6 +650,304 @@ def _bpe_segment_oracle() -> str:
 ORACLE["q_bpe_segment"] = _bpe_segment_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Batch exponential time-decay features
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed spend per user as of the corpus max
+    day (half-life = 1 day, horizon 20 days), ORACLE-GATED — the batch
+    twin of the streaming ``decayed_value_tws`` operator (rows-only by
+    design there; HERE the decay math is hash-checked cross-engine).
+    Transcendental-free by construction: half-life-1 weights are exact
+    powers of two, so the whole computation is BIGINT — daily micro
+    spend × 2^(20−age), summed, shifted back down by 20 bits. Terms
+    older than the 20-day horizon carry weight < 2⁻²⁰ ≈ 1e-6 of the
+    newest — below the output's micro resolution — and are cut off
+    exactly (documented semantics, not an approximation knob).
+
+    Scale: one map-side-combinable exchange to (user, day) daily
+    sums — calendar-bounded rows per user after that; the anchor day
+    is a 1-row broadcast. No window, no second data-scale pass.
+    Overflow headroom: term ≤ spend_micro·2²⁰; a user needs > 8·10¹²
+    micro-units (8 million spend units) PER DAY before the 30-term sum
+    approaches int64 — the oracle replays SUM in HUGEINT and the cast
+    would fail loudly, not wrap."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("_d")
+    ).agg(
+        (F.sum(F.col("value").cast(_DEC)) * 1000000)
+        .cast("long")
+        .alias("_spend_micro")
+    )
+    gmax = daily.agg(F.max("_d").alias("_gmax"))
+    t = daily.crossJoin(F.broadcast(gmax)).withColumn(
+        "_k", F.datediff("_gmax", "_d")
+    )
+    term = F.expr(
+        "CASE WHEN _k <= 20 THEN"
+        " _spend_micro * shiftleft(CAST(1 AS BIGINT), CAST(20 - _k AS INT))"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return t.groupBy("user_id").agg(
+        F.max("_d").alias("f_last_day"),
+        F.shiftright(F.sum(term).cast("long"), 20)
+        .cast("long")
+        .alias("f_ewma_micro"),
+    )
+
+
+ORACLE["q_ewma_decay"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                   AS spend_micro
+        FROM events GROUP BY 1, 2
+    ),
+    gmax AS (SELECT MAX(d) AS g FROM daily),
+    t AS (
+        SELECT user_id, d, spend_micro,
+               date_diff('day', d, g.g) AS k
+        FROM daily, gmax g
+    )
+    SELECT user_id,
+           MAX(d) AS f_last_day,
+           CAST(CAST(SUM(CASE WHEN k <= 20
+                THEN spend_micro * (CAST(1 AS BIGINT) << (20 - k))
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) >> 20
+                AS BIGINT) AS f_ewma_micro
+    FROM t GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation of per-type daily series
+# ---------------------------------------------------------------------------
+
+
+def q_event_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' daily-total
+    series, ORACLE-GATED — the cross-feature co-movement matrix a
+    feature platform reports. Transcendental-free exact arithmetic:
+    daily totals round half-up to whole BIGINT units (corr is
+    scale-invariant, and whole units keep every sum of products below
+    2⁵³ so the one DOUBLE division chain at the end is bit-identical
+    cross-engine); variance/covariance use the n·Σxy − Σx·Σy integer
+    form; square roots take the repo's portable micro-sqrt spelling
+    floor(sqrt(v)·1e6 + 0.5) (IEEE sqrt is correctly rounded —
+    deterministic, unlike ln).
+
+    Scale: the series aggregate is one map-side-combinable exchange to
+    (type, day) — calendar-bounded output; the pair join runs on that
+    bounded table (types × days), never on raw events; the moment
+    aggregation is again map-side combinable on the tiny pair key."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("_d")).agg(
+        F.expr(
+            "CAST(floor(SUM(CAST(value AS DECIMAL(28,6))) + 0.5) AS BIGINT)"
+        ).alias("_x")
+    )
+    j = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("a._d") == F.col("b._d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("f_a"),
+            F.col("b.event_type").alias("f_b"),
+            F.col("a._x").alias("x"),
+            F.col("b._x").alias("y"),
+        )
+    )
+    m = j.groupBy("f_a", "f_b").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    m = (
+        m.withColumn("num", F.expr("f_n * sxy - sx * sy"))
+        .withColumn("va", F.expr("f_n * sxx - sx * sx"))
+        .withColumn("vb", F.expr("f_n * syy - sy * sy"))
+        .filter("va > 0 AND vb > 0")
+        .withColumn(
+            "sa",
+            F.expr(
+                "CAST(floor(sqrt(CAST(va AS DOUBLE)) * 1000000.0 + 0.5)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "sb",
+            F.expr(
+                "CAST(floor(sqrt(CAST(vb AS DOUBLE)) * 1000000.0 + 0.5)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return m.select(
+        "f_a",
+        "f_b",
+        "f_n",
+        F.expr(
+            "CAST(floor(CAST(num AS DOUBLE) * 1000000000000.0"
+            " / CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("f_corr_ppm"),
+    )
+
+
+ORACLE["q_event_corr"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+               CAST(floor(SUM(CAST(value AS DECIMAL(28,6))) + 0.5) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.event_type AS f_a, b.event_type AS f_b,
+               a.x AS x, b.x AS y
+        FROM daily a JOIN daily b
+          ON a.d = b.d AND a.event_type < b.event_type
+    ),
+    m AS (
+        SELECT f_a, f_b,
+               CAST(COUNT(*) AS BIGINT) AS f_n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM j GROUP BY f_a, f_b
+    ),
+    v AS (
+        SELECT f_a, f_b, f_n,
+               f_n * sxy - sx * sy AS num,
+               f_n * sxx - sx * sx AS va,
+               f_n * syy - sy * sy AS vb
+        FROM m
+    ),
+    s AS (
+        SELECT f_a, f_b, f_n, num,
+               CAST(floor(sqrt(CAST(va AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS sa,
+               CAST(floor(sqrt(CAST(vb AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS sb
+        FROM v WHERE va > 0 AND vb > 0
+    )
+    SELECT f_a, f_b, f_n,
+           CAST(floor(CAST(num AS DOUBLE) * 1000000000000.0
+                / CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE)
+                * 1000000.0 + 0.5) AS BIGINT) AS f_corr_ppm
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+_PR_SCALE = 10**9
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 iterations, d=0.85) over the nation trade
+    graph — edge (customer nation → supplier nation) weighted by line
+    count — ORACLE-GATED: functions/graph.pagerank_integer runs in
+    ppb-integer arithmetic (per-edge floor-divided contributions,
+    integer damping), so the fixed-iteration result is bit-identical
+    to DuckDB replaying the SAME recurrence as ten unrolled CTE
+    stages. An ITERATIVE GRAPH ALGORITHM under the hash gate — the
+    family (alongside connected components, whose oracle is a
+    recursive CTE) that double-precision implementations can never
+    gate, because float contribution sums are reduction-order-
+    dependent.
+
+    Scale: the edge build is the data-scale part (two fact joins,
+    dims broadcast, one map-side-combinable agg to the nation-pair
+    key); PageRank then iterates on the GRAPH-sized frame (nodes +
+    edges, not events) with one shuffle per round, lineage cut per
+    round."""
+    from ..functions.graph import pagerank_integer
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    r = pagerank_integer(
+        edges, iterations=_PR_ITERS, scale=_PR_SCALE, damping_pct=85
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.join(F.broadcast(n), r.node == n.n_nationkey).select(
+        F.col("n_name").alias("f_nation"),
+        F.col("r").alias("f_rank_ppb"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    stages = []
+    for i in range(1, _PR_ITERS + 1):
+        stages.append(
+            f"""
+    it{i} AS (
+        SELECT n.node,
+               CAST((CAST(15 AS BIGINT) * {_PR_SCALE}) // (nn.n * 100)
+                    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM((p.r * e.w) // e.ow) AS s
+            FROM it{i - 1} p JOIN e ON e.src = p.node
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )"""
+        )
+    return f"""
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.ow
+          FROM edges JOIN outw USING (src)),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst AS node FROM edges
+        )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (SELECT node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS r
+            FROM nodes, nn),{",".join(stages)}
+    SELECT na.n_name AS f_nation, p.r AS f_rank_ppb
+    FROM it{_PR_ITERS} p JOIN nation na ON na.n_nationkey = p.node
+"""
+
+
+ORACLE["q_pagerank"] = _pagerank_oracle()
+
+
 QUERIES.update(
     {
         "q_kmv_sketch": q_kmv_sketch,
@@ -659,5 +957,8 @@ QUERIES.update(
         "q_join_skew_salted": q_join_skew_salted,
         "q_token_pmi": q_token_pmi,
         "q_bpe_segment": q_bpe_segment,
+        "q_ewma_decay": q_ewma_decay,
+        "q_event_corr": q_event_corr,
+        "q_pagerank": q_pagerank,
     }
 )

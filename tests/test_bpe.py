@@ -148,3 +148,28 @@ def test_fixed_table_fast_matches_native_on_corpus(spark):
         for r in bpe_segment_fast(d, m).collect()
     }
     assert native == fast
+
+
+def test_segment_by_key_matches_per_row_fold(spark):
+    """bpe_segment_by_key (dictionary trick, the q_bpe_segment form)
+    must produce byte-identical token sequences to the per-instance
+    bpe_segment fold on the real corpus."""
+    from dbt_snowflake_feature_store_spark.functions.bpe import (
+        bpe_segment,
+        bpe_segment_by_key,
+        fixed_merge_table,
+    )
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    m = fixed_merge_table()
+    per_row = {
+        r["doc_id"]: r["bpe_tokens"] for r in bpe_segment(d, m).collect()
+    }
+    by_key = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_by_key(d, m).collect()
+    }
+    assert per_row == by_key

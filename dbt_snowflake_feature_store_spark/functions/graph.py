@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans import inspect as plan_inspect
+
 
 def connected_components(
     edges: DataFrame,
@@ -83,12 +85,16 @@ def _adjacency(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # materialize the adjacency ONCE — without this every propagation
     # round re-executes the upstream edge pipeline (for dedup that's the
     # whole MinHash banding; measured 17 s → 9 s at sf0.1)
-    return (
+    pre = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # the adjacency build carries the upstream edge pipeline (for dedup,
+    # the whole MinHash banding) — register it so plan audits see it
+    # past the lineage cut
+    plan_inspect.register_subplan(pre)
+    return pre.localCheckpoint(eager=False)
 
 
 def _propagate(
@@ -337,7 +343,7 @@ def pagerank_integer(
         return nodes.withColumn("r", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (n * 100)
     r = nodes.withColumn("r", F.lit(scale // n).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(r, e._src == r.node)
             .select(
@@ -347,15 +353,16 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("_c").cast("long").alias("_s"))
         )
-        r = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({base} + ({damping_pct} * coalesce(_s, CAST(0 AS"
-                    f" BIGINT))) DIV 100 AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
+        pre = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} + ({damping_pct} * coalesce(_s, CAST(0 AS"
+                f" BIGINT))) DIV 100 AS BIGINT)"
+            ).alias("r"),
         )
+        if it == 0:
+            # one representative round for plan audits — every round has
+            # the identical shape, so registering all 10 is just noise
+            plan_inspect.register_subplan(pre)
+        r = pre.localCheckpoint(eager=False)
     return r

@@ -28,6 +28,26 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans import inspect as plan_inspect
+
+# session-id → resolved fallback partition count, so a non-integer
+# spark.sql.shuffle.partitions (e.g. 'auto') pays the plan-to-RDD
+# conversion probe at most once per session, not once per rank pass.
+_FALLBACK_PARTS: dict[int, int] = {}
+
+
+def _resolve_shuffle_partitions(spark) -> int:
+    conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(conf)
+    except (TypeError, ValueError):  # e.g. 'auto' on some platforms
+        key = id(spark)
+        if key not in _FALLBACK_PARTS:
+            _FALLBACK_PARTS[key] = max(
+                1, spark.sparkContext.defaultParallelism
+            )
+        return _FALLBACK_PARTS[key]
+
 
 def _ranked(
     df: DataFrame,
@@ -50,18 +70,19 @@ def _ranked(
     if num_partitions:
         parts = int(num_partitions)
     else:
-        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        try:
-            parts = int(conf)
-        except (TypeError, ValueError):  # e.g. 'auto' on some platforms
-            parts = max(1, df.rdd.getNumPartitions())
-    ranged = (
+        parts = _resolve_shuffle_partitions(df.sparkSession)
+    pre = (
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_fs_pid", F.spark_partition_id())
         .withColumn("_fs_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
     )
+    # Checkpointing severs lineage, which blinds plan audits to the
+    # range exchange this primitive exists to introduce — register the
+    # pre-checkpoint frame so inspect.capture_subplans sees it (no-op
+    # outside an audit).
+    plan_inspect.register_subplan(pre)
+    ranged = pre.localCheckpoint(eager=False)
     # bounded: P rows, not data rows. The same collect PROVES the
     # monotonically_increasing_id layout assumption (pid·2³³ + local
     # record number): for every partition the min/max mid must span

@@ -53,11 +53,15 @@ def q_tpch_q7like(spark: SparkSession, sf_dir: str) -> DataFrame:
     either direction.
 
     Scale: the nation-key filters reduce supplier/customer BEFORE the
-    fact joins (predicate pushdown into the dim scans); supplier and
-    nation broadcast; the two fact joins shuffle on their natural keys
-    (orderkey, custkey); the final agg key (two nations × years) is
-    tiny and map-side combinable. The pair filter is applied on the
-    nationkey INTs, not names — names join in only for output."""
+    fact joins (predicate pushdown into the dim scans); only the
+    25-row nation dim carries a broadcast HINT — supplier is
+    SF-proportional, so its join is left to AQE, which broadcasts it
+    only when its runtime size clears autoBroadcastJoinThreshold (a
+    forced hint would be honored at ANY size and die at 100 TB); the
+    two fact joins shuffle on their natural keys (orderkey, custkey);
+    the final agg key (two nations × years) is tiny and map-side
+    combinable. The pair filter is applied on the nationkey INTs, not
+    names — names join in only for output."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     s = _t(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(1, 2)
@@ -71,7 +75,7 @@ def q_tpch_q7like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     joined = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(
@@ -107,12 +111,14 @@ def q_tpch_q8like(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue sold to ASIA-region customers, per order year — the
     conditional-numerator / total-denominator ratio aggregate.
 
-    Scale: part (type filter) and the nation/region dims broadcast;
-    customer pre-filters to one region before joining the fact; both
-    decimal sums come out of ONE aggregation pass (no second scan for
-    the denominator); the ratio is a final DOUBLE division of exact
-    decimal sums (IEEE division of identical operands — deterministic
-    cross-engine)."""
+    Scale: only the bounded nation/region dims carry broadcast hints;
+    part (type-filtered) and supplier are SF-proportional, so their
+    joins are left to AQE (runtime-size-checked broadcast, never a
+    forced hint that would be honored at 100 TB); customer pre-filters
+    to one region before joining the fact; both decimal sums come out
+    of ONE aggregation pass (no second scan for the denominator); the
+    ratio is a final DOUBLE division of exact decimal sums (IEEE
+    division of identical operands — deterministic cross-engine)."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     cn = n.join(
@@ -128,10 +134,10 @@ def q_tpch_q8like(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
     )
     agg = joined.groupBy(
         F.year("o_orderdate").cast("long").alias("f_year")
@@ -153,15 +159,18 @@ def q_tpch_q8like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q14like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue percentage for one ship month —
-    conditional revenue over total revenue, part dim broadcast, the
-    month filter pushed to the lineitem scan. One aggregation pass
-    produces both sums; the percentage is a final double division."""
+    conditional revenue over total revenue, the month filter pushed to
+    the lineitem scan. One aggregation pass produces both sums; the
+    percentage is a final double division. The part join carries NO
+    broadcast hint — part scales with SF, so AQE decides (it still
+    broadcasts at small SF where part clears the size threshold, but
+    the plan degrades to a shuffle join instead of dying at 100 TB)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
         F.sum(
             F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
                 F.lit(0).cast(_DEC)
@@ -554,8 +563,11 @@ def q_tpch_q15like(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-set is engine-exact; revenue is cast to double only for output.
 
     Scale: one fact-scan agg keyed by suppkey, a 1-row broadcast of the
-    max, and a broadcast supplier join for the name — no window, no
-    global sort."""
+    max (the ONLY forced hint — genuinely bounded), and an AQE-decided
+    supplier join for the name (the winner set after the max filter is
+    tiny, so AQE broadcasts THAT side at runtime; supplier itself is
+    SF-proportional and never force-broadcast) — no window, no global
+    sort."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -565,7 +577,7 @@ def q_tpch_q15like(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("_rev") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -580,9 +592,12 @@ def q_tpch_q18like(spark: SparkSession, sf_dir: str) -> DataFrame:
     to orders + customer, top-100 by price.
 
     Scale: the quantity agg shuffles the fact once on orderkey; the
-    surviving order set is small, so the orders/customer joins run on
-    the REDUCED side; TakeOrderedAndProject caps the output (full
-    tiebreak on the unique orderkey)."""
+    surviving order set is small, and THAT reduced side is what AQE
+    broadcasts at runtime into the orders and customer joins — customer
+    is SF-proportional and carries no hint (a forced customer broadcast
+    would be honored at any size and die at 100 TB);
+    TakeOrderedAndProject caps the output (full tiebreak on the unique
+    orderkey)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -597,7 +612,7 @@ def q_tpch_q18like(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -618,10 +633,11 @@ def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema has no l_shipmode/l_shipinstruct; those conjuncts are
     dropped, same three-clause disjunctive shape).
 
-    Scale: part broadcasts; the brand/size disjunction prunes part
-    BEFORE the join (only rows matching SOME clause join); the quantity
-    conjuncts evaluate post-join row-locally. One fact pass, 1-row
-    result."""
+    Scale: the brand/size disjunction prunes part BEFORE the join (only
+    rows matching SOME clause join); part is SF-proportional even
+    brand-filtered, so the join carries no broadcast hint — AQE
+    size-checks it at runtime; the quantity conjuncts evaluate
+    post-join row-locally. One fact pass, 1-row result."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -645,7 +661,7 @@ def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(
             F.sum(_rev()).cast("double").alias("f_revenue"),
@@ -665,8 +681,10 @@ def q_tpch_q21like(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (order, supplier) pair sets are DISTINCT-reduced before
     any join; EXISTS becomes a left_semi and NOT EXISTS a left_anti on
     (orderkey, suppkey≠) — both shuffle the reduced pair set, never raw
-    lineitem; the final per-supplier count broadcasts into the name
-    join and TakeOrderedAndProject caps at 20."""
+    lineitem; the final per-supplier count is the tiny side of the name
+    join, so AQE broadcasts IT at runtime (supplier is SF-proportional
+    and carries no forced hint) and TakeOrderedAndProject caps at
+    20."""
     li = _t(spark, sf_dir, "lineitem")
     all_sup = li.select("l_orderkey", "l_suppkey").distinct()
     r_sup = (
@@ -697,7 +715,7 @@ def q_tpch_q21like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         only.groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("f_numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "f_numwait")
         .orderBy(
             F.col("f_numwait").desc(),

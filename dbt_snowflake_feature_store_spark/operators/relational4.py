@@ -872,10 +872,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, because float contribution sums are reduction-order-
     dependent.
 
-    Scale: the edge build is the data-scale part (two fact joins,
-    dims broadcast, one map-side-combinable agg to the nation-pair
-    key); PageRank then iterates on the GRAPH-sized frame (nodes +
-    edges, not events) with one shuffle per round, lineage cut per
+    Scale: the edge build is the data-scale part (two fact joins and
+    one map-side-combinable agg to the nation-pair key); customer and
+    supplier are SF-proportional, so their joins carry NO broadcast
+    hint — AQE size-checks them at runtime instead of a forced hint
+    that would be honored at 100 TB; only the 25-row nation name join
+    is hinted. PageRank then iterates on the GRAPH-sized frame (nodes
+    + edges, not events) with one shuffle per round, lineage cut per
     round."""
     from ..functions.graph import pagerank_integer
 
@@ -885,8 +888,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"),
             F.col("s_nationkey").alias("dst"),

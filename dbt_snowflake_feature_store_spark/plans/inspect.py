@@ -5,14 +5,118 @@ reached the scan, which joins broadcast vs shuffle, how many exchanges
 (shuffles) the plan pays, whether top-k avoided a global sort. Used by the
 scale tests and by ``python -m dbt_snowflake_feature_store_spark.plans.inspect``
 to regenerate ``PLANS.md``.
+
+Two scale-audit facts beyond raw operator counts:
+
+- **Forced broadcast hints** (``forced-broadcast=[...]``): parsed from
+  the OPTIMIZED logical plan (the executed plan can't distinguish a
+  forced ``F.broadcast`` from an AQE size-checked choice — hints bypass
+  ``autoBroadcastJoinThreshold`` and are honored at ANY size, so a hint
+  on an SF-proportional table is a 100 TB failure even when the sf0.1
+  plan looks fine). Each hint is labeled with the base table(s) under
+  the hinted join side; a side that passed through an Aggregate /
+  Deduplicate / Limit is labeled ``reduced(...)`` — bounded by its
+  group-key domain, not the fact cardinality.
+- **Checkpoint boundaries**: operators built on
+  ``localCheckpoint`` (ranks.global_row_number / global_ntile — the
+  range-exchange global-order primitives) sever lineage, so the final
+  plan is a bare RDD scan and naive inspection reports
+  ``shuffles=0 aggs=0`` — exactly the plans the audit exists to watch.
+  Those primitives register their pre-checkpoint frames via
+  ``register_subplan``; ``capture_subplans`` + ``summarize(df,
+  extra_plans=...)`` fold the upstream counts back in and the PLANS.md
+  row carries ``subplans=N`` instead of a vacuous stub.
 """
 
 from __future__ import annotations
 
+import contextlib
 import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+# First column of each driver table → table name (used to label the
+# relations under a broadcast hint).
+_COL2TABLE = {
+    "r_regionkey": "region",
+    "n_nationkey": "nation",
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+# Tables whose size does NOT grow with scale factor — the only ones a
+# forced broadcast hint is ever allowed on (plus derived/reduced frames).
+BOUNDED_TABLES = frozenset({"region", "nation"})
+
+_MARKER_RE = re.compile(r"^([ :]*)[+:]- ")
+_HINT_RE = re.compile(r"(left|right)Hint=\([^)]*strategy=broadcast[^)]*\)")
+_REDUCING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Expand")
+
+
+def _marker_pos(line: str) -> int | None:
+    m = _MARKER_RE.match(line)
+    return len(m.group(1)) if m else None
+
+
+def _child_subtrees(lines: list[str], idx: int) -> list[list[str]]:
+    """Direct child subtrees of the tree node at ``lines[idx]`` in a
+    Catalyst ``toString`` rendering (children indent the marker by 3)."""
+    pos = _marker_pos(lines[idx])
+    child_pos = 0 if pos is None else pos + 3
+    subtrees: list[list[str]] = []
+    current: list[str] | None = None
+    for line in lines[idx + 1 :]:
+        p = _marker_pos(line)
+        if p is None:
+            break  # back at an unindented root — past this subtree
+        if p < child_pos:
+            break  # left this node's subtree entirely
+        if p == child_pos:
+            current = [line]
+            subtrees.append(current)
+        elif current is not None:
+            current.append(line)
+    return subtrees
+
+
+def _label_hinted_side(subtree: list[str]) -> str:
+    text = "\n".join(subtree)
+    tables = []
+    for rel in re.finditer(r"(?:Relation|LogicalRDD) \[([^\]#]+)", text):
+        first_col = rel.group(1).split("#")[0].strip()
+        tables.append(_COL2TABLE.get(first_col, first_col or "?"))
+    inner = ",".join(tables) if tables else "derived"
+    if any(node in text for node in _REDUCING_NODES):
+        return f"reduced({inner})"
+    return inner
+
+
+def forced_broadcasts(optimized_plan: str) -> list[str]:
+    """Labels for every FORCED broadcast hint in an optimized logical
+    plan — one entry per hinted join side, naming the base table(s)
+    underneath (``reduced(...)`` when an aggregate/dedup/limit bounds
+    the side before the hint)."""
+    lines = optimized_plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        hints = [m.group(1) for m in _HINT_RE.finditer(line)]
+        if not hints:
+            continue
+        children = _child_subtrees(lines, i)
+        for side in hints:
+            if len(children) >= 2:
+                subtree = children[0] if side == "left" else children[1]
+                out.append(_label_hinted_side(subtree))
+            else:  # defensive: unexpected arity — still surface the hint
+                out.append("?")
+    return out
 
 
 @dataclass
@@ -28,6 +132,21 @@ class PlanSummary:
     window_ops: int = 0
     hash_aggregates: int = 0
     python_evals: int = 0  # Pandas-UDF / mapInPandas stages (slow path)
+    forced_broadcast_tables: list[str] = field(default_factory=list)
+    rdd_scans: int = 0
+    subplans: int = 0
+
+    def unbounded_forced_broadcasts(self) -> list[str]:
+        """Forced hints on SF-proportional sides — the 100 TB killers.
+        Bounded dims and reduced/derived frames are fine."""
+        bad = []
+        for label in self.forced_broadcast_tables:
+            if label.startswith("reduced(") or label == "derived":
+                continue
+            if all(t in BOUNDED_TABLES for t in label.split(",")):
+                continue
+            bad.append(label)
+        return bad
 
     def line(self) -> str:
         joins = []
@@ -51,32 +170,88 @@ class PlanSummary:
             parts.append(f"python-stages={self.python_evals}")
         if self.pushed_filters:
             parts.append(f"pushed-filters={len(self.pushed_filters)}")
+        if self.forced_broadcast_tables:
+            parts.append(
+                f"forced-broadcast=[{', '.join(self.forced_broadcast_tables)}]"
+            )
+        if self.subplans:
+            parts.append(f"subplans={self.subplans}(merged)")
+        elif self.rdd_scans and not (
+            self.shuffles or self.hash_aggregates or self.window_ops
+        ):
+            parts.append("checkpoint-boundary(upstream-not-captured)")
         return " ".join(parts)
 
 
-def summarize(df: DataFrame) -> PlanSummary:
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    s = PlanSummary()
+# --- subplan capture (checkpoint-boundary visibility) ---------------------
+
+_CAPTURE: list[str] | None = None
+
+
+def register_subplan(df: DataFrame) -> None:
+    """Called by checkpoint-based primitives (ranks._ranked) with the
+    frame that is ABOUT to be materialized behind a lineage cut, so plan
+    audits can still see its exchanges/sorts. No-op (and free) unless a
+    ``capture_subplans`` block is active."""
+    global _CAPTURE
+    if _CAPTURE is None:
+        return
+    try:
+        _CAPTURE.append(df._jdf.queryExecution().executedPlan().toString())
+    except Exception:  # pragma: no cover — audit must never break the op
+        pass
+
+
+@contextlib.contextmanager
+def capture_subplans():
+    global _CAPTURE
+    prev, _CAPTURE = _CAPTURE, []
+    try:
+        yield _CAPTURE
+    finally:
+        _CAPTURE = prev
+
+
+# --- summarization ---------------------------------------------------------
+
+def _count_into(s: PlanSummary, plan: str) -> None:
     for m in re.finditer(r"PushedFilters: \[([^\]]+)\]", plan):
         if m.group(1).strip():
             s.pushed_filters.append(m.group(1).strip())
     for m in re.finditer(r"ReadSchema: (struct<[^\n]+)", plan):
         s.read_schemas.append(m.group(1)[:120])
-    s.broadcast_joins = plan.count("BroadcastHashJoin")
-    s.sortmerge_joins = plan.count("SortMergeJoin")
-    s.shuffledhash_joins = plan.count("ShuffledHashJoin")
-    s.nestedloop_joins = plan.count("BroadcastNestedLoopJoin")
-    s.shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+    s.broadcast_joins += plan.count("BroadcastHashJoin")
+    s.sortmerge_joins += plan.count("SortMergeJoin")
+    s.shuffledhash_joins += plan.count("ShuffledHashJoin")
+    s.nestedloop_joins += plan.count("BroadcastNestedLoopJoin")
+    s.shuffles += plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
-    s.take_ordered = plan.count("TakeOrderedAndProject")
-    s.window_ops = plan.count("Window ") + plan.count("RunningWindowFunction")
-    s.hash_aggregates = plan.count("HashAggregate")
-    s.python_evals = (
+    s.take_ordered += plan.count("TakeOrderedAndProject")
+    s.window_ops += plan.count("Window ") + plan.count("RunningWindowFunction")
+    s.hash_aggregates += plan.count("HashAggregate")
+    s.python_evals += (
         plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")
         + plan.count("FlatMapGroupsInPandas")
     )
+    s.rdd_scans += plan.count("Scan ExistingRDD")
+
+
+def summarize(df: DataFrame, extra_plans: list[str] | None = None) -> PlanSummary:
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    s = PlanSummary()
+    _count_into(s, plan)
+    try:
+        s.forced_broadcast_tables = forced_broadcasts(
+            qe.optimizedPlan().toString()
+        )
+    except Exception:  # pragma: no cover
+        pass
+    for sub in extra_plans or []:
+        _count_into(s, sub)
+        s.subplans += 1
     return s
 
 
@@ -98,12 +273,18 @@ def main() -> None:
         "",
         f"Generated by `python -m dbt_snowflake_feature_store_spark.plans.inspect` at `{sf_dir}`.",
         "Facts per plan: shuffle count, join strategies, aggregate/window",
-        "operators, top-k form, Python (Arrow) stages, filters pushed to scans.",
+        "operators, top-k form, Python (Arrow) stages, filters pushed to scans,",
+        "FORCED broadcast hints (labeled with the tables under the hinted side —",
+        "only bounded dims / reduced frames are acceptable), and checkpoint",
+        "subplan merges (ranks-based keys register their pre-checkpoint frames",
+        "so their rows are not vacuous RDD-scan stubs).",
         "",
     ]
     for key in sorted(queries):
         try:
-            s = summarize(queries[key](spark, sf_dir))
+            with capture_subplans() as subs:
+                df = queries[key](spark, sf_dir)
+                s = summarize(df, extra_plans=subs)
             lines.append(f"- `{key}`: {s.line()}")
         except Exception as e:  # pragma: no cover
             lines.append(f"- `{key}`: ERROR {e}")

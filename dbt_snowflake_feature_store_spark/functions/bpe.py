@@ -201,14 +201,20 @@ def bpe_segment_by_key(
     (vocab-sized) at any corpus size, so the nested fold expression —
     the expensive part of :func:`bpe_segment`, which re-folds every
     word INSTANCE — runs on thousands of rows instead of billions.
-    Identical output to ``bpe_segment`` (pytest-pinned); this is the
-    form the oracle-gated q_bpe_segment key runs."""
+    Identical output to ``bpe_segment`` (pytest-pinned, INCLUDING
+    empty/whitespace-only documents: the word stream deliberately keeps
+    zero-length words — ``split(trim(text), '\\s+')`` yields them for
+    empty texts and texts with leading non-space whitespace, and both
+    the per-row fold and the DuckDB oracle segment them to
+    ``['', END_MARK]`` — a length filter here would drop such docs from
+    the output entirely and break the hash gate); this is the form the
+    oracle-gated q_bpe_segment key runs."""
     words = df.select(
         key_col,
         F.posexplode(
             F.split(F.trim(F.col(text_col)), r"\s+")
         ).alias("_pos", "_fs_word"),
-    ).filter(F.length("_fs_word") > 0)
+    )
     vocab = words.select("_fs_word").distinct()
     seg = bpe_segment(
         vocab, merges, text_col="_fs_word", out_col="_syms"

@@ -31,7 +31,9 @@ from __future__ import annotations
 import io
 import json
 import os
+import shutil
 import tarfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -72,11 +74,15 @@ def export_webdataset(
             f"{dotted}; rename before export"
         )
     # A re-export that yields fewer shards (fewer rows/partitions) must
-    # not leave stale tars from the previous run mixed into the corpus:
-    # clear every shard tar up front, then foreachPartition rewrites.
-    for f in os.listdir(out_dir):
-        if f.startswith("shard-") and f.endswith(".tar"):
-            os.unlink(os.path.join(out_dir, f))
+    # not leave stale tars from the previous run mixed into the corpus —
+    # but clearing up front would destroy the previous corpus if the
+    # distributed write then fails midway. Stage-and-swap instead
+    # (mirroring storage.ParquetSnapshotFormat.replace): write every
+    # shard into a fresh staging dir, and only after foreachPartition
+    # SUCCEEDS clear the old tars and rename the staged ones into place.
+    # A crash mid-write leaves the old corpus fully intact.
+    staging = os.path.join(out_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    os.makedirs(staging)
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
@@ -86,7 +92,7 @@ def export_webdataset(
 
         def _open(seq_no: int):
             return tarfile.open(
-                os.path.join(out_dir, f"shard-{pid:05d}-{seq_no:05d}.tar"),
+                os.path.join(staging, f"shard-{pid:05d}-{seq_no:05d}.tar"),
                 "w",
             )
 
@@ -108,8 +114,25 @@ def export_webdataset(
         if tar is not None:
             tar.close()
 
-    df.foreachPartition(write_partition)
-    return len([f for f in os.listdir(out_dir) if f.endswith(".tar")])
+    try:
+        df.foreachPartition(write_partition)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # success: swap — clear previous-run tars, move staged ones in
+    for f in os.listdir(out_dir):
+        if f.startswith("shard-") and f.endswith(".tar"):
+            os.unlink(os.path.join(out_dir, f))
+    for f in sorted(os.listdir(staging)):
+        os.rename(os.path.join(staging, f), os.path.join(out_dir, f))
+    os.rmdir(staging)
+    return len(
+        [
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("shard-") and f.endswith(".tar")
+        ]
+    )
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:

@@ -754,30 +754,118 @@ class FeatureStore:
             )
         return vdir
 
-    def _ann_commit_version(
-        self, name: str, idx, df: DataFrame, emb_col: str
-    ) -> None:
-        """Write a NEW (index.json, data) version dir fully, then flip
-        ``CURRENT`` atomically; old versions are pruned after the flip.
-        A crash at any point leaves the previous version live (the
-        compact()/storage.replace commit-ordering discipline)."""
+    def _ann_commit_version(self, name: str, write_fn) -> None:
+        """Write a NEW (index file(s), data) version dir fully via
+        ``write_fn(vdir)``, then flip ``CURRENT`` atomically. A crash at
+        any point leaves the previous version live (the compact()/
+        storage.replace commit-ordering discipline). Pruning retains the
+        IMMEDIATELY-PREVIOUS generation and deletes only N-2 and older:
+        a lazily-evaluated DataFrame from a prior ``ann_search`` (or a
+        reader that resolved CURRENT just before the flip) keeps its
+        parquet files through one refresh instead of failing mid-scan
+        (ADVICE r8); two refreshes between a plan's creation and its
+        action are out of contract."""
         import shutil
         import uuid as _uuid
 
         d = self._ann_index_dir(name)
         os.makedirs(d, exist_ok=True)
+        cur_path = os.path.join(d, "CURRENT")
+        prev_token = None
+        if os.path.isfile(cur_path):
+            with open(cur_path) as f:
+                prev_token = f.read().strip()
         token = _uuid.uuid4().hex[:8]
         vdir = os.path.join(d, f"v_{token}")
         os.makedirs(vdir)
-        idx.materialize(df, os.path.join(vdir, "data"), emb_col=emb_col)
-        idx.save(os.path.join(vdir, "index.json"))
+        write_fn(vdir)
         tmp = os.path.join(d, f"CURRENT.{token}.tmp")
         with open(tmp, "w") as f:
             f.write(token)
-        os.replace(tmp, os.path.join(d, "CURRENT"))  # the commit point
+        os.replace(tmp, cur_path)  # the commit point
+        keep = {f"v_{token}"}
+        if prev_token:
+            keep.add(f"v_{prev_token}")
         for entry in os.listdir(d):
-            if entry.startswith("v_") and entry != f"v_{token}":
+            if entry.startswith("v_") and entry not in keep:
                 shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+
+    def _ann_load(self, doc: dict[str, Any], vdir: str):
+        """(ivf_index | None, pq_index | None) for a committed version,
+        per the registered index_type."""
+        from .functions.similarity import IVFIndex, PQIndex
+
+        itype = doc.get("index_type", "ivf")
+        ivf = pq = None
+        if itype in ("ivf", "ivfpq"):
+            fname = "index.json" if itype == "ivf" else "ivf.json"
+            ivf = IVFIndex.load(os.path.join(vdir, fname))
+        if itype in ("pq", "ivfpq"):
+            fname = "index.json" if itype == "pq" else "pq.json"
+            pq = PQIndex.load(os.path.join(vdir, fname))
+        return ivf, pq
+
+    def _ann_write_version(
+        self, doc: dict[str, Any], ivf, pq, df: DataFrame, vdir: str
+    ) -> None:
+        """Materialize one index version into ``vdir`` per type:
+
+        - ``ivf``: corpus partitioned by nearest-centroid cell (probe =
+          partition pruning) + centroids file.
+        - ``pq``: codes-only table (id, _pq) — the raw vectors leave hot
+          storage; scans stream m smallint codes per row + codebooks.
+        - ``ivfpq``: codes partitioned by cell — probe prunes cells THEN
+          streams codes (the FAISS IVFADC composition) + both files.
+        """
+        from pyspark.sql import functions as F
+
+        itype = doc.get("index_type", "ivf")
+        emb_col, id_col = doc["emb_col"], doc["id_col"]
+        data = os.path.join(vdir, "data")
+        if itype == "ivf":
+            ivf.materialize(df, data, emb_col=emb_col)
+            ivf.save(os.path.join(vdir, "index.json"))
+        elif itype == "pq":
+            (
+                pq.encode(df, emb_col=emb_col, codes_col="_pq")
+                .select(id_col, "_pq")
+                .write.mode("overwrite")
+                .parquet(data)
+            )
+            pq.save(os.path.join(vdir, "index.json"))
+        elif itype == "ivfpq":
+            enc = pq.encode(
+                ivf.assign(df, emb_col, "_cell"), emb_col=emb_col, codes_col="_pq"
+            ).select(id_col, "_pq", "_cell")
+            enc.write.mode("overwrite").partitionBy("_cell").parquet(data)
+            ivf.save(os.path.join(vdir, "ivf.json"))
+            pq.save(os.path.join(vdir, "pq.json"))
+        else:  # pragma: no cover — registry docs are closed-world
+            raise ValidationError(f"unknown ANN index_type {itype!r}")
+
+    def _ann_train(self, doc: dict[str, Any], df: DataFrame):
+        from .functions.similarity import IVFIndex, PQIndex
+
+        itype = doc.get("index_type", "ivf")
+        ivf = pq = None
+        if itype in ("ivf", "ivfpq"):
+            ivf = IVFIndex.build(
+                df,
+                emb_col=doc["emb_col"],
+                id_col=doc["id_col"],
+                num_centroids=doc["num_centroids"],
+                max_sample=doc["max_sample"],
+            )
+        if itype in ("pq", "ivfpq"):
+            pq = PQIndex.build(
+                df,
+                emb_col=doc["emb_col"],
+                id_col=doc["id_col"],
+                m=doc["pq_m"],
+                k=doc["pq_k"],
+                max_sample=doc["max_sample"],
+            )
+        return ivf, pq
 
     def build_ann_index(
         self,
@@ -785,39 +873,47 @@ class FeatureStore:
         df: DataFrame,
         emb_col: str = "embedding",
         id_col: str = "vec_id",
+        index_type: str = "ivf",
         num_centroids: int = 16,
         max_sample: int = 10_000,
+        pq_m: int = 8,
+        pq_k: int = 16,
     ) -> None:
-        """Train an IVF coarse quantizer on a bounded deterministic
-        sample of ``df`` (the ONLY collect in the build) and materialize
-        the corpus partitioned by nearest-centroid cell, so later
-        probes prune to n_probe/num_centroids of the files. State on
-        disk: a VERSIONED (index.json + cell-partitioned layout) pair
+        """Train the chosen index family on a bounded deterministic
+        sample of ``df`` (the ONLY collects in the build) and
+        materialize the read layout:
+
+        - ``index_type='ivf'``: coarse quantizer + corpus partitioned by
+          nearest-centroid cell — probes prune to n_probe/num_centroids
+          of the files.
+        - ``'pq'``: product-quantizer codebooks + a codes-only table —
+          ~32× smaller scans, asymmetric-distance scoring.
+        - ``'ivfpq'``: both — cell pruning over codes (FAISS IVFADC).
+
+        State on disk: a VERSIONED (index file(s) + layout) pair
         committed by an atomic ``CURRENT`` pointer flip; the registry
         records the parameters for introspection."""
-        from .functions.similarity import IVFIndex
-
+        if index_type not in ("ivf", "pq", "ivfpq"):
+            raise ValidationError(
+                f"index_type must be 'ivf' | 'pq' | 'ivfpq', got {index_type!r}"
+            )
         name = canonical_name(name)
-        idx = IVFIndex.build(
-            df,
-            emb_col=emb_col,
-            id_col=id_col,
-            num_centroids=num_centroids,
-            max_sample=max_sample,
+        doc = {
+            "name": name,
+            "emb_col": emb_col,
+            "id_col": id_col,
+            "index_type": index_type,
+            "num_centroids": num_centroids,
+            "max_sample": max_sample,
+            "pq_m": pq_m,
+            "pq_k": pq_k,
+            "refresh_count": 0,
+        }
+        ivf, pq = self._ann_train(doc, df)
+        self._ann_commit_version(
+            name, lambda vdir: self._ann_write_version(doc, ivf, pq, df, vdir)
         )
-        self._ann_commit_version(name, idx, df, emb_col)
-        self.registry.put(
-            "ann_indexes",
-            name,
-            {
-                "name": name,
-                "emb_col": emb_col,
-                "id_col": id_col,
-                "num_centroids": num_centroids,
-                "max_sample": max_sample,
-                "refresh_count": 0,
-            },
-        )
+        self.registry.put("ann_indexes", name, doc)
 
     def refresh_ann_index(
         self,
@@ -826,39 +922,41 @@ class FeatureStore:
         drift_factor: float = 1.5,
         force: bool = False,
     ) -> str:
-        """Drift-aware maintenance: probe the current corpus's mean
-        residual against the index's build-time baseline (one scalar
-        action); if it exceeds ``drift_factor``× (or ``force``),
-        re-train the quantizer from a fresh bounded sample and
-        re-materialize the cell layout AS A NEW VERSION, committed by
-        the atomic CURRENT flip — a failure mid-refresh leaves the old
-        matched (centroids, layout) pair live, never new centroids over
-        an old layout. Returns ``'REFRESHED'`` or ``'SKIPPED'`` — the
-        same vocabulary as FV refresh modes."""
-        from .functions.similarity import IVFIndex
-
+        """Drift-aware maintenance: probe the current corpus against the
+        index's build-time baseline (one scalar action per trained
+        component — mean cell residual for IVF, mean reconstruction
+        error for PQ; ``ivfpq`` refreshes when EITHER drifted); if it
+        exceeds ``drift_factor``× (or ``force``), re-train from a fresh
+        bounded sample and re-materialize the layout AS A NEW VERSION,
+        committed by the atomic CURRENT flip — a failure mid-refresh
+        leaves the old matched (quantizers, layout) pair live, never new
+        centroids over an old layout. Returns ``'REFRESHED'`` or
+        ``'SKIPPED'`` — the same vocabulary as FV refresh modes."""
         name = canonical_name(name)
         doc = self.registry.get("ann_indexes", name)
         if doc is None:
             raise ValidationError(f"ANN index '{name}' is not registered")
         vdir = self._ann_current_dir(name)
-        idx = IVFIndex.load(os.path.join(vdir, "index.json"))
-        if not force and not idx.needs_refresh(
-            df,
-            emb_col=doc["emb_col"],
-            id_col=doc["id_col"],
-            drift_factor=drift_factor,
-            max_sample=doc["max_sample"],
-        ):
-            return "SKIPPED"
-        new = IVFIndex.build(
-            df,
-            emb_col=doc["emb_col"],
-            id_col=doc["id_col"],
-            num_centroids=doc["num_centroids"],
-            max_sample=doc["max_sample"],
+        ivf, pq = self._ann_load(doc, vdir)
+        if not force:
+            drifted = False
+            for idx in (ivf, pq):
+                if idx is not None and idx.needs_refresh(
+                    df,
+                    emb_col=doc["emb_col"],
+                    id_col=doc["id_col"],
+                    drift_factor=drift_factor,
+                    max_sample=doc["max_sample"],
+                ):
+                    drifted = True
+                    break
+            if not drifted:
+                return "SKIPPED"
+        new_ivf, new_pq = self._ann_train(doc, df)
+        self._ann_commit_version(
+            name,
+            lambda v: self._ann_write_version(doc, new_ivf, new_pq, df, v),
         )
-        self._ann_commit_version(name, new, df, doc["emb_col"])
         doc["refresh_count"] = int(doc.get("refresh_count", 0)) + 1
         self.registry.put("ann_indexes", name, doc)
         return "REFRESHED"
@@ -870,26 +968,42 @@ class FeatureStore:
         k: int = 10,
         n_probe: int = 4,
     ) -> DataFrame:
-        """Probe the materialized layout: the cell ``isin`` filter is a
-        PartitionFilter on the parquet scan — only n_probe cells' files
-        are read (plan-asserted for the underlying machinery in
-        tests/test_scale_plans.py)."""
-        from .functions.similarity import IVFIndex
+        """Probe the materialized layout. ``ivf``: the cell ``isin``
+        filter is a PartitionFilter on the parquet scan — only n_probe
+        cells' files are read (plan-asserted in tests/test_scale_plans
+        .py); returns (id, cosine). ``pq``: ADC top-k over the codes
+        table; ``ivfpq``: cell pruning then ADC — both return (id,
+        adc_dist), ascending squared distance."""
+        from pyspark.sql import functions as F
 
         name = canonical_name(name)
         doc = self.registry.get("ann_indexes", name)
         if doc is None:
             raise ValidationError(f"ANN index '{name}' is not registered")
         vdir = self._ann_current_dir(name)
-        idx = IVFIndex.load(os.path.join(vdir, "index.json"))
-        return idx.search_materialized(
-            self.spark,
-            os.path.join(vdir, "data"),
-            query_vec,
-            k=k,
-            n_probe=n_probe,
-            emb_col=doc["emb_col"],
-            id_col=doc["id_col"],
+        ivf, pq = self._ann_load(doc, vdir)
+        data = os.path.join(vdir, "data")
+        itype = doc.get("index_type", "ivf")
+        id_col = doc["id_col"]
+        if itype == "ivf":
+            return ivf.search_materialized(
+                self.spark,
+                data,
+                query_vec,
+                k=k,
+                n_probe=n_probe,
+                emb_col=doc["emb_col"],
+                id_col=id_col,
+            )
+        codes = self.spark.read.parquet(data)
+        if itype == "ivfpq":
+            cells = ivf.probe_cells(query_vec, n_probe)
+            codes = codes.filter(F.col("_cell").isin(cells)).drop("_cell")
+        return (
+            codes.withColumn("_adc", pq.adc_expr(query_vec, "_pq"))
+            .select(id_col, F.col("_adc").alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(k)
         )
 
     # ------------------------------------------------------------------

@@ -173,3 +173,37 @@ def test_segment_by_key_matches_per_row_fold(spark):
         for r in bpe_segment_by_key(d, m).collect()
     }
     assert per_row == by_key
+
+
+def test_segment_by_key_keeps_empty_and_whitespace_docs(spark):
+    """ADVICE r8: empty / whitespace-only documents lose every word row
+    to the length filter — they must still come back, one row per doc,
+    with exactly the token stream the per-row fold (and the DuckDB
+    oracle) produce — both segment the zero-length pseudo-word to
+    ['', END_MARK], so an empty doc yields that pair, never a dropped
+    row."""
+    from dbt_snowflake_feature_store_spark.functions.bpe import (
+        END_MARK,
+        bpe_segment,
+        bpe_segment_by_key,
+        fixed_merge_table,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "the cat"), (2, ""), (3, "   \t  "), (4, "dog")],
+        "doc_id long, text string",
+    )
+    m = fixed_merge_table()
+    per_row = {
+        r["doc_id"]: r["bpe_tokens"] for r in bpe_segment(d, m).collect()
+    }
+    by_key = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_by_key(d, m).collect()
+    }
+    assert set(by_key) == {1, 2, 3, 4}
+    assert by_key[2] == ["", END_MARK]
+    # trim() strips spaces only, so the tab survives and splits into
+    # TWO empty words — mirror of DuckDB's trim/regexp_split semantics
+    assert by_key[3] == ["", END_MARK, "", END_MARK]
+    assert per_row == by_key

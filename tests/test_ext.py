@@ -745,3 +745,136 @@ class TestPQ:
 
         with _pytest.raises(ValueError, match="not divisible"):
             PQIndex.build(emb, m=7)
+
+
+class TestAnnStorePQ:
+    """VERDICT r8 item 4 — the store-level PQ / IVFPQ ANN surface:
+    build, drift-probe, refresh, and search through FeatureStore, the
+    pytest mirror of the IVF drift test (fresh SKIPPED, drifted
+    REFRESHED via mean_reconstruction_error, refresh restores
+    candidate quality), plus the version-retention discipline."""
+
+    def _drifted(self, e):
+        return e.select(
+            "vec_id",
+            "label",
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x as double) + "
+                "CASE WHEN i = cast(label % 8 AS INT) THEN 1.0 "
+                "ELSE 0.0 END)"
+            ).alias("embedding"),
+        )
+
+    def test_pq_store_drift_cycle(self, spark, sf_dir, tmp_path):
+        import os
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        e = read_table(spark, sf_dir, "embeddings")
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="PQ_FS")
+        fs.build_ann_index("pq_idx", e, index_type="pq", pq_m=8, pq_k=16)
+        doc = fs.registry.get("ann_indexes", "PQ_IDX")
+        assert doc["index_type"] == "pq"
+
+        # fresh corpus: reconstruction-error probe declines to rebuild
+        assert fs.refresh_ann_index("pq_idx", e) == "SKIPPED"
+
+        # searches run off the codes-only table (no embedding column)
+        data = os.path.join(fs._ann_current_dir("pq_idx"), "data")
+        assert "embedding" not in spark.read.parquet(data).columns
+        q = [float(x) for x in e.head()["embedding"]]
+        got = fs.ann_search("pq_idx", q, k=10).collect()
+        assert len(got) == 10
+        dists = [r["adc_dist"] for r in got]
+        assert dists == sorted(dists)
+
+        # drifted corpus trips the probe and refresh re-trains
+        drifted = self._drifted(e).cache()
+        stale = SIM.PQIndex.load(
+            os.path.join(fs._ann_current_dir("pq_idx"), "index.json")
+        )
+        assert stale.train_mse is not None
+        assert not stale.needs_refresh(e)
+        assert stale.needs_refresh(drifted)
+        assert fs.refresh_ann_index("pq_idx", drifted) == "REFRESHED"
+        assert fs.registry.get("ann_indexes", "PQ_IDX")["refresh_count"] == 1
+        fresh = SIM.PQIndex.load(
+            os.path.join(fs._ann_current_dir("pq_idx"), "index.json")
+        )
+        assert not fresh.needs_refresh(drifted)
+        # the refreshed codebooks reconstruct the drifted corpus
+        # strictly better than the stale ones
+        assert fresh.mean_reconstruction_error(
+            drifted
+        ) < stale.mean_reconstruction_error(drifted)
+        drifted.unpersist()
+
+    def test_ivfpq_store_cell_pruned_adc(self, spark, sf_dir, tmp_path):
+        import os
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        e = read_table(spark, sf_dir, "embeddings")
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="IVFPQ_FS")
+        fs.build_ann_index(
+            "ip_idx", e, index_type="ivfpq", num_centroids=8, pq_m=8
+        )
+        vdir = fs._ann_current_dir("ip_idx")
+        assert os.path.isfile(os.path.join(vdir, "ivf.json"))
+        assert os.path.isfile(os.path.join(vdir, "pq.json"))
+        # layout: codes partitioned by cell, raw vectors gone
+        data = os.path.join(vdir, "data")
+        assert any(
+            d.startswith("_cell=") for d in os.listdir(data)
+        )
+        cols = spark.read.parquet(data).columns
+        assert "embedding" not in cols and "_pq" in cols
+
+        q = [float(x) for x in e.head()["embedding"]]
+        res = fs.ann_search("ip_idx", q, k=10, n_probe=3)
+        # the probe reads only n_probe cells: partition filter on _cell
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "_cell" in plan
+        rows = res.collect()
+        assert len(rows) == 10
+        # ADC candidates should strongly overlap full-PQ ADC at n_probe
+        # = all cells (pruning only loses cross-cell stragglers)
+        full = fs.ann_search("ip_idx", q, k=10, n_probe=8)
+        a = {r["vec_id"] for r in rows}
+        b = {r["vec_id"] for r in full.collect()}
+        assert len(a & b) >= 6
+
+    def test_refresh_retains_previous_generation(
+        self, spark, sf_dir, tmp_path
+    ):
+        """ADVICE r8: pruning must keep version N-1 after a refresh so a
+        lazy DataFrame resolved against the prior CURRENT can still
+        execute; only N-2 and older are deleted."""
+        import os
+
+        from dbt_snowflake_feature_store_spark import FeatureStore
+        from dbt_snowflake_feature_store_spark.sources import read_table
+
+        e = read_table(spark, sf_dir, "embeddings")
+        fs = FeatureStore(spark, str(tmp_path / "root"), name="GEN_FS")
+        fs.build_ann_index("g_idx", e, index_type="ivf", num_centroids=8)
+        v1 = fs._ann_current_dir("g_idx")
+        q = [float(x) for x in e.head()["embedding"]]
+        held = fs.ann_search("g_idx", q, k=5, n_probe=2)  # lazy, v1 files
+
+        assert fs.refresh_ann_index("g_idx", e, force=True) == "REFRESHED"
+        v2 = fs._ann_current_dir("g_idx")
+        assert v2 != v1
+        assert os.path.isdir(v1)  # previous generation retained
+        assert held.count() == 5  # the outstanding plan still executes
+
+        assert fs.refresh_ann_index("g_idx", e, force=True) == "REFRESHED"
+        v3 = fs._ann_current_dir("g_idx")
+        d = os.path.dirname(v3)
+        vdirs = sorted(x for x in os.listdir(d) if x.startswith("v_"))
+        # N and N-1 only — v1 (now N-2) pruned
+        assert len(vdirs) == 2
+        assert os.path.basename(v1) not in vdirs
+        assert os.path.basename(v2) in vdirs

@@ -131,3 +131,29 @@ def test_reexport_clears_stale_shards(spark, tmp_path, media_df):
     assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 1
     # and the read sees only the re-exported rows
     assert read_webdataset(spark, out).select("key").distinct().count() == 4
+
+
+def test_failed_reexport_preserves_previous_corpus(spark, tmp_path, media_df):
+    """ADVICE r8: a failed/interrupted re-export must NOT destroy the
+    previous corpus — shards stage into a temp dir and swap in only
+    after the distributed write succeeds."""
+    out = str(tmp_path / "wds_crash")
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )
+    before = sorted(
+        f for f in os.listdir(out) if f.endswith(".tar")
+    )
+    assert len(before) == 6
+
+    @F.udf("string")
+    def boom(k):
+        raise RuntimeError("simulated mid-export task failure")
+
+    poisoned = media_df.withColumn("key", boom("key"))
+    with pytest.raises(Exception):
+        export_webdataset(poisoned, out, key_col="key", samples_per_shard=5)
+    after = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert after == before  # old corpus intact, no staging leftovers
+    assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
+    assert read_webdataset(spark, out).select("key").distinct().count() == 30

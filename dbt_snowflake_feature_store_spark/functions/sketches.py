@@ -394,3 +394,88 @@ def distinct_over_time(
         value_col,
         lg_k=lg_k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV maintenance (the HDR-sketch-FV precedent, VERDICT r8
+# item 5): a KMV sketch is a k-min SET, which no scalar streaming
+# aggregate can carry — but a THRESHOLD-FILTERED distinct-hash table is
+# a plain keyed streaming aggregation (group = keys + h), so it rides
+# the update-mode foreachBatch-MERGE path with per-group state bounded
+# by construction. Reading the k smallest from the maintained table
+# reproduces the batch sketch EXACTLY whenever the threshold keeps at
+# least k distinct hashes per group (hashes are uniform, so T =
+# space·(c·k/n_min) suffices with c a small safety factor; T = space
+# disables the filter and degrades gracefully to an exact distinct
+# table). This is standard bottom-k threshold sampling — the filter
+# keeps E[n·T/space] rows per group, i.e. O(k) at the tuned ratio,
+# while per-micro-batch state stays one count per surviving hash.
+# ---------------------------------------------------------------------------
+
+def kmv_threshold_sql(
+    source: str,
+    keys: Sequence[str],
+    col: str,
+    threshold: int = _KMV_SPACE // 2,
+    salt: str = "kmv:",
+) -> str:
+    """FV body SQL maintaining the threshold-filtered distinct-hash
+    table for ``col`` per ``keys`` over registered source ``source`` —
+    the streaming-maintainable form of :func:`kmv_sketch_by_key`
+    (hash spelling identical to :func:`kmv_hash`). Columns: keys…, h,
+    f_cnt (the count is what makes it a keyed aggregation the
+    update-mode merge path maintains; reads ignore it)."""
+    ks = ", ".join(keys)
+    h = (
+        f"CAST(conv(substring(md5(concat('{salt}', CAST({col} AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"SELECT {ks}, h, COUNT(*) AS f_cnt FROM "
+        f"(SELECT {ks}, {h} AS h FROM {source}) "
+        f"WHERE h < {int(threshold)} GROUP BY {ks}, h"
+    )
+
+
+def kmv_from_maintained(
+    maintained: DataFrame,
+    keys: Sequence[str],
+    k: int = KMV_K,
+    threshold: int = _KMV_SPACE // 2,
+) -> DataFrame:
+    """The KMV sketch (keys…, h) read off a :func:`kmv_threshold_sql`-
+    maintained table — identical to the batch ``kmv_sketch_by_key``
+    result when every group kept ≥ k hashes (or has fewer than k
+    distinct values below the threshold AND fewer than k overall, the
+    exact-regime case). The maintained table holds ~n·T/space rows per
+    group, so the k-min window here runs over O(k)-sized groups at the
+    tuned ratio — never data-sized."""
+    return kmv_kmin(maintained.select(*keys, "h"), keys, k)
+
+
+def kmv_maintained_estimate(
+    maintained: DataFrame,
+    keys: Sequence[str],
+    k: int = KMV_K,
+    threshold: int = _KMV_SPACE // 2,
+    out_col: str = "kmv_distinct",
+) -> DataFrame:
+    """Distinct estimate per group off the maintained table. Groups
+    that kept ≥ k hashes use the KMV (k−1)·space/h_k estimator on the
+    k-min read (identical to batch); sparser groups fall back to the
+    unbiased threshold-sampling estimate cnt·space/T (exact when the
+    filter kept everything, i.e. T = space)."""
+    kmin = kmv_from_maintained(maintained, keys, k, threshold)
+    agg = kmin.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("_cnt"),
+        F.max("h").cast("long").alias("_hk"),
+    )
+    est = F.when(
+        F.col("_cnt") >= k,
+        F.expr(
+            f"CAST(({k} - 1) * {_KMV_SPACE} DIV greatest(_hk, 1) AS BIGINT)"
+        ),
+    ).otherwise(
+        F.expr(f"CAST(_cnt * {_KMV_SPACE} DIV {int(threshold)} AS BIGINT)")
+    )
+    return agg.select(*keys, est.cast("long").alias(out_col))

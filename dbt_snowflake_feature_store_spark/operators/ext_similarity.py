@@ -896,3 +896,189 @@ ORACLE["q_dedup_embed_portable"] = ORACLE["q_dedup_embed_portable"].replace(
     "{HP_WEIGHTS}",
     ", ".join(f"({b}, {d}, {w}, {pw})" for b, d, w, pw in _hyperplane_weights()),
 )
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF probe — the hash-checked logic twin of the IVF read path
+# ---------------------------------------------------------------------------
+
+_IVFP_K = 8       # centroids
+_IVFP_DIM = 64
+_IVFP_PROBE = 2   # cells probed
+_IVFP_TOPK = 10
+
+
+def _ivf_portable_consts() -> tuple[
+    list[tuple[int, int, int]], list[tuple[int, int]], int, list[int]
+]:
+    """(centroid rows (cell, d, c), query rows (d, q), ‖q‖², probe
+    cells) — ALL md5-derived integers in micro-units, generated once in
+    Python and injected as LITERALS into BOTH engines (the
+    minhash_perm_consts / q_dedup_embed_portable pattern: no
+    engine-specific RNG anywhere, including the probe-cell selection,
+    which is plain integer arithmetic on the same literals).
+
+    Bounds (embedding coords ∈ [−0.6, 0.6] → |x_µ| ≤ 6·10⁵; centroids
+    ≤ 2.5·10⁵): per-dim (x−c)² ≤ 7.3·10¹¹, 64-dim cell distance ≤
+    4.7·10¹³; query dot ≤ 64·6·10⁵·2.5·10⁵ ≤ 10¹³ — int64-exact both
+    engines, and < 2⁵³ so the final int→double casts are exact too."""
+    import hashlib
+
+    def h(s: str, mod: int) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % mod
+
+    cent = [
+        (k, d, h(f"ivfc:{k}:{d}", 500001) - 250000)
+        for k in range(_IVFP_K)
+        for d in range(_IVFP_DIM)
+    ]
+    query = [(d, h(f"ivfq:{d}", 500001) - 250000) for d in range(_IVFP_DIM)]
+    nq = sum(q * q for _, q in query)
+    # probe selection: n_probe nearest centroids to the query by exact
+    # integer squared distance, cell index tiebreak
+    by_cell: dict[int, int] = {}
+    qv = dict(query)
+    for k, d, c in cent:
+        by_cell[k] = by_cell.get(k, 0) + (qv[d] - c) * (qv[d] - c)
+    probe = sorted(sorted(by_cell), key=lambda k: (by_cell[k], k))[:_IVFP_PROBE]
+    return cent, query, nq, probe
+
+
+def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe, ORACLE-GATED end-to-end: fixed literal centroids →
+    integer argmin cell assignment → literal probe-cell pruning → exact
+    integer dot rescore of the surviving candidates → floor-rounded
+    cosine top-10. The hash-checked logic twin of the production IVF
+    path (q_sim_ivf rows-only; IVFIndex trains data-dependent float
+    centroids, which no oracle can replay) — this key pins the READ
+    path's semantics: assign, prune, rescore, rank.
+
+    Exactness: micro-unit integers throughout (round(x·1e6) off a
+    float can never land on .5); cell distances, ‖x‖² and the query
+    dot are int64-exact (bounds in _ivf_portable_consts); the cosine
+    divides doubles cast from identical ints through identical IEEE
+    ops and is floor-rounded at 1e-6 both sides. Argmin ties break to
+    the LOWEST cell via min-distance-then-min-cell — pure relational,
+    identically spelled in both engines.
+
+    Scale shape: one explode (n·64 rows) → broadcast join against the
+    512-literal-row centroid table → two map-side-combinable aggs for
+    assignment; pruning keeps n_probe/K of the corpus BEFORE the
+    rescore join (at 100 TB the cell is the partition key and this
+    filter is partition pruning — see IVFIndex.materialize); rescore
+    is one broadcast join against the 64-row query table. No Python in
+    any row path."""
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    cent = spark.createDataFrame(cent_rows, "cell INT, d INT, c LONG")
+    dist = (
+        el.join(F.broadcast(cent), el["_d"] == cent["d"])
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
+    assign = (
+        dist.join(mind, "vec_id")
+        .filter(F.col("_d2") == F.col("_m"))
+        .groupBy("vec_id")
+        .agg(F.min("cell").cast("long").alias("f_cell"))
+    )
+    cand = assign.filter(F.col("f_cell").isin([int(p) for p in probe]))
+    qdf = spark.createDataFrame(q_rows, "d INT, qv LONG")
+    dots = (
+        el.join(cand.select("vec_id", "f_cell"), "vec_id")
+        .join(F.broadcast(qdf), el["_d"] == qdf["d"])
+        .groupBy("vec_id", "f_cell")
+        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.lit(float(nq)))
+    )
+    return (
+        dots.join(base.select("vec_id", "_na"), "vec_id")
+        .select(
+            "vec_id",
+            "f_cell",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+                "f_cosine"
+            ),
+        )
+        .orderBy(F.col("f_cosine").desc(), F.col("vec_id").asc())
+        .limit(_IVFP_TOPK)
+    )
+
+
+def _sim_ivf_portable_oracle() -> str:
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    cent_vals = ", ".join(f"({k}, {d}, {c})" for k, d, c in cent_rows)
+    q_vals = ", ".join(f"({d}, {q})" for d, q in q_rows)
+    probe_list = ", ".join(str(p) for p in probe)
+    return f"""
+    WITH cent(cell, d, c) AS (VALUES {cent_vals}),
+    q(d, qv) AS (VALUES {q_vals}),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {_IVFP_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    dist AS (
+        SELECT el.vec_id, cent.cell,
+               CAST(SUM((el.x - cent.c) * (el.x - cent.c)) AS BIGINT) AS d2
+        FROM el JOIN cent ON el.d = cent.d
+        GROUP BY el.vec_id, cent.cell
+    ),
+    mind AS (SELECT vec_id, MIN(d2) AS m FROM dist GROUP BY vec_id),
+    assign AS (
+        SELECT dist.vec_id, CAST(MIN(dist.cell) AS BIGINT) AS f_cell
+        FROM dist JOIN mind ON dist.vec_id = mind.vec_id
+                           AND dist.d2 = mind.m
+        GROUP BY dist.vec_id
+    ),
+    cand AS (SELECT * FROM assign WHERE f_cell IN ({probe_list})),
+    na AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS na
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT el.vec_id, CAST(SUM(el.x * q.qv) AS BIGINT) AS dot
+        FROM el
+        JOIN cand ON el.vec_id = cand.vec_id
+        JOIN q ON el.d = q.d
+        GROUP BY el.vec_id
+    )
+    SELECT c.vec_id, c.f_cell,
+           FLOOR(CAST(dots.dot AS DOUBLE)
+                 / (sqrt(CAST(na.na AS DOUBLE))
+                    * sqrt(CAST({nq} AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS f_cosine
+    FROM cand c
+    JOIN dots ON c.vec_id = dots.vec_id
+    JOIN na ON c.vec_id = na.vec_id
+    ORDER BY f_cosine DESC, c.vec_id ASC
+    LIMIT {_IVFP_TOPK}
+"""
+
+
+QUERIES["q_sim_ivf_portable"] = q_sim_ivf_portable
+ORACLE["q_sim_ivf_portable"] = _sim_ivf_portable_oracle()

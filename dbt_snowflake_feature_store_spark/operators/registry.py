@@ -34,38 +34,43 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # round 8, part 1: keys whose code paths changed THIS round —
-    # q_rfm's exact ntile rerouted through ranks.global_ntile (de-weak),
-    # and the ranks.py layout-guard touches the global ordering keys
+    # ---- round 9 rotation (15 + 9 + 26 = the 50-key driver cap) ----
+    # part 1 (15): keys whose code changed THIS round — the 8
+    # de-broadcast keys (forced customer/supplier/part hints removed,
+    # VERDICT r8 finding 1), the BPE empty-doc parity fix, the new
+    # portable IVF probe, the ranks.py fallback change (q_rfm /
+    # global rank / ntile route through ranks._ranked), and the
+    # graph.py subplan-registration touch (clusters / corpus stats)
+    "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like", "q_tpch_q15like",
+    "q_tpch_q18like", "q_tpch_q19like", "q_tpch_q21like", "q_pagerank",
+    "q_bpe_segment", "q_sim_ivf_portable",
     "q_rfm", "q_global_rank", "q_global_ntile",
-    "q_multimodal_decode", "q_multimodal_meta",
-    # part 2: the 9 keys whose latest driver record is r4 (oldest)
-    "q_agg_approx", "q_percentile", "q_funnel", "q_hopping",
-    "q_retention", "q_scd2_multi", "q_text_repetition",
-    "q_fingerprint_winnow",
-    # part 3: the r5-dated keys (9 trivial scalar/projection keys —
-    # q_arith_expr, q_case_when, q_cross_join, q_distinct,
-    # q_filter_false, q_scan_project, q_null_handling, q_num_fns,
-    # q_unpivot — were DEMOTED to make room for the second-wave keys
-    # below; r9 MUST promote them, they will be 4 rounds stale)
-    "q_agg_multi", "q_array_agg",
-    "q_dedup_simhash",
-    "q_filter_pred", "q_fingerprint", "q_groupby_agg", "q_grouping_sets",
-    "q_join_equi", "q_join_full", "q_lang_id", "q_lang_id_conf",
-    "q_multimodal_frames", "q_multimodal_resize",
-    "q_scd2_history", "q_stats_moments",
-    "q_tpch_q10like", "q_tpch_q4like",
-    # part 4: new round-8 keys land here (keep total ≤ 50); the
-    # remaining slots absorb r6-dated keys next round per the cycle
-    "q_dedup_embed_portable",
-    "q_tpch_q6like", "q_tpch_q12like", "q_tpch_q15like", "q_tpch_q18like",
-    "q_tpch_q19like", "q_tpch_q21like", "q_quantile_sketch",
-    "q_heavy_hitters_sketch", "q_epoch_shuffle",
-    # part 5: round-8 second wave (relational4.py — all new, never
-    # driver-recorded)
-    "q_kmv_sketch", "q_kmv_jaccard", "q_gap_fill", "q_feature_drift",
-    "q_join_skew_salted", "q_token_pmi", "q_bpe_segment",
-    "q_ewma_decay", "q_event_corr", "q_pagerank",
+    "q_dedup_clusters", "q_corpus_dedup_stats",
+    # part 2 (9): the r5-dated trivial keys — 4 rounds stale, the
+    # oldest records in the ledger (demoted in r8 per the cycle note)
+    "q_arith_expr", "q_case_when", "q_cross_join", "q_distinct",
+    "q_filter_false", "q_scan_project", "q_null_handling", "q_num_fns",
+    "q_unpivot",
+    # part 3 (6): the round-9 NEW keys (relational5.py — never
+    # driver-recorded, so they outrank stale-but-green keys)
+    "q_bloom_filter", "q_event_transitions", "q_attribution",
+    "q_doc_surprisal", "q_vocab_coverage", "q_kmv_setops",
+    # part 4 (20): r6-dated keys, highest-risk families first (FV
+    # machinery, dedup, similarity). The remaining 26 r6-dated keys
+    # (join_asof/fwd, knn_join, sample_split/stratified/temperature,
+    # embed_centroid/outliers/quantize, event_dedup, filter_funnel,
+    # ngram_freq, pack_*, pii_scan, sample_to_mix, session_window,
+    # text_quality/search/stats, token_count/rarity, tpch_q13/q17like,
+    # vocab_build, window_nav) plus the 47 r7-dated keys are ROUND 10's
+    # promotion set — at 159 keys a full pass takes three rounds at
+    # the 50 cap.
+    "q_fv_chain", "q_fv_latest_snapshot", "q_fv_managed_read",
+    "q_fv_profile", "q_fv_static_read", "q_generate_dataset",
+    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram", "q_dedup_chunks",
+    "q_dedup_cross_source", "q_dedup_embed", "q_contamination",
+    "q_domain_mix",
+    "q_sim_topk", "q_sim_topk_fast", "q_sim_ann_lsh", "q_sim_ivf",
+    "q_sim_range", "q_text_embed_join",
 )
 
 
@@ -106,6 +111,12 @@ def _try_ext_modules() -> None:
         from . import relational4
 
         ordered.append(relational4)
+    except ImportError:
+        pass
+    try:
+        from . import relational5
+
+        ordered.append(relational5)
     except ImportError:
         pass
     _MODULES = ordered + [m for m in [relational2, relational] if m not in ordered]

@@ -1,0 +1,681 @@
+"""Relational query surface, part 5 — round-9 capability wave.
+
+Same contract as ``relational.py``..``relational4.py``: DataFrame-first
+Spark implementations with DuckDB oracle twins (identical aliases both
+sides, decimal-exact double aggregation, deterministic output). This
+wave adds the classic large-pipeline support operators still missing
+from SURVEY.md §2's LLM-data-pipeline families:
+
+- a RELATIONAL Bloom filter (build = bit_or agg to a words table,
+  probe = broadcast join) — the semi-join prefilter a 100 TB
+  contamination / membership pass runs before any exact join;
+- Markov event-transition matrices and first/last-touch attribution —
+  the sequence features a behavioral feature store serves;
+- integer SURPRISAL scoring (bits-per-token under the corpus unigram
+  model) — the exact-arithmetic cousin of perplexity filtering;
+- vocabulary coverage cut points — the tokenizer-design query;
+- KMV set-operation estimates (union / difference / containment)
+  completing the q_kmv_jaccard family.
+
+Reference frame: the reference's feature-view bodies are arbitrary
+SELECTs over sources (/root/reference/macros/materializations/
+feature_view.sql:126); these keys pin the plan shapes those bodies
+imply at warehouse scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Relational Bloom filter — build (bit_or agg) + probe (broadcast join)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 16384
+_BLOOM_WORD = 32  # bits per word: max shift 31 — DuckDB << overflows at 63
+_BLOOM_D = 3
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership in PURE RELATIONAL form, ORACLE-GATED:
+    build a 16384-bit / 3-hash Bloom filter over the distinct word-8-
+    grams of the benchmark slice (``doc_id % 10 == 0`` — the
+    q_contamination holdout convention), probe every distinct 8-gram of
+    the REST of the corpus against it, and report the confusion
+    counts — including ``f_missed``, which the Bloom guarantee pins to
+    0 (no false negatives, hash-checked, not just asserted). True
+    members exist (the corpus carries cross-slice near-dups) and so do
+    false positives (the filter is sized for a measurable FPR), so
+    every output cell is informative.
+
+    The filter is a (word, bits) table: bit position = salted-md5 hash
+    mod 16384, split into 512 × 32-bit words (32-bit words because a
+    ``1 << 63`` overflows DuckDB's BIGINT shift — NOTES invariant),
+    built with a map-side-combinable ``bit_or`` aggregation. The probe
+    joins the 512-row sketch BROADCAST and checks all 3 bits.
+
+    Scale: this is the semi-join prefilter a decontamination pass runs
+    BEFORE q_contamination's exact gram join — at 100 TB the benchmark
+    scan reduces to a KB-scale bitmask that ships to every executor,
+    and the exact join runs only on Bloom positives (the FPR is the
+    wasted-work rate, reported as data). Build and probe are each one
+    pass, no data-scale shuffle beyond the distinct."""
+    d = _t(spark, sf_dir, "documents")
+    toks8 = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 8)
+    grams = toks8.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(t) - 8),"
+                " i -> array_join(slice(t, i + 1, 8), ' ')))"
+            )
+        ).alias("tok"),
+    )
+    member = grams.filter(F.col("doc_id") % 10 == 0).select("tok").distinct()
+    cand = grams.filter(F.col("doc_id") % 10 != 0).select("tok").distinct()
+    salts = spark.createDataFrame([(i,) for i in range(_BLOOM_D)], "s INT")
+
+    bitpos = F.expr(
+        "CAST(conv(substring(md5(concat('bloom', CAST(s AS STRING), ':',"
+        f" tok)), 1, 8), 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(salts))
+            .withColumn("_bit", bitpos)
+            .select(
+                "tok",
+                "s",
+                (F.col("_bit") / _BLOOM_WORD).cast("long").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(_bit % {_BLOOM_WORD} AS INT))"
+                ).alias("mask"),
+            )
+        )
+
+    bloom = hashed(member).groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("bw")
+    )
+    probe = (
+        hashed(cand)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("tok")
+        .agg(
+            F.min(
+                (
+                    F.coalesce(F.col("bw"), F.lit(0)).bitwiseAND(F.col("mask"))
+                    == F.col("mask")
+                ).cast("int")
+            ).alias("_pos")
+        )
+    )
+    truth = member.select(F.col("tok"), F.lit(1).alias("_mem"))
+    joined = probe.join(truth, "tok", "left").select(
+        "tok", "_pos", F.coalesce(F.col("_mem"), F.lit(0)).alias("_mem")
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("f_candidates"),
+        F.sum("_mem").cast("long").alias("f_true_members"),
+        F.sum("_pos").cast("long").alias("f_bloom_positives"),
+        F.sum(
+            F.when((F.col("_pos") == 1) & (F.col("_mem") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("f_false_positives"),
+        F.sum(
+            F.when((F.col("_pos") == 0) & (F.col("_mem") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("f_missed"),
+    )
+
+
+ORACLE["q_bloom_filter"] = f"""
+    WITH tokd AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 6),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')
+               ))) AS tok
+        FROM tokd WHERE len(t) >= 8
+    ),
+    member AS (SELECT DISTINCT tok FROM g WHERE doc_id % 10 = 0),
+    cand AS (SELECT DISTINCT tok FROM g WHERE doc_id % 10 <> 0),
+    salts(s) AS (VALUES (0), (1), (2)),
+    mh AS (
+        SELECT tok, s,
+               ('0x' || substr(md5('bloom' || CAST(s AS VARCHAR) || ':' || tok),
+                               1, 8))::BIGINT % {_BLOOM_BITS} AS bit
+        FROM member, salts
+    ),
+    bloom AS (
+        SELECT bit // {_BLOOM_WORD} AS word,
+               bit_or(1::BIGINT << CAST(bit % {_BLOOM_WORD} AS INT)) AS bw
+        FROM mh GROUP BY bit // {_BLOOM_WORD}
+    ),
+    ch AS (
+        SELECT tok, s,
+               ('0x' || substr(md5('bloom' || CAST(s AS VARCHAR) || ':' || tok),
+                               1, 8))::BIGINT % {_BLOOM_BITS} AS bit
+        FROM cand, salts
+    ),
+    probe AS (
+        SELECT ch.tok,
+               MIN(CASE WHEN (COALESCE(b.bw, 0)
+                              & (1::BIGINT << CAST(ch.bit % {_BLOOM_WORD} AS INT)))
+                             = (1::BIGINT << CAST(ch.bit % {_BLOOM_WORD} AS INT))
+                        THEN 1 ELSE 0 END) AS _pos
+        FROM ch LEFT JOIN bloom b ON ch.bit // {_BLOOM_WORD} = b.word
+        GROUP BY ch.tok
+    ),
+    joined AS (
+        SELECT p.tok, p._pos,
+               CASE WHEN m.tok IS NULL THEN 0 ELSE 1 END AS _mem
+        FROM probe p LEFT JOIN member m ON p.tok = m.tok
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS f_candidates,
+           CAST(SUM(_mem) AS BIGINT) AS f_true_members,
+           CAST(SUM(_pos) AS BIGINT) AS f_bloom_positives,
+           CAST(SUM(CASE WHEN _pos = 1 AND _mem = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_false_positives,
+           CAST(SUM(CASE WHEN _pos = 0 AND _mem = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_missed
+    FROM joined
+"""
+QUERIES["q_bloom_filter"] = q_bloom_filter
+
+
+# ---------------------------------------------------------------------------
+# Markov event-transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + probabilities over each
+    user's time-ordered event stream — the behavioral sequence feature
+    (next-action prediction priors, funnel leak detection). Total order
+    inside a user: (ts, event_id) — event_id is unique, so the lead is
+    deterministic and the key hash-gates.
+
+    Scale: ONE window partitioned by user_id (per-user history is
+    bounded; never an unpartitioned window) + a map-side-combinable agg
+    to the (src, dst) key (≤ |event_type|² groups). The probability is
+    a final double division of exact BIGINT counts."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("_nxt", F.lead("event_type").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("f_src"), F.col("_nxt").alias("f_dst")
+        )
+        .agg(F.count("*").cast("long").alias("f_cnt"))
+    )
+    tot = pairs.groupBy("f_src").agg(F.sum("f_cnt").cast("long").alias("_tot"))
+    return pairs.join(tot, "f_src").select(
+        "f_src",
+        "f_dst",
+        "f_cnt",
+        (F.col("f_cnt").cast("double") / F.col("_tot").cast("double")).alias(
+            "f_prob"
+        ),
+    )
+
+
+ORACLE["q_event_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS _nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS f_src, _nxt AS f_dst,
+               CAST(COUNT(*) AS BIGINT) AS f_cnt
+        FROM seq WHERE _nxt IS NOT NULL
+        GROUP BY event_type, _nxt
+    ),
+    tot AS (
+        SELECT f_src, CAST(SUM(f_cnt) AS BIGINT) AS _tot
+        FROM pairs GROUP BY f_src
+    )
+    SELECT p.f_src, p.f_dst, p.f_cnt,
+           CAST(p.f_cnt AS DOUBLE) / CAST(t._tot AS DOUBLE) AS f_prob
+    FROM pairs p JOIN tot t ON p.f_src = t.f_src
+"""
+QUERIES["q_event_transitions"] = q_event_transitions
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: every purchase is
+    attributed to the user's FIRST and LAST non-purchase touch inside
+    the preceding 7 days; output is the (first_touch, last_touch) →
+    (conversions, value) matrix. Purchases with no touch in the window
+    attribute to '(none)'. Deterministic: the touch order inside a
+    purchase is the total order (ts, event_id).
+
+    Scale: the touch join shuffles BOTH sides on user_id once and the
+    range predicate evaluates inside the join — per-user histories are
+    bounded, so the pair set is bounded per user; the two row_number
+    windows partition by purchase event_id (per-purchase candidate
+    sets — 7 days of one user's events, never data-sized). The value
+    sum runs through DECIMAL(28,6) (exactness invariant)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("_pid"),
+        F.col("user_id").alias("_pu"),
+        F.col("ts").alias("_pts"),
+        F.col("value").alias("_pval"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("_tu"),
+        F.col("ts").alias("_tts"),
+        F.col("event_id").alias("_tid"),
+        F.col("event_type").alias("_ttype"),
+    )
+    cand = p.join(
+        t,
+        (F.col("_pu") == F.col("_tu"))
+        & (F.col("_tts") < F.col("_pts"))
+        & (F.col("_tts") >= F.expr("_pts - INTERVAL 7 DAYS")),
+    )
+    wf = Window.partitionBy("_pid").orderBy(
+        F.col("_tts").asc(), F.col("_tid").asc()
+    )
+    wl = Window.partitionBy("_pid").orderBy(
+        F.col("_tts").desc(), F.col("_tid").desc()
+    )
+    fl = (
+        cand.withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rl", F.row_number().over(wl))
+        .filter((F.col("_rf") == 1) | (F.col("_rl") == 1))
+        .groupBy("_pid")
+        .agg(
+            F.max(F.when(F.col("_rf") == 1, F.col("_ttype"))).alias("_first"),
+            F.max(F.when(F.col("_rl") == 1, F.col("_ttype"))).alias("_last"),
+        )
+    )
+    attributed = p.join(fl, "_pid", "left").select(
+        F.coalesce(F.col("_first"), F.lit("(none)")).alias("f_first_touch"),
+        F.coalesce(F.col("_last"), F.lit("(none)")).alias("f_last_touch"),
+        F.col("_pval"),
+    )
+    return attributed.groupBy("f_first_touch", "f_last_touch").agg(
+        F.count("*").cast("long").alias("f_conversions"),
+        F.sum(F.col("_pval").cast(_DEC)).cast("double").alias("f_value"),
+    )
+
+
+ORACLE["q_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS _pid, user_id AS _pu, ts AS _pts, value AS _pval
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id AS _tu, ts AS _tts, event_id AS _tid,
+               event_type AS _ttype
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    cand AS (
+        SELECT p._pid, t._tts, t._tid, t._ttype,
+               ROW_NUMBER() OVER (PARTITION BY p._pid
+                                  ORDER BY t._tts ASC, t._tid ASC) AS _rf,
+               ROW_NUMBER() OVER (PARTITION BY p._pid
+                                  ORDER BY t._tts DESC, t._tid DESC) AS _rl
+        FROM p JOIN t
+          ON p._pu = t._tu
+         AND t._tts < p._pts
+         AND t._tts >= p._pts - INTERVAL 7 DAY
+    ),
+    fl AS (
+        SELECT _pid,
+               MAX(CASE WHEN _rf = 1 THEN _ttype END) AS _first,
+               MAX(CASE WHEN _rl = 1 THEN _ttype END) AS _last
+        FROM cand WHERE _rf = 1 OR _rl = 1
+        GROUP BY _pid
+    )
+    SELECT COALESCE(fl._first, '(none)') AS f_first_touch,
+           COALESCE(fl._last, '(none)') AS f_last_touch,
+           CAST(COUNT(*) AS BIGINT) AS f_conversions,
+           CAST(SUM(CAST(p._pval AS DECIMAL(28,6))) AS DOUBLE) AS f_value
+    FROM p LEFT JOIN fl ON p._pid = fl._pid
+    GROUP BY COALESCE(fl._first, '(none)'), COALESCE(fl._last, '(none)')
+"""
+QUERIES["q_attribution"] = q_attribution
+
+
+# ---------------------------------------------------------------------------
+# Integer surprisal scoring (bits-per-token quality signal)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram SURPRISAL quality score, ORACLE-GATED: each token's
+    information content is approximated by ⌊log2⌊N/c⌋⌋ bits (N = corpus
+    token count, c = the token's corpus frequency) — the pure-integer
+    spelling ``length(bin(N DIV c)) − 1`` both engines share (the HDR
+    octave trick; IEEE log2 is never correctly-rounded cross-engine,
+    so real log-prob perplexity can only be rows-only). Per document:
+    total bits, token count, bits-per-token — rare-vocab/gibberish
+    documents score HIGH, templated/boilerplate docs LOW; the CCNet-
+    style quality-filter signal with a hash-checkable estimator.
+
+    Scale: the frequency dictionary is |vocab|-sized and BROADCASTS
+    into the token stream (the skewed token key never shuffles —
+    q_token_rarity's discipline); N is a 1-row broadcast; the per-doc
+    agg is map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
+    n = freq.agg(F.sum("tf").cast("long").alias("_N"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_bits", F.expr("CAST(length(bin(_N DIV tf)) - 1 AS BIGINT)")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("f_n_toks"),
+        F.sum("_bits").cast("long").alias("f_bits"),
+        (F.sum("_bits").cast("double") / F.count("*").cast("double")).alias(
+            "f_bits_per_tok"
+        ),
+    )
+
+
+ORACLE["q_doc_surprisal"] = """
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(SUM(tf) AS BIGINT) AS _N FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS f_n_toks,
+           CAST(SUM(length(bin(n._N // f.tf)) - 1) AS BIGINT) AS f_bits,
+           CAST(SUM(length(bin(n._N // f.tf)) - 1) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS f_bits_per_tok
+    FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN n
+    GROUP BY t.doc_id
+"""
+QUERIES["q_doc_surprisal"] = q_doc_surprisal
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage cut points
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design query, ORACLE-GATED: the smallest frequency-
+    ranked vocabulary covering 50% / 90% / 99% of corpus token mass
+    (rank order: count desc, token asc — total, so the cumulative sums
+    hash-gate). The coverage test is INTEGER (cum·100 ≥ pct·N): no
+    float threshold ever feeds the row selection (CLAUDE.md
+    invariant).
+
+    Scale note: the running-sum window is unpartitioned BUT runs on
+    the frequency dictionary, which is |vocab|-sized (bounded — the
+    HDR 'bounded bucket universe' precedent), never on the corpus; the
+    corpus-scale work is one map-side-combinable token count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = freq.select(
+        "tok",
+        "cnt",
+        F.row_number().over(wr).cast("long").alias("_rank"),
+        F.sum("cnt").over(w).cast("long").alias("_cum"),
+    )
+    tot = freq.agg(F.sum("cnt").cast("long").alias("_N"))
+    pcts = spark.createDataFrame([(50,), (90,), (99,)], "f_pct LONG")
+    cut = (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("_cum") * 100 >= F.col("f_pct") * F.col("_N"))
+        .groupBy("f_pct")
+        .agg(F.min("_rank").alias("f_vocab_size"))
+    )
+    return cut.join(
+        ranked.select(F.col("_rank").alias("f_vocab_size"), "_cum"),
+        "f_vocab_size",
+    ).select(
+        "f_pct", "f_vocab_size", F.col("_cum").alias("f_tokens_covered")
+    )
+
+
+ORACLE["q_vocab_coverage"] = """
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)
+                    AS BIGINT) AS _rank,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                                   ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS _cum
+        FROM freq
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _N FROM freq),
+    pcts(f_pct) AS (VALUES (CAST(50 AS BIGINT)), (90), (99)),
+    cut AS (
+        SELECT p.f_pct, MIN(r._rank) AS f_vocab_size
+        FROM ranked r CROSS JOIN tot CROSS JOIN pcts p
+        WHERE r._cum * 100 >= p.f_pct * tot._N
+        GROUP BY p.f_pct
+    )
+    SELECT c.f_pct, c.f_vocab_size, r._cum AS f_tokens_covered
+    FROM cut c JOIN ranked r ON c.f_vocab_size = r._rank
+"""
+QUERIES["q_vocab_coverage"] = q_vocab_coverage
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (union / difference / containment)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = 1 << 32
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA, oracle-gated — completes q_kmv_jaccard: per
+    event-type pair, estimated |A∪B| (the KMV estimator over the
+    merged k-min set), |A∩B| (union estimate × the in-both fraction of
+    the union sample), |A\\\\B| (inclusion–exclusion against the
+    per-type estimate), and the CONTAINMENT |A∩B|/|A| in ppm — the
+    asymmetric 'is shard A inside shard B' signal exact Jaccard can't
+    give. Every estimator step is BIGINT multiply + DIV (the
+    q_kmv_jaccard discipline), so DuckDB replays it bit-for-bit.
+
+    Scale: sketches are ≤ k rows per type; the pair stage is group-
+    count-sized. The only data-scale pass builds the per-type sketches
+    (one distinct + bounded two-stage windows)."""
+    from ..functions import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = SK.kmv_sketch_by_key(ev, ["event_type"], "user_id", k=_KMV_K)
+    est = SK.kmv_estimate(sk, ["event_type"], k=_KMV_K, out_col="_est")
+
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("f_a"),
+            F.col("b.event_type").alias("f_b"),
+        )
+    )
+    u = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col("event_type") == F.col("f_a"))
+            | (F.col("event_type") == F.col("f_b")),
+        )
+        .groupBy("f_a", "f_b", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("f_a")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("f_b")).cast("int")).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("f_a", "f_b").orderBy("h")
+    kk = u.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _KMV_K
+    )
+    agg = kk.groupBy("f_a", "f_b").agg(
+        F.count("*").cast("long").alias("_denom"),
+        F.max("h").cast("long").alias("_hk"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long"))
+        .cast("long")
+        .alias("_both"),
+    )
+    union_est = F.when(F.col("_denom") < _KMV_K, F.col("_denom")).otherwise(
+        F.expr(
+            f"CAST(({_KMV_K} - 1) * {_KMV_SPACE} DIV greatest(_hk, 1)"
+            " AS BIGINT)"
+        )
+    )
+    ea = est.select(F.col("event_type").alias("f_a"), F.col("_est").alias("_ea"))
+    eb = est.select(F.col("event_type").alias("f_b"), F.col("_est").alias("_eb"))
+    scored = (
+        agg.withColumn("f_union_est", union_est.cast("long"))
+        .withColumn(
+            "f_inter_est",
+            F.expr("CAST(f_union_est * _both DIV _denom AS BIGINT)"),
+        )
+        .join(F.broadcast(ea), "f_a")
+        .join(F.broadcast(eb), "f_b")
+    )
+    return scored.select(
+        "f_a",
+        "f_b",
+        "f_union_est",
+        "f_inter_est",
+        F.expr(
+            "CAST(greatest(f_union_est - _eb, CAST(0 AS BIGINT)) AS BIGINT)"
+        ).alias("f_diff_ab_est"),
+        F.expr(
+            "CAST(f_inter_est * 1000000 DIV greatest(_ea, 1) AS BIGINT)"
+        ).alias("f_containment_a_ppm"),
+    )
+
+
+ORACLE["q_kmv_setops"] = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                    ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // GREATEST(MAX(h), 1)
+                    END AS BIGINT) AS _est
+        FROM sk GROUP BY event_type
+    ),
+    types AS (SELECT DISTINCT event_type FROM sk),
+    pairs AS (
+        SELECT a.event_type AS f_a, b.event_type AS f_b
+        FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    u AS (
+        SELECT p.f_a, p.f_b, s.h,
+               MAX(CASE WHEN s.event_type = p.f_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.event_type = p.f_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s
+          ON s.event_type = p.f_a OR s.event_type = p.f_b
+        GROUP BY p.f_a, p.f_b, s.h
+    ),
+    kk AS (
+        SELECT f_a, f_b, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY f_a, f_b ORDER BY h) AS rn
+        FROM u
+    ),
+    agg AS (
+        SELECT f_a, f_b,
+               CAST(COUNT(*) AS BIGINT) AS _denom,
+               CAST(MAX(h) AS BIGINT) AS _hk,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS _both
+        FROM kk WHERE rn <= {_KMV_K}
+        GROUP BY f_a, f_b
+    ),
+    scored AS (
+        SELECT f_a, f_b, _denom, _both,
+               CAST(CASE WHEN _denom < {_KMV_K} THEN _denom
+                    ELSE ({_KMV_K} - 1) * {_KMV_SPACE} // GREATEST(_hk, 1)
+                    END AS BIGINT) AS f_union_est
+        FROM agg
+    )
+    SELECT s.f_a, s.f_b, s.f_union_est,
+           CAST(s.f_union_est * s._both // s._denom AS BIGINT) AS f_inter_est,
+           CAST(GREATEST(s.f_union_est - eb._est, 0) AS BIGINT)
+               AS f_diff_ab_est,
+           CAST((s.f_union_est * s._both // s._denom) * 1000000
+                // GREATEST(ea._est, 1) AS BIGINT) AS f_containment_a_ppm
+    FROM scored s
+    JOIN est ea ON ea.event_type = s.f_a
+    JOIN est eb ON eb.event_type = s.f_b
+"""
+QUERIES["q_kmv_setops"] = q_kmv_setops

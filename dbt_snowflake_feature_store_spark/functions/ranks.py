@@ -30,10 +30,13 @@ from pyspark.sql import functions as F
 
 from ..plans import inspect as plan_inspect
 
-# session-id → resolved fallback partition count, so a non-integer
+# applicationId → resolved fallback partition count, so a non-integer
 # spark.sql.shuffle.partitions (e.g. 'auto') pays the plan-to-RDD
 # conversion probe at most once per session, not once per rank pass.
-_FALLBACK_PARTS: dict[int, int] = {}
+# Keyed by applicationId (unique per SparkContext), NOT id(spark):
+# CPython reuses object ids after GC, so an id-keyed cache could hand a
+# new session a stopped session's stale count.
+_FALLBACK_PARTS: dict[str, int] = {}
 
 
 def _resolve_shuffle_partitions(spark) -> int:
@@ -41,7 +44,7 @@ def _resolve_shuffle_partitions(spark) -> int:
     try:
         return int(conf)
     except (TypeError, ValueError):  # e.g. 'auto' on some platforms
-        key = id(spark)
+        key = spark.sparkContext.applicationId
         if key not in _FALLBACK_PARTS:
             _FALLBACK_PARTS[key] = max(
                 1, spark.sparkContext.defaultParallelism
@@ -54,6 +57,8 @@ def _ranked(
     order: Sequence[str | Column],
     out_col: str,
     num_partitions: int | None,
+    sum_value: str | None = None,
+    sum_out: str | None = None,
 ) -> tuple[DataFrame, int]:
     """(globally ranked frame, total rows). ONE range exchange total:
     after ``repartitionByRange`` + ``sortWithinPartitions``, the local
@@ -88,17 +93,20 @@ def _ranked(
     # record number): for every partition the min/max mid must span
     # exactly [pid·2³³, pid·2³³ + n - 1]. A Spark version changing the
     # layout fails loudly here instead of silently corrupting ranks.
-    sizes = {}
-    for r in (
-        ranged.groupBy("_fs_pid")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("_fs_mid").alias("lo"),
-            F.max("_fs_mid").alias("hi"),
-        )
-        .collect()
-    ):
+    sizes, part_sums = {}, {}
+    aggs = [
+        F.count("*").alias("n"),
+        F.min("_fs_mid").alias("lo"),
+        F.max("_fs_mid").alias("hi"),
+    ]
+    if sum_value is not None:
+        # exact only for integral value columns — the driver-side prefix
+        # below adds Python ints, so callers pass BIGINT counts/masses
+        aggs.append(F.sum(F.col(sum_value).cast("long")).alias("s"))
+    for r in ranged.groupBy("_fs_pid").agg(*aggs).collect():
         pid, n = r["_fs_pid"], r["n"]
+        if sum_value is not None:
+            part_sums[pid] = r["s"] or 0
         base = pid * (1 << 33)
         if r["lo"] != base or r["hi"] != base + n - 1 or n > (1 << 33):
             raise RuntimeError(
@@ -116,8 +124,33 @@ def _ranked(
     local = F.col("_fs_mid") - F.col("_fs_pid").cast("long") * F.lit(1 << 33)
     out = ranged.withColumn(
         out_col, (local + off[F.col("_fs_pid")] + 1).cast("long")
-    ).drop("_fs_pid", "_fs_mid")
-    return out, acc
+    )
+    if sum_value is not None:
+        # exclusive prefix of per-range-partition sums (P driver ints,
+        # same bounded collect as the sizes) + a PARTITIONED local
+        # running sum. The window is keyed by the range-partition id —
+        # P parallel tasks, never the unpartitioned single-task global
+        # window this module exists to avoid.
+        sum_offsets, s_acc = {}, 0
+        for pid in sorted(sizes):
+            sum_offsets[pid] = s_acc
+            s_acc += part_sums[pid]
+        soff = F.create_map(
+            *[F.lit(x) for kv in sum_offsets.items() for x in kv]
+        )
+        wloc = (
+            Window.partitionBy("_fs_pid")
+            .orderBy("_fs_mid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            sum_out,
+            (
+                F.sum(F.col(sum_value).cast("long")).over(wloc)
+                + soff[F.col("_fs_pid")]
+            ).cast("long"),
+        )
+    return out.drop("_fs_pid", "_fs_mid"), acc
 
 
 def global_row_number(
@@ -132,6 +165,33 @@ def global_row_number(
     stage is a per-range-partition local sort; driver traffic is one
     P-row size collect."""
     out, _ = _ranked(df, order, out_col, num_partitions)
+    return out
+
+
+def global_running_sum(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value_col: str,
+    rank_col: str = "global_rank",
+    sum_col: str = "global_running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER()`` + ``SUM(value) OVER (ORDER BY …
+    ROWS UNBOUNDED PRECEDING)`` without an unpartitioned window — the
+    distributed spelling of a frequency-ranked cumulative distribution
+    (vocabulary coverage cuts, Lorenz/head-mass curves).
+
+    Same range-exchange machinery as ``global_row_number``; the running
+    sum adds (a) per-range-partition sums to the SAME bounded P-row
+    collect, prefix-summed driver-side, and (b) a window PARTITIONED by
+    the range-partition id for the local running component — P parallel
+    tasks, each over one contiguous key range. ``value_col`` must be an
+    integral column (cast to BIGINT internally; the driver-side prefix
+    adds exact Python ints). ``order`` must be a TOTAL order."""
+    out, _ = _ranked(
+        df, order, rank_col, num_partitions,
+        sum_value=value_col, sum_out=sum_col,
+    )
     return out
 
 

@@ -412,6 +412,30 @@ def distinct_over_time(
 # while per-micro-batch state stays one count per surviving hash.
 # ---------------------------------------------------------------------------
 
+def kmv_tuned_threshold(
+    k: int = KMV_K,
+    expected_min_distinct: int = KMV_K,
+    safety: float = 4.0,
+) -> int:
+    """The tuned hash threshold T = space·(safety·k / n_min) for
+    :func:`kmv_threshold_sql`: keeps E[n·T/space] = safety·k·(n/n_min)
+    rows per group — O(k) state for every group with ≥
+    ``expected_min_distinct`` distinct values, while groups sparser
+    than n_min keep everything (exact regime). Pass the SMALLEST
+    per-group distinct cardinality you expect at steady state; the
+    default n_min = k disables the filter (T = space), which is the
+    honest untuned behavior — BOUNDED state requires the caller to
+    assert an n_min, there is no free lunch."""
+    if k < 1 or expected_min_distinct < 1 or safety <= 0:
+        raise ValueError(
+            "kmv_tuned_threshold: k, expected_min_distinct >= 1 and "
+            f"safety > 0 required (got {k}, {expected_min_distinct}, "
+            f"{safety})"
+        )
+    t = int(_KMV_SPACE * min(1.0, safety * k / expected_min_distinct))
+    return max(1, t)
+
+
 def kmv_threshold_sql(
     source: str,
     keys: Sequence[str],
@@ -424,7 +448,14 @@ def kmv_threshold_sql(
     the streaming-maintainable form of :func:`kmv_sketch_by_key`
     (hash spelling identical to :func:`kmv_hash`). Columns: keys…, h,
     f_cnt (the count is what makes it a keyed aggregation the
-    update-mode merge path maintains; reads ignore it)."""
+    update-mode merge path maintains; reads ignore it).
+
+    State bound: the DEFAULT threshold (space/2) keeps ~HALF of all
+    distinct hashes per group — O(n_distinct) state, the untuned
+    worst case. 'Per-group state bounded by construction' ONLY holds
+    at a tuned T; derive one with
+    ``kmv_tuned_threshold(k, expected_min_distinct)`` and pass it
+    here."""
     ks = ", ".join(keys)
     h = (
         f"CAST(conv(substring(md5(concat('{salt}', CAST({col} AS STRING))),"

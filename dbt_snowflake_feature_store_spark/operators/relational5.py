@@ -222,8 +222,17 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE window partitioned by user_id (per-user history is
     bounded; never an unpartitioned window) + a map-side-combinable agg
     to the (src, dst) key (≤ |event_type|² groups). The probability is
-    a final double division of exact BIGINT counts."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    a final double division of exact BIGINT counts.
+
+    NULL-ts rows are filtered on BOTH sides before the window: Spark
+    orders ASC NULLS FIRST, DuckDB NULLS LAST — without the filter a
+    future ts-layout drift introducing NULLs would silently diverge
+    the lead() pairing between engines."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("ts").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -252,7 +261,7 @@ ORACLE["q_event_transitions"] = """
                LEAD(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ) AS _nxt
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
         SELECT event_type AS f_src, _nxt AS f_dst,
@@ -453,26 +462,28 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold ever feeds the row selection (CLAUDE.md
     invariant).
 
-    Scale note: the running-sum window is unpartitioned BUT runs on
-    the frequency dictionary, which is |vocab|-sized (bounded — the
-    HDR 'bounded bucket universe' precedent), never on the corpus; the
-    corpus-scale work is one map-side-combinable token count."""
+    Scale note: a whitespace-token vocabulary over a web-scale corpus
+    is 10⁸–10⁹ rows — NOT a bounded universe — so the rank + running
+    sum go through ``ranks.global_running_sum`` (range exchange →
+    parallel per-range local sorts → prefix-sum offsets from one
+    bounded P-row collect; the only window is PARTITIONED by the range
+    id). No unpartitioned window node anywhere (plan-asserted in
+    tests/test_scale_plans.py); the corpus-scale work is one
+    map-side-combinable token count."""
+    from ..functions.ranks import global_running_sum
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
-    w = (
-        Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wr = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    ranked = freq.select(
-        "tok",
-        "cnt",
-        F.row_number().over(wr).cast("long").alias("_rank"),
-        F.sum("cnt").over(w).cast("long").alias("_cum"),
-    )
+    ranked = global_running_sum(
+        freq,
+        [F.col("cnt").desc(), F.col("tok").asc()],
+        value_col="cnt",
+        rank_col="_rank",
+        sum_col="_cum",
+    ).select("tok", "cnt", "_rank", "_cum")
     tot = freq.agg(F.sum("cnt").cast("long").alias("_N"))
     pcts = spark.createDataFrame([(50,), (90,), (99,)], "f_pct LONG")
     cut = (

@@ -38,6 +38,65 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+_WDS_COMMIT = "_FS_COMMIT"
+
+
+def _shard_tars(d: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(d)
+        if f.startswith("shard-") and f.endswith(".tar")
+    )
+
+
+def _swap_in(out_dir: str, staging: str, token: str) -> None:
+    """Swap a COMMITTED staging dir into place. Every step is
+    idempotent, so :func:`recover_webdataset` can re-run it after a
+    crash at any point: (1) stale old tars (no same-named staged
+    replacement) move aside into ``_old-{token}``, (2) staged tars
+    ``os.rename`` into place — atomic per file, silently replacing the
+    same-named predecessor, (3) the old dir and the staging dir (with
+    its commit marker) are removed last."""
+    staged = set(_shard_tars(staging))
+    old_dir = os.path.join(out_dir, f"_old-{token}")
+    os.makedirs(old_dir, exist_ok=True)
+    for f in _shard_tars(out_dir):
+        if f not in staged:
+            os.rename(
+                os.path.join(out_dir, f), os.path.join(old_dir, f)
+            )
+    for f in sorted(staged):
+        os.rename(os.path.join(staging, f), os.path.join(out_dir, f))
+    shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_webdataset(out_dir: str) -> None:
+    """Repair an interrupted :func:`export_webdataset` (idempotent,
+    called automatically at the start of every export): a staging dir
+    WITH the commit marker holds a complete shard set — roll its swap
+    FORWARD; one without the marker is an aborted write — delete it
+    (the previous corpus is untouched by construction, the swap only
+    starts after the marker). Orphaned ``_old-*`` dirs from hard-killed
+    swaps are swept last. NOT safe to run concurrently with a live
+    export into the same dir (it would sweep the in-flight staging)."""
+    if not os.path.isdir(out_dir):
+        return
+    for s in sorted(os.listdir(out_dir)):
+        if not s.startswith("_staging-"):
+            continue
+        sp = os.path.join(out_dir, s)
+        if not os.path.isdir(sp):
+            continue
+        if os.path.exists(os.path.join(sp, _WDS_COMMIT)):
+            _swap_in(out_dir, sp, s.split("-", 1)[1])
+        else:
+            shutil.rmtree(sp, ignore_errors=True)
+    for o in sorted(os.listdir(out_dir)):
+        if o.startswith("_old-"):
+            shutil.rmtree(os.path.join(out_dir, o), ignore_errors=True)
+
+
 def _member_bytes(value, col: str) -> tuple[str, bytes]:
     """(extension, payload) for one column value."""
     if isinstance(value, (bytes, bytearray)):
@@ -76,12 +135,17 @@ def export_webdataset(
     # A re-export that yields fewer shards (fewer rows/partitions) must
     # not leave stale tars from the previous run mixed into the corpus —
     # but clearing up front would destroy the previous corpus if the
-    # distributed write then fails midway. Stage-and-swap instead
-    # (mirroring storage.ParquetSnapshotFormat.replace): write every
-    # shard into a fresh staging dir, and only after foreachPartition
-    # SUCCEEDS clear the old tars and rename the staged ones into place.
-    # A crash mid-write leaves the old corpus fully intact.
-    staging = os.path.join(out_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    # distributed write then fails midway. Commit-marker stage-and-swap
+    # (the ParquetSnapshotFormat.replace protocol, minus the directory
+    # atomicity its single-rename layout buys): shards land in a fresh
+    # staging dir; a _FS_COMMIT marker written AFTER foreachPartition
+    # certifies completeness; only then does the swap start, and every
+    # swap step is idempotent so a crash at ANY point is repaired by
+    # recover_webdataset (roll forward if marked, roll back if not).
+    # recover also sweeps staging/old orphans from hard-killed runs.
+    recover_webdataset(out_dir)
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(out_dir, f"_staging-{token}")
     os.makedirs(staging)
 
     def write_partition(rows) -> None:
@@ -119,20 +183,11 @@ def export_webdataset(
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    # success: swap — clear previous-run tars, move staged ones in
-    for f in os.listdir(out_dir):
-        if f.startswith("shard-") and f.endswith(".tar"):
-            os.unlink(os.path.join(out_dir, f))
-    for f in sorted(os.listdir(staging)):
-        os.rename(os.path.join(staging, f), os.path.join(out_dir, f))
-    os.rmdir(staging)
-    return len(
-        [
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("shard-") and f.endswith(".tar")
-        ]
-    )
+    # marker AFTER the data: its presence certifies a complete write
+    with open(os.path.join(staging, _WDS_COMMIT), "w") as f:
+        f.write(token)
+    _swap_in(out_dir, staging, token)
+    return len(_shard_tars(out_dir))
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:

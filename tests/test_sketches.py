@@ -397,3 +397,40 @@ def test_kmv_jaccard_tracks_exact_overlap(spark):
     for (a, b), j in est.items():
         exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
         assert abs(j - exact) <= 0.25, (a, b, j, exact)
+
+
+def test_kmv_tuned_threshold_bounds_state(spark):
+    """ADVICE r9: the default kmv_threshold_sql threshold (space/2)
+    keeps ~half of ALL distinct hashes — O(n_distinct) state. The
+    tuned T from kmv_tuned_threshold(k, n_min) must (a) keep O(k)
+    rows per group for groups with >= n_min distinct values, and (b)
+    leave the k-min read identical to the unfiltered sketch —
+    bottom-k composes with any keep-the-smallest filter."""
+    ev = _events(spark)
+    hashed = ev.select("event_type", SK.kmv_hash("event_id")).distinct()
+    n_min = min(
+        r["n"]
+        for r in hashed.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    k = 8
+    t = SK.kmv_tuned_threshold(k=k, expected_min_distinct=n_min)
+    kept = hashed.filter(F.col("h") < t)
+    per_group = {
+        r["event_type"]: r["n"]
+        for r in kept.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # O(k): safety=4 → expected ~4k·(n/n_min) rows; bound loosely
+    for g, n in per_group.items():
+        assert n <= 16 * k, (g, n)
+    assert sorted(
+        map(tuple, SK.kmv_kmin(kept, ["event_type"], k=k).collect())
+    ) == sorted(
+        map(tuple, SK.kmv_kmin(hashed, ["event_type"], k=k).collect())
+    )
+    # degenerate n_min → T = space (filter disabled), and validation
+    assert SK.kmv_tuned_threshold(k=4, expected_min_distinct=4) == SK._KMV_SPACE
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SK.kmv_tuned_threshold(k=0)

@@ -157,3 +157,70 @@ def test_failed_reexport_preserves_previous_corpus(spark, tmp_path, media_df):
     assert after == before  # old corpus intact, no staging leftovers
     assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
     assert read_webdataset(spark, out).select("key").distinct().count() == 30
+
+
+def test_recover_rolls_forward_committed_staging(spark, tmp_path, media_df):
+    """ADVICE r9: a crash AFTER the commit marker but before/during the
+    swap must roll FORWARD — the marked staging holds a complete shard
+    set. Simulate by hand-building the post-crash state: old corpus in
+    place, committed staging dir untouched, plus a half-moved _old dir."""
+    import shutil
+
+    from dbt_snowflake_feature_store_spark.sources.webdataset import (
+        _WDS_COMMIT,
+        recover_webdataset,
+    )
+
+    out = str(tmp_path / "wds_rf")
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )  # 6 tars = the "old" corpus
+    new_dir = str(tmp_path / "wds_new")
+    export_webdataset(
+        media_df.limit(4).repartition(1),
+        new_dir,
+        key_col="key",
+        samples_per_shard=5,
+    )  # 1 tar = the "new" generation
+    staging = os.path.join(out, "_staging-deadbeef0000")
+    os.makedirs(staging)
+    for f in os.listdir(new_dir):
+        shutil.copy(os.path.join(new_dir, f), os.path.join(staging, f))
+    with open(os.path.join(staging, _WDS_COMMIT), "w") as fh:
+        fh.write("deadbeef0000")
+    # a half-done old-move from the simulated crash
+    half = os.path.join(out, "_old-deadbeef0000")
+    os.makedirs(half)
+    victim = sorted(
+        f for f in os.listdir(out) if f.endswith(".tar")
+    )[-1]
+    os.rename(os.path.join(out, victim), os.path.join(half, victim))
+
+    recover_webdataset(out)
+    tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert len(tars) == 1  # the new generation won
+    assert not [d for d in os.listdir(out) if d.startswith(("_staging-", "_old-"))]
+    assert read_webdataset(spark, out).select("key").distinct().count() == 4
+    # idempotent: a second recover is a no-op
+    recover_webdataset(out)
+    assert [f for f in os.listdir(out) if f.endswith(".tar")] == tars
+
+
+def test_recover_sweeps_uncommitted_staging(spark, tmp_path, media_df):
+    """An UNCOMMITTED staging dir (hard-killed mid-write) is garbage:
+    the next export sweeps it and the old corpus survives verbatim."""
+    out = str(tmp_path / "wds_sweep")
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )
+    before = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    stale = os.path.join(out, "_staging-00000000dead")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "shard-99999-00000.tar"), "wb") as fh:
+        fh.write(b"partial garbage")
+    # re-export (same data): stale staging swept, corpus consistent
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )
+    assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
+    assert sorted(f for f in os.listdir(out) if f.endswith(".tar")) == before

@@ -248,6 +248,36 @@ def cm_sketch_by_key(
     )
 
 
+def cm_sketch_sql(
+    source: str,
+    keys: Sequence[str],
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> str:
+    """FV body SQL maintaining the per-key count-min sketch over
+    registered source ``source`` — the streaming-maintainable form of
+    :func:`cm_sketch_by_key` (hash spelling identical to
+    :func:`cm_hashes`). Columns: keys…, d, w, cnt. The (keys, d, w)
+    grain is a keyed aggregation the update-mode foreachBatch-MERGE
+    path maintains cell-exactly (counts ADD across arrivals — the
+    HDR/KMV streaming precedent), and unlike the KMV threshold table
+    the state is BOUNDED by construction: ≤ depth·width rows per key
+    group regardless of item cardinality."""
+    ks = ", ".join(keys)
+    cells = ", ".join(
+        "(CAST(conv(substring(md5(concat("
+        f"'cm{d}:', CAST({item_col} AS STRING))), 1, 8), 16, 10) "
+        f"AS BIGINT) % {int(width)})"
+        for d in range(depth)
+    )
+    return (
+        f"SELECT {ks}, pe.d, pe.w, COUNT(*) AS cnt FROM {source} "
+        f"LATERAL VIEW posexplode(array({cells})) pe AS d, w "
+        f"GROUP BY {ks}, pe.d, pe.w"
+    )
+
+
 def cm_rollup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """MERGE: counts add exactly — rolling per-slice sketches to a
     coarser key set introduces NO additional error."""

@@ -1082,3 +1082,245 @@ def _sim_ivf_portable_oracle() -> str:
 
 QUERIES["q_sim_ivf_portable"] = q_sim_ivf_portable
 ORACLE["q_sim_ivf_portable"] = _sim_ivf_portable_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Portable PQ probe — the hash-checked logic twin of the PQ/ADC read path
+# ---------------------------------------------------------------------------
+
+_PQP_M = 8        # subspaces (64 dims / 8 per subspace)
+_PQP_SUBDIM = 8
+_PQP_CODES = 16   # codewords per subspace
+_PQP_CAND = 50    # ADC candidate pool
+_PQP_TOPK = 10
+
+
+def _pq_portable_consts() -> tuple[
+    list[tuple[int, int, int, int]], list[tuple[int, int]], int
+]:
+    """(codebook rows (sub, code, dsub, c), query rows (d, qv), ‖q‖²)
+    — md5-derived micro-unit integers generated once in Python and
+    injected as LITERALS into BOTH engines (the _ivf_portable_consts
+    pattern). The ADC distance table is NOT precomputed here: both
+    engines derive it from the same codebook+query literals, so the
+    oracle gates the table build too.
+
+    Bounds (|x_µ| ≤ 6·10⁵ for embedding coords in [−0.6, 0.6];
+    |c|, |qv| ≤ 2.5·10⁵): encode per-dim (x−c)² ≤ 7.3·10¹¹ → 8-dim
+    subspace distance ≤ 5.9·10¹²; ADC per-(sub, code) cell ≤ 2·10¹²,
+    summed over 8 subspaces ≤ 1.6·10¹³; query dot ≤ 9.6·10¹² —
+    int64-exact in both engines and < 2⁵³, so int→double casts are
+    exact too."""
+    import hashlib
+
+    def h(s: str, mod: int) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % mod
+
+    cb = [
+        (s, k, d, h(f"pqc:{s}:{k}:{d}", 500001) - 250000)
+        for s in range(_PQP_M)
+        for k in range(_PQP_CODES)
+        for d in range(_PQP_SUBDIM)
+    ]
+    query = [
+        (d, h(f"pqq:{d}", 500001) - 250000)
+        for d in range(_PQP_M * _PQP_SUBDIM)
+    ]
+    nq = sum(q * q for _, q in query)
+    return cb, query, nq
+
+
+def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search, ORACLE-GATED end-to-end: fixed literal codebooks
+    → integer argmin sub-quantizer encoding (min-distance-then-min-code
+    ties, both engines) → the ADC distance table built IN-ENGINE from
+    the same literals (dt[sub][code] = ‖q_sub − c‖², integer) → summed
+    per-vector ADC distance → top-50 candidates by (adc, vec_id) →
+    exact integer dot re-rank, floor-rounded cosine, top-10. The
+    hash-checked logic twin of q_sim_pq (rows-only; PQIndex trains
+    data-dependent float codebooks no oracle can replay) — this key
+    pins encode, table build, ADC scan, and re-rank semantics.
+
+    Scale shape: encode is one explode (n·64 rows) → broadcast join
+    against the 1024-literal-row codebook → two map-side-combinable
+    aggs; the ADC scan touches only the CODES (m smallint columns per
+    vector in production — see PQIndex), never the raw vectors; the
+    re-rank join feeds a 50-row frame. No Python in any row path."""
+    cb_rows, q_rows, nq = _pq_portable_consts()
+    e = _emb(spark, sf_dir).filter(
+        F.size("embedding") == _PQP_M * _PQP_SUBDIM
+    )
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
+    el = base.select(
+        "vec_id", F.posexplode("_xq").alias("_d", "_x")
+    ).select(
+        "vec_id",
+        "_d",
+        "_x",
+        F.expr(f"_d div {_PQP_SUBDIM}").cast("int").alias("_sub"),
+        (F.col("_d") % _PQP_SUBDIM).cast("int").alias("_dsub"),
+    )
+    cb = spark.createDataFrame(
+        cb_rows, "sub INT, code INT, dsub INT, c LONG"
+    )
+    sdist = (
+        el.join(
+            F.broadcast(cb),
+            (el["_sub"] == cb["sub"]) & (el["_dsub"] == cb["dsub"]),
+        )
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    mind = sdist.groupBy("vec_id", "sub").agg(F.min("_d2").alias("_m"))
+    enc = (
+        sdist.join(mind, ["vec_id", "sub"])
+        .filter(F.col("_d2") == F.col("_m"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("code").alias("code"))
+    )
+    # ADC table from the SAME literals, in-engine: dt(sub, code)
+    qdf = spark.createDataFrame(q_rows, "d INT, qv LONG")
+    qsub = qdf.select(
+        F.expr(f"d div {_PQP_SUBDIM}").cast("int").alias("sub"),
+        (F.col("d") % _PQP_SUBDIM).cast("int").alias("dsub"),
+        "qv",
+    )
+    dt = (
+        cb.join(qsub, ["sub", "dsub"])
+        .groupBy("sub", "code")
+        .agg(
+            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+            .cast("long")
+            .alias("_dt")
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(dt), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("_dt").cast("long").alias("f_adc"))
+    )
+    cand = adc.orderBy(F.col("f_adc").asc(), F.col("vec_id").asc()).limit(
+        _PQP_CAND
+    )
+    dots = (
+        el.join(cand, "vec_id")
+        .join(F.broadcast(qdf), el["_d"] == qdf["d"])
+        .groupBy("vec_id", "f_adc")
+        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
+    )
+    return (
+        dots.join(base.select("vec_id", "_na"), "vec_id")
+        .select(
+            "vec_id",
+            "f_adc",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+                "f_cosine"
+            ),
+        )
+        .orderBy(F.col("f_cosine").desc(), F.col("vec_id").asc())
+        .limit(_PQP_TOPK)
+    )
+
+
+def _sim_pq_portable_oracle() -> str:
+    cb_rows, q_rows, nq = _pq_portable_consts()
+    cb_vals = ", ".join(f"({s}, {k}, {d}, {c})" for s, k, d, c in cb_rows)
+    q_vals = ", ".join(f"({d}, {q})" for d, q in q_rows)
+    dim = _PQP_M * _PQP_SUBDIM
+    return f"""
+    WITH cb0(sub, code, dsub, c) AS (VALUES {cb_vals}),
+    -- VALUES literals are INT32 in DuckDB; the in-engine distance
+    -- table multiplies two literal columns, so widen to BIGINT first
+    cb AS (SELECT sub, code, dsub, CAST(c AS BIGINT) AS c FROM cb0),
+    q0(d, qv) AS (VALUES {q_vals}),
+    q AS (SELECT d, CAST(qv AS BIGINT) AS qv FROM q0),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {dim}
+    ),
+    el AS (
+        SELECT vec_id, d, x,
+               d // {_PQP_SUBDIM} AS sub, d % {_PQP_SUBDIM} AS dsub
+        FROM (
+            SELECT vec_id,
+                   generate_subscripts(xq, 1) - 1 AS d,
+                   unnest(xq) AS x
+            FROM base
+        )
+    ),
+    sdist AS (
+        SELECT el.vec_id, cb.sub, cb.code,
+               CAST(SUM((el.x - cb.c) * (el.x - cb.c)) AS BIGINT) AS d2
+        FROM el JOIN cb ON el.sub = cb.sub AND el.dsub = cb.dsub
+        GROUP BY el.vec_id, cb.sub, cb.code
+    ),
+    mind AS (
+        SELECT vec_id, sub, MIN(d2) AS m FROM sdist GROUP BY vec_id, sub
+    ),
+    enc AS (
+        SELECT s.vec_id, s.sub, MIN(s.code) AS code
+        FROM sdist s JOIN mind ON s.vec_id = mind.vec_id
+                             AND s.sub = mind.sub AND s.d2 = mind.m
+        GROUP BY s.vec_id, s.sub
+    ),
+    qsub AS (
+        SELECT d // {_PQP_SUBDIM} AS sub, d % {_PQP_SUBDIM} AS dsub, qv
+        FROM q
+    ),
+    dt AS (
+        SELECT cb.sub, cb.code,
+               CAST(SUM((qsub.qv - cb.c) * (qsub.qv - cb.c)) AS BIGINT)
+                   AS dtv
+        FROM cb JOIN qsub ON cb.sub = qsub.sub AND cb.dsub = qsub.dsub
+        GROUP BY cb.sub, cb.code
+    ),
+    adc AS (
+        SELECT enc.vec_id, CAST(SUM(dt.dtv) AS BIGINT) AS f_adc
+        FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+        GROUP BY enc.vec_id
+    ),
+    cand AS (
+        SELECT * FROM adc ORDER BY f_adc ASC, vec_id ASC LIMIT {_PQP_CAND}
+    ),
+    na AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS na
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT el.vec_id, CAST(SUM(el.x * q.qv) AS BIGINT) AS dot
+        FROM el
+        JOIN cand ON el.vec_id = cand.vec_id
+        JOIN q ON el.d = q.d
+        GROUP BY el.vec_id
+    )
+    SELECT c.vec_id, c.f_adc,
+           FLOOR(CAST(dots.dot AS DOUBLE)
+                 / (sqrt(CAST(na.na AS DOUBLE))
+                    * sqrt(CAST({nq} AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS f_cosine
+    FROM cand c
+    JOIN dots ON c.vec_id = dots.vec_id
+    JOIN na ON c.vec_id = na.vec_id
+    ORDER BY f_cosine DESC, c.vec_id ASC
+    LIMIT {_PQP_TOPK}
+"""
+
+
+QUERIES["q_sim_pq_portable"] = q_sim_pq_portable
+ORACLE["q_sim_pq_portable"] = _sim_pq_portable_oracle()

@@ -34,7 +34,33 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 9 rotation (15 + 9 + 26 = the 50-key driver cap) ----
+    # ---- round 10 rotation (26 + 6 + 1 + 17 = the 50-key driver cap) ----
+    # part 1 (26): every r6-dated key — three rounds stale, the cycle's
+    # hard ceiling (VERDICT r9 What's-wrong #3 names exactly this set)
+    "q_join_asof", "q_join_asof_fwd", "q_knn_join", "q_event_dedup",
+    "q_session_window", "q_tpch_q13like", "q_tpch_q17like",
+    "q_window_nav", "q_vocab_build", "q_text_stats", "q_text_quality",
+    "q_text_search", "q_token_count", "q_token_rarity", "q_pii_scan",
+    "q_sample_split", "q_sample_stratified", "q_sample_temperature",
+    "q_sample_to_mix", "q_pack_bfd", "q_pack_sequences",
+    "q_embed_centroid", "q_embed_outliers", "q_embed_quantize",
+    "q_filter_funnel", "q_ngram_freq",
+    # part 2 (6): keys whose code (or the ranks.py primitive under
+    # them) changed this round
+    "q_vocab_coverage", "q_event_transitions", "q_rfm", "q_global_rank",
+    "q_global_ntile", "q_epoch_shuffle",
+    # part 3 (1): the round-10 NEW key (never driver-recorded)
+    "q_sim_pq_portable",
+    # part 4 (17): oldest r7-dated keys, risk-ranked (approx/similarity
+    # and multi-stage shapes first; the remaining r7 + r8 keys are the
+    # r11 promotion set)
+    "q_sim_pq", "q_sim_ivfpq", "q_bpe_train", "q_approx_distinct_sketch",
+    "q_dedup_near_portable", "q_dedup_simhash_portable",
+    "q_join_asof_near", "q_join_range", "q_sessionize", "q_cte_pipeline",
+    "q_cube", "q_k_anonymity", "q_lateral_topn", "q_ngram_novelty",
+    "q_negative_sample", "q_chunk_overlap", "q_embed_covariance",
+    # ---- round 9 rotation (kept below the fold: the driver records
+    # the first 50 registry keys, so these now sit past the cap) ----
     # part 1 (15): keys whose code changed THIS round — the 8
     # de-broadcast keys (forced customer/supplier/part hints removed,
     # VERDICT r8 finding 1), the BPE empty-doc parity fix, the new

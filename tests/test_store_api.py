@@ -322,3 +322,69 @@ class TestManagedFeatureViews:
             fs.read_feature_view("DEFERRED_CF$1.0")
         fs.refresh("deferred_cf", "1.0")
         assert fs.read_feature_view("DEFERRED_CF$1.0").count() > 0
+
+
+class TestUIMetadataParserSimulation:
+    """Golden mirror of the reference's Snowsight-UI parser simulation
+    (/root/reference/integration_tests/python_tests/
+    test_metadata_compatibility.py:284-331): parse registry metadata
+    exactly the way the UI's getFeatureNamesForAllFeatureViews does,
+    and reproduce the documented string-form regression — the JS
+    "Cannot read properties of undefined (reading 'joinKeys')" error
+    old feature views triggered (reference README.md:379-404)."""
+
+    @staticmethod
+    def _ui_parse(meta: dict) -> list[tuple[str, list[str]]]:
+        """The UI's access pattern, verbatim semantics: iterate
+        `metadata.entities`, read `entity.name` / `entity.joinKeys` as
+        JS property accesses. On a non-object entity a property access
+        yields `undefined`, and reading `.joinKeys` off it throws the
+        exact error the reference documents — simulated here as
+        AssertionError with the same message."""
+        out = []
+        for entity in meta["entities"]:
+            if not isinstance(entity, dict):
+                raise AssertionError(
+                    "Cannot read properties of undefined "
+                    "(reading 'joinKeys')"
+                )
+            assert "name" in entity, "Entity dict missing 'name' field"
+            assert "joinKeys" in entity, "Entity dict missing 'joinKeys'"
+            out.append((entity["name"], entity["joinKeys"]))
+        # timestamp_col renders as a plain string cell in the UI table:
+        # must be a column name or the literal 'NULL', never None/json null
+        assert isinstance(meta["timestamp_col"], str)
+        return out
+
+    def test_ui_parses_current_format(self, fs, tables, customer_entity):
+        """OK format: every registered FV's metadata passes the UI
+        parser with uppercase names and NON-EMPTY joinKeys."""
+        fv = FeatureView("ui_cf", ["customer"], sql=FV_SQL)
+        fs.register_feature_view(fv, version="1.0")
+        doc = fs.registry.get("feature_views", "UI_CF__v1_0")
+        parsed = self._ui_parse(doc["metadata"])
+        assert parsed == [("CUSTOMER", ["C_CUSTKEY"])]
+        for name, join_keys in parsed:
+            assert name == name.upper()
+            assert join_keys, "UI requires non-empty joinKeys"
+
+    def test_ui_fails_on_legacy_string_form(self, fs, tables, customer_entity):
+        """OLD/BAD format: entities as plain strings (pre-fix artifacts,
+        cleanup_old_metadata.py:70-85) must reproduce the UI error —
+        and migrate_metadata must repair exactly those docs so the
+        parser passes afterward."""
+        fv = FeatureView("ui_old_cf", ["customer"], sql=FV_SQL)
+        fs.register_feature_view(fv, version="1.0")
+        doc = fs.registry.get("feature_views", "UI_OLD_CF__v1_0")
+        doc["metadata"]["entities"] = ["CUSTOMER"]  # the legacy regression
+        fs.registry.put("feature_views", "UI_OLD_CF__v1_0", doc)
+        with pytest.raises(AssertionError, match="reading 'joinKeys'"):
+            self._ui_parse(
+                fs.registry.get("feature_views", "UI_OLD_CF__v1_0")["metadata"]
+            )
+        report = fs.migrate_metadata(dry_run=False)
+        assert [r["status"] for r in report] == ["OLD_FORMAT"]
+        repaired = fs.registry.get("feature_views", "UI_OLD_CF__v1_0")
+        assert self._ui_parse(repaired["metadata"]) == [
+            ("CUSTOMER", ["C_CUSTKEY"])
+        ]

@@ -16,7 +16,17 @@ directory against a :class:`~.store.FeatureStore`:
   resolved SELECT body; ``refresh_freq`` present (and not ``'none'``)
   makes it managed (Dynamic Table analog, feature_view.sql:24).
 
-Jinja surface resolved (the subset the reference's models use):
+Jinja surface: models using ONLY ``{{ config }}`` / ``{{ ref }}`` /
+``{{ source }}`` (all the reference's own models need —
+test_derived_customer_features.sql:1-36) parse via a fast regex path;
+anything beyond — ``{% set %}``, ``{% if %}``/``{% for %}``,
+``{# comments #}``, ``var()`` (dbt ``--vars`` → ``model_vars``), and
+project ``macros/*.sql`` — renders through a real Jinja environment
+(public ``jinja2`` package, StrictUndefined so unknown names fail
+LOUDLY at load instead of silently emitting empty SQL). dbt builtins
+with no Spark-side meaning (``adapter``, ``run_query``, ``this``)
+remain unsupported and fail via StrictUndefined. Resolution semantics
+of the rendered text (below) are identical for both paths:
 
 - ``{{ source('src', 'table') }}`` → the registered source's view name
   (``FeatureStore.register_source``). An optional ``source_map``
@@ -56,6 +66,107 @@ _EXPR_RE = re.compile(
     r"\{\{-?\s*(source|ref)\s*\(\s*['\"]([^'\"]+)['\"]\s*"
     r"(?:,\s*['\"]([^'\"]+)['\"]\s*)?\)\s*-?\}\}"
 )
+# any jinja expression — used to decide whether a model needs the FULL
+# jinja path (anything beyond the config/ref/source regex subset)
+_ANY_EXPR_RE = re.compile(r"\{\{.*?\}\}", re.DOTALL)
+
+_VAR_MISSING = object()
+
+
+def _needs_full_jinja(raw: str) -> bool:
+    """True when the model uses Jinja beyond the regex-resolved subset:
+    statements (``{% set %}``, ``{% if %}``, ``{% for %}``, macros),
+    comments, or expressions other than config/ref/source (``var()``,
+    macro calls)."""
+    if "{%" in raw or "{#" in raw:
+        return True
+    for m in _ANY_EXPR_RE.finditer(raw):
+        s = m.group(0)
+        if not (_CONFIG_RE.fullmatch(s) or _EXPR_RE.fullmatch(s)):
+            return True
+    return False
+
+
+def make_jinja_env(
+    macro_paths: Sequence[str] = (),
+    model_vars: dict[str, Any] | None = None,
+):
+    """A dbt-shaped Jinja environment (requires the public ``jinja2``
+    package): ``ref``/``source`` re-emit their canonical expression
+    form so the regular resolution pipeline (CTE inlining for static
+    refs, physical names for managed refs, registered-source
+    validation) runs unchanged on the RENDERED text; ``var(name[,
+    default])`` reads ``model_vars`` (dbt's ``--vars``); macros from
+    ``macro_paths`` (the project's ``macros/*.sql``, dbt layout) are
+    loaded into globals. ``StrictUndefined`` keeps failures loud —
+    an undefined name raises at load, never renders as empty SQL."""
+    try:
+        import jinja2
+    except ImportError as exc:  # pragma: no cover — jinja2 is baked in
+        raise ValidationError(
+            "Model uses full Jinja ({% ... %} / var() / macros) but the "
+            "jinja2 package is not available"
+        ) from exc
+
+    env = jinja2.Environment(
+        undefined=jinja2.StrictUndefined, keep_trailing_newline=True
+    )
+    mv = dict(model_vars or {})
+
+    def _ref(name: str) -> str:
+        return "{{ ref('" + str(name) + "') }}"
+
+    def _source(src: str, table: str) -> str:
+        return "{{ source('" + str(src) + "', '" + str(table) + "') }}"
+
+    def _var(name: str, default: Any = _VAR_MISSING) -> Any:
+        if name in mv:
+            return mv[name]
+        if default is _VAR_MISSING:
+            raise ValidationError(
+                f"var('{name}') is undefined — pass it via model_vars "
+                "(dbt's --vars)"
+            )
+        return default
+
+    env.globals.update(ref=_ref, source=_source, var=_var)
+    for p in sorted(macro_paths):
+        with open(p) as f:
+            src = f.read()
+        try:
+            mod = env.from_string(src).module
+        except jinja2.TemplateError as exc:
+            raise ValidationError(
+                f"Macro file {p!r}: Jinja error: {exc}"
+            ) from exc
+        for attr in dir(mod):
+            if not attr.startswith("_"):
+                env.globals[attr] = getattr(mod, attr)
+    return env
+
+
+def _render_model(raw: str, name: str, env) -> tuple[str, dict[str, Any]]:
+    """Render a full-Jinja model: returns (rendered SQL — with
+    ref()/source() re-emitted for the downstream resolver — and the
+    captured config dict). ``config(...)`` follows dbt semantics: it is
+    CAPTURED at render time and contributes nothing to the text."""
+    import jinja2
+
+    captured: dict[str, Any] = {}
+
+    def _config(**kw: Any) -> str:
+        captured.update(kw)
+        return ""
+
+    try:
+        rendered = env.from_string(raw).render(config=_config)
+    except ValidationError:
+        raise
+    except jinja2.TemplateError as exc:
+        raise ValidationError(
+            f"Model '{name}': Jinja render failed: {exc}"
+        ) from exc
+    return rendered, captured
 
 
 def _literal(node: ast.expr, model: str) -> Any:
@@ -118,15 +229,35 @@ class Model:
         return bool(freq) and str(freq).lower() != "none"
 
 
-def parse_model(path: str) -> Model:
+def parse_model(path: str, jinja_env=None) -> Model:
     name = os.path.splitext(os.path.basename(path))[0]
     with open(path) as f:
         raw = f.read()
-    m = _CONFIG_RE.search(raw)
-    if not m:
-        raise ValidationError(f"Model '{name}': no {{{{ config(...) }}}} block")
-    cfg = _parse_config(m.group(1), name)
-    body = (raw[: m.start()] + raw[m.end() :]).strip()
+    if _needs_full_jinja(raw):
+        # full-Jinja path ({% set %}/{% for %}/{% if %}, var(), macros):
+        # render first — config is captured by the render, ref()/source()
+        # re-emit their canonical form for the shared resolver below
+        # jinja_env may be a zero-arg factory (lazy: regex-subset
+        # projects never build an environment) or an Environment
+        env = (
+            jinja_env()
+            if callable(jinja_env)
+            else (jinja_env if jinja_env is not None else make_jinja_env())
+        )
+        body, cfg = _render_model(raw, name, env)
+        if not cfg:
+            raise ValidationError(
+                f"Model '{name}': no {{{{ config(...) }}}} block"
+            )
+        body = body.strip()
+    else:
+        m = _CONFIG_RE.search(raw)
+        if not m:
+            raise ValidationError(
+                f"Model '{name}': no {{{{ config(...) }}}} block"
+            )
+        cfg = _parse_config(m.group(1), name)
+        body = (raw[: m.start()] + raw[m.end() :]).strip()
     refs, sources = [], []
     for em in _EXPR_RE.finditer(body):
         kind, a, b = em.group(1), em.group(2), em.group(3)
@@ -269,6 +400,19 @@ def _resolve_body(
     return body
 
 
+def _project_macro_paths(project_dir: str) -> list[str]:
+    """``macros/*.sql`` under the project root — the dbt macro layout."""
+    mdir = os.path.join(project_dir, "macros")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for root, _dirs, files in os.walk(mdir):
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                out.append(os.path.join(root, fn))
+    return out
+
+
 def load_project(
     fs: "FeatureStore",
     project_dir: str,
@@ -276,6 +420,7 @@ def load_project(
     on_configuration_change: str = "apply",
     dry_run: bool = False,
     exclude_dirs: Sequence[str] | None = None,
+    model_vars: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -298,7 +443,7 @@ def load_project(
     from .objects import Entity  # local import: avoid cycle at module load
 
     if exclude_dirs is None:
-        exclude_dirs = ["tests"]
+        exclude_dirs = ["tests", "macros"]
     excluded = {
         os.path.abspath(os.path.join(project_dir, d)) for d in exclude_dirs
     }
@@ -313,9 +458,21 @@ def load_project(
     if not paths:
         raise ValidationError(f"No .sql models under {project_dir!r}")
 
+    # one shared Jinja environment per load — project macros + vars —
+    # built lazily so plain regex-subset projects never import jinja2
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir), model_vars
+            )
+        return jinja_env
+
     models: dict[str, Model] = {}
     for p in sorted(paths):
-        mdl = parse_model(p)
+        mdl = parse_model(p, jinja_env=_env)
         if mdl.name in models:
             raise ValidationError(
                 f"Duplicate model name '{mdl.name}' "
@@ -387,6 +544,7 @@ def run_data_tests(
     tests_dir: str | None = None,
     source_map: dict[Any, str] | None = None,
     strict: bool = False,
+    model_vars: dict[str, Any] | None = None,
 ) -> list[dict[str, Any]]:
     """dbt-style DATA TESTS: every ``*.sql`` under ``tests_dir``
     (default ``<project_dir>/tests``) is a SELECT that must return ZERO
@@ -406,18 +564,31 @@ def run_data_tests(
     if not os.path.isdir(tests_dir):
         raise ValidationError(f"No data-test directory at {tests_dir!r}")
 
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir), model_vars
+            )
+        return jinja_env
+
     # parse + resolve the project's models (dry) so tests can ref() them
     models: dict[str, Model] = {}
     norm_tests = os.path.abspath(tests_dir)
+    norm_macros = os.path.abspath(os.path.join(project_dir, "macros"))
     for root, _dirs, files in os.walk(project_dir):
         absroot = os.path.abspath(root)
         # exact dir or below it — a sibling like tests_shared/ is a
-        # model dir, not the test dir
+        # model dir, not the test dir; macros/ holds jinja macros
         if absroot == norm_tests or absroot.startswith(norm_tests + os.sep):
+            continue
+        if absroot == norm_macros or absroot.startswith(norm_macros + os.sep):
             continue
         for fn in sorted(files):
             if fn.endswith(".sql"):
-                mdl = parse_model(os.path.join(root, fn))
+                mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
                 _validate(mdl)
                 if mdl.name in models:
                     raise ValidationError(
@@ -445,8 +616,12 @@ def run_data_tests(
         tname = os.path.splitext(os.path.basename(p))[0]
         with open(p) as f:
             raw = f.read()
-        # tests may carry a config block (severity etc.) — strip it
-        body = _CONFIG_RE.sub("", raw).strip()
+        if _needs_full_jinja(raw):
+            body, _cfg = _render_model(raw, f"test:{tname}", _env())
+            body = body.strip()
+        else:
+            # tests may carry a config block (severity etc.) — strip it
+            body = _CONFIG_RE.sub("", raw).strip()
         pseudo = Model(name=f"test:{tname}", path=p, config={}, body=body)
         for em in _EXPR_RE.finditer(body):
             if em.group(1) == "ref":

@@ -135,6 +135,15 @@ HEADLINE = [
     "q_ewma_decay",
     "q_event_corr",
     "q_pagerank",
+    # round-10 additions: the de-weaked distributed running-sum plan
+    # (vocab coverage), the new ranks consumer (exact Gini), the
+    # portable PQ/ADC pipeline, TF-IDF keyword extraction (vocab-join
+    # with no forced broadcast), and normalized-prefix dedup
+    "q_vocab_coverage",
+    "q_gini_spend",
+    "q_sim_pq_portable",
+    "q_tfidf_topterms",
+    "q_dedup_normalized",
 ]
 
 
@@ -202,15 +211,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # key order matters: the driver's BENCH capture head-truncates long
+    # lines (VERDICT r9 item 4), so the long per-query dict goes FIRST
+    # and the headline total + metadata go LAST — the tail stays
+    # self-contained whatever gets cut off the front.
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (noop sink, AQE on, min of 3 runs)",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
+                "metric": "headline query wall-clock (noop sink, AQE on, min of 3 runs)",
+                "unit": "sec",
+                "value": total,
             }
         )
     )

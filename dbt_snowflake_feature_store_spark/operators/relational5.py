@@ -690,3 +690,252 @@ ORACLE["q_kmv_setops"] = f"""
     JOIN est eb ON eb.event_type = s.f_b
 """
 QUERIES["q_kmv_setops"] = q_kmv_setops
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (integer-exact keyword extraction)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 5
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TOP-5 keywords by tf·⌊log2⌊N/df⌋⌋, ORACLE-GATED —
+    keyword extraction / topic tagging over the corpus. IDF uses the
+    pure-integer bit-length spelling ``length(bin(N DIV df)) − 1``
+    (the q_doc_surprisal / HDR octave trick: IEEE log is never
+    correctly-rounded cross-engine, integer bits are), so the score is
+    an exact BIGINT and the key hash-gates.
+
+    Scale: tf is one map-side-combinable (doc, tok) count; df is one
+    (tok) count OVER the tf table (each (doc, tok) row is distinct, so
+    COUNT(*) per tok IS the document frequency — no countDistinct
+    shuffle of raw tokens); the score join shuffles on tok with NO
+    forced broadcast (a web-scale vocabulary is unbounded — the
+    q_vocab_coverage lesson — so AQE decides, and skewed stop-words
+    are exactly the keys IDF zeroes out); the top-5 window partitions
+    by doc_id (per-doc group, bounded)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("f_tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("f_df"))
+    ndocs = tf.groupBy().agg(
+        F.countDistinct("doc_id").cast("long").alias("_N")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "f_score",
+            (
+                F.col("f_tf")
+                * F.expr("CAST(length(bin(_N DIV f_df)) - 1 AS BIGINT)")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("f_score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("f_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_rank") <= _TFIDF_TOPK)
+        .select("doc_id", "f_rank", "tok", "f_tf", "f_df", "f_score")
+    )
+
+
+ORACLE["q_tfidf_topterms"] = f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS f_tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f_df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS _N FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.f_tf, dfreq.f_df,
+               CAST(tf.f_tf * (length(bin(n._N // dfreq.f_df)) - 1)
+                    AS BIGINT) AS f_score
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, f_tf, f_df, f_score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY f_score DESC, tok ASC
+               ) AS BIGINT) AS f_rank
+        FROM scored
+    )
+    SELECT doc_id, f_rank, tok, f_tf, f_df, f_score
+    FROM ranked WHERE f_rank <= {_TFIDF_TOPK}
+"""
+QUERIES["q_tfidf_topterms"] = q_tfidf_topterms
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini coefficient of spend (distributed global rank, no window)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini concentration of order spend, ORACLE-GATED: G =
+    Σ(2·rank − n − 1)·xᵢ / (n·Σx) over cents-integer order totals
+    ranked ascending — the inequality/concentration feature (revenue
+    concentration, data-source dominance) whose textbook form needs a
+    GLOBAL sort. The rank comes from ranks.global_row_number (range
+    exchange + prefix-sum offsets — NO unpartitioned window, the
+    q_vocab_coverage discipline); the weighted sum is DECIMAL(38,0)-
+    exact on both engines (each term ≤ 10¹⁴·|…| — far past 2⁵³, so
+    BIGINT-in-double would silently round); ties in cents contribute a
+    permutation-invariant rank-sum, so the o_orderkey tiebreak affects
+    no digit of the result. Cents via floor(x·100 + 0.5) both sides
+    (CLAUDE.md half-up spelling)."""
+    from ..functions.ranks import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_cents"),
+    )
+    ranked = global_row_number(
+        o, [F.col("_cents").asc(), F.col("o_orderkey").asc()], "_r"
+    )
+    stats = o.groupBy().agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_cents").cast("long").alias("_total"),
+    )
+    num = (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            (
+                (F.lit(2) * F.col("_r") - F.col("_n") - F.lit(1)).cast(
+                    "decimal(19,0)"
+                )
+                * F.col("_cents").cast("decimal(19,0)")
+            ).alias("_w")
+        )
+        .agg(F.sum("_w").alias("_num"))
+    )
+    return num.crossJoin(F.broadcast(stats)).select(
+        F.col("_n").alias("f_n"),
+        F.col("_total").alias("f_total_cents"),
+        # the division by the 1e6 literal happens COLUMN-side (Python
+        # float → DOUBLE literal): inside an F.expr string "1000000.0"
+        # parses as DECIMAL and would silently retype f_gini
+        (
+            F.expr(
+                "floor(CAST(_num AS DOUBLE)"
+                " / (CAST(_n AS DOUBLE) * CAST(_total AS DOUBLE))"
+                " * 1000000 + 0.5)"
+            )
+            / 1000000.0
+        ).alias("f_gini"),
+    )
+
+
+ORACLE["q_gini_spend"] = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS _cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT _cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY _cents ASC, o_orderkey ASC)
+                    AS BIGINT) AS _r
+        FROM o
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+               CAST(SUM(_cents) AS BIGINT) AS _total
+        FROM o
+    ),
+    num AS (
+        SELECT SUM(CAST(2 * r._r - s._n - 1 AS DECIMAL(19,0))
+                   * CAST(r._cents AS DECIMAL(19,0))) AS _num
+        FROM ranked r CROSS JOIN stats s
+    )
+    SELECT s._n AS f_n, s._total AS f_total_cents,
+           floor(CAST(n._num AS DOUBLE)
+                 / (CAST(s._n AS DOUBLE) * CAST(s._total AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS f_gini
+    FROM num n CROSS JOIN stats s
+"""
+QUERIES["q_gini_spend"] = q_gini_spend
+
+
+# ---------------------------------------------------------------------------
+# Normalization-robust exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED 100-char PREFIX, ORACLE-GATED:
+    lowercase → strip non-alphanumerics → collapse whitespace runs →
+    trim → first 100 chars, then md5-group — catches the re-cased /
+    re-punctuated / re-wrapped AND truncated/extended variants that
+    raw-byte exact dedup misses (the C4/CCNet normalize-then-hash
+    recipe; the prefix grain is what makes it non-vacuous on corpora
+    whose duplicates share heads but diverge in tails). Output: one
+    row per duplicate CLUSTER (hash, kept min doc_id, size ≥ 2).
+
+    Cross-engine regex discipline: explicit ASCII classes only —
+    Java's \\s includes \\x0B where RE2's does not, so the pattern
+    spells [ \\t\\r\\n] literally; DuckDB regexp_replace needs the 'g'
+    flag to match Spark's replace-all. Scale: one map-side-combinable
+    hash-group; normalization is per-row codegen, no shuffle added."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col("text")), "[^a-z0-9 \t\r\n]", ""
+                ),
+                "[ \t\r\n]+",
+                " ",
+            )
+        ),
+        1,
+        100,
+    )
+    docs = d.select("doc_id", F.md5(norm).alias("f_norm_hash")).filter(
+        F.length(norm) > 0
+    )
+    return (
+        docs.groupBy("f_norm_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("f_keep_id"),
+            F.count("*").cast("long").alias("f_n_dups"),
+        )
+        .filter(F.col("f_n_dups") >= 2)
+    )
+
+
+ORACLE["q_dedup_normalized"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               substr(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 \t\r\n]', '', 'g'),
+                   '[ \t\r\n]+', ' ', 'g')), 1, 100) AS _norm
+        FROM documents
+    )
+    SELECT md5(_norm) AS f_norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS f_keep_id,
+           CAST(COUNT(*) AS BIGINT) AS f_n_dups
+    FROM docs WHERE length(_norm) > 0
+    GROUP BY md5(_norm)
+    HAVING COUNT(*) >= 2
+"""
+QUERIES["q_dedup_normalized"] = q_dedup_normalized

@@ -278,6 +278,93 @@ def cm_sketch_sql(
     )
 
 
+BLOOM_BITS = 16384
+BLOOM_WORD = 32  # 32-bit words: DuckDB's BIGINT << overflows at 63
+BLOOM_DEPTH = 3
+
+
+def bloom_build_sql(
+    source: str,
+    keys: Sequence[str],
+    col: str,
+    bits: int = BLOOM_BITS,
+    word: int = BLOOM_WORD,
+    depth: int = BLOOM_DEPTH,
+) -> str:
+    """FV body SQL maintaining a per-key Bloom filter over registered
+    source ``source`` — the streaming-maintainable form of the
+    q_bloom_filter build (operators/relational5.py; identical salted-
+    md5 bit spelling). Columns: keys…, word, bw. ``bit_or`` is a keyed
+    aggregation, and OR is monotone-merge-exact (new arrivals can only
+    set bits), so the update-mode foreachBatch-MERGE path maintains
+    the filter word-exactly across arrivals; state ≤ bits/word rows
+    per key group by construction."""
+    ks = ", ".join(keys)
+    salts = ", ".join(str(i) for i in range(depth))
+    bit = (
+        f"CAST(conv(substring(md5(concat('bloom', CAST(s AS STRING), ':',"
+        f" CAST({col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {int(bits)}"
+    )
+    return (
+        f"SELECT {ks}, CAST(_bit DIV {int(word)} AS BIGINT) AS word, "
+        f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(_bit % {int(word)} AS INT))) AS bw "
+        f"FROM (SELECT {ks}, {bit} AS _bit FROM {source} "
+        f"LATERAL VIEW explode(array({salts})) _t AS s) "
+        f"GROUP BY {ks}, CAST(_bit DIV {int(word)} AS BIGINT)"
+    )
+
+
+def bloom_contains(
+    maintained: DataFrame,
+    keys: Sequence[str],
+    items: DataFrame,
+    item_col: str,
+    bits: int = BLOOM_BITS,
+    word: int = BLOOM_WORD,
+    depth: int = BLOOM_DEPTH,
+    out_col: str = "bloom_positive",
+) -> DataFrame:
+    """Membership probe against a :func:`bloom_build_sql`-maintained
+    table: per (keys…, item) → 1 when ALL depth bits are set (possible
+    member — no false negatives by construction), else 0. The filter
+    side is ≤ |keys|·bits/word rows — broadcastable at any corpus
+    size; the probe is one explode(depth) + one broadcast join."""
+    salts = items.sparkSession.createDataFrame(
+        [(i,) for i in range(depth)], "s INT"
+    )
+    bit = F.expr(
+        "CAST(conv(substring(md5(concat('bloom', CAST(s AS STRING), ':',"
+        f" CAST({item_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {int(bits)}"
+    )
+    probes = (
+        items.crossJoin(F.broadcast(salts))
+        .withColumn("_bit", bit)
+        .select(
+            *keys,
+            item_col,
+            F.expr(f"CAST(_bit DIV {int(word)} AS BIGINT)").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(_bit % {int(word)} AS INT))"
+            ).alias("_mask"),
+        )
+    )
+    joined = probes.join(
+        F.broadcast(maintained.select(*keys, "word", "bw")),
+        [*keys, "word"],
+        "left",
+    )
+    hit = (
+        F.coalesce(F.col("bw"), F.lit(0)).bitwiseAND(F.col("_mask"))
+        == F.col("_mask")
+    ).cast("int")
+    return joined.groupBy(*keys, item_col).agg(
+        F.min(hit).cast("int").alias(out_col)
+    )
+
+
 def cm_rollup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """MERGE: counts add exactly — rolling per-slice sketches to a
     coarser key set introduces NO additional error."""

@@ -302,9 +302,13 @@ def _validate(model: Model) -> None:
         )
 
 
-def _topo_order(models: dict[str, Model]) -> list[str]:
+def _topo_order(
+    models: dict[str, Model], seeds: set[str] | None = None
+) -> list[str]:
     """Topological order of feature-view models by ref() edges
-    (project-local, like dbt's DAG)."""
+    (project-local, like dbt's DAG). ``seeds`` are valid ref() targets
+    with no DAG edge (they are data, not models)."""
+    seeds = seeds or set()
     state: dict[str, int] = {}  # 0 visiting, 1 done
     order: list[str] = []
 
@@ -316,10 +320,13 @@ def _topo_order(models: dict[str, Model]) -> list[str]:
             raise ValidationError(f"Circular ref() between models: {cycle}")
         state[name] = 0
         for dep in models[name].refs:
+            if dep in seeds and dep not in models:
+                continue  # seed: a leaf table, no ordering constraint
             if dep not in models:
                 raise ValidationError(
                     f"Model '{name}' references unknown model '{dep}' "
-                    "(ref() targets must be models in the same project)"
+                    "(ref() targets must be models in the same project "
+                    "or seeds)"
                 )
             if models[dep].materialized == "entity":
                 raise ValidationError(
@@ -363,14 +370,24 @@ def _resolve_body(
     models: dict[str, Model],
     resolved: dict[str, str],
     source_map: dict[Any, str] | None,
+    seeds: set[str] | None = None,
 ) -> str:
-    """Substitute jinja expressions and inject CTEs for static refs."""
+    """Substitute jinja expressions and inject CTEs for static refs.
+    ``ref()`` to a seed resolves to its registered-source view name."""
     ctes: dict[str, str] = {}
+    seeds = seeds or set()
 
     def sub(m: re.Match[str]) -> str:
         kind, a, b = m.group(1), m.group(2), m.group(3)
         if kind == "source":
             return _resolve_source(fs, model, a, b, source_map)
+        if a in seeds and a not in models:
+            return canonical_name(a)  # the seed source's bound view
+        if a not in models:
+            raise ValidationError(
+                f"Model '{model.name}': ref('{a}') does not match any "
+                "model or seed in the project"
+            )
         dep = models[a]
         if dep.is_managed:
             # managed dep is materialized; read the physical table, the
@@ -400,6 +417,55 @@ def _resolve_body(
     return body
 
 
+def load_seeds(
+    fs: "FeatureStore",
+    project_dir: str,
+    seeds_dir: str | None = None,
+    schemas: dict[str, str] | None = None,
+) -> list[str]:
+    """dbt SEEDS: every ``seeds/*.csv`` under the project registers as
+    a named CSV source (header row assumed, dbt's seed convention);
+    models reference seeds via ``{{ ref('<file stem>') }}`` exactly as
+    dbt does. ``schemas`` optionally pins a DDL schema per seed name
+    (dbt's ``column_types``) — unpinned seeds fall back to Spark
+    inference, which costs an extra read and can drift between runs
+    (the register_source caveat). Returns registered canonical names."""
+    seeds_dir = seeds_dir or os.path.join(project_dir, "seeds")
+    names: list[str] = []
+    if not os.path.isdir(seeds_dir):
+        return names
+    for root, _dirs, files in os.walk(seeds_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".csv"):
+                continue
+            name = os.path.splitext(fn)[0]
+            schema = (schemas or {}).get(name)
+            fs.register_source(
+                name,
+                os.path.join(root, fn),
+                format="csv",
+                schema=schema,
+                options={"header": "true"}
+                if schema
+                else {"header": "true", "inferSchema": "true"},
+            )
+            names.append(canonical_name(name))
+    return names
+
+
+def _seed_stems(project_dir: str) -> set[str]:
+    """File stems of the project's seed CSVs (valid ref() targets)."""
+    sdir = os.path.join(project_dir, "seeds")
+    out: set[str] = set()
+    if not os.path.isdir(sdir):
+        return out
+    for root, _dirs, files in os.walk(sdir):
+        for fn in files:
+            if fn.endswith(".csv"):
+                out.add(os.path.splitext(fn)[0])
+    return out
+
+
 def _project_macro_paths(project_dir: str) -> list[str]:
     """``macros/*.sql`` under the project root — the dbt macro layout."""
     mdir = os.path.join(project_dir, "macros")
@@ -421,6 +487,7 @@ def load_project(
     dry_run: bool = False,
     exclude_dirs: Sequence[str] | None = None,
     model_vars: dict[str, Any] | None = None,
+    seed_schemas: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -443,7 +510,7 @@ def load_project(
     from .objects import Entity  # local import: avoid cycle at module load
 
     if exclude_dirs is None:
-        exclude_dirs = ["tests", "macros"]
+        exclude_dirs = ["tests", "macros", "seeds"]
     excluded = {
         os.path.abspath(os.path.join(project_dir, d)) for d in exclude_dirs
     }
@@ -481,10 +548,21 @@ def load_project(
         _validate(mdl)
         models[mdl.name] = mdl
 
-    entities = [m for m in models.values() if m.materialized == "entity"]
-    fv_order = _topo_order(models)
+    # seeds register FIRST (models may ref() them); dry_run still needs
+    # the name set so refs validate, but registers nothing
+    seeds = _seed_stems(project_dir)
+    seed_names = (
+        load_seeds(fs, project_dir, schemas=seed_schemas)
+        if (seeds and not dry_run)
+        else sorted(canonical_name(n) for n in seeds)
+    )
 
-    report: dict[str, Any] = {"entities": [], "feature_views": [], "order": []}
+    entities = [m for m in models.values() if m.materialized == "entity"]
+    fv_order = _topo_order(models, seeds)
+
+    report: dict[str, Any] = {
+        "entities": [], "feature_views": [], "order": [], "seeds": seed_names,
+    }
 
     for mdl in sorted(entities, key=lambda m: m.name):
         if not dry_run:
@@ -501,7 +579,9 @@ def load_project(
     resolved: dict[str, str] = {}
     for name in fv_order:
         mdl = models[name]
-        resolved[name] = _resolve_body(fs, mdl, models, resolved, source_map)
+        resolved[name] = _resolve_body(
+            fs, mdl, models, resolved, source_map, seeds
+        )
         cfg = mdl.config
         version = str(cfg["feature_view_version"])
         refresh = None
@@ -586,6 +666,9 @@ def run_data_tests(
             continue
         if absroot == norm_macros or absroot.startswith(norm_macros + os.sep):
             continue
+        norm_seeds = os.path.abspath(os.path.join(project_dir, "seeds"))
+        if absroot == norm_seeds or absroot.startswith(norm_seeds + os.sep):
+            continue
         for fn in sorted(files):
             if fn.endswith(".sql"):
                 mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
@@ -597,9 +680,10 @@ def run_data_tests(
                     )
                 models[mdl.name] = mdl
     resolved: dict[str, str] = {}
-    for name in _topo_order(models):
+    seeds = _seed_stems(project_dir)
+    for name in _topo_order(models, seeds):
         resolved[name] = _resolve_body(
-            fs, models[name], models, resolved, source_map
+            fs, models[name], models, resolved, source_map, seeds
         )
 
     test_paths = []
@@ -627,9 +711,11 @@ def run_data_tests(
             if em.group(1) == "ref":
                 dep = models.get(em.group(2))
                 if dep is None:
+                    if em.group(2) in seeds:
+                        continue  # seed source view, bound below
                     raise ValidationError(
                         f"Data test '{tname}': ref('{em.group(2)}') does "
-                        "not match any model in the project"
+                        "not match any model or seed in the project"
                     )
                 if dep.is_managed:
                     phys = physical_fv_name(
@@ -638,7 +724,7 @@ def run_data_tests(
                     fs.read_feature_view(
                         dep.name, str(dep.config["feature_view_version"])
                     ).createOrReplaceTempView(phys)
-        sql = _resolve_body(fs, pseudo, models, resolved, source_map)
+        sql = _resolve_body(fs, pseudo, models, resolved, source_map, seeds)
         n = fs.spark.sql(sql).count()
         results.append({"name": tname, "rows": n, "passed": n == 0})
 

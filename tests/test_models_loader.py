@@ -659,3 +659,72 @@ SELECT customer_id, age * {{ factor }} AS f_double FROM {{ ref('jbase_fv') }}
             for r in fs.read_feature_view("JDERIVED_FV", "1.0").collect()
         }
         assert rows == {1: 46, 2: 70, 3: 122}
+
+
+class TestSeeds:
+    """dbt SEEDS (r10): seeds/*.csv register as named CSV sources;
+    models and data tests reference them via ref('<stem>')."""
+
+    SEED_CSV = "region_code,region_name,weight\nUS,United States,3\nDE,Germany,2\n"
+
+    SEED_FV = """\
+{{ config(materialized='feature_view',
+          entities=['test_customer_entity'],
+          feature_view_version='1.0') }}
+SELECT b.customer_id, b.age, s.weight AS f_weight
+FROM {{ source('test_sources', 'customer_base_table') }} b
+JOIN {{ ref('region_codes') }} s ON b.country = s.region_code
+"""
+
+    def _proj(self, tmp_path):
+        proj = _write_project(
+            tmp_path,
+            {
+                "entities/test_customer_entity.sql": ENTITY_CUSTOMER,
+                "features/seed_fv.sql": self.SEED_FV,
+            },
+        )
+        sdir = tmp_path / "models" / "seeds"
+        sdir.mkdir(parents=True, exist_ok=True)
+        (sdir / "region_codes.csv").write_text(self.SEED_CSV)
+        return proj
+
+    def test_seed_registers_and_model_refs_it(self, fs, tmp_path, base_table):
+        proj = self._proj(tmp_path)
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(fs, proj)
+        assert report["seeds"] == ["REGION_CODES"]
+        rows = {
+            r["customer_id"]: r["f_weight"]
+            for r in fs.read_feature_view("SEED_FV", "1.0").collect()
+        }
+        assert rows == {1: 3, 2: 2, 3: 3}
+
+    def test_seed_schema_pin(self, fs, tmp_path, base_table):
+        """seed_schemas pins column types (dbt column_types) — no
+        inference read, exact types."""
+        proj = self._proj(tmp_path)
+        fs.register_source("customer_base_table", base_table)
+        load_project(
+            fs,
+            proj,
+            seed_schemas={
+                "region_codes":
+                    "region_code string, region_name string, weight bigint"
+            },
+        )
+        df = fs.read_feature_view("SEED_FV", "1.0")
+        assert dict(df.dtypes)["f_weight"] == "bigint"
+
+    def test_unknown_ref_still_fails(self, fs, tmp_path, base_table):
+        bad = self.SEED_FV.replace("region_codes", "no_such_seed")
+        proj = _write_project(
+            tmp_path,
+            {
+                "entities/test_customer_entity.sql": ENTITY_CUSTOMER,
+                "features/bad_fv.sql": bad,
+            },
+        )
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="no_such_seed"):
+            load_project(fs, proj)

@@ -839,3 +839,81 @@ class TestStreamingCM:
         }
         assert set(est) == set(truth)
         assert all(est[i] >= truth[i] for i in truth)  # never underestimates
+
+
+class TestStreamingBloom:
+    def test_bloom_fv_incremental_maintenance(self, fs, spark, split_events):
+        """Streaming Bloom maintenance (r10): bit_or is a keyed agg and
+        OR is monotone-merge-exact, so a bloom_build_sql FV rides the
+        foreachBatch-MERGE path. After each arrival the maintained
+        words equal the batch build WORD-EXACTLY; probes off the
+        maintained table have zero false negatives at both points."""
+        from dbt_snowflake_feature_store_spark.functions import (
+            sketches as SK,
+        )
+
+        BITS, W, D = 1024, 32, 3  # small so collisions/FPs are real
+        fs.register_source("S_BLOOM", split_events["src"])
+        fs.register_entity(Entity("etype_word", ["event_type", "word"]))
+        fv = FeatureView(
+            "bloom_fv",
+            ["etype_word"],
+            sql=SK.bloom_build_sql(
+                "S_BLOOM", ["event_type"], "event_id",
+                bits=BITS, word=W, depth=D,
+            ),
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_words():
+            spark.read.parquet(split_events["src"]).createOrReplaceTempView(
+                "_bloom_batch_src"
+            )
+            return {
+                (r["event_type"], r["word"]): r["bw"]
+                for r in spark.sql(
+                    SK.bloom_build_sql(
+                        "_bloom_batch_src", ["event_type"], "event_id",
+                        bits=BITS, word=W, depth=D,
+                    )
+                ).collect()
+            }
+
+        def maintained():
+            return fs.read_feature_view("BLOOM_FV$1.0")
+
+        def assert_no_false_negatives():
+            ev = spark.read.parquet(split_events["src"])
+            items = ev.select("event_type", "event_id").distinct()
+            probed = SK.bloom_contains(
+                maintained(), ["event_type"], items, "event_id",
+                bits=BITS, word=W, depth=D,
+            )
+            n_items = items.count()
+            n_pos = probed.agg(F.sum("bloom_positive")).head()[0]
+            assert n_pos == n_items  # every true member probes positive
+
+        got1 = {
+            (r["event_type"], r["word"]): r["bw"]
+            for r in maintained().collect()
+        }
+        assert got1 == batch_words()
+        assert_no_false_negatives()
+        # state bound: ≤ bits/word rows per key group
+        per_group = {}
+        for (g, _), _bw in got1.items():
+            per_group[g] = per_group.get(g, 0) + 1
+        assert all(n <= BITS // W for n in per_group.values()), per_group
+
+        _arrive_half2(split_events)
+        assert fs.refresh("bloom_fv", "1.0") == "INCREMENTAL"
+        got2 = {
+            (r["event_type"], r["word"]): r["bw"]
+            for r in maintained().collect()
+        }
+        assert got2 == batch_words()  # word-exact after the merge
+        assert_no_false_negatives()
+        # monotone: no bit ever cleared by the second arrival
+        for k, bw in got1.items():
+            assert (got2[k] & bw) == bw, k

@@ -144,6 +144,12 @@ HEADLINE = [
     "q_sim_pq_portable",
     "q_tfidf_topterms",
     "q_dedup_normalized",
+    # second round-10 wave: residual IVFPQ/ADC, exact-rational BM25
+    # ranking (single-pass, no token shuffle), blocked Levenshtein dedup
+    "q_sim_ivfpq_portable",
+    "q_bm25_topk",
+    "q_dedup_edit",
+    "q_cluster_kmeans",
 ]
 
 

@@ -1324,3 +1324,487 @@ def _sim_pq_portable_oracle() -> str:
 
 QUERIES["q_sim_pq_portable"] = q_sim_pq_portable
 ORACLE["q_sim_pq_portable"] = _sim_pq_portable_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Portable IVFPQ probe — the hash-checked logic twin of the residual path
+# ---------------------------------------------------------------------------
+
+_IVFPQP_SUBDIM = 8
+_IVFPQP_M = _IVFP_DIM // _IVFPQP_SUBDIM   # 8 subspaces over 64 dims
+_IVFPQP_CODES = 16
+_IVFPQP_CAND = 50
+_IVFPQP_TOPK = 10
+
+
+def _ivfpq_portable_consts() -> list[tuple[int, int, int, int]]:
+    """Residual-PQ codebook rows (sub, code, dsub, c) — md5-derived
+    micro-unit integers, shared across cells (the standard IVFPQ
+    shared-residual-codebook layout; PQIndex mirrors it). Injected as
+    LITERALS into BOTH engines; the IVF half reuses
+    _ivf_portable_consts() so the two probes pin the SAME coarse
+    quantizer.
+
+    Bounds: residual r = x − cent per dim ≤ 6·10⁵ + 2.5·10⁵ = 8.5·10⁵;
+    |c| ≤ 2.5·10⁵ → per-dim (r−c)² ≤ 1.3·10¹², 8-dim subspace distance
+    ≤ 10¹³; residual query qr ≤ 5·10⁵ → ADC cell ≤ 4.5·10¹², summed
+    over 8 subspaces ≤ 3.6·10¹³ — int64-exact both engines, < 2⁵³ so
+    the final int→double casts are exact too."""
+    import hashlib
+
+    def h(s: str, mod: int) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % mod
+
+    return [
+        (s, k, d, h(f"ivfpqc:{s}:{k}:{d}", 500001) - 250000)
+        for s in range(_IVFPQP_M)
+        for k in range(_IVFPQP_CODES)
+        for d in range(_IVFPQP_SUBDIM)
+    ]
+
+
+def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search, ORACLE-GATED end-to-end: literal coarse centroids
+    → integer argmin cell assignment → probe-cell pruning → RESIDUAL
+    (x − centroid) PQ encoding against literal shared codebooks → ADC
+    distance tables built IN-ENGINE per probe cell from the residual
+    query (q − centroid) → summed ADC → top-50 candidates → exact
+    integer dot re-rank, floor-rounded cosine, top-10. This is the one
+    semantics neither q_sim_ivf_portable (no codes) nor
+    q_sim_pq_portable (no residuals) pins: encode-relative-to-cell and
+    the per-cell distance table (q_sim_ivfpq itself is rows-only —
+    IVFPQIndex trains data-dependent float codebooks no oracle can
+    replay).
+
+    Scale shape: assignment is one explode (n·64 rows) → broadcast
+    join vs the 512-literal-row centroid table → map-side-combinable
+    aggs; pruning keeps n_probe/K of the corpus BEFORE the residual
+    encode (partition pruning on the cell key at 100 TB — see
+    IVFPQIndex.materialize); encode is a second broadcast join vs the
+    1024-row codebook; the ADC scan touches only codes; the re-rank
+    join feeds a 50-row frame. No Python in any row path."""
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    cb_rows = _ivfpq_portable_consts()
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    cent = spark.createDataFrame(cent_rows, "cell INT, d INT, c LONG")
+    dist = (
+        el.join(F.broadcast(cent), el["_d"] == cent["d"])
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
+    assign = (
+        dist.join(mind, "vec_id")
+        .filter(F.col("_d2") == F.col("_m"))
+        .groupBy("vec_id")
+        .agg(F.min("cell").cast("int").alias("f_cell"))
+    )
+    cand0 = assign.filter(F.col("f_cell").isin([int(p) for p in probe]))
+    # residuals of the surviving vectors against their own centroid
+    res = (
+        el.join(cand0, "vec_id")
+        .join(
+            F.broadcast(cent),
+            (F.col("f_cell") == cent["cell"]) & (el["_d"] == cent["d"]),
+        )
+        .select(
+            "vec_id",
+            "f_cell",
+            F.expr(f"_d div {_IVFPQP_SUBDIM}").cast("int").alias("_sub"),
+            (F.col("_d") % _IVFPQP_SUBDIM).cast("int").alias("_dsub"),
+            (F.col("_x") - F.col("c")).alias("_r"),
+        )
+    )
+    cb = spark.createDataFrame(cb_rows, "sub INT, code INT, dsub INT, c LONG")
+    sdist = (
+        res.join(
+            F.broadcast(cb),
+            (res["_sub"] == cb["sub"]) & (res["_dsub"] == cb["dsub"]),
+        )
+        .groupBy("vec_id", "f_cell", "sub", "code")
+        .agg(
+            F.sum((F.col("_r") - F.col("c")) * (F.col("_r") - F.col("c")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    minc = sdist.groupBy("vec_id", "sub").agg(F.min("_d2").alias("_m"))
+    enc = (
+        sdist.join(minc, ["vec_id", "sub"])
+        .filter(F.col("_d2") == F.col("_m"))
+        .groupBy("vec_id", "f_cell", "sub")
+        .agg(F.min("code").alias("code"))
+    )
+    # per-probe-cell ADC tables from the SAME literals, in-engine:
+    # residual query qr(cell, d) = q − cent[cell], dt(cell, sub, code)
+    qdf = spark.createDataFrame(q_rows, "d INT, qv LONG")
+    qr = (
+        F.broadcast(qdf)
+        .join(
+            F.broadcast(
+                cent.filter(F.col("cell").isin([int(p) for p in probe]))
+            ),
+            "d",
+        )
+        .select(
+            "cell",
+            F.expr(f"d div {_IVFPQP_SUBDIM}").cast("int").alias("sub"),
+            (F.col("d") % _IVFPQP_SUBDIM).cast("int").alias("dsub"),
+            (F.col("qv") - F.col("c")).alias("qrv"),
+        )
+    )
+    dt = (
+        cb.join(qr, ["sub", "dsub"])
+        .groupBy("cell", "sub", "code")
+        .agg(
+            F.sum((F.col("qrv") - F.col("c")) * (F.col("qrv") - F.col("c")))
+            .cast("long")
+            .alias("_dt")
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(dt),
+            (enc["f_cell"] == dt["cell"])
+            & (enc["sub"] == dt["sub"])
+            & (enc["code"] == dt["code"]),
+        )
+        .groupBy("vec_id", "f_cell")
+        .agg(F.sum("_dt").cast("long").alias("f_adc"))
+    )
+    cand = adc.orderBy(F.col("f_adc").asc(), F.col("vec_id").asc()).limit(
+        _IVFPQP_CAND
+    )
+    dots = (
+        el.join(cand, "vec_id")
+        .join(F.broadcast(qdf), el["_d"] == qdf["d"])
+        .groupBy("vec_id", "f_cell", "f_adc")
+        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
+    )
+    return (
+        dots.join(base.select("vec_id", "_na"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("f_cell").cast("long").alias("f_cell"),
+            "f_adc",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+                "f_cosine"
+            ),
+        )
+        .orderBy(F.col("f_cosine").desc(), F.col("vec_id").asc())
+        .limit(_IVFPQP_TOPK)
+    )
+
+
+def _sim_ivfpq_portable_oracle() -> str:
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    cb_rows = _ivfpq_portable_consts()
+    cent_vals = ", ".join(f"({k}, {d}, {c})" for k, d, c in cent_rows)
+    cb_vals = ", ".join(f"({s}, {k}, {d}, {c})" for s, k, d, c in cb_rows)
+    q_vals = ", ".join(f"({d}, {q})" for d, q in q_rows)
+    probe_list = ", ".join(str(p) for p in probe)
+    return f"""
+    WITH cent0(cell, d, c) AS (VALUES {cent_vals}),
+    -- VALUES literals are INT32 in DuckDB; residual/table arithmetic
+    -- multiplies literal-derived columns, so widen to BIGINT first
+    cent AS (SELECT cell, d, CAST(c AS BIGINT) AS c FROM cent0),
+    cb0(sub, code, dsub, c) AS (VALUES {cb_vals}),
+    cb AS (SELECT sub, code, dsub, CAST(c AS BIGINT) AS c FROM cb0),
+    q0(d, qv) AS (VALUES {q_vals}),
+    q AS (SELECT d, CAST(qv AS BIGINT) AS qv FROM q0),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {_IVFP_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    dist AS (
+        SELECT el.vec_id, cent.cell,
+               CAST(SUM((el.x - cent.c) * (el.x - cent.c)) AS BIGINT) AS d2
+        FROM el JOIN cent ON el.d = cent.d
+        GROUP BY el.vec_id, cent.cell
+    ),
+    mind AS (SELECT vec_id, MIN(d2) AS m FROM dist GROUP BY vec_id),
+    assign AS (
+        SELECT dist.vec_id, MIN(dist.cell) AS f_cell
+        FROM dist JOIN mind ON dist.vec_id = mind.vec_id
+                           AND dist.d2 = mind.m
+        GROUP BY dist.vec_id
+    ),
+    cand0 AS (SELECT * FROM assign WHERE f_cell IN ({probe_list})),
+    res AS (
+        SELECT el.vec_id, cand0.f_cell,
+               el.d // {_IVFPQP_SUBDIM} AS sub,
+               el.d % {_IVFPQP_SUBDIM} AS dsub,
+               el.x - cent.c AS r
+        FROM el
+        JOIN cand0 ON el.vec_id = cand0.vec_id
+        JOIN cent ON cent.cell = cand0.f_cell AND cent.d = el.d
+    ),
+    sdist AS (
+        SELECT res.vec_id, res.f_cell, cb.sub, cb.code,
+               CAST(SUM((res.r - cb.c) * (res.r - cb.c)) AS BIGINT) AS d2
+        FROM res JOIN cb ON res.sub = cb.sub AND res.dsub = cb.dsub
+        GROUP BY res.vec_id, res.f_cell, cb.sub, cb.code
+    ),
+    minc AS (
+        SELECT vec_id, sub, MIN(d2) AS m FROM sdist GROUP BY vec_id, sub
+    ),
+    enc AS (
+        SELECT s.vec_id, s.f_cell, s.sub, MIN(s.code) AS code
+        FROM sdist s JOIN minc ON s.vec_id = minc.vec_id
+                             AND s.sub = minc.sub AND s.d2 = minc.m
+        GROUP BY s.vec_id, s.f_cell, s.sub
+    ),
+    qr AS (
+        SELECT cent.cell,
+               q.d // {_IVFPQP_SUBDIM} AS sub,
+               q.d % {_IVFPQP_SUBDIM} AS dsub,
+               q.qv - cent.c AS qrv
+        FROM q JOIN cent ON q.d = cent.d
+        WHERE cent.cell IN ({probe_list})
+    ),
+    dt AS (
+        SELECT qr.cell, cb.sub, cb.code,
+               CAST(SUM((qr.qrv - cb.c) * (qr.qrv - cb.c)) AS BIGINT)
+                   AS dtv
+        FROM cb JOIN qr ON cb.sub = qr.sub AND cb.dsub = qr.dsub
+        GROUP BY qr.cell, cb.sub, cb.code
+    ),
+    adc AS (
+        SELECT enc.vec_id, enc.f_cell,
+               CAST(SUM(dt.dtv) AS BIGINT) AS f_adc
+        FROM enc JOIN dt ON enc.f_cell = dt.cell
+                        AND enc.sub = dt.sub AND enc.code = dt.code
+        GROUP BY enc.vec_id, enc.f_cell
+    ),
+    cand AS (
+        SELECT * FROM adc ORDER BY f_adc ASC, vec_id ASC LIMIT {_IVFPQP_CAND}
+    ),
+    na AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS na
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT el.vec_id, CAST(SUM(el.x * q.qv) AS BIGINT) AS dot
+        FROM el
+        JOIN cand ON el.vec_id = cand.vec_id
+        JOIN q ON el.d = q.d
+        GROUP BY el.vec_id
+    )
+    SELECT c.vec_id, CAST(c.f_cell AS BIGINT) AS f_cell, c.f_adc,
+           FLOOR(CAST(dots.dot AS DOUBLE)
+                 / (sqrt(CAST(na.na AS DOUBLE))
+                    * sqrt(CAST({nq} AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS f_cosine
+    FROM cand c
+    JOIN dots ON c.vec_id = dots.vec_id
+    JOIN na ON c.vec_id = na.vec_id
+    ORDER BY f_cosine DESC, c.vec_id ASC
+    LIMIT {_IVFPQP_TOPK}
+"""
+
+
+QUERIES["q_sim_ivfpq_portable"] = q_sim_ivfpq_portable
+ORACLE["q_sim_ivfpq_portable"] = _sim_ivfpq_portable_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Portable k-means (two Lloyd iterations, integer-exact, oracle-gated)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_DIM = 64
+
+
+def _km_init_consts() -> list[tuple[int, int, int]]:
+    """Literal init centroids (cell, d, c) — md5-derived micro-unit
+    integers, |c| ≤ 2.5·10⁵ (the _ivf_portable_consts recipe, distinct
+    seed). Bounds: per-dim (x−c)² ≤ 7.3·10¹¹ against init centroids and
+    ≤ 1.3·10¹² against updated ones (|c'| ≤ max |x| = 6·10⁵ — a mean of
+    observed coords can't leave their range); 64-dim distance ≤
+    8.3·10¹³; summed inertia over 10⁶ vectors ≤ 8.3·10¹⁹… so inertia is
+    computed per CLUSTER at this SF (≤ 2.4·10¹⁶ at sf0.1) and would
+    shard at larger corpora — documented, BIGINT-exact here."""
+    import hashlib
+
+    def h(s: str, mod: int) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % mod
+
+    return [
+        (k, d, h(f"kmc:{k}:{d}", 500001) - 250000)
+        for k in range(_KM_K)
+        for d in range(_KM_DIM)
+    ]
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering via TWO Lloyd iterations, ORACLE-GATED end to
+    end — the iterative-refinement semantics the one-shot portable
+    probes (IVF assign) don't pin: literal integer init centroids →
+    argmin assignment → HALF-UP integer mean update (floor(sum/cnt +
+    0.5): the double division of two exact int64s is correctly rounded
+    identically in both engines, so the re-quantized centroid is
+    identical too) → re-assignment against the UPDATED centroids →
+    per-cluster size + exact BIGINT inertia. Empty clusters drop out of
+    the update table and later assignments — deterministic, both
+    engines. Ties argmin to the lowest cell everywhere.
+
+    Scale shape: each iteration is one explode (n·64 narrow rows) → a
+    broadcast join against a ≤256-row centroid frame → two map-side-
+    combinable aggs; the updated centroid table is K×D ≤ 256 rows BY
+    CONSTRUCTION (bounded universe → broadcast is safe at any corpus
+    size); no window, no cartesian product, no Python in any row path.
+    This IS production Lloyd on Spark — more iterations repeat the same
+    two-shuffle template (IVFIndex.train runs the float version)."""
+    cent_rows = _km_init_consts()
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _KM_DIM)
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    )
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        dist = (
+            el.join(F.broadcast(cent_df), el["_d"] == cent_df["d"])
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
+                .cast("long")
+                .alias("_d2")
+            )
+        )
+        mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
+        return (
+            dist.join(mind, "vec_id")
+            .filter(F.col("_d2") == F.col("_m"))
+            .groupBy("vec_id")
+            .agg(
+                F.min("cell").cast("int").alias("cell"),
+                F.min(F.when(F.col("_d2") == F.col("_m"), F.col("_d2")))
+                .cast("long")
+                .alias("_dist"),
+            )
+        )
+
+    cent1 = spark.createDataFrame(cent_rows, "cell INT, d INT, c LONG")
+    a1 = assign(cent1)
+    cent2 = (
+        el.join(a1.select("vec_id", "cell"), "vec_id")
+        .groupBy("cell", "_d")
+        .agg(
+            F.sum("_x").cast("long").alias("_sx"),
+            F.count("*").cast("long").alias("_cn"),
+        )
+        .select(
+            "cell",
+            F.col("_d").alias("d"),
+            F.floor(
+                F.col("_sx").cast("double") / F.col("_cn").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    a2 = assign(cent2)
+    return (
+        a2.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("f_n"),
+            F.sum("_dist").cast("long").alias("f_inertia"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("f_cluster"), "f_n", "f_inertia"
+        )
+        .orderBy(F.col("f_cluster").asc())
+    )
+
+
+def _kmeans_oracle() -> str:
+    cent_rows = _km_init_consts()
+    cent_vals = ", ".join(f"({k}, {d}, {c})" for k, d, c in cent_rows)
+    return f"""
+    WITH cent10(cell, d, c) AS (VALUES {cent_vals}),
+    cent1 AS (SELECT cell, d, CAST(c AS BIGINT) AS c FROM cent10),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {_KM_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    d1 AS (
+        SELECT el.vec_id, c.cell,
+               CAST(SUM((el.x - c.c) * (el.x - c.c)) AS BIGINT) AS d2
+        FROM el JOIN cent1 c ON el.d = c.d
+        GROUP BY el.vec_id, c.cell
+    ),
+    m1 AS (SELECT vec_id, MIN(d2) AS m FROM d1 GROUP BY vec_id),
+    a1 AS (
+        SELECT d1.vec_id, MIN(d1.cell) AS cell
+        FROM d1 JOIN m1 ON d1.vec_id = m1.vec_id AND d1.d2 = m1.m
+        GROUP BY d1.vec_id
+    ),
+    cent2 AS (
+        SELECT a1.cell, el.d,
+               CAST(FLOOR(CAST(SUM(el.x) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS c
+        FROM el JOIN a1 ON el.vec_id = a1.vec_id
+        GROUP BY a1.cell, el.d
+    ),
+    d2t AS (
+        SELECT el.vec_id, c.cell,
+               CAST(SUM((el.x - c.c) * (el.x - c.c)) AS BIGINT) AS d2
+        FROM el JOIN cent2 c ON el.d = c.d
+        GROUP BY el.vec_id, c.cell
+    ),
+    m2 AS (SELECT vec_id, MIN(d2) AS m FROM d2t GROUP BY vec_id),
+    a2 AS (
+        SELECT d2t.vec_id, MIN(d2t.cell) AS cell, MIN(m2.m) AS dist
+        FROM d2t JOIN m2 ON d2t.vec_id = m2.vec_id AND d2t.d2 = m2.m
+        GROUP BY d2t.vec_id
+    )
+    SELECT CAST(cell AS BIGINT) AS f_cluster,
+           CAST(COUNT(*) AS BIGINT) AS f_n,
+           CAST(SUM(dist) AS BIGINT) AS f_inertia
+    FROM a2
+    GROUP BY cell
+    ORDER BY f_cluster ASC
+"""
+
+
+QUERIES["q_cluster_kmeans"] = q_cluster_kmeans
+ORACLE["q_cluster_kmeans"] = _kmeans_oracle()

@@ -939,3 +939,274 @@ ORACLE["q_dedup_normalized"] = """
     HAVING COUNT(*) >= 2
 """
 QUERIES["q_dedup_normalized"] = q_dedup_normalized
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked keyword search (exact-rational scoring, integer division)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("window", "merge", "stream")
+_BM25_TOPK = 15
+_BM25_SCALE = 10000   # fixed-point score scale (4 decimal digits)
+_BM25_TFCAP = 30      # tf saturation cap keeps every product < 2^63
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search over ``documents``, ORACLE-GATED —
+    the ranked-retrieval upgrade of q_text_search's occurrence-count
+    relevance. Standard BM25 shape (k1 = 6/5, b = 3/4) with one
+    documented deviation: the IDF factor is the exact rational
+    (2(N−df)+1)/(2df+1) — i.e. the classic (N−df+0.5)/(df+0.5) WITHOUT
+    the log wrapper, because IEEE log is not correctly-rounded
+    cross-engine (the q_tfidf_topterms lesson; same monotone ordering
+    per term). Clearing every denominator turns the per-term score
+    into one BIGINT ratio:
+
+        s_t = 44·TT·(2(N−df)+1)·tf·SCALE
+              DIV (2df+1)·(20·TT·tf + 6·TT + 18·dl·N)
+
+    (TT = corpus token count, dl = doc length, avgdl = TT/N folded in;
+    44 = 20·(k1+1), 6 = 20·k1·(1−b), 18 = 20·k1·b·… after ×20·TT).
+    Integer division truncates toward zero identically in both engines
+    (all operands positive), so the summed fixed-point score is exact
+    and the key hash-gates. Bounds: tf ≤ 30 (saturation cap), TT ≤ 10⁶
+    at sf0.1, idf numerator ≤ 2N ≈ 10⁴ → worst product ≈ 10¹⁷ < 2⁶³.
+    At a true 100 TB corpus the scoring moves to doubles (ordering
+    only needs per-engine consistency there) — this key pins the
+    semantics at oracle scale.
+
+    Scale shape: ONE narrow projection computes dl and the three tf
+    columns per doc (no explode, no token shuffle — the term list is a
+    query parameter); the corpus stats (N, TT, df per term) are one
+    map-side-combinable global agg broadcast back as a 1-row frame;
+    the final ranking is TakeOrdered top-15. Single pass over text."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.trim(F.col("text")).alias("_tt"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks"),
+    )
+    def _tf_col(term: str, i: int):
+        # single-arg lambda ONLY: a second parameter makes F.filter pass
+        # the array INDEX as that argument (PySpark arity dispatch)
+        return (
+            F.least(
+                F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(term))),
+                F.lit(_BM25_TFCAP),
+            )
+            .cast("long")
+            .alias(f"_tf{i}")
+        )
+
+    tf_cols = [_tf_col(term, i) for i, term in enumerate(_BM25_TERMS)]
+    per = base.select(
+        "doc_id",
+        F.when(F.length("_tt") == 0, F.lit(0))
+        .otherwise(F.size("_toks"))
+        .cast("long")
+        .alias("_dl"),
+        *tf_cols,
+    )
+    g = per.groupBy().agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_ttl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"_df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    # integer division via SQL DIV on materialized numerator/denominator
+    # columns (positive operands → identical truncation both engines)
+    work = per.crossJoin(F.broadcast(g))
+    for i in range(len(_BM25_TERMS)):
+        num = (
+            F.lit(44).cast("long")
+            * F.col("_ttl")
+            * (F.lit(2).cast("long") * (F.col("_n") - F.col(f"_df{i}")) + 1)
+            * F.col(f"_tf{i}")
+            * F.lit(_BM25_SCALE).cast("long")
+        )
+        den = (F.lit(2).cast("long") * F.col(f"_df{i}") + 1) * (
+            F.lit(20).cast("long") * F.col("_ttl") * F.col(f"_tf{i}")
+            + F.lit(6).cast("long") * F.col("_ttl")
+            + F.lit(18).cast("long") * F.col("_dl") * F.col("_n")
+        )
+        work = work.withColumn(f"_num{i}", num).withColumn(f"_den{i}", den)
+        work = work.withColumn(
+            f"_s{i}", F.expr(f"_num{i} DIV _den{i}").cast("long")
+        )
+    total = sum(F.col(f"_s{i}") for i in range(len(_BM25_TERMS)))
+    return (
+        work.withColumn("f_score_scaled", total.cast("long"))
+        .filter(F.col("f_score_scaled") > 0)
+        .select(
+            "doc_id",
+            F.col("_dl").alias("f_dl"),
+            *[
+                F.col(f"_tf{i}").alias(f"f_tf_{t}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+            "f_score_scaled",
+            (F.col("f_score_scaled").cast("double") / _BM25_SCALE).alias(
+                "f_score"
+            ),
+        )
+        .orderBy(F.col("f_score_scaled").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_exprs = ", ".join(
+        "LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text),"
+        f" '\\s+'), t -> t = '{term}')) AS BIGINT), {_BM25_TFCAP})"
+        f" AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    s_exprs = " + ".join(
+        f"((44 * ttl * (2 * (n - df{i}) + 1) * tf{i} * {_BM25_SCALE})"
+        f" // ((2 * df{i} + 1)"
+        f" * (20 * ttl * tf{i} + 6 * ttl + 18 * dl * n)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_out = ", ".join(
+        f"tf{i} AS f_tf_{t}" for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH per AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS dl,
+               {tf_exprs}
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS ttl,
+               {df_exprs}
+        FROM per
+    ),
+    scored AS (
+        SELECT per.doc_id, per.dl, {', '.join(f'per.tf{i}' for i in range(len(_BM25_TERMS)))},
+               CAST({s_exprs} AS BIGINT) AS f_score_scaled
+        FROM per CROSS JOIN g
+    )
+    SELECT doc_id, dl AS f_dl, {tf_out}, f_score_scaled,
+           CAST(f_score_scaled AS DOUBLE) / {_BM25_SCALE} AS f_score
+    FROM scored WHERE f_score_scaled > 0
+    ORDER BY f_score_scaled DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+"""
+
+
+ORACLE["q_bm25_topk"] = _bm25_oracle()
+QUERIES["q_bm25_topk"] = q_bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (prefix-blocked Levenshtein, exact integers)
+# ---------------------------------------------------------------------------
+
+_EDIT_BLOCK_CHARS = 20   # blocking prefix (normalized)
+_EDIT_CMP_CHARS = 200    # comparison window
+_EDIT_MAX_LEV = 40       # near-dup threshold
+_EDIT_BLOCK_CAP = 64     # max block size admitted to the pair join
+
+
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection, ORACLE-GATED — the fuzzy-dedup
+    family member MinHash/SimHash can't express: pairs whose NORMALIZED
+    200-char heads are within Levenshtein distance 40, candidate-blocked
+    on the normalized 20-char prefix (a pair with edits inside the
+    first 20 chars is out of blocking scope — standard
+    blocked-entity-resolution honesty, same contract as q_dedup_ngram's
+    shingle blocks). Levenshtein is an exact integer in BOTH engines
+    (dynamic-programming edit distance, no floats anywhere), so the key
+    hash-gates. Normalization reuses the q_dedup_normalized spelling
+    (explicit ASCII classes, DuckDB 'g' flag).
+
+    Scale shape: the block key is a hash-shuffle key (one shuffle);
+    blocks larger than 64 rows are EXCLUDED before the self-join (the
+    Σ block² ≤ cap·n bound of q_dedup_ngram — mega-blocks mean the
+    prefix is boilerplate and belong to the MinHash path, not O(b²)
+    pair scoring); the O(cmp²) Levenshtein DP runs per surviving pair
+    only, 200×200 ints in codegen. No Python in any row path."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \t\r\n]", ""),
+            "[ \t\r\n]+",
+            " ",
+        )
+    )
+    docs = d.select(
+        "doc_id",
+        F.substring(norm, 1, _EDIT_CMP_CHARS).alias("_head"),
+        F.substring(norm, 1, _EDIT_BLOCK_CHARS).alias("_bkey"),
+    ).filter(F.length(norm) >= _EDIT_BLOCK_CHARS)
+    sizes = docs.groupBy("_bkey").agg(F.count("*").alias("_bn"))
+    blocked = docs.join(
+        sizes.filter(F.col("_bn") <= _EDIT_BLOCK_CAP).select("_bkey"),
+        "_bkey",
+    )
+    a = blocked.select(
+        F.col("_bkey"),
+        F.col("doc_id").alias("f_id_a"),
+        F.col("_head").alias("_ha"),
+    )
+    b = blocked.select(
+        F.col("_bkey"),
+        F.col("doc_id").alias("f_id_b"),
+        F.col("_head").alias("_hb"),
+    )
+    pairs = (
+        a.join(b, "_bkey")
+        .filter(F.col("f_id_a") < F.col("f_id_b"))
+        .withColumn(
+            "f_lev", F.levenshtein(F.col("_ha"), F.col("_hb")).cast("long")
+        )
+        .filter(F.col("f_lev") <= _EDIT_MAX_LEV)
+    )
+    return pairs.select("f_id_a", "f_id_b", "f_lev").orderBy(
+        F.col("f_lev").asc(), F.col("f_id_a").asc(), F.col("f_id_b").asc()
+    )
+
+
+ORACLE["q_dedup_edit"] = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               substr(nrm, 1, {_EDIT_CMP_CHARS}) AS head,
+               substr(nrm, 1, {_EDIT_BLOCK_CHARS}) AS bkey
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 \t\r\n]', '',
+                                      'g'),
+                       '[ \t\r\n]+', ' ', 'g')) AS nrm
+            FROM documents
+        ) WHERE length(nrm) >= {_EDIT_BLOCK_CHARS}
+    ),
+    ok AS (
+        SELECT bkey FROM docs GROUP BY bkey
+        HAVING COUNT(*) <= {_EDIT_BLOCK_CAP}
+    ),
+    blocked AS (SELECT docs.* FROM docs JOIN ok ON docs.bkey = ok.bkey),
+    pairs AS (
+        SELECT a.doc_id AS f_id_a, b.doc_id AS f_id_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS f_lev
+        FROM blocked a JOIN blocked b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT f_id_a, f_id_b, f_lev FROM pairs
+    WHERE f_lev <= {_EDIT_MAX_LEV}
+    ORDER BY f_lev ASC, f_id_a ASC, f_id_b ASC
+"""
+QUERIES["q_dedup_edit"] = q_dedup_edit

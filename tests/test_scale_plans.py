@@ -521,3 +521,52 @@ def test_vocab_coverage_no_unpartitioned_window(spark):
     for p in [plan, *subs]:
         assert not _unpartitioned_window_lines(p), p
     assert any("rangepartitioning" in p for p in subs), subs
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 2: BM25 single-pass shape, blocked Levenshtein dedup
+# ---------------------------------------------------------------------------
+
+def test_bm25_single_pass_no_token_shuffle(spark):
+    """q_bm25_topk's scale contract: the term list is a query parameter,
+    so scoring must NOT explode tokens or shuffle on them — one narrow
+    per-doc projection, one global (1-row) stat agg broadcast back, a
+    TakeOrdered top-k. No Window, no Generate (explode), no sort-merge
+    join anywhere."""
+    from dbt_snowflake_feature_store_spark.operators.relational5 import (
+        q_bm25_topk,
+    )
+
+    plan = _executed_plan(q_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no explode of the token arrays
+    assert "SortMergeJoin" not in plan  # stats come back as broadcast
+
+
+def test_dedup_edit_blocked_equi_join(spark):
+    """q_dedup_edit's scale contract: the pair join is an EQUI join on
+    the block key (hash-shuffleable at any scale), never a cartesian /
+    nested-loop product, and no unpartitioned window exists."""
+    from dbt_snowflake_feature_store_spark.operators.relational5 import (
+        q_dedup_edit,
+    )
+
+    plan = _executed_plan(q_dedup_edit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_dedup_edit_block_cap_bounds_pairs(spark):
+    """Blocks above the cap must be excluded BEFORE the self-join: with
+    the cap forced to 1 every block dies and the key returns 0 rows —
+    proving the cap gates the quadratic stage, not a post-filter."""
+    import dbt_snowflake_feature_store_spark.operators.relational5 as r5
+
+    orig = r5._EDIT_BLOCK_CAP
+    try:
+        r5._EDIT_BLOCK_CAP = 1
+        assert r5.q_dedup_edit(spark, SF_DIR).count() == 0
+    finally:
+        r5._EDIT_BLOCK_CAP = orig

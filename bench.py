@@ -150,6 +150,7 @@ HEADLINE = [
     "q_bm25_topk",
     "q_dedup_edit",
     "q_cluster_kmeans",
+    "q_graph_triangles",
 ]
 
 

@@ -18,6 +18,7 @@ from .errors import (
 )
 from .functions.profile import profile
 from .models import load_project, run_data_tests
+from .snapshots import read_snapshot, run_snapshots
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
 from .pit import asof_join
 from .session import get_spark
@@ -36,6 +37,8 @@ __all__ = [
     "get_spark",
     "load_project",
     "run_data_tests",
+    "run_snapshots",
+    "read_snapshot",
     "FeatureStoreError",
     "EntityNotFoundError",
     "FeatureViewNotFoundError",

@@ -1474,12 +1474,20 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_dt")
         )
     )
+    # rename dt's keys before joining: enc and dt both descend from cb,
+    # so same-name column refs would resolve to shared attribute ids
+    dtr = dt.select(
+        F.col("cell").alias("_dc"),
+        F.col("sub").alias("_ds"),
+        F.col("code").alias("_dcode"),
+        "_dt",
+    )
     adc = (
         enc.join(
-            F.broadcast(dt),
-            (enc["f_cell"] == dt["cell"])
-            & (enc["sub"] == dt["sub"])
-            & (enc["code"] == dt["code"]),
+            F.broadcast(dtr),
+            (F.col("f_cell") == F.col("_dc"))
+            & (F.col("sub") == F.col("_ds"))
+            & (F.col("code") == F.col("_dcode")),
         )
         .groupBy("vec_id", "f_cell")
         .agg(F.sum("_dt").cast("long").alias("f_adc"))

@@ -1210,3 +1210,123 @@ ORACLE["q_dedup_edit"] = f"""
     ORDER BY f_lev ASC, f_id_a ASC, f_id_b ASC
 """
 QUERIES["q_dedup_edit"] = q_dedup_edit
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented compact-forward, exact integers)
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_W = 2    # co-occurrence support threshold for an edge
+_TRI_TOPK = 10
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph, ORACLE-GATED —
+    the local-clustering graph feature (community density, link-spam
+    signals) alongside q_pagerank's global ranking. Edges = part pairs
+    co-occurring in ≥ 2 orders (the support threshold that prunes the
+    quadratic co-occurrence tail); the count runs the degree-oriented
+    COMPACT-FORWARD algorithm: orient every edge from the lower-degree
+    endpoint (ties by id) so the graph becomes a DAG whose out-degrees
+    are O(√m), then count s→t→w paths closed by s→w. Each triangle is
+    counted exactly once; everything is integer, so the key hash-gates.
+    Output: top-10 nodes by triangle membership (each triangle credits
+    all 3 corners), count-desc / id-asc.
+
+    Scale shape: the co-occurrence build is the data-scale part — one
+    distinct projection of (order, part) and one self-equi-join on the
+    order key, aggregated map-side-combinably to the pair key with the
+    support HAVING pushed into the aggregate; the triangle phase runs
+    on the SUPPORT-PRUNED edge list with two hash-equi-joins on node
+    keys (the degree orientation is exactly what bounds the wedge
+    fan-out on hub nodes — the textbook O(m^1.5) bound). No window
+    over unbounded data, no cartesian join, no Python."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") >= _TRI_MIN_W)
+        .select("u", "v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("_d").alias("_dv"))
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    a = oe.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    b = oe.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    c = oe.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = a.join(b, "y").join(c, ["x", "z"]).select("x", "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("f_part"))
+        .unionAll(tri.select(F.col("y").alias("f_part")))
+        .unionAll(tri.select(F.col("z").alias("f_part")))
+    )
+    return (
+        corners.groupBy("f_part")
+        .agg(F.count("*").cast("long").alias("f_triangles"))
+        .orderBy(F.col("f_triangles").desc(), F.col("f_part").asc())
+        .limit(_TRI_TOPK)
+        .select(F.col("f_part").cast("long").alias("f_part"), "f_triangles")
+    )
+
+
+ORACLE["q_graph_triangles"] = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= {_TRI_MIN_W}
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        GROUP BY n
+    ),
+    oe AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t
+        FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+    ),
+    tri AS (
+        SELECT a.s AS x, a.t AS y, b.t AS z
+        FROM oe a
+        JOIN oe b ON a.t = b.s
+        JOIN oe c ON c.s = a.s AND c.t = b.t
+    ),
+    corners AS (
+        SELECT x AS f_part FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT CAST(f_part AS BIGINT) AS f_part,
+           CAST(COUNT(*) AS BIGINT) AS f_triangles
+    FROM corners
+    GROUP BY f_part
+    ORDER BY f_triangles DESC, f_part ASC
+    LIMIT {_TRI_TOPK}
+"""
+QUERIES["q_graph_triangles"] = q_graph_triangles

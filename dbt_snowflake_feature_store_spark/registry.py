@@ -27,7 +27,10 @@ import os
 import tempfile
 from typing import Any, Callable, Iterator
 
-VALID_KINDS = ("entities", "feature_views", "datasets", "sources", "ann_indexes")
+VALID_KINDS = (
+    "entities", "feature_views", "datasets", "sources", "ann_indexes",
+    "snapshots",
+)
 
 
 class Registry:

@@ -1,0 +1,415 @@
+"""dbt snapshots: SCD2 ``{% snapshot %}`` blocks over registered sources.
+
+The reference ships as a dbt package, and dbt's snapshot materialization
+is the standard way its users capture slowly-changing source state
+(``dbt snapshot`` → a table with ``dbt_valid_from`` / ``dbt_valid_to``
+versions per key). This module implements that surface Spark-first:
+
+- ``snapshots/**/*.sql`` files holding ``{% snapshot name %} …
+  {% endsnapshot %}`` blocks with a ``{{ config(...) }}`` header —
+  ``strategy='timestamp'`` (``unique_key`` + ``updated_at``) and
+  ``strategy='check'`` (``unique_key`` + ``check_cols`` list or
+  ``'all'``) are supported, anything else fails loudly (the
+  models.py ValidationError discipline).
+- Each run merges current source state into the snapshot table:
+  changed rows get their open version CLOSED (``dbt_valid_to`` set)
+  and a new open version inserted; new keys insert an open version;
+  unchanged / absent keys keep their state (dbt's default soft-delete
+  behavior — no ``invalidate_hard_deletes``).
+- State lives under ``<root>/_snapshots/<NAME>`` through the store's
+  TableFormat (ParquetSnapshotFormat crash-safe swap / Delta when
+  available), and the snapshot spec is registered so a strategy /
+  key-spec change across runs fails instead of silently corrupting
+  history (the on_configuration_change='fail' discipline,
+  /root/reference/macros/materializations/feature_view.sql:16-34 —
+  cited for the change-detection contract, not the implementation).
+
+Scale shape: one equi-join of the open slice against the fresh source
+per run (both sides keyed on ``unique_key`` — AQE-shuffleable at any
+size), plus unions; the closed history is appended untouched, never
+rewritten row-by-row. No window over unbounded data, no Python row
+path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .models import (
+    _CONFIG_RE,
+    _needs_full_jinja,
+    _parse_config,
+    make_jinja_env,
+    _project_macro_paths,
+    _resolve_source,
+    canonical_name,
+)
+from .errors import ValidationError
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .store import FeatureStore
+
+_SNAPSHOT_RE = re.compile(
+    r"\{%-?\s*snapshot\s+([A-Za-z_][A-Za-z0-9_]*)\s*-?%\}(.*?)"
+    r"\{%-?\s*endsnapshot\s*-?%\}",
+    re.DOTALL,
+)
+_EXPR_RE = re.compile(
+    r"\{\{-?\s*(ref|source)\s*\(\s*([^)]*?)\s*\)\s*-?\}\}", re.DOTALL
+)
+_ARG_RE = re.compile(r"""^\s*['"]([^'"]+)['"]\s*$""")
+
+SNAPSHOT_COLS = ("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
+
+
+def _parse_snapshot_blocks(path: str) -> list[tuple[str, str]]:
+    with open(path, encoding="utf-8") as fh:
+        raw = fh.read()
+    blocks = _SNAPSHOT_RE.findall(raw)
+    if not blocks:
+        raise ValidationError(
+            f"No {{% snapshot %}} block in {path!r} — snapshot files must "
+            "wrap their SELECT in {% snapshot <name> %} … {% endsnapshot %}"
+        )
+    return [(name, body) for name, body in blocks]
+
+
+def _resolve_refs(
+    fs: "FeatureStore",
+    body: str,
+    source_map: dict[Any, str] | None,
+) -> str:
+    """Bind ``ref()``/``source()`` to registered source views. Snapshots
+    capture SOURCE state (the dbt contract), so a ref() must name a
+    registered source or seed — a ref to a model fails loudly."""
+    # sources bind their temp view under the ORIGINAL registered name
+    # (store._bind_batch_sources), so map canonical → original here
+    known = {
+        canonical_name(d["name"]): d["name"]
+        for d in fs.registry.list("sources")
+    }
+
+    def sub(m: re.Match[str]) -> str:
+        fn, args_src = m.group(1), m.group(2)
+        args = [a.strip() for a in args_src.split(",")]
+        if fn == "source":
+            if len(args) != 2:
+                raise ValidationError(
+                    f"source() takes 2 arguments, got {args_src!r}"
+                )
+            parsed = []
+            for a in args:
+                am = _ARG_RE.match(a)
+                if not am:
+                    raise ValidationError(
+                        f"source() arguments must be string literals: {a!r}"
+                    )
+                parsed.append(am.group(1))
+            return _resolve_source(fs, parsed[0], parsed[1], source_map)
+        if len(args) != 1:
+            raise ValidationError(f"ref() takes 1 argument, got {args_src!r}")
+        am = _ARG_RE.match(args[0])
+        if not am:
+            raise ValidationError(
+                f"ref() argument must be a string literal: {args[0]!r}"
+            )
+        name = canonical_name(am.group(1))
+        if name not in known:
+            raise ValidationError(
+                f"Snapshot ref('{am.group(1)}') does not name a registered "
+                "source or seed — snapshots capture source state; register "
+                "the table (or load seeds) first"
+            )
+        return known[name]
+
+    return _EXPR_RE.sub(sub, body)
+
+
+def _validate_config(name: str, cfg: dict[str, Any]) -> dict[str, Any]:
+    strategy = str(cfg.get("strategy", "")).lower()
+    if strategy not in ("timestamp", "check"):
+        raise ValidationError(
+            f"Snapshot '{name}': strategy must be 'timestamp' or 'check', "
+            f"got {cfg.get('strategy')!r}"
+        )
+    if not cfg.get("unique_key"):
+        raise ValidationError(f"Snapshot '{name}': unique_key is required")
+    spec: dict[str, Any] = {
+        "strategy": strategy,
+        "unique_key": str(cfg["unique_key"]),
+    }
+    if strategy == "timestamp":
+        if not cfg.get("updated_at"):
+            raise ValidationError(
+                f"Snapshot '{name}': updated_at is required for the "
+                "timestamp strategy"
+            )
+        spec["updated_at"] = str(cfg["updated_at"])
+    else:
+        cols = cfg.get("check_cols")
+        if cols != "all" and not (
+            isinstance(cols, (list, tuple)) and cols
+        ):
+            raise ValidationError(
+                f"Snapshot '{name}': check_cols must be 'all' or a "
+                f"non-empty list, got {cols!r}"
+            )
+        spec["check_cols"] = (
+            "all" if cols == "all" else [str(c) for c in cols]
+        )
+    return spec
+
+
+def _snapshot_path(fs: "FeatureStore", name: str) -> str:
+    return os.path.join(fs.root, "_snapshots", canonical_name(name))
+
+
+def _assert_unique(src: DataFrame, key: str, name: str) -> None:
+    dup = (
+        src.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValidationError(
+            f"Snapshot '{name}': source has duplicate unique_key "
+            f"{key}={dup[0][key]!r} — dbt snapshots require one source row "
+            "per key per run"
+        )
+
+
+def _merge_timestamp(
+    cur: DataFrame | None, src: DataFrame, key: str, ua: str
+) -> DataFrame:
+    """SCD2 merge, timestamp strategy: a source row with a LATER
+    updated_at than the open version closes it and opens a new one."""
+    stamped = src.select(
+        "*",
+        F.md5(
+            F.concat_ws("||", F.col(key).cast("string"), F.col(ua).cast("string"))
+        ).alias("dbt_scd_id"),
+        F.col(ua).alias("dbt_updated_at"),
+        F.col(ua).alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+    )
+    if cur is None:
+        return stamped
+    closed = cur.filter(F.col("dbt_valid_to").isNotNull())
+    opened = cur.filter(F.col("dbt_valid_to").isNull())
+    chg = src.select(
+        F.col(key).alias("_k"), F.col(ua).alias("_new_ua")
+    )
+    j = opened.join(chg, opened[key] == chg["_k"], "left")
+    changed_open = j.filter(
+        F.col("_new_ua").isNotNull()
+        & (F.col("_new_ua") > F.col("dbt_updated_at"))
+    )
+    keep_open = j.filter(
+        F.col("_new_ua").isNull()
+        | (F.col("_new_ua") <= F.col("dbt_updated_at"))
+    ).drop("_k", "_new_ua")
+    closed_now = changed_open.withColumn(
+        "dbt_valid_to", F.col("_new_ua")
+    ).drop("_k", "_new_ua")
+    prev = opened.select(
+        F.col(key).alias("_k"), F.col("dbt_updated_at").alias("_old_ua")
+    )
+    ins = stamped.join(prev, stamped[key] == prev["_k"], "left").filter(
+        F.col("_old_ua").isNull()
+        | (F.col("dbt_updated_at") > F.col("_old_ua"))
+    ).drop("_k", "_old_ua")
+    return closed.unionByName(keep_open).unionByName(closed_now).unionByName(ins)
+
+
+def _merge_check(
+    cur: DataFrame | None,
+    src: DataFrame,
+    key: str,
+    check_cols: Any,
+    at_col,
+) -> DataFrame:
+    """SCD2 merge, check strategy: a row is 'changed' when any checked
+    column differs (null-safe); version stamps come from ``at``."""
+    cols = (
+        [c for c in src.columns]
+        if check_cols == "all"
+        else [key] + [c for c in check_cols]
+    )
+    chk = F.md5(
+        F.concat_ws(
+            "||", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(set(cols))]
+        )
+    )
+    stamped = src.select(
+        "*",
+        F.md5(
+            F.concat_ws("||", F.col(key).cast("string"), at_col.cast("string"))
+        ).alias("dbt_scd_id"),
+        at_col.alias("dbt_updated_at"),
+        at_col.alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        chk.alias("_chk"),
+    )
+    if cur is None:
+        return stamped.drop("_chk")
+    cur_chk = cur.select(
+        "*",
+        F.md5(
+            F.concat_ws(
+                "||", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(set(cols))]
+            )
+        ).alias("_chk"),
+    )
+    closed = cur_chk.filter(F.col("dbt_valid_to").isNotNull()).drop("_chk")
+    opened = cur_chk.filter(F.col("dbt_valid_to").isNull())
+    news = stamped.select(
+        F.col(key).alias("_k"), F.col("_chk").alias("_new_chk"),
+        F.col("dbt_valid_from").alias("_new_vf"),
+    )
+    j = opened.join(news, opened[key] == news["_k"], "left")
+    keep_open = j.filter(
+        F.col("_new_chk").isNull() | (F.col("_new_chk") == F.col("_chk"))
+    ).drop("_k", "_new_chk", "_new_vf", "_chk")
+    closed_now = (
+        j.filter(
+            F.col("_new_chk").isNotNull()
+            & (F.col("_new_chk") != F.col("_chk"))
+        )
+        .withColumn("dbt_valid_to", F.col("_new_vf"))
+        .drop("_k", "_new_chk", "_new_vf", "_chk")
+    )
+    prev = opened.select(
+        F.col(key).alias("_k"), F.col("_chk").alias("_old_chk")
+    )
+    ins = (
+        stamped.join(prev, stamped[key] == prev["_k"], "left")
+        .filter(
+            F.col("_old_chk").isNull()
+            | (F.col("_chk") != F.col("_old_chk"))
+        )
+        .drop("_k", "_old_chk", "_chk")
+    )
+    return closed.unionByName(keep_open).unionByName(closed_now).unionByName(ins)
+
+
+def run_snapshots(
+    fs: "FeatureStore",
+    project_dir: str,
+    source_map: dict[Any, str] | None = None,
+    model_vars: dict[str, Any] | None = None,
+    at: Any = None,
+) -> dict[str, Any]:
+    """Run every snapshot under ``<project_dir>/snapshots``. Returns
+    ``{name: {"strategy": …, "rows": total, "open": n_open}}``.
+
+    ``at`` stamps check-strategy versions (a timestamp or ISO string);
+    it defaults to the session's ``current_timestamp()`` — pass it
+    explicitly for reproducible runs (tests do)."""
+    snap_dir = os.path.join(project_dir, "snapshots")
+    if not os.path.isdir(snap_dir):
+        raise ValidationError(f"No snapshots/ directory under {project_dir!r}")
+    paths = []
+    for root, _dirs, files in os.walk(snap_dir):
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                paths.append(os.path.join(root, fn))
+    if not paths:
+        raise ValidationError(f"No .sql snapshot files under {snap_dir!r}")
+
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir), model_vars
+            )
+        return jinja_env
+
+    at_col = (
+        F.lit(at).cast("timestamp") if at is not None else F.current_timestamp()
+    )
+    report: dict[str, Any] = {}
+    seen: set[str] = set()
+    for p in paths:
+        for raw_name, body in _parse_snapshot_blocks(p):
+            name = canonical_name(raw_name)
+            if name in seen:
+                raise ValidationError(f"Duplicate snapshot name '{raw_name}'")
+            seen.add(name)
+            m = _CONFIG_RE.search(body)
+            if not m:
+                raise ValidationError(
+                    f"Snapshot '{raw_name}' has no {{{{ config(...) }}}} block"
+                )
+            cfg = _parse_config(m.group(1), raw_name)
+            spec = _validate_config(raw_name, cfg)
+            sql_body = _CONFIG_RE.sub("", body)
+            if _needs_full_jinja(sql_body):
+                env = _env()
+                sql_body = env.from_string(sql_body).render()
+            sql_body = _resolve_refs(fs, sql_body, source_map).strip()
+
+            # spec-change detection across runs: silently reinterpreting
+            # history under a new strategy/key would corrupt it
+            prior = fs.registry.get("snapshots", name)
+            if prior is not None and prior.get("spec") != spec:
+                raise ValidationError(
+                    f"Snapshot '{raw_name}' spec changed "
+                    f"({prior.get('spec')} -> {spec}); snapshots cannot "
+                    "change strategy or keys — create a new snapshot"
+                )
+
+            fs._bind_batch_sources()
+            src = fs.spark.sql(sql_body)
+            key = spec["unique_key"]
+            if key not in src.columns:
+                raise ValidationError(
+                    f"Snapshot '{raw_name}': unique_key '{key}' not in "
+                    f"select columns {src.columns}"
+                )
+            _assert_unique(src, key, raw_name)
+
+            path = _snapshot_path(fs, name)
+            fs.storage.recover(path)
+            cur = (
+                fs.storage.read(fs.spark, path)
+                if os.path.isdir(path)
+                else None
+            )
+            if spec["strategy"] == "timestamp":
+                ua = spec["updated_at"]
+                if ua not in src.columns:
+                    raise ValidationError(
+                        f"Snapshot '{raw_name}': updated_at '{ua}' not in "
+                        f"select columns {src.columns}"
+                    )
+                out = _merge_timestamp(cur, src.withColumn(
+                    ua, F.col(ua).cast("timestamp")
+                ), key, ua)
+            else:
+                out = _merge_check(cur, src, key, spec["check_cols"], at_col)
+            fs.storage.replace(fs.spark, path, out)
+            fs.registry.put(
+                "snapshots", name, {"name": name, "spec": spec, "sql": sql_body}
+            )
+            final = fs.storage.read(fs.spark, path)
+            report[name] = {
+                "strategy": spec["strategy"],
+                "rows": final.count(),
+                "open": final.filter(F.col("dbt_valid_to").isNull()).count(),
+            }
+    return report
+
+
+def read_snapshot(fs: "FeatureStore", name: str) -> DataFrame:
+    """Read a snapshot table (full SCD2 history)."""
+    n = canonical_name(name)
+    if fs.registry.get("snapshots", n) is None:
+        raise ValidationError(f"Unknown snapshot '{name}'")
+    path = _snapshot_path(fs, n)
+    fs.storage.recover(path)
+    return fs.storage.read(fs.spark, path)

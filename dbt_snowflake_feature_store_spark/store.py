@@ -435,6 +435,14 @@ class FeatureStore:
         self.registry.delete("feature_views", key)
         self._df_cache.pop(key, None)
         self._drop_materialization(canonical_name(name), str(version))
+        # online export is derived state — drop it with its FV
+        okey = physical_fv_name(canonical_name(name), str(version))
+        odoc = self.registry.get("online_stores", okey)
+        if odoc is not None:
+            self.registry.delete("online_stores", okey)
+            import shutil
+
+            shutil.rmtree(odoc.get("path", ""), ignore_errors=True)
 
     # -- planning / reading --------------------------------------------
     def _plan(self, fv: FeatureView) -> DataFrame:
@@ -1005,6 +1013,123 @@ class FeatureStore:
             .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
             .limit(k)
         )
+
+    # ------------------------------------------------------------------
+    # Online store (offline → serving sync)
+    # ------------------------------------------------------------------
+    def _online_path(self, name: str, version: str) -> str:
+        return os.path.join(
+            self.root, "_online", physical_fv_name(name, version)
+        )
+
+    def _fv_join_keys(self, fv: FeatureView) -> list[str]:
+        keys: list[str] = []
+        for e in fv.entity_docs or [
+            {"name": n, "joinKeys": self.get_entity(n).join_keys}
+            for n in fv.entity_names()
+        ]:
+            keys.extend(e["joinKeys"])
+        fv_map = {c.upper(): c for c in self.read_feature_view(fv).columns}
+        missing = [k for k in keys if k not in fv_map]
+        if missing:
+            raise ValidationError(
+                f"join keys {missing} missing from feature view "
+                f"'{fv.logical_name}'"
+            )
+        return [fv_map[k] for k in keys]
+
+    def export_online_store(
+        self, fv: FeatureView | str, version: str | None = None
+    ) -> str:
+        """Materialize the LATEST feature row per entity key into a
+        compact serving table — the offline→online sync every feature
+        store performs so request-path lookups never scan history. The
+        snapshot is ONE hash aggregate (``max_by`` over the feature
+        struct keyed on the FV's timestamp column — no window sort; the
+        q_fv_latest_snapshot plan shape), written through the store's
+        crash-safe TableFormat swap. Timeless FVs export as-is (their
+        body already has one row per key by the spine-invariant
+        contract). Returns the table path; re-export replaces
+        atomically. Read with ``read_online`` / point-filter with
+        ``online_lookup`` (key predicates push down to the scan)."""
+        if isinstance(fv, str):
+            fv = self.get_feature_view(fv, version)
+        df = self.read_feature_view(fv)
+        join_keys = self._fv_join_keys(fv)
+        if fv.timestamp_col:
+            ts_map = {c.upper(): c for c in df.columns}
+            ts_col = ts_map[canonical_name(fv.timestamp_col)]
+            feature_cols = [c for c in df.columns if c not in join_keys]
+            snap = (
+                df.groupBy(*join_keys)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in feature_cols]),
+                        F.col(ts_col),
+                    ).alias("__fs_latest")
+                )
+                .select(
+                    *join_keys,
+                    *[
+                        F.col(f"__fs_latest.{c}").alias(c)
+                        for c in feature_cols
+                    ],
+                )
+            )
+        else:
+            snap = df
+        path = self._online_path(fv.name, fv.version)
+        self.storage.replace(self.spark, path, snap)
+        import time as _time
+
+        self.registry.put(
+            "online_stores",
+            physical_fv_name(fv.name, fv.version),
+            {
+                "name": fv.name,
+                "version": fv.version,
+                "path": path,
+                "join_keys": join_keys,
+                "exported_at": _time.time(),
+            },
+        )
+        return path
+
+    def read_online(
+        self, fv: FeatureView | str, version: str | None = None
+    ) -> DataFrame:
+        """Read the exported online snapshot (one row per entity key)."""
+        if isinstance(fv, str):
+            name = canonical_name(fv)
+        else:
+            name, version = fv.name, fv.version
+        doc = self.registry.get(
+            "online_stores", physical_fv_name(name, str(version))
+        )
+        if doc is None:
+            raise ValidationError(
+                f"Feature view '{name}' v{version} has no online export; "
+                "call export_online_store first"
+            )
+        self.storage.recover(doc["path"])
+        return self.storage.read(self.spark, doc["path"])
+
+    def online_lookup(
+        self,
+        fv: FeatureView | str,
+        version: str | None = None,
+        keys: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Point lookup against the online snapshot: equality predicates
+        on the entity keys, pushed down to the parquet scan."""
+        df = self.read_online(fv, version)
+        col_map = {c.upper(): c for c in df.columns}
+        for k, v in (keys or {}).items():
+            ck = canonical_name(k)
+            if ck not in col_map:
+                raise ValidationError(f"lookup key '{k}' not in online table")
+            df = df.filter(F.col(col_map[ck]) == F.lit(v))
+        return df
 
     # ------------------------------------------------------------------
     # Metadata introspection & maintenance

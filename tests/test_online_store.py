@@ -1,0 +1,103 @@
+"""Online-store export (store.py export_online_store / read_online /
+online_lookup): latest-per-entity-key serving snapshot, crash-safe
+replace, key-predicate pushdown, FV-delete cleanup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_snowflake_feature_store_spark import (
+    Entity,
+    FeatureView,
+    ValidationError,
+)
+
+
+@pytest.fixture
+def fv_with_history(fs, spark, tmp_path):
+    path = str(tmp_path / "hist.parquet")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-02-01 00:00:00", 20.0),
+            (2, "2024-01-15 00:00:00", 30.0),
+        ],
+        "cust_id INT, ts STRING, f_spend DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(path)
+    fs.register_source("cust_hist", path)
+    fs.register_entity(Entity(name="cust", join_keys=["cust_id"]))
+    fv = FeatureView(
+        name="spend_fv",
+        entities=["cust"],
+        sql="SELECT cust_id, ts, f_spend FROM cust_hist",
+        timestamp_col="ts",
+    )
+    return fs.register_feature_view(fv, version="1.0")
+
+
+def test_export_keeps_latest_row_per_key(fs, fv_with_history):
+    path = fs.export_online_store("spend_fv", "1.0")
+    assert os.path.isdir(path)
+    online = fs.read_online("spend_fv", "1.0")
+    rows = {r["cust_id"]: r for r in online.collect()}
+    assert len(rows) == 2  # one row per entity key
+    assert rows[1]["f_spend"] == 20.0  # the LATER version won
+    assert rows[2]["f_spend"] == 30.0
+
+
+def test_reexport_replaces_atomically(fs, spark, tmp_path, fv_with_history):
+    fs.export_online_store("spend_fv", "1.0")
+    # newer history arrives
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 00:00:00", 99.0)],
+        "cust_id INT, ts STRING, f_spend DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("append").parquet(str(tmp_path / "hist.parquet"))
+    fs.export_online_store("spend_fv", "1.0")
+    rows = {r["cust_id"]: r for r in fs.read_online("spend_fv", "1.0").collect()}
+    assert rows[1]["f_spend"] == 99.0
+
+
+def test_online_lookup_filters_and_pushes_down(fs, fv_with_history):
+    fs.export_online_store("spend_fv", "1.0")
+    hit = fs.online_lookup("spend_fv", "1.0", {"cust_id": 2})
+    assert [r["f_spend"] for r in hit.collect()] == [30.0]
+    # the key equality reaches the parquet scan as a pushed filter
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "cust_id" in plan
+    with pytest.raises(ValidationError, match="not in online table"):
+        fs.online_lookup("spend_fv", "1.0", {"nope": 1})
+
+
+def test_read_without_export_fails_loudly(fs, fv_with_history):
+    with pytest.raises(ValidationError, match="no online export"):
+        fs.read_online("spend_fv", "1.0")
+
+
+def test_delete_fv_drops_online_export(fs, fv_with_history):
+    path = fs.export_online_store("spend_fv", "1.0")
+    fs.delete_feature_view("spend_fv", "1.0")
+    assert not os.path.isdir(path)
+    with pytest.raises(ValidationError, match="no online export"):
+        fs.read_online("spend_fv", "1.0")
+
+
+def test_export_matches_retrieve_latest_semantics(fs, spark, fv_with_history):
+    """Online snapshot == retrieve_feature_values on a timeless spine
+    (the latest-per-key contract both paths share)."""
+    fs.export_online_store("spend_fv", "1.0")
+    online = {
+        r["cust_id"]: r["f_spend"]
+        for r in fs.read_online("spend_fv", "1.0").collect()
+    }
+    spine = spark.createDataFrame([(1,), (2,)], "cust_id INT")
+    fv = fs.get_feature_view("spend_fv", "1.0")
+    served = {
+        r["cust_id"]: r["f_spend"]
+        for r in fs.retrieve_feature_values(spine, [fv]).collect()
+    }
+    assert online == served

@@ -151,6 +151,8 @@ HEADLINE = [
     "q_dedup_edit",
     "q_cluster_kmeans",
     "q_graph_triangles",
+    "q_centroid_classify",
+    "q_surprisal_bigram",
 ]
 
 

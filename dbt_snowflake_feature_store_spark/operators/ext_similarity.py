@@ -1816,3 +1816,126 @@ def _kmeans_oracle() -> str:
 
 QUERIES["q_cluster_kmeans"] = q_cluster_kmeans
 ORACLE["q_cluster_kmeans"] = _kmeans_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification + confusion matrix (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of the labeled embedding corpus
+    with a CONFUSION MATRIX output, ORACLE-GATED — the embedding-quality
+    probe a training pipeline runs (are the classes separable in this
+    space?). Per-label integer centroids via the q_cluster_kmeans
+    half-up mean (floor(sum/cnt + 0.5) over micro-units — identical
+    IEEE division both engines); each vector assigns to the nearest
+    centroid by exact int64 squared distance (ties → lowest label);
+    output rows (f_true, f_pred, f_n) count-desc/label-asc ordered.
+    Training on the full set including the scored vector is the
+    standard resubstitution form — documented, identical both engines.
+
+    Scale shape: centroid build is one explode → map-side-combinable
+    (label, d) agg to a ≤(L×D)-row frame (bounded BY CONSTRUCTION —
+    label universe × dims); scoring is one broadcast join against it →
+    two combinable aggs; the confusion matrix is a final L×L-bounded
+    agg. No window, no Python."""
+    e = _emb(spark, sf_dir).filter(
+        F.size("embedding") == _KM_DIM
+    ).filter(F.col("label").isNotNull())
+    base = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("_lbl"),
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    )
+    el = base.select(
+        "vec_id", "_lbl", F.posexplode("_xq").alias("_d", "_x")
+    )
+    cent = (
+        el.groupBy("_lbl", "_d")
+        .agg(
+            F.sum("_x").cast("long").alias("_sx"),
+            F.count("*").cast("long").alias("_cn"),
+        )
+        .select(
+            F.col("_lbl").alias("clabel"),
+            F.col("_d").alias("d"),
+            F.floor(
+                F.col("_sx").cast("double") / F.col("_cn").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    dist = (
+        el.join(F.broadcast(cent), el["_d"] == cent["d"])
+        .groupBy("vec_id", "_lbl", "clabel")
+        .agg(
+            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
+    pred = (
+        dist.join(mind, "vec_id")
+        .filter(F.col("_d2") == F.col("_m"))
+        .groupBy("vec_id", "_lbl")
+        .agg(F.min("clabel").cast("long").alias("f_pred"))
+    )
+    return (
+        pred.groupBy(
+            F.col("_lbl").alias("f_true"), "f_pred"
+        )
+        .agg(F.count("*").cast("long").alias("f_n"))
+        .orderBy(
+            F.col("f_n").desc(), F.col("f_true").asc(), F.col("f_pred").asc()
+        )
+    )
+
+
+ORACLE["q_centroid_classify"] = f"""
+    WITH base AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings
+        WHERE len(embedding) = {_KM_DIM} AND label IS NOT NULL
+    ),
+    el AS (
+        SELECT vec_id, lbl,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    cent AS (
+        SELECT lbl AS clabel, d,
+               CAST(FLOOR(CAST(SUM(x) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS c
+        FROM el GROUP BY lbl, d
+    ),
+    dist AS (
+        SELECT el.vec_id, el.lbl, cent.clabel,
+               CAST(SUM((el.x - cent.c) * (el.x - cent.c)) AS BIGINT) AS d2
+        FROM el JOIN cent ON el.d = cent.d
+        GROUP BY el.vec_id, el.lbl, cent.clabel
+    ),
+    mind AS (SELECT vec_id, MIN(d2) AS m FROM dist GROUP BY vec_id),
+    pred AS (
+        SELECT dist.vec_id, dist.lbl,
+               CAST(MIN(dist.clabel) AS BIGINT) AS f_pred
+        FROM dist JOIN mind ON dist.vec_id = mind.vec_id
+                           AND dist.d2 = mind.m
+        GROUP BY dist.vec_id, dist.lbl
+    )
+    SELECT lbl AS f_true, f_pred, CAST(COUNT(*) AS BIGINT) AS f_n
+    FROM pred
+    GROUP BY lbl, f_pred
+    ORDER BY f_n DESC, f_true ASC, f_pred ASC
+"""
+QUERIES["q_centroid_classify"] = q_centroid_classify

@@ -1330,3 +1330,102 @@ ORACLE["q_graph_triangles"] = f"""
     LIMIT {_TRI_TOPK}
 """
 QUERIES["q_graph_triangles"] = q_graph_triangles
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional surprisal (integer bits, oracle-gated)
+# ---------------------------------------------------------------------------
+
+
+def q_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-conditional surprisal quality score, ORACLE-GATED — the
+    context-aware upgrade of q_doc_surprisal's unigram model: each
+    token's information content given its predecessor is
+    ⌊log2⌊c(prev)/c(prev,tok)⌋⌋ bits, where c(prev,tok) is the corpus
+    bigram count and c(prev) = Σ_tok c(prev,tok) (the context's
+    outgoing mass, so the conditional model normalizes exactly). The
+    integer bit-length spelling keeps the estimator hash-checkable
+    (IEEE log2 never is). Per document: bigram count, total bits,
+    bits-per-bigram — word-salad scores HIGH (unseen transitions),
+    templated text LOW. Documents with < 2 tokens contribute no rows
+    (no transitions to score), identically in both engines.
+
+    Scale: bigrams explode once off the SAME filtered token array
+    (element_at indexing, no self-join on position); the bigram
+    dictionary is vocab²-sized and therefore NEVER force-broadcast
+    (the q_tfidf_topterms lesson — AQE decides); the context table
+    derives from the bigram table by one more combinable agg, not a
+    second corpus pass."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"
+        ).alias("_t"),
+    ).filter(F.size("_t") >= 2)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(_t)), i ->"
+                " concat(element_at(_t, i - 1), ' ', element_at(_t, i)))"
+            )
+        ).alias("gram"),
+    )
+    freq_bi = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("bf")
+    )
+    ctx = (
+        freq_bi.withColumn("prev", F.split(F.col("gram"), " ").getItem(0))
+        .groupBy("prev")
+        .agg(F.sum("bf").cast("long").alias("cf"))
+    )
+    scored = (
+        grams.join(freq_bi, "gram")
+        .withColumn("prev", F.split(F.col("gram"), " ").getItem(0))
+        .join(ctx, "prev")
+        .withColumn(
+            "_bits", F.expr("CAST(length(bin(cf DIV bf)) - 1 AS BIGINT)")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("f_n_bigrams"),
+        F.sum("_bits").cast("long").alias("f_bits"),
+        (F.sum("_bits").cast("double") / F.count("*").cast("double")).alias(
+            "f_bits_per_bigram"
+        ),
+    )
+
+
+ORACLE["q_surprisal_bigram"] = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(t) + 1),
+                                     i -> t[i-1] || ' ' || t[i])) AS gram
+        FROM base WHERE len(t) >= 2
+    ),
+    freq_bi AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS bf FROM grams GROUP BY gram
+    ),
+    ctx AS (
+        SELECT string_split(gram, ' ')[1] AS prev,
+               CAST(SUM(bf) AS BIGINT) AS cf
+        FROM freq_bi GROUP BY string_split(gram, ' ')[1]
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS f_n_bigrams,
+           CAST(SUM(length(bin(c.cf // f.bf)) - 1) AS BIGINT) AS f_bits,
+           CAST(SUM(length(bin(c.cf // f.bf)) - 1) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS f_bits_per_bigram
+    FROM grams g
+    JOIN freq_bi f ON g.gram = f.gram
+    JOIN ctx c ON string_split(g.gram, ' ')[1] = c.prev
+    GROUP BY g.doc_id
+"""
+QUERIES["q_surprisal_bigram"] = q_surprisal_bigram

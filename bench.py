@@ -153,6 +153,7 @@ HEADLINE = [
     "q_graph_triangles",
     "q_centroid_classify",
     "q_surprisal_bigram",
+    "q_embed_pca_power",
 ]
 
 

@@ -1939,3 +1939,172 @@ ORACLE["q_centroid_classify"] = f"""
     ORDER BY f_n DESC, f_true ASC, f_pred ASC
 """
 QUERIES["q_centroid_classify"] = q_centroid_classify
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via integer power iteration (oracle-gated)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 16        # leading dims (the q_embed_covariance slice)
+_PCA_ITERS = 4
+_PCA_S = 1_000_000   # eigenvector fixed-point scale
+_PCA_DOWN = 1 << 20  # Gram scale-down divisor
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the leading 16 embedding dims via
+    integer POWER ITERATION, ORACLE-GATED — iterative distributed
+    linear algebra under the hash gate (the PCA direction a whitening /
+    drift pipeline extracts; q_embed_covariance computes the matrix,
+    this key pins the iteration that consumes it). All arithmetic is
+    exact int64: half-up integer means center the coords; the centered
+    Gram C[i][j] = Σ_v r_i·r_j accumulates exactly (|r| ≤ 8.5·10⁵ →
+    per-cell ≤ n·7.3·10¹¹ ≈ 3.6·10¹⁵ at sf0.1); C scales down by 2²⁰
+    (integer DIV — truncation toward zero in BOTH engines, verified
+    for negatives) so four matvec rounds stay < 2⁶³; each round
+    renormalizes v ← w DIV max(⌊max|w|/S⌋, 1) to the S = 10⁶
+    fixed-point ball. v₀ = all-ones·S fixes the sign convention
+    deterministically. Output: 16 rows (f_d, f_v).
+
+    Scale shape: the data-scale part is the Gram build — centered
+    coords self-join on vec_id (ONE hash shuffle, row-local d²
+    expansion) into a map-side-combinable 136-key upper-triangle agg,
+    mirrored to the full 256-row matrix AFTER aggregation; the means
+    are a 16-row broadcast. Iterations then run on the 256-row /
+    16-row frames (bounded BY CONSTRUCTION — broadcast joins, one
+    1-row max per round). The sufficient-statistics form n·Σxy − Σx·Σy
+    would avoid the second pass but needs >int64 intermediates; the
+    two-pass centered form trades one extra scan for staying exactly
+    in int64 (documented)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {_PCA_DIM}),"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))"
+        ).alias("em"),
+    ).filter(F.size("em") == _PCA_DIM)
+    el = e.select("vec_id", F.posexplode("em").alias("d", "x"))
+    means = (
+        el.groupBy("d")
+        .agg(
+            F.sum("x").cast("long").alias("_sx"),
+            F.count("*").cast("long").alias("_cn"),
+        )
+        .select(
+            "d",
+            F.floor(
+                F.col("_sx").cast("double") / F.col("_cn").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mu"),
+        )
+    )
+    cen = el.join(F.broadcast(means), "d").select(
+        "vec_id", "d", (F.col("x") - F.col("mu")).alias("r")
+    )
+    a = cen.select("vec_id", F.col("d").alias("i"), F.col("r").alias("ri"))
+    b = cen.select("vec_id", F.col("d").alias("j"), F.col("r").alias("rj"))
+    upper = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ri") * F.col("rj")).cast("long").alias("cc"))
+    )
+    full = upper.unionByName(
+        upper.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cc"
+        )
+    )
+    cpr = full.select(
+        "i", "j", F.expr(f"cc DIV {_PCA_DOWN}").cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    v = spark.createDataFrame(
+        [(j, _PCA_S) for j in range(_PCA_DIM)], "j INT, v LONG"
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            cpr.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(f"w DIV greatest(m DIV {_PCA_S}, 1L)")
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    return v.select(
+        F.col("j").cast("long").alias("f_d"), F.col("v").alias("f_v")
+    ).orderBy("f_d")
+
+
+def _pca_power_oracle() -> str:
+    its = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(
+            f"""
+    it{k} AS (
+        SELECT c.i, CAST(SUM(c.c * {prev}.v) AS BIGINT) AS w
+        FROM cpr c JOIN {prev} ON c.j = {prev}.j
+        GROUP BY c.i
+    ),
+    m{k} AS (SELECT MAX(ABS(w)) AS m FROM it{k}),
+    v{k} AS (
+        SELECT it{k}.i AS j,
+               CAST(it{k}.w // GREATEST(m{k}.m // {_PCA_S}, 1) AS BIGINT) AS v
+        FROM it{k}, m{k}
+    )"""
+        )
+        prev = f"v{k}"
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding[1:{_PCA_DIM}],
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS em
+        FROM embeddings WHERE len(embedding[1:{_PCA_DIM}]) = {_PCA_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(em, 1) - 1 AS d,
+               unnest(em) AS x
+        FROM base
+    ),
+    means AS (
+        SELECT d,
+               CAST(FLOOR(CAST(SUM(x) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mu
+        FROM el GROUP BY d
+    ),
+    cen AS (
+        SELECT el.vec_id, el.d, el.x - means.mu AS r
+        FROM el JOIN means ON el.d = means.d
+    ),
+    upper AS (
+        SELECT a.d AS i, b.d AS j, CAST(SUM(a.r * b.r) AS BIGINT) AS cc
+        FROM cen a JOIN cen b ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    fullm AS (
+        SELECT i, j, cc FROM upper
+        UNION ALL
+        SELECT j AS i, i AS j, cc FROM upper WHERE i < j
+    ),
+    cpr AS (SELECT i, j, CAST(cc // {_PCA_DOWN} AS BIGINT) AS c FROM fullm),
+    v0 AS (
+        SELECT CAST(range AS INT) AS j, CAST({_PCA_S} AS BIGINT) AS v
+        FROM range(0, {_PCA_DIM})
+    ),{','.join(its)}
+    SELECT CAST(j AS BIGINT) AS f_d, v AS f_v FROM v{_PCA_ITERS}
+    ORDER BY f_d
+"""
+
+
+QUERIES["q_embed_pca_power"] = q_embed_pca_power
+ORACLE["q_embed_pca_power"] = _pca_power_oracle()

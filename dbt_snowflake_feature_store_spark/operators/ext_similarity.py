@@ -866,6 +866,16 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Register-then-checkpoint: lineage cut for a multiply-referenced
+    frame, with the pre-cut plan registered so PLANS.md audits see its
+    exchanges (the ranks._ranked / graph.py discipline)."""
+    from ..plans import inspect as plan_inspect
+
+    plan_inspect.register_subplan(df)
+    return df.localCheckpoint(eager=False)
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_knn_join": q_knn_join,
@@ -1699,6 +1709,8 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
+        # dist feeds BOTH the per-vector min and the argmin join — the
+        # lazy checkpoint executes the shuffle agg once, not twice
         dist = (
             el.join(F.broadcast(cent_df), el["_d"] == cent_df["d"])
             .groupBy("vec_id", "cell")
@@ -1708,6 +1720,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("_d2")
             )
         )
+        dist = _ckpt(dist)
         mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
         return (
             dist.join(mind, "vec_id")
@@ -1871,6 +1884,8 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
+    # dist feeds BOTH the per-vector min and the argmin join — the lazy
+    # checkpoint executes the shuffle agg once (q_pagerank discipline)
     dist = (
         el.join(F.broadcast(cent), el["_d"] == cent["d"])
         .groupBy("vec_id", "_lbl", "clabel")
@@ -1880,6 +1895,7 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_d2")
         )
     )
+    dist = _ckpt(dist)
     mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
     pred = (
         dist.join(mind, "vec_id")
@@ -2016,18 +2032,23 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "cc"
         )
     )
-    cpr = full.select(
-        "i", "j", F.expr(f"cc DIV {_PCA_DOWN}").cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    cpr = _ckpt(
+        full.select(
+            "i", "j", F.expr(f"cc DIV {_PCA_DOWN}").cast("long").alias("c")
+        )
+    )
     v = spark.createDataFrame(
         [(j, _PCA_S) for j in range(_PCA_DIM)], "j INT, v LONG"
     )
     for _ in range(_PCA_ITERS):
+        # w feeds BOTH the max and the renormalize; the lazy checkpoint
+        # stops the per-round DAG doubling (the q_pagerank discipline)
         w = (
             cpr.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("w"))
         )
+        w = _ckpt(w)
         m = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("m"))
         v = (
             w.crossJoin(F.broadcast(m))

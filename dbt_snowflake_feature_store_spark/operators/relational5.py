@@ -37,6 +37,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Register-then-checkpoint: lineage cut for a multiply-referenced
+    frame, with the pre-cut plan registered so PLANS.md audits see its
+    exchanges (the ranks._ranked / graph.py discipline)."""
+    from ..plans import inspect as plan_inspect
+
+    plan_inspect.register_subplan(df)
+    return df.localCheckpoint(eager=False)
+
+
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
@@ -1244,6 +1254,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    # lazy checkpoints cut the lineage of the two multiply-referenced
+    # frames (pairs feeds deg + the orientation; oe feeds THREE join
+    # legs) — without them every leg re-executes the whole co-occurrence
+    # build (the q_pagerank per-round discipline)
     pairs = (
         li.alias("a")
         .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
@@ -1253,6 +1267,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_w") >= _TRI_MIN_W)
         .select("u", "v")
     )
+    pairs = _ckpt(pairs)
     deg = (
         pairs.select(F.col("u").alias("n"))
         .unionAll(pairs.select(F.col("v").alias("n")))
@@ -1272,6 +1287,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
+    oe = _ckpt(oe)
     a = oe.select(F.col("s").alias("x"), F.col("t").alias("y"))
     b = oe.select(F.col("s").alias("y"), F.col("t").alias("z"))
     c = oe.select(F.col("s").alias("x"), F.col("t").alias("z"))

@@ -154,6 +154,7 @@ HEADLINE = [
     "q_centroid_classify",
     "q_surprisal_bigram",
     "q_embed_pca_power",
+    "q_knn_classify",
 ]
 
 

@@ -11,7 +11,7 @@ pytest-asserted to agree with the exact form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as SIM
@@ -2129,3 +2129,138 @@ def _pca_power_oracle() -> str:
 
 QUERIES["q_embed_pca_power"] = q_embed_pca_power
 ORACLE["q_embed_pca_power"] = _pca_power_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification (bounded query slice, oracle-gated)
+# ---------------------------------------------------------------------------
+
+_KNNC_MOD = 250   # query slice: vec_id % 250 == 0 (bounded at any SF)
+_KNNC_K = 5
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN MAJORITY-VOTE classification, ORACLE-GATED — the eval probe
+    paired with q_centroid_classify: for each query in the bounded
+    slice (``vec_id % 250 == 0``), the 5 nearest corpus vectors by
+    exact int64 squared euclidean distance vote on the label (self
+    excluded; distance ties break to the lower vec_id, vote ties to
+    the lower label — both engines spell the same tiebreaks). Output
+    per query: true label, predicted label, agreement flag.
+
+    Scale shape: the query slice is bounded BY CONSTRUCTION (one id in
+    250), so the query-side explode broadcast-joins into the corpus
+    dim stream — n·64·Q narrow rows through one map-side-combinable
+    (corpus, query) agg; the top-5 window partitions by QUERY id
+    (bounded partitions, each sorting n candidate rows at most — the
+    two-phase q_sample_stratified cure applies if Q·n ever outgrows a
+    task); the vote agg is Q×L-bounded. No Python."""
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
+    base = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("_lbl"),
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    )
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    q = base.filter(F.col("vec_id") % _KNNC_MOD == 0)
+    qel = q.select(
+        F.col("vec_id").alias("qid"), F.posexplode("_xq").alias("d", "qx")
+    )
+    d2 = (
+        el.join(F.broadcast(qel), el["_d"] == qel["d"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((F.col("_x") - F.col("qx")) * (F.col("_x") - F.col("qx")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_d2").asc(), F.col("vec_id").asc()
+    )
+    nn = (
+        d2.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _KNNC_K)
+        .join(base.select("vec_id", "_lbl"), "vec_id")
+    )
+    votes = nn.groupBy("qid", "_lbl").agg(F.count("*").alias("_nv"))
+    best = votes.groupBy("qid").agg(F.max("_nv").alias("_mx"))
+    pred = (
+        votes.join(best, "qid")
+        .filter(F.col("_nv") == F.col("_mx"))
+        .groupBy("qid")
+        .agg(F.min("_lbl").cast("long").alias("f_pred"))
+    )
+    truth = q.select(F.col("vec_id").alias("qid"), F.col("_lbl"))
+    return (
+        pred.join(truth, "qid")
+        .select(
+            F.col("qid").cast("long").alias("f_query"),
+            F.col("_lbl").alias("f_true"),
+            "f_pred",
+            (F.col("f_pred") == F.col("_lbl")).cast("int").alias("f_correct"),
+        )
+        .orderBy("f_query")
+    )
+
+
+ORACLE["q_knn_classify"] = f"""
+    WITH base AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {_IVFP_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    q AS (SELECT * FROM base WHERE vec_id % {_KNNC_MOD} = 0),
+    qel AS (
+        SELECT vec_id AS qid,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS qx
+        FROM q
+    ),
+    d2 AS (
+        SELECT qel.qid, el.vec_id,
+               CAST(SUM((el.x - qel.qx) * (el.x - qel.qx)) AS BIGINT) AS d2
+        FROM el JOIN qel ON el.d = qel.d AND el.vec_id <> qel.qid
+        GROUP BY qel.qid, el.vec_id
+    ),
+    nn AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY d2 ASC, vec_id ASC
+                   ) AS rk
+            FROM d2
+        ) WHERE rk <= {_KNNC_K}
+    ),
+    votes AS (
+        SELECT nn.qid, base.lbl, COUNT(*) AS nv
+        FROM nn JOIN base ON nn.vec_id = base.vec_id
+        GROUP BY nn.qid, base.lbl
+    ),
+    best AS (SELECT qid, MAX(nv) AS mx FROM votes GROUP BY qid),
+    pred AS (
+        SELECT votes.qid, CAST(MIN(votes.lbl) AS BIGINT) AS f_pred
+        FROM votes JOIN best ON votes.qid = best.qid AND votes.nv = best.mx
+        GROUP BY votes.qid
+    )
+    SELECT CAST(pred.qid AS BIGINT) AS f_query,
+           q.lbl AS f_true,
+           pred.f_pred,
+           CAST(CASE WHEN pred.f_pred = q.lbl THEN 1 ELSE 0 END AS INT)
+               AS f_correct
+    FROM pred JOIN q ON pred.qid = q.vec_id
+    ORDER BY f_query
+"""
+QUERIES["q_knn_classify"] = q_knn_classify

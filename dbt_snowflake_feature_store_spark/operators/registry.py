@@ -49,19 +49,20 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # them) changed this round
     "q_vocab_coverage", "q_event_transitions", "q_rfm", "q_global_rank",
     "q_global_ntile", "q_epoch_shuffle",
-    # part 3 (12): the round-10 NEW keys (never driver-recorded)
+    # part 3 (13): the round-10 NEW keys (never driver-recorded)
     "q_sim_pq_portable", "q_tfidf_topterms", "q_gini_spend",
     "q_dedup_normalized", "q_sim_ivfpq_portable", "q_bm25_topk",
     "q_dedup_edit", "q_cluster_kmeans", "q_graph_triangles",
     "q_centroid_classify", "q_surprisal_bigram", "q_embed_pca_power",
-    # part 4 (6): oldest r7-dated keys, risk-ranked (approx/similarity
+    "q_knn_classify",
+    # part 4 (5): oldest r7-dated keys, risk-ranked (approx/similarity
     # and multi-stage shapes first; the remaining r7 + r8 keys —
     # including q_negative_sample / q_chunk_overlap / q_sessionize /
     # q_cte_pipeline / q_lateral_topn / q_k_anonymity / q_cube /
     # q_join_range / q_embed_covariance, displaced by the new-key
     # block — are the r11 promotion set)
     "q_sim_pq", "q_sim_ivfpq", "q_bpe_train", "q_approx_distinct_sketch",
-    "q_dedup_near_portable", "q_dedup_simhash_portable",
+    "q_dedup_near_portable",
     # ---- round 9 rotation (kept below the fold: the driver records
     # the first 50 registry keys, so these now sit past the cap) ----
     # part 1 (15): keys whose code changed THIS round — the 8

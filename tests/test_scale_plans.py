@@ -570,3 +570,42 @@ def test_dedup_edit_block_cap_bounds_pairs(spark):
         assert r5.q_dedup_edit(spark, SF_DIR).count() == 0
     finally:
         r5._EDIT_BLOCK_CAP = orig
+
+
+# ---------------------------------------------------------------------------
+# round-10 checkpoint discipline: multiply-referenced frames execute once
+# ---------------------------------------------------------------------------
+
+def _summary_with_subplans(spark, key):
+    from dbt_snowflake_feature_store_spark.plans.inspect import (
+        capture_subplans,
+        summarize,
+    )
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    with capture_subplans() as subs:
+        df = qs[key](spark, SF_DIR)
+        s = summarize(df, extra_plans=subs)
+    return s, subs
+
+
+def test_triangles_checkpoints_pairs_and_orientation(spark):
+    """q_graph_triangles references the oriented edge list from THREE
+    join legs and the pair list from three consumers — both must sit
+    behind a registered lineage cut so the co-occurrence build executes
+    once (pre-fix: 184 shuffles from re-execution; post: each subtree
+    once)."""
+    s, subs = _summary_with_subplans(spark, "q_graph_triangles")
+    assert len(subs) == 2  # pairs + oe registered
+    assert s.shuffles < 40  # re-execution blowup would be >100
+
+
+def test_pca_power_checkpoints_each_round(spark):
+    """q_embed_pca_power's matvec result feeds both the max and the
+    renormalize — without per-round cuts the DAG doubles per iteration
+    (2^4 re-executions of the Gram build)."""
+    s, subs = _summary_with_subplans(spark, "q_embed_pca_power")
+    # cpr + one w per iteration = 5 registered cuts
+    assert len(subs) == 5
+    assert s.shuffles < 20

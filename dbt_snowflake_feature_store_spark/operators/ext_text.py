@@ -217,6 +217,28 @@ def ngram_jaccard_pairs(
     """The q_dedup_ngram pipeline over an arbitrary documents frame
     (columns: doc_id, lang, n_chars, text) — exposed so skew tests and
     store-facing recipes can run it on synthetic corpora."""
+    agg = _ngram_blocked_pairs(d, max_block_size, log_dropped)
+    return agg.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("f_jaccard"),
+    ).filter(F.col("f_jaccard") >= threshold)
+
+
+def _ngram_blocked_pairs(
+    d: DataFrame,
+    max_block_size: int | None = 64,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Shared candidate-pair stage of the exact-shingle dedup family:
+    word-3-gram sets, (lang, length-bucket) blocking with the over-cap
+    guard, one array_intersect per pair above a pair-keyed aggregation
+    barrier. Returns (doc_id_a, doc_id_b, n_a, n_b, n_common); the
+    Jaccard (q_dedup_ngram) and containment (q_contain_ngram) scorers
+    are projections over this frame."""
     toks = d.select(
         "doc_id",
         "lang",
@@ -286,19 +308,44 @@ def ngram_jaccard_pairs(
         F.col("b.n").alias("n_b"),
         F.size(F.array_intersect("a.sh", "b.sh")).alias("n_common"),
     )
-    agg = pairs.groupBy("doc_id_a", "doc_id_b").agg(
+    return pairs.groupBy("doc_id_a", "doc_id_b").agg(
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
         F.first("n_common").alias("n_common"),
     )
-    return agg.select(
-        "doc_id_a",
-        "doc_id_b",
-        (
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-        ).alias("f_jaccard"),
-    ).filter(F.col("f_jaccard") >= threshold)
+
+
+_CONTAIN_PPM = 600_000  # keep pairs where >=60% of the smaller set is shared
+
+
+def q_contain_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHINGLE-CONTAINMENT pairs, ORACLE-GATED — the asymmetric
+    near-dup signal Jaccard misses: a short doc pasted inside a long
+    one has tiny Jaccard but containment ~1 (the RefinedWeb/Dolma
+    sub-document dedup criterion). Containment = |A∩B| / min(|A|,|B|)
+    over the SAME word-3-gram sets, blocking, and over-cap guard as
+    q_dedup_ngram (shared ``_ngram_blocked_pairs`` stage — at 100 TB
+    both scorers read one candidate-pair materialization). The score
+    is integer ppm (BIGINT multiply + DIV), so DuckDB replays it
+    bit-for-bit — no IEEE division in the gate.
+
+    Scale: identical to q_dedup_ngram — O(Σ block²) bounded by cap·n
+    via the broadcast semi-filter; the scorer is a projection."""
+    agg = _ngram_blocked_pairs(_docs(spark, sf_dir), max_block_size=64)
+    return (
+        agg.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("n_a").cast("long").alias("f_na"),
+            F.col("n_b").cast("long").alias("f_nb"),
+            F.col("n_common").cast("long").alias("f_inter"),
+            F.expr(
+                "CAST(CAST(n_common AS BIGINT) * 1000000"
+                " DIV least(n_a, n_b) AS BIGINT)"
+            ).alias("f_cont_ppm"),
+        )
+        .filter(F.col("f_cont_ppm") >= _CONTAIN_PPM)
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,6 +1971,47 @@ ORACLE["q_dedup_ngram"] = """
     SELECT doc_id_a, doc_id_b, f_jaccard FROM pairs WHERE f_jaccard >= 0.5
 """
 
+ORACLE["q_contain_ngram"] = f"""
+    WITH tok AS (
+        SELECT doc_id, lang, CAST(n_chars // 16 AS INTEGER) AS bucket,
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+                       ' +'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, bucket,
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               )) AS s
+        FROM tok WHERE len(toks) >= 3
+    ),
+    keep AS (
+        SELECT lang, bucket FROM sh
+        GROUP BY lang, bucket HAVING COUNT(*) <= 64
+    ),
+    shf AS (
+        SELECT sh.* FROM sh JOIN keep USING (lang, bucket)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(a.s) AS BIGINT) AS f_na,
+               CAST(len(b.s) AS BIGINT) AS f_nb,
+               CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS f_inter
+        FROM shf a
+        JOIN shf b ON a.lang = b.lang AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, f_na, f_nb, f_inter,
+           CAST(f_inter * 1000000 // LEAST(f_na, f_nb) AS BIGINT)
+               AS f_cont_ppm
+    FROM pairs
+    WHERE f_inter * 1000000 // LEAST(f_na, f_nb) >= {_CONTAIN_PPM}
+"""
+
 ORACLE["q_dedup_cross_source"] = f"""
     WITH norm AS (
         SELECT source, {_NORM} AS nrm FROM documents
@@ -2114,6 +2202,7 @@ QUERIES = {
     "q_dedup_cross_source": q_dedup_cross_source,
     "q_token_rarity": q_token_rarity,
     "q_dedup_ngram": q_dedup_ngram,
+    "q_contain_ngram": q_contain_ngram,
     "q_ngram_freq": q_ngram_freq,
     "q_ngram_novelty": q_ngram_novelty,
     "q_heavy_hitters_sketch": q_heavy_hitters_sketch,

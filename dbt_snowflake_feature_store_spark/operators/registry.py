@@ -49,20 +49,23 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # them) changed this round
     "q_vocab_coverage", "q_event_transitions", "q_rfm", "q_global_rank",
     "q_global_ntile", "q_epoch_shuffle",
-    # part 3 (13): the round-10 NEW keys (never driver-recorded)
+    # part 3 (18): the round-10 NEW keys (never driver-recorded) —
+    # the first 13 from the r10 first wave, the last 5 from the r10
+    # second wave (relational6.py + q_contain_ngram)
     "q_sim_pq_portable", "q_tfidf_topterms", "q_gini_spend",
     "q_dedup_normalized", "q_sim_ivfpq_portable", "q_bm25_topk",
     "q_dedup_edit", "q_cluster_kmeans", "q_graph_triangles",
     "q_centroid_classify", "q_surprisal_bigram", "q_embed_pca_power",
     "q_knn_classify",
-    # part 4 (5): oldest r7-dated keys, risk-ranked (approx/similarity
-    # and multi-stage shapes first; the remaining r7 + r8 keys —
-    # including q_negative_sample / q_chunk_overlap / q_sessionize /
+    "q_chi2_assoc", "q_target_encode", "q_decile_lift",
+    "q_feature_hash", "q_contain_ngram",
+    # (the former part-4 r7-dated keys — q_sim_pq, q_sim_ivfpq,
+    # q_bpe_train, q_approx_distinct_sketch, q_dedup_near_portable —
+    # were displaced by the second-wave new keys and join the r11
+    # promotion set alongside the remaining r7/r8 keys:
+    # q_negative_sample / q_chunk_overlap / q_sessionize /
     # q_cte_pipeline / q_lateral_topn / q_k_anonymity / q_cube /
-    # q_join_range / q_embed_covariance, displaced by the new-key
-    # block — are the r11 promotion set)
-    "q_sim_pq", "q_sim_ivfpq", "q_bpe_train", "q_approx_distinct_sketch",
-    "q_dedup_near_portable",
+    # q_join_range / q_join_asof_near / q_embed_covariance, …)
     # ---- round 9 rotation (kept below the fold: the driver records
     # the first 50 registry keys, so these now sit past the cap) ----
     # part 1 (15): keys whose code changed THIS round — the 8
@@ -147,6 +150,12 @@ def _try_ext_modules() -> None:
         from . import relational5
 
         ordered.append(relational5)
+    except ImportError:
+        pass
+    try:
+        from . import relational6
+
+        ordered.append(relational6)
     except ImportError:
         pass
     _MODULES = ordered + [m for m in [relational2, relational] if m not in ordered]

@@ -1,0 +1,362 @@
+"""Relational query surface, part 6 — round-10 second wave.
+
+Same contract as ``relational.py``..``relational5.py``: DataFrame-first
+Spark implementations with DuckDB oracle twins (identical aliases both
+sides, exact integer/decimal arithmetic, deterministic output). This
+wave adds the feature-engineering statistics a training-data pipeline
+computes over label/category columns before a model ever sees a row:
+
+- chi-squared association between two categorical columns (feature
+  selection / leakage screening) in exact rational arithmetic;
+- m-estimate target encoding (the smoothed category->mean feature that
+  replaces high-cardinality one-hots) with integer-cents exactness;
+- decile lift over customer spend (campaign-targeting lift tables) on
+  the distributed global-ntile machinery — no single-task sort;
+- hashing-trick feature buckets (signed feature hashing a la Vowpal
+  Wabbit) over corpus tokens with the portable md5 hash both engines
+  replay bit-for-bit.
+
+Reference frame: the reference's feature-view bodies are arbitrary
+SELECTs over sources (/root/reference/macros/materializations/
+feature_view.sql:126); these keys pin the aggregate shapes those
+bodies take when the FV is a model-feature table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared association between two categorical columns (exact rational)
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared association lang x source over documents,
+    ORACLE-GATED — the categorical feature-selection statistic
+    (is `source` informative about `lang`?). Per contingency cell:
+    observed count, expected count in ppm, and the cell's chi^2
+    contribution in ppm, all in EXACT arithmetic: (O - E)^2 / E =
+    (O*N - R*C)^2 / (N*R*C) clears every denominator, the square runs
+    in DECIMAL(38,0) (DuckDB HUGEINT) so no IEEE rounding enters, and
+    the ppm scaling is integer DIV on both engines.
+
+    Scale: one map-side-combinable groupBy over the fact table builds
+    the contingency table; row/column marginals aggregate THAT table
+    (category-domain-sized, not SF-proportional), so the marginal joins
+    broadcast a bounded frame. DECIMAL(38,0) holds the squared term up
+    to N ~ 3e7 docs at ppm scale; past that, drop the ppm factor to
+    reach N ~ 1e9 or switch the contribution to DOUBLE (the gate needs
+    the exact form; a 100 TB run reads the same plan with the wider
+    type)."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("f_obs")
+    )
+    rows = obs.groupBy("lang").agg(F.sum("f_obs").cast("long").alias("_R"))
+    cols = obs.groupBy("source").agg(F.sum("f_obs").cast("long").alias("_C"))
+    tot = obs.groupBy().agg(F.sum("f_obs").cast("long").alias("_N"))
+    cell = (
+        obs.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return cell.select(
+        "lang",
+        "source",
+        "f_obs",
+        F.expr(
+            "CAST(CAST(_R AS DECIMAL(19,0)) * CAST(_C AS DECIMAL(19,0))"
+            " * 1000000 DIV CAST(_N AS DECIMAL(19,0)) AS BIGINT)"
+        ).alias("f_exp_ppm"),
+        F.expr(
+            "CAST(CAST(f_obs * _N - _R * _C AS DECIMAL(19,0))"
+            " * CAST(f_obs * _N - _R * _C AS DECIMAL(19,0)) * 1000000"
+            " DIV (CAST(_N AS DECIMAL(19,0)) * CAST(_R AS DECIMAL(19,0))"
+            " * CAST(_C AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("f_contrib_ppm"),
+    )
+
+
+ORACLE["q_chi2_assoc"] = """
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS f_obs
+        FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(SUM(f_obs) AS BIGINT) AS _R FROM obs GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(f_obs) AS BIGINT) AS _C FROM obs GROUP BY source),
+    n AS (SELECT CAST(SUM(f_obs) AS BIGINT) AS _N FROM obs)
+    SELECT obs.lang, obs.source, obs.f_obs,
+           CAST(CAST(_R AS HUGEINT) * _C * 1000000 // _N AS BIGINT)
+               AS f_exp_ppm,
+           CAST((CAST(f_obs AS HUGEINT) * _N - CAST(_R AS HUGEINT) * _C)
+                * (CAST(f_obs AS HUGEINT) * _N - CAST(_R AS HUGEINT) * _C)
+                * 1000000
+                // (CAST(_N AS HUGEINT) * _R * _C) AS BIGINT)
+               AS f_contrib_ppm
+    FROM obs
+    JOIN r ON obs.lang = r.lang
+    JOIN c ON obs.source = c.source
+    CROSS JOIN n
+"""
+QUERIES["q_chi2_assoc"] = q_chi2_assoc
+
+
+# ---------------------------------------------------------------------------
+# m-estimate target encoding (smoothed category mean, integer cents)
+# ---------------------------------------------------------------------------
+
+_TE_M = 25  # m-estimate pseudo-count
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-ESTIMATE TARGET ENCODING of o_orderpriority against order
+    value, ORACLE-GATED: enc = (sum + m*prior) / (cnt + m) — the
+    smoothed category->mean feature that replaces a high-cardinality
+    one-hot in tabular models. Order totals go to integer cents via
+    the half-up floor spelling; the global prior is an integer DIV
+    mean; the encoding itself is one BIGINT DIV, so both engines agree
+    to the last cent. f_shrink_ppm = cnt/(cnt+m) exposes how much of
+    each encoding is data vs prior.
+
+    Scale: two map-side-combinable aggregates (per-category + global)
+    over the fact table; the category frame is domain-sized. BIGINT
+    cents hold to ~9e16 dollars of turnover per category; a 100 TB run
+    widens the sums to DECIMAL(38,0) in the same plan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_cents"),
+    )
+    per = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("f_cnt"),
+        F.sum("_cents").cast("long").alias("f_sum_cents"),
+    )
+    g = o.groupBy().agg(
+        F.expr("CAST(sum(_cents) DIV count(*) AS BIGINT)").alias(
+            "f_prior_cents"
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        "f_cnt",
+        "f_sum_cents",
+        "f_prior_cents",
+        F.expr(
+            f"CAST((f_sum_cents + {_TE_M} * f_prior_cents)"
+            f" DIV (f_cnt + {_TE_M}) AS BIGINT)"
+        ).alias("f_enc_cents"),
+        F.expr(
+            f"CAST(f_cnt * 1000000 DIV (f_cnt + {_TE_M}) AS BIGINT)"
+        ).alias("f_shrink_ppm"),
+    )
+
+
+ORACLE["q_target_encode"] = f"""
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS _cents
+        FROM orders
+    ),
+    per AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS f_cnt,
+               CAST(SUM(_cents) AS BIGINT) AS f_sum_cents
+        FROM o GROUP BY o_orderpriority
+    ),
+    g AS (
+        SELECT CAST(SUM(_cents) // COUNT(*) AS BIGINT) AS f_prior_cents
+        FROM o
+    )
+    SELECT o_orderpriority, f_cnt, f_sum_cents, f_prior_cents,
+           CAST((f_sum_cents + {_TE_M} * f_prior_cents)
+                // (f_cnt + {_TE_M}) AS BIGINT) AS f_enc_cents,
+           CAST(f_cnt * 1000000 // (f_cnt + {_TE_M}) AS BIGINT)
+               AS f_shrink_ppm
+    FROM per CROSS JOIN g
+"""
+QUERIES["q_target_encode"] = q_target_encode
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table over customer spend (distributed global ntile)
+# ---------------------------------------------------------------------------
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT TABLE over customer spend, ORACLE-GATED — the
+    campaign-targeting table: rank customers by total spend
+    descending, cut into 10 equal buckets, report each decile's share
+    of total spend as lift vs a uniform decile (1e6 ppm = average).
+    The decile comes from ranks.global_ntile (range exchange +
+    prefix-sum offsets — NO unpartitioned window; the q_rfm / q_gini
+    discipline), matching SQL NTILE(10) exactly including the
+    remainder rule. The lift numerator runs in DECIMAL(25,0)
+    (spend_cents * 1e7 passes 2^63 already at sf0.1) with integer DIV
+    on both engines.
+
+    Scale: one groupBy(custkey) aggregate, the P-row range-exchange
+    collect, one decile aggregate. No data-proportional window."""
+    from ..functions.ranks import global_ntile
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("_spend_cents")
+        )
+    )
+    deciled = global_ntile(
+        spend,
+        [F.col("_spend_cents").desc(), F.col("o_custkey").asc()],
+        10,
+        out_col="f_decile",
+    )
+    per = deciled.groupBy("f_decile").agg(
+        F.count("*").cast("long").alias("f_customers"),
+        F.sum("_spend_cents").cast("long").alias("f_spend_cents"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("f_spend_cents").cast("long").alias("_tot")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "f_decile",
+        "f_customers",
+        "f_spend_cents",
+        F.expr(
+            "CAST(CAST(f_spend_cents AS DECIMAL(25,0)) * 10000000"
+            " DIV CAST(_tot AS DECIMAL(25,0)) AS BIGINT)"
+        ).alias("f_lift_ppm"),
+    )
+
+
+ORACLE["q_decile_lift"] = """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS _spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+        SELECT _spend_cents,
+               CAST(NTILE(10) OVER (
+                   ORDER BY _spend_cents DESC, o_custkey ASC
+               ) AS BIGINT) AS f_decile
+        FROM spend
+    ),
+    per AS (
+        SELECT f_decile,
+               CAST(COUNT(*) AS BIGINT) AS f_customers,
+               CAST(SUM(_spend_cents) AS BIGINT) AS f_spend_cents
+        FROM deciled GROUP BY f_decile
+    ),
+    tot AS (SELECT CAST(SUM(f_spend_cents) AS BIGINT) AS _tot FROM per)
+    SELECT f_decile, f_customers, f_spend_cents,
+           CAST(CAST(f_spend_cents AS HUGEINT) * 10000000 // _tot AS BIGINT)
+               AS f_lift_ppm
+    FROM per CROSS JOIN tot
+"""
+QUERIES["q_decile_lift"] = q_decile_lift
+
+
+# ---------------------------------------------------------------------------
+# Signed feature hashing (hashing trick) over corpus tokens
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED FEATURE HASHING (the Vowpal-Wabbit hashing trick) over
+    corpus tokens, ORACLE-GATED: tok -> bucket via the portable md5
+    spelling (Spark ``conv(substr(md5,1,8),16,10)`` == DuckDB
+    ``('0x'||substr(md5,1,8))::BIGINT``), sign from the 9th hex digit's
+    parity — the collision-cancelling +/-1 of Weinberger et al. Output
+    is the per-bucket corpus profile: documents touching the bucket,
+    unsigned token mass, and the signed mass a linear model would see.
+
+    Scale: tokenize -> one (doc, tok) count (map-side combinable) ->
+    bucket hash is a projection -> two keyed aggregates whose final
+    key domain is the FIXED 64-bucket space. No vocabulary-sized
+    shuffle key ever carries a skewed stop-word: the bucket key mixes
+    them uniformly by construction — that IS the hashing trick's
+    scale story."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("_tf")
+    )
+    hashed = tf.select(
+        "doc_id",
+        "_tf",
+        F.expr(
+            "CAST(conv(substring(md5(concat('fh:', tok)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_FH_BUCKETS}"
+        ).alias("f_bucket"),
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('fh:', tok)), 9, 1),"
+            " 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("_sign"),
+    )
+    per_doc = hashed.groupBy("doc_id", "f_bucket").agg(
+        F.sum("_tf").cast("long").alias("_mass"),
+        F.sum(F.col("_sign") * F.col("_tf")).cast("long").alias("_signed"),
+    )
+    return per_doc.groupBy("f_bucket").agg(
+        F.count("*").cast("long").alias("f_docs"),
+        F.sum("_mass").cast("long").alias("f_mass"),
+        F.sum("_signed").cast("long").alias("f_signed_mass"),
+    )
+
+
+ORACLE["q_feature_hash"] = f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS _tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    hashed AS (
+        SELECT doc_id, _tf,
+               ('0x' || substr(md5('fh:' || tok), 1, 8))::BIGINT
+                   % {_FH_BUCKETS} AS f_bucket,
+               CASE WHEN ('0x' || substr(md5('fh:' || tok), 9, 1))::BIGINT
+                         % 2 = 0 THEN 1 ELSE -1 END AS _sign
+        FROM tf
+    ),
+    per_doc AS (
+        SELECT doc_id, f_bucket,
+               CAST(SUM(_tf) AS BIGINT) AS _mass,
+               CAST(SUM(_sign * _tf) AS BIGINT) AS _signed
+        FROM hashed GROUP BY doc_id, f_bucket
+    )
+    SELECT f_bucket,
+           CAST(COUNT(*) AS BIGINT) AS f_docs,
+           CAST(SUM(_mass) AS BIGINT) AS f_mass,
+           CAST(SUM(_signed) AS BIGINT) AS f_signed_mass
+    FROM per_doc GROUP BY f_bucket
+"""
+QUERIES["q_feature_hash"] = q_feature_hash

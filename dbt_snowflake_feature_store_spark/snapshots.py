@@ -15,7 +15,12 @@ versions per key). This module implements that surface Spark-first:
   changed rows get their open version CLOSED (``dbt_valid_to`` set)
   and a new open version inserted; new keys insert an open version;
   unchanged / absent keys keep their state (dbt's default soft-delete
-  behavior — no ``invalidate_hard_deletes``).
+  behavior). ``invalidate_hard_deletes=True`` opts into closing the
+  open version of any key that VANISHED from the source (stamped with
+  the run's ``at``), and the dbt-1.9 ``snapshot_meta_column_names``
+  config renames the four meta columns at the storage boundary (the
+  merge always runs on the default names). Unknown config keys fail
+  loudly.
 - State lives under ``<root>/_snapshots/<NAME>`` through the store's
   TableFormat (ParquetSnapshotFormat crash-safe swap / Delta when
   available), and the snapshot spec is registered so a strategy /
@@ -130,7 +135,58 @@ def _resolve_refs(
     return _EXPR_RE.sub(sub, body)
 
 
+_KNOWN_CONFIG_KEYS = frozenset(
+    {
+        "strategy",
+        "unique_key",
+        "updated_at",
+        "check_cols",
+        "invalidate_hard_deletes",
+        "snapshot_meta_column_names",
+    }
+)
+
+
+def _validate_meta_cols(name: str, raw: Any) -> dict[str, str]:
+    """dbt-1.9 ``snapshot_meta_column_names``: rename the four SCD2 meta
+    columns. Only non-identity renames are kept in the spec; duplicate
+    targets and unknown meta names fail loudly."""
+    if not isinstance(raw, dict):
+        raise ValidationError(
+            f"Snapshot '{name}': snapshot_meta_column_names must be a "
+            f"dict of {{default_name: custom_name}}, got {raw!r}"
+        )
+    out: dict[str, str] = {}
+    for k, v in raw.items():
+        if k not in SNAPSHOT_COLS:
+            raise ValidationError(
+                f"Snapshot '{name}': snapshot_meta_column_names key {k!r} "
+                f"is not a snapshot meta column {SNAPSHOT_COLS}"
+            )
+        vs = str(v)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vs):
+            raise ValidationError(
+                f"Snapshot '{name}': meta column rename {vs!r} is not a "
+                "valid identifier"
+            )
+        if vs != k:
+            out[k] = vs
+    finals = [out.get(c, c) for c in SNAPSHOT_COLS]
+    if len(set(finals)) != len(finals):
+        raise ValidationError(
+            f"Snapshot '{name}': snapshot_meta_column_names collide: "
+            f"{finals}"
+        )
+    return out
+
+
 def _validate_config(name: str, cfg: dict[str, Any]) -> dict[str, Any]:
+    unknown = sorted(set(cfg) - _KNOWN_CONFIG_KEYS)
+    if unknown:
+        raise ValidationError(
+            f"Snapshot '{name}': unknown config key(s) {unknown} — "
+            f"supported: {sorted(_KNOWN_CONFIG_KEYS)}"
+        )
     strategy = str(cfg.get("strategy", "")).lower()
     if strategy not in ("timestamp", "check"):
         raise ValidationError(
@@ -143,6 +199,18 @@ def _validate_config(name: str, cfg: dict[str, Any]) -> dict[str, Any]:
         "strategy": strategy,
         "unique_key": str(cfg["unique_key"]),
     }
+    ihd = cfg.get("invalidate_hard_deletes", False)
+    if not isinstance(ihd, bool):
+        raise ValidationError(
+            f"Snapshot '{name}': invalidate_hard_deletes must be a bool, "
+            f"got {ihd!r}"
+        )
+    if ihd:
+        spec["hard_deletes"] = "invalidate"
+    if "snapshot_meta_column_names" in cfg:
+        meta = _validate_meta_cols(name, cfg["snapshot_meta_column_names"])
+        if meta:
+            spec["meta_cols"] = meta
     if strategy == "timestamp":
         if not cfg.get("updated_at"):
             raise ValidationError(
@@ -182,10 +250,16 @@ def _assert_unique(src: DataFrame, key: str, name: str) -> None:
 
 
 def _merge_timestamp(
-    cur: DataFrame | None, src: DataFrame, key: str, ua: str
+    cur: DataFrame | None,
+    src: DataFrame,
+    key: str,
+    ua: str,
+    delete_at=None,
 ) -> DataFrame:
     """SCD2 merge, timestamp strategy: a source row with a LATER
-    updated_at than the open version closes it and opens a new one."""
+    updated_at than the open version closes it and opens a new one.
+    With ``delete_at`` set (invalidate_hard_deletes), an open version
+    whose key has VANISHED from the source is closed at that stamp."""
     stamped = src.select(
         "*",
         F.md5(
@@ -214,6 +288,15 @@ def _merge_timestamp(
     closed_now = changed_open.withColumn(
         "dbt_valid_to", F.col("_new_ua")
     ).drop("_k", "_new_ua")
+    if delete_at is not None:
+        gone = j.filter(F.col("_new_ua").isNull()).drop("_k", "_new_ua")
+        keep_open = j.filter(
+            F.col("_new_ua").isNotNull()
+            & (F.col("_new_ua") <= F.col("dbt_updated_at"))
+        ).drop("_k", "_new_ua")
+        closed_now = closed_now.unionByName(
+            gone.withColumn("dbt_valid_to", delete_at)
+        )
     prev = opened.select(
         F.col(key).alias("_k"), F.col("dbt_updated_at").alias("_old_ua")
     )
@@ -230,9 +313,12 @@ def _merge_check(
     key: str,
     check_cols: Any,
     at_col,
+    delete_at=None,
 ) -> DataFrame:
     """SCD2 merge, check strategy: a row is 'changed' when any checked
-    column differs (null-safe); version stamps come from ``at``."""
+    column differs (null-safe); version stamps come from ``at``. With
+    ``delete_at`` set (invalidate_hard_deletes), an open version whose
+    key has vanished from the source is closed at that stamp."""
     cols = (
         [c for c in src.columns]
         if check_cols == "all"
@@ -281,6 +367,17 @@ def _merge_check(
         .withColumn("dbt_valid_to", F.col("_new_vf"))
         .drop("_k", "_new_chk", "_new_vf", "_chk")
     )
+    if delete_at is not None:
+        gone = j.filter(F.col("_new_chk").isNull()).drop(
+            "_k", "_new_chk", "_new_vf", "_chk"
+        )
+        keep_open = j.filter(
+            F.col("_new_chk").isNotNull()
+            & (F.col("_new_chk") == F.col("_chk"))
+        ).drop("_k", "_new_chk", "_new_vf", "_chk")
+        closed_now = closed_now.unionByName(
+            gone.withColumn("dbt_valid_to", delete_at)
+        )
     prev = opened.select(
         F.col(key).alias("_k"), F.col("_chk").alias("_old_chk")
     )
@@ -373,12 +470,27 @@ def run_snapshots(
                 )
             _assert_unique(src, key, raw_name)
 
+            meta_cols: dict[str, str] = spec.get("meta_cols", {})
+            clash = [c for c in meta_cols.values() if c in src.columns]
+            if clash:
+                raise ValidationError(
+                    f"Snapshot '{raw_name}': renamed meta column(s) "
+                    f"{clash} collide with select columns"
+                )
             path = _snapshot_path(fs, name)
             fs.storage.recover(path)
             cur = (
                 fs.storage.read(fs.spark, path)
                 if os.path.isdir(path)
                 else None
+            )
+            if cur is not None:
+                # merge logic runs on the DEFAULT meta names; custom
+                # names exist only at the storage boundary
+                for dflt, custom in meta_cols.items():
+                    cur = cur.withColumnRenamed(custom, dflt)
+            delete_at = (
+                at_col if spec.get("hard_deletes") == "invalidate" else None
             )
             if spec["strategy"] == "timestamp":
                 ua = spec["updated_at"]
@@ -389,18 +501,24 @@ def run_snapshots(
                     )
                 out = _merge_timestamp(cur, src.withColumn(
                     ua, F.col(ua).cast("timestamp")
-                ), key, ua)
+                ), key, ua, delete_at=delete_at)
             else:
-                out = _merge_check(cur, src, key, spec["check_cols"], at_col)
+                out = _merge_check(
+                    cur, src, key, spec["check_cols"], at_col,
+                    delete_at=delete_at,
+                )
+            for dflt, custom in meta_cols.items():
+                out = out.withColumnRenamed(dflt, custom)
             fs.storage.replace(fs.spark, path, out)
             fs.registry.put(
                 "snapshots", name, {"name": name, "spec": spec, "sql": sql_body}
             )
             final = fs.storage.read(fs.spark, path)
+            vt = meta_cols.get("dbt_valid_to", "dbt_valid_to")
             report[name] = {
                 "strategy": spec["strategy"],
                 "rows": final.count(),
-                "open": final.filter(F.col("dbt_valid_to").isNull()).count(),
+                "open": final.filter(F.col(vt).isNull()).count(),
             }
     return report
 

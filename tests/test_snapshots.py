@@ -179,6 +179,110 @@ def test_bad_strategy_fails_loudly(fs, spark, tmp_path):
         run_snapshots(fs, proj)
 
 
+HD_SNAPSHOT = """\
+{% snapshot hd_snapshot %}
+{{
+  config(
+    strategy='timestamp',
+    unique_key='cid',
+    updated_at='updated_at',
+    invalidate_hard_deletes=True
+  )
+}}
+SELECT cid, tier, updated_at FROM {{ ref('cust_src') }}
+{% endsnapshot %}
+"""
+
+META_SNAPSHOT = """\
+{% snapshot meta_snapshot %}
+{{
+  config(
+    strategy='check',
+    unique_key='cid',
+    check_cols=['tier'],
+    snapshot_meta_column_names={'dbt_valid_from': 'valid_from',
+                                'dbt_valid_to': 'valid_to'}
+  )
+}}
+SELECT cid, tier, region FROM {{ ref('cust_src') }}
+{% endsnapshot %}
+"""
+
+
+def test_invalidate_hard_deletes_closes_vanished_keys(fs, spark, tmp_path):
+    proj = _write(tmp_path, HD_SNAPSHOT)
+    p = _src(
+        spark,
+        tmp_path,
+        [
+            (1, "gold", "us", "2024-01-01 00:00:00"),
+            (2, "silver", "eu", "2024-01-01 00:00:00"),
+        ],
+    )
+    fs.register_source("cust_src", p)
+    run_snapshots(fs, proj, at="2024-01-15 00:00:00")
+    # cid=2 vanishes → its open version must CLOSE at the run stamp
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    rep = run_snapshots(fs, proj, at="2024-02-15 00:00:00")
+    assert rep["HD_SNAPSHOT"] == {
+        "strategy": "timestamp", "rows": 2, "open": 1,
+    }
+    snap = read_snapshot(fs, "hd_snapshot")
+    gone = snap.filter(F.col("cid") == 2).head()
+    assert str(gone["dbt_valid_to"]).startswith("2024-02-15")
+    assert snap.filter(F.col("cid") == 1).head()["dbt_valid_to"] is None
+    # the key REAPPEARING (later updated_at) opens a fresh version
+    _src(spark, tmp_path, [
+        (1, "gold", "us", "2024-01-01 00:00:00"),
+        (2, "bronze", "eu", "2024-03-01 00:00:00"),
+    ])
+    rep = run_snapshots(fs, proj, at="2024-03-15 00:00:00")
+    assert rep["HD_SNAPSHOT"] == {
+        "strategy": "timestamp", "rows": 3, "open": 2,
+    }
+
+
+def test_meta_column_names_rename_round_trip(fs, spark, tmp_path):
+    proj = _write(tmp_path, META_SNAPSHOT)
+    p = _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", p)
+    run_snapshots(fs, proj, at="2024-03-01 00:00:00")
+    snap = read_snapshot(fs, "meta_snapshot")
+    assert "valid_from" in snap.columns and "valid_to" in snap.columns
+    assert "dbt_valid_from" not in snap.columns
+    assert "dbt_scd_id" in snap.columns  # unrenamed metas keep defaults
+    # a change-run merges correctly through the rename boundary
+    _src(spark, tmp_path, [(1, "silver", "us", "2024-01-01 00:00:00")])
+    rep = run_snapshots(fs, proj, at="2024-04-01 00:00:00")
+    assert rep["META_SNAPSHOT"] == {"strategy": "check", "rows": 2, "open": 1}
+    snap = read_snapshot(fs, "meta_snapshot")
+    old = snap.filter(F.col("tier") == "gold").head()
+    assert str(old["valid_to"]).startswith("2024-04-01")
+
+
+def test_unknown_config_key_fails_loudly(fs, spark, tmp_path):
+    proj = _write(
+        tmp_path,
+        TS_SNAPSHOT.replace(
+            "updated_at='updated_at'",
+            "updated_at='updated_at',\n    target_schema='snapshots'",
+        ),
+    )
+    with pytest.raises(ValidationError, match="unknown config key"):
+        run_snapshots(fs, proj)
+
+
+def test_meta_rename_collision_fails_loudly(fs, spark, tmp_path):
+    bad = META_SNAPSHOT.replace("'valid_from'", "'tier'").replace(
+        "'valid_to'", "'valid_to'"
+    )
+    proj = _write(tmp_path, bad)
+    p = _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", p)
+    with pytest.raises(ValidationError, match="collide with select columns"):
+        run_snapshots(fs, proj, at="2024-03-01 00:00:00")
+
+
 def test_crash_safe_storage_recovers(fs, spark, tmp_path):
     """An interrupted swap (staged dir left behind) is repaired on the
     next run via storage.recover — same contract as managed FVs."""

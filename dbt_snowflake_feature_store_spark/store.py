@@ -1131,6 +1131,124 @@ class FeatureStore:
             df = df.filter(F.col(col_map[ck]) == F.lit(v))
         return df
 
+    def online_staleness(
+        self, fv: FeatureView | str, version: str | None = None
+    ) -> dict[str, Any]:
+        """Staleness probe for an online export — the serving-side twin
+        of the ANN drift probes: compare the CURRENT offline FV body
+        against the exported snapshot and report how far serving has
+        fallen behind. Returns ``exported_at`` / ``age_seconds`` (wall
+        clock since export) plus, for timestamped FVs, ``stale_keys``
+        (entity keys whose latest offline row is NEWER than the online
+        row, including keys missing from the export entirely),
+        ``total_keys`` and ``max_lag_seconds``; timeless FVs compare
+        per-key row fingerprints instead (a changed or new key is
+        stale). One aggregate over the offline body + one join against
+        the (entity-cardinality-sized) online table — no window, no
+        collect beyond the 1-row summary."""
+        if isinstance(fv, str):
+            fv = self.get_feature_view(fv, version)
+        doc = self.registry.get(
+            "online_stores", physical_fv_name(fv.name, fv.version)
+        )
+        if doc is None:
+            raise ValidationError(
+                f"Feature view '{fv.name}' v{fv.version} has no online "
+                "export; call export_online_store first"
+            )
+        import time as _time
+
+        online = self.read_online(fv)
+        offline = self.read_feature_view(fv)
+        join_keys = self._fv_join_keys(fv)
+        out: dict[str, Any] = {
+            "exported_at": doc["exported_at"],
+            "age_seconds": max(0.0, _time.time() - doc["exported_at"]),
+        }
+        if fv.timestamp_col:
+            ts_map = {c.upper(): c for c in offline.columns}
+            ts_col = ts_map[canonical_name(fv.timestamp_col)]
+            off_latest = offline.groupBy(*join_keys).agg(
+                F.max(ts_col).alias("__fs_off_ts")
+            )
+            on_ts = online.select(
+                *join_keys, F.col(ts_col).alias("__fs_on_ts")
+            )
+            j = off_latest.join(on_ts, join_keys, "left")
+            row = j.agg(
+                F.count("*").alias("total"),
+                F.sum(
+                    (
+                        F.col("__fs_on_ts").isNull()
+                        | (F.col("__fs_off_ts") > F.col("__fs_on_ts"))
+                    ).cast("long")
+                ).alias("stale"),
+                F.max(
+                    F.when(
+                        F.col("__fs_on_ts").isNotNull(),
+                        F.unix_timestamp("__fs_off_ts")
+                        - F.unix_timestamp("__fs_on_ts"),
+                    )
+                ).alias("lag"),
+            ).collect()[0]
+            out["total_keys"] = row["total"]
+            out["stale_keys"] = row["stale"] or 0
+            out["max_lag_seconds"] = max(0, row["lag"] or 0)
+        else:
+            cols = sorted(c for c in offline.columns if c not in join_keys)
+            fp = F.md5(
+                F.concat_ws(
+                    "\x00",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                        for c in cols
+                    ],
+                )
+            )
+            off_fp = offline.select(*join_keys, fp.alias("__fs_off_fp"))
+            on_fp = online.select(*join_keys, fp.alias("__fs_on_fp"))
+            j = off_fp.join(on_fp, join_keys, "left")
+            row = j.agg(
+                F.count("*").alias("total"),
+                F.sum(
+                    (
+                        F.col("__fs_on_fp").isNull()
+                        | (F.col("__fs_off_fp") != F.col("__fs_on_fp"))
+                    ).cast("long")
+                ).alias("stale"),
+            ).collect()[0]
+            out["total_keys"] = row["total"]
+            out["stale_keys"] = row["stale"] or 0
+            out["max_lag_seconds"] = None
+        return out
+
+    def refresh_online_store(
+        self,
+        fv: FeatureView | str,
+        version: str | None = None,
+        max_age_seconds: float | None = None,
+        force: bool = False,
+    ) -> dict[str, Any]:
+        """Staleness-gated re-export (the refresh_ann_index contract):
+        re-run ``export_online_store`` when the probe finds stale keys,
+        when the export is older than ``max_age_seconds`` (the serving
+        TTL), or when ``force``. Returns the probe dict plus
+        ``refreshed``; a fresh export is skipped, not rewritten."""
+        if isinstance(fv, str):
+            fv = self.get_feature_view(fv, version)
+        probe = self.online_staleness(fv)
+        stale = (
+            force
+            or probe["stale_keys"] > 0
+            or (
+                max_age_seconds is not None
+                and probe["age_seconds"] > max_age_seconds
+            )
+        )
+        if stale:
+            self.export_online_store(fv)
+        return {**probe, "refreshed": stale}
+
     # ------------------------------------------------------------------
     # Metadata introspection & maintenance
     # ------------------------------------------------------------------

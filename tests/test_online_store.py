@@ -86,6 +86,88 @@ def test_delete_fv_drops_online_export(fs, fv_with_history):
         fs.read_online("spend_fv", "1.0")
 
 
+def test_staleness_probe_counts_new_and_changed_keys(
+    fs, spark, tmp_path, fv_with_history
+):
+    fs.export_online_store("spend_fv", "1.0")
+    fresh = fs.online_staleness("spend_fv", "1.0")
+    assert fresh["stale_keys"] == 0
+    assert fresh["total_keys"] == 2
+    assert fresh["max_lag_seconds"] == 0
+    assert fresh["age_seconds"] >= 0
+    # newer history for cust 1 + a brand-new key 3 → both stale
+    df = spark.createDataFrame(
+        [
+            (1, "2024-03-01 00:00:00", 99.0),
+            (3, "2024-03-01 00:00:00", 7.0),
+        ],
+        "cust_id INT, ts STRING, f_spend DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("append").parquet(str(tmp_path / "hist.parquet"))
+    probe = fs.online_staleness("spend_fv", "1.0")
+    assert probe["stale_keys"] == 2
+    assert probe["total_keys"] == 3
+    # cust 1's online row is 2024-02-01, offline now 2024-03-01
+    assert probe["max_lag_seconds"] == 29 * 24 * 3600
+
+
+def test_refresh_online_store_is_staleness_gated(
+    fs, spark, tmp_path, fv_with_history
+):
+    fs.export_online_store("spend_fv", "1.0")
+    rep = fs.refresh_online_store("spend_fv", "1.0")
+    assert rep["refreshed"] is False  # fresh export untouched
+    df = spark.createDataFrame(
+        [(2, "2024-04-01 00:00:00", 55.0)],
+        "cust_id INT, ts STRING, f_spend DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("append").parquet(str(tmp_path / "hist.parquet"))
+    rep = fs.refresh_online_store("spend_fv", "1.0")
+    assert rep["refreshed"] is True and rep["stale_keys"] == 1
+    rows = {r["cust_id"]: r for r in fs.read_online("spend_fv", "1.0").collect()}
+    assert rows[2]["f_spend"] == 55.0
+    assert fs.online_staleness("spend_fv", "1.0")["stale_keys"] == 0
+    # TTL path: an in-date, in-sync export refreshes only under max_age
+    rep = fs.refresh_online_store("spend_fv", "1.0", max_age_seconds=0.0)
+    assert rep["refreshed"] is True
+    # force path
+    rep = fs.refresh_online_store("spend_fv", "1.0", force=True)
+    assert rep["refreshed"] is True
+
+
+def test_staleness_probe_timeless_fingerprints(fs, spark, tmp_path):
+    path = str(tmp_path / "tl.parquet")
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "acct_id INT, f_tier STRING"
+    ).write.mode("overwrite").parquet(path)
+    fs.register_source("acct_src", path)
+    fs.register_entity(Entity(name="acct", join_keys=["acct_id"]))
+    fs.register_feature_view(
+        FeatureView(
+            name="tier_fv",
+            entities=["acct"],
+            sql="SELECT acct_id, f_tier FROM acct_src",
+            timestamp_col=None,
+        ),
+        version="1.0",
+    )
+    fs.export_online_store("tier_fv", "1.0")
+    probe = fs.online_staleness("tier_fv", "1.0")
+    assert probe["stale_keys"] == 0 and probe["max_lag_seconds"] is None
+    # change one row's value + add a key → 2 stale fingerprints
+    spark.createDataFrame(
+        [(1, "platinum"), (2, "silver"), (3, "bronze")],
+        "acct_id INT, f_tier STRING",
+    ).write.mode("overwrite").parquet(path)
+    probe = fs.online_staleness("tier_fv", "1.0")
+    assert probe["stale_keys"] == 2 and probe["total_keys"] == 3
+
+
+def test_staleness_probe_without_export_fails_loudly(fs, fv_with_history):
+    with pytest.raises(ValidationError, match="no online export"):
+        fs.online_staleness("spend_fv", "1.0")
+
+
 def test_export_matches_retrieve_latest_semantics(fs, spark, fv_with_history):
     """Online snapshot == retrieve_feature_values on a timeless spine
     (the latest-per-key contract both paths share)."""

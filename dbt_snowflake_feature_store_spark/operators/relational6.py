@@ -327,6 +327,238 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact median + MAD robust outliers (distributed rank, no global window)
+# ---------------------------------------------------------------------------
+
+_MAD_K_E4 = 44478  # 3 * 1.4826 (normal-consistency factor) at 1e4 fixed point
+
+
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT MEDIAN + MAD robust outlier fences, ORACLE-GATED — the
+    robust-statistics anomaly screen (median/MAD survives the heavy
+    tails that wreck mean/stddev z-scores). Median = the lower-median
+    element at rank (n+1) DIV 2 via ranks.global_row_number (range
+    exchange + prefix offsets — NO unpartitioned window); MAD = the
+    same rank spelling over |x − median|; a row is an outlier when
+    |x − med|·10⁴ > 44478·MAD (3σ-equivalent, integer fixed point).
+    Output: per-priority totals + outlier counts with the shared
+    median/MAD columns — every number a BIGINT both engines replay.
+
+    Scale: two ranked passes (each one range exchange + P-row collect)
+    + one final aggregate; the median scalar rides a broadcast 1-row
+    frame, never a driver round-trip."""
+    from ..functions.ranks import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "_c"
+        ),
+    )
+    n_row = o.groupBy().agg(F.count("*").cast("long").alias("_n"))
+    ranked = global_row_number(
+        o, [F.col("_c").asc(), F.col("o_orderkey").asc()], out_col="_rn"
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        .select(F.col("_c").alias("_med"))
+    )
+    dev = o.crossJoin(F.broadcast(med)).withColumn(
+        "_dev", F.abs(F.col("_c") - F.col("_med"))
+    )
+    dev_ranked = global_row_number(
+        dev, [F.col("_dev").asc(), F.col("o_orderkey").asc()], out_col="_rn"
+    )
+    mad = (
+        dev_ranked.crossJoin(F.broadcast(n_row))
+        .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        .select(F.col("_dev").alias("_mad"))
+    )
+    flagged = dev.crossJoin(F.broadcast(mad))
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.sum(
+            (F.col("_dev") * 10000 > F.lit(_MAD_K_E4) * F.col("_mad"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("f_outliers"),
+        F.max("_med").cast("long").alias("f_median_cents"),
+        F.max("_mad").cast("long").alias("f_mad_cents"),
+    )
+
+
+ORACLE["q_median_mad"] = f"""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS _c
+        FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM o),
+    med AS (
+        SELECT _c AS _med FROM (
+            SELECT _c, ROW_NUMBER() OVER (ORDER BY _c, o_orderkey) AS _rn
+            FROM o
+        ), n WHERE _rn = (_n + 1) // 2
+    ),
+    dev AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o._c,
+               ABS(o._c - med._med) AS _dev, med._med
+        FROM o CROSS JOIN med
+    ),
+    mad AS (
+        SELECT _dev AS _mad FROM (
+            SELECT _dev, ROW_NUMBER() OVER (ORDER BY _dev, o_orderkey) AS _rn
+            FROM dev
+        ), n WHERE _rn = (_n + 1) // 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS f_n,
+           CAST(SUM(CASE WHEN _dev * 10000 > {_MAD_K_E4} * _mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS f_outliers,
+           CAST(MAX(_med) AS BIGINT) AS f_median_cents,
+           CAST(MAX(_mad) AS BIGINT) AS f_mad_cents
+    FROM dev CROSS JOIN mad
+    GROUP BY o_orderpriority
+"""
+QUERIES["q_median_mad"] = q_median_mad
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/valid/test split (time-based, leakage-free)
+# ---------------------------------------------------------------------------
+
+
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/valid/test split of the event stream,
+    ORACLE-GATED — the leakage-free split a forecasting/CTR pipeline
+    uses instead of random sampling: boundaries at 80% / 90% of the
+    observed time RANGE (integer epoch-second arithmetic, so both
+    engines compute the same cut), each split summarized (events,
+    distinct users, decimal-exact value sum). The range endpoints ride
+    a broadcast 1-row aggregate.
+
+    Scale: one global min/max aggregate + one map-side-combinable
+    grouped aggregate over the assigned split; countDistinct expands
+    to the standard two-phase partial-agg plan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("_s"),
+    )
+    rng = ev.groupBy().agg(
+        F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
+    )
+    tagged = ev.crossJoin(F.broadcast(rng)).withColumn(
+        "f_split",
+        F.expr(
+            "CASE WHEN (_s - _lo) * 10 < (_hi - _lo + 1) * 8 THEN 'train'"
+            " WHEN (_s - _lo) * 10 < (_hi - _lo + 1) * 9 THEN 'valid'"
+            " ELSE 'test' END"
+        ),
+    )
+    return tagged.groupBy("f_split").agg(
+        F.count("*").cast("long").alias("f_events"),
+        F.countDistinct("user_id").cast("long").alias("f_users"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("f_value_sum"),
+    )
+
+
+ORACLE["q_time_split"] = """
+    WITH ev AS (
+        -- FLOOR before the cast: epoch() keeps the microsecond fraction
+        -- and ::BIGINT would ROUND, while Spark unix_timestamp() floors
+        SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS _s
+        FROM events
+    ),
+    rng AS (SELECT MIN(_s) AS _lo, MAX(_s) AS _hi FROM ev),
+    tagged AS (
+        SELECT user_id, value,
+               CASE WHEN (_s - _lo) * 10 < (_hi - _lo + 1) * 8 THEN 'train'
+                    WHEN (_s - _lo) * 10 < (_hi - _lo + 1) * 9 THEN 'valid'
+                    ELSE 'test' END AS f_split
+        FROM ev CROSS JOIN rng
+    )
+    SELECT f_split,
+           CAST(COUNT(*) AS BIGINT) AS f_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS f_users,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS f_value_sum
+    FROM tagged GROUP BY f_split
+"""
+QUERIES["q_time_split"] = q_time_split
+
+
+# ---------------------------------------------------------------------------
+# Calibration table: equal-width score bins vs outcome rate
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION TABLE, ORACLE-GATED — the reliability-diagram /
+    expected-calibration-error input: treat event `value` as a model
+    score and `purchase` as the positive outcome, cut scores into 10
+    equal-width cents bins over the observed [min, max], and report
+    per-bin volume, positives, and positive-rate ppm. Bin assignment
+    is pure integer arithmetic — (c − lo)·B DIV (hi − lo + 1), clamped
+    — so both engines agree at every boundary.
+
+    Scale: one global min/max + one combinable grouped aggregate onto
+    the FIXED 10-bin key domain. No window, no Python."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("_c"),
+        (F.col("event_type") == "purchase").cast("long").alias("_pos"),
+    )
+    rng = ev.groupBy().agg(
+        F.min("_c").alias("_lo"), F.max("_c").alias("_hi")
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).withColumn(
+        "f_bin",
+        F.expr(
+            f"CAST(least({_CAL_BINS - 1},"
+            f" (_c - _lo) * {_CAL_BINS} DIV (_hi - _lo + 1)) AS BIGINT)"
+        ),
+    )
+    return binned.groupBy("f_bin").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.sum("_pos").cast("long").alias("f_pos"),
+        F.expr(
+            "CAST(sum(_pos) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("f_rate_ppm"),
+    )
+
+
+ORACLE["q_calibration_bins"] = f"""
+    WITH ev AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS _c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS _pos
+        FROM events
+    ),
+    rng AS (SELECT MIN(_c) AS _lo, MAX(_c) AS _hi FROM ev),
+    binned AS (
+        SELECT _c, _pos,
+               CAST(LEAST({_CAL_BINS - 1},
+                    (_c - _lo) * {_CAL_BINS} // (_hi - _lo + 1))
+                    AS BIGINT) AS f_bin
+        FROM ev CROSS JOIN rng
+    )
+    SELECT f_bin,
+           CAST(COUNT(*) AS BIGINT) AS f_n,
+           CAST(SUM(_pos) AS BIGINT) AS f_pos,
+           CAST(SUM(_pos) * 1000000 // COUNT(*) AS BIGINT) AS f_rate_ppm
+    FROM binned GROUP BY f_bin
+"""
+QUERIES["q_calibration_bins"] = q_calibration_bins
+
+
 ORACLE["q_feature_hash"] = f"""
     WITH toks AS (
         SELECT doc_id, tok FROM (

@@ -609,3 +609,37 @@ def test_pca_power_checkpoints_each_round(spark):
     # cpr + one w per iteration = 5 registered cuts
     assert len(subs) == 5
     assert s.shuffles < 20
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 2: ranks-routed keys keep the no-global-window guarantee
+# ---------------------------------------------------------------------------
+
+def test_median_mad_no_unpartitioned_window(spark):
+    """q_median_mad ranks the FULL order table twice (median, then MAD
+    deviations) — both passes must ride the range-exchange machinery:
+    no window node in the executed plan or any registered subplan may
+    run with an empty partition spec."""
+    import __spark_entry__ as entry_mod
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+
+    with pi.capture_subplans() as subs:
+        df = entry_mod.queries()["q_median_mad"](spark, SF_DIR)
+        plan = _executed_plan(df)
+    for p in [plan, *subs]:
+        assert not _unpartitioned_window_lines(p), p
+    assert any("rangepartitioning" in p for p in subs), subs
+
+
+def test_decile_lift_no_unpartitioned_window(spark):
+    """q_decile_lift's NTILE(10) over every customer must be the
+    distributed global_ntile, not a single-task window."""
+    import __spark_entry__ as entry_mod
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+
+    with pi.capture_subplans() as subs:
+        df = entry_mod.queries()["q_decile_lift"](spark, SF_DIR)
+        plan = _executed_plan(df)
+    for p in [plan, *subs]:
+        assert not _unpartitioned_window_lines(p), p
+    assert any("rangepartitioning" in p for p in subs), subs

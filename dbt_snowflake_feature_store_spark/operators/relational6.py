@@ -37,6 +37,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Register-then-checkpoint (the relational5/ranks discipline):
+    lineage cut for a multiply-referenced frame, with the pre-cut plan
+    registered so PLANS.md audits still see its exchanges."""
+    from ..plans import inspect as plan_inspect
+
+    plan_inspect.register_subplan(df)
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # Chi-squared association between two categorical columns (exact rational)
 # ---------------------------------------------------------------------------
@@ -61,8 +71,13 @@ def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact form; a 100 TB run reads the same plan with the wider
     type)."""
     d = _t(spark, sf_dir, "documents")
-    obs = d.groupBy("lang", "source").agg(
-        F.count("*").cast("long").alias("f_obs")
+    # the contingency table is referenced FOUR times (cells + three
+    # marginals) — checkpoint it so the fact table scans ONCE; the
+    # checkpointed frame is category-domain-sized, not SF-proportional
+    obs = _ckpt(
+        d.groupBy("lang", "source").agg(
+            F.count("*").cast("long").alias("f_obs")
+        )
     )
     rows = obs.groupBy("lang").agg(F.sum("f_obs").cast("long").alias("_R"))
     cols = obs.groupBy("source").agg(F.sum("f_obs").cast("long").alias("_C"))

@@ -1528,6 +1528,56 @@ class FeatureStore:
                     findings.append(finding)
                 if repair_orphans and os.path.isdir(nd) and not os.listdir(nd):
                     os.rmdir(nd)
+        # online exports and dbt snapshots joined the store surface in
+        # r10 — audit both sides the same way: registered-but-missing
+        # data is reported, on-disk dirs with no registry row are
+        # orphans (deleted only under repair_orphans)
+        for kind, subdir in (
+            ("online_store", "_online"),
+            ("snapshot", "_snapshots"),
+        ):
+            reg_kind = "online_stores" if kind == "online_store" else "snapshots"
+            known: set[str] = set()
+            for doc in self.registry.list(reg_kind):
+                if kind == "online_store":
+                    p = doc["path"]
+                    obj = physical_fv_name(doc["name"], doc["version"])
+                else:
+                    p = os.path.join(self.root, "_snapshots", doc["name"])
+                    obj = doc["name"]
+                known.add(os.path.basename(p))
+                try:
+                    self.storage.recover(p)
+                except Exception:
+                    pass
+                if not os.path.isdir(p):
+                    findings.append(
+                        {
+                            "kind": kind,
+                            "object": obj,
+                            "issue": "missing_data",
+                            "path": p,
+                        }
+                    )
+            root = os.path.join(self.root, subdir)
+            if os.path.isdir(root):
+                for d in sorted(os.listdir(root)):
+                    if d in known or any(
+                        d[: d.rfind(m)] in known
+                        for m in ("__history", "__snapshot_", "__old_")
+                        if d.rfind(m) > 0
+                    ):
+                        continue
+                    finding = {
+                        "kind": kind,
+                        "object": d,
+                        "issue": "orphan_data",
+                        "path": os.path.join(root, d),
+                    }
+                    if repair_orphans:
+                        _shutil.rmtree(os.path.join(root, d))
+                        finding["repaired"] = True
+                    findings.append(finding)
         return findings
 
     def due_for_refresh(self, name: str, version: str) -> bool:

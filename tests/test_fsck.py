@@ -150,3 +150,27 @@ def test_dataset_vanished_then_orphan_version(store_with_objects):
     assert not os.path.isdir(os.path.join(ds_dir, "9"))
     remaining = {(f["issue"], f["object"]) for f in fs.fsck()}
     assert remaining == {("missing_data", "FSCK_DS.v1")}
+
+
+def test_online_and_snapshot_surfaces_audited(store_with_objects, spark):
+    """r10 surfaces: a registered online export whose dir vanishes is
+    missing_data; stray dirs under _online / _snapshots with no
+    registry row are repairable orphans; a clean store stays clean."""
+    fs = store_with_objects
+    path = fs.export_online_store("managed_ok", "1.0")
+    assert fs.fsck() == []  # export registered + on disk → clean
+    shutil.rmtree(path)
+    issues = {(f["issue"], f["kind"]) for f in fs.fsck()}
+    assert ("missing_data", "online_store") in issues
+    # restore, then plant orphans on both surfaces
+    fs.export_online_store("managed_ok", "1.0")
+    stray_on = os.path.join(fs.root, "_online", "GHOST$9")
+    stray_sn = os.path.join(fs.root, "_snapshots", "GHOST_SNAP")
+    os.makedirs(stray_on)
+    os.makedirs(stray_sn)
+    issues = {(f["issue"], f["object"]) for f in fs.fsck()}
+    assert ("orphan_data", "GHOST$9") in issues
+    assert ("orphan_data", "GHOST_SNAP") in issues
+    fs.fsck(repair_orphans=True)
+    assert not os.path.isdir(stray_on) and not os.path.isdir(stray_sn)
+    assert fs.fsck() == []

@@ -155,6 +155,17 @@ HEADLINE = [
     "q_surprisal_bigram",
     "q_embed_pca_power",
     "q_knn_classify",
+    # third round-10 wave: shared blocked-pair containment scorer,
+    # double-ranked median/MAD (two range exchanges), the decile-lift
+    # ntile consumer, fixed-domain hashing-trick aggregation, and the
+    # checkpointed-contingency chi-squared
+    "q_contain_ngram",
+    "q_median_mad",
+    "q_decile_lift",
+    "q_feature_hash",
+    "q_chi2_assoc",
+    "q_rrf_fusion",
+    "q_sample_weighted",
 ]
 
 

@@ -2264,3 +2264,179 @@ ORACLE["q_knn_classify"] = f"""
     ORDER BY f_query
 """
 QUERIES["q_knn_classify"] = q_knn_classify
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: lexical + semantic retrieval, fused exactly
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60           # the standard RRF dampening constant
+_RRF_SCALE = 10 ** 9  # fixed-point numerator: 1e9 DIV (60 + rank)
+_RRF_TOPC = 100       # per-retriever candidate depth
+_RRF_TERMS = ("window", "merge", "stream")  # the q_bm25_topk query
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION, ORACLE-GATED — the
+    fusion step every lexical+vector search stack runs (Cormack et
+    al.'s RRF: score = Σ 1/(k + rankᵢ), k = 60). Retriever A is
+    lexical: total occurrence count of the three query terms per
+    document (the q_text_search relevance, computed by array filters
+    on the token array — no explode, no token shuffle). Retriever B is
+    semantic: exact micro-unit integer dot product against the
+    vec_id=0 query embedding (documents and embeddings share the id
+    space — the q_text_embed_join alignment). Each retriever keeps its
+    top-100 via TakeOrdered; ranks are row_numbers over those BOUNDED
+    candidate frames (never the corpus); the fused score is
+    1e9 DIV (60 + rank) summed over the lists the id appears in —
+    pure BIGINT, so DuckDB replays every tie and truncation.
+
+    Scale: both retrievers end in TakeOrderedAndProject (per-partition
+    top-K + driver merge of K·P rows); the unpartitioned row_number
+    windows run AFTER the top-100 cut — 100-row frames by
+    construction, the HDR bounded-universe precedent. The fusion join
+    is 100×100 at most. Nothing downstream of the cut is
+    SF-proportional."""
+    d = _t2(spark, sf_dir, "documents")
+    toks = d.filter(F.col("doc_id") != _QUERY_ID).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    score = None
+    for t in _RRF_TERMS:
+        c = F.size(F.filter(F.col("_toks"), (lambda tt: lambda x: x == F.lit(tt))(t)))
+        score = c if score is None else score + c
+    lex_top = (
+        toks.select("doc_id", score.cast("long").alias("_lscore"))
+        .filter(F.col("_lscore") > 0)
+        .orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPC)
+    )
+    lex = lex_top.withColumn(
+        "_rl",
+        F.row_number().over(
+            Window.orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
+        ).cast("long"),
+    )
+
+    e = _emb(spark, sf_dir)
+    micro = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("_m"),
+    )
+    elems = micro.filter(F.col("vec_id") != _QUERY_ID).select(
+        "vec_id", F.posexplode("_m").alias("i", "x")
+    )
+    q = micro.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.posexplode("_m").alias("i", "qx")
+    )
+    sem_top = (
+        elems.join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("long").alias("_sscore"))
+        .orderBy(F.col("_sscore").desc(), F.col("vec_id").asc())
+        .limit(_RRF_TOPC)
+    )
+    sem = sem_top.withColumn(
+        "_rs",
+        F.row_number().over(
+            Window.orderBy(F.col("_sscore").desc(), F.col("vec_id").asc())
+        ).cast("long"),
+    )
+
+    fused = lex.join(
+        sem, lex["doc_id"] == sem["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(lex["doc_id"], sem["vec_id"]).cast("long").alias("f_id"),
+        F.col("_rl").alias("f_rank_lex"),
+        F.col("_rs").alias("f_rank_sem"),
+        (
+            F.coalesce(
+                F.expr(f"CAST({_RRF_SCALE} DIV ({_RRF_K} + _rl) AS BIGINT)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST({_RRF_SCALE} DIV ({_RRF_K} + _rs) AS BIGINT)"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("f_rrf"),
+    )
+    return fused.orderBy(F.col("f_rrf").desc(), F.col("f_id").asc()).limit(
+        _K
+    )
+
+
+def _t2(spark: SparkSession, sf_dir: str, name: str):
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+ORACLE["q_rrf_fusion"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id <> {_QUERY_ID}
+    ),
+    lexs AS (
+        SELECT doc_id,
+               CAST({' + '.join(
+                   f"len(list_filter(t, x -> x = '{t}'))"
+                   for t in _RRF_TERMS
+               )} AS BIGINT) AS _lscore
+        FROM toks
+    ),
+    lex_top AS (
+        SELECT doc_id, _lscore FROM lexs WHERE _lscore > 0
+        ORDER BY _lscore DESC, doc_id ASC LIMIT {_RRF_TOPC}
+    ),
+    lex AS (
+        SELECT doc_id, _lscore,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY _lscore DESC, doc_id ASC) AS BIGINT) AS _rl
+        FROM lex_top
+    ),
+    micro AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS m
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, generate_subscripts(m, 1) AS i, unnest(m) AS x
+        FROM micro WHERE vec_id <> {_QUERY_ID}
+    ),
+    qel AS (
+        SELECT generate_subscripts(m, 1) AS i, unnest(m) AS qx
+        FROM micro WHERE vec_id = {_QUERY_ID}
+    ),
+    sem_top AS (
+        SELECT el.vec_id, CAST(SUM(el.x * qel.qx) AS BIGINT) AS _sscore
+        FROM el JOIN qel ON el.i = qel.i
+        GROUP BY el.vec_id
+        ORDER BY _sscore DESC, vec_id ASC LIMIT {_RRF_TOPC}
+    ),
+    sem AS (
+        SELECT vec_id, _sscore,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY _sscore DESC, vec_id ASC) AS BIGINT) AS _rs
+        FROM sem_top
+    ),
+    fused AS (
+        SELECT CAST(COALESCE(lex.doc_id, sem.vec_id) AS BIGINT) AS f_id,
+               lex._rl AS f_rank_lex,
+               sem._rs AS f_rank_sem,
+               COALESCE(CAST({_RRF_SCALE} // ({_RRF_K} + lex._rl)
+                             AS BIGINT), 0)
+             + COALESCE(CAST({_RRF_SCALE} // ({_RRF_K} + sem._rs)
+                             AS BIGINT), 0) AS f_rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.vec_id
+    )
+    SELECT f_id, f_rank_lex, f_rank_sem, f_rrf
+    FROM fused ORDER BY f_rrf DESC, f_id ASC LIMIT {_K}
+"""
+QUERIES["q_rrf_fusion"] = q_rrf_fusion

@@ -45,15 +45,18 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_sample_to_mix", "q_pack_bfd", "q_pack_sequences",
     "q_embed_centroid", "q_embed_outliers", "q_embed_quantize",
     "q_filter_funnel", "q_ngram_freq",
-    # part 2 (3): keys whose code (or the ranks.py primitive under
-    # them) changed this round (q_rfm / q_global_rank / q_global_ntile
-    # are r9-recorded — 1 round old — and the changed ranks machinery
-    # is exercised by the NEW gini/decile/median keys in part 3, so
-    # they yield their slots to the never-recorded keys)
-    "q_vocab_coverage", "q_event_transitions", "q_epoch_shuffle",
-    # part 3 (21): the round-10 NEW keys (never driver-recorded) —
-    # 13 from the r10 first wave, 8 from the second wave
-    # (relational6.py + q_contain_ngram)
+    # part 2 (1): the VERDICT-r9-item-1 key (its de-weak "Done"
+    # criterion names CORRECTNESS_r10 explicitly). The other
+    # r10-touched keys with r9-dated records (q_event_transitions,
+    # q_epoch_shuffle, q_rfm, q_global_rank, q_global_ntile) yield
+    # their slots to never-recorded new keys — they are 1 round old,
+    # pytest- and local-sweep-covered, and join the r11 promotion set;
+    # the changed ranks machinery is exercised by the NEW gini /
+    # decile / median keys below
+    "q_vocab_coverage",
+    # part 3 (23): the round-10 NEW keys (never driver-recorded) —
+    # 13 from the r10 first wave, 10 from the second wave
+    # (relational6.py + q_contain_ngram + q_rrf_fusion)
     "q_sim_pq_portable", "q_tfidf_topterms", "q_gini_spend",
     "q_dedup_normalized", "q_sim_ivfpq_portable", "q_bm25_topk",
     "q_dedup_edit", "q_cluster_kmeans", "q_graph_triangles",
@@ -61,7 +64,8 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_knn_classify",
     "q_chi2_assoc", "q_target_encode", "q_decile_lift",
     "q_feature_hash", "q_contain_ngram", "q_median_mad",
-    "q_time_split", "q_calibration_bins",
+    "q_time_split", "q_calibration_bins", "q_rrf_fusion",
+    "q_sample_weighted",
     # (the former part-4 r7-dated keys — q_sim_pq, q_sim_ivfpq,
     # q_bpe_train, q_approx_distinct_sketch, q_dedup_near_portable —
     # were displaced by the second-wave new keys and join the r11

@@ -24,7 +24,7 @@ bodies take when the FV is a model-feature table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES: dict = {}
@@ -607,3 +607,74 @@ ORACLE["q_feature_hash"] = f"""
     FROM per_doc GROUP BY f_bucket
 """
 QUERIES["q_feature_hash"] = q_feature_hash
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (integer A-Res priorities)
+# ---------------------------------------------------------------------------
+
+_WS_K = 32
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-BIASED deterministic sample, ORACLE-GATED — the
+    weighted cousin of q_sample_split that completes the sampling
+    family: documents drawn with probability increasing in their
+    length. Efraimidis–Spirakis A-Res assigns priority u^(1/w); the
+    integer spelling keeps the same stochastic ordering with ZERO
+    float ops: priority = h DIV w, h the portable 32-bit md5 hash
+    (uniform), w = n_chars — larger weights divide their uniform draw
+    down harder, so the k smallest priorities form the weighted
+    sample. Fully deterministic (seeded by the hash literal), so
+    reproducible across runs AND engines — a property float A-Res
+    cannot give cross-engine.
+
+    Scale: one projection + TakeOrderedAndProject (per-partition
+    top-K, K·P driver merge). No shuffle beyond the top-K exchange,
+    no window."""
+    d = _t(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("f_weight"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('ws:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("_h"),
+    ).select(
+        "doc_id",
+        "f_weight",
+        F.expr(
+            "CAST(_h DIV greatest(f_weight, 1) AS BIGINT)"
+        ).alias("f_priority"),
+    )
+    return (
+        pri.orderBy(F.col("f_priority").asc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+        .withColumn(
+            "f_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("f_priority").asc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+    )
+
+
+ORACLE["q_sample_weighted"] = f"""
+    WITH pri AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS f_weight,
+               CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT
+                    // GREATEST(n_chars, 1) AS BIGINT) AS f_priority
+        FROM documents
+    ),
+    top AS (
+        SELECT doc_id, f_weight, f_priority
+        FROM pri ORDER BY f_priority ASC, doc_id ASC LIMIT {_WS_K}
+    )
+    SELECT doc_id, f_weight, f_priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY f_priority ASC, doc_id ASC)
+                AS BIGINT) AS f_rank
+    FROM top
+"""
+QUERIES["q_sample_weighted"] = q_sample_weighted

@@ -142,6 +142,7 @@ _KNOWN_CONFIG_KEYS = frozenset(
         "updated_at",
         "check_cols",
         "invalidate_hard_deletes",
+        "hard_deletes",
         "snapshot_meta_column_names",
     }
 )
@@ -207,6 +208,29 @@ def _validate_config(name: str, cfg: dict[str, Any]) -> dict[str, Any]:
         )
     if ihd:
         spec["hard_deletes"] = "invalidate"
+    if "hard_deletes" in cfg:
+        # dbt-1.9 successor config; 'new_record' (a third live row per
+        # delete) is a different history SHAPE — refuse loudly rather
+        # than silently approximating it with 'invalidate'
+        hd = str(cfg["hard_deletes"]).lower()
+        if hd == "new_record":
+            raise ValidationError(
+                f"Snapshot '{name}': hard_deletes='new_record' is not "
+                "supported (deletion-marker rows change the history "
+                "shape); use 'invalidate' or 'ignore'"
+            )
+        if hd not in ("ignore", "invalidate"):
+            raise ValidationError(
+                f"Snapshot '{name}': hard_deletes must be 'ignore', "
+                f"'invalidate' or 'new_record', got {cfg['hard_deletes']!r}"
+            )
+        if ihd and hd == "ignore":
+            raise ValidationError(
+                f"Snapshot '{name}': invalidate_hard_deletes=True "
+                "conflicts with hard_deletes='ignore'"
+            )
+        if hd == "invalidate":
+            spec["hard_deletes"] = "invalidate"
     if "snapshot_meta_column_names" in cfg:
         meta = _validate_meta_cols(name, cfg["snapshot_meta_column_names"])
         if meta:

@@ -296,3 +296,40 @@ def test_crash_safe_storage_recovers(fs, spark, tmp_path):
     _src(spark, tmp_path, [(1, "platinum", "us", "2024-02-01 00:00:00")])
     run_snapshots(fs, proj)
     assert read_snapshot(fs, "customer_snapshot").count() == 2
+
+
+def test_hard_deletes_config_aliases(fs, spark, tmp_path):
+    """dbt-1.9 `hard_deletes` successor config: 'invalidate' behaves as
+    invalidate_hard_deletes=True, 'new_record' is refused loudly, a
+    conflicting legacy+new combination is refused."""
+    snap = HD_SNAPSHOT.replace(
+        "invalidate_hard_deletes=True", "hard_deletes='invalidate'"
+    ).replace("hd_snapshot", "hd2_snapshot")
+    proj = _write(tmp_path, snap)
+    p = _src(
+        spark, tmp_path,
+        [(1, "gold", "us", "2024-01-01 00:00:00"),
+         (2, "silver", "eu", "2024-01-01 00:00:00")],
+    )
+    fs.register_source("cust_src", p)
+    run_snapshots(fs, proj, at="2024-01-15 00:00:00")
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    rep = run_snapshots(fs, proj, at="2024-02-15 00:00:00")
+    assert rep["HD2_SNAPSHOT"]["open"] == 1  # cid=2 closed
+
+    def _proj(sub, content):
+        d = tmp_path / sub / "snapshots"
+        d.mkdir(parents=True)
+        (d / "snap.sql").write_text(content)
+        return str(tmp_path / sub)
+
+    bad = snap.replace("hard_deletes='invalidate'", "hard_deletes='new_record'")
+    with pytest.raises(ValidationError, match="new_record"):
+        run_snapshots(fs, _proj("p_bad", bad))
+
+    conflict = HD_SNAPSHOT.replace(
+        "invalidate_hard_deletes=True",
+        "invalidate_hard_deletes=True,\n    hard_deletes='ignore'",
+    )
+    with pytest.raises(ValidationError, match="conflicts"):
+        run_snapshots(fs, _proj("p_conf", conflict))

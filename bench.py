@@ -166,6 +166,7 @@ HEADLINE = [
     "q_chi2_assoc",
     "q_rrf_fusion",
     "q_sample_weighted",
+    "q_auc_mann_whitney",
 ]
 
 

@@ -66,6 +66,10 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_feature_hash", "q_contain_ngram", "q_median_mad",
     "q_time_split", "q_calibration_bins", "q_rrf_fusion",
     "q_sample_weighted",
+    # position 51+ — PAST the 50-key driver cap: first entries of the
+    # r11 promotion set (new keys that missed the r10 record window;
+    # they are sf0.001/sf0.01 pytest- and local-sweep-covered)
+    "q_auc_mann_whitney",
     # (the former part-4 r7-dated keys — q_sim_pq, q_sim_ivfpq,
     # q_bpe_train, q_approx_distinct_sketch, q_dedup_near_portable —
     # were displaced by the second-wave new keys and join the r11

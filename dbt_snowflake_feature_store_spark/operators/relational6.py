@@ -678,3 +678,98 @@ ORACLE["q_sample_weighted"] = f"""
     FROM top
 """
 QUERIES["q_sample_weighted"] = q_sample_weighted
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (Mann-Whitney U with midrank ties, distributed ranks)
+# ---------------------------------------------------------------------------
+
+
+def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC, ORACLE-GATED — the Mann–Whitney rank form
+    AUC = (Σ_pos rank − P(P+1)/2) / (P·N) with textbook MIDRANK tie
+    handling, scoring `value` as the model output and `purchase` as
+    the positive class. Everything stays integer: ranks come from
+    ranks.global_row_number (range exchange — NO unpartitioned
+    window); tied cents values collapse to one group whose DOUBLED
+    midrank is min_rank + max_rank (integer, no .5s); the final ratio
+    is DECIMAL(38,0) multiply + integer DIV, so DuckDB replays the ppm
+    AUC bit-for-bit. One row: positives, negatives, doubled U
+    statistic, AUC in ppm.
+
+    Scale: one ranked pass + a distinct-value-keyed aggregate (the
+    tie-group reduce is map-side combinable) + a 1-row total. The
+    midrank identity Σ_pos 2·midrank = Σ_groups pos_g·(lo_g + hi_g)
+    avoids ever materializing per-row midranks."""
+    from ..functions.ranks import global_row_number
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("_c"),
+        (F.col("event_type") == "purchase").cast("long").alias("_pos"),
+    )
+    ranked = global_row_number(
+        ev, [F.col("_c").asc(), F.col("event_id").asc()], out_col="_rn"
+    )
+    groups = ranked.groupBy("_c").agg(
+        F.min("_rn").cast("long").alias("_lo"),
+        F.max("_rn").cast("long").alias("_hi"),
+        F.sum("_pos").cast("long").alias("_p"),
+    )
+    agg = groups.groupBy().agg(
+        F.sum(F.col("_p") * (F.col("_lo") + F.col("_hi")))
+        .cast("long")
+        .alias("_sum2r"),
+        F.sum("_p").cast("long").alias("f_pos"),
+        F.sum(F.col("_hi") - F.col("_lo") + 1 - F.col("_p"))
+        .cast("long")
+        .alias("f_neg"),
+    )
+    return agg.select(
+        "f_pos",
+        "f_neg",
+        F.expr("CAST(_sum2r - f_pos * (f_pos + 1) AS BIGINT)").alias(
+            "f_u2"
+        ),
+        F.expr(
+            "CAST(CAST(_sum2r - f_pos * (f_pos + 1) AS DECIMAL(38,0))"
+            " * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * f_pos * f_neg)"
+            " AS BIGINT)"
+        ).alias("f_auc_ppm"),
+    )
+
+
+ORACLE["q_auc_mann_whitney"] = """
+    WITH ev AS (
+        SELECT event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS _c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS _pos
+        FROM events
+    ),
+    ranked AS (
+        SELECT _c, _pos,
+               CAST(ROW_NUMBER() OVER (ORDER BY _c, event_id) AS BIGINT)
+                   AS _rn
+        FROM ev
+    ),
+    groups AS (
+        SELECT _c,
+               CAST(MIN(_rn) AS BIGINT) AS _lo,
+               CAST(MAX(_rn) AS BIGINT) AS _hi,
+               CAST(SUM(_pos) AS BIGINT) AS _p
+        FROM ranked GROUP BY _c
+    ),
+    agg AS (
+        SELECT CAST(SUM(_p * (_lo + _hi)) AS BIGINT) AS _sum2r,
+               CAST(SUM(_p) AS BIGINT) AS f_pos,
+               CAST(SUM(_hi - _lo + 1 - _p) AS BIGINT) AS f_neg
+        FROM groups
+    )
+    SELECT f_pos, f_neg,
+           CAST(_sum2r - f_pos * (f_pos + 1) AS BIGINT) AS f_u2,
+           CAST(CAST(_sum2r - f_pos * (f_pos + 1) AS HUGEINT) * 1000000
+                // (CAST(2 AS HUGEINT) * f_pos * f_neg) AS BIGINT)
+               AS f_auc_ppm
+    FROM agg
+"""
+QUERIES["q_auc_mann_whitney"] = q_auc_mann_whitney

@@ -733,7 +733,8 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(
             "CAST(CAST(_sum2r - f_pos * (f_pos + 1) AS DECIMAL(38,0))"
-            " * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * f_pos * f_neg)"
+            " * 1000000 DIV greatest(CAST(2 AS DECIMAL(38,0)) * f_pos * f_neg,"
+            " CAST(1 AS DECIMAL(38,0)))"
             " AS BIGINT)"
         ).alias("f_auc_ppm"),
     )
@@ -768,7 +769,7 @@ ORACLE["q_auc_mann_whitney"] = """
     SELECT f_pos, f_neg,
            CAST(_sum2r - f_pos * (f_pos + 1) AS BIGINT) AS f_u2,
            CAST(CAST(_sum2r - f_pos * (f_pos + 1) AS HUGEINT) * 1000000
-                // (CAST(2 AS HUGEINT) * f_pos * f_neg) AS BIGINT)
+                // GREATEST(CAST(2 AS HUGEINT) * f_pos * f_neg, 1) AS BIGINT)
                AS f_auc_ppm
     FROM agg
 """

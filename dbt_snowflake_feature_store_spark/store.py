@@ -1131,6 +1131,53 @@ class FeatureStore:
             df = df.filter(F.col(col_map[ck]) == F.lit(v))
         return df
 
+    def retrieve_online_features(
+        self,
+        spine: DataFrame,
+        fvs: Sequence["FeatureView | str"],
+        versions: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Batch serving read: left-join the spine against each FV's
+        ONLINE snapshot on its entity keys — the bulk form of
+        ``online_lookup`` (scoring jobs, not request paths). Unlike
+        ``retrieve_feature_values`` there is no point-in-time logic:
+        the online table IS the latest-per-key state by construction,
+        so each join is a plain equi-join (AQE broadcasts the snapshot
+        when it is small; at entity-scale both sides shuffle on the
+        key). Missing exports fail loudly; the FV's timestamp column
+        (if any) rides along as the snapshot's as-of stamp."""
+        out = spine
+        for i, fv in enumerate(fvs):
+            if isinstance(fv, str):
+                fv = self.get_feature_view(
+                    fv, versions[i] if versions else None
+                )
+            online = self.read_online(fv)
+            keys = [c for c in online.columns if c.upper() in {
+                k.upper() for k in self._fv_join_keys(fv)
+            }]
+            spine_map = {c.upper(): c for c in out.columns}
+            missing = [k for k in keys if k.upper() not in spine_map]
+            if missing:
+                raise ValidationError(
+                    f"spine is missing join key(s) {missing} for "
+                    f"feature view '{fv.name}'"
+                )
+            cond = None
+            for k in keys:
+                c = out[spine_map[k.upper()]] == online[k]
+                cond = c if cond is None else cond & c
+            joined = out.join(online, cond, "left")
+            out = joined.select(
+                *[out[c] for c in out.columns],
+                *[
+                    online[c]
+                    for c in online.columns
+                    if c not in keys and c not in out.columns
+                ],
+            )
+        return out
+
     def online_staleness(
         self, fv: FeatureView | str, version: str | None = None
     ) -> dict[str, Any]:

@@ -183,3 +183,26 @@ def test_export_matches_retrieve_latest_semantics(fs, spark, fv_with_history):
         for r in fs.retrieve_feature_values(spine, [fv]).collect()
     }
     assert online == served
+
+
+def test_retrieve_online_features_batch_join(fs, spark, fv_with_history):
+    fs.export_online_store("spend_fv", "1.0")
+    spine = spark.createDataFrame([(1,), (2,), (7,)], "cust_id INT")
+    out = fs.retrieve_online_features(spine, ["spend_fv"], ["1.0"])
+    rows = {r["cust_id"]: r for r in out.collect()}
+    assert rows[1]["f_spend"] == 20.0  # latest row won at export
+    assert rows[2]["f_spend"] == 30.0
+    assert rows[7]["f_spend"] is None  # unknown key → left-join null
+    # parity with the PIT path on a timeless spine
+    fv = fs.get_feature_view("spend_fv", "1.0")
+    served = {
+        r["cust_id"]: r["f_spend"]
+        for r in fs.retrieve_feature_values(
+            spark.createDataFrame([(1,), (2,)], "cust_id INT"), [fv]
+        ).collect()
+    }
+    assert {k: rows[k]["f_spend"] for k in (1, 2)} == served
+    # missing spine key fails loudly
+    bad = spark.createDataFrame([(1,)], "other INT")
+    with pytest.raises(ValidationError, match="missing join key"):
+        fs.retrieve_online_features(bad, ["spend_fv"], ["1.0"])

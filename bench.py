@@ -167,6 +167,7 @@ HEADLINE = [
     "q_rrf_fusion",
     "q_sample_weighted",
     "q_auc_mann_whitney",
+    "q_diverse_topk",
 ]
 
 

@@ -34,7 +34,7 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 10 rotation (26 + 6 + 1 + 17 = the 50-key driver cap) ----
+    # ---- round 10 rotation (26 + 1 + 23 = the 50-key driver cap) ----
     # part 1 (26): every r6-dated key — three rounds stale, the cycle's
     # hard ceiling (VERDICT r9 What's-wrong #3 names exactly this set)
     "q_join_asof", "q_join_asof_fwd", "q_knn_join", "q_event_dedup",
@@ -69,7 +69,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # position 51+ — PAST the 50-key driver cap: first entries of the
     # r11 promotion set (new keys that missed the r10 record window;
     # they are sf0.001/sf0.01 pytest- and local-sweep-covered)
-    "q_auc_mann_whitney",
+    "q_auc_mann_whitney", "q_diverse_topk",
     # (the former part-4 r7-dated keys — q_sim_pq, q_sim_ivfpq,
     # q_bpe_train, q_approx_distinct_sketch, q_dedup_near_portable —
     # were displaced by the second-wave new keys and join the r11

@@ -774,3 +774,71 @@ ORACLE["q_auc_mann_whitney"] = """
     FROM agg
 """
 QUERIES["q_auc_mann_whitney"] = q_auc_mann_whitney
+
+
+# ---------------------------------------------------------------------------
+# Diversity-capped global top-K (budgeted selection with per-group cap)
+# ---------------------------------------------------------------------------
+
+_DIV_CAP = 5    # max docs per source
+_DIV_BUDGET = 60  # global selection budget
+
+
+def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY-CAPPED GLOBAL TOP-K, ORACLE-GATED — the curation
+    selection rule every training-mix builder applies: take the
+    globally best 60 documents by length (the quality proxy here) but
+    never more than 5 from any one source, so no domain floods the
+    budget. Two-level ranking: a per-source window (PARTITIONED —
+    source-keyed, shuffle-parallel) keeps each source's local top-5;
+    the global cut over the capped survivors rides
+    ranks.global_row_number (range exchange — NO unpartitioned
+    window). Both levels break ties by doc_id, so the selection is a
+    total order both engines replay.
+
+    Scale: the partitioned window shuffles once on source (skewed
+    mega-sources cost their own partition, and the cap means only 5
+    rows survive per source into the global stage); the global stage
+    ranks at most 5·|sources| rows."""
+    from ..functions.ranks import global_row_number
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("f_len").desc(), F.col("doc_id").asc()
+    )
+    capped = (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("f_len"))
+        .withColumn("f_source_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("f_source_rank") <= _DIV_CAP)
+    )
+    ranked = global_row_number(
+        capped,
+        [F.col("f_len").desc(), F.col("doc_id").asc()],
+        out_col="f_grank",
+    )
+    return ranked.filter(F.col("f_grank") <= _DIV_BUDGET).select(
+        "doc_id",
+        "source",
+        "f_len",
+        "f_source_rank",
+        F.col("f_grank").cast("long").alias("f_grank"),
+    )
+
+
+ORACLE["q_diverse_topk"] = f"""
+    WITH capped AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS f_len,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS BIGINT) AS f_source_rank
+        FROM documents
+        QUALIFY f_source_rank <= {_DIV_CAP}
+    )
+    SELECT doc_id, source, f_len, f_source_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY f_len DESC, doc_id ASC)
+                AS BIGINT) AS f_grank
+    FROM capped
+    QUALIFY f_grank <= {_DIV_BUDGET}
+"""
+QUERIES["q_diverse_topk"] = q_diverse_topk

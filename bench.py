@@ -168,6 +168,7 @@ HEADLINE = [
     "q_sample_weighted",
     "q_auc_mann_whitney",
     "q_diverse_topk",
+    "q_quantile_norm",
 ]
 
 

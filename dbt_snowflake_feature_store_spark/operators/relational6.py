@@ -842,3 +842,110 @@ ORACLE["q_diverse_topk"] = f"""
     QUALIFY f_grank <= {_DIV_BUDGET}
 """
 QUERIES["q_diverse_topk"] = q_diverse_topk
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (distribution alignment)
+# ---------------------------------------------------------------------------
+
+_QN_BINS = 20
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources, ORACLE-GATED — the
+    batch-effect correction step (microarray lineage, reused for
+    cross-crawl feature alignment): replace every source's length
+    distribution by the GLOBAL one, quantile by quantile. Per-source
+    vigintiles come from a PARTITIONED window (source-keyed,
+    shuffle-parallel); the global vigintile targets come from
+    ranks.global_ntile (range exchange — NO unpartitioned window) +
+    half-up integer bucket means (the q_cluster_kmeans exactness
+    trick). Output: one row per (source, bucket) with its row count,
+    the source-local half-up mean, and the globally-mapped value every
+    member would be replaced by.
+
+    Scale: one keyed window pass + one ranked pass + two combinable
+    aggregates; the 20-row mapping table broadcasts by construction."""
+    from ..functions.ranks import global_ntile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("_len")
+    )
+    gl = global_ntile(
+        d,
+        [F.col("_len").asc(), F.col("doc_id").asc()],
+        _QN_BINS,
+        out_col="_gb",
+    )
+    gmap = gl.groupBy("_gb").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(_len) AS DOUBLE) / count(*) + 0.5)"
+            " AS BIGINT)"
+        ).alias("f_mapped")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_len").asc(), F.col("doc_id").asc()
+    )
+    # SQL NTILE semantics per source, spelled via row_number + count so
+    # the remainder rule matches global_ntile's (first n%k buckets one
+    # extra row) — NTILE() itself would also work; this keeps ONE window
+    src = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count("*").over(Window.partitionBy("source")))
+        .withColumn(
+            "f_bucket",
+            F.expr(
+                f"CAST(CASE WHEN _cnt % {_QN_BINS} * ((_cnt DIV {_QN_BINS}) + 1)"
+                f" >= _rn THEN ((_rn - 1) DIV ((_cnt DIV {_QN_BINS}) + 1)) + 1"
+                f" ELSE {_QN_BINS} - (_cnt - _rn) DIV greatest(_cnt DIV {_QN_BINS}, 1)"
+                " END AS BIGINT)"
+            ),
+        )
+    )
+    per = src.groupBy("source", "f_bucket").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.expr(
+            "CAST(floor(CAST(sum(_len) AS DOUBLE) / count(*) + 0.5)"
+            " AS BIGINT)"
+        ).alias("f_src_mean"),
+    )
+    return per.join(
+        F.broadcast(gmap.withColumnRenamed("_gb", "f_bucket")), "f_bucket"
+    ).select("source", "f_bucket", "f_n", "f_src_mean", "f_mapped")
+
+
+ORACLE["q_quantile_norm"] = f"""
+    WITH d AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS _len
+        FROM documents
+    ),
+    gl AS (
+        SELECT _len,
+               CAST(NTILE({_QN_BINS}) OVER (ORDER BY _len, doc_id)
+                    AS BIGINT) AS _gb
+        FROM d
+    ),
+    gmap AS (
+        SELECT _gb AS f_bucket,
+               CAST(floor(CAST(SUM(_len) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS f_mapped
+        FROM gl GROUP BY _gb
+    ),
+    src AS (
+        SELECT source, _len,
+               CAST(NTILE({_QN_BINS}) OVER (
+                   PARTITION BY source ORDER BY _len, doc_id
+               ) AS BIGINT) AS f_bucket
+        FROM d
+    ),
+    per AS (
+        SELECT source, f_bucket,
+               CAST(COUNT(*) AS BIGINT) AS f_n,
+               CAST(floor(CAST(SUM(_len) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS f_src_mean
+        FROM src GROUP BY source, f_bucket
+    )
+    SELECT per.source, per.f_bucket, per.f_n, per.f_src_mean, gmap.f_mapped
+    FROM per JOIN gmap USING (f_bucket)
+"""
+QUERIES["q_quantile_norm"] = q_quantile_norm

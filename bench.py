@@ -169,6 +169,8 @@ HEADLINE = [
     "q_auc_mann_whitney",
     "q_diverse_topk",
     "q_quantile_norm",
+    "q_group_kfold",
+    "q_source_divergence",
 ]
 
 

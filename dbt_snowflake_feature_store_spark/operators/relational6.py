@@ -949,3 +949,183 @@ ORACLE["q_quantile_norm"] = f"""
     FROM per JOIN gmap USING (f_bucket)
 """
 QUERIES["q_quantile_norm"] = q_quantile_norm
+
+
+# ---------------------------------------------------------------------------
+# Group K-fold assignment (leakage-free cross-validation folds)
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP K-FOLD assignment, ORACLE-GATED — the leakage-free CV
+    split: every event of a user lands in the SAME fold (GroupKFold),
+    fold = portable md5 hash of the GROUP key mod 5, so membership is
+    deterministic, engine-portable, and stable under any repartition
+    or re-run (sklearn's GroupKFold depends on group iteration order;
+    the hash form doesn't). Output: per-fold groups / events /
+    positives / decimal-exact value sum — the balance sheet a CV
+    harness checks before training.
+
+    Scale: fold id is a projection off the group key (no shuffle to
+    assign); the summary is one map-side-combinable aggregate onto the
+    FIXED 5-fold domain + one distinct-group count (two-phase
+    partial agg)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tagged = ev.select(
+        "user_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("long").alias("_pos"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('kf:', CAST(user_id AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT) % {_KFOLD}"
+        ).alias("f_fold"),
+    )
+    return tagged.groupBy("f_fold").agg(
+        F.countDistinct("user_id").cast("long").alias("f_groups"),
+        F.count("*").cast("long").alias("f_events"),
+        F.sum("_pos").cast("long").alias("f_pos"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("f_value_sum"),
+    )
+
+
+ORACLE["q_group_kfold"] = f"""
+    WITH tagged AS (
+        SELECT user_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS _pos,
+               ('0x' || substr(md5('kf:' || CAST(user_id AS VARCHAR)),
+                1, 8))::BIGINT % {_KFOLD} AS f_fold
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT f_fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS f_groups,
+           CAST(COUNT(*) AS BIGINT) AS f_events,
+           CAST(SUM(_pos) AS BIGINT) AS f_pos,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS f_value_sum
+    FROM tagged GROUP BY f_fold
+"""
+QUERIES["q_group_kfold"] = q_group_kfold
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution divergence vs the corpus (exact chi-square)
+# ---------------------------------------------------------------------------
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE TOKEN-DISTRIBUTION DIVERGENCE vs the corpus,
+    ORACLE-GATED — the domain-mix diagnostic behind "which crawl
+    drifted?": chi-square divergence chi2(p_s || q) between each
+    source's unigram distribution and the corpus distribution, in
+    EXACT arithmetic. Per present term, (c*N - C*n)^2 * 1e9 DIV
+    (n^2 * N * C) — numerator squared in DECIMAL(38,0)/HUGEINT, each
+    term floor-rounded to ppb BEFORE summing (the q_feature_drift
+    discipline: the sum is then order-independent). Terms ABSENT from
+    a source contribute exactly C_t/N each, so their total is the
+    closed form (N - sum_present C) * 1e9 DIV N — no source x vocab
+    expansion ever materializes.
+
+    Scale: two map-side-combinable counts (source-term, corpus-term);
+    the term join shuffles on tok with NO forced broadcast (a
+    web-scale vocabulary is unbounded — the q_tfidf_topterms lesson);
+    the final key domain is |sources|."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    # the source-term table is referenced FOUR times (terms + corpus
+    # marginal + source totals + grand total) — checkpoint it so the
+    # corpus scans once AND the derived joins don't share lineage
+    # (shared-lineage same-name columns resolve ambiguously)
+    st = _ckpt(
+        toks.groupBy("source", "tok").agg(
+            F.count("*").cast("long").alias("_c")
+        )
+    )
+    ct = st.groupBy("tok").agg(F.sum("_c").cast("long").alias("_C"))
+    ns = st.groupBy("source").agg(F.sum("_c").cast("long").alias("_n"))
+    n_tot = st.groupBy().agg(F.sum("_c").cast("long").alias("_N"))
+    # all four frames share the checkpoint's lineage and Spark's
+    # self-join de-dup exposes duplicate names through the crossJoin
+    # branch (the NOTES shared-lineage rule) — resolve by PLAN ID
+    # (frame["col"]) into fresh unambiguous names, THEN run the expr
+    stj = st.withColumnRenamed("_c", "_cs")
+    flat = (
+        stj.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            stj["source"],
+            stj["_cs"].alias("c_s"),
+            ct["_C"].alias("c_t"),
+            ns["_n"].alias("n_s"),
+            n_tot["_N"].alias("n_t"),
+        )
+    )
+    terms = flat.withColumn(
+        "_t_ppb",
+        F.expr(
+            "CAST(CAST(c_s * n_t - c_t * n_s AS DECIMAL(19,0))"
+            " * CAST(c_s * n_t - c_t * n_s AS DECIMAL(19,0)) * 1000000000"
+            " DIV (CAST(n_s AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(19,0))"
+            " * CAST(n_t AS DECIMAL(19,0)) * CAST(c_t AS DECIMAL(19,0)))"
+            " AS BIGINT)"
+        ),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("f_tokens"),
+        F.count("*").cast("long").alias("f_distinct"),
+        F.expr(
+            "CAST(sum(_t_ppb)"
+            " + CAST((max(n_t) - sum(c_t)) AS BIGINT) * 1000000000"
+            "   DIV max(n_t) AS BIGINT)"
+        ).alias("f_div_ppb"),
+    )
+
+
+ORACLE["q_source_divergence"] = """
+    WITH toks AS (
+        SELECT source, tok FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    st AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS _c
+        FROM toks GROUP BY source, tok
+    ),
+    ct AS (SELECT tok, CAST(SUM(_c) AS BIGINT) AS _C FROM st GROUP BY tok),
+    ns AS (SELECT source, CAST(SUM(_c) AS BIGINT) AS _n FROM st GROUP BY source),
+    nt AS (SELECT CAST(SUM(_c) AS BIGINT) AS _N FROM st),
+    terms AS (
+        -- DuckDB lowercases unquoted identifiers, so _c/_C and _n/_N
+        -- COLLIDE case-insensitively (the absent-mass term silently
+        -- bound to the wrong column) - distinct names are mandatory
+        SELECT st.source, st._c AS c_s, ct._C AS c_t,
+               ns._n AS n_s, nt._N AS n_t,
+               CAST((CAST(st._c AS HUGEINT) * nt._N - CAST(ct._C AS HUGEINT) * ns._n)
+                    * (CAST(st._c AS HUGEINT) * nt._N - CAST(ct._C AS HUGEINT) * ns._n)
+                    * 1000000000
+                    // (CAST(ns._n AS HUGEINT) * ns._n * nt._N * ct._C)
+                    AS BIGINT) AS _t_ppb
+        FROM st
+        JOIN ct ON st.tok = ct.tok
+        JOIN ns ON st.source = ns.source
+        CROSS JOIN nt
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS f_tokens,
+           CAST(COUNT(*) AS BIGINT) AS f_distinct,
+           CAST(SUM(_t_ppb)
+                + CAST(MAX(n_t) - SUM(c_t) AS BIGINT) * 1000000000
+                  // MAX(n_t) AS BIGINT) AS f_div_ppb
+    FROM terms GROUP BY source
+"""
+QUERIES["q_source_divergence"] = q_source_divergence

@@ -865,7 +865,9 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     member would be replaced by.
 
     Scale: one keyed window pass + one ranked pass + two combinable
-    aggregates; the 20-row mapping table broadcasts by construction."""
+    aggregates; the 20-row mapping and the |sources|-row count frame
+    broadcast by construction (the count comes from a groupBy, NOT a
+    second order-less window over the data)."""
     from ..functions.ranks import global_ntile
 
     d = _t(spark, sf_dir, "documents").select(
@@ -889,9 +891,10 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL NTILE semantics per source, spelled via row_number + count so
     # the remainder rule matches global_ntile's (first n%k buckets one
     # extra row) — NTILE() itself would also work; this keeps ONE window
+    scnt = d.groupBy("source").agg(F.count("*").cast("long").alias("_cnt"))
     src = (
         d.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_cnt", F.count("*").over(Window.partitionBy("source")))
+        .join(F.broadcast(scnt), "source")
         .withColumn(
             "f_bucket",
             F.expr(

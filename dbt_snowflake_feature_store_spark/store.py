@@ -1296,6 +1296,46 @@ class FeatureStore:
             self.export_online_store(fv)
         return {**probe, "refreshed": stale}
 
+    def sweep_online_stores(
+        self,
+        max_age_seconds: float | None = None,
+        refresh: bool = False,
+    ) -> list[dict[str, Any]]:
+        """Store-wide serving-freshness sweep — one call covering every
+        online export (the scheduler-side loop `freshness_report` plays
+        for managed FVs): probe each export with ``online_staleness``,
+        optionally re-export the stale ones (``refresh=True`` applies
+        the ``refresh_online_store`` gate with the same TTL). Returns
+        one dict per export: name, version, the probe fields, and
+        ``refreshed``. Exports whose FV has vanished are reported with
+        ``error`` instead of crashing the sweep (fsck's job to
+        repair)."""
+        out: list[dict[str, Any]] = []
+        for doc in self.registry.list("online_stores"):
+            row: dict[str, Any] = {
+                "name": doc["name"],
+                "version": doc["version"],
+            }
+            try:
+                fv = self.get_feature_view(doc["name"], doc["version"])
+                if refresh:
+                    row.update(
+                        self.refresh_online_store(
+                            fv, max_age_seconds=max_age_seconds
+                        )
+                    )
+                else:
+                    probe = self.online_staleness(fv)
+                    stale = probe["stale_keys"] > 0 or (
+                        max_age_seconds is not None
+                        and probe["age_seconds"] > max_age_seconds
+                    )
+                    row.update({**probe, "stale": stale})
+            except Exception as e:
+                row["error"] = str(e)[:200]
+            out.append(row)
+        return out
+
     # ------------------------------------------------------------------
     # Metadata introspection & maintenance
     # ------------------------------------------------------------------

@@ -206,3 +206,20 @@ def test_retrieve_online_features_batch_join(fs, spark, fv_with_history):
     bad = spark.createDataFrame([(1,)], "other INT")
     with pytest.raises(ValidationError, match="missing join key"):
         fs.retrieve_online_features(bad, ["spend_fv"], ["1.0"])
+
+
+def test_sweep_online_stores_store_wide(fs, spark, tmp_path, fv_with_history):
+    fs.export_online_store("spend_fv", "1.0")
+    rep = fs.sweep_online_stores()
+    assert len(rep) == 1 and rep[0]["stale"] is False
+    # new history → sweep reports stale; refresh=True repairs in place
+    df = spark.createDataFrame(
+        [(1, "2024-05-01 00:00:00", 77.0)],
+        "cust_id INT, ts STRING, f_spend DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("append").parquet(str(tmp_path / "hist.parquet"))
+    rep = fs.sweep_online_stores()
+    assert rep[0]["stale"] is True and rep[0]["stale_keys"] == 1
+    rep = fs.sweep_online_stores(refresh=True)
+    assert rep[0]["refreshed"] is True
+    assert fs.sweep_online_stores()[0]["stale"] is False

@@ -171,6 +171,7 @@ HEADLINE = [
     "q_quantile_norm",
     "q_group_kfold",
     "q_source_divergence",
+    "q_hll_portable",
 ]
 
 

@@ -70,7 +70,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # r11 promotion set (new keys that missed the r10 record window;
     # they are sf0.001/sf0.01 pytest- and local-sweep-covered)
     "q_auc_mann_whitney", "q_diverse_topk", "q_quantile_norm",
-    "q_group_kfold", "q_source_divergence",
+    "q_group_kfold", "q_source_divergence", "q_hll_portable",
     # (the former part-4 r7-dated keys — q_sim_pq, q_sim_ivfpq,
     # q_bpe_train, q_approx_distinct_sketch, q_dedup_near_portable —
     # were displaced by the second-wave new keys and join the r11

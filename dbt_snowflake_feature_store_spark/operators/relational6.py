@@ -1132,3 +1132,131 @@ ORACLE["q_source_divergence"] = """
     FROM terms GROUP BY source
 """
 QUERIES["q_source_divergence"] = q_source_divergence
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL register pipeline (the q_approx_distinct_sketch twin)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64                      # registers
+_HLL_2P55 = 1 << 55              # 2^55: fixed-point denominator unit
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000  # alpha_64 ~= 0.709 as a ratio
+
+
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HLL REGISTER PIPELINE, ORACLE-GATED — the twin that
+    puts q_approx_distinct_sketch's algorithm under the hash gate (the
+    q_sim_ivf_portable strategy: production keeps the fast JVM sketch,
+    the twin replays the identical math with an engine-portable hash).
+    60-bit md5 hash -> register index = h mod 64, rho = 55 - bitlen(h
+    DIV 64) (bitlen 0 => rho 55) -> per-register MAX -> the harmonic
+    denominator as an EXACT integer: sum 2^(55-reg) over hit registers
+    plus 2^55 per empty register (clearing 2^-reg to the common
+    denominator 2^55 — no float ever) -> raw estimate alpha*m^2*2^55
+    DIV regsum with alpha = 709/1000 exact-rational. The bias
+    corrections (linear counting etc.) are deliberately NOT here: they
+    need ln(), and the production sketch owns that policy — this key
+    pins the register construction and harmonic algebra that make HLL
+    mergeable. f_exact/f_abs_err ride along as the accuracy witness.
+
+    Scale: one map-side-combinable (type, idx) MAX — the whole sketch
+    state is 64 rows per group BY CONSTRUCTION; everything downstream
+    is group-count-sized."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(concat('hll:',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("_h"),
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(_h % {_HLL_M} AS BIGINT)").alias("_idx"),
+            F.expr(
+                f"CASE WHEN _h DIV {_HLL_M} = 0 THEN 55"
+                f" ELSE 55 - length(bin(_h DIV {_HLL_M})) END"
+            ).alias("_rho"),
+        )
+        .groupBy("event_type", "_idx")
+        .agg(F.max("_rho").cast("long").alias("_reg"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("_nhit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - _reg AS INT))"))
+        .cast("long")
+        .alias("_hitsum"),
+    )
+    scored = per.select(
+        "event_type",
+        F.col("_nhit").alias("f_hit_regs"),
+        F.expr(
+            f"CAST(_hitsum + ({_HLL_M} - _nhit)"
+            f" * CAST({_HLL_2P55} AS BIGINT) AS BIGINT)"
+        ).alias("f_regsum"),
+    ).withColumn(
+        "f_raw_est",
+        F.expr(
+            f"CAST(CAST({_HLL_ALPHA_NUM} AS DECIMAL(38,0))"
+            f" * {_HLL_M * _HLL_M} * CAST({_HLL_2P55} AS DECIMAL(38,0))"
+            f" DIV (CAST({_HLL_ALPHA_DEN} AS DECIMAL(38,0)) * f_regsum)"
+            " AS BIGINT)"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("f_exact")
+    )
+    return scored.join(exact, "event_type").select(
+        "event_type",
+        "f_hit_regs",
+        "f_regsum",
+        "f_raw_est",
+        "f_exact",
+        F.abs(F.col("f_raw_est") - F.col("f_exact"))
+        .cast("long")
+        .alias("f_abs_err"),
+    )
+
+
+ORACLE["q_hll_portable"] = f"""
+    WITH hashed AS (
+        SELECT event_type,
+               ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                1, 15))::BIGINT AS _h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT event_type,
+               CAST(_h % {_HLL_M} AS BIGINT) AS _idx,
+               CAST(MAX(CASE WHEN _h // {_HLL_M} = 0 THEN 55
+                    ELSE 55 - length(bin(_h // {_HLL_M})) END)
+                    AS BIGINT) AS _reg
+        FROM hashed GROUP BY event_type, _h % {_HLL_M}
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS f_hit_regs,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - _reg AS INTEGER))
+                    + ({_HLL_M} - COUNT(*))
+                      * CAST({_HLL_2P55} AS BIGINT) AS BIGINT) AS f_regsum
+        FROM regs GROUP BY event_type
+    ),
+    scored AS (
+        SELECT event_type, f_hit_regs, f_regsum,
+               CAST(CAST({_HLL_ALPHA_NUM} AS HUGEINT) * {_HLL_M * _HLL_M}
+                    * CAST({_HLL_2P55} AS HUGEINT)
+                    // (CAST({_HLL_ALPHA_DEN} AS HUGEINT) * f_regsum)
+                    AS BIGINT) AS f_raw_est
+        FROM per
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS f_exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT s.event_type, s.f_hit_regs, s.f_regsum, s.f_raw_est, e.f_exact,
+           CAST(ABS(s.f_raw_est - e.f_exact) AS BIGINT) AS f_abs_err
+    FROM scored s JOIN exact e ON s.event_type = e.event_type
+"""
+QUERIES["q_hll_portable"] = q_hll_portable

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as SIM
+from ..functions.literal import literal_df
 from ..sources.tables import read_table
 
 _QUERY_ID = 0
@@ -450,8 +451,8 @@ def q_dedup_embed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    w = spark.createDataFrame(
-        _hyperplane_weights(), "b INT, d INT, w LONG, pw LONG"
+    w = literal_df(
+        spark, _hyperplane_weights(), "b INT, d INT, w LONG, pw LONG"
     )
     el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
     dots = (
@@ -988,7 +989,7 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
     el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
-    cent = spark.createDataFrame(cent_rows, "cell INT, d INT, c LONG")
+    cent = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
     dist = (
         el.join(F.broadcast(cent), el["_d"] == cent["d"])
         .groupBy("vec_id", "cell")
@@ -1006,7 +1007,7 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell").cast("long").alias("f_cell"))
     )
     cand = assign.filter(F.col("f_cell").isin([int(p) for p in probe]))
-    qdf = spark.createDataFrame(q_rows, "d INT, qv LONG")
+    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
     dots = (
         el.join(cand.select("vec_id", "f_cell"), "vec_id")
         .join(F.broadcast(qdf), el["_d"] == qdf["d"])
@@ -1176,8 +1177,8 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"_d div {_PQP_SUBDIM}").cast("int").alias("_sub"),
         (F.col("_d") % _PQP_SUBDIM).cast("int").alias("_dsub"),
     )
-    cb = spark.createDataFrame(
-        cb_rows, "sub INT, code INT, dsub INT, c LONG"
+    cb = literal_df(
+        spark, cb_rows, "sub INT, code INT, dsub INT, c LONG"
     )
     sdist = (
         el.join(
@@ -1199,7 +1200,7 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("code").alias("code"))
     )
     # ADC table from the SAME literals, in-engine: dt(sub, code)
-    qdf = spark.createDataFrame(q_rows, "d INT, qv LONG")
+    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
     qsub = qdf.select(
         F.expr(f"d div {_PQP_SUBDIM}").cast("int").alias("sub"),
         (F.col("d") % _PQP_SUBDIM).cast("int").alias("dsub"),
@@ -1404,7 +1405,7 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
     el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
-    cent = spark.createDataFrame(cent_rows, "cell INT, d INT, c LONG")
+    cent = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
     dist = (
         el.join(F.broadcast(cent), el["_d"] == cent["d"])
         .groupBy("vec_id", "cell")
@@ -1437,7 +1438,7 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_x") - F.col("c")).alias("_r"),
         )
     )
-    cb = spark.createDataFrame(cb_rows, "sub INT, code INT, dsub INT, c LONG")
+    cb = literal_df(spark, cb_rows, "sub INT, code INT, dsub INT, c LONG")
     sdist = (
         res.join(
             F.broadcast(cb),
@@ -1459,7 +1460,7 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-probe-cell ADC tables from the SAME literals, in-engine:
     # residual query qr(cell, d) = q − cent[cell], dt(cell, sub, code)
-    qdf = spark.createDataFrame(q_rows, "d INT, qv LONG")
+    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
     qr = (
         F.broadcast(qdf)
         .join(
@@ -1734,7 +1735,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    cent1 = spark.createDataFrame(cent_rows, "cell INT, d INT, c LONG")
+    cent1 = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
     a1 = assign(cent1)
     cent2 = (
         el.join(a1.select("vec_id", "cell"), "vec_id")
@@ -2037,8 +2038,8 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "j", F.expr(f"cc DIV {_PCA_DOWN}").cast("long").alias("c")
         )
     )
-    v = spark.createDataFrame(
-        [(j, _PCA_S) for j in range(_PCA_DIM)], "j INT, v LONG"
+    v = literal_df(
+        spark, [(j, _PCA_S) for j in range(_PCA_DIM)], "j INT, v LONG"
     )
     for _ in range(_PCA_ITERS):
         # w feeds BOTH the max and the renormalize; the lazy checkpoint
@@ -2135,26 +2136,31 @@ ORACLE["q_embed_pca_power"] = _pca_power_oracle()
 # k-NN majority-vote classification (bounded query slice, oracle-gated)
 # ---------------------------------------------------------------------------
 
-_KNNC_MOD = 250   # query slice: vec_id % 250 == 0 (bounded at any SF)
+_KNNC_Q = 24      # fixed query-set size — bounded at ANY corpus scale
 _KNNC_K = 5
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN MAJORITY-VOTE classification, ORACLE-GATED — the eval probe
-    paired with q_centroid_classify: for each query in the bounded
-    slice (``vec_id % 250 == 0``), the 5 nearest corpus vectors by
-    exact int64 squared euclidean distance vote on the label (self
-    excluded; distance ties break to the lower vec_id, vote ties to
-    the lower label — both engines spell the same tiebreaks). Output
-    per query: true label, predicted label, agreement flag.
+    paired with q_centroid_classify: for each query in the FIXED-size
+    query set (the hash-smallest ``_KNNC_Q`` = 24 vectors by a portable
+    md5 of the vec id), the 5 nearest corpus vectors by exact int64
+    squared euclidean distance vote on the label (self excluded;
+    distance ties break to the lower vec_id, vote ties to the lower
+    label — both engines spell the same tiebreaks). Output per query:
+    true label, predicted label, agreement flag.
 
-    Scale shape: the query slice is bounded BY CONSTRUCTION (one id in
-    250), so the query-side explode broadcast-joins into the corpus
-    dim stream — n·64·Q narrow rows through one map-side-combinable
-    (corpus, query) agg; the top-5 window partitions by QUERY id
-    (bounded partitions, each sorting n candidate rows at most — the
-    two-phase q_sample_stratified cure applies if Q·n ever outgrows a
-    task); the vote agg is Q×L-bounded. No Python."""
+    Scale shape (de-weaked r11, VERDICT-r10 #2): the query set is a
+    TRUE constant — ``orderBy(hash).limit(Q)`` compiles to
+    TakeOrderedAndProject (per-partition top-Q, one Q-row merge), so
+    the broadcast side is Q·64 rows at any SF and the distance stream
+    is n·64·Q — LINEAR in the corpus (the old ``vec_id % 250`` slice
+    grew with n: n²·64/250 quadratic). The (corpus, query) agg
+    map-side combines; the top-5 window partitions by query id and
+    the rank ≤ 5 filter gets Spark 4's map-side WindowGroupLimit
+    (each input partition pre-prunes to 5 per query BEFORE the
+    shuffle, so the final per-query merge sees partitions·5 rows,
+    never n); the vote agg is Q×L-bounded. No Python."""
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
     base = e.select(
         "vec_id",
@@ -2165,7 +2171,16 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_xq"),
     )
     el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
-    q = base.filter(F.col("vec_id") % _KNNC_MOD == 0)
+    qh = F.expr(
+        "cast(conv(substr(md5(concat('q_', cast(vec_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    q = (
+        base.withColumn("_qh", qh)
+        .orderBy(F.col("_qh").asc(), F.col("vec_id").asc())
+        .limit(_KNNC_Q)
+        .drop("_qh")
+    )
     qel = q.select(
         F.col("vec_id").alias("qid"), F.posexplode("_xq").alias("d", "qx")
     )
@@ -2222,7 +2237,12 @@ ORACLE["q_knn_classify"] = f"""
                unnest(xq) AS x
         FROM base
     ),
-    q AS (SELECT * FROM base WHERE vec_id % {_KNNC_MOD} = 0),
+    q AS (
+        SELECT vec_id, lbl, xq FROM base
+        ORDER BY ('0x' || substr(md5('q_' || CAST(vec_id AS VARCHAR)),
+                                 1, 15))::BIGINT ASC, vec_id ASC
+        LIMIT {_KNNC_Q}
+    ),
     qel AS (
         SELECT vec_id AS qid,
                generate_subscripts(xq, 1) - 1 AS d,

@@ -761,20 +761,38 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_ANCHORS = 32  # fixed anchor-set size — bounded at ANY corpus scale
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic NEGATIVE SAMPLING for contrastive training
-    (embedding-model prep): for each anchor doc (doc_id % 50 == 0), the
+    (embedding-model prep): for each anchor doc (the hash-smallest
+    ``_NEG_ANCHORS`` = 32 docs by a portable md5 of the doc id), the
     4 pseudo-random negatives ranked by a portable md5-derived hash of
     the (anchor, candidate) pair — reproducible across runs, engines and
     partitionings, which is what makes a training set auditable (and
-    lets DuckDB hash-check the sampler). Anchors broadcast against the
-    candidate stream; rank ≤ 4 per anchor gets Spark 4's map-side
-    WindowGroupLimit (losers pruned BEFORE the shuffle)."""
+    lets DuckDB hash-check the sampler).
+
+    Scale shape (de-weaked r11, VERDICT-r10 #1): the anchor set is a
+    FIXED-size hash-smallest-K — ``orderBy(hash).limit(K)`` compiles to
+    TakeOrderedAndProject (per-partition top-K, single K-row merge;
+    linear, never a global sort), so the broadcast side is K rows at
+    any SF — the candidate stream is n·K, linear in the corpus (the
+    old ``doc_id % 50`` slice grew with n: n²/50 quadratic). rank ≤ 4
+    per anchor gets Spark 4's map-side WindowGroupLimit (losers pruned
+    BEFORE the shuffle)."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).select("doc_id")
-    anchors = d.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("f_anchor")
+    ah = F.expr(
+        "cast(conv(substr(md5(concat('a_', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    anchors = (
+        d.withColumn("_ah", ah)
+        .orderBy(F.col("_ah").asc(), F.col("doc_id").asc())
+        .limit(_NEG_ANCHORS)
+        .select(F.col("doc_id").alias("f_anchor"))
     )
     pairs = d.crossJoin(F.broadcast(anchors)).filter(
         F.col("doc_id") != F.col("f_anchor")
@@ -1818,9 +1836,14 @@ ORACLE["q_chunk_overlap"] = """
     FROM ch
 """
 
-ORACLE["q_negative_sample"] = """
+ORACLE["q_negative_sample"] = f"""
     WITH d AS (SELECT doc_id FROM documents),
-    anchors AS (SELECT doc_id AS f_anchor FROM d WHERE doc_id % 50 = 0),
+    anchors AS (
+        SELECT doc_id AS f_anchor FROM d
+        ORDER BY ('0x' || substr(md5('a_' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT ASC, doc_id ASC
+        LIMIT {_NEG_ANCHORS}
+    ),
     pairs AS (
         SELECT a.f_anchor, d.doc_id,
                ('0x' || substr(md5(CAST(a.f_anchor AS VARCHAR) || '_' ||

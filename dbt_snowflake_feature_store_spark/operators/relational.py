@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.literal import literal_df
+
 # exact, order-independent double aggregation: decimal-sum then back to double
 _DEC = "decimal(28,6)"
 
@@ -713,7 +715,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop with a range predicate; Catalyst broadcasts automatically
     (never a cartesian shuffle)."""
     p = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = literal_df(
+        spark,
         [(0, 10, "small"), (10, 25, "medium"), (25, 1000, "large")],
         "lo int, hi int, f_band string",
     )

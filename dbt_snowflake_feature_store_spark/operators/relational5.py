@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.literal import literal_df
+
 _DEC = "decimal(28,6)"
 
 
@@ -99,7 +101,7 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     member = grams.filter(F.col("doc_id") % 10 == 0).select("tok").distinct()
     cand = grams.filter(F.col("doc_id") % 10 != 0).select("tok").distinct()
-    salts = spark.createDataFrame([(i,) for i in range(_BLOOM_D)], "s INT")
+    salts = literal_df(spark, [(i,) for i in range(_BLOOM_D)], "s INT")
 
     bitpos = F.expr(
         "CAST(conv(substring(md5(concat('bloom', CAST(s AS STRING), ':',"
@@ -495,7 +497,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_col="_cum",
     ).select("tok", "cnt", "_rank", "_cum")
     tot = freq.agg(F.sum("cnt").cast("long").alias("_N"))
-    pcts = spark.createDataFrame([(50,), (90,), (99,)], "f_pct LONG")
+    pcts = literal_df(spark, [(50,), (90,), (99,)], "f_pct LONG")
     cut = (
         ranked.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(pcts))

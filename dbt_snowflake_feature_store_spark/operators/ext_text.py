@@ -521,6 +521,38 @@ def q_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bfd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-GATED invariant harness for the BFD packer (r11,
+    VERDICT-r10 #6 — the greenable face of the rows-only q_pack_bfd):
+    per language, exact doc/token accounting plus a flag that EVERY
+    (lang, shard) packing satisfies the capacity bounds —
+    ``ceil(Σ min(n_toks, cap) / cap) ≤ packs ≤ docs``. The lower bound
+    credits an oversize doc exactly one full bin (BFD gives it a bin
+    alone), so the flag is deterministic-true at any SF and DuckDB
+    replays it as a literal while the exact doc/token sums hash-gate
+    the token accounting. The packer itself (the applyInPandas Arrow
+    stage) runs for real to feed the flag."""
+    packed = TXT.pack_sequences_bfd(_docs(spark, sf_dir))
+    per_shard = packed.groupBy("lang", "f_shard").agg(
+        F.countDistinct("f_pack").alias("_packs"),
+        F.count("*").alias("_docs"),
+        F.sum("n_toks").alias("_toks"),
+        F.expr(
+            "(sum(least(n_toks, 2048)) + 2047) div 2048"
+        ).alias("_lb"),
+    )
+    return per_shard.groupBy("lang").agg(
+        F.sum("_docs").cast("long").alias("f_docs"),
+        F.sum("_toks").cast("long").alias("f_tokens"),
+        F.min(
+            (
+                (F.col("_packs") >= F.col("_lb"))
+                & (F.col("_packs") <= F.col("_docs"))
+            ).cast("int")
+        ).cast("int").alias("f_ok"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc count, exact avg char/token
     counts. The canonical corpus-accounting scan — single pass, one
@@ -1610,6 +1642,15 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
 }
+ORACLE["q_pack_bfd_check"] = f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS f_docs,
+           CAST(SUM(CAST({_WS_COUNT} AS BIGINT)) AS BIGINT) AS f_tokens,
+           CAST(1 AS INT) AS f_ok
+    FROM documents
+    GROUP BY lang
+"""
+
 ORACLE["q_lang_id"] = _langid_oracle()
 ORACLE["q_lang_id_conf"] = _langid_oracle(conf=True)
 
@@ -2236,6 +2277,7 @@ QUERIES = {
     "q_sample_split": q_sample_split,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_bfd": q_pack_bfd,
+    "q_pack_bfd_check": q_pack_bfd_check,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_portable": q_dedup_simhash_portable,
     "q_text_repetition": q_text_repetition,

@@ -266,26 +266,30 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event-type approx distinct users from per-(type, day) sketches
     ROLLED UP across days — the incremental-refresh form (each refresh
     sketches only new days; any range query unions kilobyte sketches
-    instead of rescanning events). Emits the estimate, the exact count,
-    and the absolute error so the driver's rows-only record still
-    witnesses accuracy. No oracle: DuckDB's approx_count_distinct is a
-    different sketch — pytest gates the 5% bound, merge algebra, and
-    layout invariance (tests/test_sketches.py)."""
+    instead of rescanning events). ORACLE-GATED in bounds-check form
+    (r11, VERDICT-r10 #6): the raw estimate is JVM-HLL-specific, so the
+    output carries the exact count plus a flag that the rolled-up
+    estimate lands within the 5% bound pytest gates
+    (tests/test_sketches.py — merge algebra, layout invariance).
+    DuckDB replays the flag as a literal; the exact column hash-gates
+    the rollup path, which still runs to feed the flag."""
     from ..functions import sketches as SK
 
     ev = _t(spark, sf_dir, "events")
     daily = SK.distinct_over_time(ev, "event_type", "user_id")
     est = SK.hll_rollup(daily, ["event_type"]).select(
-        "event_type", F.col("approx_distinct").alias("f_approx")
+        "event_type", F.col("approx_distinct").alias("_approx")
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("f_exact")
     )
     return est.join(exact, "event_type").select(
         "event_type",
-        "f_approx",
         "f_exact",
-        F.abs(F.col("f_approx") - F.col("f_exact")).alias("f_abs_err"),
+        (
+            F.abs(F.col("_approx") - F.col("f_exact")) * 100
+            <= F.col("f_exact") * 5
+        ).cast("int").alias("f_within_5pct"),
     )
 
 
@@ -1044,6 +1048,14 @@ ORACLE: dict[str, str] = {
         GROUP BY f_code
     """,
 }
+
+ORACLE["q_approx_distinct_sketch"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS f_exact,
+           CAST(1 AS INT) AS f_within_5pct
+    FROM events
+    GROUP BY event_type
+"""
 
 QUERIES = {
     "q_tpch_q6like": q_tpch_q6like,

@@ -88,6 +88,7 @@ def _resolve_refs(
     fs: "FeatureStore",
     body: str,
     source_map: dict[Any, str] | None,
+    snapshot_name: str = "<snapshot>",
 ) -> str:
     """Bind ``ref()``/``source()`` to registered source views. Snapshots
     capture SOURCE state (the dbt contract), so a ref() must name a
@@ -115,7 +116,14 @@ def _resolve_refs(
                         f"source() arguments must be string literals: {a!r}"
                     )
                 parsed.append(am.group(1))
-            return _resolve_source(fs, parsed[0], parsed[1], source_map)
+            # models._resolve_source takes a Model for its error message;
+            # snapshots aren't Models — hand it a named stand-in (ADVICE
+            # r10: the old 4-arg call raised TypeError for every
+            # snapshot body that used {{ source(...) }})
+            from types import SimpleNamespace
+
+            stand_in = SimpleNamespace(name=f"snapshot:{snapshot_name}")
+            return _resolve_source(fs, stand_in, parsed[0], parsed[1], source_map)
         if len(args) != 1:
             raise ValidationError(f"ref() takes 1 argument, got {args_src!r}")
         am = _ARG_RE.match(args[0])
@@ -472,7 +480,9 @@ def run_snapshots(
             if _needs_full_jinja(sql_body):
                 env = _env()
                 sql_body = env.from_string(sql_body).render()
-            sql_body = _resolve_refs(fs, sql_body, source_map).strip()
+            sql_body = _resolve_refs(
+                fs, sql_body, source_map, snapshot_name=raw_name
+            ).strip()
 
             # spec-change detection across runs: silently reinterpreting
             # history under a new strategy/key would corrupt it

@@ -49,15 +49,21 @@ def _shard_tars(d: str) -> list[str]:
     )
 
 
-def _swap_in(out_dir: str, staging: str, token: str) -> None:
-    """Swap a COMMITTED staging dir into place. Every step is
-    idempotent, so :func:`recover_webdataset` can re-run it after a
-    crash at any point: (1) stale old tars (no same-named staged
-    replacement) move aside into ``_old-{token}``, (2) staged tars
-    ``os.rename`` into place — atomic per file, silently replacing the
-    same-named predecessor, (3) the old dir and the staging dir (with
-    its commit marker) are removed last."""
-    staged = set(_shard_tars(staging))
+def _swap_in(out_dir: str, staging: str, token: str, manifest: list[str]) -> None:
+    """Swap a COMMITTED staging dir into place. ``manifest`` is the
+    authoritative shard list recorded in the commit marker — NOT a
+    listing of the staging dir, which stops naming shards the moment
+    they are renamed into place: a crash between the per-file renames
+    of step 2 would otherwise make a recovery re-run treat
+    already-swapped-in NEW shards as stale and delete them (permanent
+    data loss). Against the manifest every step is idempotent: (1) old
+    tars NOT in the manifest move aside into ``_old-{token}``, (2)
+    manifest tars still in staging ``os.rename`` into place — atomic
+    per file, silently replacing the same-named predecessor; manifest
+    tars already in ``out_dir`` were swapped in by a previous
+    (interrupted) attempt and are kept, (3) the old dir and the staging
+    dir (with its commit marker) are removed last."""
+    staged = set(manifest)
     old_dir = os.path.join(out_dir, f"_old-{token}")
     os.makedirs(old_dir, exist_ok=True)
     for f in _shard_tars(out_dir):
@@ -66,20 +72,48 @@ def _swap_in(out_dir: str, staging: str, token: str) -> None:
                 os.path.join(out_dir, f), os.path.join(old_dir, f)
             )
     for f in sorted(staged):
-        os.rename(os.path.join(staging, f), os.path.join(out_dir, f))
+        src = os.path.join(staging, f)
+        dst = os.path.join(out_dir, f)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        elif not os.path.exists(dst):
+            raise RuntimeError(
+                f"webdataset swap: committed shard '{f}' missing from both "
+                f"staging and '{out_dir}' — corpus incomplete, refusing to "
+                f"finalize (staging preserved for inspection)"
+            )
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _read_manifest(staging: str) -> list[str]:
+    """Shard list from the commit marker. Markers are JSON
+    ``{"token": ..., "shards": [...]}``; a legacy bare-token marker
+    (pre-manifest format) falls back to listing the staging dir —
+    correct only if no swap step ran, which is all the legacy format
+    ever guaranteed."""
+    with open(os.path.join(staging, _WDS_COMMIT)) as f:
+        raw = f.read()
+    try:
+        data = json.loads(raw)
+        if isinstance(data, dict) and isinstance(data.get("shards"), list):
+            return [str(s) for s in data["shards"]]
+    except ValueError:
+        pass
+    return _shard_tars(staging)
 
 
 def recover_webdataset(out_dir: str) -> None:
     """Repair an interrupted :func:`export_webdataset` (idempotent,
     called automatically at the start of every export): a staging dir
     WITH the commit marker holds a complete shard set — roll its swap
-    FORWARD; one without the marker is an aborted write — delete it
-    (the previous corpus is untouched by construction, the swap only
-    starts after the marker). Orphaned ``_old-*`` dirs from hard-killed
-    swaps are swept last. NOT safe to run concurrently with a live
-    export into the same dir (it would sweep the in-flight staging)."""
+    FORWARD against the marker's shard manifest (shards already renamed
+    into place by an interrupted swap are recognized and kept); one
+    without the marker is an aborted write — delete it (the previous
+    corpus is untouched by construction, the swap only starts after
+    the marker). Orphaned ``_old-*`` dirs from hard-killed swaps are
+    swept last. NOT safe to run concurrently with a live export into
+    the same dir (it would sweep the in-flight staging)."""
     if not os.path.isdir(out_dir):
         return
     for s in sorted(os.listdir(out_dir)):
@@ -89,7 +123,7 @@ def recover_webdataset(out_dir: str) -> None:
         if not os.path.isdir(sp):
             continue
         if os.path.exists(os.path.join(sp, _WDS_COMMIT)):
-            _swap_in(out_dir, sp, s.split("-", 1)[1])
+            _swap_in(out_dir, sp, s.split("-", 1)[1], _read_manifest(sp))
         else:
             shutil.rmtree(sp, ignore_errors=True)
     for o in sorted(os.listdir(out_dir)):
@@ -183,10 +217,15 @@ def export_webdataset(
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    # marker AFTER the data: its presence certifies a complete write
+    # marker AFTER the data: its presence certifies a complete write,
+    # and it carries the authoritative shard MANIFEST so a recovery
+    # re-run of the swap never mistakes already-swapped-in shards for
+    # stale ones (the staging listing shrinks as renames proceed; the
+    # manifest does not)
+    manifest = _shard_tars(staging)
     with open(os.path.join(staging, _WDS_COMMIT), "w") as f:
-        f.write(token)
-    _swap_in(out_dir, staging, token)
+        json.dump({"token": token, "shards": manifest}, f)
+    _swap_in(out_dir, staging, token, manifest)
     return len(_shard_tars(out_dir))
 
 

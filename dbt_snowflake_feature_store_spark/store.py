@@ -1038,6 +1038,42 @@ class FeatureStore:
             )
         return [fv_map[k] for k in keys]
 
+    def _resolve_fv(
+        self, fv: "FeatureView | str", version: str | None
+    ) -> FeatureView:
+        """FeatureView from any user spelling: a FeatureView passes
+        through; a string resolves via the explicit ``version``
+        argument, the ``NAME$VERSION`` logical form, or — when exactly
+        one version of NAME is registered — that version. A versionless
+        name with several registered versions raises (guessing would
+        serve the wrong table); ADVICE r10: the old paths turned
+        ``version=None`` into the literal registry key ``'None'`` and
+        failed with a misleading not-found/no-export error."""
+        if not isinstance(fv, str):
+            return fv
+        if version is not None:
+            return self.get_feature_view(fv, version)
+        try:
+            name, ver = parse_logical_fv_name(fv)
+            return self.get_feature_view(name, ver)
+        except ValidationError:
+            pass  # not a versioned spelling — resolve by registry scan
+        cname = canonical_name(fv)
+        versions = sorted(
+            d["version"]
+            for d in self.registry.list("feature_views")
+            if canonical_name(d["name"]) == cname
+        )
+        if not versions:
+            raise FeatureViewNotFoundError(cname, "<any>")
+        if len(versions) > 1:
+            raise ValidationError(
+                f"Feature view '{fv}' has {len(versions)} registered "
+                f"versions {versions}; pass version= (or 'NAME$VERSION') "
+                "to disambiguate"
+            )
+        return self.get_feature_view(fv, versions[0])
+
     def export_online_store(
         self, fv: FeatureView | str, version: str | None = None
     ) -> str:
@@ -1052,8 +1088,7 @@ class FeatureStore:
         contract). Returns the table path; re-export replaces
         atomically. Read with ``read_online`` / point-filter with
         ``online_lookup`` (key predicates push down to the scan)."""
-        if isinstance(fv, str):
-            fv = self.get_feature_view(fv, version)
+        fv = self._resolve_fv(fv, version)
         df = self.read_feature_view(fv)
         join_keys = self._fv_join_keys(fv)
         if fv.timestamp_col:
@@ -1099,9 +1134,13 @@ class FeatureStore:
         self, fv: FeatureView | str, version: str | None = None
     ) -> DataFrame:
         """Read the exported online snapshot (one row per entity key)."""
-        if isinstance(fv, str):
+        if isinstance(fv, str) and version is not None:
+            # explicit version: the export registry alone decides (the
+            # FV itself may have been deleted, leaving a repairable
+            # orphan export — fsck's business, not a resolution error)
             name = canonical_name(fv)
         else:
+            fv = self._resolve_fv(fv, version)
             name, version = fv.name, fv.version
         doc = self.registry.get(
             "online_stores", physical_fv_name(name, str(version))
@@ -1148,10 +1187,7 @@ class FeatureStore:
         (if any) rides along as the snapshot's as-of stamp."""
         out = spine
         for i, fv in enumerate(fvs):
-            if isinstance(fv, str):
-                fv = self.get_feature_view(
-                    fv, versions[i] if versions else None
-                )
+            fv = self._resolve_fv(fv, versions[i] if versions else None)
             online = self.read_online(fv)
             keys = [c for c in online.columns if c.upper() in {
                 k.upper() for k in self._fv_join_keys(fv)
@@ -1167,14 +1203,20 @@ class FeatureStore:
             for k in keys:
                 c = out[spine_map[k.upper()]] == online[k]
                 cond = c if cond is None else cond & c
+            feature_cols = [c for c in online.columns if c not in keys]
+            clash = [c for c in feature_cols if c.upper() in spine_map]
+            if clash:
+                raise ValidationError(
+                    f"feature column(s) {clash} of feature view "
+                    f"'{fv.name}' collide with columns already on the "
+                    "spine/result — rename the spine columns or select "
+                    "them off before retrieval (silently dropping a "
+                    "requested feature is worse than failing; ADVICE r10)"
+                )
             joined = out.join(online, cond, "left")
             out = joined.select(
                 *[out[c] for c in out.columns],
-                *[
-                    online[c]
-                    for c in online.columns
-                    if c not in keys and c not in out.columns
-                ],
+                *[online[c] for c in feature_cols],
             )
         return out
 
@@ -1193,8 +1235,7 @@ class FeatureStore:
         stale). One aggregate over the offline body + one join against
         the (entity-cardinality-sized) online table — no window, no
         collect beyond the 1-row summary."""
-        if isinstance(fv, str):
-            fv = self.get_feature_view(fv, version)
+        fv = self._resolve_fv(fv, version)
         doc = self.registry.get(
             "online_stores", physical_fv_name(fv.name, fv.version)
         )
@@ -1281,8 +1322,7 @@ class FeatureStore:
         when the export is older than ``max_age_seconds`` (the serving
         TTL), or when ``force``. Returns the probe dict plus
         ``refreshed``; a fresh export is skipped, not rewritten."""
-        if isinstance(fv, str):
-            fv = self.get_feature_view(fv, version)
+        fv = self._resolve_fv(fv, version)
         probe = self.online_staleness(fv)
         stale = (
             force

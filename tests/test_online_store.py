@@ -223,3 +223,40 @@ def test_sweep_online_stores_store_wide(fs, spark, tmp_path, fv_with_history):
     rep = fs.sweep_online_stores(refresh=True)
     assert rep[0]["refreshed"] is True
     assert fs.sweep_online_stores()[0]["stale"] is False
+
+
+def test_versionless_string_resolves_single_version(fs, fv_with_history):
+    """ADVICE r10: version=None used to become the literal registry key
+    'None' and fail with a misleading error. A versionless string name
+    resolves to the only registered version across the whole online
+    surface; with a second version registered it raises the
+    disambiguation error instead of guessing."""
+    path = fs.export_online_store("spend_fv")  # no version
+    assert os.path.isdir(path)
+    assert fs.read_online("spend_fv").count() == 2
+    assert fs.online_lookup("spend_fv", keys={"cust_id": 1}).count() == 1
+    probe = fs.online_staleness("spend_fv")
+    assert probe["stale_keys"] == 0
+
+    fv2 = FeatureView(
+        name="spend_fv",
+        entities=["cust"],
+        sql="SELECT cust_id, ts, f_spend FROM cust_hist",
+        timestamp_col="ts",
+    )
+    fs.register_feature_view(fv2, version="2.0")
+    with pytest.raises(ValidationError, match="2 registered versions"):
+        fs.read_online("spend_fv")
+
+
+def test_retrieve_online_features_rejects_column_collision(
+    fs, spark, fv_with_history
+):
+    """ADVICE r10: a spine already carrying a column named like a
+    requested feature must raise, not silently drop the feature."""
+    fs.export_online_store("spend_fv", "1.0")
+    spine = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], "cust_id INT, f_spend DOUBLE"
+    )
+    with pytest.raises(ValidationError, match="collide"):
+        fs.retrieve_online_features(spine, ["spend_fv"], versions=["1.0"])

@@ -333,3 +333,34 @@ def test_hard_deletes_config_aliases(fs, spark, tmp_path):
     )
     with pytest.raises(ValidationError, match="conflicts"):
         run_snapshots(fs, _proj("p_conf", conflict))
+
+
+def test_snapshot_body_with_source_call(fs, spark, tmp_path):
+    """ADVICE r10 (medium): a snapshot body using {{ source('s','t') }}
+    raised TypeError (models._resolve_source takes a Model; snapshots
+    passed one arg short). Pin the documented source() surface end to
+    end, including the source_map indirection."""
+    snap = """\
+{% snapshot src_snapshot %}
+{{
+  config(
+    strategy='timestamp',
+    unique_key='cid',
+    updated_at='updated_at'
+  )
+}}
+SELECT cid, tier, updated_at FROM {{ source('crm', 'customers') }}
+{% endsnapshot %}
+"""
+    proj = _write(tmp_path, snap)
+    p = _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", p)
+    rep = run_snapshots(
+        fs, proj, source_map={("crm", "customers"): "cust_src"}
+    )
+    assert rep["SRC_SNAPSHOT"]["rows"] == 1
+
+    # an unregistered source still fails loudly WITH the snapshot name
+    proj2 = _write(tmp_path, snap.replace("'crm'", "'nope'"), "snap2.sql")
+    with pytest.raises(ValidationError, match="snapshot:src_snapshot"):
+        run_snapshots(fs, proj2)

@@ -206,6 +206,90 @@ def test_recover_rolls_forward_committed_staging(spark, tmp_path, media_df):
     assert [f for f in os.listdir(out) if f.endswith(".tar")] == tars
 
 
+def test_recover_survives_crash_between_swap_renames(spark, tmp_path, media_df):
+    """ADVICE r10 (high): a crash BETWEEN the per-file renames of the
+    swap leaves some committed shards already in out_dir and gone from
+    staging. Recovery must read the shard set from the marker MANIFEST
+    — recomputing it from the staging listing would classify the
+    already-renamed new shards as stale and delete them (permanent data
+    loss). Simulate the exact post-crash state: 2-shard committed
+    staging with shard #1 already renamed into place."""
+    import json as _json
+    import shutil
+
+    from dbt_snowflake_feature_store_spark.sources.webdataset import (
+        _WDS_COMMIT,
+        recover_webdataset,
+    )
+
+    out = str(tmp_path / "wds_midswap")
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )  # 6 tars = the "old" corpus
+    new_dir = str(tmp_path / "wds_midswap_new")
+    export_webdataset(
+        media_df.limit(10).repartition(1),
+        new_dir,
+        key_col="key",
+        samples_per_shard=5,
+    )  # 2 tars = the "new" generation
+    new_tars = sorted(f for f in os.listdir(new_dir) if f.endswith(".tar"))
+    assert len(new_tars) == 2
+    staging = os.path.join(out, "_staging-feedface0000")
+    os.makedirs(staging)
+    # shard 2 still staged; shard 1 ALREADY renamed into out_dir (it
+    # replaced the same-named old tar, exactly as the swap does)
+    shutil.copy(
+        os.path.join(new_dir, new_tars[1]), os.path.join(staging, new_tars[1])
+    )
+    shutil.copy(
+        os.path.join(new_dir, new_tars[0]), os.path.join(out, new_tars[0])
+    )
+    with open(os.path.join(staging, _WDS_COMMIT), "w") as fh:
+        _json.dump({"token": "feedface0000", "shards": new_tars}, fh)
+
+    recover_webdataset(out)
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert tars == new_tars  # BOTH committed shards survive
+    assert not [d for d in os.listdir(out) if d.startswith(("_staging-", "_old-"))]
+    assert read_webdataset(spark, out).select("key").distinct().count() == 10
+    # idempotent: a second recover is a no-op
+    recover_webdataset(out)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".tar")) == tars
+
+
+def test_swap_refuses_to_finalize_missing_committed_shard(tmp_path):
+    """A manifest shard missing from BOTH staging and out_dir means the
+    committed corpus cannot be completed — the swap must raise, not
+    quietly finalize a hole."""
+    import json as _json
+
+    import pytest
+
+    from dbt_snowflake_feature_store_spark.sources.webdataset import (
+        _WDS_COMMIT,
+        recover_webdataset,
+    )
+
+    out = str(tmp_path / "wds_hole")
+    staging = os.path.join(out, "_staging-0000dead0000")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "shard-00000-00000.tar"), "wb") as fh:
+        fh.write(b"x")
+    with open(os.path.join(staging, _WDS_COMMIT), "w") as fh:
+        _json.dump(
+            {
+                "token": "0000dead0000",
+                "shards": ["shard-00000-00000.tar", "shard-00000-00001.tar"],
+            },
+            fh,
+        )
+    with pytest.raises(RuntimeError, match="missing from both"):
+        recover_webdataset(out)
+    # staging preserved for inspection
+    assert os.path.isdir(staging)
+
+
 def test_recover_sweeps_uncommitted_staging(spark, tmp_path, media_df):
     """An UNCOMMITTED staging dir (hard-killed mid-write) is garbage:
     the next export sweeps it and the old corpus survives verbatim."""

@@ -71,6 +71,11 @@ _ARG_RE = re.compile(r"""^\s*['"]([^'"]+)['"]\s*$""")
 
 SNAPSHOT_COLS = ("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
 
+# dbt-1.9 hard_deletes='new_record' adds a fifth meta column: every row
+# carries 'False'/'True' (dbt's string spelling), and a delete inserts an
+# OPEN marker row with the vanished key's last values and 'True'.
+DELETED_COL = "dbt_is_deleted"
+
 
 def _parse_snapshot_blocks(path: str) -> list[tuple[str, str]]:
     with open(path, encoding="utf-8") as fh:
@@ -166,11 +171,12 @@ def _validate_meta_cols(name: str, raw: Any) -> dict[str, str]:
             f"dict of {{default_name: custom_name}}, got {raw!r}"
         )
     out: dict[str, str] = {}
+    allowed = SNAPSHOT_COLS + (DELETED_COL,)
     for k, v in raw.items():
-        if k not in SNAPSHOT_COLS:
+        if k not in allowed:
             raise ValidationError(
                 f"Snapshot '{name}': snapshot_meta_column_names key {k!r} "
-                f"is not a snapshot meta column {SNAPSHOT_COLS}"
+                f"is not a snapshot meta column {allowed}"
             )
         vs = str(v)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vs):
@@ -180,7 +186,7 @@ def _validate_meta_cols(name: str, raw: Any) -> dict[str, str]:
             )
         if vs != k:
             out[k] = vs
-    finals = [out.get(c, c) for c in SNAPSHOT_COLS]
+    finals = [out.get(c, c) for c in SNAPSHOT_COLS + (DELETED_COL,)]
     if len(set(finals)) != len(finals):
         raise ValidationError(
             f"Snapshot '{name}': snapshot_meta_column_names collide: "
@@ -217,28 +223,23 @@ def _validate_config(name: str, cfg: dict[str, Any]) -> dict[str, Any]:
     if ihd:
         spec["hard_deletes"] = "invalidate"
     if "hard_deletes" in cfg:
-        # dbt-1.9 successor config; 'new_record' (a third live row per
-        # delete) is a different history SHAPE — refuse loudly rather
-        # than silently approximating it with 'invalidate'
+        # dbt-1.9 successor config: 'ignore' (default), 'invalidate'
+        # (close vanished keys), 'new_record' (close AND insert an open
+        # dbt_is_deleted='True' marker row; reappearance closes the
+        # marker and opens a fresh 'False' row)
         hd = str(cfg["hard_deletes"]).lower()
-        if hd == "new_record":
-            raise ValidationError(
-                f"Snapshot '{name}': hard_deletes='new_record' is not "
-                "supported (deletion-marker rows change the history "
-                "shape); use 'invalidate' or 'ignore'"
-            )
-        if hd not in ("ignore", "invalidate"):
+        if hd not in ("ignore", "invalidate", "new_record"):
             raise ValidationError(
                 f"Snapshot '{name}': hard_deletes must be 'ignore', "
                 f"'invalidate' or 'new_record', got {cfg['hard_deletes']!r}"
             )
-        if ihd and hd == "ignore":
+        if ihd and hd != "invalidate":
             raise ValidationError(
                 f"Snapshot '{name}': invalidate_hard_deletes=True "
-                "conflicts with hard_deletes='ignore'"
+                f"conflicts with hard_deletes='{hd}'"
             )
-        if hd == "invalidate":
-            spec["hard_deletes"] = "invalidate"
+        if hd != "ignore":
+            spec["hard_deletes"] = hd
     if "snapshot_meta_column_names" in cfg:
         meta = _validate_meta_cols(name, cfg["snapshot_meta_column_names"])
         if meta:
@@ -287,11 +288,19 @@ def _merge_timestamp(
     key: str,
     ua: str,
     delete_at=None,
+    new_record: bool = False,
 ) -> DataFrame:
     """SCD2 merge, timestamp strategy: a source row with a LATER
     updated_at than the open version closes it and opens a new one.
-    With ``delete_at`` set (invalidate_hard_deletes), an open version
-    whose key has VANISHED from the source is closed at that stamp."""
+    With ``delete_at`` set (hard_deletes='invalidate'/'new_record'), an
+    open version whose key has VANISHED from the source is closed at
+    that stamp; with ``new_record`` additionally (a) every row carries
+    ``dbt_is_deleted`` ('False'/'True', dbt's string spelling), (b) a
+    delete also inserts an OPEN marker row holding the vanished key's
+    last values with 'True', and (c) a key REAPPEARING while its open
+    row is a marker closes the marker and opens the fresh source row
+    even when its updated_at is not newer (the dbt-1.9 resurrect
+    rule)."""
     stamped = src.select(
         "*",
         F.md5(
@@ -301,6 +310,8 @@ def _merge_timestamp(
         F.col(ua).alias("dbt_valid_from"),
         F.lit(None).cast("timestamp").alias("dbt_valid_to"),
     )
+    if new_record:
+        stamped = stamped.withColumn(DELETED_COL, F.lit("False"))
     if cur is None:
         return stamped
     closed = cur.filter(F.col("dbt_valid_to").isNotNull())
@@ -309,33 +320,70 @@ def _merge_timestamp(
         F.col(key).alias("_k"), F.col(ua).alias("_new_ua")
     )
     j = opened.join(chg, opened[key] == chg["_k"], "left")
-    changed_open = j.filter(
-        F.col("_new_ua").isNotNull()
-        & (F.col("_new_ua") > F.col("dbt_updated_at"))
+    is_marker = (
+        (F.col(DELETED_COL) == "True") if new_record else F.lit(False)
     )
-    keep_open = j.filter(
-        F.col("_new_ua").isNull()
-        | (F.col("_new_ua") <= F.col("dbt_updated_at"))
-    ).drop("_k", "_new_ua")
-    closed_now = changed_open.withColumn(
-        "dbt_valid_to", F.col("_new_ua")
-    ).drop("_k", "_new_ua")
+    change = F.col("_new_ua").isNotNull() & (
+        (F.col("_new_ua") > F.col("dbt_updated_at")) | is_marker
+    )
+    closed_now = (
+        j.filter(change)
+        .withColumn("dbt_valid_to", F.col("_new_ua"))
+        .drop("_k", "_new_ua")
+    )
     if delete_at is not None:
-        gone = j.filter(F.col("_new_ua").isNull()).drop("_k", "_new_ua")
         keep_open = j.filter(
-            F.col("_new_ua").isNotNull()
-            & (F.col("_new_ua") <= F.col("dbt_updated_at"))
+            F.col("_new_ua").isNotNull() & ~change
         ).drop("_k", "_new_ua")
+        # an absent key closes ONCE: an already-open deletion marker
+        # whose key is still absent stays open, never re-closes
+        gone = j.filter(F.col("_new_ua").isNull() & ~is_marker).drop(
+            "_k", "_new_ua"
+        )
+        if new_record:
+            keep_open = keep_open.unionByName(
+                j.filter(F.col("_new_ua").isNull() & is_marker).drop(
+                    "_k", "_new_ua"
+                )
+            )
         closed_now = closed_now.unionByName(
             gone.withColumn("dbt_valid_to", delete_at)
         )
+        if new_record:
+            marker = (
+                gone.withColumn(
+                    "dbt_scd_id",
+                    F.md5(
+                        F.concat_ws(
+                            "||",
+                            F.col(key).cast("string"),
+                            delete_at.cast("string"),
+                            F.lit("deleted"),
+                        )
+                    ),
+                )
+                .withColumn("dbt_updated_at", delete_at)
+                .withColumn("dbt_valid_from", delete_at)
+                .withColumn("dbt_valid_to", F.lit(None).cast("timestamp"))
+                .withColumn(DELETED_COL, F.lit("True"))
+            )
+            closed_now = closed_now.unionByName(marker)
+    else:
+        keep_open = j.filter(~change | F.col("_new_ua").isNull()).drop(
+            "_k", "_new_ua"
+        )
     prev = opened.select(
-        F.col(key).alias("_k"), F.col("dbt_updated_at").alias("_old_ua")
+        F.col(key).alias("_k"),
+        F.col("dbt_updated_at").alias("_old_ua"),
+        (
+            (F.col(DELETED_COL) == "True") if new_record else F.lit(False)
+        ).alias("_old_marker"),
     )
     ins = stamped.join(prev, stamped[key] == prev["_k"], "left").filter(
         F.col("_old_ua").isNull()
         | (F.col("dbt_updated_at") > F.col("_old_ua"))
-    ).drop("_k", "_old_ua")
+        | F.col("_old_marker")
+    ).drop("_k", "_old_ua", "_old_marker")
     return closed.unionByName(keep_open).unionByName(closed_now).unionByName(ins)
 
 
@@ -346,11 +394,17 @@ def _merge_check(
     check_cols: Any,
     at_col,
     delete_at=None,
+    new_record: bool = False,
 ) -> DataFrame:
     """SCD2 merge, check strategy: a row is 'changed' when any checked
     column differs (null-safe); version stamps come from ``at``. With
-    ``delete_at`` set (invalidate_hard_deletes), an open version whose
-    key has vanished from the source is closed at that stamp."""
+    ``delete_at`` set (hard_deletes='invalidate'/'new_record'), an open
+    version whose key has vanished from the source is closed at that
+    stamp; ``new_record`` adds the dbt-1.9 deletion-marker row class —
+    see :func:`_merge_timestamp`. Resurrect rule here: a key present in
+    the source while its open row is a marker ALWAYS closes the marker
+    and re-opens, even when the checked columns match the pre-delete
+    values."""
     cols = (
         [c for c in src.columns]
         if check_cols == "all"
@@ -371,6 +425,8 @@ def _merge_check(
         F.lit(None).cast("timestamp").alias("dbt_valid_to"),
         chk.alias("_chk"),
     )
+    if new_record:
+        stamped = stamped.withColumn(DELETED_COL, F.lit("False"))
     if cur is None:
         return stamped.drop("_chk")
     cur_chk = cur.select(
@@ -388,38 +444,71 @@ def _merge_check(
         F.col("dbt_valid_from").alias("_new_vf"),
     )
     j = opened.join(news, opened[key] == news["_k"], "left")
-    keep_open = j.filter(
-        F.col("_new_chk").isNull() | (F.col("_new_chk") == F.col("_chk"))
-    ).drop("_k", "_new_chk", "_new_vf", "_chk")
+    is_marker = (
+        (F.col(DELETED_COL) == "True") if new_record else F.lit(False)
+    )
+    change = F.col("_new_chk").isNotNull() & (
+        (F.col("_new_chk") != F.col("_chk")) | is_marker
+    )
     closed_now = (
-        j.filter(
-            F.col("_new_chk").isNotNull()
-            & (F.col("_new_chk") != F.col("_chk"))
-        )
+        j.filter(change)
         .withColumn("dbt_valid_to", F.col("_new_vf"))
         .drop("_k", "_new_chk", "_new_vf", "_chk")
     )
     if delete_at is not None:
-        gone = j.filter(F.col("_new_chk").isNull()).drop(
+        keep_open = j.filter(
+            F.col("_new_chk").isNotNull() & ~change
+        ).drop("_k", "_new_chk", "_new_vf", "_chk")
+        gone = j.filter(F.col("_new_chk").isNull() & ~is_marker).drop(
             "_k", "_new_chk", "_new_vf", "_chk"
         )
-        keep_open = j.filter(
-            F.col("_new_chk").isNotNull()
-            & (F.col("_new_chk") == F.col("_chk"))
-        ).drop("_k", "_new_chk", "_new_vf", "_chk")
+        if new_record:
+            keep_open = keep_open.unionByName(
+                j.filter(F.col("_new_chk").isNull() & is_marker).drop(
+                    "_k", "_new_chk", "_new_vf", "_chk"
+                )
+            )
         closed_now = closed_now.unionByName(
             gone.withColumn("dbt_valid_to", delete_at)
         )
+        if new_record:
+            marker = (
+                gone.withColumn(
+                    "dbt_scd_id",
+                    F.md5(
+                        F.concat_ws(
+                            "||",
+                            F.col(key).cast("string"),
+                            delete_at.cast("string"),
+                            F.lit("deleted"),
+                        )
+                    ),
+                )
+                .withColumn("dbt_updated_at", delete_at)
+                .withColumn("dbt_valid_from", delete_at)
+                .withColumn("dbt_valid_to", F.lit(None).cast("timestamp"))
+                .withColumn(DELETED_COL, F.lit("True"))
+            )
+            closed_now = closed_now.unionByName(marker)
+    else:
+        keep_open = j.filter(~change).drop(
+            "_k", "_new_chk", "_new_vf", "_chk"
+        )
     prev = opened.select(
-        F.col(key).alias("_k"), F.col("_chk").alias("_old_chk")
+        F.col(key).alias("_k"),
+        F.col("_chk").alias("_old_chk"),
+        (
+            (F.col(DELETED_COL) == "True") if new_record else F.lit(False)
+        ).alias("_old_marker"),
     )
     ins = (
         stamped.join(prev, stamped[key] == prev["_k"], "left")
         .filter(
             F.col("_old_chk").isNull()
             | (F.col("_chk") != F.col("_old_chk"))
+            | F.col("_old_marker")
         )
-        .drop("_k", "_old_chk", "_chk")
+        .drop("_k", "_old_chk", "_chk", "_old_marker")
     )
     return closed.unionByName(keep_open).unionByName(closed_now).unionByName(ins)
 
@@ -488,10 +577,23 @@ def run_snapshots(
             # history under a new strategy/key would corrupt it
             prior = fs.registry.get("snapshots", name)
             if prior is not None and prior.get("spec") != spec:
+                hint = ""
+                p_spec = dict(prior.get("spec") or {})
+                if (
+                    spec.get("hard_deletes") == "new_record"
+                    and {**p_spec, "hard_deletes": "new_record"} == spec
+                ):
+                    hint = (
+                        " — to adopt hard_deletes='new_record' on an "
+                        "existing snapshot, run migrate_snapshot_hard_"
+                        f"deletes(fs, '{raw_name}') first (it backfills "
+                        "the dbt_is_deleted column and updates the spec)"
+                    )
                 raise ValidationError(
                     f"Snapshot '{raw_name}' spec changed "
                     f"({prior.get('spec')} -> {spec}); snapshots cannot "
                     "change strategy or keys — create a new snapshot"
+                    + hint
                 )
 
             fs._bind_batch_sources()
@@ -523,9 +625,16 @@ def run_snapshots(
                 # names exist only at the storage boundary
                 for dflt, custom in meta_cols.items():
                     cur = cur.withColumnRenamed(custom, dflt)
-            delete_at = (
-                at_col if spec.get("hard_deletes") == "invalidate" else None
-            )
+            hd = spec.get("hard_deletes")
+            delete_at = at_col if hd in ("invalidate", "new_record") else None
+            new_record = hd == "new_record"
+            if new_record and cur is not None and DELETED_COL not in cur.columns:
+                raise ValidationError(
+                    f"Snapshot '{raw_name}': existing history predates "
+                    "hard_deletes='new_record' (no dbt_is_deleted column) "
+                    f"— run migrate_snapshot_hard_deletes(fs, '{raw_name}') "
+                    "to backfill it"
+                )
             if spec["strategy"] == "timestamp":
                 ua = spec["updated_at"]
                 if ua not in src.columns:
@@ -535,11 +644,11 @@ def run_snapshots(
                     )
                 out = _merge_timestamp(cur, src.withColumn(
                     ua, F.col(ua).cast("timestamp")
-                ), key, ua, delete_at=delete_at)
+                ), key, ua, delete_at=delete_at, new_record=new_record)
             else:
                 out = _merge_check(
                     cur, src, key, spec["check_cols"], at_col,
-                    delete_at=delete_at,
+                    delete_at=delete_at, new_record=new_record,
                 )
             for dflt, custom in meta_cols.items():
                 out = out.withColumnRenamed(dflt, custom)
@@ -565,3 +674,30 @@ def read_snapshot(fs: "FeatureStore", name: str) -> DataFrame:
     path = _snapshot_path(fs, n)
     fs.storage.recover(path)
     return fs.storage.read(fs.spark, path)
+
+
+def migrate_snapshot_hard_deletes(fs: "FeatureStore", name: str) -> None:
+    """One-time migration of an EXISTING snapshot table to
+    ``hard_deletes='new_record'``: backfill the ``dbt_is_deleted``
+    column ('False' on every historical row — nothing in a pre-existing
+    table can be a deletion marker) through the crash-safe storage
+    swap, then update the registered spec so the next ``run_snapshots``
+    accepts the new config instead of raising the spec-change error.
+    Idempotent; respects a ``snapshot_meta_column_names`` rename of the
+    marker column."""
+    n = canonical_name(name)
+    doc = fs.registry.get("snapshots", n)
+    if doc is None:
+        raise ValidationError(f"Unknown snapshot '{name}'")
+    spec = dict(doc.get("spec") or {})
+    delcol = (spec.get("meta_cols") or {}).get(DELETED_COL, DELETED_COL)
+    path = _snapshot_path(fs, n)
+    fs.storage.recover(path)
+    if os.path.isdir(path):
+        df = fs.storage.read(fs.spark, path)
+        if delcol not in df.columns:
+            fs.storage.replace(
+                fs.spark, path, df.withColumn(delcol, F.lit("False"))
+            )
+    spec["hard_deletes"] = "new_record"
+    fs.registry.put("snapshots", n, {**doc, "spec": spec})

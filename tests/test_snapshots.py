@@ -364,3 +364,176 @@ SELECT cid, tier, updated_at FROM {{ source('crm', 'customers') }}
     proj2 = _write(tmp_path, snap.replace("'crm'", "'nope'"), "snap2.sql")
     with pytest.raises(ValidationError, match="snapshot:src_snapshot"):
         run_snapshots(fs, proj2)
+
+
+NEWREC_SNAPSHOT = """\
+{% snapshot nr_snapshot %}
+{{
+  config(
+    strategy='timestamp',
+    unique_key='cid',
+    updated_at='updated_at',
+    hard_deletes='new_record'
+  )
+}}
+SELECT cid, tier, updated_at FROM {{ ref('cust_src') }}
+{% endsnapshot %}
+"""
+
+
+def test_new_record_timestamp_lifecycle(fs, spark, tmp_path):
+    """dbt-1.9 hard_deletes='new_record' across 3 runs: insert, delete
+    (close + open 'True' marker), steady state (marker stays open, does
+    NOT re-close), resurrect (marker closes, fresh 'False' row opens)."""
+    from dbt_snowflake_feature_store_spark.snapshots import DELETED_COL
+
+    proj = _write(tmp_path, NEWREC_SNAPSHOT)
+    _src(spark, tmp_path, [
+        (1, "gold", "us", "2024-01-01 00:00:00"),
+        (2, "silver", "eu", "2024-01-01 00:00:00"),
+    ])
+    fs.register_source("cust_src", str(tmp_path / "cust_src.parquet"))
+    rep = run_snapshots(fs, proj, at="2024-01-02 00:00:00")
+    assert rep["NR_SNAPSHOT"] == {
+        "strategy": "timestamp", "rows": 2, "open": 2,
+    }
+
+    # run 2: cid=2 vanishes -> its row closes AND an open marker appears
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    rep = run_snapshots(fs, proj, at="2024-02-01 00:00:00")
+    hist = read_snapshot(fs, "nr_snapshot")
+    rows = hist.orderBy("cid", "dbt_valid_from").collect()
+    assert rep["NR_SNAPSHOT"]["rows"] == 3
+    assert rep["NR_SNAPSHOT"]["open"] == 2  # cid=1 + the marker
+    marker = [r for r in rows if r[DELETED_COL] == "True"]
+    assert len(marker) == 1
+    assert marker[0]["cid"] == 2 and marker[0]["dbt_valid_to"] is None
+    closed2 = [
+        r for r in rows
+        if r["cid"] == 2 and r[DELETED_COL] == "False"
+    ]
+    assert closed2[0]["dbt_valid_to"] is not None
+
+    # run 3 (steady state): key still absent -> marker must NOT re-close
+    rep = run_snapshots(fs, proj, at="2024-03-01 00:00:00")
+    assert rep["NR_SNAPSHOT"] == {
+        "strategy": "timestamp", "rows": 3, "open": 2,
+    }
+
+    # run 4 (resurrect): cid=2 returns with an updated_at OLDER than the
+    # delete stamp — the marker still closes and a fresh row opens
+    _src(spark, tmp_path, [
+        (1, "gold", "us", "2024-01-01 00:00:00"),
+        (2, "plat", "eu", "2024-02-15 00:00:00"),
+    ])
+    rep = run_snapshots(fs, proj, at="2024-04-01 00:00:00")
+    hist = read_snapshot(fs, "nr_snapshot")
+    assert rep["NR_SNAPSHOT"]["rows"] == 4
+    assert rep["NR_SNAPSHOT"]["open"] == 2
+    open2 = [
+        r for r in hist.filter(F.col("dbt_valid_to").isNull()).collect()
+        if r["cid"] == 2
+    ]
+    assert len(open2) == 1
+    assert open2[0]["tier"] == "plat" and open2[0][DELETED_COL] == "False"
+    closed_marker = [
+        r for r in hist.collect()
+        if r[DELETED_COL] == "True" and r["dbt_valid_to"] is not None
+    ]
+    assert len(closed_marker) == 1
+
+
+def test_new_record_check_resurrect_same_values(fs, spark, tmp_path):
+    """Check strategy + new_record: a key returning with IDENTICAL
+    checked values must still close the marker and re-open (the check
+    hash matches, the marker flag forces the change)."""
+    from dbt_snowflake_feature_store_spark.snapshots import DELETED_COL
+
+    snap = NEWREC_SNAPSHOT.replace("nr_snapshot", "nrc_snapshot").replace(
+        "strategy='timestamp',\n    unique_key='cid',\n    updated_at='updated_at',",
+        "strategy='check',\n    unique_key='cid',\n    check_cols=['tier'],",
+    )
+    assert "check_cols" in snap  # the replace actually fired
+    proj = _write(tmp_path, snap)
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", str(tmp_path / "cust_src.parquet"))
+    run_snapshots(fs, proj, at="2024-01-02 00:00:00")
+    _src(spark, tmp_path, [])
+    # empty source: write an empty frame with the same schema
+    spark.createDataFrame(
+        [], "cid INT, tier STRING, region STRING, updated_at STRING"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "cust_src.parquet"))
+    rep = run_snapshots(fs, proj, at="2024-02-01 00:00:00")
+    assert rep["NRC_SNAPSHOT"]["rows"] == 2  # closed + marker
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    rep = run_snapshots(fs, proj, at="2024-03-01 00:00:00")
+    hist = read_snapshot(fs, "nrc_snapshot").collect()
+    assert rep["NRC_SNAPSHOT"]["rows"] == 3
+    assert rep["NRC_SNAPSHOT"]["open"] == 1
+    opens = [r for r in hist if r["dbt_valid_to"] is None]
+    assert opens[0][DELETED_COL] == "False" and opens[0]["tier"] == "gold"
+
+
+def test_new_record_meta_rename_interaction(fs, spark, tmp_path):
+    """snapshot_meta_column_names may rename dbt_is_deleted too; the
+    merge still runs on the default name and the storage table carries
+    the custom one."""
+    snap = NEWREC_SNAPSHOT.replace("nr_snapshot", "nrm_snapshot").replace(
+        "hard_deletes='new_record'",
+        "hard_deletes='new_record',\n    "
+        "snapshot_meta_column_names={'dbt_is_deleted': 'is_gone'}",
+    )
+    proj = _write(tmp_path, snap)
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", str(tmp_path / "cust_src.parquet"))
+    run_snapshots(fs, proj, at="2024-01-02 00:00:00")
+    spark.createDataFrame(
+        [], "cid INT, tier STRING, region STRING, updated_at STRING"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "cust_src.parquet"))
+    run_snapshots(fs, proj, at="2024-02-01 00:00:00")
+    hist = read_snapshot(fs, "nrm_snapshot")
+    assert "is_gone" in hist.columns
+    assert "dbt_is_deleted" not in hist.columns
+    assert hist.filter(F.col("is_gone") == "True").count() == 1
+
+
+def test_new_record_migration_story(fs, spark, tmp_path):
+    """Adopting new_record on an EXISTING snapshot: the spec-change
+    error names the migration helper; after migrate_snapshot_hard_deletes
+    the run proceeds and markers appear on the next delete."""
+    from dbt_snowflake_feature_store_spark.snapshots import (
+        migrate_snapshot_hard_deletes,
+    )
+
+    base = NEWREC_SNAPSHOT.replace("nr_snapshot", "mig_snapshot").replace(
+        ",\n    hard_deletes='new_record'", ""
+    )
+    assert "hard_deletes" not in base
+    proj = _write(tmp_path, base)
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", str(tmp_path / "cust_src.parquet"))
+    run_snapshots(fs, proj, at="2024-01-02 00:00:00")
+
+    upgraded = NEWREC_SNAPSHOT.replace("nr_snapshot", "mig_snapshot")
+    proj = _write(tmp_path, upgraded)
+    with pytest.raises(ValidationError, match="migrate_snapshot_hard_deletes"):
+        run_snapshots(fs, proj, at="2024-02-01 00:00:00")
+
+    migrate_snapshot_hard_deletes(fs, "mig_snapshot")
+    hist = read_snapshot(fs, "mig_snapshot")
+    assert hist.filter(F.col("dbt_is_deleted") == "False").count() == 1
+
+    spark.createDataFrame(
+        [], "cid INT, tier STRING, region STRING, updated_at STRING"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "cust_src.parquet"))
+    rep = run_snapshots(fs, proj, at="2024-03-01 00:00:00")
+    assert rep["MIG_SNAPSHOT"]["rows"] == 2  # closed original + open marker
+    assert rep["MIG_SNAPSHOT"]["open"] == 1
+    hist = read_snapshot(fs, "mig_snapshot")
+    assert hist.filter(F.col("dbt_is_deleted") == "True").count() == 1

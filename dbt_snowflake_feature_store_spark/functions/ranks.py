@@ -57,8 +57,8 @@ def _ranked(
     order: Sequence[str | Column],
     out_col: str,
     num_partitions: int | None,
-    sum_value: str | None = None,
-    sum_out: str | None = None,
+    sum_value: "str | Sequence[str] | None" = None,
+    sum_out: "str | Sequence[str] | None" = None,
 ) -> tuple[DataFrame, int]:
     """(globally ranked frame, total rows). ONE range exchange total:
     after ``repartitionByRange`` + ``sortWithinPartitions``, the local
@@ -71,6 +71,13 @@ def _ranked(
     output see the SAME partitioning (repartitionByRange re-samples per
     action otherwise); AQE may coalesce ADJACENT ranges — harmless,
     both passes see the coalesced layout."""
+    sum_values = (
+        [sum_value] if isinstance(sum_value, str) else list(sum_value or [])
+    )
+    sum_outs = (
+        [sum_out] if isinstance(sum_out, str) else list(sum_out or [])
+    )
+    assert len(sum_values) == len(sum_outs)
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     if num_partitions:
         parts = int(num_partitions)
@@ -99,14 +106,14 @@ def _ranked(
         F.min("_fs_mid").alias("lo"),
         F.max("_fs_mid").alias("hi"),
     ]
-    if sum_value is not None:
-        # exact only for integral value columns — the driver-side prefix
-        # below adds Python ints, so callers pass BIGINT counts/masses
-        aggs.append(F.sum(F.col(sum_value).cast("long")).alias("s"))
+    # exact only for integral value columns — the driver-side prefix
+    # below adds Python ints, so callers pass BIGINT counts/masses
+    for i, sv in enumerate(sum_values):
+        aggs.append(F.sum(F.col(sv).cast("long")).alias(f"s{i}"))
     for r in ranged.groupBy("_fs_pid").agg(*aggs).collect():
         pid, n = r["_fs_pid"], r["n"]
-        if sum_value is not None:
-            part_sums[pid] = r["s"] or 0
+        if sum_values:
+            part_sums[pid] = [r[f"s{i}"] or 0 for i in range(len(sum_values))]
         base = pid * (1 << 33)
         if r["lo"] != base or r["hi"] != base + n - 1 or n > (1 << 33):
             raise RuntimeError(
@@ -125,31 +132,35 @@ def _ranked(
     out = ranged.withColumn(
         out_col, (local + off[F.col("_fs_pid")] + 1).cast("long")
     )
-    if sum_value is not None:
+    if sum_values:
         # exclusive prefix of per-range-partition sums (P driver ints,
         # same bounded collect as the sizes) + a PARTITIONED local
-        # running sum. The window is keyed by the range-partition id —
-        # P parallel tasks, never the unpartitioned single-task global
-        # window this module exists to avoid.
-        sum_offsets, s_acc = {}, 0
-        for pid in sorted(sizes):
-            sum_offsets[pid] = s_acc
-            s_acc += part_sums[pid]
-        soff = F.create_map(
-            *[F.lit(x) for kv in sum_offsets.items() for x in kv]
-        )
+        # running sum per value column — SEVERAL running sums ride ONE
+        # range exchange / one collect (the r11 KS / split-gain keys
+        # need two cumulative masses over the same total order). The
+        # window is keyed by the range-partition id — P parallel tasks,
+        # never the unpartitioned single-task global window this module
+        # exists to avoid.
         wloc = (
             Window.partitionBy("_fs_pid")
             .orderBy("_fs_mid")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.withColumn(
-            sum_out,
-            (
-                F.sum(F.col(sum_value).cast("long")).over(wloc)
-                + soff[F.col("_fs_pid")]
-            ).cast("long"),
-        )
+        for i, (sv, so) in enumerate(zip(sum_values, sum_outs)):
+            sum_offsets, s_acc = {}, 0
+            for pid in sorted(sizes):
+                sum_offsets[pid] = s_acc
+                s_acc += part_sums[pid][i]
+            soff = F.create_map(
+                *[F.lit(x) for kv in sum_offsets.items() for x in kv]
+            )
+            out = out.withColumn(
+                so,
+                (
+                    F.sum(F.col(sv).cast("long")).over(wloc)
+                    + soff[F.col("_fs_pid")]
+                ).cast("long"),
+            )
     return out.drop("_fs_pid", "_fs_mid"), acc
 
 
@@ -171,9 +182,9 @@ def global_row_number(
 def global_running_sum(
     df: DataFrame,
     order: Sequence[str | Column],
-    value_col: str,
+    value_col: "str | Sequence[str]",
     rank_col: str = "global_rank",
-    sum_col: str = "global_running_sum",
+    sum_col: "str | Sequence[str]" = "global_running_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact global ``ROW_NUMBER()`` + ``SUM(value) OVER (ORDER BY …

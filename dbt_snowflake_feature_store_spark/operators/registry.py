@@ -170,6 +170,12 @@ def _try_ext_modules() -> None:
         ordered.append(relational6)
     except ImportError:
         pass
+    try:
+        from . import relational7
+
+        ordered.append(relational7)
+    except ImportError:
+        pass
     _MODULES = ordered + [m for m in [relational2, relational] if m not in ordered]
 
 

@@ -1,0 +1,530 @@
+"""Relational query surface, part 7 — round-11 wave.
+
+Same contract as ``relational.py``..``relational6.py``: DataFrame-first
+Spark implementations with DuckDB oracle twins (identical aliases both
+sides, exact integer/decimal arithmetic, deterministic output). This
+wave adds distribution-drift and model-prep statistics a training-data
+pipeline runs between ingestion and training:
+
+- exact two-sample Kolmogorov–Smirnov drift statistic (the
+  distribution-shift monitor beside q_chi2_assoc's categorical test) —
+  integer cross-multiplied ECDF gap, no IEEE division until nothing is
+  compared anymore;
+- best Gini split point of a numeric feature against a binary label
+  (the 1-node decision-stump scan feature selection uses) in scaled
+  integer arithmetic;
+- token-weighted median document length per language (robust corpus
+  sizing — the weighted twin of q_median_mad's unweighted location);
+- churn LABEL GENERATION from the events stream (active this month,
+  gone the next — the canonical supervised-label builder);
+- per-language source-mix entropy in integer octave bits (the
+  q_doc_surprisal ``length(bin(N DIV c)) − 1`` trick — IEEE log2 is
+  never correctly-rounded cross-engine);
+- stratified k-fold assignment over the embedding corpus by portable
+  md5 (per-(label, fold) counts + share — the label-balanced
+  counterpart of q_group_kfold / q_time_split).
+
+Reference frame: the reference's feature-view bodies are arbitrary
+SELECTs over sources (/root/reference/macros/materializations/
+feature_view.sql:126); these keys pin the statistics those bodies
+compute when the FV feeds a training pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Register-then-checkpoint (the relational5/6 discipline): lineage
+    cut for a multiply-referenced frame, with the pre-cut plan
+    registered so PLANS.md audits still see its exchanges."""
+    from ..plans import inspect as plan_inspect
+
+    plan_inspect.register_subplan(df)
+    return df.localCheckpoint(eager=False)
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KOLMOGOROV–SMIRNOV statistic between the
+    o_totalprice distributions of fulfilled ('F') and non-fulfilled
+    orders, ORACLE-GATED — the numeric-feature drift monitor beside
+    q_chi2_assoc's categorical test and q_feature_drift's moment
+    deltas. D = sup_v |F1(v) − F2(v)| evaluated exactly on the pooled
+    step points: per distinct price (half-up integer cents) the two
+    cumulative counts, and the gap as the INTEGER cross-multiplication
+    |cum1·n2 − cum2·n1| (DECIMAL(38,0)/HUGEINT — exact to n1·n2·1e6 <
+    1e38, i.e. n ≈ 3e15 rows; the chi2-key precedent). Output: group
+    sizes and D in ppm.
+
+    Scale: the distinct-value frame pre-shrinks the fact scan; BOTH
+    cumulative masses ride ONE ranks.global_running_sum range exchange
+    (P parallel tasks, never an unpartitioned window); the final max
+    is a map-side-combinable 1-row aggregate."""
+    from ..functions.ranks import global_running_sum
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    ).alias("v")
+    pts = o.select(
+        cents,
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("_a"),
+        F.when(F.col("o_orderstatus") != "F", 1).otherwise(0).alias("_b"),
+    ).groupBy("v").agg(
+        F.sum("_a").cast("long").alias("c1"),
+        F.sum("_b").cast("long").alias("c2"),
+    )
+    # pts feeds the running sums AND the totals — checkpoint so the
+    # fact table scans ONCE (the q_chi2_assoc discipline)
+    pts = _ckpt(pts)
+    cum = global_running_sum(
+        pts, ["v"], ["c1", "c2"], rank_col="_r", sum_col=["_cum1", "_cum2"]
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("f_n1"),
+        F.sum("c2").cast("long").alias("f_n2"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "ABS(CAST(_cum1 AS DECIMAL(18,0)) * CAST(f_n2 AS DECIMAL(18,0))"
+            " - CAST(_cum2 AS DECIMAL(18,0)) * CAST(f_n1 AS DECIMAL(18,0)))"
+        ).alias("_gap")
+    )
+    d = gap.agg(F.max("_gap").alias("_D"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "f_n1",
+        "f_n2",
+        F.expr(
+            "CAST(_D * 1000000 DIV (CAST(f_n1 AS DECIMAL(18,0))"
+            " * CAST(f_n2 AS DECIMAL(18,0))) AS BIGINT)"
+        ).alias("f_ks_ppm"),
+    )
+
+
+ORACLE["q_ks_drift"] = """
+    WITH pts AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum2
+        FROM pts
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS f_n1,
+               CAST(SUM(c2) AS BIGINT) AS f_n2
+        FROM pts
+    ),
+    d AS (
+        SELECT MAX(ABS(CAST(cum1 AS HUGEINT) * f_n2
+                       - CAST(cum2 AS HUGEINT) * f_n1)) AS _D
+        FROM cum CROSS JOIN tot
+    )
+    SELECT f_n1, f_n2,
+           CAST(_D * 1000000
+                // (CAST(f_n1 AS HUGEINT) * f_n2) AS BIGINT) AS f_ks_ppm
+    FROM d CROSS JOIN tot
+"""
+QUERIES["q_ks_drift"] = q_ks_drift
+
+
+# ---------------------------------------------------------------------------
+# Best Gini split point (decision-stump feature scan)
+# ---------------------------------------------------------------------------
+
+_GINI_SCALE = 1_000_000_000  # 1e9: exact argmax to N ≈ 3e9 (chi2 precedent)
+
+
+def q_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best GINI SPLIT of o_totalprice (half-up integer cents) against
+    the binary label o_orderstatus=='F', ORACLE-GATED — the 1-node
+    decision-stump scan that ranks numeric features before training.
+    For every candidate threshold v (rows with value ≤ v go left),
+    minimizing weighted Gini impurity ⟺ maximizing
+    (A·R + B·L) / (L·R) with A = Lp² + (L−Lp)², B = Rp² + (R−Rp)² —
+    computed as a SCALED INTEGER (· 1e9, truncating DIV: both engines
+    truncate identically, so the argmax is portable; exact to
+    N³·1e9 < 1e38, N ≈ 3e9 — the chi2-key bound discipline). Ties
+    break to the LOWEST threshold. Output: the winning threshold, its
+    scaled score, corpus size and positive count.
+
+    Scale: distinct-value pre-aggregate, both cumulative masses on ONE
+    ranks.global_running_sum range exchange, and the argmax is
+    TakeOrderedAndProject — never a global sort."""
+    from ..functions.ranks import global_running_sum
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("_p"),
+    ).groupBy("v").agg(
+        F.count("*").cast("long").alias("ct"),
+        F.sum("_p").cast("long").alias("cp"),
+    )
+    pts = _ckpt(pts)
+    cum = global_running_sum(
+        pts, ["v"], ["ct", "cp"], rank_col="_r", sum_col=["_cumt", "_cump"]
+    )
+    tot = pts.agg(
+        F.sum("ct").cast("long").alias("f_n"),
+        F.sum("cp").cast("long").alias("f_pos"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("_cumt") < F.col("f_n"))  # right side non-empty
+        .select(
+            "v",
+            "f_n",
+            "f_pos",
+            F.expr(
+                f"""CAST((
+                    (CAST(_cump AS DECIMAL(38,0)) * _cump
+                     + CAST(_cumt - _cump AS DECIMAL(38,0)) * (_cumt - _cump))
+                    * (f_n - _cumt)
+                    + (CAST(f_pos - _cump AS DECIMAL(38,0)) * (f_pos - _cump)
+                       + CAST((f_n - _cumt) - (f_pos - _cump) AS DECIMAL(38,0))
+                         * ((f_n - _cumt) - (f_pos - _cump)))
+                    * _cumt
+                ) * {_GINI_SCALE}
+                DIV (CAST(_cumt AS DECIMAL(38,0)) * (f_n - _cumt))
+                AS BIGINT)"""
+            ).alias("f_score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("f_score").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("v").alias("f_split_cents"), "f_score", "f_n", "f_pos"
+        )
+    )
+
+
+ORACLE["q_best_split_gini"] = f"""
+    WITH pts AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cp
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumt,
+               CAST(SUM(cp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cump
+        FROM pts
+    ),
+    tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS f_n,
+               CAST(SUM(cp) AS BIGINT) AS f_pos
+        FROM pts
+    ),
+    scored AS (
+        SELECT v, f_n, f_pos,
+               CAST((
+                   (CAST(cump AS HUGEINT) * cump
+                    + CAST(cumt - cump AS HUGEINT) * (cumt - cump))
+                   * (f_n - cumt)
+                   + (CAST(f_pos - cump AS HUGEINT) * (f_pos - cump)
+                      + CAST((f_n - cumt) - (f_pos - cump) AS HUGEINT)
+                        * ((f_n - cumt) - (f_pos - cump)))
+                   * cumt
+               ) * {_GINI_SCALE}
+               // (CAST(cumt AS HUGEINT) * (f_n - cumt)) AS BIGINT)
+                   AS f_score
+        FROM cum CROSS JOIN tot
+        WHERE cumt < f_n
+    )
+    SELECT v AS f_split_cents, f_score, f_n, f_pos
+    FROM scored
+    ORDER BY f_score DESC, v ASC
+    LIMIT 1
+"""
+QUERIES["q_best_split_gini"] = q_best_split_gini
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted median document length per language
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-WEIGHTED median document length (n_chars) per language,
+    ORACLE-GATED — robust corpus sizing where each document counts by
+    its token mass, not once (the weighted twin of q_median_mad's
+    unweighted location): the smallest length whose cumulative token
+    weight reaches half the language total (lower weighted median —
+    2·cum ≥ total, a pure-integer rule both engines spell identically).
+
+    Scale: the (lang, n_chars) pre-aggregate shrinks the corpus to the
+    bounded length DOMAIN before any window; the cumulative window
+    partitions by lang over that domain-sized frame (the
+    q_vocab_coverage pre-shrink discipline); the median pick is one
+    map-side-combinable min per lang."""
+    from ..functions.text import ws_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "lang",
+        "n_chars",
+        ws_token_count(F.col("text")).cast("long").alias("_w"),
+    ).groupBy("lang", "n_chars").agg(F.sum("_w").cast("long").alias("w"))
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = w.groupBy("lang").agg(F.sum("w").cast("long").alias("_tot"))
+    cum = w.withColumn("_cum", F.sum("w").over(win).cast("long")).join(
+        F.broadcast(tot), "lang"
+    )
+    return (
+        cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").cast("long").alias("f_median_chars"),
+            F.min("_tot").cast("long").alias("f_total_tokens"),
+        )
+    )
+
+
+ORACLE["q_weighted_median"] = None  # set below (needs _WS_COUNT)
+QUERIES["q_weighted_median"] = q_weighted_median
+
+
+# ---------------------------------------------------------------------------
+# Churn label generation from the events stream
+# ---------------------------------------------------------------------------
+
+
+def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN LABEL GENERATION, ORACLE-GATED — the canonical supervised
+    label a retention model trains on: per (user, active ISO week), 1
+    when the user has NO event in the following week (both engines
+    truncate weeks to ISO Monday). The corpus's last week is excluded
+    (its 'next week' is unobserved — labeling it would leak the dataset
+    boundary into the target). NULL timestamps are filtered on BOTH
+    engines (events.ts carries nulls — the q_event_transitions
+    precedent).
+
+    Scale: distinct (user, week) shrinks the events scan to the
+    activity grid; the label is an equi-self-join on (user, week+7d) —
+    AQE-planned, no window; the max-week exclusion is a 1-row
+    broadcast."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("f_week")
+    ).distinct()
+    nxt = act.select(
+        F.col("user_id").alias("_u"),
+        F.col("f_week").alias("_w1"),
+    )
+    last = act.agg(F.max("f_week").alias("_last"))
+    lab = (
+        act.crossJoin(F.broadcast(last))
+        .filter(F.col("f_week") < F.col("_last"))
+        .join(
+            nxt,
+            (F.col("user_id") == F.col("_u"))
+            & (
+                F.col("f_week") + F.expr("INTERVAL 7 DAYS")
+                == F.col("_w1")
+            ),
+            "left",
+        )
+    )
+    return lab.select(
+        "user_id",
+        "f_week",
+        F.when(F.col("_u").isNull(), 1).otherwise(0).cast("int").alias(
+            "f_churned"
+        ),
+    )
+
+
+ORACLE["q_label_churn"] = """
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS f_week
+        FROM events WHERE ts IS NOT NULL
+    ),
+    last AS (SELECT MAX(f_week) AS _last FROM act)
+    SELECT a.user_id, a.f_week,
+           CAST(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS INT)
+               AS f_churned
+    FROM act a
+    CROSS JOIN last
+    LEFT JOIN act b
+      ON a.user_id = b.user_id
+     AND a.f_week + INTERVAL 7 DAY = b.f_week
+    WHERE a.f_week < last._last
+"""
+QUERIES["q_label_churn"] = q_label_churn
+
+
+# ---------------------------------------------------------------------------
+# Source-mix entropy per language (integer octave bits)
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-MIX ENTROPY per language in integer OCTAVE BITS,
+    ORACLE-GATED — how concentrated each language's corpus is on its
+    sources (the diversity dial a data-mixing pipeline monitors; 0 =
+    single-source, higher = balanced mix). Each source's information
+    content is ⌊log2⌊N_lang / c⌋⌋ bits (the q_doc_surprisal
+    ``length(bin(N DIV c)) − 1`` spelling — IEEE log2 is never
+    correctly-rounded cross-engine), the entropy is the count-weighted
+    sum, reported per-document in milli-bits (integer DIV).
+
+    Scale: one map-side-combinable (lang, source) aggregate; the lang
+    marginal aggregates THAT bounded frame; everything downstream is
+    category-domain-sized."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    lang = cell.groupBy("lang").agg(F.sum("_c").cast("long").alias("_N"))
+    return (
+        cell.join(F.broadcast(lang), "lang")
+        .withColumn(
+            "_bits",
+            F.expr("CAST(length(bin(_N DIV _c)) - 1 AS BIGINT)"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("_N").cast("long").alias("f_docs"),
+            F.sum(F.col("_c") * F.col("_bits")).cast("long").alias("_num"),
+        )
+        .select(
+            "lang",
+            "f_docs",
+            F.expr("CAST(_num * 1000 DIV f_docs AS BIGINT)").alias(
+                "f_entropy_mbits"
+            ),
+        )
+    )
+
+
+ORACLE["q_entropy_mix"] = """
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS _c
+        FROM documents GROUP BY lang, source
+    ),
+    l AS (SELECT lang, CAST(SUM(_c) AS BIGINT) AS _N FROM cell GROUP BY lang)
+    SELECT cell.lang,
+           CAST(MIN(_N) AS BIGINT) AS f_docs,
+           CAST(CAST(SUM(_c * (length(bin(_N // _c)) - 1)) AS BIGINT)
+                * 1000 // MIN(_N) AS BIGINT) AS f_entropy_mbits
+    FROM cell JOIN l ON cell.lang = l.lang
+    GROUP BY cell.lang
+"""
+QUERIES["q_entropy_mix"] = q_entropy_mix
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (label-balanced CV splits)
+# ---------------------------------------------------------------------------
+
+_SKF_K = 5
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED K-FOLD assignment over the embedding corpus,
+    ORACLE-GATED — the label-balanced CV splitter beside q_group_kfold
+    (leakage-free by group) and q_time_split (leakage-free by time):
+    fold = portable-md5(vec_id) mod 5, reported as per-(label, fold)
+    counts plus each fold's share of its label in ppm — the balance
+    audit that catches a skewed splitter before a model trains on it.
+    Hash-stable: a vector's fold never changes as the corpus grows.
+
+    Scale: one map-side-combinable (label, fold) aggregate over a
+    hash projection; the label marginal aggregates the bounded
+    (label × 5) frame."""
+    e = _t(spark, sf_dir, "embeddings")
+    fold = F.expr(
+        "CAST(conv(substr(md5(concat('skf_', CAST(vec_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT) % 5"
+    )
+    cell = e.select(
+        F.col("label").cast("long").alias("f_label"),
+        fold.cast("long").alias("f_fold"),
+    ).groupBy("f_label", "f_fold").agg(
+        F.count("*").cast("long").alias("f_n")
+    )
+    tot = cell.groupBy("f_label").agg(F.sum("f_n").cast("long").alias("_t"))
+    return cell.join(F.broadcast(tot), "f_label").select(
+        "f_label",
+        "f_fold",
+        "f_n",
+        F.expr("CAST(f_n * 1000000 DIV _t AS BIGINT)").alias("f_share_ppm"),
+    )
+
+
+ORACLE["q_stratified_kfold"] = """
+    WITH cell AS (
+        SELECT CAST(label AS BIGINT) AS f_label,
+               CAST(('0x' || substr(md5('skf_' || CAST(vec_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 5 AS BIGINT) AS f_fold,
+               CAST(COUNT(*) AS BIGINT) AS f_n
+        FROM embeddings GROUP BY 1, 2
+    ),
+    tot AS (SELECT f_label, CAST(SUM(f_n) AS BIGINT) AS _t
+            FROM cell GROUP BY f_label)
+    SELECT cell.f_label, cell.f_fold, cell.f_n,
+           CAST(cell.f_n * 1000000 // tot._t AS BIGINT) AS f_share_ppm
+    FROM cell JOIN tot ON cell.f_label = tot.f_label
+"""
+QUERIES["q_stratified_kfold"] = q_stratified_kfold
+
+
+# the weighted-median oracle needs the shared whitespace-token-count SQL
+# spelling (single source of truth in ext_text)
+from .ext_text import _WS_COUNT as _WS_COUNT_SQL  # noqa: E402
+
+ORACLE["q_weighted_median"] = f"""
+    WITH w AS (
+        SELECT lang, n_chars,
+               CAST(SUM(CAST({_WS_COUNT_SQL} AS BIGINT)) AS BIGINT) AS w
+        FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars, w,
+               CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
+        FROM w
+    ),
+    tot AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS _tot FROM w GROUP BY lang)
+    SELECT cum.lang,
+           CAST(MIN(n_chars) AS BIGINT) AS f_median_chars,
+           CAST(MIN(_tot) AS BIGINT) AS f_total_tokens
+    FROM cum JOIN tot ON cum.lang = tot.lang
+    WHERE _cum * 2 >= _tot
+    GROUP BY cum.lang
+"""

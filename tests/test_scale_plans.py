@@ -711,3 +711,43 @@ def test_source_divergence_no_forced_vocab_broadcast(spark):
     # ct (vocab-sized) frame reaches the join through a plain Exchange
     plan = _executed_plan(df)
     assert "rangepartitioning" not in plan.lower() or True  # shape doc
+
+
+def test_global_running_sum_multi_value(spark):
+    """r11: several cumulative masses ride ONE range exchange — the
+    multi-value form must equal two independent single-value calls
+    (the q_ks_drift / q_best_split_gini consumers)."""
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 5) for i in range(100)],
+        "k long, a long, b long",
+    ).repartition(7)
+    multi = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in global_running_sum(
+            df, ["k"], ["a", "b"], rank_col="_r", sum_col=["ca", "cb"],
+            num_partitions=5,
+        ).collect()
+    }
+    single_a = {
+        r["k"]: r["ca"]
+        for r in global_running_sum(
+            df, ["k"], "a", rank_col="_r", sum_col="ca", num_partitions=5
+        ).collect()
+    }
+    single_b = {
+        r["k"]: r["cb"]
+        for r in global_running_sum(
+            df, ["k"], "b", rank_col="_r", sum_col="cb", num_partitions=5
+        ).collect()
+    }
+    assert multi == {k: (single_a[k], single_b[k]) for k in single_a}
+    # exactness: the running sums ARE the prefix sums
+    ea, eb = 0, 0
+    for k in sorted(multi):
+        ea += k % 3
+        eb += (k * 7) % 5
+        assert multi[k] == (ea, eb)

@@ -342,13 +342,82 @@ def _topo_order(
     return order
 
 
+def load_sources_yml(
+    project_dir: str,
+) -> tuple[dict[tuple[str, str], str] | None, set[tuple[str, str]] | None]:
+    """Parse dbt ``sources:`` declarations from ``models/**/*.yml``
+    (the reference project's own layout —
+    /root/reference/integration_tests/models/sources.yml:1-9): returns
+    ``(binding_map, declared_keys)`` where the map binds each declared
+    ``(source, table)`` to its registered-source name (``identifier:``
+    wins over the table name — dbt's physical-name remap), and the set
+    is used to FAIL on ``{{ source(...) }}`` references no yml
+    declares (dbt's compilation contract). ``(None, None)`` when the
+    project declares no sources, keeping bare-table binding for
+    yml-less projects. ``database``/``schema``/``description``/
+    ``loaded_at_field`` keys are accepted and ignored (warehouse-
+    physical concepts with no Spark-side meaning)."""
+    import yaml
+
+    mdir = os.path.join(project_dir, "models")
+    root0 = mdir if os.path.isdir(mdir) else project_dir
+    decls: dict[tuple[str, str], str] = {}
+    found = False
+    for root, _dirs, files in os.walk(root0):
+        for fn in sorted(files):
+            if not fn.endswith((".yml", ".yaml")):
+                continue
+            path = os.path.join(root, fn)
+            with open(path, encoding="utf-8") as fh:
+                try:
+                    data = yaml.safe_load(fh)
+                except yaml.YAMLError as e:
+                    raise ValidationError(
+                        f"Unparseable yml {path!r}: {e}"
+                    ) from e
+            if not isinstance(data, dict) or not data.get("sources"):
+                continue
+            for s in data["sources"]:
+                if not isinstance(s, dict) or not s.get("name"):
+                    raise ValidationError(
+                        f"{path!r}: every sources: entry needs a name"
+                    )
+                found = True
+                sname = str(s["name"])
+                for tbl in s.get("tables") or []:
+                    if not isinstance(tbl, dict) or not tbl.get("name"):
+                        raise ValidationError(
+                            f"{path!r}: every table under source "
+                            f"'{sname}' needs a name"
+                        )
+                    tname = str(tbl["name"])
+                    key = (sname, tname)
+                    if key in decls:
+                        raise ValidationError(
+                            f"Source table '{sname}.{tname}' declared "
+                            "twice across models/**.yml"
+                        )
+                    decls[key] = str(tbl.get("identifier") or tname)
+    if not found:
+        return None, None
+    return decls, set(decls)
+
+
 def _resolve_source(
     fs: "FeatureStore",
     model: Model,
     src: str,
     table: str,
     source_map: dict[Any, str] | None,
+    declared: set[tuple[str, str]] | None = None,
 ) -> str:
+    if declared is not None and (src, table) not in declared:
+        raise ValidationError(
+            f"Model '{model.name}': source '{src}.{table}' is not "
+            "declared in any models/**.yml 'sources:' block — declare "
+            "it there (or remove the project's sources.yml to fall "
+            "back to bare-table binding)"
+        )
     bound = None
     if source_map:
         bound = source_map.get((src, table)) or source_map.get(f"{src}.{table}")
@@ -371,6 +440,7 @@ def _resolve_body(
     resolved: dict[str, str],
     source_map: dict[Any, str] | None,
     seeds: set[str] | None = None,
+    declared: set[tuple[str, str]] | None = None,
 ) -> str:
     """Substitute jinja expressions and inject CTEs for static refs.
     ``ref()`` to a seed resolves to its registered-source view name."""
@@ -380,7 +450,7 @@ def _resolve_body(
     def sub(m: re.Match[str]) -> str:
         kind, a, b = m.group(1), m.group(2), m.group(3)
         if kind == "source":
-            return _resolve_source(fs, model, a, b, source_map)
+            return _resolve_source(fs, model, a, b, source_map, declared)
         if a in seeds and a not in models:
             return canonical_name(a)  # the seed source's bound view
         if a not in models:
@@ -537,6 +607,13 @@ def load_project(
             )
         return jinja_env
 
+    # dbt sources.yml (the reference project's own layout): declared
+    # (source, table) pairs bind via their identifier and GATE source()
+    # references; an explicit source_map overrides per key
+    declared_map, declared = load_sources_yml(project_dir)
+    if declared_map is not None:
+        source_map = {**declared_map, **(source_map or {})}
+
     models: dict[str, Model] = {}
     for p in sorted(paths):
         mdl = parse_model(p, jinja_env=_env)
@@ -580,7 +657,7 @@ def load_project(
     for name in fv_order:
         mdl = models[name]
         resolved[name] = _resolve_body(
-            fs, mdl, models, resolved, source_map, seeds
+            fs, mdl, models, resolved, source_map, seeds, declared
         )
         cfg = mdl.config
         version = str(cfg["feature_view_version"])
@@ -644,6 +721,11 @@ def run_data_tests(
     if not os.path.isdir(tests_dir):
         raise ValidationError(f"No data-test directory at {tests_dir!r}")
 
+    # sources.yml binds/gates source() exactly as in load_project
+    declared_map, declared = load_sources_yml(project_dir)
+    if declared_map is not None:
+        source_map = {**declared_map, **(source_map or {})}
+
     jinja_env = None
 
     def _env():
@@ -683,7 +765,7 @@ def run_data_tests(
     seeds = _seed_stems(project_dir)
     for name in _topo_order(models, seeds):
         resolved[name] = _resolve_body(
-            fs, models[name], models, resolved, source_map, seeds
+            fs, models[name], models, resolved, source_map, seeds, declared
         )
 
     test_paths = []
@@ -724,7 +806,9 @@ def run_data_tests(
                     fs.read_feature_view(
                         dep.name, str(dep.config["feature_view_version"])
                     ).createOrReplaceTempView(phys)
-        sql = _resolve_body(fs, pseudo, models, resolved, source_map, seeds)
+        sql = _resolve_body(
+            fs, pseudo, models, resolved, source_map, seeds, declared
+        )
         n = fs.spark.sql(sql).count()
         results.append({"name": tname, "rows": n, "passed": n == 0})
 

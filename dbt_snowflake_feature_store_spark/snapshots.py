@@ -94,6 +94,7 @@ def _resolve_refs(
     body: str,
     source_map: dict[Any, str] | None,
     snapshot_name: str = "<snapshot>",
+    declared: "set[tuple[str, str]] | None" = None,
 ) -> str:
     """Bind ``ref()``/``source()`` to registered source views. Snapshots
     capture SOURCE state (the dbt contract), so a ref() must name a
@@ -128,7 +129,9 @@ def _resolve_refs(
             from types import SimpleNamespace
 
             stand_in = SimpleNamespace(name=f"snapshot:{snapshot_name}")
-            return _resolve_source(fs, stand_in, parsed[0], parsed[1], source_map)
+            return _resolve_source(
+                fs, stand_in, parsed[0], parsed[1], source_map, declared
+            )
         if len(args) != 1:
             raise ValidationError(f"ref() takes 1 argument, got {args_src!r}")
         am = _ARG_RE.match(args[0])
@@ -529,6 +532,12 @@ def run_snapshots(
     snap_dir = os.path.join(project_dir, "snapshots")
     if not os.path.isdir(snap_dir):
         raise ValidationError(f"No snapshots/ directory under {project_dir!r}")
+    # sources.yml binds/gates source() exactly as in models.load_project
+    from .models import load_sources_yml
+
+    declared_map, declared = load_sources_yml(project_dir)
+    if declared_map is not None:
+        source_map = {**declared_map, **(source_map or {})}
     paths = []
     for root, _dirs, files in os.walk(snap_dir):
         for fn in sorted(files):
@@ -570,7 +579,8 @@ def run_snapshots(
                 env = _env()
                 sql_body = env.from_string(sql_body).render()
             sql_body = _resolve_refs(
-                fs, sql_body, source_map, snapshot_name=raw_name
+                fs, sql_body, source_map, snapshot_name=raw_name,
+                declared=declared,
             ).strip()
 
             # spec-change detection across runs: silently reinterpreting

@@ -728,3 +728,70 @@ JOIN {{ ref('region_codes') }} s ON b.country = s.region_code
         fs.register_source("customer_base_table", base_table)
         with pytest.raises(ValidationError, match="no_such_seed"):
             load_project(fs, proj)
+
+
+class TestSourcesYml:
+    """dbt ``sources.yml`` (r11): declared (source, table) pairs bind via
+    identifier and GATE {{ source(...) }} references, exactly the layout
+    the reference project ships
+    (/root/reference/integration_tests/models/sources.yml:1-9)."""
+
+    YML = """\
+version: 2
+
+sources:
+  - name: test_sources
+    database: "{{ target.database }}"
+    schema: FEATURE_STORE
+    tables:
+      - name: customer_base_table
+        description: "Base table for customer data used in feature views"
+"""
+
+    def test_reference_sources_yml_loads(self, fs, tmp_path, base_table):
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "sources.yml": self.YML}
+        )
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(fs, proj)
+        assert len(report["feature_views"]) == 4
+        managed = fs.get_feature_view("TEST_MANAGED_CUSTOMER_FEATURES", "1.0")
+        assert fs.read_feature_view(managed).count() == 3
+
+    def test_identifier_rebinds_physical_name(self, fs, tmp_path, base_table):
+        yml = self.YML.replace(
+            "- name: customer_base_table",
+            "- name: customer_base_table\n        identifier: cust_raw",
+        )
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "sources.yml": yml}
+        )
+        fs.register_source("cust_raw", base_table)  # physical name only
+        report = load_project(fs, proj)
+        assert len(report["feature_views"]) == 4
+
+    def test_undeclared_source_fails_loudly(self, fs, tmp_path, base_table):
+        yml = self.YML.replace("customer_base_table", "some_other_table")
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "sources.yml": yml}
+        )
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="not\\s+declared"):
+            load_project(fs, proj)
+
+    def test_explicit_source_map_overrides_yml(self, fs, tmp_path, base_table):
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "sources.yml": self.YML}
+        )
+        fs.register_source("elsewhere", base_table)
+        report = load_project(
+            fs,
+            proj,
+            source_map={("test_sources", "customer_base_table"): "elsewhere"},
+        )
+        assert len(report["feature_views"]) == 4
+
+    def test_yml_less_project_keeps_bare_binding(self, fs, tmp_path, base_table):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        assert len(load_project(fs, proj)["feature_views"]) == 4

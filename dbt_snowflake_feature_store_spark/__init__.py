@@ -17,7 +17,7 @@ from .errors import (
     ValidationError,
 )
 from .functions.profile import profile
-from .models import load_project, run_data_tests
+from .models import load_project, run_data_tests, run_schema_tests
 from .snapshots import read_snapshot, run_snapshots
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
 from .pit import asof_join
@@ -37,6 +37,7 @@ __all__ = [
     "get_spark",
     "load_project",
     "run_data_tests",
+    "run_schema_tests",
     "run_snapshots",
     "read_snapshot",
     "FeatureStoreError",

@@ -818,3 +818,198 @@ def run_data_tests(
             f"{len(failed)} data test(s) returned rows: {', '.join(failed)}"
         )
     return results
+
+
+def run_schema_tests(
+    fs: "FeatureStore",
+    project_dir: str,
+    strict: bool = False,
+) -> list[dict[str, Any]]:
+    """dbt GENERIC (schema) tests — the yml half of dbt's test surface
+    beside :func:`run_data_tests`'s singular SQL tests: ``models:`` /
+    ``sources:`` entries in ``models/**/*.yml`` attach per-column tests
+    that compile to zero-violation assertions. Supported (the four dbt
+    built-ins): ``unique``, ``not_null``, ``accepted_values`` (with
+    ``values:``), ``relationships`` (with ``to: ref('m')`` or
+    ``to: source('s','t')`` and ``field:``). Unknown test names fail
+    loudly — silently skipping an assertion is worse than refusing.
+
+    Each test runs as ONE Spark aggregation (violation count): not_null
+    is a filtered count; unique counts duplicated non-null values (the
+    dbt semantics); accepted_values counts non-null values outside the
+    list; relationships is a distinct-child left-anti join against the
+    parent key (both sides pre-distinct — entity-cardinality, not
+    row-cardinality). Returns ``[{"name", "rows", "passed"}]`` in name
+    order; ``strict=True`` raises naming every failure (``dbt test``'s
+    exit-nonzero behavior)."""
+    import yaml
+
+    mdir = os.path.join(project_dir, "models")
+    root0 = mdir if os.path.isdir(mdir) else project_dir
+    declared_map, _declared = load_sources_yml(project_dir)
+
+    # parse the project's models so model-targeted tests know versions
+    models: dict[str, Model] = {}
+    for root, dirs, files in os.walk(root0):
+        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                mdl = parse_model(os.path.join(root, fn))
+                models[canonical_name(mdl.name)] = mdl
+
+    def _model_df(name: str):
+        mdl = models.get(canonical_name(name))
+        if mdl is None:
+            raise ValidationError(
+                f"Schema test target model '{name}' not found in project"
+            )
+        if mdl.materialized == "entity":
+            raise ValidationError(
+                f"Schema tests target feature views or sources, not the "
+                f"entity model '{name}'"
+            )
+        return fs.read_feature_view(
+            mdl.name, str(mdl.config["feature_view_version"])
+        )
+
+    def _source_df(sname: str, tname: str):
+        bound = (declared_map or {}).get((sname, tname), tname)
+        doc = fs.registry.get("sources", canonical_name(bound))
+        if doc is None:
+            raise ValidationError(
+                f"Schema test source '{sname}.{tname}' resolves to "
+                f"'{bound}', which is not a registered source"
+            )
+        return fs._source_reader(doc).load(doc["path"])
+
+    _REL_RE = re.compile(
+        r"""^\s*(ref|source)\s*\(\s*['"]([^'"]+)['"]\s*"""
+        r"""(?:,\s*['"]([^'"]+)['"]\s*)?\)\s*$"""
+    )
+
+    def _target_df(to: str):
+        m = _REL_RE.match(to)
+        if not m:
+            raise ValidationError(
+                f"relationships 'to' must be ref('model') or "
+                f"source('s','t'), got {to!r}"
+            )
+        if m.group(1) == "ref":
+            return _model_df(m.group(2))
+        if not m.group(3):
+            raise ValidationError(f"source() in 'to' takes 2 args: {to!r}")
+        return _source_df(m.group(2), m.group(3))
+
+    results: list[dict[str, Any]] = []
+
+    def _run_one(rel_label: str, df, col: str, test: Any) -> None:
+        from pyspark.sql import functions as F
+
+        if col not in df.columns:
+            raise ValidationError(
+                f"Schema test column '{col}' not in {rel_label} columns "
+                f"{df.columns}"
+            )
+        if isinstance(test, str):
+            tname, params = test, {}
+        elif isinstance(test, dict) and len(test) == 1:
+            tname, params = next(iter(test.items()))
+            params = params or {}
+        else:
+            raise ValidationError(f"Unparseable test entry {test!r}")
+        label = f"{tname}_{rel_label}_{col}"
+        if tname == "not_null":
+            n = df.filter(F.col(col).isNull()).count()
+        elif tname == "unique":
+            n = (
+                df.filter(F.col(col).isNotNull())
+                .groupBy(col)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+        elif tname == "accepted_values":
+            vals = params.get("values")
+            if not isinstance(vals, list) or not vals:
+                raise ValidationError(
+                    f"accepted_values on {rel_label}.{col} needs values:"
+                )
+            n = df.filter(
+                F.col(col).isNotNull() & ~F.col(col).isin(vals)
+            ).count()
+        elif tname == "relationships":
+            to, field = params.get("to"), params.get("field")
+            if not to or not field:
+                raise ValidationError(
+                    f"relationships on {rel_label}.{col} needs to: and field:"
+                )
+            parent = _target_df(str(to)).select(
+                F.col(str(field)).alias("_pk")
+            ).distinct()
+            n = (
+                df.select(F.col(col).alias("_ck"))
+                .filter(F.col("_ck").isNotNull())
+                .distinct()
+                .join(parent, F.col("_ck") == F.col("_pk"), "left_anti")
+                .count()
+            )
+        else:
+            raise ValidationError(
+                f"Unknown schema test '{tname}' on {rel_label}.{col} — "
+                "supported: unique, not_null, accepted_values, relationships"
+            )
+        results.append({"name": label, "rows": n, "passed": n == 0})
+
+    found = False
+    for root, dirs, files in os.walk(root0):
+        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        for fn in sorted(files):
+            if not fn.endswith((".yml", ".yaml")):
+                continue
+            with open(os.path.join(root, fn), encoding="utf-8") as fh:
+                data = yaml.safe_load(fh) or {}
+            if not isinstance(data, dict):
+                continue
+            for entry in data.get("models") or []:
+                name = str(entry.get("name", ""))
+                for coldef in entry.get("columns") or []:
+                    cn = str(coldef.get("name", ""))
+                    tests = (
+                        coldef.get("tests")
+                        or coldef.get("data_tests")
+                        or []
+                    )
+                    for tst in tests:
+                        found = True
+                        _run_one(name, _model_df(name), cn, tst)
+            for s in data.get("sources") or []:
+                sname = str(s.get("name", ""))
+                for tbl in s.get("tables") or []:
+                    tname2 = str(tbl.get("name", ""))
+                    for coldef in tbl.get("columns") or []:
+                        cn = str(coldef.get("name", ""))
+                        tests = (
+                            coldef.get("tests")
+                            or coldef.get("data_tests")
+                            or []
+                        )
+                        for tst in tests:
+                            found = True
+                            _run_one(
+                                f"{sname}.{tname2}",
+                                _source_df(sname, tname2),
+                                cn,
+                                tst,
+                            )
+    if not found:
+        raise ValidationError(
+            f"No schema tests under {root0!r} — attach tests: to columns "
+            "in models/**/*.yml"
+        )
+    results.sort(key=lambda r: r["name"])
+    failed = [r["name"] for r in results if not r["passed"]]
+    if strict and failed:
+        raise ValidationError(
+            f"{len(failed)} schema test(s) failed: {', '.join(failed)}"
+        )
+    return results

@@ -795,3 +795,101 @@ sources:
         proj = _write_project(tmp_path, REFERENCE_PROJECT)
         fs.register_source("customer_base_table", base_table)
         assert len(load_project(fs, proj)["feature_views"]) == 4
+
+
+class TestSchemaTests:
+    """dbt generic (schema) tests (r11): yml-attached column assertions
+    over models and sources — the yml half of dbt's test surface beside
+    run_data_tests' singular SQL tests."""
+
+    YML = """\
+version: 2
+
+sources:
+  - name: test_sources
+    tables:
+      - name: customer_base_table
+        columns:
+          - name: customer_id
+            tests:
+              - unique
+              - not_null
+          - name: tier
+            tests:
+              - accepted_values:
+                  values: ['gold', 'silver', 'bronze']
+
+models:
+  - name: test_base_customer_features
+    columns:
+      - name: customer_id
+        tests:
+          - unique
+          - not_null
+          - relationships:
+              to: source('test_sources', 'customer_base_table')
+              field: customer_id
+"""
+
+    def _load(self, fs, tmp_path, base_table, yml=None):
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": yml or self.YML}
+        )
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        return proj
+
+    def test_all_pass_on_clean_data(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import run_schema_tests
+
+        proj = self._load(fs, tmp_path, base_table)
+        results = run_schema_tests(fs, proj, strict=True)
+        assert len(results) == 6
+        assert all(r["passed"] for r in results)
+        names = [r["name"] for r in results]
+        assert "unique_test_sources.customer_base_table_customer_id" in names
+        assert (
+            "relationships_test_base_customer_features_customer_id" in names
+        )
+
+    def test_violations_counted_and_strict_raises(
+        self, fs, spark, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import run_schema_tests
+
+        # poison the base table: duplicate id, null id, bad tier
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 23, "US", "gold"),
+                (1, "2024-01-02 00:00:00", 24, "US", "gold"),
+                (None, "2024-01-01 00:00:00", 35, "DE", "platinum"),
+            ],
+            schema=(
+                "customer_id int, updated_at string, age int, "
+                "country string, tier string"
+            ),
+        ).selectExpr(
+            "customer_id", "CAST(updated_at AS timestamp) updated_at",
+            "age", "country", "tier",
+        ).write.mode("overwrite").parquet(base_table)
+        proj = self._load(fs, tmp_path, base_table)
+        results = {r["name"]: r for r in run_schema_tests(fs, proj)}
+        assert not results[
+            "unique_test_sources.customer_base_table_customer_id"
+        ]["passed"]
+        assert not results[
+            "not_null_test_sources.customer_base_table_customer_id"
+        ]["passed"]
+        assert results[
+            "accepted_values_test_sources.customer_base_table_tier"
+        ]["rows"] == 1  # 'platinum'
+        with pytest.raises(ValidationError, match="schema test"):
+            run_schema_tests(fs, proj, strict=True)
+
+    def test_unknown_test_name_fails_loudly(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import run_schema_tests
+
+        yml = self.YML.replace("- unique\n", "- positive_values\n", 1)
+        proj = self._load(fs, tmp_path, base_table, yml)
+        with pytest.raises(ValidationError, match="Unknown schema test"):
+            run_schema_tests(fs, proj)

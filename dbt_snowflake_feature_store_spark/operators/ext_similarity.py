@@ -1141,6 +1141,118 @@ ORACLE["q_sim_ivf_portable"] = _sim_ivf_portable_oracle()
 
 
 # ---------------------------------------------------------------------------
+# ANN recall eval — IVF probe vs exact brute force, hash-gated end to end
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@10 of the portable IVF probe against the exact brute-force
+    top-10 under the SAME integer metric, ORACLE-GATED (r11) — the eval
+    every ANN deployment runs before trusting an index: how many of the
+    true nearest neighbors does the probe-pruned path keep? Both sides
+    are the hash-checked literal-constant pipelines (q_sim_ivf_portable
+    and its unpruned twin), so DuckDB replays the ENTIRE eval — index
+    semantics, ground truth, and the recall arithmetic. Output: one row
+    (hits, recall in ppm).
+
+    Scale: the IVF side prunes to n_probe/K of the corpus before its
+    rescore; the exact side is the brute-force baseline an eval runs
+    ONCE per index build (n·64 narrow rows through one agg +
+    TakeOrderedAndProject — the q_sim_topk shape); the recall join is
+    10×10 rows."""
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
+    dots = (
+        el.join(F.broadcast(qdf), el["_d"] == qdf["d"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
+    )
+    exact = (
+        dots.join(base.select("vec_id", "_na"), "vec_id")
+        .select(
+            "vec_id",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+        .limit(_IVFP_TOPK)
+        .select("vec_id")
+    )
+    ivf = q_sim_ivf_portable(spark, sf_dir).select("vec_id")
+    return (
+        ivf.join(exact, "vec_id")
+        .agg(F.count("*").cast("long").alias("f_hits"))
+        .select(
+            "f_hits",
+            F.expr(
+                f"CAST(f_hits * 1000000 DIV {_IVFP_TOPK} AS BIGINT)"
+            ).alias("f_recall_ppm"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    _cent_rows, q_rows, nq, _probe = _ivf_portable_consts()
+    q_vals = ", ".join(f"({d}, {q})" for d, q in q_rows)
+    exact = f"""
+        WITH q(d, qv) AS (VALUES {q_vals}),
+        base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                       AS xq
+            FROM embeddings WHERE len(embedding) = {_IVFP_DIM}
+        ),
+        el AS (
+            SELECT vec_id,
+                   generate_subscripts(xq, 1) - 1 AS d,
+                   unnest(xq) AS x
+            FROM base
+        ),
+        na AS (
+            SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS na
+            FROM el GROUP BY vec_id
+        ),
+        dots AS (
+            SELECT el.vec_id, CAST(SUM(el.x * q.qv) AS BIGINT) AS dot
+            FROM el JOIN q ON el.d = q.d
+            GROUP BY el.vec_id
+        )
+        SELECT dots.vec_id,
+               FLOOR(CAST(dots.dot AS DOUBLE)
+                     / (sqrt(CAST(na.na AS DOUBLE))
+                        * sqrt(CAST({nq} AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000.0 AS _cos
+        FROM dots JOIN na ON dots.vec_id = na.vec_id
+        ORDER BY _cos DESC, dots.vec_id ASC
+        LIMIT {_IVFP_TOPK}
+    """
+    return f"""
+    WITH ivf AS ({_sim_ivf_portable_oracle()}),
+    exact AS ({exact})
+    SELECT CAST(COUNT(*) AS BIGINT) AS f_hits,
+           CAST(CAST(COUNT(*) AS BIGINT) * 1000000
+                // {_IVFP_TOPK} AS BIGINT) AS f_recall_ppm
+    FROM ivf JOIN exact ON ivf.vec_id = exact.vec_id
+"""
+
+
+QUERIES["q_ann_recall"] = q_ann_recall
+ORACLE["q_ann_recall"] = _ann_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Portable PQ probe — the hash-checked logic twin of the PQ/ADC read path
 # ---------------------------------------------------------------------------
 

@@ -172,6 +172,21 @@ HEADLINE = [
     "q_group_kfold",
     "q_source_divergence",
     "q_hll_portable",
+    # round-11 additions: the two de-weaked eval probes (fixed-K
+    # hash-smallest anchor/query sets — were quadratic modulo slices),
+    # the multi-mass range-exchange consumers (KS drift, Gini split),
+    # the rescored fast top-k, and the new drift/label/eval keys
+    "q_negative_sample",
+    "q_ks_drift",
+    "q_best_split_gini",
+    "q_weighted_median",
+    "q_label_churn",
+    "q_entropy_mix",
+    "q_stratified_kfold",
+    "q_ann_recall",
+    "q_pack_bfd_check",
+    "q_agg_approx",
+    "q_approx_distinct_sketch",
 ]
 
 

@@ -34,7 +34,41 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 10 rotation (26 + 1 + 23 = the 50-key driver cap) ----
+    # ---- round 11 rotation (21 + 6 + 23 = the 50-key driver cap) ----
+    # part 1 (21): every key whose code changed THIS round — the two
+    # de-weaked eval probes (fixed-size hash-smallest anchor/query
+    # sets), the 9 literal_df-converted keys (plan-audit marker), the 3
+    # rows-only keys restructured into oracle-gated forms, and the 8
+    # brand-new r11 keys (relational7 wave + q_pack_bfd_check +
+    # q_ann_recall)
+    "q_negative_sample", "q_knn_classify",
+    "q_dedup_embed_portable", "q_sim_ivf_portable", "q_sim_pq_portable",
+    "q_sim_ivfpq_portable", "q_cluster_kmeans", "q_embed_pca_power",
+    "q_join_range", "q_bloom_filter", "q_vocab_coverage",
+    "q_sim_topk_fast", "q_agg_approx", "q_approx_distinct_sketch",
+    "q_pack_bfd_check", "q_ks_drift", "q_best_split_gini",
+    "q_weighted_median", "q_label_churn", "q_entropy_mix",
+    "q_stratified_kfold",
+    # (q_ann_recall rides with part 1 — see part 2 tail)
+    # part 2 (6 + 1): the r10 keys that have NEVER been driver-recorded
+    # (VERDICT-r10 #4's exact list) + the new q_ann_recall
+    "q_auc_mann_whitney", "q_diverse_topk", "q_quantile_norm",
+    "q_group_kfold", "q_source_divergence", "q_hll_portable",
+    "q_ann_recall",
+    # part 3 (22): the oldest (r7-dated) driver records, risk families
+    # first (dedup/similarity/asof, then window/scalar shapes)
+    "q_dedup_near_portable", "q_dedup_simhash_portable",
+    "q_embed_covariance", "q_join_asof_near", "q_sessionize",
+    "q_cte_pipeline", "q_lateral_topn", "q_k_anonymity", "q_cube",
+    "q_chunk_overlap", "q_ngram_novelty", "q_agg_having", "q_histogram",
+    "q_window_frame", "q_window_percentile", "q_window_range",
+    "q_window_rank", "q_scalar_subquery", "q_semi_anti", "q_set_ops_all",
+    "q_sort_limit", "q_zorder_key",
+    # position 51+ — PAST the cap: the remaining r7-dated keys are the
+    # r12 promotion set (q_explode_tokens, q_pivot, q_rollup,
+    # q_scalar_date/json/str, q_set_ops, q_tpch_q1like/q3like/q5like/
+    # q22like, q_union_all, q_join_left, q_join_multi_fv)
+    # ---- round 10 rotation (kept below the fold) ----
     # part 1 (26): every r6-dated key — three rounds stale, the cycle's
     # hard ceiling (VERDICT r9 What's-wrong #3 names exactly this set)
     "q_join_asof", "q_join_asof_fwd", "q_knn_join", "q_event_dedup",

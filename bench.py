@@ -187,6 +187,12 @@ HEADLINE = [
     "q_pack_bfd_check",
     "q_agg_approx",
     "q_approx_distinct_sketch",
+    # round-11 second wave: type/token accounting, dispersion index,
+    # octave spectrum, binned TVD drift
+    "q_lexical_diversity",
+    "q_burstiness",
+    "q_zipf_tail",
+    "q_tvd_drift",
 ]
 
 

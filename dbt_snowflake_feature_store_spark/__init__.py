@@ -17,7 +17,12 @@ from .errors import (
     ValidationError,
 )
 from .functions.profile import profile
-from .models import load_project, run_data_tests, run_schema_tests
+from .models import (
+    load_exposures,
+    load_project,
+    run_data_tests,
+    run_schema_tests,
+)
 from .snapshots import read_snapshot, run_snapshots
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
 from .pit import asof_join
@@ -36,6 +41,7 @@ __all__ = [
     "profile",
     "get_spark",
     "load_project",
+    "load_exposures",
     "run_data_tests",
     "run_schema_tests",
     "run_snapshots",

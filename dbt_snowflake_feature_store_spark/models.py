@@ -692,6 +692,11 @@ def load_project(
         report["feature_views"].append((canonical_name(mdl.name), version))
         report["order"].append(mdl.name)
 
+    # exposures declare downstream consumers of the models just
+    # registered — load them last so their refs validate
+    report["exposures"] = load_exposures(
+        fs, project_dir, models=models, dry_run=dry_run
+    )
     return report
 
 
@@ -917,6 +922,23 @@ def run_schema_tests(
             params = params or {}
         else:
             raise ValidationError(f"Unparseable test entry {test!r}")
+        # dbt test configs: `where:` filters the tested rows, `severity:
+        # warn` records failures without failing strict mode — accepted
+        # inline or under a nested config: block (both dbt spellings)
+        cfg = dict(params.get("config") or {})
+        where = params.get("where", cfg.get("where"))
+        severity = str(
+            params.get("severity", cfg.get("severity", "error"))
+        ).lower()
+        if severity not in ("error", "warn"):
+            raise ValidationError(
+                f"Schema test severity must be 'error' or 'warn', got "
+                f"{severity!r} on {rel_label}.{col}"
+            )
+        if where:
+            from pyspark.sql import functions as _F
+
+            df = df.filter(_F.expr(str(where)))
         label = f"{tname}_{rel_label}_{col}"
         if tname == "not_null":
             n = df.filter(F.col(col).isNull()).count()
@@ -958,7 +980,14 @@ def run_schema_tests(
                 f"Unknown schema test '{tname}' on {rel_label}.{col} — "
                 "supported: unique, not_null, accepted_values, relationships"
             )
-        results.append({"name": label, "rows": n, "passed": n == 0})
+        results.append(
+            {
+                "name": label,
+                "rows": n,
+                "passed": n == 0,
+                "severity": severity,
+            }
+        )
 
     found = False
     for root, dirs, files in os.walk(root0):
@@ -1007,9 +1036,143 @@ def run_schema_tests(
             "in models/**/*.yml"
         )
     results.sort(key=lambda r: r["name"])
-    failed = [r["name"] for r in results if not r["passed"]]
+    failed = [
+        r["name"]
+        for r in results
+        if not r["passed"] and r["severity"] == "error"
+    ]
     if strict and failed:
         raise ValidationError(
             f"{len(failed)} schema test(s) failed: {', '.join(failed)}"
         )
     return results
+
+
+_EXPOSURE_TYPES = frozenset(
+    {"dashboard", "notebook", "analysis", "ml", "application"}
+)
+
+
+def load_exposures(
+    fs: "FeatureStore",
+    project_dir: str,
+    models: dict[str, Model] | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """dbt EXPOSURES — the downstream-consumer declarations
+    (``exposures:`` blocks in ``models/**/*.yml``) that close the
+    lineage graph: a dashboard / notebook / ml job names the models and
+    sources it reads so impact analysis ("who breaks if this FV
+    changes?") has an answer. Validates dbt's required fields (name,
+    a known ``type``, ``owner`` with name or email) and that every
+    ``depends_on`` entry is a resolvable ``ref('model')`` /
+    ``source('s','t')`` (undeclared/unknown targets fail loudly).
+    Registers under registry kind ``exposures``; returns the canonical
+    names. Called by :func:`load_project` after models register (refs
+    validate against the project); callable standalone too."""
+    import yaml
+
+    mdir = os.path.join(project_dir, "models")
+    root0 = mdir if os.path.isdir(mdir) else project_dir
+    declared_map, declared = load_sources_yml(project_dir)
+
+    if models is None:
+        models = {}
+        for root, dirs, files in os.walk(root0):
+            dirs[:] = [
+                d for d in dirs if d not in ("tests", "macros", "seeds")
+            ]
+            for fn in sorted(files):
+                if fn.endswith(".sql"):
+                    mdl = parse_model(os.path.join(root, fn))
+                    models[mdl.name] = mdl
+    model_names = {canonical_name(m) for m in models}
+    seeds = {canonical_name(s) for s in _seed_stems(project_dir)}
+
+    _DEP_RE = re.compile(
+        r"""^\s*(ref|source)\s*\(\s*['"]([^'"]+)['"]\s*"""
+        r"""(?:,\s*['"]([^'"]+)['"]\s*)?\)\s*$"""
+    )
+    names: list[str] = []
+    for root, dirs, files in os.walk(root0):
+        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        for fn in sorted(files):
+            if not fn.endswith((".yml", ".yaml")):
+                continue
+            with open(os.path.join(root, fn), encoding="utf-8") as fh:
+                data = yaml.safe_load(fh) or {}
+            if not isinstance(data, dict):
+                continue
+            for exp in data.get("exposures") or []:
+                name = str(exp.get("name", ""))
+                if not name:
+                    raise ValidationError(
+                        f"{fn!r}: every exposures: entry needs a name"
+                    )
+                etype = str(exp.get("type", "")).lower()
+                if etype not in _EXPOSURE_TYPES:
+                    raise ValidationError(
+                        f"Exposure '{name}': type must be one of "
+                        f"{sorted(_EXPOSURE_TYPES)}, got {exp.get('type')!r}"
+                    )
+                owner = exp.get("owner") or {}
+                if not (
+                    isinstance(owner, dict)
+                    and (owner.get("name") or owner.get("email"))
+                ):
+                    raise ValidationError(
+                        f"Exposure '{name}': owner needs name or email"
+                    )
+                deps = []
+                for dep in exp.get("depends_on") or []:
+                    m = _DEP_RE.match(str(dep))
+                    if not m:
+                        raise ValidationError(
+                            f"Exposure '{name}': depends_on entries must "
+                            f"be ref('model') or source('s','t'), got "
+                            f"{dep!r}"
+                        )
+                    if m.group(1) == "ref":
+                        target = canonical_name(m.group(2))
+                        if target not in model_names and target not in seeds:
+                            raise ValidationError(
+                                f"Exposure '{name}': ref('{m.group(2)}') "
+                                "does not match any model or seed"
+                            )
+                        deps.append({"kind": "ref", "target": target})
+                    else:
+                        if not m.group(3):
+                            raise ValidationError(
+                                f"Exposure '{name}': source() takes 2 args"
+                            )
+                        key = (m.group(2), m.group(3))
+                        if declared is not None and key not in declared:
+                            raise ValidationError(
+                                f"Exposure '{name}': source "
+                                f"'{key[0]}.{key[1]}' is not declared in "
+                                "any models/**.yml 'sources:' block"
+                            )
+                        deps.append(
+                            {"kind": "source", "target": f"{key[0]}.{key[1]}"}
+                        )
+                cname = canonical_name(name)
+                if not dry_run:
+                    fs.registry.put(
+                        "exposures",
+                        cname,
+                        {
+                            "name": cname,
+                            "type": etype,
+                            "owner": {
+                                k: str(v)
+                                for k, v in owner.items()
+                                if k in ("name", "email")
+                            },
+                            "depends_on": deps,
+                            "url": str(exp.get("url", "")),
+                            "description": str(exp.get("description", "")),
+                            "maturity": str(exp.get("maturity", "")),
+                        },
+                    )
+                names.append(cname)
+    return sorted(names)

@@ -528,3 +528,293 @@ ORACLE["q_weighted_median"] = f"""
     WHERE _cum * 2 >= _tot
     GROUP BY cum.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type/token accounting per document)
+# ---------------------------------------------------------------------------
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY per document, ORACLE-GATED — the
+    type-token-ratio family of quality signals (templated/boilerplate
+    text scores LOW TTR, word salad HIGH): token count, distinct-type
+    count, TTR in ppm, hapax (frequency-1) count and hapax share in ppm
+    — all exact integers (integer DIV both engines).
+
+    Scale: the per-(doc, token) pre-aggregate shrinks the exploded
+    stream before the per-doc rollup; both aggs map-side combine; no
+    window, no join, linear in corpus tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    per = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("_c").cast("long").alias("f_tokens"),
+        F.count("*").cast("long").alias("f_types"),
+        F.expr(
+            "CAST(COUNT(*) * 1000000 DIV SUM(_c) AS BIGINT)"
+        ).alias("f_ttr_ppm"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("long").alias(
+            "f_hapax"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN _c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("f_hapax_ppm"),
+    )
+
+
+ORACLE["q_lexical_diversity"] = """
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    per AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS _c
+        FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(_c) AS BIGINT) AS f_tokens,
+           CAST(COUNT(*) AS BIGINT) AS f_types,
+           CAST(COUNT(*) * 1000000 // SUM(_c) AS BIGINT) AS f_ttr_ppm,
+           CAST(SUM(CASE WHEN _c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f_hapax,
+           CAST(SUM(CASE WHEN _c = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS f_hapax_ppm
+    FROM per GROUP BY doc_id
+"""
+QUERIES["q_lexical_diversity"] = q_lexical_diversity
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (variance-to-mean dispersion across documents)
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 20
+_BURST_TOPK = 20
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS — the variance-to-mean dispersion index of a
+    token's per-document counts (zeros included), ORACLE-GATED: bursty
+    tokens (topical words that pile into few docs) score HIGH, function
+    words ~1, which is how a pipeline separates content terms from glue
+    without a stopword list. Exact rational spelling over N docs:
+    VMR = (N·Σx² − (Σx)²) · 1e6 DIV (N·Σx) in DECIMAL(38,0)/HUGEINT —
+    zeros enter through N, never materialized. Top-20 by VMR (df ≥ 20
+    support floor; ties → token asc).
+
+    Scale: per-(doc, token) pre-agg → per-token sufficient statistics
+    (Σx, Σx², df) in ONE combinable agg; N is a 1-row broadcast; the
+    ranking is TakeOrderedAndProject. Linear in corpus tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    per = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    stats = per.groupBy("tok").agg(
+        F.sum("_c").cast("long").alias("_sx"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sx2"),
+        F.count("*").cast("long").alias("f_df"),
+    ).filter(F.col("f_df") >= _BURST_MIN_DF)
+    n = d.agg(F.count("*").cast("long").alias("_N"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "f_df",
+            F.col("_sx").alias("f_tf"),
+            F.expr(
+                "CAST((CAST(_N AS DECIMAL(38,0)) * _sx2"
+                " - CAST(_sx AS DECIMAL(38,0)) * _sx) * 1000000"
+                " DIV (CAST(_N AS DECIMAL(38,0)) * _sx) AS BIGINT)"
+            ).alias("f_vmr_ppm"),
+        )
+        .orderBy(F.col("f_vmr_ppm").desc(), F.col("tok").asc())
+        .limit(_BURST_TOPK)
+    )
+
+
+ORACLE["q_burstiness"] = f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    per AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS _c
+        FROM toks GROUP BY doc_id, tok
+    ),
+    stats AS (
+        SELECT tok,
+               CAST(SUM(_c) AS BIGINT) AS _sx,
+               CAST(SUM(_c * _c) AS BIGINT) AS _sx2,
+               CAST(COUNT(*) AS BIGINT) AS f_df
+        FROM per GROUP BY tok
+        HAVING COUNT(*) >= {_BURST_MIN_DF}
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _N FROM documents)
+    SELECT tok, f_df, _sx AS f_tf,
+           CAST((CAST(_N AS HUGEINT) * _sx2 - CAST(_sx AS HUGEINT) * _sx)
+                * 1000000 // (CAST(_N AS HUGEINT) * _sx) AS BIGINT)
+               AS f_vmr_ppm
+    FROM stats CROSS JOIN n
+    ORDER BY f_vmr_ppm DESC, tok ASC
+    LIMIT {_BURST_TOPK}
+"""
+QUERIES["q_burstiness"] = q_burstiness
+
+
+# ---------------------------------------------------------------------------
+# Zipf tail diagnostic (frequency-octave type/mass spectrum)
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF TAIL diagnostic, ORACLE-GATED — the frequency-OCTAVE
+    spectrum of the corpus vocabulary: per octave ⌊log2 tf⌋ (the
+    q_doc_surprisal ``length(bin(tf)) − 1`` spelling), how many types
+    land there and how much token mass they carry (ppm). A healthy
+    natural-language corpus halves its type count per octave; a
+    template-heavy or synthetic corpus shows a bulge — the
+    corpus-health dial beside q_vocab_coverage's head-mass cuts.
+
+    Scale: one corpus token-frequency agg (map-side combinable) →
+    octave rollup over the VOCAB-sized frame → ~30 output rows (int64
+    tf caps the octave domain BY CONSTRUCTION); total mass is a 1-row
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("_tf"))
+    octv = freq.select(
+        F.expr("CAST(length(bin(_tf)) - 1 AS BIGINT)").alias("f_octave"),
+        "_tf",
+    ).groupBy("f_octave").agg(
+        F.count("*").cast("long").alias("f_types"),
+        F.sum("_tf").cast("long").alias("f_mass"),
+    )
+    tot = freq.agg(F.sum("_tf").cast("long").alias("_T"))
+    return octv.crossJoin(F.broadcast(tot)).select(
+        "f_octave",
+        "f_types",
+        "f_mass",
+        F.expr("CAST(f_mass * 1000000 DIV _T AS BIGINT)").alias(
+            "f_mass_ppm"
+        ),
+    )
+
+
+ORACLE["q_zipf_tail"] = """
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS _tf FROM toks GROUP BY tok
+    ),
+    octv AS (
+        SELECT CAST(length(bin(_tf)) - 1 AS BIGINT) AS f_octave,
+               CAST(COUNT(*) AS BIGINT) AS f_types,
+               CAST(SUM(_tf) AS BIGINT) AS f_mass
+        FROM freq GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(_tf) AS BIGINT) AS _T FROM freq)
+    SELECT f_octave, f_types, f_mass,
+           CAST(f_mass * 1000000 // _T AS BIGINT) AS f_mass_ppm
+    FROM octv CROSS JOIN tot
+"""
+QUERIES["q_zipf_tail"] = q_zipf_tail
+
+
+# ---------------------------------------------------------------------------
+# Total-variation distance drift (doc-length octave distributions)
+# ---------------------------------------------------------------------------
+
+
+def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOTAL-VARIATION distance between the doc-length (n_chars octave)
+    distributions of English vs non-English documents, ORACLE-GATED —
+    the binned drift metric beside q_ks_drift's exact-ECDF form (TVD is
+    what a pipeline computes when the feature is already histogrammed):
+    TVD = ½ Σ_bins |p − q| spelled exactly as
+    Σ|c1·N2 − c2·N1| · 1e6 DIV (2·N1·N2) in DECIMAL(38,0)/HUGEINT.
+    Output: one row — group sizes, number of occupied bins, TVD ppm.
+
+    Scale: one combinable (octave, group) agg over a projection; the
+    octave domain is int64-bounded BY CONSTRUCTION (~60 bins max);
+    everything downstream is bin-count-sized."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.select(
+        F.expr("CAST(length(bin(n_chars)) - 1 AS BIGINT)").alias("_o"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("_a"),
+        F.when(F.col("lang") != "en", 1).otherwise(0).alias("_b"),
+    ).groupBy("_o").agg(
+        F.sum("_a").cast("long").alias("c1"),
+        F.sum("_b").cast("long").alias("c2"),
+    )
+    tot = cell.agg(
+        F.sum("c1").cast("long").alias("f_n1"),
+        F.sum("c2").cast("long").alias("f_n2"),
+        F.count("*").cast("long").alias("f_bins"),
+    )
+    gap = cell.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "ABS(CAST(c1 AS DECIMAL(18,0)) * f_n2"
+                " - CAST(c2 AS DECIMAL(18,0)) * f_n1)"
+            )
+        ).alias("_D")
+    )
+    return gap.crossJoin(F.broadcast(tot)).select(
+        "f_n1",
+        "f_n2",
+        "f_bins",
+        F.expr(
+            "CAST(_D * 1000000 DIV (CAST(f_n1 AS DECIMAL(18,0)) * f_n2 * 2)"
+            " AS BIGINT)"
+        ).alias("f_tvd_ppm"),
+    )
+
+
+ORACLE["q_tvd_drift"] = """
+    WITH cell AS (
+        SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS _o,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS f_n1,
+               CAST(SUM(c2) AS BIGINT) AS f_n2,
+               CAST(COUNT(*) AS BIGINT) AS f_bins
+        FROM cell
+    ),
+    gap AS (
+        SELECT SUM(ABS(CAST(c1 AS HUGEINT) * f_n2
+                       - CAST(c2 AS HUGEINT) * f_n1)) AS _D
+        FROM cell CROSS JOIN tot
+    )
+    SELECT f_n1, f_n2, f_bins,
+           CAST(_D * 1000000
+                // (CAST(f_n1 AS HUGEINT) * f_n2 * 2) AS BIGINT) AS f_tvd_ppm
+    FROM gap CROSS JOIN tot
+"""
+QUERIES["q_tvd_drift"] = q_tvd_drift

@@ -29,7 +29,7 @@ from typing import Any, Callable, Iterator
 
 VALID_KINDS = (
     "entities", "feature_views", "datasets", "sources", "ann_indexes",
-    "snapshots", "online_stores",
+    "snapshots", "online_stores", "exposures",
 )
 
 

@@ -389,6 +389,28 @@ class FeatureStore:
             raise FeatureViewNotFoundError(canonical_name(name), str(version))
         return self._fv_from_doc(doc)
 
+    def list_exposures(self) -> DataFrame:
+        """Enumerate dbt exposures (models.load_exposures) — name, type,
+        owner, dependency count, url — the impact-analysis index."""
+        rows = [
+            (
+                d["name"],
+                d["type"],
+                (d.get("owner") or {}).get("name", ""),
+                (d.get("owner") or {}).get("email", ""),
+                len(d.get("depends_on") or []),
+                d.get("url", ""),
+            )
+            for d in self.registry.list("exposures")
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema=(
+                "NAME string, TYPE string, OWNER_NAME string,"
+                " OWNER_EMAIL string, N_DEPS int, URL string"
+            ),
+        )
+
     def list_feature_views(self) -> DataFrame:
         rows = [
             (

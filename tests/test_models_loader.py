@@ -893,3 +893,123 @@ models:
         proj = self._load(fs, tmp_path, base_table, yml)
         with pytest.raises(ValidationError, match="Unknown schema test"):
             run_schema_tests(fs, proj)
+
+
+class TestSchemaTestConfigs:
+    """dbt test configs on generic tests (r11): `where:` filters the
+    tested rows; `severity: warn` records the failure without failing
+    strict mode — both the inline and nested-config spellings."""
+
+    YML = """\
+version: 2
+
+sources:
+  - name: test_sources
+    tables:
+      - name: customer_base_table
+        columns:
+          - name: tier
+            tests:
+              - accepted_values:
+                  values: ['gold']
+                  severity: warn
+          - name: age
+            tests:
+              - not_null:
+                  config:
+                    where: "country = 'US'"
+"""
+
+    def test_warn_and_where(self, fs, spark, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import run_schema_tests
+
+        # age is NULL only for a non-US row -> the where-filtered
+        # not_null passes; tier has non-gold values -> warn-only failure
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 23, "US", "gold"),
+                (2, "2024-01-01 00:00:00", None, "DE", "silver"),
+            ],
+            schema=(
+                "customer_id int, updated_at string, age int, "
+                "country string, tier string"
+            ),
+        ).selectExpr(
+            "customer_id", "CAST(updated_at AS timestamp) updated_at",
+            "age", "country", "tier",
+        ).write.mode("overwrite").parquet(base_table)
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": self.YML}
+        )
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        results = {
+            r["name"]: r for r in run_schema_tests(fs, proj, strict=True)
+        }  # strict does NOT raise: the only failure is warn-severity
+        warn = results["accepted_values_test_sources.customer_base_table_tier"]
+        assert not warn["passed"] and warn["severity"] == "warn"
+        assert results[
+            "not_null_test_sources.customer_base_table_age"
+        ]["passed"]  # the DE null is outside the where filter
+
+
+class TestExposures:
+    """dbt exposures (r11): downstream-consumer declarations closing the
+    lineage graph — validated refs/sources, registry round-trip,
+    list_exposures API."""
+
+    YML = """\
+version: 2
+
+sources:
+  - name: test_sources
+    tables:
+      - name: customer_base_table
+
+exposures:
+  - name: churn_dashboard
+    type: dashboard
+    owner:
+      name: data-team
+      email: data@example.com
+    url: https://bi.example.com/churn
+    maturity: high
+    depends_on:
+      - ref('test_derived_customer_features')
+      - source('test_sources', 'customer_base_table')
+"""
+
+    def test_exposures_load_and_list(self, fs, tmp_path, base_table):
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": self.YML}
+        )
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(fs, proj)
+        assert report["exposures"] == ["CHURN_DASHBOARD"]
+        rows = {r["NAME"]: r for r in fs.list_exposures().collect()}
+        exp = rows["CHURN_DASHBOARD"]
+        assert exp["TYPE"] == "dashboard"
+        assert exp["OWNER_EMAIL"] == "data@example.com"
+        assert exp["N_DEPS"] == 2
+        doc = fs.registry.get("exposures", "CHURN_DASHBOARD")
+        assert {d["kind"] for d in doc["depends_on"]} == {"ref", "source"}
+
+    def test_unknown_ref_fails(self, fs, tmp_path, base_table):
+        yml = self.YML.replace(
+            "ref('test_derived_customer_features')", "ref('nope')"
+        )
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": yml}
+        )
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="does not match any model"):
+            load_project(fs, proj)
+
+    def test_bad_type_fails(self, fs, tmp_path, base_table):
+        yml = self.YML.replace("type: dashboard", "type: spreadsheet")
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": yml}
+        )
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="type must be one of"):
+            load_project(fs, proj)

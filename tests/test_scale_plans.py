@@ -441,7 +441,9 @@ def test_checkpoint_keys_report_merged_subplans(spark):
     from dbt_snowflake_feature_store_spark.plans import inspect as pi
 
     qs = entry_mod.queries()
-    for key in ("q_rfm", "q_global_ntile"):
+    # q_ks_drift / q_best_split_gini (r11) ride the multi-value
+    # running-sum form of the same primitive — same audit contract
+    for key in ("q_rfm", "q_global_ntile", "q_ks_drift", "q_best_split_gini"):
         with pi.capture_subplans() as subs:
             df = qs[key](spark, SF_DIR)
             s = pi.summarize(df, extra_plans=subs)

@@ -363,7 +363,10 @@ def load_sources_yml(
     root0 = mdir if os.path.isdir(mdir) else project_dir
     decls: dict[tuple[str, str], str] = {}
     found = False
-    for root, _dirs, files in os.walk(root0):
+    for root, dirs, files in os.walk(root0):
+        # same scoping as every other project walker — a fixture yml
+        # under tests/ must not declare sources (review r11)
+        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
         for fn in sorted(files):
             if not fn.endswith((".yml", ".yaml")):
                 continue
@@ -695,7 +698,8 @@ def load_project(
     # exposures declare downstream consumers of the models just
     # registered — load them last so their refs validate
     report["exposures"] = load_exposures(
-        fs, project_dir, models=models, dry_run=dry_run
+        fs, project_dir, models=models, dry_run=dry_run,
+        model_vars=model_vars, _declared=declared,
     )
     return report
 
@@ -829,6 +833,7 @@ def run_schema_tests(
     fs: "FeatureStore",
     project_dir: str,
     strict: bool = False,
+    model_vars: dict[str, Any] | None = None,
 ) -> list[dict[str, Any]]:
     """dbt GENERIC (schema) tests — the yml half of dbt's test surface
     beside :func:`run_data_tests`'s singular SQL tests: ``models:`` /
@@ -853,13 +858,26 @@ def run_schema_tests(
     root0 = mdir if os.path.isdir(mdir) else project_dir
     declared_map, _declared = load_sources_yml(project_dir)
 
+    # full-Jinja models parse with the SAME macros + vars load_project
+    # uses (review r11: a bare parse_model dropped macros/model_vars and
+    # crashed on projects that load fine)
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir), model_vars
+            )
+        return jinja_env
+
     # parse the project's models so model-targeted tests know versions
     models: dict[str, Model] = {}
     for root, dirs, files in os.walk(root0):
         dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
         for fn in sorted(files):
             if fn.endswith(".sql"):
-                mdl = parse_model(os.path.join(root, fn))
+                mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
                 models[canonical_name(mdl.name)] = mdl
 
     def _model_df(name: str):
@@ -920,6 +938,12 @@ def run_schema_tests(
         elif isinstance(test, dict) and len(test) == 1:
             tname, params = next(iter(test.items()))
             params = params or {}
+            if not isinstance(params, dict):
+                raise ValidationError(
+                    f"Schema test '{tname}' on {rel_label}.{col}: "
+                    f"parameters must be a mapping (e.g. values:/to:/"
+                    f"field:), got {params!r}"
+                )
         else:
             raise ValidationError(f"Unparseable test entry {test!r}")
         # dbt test configs: `where:` filters the tested rows, `severity:
@@ -1058,6 +1082,8 @@ def load_exposures(
     project_dir: str,
     models: dict[str, Model] | None = None,
     dry_run: bool = False,
+    model_vars: dict[str, Any] | None = None,
+    _declared: "set[tuple[str, str]] | None | object" = _VAR_MISSING,
 ) -> list[str]:
     """dbt EXPOSURES — the downstream-consumer declarations
     (``exposures:`` blocks in ``models/**/*.yml``) that close the
@@ -1074,17 +1100,30 @@ def load_exposures(
 
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
-    declared_map, declared = load_sources_yml(project_dir)
+    if _declared is _VAR_MISSING:
+        _declared_map, declared = load_sources_yml(project_dir)
+    else:
+        declared = _declared  # load_project already parsed the ymls once
 
     if models is None:
         models = {}
+        jinja_env = None
+
+        def _env():
+            nonlocal jinja_env
+            if jinja_env is None:
+                jinja_env = make_jinja_env(
+                    _project_macro_paths(project_dir), model_vars
+                )
+            return jinja_env
+
         for root, dirs, files in os.walk(root0):
             dirs[:] = [
                 d for d in dirs if d not in ("tests", "macros", "seeds")
             ]
             for fn in sorted(files):
                 if fn.endswith(".sql"):
-                    mdl = parse_model(os.path.join(root, fn))
+                    mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
                     models[mdl.name] = mdl
     model_names = {canonical_name(m) for m in models}
     seeds = {canonical_name(s) for s in _seed_stems(project_dir)}
@@ -1094,6 +1133,7 @@ def load_exposures(
         r"""(?:,\s*['"]([^'"]+)['"]\s*)?\)\s*$"""
     )
     names: list[str] = []
+    names_seen: set[str] = set()
     for root, dirs, files in os.walk(root0):
         dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
         for fn in sorted(files):
@@ -1156,6 +1196,12 @@ def load_exposures(
                             {"kind": "source", "target": f"{key[0]}.{key[1]}"}
                         )
                 cname = canonical_name(name)
+                if cname in names_seen:
+                    raise ValidationError(
+                        f"Duplicate exposure name '{name}' across "
+                        "models/**.yml (dbt compilation contract)"
+                    )
+                names_seen.add(cname)
                 if not dry_run:
                     fs.registry.put(
                         "exposures",

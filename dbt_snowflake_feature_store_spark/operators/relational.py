@@ -674,14 +674,17 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT-r10 #6): the sketch estimates are engine-specific raw
     values, so the output carries the exact aggregates plus FLAGS that
     the estimates honor their accuracy contracts — approx distinct
-    within 3×rsd (15%) of exact, approx-p50 between exact p25 and p75
-    (percentile_approx at accuracy 1000 has rank error ≤ n/1000, far
-    inside that band). Both flags are deterministic-true at any SF, so
-    DuckDB replays them as literals and the exact columns hash-gate the
-    plan; the sketch aggregates still run (they feed the flags)."""
+    within 15% of exact at rsd=0.02 (a ≈7.5σ band: the HLL estimate is
+    deterministic for a FIXED dataset, and the band holds for any
+    regenerated testdata short of a cosmic outlier — the
+    q_approx_distinct_sketch ≈6σ discipline), approx-p50 between exact
+    p25 and p75 (percentile_approx at accuracy 1000 has a HARD rank
+    error bound ≤ n/1000, far inside that band). DuckDB replays the
+    flags as literals and the exact columns hash-gate the plan; the
+    sketch aggregates still run (they feed the flags)."""
     li = _t(spark, sf_dir, "lineitem")
     a = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_p50"),
         F.countDistinct("l_partkey").cast("long").alias("f_exact_parts"),
         F.percentile(F.col("l_extendedprice"), F.lit(0.25)).alias("_p25"),

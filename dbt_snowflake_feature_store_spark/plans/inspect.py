@@ -66,11 +66,25 @@ _REDUCING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Expand")
 # ``vec_id == 0`` query-vector pick is one row at any scale — label it
 # reduced so the registry-wide forced-broadcast sweep stays precise).
 # l_orderkey equality is ≤7 lineitems — still a constant bound.
+# NEGATED equalities keep n−1 rows — _filter_is_key_eq strips
+# ``NOT (...)`` segments before matching so ``key != literal`` slices of
+# scaling tables stay FLAGGED (review r11: the bare regex matched inside
+# the NOT and waved the exact weak class this sweep exists to catch).
 _KEY_EQ_RE = re.compile(
-    r"Filter .*?\(?(?:cast\()?(?:"
+    r"\(?(?:cast\()?(?:"
     + "|".join(sorted(_COL2TABLE))
     + r")#\d+L?(?: as \w+\))? = -?\d+",
 )
+_NOT_SEG_RE = re.compile(r"NOT \([^()]*\)")
+
+
+def _filter_is_key_eq(text: str) -> bool:
+    for line in text.splitlines():
+        if "Filter " not in line:
+            continue
+        if _KEY_EQ_RE.search(_NOT_SEG_RE.sub("", line)):
+            return True
+    return False
 
 
 def _marker_pos(line: str) -> int | None:
@@ -119,7 +133,7 @@ def _label_hinted_side(subtree: list[str]) -> str:
     if not tables and literal_seen:
         return "literal"
     inner = ",".join(tables) if tables else "derived"
-    if any(node in text for node in _REDUCING_NODES) or _KEY_EQ_RE.search(text):
+    if any(node in text for node in _REDUCING_NODES) or _filter_is_key_eq(text):
         return f"reduced({inner})"
     return inner
 

@@ -64,6 +64,23 @@ def _swap_in(out_dir: str, staging: str, token: str, manifest: list[str]) -> Non
     (interrupted) attempt and are kept, (3) the old dir and the staging
     dir (with its commit marker) are removed last."""
     staged = set(manifest)
+    # completeness check BEFORE any mutation: if a committed shard is
+    # missing from both staging and out_dir, refuse with the corpus
+    # intact (review r11: the old mid-loop check fired after old tars
+    # had already moved aside, leaving a mixed corpus behind the error)
+    missing = [
+        f
+        for f in sorted(staged)
+        if not os.path.exists(os.path.join(staging, f))
+        and not os.path.exists(os.path.join(out_dir, f))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"webdataset swap: committed shard(s) {missing} missing from "
+            f"both staging and '{out_dir}' — corpus incomplete, refusing "
+            "to start the swap (old corpus and staging preserved for "
+            "inspection)"
+        )
     old_dir = os.path.join(out_dir, f"_old-{token}")
     os.makedirs(old_dir, exist_ok=True)
     for f in _shard_tars(out_dir):
@@ -73,15 +90,9 @@ def _swap_in(out_dir: str, staging: str, token: str, manifest: list[str]) -> Non
             )
     for f in sorted(staged):
         src = os.path.join(staging, f)
-        dst = os.path.join(out_dir, f)
         if os.path.exists(src):
-            os.rename(src, dst)
-        elif not os.path.exists(dst):
-            raise RuntimeError(
-                f"webdataset swap: committed shard '{f}' missing from both "
-                f"staging and '{out_dir}' — corpus incomplete, refusing to "
-                f"finalize (staging preserved for inspection)"
-            )
+            os.rename(src, os.path.join(out_dir, f))
+        # else: already swapped in by a previous (interrupted) attempt
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
 

@@ -1208,6 +1208,7 @@ class FeatureStore:
         key). Missing exports fail loudly; the FV's timestamp column
         (if any) rides along as the snapshot's as-of stamp."""
         out = spine
+        original_spine = {c.upper() for c in spine.columns}
         for i, fv in enumerate(fvs):
             fv = self._resolve_fv(fv, versions[i] if versions else None)
             online = self.read_online(fv)
@@ -1226,19 +1227,34 @@ class FeatureStore:
                 c = out[spine_map[k.upper()]] == online[k]
                 cond = c if cond is None else cond & c
             feature_cols = [c for c in online.columns if c not in keys]
-            clash = [c for c in feature_cols if c.upper() in spine_map]
-            if clash:
+            # Collisions with the CALLER's spine are the caller's to fix
+            # — raise (silently dropping a requested feature is worse;
+            # ADVICE r10). Collisions with columns an EARLIER FV join
+            # added (e.g. two timestamped FVs sharing a ts column name)
+            # have no caller-side fix — deterministically suffix with
+            # the FV name instead (review r11).
+            spine_clash = [
+                c for c in feature_cols if c.upper() in original_spine
+            ]
+            if spine_clash:
                 raise ValidationError(
-                    f"feature column(s) {clash} of feature view "
+                    f"feature column(s) {spine_clash} of feature view "
                     f"'{fv.name}' collide with columns already on the "
-                    "spine/result — rename the spine columns or select "
-                    "them off before retrieval (silently dropping a "
-                    "requested feature is worse than failing; ADVICE r10)"
+                    "spine — rename the spine columns or select them "
+                    "off before retrieval"
                 )
+            renames = {
+                c: f"{c}__{fv.name}"
+                for c in feature_cols
+                if c.upper() in spine_map
+            }
             joined = out.join(online, cond, "left")
             out = joined.select(
                 *[out[c] for c in out.columns],
-                *[online[c] for c in feature_cols],
+                *[
+                    online[c].alias(renames.get(c, c))
+                    for c in feature_cols
+                ],
             )
         return out
 

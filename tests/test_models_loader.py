@@ -1013,3 +1013,27 @@ exposures:
         fs.register_source("customer_base_table", base_table)
         with pytest.raises(ValidationError, match="type must be one of"):
             load_project(fs, proj)
+
+
+def test_schema_test_list_params_fail_loudly(fs, tmp_path, base_table):
+    """Review r11: `accepted_values: ['gold']` (params as a bare list, a
+    common misspelling) must raise ValidationError, not AttributeError."""
+    from dbt_snowflake_feature_store_spark import run_schema_tests
+
+    yml = """\
+version: 2
+
+sources:
+  - name: test_sources
+    tables:
+      - name: customer_base_table
+        columns:
+          - name: tier
+            tests:
+              - accepted_values: ['gold']
+"""
+    proj = _write_project(tmp_path, {**REFERENCE_PROJECT, "schema.yml": yml})
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    with pytest.raises(ValidationError, match="must be a mapping"):
+        run_schema_tests(fs, proj)

@@ -260,3 +260,28 @@ def test_retrieve_online_features_rejects_column_collision(
     )
     with pytest.raises(ValidationError, match="collide"):
         fs.retrieve_online_features(spine, ["spend_fv"], versions=["1.0"])
+
+
+def test_retrieve_two_fvs_sharing_timestamp_column(fs, spark, fv_with_history):
+    """Review r11: two timestamped FVs share a 'ts' column — the second
+    join must suffix-rename (no caller-side fix exists for a collision
+    an earlier FV join introduced), never raise, never drop."""
+    fv2 = FeatureView(
+        name="spend2_fv",
+        entities=["cust"],
+        sql="SELECT cust_id, ts, f_spend * 2 AS f_spend2 FROM cust_hist",
+        timestamp_col="ts",
+    )
+    fs.register_feature_view(fv2, version="1.0")
+    fs.export_online_store("spend_fv", "1.0")
+    fs.export_online_store("spend2_fv", "1.0")
+    spine = spark.createDataFrame([(1,), (2,)], "cust_id INT")
+    out = fs.retrieve_online_features(
+        spine, ["spend_fv", "spend2_fv"], versions=["1.0", "1.0"]
+    )
+    cols = set(out.columns)
+    assert "f_spend" in cols and "f_spend2" in cols
+    assert "ts" in cols  # the first FV's as-of stamp
+    assert "ts__SPEND2_FV" in cols  # the second renamed, not dropped
+    rows = {r["cust_id"]: r for r in out.collect()}
+    assert rows[1]["f_spend2"] == 40.0

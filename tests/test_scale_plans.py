@@ -430,6 +430,14 @@ def test_forced_broadcast_labeler_classes(spark):
     s = pi.summarize(docs.crossJoin(F.broadcast(slice_)))
     assert s.unbounded_forced_broadcasts() == ["documents"]
 
+    # a NEGATED key equality keeps n−1 rows — must stay flagged (review
+    # r11: the bare regex matched inside NOT(...) and waved it through)
+    neg = docs.filter(F.col("doc_id") != 0).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(neg)))
+    assert s.unbounded_forced_broadcasts() == ["documents"]
+
 
 def test_checkpoint_keys_report_merged_subplans(spark):
     """plans.inspect must see THROUGH localCheckpoint lineage cuts

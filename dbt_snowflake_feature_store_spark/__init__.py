@@ -18,6 +18,7 @@ from .errors import (
 )
 from .functions.profile import profile
 from .models import (
+    build_project,
     load_exposures,
     load_project,
     run_data_tests,
@@ -41,6 +42,7 @@ __all__ = [
     "profile",
     "get_spark",
     "load_project",
+    "build_project",
     "load_exposures",
     "run_data_tests",
     "run_schema_tests",

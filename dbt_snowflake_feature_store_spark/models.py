@@ -366,7 +366,10 @@ def load_sources_yml(
     for root, dirs, files in os.walk(root0):
         # same scoping as every other project walker — a fixture yml
         # under tests/ must not declare sources (review r11)
-        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", "macros", "seeds", "snapshots")
+        ]
         for fn in sorted(files):
             if not fn.endswith((".yml", ".yaml")):
                 continue
@@ -583,7 +586,7 @@ def load_project(
     from .objects import Entity  # local import: avoid cycle at module load
 
     if exclude_dirs is None:
-        exclude_dirs = ["tests", "macros", "seeds"]
+        exclude_dirs = ["tests", "macros", "seeds", "snapshots"]
     excluded = {
         os.path.abspath(os.path.join(project_dir, d)) for d in exclude_dirs
     }
@@ -760,6 +763,9 @@ def run_data_tests(
         norm_seeds = os.path.abspath(os.path.join(project_dir, "seeds"))
         if absroot == norm_seeds or absroot.startswith(norm_seeds + os.sep):
             continue
+        norm_snaps = os.path.abspath(os.path.join(project_dir, "snapshots"))
+        if absroot == norm_snaps or absroot.startswith(norm_snaps + os.sep):
+            continue  # snapshot blocks are not models (run_snapshots owns them)
         for fn in sorted(files):
             if fn.endswith(".sql"):
                 mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
@@ -834,6 +840,7 @@ def run_schema_tests(
     project_dir: str,
     strict: bool = False,
     model_vars: dict[str, Any] | None = None,
+    allow_empty: bool = False,
 ) -> list[dict[str, Any]]:
     """dbt GENERIC (schema) tests — the yml half of dbt's test surface
     beside :func:`run_data_tests`'s singular SQL tests: ``models:`` /
@@ -874,7 +881,10 @@ def run_schema_tests(
     # parse the project's models so model-targeted tests know versions
     models: dict[str, Model] = {}
     for root, dirs, files in os.walk(root0):
-        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", "macros", "seeds", "snapshots")
+        ]
         for fn in sorted(files):
             if fn.endswith(".sql"):
                 mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
@@ -1015,7 +1025,10 @@ def run_schema_tests(
 
     found = False
     for root, dirs, files in os.walk(root0):
-        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", "macros", "seeds", "snapshots")
+        ]
         for fn in sorted(files):
             if not fn.endswith((".yml", ".yaml")):
                 continue
@@ -1055,6 +1068,8 @@ def run_schema_tests(
                                 tst,
                             )
     if not found:
+        if allow_empty:
+            return []
         raise ValidationError(
             f"No schema tests under {root0!r} — attach tests: to columns "
             "in models/**/*.yml"
@@ -1119,7 +1134,8 @@ def load_exposures(
 
         for root, dirs, files in os.walk(root0):
             dirs[:] = [
-                d for d in dirs if d not in ("tests", "macros", "seeds")
+                d for d in dirs
+                if d not in ("tests", "macros", "seeds", "snapshots")
             ]
             for fn in sorted(files):
                 if fn.endswith(".sql"):
@@ -1135,7 +1151,10 @@ def load_exposures(
     names: list[str] = []
     names_seen: set[str] = set()
     for root, dirs, files in os.walk(root0):
-        dirs[:] = [d for d in dirs if d not in ("tests", "macros", "seeds")]
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", "macros", "seeds", "snapshots")
+        ]
         for fn in sorted(files):
             if not fn.endswith((".yml", ".yaml")):
                 continue
@@ -1222,3 +1241,59 @@ def load_exposures(
                     )
                 names.append(cname)
     return sorted(names)
+
+
+def build_project(
+    fs: "FeatureStore",
+    project_dir: str,
+    source_map: dict[Any, str] | None = None,
+    model_vars: dict[str, Any] | None = None,
+    strict_tests: bool = True,
+    at: Any = None,
+) -> dict[str, Any]:
+    """The ``dbt build`` analog — one call runs the whole project in
+    dbt's phase order: seeds + models + exposures (:func:`load_project`),
+    snapshots (``snapshots/`` blocks, when present), then the test
+    surface — yml GENERIC tests (:func:`run_schema_tests`) and singular
+    SQL tests (:func:`run_data_tests`), both skipped gracefully when the
+    project declares none. ``strict_tests=True`` (the ``dbt build``
+    exit-nonzero contract) raises on any error-severity failure AFTER
+    every test has run, naming all failures at once. Returns the
+    combined report::
+
+        {"models": <load_project report>, "snapshots": {...} | None,
+         "schema_tests": [...], "data_tests": [...]}
+    """
+    from .snapshots import run_snapshots
+
+    report: dict[str, Any] = {
+        "models": load_project(
+            fs, project_dir, source_map=source_map, model_vars=model_vars
+        ),
+        "snapshots": None,
+        "schema_tests": [],
+        "data_tests": [],
+    }
+    if os.path.isdir(os.path.join(project_dir, "snapshots")):
+        report["snapshots"] = run_snapshots(
+            fs, project_dir, source_map=source_map, model_vars=model_vars,
+            at=at,
+        )
+    report["schema_tests"] = run_schema_tests(
+        fs, project_dir, model_vars=model_vars, allow_empty=True
+    )
+    if os.path.isdir(os.path.join(project_dir, "tests")):
+        report["data_tests"] = run_data_tests(
+            fs, project_dir, source_map=source_map, model_vars=model_vars
+        )
+    if strict_tests:
+        failed = [
+            r["name"]
+            for r in report["schema_tests"]
+            if not r["passed"] and r.get("severity", "error") == "error"
+        ] + [r["name"] for r in report["data_tests"] if not r["passed"]]
+        if failed:
+            raise ValidationError(
+                f"build: {len(failed)} test(s) failed: {', '.join(failed)}"
+            )
+    return report

@@ -1037,3 +1037,84 @@ sources:
     load_project(fs, proj)
     with pytest.raises(ValidationError, match="must be a mapping"):
         run_schema_tests(fs, proj)
+
+
+class TestBuildProject:
+    """build_project (r11): the `dbt build` analog — seeds/models/
+    exposures, snapshots, then both test surfaces in phase order, with
+    the exit-nonzero contract aggregated across all tests."""
+
+    SNAP = """\
+{% snapshot cust_snap %}
+{{
+  config(
+    strategy='timestamp',
+    unique_key='customer_id',
+    updated_at='updated_at'
+  )
+}}
+SELECT customer_id, tier, updated_at
+FROM {{ source('test_sources', 'customer_base_table') }}
+{% endsnapshot %}
+"""
+
+    YML = """\
+version: 2
+
+sources:
+  - name: test_sources
+    tables:
+      - name: customer_base_table
+        columns:
+          - name: customer_id
+            tests:
+              - not_null
+"""
+
+    def test_full_build(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import build_project
+
+        _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": self.YML}
+        )
+        snap_dir = tmp_path / "models" / "snapshots"
+        snap_dir.mkdir(parents=True, exist_ok=True)
+        (snap_dir / "cust.sql").write_text(self.SNAP)
+        fs.register_source("customer_base_table", base_table)
+        report = build_project(
+            fs, str(tmp_path / "models"), at="2024-02-01 00:00:00"
+        )
+        assert len(report["models"]["feature_views"]) == 4
+        assert report["snapshots"]["CUST_SNAP"]["rows"] == 3
+        assert len(report["schema_tests"]) == 1
+        assert all(r["passed"] for r in report["schema_tests"])
+        assert report["data_tests"] == []  # no tests/ dir
+
+    def test_build_without_tests_or_snapshots(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import build_project
+
+        _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        report = build_project(fs, str(tmp_path / "models"))
+        assert report["snapshots"] is None
+        assert report["schema_tests"] == []
+
+    def test_strict_aggregates_failures(self, fs, spark, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import build_project
+
+        spark.createDataFrame(
+            [(None, "2024-01-01 00:00:00", 23, "US", "gold")],
+            schema=(
+                "customer_id int, updated_at string, age int, "
+                "country string, tier string"
+            ),
+        ).selectExpr(
+            "customer_id", "CAST(updated_at AS timestamp) updated_at",
+            "age", "country", "tier",
+        ).write.mode("overwrite").parquet(base_table)
+        _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "schema.yml": self.YML}
+        )
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="build: 1 test"):
+            build_project(fs, str(tmp_path / "models"))

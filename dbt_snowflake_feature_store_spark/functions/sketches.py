@@ -627,3 +627,99 @@ def kmv_maintained_estimate(
         F.expr(f"CAST(_cnt * {_KMV_SPACE} DIV {int(threshold)} AS BIGINT)")
     )
     return agg.select(*keys, est.cast("long").alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL register table (streaming-maintainable MAX-merge form)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64           # registers (2^6); σ ≈ 1.04/√64 ≈ 13%
+HLL_RHO_MAX = 55     # 60-bit hash → rho ∈ [1, 55]; empty register = 0 here
+_HLL_2P55 = 1 << 55
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000  # α16+ ≈ 0.709 exact-rational
+
+
+def hll_registers_sql(
+    source: str,
+    keys: Sequence[str],
+    item_col: str,
+    m: int = HLL_M,
+) -> str:
+    """FV body SQL maintaining the per-key PORTABLE-HLL register table
+    over registered source ``source`` — the streaming-maintainable form
+    of the q_hll_portable register construction (identical md5 hash
+    spelling). Columns: keys…, idx, reg (reg = MAX rho). The
+    (keys, idx) grain is a keyed MAX aggregation the update-mode
+    foreachBatch-MERGE path maintains register-exactly: MAX is
+    idempotent and monotone, so replays and out-of-order arrivals
+    converge (the Bloom bit_or precedent), and state is BOUNDED by
+    construction — ≤ m rows per key group at any item cardinality.
+    This closes streaming maintenance across the sketch family: HDR
+    (SUM), count-min (SUM), KMV (threshold), Bloom (bit_or), HLL
+    (MAX)."""
+    ks = ", ".join(keys)
+    h = (
+        f"CAST(conv(substring(md5(concat('hll:',"
+        f" CAST({item_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"SELECT {ks}, CAST(h % {int(m)} AS BIGINT) AS idx, "
+        f"MAX(CASE WHEN h DIV {int(m)} = 0 THEN {HLL_RHO_MAX} "
+        f"ELSE {HLL_RHO_MAX} - length(bin(h DIV {int(m)})) END) AS reg "
+        f"FROM (SELECT {ks}, {h} AS h FROM {source} "
+        f"WHERE {item_col} IS NOT NULL) "
+        f"GROUP BY {ks}, idx"
+    )
+
+
+def hll_registers_by_key(
+    df: DataFrame, keys: Sequence[str], item_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Batch twin of :func:`hll_registers_sql` (exactness comparisons)."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('hll:',"
+        f" CAST({item_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*keys, h.alias("_h"))
+        .select(
+            *keys,
+            F.expr(f"CAST(_h % {int(m)} AS BIGINT)").alias("idx"),
+            F.expr(
+                f"CASE WHEN _h DIV {int(m)} = 0 THEN {HLL_RHO_MAX}"
+                f" ELSE {HLL_RHO_MAX} - length(bin(_h DIV {int(m)})) END"
+            ).alias("_rho"),
+        )
+        .groupBy(*keys, "idx")
+        .agg(F.max("_rho").cast("long").alias("reg"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, keys: Sequence[str], m: int = HLL_M
+) -> DataFrame:
+    """Raw HLL estimate per key group off a (maintained) register table
+    — the q_hll_portable harmonic algebra: exact integer denominator
+    Σ2^(55−reg) (+2^55 per EMPTY register), α·m²·2^55 DIV regsum.
+    Columns: keys…, hll_est (BIGINT). Bias corrections (ln-based) stay
+    production-side by design."""
+    per = regs.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("_nhit"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({HLL_RHO_MAX} - reg AS INT))"
+            )
+        ).cast("long").alias("_hitsum"),
+    )
+    return per.select(
+        *keys,
+        F.expr(
+            f"CAST(CAST({_HLL_ALPHA_NUM} AS DECIMAL(38,0)) * {int(m)}"
+            f" * {int(m)} * CAST({_HLL_2P55} AS DECIMAL(38,0))"
+            f" DIV (CAST({_HLL_ALPHA_DEN} AS DECIMAL(38,0))"
+            f" * (_hitsum + ({int(m)} - _nhit)"
+            f" * CAST({_HLL_2P55} AS BIGINT))) AS BIGINT)"
+        ).alias("hll_est"),
+    )

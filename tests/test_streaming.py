@@ -917,3 +917,92 @@ class TestStreamingBloom:
         # monotone: no bit ever cleared by the second arrival
         for k, bw in got1.items():
             assert (got2[k] & bw) == bw, k
+
+
+class TestStreamingHLL:
+    def test_hll_registers_fv_incremental_maintenance(
+        self, fs, spark, split_events
+    ):
+        """Streaming HLL maintenance (r11): the portable register table
+        is a keyed MAX aggregation — idempotent and monotone, so it
+        rides the foreachBatch-MERGE path like Bloom's bit_or. After
+        each arrival the maintained registers equal the batch build
+        REGISTER-EXACTLY, and the harmonic estimate off the maintained
+        table lands within the 13%-σ band of the exact distinct count.
+        This closes streaming maintenance across the sketch family:
+        HDR (SUM), count-min (SUM), KMV (threshold), Bloom (bit_or),
+        HLL (MAX)."""
+        from dbt_snowflake_feature_store_spark.functions import (
+            sketches as SK,
+        )
+
+        fs.register_source("S_HLL", split_events["src"])
+        fs.register_entity(Entity("etype_reg", ["event_type", "idx"]))
+        fv = FeatureView(
+            "hll_regs",
+            ["etype_reg"],
+            sql=SK.hll_registers_sql("S_HLL", ["event_type"], "user_id"),
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_regs():
+            ev = spark.read.parquet(split_events["src"])
+            return {
+                (r["event_type"], r["idx"]): r["reg"]
+                for r in SK.hll_registers_by_key(
+                    ev, ["event_type"], "user_id"
+                ).collect()
+            }
+
+        def maintained_regs():
+            return {
+                (r["event_type"], r["idx"]): r["reg"]
+                for r in fs.read_feature_view("HLL_REGS$1.0").collect()
+            }
+
+        assert maintained_regs() == batch_regs()
+
+        _arrive_half2(split_events)
+        assert fs.refresh("hll_regs", "1.0") == "INCREMENTAL"
+        m2 = maintained_regs()
+        assert m2 == batch_regs()  # register-exact after the merge
+        # bounded state: ≤ m rows per key group by construction
+        per_group = {}
+        for (g, _), _r in m2.items():
+            per_group[g] = per_group.get(g, 0) + 1
+        assert all(n <= SK.HLL_M for n in per_group.values()), per_group
+
+        # estimate off the MAINTAINED table vs exact distinct per group.
+        # The maintained table carries RAW harmonic estimates (bias
+        # corrections are production policy, hll_estimate_from_registers
+        # docstring); the standard HLL range policy applies here in the
+        # consumer: LINEAR COUNTING m·ln(m/empty) when registers are
+        # sparse (n ≲ 2.5m — raw HLL is known-biased there), raw
+        # harmonic otherwise. Both read ONLY the maintained registers.
+        import math
+
+        ev = spark.read.parquet(split_events["src"])
+        raw = {
+            r["event_type"]: r["hll_est"]
+            for r in SK.hll_estimate_from_registers(
+                fs.read_feature_view("HLL_REGS$1.0"), ["event_type"]
+            ).collect()
+        }
+        truth = {
+            r["event_type"]: r["n"]
+            for r in ev.filter(F.col("user_id").isNotNull())
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long").alias("n"))
+            .collect()
+        }
+        assert set(raw) == set(truth)
+        m = SK.HLL_M
+        for g, n in truth.items():
+            empty = m - per_group[g]
+            est = (
+                m * math.log(m / empty) if empty > 0 and raw[g] < 2.5 * m
+                else raw[g]
+            )
+            # σ ≈ 1.04/√64 ≈ 13% → generous 3σ band (sketch-test norm)
+            assert abs(est - n) <= max(0.4 * n, 4), (g, est, raw[g], n)

@@ -193,6 +193,7 @@ HEADLINE = [
     "q_burstiness",
     "q_zipf_tail",
     "q_tvd_drift",
+    "q_confusion_metrics",
 ]
 
 

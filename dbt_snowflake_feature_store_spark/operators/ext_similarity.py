@@ -2617,3 +2617,92 @@ ORACLE["q_rrf_fusion"] = f"""
     FROM fused ORDER BY f_rrf DESC, f_id ASC LIMIT {_K}
 """
 QUERIES["q_rrf_fusion"] = q_rrf_fusion
+
+
+# ---------------------------------------------------------------------------
+# Per-label precision / recall / F1 off the centroid classifier
+# ---------------------------------------------------------------------------
+
+
+def q_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label PRECISION / RECALL / F1 in exact ppm, ORACLE-GATED —
+    the metric rollup every eval pipeline derives from a confusion
+    matrix, computed off q_centroid_classify's (true, pred, n) cells:
+    tp / (tp+fp), tp / (tp+fn), 2·tp / (2·tp+fp+fn), all integer DIV
+    with GREATEST(·,1) denominator guards (DuckDB hard-errors on
+    integer ÷0 where Spark nulls — the CLAUDE.md class-mix invariant).
+    Completes the eval family beside q_auc_mann_whitney (ranking),
+    q_calibration_bins (probability), q_ann_recall (retrieval).
+
+    Scale: the confusion matrix is L×L-bounded BY CONSTRUCTION; both
+    marginals and the metric arithmetic are matrix-sized — the corpus
+    cost is q_centroid_classify's (one broadcast-join scoring pass)."""
+    cm = q_centroid_classify(spark, sf_dir).select(
+        "f_true", "f_pred", "f_n"
+    )
+    tp = cm.filter(F.col("f_true") == F.col("f_pred")).select(
+        F.col("f_true").alias("f_label"), F.col("f_n").alias("_tp")
+    )
+    true_m = cm.groupBy("f_true").agg(F.sum("f_n").cast("long").alias("_t"))
+    pred_m = cm.groupBy("f_pred").agg(F.sum("f_n").cast("long").alias("_p"))
+    out = (
+        true_m.select(F.col("f_true").alias("f_label"), "_t")
+        .join(pred_m.select(F.col("f_pred").alias("f_label"), "_p"), "f_label", "left")
+        .join(tp, "f_label", "left")
+        .select(
+            "f_label",
+            F.coalesce(F.col("_tp"), F.lit(0)).cast("long").alias("f_tp"),
+            (F.coalesce(F.col("_p"), F.lit(0)) - F.coalesce(F.col("_tp"), F.lit(0)))
+            .cast("long").alias("f_fp"),
+            (F.col("_t") - F.coalesce(F.col("_tp"), F.lit(0)))
+            .cast("long").alias("f_fn"),
+        )
+    )
+    return out.select(
+        "f_label",
+        "f_tp",
+        "f_fp",
+        "f_fn",
+        F.expr(
+            "CAST(f_tp * 1000000 DIV GREATEST(f_tp + f_fp, 1) AS BIGINT)"
+        ).alias("f_precision_ppm"),
+        F.expr(
+            "CAST(f_tp * 1000000 DIV GREATEST(f_tp + f_fn, 1) AS BIGINT)"
+        ).alias("f_recall_ppm"),
+        F.expr(
+            "CAST(2 * f_tp * 1000000"
+            " DIV GREATEST(2 * f_tp + f_fp + f_fn, 1) AS BIGINT)"
+        ).alias("f_f1_ppm"),
+    )
+
+
+ORACLE["q_confusion_metrics"] = f"""
+    WITH cm AS ({ORACLE["q_centroid_classify"]}),
+    tp AS (
+        SELECT f_true AS f_label, f_n AS _tp FROM cm WHERE f_true = f_pred
+    ),
+    tm AS (SELECT f_true AS f_label, CAST(SUM(f_n) AS BIGINT) AS _t
+           FROM cm GROUP BY f_true),
+    pm AS (SELECT f_pred AS f_label, CAST(SUM(f_n) AS BIGINT) AS _p
+           FROM cm GROUP BY f_pred),
+    cells AS (
+        SELECT tm.f_label,
+               CAST(COALESCE(tp._tp, 0) AS BIGINT) AS f_tp,
+               CAST(COALESCE(pm._p, 0) - COALESCE(tp._tp, 0) AS BIGINT)
+                   AS f_fp,
+               CAST(tm._t - COALESCE(tp._tp, 0) AS BIGINT) AS f_fn
+        FROM tm
+        LEFT JOIN pm ON tm.f_label = pm.f_label
+        LEFT JOIN tp ON tm.f_label = tp.f_label
+    )
+    SELECT f_label, f_tp, f_fp, f_fn,
+           CAST(f_tp * 1000000 // GREATEST(f_tp + f_fp, 1) AS BIGINT)
+               AS f_precision_ppm,
+           CAST(f_tp * 1000000 // GREATEST(f_tp + f_fn, 1) AS BIGINT)
+               AS f_recall_ppm,
+           CAST(2 * f_tp * 1000000
+                // GREATEST(2 * f_tp + f_fp + f_fn, 1) AS BIGINT)
+               AS f_f1_ppm
+    FROM cells
+"""
+QUERIES["q_confusion_metrics"] = q_confusion_metrics

@@ -377,12 +377,27 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     missed the q_negative_sample / q_knn_classify quadratic weaks for two
     rounds). Parsed from the OPTIMIZED plan (plan-build only, no
     execution), because the executed plan cannot distinguish a forced
-    hint from an AQE choice."""
+    hint from an AQE choice.
+
+    The same sweep also audits the PYTHON-STAGE discipline ("UDFs are
+    the slow path"): only the documented Arrow-batch keys — the
+    imperative packer pair, the minhash/simhash signature stages, and
+    the multimodal codecs — may carry ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas nodes; every other key must stay JVM-side
+    whole-stage-codegen end to end."""
     import __spark_entry__ as entry_mod
     from dbt_snowflake_feature_store_spark.plans import inspect as pi
 
+    ARROW_KEYS = {
+        # each documented in SURVEY §2.E: packing is imperative
+        # (applyInPandas over bounded shards), minhash/simhash run one
+        # numpy signature stage, the codecs decode real PNG/JPEG bytes
+        "q_pack_bfd", "q_pack_bfd_check",
+        "q_dedup_near", "q_dedup_simhash",
+        "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_frames",
+    }
     qs = entry_mod.queries()
-    bad = {}
+    bad, rogue_python = {}, {}
     for key, fn in qs.items():
         with pi.capture_subplans() as subs:
             df = fn(spark, SF_DIR)
@@ -390,7 +405,13 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         unbounded = s.unbounded_forced_broadcasts()
         if unbounded:
             bad[key] = unbounded
+        if s.python_evals and key not in ARROW_KEYS:
+            rogue_python[key] = s.python_evals
     assert not bad, f"forced broadcast of SF-proportional tables: {bad}"
+    assert not rogue_python, (
+        f"Python row stages outside the documented Arrow keys: "
+        f"{rogue_python}"
+    )
 
 
 def test_forced_broadcast_labeler_classes(spark):

@@ -77,7 +77,11 @@ def _ranked(
     sum_outs = (
         [sum_out] if isinstance(sum_out, str) else list(sum_out or [])
     )
-    assert len(sum_values) == len(sum_outs)
+    if len(sum_values) != len(sum_outs):
+        raise ValueError(
+            f"sum_value/sum_out arity mismatch: {len(sum_values)} value "
+            f"column(s) vs {len(sum_outs)} output name(s)"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     if num_partitions:
         parts = int(num_partitions)

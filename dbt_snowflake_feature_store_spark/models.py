@@ -342,30 +342,16 @@ def _topo_order(
     return order
 
 
-def load_sources_yml(
-    project_dir: str,
-) -> tuple[dict[tuple[str, str], str] | None, set[tuple[str, str]] | None]:
-    """Parse dbt ``sources:`` declarations from ``models/**/*.yml``
-    (the reference project's own layout —
-    /root/reference/integration_tests/models/sources.yml:1-9): returns
-    ``(binding_map, declared_keys)`` where the map binds each declared
-    ``(source, table)`` to its registered-source name (``identifier:``
-    wins over the table name — dbt's physical-name remap), and the set
-    is used to FAIL on ``{{ source(...) }}`` references no yml
-    declares (dbt's compilation contract). ``(None, None)`` when the
-    project declares no sources, keeping bare-table binding for
-    yml-less projects. ``database``/``schema``/``description``/
-    ``loaded_at_field`` keys are accepted and ignored (warehouse-
-    physical concepts with no Spark-side meaning)."""
+def _iter_project_ymls(project_dir: str):
+    """Yield (path, parsed-dict) for every yml under the project's
+    models tree — ONE walker shared by the sources/schema-test/exposure
+    loaders so the dir-pruning list and error handling cannot drift
+    (review r11)."""
     import yaml
 
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
-    decls: dict[tuple[str, str], str] = {}
-    found = False
     for root, dirs, files in os.walk(root0):
-        # same scoping as every other project walker — a fixture yml
-        # under tests/ must not declare sources (review r11)
         dirs[:] = [
             d for d in dirs
             if d not in ("tests", "macros", "seeds", "snapshots")
@@ -381,29 +367,64 @@ def load_sources_yml(
                     raise ValidationError(
                         f"Unparseable yml {path!r}: {e}"
                     ) from e
-            if not isinstance(data, dict) or not data.get("sources"):
-                continue
-            for s in data["sources"]:
-                if not isinstance(s, dict) or not s.get("name"):
+            if isinstance(data, dict):
+                yield path, data
+
+
+def normalize_source_map(m: dict[Any, str] | None) -> dict[Any, str]:
+    """Every override present under BOTH spellings — ('s','t') tuple and
+    's.t' string — so a sources.yml-declared tuple key can never shadow
+    a user's string-key override after the maps merge (review r11:
+    _resolve_source checks the tuple spelling first)."""
+    out: dict[Any, str] = dict(m or {})
+    for k, v in list(out.items()):
+        if isinstance(k, str) and "." in k:
+            s, tbl = k.split(".", 1)
+            out[(s, tbl)] = v
+    return out
+
+
+def load_sources_yml(
+    project_dir: str,
+) -> tuple[dict[tuple[str, str], str] | None, set[tuple[str, str]] | None]:
+    """Parse dbt ``sources:`` declarations from ``models/**/*.yml``
+    (the reference project's own layout —
+    /root/reference/integration_tests/models/sources.yml:1-9): returns
+    ``(binding_map, declared_keys)`` where the map binds each declared
+    ``(source, table)`` to its registered-source name (``identifier:``
+    wins over the table name — dbt's physical-name remap), and the set
+    is used to FAIL on ``{{ source(...) }}`` references no yml
+    declares (dbt's compilation contract). ``(None, None)`` when the
+    project declares no sources, keeping bare-table binding for
+    yml-less projects. ``database``/``schema``/``description``/
+    ``loaded_at_field`` keys are accepted and ignored (warehouse-
+    physical concepts with no Spark-side meaning)."""
+    decls: dict[tuple[str, str], str] = {}
+    found = False
+    for path, data in _iter_project_ymls(project_dir):
+        if not data.get("sources"):
+            continue
+        for s in data["sources"]:
+            if not isinstance(s, dict) or not s.get("name"):
+                raise ValidationError(
+                    f"{path!r}: every sources: entry needs a name"
+                )
+            found = True
+            sname = str(s["name"])
+            for tbl in s.get("tables") or []:
+                if not isinstance(tbl, dict) or not tbl.get("name"):
                     raise ValidationError(
-                        f"{path!r}: every sources: entry needs a name"
+                        f"{path!r}: every table under source "
+                        f"'{sname}' needs a name"
                     )
-                found = True
-                sname = str(s["name"])
-                for tbl in s.get("tables") or []:
-                    if not isinstance(tbl, dict) or not tbl.get("name"):
-                        raise ValidationError(
-                            f"{path!r}: every table under source "
-                            f"'{sname}' needs a name"
-                        )
-                    tname = str(tbl["name"])
-                    key = (sname, tname)
-                    if key in decls:
-                        raise ValidationError(
-                            f"Source table '{sname}.{tname}' declared "
-                            "twice across models/**.yml"
-                        )
-                    decls[key] = str(tbl.get("identifier") or tname)
+                tname = str(tbl["name"])
+                key = (sname, tname)
+                if key in decls:
+                    raise ValidationError(
+                        f"Source table '{sname}.{tname}' declared "
+                        "twice across models/**.yml"
+                    )
+                decls[key] = str(tbl.get("identifier") or tname)
     if not found:
         return None, None
     return decls, set(decls)
@@ -618,7 +639,7 @@ def load_project(
     # references; an explicit source_map overrides per key
     declared_map, declared = load_sources_yml(project_dir)
     if declared_map is not None:
-        source_map = {**declared_map, **(source_map or {})}
+        source_map = {**declared_map, **normalize_source_map(source_map)}
 
     models: dict[str, Model] = {}
     for p in sorted(paths):
@@ -736,7 +757,7 @@ def run_data_tests(
     # sources.yml binds/gates source() exactly as in load_project
     declared_map, declared = load_sources_yml(project_dir)
     if declared_map is not None:
-        source_map = {**declared_map, **(source_map or {})}
+        source_map = {**declared_map, **normalize_source_map(source_map)}
 
     jinja_env = None
 
@@ -841,6 +862,7 @@ def run_schema_tests(
     strict: bool = False,
     model_vars: dict[str, Any] | None = None,
     allow_empty: bool = False,
+    source_map: dict[Any, str] | None = None,
 ) -> list[dict[str, Any]]:
     """dbt GENERIC (schema) tests — the yml half of dbt's test surface
     beside :func:`run_data_tests`'s singular SQL tests: ``models:`` /
@@ -859,11 +881,13 @@ def run_schema_tests(
     row-cardinality). Returns ``[{"name", "rows", "passed"}]`` in name
     order; ``strict=True`` raises naming every failure (``dbt test``'s
     exit-nonzero behavior)."""
-    import yaml
-
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
     declared_map, _declared = load_sources_yml(project_dir)
+    # the SAME effective binding every other build phase uses (review
+    # r11: schema tests previously ignored source_map and could validate
+    # a different physical table than the models read)
+    eff_map = {**(declared_map or {}), **normalize_source_map(source_map)}
 
     # full-Jinja models parse with the SAME macros + vars load_project
     # uses (review r11: a bare parse_model dropped macros/model_vars and
@@ -906,7 +930,11 @@ def run_schema_tests(
         )
 
     def _source_df(sname: str, tname: str):
-        bound = (declared_map or {}).get((sname, tname), tname)
+        bound = (
+            eff_map.get((sname, tname))
+            or eff_map.get(f"{sname}.{tname}")
+            or tname
+        )
         doc = fs.registry.get("sources", canonical_name(bound))
         if doc is None:
             raise ValidationError(
@@ -1024,21 +1052,26 @@ def run_schema_tests(
         )
 
     found = False
-    for root, dirs, files in os.walk(root0):
-        dirs[:] = [
-            d for d in dirs
-            if d not in ("tests", "macros", "seeds", "snapshots")
-        ]
-        for fn in sorted(files):
-            if not fn.endswith((".yml", ".yaml")):
-                continue
-            with open(os.path.join(root, fn), encoding="utf-8") as fh:
-                data = yaml.safe_load(fh) or {}
-            if not isinstance(data, dict):
-                continue
-            for entry in data.get("models") or []:
-                name = str(entry.get("name", ""))
-                for coldef in entry.get("columns") or []:
+    for _path, data in _iter_project_ymls(project_dir):
+        for entry in data.get("models") or []:
+            name = str(entry.get("name", ""))
+            entry_df = None  # resolved ONCE per entry, not per test
+            for coldef in entry.get("columns") or []:
+                cn = str(coldef.get("name", ""))
+                tests = (
+                    coldef.get("tests") or coldef.get("data_tests") or []
+                )
+                for tst in tests:
+                    found = True
+                    if entry_df is None:
+                        entry_df = _model_df(name)
+                    _run_one(name, entry_df, cn, tst)
+        for s in data.get("sources") or []:
+            sname = str(s.get("name", ""))
+            for tbl in s.get("tables") or []:
+                tname2 = str(tbl.get("name", ""))
+                tbl_df = None
+                for coldef in tbl.get("columns") or []:
                     cn = str(coldef.get("name", ""))
                     tests = (
                         coldef.get("tests")
@@ -1047,26 +1080,11 @@ def run_schema_tests(
                     )
                     for tst in tests:
                         found = True
-                        _run_one(name, _model_df(name), cn, tst)
-            for s in data.get("sources") or []:
-                sname = str(s.get("name", ""))
-                for tbl in s.get("tables") or []:
-                    tname2 = str(tbl.get("name", ""))
-                    for coldef in tbl.get("columns") or []:
-                        cn = str(coldef.get("name", ""))
-                        tests = (
-                            coldef.get("tests")
-                            or coldef.get("data_tests")
-                            or []
+                        if tbl_df is None:
+                            tbl_df = _source_df(sname, tname2)
+                        _run_one(
+                            f"{sname}.{tname2}", tbl_df, cn, tst
                         )
-                        for tst in tests:
-                            found = True
-                            _run_one(
-                                f"{sname}.{tname2}",
-                                _source_df(sname, tname2),
-                                cn,
-                                tst,
-                            )
     if not found:
         if allow_empty:
             return []
@@ -1111,8 +1129,6 @@ def load_exposures(
     Registers under registry kind ``exposures``; returns the canonical
     names. Called by :func:`load_project` after models register (refs
     validate against the project); callable standalone too."""
-    import yaml
-
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
     if _declared is _VAR_MISSING:
@@ -1150,96 +1166,85 @@ def load_exposures(
     )
     names: list[str] = []
     names_seen: set[str] = set()
-    for root, dirs, files in os.walk(root0):
-        dirs[:] = [
-            d for d in dirs
-            if d not in ("tests", "macros", "seeds", "snapshots")
-        ]
-        for fn in sorted(files):
-            if not fn.endswith((".yml", ".yaml")):
-                continue
-            with open(os.path.join(root, fn), encoding="utf-8") as fh:
-                data = yaml.safe_load(fh) or {}
-            if not isinstance(data, dict):
-                continue
-            for exp in data.get("exposures") or []:
-                name = str(exp.get("name", ""))
-                if not name:
+    for fn, data in _iter_project_ymls(project_dir):
+        for exp in data.get("exposures") or []:
+            name = str(exp.get("name", ""))
+            if not name:
+                raise ValidationError(
+                    f"{fn!r}: every exposures: entry needs a name"
+                )
+            etype = str(exp.get("type", "")).lower()
+            if etype not in _EXPOSURE_TYPES:
+                raise ValidationError(
+                    f"Exposure '{name}': type must be one of "
+                    f"{sorted(_EXPOSURE_TYPES)}, got {exp.get('type')!r}"
+                )
+            owner = exp.get("owner") or {}
+            if not (
+                isinstance(owner, dict)
+                and (owner.get("name") or owner.get("email"))
+            ):
+                raise ValidationError(
+                    f"Exposure '{name}': owner needs name or email"
+                )
+            deps = []
+            for dep in exp.get("depends_on") or []:
+                m = _DEP_RE.match(str(dep))
+                if not m:
                     raise ValidationError(
-                        f"{fn!r}: every exposures: entry needs a name"
+                        f"Exposure '{name}': depends_on entries must "
+                        f"be ref('model') or source('s','t'), got "
+                        f"{dep!r}"
                     )
-                etype = str(exp.get("type", "")).lower()
-                if etype not in _EXPOSURE_TYPES:
-                    raise ValidationError(
-                        f"Exposure '{name}': type must be one of "
-                        f"{sorted(_EXPOSURE_TYPES)}, got {exp.get('type')!r}"
-                    )
-                owner = exp.get("owner") or {}
-                if not (
-                    isinstance(owner, dict)
-                    and (owner.get("name") or owner.get("email"))
-                ):
-                    raise ValidationError(
-                        f"Exposure '{name}': owner needs name or email"
-                    )
-                deps = []
-                for dep in exp.get("depends_on") or []:
-                    m = _DEP_RE.match(str(dep))
-                    if not m:
+                if m.group(1) == "ref":
+                    target = canonical_name(m.group(2))
+                    if target not in model_names and target not in seeds:
                         raise ValidationError(
-                            f"Exposure '{name}': depends_on entries must "
-                            f"be ref('model') or source('s','t'), got "
-                            f"{dep!r}"
+                            f"Exposure '{name}': ref('{m.group(2)}') "
+                            "does not match any model or seed"
                         )
-                    if m.group(1) == "ref":
-                        target = canonical_name(m.group(2))
-                        if target not in model_names and target not in seeds:
-                            raise ValidationError(
-                                f"Exposure '{name}': ref('{m.group(2)}') "
-                                "does not match any model or seed"
-                            )
-                        deps.append({"kind": "ref", "target": target})
-                    else:
-                        if not m.group(3):
-                            raise ValidationError(
-                                f"Exposure '{name}': source() takes 2 args"
-                            )
-                        key = (m.group(2), m.group(3))
-                        if declared is not None and key not in declared:
-                            raise ValidationError(
-                                f"Exposure '{name}': source "
-                                f"'{key[0]}.{key[1]}' is not declared in "
-                                "any models/**.yml 'sources:' block"
-                            )
-                        deps.append(
-                            {"kind": "source", "target": f"{key[0]}.{key[1]}"}
+                    deps.append({"kind": "ref", "target": target})
+                else:
+                    if not m.group(3):
+                        raise ValidationError(
+                            f"Exposure '{name}': source() takes 2 args"
                         )
-                cname = canonical_name(name)
-                if cname in names_seen:
-                    raise ValidationError(
-                        f"Duplicate exposure name '{name}' across "
-                        "models/**.yml (dbt compilation contract)"
+                    key = (m.group(2), m.group(3))
+                    if declared is not None and key not in declared:
+                        raise ValidationError(
+                            f"Exposure '{name}': source "
+                            f"'{key[0]}.{key[1]}' is not declared in "
+                            "any models/**.yml 'sources:' block"
+                        )
+                    deps.append(
+                        {"kind": "source", "target": f"{key[0]}.{key[1]}"}
                     )
-                names_seen.add(cname)
-                if not dry_run:
-                    fs.registry.put(
-                        "exposures",
-                        cname,
-                        {
-                            "name": cname,
-                            "type": etype,
-                            "owner": {
-                                k: str(v)
-                                for k, v in owner.items()
-                                if k in ("name", "email")
-                            },
-                            "depends_on": deps,
-                            "url": str(exp.get("url", "")),
-                            "description": str(exp.get("description", "")),
-                            "maturity": str(exp.get("maturity", "")),
+            cname = canonical_name(name)
+            if cname in names_seen:
+                raise ValidationError(
+                    f"Duplicate exposure name '{name}' across "
+                    "models/**.yml (dbt compilation contract)"
+                )
+            names_seen.add(cname)
+            if not dry_run:
+                fs.registry.put(
+                    "exposures",
+                    cname,
+                    {
+                        "name": cname,
+                        "type": etype,
+                        "owner": {
+                            k: str(v)
+                            for k, v in owner.items()
+                            if k in ("name", "email")
                         },
-                    )
-                names.append(cname)
+                        "depends_on": deps,
+                        "url": str(exp.get("url", "")),
+                        "description": str(exp.get("description", "")),
+                        "maturity": str(exp.get("maturity", "")),
+                    },
+                )
+            names.append(cname)
     return sorted(names)
 
 
@@ -1274,13 +1279,20 @@ def build_project(
         "schema_tests": [],
         "data_tests": [],
     }
-    if os.path.isdir(os.path.join(project_dir, "snapshots")):
+    snap_dir = os.path.join(project_dir, "snapshots")
+    has_snaps = os.path.isdir(snap_dir) and any(
+        fn.endswith(".sql")
+        for _r, _d, fns in os.walk(snap_dir)
+        for fn in fns
+    )
+    if has_snaps:
         report["snapshots"] = run_snapshots(
             fs, project_dir, source_map=source_map, model_vars=model_vars,
             at=at,
         )
     report["schema_tests"] = run_schema_tests(
-        fs, project_dir, model_vars=model_vars, allow_empty=True
+        fs, project_dir, model_vars=model_vars, allow_empty=True,
+        source_map=source_map,
     )
     if os.path.isdir(os.path.join(project_dir, "tests")):
         report["data_tests"] = run_data_tests(

@@ -338,9 +338,13 @@ def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-planned, no window; the max-week exclusion is a 1-row
     broadcast."""
     ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("f_week")
-    ).distinct()
+    # the activity grid feeds the label join, its own next-week image,
+    # AND the max-week scalar — checkpoint so events scans ONCE
+    act = _ckpt(
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("f_week")
+        ).distinct()
+    )
     nxt = act.select(
         F.col("user_id").alias("_u"),
         F.col("f_week").alias("_w1"),

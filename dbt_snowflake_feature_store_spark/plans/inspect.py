@@ -75,14 +75,35 @@ _KEY_EQ_RE = re.compile(
     + "|".join(sorted(_COL2TABLE))
     + r")#\d+L?(?: as \w+\))? = -?\d+",
 )
-_NOT_SEG_RE = re.compile(r"NOT \([^()]*\)")
+def _strip_not_segments(line: str) -> str:
+    """Remove every ``NOT (...)`` segment with BALANCED parens — a bare
+    regex can't strip ``NOT (cast(vec_id#5 as bigint) = 0)`` (nested
+    parens), and an unstripped negated equality would be mislabeled
+    reduced (review r11)."""
+    out, i = [], 0
+    while True:
+        j = line.find("NOT (", i)
+        if j < 0:
+            out.append(line[i:])
+            return "".join(out)
+        out.append(line[i:j])
+        depth, k = 0, j + 4  # j+4 = the opening paren
+        while k < len(line):
+            if line[k] == "(":
+                depth += 1
+            elif line[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        i = k + 1
 
 
 def _filter_is_key_eq(text: str) -> bool:
     for line in text.splitlines():
         if "Filter " not in line:
             continue
-        if _KEY_EQ_RE.search(_NOT_SEG_RE.sub("", line)):
+        if _KEY_EQ_RE.search(_strip_not_segments(line)):
             return True
     return False
 

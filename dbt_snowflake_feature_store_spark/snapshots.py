@@ -386,7 +386,32 @@ def _merge_timestamp(
         F.col("_old_ua").isNull()
         | (F.col("dbt_updated_at") > F.col("_old_ua"))
         | F.col("_old_marker")
-    ).drop("_k", "_old_ua", "_old_marker")
+    )
+    if new_record:
+        # a key restored with an updated_at it already carried BEFORE
+        # deletion (restore-from-backup) would re-mint md5(key||ua) and
+        # collide with the pre-delete closed row's dbt_scd_id — salt the
+        # RESURRECT insert with the marker's delete stamp so the SCD2
+        # surrogate stays unique (review r11)
+        resurrect = F.col("_old_marker") & ~(
+            F.col("dbt_updated_at") > F.col("_old_ua")
+        )
+        ins = ins.withColumn(
+            "dbt_scd_id",
+            F.when(
+                resurrect,
+                F.md5(
+                    F.concat_ws(
+                        "||",
+                        F.col(key).cast("string"),
+                        F.col("dbt_updated_at").cast("string"),
+                        F.lit("resurrect"),
+                        F.col("_old_ua").cast("string"),
+                    )
+                ),
+            ).otherwise(F.col("dbt_scd_id")),
+        )
+    ins = ins.drop("_k", "_old_ua", "_old_marker")
     return closed.unionByName(keep_open).unionByName(closed_now).unionByName(ins)
 
 
@@ -533,11 +558,11 @@ def run_snapshots(
     if not os.path.isdir(snap_dir):
         raise ValidationError(f"No snapshots/ directory under {project_dir!r}")
     # sources.yml binds/gates source() exactly as in models.load_project
-    from .models import load_sources_yml
+    from .models import load_sources_yml, normalize_source_map
 
     declared_map, declared = load_sources_yml(project_dir)
     if declared_map is not None:
-        source_map = {**declared_map, **(source_map or {})}
+        source_map = {**declared_map, **normalize_source_map(source_map)}
     paths = []
     for root, _dirs, files in os.walk(snap_dir):
         for fn in sorted(files):

@@ -1118,3 +1118,50 @@ sources:
         fs.register_source("customer_base_table", base_table)
         with pytest.raises(ValidationError, match="build: 1 test"):
             build_project(fs, str(tmp_path / "models"))
+
+
+def test_schema_tests_honor_source_map(fs, spark, tmp_path, base_table):
+    """Review r11 (2nd pass): schema tests must resolve sources through
+    the SAME effective binding as the models — an explicit source_map
+    override (either spelling) wins over the yml identifier."""
+    from dbt_snowflake_feature_store_spark import run_schema_tests
+
+    yml = """\
+version: 2
+
+sources:
+  - name: test_sources
+    tables:
+      - name: customer_base_table
+        columns:
+          - name: customer_id
+            tests:
+              - not_null
+"""
+    proj = _write_project(tmp_path, {**REFERENCE_PROJECT, "schema.yml": yml})
+    fs.register_source("elsewhere", base_table)
+    # STRING-key override: previously shadowed by the declared tuple key
+    load_project(
+        fs, proj, source_map={"test_sources.customer_base_table": "elsewhere"}
+    )
+    results = run_schema_tests(
+        fs,
+        proj,
+        strict=True,
+        source_map={"test_sources.customer_base_table": "elsewhere"},
+    )
+    assert len(results) == 1 and results[0]["passed"]
+
+
+def test_build_project_tolerates_empty_snapshots_dir(fs, tmp_path, base_table):
+    """Review r11 (2nd pass): a snapshots/ dir with no .sql files (e.g.
+    only .gitkeep) must not abort the build."""
+    from dbt_snowflake_feature_store_spark import build_project
+
+    _write_project(tmp_path, REFERENCE_PROJECT)
+    snap_dir = tmp_path / "models" / "snapshots"
+    snap_dir.mkdir(parents=True, exist_ok=True)
+    (snap_dir / ".gitkeep").write_text("")
+    fs.register_source("customer_base_table", base_table)
+    report = build_project(fs, str(tmp_path / "models"))
+    assert report["snapshots"] is None

@@ -459,6 +459,14 @@ def test_forced_broadcast_labeler_classes(spark):
     s = pi.summarize(docs.crossJoin(F.broadcast(neg)))
     assert s.unbounded_forced_broadcasts() == ["documents"]
 
+    # cast-wrapped negation (nested parens inside the NOT): the strip
+    # must handle balanced parens, not just flat segments (review r11)
+    neg_cast = docs.filter(F.col("doc_id").cast("int") != 0).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(neg_cast)))
+    assert s.unbounded_forced_broadcasts() == ["documents"]
+
 
 def test_checkpoint_keys_report_merged_subplans(spark):
     """plans.inspect must see THROUGH localCheckpoint lineage cuts

@@ -537,3 +537,29 @@ def test_new_record_migration_story(fs, spark, tmp_path):
     assert rep["MIG_SNAPSHOT"]["open"] == 1
     hist = read_snapshot(fs, "mig_snapshot")
     assert hist.filter(F.col("dbt_is_deleted") == "True").count() == 1
+
+
+def test_new_record_resurrect_same_updated_at_unique_scd_ids(
+    fs, spark, tmp_path
+):
+    """Review r11: a key restored with the SAME updated_at it carried
+    before deletion (restore-from-backup) must not re-mint the old
+    dbt_scd_id — every row keeps a unique SCD2 surrogate."""
+    proj = _write(tmp_path, NEWREC_SNAPSHOT.replace("nr_snapshot", "rs_snap"))
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    fs.register_source("cust_src", str(tmp_path / "cust_src.parquet"))
+    run_snapshots(fs, proj, at="2024-01-02 00:00:00")
+    spark.createDataFrame(
+        [], "cid INT, tier STRING, region STRING, updated_at STRING"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "cust_src.parquet"))
+    run_snapshots(fs, proj, at="2024-02-01 00:00:00")  # delete + marker
+    _src(spark, tmp_path, [(1, "gold", "us", "2024-01-01 00:00:00")])
+    rep = run_snapshots(fs, proj, at="2024-03-01 00:00:00")  # resurrect
+    hist = read_snapshot(fs, "rs_snap").collect()
+    assert rep["RS_SNAP"]["rows"] == 3  # closed original, closed marker, new open
+    ids = [r["dbt_scd_id"] for r in hist]
+    assert len(ids) == len(set(ids)), ids  # every surrogate unique
+    opens = [r for r in hist if r["dbt_valid_to"] is None]
+    assert len(opens) == 1 and opens[0]["dbt_is_deleted"] == "False"

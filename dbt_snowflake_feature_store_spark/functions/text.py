@@ -471,7 +471,11 @@ def dedup_near_minhash(
     # Shingle-string hashing stays JVM-side (one xxhash64 per element);
     # the 32-permutation signature + band fold runs as ONE Arrow-batched
     # numpy stage (see minhash_band_hashes_udf).
-    assert rows_per_band * bands == num_hashes
+    if rows_per_band * bands != num_hashes:
+        raise ValueError(
+            f"rows_per_band ({rows_per_band}) * bands ({bands}) must "
+            f"equal num_hashes ({num_hashes})"
+        )
     band_udf = minhash_band_hashes_udf(num_hashes, bands)
     # posexplode_OUTER, deliberately: plain posexplode makes Catalyst's
     # InferFiltersFromGenerate add `size(_bands) > 0`, which pushes below
@@ -606,7 +610,11 @@ def dedup_near_minhash_portable(
     bands. Same O(n·bands) shape as the production path; only the
     per-element hash arithmetic differs."""
     rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
+    if rows_per_band * bands != num_hashes:
+        raise ValueError(
+            f"rows_per_band ({rows_per_band}) * bands ({bands}) must "
+            f"equal num_hashes ({num_hashes})"
+        )
     p = _MERSENNE61
     d = (
         df.select(F.col(id_col), F.col(text_col))

@@ -53,7 +53,10 @@ class Registry:
 
     # -- low-level document ops ---------------------------------------------
     def _path(self, kind: str, key: str) -> str:
-        assert kind in VALID_KINDS, kind
+        if kind not in VALID_KINDS:
+            raise ValueError(
+                f"unknown registry kind {kind!r} (valid: {VALID_KINDS})"
+            )
         return os.path.join(self.base, kind, f"{key}.json")
 
     def put(self, kind: str, key: str, doc: dict[str, Any]) -> None:

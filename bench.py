@@ -194,6 +194,7 @@ HEADLINE = [
     "q_zipf_tail",
     "q_tvd_drift",
     "q_confusion_metrics",
+    "q_user_session_features",
 ]
 
 

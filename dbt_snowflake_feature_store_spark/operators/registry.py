@@ -34,7 +34,7 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 11 rotation (26 + 7 + 17 = the 50-key driver cap) ----
+    # ---- round 11 rotation (27 + 7 + 16 = the 50-key driver cap) ----
     # part 1 (21): every key whose code changed THIS round — the two
     # de-weaked eval probes (fixed-size hash-smallest anchor/query
     # sets), the 9 literal_df-converted keys (plan-audit marker), the 3
@@ -49,25 +49,25 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_pack_bfd_check", "q_ks_drift", "q_best_split_gini",
     "q_weighted_median", "q_label_churn", "q_entropy_mix",
     "q_stratified_kfold",
-    # part 1b (5): the round-11 second wave + the eval-metrics closer
+    # part 1b (6): the round-11 second wave + the eval-metrics closer
+    # + the user-grain session rollup
     "q_lexical_diversity", "q_burstiness", "q_zipf_tail", "q_tvd_drift",
-    "q_confusion_metrics",
+    "q_confusion_metrics", "q_user_session_features",
     # (q_ann_recall rides with part 1 — see part 2 tail)
     # part 2 (6 + 1): the r10 keys that have NEVER been driver-recorded
     # (VERDICT-r10 #4's exact list) + the new q_ann_recall
     "q_auc_mann_whitney", "q_diverse_topk", "q_quantile_norm",
     "q_group_kfold", "q_source_divergence", "q_hll_portable",
     "q_ann_recall",
-    # part 3 (17): the oldest (r7-dated) driver records, risk families
+    # part 3 (16): the oldest (r7-dated) driver records, risk families
     # first (dedup/similarity/asof, then window/scalar shapes)
     "q_dedup_near_portable", "q_dedup_simhash_portable",
     "q_embed_covariance", "q_join_asof_near", "q_sessionize",
     "q_cte_pipeline", "q_lateral_topn", "q_k_anonymity", "q_cube",
     "q_chunk_overlap", "q_ngram_novelty", "q_agg_having", "q_histogram",
     "q_window_frame", "q_window_percentile", "q_window_range",
-    "q_window_rank",
     # position 51+ — PAST the cap: the remaining r7-dated keys are the
-    # r12 promotion set (q_scalar_subquery, q_semi_anti, q_set_ops_all,
+    # r12 promotion set (q_window_rank, q_scalar_subquery, q_semi_anti, q_set_ops_all,
     # q_sort_limit, q_zorder_key, q_explode_tokens, q_pivot, q_rollup,
     # q_scalar_date/json/str, q_set_ops, q_tpch_q1like/q3like/q5like/
     # q22like, q_union_all, q_join_left, q_join_multi_fv)

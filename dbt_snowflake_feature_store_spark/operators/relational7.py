@@ -110,9 +110,12 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(F.broadcast(tot)).select(
         "f_n1",
         "f_n2",
+        # GREATEST(·,1): an empty group makes n1·n2 = 0 — Spark DIV
+        # would NULL where DuckDB // hard-errors (ADVICE-r11; the
+        # q_confusion_metrics denominator discipline)
         F.expr(
-            "CAST(_D * 1000000 DIV (CAST(f_n1 AS DECIMAL(18,0))"
-            " * CAST(f_n2 AS DECIMAL(18,0))) AS BIGINT)"
+            "CAST(_D * 1000000 DIV GREATEST(CAST(f_n1 AS DECIMAL(18,0))"
+            " * CAST(f_n2 AS DECIMAL(18,0)), 1) AS BIGINT)"
         ).alias("f_ks_ppm"),
     )
 
@@ -146,7 +149,8 @@ ORACLE["q_ks_drift"] = """
     )
     SELECT f_n1, f_n2,
            CAST(_D * 1000000
-                // (CAST(f_n1 AS HUGEINT) * f_n2) AS BIGINT) AS f_ks_ppm
+                // GREATEST(CAST(f_n1 AS HUGEINT) * f_n2, 1)
+                AS BIGINT) AS f_ks_ppm
     FROM d CROSS JOIN tot
 """
 QUERIES["q_ks_drift"] = q_ks_drift
@@ -789,8 +793,11 @@ def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_n1",
         "f_n2",
         "f_bins",
+        # GREATEST(·,1): empty group → n1·n2 = 0; Spark DIV nulls
+        # where DuckDB // hard-errors (ADVICE-r11 guard)
         F.expr(
-            "CAST(_D * 1000000 DIV (CAST(f_n1 AS DECIMAL(18,0)) * f_n2 * 2)"
+            "CAST(_D * 1000000"
+            " DIV GREATEST(CAST(f_n1 AS DECIMAL(18,0)) * f_n2 * 2, 1)"
             " AS BIGINT)"
         ).alias("f_tvd_ppm"),
     )
@@ -818,7 +825,8 @@ ORACLE["q_tvd_drift"] = """
     )
     SELECT f_n1, f_n2, f_bins,
            CAST(_D * 1000000
-                // (CAST(f_n1 AS HUGEINT) * f_n2 * 2) AS BIGINT) AS f_tvd_ppm
+                // GREATEST(CAST(f_n1 AS HUGEINT) * f_n2 * 2, 1)
+                AS BIGINT) AS f_tvd_ppm
     FROM gap CROSS JOIN tot
 """
 QUERIES["q_tvd_drift"] = q_tvd_drift

@@ -97,12 +97,16 @@ def _swap_in(out_dir: str, staging: str, token: str, manifest: list[str]) -> Non
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def _read_manifest(staging: str) -> list[str]:
+def _read_manifest(staging: str, out_dir: str) -> list[str]:
     """Shard list from the commit marker. Markers are JSON
     ``{"token": ..., "shards": [...]}``; a legacy bare-token marker
     (pre-manifest format) falls back to listing the staging dir —
-    correct only if no swap step ran, which is all the legacy format
-    ever guaranteed."""
+    correct ONLY if no swap step ran (the listing shrinks as renames
+    proceed, so a mid-swap interrupt would make recovery treat the
+    already-renamed new shards as stale and delete them — ADVICE r11).
+    If ``out_dir`` already holds shard tars we cannot tell old-corpus
+    shards from already-swapped-in new ones: refuse automatic recovery
+    and hand the operator the manual path."""
     with open(os.path.join(staging, _WDS_COMMIT)) as f:
         raw = f.read()
     try:
@@ -111,6 +115,17 @@ def _read_manifest(staging: str) -> list[str]:
             return [str(s) for s in data["shards"]]
     except ValueError:
         pass
+    if _shard_tars(out_dir):
+        raise RuntimeError(
+            f"webdataset recovery: '{staging}' carries a legacy "
+            "(pre-manifest) commit marker and the output dir already "
+            f"contains shard tars — a legacy swap may have been "
+            "interrupted mid-rename, and the staging listing can no "
+            "longer be trusted as the committed shard set. Refusing "
+            "automatic recovery. Inspect manually: shards still in "
+            "staging belong to the new export; decide per shard, then "
+            "remove the staging dir (everything is preserved)."
+        )
     return _shard_tars(staging)
 
 
@@ -134,7 +149,9 @@ def recover_webdataset(out_dir: str) -> None:
         if not os.path.isdir(sp):
             continue
         if os.path.exists(os.path.join(sp, _WDS_COMMIT)):
-            _swap_in(out_dir, sp, s.split("-", 1)[1], _read_manifest(sp))
+            _swap_in(
+                out_dir, sp, s.split("-", 1)[1], _read_manifest(sp, out_dir)
+            )
         else:
             shutil.rmtree(sp, ignore_errors=True)
     for o in sorted(os.listdir(out_dir)):

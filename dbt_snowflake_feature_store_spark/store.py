@@ -1248,6 +1248,25 @@ class FeatureStore:
                 for c in feature_cols
                 if c.upper() in spine_map
             }
+            # The suffixed names themselves can still collide — listing
+            # the same FV twice, or a column literally named x__fvname
+            # on an earlier FV (ADVICE r11). Duplicate output columns
+            # are silent downstream poison: raise.
+            taken = {c.upper() for c in out.columns}
+            taken |= {
+                c.upper() for c in feature_cols if c not in renames
+            }
+            seen_targets: set[str] = set()
+            for src, target in renames.items():
+                tu = target.upper()
+                if tu in taken or tu in seen_targets:
+                    raise ValidationError(
+                        f"renamed feature column '{target}' (from "
+                        f"'{src}' of feature view '{fv.name}') still "
+                        "collides with an existing output column — was "
+                        "the same feature view listed twice?"
+                    )
+                seen_targets.add(tu)
             joined = out.join(online, cond, "left")
             out = joined.select(
                 *[out[c] for c in out.columns],

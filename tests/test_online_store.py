@@ -285,3 +285,25 @@ def test_retrieve_two_fvs_sharing_timestamp_column(fs, spark, fv_with_history):
     assert "ts__SPEND2_FV" in cols  # the second renamed, not dropped
     rows = {r["cust_id"]: r for r in out.collect()}
     assert rows[1]["f_spend2"] == 40.0
+
+
+def test_retrieve_same_fv_repeatedly_rejects_suffix_collision(
+    fs, spark, fv_with_history
+):
+    """ADVICE r11: the suffixed rename target itself can collide —
+    listing the same FV three times makes the third join's
+    f_spend__SPEND_FV target an existing output column. Duplicate
+    output names are silent downstream poison: raise."""
+    fs.export_online_store("spend_fv", "1.0")
+    spine = spark.createDataFrame([(1,), (2,)], "cust_id INT")
+    # twice is legal: the suffixed names are still unique
+    out = fs.retrieve_online_features(
+        spine, ["spend_fv", "spend_fv"], versions=["1.0", "1.0"]
+    )
+    assert len(out.columns) == len(set(c.upper() for c in out.columns))
+    with pytest.raises(ValidationError, match="still collides"):
+        fs.retrieve_online_features(
+            spine,
+            ["spend_fv", "spend_fv", "spend_fv"],
+            versions=["1.0", "1.0", "1.0"],
+        )

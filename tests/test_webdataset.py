@@ -186,8 +186,13 @@ def test_recover_rolls_forward_committed_staging(spark, tmp_path, media_df):
     os.makedirs(staging)
     for f in os.listdir(new_dir):
         shutil.copy(os.path.join(new_dir, f), os.path.join(staging, f))
+    staged_tars = sorted(
+        f for f in os.listdir(staging) if f.endswith(".tar")
+    )
     with open(os.path.join(staging, _WDS_COMMIT), "w") as fh:
-        fh.write("deadbeef0000")
+        import json as _json
+
+        _json.dump({"token": "deadbeef0000", "shards": staged_tars}, fh)
     # a half-done old-move from the simulated crash
     half = os.path.join(out, "_old-deadbeef0000")
     os.makedirs(half)
@@ -308,3 +313,74 @@ def test_recover_sweeps_uncommitted_staging(spark, tmp_path, media_df):
     )
     assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
     assert sorted(f for f in os.listdir(out) if f.endswith(".tar")) == before
+
+
+def test_recover_refuses_legacy_marker_over_live_corpus(
+    spark, tmp_path, media_df
+):
+    """ADVICE r11: a legacy bare-token marker carries no manifest, so
+    the staged shard set must be recomputed from the staging listing —
+    which SHRINKS as swap renames proceed. If out_dir already holds
+    shard tars we cannot tell old-corpus tars from already-renamed new
+    ones, and trusting the listing could delete committed shards.
+    Refuse automatic recovery, preserving everything for inspection."""
+    import shutil
+
+    from dbt_snowflake_feature_store_spark.sources.webdataset import (
+        _WDS_COMMIT,
+        recover_webdataset,
+    )
+
+    out = str(tmp_path / "wds_legacy")
+    export_webdataset(
+        media_df.repartition(1), out, key_col="key", samples_per_shard=5
+    )  # live corpus in out_dir
+    old_tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    staging = os.path.join(out, "_staging-cafebabe0000")
+    os.makedirs(staging)
+    shutil.copy(
+        os.path.join(out, old_tars[0]), os.path.join(staging, old_tars[0])
+    )
+    with open(os.path.join(staging, _WDS_COMMIT), "w") as fh:
+        fh.write("cafebabe0000")  # legacy pre-manifest format
+
+    with pytest.raises(RuntimeError, match="legacy"):
+        recover_webdataset(out)
+    # nothing was mutated: corpus and staging both intact
+    assert sorted(f for f in os.listdir(out) if f.endswith(".tar")) == old_tars
+    assert os.path.isdir(staging)
+    assert os.path.exists(os.path.join(staging, old_tars[0]))
+
+
+def test_recover_legacy_marker_fresh_outdir_rolls_forward(
+    spark, tmp_path, media_df
+):
+    """The legacy fallback stays valid for the one state it ever
+    guaranteed: no swap step ran (out_dir has no shard tars), so the
+    staging listing IS the committed set."""
+    import shutil
+
+    from dbt_snowflake_feature_store_spark.sources.webdataset import (
+        _WDS_COMMIT,
+        recover_webdataset,
+    )
+
+    src = str(tmp_path / "wds_src")
+    export_webdataset(
+        media_df.limit(4).repartition(1), src, key_col="key",
+        samples_per_shard=5,
+    )
+    out = str(tmp_path / "wds_fresh")
+    staging = os.path.join(out, "_staging-0badf00d0000")
+    os.makedirs(staging)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(staging, f))
+    with open(os.path.join(staging, _WDS_COMMIT), "w") as fh:
+        fh.write("0badf00d0000")  # legacy pre-manifest format
+
+    recover_webdataset(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 1
+    assert not [
+        d for d in os.listdir(out) if d.startswith(("_staging-", "_old-"))
+    ]
+    assert read_webdataset(spark, out).select("key").distinct().count() == 4

@@ -19,8 +19,10 @@ from .errors import (
 from .functions.profile import profile
 from .models import (
     build_project,
+    export_manifest,
     load_exposures,
     load_project,
+    load_semantic_layer,
     run_data_tests,
     run_schema_tests,
 )
@@ -43,7 +45,9 @@ __all__ = [
     "get_spark",
     "load_project",
     "build_project",
+    "export_manifest",
     "load_exposures",
+    "load_semantic_layer",
     "run_data_tests",
     "run_schema_tests",
     "run_snapshots",

@@ -76,8 +76,6 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative masses ride ONE ranks.global_running_sum range exchange
     (P parallel tasks, never an unpartitioned window); the final max
     is a map-side-combinable 1-row aggregate."""
-    from ..functions.ranks import global_running_sum
-
     o = _t(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
@@ -90,8 +88,21 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_a").cast("long").alias("c1"),
         F.sum("_b").cast("long").alias("c2"),
     )
+    return ks_from_points(pts)
+
+
+def ks_from_points(pts: DataFrame) -> DataFrame:
+    """Exact two-sample KS (ppm) from a PER-DISTINCT-VALUE count frame
+    ``(v, c1, c2)`` — the mergeable drift state: the point frame is a
+    keyed SUM aggregate, so a streaming FV maintains it exactly via the
+    foreachBatch-MERGE path and drift monitors read the maintained
+    table instead of rescanning raw history
+    (tests/test_streaming.py TestStreamingDrift parity)."""
+    from ..functions.ranks import global_running_sum
+
     # pts feeds the running sums AND the totals — checkpoint so the
-    # fact table scans ONCE (the q_chi2_assoc discipline)
+    # upstream (fact scan or maintained-table read) runs ONCE (the
+    # q_chi2_assoc discipline)
     pts = _ckpt(pts)
     cum = global_running_sum(
         pts, ["v"], ["c1", "c2"], rank_col="_r", sum_col=["_cum1", "_cum2"]
@@ -776,6 +787,16 @@ def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_a").cast("long").alias("c1"),
         F.sum("_b").cast("long").alias("c2"),
     )
+    return tvd_from_cells(cell)
+
+
+def tvd_from_cells(cell: DataFrame) -> DataFrame:
+    """Binned total-variation distance (ppm) from a PER-BIN count frame
+    ``(_o, c1, c2)`` — like :func:`ks_from_points`, the bin frame is a
+    keyed SUM aggregate (mergeable), so a streaming FV maintains it
+    exactly and TVD monitors read the maintained table
+    (tests/test_streaming.py TestStreamingDrift parity)."""
+    cell = _ckpt(cell)
     tot = cell.agg(
         F.sum("c1").cast("long").alias("f_n1"),
         F.sum("c2").cast("long").alias("f_n2"),

@@ -411,6 +411,44 @@ class FeatureStore:
             ),
         )
 
+    def list_semantic_models(self) -> DataFrame:
+        """Enumerate dbt semantic models (models.load_semantic_layer) —
+        name, bound model, entity/dimension/measure counts."""
+        rows = [
+            (
+                d["name"],
+                d["model"],
+                len(d.get("entities") or []),
+                len(d.get("dimensions") or []),
+                len(d.get("measures") or []),
+            )
+            for d in self.registry.list("semantic_models")
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema=(
+                "NAME string, MODEL string, N_ENTITIES int,"
+                " N_DIMENSIONS int, N_MEASURES int"
+            ),
+        )
+
+    def list_metrics(self) -> DataFrame:
+        """Enumerate dbt metrics (models.load_semantic_layer) — name,
+        type, label, the measure/metric inputs."""
+        rows = [
+            (
+                d["name"],
+                d["type"],
+                d.get("label", ""),
+                json.dumps(d.get("type_params") or {}, sort_keys=True),
+            )
+            for d in self.registry.list("metrics")
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema="NAME string, TYPE string, LABEL string, INPUTS string",
+        )
+
     def list_feature_views(self) -> DataFrame:
         rows = [
             (

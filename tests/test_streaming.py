@@ -1006,3 +1006,146 @@ class TestStreamingHLL:
             )
             # σ ≈ 1.04/√64 ≈ 13% → generous 3σ band (sketch-test norm)
             assert abs(est - n) <= max(0.4 * n, 4), (g, est, raw[g], n)
+
+
+class TestStreamingDrift:
+    """VERDICT r11 next #9 — drift monitors off MAINTAINED state: the
+    KS point frame (v, c1, c2) and the TVD bin frame (_o, c1, c2) are
+    keyed SUM aggregates, so an incremental FV maintains them exactly
+    via the foreachBatch-MERGE path and ks_from_points /
+    tvd_from_cells read the maintained table — a drift monitor never
+    rescans raw history."""
+
+    def test_ks_from_maintained_points_matches_batch(
+        self, fs, spark, split_events
+    ):
+        from dbt_snowflake_feature_store_spark.operators.relational7 import (
+            ks_from_points,
+        )
+
+        fs.register_source("S_KS", split_events["src"])
+        fs.register_entity(Entity("vpoint", ["v"]))
+        # two-sample split: error events vs everything else, point
+        # domain = value in integer cents (half-up)
+        sql = """
+            SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN event_type <> 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS c2
+            FROM S_KS WHERE value IS NOT NULL GROUP BY 1
+        """
+        fv = FeatureView(
+            "ks_points",
+            ["vpoint"],
+            sql=sql,
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_ks():
+            ev = spark.read.parquet(split_events["src"]).filter(
+                F.col("value").isNotNull()
+            )
+            pts = ev.select(
+                F.expr(
+                    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+                ).alias("v"),
+                F.when(F.col("event_type") == "error", 1)
+                .otherwise(0)
+                .alias("_a"),
+                F.when(F.col("event_type") != "error", 1)
+                .otherwise(0)
+                .alias("_b"),
+            ).groupBy("v").agg(
+                F.sum("_a").cast("long").alias("c1"),
+                F.sum("_b").cast("long").alias("c2"),
+            )
+            return ks_from_points(pts).head()
+
+        def maintained_ks():
+            pts = fs.read_feature_view("KS_POINTS$1.0").select(
+                "v", "c1", "c2"
+            )
+            return ks_from_points(pts).head()
+
+        b1, m1 = batch_ks(), maintained_ks()
+        assert (m1["f_n1"], m1["f_n2"], m1["f_ks_ppm"]) == (
+            b1["f_n1"], b1["f_n2"], b1["f_ks_ppm"],
+        )
+        assert m1["f_n1"] > 0 and m1["f_n2"] > 0
+
+        _arrive_half2(split_events)
+        assert fs.refresh("ks_points", "1.0") == "INCREMENTAL"
+        b2, m2 = batch_ks(), maintained_ks()
+        assert (m2["f_n1"], m2["f_n2"], m2["f_ks_ppm"]) == (
+            b2["f_n1"], b2["f_n2"], b2["f_ks_ppm"],
+        )
+        # the arrival actually changed the state (not a vacuous rerun)
+        assert (m2["f_n1"], m2["f_n2"]) != (m1["f_n1"], m1["f_n2"])
+
+    def test_tvd_from_maintained_cells_matches_batch(
+        self, fs, spark, split_events
+    ):
+        from dbt_snowflake_feature_store_spark.operators.relational7 import (
+            tvd_from_cells,
+        )
+
+        fs.register_source("S_TVD", split_events["src"])
+        fs.register_entity(Entity("octave", ["_o"]))
+        sql = """
+            SELECT CAST(length(bin(CAST(FLOOR(ABS(value) * 100 + 0.5)
+                        AS BIGINT) + 1)) - 1 AS BIGINT) AS _o,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN event_type <> 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS c2
+            FROM S_TVD WHERE value IS NOT NULL GROUP BY 1
+        """
+        fv = FeatureView(
+            "tvd_cells",
+            ["octave"],
+            sql=sql,
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_tvd():
+            ev = spark.read.parquet(split_events["src"]).filter(
+                F.col("value").isNotNull()
+            )
+            cell = ev.select(
+                F.expr(
+                    "CAST(length(bin(CAST(FLOOR(ABS(value) * 100 + 0.5)"
+                    " AS BIGINT) + 1)) - 1 AS BIGINT)"
+                ).alias("_o"),
+                F.when(F.col("event_type") == "error", 1)
+                .otherwise(0)
+                .alias("_a"),
+                F.when(F.col("event_type") != "error", 1)
+                .otherwise(0)
+                .alias("_b"),
+            ).groupBy("_o").agg(
+                F.sum("_a").cast("long").alias("c1"),
+                F.sum("_b").cast("long").alias("c2"),
+            )
+            return tvd_from_cells(cell).head()
+
+        def maintained_tvd():
+            cell = fs.read_feature_view("TVD_CELLS$1.0").select(
+                "_o", "c1", "c2"
+            )
+            return tvd_from_cells(cell).head()
+
+        b1, m1 = batch_tvd(), maintained_tvd()
+        assert (m1["f_n1"], m1["f_n2"], m1["f_bins"], m1["f_tvd_ppm"]) == (
+            b1["f_n1"], b1["f_n2"], b1["f_bins"], b1["f_tvd_ppm"],
+        )
+
+        _arrive_half2(split_events)
+        assert fs.refresh("tvd_cells", "1.0") == "INCREMENTAL"
+        b2, m2 = batch_tvd(), maintained_tvd()
+        assert (m2["f_n1"], m2["f_n2"], m2["f_bins"], m2["f_tvd_ppm"]) == (
+            b2["f_n1"], b2["f_n2"], b2["f_bins"], b2["f_tvd_ppm"],
+        )
+        assert (m2["f_n1"], m2["f_n2"]) != (m1["f_n1"], m1["f_n2"])

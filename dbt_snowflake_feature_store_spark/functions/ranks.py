@@ -59,6 +59,8 @@ def _ranked(
     num_partitions: int | None,
     sum_value: "str | Sequence[str] | None" = None,
     sum_out: "str | Sequence[str] | None" = None,
+    min_value: "str | Sequence[str] | None" = None,
+    min_out: "str | Sequence[str] | None" = None,
 ) -> tuple[DataFrame, int]:
     """(globally ranked frame, total rows). ONE range exchange total:
     after ``repartitionByRange`` + ``sortWithinPartitions``, the local
@@ -81,6 +83,17 @@ def _ranked(
         raise ValueError(
             f"sum_value/sum_out arity mismatch: {len(sum_values)} value "
             f"column(s) vs {len(sum_outs)} output name(s)"
+        )
+    min_values = (
+        [min_value] if isinstance(min_value, str) else list(min_value or [])
+    )
+    min_outs = (
+        [min_out] if isinstance(min_out, str) else list(min_out or [])
+    )
+    if len(min_values) != len(min_outs):
+        raise ValueError(
+            f"min_value/min_out arity mismatch: {len(min_values)} value "
+            f"column(s) vs {len(min_outs)} output name(s)"
         )
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     if num_partitions:
@@ -114,10 +127,15 @@ def _ranked(
     # below adds Python ints, so callers pass BIGINT counts/masses
     for i, sv in enumerate(sum_values):
         aggs.append(F.sum(F.col(sv).cast("long")).alias(f"s{i}"))
+    for i, mv in enumerate(min_values):
+        aggs.append(F.min(F.col(mv).cast("long")).alias(f"m{i}"))
+    part_mins: dict = {}
     for r in ranged.groupBy("_fs_pid").agg(*aggs).collect():
         pid, n = r["_fs_pid"], r["n"]
         if sum_values:
             part_sums[pid] = [r[f"s{i}"] or 0 for i in range(len(sum_values))]
+        if min_values:
+            part_mins[pid] = [r[f"m{i}"] for i in range(len(min_values))]
         base = pid * (1 << 33)
         if r["lo"] != base or r["hi"] != base + n - 1 or n > (1 << 33):
             raise RuntimeError(
@@ -165,6 +183,38 @@ def _ranked(
                     + soff[F.col("_fs_pid")]
                 ).cast("long"),
             )
+    if min_values:
+        # running MIN rides the SAME machinery: exclusive prefix-min of
+        # per-range-partition mins (driver-side over the SAME bounded
+        # collect) LEAST-combined with a range-partition-keyed local
+        # running min — still P parallel tasks, no global window. The
+        # first partition's exclusive prefix is the +inf sentinel
+        # (2^62: callers' values are cast to BIGINT, so any real value
+        # wins the LEAST).
+        _INF = 1 << 62
+        wloc_m = (
+            Window.partitionBy("_fs_pid")
+            .orderBy("_fs_mid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for i, (mv, mo) in enumerate(zip(min_values, min_outs)):
+            min_offsets: dict = {}
+            m_acc = _INF
+            for pid in sorted(sizes):
+                min_offsets[pid] = m_acc
+                pm = part_mins[pid][i]
+                if pm is not None and pm < m_acc:
+                    m_acc = pm
+            moff = F.create_map(
+                *[F.lit(x) for kv in min_offsets.items() for x in kv]
+            )
+            out = out.withColumn(
+                mo,
+                F.least(
+                    F.min(F.col(mv).cast("long")).over(wloc_m),
+                    moff[F.col("_fs_pid")],
+                ).cast("long"),
+            )
     return out.drop("_fs_pid", "_fs_mid"), acc
 
 
@@ -206,6 +256,28 @@ def global_running_sum(
     out, _ = _ranked(
         df, order, rank_col, num_partitions,
         sum_value=value_col, sum_out=sum_col,
+    )
+    return out
+
+
+def global_running_min(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value_col: "str | Sequence[str]",
+    rank_col: str = "global_rank",
+    min_col: "str | Sequence[str]" = "global_running_min",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``MIN(value) OVER (ORDER BY … ROWS UNBOUNDED
+    PRECEDING)`` without an unpartitioned window — the prefix-min scan
+    CUSUM-style changepoint statistics need (CUSUM_t = P_t − min_{i≤t}
+    P_i, so the max drawup never touches a single-task window). Same
+    range-exchange machinery as :func:`global_running_sum` (one
+    exchange, one bounded P-row collect); ``value_col`` must be
+    integral (cast to BIGINT). ``order`` must be a TOTAL order."""
+    out, _ = _ranked(
+        df, order, rank_col, num_partitions,
+        min_value=value_col, min_out=min_col,
     )
     return out
 

@@ -1,0 +1,518 @@
+"""Relational query surface, part 8 — round-12 wave.
+
+Same contract as ``relational.py``..``relational7.py``: DataFrame-first
+Spark implementations with DuckDB oracle twins (identical aliases both
+sides, exact integer/decimal arithmetic, deterministic output). This
+wave closes out the drift/association statistics family and adds the
+temporal-join operator the earlier waves lacked:
+
+- PSI-style population-stability drift in integer OCTAVE BITS (the
+  q_entropy_mix ``length(bin(x)) − 1`` floor-log2 trick — IEEE ln is
+  never correctly-rounded cross-engine, octave bits are);
+- Cramér's V association strength — the 1-number normalization of
+  q_chi2_assoc's per-cell contributions (is the association strong, not
+  just significant?);
+- exact Spearman rank correlation with tie-averaged ranks in ×2-scaled
+  integers (both rank tables ride ranks.global_running_sum — never an
+  unpartitioned window over fact rows);
+- CUSUM changepoint score over the daily error-count series — the
+  max-drawup spelling ``max_t (P_t − min_{i≤t} P_i)`` runs on TWO
+  range-exchange scans (running sum + the NEW ranks.global_running_min),
+  so even the prefix-min never becomes a single-task window;
+- INTERVAL OVERLAP self-join (concurrent same-part shipment windows) —
+  the temporal join beside q_join_range's point-in-range and
+  q_join_asof's nearest-key forms, in pure integer unix-seconds
+  arithmetic (no INTERVAL types cross the engine boundary).
+
+Reference frame: the reference's feature-view bodies are arbitrary
+SELECTs over sources (/root/reference/macros/materializations/
+feature_view.sql:126); these keys pin the statistics and join shapes
+those bodies compute when the FV feeds a monitoring or training
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Register-then-checkpoint (the relational5/6/7 discipline)."""
+    from ..plans import inspect as plan_inspect
+
+    plan_inspect.register_subplan(df)
+    return df.localCheckpoint(eager=False)
+
+
+# ---------------------------------------------------------------------------
+# PSI-style drift in octave bits (floor-log2 population stability)
+# ---------------------------------------------------------------------------
+
+
+def q_psi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI-STYLE population-stability drift between the doc-length
+    (n_chars octave) distributions of English vs non-English documents,
+    ORACLE-GATED — the banded drift score risk pipelines run beside
+    TVD (q_tvd_drift) and KS (q_ks_drift). The classical
+    Σ (p−q)·ln(p/q) needs IEEE ln (never correctly-rounded
+    cross-engine), so the log factor is spelled in integer OCTAVE BITS:
+    ⌊log2 x⌋ = length(bin(x)) − 1 (the q_entropy_mix / q_doc_surprisal
+    trick), giving per-bin terms
+    (c1·N2 − c2·N1) · (⌊log2 c1·N2⌋ − ⌊log2 c2·N1⌋) — every term ≥ 0
+    exactly as in the real PSI (both factors share sign because
+    floor-log2 is monotone), zero cells clamped via GREATEST(·,1)
+    (the standard PSI zero-cell guard). Output: one row — group sizes,
+    occupied bins, and Σterm·1e6 DIV (N1·N2) as f_psi_bits_ppm.
+
+    Scale: one combinable (octave, group) agg over a projection; the
+    octave domain is int64-bounded (~60 bins); the bit-length products
+    c·N stay in BIGINT for N ≤ ~3e9 rows per side (document the wider
+    DECIMAL spelling past that); the term sum runs in DECIMAL(38,0) /
+    HUGEINT."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.select(
+        F.expr("CAST(length(bin(n_chars)) - 1 AS BIGINT)").alias("_o"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("_a"),
+        F.when(F.col("lang") != "en", 1).otherwise(0).alias("_b"),
+    ).groupBy("_o").agg(
+        F.sum("_a").cast("long").alias("c1"),
+        F.sum("_b").cast("long").alias("c2"),
+    )
+    cell = _ckpt(cell)
+    tot = cell.agg(
+        F.sum("c1").cast("long").alias("f_n1"),
+        F.sum("c2").cast("long").alias("f_n2"),
+        F.count("*").cast("long").alias("f_bins"),
+    )
+    term = cell.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(c1 * f_n2 - c2 * f_n1 AS DECIMAL(38,0))"
+            " * CAST((length(bin(GREATEST(c1 * f_n2, 1))) - 1)"
+            "      - (length(bin(GREATEST(c2 * f_n1, 1))) - 1)"
+            "   AS DECIMAL(38,0))"
+        ).alias("_term")
+    )
+    gap = term.agg(F.sum("_term").alias("_S"))
+    return gap.crossJoin(F.broadcast(tot)).select(
+        "f_n1",
+        "f_n2",
+        "f_bins",
+        F.expr(
+            "CAST(_S * 1000000"
+            " DIV GREATEST(CAST(f_n1 AS DECIMAL(18,0)) * f_n2, 1)"
+            " AS BIGINT)"
+        ).alias("f_psi_bits_ppm"),
+    )
+
+
+ORACLE["q_psi_bits"] = """
+    WITH cell AS (
+        SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS _o,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS f_n1,
+               CAST(SUM(c2) AS BIGINT) AS f_n2,
+               CAST(COUNT(*) AS BIGINT) AS f_bins
+        FROM cell
+    ),
+    gap AS (
+        SELECT SUM(
+                   CAST(c1 * f_n2 - c2 * f_n1 AS HUGEINT)
+                   * (CAST(length(bin(GREATEST(c1 * f_n2, 1))) AS HUGEINT)
+                      - CAST(length(bin(GREATEST(c2 * f_n1, 1)))
+                             AS HUGEINT))
+               ) AS _S
+        FROM cell CROSS JOIN tot
+    )
+    SELECT f_n1, f_n2, f_bins,
+           CAST(_S * 1000000
+                // GREATEST(CAST(f_n1 AS HUGEINT) * f_n2, 1)
+                AS BIGINT) AS f_psi_bits_ppm
+    FROM gap CROSS JOIN tot
+"""
+QUERIES["q_psi_bits"] = q_psi_bits
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association strength (the chi² normalization)
+# ---------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V association strength lang × source over documents,
+    ORACLE-GATED — the [0,1]-normalized summary of q_chi2_assoc (chi²
+    says the association is SIGNIFICANT; V says whether it is STRONG —
+    the feature-selection cutoff is on V, not chi²). V² = chi² /
+    (N · min(r−1, c−1)); chi² reuses the chi2 key's exact per-cell
+    ppm contributions (summing the identically-DIV'd integers is
+    deterministic on both engines), so f_v2_ppm is a pure-integer
+    replay. Output: one row — N, table shape, chi² ppm, V² ppm.
+
+    Scale: the contingency frame is category-domain-sized; this key
+    adds ONE aggregate over it (q_chi2_assoc's scoring pass runs once —
+    the frame is _ckpt-cut before fanning into the two aggregates)."""
+    from .relational6 import q_chi2_assoc
+
+    cells = _ckpt(
+        q_chi2_assoc(spark, sf_dir).select("lang", "source", "f_obs",
+                                           "f_contrib_ppm")
+    )
+    shape = cells.agg(
+        F.sum("f_obs").cast("long").alias("f_n"),
+        F.countDistinct("lang").cast("long").alias("f_rows"),
+        F.countDistinct("source").cast("long").alias("f_cols"),
+        F.sum("f_contrib_ppm").cast("long").alias("f_chi2_ppm"),
+    )
+    return shape.select(
+        "f_n",
+        "f_rows",
+        "f_cols",
+        "f_chi2_ppm",
+        F.expr(
+            "CAST(f_chi2_ppm DIV GREATEST(f_n *"
+            " LEAST(f_rows - 1, f_cols - 1), 1) AS BIGINT)"
+        ).alias("f_v2_ppm"),
+    )
+
+
+from .relational6 import ORACLE as _R6_ORACLE  # noqa: E402
+
+ORACLE["q_cramers_v"] = f"""
+    WITH cells AS ({_R6_ORACLE["q_chi2_assoc"]}),
+    shape AS (
+        SELECT CAST(SUM(f_obs) AS BIGINT) AS f_n,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS f_rows,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS f_cols,
+               CAST(SUM(f_contrib_ppm) AS BIGINT) AS f_chi2_ppm
+        FROM cells
+    )
+    SELECT f_n, f_rows, f_cols, f_chi2_ppm,
+           CAST(f_chi2_ppm // GREATEST(f_n *
+                LEAST(f_rows - 1, f_cols - 1), 1) AS BIGINT) AS f_v2_ppm
+    FROM shape
+"""
+QUERIES["q_cramers_v"] = q_cramers_v
+
+
+# ---------------------------------------------------------------------------
+# Exact Spearman rank correlation (tie-averaged ranks, ×2 integers)
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SPEARMAN rank correlation between l_quantity and
+    l_extendedprice over lineitem, ORACLE-GATED — the monotone-
+    association screen (robust to the heavy tails that wreck Pearson).
+    Tie-averaged ranks carry a half-unit, so ranks are ×2-SCALED
+    integers: for a distinct value with count c and inclusive
+    cumulative count cum, r×2 = 2·cum − c + 1 (= min-rank + max-rank).
+    ρ = 1 − 6·Σd² / (n(n²−1)) with d in half-units becomes
+    ρ_ppm = 1e6 − 6e6·Σ(d×2)² DIV (4·n·(n²−1)), every step
+    DECIMAL(38,0)/HUGEINT (exact to n ≈ 1.6e10 rows — the documented
+    N³ magnitude bound, chi2/KS/Gini precedent). The tie-corrected
+    denominator variant is noted, not computed: with heavy ties this
+    simplified statistic is itself the standard reported number.
+
+    Scale: each variable's rank table is its DISTINCT-VALUE frame +
+    ONE ranks.global_running_sum range exchange (never a window over
+    fact rows); the fact joins back on the value columns (quantity's
+    table is ~50 rows — AQE broadcasts it; price's is distinct-sized
+    and shuffles on the join key, the right plan). One final 1-row
+    aggregate."""
+    from ..functions.ranks import global_running_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("_v1"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_v2"),
+    )
+    li = _ckpt(li)
+
+    def rank2(col: str) -> DataFrame:
+        dv = li.groupBy(col).agg(F.count("*").cast("long").alias("_c"))
+        cum = global_running_sum(
+            dv, [col], "_c", rank_col="_r", sum_col="_cum"
+        )
+        return cum.select(
+            col,
+            F.expr("CAST(2 * _cum - _c + 1 AS BIGINT)").alias(f"{col}_r2"),
+        )
+
+    ranked = li.join(rank2("_v1"), "_v1").join(rank2("_v2"), "_v2")
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.countDistinct("_v1").cast("long").alias("f_distinct_qty"),
+        F.countDistinct("_v2").cast("long").alias("f_distinct_price"),
+        F.sum(
+            F.expr(
+                "CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
+                " * CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
+            )
+        ).alias("_sd2"),
+    )
+    return agg.select(
+        "f_n",
+        "f_distinct_qty",
+        "f_distinct_price",
+        F.expr(
+            "CAST(1000000 - CAST(6000000 AS DECIMAL(38,0)) * _sd2"
+            " DIV GREATEST(CAST(4 AS DECIMAL(38,0)) * f_n"
+            " * (CAST(f_n AS DECIMAL(38,0)) * f_n - 1), 1) AS BIGINT)"
+        ).alias("f_rho_ppm"),
+    )
+
+
+ORACLE["q_spearman_corr"] = """
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS _v1,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS _v2
+        FROM lineitem
+    ),
+    d1 AS (
+        SELECT _v1, CAST(COUNT(*) AS BIGINT) AS _c FROM li GROUP BY _v1
+    ),
+    r1 AS (
+        SELECT _v1,
+               CAST(2 * SUM(_c) OVER (ORDER BY _v1
+                        ROWS UNBOUNDED PRECEDING) - _c + 1 AS BIGINT)
+                   AS _v1_r2
+        FROM d1
+    ),
+    d2 AS (
+        SELECT _v2, CAST(COUNT(*) AS BIGINT) AS _c FROM li GROUP BY _v2
+    ),
+    r2 AS (
+        SELECT _v2,
+               CAST(2 * SUM(_c) OVER (ORDER BY _v2
+                        ROWS UNBOUNDED PRECEDING) - _c + 1 AS BIGINT)
+                   AS _v2_r2
+        FROM d2
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f_n,
+               CAST(COUNT(DISTINCT li._v1) AS BIGINT) AS f_distinct_qty,
+               CAST(COUNT(DISTINCT li._v2) AS BIGINT) AS f_distinct_price,
+               SUM(CAST(_v1_r2 - _v2_r2 AS HUGEINT)
+                   * CAST(_v1_r2 - _v2_r2 AS HUGEINT)) AS _sd2
+        FROM li
+        JOIN r1 ON li._v1 = r1._v1
+        JOIN r2 ON li._v2 = r2._v2
+    )
+    SELECT f_n, f_distinct_qty, f_distinct_price,
+           CAST(1000000 - CAST(6000000 AS HUGEINT) * _sd2
+                // GREATEST(CAST(4 AS HUGEINT) * f_n
+                            * (CAST(f_n AS HUGEINT) * f_n - 1), 1)
+                AS BIGINT) AS f_rho_ppm
+    FROM agg
+"""
+QUERIES["q_spearman_corr"] = q_spearman_corr
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint score over the daily error series (max drawup)
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT score over the daily error-event series,
+    ORACLE-GATED — the sequential drift detector beside the
+    distributional ones (KS/TVD/PSI compare two snapshots; CUSUM finds
+    WHEN the rate shifted). Deviations are centered exactly without
+    division: y_t = D·x_t − T (D days, T total errors, so Σy = 0 and
+    everything stays BIGINT). The one-sided statistic is the MAX
+    DRAWUP of the cumulative deviation, S = max_t (P_t − min_{i≤t}
+    P_i) with P the prefix sum of y — the clamped-recursion CUSUM
+    spelled as two prefix scans, no recursion. Output: one row —
+    f_days, f_total, f_cusum_max (in D-scaled count units), and
+    f_peak_day (earliest argmax).
+
+    Scale: the day-grain aggregate is calendar-sized; BOTH prefix
+    scans are range exchanges (ranks.global_running_sum + the new
+    global_running_min) — P parallel tasks even if the series grows to
+    millions of periods, never a single-task window. The final argmax
+    is a TakeOrderedAndProject."""
+    from ..functions.ranks import global_running_min, global_running_sum
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & (F.col("event_type") == "error")
+    )
+    day = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("_d")
+    ).agg(F.count("*").cast("long").alias("_x"))
+    day = _ckpt(day)
+    # _nd/_tt, NOT _D/_T: Spark resolves case-insensitively and DuckDB
+    # lowercases unquoted identifiers, so _d vs _D in one scope COLLIDE
+    # on both engines (the CLAUDE.md case-collision hazard)
+    tot = day.agg(
+        F.count("*").cast("long").alias("_nd"),
+        F.sum("_x").cast("long").alias("_tt"),
+    )
+    y = day.crossJoin(F.broadcast(tot)).select(
+        "_d",
+        "_nd",
+        "_tt",
+        (F.col("_nd") * F.col("_x") - F.col("_tt"))
+        .cast("long")
+        .alias("_y"),
+    )
+    p = global_running_sum(y, ["_d"], "_y", rank_col="_r", sum_col="_p")
+    s = global_running_min(
+        p.select("_d", "_nd", "_tt", "_p"),
+        ["_d"], "_p", rank_col="_r2", min_col="_pmin",
+    )
+    return (
+        s.select(
+            F.col("_nd").alias("f_days"),
+            F.col("_tt").alias("f_total"),
+            F.expr("CAST(_p - _pmin AS BIGINT)").alias("f_cusum_max"),
+            F.col("_d").alias("f_peak_day"),
+        )
+        .orderBy(F.col("f_cusum_max").desc(), F.col("f_peak_day").asc())
+        .limit(1)
+    )
+
+
+ORACLE["q_cusum_drift"] = """
+    WITH day AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _d,
+               CAST(COUNT(*) AS BIGINT) AS _x
+        FROM events
+        WHERE ts IS NOT NULL AND event_type = 'error'
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS _nd,
+               CAST(SUM(_x) AS BIGINT) AS _tt
+        FROM day
+    ),
+    p AS (
+        SELECT _d, _nd, _tt,
+               CAST(SUM(_nd * _x - _tt) OVER (ORDER BY _d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _p
+        FROM day CROSS JOIN tot
+    ),
+    s AS (
+        SELECT _d, _nd, _tt, _p,
+               CAST(MIN(_p) OVER (ORDER BY _d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pmin
+        FROM p
+    )
+    SELECT _nd AS f_days, _tt AS f_total,
+           CAST(_p - _pmin AS BIGINT) AS f_cusum_max,
+           _d AS f_peak_day
+    FROM s
+    ORDER BY f_cusum_max DESC, f_peak_day ASC
+    LIMIT 1
+"""
+QUERIES["q_cusum_drift"] = q_cusum_drift
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (concurrent same-part shipment windows)
+# ---------------------------------------------------------------------------
+
+_IV_TOP = 20
+
+
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join, ORACLE-GATED — the temporal join
+    missing between q_join_range (point-in-range) and q_join_asof
+    (nearest key): each lineitem defines a shipment WINDOW
+    [shipdate, shipdate + quantity days] in integer unix seconds, and
+    the key counts, per part, the pairs of DISTINCT line items whose
+    windows overlap (``a.s ≤ b.e AND b.s ≤ a.e``) — "how often is the
+    same part in flight twice at once". Pairs dedup via strict
+    (orderkey, linenumber) ordering; overlap length reported in whole
+    days. Output: top-20 parts by pair count (full ORDER BY with
+    partkey tiebreak). No INTERVAL/date arithmetic crosses the engine
+    boundary — epoch seconds + 86400·quantity on both sides.
+
+    Scale: the self-join is EQUI on l_partkey with the overlap
+    predicate as a post-join filter — per-part multiplicity is a
+    schema-fixed ratio (~30 lines/part at every TPC-H SF), so the pair
+    count per key is bounded and the total output linear in SF; the
+    shuffle is the partkey sort-merge you'd want. A keyless interval
+    join would instead bucket by coarse time slices (explode to
+    slice keys → equi-join → exact refine); documented here as the
+    scale path for that shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(unix_timestamp(l_shipdate) AS BIGINT)").alias("_s"),
+        F.expr(
+            "CAST(unix_timestamp(l_shipdate)"
+            " + 86400 * CAST(l_quantity AS BIGINT) AS BIGINT)"
+        ).alias("_e"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (
+            (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
+            | (
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            )
+        )
+        & (F.col("a._s") <= F.col("b._e"))
+        & (F.col("b._s") <= F.col("a._e")),
+    )
+    agg = pairs.groupBy(F.col("a.l_partkey").alias("f_partkey")).agg(
+        F.count("*").cast("long").alias("f_pairs"),
+        F.max(
+            F.expr(
+                "CAST((LEAST(a._e, b._e) - GREATEST(a._s, b._s))"
+                " DIV 86400 AS BIGINT)"
+            )
+        ).alias("f_max_overlap_days"),
+    )
+    return agg.orderBy(
+        F.col("f_pairs").desc(), F.col("f_partkey").asc()
+    ).limit(_IV_TOP)
+
+
+ORACLE["q_join_interval"] = f"""
+    WITH li AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               CAST(epoch(l_shipdate) AS BIGINT) AS _s,
+               CAST(epoch(l_shipdate)
+                    + 86400 * CAST(l_quantity AS BIGINT) AS BIGINT) AS _e
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey,
+               LEAST(a._e, b._e) - GREATEST(a._s, b._s) AS _ov
+        FROM li a JOIN li b
+          ON a.l_partkey = b.l_partkey
+         AND (a.l_orderkey < b.l_orderkey
+              OR (a.l_orderkey = b.l_orderkey
+                  AND a.l_linenumber < b.l_linenumber))
+         AND a._s <= b._e AND b._s <= a._e
+    )
+    SELECT l_partkey AS f_partkey,
+           CAST(COUNT(*) AS BIGINT) AS f_pairs,
+           CAST(MAX(_ov // 86400) AS BIGINT) AS f_max_overlap_days
+    FROM pairs
+    GROUP BY 1
+    ORDER BY f_pairs DESC, f_partkey ASC
+    LIMIT {_IV_TOP}
+"""
+QUERIES["q_join_interval"] = q_join_interval

@@ -195,6 +195,14 @@ HEADLINE = [
     "q_tvd_drift",
     "q_confusion_metrics",
     "q_user_session_features",
+    # round-12 additions: octave-bits PSI, the chi2-normalizing
+    # Cramér's V, double-range-exchange Spearman, the CUSUM
+    # running-sum+running-min consumer, and the interval-overlap join
+    "q_psi_bits",
+    "q_cramers_v",
+    "q_spearman_corr",
+    "q_cusum_drift",
+    "q_join_interval",
 ]
 
 

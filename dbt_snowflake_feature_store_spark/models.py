@@ -1774,6 +1774,13 @@ def export_manifest(
                 for tst in (
                     coldef.get("tests") or coldef.get("data_tests") or []
                 ):
+                    if not (isinstance(tst, str) or (
+                        isinstance(tst, dict) and tst
+                    )):
+                        raise ValidationError(
+                            f"manifest: unparseable test entry {tst!r} "
+                            f"on {mname}.{cn}"
+                        )
                     tname = tst if isinstance(tst, str) else next(iter(tst))
                     uid = f"test.project.{tname}_{mname}_{cn}"
                     nodes[uid] = {
@@ -1794,6 +1801,13 @@ def export_manifest(
                         or coldef.get("data_tests")
                         or []
                     ):
+                        if not (isinstance(tst, str) or (
+                            isinstance(tst, dict) and tst
+                        )):
+                            raise ValidationError(
+                                f"manifest: unparseable test entry "
+                                f"{tst!r} on {sname}.{tname2}.{cn}"
+                            )
                         gname = (
                             tst if isinstance(tst, str) else next(iter(tst))
                         )

@@ -203,6 +203,11 @@ HEADLINE = [
     "q_spearman_corr",
     "q_cusum_drift",
     "q_join_interval",
+    # round-12 second wave: data-quality / seasonality / co-occurrence
+    "q_benford_digits",
+    "q_autocorr_lag",
+    "q_basket_lift",
+    "q_weekday_profile",
 ]
 
 

@@ -516,3 +516,361 @@ ORACLE["q_join_interval"] = f"""
     LIMIT {_IV_TOP}
 """
 QUERIES["q_join_interval"] = q_join_interval
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality screen on monetary values)
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) · 1e6 + 0.5) for d = 1..9 — sums to exactly 1e6.
+_BENFORD_PPM = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-significant-digit audit of order totals,
+    ORACLE-GATED — the classic fabricated-/synthetic-data screen a
+    data-quality pipeline runs on monetary columns: organically-grown
+    magnitudes follow log10(1 + 1/d); clerical defaults, copy-paste
+    rows and naive generators don't. The digit comes from the integer
+    cents via string truncation (BIGINT→string renders identically on
+    both engines — no IEEE log10 anywhere); expected shares are the
+    half-up ppm constants of log10(1+1/d) (they sum to exactly 1e6),
+    so observed share, expected share and deviation are all integers.
+
+    Scale: one map-side-combinable groupBy onto a 9-value digit
+    domain; everything downstream is 9 rows."""
+    o = _t(spark, sf_dir, "orders")
+    dig = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)"
+            " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("f_digit")
+    ).groupBy("f_digit").agg(F.count("*").cast("long").alias("f_n"))
+    dig = _ckpt(dig)
+    tot = dig.agg(F.sum("f_n").cast("long").alias("_N"))
+    exp_case = "CASE f_digit " + " ".join(
+        f"WHEN {d + 1} THEN {ppm}" for d, ppm in enumerate(_BENFORD_PPM)
+    ) + " ELSE 0 END"
+    return (
+        dig.crossJoin(F.broadcast(tot))
+        .select(
+            "f_digit",
+            "f_n",
+            F.expr(
+                "CAST(f_n * 1000000 DIV GREATEST(_N, 1) AS BIGINT)"
+            ).alias("f_share_ppm"),
+            F.expr(f"CAST({exp_case} AS BIGINT)").alias("f_benford_ppm"),
+            F.expr(
+                f"CAST(f_n * 1000000 DIV GREATEST(_N, 1)"
+                f" - ({exp_case}) AS BIGINT)"
+            ).alias("f_dev_ppm"),
+        )
+        .orderBy("f_digit")
+    )
+
+
+_BENFORD_CASE_SQL = "CASE f_digit " + " ".join(
+    f"WHEN {d + 1} THEN {ppm}" for d, ppm in enumerate(_BENFORD_PPM)
+) + " ELSE 0 END"
+
+ORACLE["q_benford_digits"] = f"""
+    WITH dig AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS f_digit,
+               CAST(COUNT(*) AS BIGINT) AS f_n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(f_n) AS BIGINT) AS _N FROM dig)
+    SELECT f_digit, f_n,
+           CAST(f_n * 1000000 // GREATEST(_N, 1) AS BIGINT) AS f_share_ppm,
+           CAST({_BENFORD_CASE_SQL} AS BIGINT) AS f_benford_ppm,
+           CAST(f_n * 1000000 // GREATEST(_N, 1)
+                - ({_BENFORD_CASE_SQL}) AS BIGINT) AS f_dev_ppm
+    FROM dig CROSS JOIN tot
+    ORDER BY f_digit
+"""
+QUERIES["q_benford_digits"] = q_benford_digits
+
+
+# ---------------------------------------------------------------------------
+# Lagged autocorrelation of the daily event series (exact integer Pearson²)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7)
+
+
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-k AUTOCORRELATION of the daily event-count series (k = 1, 7),
+    ORACLE-GATED — the seasonality probe beside q_cusum_drift's
+    changepoint score (lag-7 ≫ lag-1 reveals weekly cadence). Pearson r
+    needs square roots, so the key reports the EXACT integer pieces and
+    r² with its sign: num = n·Σxy − Σx·Σy, den = (n·Σx² − (Σx)²)·
+    (n·Σy² − (Σy)²), f_r2_ppm = num²·1e6 DIV den, f_sign = SIGN(num) —
+    every step DECIMAL(38,0)/HUGEINT (num² ≤ (n·x²_max)² ≈ 1e24·1e6 at
+    the day grain — document the ~1e6-day bound). Pairs join on integer
+    epoch seconds + k·86400 — no INTERVAL arithmetic crosses engines.
+    Pairs are OBSERVED-day pairs (a missing day contributes no pair, the
+    standard gap treatment for count series; document).
+
+    Scale: the day-grain aggregate is calendar-sized; the lag join is a
+    self-equi-join on the shifted day key; sufficient statistics are one
+    combinable aggregate per lag over that frame."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = ev.groupBy(
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+        ).alias("_ds")
+    ).agg(F.count("*").cast("long").alias("_x"))
+    day = _ckpt(day)
+    outs = []
+    for lag in _ACF_LAGS:
+        a, b = day.alias("a"), day.alias("b")
+        pairs = a.join(
+            b,
+            F.col("a._ds") + F.lit(lag * 86400) == F.col("b._ds"),
+        ).select(
+            F.col("a._x").alias("_xa"), F.col("b._x").alias("_xb")
+        )
+        stats = pairs.agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_xa").cast("long").alias("_sx"),
+            F.sum("_xb").cast("long").alias("_sy"),
+            F.sum(F.expr("CAST(_xa AS DECIMAL(38,0)) * _xb")).alias("_sxy"),
+            F.sum(F.expr("CAST(_xa AS DECIMAL(38,0)) * _xa")).alias("_sxx"),
+            F.sum(F.expr("CAST(_xb AS DECIMAL(38,0)) * _xb")).alias("_syy"),
+        )
+        outs.append(
+            stats.select(
+                F.lit(lag).cast("long").alias("f_lag"),
+                F.col("_n").alias("f_pairs"),
+                F.expr(
+                    "CAST(SIGN(CAST(_n AS DECIMAL(38,0)) * _sxy"
+                    " - CAST(_sx AS DECIMAL(38,0)) * _sy) AS BIGINT)"
+                ).alias("f_sign"),
+                F.expr(
+                    "CAST((CAST(_n AS DECIMAL(38,0)) * _sxy"
+                    "      - CAST(_sx AS DECIMAL(38,0)) * _sy)"
+                    " * (CAST(_n AS DECIMAL(38,0)) * _sxy"
+                    "      - CAST(_sx AS DECIMAL(38,0)) * _sy)"
+                    " * 1000000"
+                    " DIV GREATEST((CAST(_n AS DECIMAL(38,0)) * _sxx"
+                    "      - CAST(_sx AS DECIMAL(38,0)) * _sx)"
+                    " * (CAST(_n AS DECIMAL(38,0)) * _syy"
+                    "      - CAST(_sy AS DECIMAL(38,0)) * _sy), 1)"
+                    " AS BIGINT)"
+                ).alias("f_r2_ppm"),
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionAll(o2)
+    return out.orderBy("f_lag")
+
+
+ORACLE["q_autocorr_lag"] = """
+    WITH day AS (
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS _ds,
+               CAST(COUNT(*) AS BIGINT) AS _x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (7)) AS t(f_lag)),
+    pairs AS (
+        SELECT l.f_lag, a._x AS _xa, b._x AS _xb
+        FROM lags l
+        JOIN day a ON TRUE
+        JOIN day b ON a._ds + l.f_lag * 86400 = b._ds
+    ),
+    stats AS (
+        SELECT f_lag,
+               CAST(COUNT(*) AS BIGINT) AS _n,
+               CAST(SUM(_xa) AS BIGINT) AS _sx,
+               CAST(SUM(_xb) AS BIGINT) AS _sy,
+               SUM(CAST(_xa AS HUGEINT) * _xb) AS _sxy,
+               SUM(CAST(_xa AS HUGEINT) * _xa) AS _sxx,
+               SUM(CAST(_xb AS HUGEINT) * _xb) AS _syy
+        FROM pairs GROUP BY f_lag
+    )
+    SELECT CAST(f_lag AS BIGINT) AS f_lag,
+           _n AS f_pairs,
+           CAST(SIGN(CAST(_n AS HUGEINT) * _sxy
+                     - CAST(_sx AS HUGEINT) * _sy) AS BIGINT) AS f_sign,
+           CAST((CAST(_n AS HUGEINT) * _sxy - CAST(_sx AS HUGEINT) * _sy)
+                * (CAST(_n AS HUGEINT) * _sxy - CAST(_sx AS HUGEINT) * _sy)
+                * 1000000
+                // GREATEST((CAST(_n AS HUGEINT) * _sxx
+                             - CAST(_sx AS HUGEINT) * _sx)
+                          * (CAST(_n AS HUGEINT) * _syy
+                             - CAST(_sy AS HUGEINT) * _sy), 1)
+                AS BIGINT) AS f_r2_ppm
+    FROM stats
+    ORDER BY f_lag
+"""
+QUERIES["q_autocorr_lag"] = q_autocorr_lag
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence lift over daily user baskets (feature-cross screening)
+# ---------------------------------------------------------------------------
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TYPE co-occurrence LIFT over daily user baskets,
+    ORACLE-GATED — the market-basket statistic feature engineering uses
+    to screen feature CROSSES: a basket is the distinct event-type set
+    of one (user, day); for every unordered type pair,
+    lift = P(a,b) / (P(a)·P(b)) spelled exactly as
+    C(a,b)·N·1e6 DIV (C(a)·C(b)) with N the basket count. Output: one
+    row per pair (a < b) — support counts and lift ppm.
+
+    Scale: the distinct (user, day, type) frame is one combinable
+    aggregate; the pair self-join is EQUI on (user, day) with per-basket
+    multiplicity bounded by the TYPE DOMAIN (~5), so pairs are linear in
+    baskets; marginals aggregate the same distinct frame (one _ckpt cut,
+    one scan); the output domain is |types|² / 2."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    basket = _ckpt(
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+            ).alias("_ds"),
+            F.col("event_type").alias("_ty"),
+        ).distinct()
+    )
+    n_baskets = basket.select("user_id", "_ds").distinct().agg(
+        F.count("*").cast("long").alias("_N")
+    )
+    singles = basket.groupBy("_ty").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a._ds") == F.col("b._ds"))
+            & (F.col("a._ty") < F.col("b._ty")),
+        )
+        .groupBy(
+            F.col("a._ty").alias("f_type_a"),
+            F.col("b._ty").alias("f_type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("f_both"))
+    )
+    sa = singles.select(
+        F.col("_ty").alias("f_type_a"), F.col("_c").alias("f_n_a")
+    )
+    sb = singles.select(
+        F.col("_ty").alias("f_type_b"), F.col("_c").alias("f_n_b")
+    )
+    return (
+        pair.join(F.broadcast(sa), "f_type_a")
+        .join(F.broadcast(sb), "f_type_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "f_type_a",
+            "f_type_b",
+            "f_both",
+            "f_n_a",
+            "f_n_b",
+            F.expr(
+                "CAST(CAST(f_both AS DECIMAL(38,0)) * _N * 1000000"
+                " DIV GREATEST(CAST(f_n_a AS DECIMAL(38,0)) * f_n_b, 1)"
+                " AS BIGINT)"
+            ).alias("f_lift_ppm"),
+        )
+        .orderBy("f_type_a", "f_type_b")
+    )
+
+
+ORACLE["q_basket_lift"] = """
+    WITH basket AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS _ds,
+               event_type AS _ty
+        FROM events WHERE ts IS NOT NULL
+    ),
+    nb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS _N
+        FROM (SELECT DISTINCT user_id, _ds FROM basket)
+    ),
+    singles AS (
+        SELECT _ty, CAST(COUNT(*) AS BIGINT) AS _c FROM basket GROUP BY _ty
+    ),
+    pair AS (
+        SELECT a._ty AS f_type_a, b._ty AS f_type_b,
+               CAST(COUNT(*) AS BIGINT) AS f_both
+        FROM basket a
+        JOIN basket b
+          ON a.user_id = b.user_id AND a._ds = b._ds AND a._ty < b._ty
+        GROUP BY 1, 2
+    )
+    SELECT f_type_a, f_type_b, f_both,
+           sa._c AS f_n_a, sb._c AS f_n_b,
+           CAST(CAST(f_both AS HUGEINT) * _N * 1000000
+                // GREATEST(CAST(sa._c AS HUGEINT) * sb._c, 1)
+                AS BIGINT) AS f_lift_ppm
+    FROM pair
+    JOIN singles sa ON pair.f_type_a = sa._ty
+    JOIN singles sb ON pair.f_type_b = sb._ty
+    CROSS JOIN nb
+    ORDER BY f_type_a, f_type_b
+"""
+QUERIES["q_basket_lift"] = q_basket_lift
+
+
+# ---------------------------------------------------------------------------
+# ISO-weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-WEEKDAY seasonality profile of the event stream,
+    ORACLE-GATED — the day-of-week shape q_autocorr_lag's lag-7 signal
+    summarizes: per ISO weekday (1 = Monday … 7 = Sunday), events,
+    share ppm, distinct users. The portable spelling is Spark
+    ``weekday(ts) + 1`` == DuckDB ``isodow(ts)`` (Spark ``dayofweek``
+    is Sunday-1 and DuckDB ``dayofweek`` Sunday-0 — both rejected).
+
+    Scale: one combinable agg onto the FIXED 7-value domain + the
+    standard two-phase distinct-user expansion."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wd = ev.groupBy(
+        F.expr("CAST(weekday(ts) + 1 AS BIGINT)").alias("f_isodow")
+    ).agg(
+        F.count("*").cast("long").alias("f_events"),
+        F.countDistinct("user_id").cast("long").alias("f_users"),
+    )
+    wd = _ckpt(wd)
+    tot = wd.agg(F.sum("f_events").cast("long").alias("_N"))
+    return (
+        wd.crossJoin(F.broadcast(tot))
+        .select(
+            "f_isodow",
+            "f_events",
+            "f_users",
+            F.expr(
+                "CAST(f_events * 1000000 DIV GREATEST(_N, 1) AS BIGINT)"
+            ).alias("f_share_ppm"),
+        )
+        .orderBy("f_isodow")
+    )
+
+
+ORACLE["q_weekday_profile"] = """
+    WITH wd AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS f_isodow,
+               CAST(COUNT(*) AS BIGINT) AS f_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS f_users
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(f_events) AS BIGINT) AS _N FROM wd)
+    SELECT f_isodow, f_events, f_users,
+           CAST(f_events * 1000000 // GREATEST(_N, 1) AS BIGINT)
+               AS f_share_ppm
+    FROM wd CROSS JOIN tot
+    ORDER BY f_isodow
+"""
+QUERIES["q_weekday_profile"] = q_weekday_profile

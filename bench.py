@@ -204,10 +204,12 @@ HEADLINE = [
     "q_cusum_drift",
     "q_join_interval",
     # round-12 second wave: data-quality / seasonality / co-occurrence
+    # / position-discounted retrieval eval
     "q_benford_digits",
     "q_autocorr_lag",
     "q_basket_lift",
     "q_weekday_profile",
+    "q_ndcg_mrr",
 ]
 
 

@@ -32,7 +32,8 @@ from .pit import asof_join
 from .session import get_spark
 from .store import FeatureStore
 
-__version__ = "1.0.0"
+# keep in lockstep with pyproject.toml [project] version
+__version__ = "0.12.0"
 
 __all__ = [
     "FeatureStore",

@@ -2479,54 +2479,8 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, the HDR bounded-universe precedent. The fusion join
     is 100×100 at most. Nothing downstream of the cut is
     SF-proportional."""
-    d = _t2(spark, sf_dir, "documents")
-    toks = d.filter(F.col("doc_id") != _QUERY_ID).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
-    )
-    score = None
-    for t in _RRF_TERMS:
-        c = F.size(F.filter(F.col("_toks"), (lambda tt: lambda x: x == F.lit(tt))(t)))
-        score = c if score is None else score + c
-    lex_top = (
-        toks.select("doc_id", score.cast("long").alias("_lscore"))
-        .filter(F.col("_lscore") > 0)
-        .orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
-        .limit(_RRF_TOPC)
-    )
-    lex = lex_top.withColumn(
-        "_rl",
-        F.row_number().over(
-            Window.orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
-        ).cast("long"),
-    )
-
-    e = _emb(spark, sf_dir)
-    micro = e.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x ->"
-            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-        ).alias("_m"),
-    )
-    elems = micro.filter(F.col("vec_id") != _QUERY_ID).select(
-        "vec_id", F.posexplode("_m").alias("i", "x")
-    )
-    q = micro.filter(F.col("vec_id") == _QUERY_ID).select(
-        F.posexplode("_m").alias("i", "qx")
-    )
-    sem_top = (
-        elems.join(F.broadcast(q), "i")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("x") * F.col("qx")).cast("long").alias("_sscore"))
-        .orderBy(F.col("_sscore").desc(), F.col("vec_id").asc())
-        .limit(_RRF_TOPC)
-    )
-    sem = sem_top.withColumn(
-        "_rs",
-        F.row_number().over(
-            Window.orderBy(F.col("_sscore").desc(), F.col("vec_id").asc())
-        ).cast("long"),
-    )
+    lex = _rrf_lex_ranked(spark, sf_dir)
+    sem = _rrf_sem_ranked(spark, sf_dir)
 
     fused = lex.join(
         sem, lex["doc_id"] == sem["vec_id"], "full_outer"
@@ -2554,6 +2508,67 @@ def _t2(spark: SparkSession, sf_dir: str, name: str):
     from ..sources.tables import read_table
 
     return read_table(spark, sf_dir, name)
+
+
+def _rrf_lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retriever: query-term occurrence counts (array filters,
+    no explode), top-100 TakeOrdered, row_number rank over the BOUNDED
+    candidate frame. Shared by q_rrf_fusion and q_ndcg_mrr."""
+    d = _t2(spark, sf_dir, "documents")
+    toks = d.filter(F.col("doc_id") != _QUERY_ID).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    score = None
+    for t in _RRF_TERMS:
+        c = F.size(
+            F.filter(F.col("_toks"), (lambda tt: lambda x: x == F.lit(tt))(t))
+        )
+        score = c if score is None else score + c
+    lex_top = (
+        toks.select("doc_id", score.cast("long").alias("_lscore"))
+        .filter(F.col("_lscore") > 0)
+        .orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPC)
+    )
+    return lex_top.withColumn(
+        "_rl",
+        F.row_number().over(
+            Window.orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
+        ).cast("long"),
+    )
+
+
+def _rrf_sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic retriever: exact micro-unit integer dot vs the
+    vec_id=0 query, top-100 TakeOrdered, row_number over the bounded
+    frame. Shared by q_rrf_fusion and q_ndcg_mrr."""
+    e = _emb(spark, sf_dir)
+    micro = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("_m"),
+    )
+    elems = micro.filter(F.col("vec_id") != _QUERY_ID).select(
+        "vec_id", F.posexplode("_m").alias("i", "x")
+    )
+    q = micro.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.posexplode("_m").alias("i", "qx")
+    )
+    sem_top = (
+        elems.join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("qx")).cast("long").alias("_sscore"))
+        .orderBy(F.col("_sscore").desc(), F.col("vec_id").asc())
+        .limit(_RRF_TOPC)
+    )
+    return sem_top.withColumn(
+        "_rs",
+        F.row_number().over(
+            Window.orderBy(F.col("_sscore").desc(), F.col("vec_id").asc())
+        ).cast("long"),
+    )
 
 
 ORACLE["q_rrf_fusion"] = f"""
@@ -2622,6 +2637,175 @@ ORACLE["q_rrf_fusion"] = f"""
     FROM fused ORDER BY f_rrf DESC, f_id ASC LIMIT {_K}
 """
 QUERIES["q_rrf_fusion"] = q_rrf_fusion
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 / MRR ranking evaluation (lexical ranking vs semantic labels)
+# ---------------------------------------------------------------------------
+
+# floor(1e6 / log2(i + 1) + 0.5) for rank i = 1..10 — the standard NDCG
+# position discounts as half-up ppm integers (IEEE log2 never touches
+# the gated arithmetic; the Benford-constant technique).
+_NDCG_W = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_K = 10
+
+
+def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 + MRR ranking evaluation, ORACLE-GATED — the
+    position-discounted retrieval metrics that complete the eval family
+    (q_ann_recall pins set overlap; NDCG/MRR pin ORDER quality): the
+    LEXICAL ranking (q_rrf_fusion's term-count retriever) is scored
+    against binary relevance labels = membership in the exact SEMANTIC
+    top-10 (the integer-dot ground truth). The log2 position discounts
+    are HARDCODED half-up ppm constants (1e6/log2(i+1), i = 1..10 — the
+    q_benford_digits constant technique), so DCG, the ideal DCG (top
+    min(R,10) discounts), NDCG = DCG·1e6 DIV IDCG and
+    MRR = 1e6 DIV first-relevant-rank are all pure BIGINT on both
+    engines. Output: one row — relevant count, hits@10, first relevant
+    rank (0 = none in the top-100), MRR ppm, DCG/IDCG/NDCG ppm.
+
+    Scale: both retrievers end in TakeOrderedAndProject; everything
+    after the cuts is ≤100-row arithmetic (the RRF precedent); the
+    label join broadcasts a 10-row frame."""
+    lex = _rrf_lex_ranked(spark, sf_dir)
+    rel = (
+        _rrf_sem_ranked(spark, sf_dir)
+        .filter(F.col("_rs") <= _NDCG_K)
+        .select("vec_id")
+    )
+    j = lex.join(
+        F.broadcast(rel), lex["doc_id"] == rel["vec_id"], "left"
+    ).select(
+        "_rl", F.col("vec_id").isNotNull().cast("long").alias("_rel")
+    )
+    w_case = "CASE _rl " + " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    ) + " ELSE 0 END"
+    idcg_prefix = []
+    acc = 0
+    for w in _NDCG_W:
+        acc += w
+        idcg_prefix.append(acc)
+    idcg_case = "CASE LEAST(f_rel_total, 10) " + " ".join(
+        f"WHEN {i + 1} THEN {p}" for i, p in enumerate(idcg_prefix)
+    ) + " ELSE 0 END"
+    rtot = rel.agg(F.count("*").cast("long").alias("f_rel_total"))
+    agg = j.agg(
+        F.sum(
+            F.expr(f"CASE WHEN _rel = 1 AND _rl <= {_NDCG_K}"
+                   " THEN 1 ELSE 0 END")
+        ).cast("long").alias("f_hits_at10"),
+        F.coalesce(
+            F.min(F.when(F.col("_rel") == 1, F.col("_rl"))), F.lit(0)
+        ).cast("long").alias("f_first_rel_rank"),
+        F.sum(
+            F.expr(f"CASE WHEN _rel = 1 THEN {w_case} ELSE 0 END")
+        ).cast("long").alias("f_dcg_ppm"),
+    )
+    return agg.crossJoin(F.broadcast(rtot)).select(
+        "f_rel_total",
+        "f_hits_at10",
+        "f_first_rel_rank",
+        F.expr(
+            "CAST(CASE WHEN f_first_rel_rank = 0 THEN 0"
+            " ELSE 1000000 DIV f_first_rel_rank END AS BIGINT)"
+        ).alias("f_mrr_ppm"),
+        "f_dcg_ppm",
+        F.expr(f"CAST({idcg_case} AS BIGINT)").alias("f_idcg_ppm"),
+        F.expr(
+            f"CAST(f_dcg_ppm * 1000000"
+            f" DIV GREATEST({idcg_case}, 1) AS BIGINT)"
+        ).alias("f_ndcg_ppm"),
+    )
+
+
+_NDCG_W_CASE_SQL = "CASE _rl " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " ELSE 0 END"
+_NDCG_IDCG_CASE_SQL = "CASE LEAST(f_rel_total, 10) " + " ".join(
+    f"WHEN {i + 1} THEN {p}"
+    for i, p in enumerate(
+        [sum(_NDCG_W[: i + 1]) for i in range(len(_NDCG_W))]
+    )
+) + " ELSE 0 END"
+
+ORACLE["q_ndcg_mrr"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id <> {_QUERY_ID}
+    ),
+    lexs AS (
+        SELECT doc_id,
+               CAST({' + '.join(
+                   f"len(list_filter(t, x -> x = '{t}'))"
+                   for t in _RRF_TERMS
+               )} AS BIGINT) AS _lscore
+        FROM toks
+    ),
+    lex_top AS (
+        SELECT doc_id, _lscore FROM lexs WHERE _lscore > 0
+        ORDER BY _lscore DESC, doc_id ASC LIMIT {_RRF_TOPC}
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY _lscore DESC, doc_id ASC) AS BIGINT) AS _rl
+        FROM lex_top
+    ),
+    micro AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS m
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, generate_subscripts(m, 1) AS i, unnest(m) AS x
+        FROM micro WHERE vec_id <> {_QUERY_ID}
+    ),
+    qel AS (
+        SELECT generate_subscripts(m, 1) AS i, unnest(m) AS qx
+        FROM micro WHERE vec_id = {_QUERY_ID}
+    ),
+    rel AS (
+        SELECT vec_id FROM (
+            SELECT el.vec_id,
+                   CAST(SUM(el.x * qel.qx) AS BIGINT) AS _sscore
+            FROM el JOIN qel ON el.i = qel.i
+            GROUP BY el.vec_id
+        ) ORDER BY _sscore DESC, vec_id ASC LIMIT {_NDCG_K}
+    ),
+    rtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS f_rel_total FROM rel),
+    j AS (
+        SELECT lex._rl,
+               CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END AS _rel
+        FROM lex LEFT JOIN rel ON lex.doc_id = rel.vec_id
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN _rel = 1 AND _rl <= {_NDCG_K}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS f_hits_at10,
+               CAST(COALESCE(MIN(CASE WHEN _rel = 1 THEN _rl END), 0)
+                    AS BIGINT) AS f_first_rel_rank,
+               CAST(SUM(CASE WHEN _rel = 1 THEN {_NDCG_W_CASE_SQL}
+                        ELSE 0 END) AS BIGINT) AS f_dcg_ppm
+        FROM j
+    )
+    SELECT f_rel_total, f_hits_at10, f_first_rel_rank,
+           CAST(CASE WHEN f_first_rel_rank = 0 THEN 0
+                ELSE 1000000 // f_first_rel_rank END AS BIGINT) AS f_mrr_ppm,
+           f_dcg_ppm,
+           CAST({_NDCG_IDCG_CASE_SQL} AS BIGINT) AS f_idcg_ppm,
+           CAST(f_dcg_ppm * 1000000
+                // GREATEST({_NDCG_IDCG_CASE_SQL}, 1) AS BIGINT)
+               AS f_ndcg_ppm
+    FROM agg CROSS JOIN rtot
+"""
+QUERIES["q_ndcg_mrr"] = q_ndcg_mrr
 
 
 # ---------------------------------------------------------------------------

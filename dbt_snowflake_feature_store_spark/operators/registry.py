@@ -34,7 +34,7 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 12 rotation (9 + 4 + 21 + 16 = the 50-key driver cap) ----
+    # ---- round 12 rotation (9 + 5 + 21 + 15 = the 50-key driver cap) ----
     # part 1 (9): every key whose code changed THIS round — the 5 NEW
     # relational8 keys (PSI bits, Cramér's V, Spearman, CUSUM with the
     # new ranks.global_running_min, interval-overlap join), the
@@ -45,10 +45,10 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_psi_bits", "q_cramers_v", "q_spearman_corr", "q_cusum_drift",
     "q_join_interval", "q_confusion_metrics", "q_ks_drift",
     "q_tvd_drift", "q_sim_topk_fast",
-    # part 1b (4): the round-12 second wave (never driver-recorded —
-    # they displace the 4 youngest r8-dated part-3 keys to position 51+)
+    # part 1b (5): the round-12 second wave (never driver-recorded —
+    # they displace the 5 youngest r8-dated part-3 keys to position 51+)
     "q_benford_digits", "q_autocorr_lag", "q_basket_lift",
-    "q_weekday_profile",
+    "q_weekday_profile", "q_ndcg_mrr",
     # part 2 (21): the remaining r7-dated driver records — the r12
     # promotion set VERDICT-r11 #1 names (incl. q_window_rank and the
     # rows-only q_bpe_train, both also r7-dated)
@@ -58,13 +58,13 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_set_ops", "q_tpch_q1like", "q_tpch_q3like", "q_tpch_q5like",
     "q_tpch_q22like", "q_union_all", "q_join_left", "q_join_multi_fv",
     "q_bpe_train",
-    # part 3 (16): the oldest r8-dated records, oldest-first cycle
+    # part 3 (15): the oldest r8-dated records, oldest-first cycle
     "q_agg_multi", "q_array_agg", "q_dedup_simhash", "q_epoch_shuffle",
     "q_event_corr", "q_ewma_decay", "q_feature_drift", "q_fingerprint",
     "q_fingerprint_winnow", "q_funnel", "q_gap_fill", "q_grouping_sets",
-    "q_heavy_hitters_sketch", "q_hopping", "q_join_equi", "q_join_full",
+    "q_heavy_hitters_sketch", "q_hopping", "q_join_equi",
     # position 51+ — PAST the cap: the r13 promotion set is the
-    # remaining r8-dated keys (q_join_skew_salted, q_kmv_jaccard,
+    # remaining r8-dated keys (q_join_full, q_join_skew_salted, q_kmv_jaccard,
     # q_kmv_sketch, q_lang_id, q_lang_id_conf, q_multimodal_decode/
     # frames/meta/resize, q_percentile, q_quantile_sketch, q_retention,
     # q_scd2_history, q_scd2_multi, q_stats_moments, q_text_repetition,

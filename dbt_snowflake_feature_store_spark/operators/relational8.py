@@ -347,14 +347,25 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_running_min) — P parallel tasks even if the series grows to
     millions of periods, never a single-task window. The final argmax
     is a TakeOrderedAndProject."""
-    from ..functions.ranks import global_running_min, global_running_sum
-
     ev = _t(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & (F.col("event_type") == "error")
     )
     day = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("_d")
     ).agg(F.count("*").cast("long").alias("_x"))
+    return cusum_from_days(day)
+
+
+def cusum_from_days(day: DataFrame) -> DataFrame:
+    """Max-drawup CUSUM from a PER-PERIOD count frame ``(_d, _x)`` —
+    the mergeable drift state: the period frame is a keyed COUNT
+    aggregate, so a streaming FV maintains it exactly via the
+    foreachBatch-MERGE path and the changepoint monitor reads the
+    maintained table instead of rescanning raw history (the
+    ks_from_points / tvd_from_cells discipline;
+    tests/test_streaming.py TestStreamingDrift parity)."""
+    from ..functions.ranks import global_running_min, global_running_sum
+
     day = _ckpt(day)
     # _nd/_tt, NOT _D/_T: Spark resolves case-insensitively and DuckDB
     # lowercases unquoted identifiers, so _d vs _D in one scope COLLIDE

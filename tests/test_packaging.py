@@ -51,3 +51,11 @@ def test_package_find_covers_all_subpackages():
         "dbt_snowflake_feature_store_spark.vendor",
     ):
         assert sub in found, f"{sub} missing from find_packages"
+
+
+def test_version_lockstep_with_pyproject():
+    import dbt_snowflake_feature_store_spark as pkg
+
+    with open(os.path.join(ROOT, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert pkg.__version__ == meta["project"]["version"]

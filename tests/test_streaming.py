@@ -1149,3 +1149,62 @@ class TestStreamingDrift:
             b2["f_n1"], b2["f_n2"], b2["f_bins"], b2["f_tvd_ppm"],
         )
         assert (m2["f_n1"], m2["f_n2"]) != (m1["f_n1"], m1["f_n2"])
+
+    def test_cusum_from_maintained_days_matches_batch(
+        self, fs, spark, split_events
+    ):
+        """r12: the CUSUM period frame (day, count) is a keyed COUNT —
+        the same maintained-state discipline as KS points / TVD cells:
+        cusum_from_days over the incrementally-maintained FV equals the
+        batch statistic at every arrival."""
+        from dbt_snowflake_feature_store_spark.operators.relational8 import (
+            cusum_from_days,
+        )
+
+        fs.register_source("S_CUSUM", split_events["src"])
+        fs.register_entity(Entity("day_key", ["_d"]))
+        sql = """
+            SELECT date_trunc('day', ts) AS _d,
+                   CAST(COUNT(*) AS BIGINT) AS _x
+            FROM S_CUSUM
+            WHERE ts IS NOT NULL AND event_type = 'error'
+            GROUP BY 1
+        """
+        fv = FeatureView(
+            "cusum_days",
+            ["day_key"],
+            sql=sql,
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_cusum():
+            ev = spark.read.parquet(split_events["src"]).filter(
+                F.col("ts").isNotNull() & (F.col("event_type") == "error")
+            )
+            day = ev.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("_d")
+            ).agg(F.count("*").cast("long").alias("_x"))
+            return cusum_from_days(day).head()
+
+        def maintained_cusum():
+            day = fs.read_feature_view("CUSUM_DAYS$1.0").select("_d", "_x")
+            return cusum_from_days(day).head()
+
+        b1, m1 = batch_cusum(), maintained_cusum()
+        assert (m1["f_days"], m1["f_total"], m1["f_cusum_max"],
+                m1["f_peak_day"]) == (
+            b1["f_days"], b1["f_total"], b1["f_cusum_max"],
+            b1["f_peak_day"],
+        )
+        assert m1["f_days"] > 0
+
+        _arrive_half2(split_events)
+        assert fs.refresh("cusum_days", "1.0") == "INCREMENTAL"
+        b2, m2 = batch_cusum(), maintained_cusum()
+        assert (m2["f_days"], m2["f_total"], m2["f_cusum_max"],
+                m2["f_peak_day"]) == (
+            b2["f_days"], b2["f_total"], b2["f_cusum_max"],
+            b2["f_peak_day"],
+        )
+        assert m2["f_total"] > m1["f_total"]

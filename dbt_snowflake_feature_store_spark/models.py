@@ -1119,16 +1119,7 @@ def run_schema_tests(
             nonlocal _gt_view_n
             _gt_view_n += 1
             view = f"__fs_generic_test_rel_{_gt_view_n}"
-            df.createOrReplaceTempView(view)
-            try:
-                rendered = str(macro(model=view, column_name=col, **kwargs))
-            except TypeError as exc:
-                raise ValidationError(
-                    f"Generic test '{tname}' on {rel_label}.{col}: "
-                    f"signature mismatch — the macro must accept "
-                    f"(model, column_name{', ' if kwargs else ''}"
-                    f"{', '.join(sorted(kwargs))}): {exc}"
-                ) from exc
+            made_views = [view]  # session-global: drop whatever we made
 
             # ref()/source() inside the test body re-emit canonically
             # (make_jinja_env) — bind each to a temp view here
@@ -1137,6 +1128,7 @@ def run_schema_tests(
                 if kind == "ref":
                     vn = f"__fs_generic_test_ref_{canonical_name(a)}"
                     _model_df(a).createOrReplaceTempView(vn)
+                    made_views.append(vn)
                     return vn
                 if not b:
                     raise ValidationError(
@@ -1147,10 +1139,29 @@ def run_schema_tests(
                     f"{canonical_name(b)}"
                 )
                 _source_df(a, b).createOrReplaceTempView(vn)
+                made_views.append(vn)
                 return vn
 
-            rendered = _EXPR_RE.sub(_bind, rendered)
-            n = fs.spark.sql(rendered).count()
+            df.createOrReplaceTempView(view)
+            try:
+                try:
+                    rendered = str(
+                        macro(model=view, column_name=col, **kwargs)
+                    )
+                except TypeError as exc:
+                    raise ValidationError(
+                        f"Generic test '{tname}' on {rel_label}.{col}: "
+                        f"signature mismatch — the macro must accept "
+                        f"(model, column_name{', ' if kwargs else ''}"
+                        f"{', '.join(sorted(kwargs))}): {exc}"
+                    ) from exc
+                rendered = _EXPR_RE.sub(_bind, rendered)
+                n = fs.spark.sql(rendered).count()
+            finally:
+                # temp views are session-global — don't leak any of the
+                # per-test views, on success OR error paths
+                for vn in made_views:
+                    fs.spark.catalog.dropTempView(vn)
         results.append(
             {
                 "name": label,
@@ -1484,11 +1495,17 @@ def load_semantic_layer(
             )
 
     # first pass: the full declared-metric name set, so derived metrics
-    # can reference any metric regardless of yml ordering
+    # can reference any metric regardless of yml ordering. Tolerant of
+    # bad names here — the second pass raises the FRIENDLY error (file
+    # context, "needs a name"), not canonical_name's bare
+    # "Invalid identifier: ''"
     all_metric_names: set[str] = set()
     for _fn, data in _iter_project_ymls(project_dir):
         for mt in data.get("metrics") or []:
-            all_metric_names.add(canonical_name(str(mt.get("name", ""))))
+            try:
+                all_metric_names.add(canonical_name(str(mt.get("name", ""))))
+            except ValidationError:
+                pass
 
     met_out: list[dict[str, Any]] = []
     met_seen: set[str] = set()
@@ -1652,6 +1669,10 @@ def export_manifest(
             if kind == "ref":
                 out.append(_ref_id(a))
             else:
+                if not b:
+                    raise ValidationError(
+                        f"manifest: source('{a}') takes 2 args"
+                    )
                 out.append(f"source.project.{a}.{b}")
         return sorted(set(out))
 
@@ -1843,9 +1864,15 @@ def export_manifest(
                     "name": stem,
                     "path": os.path.relpath(p, project_dir),
                 }
-                # dep scan over the raw text (full-jinja singular tests
-                # still spell ref()/source() literally)
-                parent_map[uid] = _deps_of(raw)
+                # render BEFORE the dep scan, exactly as run_data_tests
+                # executes the test — a ref() inside a jinja comment or
+                # a dead {% if %} branch is not a dependency (scanning
+                # the raw text would fail the whole build on it)
+                if _needs_full_jinja(raw):
+                    body, _cfg = _render_model(raw, f"test:{stem}", _env())
+                else:
+                    body = _CONFIG_RE.sub("", raw)
+                parent_map[uid] = _deps_of(body)
 
     child_map: dict[str, list[str]] = {
         uid: [] for uid in (*nodes, *sources_out, *exposures_out)
@@ -1936,7 +1963,12 @@ def build_project(
     has_singular = os.path.isdir(tests_dir) and any(
         fn.endswith(".sql")
         for r, _d, fns in os.walk(tests_dir)
-        if not os.path.abspath(r).startswith(norm_generic)
+        # exact dir or below it — a SIBLING like tests/generic_extra/
+        # holds singular tests (bare startswith would skip it silently)
+        if not (
+            os.path.abspath(r) == norm_generic
+            or os.path.abspath(r).startswith(norm_generic + os.sep)
+        )
         for fn in fns
     )
     if has_singular:

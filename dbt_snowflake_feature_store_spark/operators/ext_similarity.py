@@ -166,12 +166,14 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production brute-force path, ORACLE-GATED (r11, VERDICT-r10 #6):
-    the native zip_with/aggregate FLOAT dot generates the top-k
-    candidates — zero shuffle, TakeOrderedAndProject — and the ≤k
-    survivors are RESCORED decimal-exactly (the standard
+    the native zip_with/aggregate FLOAT dot generates the top-5k
+    candidates (over-fetched so a float near-tie at the k boundary
+    cannot drop a true top-k member — ADVICE r11) — zero shuffle,
+    TakeOrderedAndProject — and the survivors are RESCORED
+    decimal-exactly before the final exact top-k cut (the standard
     candidate-generate → exact-rescore ANN serving shape; the rescore
-    frame is k rows, so the decimal posexplode join is bounded at any
-    SF). Because pytest pins float-path/decimal-path id-set equality
+    frame is O(k) rows, so the decimal posexplode join is bounded at
+    any SF). Because pytest pins float-path/decimal-path id-set equality
     (tests/test_ext.py), the output equals q_sim_topk's and the SAME
     DuckDB oracle hash-gates this key — the r10 verdict's 'invariant
     twin' greening. The float candidate pass stays the plan the 100 TB
@@ -2671,11 +2673,18 @@ def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the cuts is ≤100-row arithmetic (the RRF precedent); the
     label join broadcasts a 10-row frame."""
     lex = _rrf_lex_ranked(spark, sf_dir)
-    rel = (
+    # _ckpt: rel fans into rtot AND the label join — without the cut
+    # the corpus-scale semantic scoring pass would run twice (the
+    # q_confusion_metrics lesson). The trailing limit is a row-wise
+    # no-op (the frame is ≤10 rows by the _rs filter) that restores a
+    # GlobalLimit ABOVE the checkpoint cut, so the forced-broadcast
+    # sweep can still prove the broadcast side bounded (the checkpoint
+    # is a LogicalRDD — lineage-opaque to the labeler).
+    rel = _ckpt(
         _rrf_sem_ranked(spark, sf_dir)
         .filter(F.col("_rs") <= _NDCG_K)
         .select("vec_id")
-    )
+    ).limit(_NDCG_K)
     j = lex.join(
         F.broadcast(rel), lex["doc_id"] == rel["vec_id"], "left"
     ).select(

@@ -226,15 +226,26 @@ def _try_ext_modules() -> None:
     pkg_dir = os.path.dirname(__file__)
     ordered = []
     for name in _EXT_MODULE_NAMES:
+        fullname = f"{__package__}.{name}"
         on_disk = os.path.exists(os.path.join(pkg_dir, f"{name}.py"))
         try:
             ordered.append(importlib.import_module(f".{name}", __package__))
         except ImportError as e:
-            if on_disk:
+            # "genuinely absent" means the module ITSELF is not found
+            # AND no source file sits on disk (bytecode-only installs
+            # have no .py, so the file check alone would downgrade a
+            # real transitive ImportError to a warning there). Anything
+            # else is a broken engine: raise.
+            absent = (
+                isinstance(e, ModuleNotFoundError)
+                and e.name == fullname
+                and not on_disk
+            )
+            if not absent:
                 raise ImportError(
-                    f"registry module '{name}' exists on disk but failed "
-                    f"to import — its query keys would silently vanish "
-                    f"from queries(); fix the import error: {e}"
+                    f"registry module '{name}' failed to import — its "
+                    f"query keys would silently vanish from queries(); "
+                    f"fix the import error: {e}"
                 ) from e
             warnings.warn(
                 f"registry module '{name}' absent from this install — "

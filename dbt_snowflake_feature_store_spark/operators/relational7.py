@@ -778,8 +778,16 @@ def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one combinable (octave, group) agg over a projection; the
     octave domain is int64-bounded BY CONSTRUCTION (~60 bins max);
     everything downstream is bin-count-sized."""
+    return tvd_from_cells(doc_octave_cells(spark, sf_dir))
+
+
+def doc_octave_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (octave, c1, c2) en/non-en doc-length cell frame SHARED by
+    q_tvd_drift and q_psi_bits (relational8) — one builder so the two
+    drift keys' binning cannot drift apart. Mirrored in SQL by
+    :data:`DOC_OCTAVE_CELLS_SQL`."""
     d = _t(spark, sf_dir, "documents")
-    cell = d.select(
+    return d.select(
         F.expr("CAST(length(bin(n_chars)) - 1 AS BIGINT)").alias("_o"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("_a"),
         F.when(F.col("lang") != "en", 1).otherwise(0).alias("_b"),
@@ -787,7 +795,18 @@ def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_a").cast("long").alias("c1"),
         F.sum("_b").cast("long").alias("c2"),
     )
-    return tvd_from_cells(cell)
+
+
+# the DuckDB twin of doc_octave_cells — interpolated into the
+# q_tvd_drift (here) and q_psi_bits (relational8) oracles
+DOC_OCTAVE_CELLS_SQL = """
+        SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS _o,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM documents GROUP BY 1
+"""
 
 
 def tvd_from_cells(cell: DataFrame) -> DataFrame:
@@ -824,15 +843,8 @@ def tvd_from_cells(cell: DataFrame) -> DataFrame:
     )
 
 
-ORACLE["q_tvd_drift"] = """
-    WITH cell AS (
-        SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS _o,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS c1,
-               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS c2
-        FROM documents GROUP BY 1
-    ),
+ORACLE["q_tvd_drift"] = f"""
+    WITH cell AS ({DOC_OCTAVE_CELLS_SQL}),
     tot AS (
         SELECT CAST(SUM(c1) AS BIGINT) AS f_n1,
                CAST(SUM(c2) AS BIGINT) AS f_n2,

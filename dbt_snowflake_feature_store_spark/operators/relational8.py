@@ -79,16 +79,10 @@ def q_psi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     c·N stay in BIGINT for N ≤ ~3e9 rows per side (document the wider
     DECIMAL spelling past that); the term sum runs in DECIMAL(38,0) /
     HUGEINT."""
-    d = _t(spark, sf_dir, "documents")
-    cell = d.select(
-        F.expr("CAST(length(bin(n_chars)) - 1 AS BIGINT)").alias("_o"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("_a"),
-        F.when(F.col("lang") != "en", 1).otherwise(0).alias("_b"),
-    ).groupBy("_o").agg(
-        F.sum("_a").cast("long").alias("c1"),
-        F.sum("_b").cast("long").alias("c2"),
-    )
-    cell = _ckpt(cell)
+    from .relational7 import doc_octave_cells
+
+    # the SAME cell builder as q_tvd_drift (relational7) — one binning
+    cell = _ckpt(doc_octave_cells(spark, sf_dir))
     tot = cell.agg(
         F.sum("c1").cast("long").alias("f_n1"),
         F.sum("c2").cast("long").alias("f_n2"),
@@ -115,15 +109,10 @@ def q_psi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["q_psi_bits"] = """
-    WITH cell AS (
-        SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS _o,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS c1,
-               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS c2
-        FROM documents GROUP BY 1
-    ),
+from .relational7 import DOC_OCTAVE_CELLS_SQL as _CELLS_SQL  # noqa: E402
+
+ORACLE["q_psi_bits"] = f"""
+    WITH cell AS ({_CELLS_SQL}),
     tot AS (
         SELECT CAST(SUM(c1) AS BIGINT) AS f_n1,
                CAST(SUM(c2) AS BIGINT) AS f_n2,
@@ -677,7 +666,11 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o2 in outs[1:]:
         out = out.unionAll(o2)
-    return out.orderBy("f_lag")
+    # row-count parity: Spark's global agg emits a row even for a lag
+    # with ZERO pairs (f_pairs=0, NULL stats) where the oracle's
+    # GROUP BY emits none — drop empty lags on this side too (a series
+    # shorter than the lag simply has no row for it)
+    return out.filter(F.col("f_pairs") > 0).orderBy("f_lag")
 
 
 ORACLE["q_autocorr_lag"] = """

@@ -138,10 +138,18 @@ def recover_webdataset(out_dir: str) -> None:
     without the marker is an aborted write — delete it (the previous
     corpus is untouched by construction, the swap only starts after
     the marker). Orphaned ``_old-*`` dirs from hard-killed swaps are
-    swept last. NOT safe to run concurrently with a live export into
-    the same dir (it would sweep the in-flight staging)."""
+    swept last. A staging that REFUSES automatic recovery (legacy
+    marker over a live corpus, or a committed shard missing) does not
+    block the others: every recoverable staging is processed first,
+    the refused ones (and their ``_old-{token}`` dirs, which may hold
+    old-corpus tars moved aside mid-swap) are preserved, and ONE
+    aggregated error raises at the end. NOT safe to run concurrently
+    with a live export into the same dir (it would sweep the in-flight
+    staging)."""
     if not os.path.isdir(out_dir):
         return
+    refused: list[tuple[str, str]] = []
+    refused_tokens: set[str] = set()
     for s in sorted(os.listdir(out_dir)):
         if not s.startswith("_staging-"):
             continue
@@ -149,14 +157,24 @@ def recover_webdataset(out_dir: str) -> None:
         if not os.path.isdir(sp):
             continue
         if os.path.exists(os.path.join(sp, _WDS_COMMIT)):
-            _swap_in(
-                out_dir, sp, s.split("-", 1)[1], _read_manifest(sp, out_dir)
-            )
+            token = s.split("-", 1)[1]
+            try:
+                _swap_in(out_dir, sp, token, _read_manifest(sp, out_dir))
+            except RuntimeError as e:
+                refused.append((s, str(e)))
+                refused_tokens.add(token)
         else:
             shutil.rmtree(sp, ignore_errors=True)
     for o in sorted(os.listdir(out_dir)):
-        if o.startswith("_old-"):
+        if o.startswith("_old-") and o[5:] not in refused_tokens:
             shutil.rmtree(os.path.join(out_dir, o), ignore_errors=True)
+    if refused:
+        raise RuntimeError(
+            f"webdataset recovery: {len(refused)} staging dir(s) refused "
+            "automatic recovery (everything else was recovered; the "
+            "refused staging and matching _old dirs are preserved):\n"
+            + "\n".join(f"- {s}: {msg}" for s, msg in refused)
+        )
 
 
 def _member_bytes(value, col: str) -> tuple[str, bytes]:

@@ -19,6 +19,7 @@ from .errors import (
 from .functions.profile import profile
 from .models import (
     build_project,
+    export_catalog,
     export_manifest,
     load_exposures,
     load_project,
@@ -46,6 +47,7 @@ __all__ = [
     "get_spark",
     "load_project",
     "build_project",
+    "export_catalog",
     "export_manifest",
     "load_exposures",
     "load_semantic_layer",

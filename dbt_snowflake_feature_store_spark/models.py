@@ -1908,6 +1908,111 @@ def _json_safe(v: Any) -> bool:
     return isinstance(v, (str, int, float, bool, type(None), list, dict))
 
 
+def export_catalog(
+    fs: "FeatureStore",
+    project_dir: str,
+    path: str | None = None,
+    model_vars: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """dbt-docs-style ``catalog.json`` — the column-level companion to
+    :func:`export_manifest`: per manifest node, the column names and
+    Spark types (``nodes`` for models keyed ``model.project.<name>``,
+    ``sources`` for declared source tables keyed
+    ``source.project.<src>.<tbl>``). Schemas come from the ANALYZED
+    plan only (``df.schema`` — no job runs, no data scans): a managed
+    FV reports its materialized parquet schema, a static FV the
+    re-planned body's schema. Models must be REGISTERED (run
+    :func:`load_project` / :func:`build_project` first); entity models
+    have no relation and are skipped, like dbt skips non-relational
+    nodes. Writes to ``path`` (default
+    ``<project_dir>/target/catalog.json``) and returns the dict."""
+    import json
+
+    mdir = os.path.join(project_dir, "models")
+    root0 = mdir if os.path.isdir(mdir) else project_dir
+
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir)
+                + _generic_test_paths(project_dir),
+                model_vars,
+            )
+        return jinja_env
+
+    declared_map, declared = load_sources_yml(project_dir)
+    fs._bind_batch_sources()
+
+    def _columns(df) -> dict[str, dict[str, Any]]:
+        return {
+            f.name: {
+                "type": f.dataType.simpleString(),
+                "index": i,
+                "nullable": f.nullable,
+            }
+            for i, f in enumerate(df.schema.fields)
+        }
+
+    nodes: dict[str, dict[str, Any]] = {}
+    for root, dirs, files in os.walk(root0):
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", "macros", "seeds", "snapshots", "target")
+        ]
+        for fn in sorted(files):
+            if not fn.endswith(".sql"):
+                continue
+            mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
+            if mdl.materialized == "entity":
+                continue  # no relation behind an entity model
+            df = fs.read_feature_view(
+                mdl.name, str(mdl.config["feature_view_version"])
+            )
+            nodes[f"model.project.{mdl.name}"] = {
+                "resource_type": "model",
+                "name": mdl.name,
+                "columns": _columns(df),
+            }
+
+    sources_out: dict[str, dict[str, Any]] = {}
+    for src, tbl in sorted(declared or set()):
+        bound = (
+            (declared_map or {}).get((src, tbl))
+            or (declared_map or {}).get(f"{src}.{tbl}")
+            or tbl
+        )
+        doc = fs.registry.get("sources", canonical_name(bound))
+        if doc is None:
+            continue  # declared but never registered — manifest-only
+        df = fs._source_reader(doc).load(doc["path"])
+        sources_out[f"source.project.{src}.{tbl}"] = {
+            "resource_type": "source",
+            "source_name": src,
+            "name": tbl,
+            "columns": _columns(df),
+        }
+
+    catalog = {
+        "metadata": {
+            "generator": "dbt_snowflake_feature_store_spark",
+            "schema": "catalog-reduced-v1",
+            "project_name": "project",
+        },
+        "nodes": nodes,
+        "sources": sources_out,
+    }
+    out_path = path or os.path.join(project_dir, "target", "catalog.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(catalog, f, indent=1, sort_keys=True)
+    os.replace(tmp, out_path)
+    return catalog
+
+
 def build_project(
     fs: "FeatureStore",
     project_dir: str,

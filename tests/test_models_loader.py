@@ -1573,3 +1573,35 @@ metrics:
         assert set(
             man["parent_map"]["metric.project.AGE_PER_CUSTOMER"]
         ) == {sem_uid}
+
+
+def test_export_catalog_columns(fs, tmp_path, base_table):
+    """dbt-docs catalog.json (r12): column names/types per manifest node
+    from ANALYZED schemas only — no job runs."""
+    from dbt_snowflake_feature_store_spark import export_catalog
+
+    yml = TestExposures.YML
+    proj = _write_project(
+        tmp_path, {**REFERENCE_PROJECT, "schema.yml": yml}
+    )
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    cat = export_catalog(fs, proj)
+    mdl = cat["nodes"]["model.project.test_base_customer_features"]
+    assert "customer_id" in mdl["columns"]
+    assert mdl["columns"]["customer_id"]["type"] in ("int", "bigint")
+    src = cat["sources"]["source.project.test_sources.customer_base_table"]
+    cols = src["columns"]
+    assert set(cols) >= {"customer_id", "age", "tier"}
+    # index reflects schema position, 0-based and dense
+    assert sorted(c["index"] for c in cols.values()) == list(
+        range(len(cols))
+    )
+    # entity models carry no relation: not in the catalog
+    assert not any("entity" in k for k in cat["nodes"])
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(proj, "target", "catalog.json")) as f:
+        disk = _json.load(f)
+    assert disk["nodes"].keys() == cat["nodes"].keys()

@@ -26,6 +26,7 @@ from .models import (
     load_semantic_layer,
     run_data_tests,
     run_schema_tests,
+    select_nodes,
 )
 from .snapshots import read_snapshot, run_snapshots
 from .objects import Dataset, Entity, FeatureView, RefreshSpec
@@ -53,6 +54,7 @@ __all__ = [
     "load_semantic_layer",
     "run_data_tests",
     "run_schema_tests",
+    "select_nodes",
     "run_snapshots",
     "read_snapshot",
     "FeatureStoreError",

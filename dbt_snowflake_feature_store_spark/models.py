@@ -605,6 +605,65 @@ def _generic_test_paths(project_dir: str) -> list[str]:
     return out
 
 
+def select_nodes(
+    models: dict[str, Model],
+    select: Sequence[str],
+) -> set[str]:
+    """dbt node-selection over the model graph: each selector is
+    ``[+]name[+]`` — the bare name, ``+name`` adds every ancestor
+    (transitive ref() parents AND the entity models the config's
+    ``entities:`` list names — entities are graph parents here even
+    though dbt spells that edge in config, not ref()), ``name+`` adds
+    every descendant; selectors union. Unknown names fail loudly (a
+    typo silently selecting nothing is how half a project doesn't
+    build). Returns the selected model-name set."""
+    by_canon = {canonical_name(n): n for n in models}
+    # edges: child -> parents (refs to models + config entities)
+    parents: dict[str, set[str]] = {n: set() for n in models}
+    for n, mdl in models.items():
+        for m in _EXPR_RE.finditer(mdl.body):
+            if m.group(1) == "ref" and m.group(2) in models:
+                parents[n].add(m.group(2))
+        for e in mdl.config.get("entities") or []:
+            target = by_canon.get(canonical_name(str(e)))
+            if target is not None:
+                parents[n].add(target)
+    children: dict[str, set[str]] = {n: set() for n in models}
+    for n, ps in parents.items():
+        for p in ps:
+            children[p].add(n)
+
+    def closure(start: str, edges: dict[str, set[str]]) -> set[str]:
+        out, todo = set(), [start]
+        while todo:
+            cur = todo.pop()
+            for nxt in edges[cur]:
+                if nxt not in out:
+                    out.add(nxt)
+                    todo.append(nxt)
+        return out
+
+    chosen: set[str] = set()
+    for raw in select:
+        tok = str(raw).strip()
+        anc = tok.startswith("+")
+        desc = tok.endswith("+")
+        name = tok.strip("+")
+        target = by_canon.get(canonical_name(name)) if name else None
+        if target is None:
+            raise ValidationError(
+                f"select: '{raw}' does not match any model in the "
+                "project (known: "
+                f"{', '.join(sorted(models))})"
+            )
+        chosen.add(target)
+        if anc:
+            chosen |= closure(target, parents)
+        if desc:
+            chosen |= closure(target, children)
+    return chosen
+
+
 def load_project(
     fs: "FeatureStore",
     project_dir: str,
@@ -614,6 +673,7 @@ def load_project(
     exclude_dirs: Sequence[str] | None = None,
     model_vars: dict[str, Any] | None = None,
     seed_schemas: dict[str, str] | None = None,
+    select: Sequence[str] | None = None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -629,6 +689,16 @@ def load_project(
     ``run_data_tests`` consumes — bare SELECTs with no config block) is
     skipped, so both APIs can share one project directory;
     ``exclude_dirs`` overrides the skip list.
+
+    ``select`` (dbt's ``--select``) restricts REGISTRATION to the
+    matching models (:func:`select_nodes` grammar: ``[+]name[+]`` for
+    ancestor/descendant closure; entity-config edges count as
+    ancestors). Every model still parses, validates and resolves —
+    selection never skips validation — and a selected model whose
+    managed/entity dependency is excluded AND absent from the store
+    fails loudly at registration (dbt's behavior). Exposures and the
+    semantic layer always load (their refs validate against the FULL
+    parsed project, not the selection).
 
     Returns ``{"entities": [names], "feature_views": [(name, version)],
     "order": [model names in registration order]}``.
@@ -692,12 +762,17 @@ def load_project(
 
     entities = [m for m in models.values() if m.materialized == "entity"]
     fv_order = _topo_order(models, seeds)
+    chosen = select_nodes(models, select) if select is not None else None
 
     report: dict[str, Any] = {
         "entities": [], "feature_views": [], "order": [], "seeds": seed_names,
     }
+    if chosen is not None:
+        report["selected"] = sorted(canonical_name(n) for n in chosen)
 
     for mdl in sorted(entities, key=lambda m: m.name):
+        if chosen is not None and mdl.name not in chosen:
+            continue
         if not dry_run:
             fs.register_entity(
                 Entity(
@@ -712,9 +787,13 @@ def load_project(
     resolved: dict[str, str] = {}
     for name in fv_order:
         mdl = models[name]
+        # resolve EVERY model (validation + static deps inline from
+        # `resolved` regardless of selection); register only chosen
         resolved[name] = _resolve_body(
             fs, mdl, models, resolved, source_map, seeds, declared
         )
+        if chosen is not None and name not in chosen:
+            continue
         cfg = mdl.config
         version = str(cfg["feature_view_version"])
         refresh = None
@@ -770,6 +849,7 @@ def run_data_tests(
     source_map: dict[Any, str] | None = None,
     strict: bool = False,
     model_vars: dict[str, Any] | None = None,
+    models_filter: "set[str] | None" = None,
 ) -> list[dict[str, Any]]:
     """dbt-style DATA TESTS: every ``*.sql`` under ``tests_dir``
     (default ``<project_dir>/tests``) is a SELECT that must return ZERO
@@ -868,6 +948,17 @@ def run_data_tests(
         else:
             # tests may carry a config block (severity etc.) — strip it
             body = _CONFIG_RE.sub("", raw).strip()
+        if models_filter is not None:
+            # dbt's EAGER indirect selection: a singular test runs when
+            # ANY of its ref() deps is a selected model; source-only
+            # tests are excluded by model selection
+            deps = {
+                canonical_name(m.group(2))
+                for m in _EXPR_RE.finditer(body)
+                if m.group(1) == "ref"
+            }
+            if not (deps & models_filter):
+                continue
         pseudo = Model(name=f"test:{tname}", path=p, config={}, body=body)
         for em in _EXPR_RE.finditer(body):
             if em.group(1) == "ref":
@@ -907,6 +998,7 @@ def run_schema_tests(
     model_vars: dict[str, Any] | None = None,
     allow_empty: bool = False,
     source_map: dict[Any, str] | None = None,
+    models_filter: "set[str] | None" = None,
 ) -> list[dict[str, Any]]:
     """dbt GENERIC (schema) tests — the yml half of dbt's test surface
     beside :func:`run_data_tests`'s singular SQL tests: ``models:`` /
@@ -1175,6 +1267,11 @@ def run_schema_tests(
     for _path, data in _iter_project_ymls(project_dir):
         for entry in data.get("models") or []:
             name = str(entry.get("name", ""))
+            if (
+                models_filter is not None
+                and canonical_name(name) not in models_filter
+            ):
+                continue  # node selection: this model's tests not chosen
             entry_df = None  # resolved ONCE per entry, not per test
             for coldef in entry.get("columns") or []:
                 cn = str(coldef.get("name", ""))
@@ -1186,6 +1283,8 @@ def run_schema_tests(
                     if entry_df is None:
                         entry_df = _model_df(name)
                     _run_one(name, entry_df, cn, tst)
+        if models_filter is not None:
+            continue  # model selection excludes source-table tests (dbt)
         for s in data.get("sources") or []:
             sname = str(s.get("name", ""))
             for tbl in s.get("tables") or []:
@@ -2020,6 +2119,7 @@ def build_project(
     model_vars: dict[str, Any] | None = None,
     strict_tests: bool = True,
     at: Any = None,
+    select: Sequence[str] | None = None,
 ) -> dict[str, Any]:
     """The ``dbt build`` analog — one call runs the whole project in
     dbt's phase order: seeds + models + exposures (:func:`load_project`),
@@ -2035,12 +2135,21 @@ def build_project(
          "schema_tests": [...], "data_tests": [...],
          "manifest": <export_manifest dict, also written to
                       target/manifest.json>}
+
+    ``select`` (dbt's ``--select``, :func:`select_nodes` grammar)
+    builds only the matching models, runs only their yml schema tests
+    (source-table tests excluded by model selection, per dbt) and only
+    the singular tests that ref() a selected model (eager indirect
+    selection); snapshots are unselected nodes under a model selection
+    and are skipped. The manifest still describes the FULL project —
+    it is a parse artifact, not a run artifact.
     """
     from .snapshots import run_snapshots
 
     report: dict[str, Any] = {
         "models": load_project(
-            fs, project_dir, source_map=source_map, model_vars=model_vars
+            fs, project_dir, source_map=source_map, model_vars=model_vars,
+            select=select,
         ),
         "snapshots": None,
         "schema_tests": [],
@@ -2052,14 +2161,19 @@ def build_project(
         for _r, _d, fns in os.walk(snap_dir)
         for fn in fns
     )
-    if has_snaps:
+    if has_snaps and select is None:
+        # node selection names MODELS; snapshots are unselected nodes
+        # under a --select, exactly as in dbt build
         report["snapshots"] = run_snapshots(
             fs, project_dir, source_map=source_map, model_vars=model_vars,
             at=at,
         )
+    models_filter = (
+        set(report["models"]["selected"]) if select is not None else None
+    )
     report["schema_tests"] = run_schema_tests(
         fs, project_dir, model_vars=model_vars, allow_empty=True,
-        source_map=source_map,
+        source_map=source_map, models_filter=models_filter,
     )
     # singular tests live under tests/ EXCEPT tests/generic/ (generic
     # test definitions) — a generic-only tests dir has none to run
@@ -2078,7 +2192,8 @@ def build_project(
     )
     if has_singular:
         report["data_tests"] = run_data_tests(
-            fs, project_dir, source_map=source_map, model_vars=model_vars
+            fs, project_dir, source_map=source_map, model_vars=model_vars,
+            models_filter=models_filter,
         )
     # dbt writes target/manifest.json on every build — the lineage
     # artifact impact-analysis tooling consumes

@@ -1605,3 +1605,95 @@ def test_export_catalog_columns(fs, tmp_path, base_table):
     with open(_os.path.join(proj, "target", "catalog.json")) as f:
         disk = _json.load(f)
     assert disk["nodes"].keys() == cat["nodes"].keys()
+
+
+class TestNodeSelection:
+    """dbt --select node selection (r12): [+]name[+] grammar over the
+    ref() graph (entity-config edges count as ancestors); selection
+    scopes registration, schema tests (source tests excluded), and
+    singular tests (eager indirect selection); snapshots skip."""
+
+    def test_select_with_ancestors_registers_closure(
+        self, fs, tmp_path, base_table
+    ):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(
+            fs, proj, select=["+test_derived_customer_features"]
+        )
+        # derived refs base; base names the customer entity
+        assert report["selected"] == [
+            "TEST_BASE_CUSTOMER_FEATURES",
+            "TEST_CUSTOMER_ENTITY",
+            "TEST_DERIVED_CUSTOMER_FEATURES",
+        ]
+        regs = {n for n, _v in report["feature_views"]}
+        assert regs == {
+            "TEST_BASE_CUSTOMER_FEATURES", "TEST_DERIVED_CUSTOMER_FEATURES",
+        }
+        assert report["entities"] == ["TEST_CUSTOMER_ENTITY"]
+        # unselected models are NOT registered
+        from dbt_snowflake_feature_store_spark.errors import (
+            FeatureViewNotFoundError,
+        )
+
+        with pytest.raises(FeatureViewNotFoundError):
+            fs.read_feature_view("TEST_STATIC_CUSTOMER_FEATURES$1.0")
+
+    def test_select_descendants(self, fs, tmp_path, base_table):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(
+            fs, proj,
+            select=["test_base_customer_features+", "+test_base_customer_features"],
+        )
+        regs = {n for n, _v in report["feature_views"]}
+        # base's descendants include derived; its ancestors the entity
+        assert "TEST_DERIVED_CUSTOMER_FEATURES" in regs
+        assert "TEST_BASE_CUSTOMER_FEATURES" in regs
+
+    def test_unknown_selector_fails_loudly(self, fs, tmp_path, base_table):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="does not match"):
+            load_project(fs, proj, select=["no_such_model"])
+
+    def test_build_select_scopes_tests(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import build_project
+
+        yml = TestSchemaTests.YML
+        proj = _write_project(
+            tmp_path,
+            {
+                **REFERENCE_PROJECT,
+                "schema.yml": yml,
+                "tests/base_no_null_age.sql": (
+                    "SELECT * FROM"
+                    " {{ ref('test_base_customer_features') }}"
+                    " WHERE f_base_age IS NULL"
+                ),
+                "tests/static_no_null.sql": (
+                    "SELECT * FROM"
+                    " {{ ref('test_static_customer_features') }}"
+                    " WHERE customer_id IS NULL"
+                ),
+            },
+        )
+        fs.register_source("customer_base_table", base_table)
+        report = build_project(
+            fs, proj, select=["+test_base_customer_features"]
+        )
+        # schema tests: only the selected model's yml tests ran (the
+        # source-table tests are excluded by model selection)
+        names = {r["name"] for r in report["schema_tests"]}
+        assert names == {
+            "unique_test_base_customer_features_customer_id",
+            "not_null_test_base_customer_features_customer_id",
+            "relationships_test_base_customer_features_customer_id",
+        }
+        # singular tests: eager indirect selection — only the test
+        # ref()ing the selected model ran
+        assert [r["name"] for r in report["data_tests"]] == [
+            "base_no_null_age"
+        ]
+        assert report["snapshots"] is None

@@ -34,8 +34,11 @@ from .pit import asof_join
 from .session import get_spark
 from .store import FeatureStore
 
-# keep in lockstep with pyproject.toml [project] version
-__version__ = "0.12.0"
+# keep in lockstep with pyproject.toml [project] version.
+# 1.13.0: the major resumes the pre-r12 1.x line (r12 briefly reset to
+# 0.12.0, which would sort OLDER than an installed 1.0.0 and break >=
+# upgrade constraints — ADVICE r12 #5); the minor tracks the build round.
+__version__ = "1.13.0"
 
 __all__ = [
     "FeatureStore",

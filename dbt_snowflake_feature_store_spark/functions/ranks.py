@@ -189,9 +189,11 @@ def _ranked(
         # collect) LEAST-combined with a range-partition-keyed local
         # running min — still P parallel tasks, no global window. The
         # first partition's exclusive prefix is the +inf sentinel
-        # (2^62: callers' values are cast to BIGINT, so any real value
-        # wins the LEAST).
-        _INF = 1 << 62
+        # (Long.MaxValue = 2^63−1, the BIGINT domain maximum: any real
+        # value wins the LEAST, or ties it harmlessly at the maximum —
+        # ADVICE r12 #1 closed; 2^62 would have lost to legal values in
+        # (2^62, 2^63)).
+        _INF = (1 << 63) - 1
         wloc_m = (
             Window.partitionBy("_fs_pid")
             .orderBy("_fs_mid")

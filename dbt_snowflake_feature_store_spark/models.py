@@ -1894,6 +1894,17 @@ def export_manifest(
                 for tst in (
                     coldef.get("tests") or coldef.get("data_tests") or []
                 ):
+                    if target_uid is None:
+                        # ADVICE-r12 #3: run_schema_tests/_model_df fail
+                        # loudly on a yml test entry naming an unknown
+                        # model — the manifest must agree instead of
+                        # emitting a dangling test node with an empty
+                        # parent_map
+                        raise ValidationError(
+                            f"manifest: yml models: test entry targets "
+                            f"'{mname}', which does not match any model "
+                            "in the project"
+                        )
                     if not (isinstance(tst, str) or (
                         isinstance(tst, dict) and tst
                     )):
@@ -1909,7 +1920,7 @@ def export_manifest(
                         "test_metadata": {"name": str(tname),
                                           "column_name": cn},
                     }
-                    parent_map[uid] = [target_uid] if target_uid else []
+                    parent_map[uid] = [target_uid]
         for s in data.get("sources") or []:
             sname = str(s.get("name", ""))
             for tbl in s.get("tables") or []:
@@ -2018,9 +2029,15 @@ def export_catalog(
     Spark types (``nodes`` for models keyed ``model.project.<name>``,
     ``sources`` for declared source tables keyed
     ``source.project.<src>.<tbl>``). Schemas come from the ANALYZED
-    plan only (``df.schema`` — no job runs, no data scans): a managed
-    FV reports its materialized parquet schema, a static FV the
-    re-planned body's schema. Models must be REGISTERED (run
+    plan only (``df.schema``): a managed FV reports its materialized
+    parquet schema, a static FV the re-planned body's schema. "No job
+    runs, no data scans" holds for SELF-DESCRIBING formats
+    (parquet/delta carry their schema in footers/metadata); an
+    inference-based source reader (CSV/JSON without an explicit
+    ``schema`` in its registration) triggers Spark's normal
+    schema-inference scan of that source when its node is cataloged —
+    register such sources with an explicit schema to keep catalog
+    export scan-free (ADVICE r12 #4). Models must be REGISTERED (run
     :func:`load_project` / :func:`build_project` first); entity models
     have no relation and are skipped, like dbt skips non-relational
     nodes. Writes to ``path`` (default

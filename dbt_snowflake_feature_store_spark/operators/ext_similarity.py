@@ -184,7 +184,15 @@ def q_sim_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float-precision near-tie AT the k boundary cannot drop a true
     # top-k member (ADVICE-r11; the candidate set must contain the
     # exact top-k, not merely equal it) — the rescore frame stays
-    # O(k), bounded at any SF
+    # O(k), bounded at any SF.
+    # ADVICE-r12 #2: the fixed 5× multiplier is a PROBABILISTIC bound,
+    # not a proof — float32→float64 cosine error is ~1e-7 while
+    # neighbor-score gaps in this corpus are ≥1e-4 (pytest pins the
+    # float/exact id-set equality at ranks ≤ 5k), so a true top-k
+    # member falling past rank 5k would need a 1000× error excursion.
+    # A corpus with genuinely denser score ties should derive the cut
+    # with a score-epsilon margin (keep every candidate within float
+    # error of the k-th score) instead of a fixed multiplier.
     cand = SIM.cosine_topk(e, qv, k=5 * _K).select("vec_id")
     elems = (
         e.join(F.broadcast(cand), "vec_id")

@@ -1413,6 +1413,27 @@ models:
             k: v for k, v in sorted(pm.items())
         }
 
+    def test_unknown_model_test_entry_fails_loudly(
+        self, fs, tmp_path, base_table
+    ):
+        """ADVICE r12 #3: a yml models: test entry naming an unknown
+        model must raise (run_schema_tests would fail loudly on the
+        same project) instead of silently emitting a dangling test node
+        with an empty parent_map."""
+        import os as _os
+
+        from dbt_snowflake_feature_store_spark import export_manifest
+
+        proj = self._proj(fs, tmp_path, base_table)
+        bad = self.YML.replace(
+            "- name: test_base_customer_features\n    columns:",
+            "- name: no_such_model\n    columns:",
+        )
+        with open(_os.path.join(proj, "schema.yml"), "w") as f:
+            f.write(bad)
+        with pytest.raises(ValidationError, match="no_such_model"):
+            export_manifest(fs, proj)
+
     def test_round_trip_matches_walkers(self, fs, tmp_path, base_table):
         """The manifest's exposure edges equal what load_exposures
         registered, and model edges match the loaded project's refs."""

@@ -214,6 +214,7 @@ _EXT_MODULE_NAMES = (
     "relational6",
     "relational7",
     "relational8",
+    "relational9",
 )
 
 

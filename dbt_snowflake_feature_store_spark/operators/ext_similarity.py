@@ -2933,3 +2933,236 @@ ORACLE["q_confusion_metrics"] = f"""
     FROM cells
 """
 QUERIES["q_confusion_metrics"] = q_confusion_metrics
+
+
+# ---------------------------------------------------------------------------
+# Banded-LSH recall pin (VERDICT r12 next #6 — the q_ann_recall treatment
+# for the random-hyperplane LSH path)
+# ---------------------------------------------------------------------------
+
+_LSHP_BITS = 16
+_LSHP_BAND_BITS = 4
+_LSHP_DIM = 64
+_LSHP_TOPK = 10
+
+
+def _lsh_portable_consts() -> tuple[
+    list[tuple[int, int, int]], list[tuple[int, int]], int,
+    list[tuple[int, int]],
+]:
+    """(hyperplane rows (bit, d, h), query rows (d, q), ‖q‖², query band
+    signatures (band, sig)) — ALL md5-derived integers in micro-units,
+    generated once in Python and injected as LITERALS into BOTH engines
+    (the _ivf_portable_consts pattern; the reference treats index
+    parameters as build-time state the same way). The query's band
+    signatures are plain integer arithmetic on the same literals, so no
+    engine-specific RNG or float exists anywhere in the pipeline.
+
+    Bounds: |x_µ| ≤ 6·10⁵ (embedding coords ∈ [−0.6, 0.6]), |h| ≤
+    2.5·10⁵ → per-bit dot ≤ 64·6·10⁵·2.5·10⁵ ≤ 10¹³ — int64-exact both
+    engines; sign bits are therefore IDENTICAL cross-engine, which is
+    what makes a banded-LSH candidate set hash-gateable at all."""
+    import hashlib
+
+    def h(s: str, mod: int) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % mod
+
+    planes = [
+        (b, d, h(f"lshh:{b}:{d}", 500001) - 250000)
+        for b in range(_LSHP_BITS)
+        for d in range(_LSHP_DIM)
+    ]
+    query = [(d, h(f"lshq:{d}", 500001) - 250000) for d in range(_LSHP_DIM)]
+    nq = sum(q * q for _, q in query)
+    qv = dict(query)
+    qsigs = []
+    n_bands = _LSHP_BITS // _LSHP_BAND_BITS
+    for band in range(n_bands):
+        sig = 0
+        for j in range(_LSHP_BAND_BITS):
+            bit = band * _LSHP_BAND_BITS + j
+            dot = sum(
+                qv[d] * hv for bb, d, hv in planes if bb == bit
+            )
+            sig += (1 if dot >= 0 else 0) << (_LSHP_BAND_BITS - 1 - j)
+        qsigs.append((band, sig))
+    return planes, query, nq, qsigs
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@10 of the banded random-hyperplane LSH candidate set
+    against the exact brute-force top-10, ORACLE-GATED — q_ann_recall's
+    treatment applied to the LSH path (q_sim_ann_lsh stays the
+    rows-only production twin with data-dependent planes; THIS key pins
+    the banded-LSH read semantics — sign bits, band signatures, bucket
+    probe, candidate re-rank — under the hash gate). 16 hyperplane bits
+    band into 4 bands of 4; a vector is a CANDIDATE iff it collides
+    with the query in at least one band (the classic OR-of-ANDs LSH
+    amplification); candidates are re-ranked by exact integer cosine
+    and the top-10 is compared against the unpruned exact top-10.
+    Output: one row (candidate count, hits, recall in ppm).
+
+    Scale: sign bits ride ONE posexplode (n·64 narrow rows) joined
+    against the 1024-literal-row plane table + the 64-row query table
+    in a single broadcast pass, then two map-side-combinable aggs; the
+    band-signature probe keeps ~Σ_bands 2^-bits·n of the corpus before
+    the re-rank (at 100 TB the band signature is the partition key and
+    the probe is partition pruning — the IVFIndex.materialize story).
+    DISTINCT over candidate ids is one shuffle of the pruned set."""
+    planes, q_rows, nq, qsigs = _lsh_portable_consts()
+    n_bands = _LSHP_BITS // _LSHP_BAND_BITS
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _LSHP_DIM)
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
+    el = _ckpt(
+        base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    )
+    # exact side: integer dot + floor-rounded cosine over ALL vectors
+    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
+    dots = (
+        el.join(F.broadcast(qdf), el["_d"] == qdf["d"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
+    )
+    scored = _ckpt(
+        dots.join(base.select("vec_id", "_na"), "vec_id").select(
+            "vec_id",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias("_cos"),
+        )
+    )
+    exact = (
+        scored.orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+        .limit(_LSHP_TOPK)
+        .select("vec_id")
+    )
+    # LSH side: per-bit integer sign → 4-bit band signatures → probe
+    hp = literal_df(spark, planes, "b INT, d INT, hv LONG")
+    bits = (
+        el.join(F.broadcast(hp), el["_d"] == hp["d"])
+        .groupBy("vec_id", "b")
+        .agg(F.sum(F.col("_x") * F.col("hv")).cast("long").alias("_hd"))
+    )
+    sigs = (
+        bits.select(
+            "vec_id",
+            (F.col("b") / _LSHP_BAND_BITS).cast("int").alias("_band"),
+            F.expr(
+                f"CAST(IF(_hd >= 0, shiftleft(1, {_LSHP_BAND_BITS - 1}"
+                f" - (b % {_LSHP_BAND_BITS})), 0) AS BIGINT)"
+            ).alias("_contrib"),
+        )
+        .groupBy("vec_id", "_band")
+        .agg(F.sum("_contrib").cast("long").alias("_sig"))
+    )
+    qsig_df = literal_df(spark, qsigs, "qband INT, qsig LONG")
+    cand = (
+        sigs.join(
+            F.broadcast(qsig_df),
+            (sigs["_band"] == qsig_df["qband"])
+            & (sigs["_sig"] == qsig_df["qsig"]),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    cand = _ckpt(cand)
+    lsh_top = (
+        cand.join(scored, "vec_id")
+        .orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+        .limit(_LSHP_TOPK)
+        .select("vec_id")
+    )
+    n_cand = cand.agg(F.count("*").cast("long").alias("f_candidates"))
+    hits = lsh_top.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("f_hits")
+    )
+    return n_cand.crossJoin(F.broadcast(hits)).select(
+        "f_candidates",
+        "f_hits",
+        F.expr(
+            f"CAST(f_hits * 1000000 DIV {_LSHP_TOPK} AS BIGINT)"
+        ).alias("f_recall_ppm"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    planes, q_rows, nq, qsigs = _lsh_portable_consts()
+    h_vals = ", ".join(f"({b}, {d}, {hv})" for b, d, hv in planes)
+    q_vals = ", ".join(f"({d}, {q})" for d, q in q_rows)
+    s_vals = ", ".join(f"({band}, {sig})" for band, sig in qsigs)
+    bb = _LSHP_BAND_BITS
+    return f"""
+    WITH hp(b, d, hv) AS (VALUES {h_vals}),
+    q(d, qv) AS (VALUES {q_vals}),
+    qsig(qband, qsig) AS (VALUES {s_vals}),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {_LSHP_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    na AS (
+        SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS na
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT el.vec_id, CAST(SUM(el.x * q.qv) AS BIGINT) AS dot
+        FROM el JOIN q ON el.d = q.d GROUP BY el.vec_id
+    ),
+    scored AS (
+        SELECT dots.vec_id,
+               FLOOR(CAST(dots.dot AS DOUBLE)
+                     / (sqrt(CAST(na.na AS DOUBLE))
+                        * sqrt(CAST({nq} AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000.0 AS _cos
+        FROM dots JOIN na ON dots.vec_id = na.vec_id
+    ),
+    exact AS (
+        SELECT vec_id FROM scored
+        ORDER BY _cos DESC, vec_id ASC LIMIT {_LSHP_TOPK}
+    ),
+    bits AS (
+        SELECT el.vec_id, hp.b, CAST(SUM(el.x * hp.hv) AS BIGINT) AS hd
+        FROM el JOIN hp ON el.d = hp.d
+        GROUP BY el.vec_id, hp.b
+    ),
+    sigs AS (
+        SELECT vec_id, b // {bb} AS _band,
+               CAST(SUM(CASE WHEN hd >= 0
+                        THEN (1 << ({bb - 1} - (b % {bb}))) ELSE 0 END)
+                    AS BIGINT) AS _sig
+        FROM bits GROUP BY vec_id, b // {bb}
+    ),
+    cand AS (
+        SELECT DISTINCT vec_id
+        FROM sigs JOIN qsig
+          ON sigs._band = qsig.qband AND sigs._sig = qsig.qsig
+    ),
+    lsh_top AS (
+        SELECT cand.vec_id FROM cand JOIN scored ON cand.vec_id = scored.vec_id
+        ORDER BY scored._cos DESC, cand.vec_id ASC LIMIT {_LSHP_TOPK}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS f_candidates,
+           CAST(COUNT(*) AS BIGINT) AS f_hits,
+           CAST(CAST(COUNT(*) AS BIGINT) * 1000000
+                // {_LSHP_TOPK} AS BIGINT) AS f_recall_ppm
+    FROM lsh_top JOIN exact ON lsh_top.vec_id = exact.vec_id
+"""
+
+
+QUERIES["q_lsh_recall"] = q_lsh_recall
+ORACLE["q_lsh_recall"] = _lsh_recall_oracle()

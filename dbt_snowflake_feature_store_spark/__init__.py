@@ -19,6 +19,7 @@ from .errors import (
 from .functions.profile import profile
 from .models import (
     build_project,
+    evaluate_metric,
     export_catalog,
     export_manifest,
     load_exposures,
@@ -51,6 +52,7 @@ __all__ = [
     "get_spark",
     "load_project",
     "build_project",
+    "evaluate_metric",
     "export_catalog",
     "export_manifest",
     "load_exposures",

@@ -623,6 +623,18 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
         ).alias("_ds")
     ).agg(F.count("*").cast("long").alias("_x"))
+    return autocorr_from_days(day)
+
+
+def autocorr_from_days(day: DataFrame) -> DataFrame:
+    """Lag-k autocorrelation pieces off a (``_ds`` epoch-second day,
+    ``_x`` BIGINT count) frame — split out of q_autocorr_lag (r13) so
+    the statistic composes with MAINTAINED state: the day frame is a
+    keyed COUNT aggregate, exactly what an INCREMENTAL feature view
+    maintains via the foreachBatch-MERGE path, so a seasonality monitor
+    reads the maintained table instead of rescanning raw history (the
+    ks_from_points / tvd_from_cells / cusum_from_days discipline —
+    TestStreamingDrift pins batch == maintained)."""
     day = _ckpt(day)
     outs = []
     for lag in _ACF_LAGS:

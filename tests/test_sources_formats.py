@@ -338,3 +338,76 @@ def test_read_table_normalizes_ntz_in_any_table(spark, tmp_path):
     o = read_table(spark, str(d), "orders")
     assert dict(o.dtypes)["o_orderdate"] == "timestamp"
     assert o.select(F.unix_timestamp("o_orderdate").alias("s")).collect()[0].s == 1_600_000_000
+
+
+@pytest.mark.parametrize("part", [None, ["f_seg"]], ids=["flat", "partitioned"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_dataset_export_matrix(fs, spark, tables, tmp_path, fmt, part):
+    """VERDICT r12 next #8: dataset.export format × partition_by × mode
+    matrix. Self-describing formats (parquet/orc) must round-trip the
+    schema exactly; csv/json erode types by design (the classic trap) —
+    pinned here: a schema-less csv read comes back all-strings, and an
+    explicit-schema read restores the exact values. mode='error'
+    refuses to clobber, 'append' accumulates, 'overwrite' replaces."""
+    fs.register_entity(Entity("customer", ["c_custkey"]))
+    fs.register_feature_view(
+        FeatureView(
+            "mx_fv", ["customer"],
+            sql="SELECT c_custkey, c_acctbal AS f_bal,"
+                " c_mktsegment AS f_seg FROM customer",
+        ),
+        version="1",
+    )
+    spine = spark.table("customer").select("c_custkey").limit(24)
+    ds = fs.generate_dataset(
+        "mx_ds", spine, [fs.get_feature_view("mx_fv", "1")]
+    )
+    n = ds.read.to_df().count()
+    out = str(tmp_path / f"out_{fmt}")
+    opts = {"header": "true"} if fmt == "csv" else {}
+    ds.export(out, format=fmt, mode="overwrite", options=opts,
+              partition_by=part)
+    # mode='error' (the default) refuses to clobber an existing export
+    with pytest.raises(Exception):
+        ds.export(out, format=fmt, mode="error", options=opts,
+                  partition_by=part)
+    # append accumulates; overwrite replaces
+    ds.export(out, format=fmt, mode="append", options=opts,
+              partition_by=part)
+
+    schema = "c_custkey BIGINT, f_bal DOUBLE, f_seg STRING"
+    if fmt in ("parquet", "orc"):
+        back = spark.read.format(fmt).load(out)
+        assert dict(back.dtypes) == {
+            "c_custkey": "bigint", "f_bal": "double", "f_seg": "string"
+        }
+    elif fmt == "csv":
+        eroded = spark.read.option("header", "true").csv(out)
+        assert set(t for _c, t in eroded.dtypes) == {"string"}
+        back = spark.read.option("header", "true").schema(schema).csv(out)
+    else:
+        back = spark.read.schema(schema).json(out)
+    assert back.count() == 2 * n
+
+    orig = {
+        r["c_custkey"]: (r["f_bal"], r["f_seg"])
+        for r in ds.read.to_df().collect()
+    }
+    got = {
+        r["c_custkey"]: (r["f_bal"], r["f_seg"])
+        for r in back.dropDuplicates(["c_custkey"]).collect()
+    }
+    assert got == orig
+
+    ds.export(out, format=fmt, mode="overwrite", options=opts,
+              partition_by=part)
+    if fmt in ("parquet", "orc"):
+        assert spark.read.format(fmt).load(out).count() == n
+    if part:
+        import os as _os
+
+        # partition_by produced hive-style directories
+        assert any(
+            d.startswith("f_seg=") for d in _os.listdir(out)
+            if _os.path.isdir(_os.path.join(out, d))
+        )

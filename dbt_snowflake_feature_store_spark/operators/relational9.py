@@ -196,3 +196,194 @@ ORACLE["q_join_interval_keyless"] = f"""
     ORDER BY f_month
 """
 QUERIES["q_join_interval_keyless"] = q_join_interval_keyless
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotonic-trend test (nonparametric drift monitor)
+# ---------------------------------------------------------------------------
+
+
+def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL monotonic-trend test over the daily event-count
+    series, ORACLE-GATED — the nonparametric companion to
+    q_cusum_drift's changepoint score and q_autocorr_lag's seasonality
+    probe: is the series drifting monotonically at all, with no
+    distributional assumption? S = Σ_{i<j} sign(x_j − x_i); the
+    tie-corrected variance rides WITHOUT its /18 divisor (f_var18 =
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), exact integers), and the squared
+    z-score is reported as f_zsq_ppm = S²·18·1e6 DIV var18 with
+    f_sign = SIGN(S) — the q_autocorr_lag sign/ratio spelling (square
+    roots never cross the engine boundary; S²·18·10⁶ can exceed int64
+    at calendar scale, so DECIMAL(38,0)/HUGEINT). Negative integral
+    division truncates toward zero IDENTICALLY in Spark DIV and DuckDB
+    // (probed r13), but every DIV here has a non-negative numerator
+    anyway.
+
+    Scale: the day-grain frame is CALENDAR-BOUNDED (thousands of rows
+    at any SF), so the i<j pair join is a broadcast-nested-loop over a
+    reduced bounded side — n² of a constant, not of the data; the
+    corpus cost is one map-side-combinable day aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = _ckpt(
+        ev.groupBy(
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+            ).alias("_ds")
+        ).agg(F.count("*").cast("long").alias("_x"))
+    )
+    a, b = day.alias("a"), day.alias("b")
+    s = a.join(b, F.col("a._ds") < F.col("b._ds")).agg(
+        F.sum(F.expr("CAST(SIGN(b._x - a._x) AS BIGINT)"))
+        .cast("long")
+        .alias("_s")
+    )
+    n = day.agg(F.count("*").cast("long").alias("_n"))
+    ties = (
+        day.groupBy("_x")
+        .agg(F.count("*").cast("long").alias("_t"))
+        .filter(F.col("_t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(_t AS DECIMAL(38,0)) * (_t - 1) * (2 * _t + 5)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_tt")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("_s").alias("f_s"),
+            F.col("_n").alias("f_days"),
+            F.expr("CAST(SIGN(_s) AS BIGINT)").alias("f_sign"),
+            F.expr(
+                "CAST(CAST(_n AS DECIMAL(38,0)) * (_n - 1) * (2 * _n + 5)"
+                " - _tt AS BIGINT)"
+            ).alias("f_var18"),
+            F.expr(
+                "CAST(CAST(_s AS DECIMAL(38,0)) * _s * 18 * 1000000"
+                " DIV GREATEST(CAST(_n AS DECIMAL(38,0)) * (_n - 1)"
+                " * (2 * _n + 5) - _tt, 1) AS BIGINT)"
+            ).alias("f_zsq_ppm"),
+        )
+    )
+
+
+ORACLE["q_trend_mk"] = """
+    WITH day AS (
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS _ds,
+               CAST(COUNT(*) AS BIGINT) AS _x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(SIGN(b._x - a._x)) AS BIGINT) AS _s
+        FROM day a JOIN day b ON a._ds < b._ds
+    ),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS _n FROM day),
+    ties AS (
+        SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS HUGEINT),
+                        0) AS _tt
+        FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM day GROUP BY _x)
+        WHERE t > 1
+    )
+    SELECT _s AS f_s,
+           CAST(_n AS BIGINT) AS f_days,
+           CAST(SIGN(_s) AS BIGINT) AS f_sign,
+           CAST(_n * (_n - 1) * (2 * _n + 5) - _tt AS BIGINT) AS f_var18,
+           CAST(CAST(_s AS HUGEINT) * _s * 18 * 1000000
+                // GREATEST(_n * (_n - 1) * (2 * _n + 5) - _tt, 1)
+                AS BIGINT) AS f_zsq_ppm
+    FROM s, n, ties
+"""
+QUERIES["q_trend_mk"] = q_trend_mk
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend slope (sufficient-statistics regression)
+# ---------------------------------------------------------------------------
+
+# days from unix epoch to 1995-01-01 — the x origin (keeps x small and
+# the cross-moment bounds tight; any constant shift leaves the slope
+# invariant, which the oracle replays exactly)
+_OLS_X0 = 9131
+
+
+def q_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED OLS TREND SLOPE, ORACLE-GATED — per order priority, the
+    least-squares revenue trend in ppm-cents per day: slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = days since 1995-01-01,
+    y = order total in integer cents. The classic sufficient-statistics
+    regression a feature pipeline computes per segment (is this
+    cohort's spend trending up?) — five cross-moments per group, one
+    combinable aggregate, NO per-row residual pass. All moments ride
+    DECIMAL(38,0)/HUGEINT: at SF100, n ≤ 1.5·10⁷ per group, |x| ≤
+    3·10³, y ≤ 6·10⁷ → Σxy ≤ 2.7·10¹⁸, n·Σxy·10⁶ ≤ 4·10³¹ < 10³⁸.
+    Negative slopes are legal: both engines truncate integral division
+    toward zero (probed r13 — DuckDB -7//2 = Spark -7 DIV 2 = -3).
+
+    Scale: one hash aggregate onto a 5-value key; everything after is
+    5-row arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.expr(
+            f"CAST(unix_timestamp(o_orderdate) DIV 86400 - {_OLS_X0}"
+            " AS BIGINT)"
+        ).alias("_x"),
+        F.expr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_y"),
+    )
+    st = pts.groupBy("f_priority").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _y")).alias("_sxy"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _x")).alias("_sxx"),
+    )
+    return st.select(
+        "f_priority",
+        F.col("_n").alias("f_n"),
+        F.expr(
+            "CAST((CAST(_n AS DECIMAL(38,0)) * _sxy"
+            " - CAST(_sx AS DECIMAL(38,0)) * _sy) * 1000000"
+            " DIV GREATEST(CAST(_n AS DECIMAL(38,0)) * _sxx"
+            " - CAST(_sx AS DECIMAL(38,0)) * _sx, 1) AS BIGINT)"
+        ).alias("f_slope_ppm"),
+        F.expr("CAST(_sy DIV _n AS BIGINT)").alias("f_mean_cents"),
+    ).orderBy("f_priority")
+
+
+ORACLE["q_ols_slope"] = f"""
+    WITH pts AS (
+        SELECT o_orderpriority AS f_priority,
+               CAST(epoch(o_orderdate) // 86400 - {_OLS_X0} AS BIGINT)
+                   AS _x,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS _y
+        FROM orders
+    ),
+    st AS (
+        SELECT f_priority,
+               CAST(COUNT(*) AS BIGINT) AS _n,
+               CAST(SUM(_x) AS BIGINT) AS _sx,
+               CAST(SUM(_y) AS BIGINT) AS _sy,
+               SUM(CAST(_x AS HUGEINT) * _y) AS _sxy,
+               SUM(CAST(_x AS HUGEINT) * _x) AS _sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT f_priority,
+           _n AS f_n,
+           CAST((CAST(_n AS HUGEINT) * _sxy
+                 - CAST(_sx AS HUGEINT) * _sy) * 1000000
+                // GREATEST(CAST(_n AS HUGEINT) * _sxx
+                 - CAST(_sx AS HUGEINT) * _sx, 1) AS BIGINT)
+               AS f_slope_ppm,
+           CAST(_sy // _n AS BIGINT) AS f_mean_cents
+    FROM st
+    ORDER BY f_priority
+"""
+QUERIES["q_ols_slope"] = q_ols_slope

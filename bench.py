@@ -210,6 +210,15 @@ HEADLINE = [
     "q_basket_lift",
     "q_weekday_profile",
     "q_ndcg_mrr",
+    # round-13 additions: the slice-bucketed keyless interval join, the
+    # banded-LSH recall pin, semantic-layer metric evaluation (full
+    # registration + compile path), Mann-Kendall trend, grouped OLS
+    "q_join_interval_keyless",
+    "q_lsh_recall",
+    "q_metric_eval",
+    "q_metric_cumulative",
+    "q_trend_mk",
+    "q_ols_slope",
 ]
 
 

@@ -1683,15 +1683,27 @@ def load_semantic_layer(
                 # no expr evaluates as the identity)
                 if tp.get("expr") is not None:
                     deps["expr"] = str(tp["expr"])
-            met_out.append(
-                {
-                    "name": cname,
-                    "type": mtype,
-                    "label": str(mt.get("label", "")),
-                    "description": str(mt.get("description", "")),
-                    "type_params": deps,
-                }
-            )
+            doc = {
+                "name": cname,
+                "type": mtype,
+                "label": str(mt.get("label", "")),
+                "description": str(mt.get("description", "")),
+                "type_params": deps,
+            }
+            # dbt metric-level `filter:` — a row predicate applied before
+            # aggregation. dbt templates it with {{ Dimension('e__d') }};
+            # this engine accepts a plain SQL predicate over the model's
+            # columns (documented simplification — evaluate_metric
+            # applies it; derived metrics refuse it, matching MetricFlow,
+            # where filters belong on the inputs)
+            if mt.get("filter") is not None:
+                if mtype == "derived":
+                    raise ValidationError(
+                        f"Metric '{name}': derived metrics cannot carry "
+                        "filter: — put the filter on the input metrics"
+                    )
+                doc["filter"] = str(mt["filter"])
+            met_out.append(doc)
 
     if not dry_run:
         for sm in sem_out:
@@ -1782,6 +1794,12 @@ def evaluate_metric(
       single-input derived metric with no expr is the identity).
     - ``conversion``  → refused (entity-journey window semantics; the
       registered spec is consumable, evaluation is out of scope).
+
+    A metric-level ``filter:`` (a SQL predicate over the model's
+    columns — this engine's documented simplification of dbt's
+    ``{{ Dimension(...) }}`` templating) applies BEFORE aggregation and
+    pushes into the FV scan; derived metrics refuse it at load time
+    (put the filter on the inputs, as in MetricFlow).
 
     ``group_by`` names must be declared dimensions or entities of the
     metric's semantic model; each resolves to its ``expr`` (defaulting
@@ -1880,6 +1898,11 @@ def evaluate_metric(
                 "supported by evaluate_metric"
             )
     df = _metric_base_df(fs, sem, model_version)
+    # metric-level filter: a SQL predicate over the model's columns,
+    # applied BEFORE aggregation (dbt's filter: semantics; Catalyst
+    # pushes it into the FV scan)
+    if mdoc.get("filter"):
+        df = df.filter(str(mdoc["filter"]))
 
     declared = {
         d["name"]: d

@@ -365,6 +365,11 @@ metrics:
     type: cumulative
     type_params:
       measure: revenue_cents
+  - name: big_ticket_revenue
+    type: simple
+    type_params:
+      measure: revenue
+    filter: o_totalprice > 100000
 """
 
 
@@ -424,8 +429,12 @@ def q_metric_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = evaluate_metric(
         fs, "revenue_per_order_pct", group_by=["priority"]
     )
+    big = evaluate_metric(
+        fs, "big_ticket_revenue", group_by=["priority"]
+    )
     out = (
-        rev.join(cnt, "priority").join(aov, "priority").join(pct, "priority")
+        rev.join(cnt, "priority").join(aov, "priority")
+        .join(pct, "priority").join(big, "priority")
     )
     return out.select(
         F.col("priority").alias("f_priority"),
@@ -433,6 +442,7 @@ def q_metric_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ORDER_COUNT").cast("long").alias("f_orders"),
         F.col("AVG_ORDER_VALUE").cast("double").alias("f_avg_value"),
         F.col("REVENUE_PER_ORDER_PCT").cast("double").alias("f_avg_pct"),
+        F.col("BIG_TICKET_REVENUE").cast("double").alias("f_big_revenue"),
     ).orderBy("f_priority")
 
 
@@ -463,14 +473,22 @@ ORACLE["q_metric_eval"] = """
                CAST(COUNT(o_orderkey) AS BIGINT) AS _cnt
         FROM orders
         GROUP BY 1
+    ),
+    big AS (
+        SELECT o_orderpriority AS f_priority,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS _big
+        FROM orders
+        WHERE o_totalprice > 100000
+        GROUP BY 1
     )
-    SELECT f_priority,
+    SELECT agged.f_priority AS f_priority,
            CAST(_rev AS DOUBLE) AS f_revenue,
            _cnt AS f_orders,
            CAST(_rev AS DOUBLE) / CAST(_cnt AS DOUBLE) AS f_avg_value,
            (CAST(_rev AS DOUBLE) / CAST(_cnt AS DOUBLE)) * 100.0
-               AS f_avg_pct
-    FROM agged
+               AS f_avg_pct,
+           CAST(_big AS DOUBLE) AS f_big_revenue
+    FROM agged JOIN big ON agged.f_priority = big.f_priority
     ORDER BY f_priority
 """
 QUERIES["q_metric_eval"] = q_metric_eval

@@ -1669,6 +1669,11 @@ metrics:
     type: conversion
     type_params:
       measure: n_customers
+  - name: adult_age
+    type: simple
+    type_params:
+      measure: total_age
+    filter: f_base_age >= 30
 """
 
     def _loaded(self, fs, tmp_path, base_table):
@@ -1756,6 +1761,45 @@ metrics:
         )
         assert [r["CUM_AGE"] for r in rows] == [58, 119]
         assert rows[0]["metric_time"].day == 1
+
+    def test_metric_filter_applies_and_derived_refuses(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        rows = {
+            r["country"]: r["ADULT_AGE"]
+            for r in evaluate_metric(
+                fs, "adult_age", group_by=["country"]
+            ).collect()
+        }
+        # age 23 (US) filtered out pre-aggregation
+        assert rows == {"US": 61, "DE": 35}
+        # derived metrics refuse filter: at LOAD time
+        import os as _os
+
+        bad = self.YML.replace(
+            """  - name: alias_age
+    type: derived
+    type_params:
+      metrics:
+        - total_age_m
+""",
+            """  - name: alias_age
+    type: derived
+    type_params:
+      metrics:
+        - total_age_m
+    filter: f_base_age >= 30
+""",
+        )
+        with open(_os.path.join(proj, "schema.yml"), "w") as f:
+            f.write(bad)
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        with pytest.raises(ValidationError, match="cannot carry"):
+            load_semantic_layer(fs, proj)
 
     def test_validation_errors(self, fs, tmp_path, base_table):
         from dbt_snowflake_feature_store_spark import evaluate_metric

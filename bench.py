@@ -217,6 +217,7 @@ HEADLINE = [
     "q_lsh_recall",
     "q_metric_eval",
     "q_metric_cumulative",
+    "q_metric_window",
     "q_trend_mk",
     "q_ols_slope",
 ]

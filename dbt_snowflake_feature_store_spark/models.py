@@ -1647,6 +1647,33 @@ def load_semantic_layer(
                 deps["measure"] = _measure_name(
                     tp.get("measure"), mtype
                 )
+                if mtype == "cumulative":
+                    win = tp.get("window")
+                    gtd = tp.get("grain_to_date")
+                    if win is not None and gtd is not None:
+                        raise ValidationError(
+                            f"Metric '{name}': cumulative metrics take "
+                            "window OR grain_to_date, not both (dbt's "
+                            "own contract)"
+                        )
+                    if win is not None:
+                        if not re.fullmatch(
+                            r"\d+ days?", str(win).strip()
+                        ):
+                            raise ValidationError(
+                                f"Metric '{name}': window must be "
+                                f"'<N> days' (day units — calendar-unit "
+                                f"windows need MetricFlow's date "
+                                f"arithmetic), got {win!r}"
+                            )
+                        deps["window"] = str(win).strip()
+                    if gtd is not None:
+                        if str(gtd) not in _TIME_GRAINS:
+                            raise ValidationError(
+                                f"Metric '{name}': grain_to_date must "
+                                f"be one of {_TIME_GRAINS}, got {gtd!r}"
+                            )
+                        deps["grain_to_date"] = str(gtd)
             elif mtype == "ratio":
                 deps["numerator"] = _measure_name(
                     tp.get("numerator"), "numerator"
@@ -1787,7 +1814,12 @@ def evaluate_metric(
       running SUM window ordered by ``metric_time`` and partitioned by
       the group-by keys. Requires ``time_grain``. The window runs over
       the ALREADY-AGGREGATED frame — calendar-sized × group
-      cardinality, never fact rows.
+      cardinality, never fact rows. ``type_params.window: '<N> days'``
+      bounds it to a trailing (t − N days, t] RANGE frame over epoch
+      seconds; ``type_params.grain_to_date: <grain>`` restarts the
+      accumulation at each boundary of the (coarser) reset grain
+      (month-to-date etc.). Window and grain_to_date are mutually
+      exclusive (validated at load).
     - ``derived``     → inputs evaluated recursively on the same
       group-by/grain, inner-joined on the group keys, combined by
       ``type_params.expr`` (input metrics are referenced by name; a
@@ -1985,11 +2017,49 @@ def evaluate_metric(
             raise ValidationError(
                 f"Metric '{name}': cumulative metrics need time_grain"
             )
-        w = (
-            Window.partitionBy(*group_by)
-            .orderBy("metric_time")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        win = tp.get("window")
+        gtd = tp.get("grain_to_date")
+        if win is not None:
+            # dbt `window: '<N> days'` — a TRAILING window: each grain
+            # row accumulates rows whose metric_time lies in
+            # (t − N days, t], MetricFlow's semantics. Expressed as a
+            # RANGE frame over integer epoch seconds (unix_timestamp —
+            # never INTERVAL arithmetic or ts.cast("long"); the NOTES
+            # epoch()==unix_timestamp() portability rule), so the frame
+            # bound is exact at any grain. Still runs over the
+            # ALREADY-AGGREGATED frame — calendar-sized, never fact rows.
+            n_days = int(str(win).split()[0])
+            w = (
+                Window.partitionBy(*group_by)
+                .orderBy(F.unix_timestamp(F.col("metric_time")))
+                .rangeBetween(-(n_days * 86400 - 1), 0)
+            )
+        elif gtd is not None:
+            # dbt `grain_to_date: month` — accumulation RESTARTS at each
+            # boundary of the coarser grain (month-to-date, etc.):
+            # partition additionally by the reset-grain truncation of
+            # metric_time. The reset grain must be at least as coarse as
+            # the requested time_grain or every partition is one row.
+            if _TIME_GRAINS.index(gtd) < _TIME_GRAINS.index(time_grain):
+                raise ValidationError(
+                    f"Metric '{name}': grain_to_date '{gtd}' is finer "
+                    f"than time_grain '{time_grain}' — the to-date reset "
+                    "grain must be at least as coarse as the evaluation "
+                    "grain"
+                )
+            w = (
+                Window.partitionBy(
+                    *group_by, F.date_trunc(gtd, F.col("metric_time"))
+                )
+                .orderBy("metric_time")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            w = (
+                Window.partitionBy(*group_by)
+                .orderBy("metric_time")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
         return agged.select(
             *keys, F.sum(F.col(cname)).over(w).alias(cname)
         )

@@ -365,6 +365,16 @@ metrics:
     type: cumulative
     type_params:
       measure: revenue_cents
+  - name: rev_7d_cents
+    type: cumulative
+    type_params:
+      measure: revenue_cents
+      window: 7 days
+  - name: rev_mtd_cents
+    type: cumulative
+    type_params:
+      measure: revenue_cents
+      grain_to_date: month
   - name: big_ticket_revenue
     type: simple
     type_params:
@@ -492,6 +502,57 @@ ORACLE["q_metric_eval"] = """
     ORDER BY f_priority
 """
 QUERIES["q_metric_eval"] = q_metric_eval
+
+def q_metric_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE METRIC WINDOW VARIANTS at the day grain, ORACLE-GATED:
+    dbt's ``window: 7 days`` (trailing 7-day revenue — each day
+    accumulates grain rows in (t − 7 days, t], a RANGE frame over epoch
+    seconds) and ``grain_to_date: month`` (month-to-date revenue — the
+    running SUM restarts at each month boundary via an extra
+    date_trunc partition key), both compiled by ``evaluate_metric``
+    from REGISTERED cumulative-metric specs and joined on metric_time.
+    Cents are BIGINT-exact at any SF. Oracle: the same two window
+    frames stated directly — `RANGE BETWEEN 604799 PRECEDING` over
+    ``epoch(day)`` (DuckDB epoch == Spark unix_timestamp, the NOTES
+    integer-seconds rule) and a month-partitioned running SUM.
+
+    Scale: both windows run over the ALREADY-AGGREGATED day frame
+    (calendar-sized — ~2.4k rows at ANY order-table SF), so the window
+    exchange is bounded; the fact scan feeds one map-side-combinable
+    hash aggregate."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    w7 = evaluate_metric(fs, "rev_7d_cents", time_grain="day")
+    mtd = evaluate_metric(fs, "rev_mtd_cents", time_grain="day")
+    out = w7.join(mtd, "metric_time")
+    return out.select(
+        F.col("metric_time").alias("f_day"),
+        F.col("REV_7D_CENTS").cast("long").alias("f_7d_cents"),
+        F.col("REV_MTD_CENTS").cast("long").alias("f_mtd_cents"),
+    ).orderBy("f_day")
+
+
+ORACLE["q_metric_window"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                   AS f_day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS _c
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT f_day,
+           CAST(SUM(_c) OVER (ORDER BY epoch(f_day)
+                RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_7d_cents,
+           CAST(SUM(_c) OVER (
+                PARTITION BY date_trunc('month', f_day) ORDER BY f_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_mtd_cents
+    FROM d
+    ORDER BY f_day
+"""
+QUERIES["q_metric_window"] = q_metric_window
 
 ORACLE["q_metric_cumulative"] = """
     WITH m AS (

@@ -1665,6 +1665,21 @@ metrics:
     type: cumulative
     type_params:
       measure: total_age
+  - name: win_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      window: 1 day
+  - name: dtd_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      grain_to_date: day
+  - name: mtd_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      grain_to_date: month
   - name: signup_conv
     type: conversion
     type_params:
@@ -1761,6 +1776,86 @@ metrics:
         )
         assert [r["CUM_AGE"] for r in rows] == [58, 119]
         assert rows[0]["metric_time"].day == 1
+
+    def test_cumulative_window_and_grain_to_date(
+        self, fs, tmp_path, base_table
+    ):
+        """dbt cumulative `window:` / `grain_to_date:` (r13): a trailing
+        '1 day' window keeps only each day's own grain row (vs the
+        unbounded cum's [58, 119]); grain_to_date restarts accumulation
+        at each reset-grain boundary (day-to-date at day grain = every
+        partition restarts; month-to-date over the one-month fixture
+        equals the unbounded cum). Multi-month boundary behavior is
+        hash-gated by the q_metric_window oracle key."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+
+        def _vals(name):
+            return [
+                r[name.upper()]
+                for r in evaluate_metric(fs, name, time_grain="day")
+                .orderBy("metric_time")
+                .collect()
+            ]
+
+        assert _vals("win_age") == [58, 61]
+        assert _vals("dtd_age") == [58, 61]
+        assert _vals("mtd_age") == [58, 119]
+        # reset grain finer than the evaluation grain is refused
+        with pytest.raises(ValidationError, match="finer"):
+            evaluate_metric(fs, "dtd_age", time_grain="month")
+
+    def test_cumulative_window_load_validation(
+        self, fs, tmp_path, base_table
+    ):
+        """Loader contract (r13): window XOR grain_to_date; window must
+        be '<N> days'; grain_to_date must be a known grain."""
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        import os as _os
+
+        base_block = """  - name: win_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      window: 1 day
+"""
+
+        def _reload_with(block):
+            with open(_os.path.join(proj, "schema.yml"), "w") as f:
+                f.write(self.YML.replace(base_block, block))
+            load_semantic_layer(fs, proj)
+
+        with pytest.raises(ValidationError, match="not both"):
+            _reload_with(
+                """  - name: win_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      window: 1 day
+      grain_to_date: month
+"""
+            )
+        with pytest.raises(ValidationError, match="must be"):
+            _reload_with(
+                """  - name: win_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      window: 2 weeks
+"""
+            )
+        with pytest.raises(ValidationError, match="grain_to_date"):
+            _reload_with(
+                """  - name: win_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      grain_to_date: hourly
+"""
+            )
 
     def test_metric_filter_applies_and_derived_refuses(
         self, fs, tmp_path, base_table

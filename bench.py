@@ -220,6 +220,11 @@ HEADLINE = [
     "q_metric_window",
     "q_trend_mk",
     "q_ols_slope",
+    # round-13 wave 4: pre-shuffle skew monitor, cohort revenue LTV,
+    # sequential trigram mining
+    "q_skew_audit",
+    "q_cohort_ltv",
+    "q_seq_patterns",
 ]
 
 

@@ -4,7 +4,10 @@ Same contract as ``relational.py``..``relational8.py``: DataFrame-first
 Spark implementations with DuckDB oracle twins (identical aliases both
 sides, exact integer/decimal arithmetic, deterministic output). This
 wave delivers the KEYLESS interval-overlap join whose design
-``q_join_interval``'s docstring documented (VERDICT r12 missing #6):
+``q_join_interval``'s docstring documented (VERDICT r12 missing #6),
+the Mann-Kendall / OLS trend statistics, and the wave-4 pipeline
+monitors (join-key skew audit, cohort LTV, sequential trigram
+patterns). The keyless join design:
 no equi-key exists, so the scalable plan buckets both interval sets by
 coarse TIME SLICES — explode each interval to the slice keys it spans,
 equi-join on the slice, refine with the exact overlap predicate, and
@@ -387,3 +390,261 @@ ORACLE["q_ols_slope"] = f"""
     ORDER BY f_priority
 """
 QUERIES["q_ols_slope"] = q_ols_slope
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit (the pre-join monitor a 100 TB pipeline runs)
+# ---------------------------------------------------------------------------
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW AUDIT, ORACLE-GATED — the distribution of group
+    sizes for a prospective join/aggregation key (orders per customer):
+    key count, row count, max and exact-p99 group size, mean size in
+    ppm, and the largest single key's row share in ppm. This is the
+    monitor every large-scale pipeline runs BEFORE shuffling on a key —
+    it decides between a plain shuffle join, AQE skew handling, and
+    explicit salting (the q_join_skew_salted machinery); the reference's
+    FV bodies join on entity keys with exactly this risk
+    (/root/reference/macros/materializations/feature_view.sql:126).
+
+    Exactness: p99 is EXACT — computed from the HISTOGRAM of group
+    sizes, never a percentile over the key frame: the smallest size s
+    with |{keys: size ≤ s}| ≥ ceil(0.99·n_keys), ceil spelled
+    (99·n + 99) DIV 100 in pure integers. Mean/share ride
+    DECIMAL(38,0)/HUGEINT products (n_rows·10⁶ exceeds int64 past
+    ~9·10¹² rows).
+
+    Scale: sizes = one map-side-combinable count per key (the only
+    corpus-sized stage, checkpointed once); hist = a second combinable
+    agg whose domain is the DISTINCT group sizes — at most
+    O(√(2·n_rows)) rows (distinct positive integers summing to n_rows),
+    ~1.4M at 10¹² rows, so the unpartitioned cumulative window over it
+    is sublinear-bounded by construction (the q_vocab_build precedent,
+    documented); everything downstream is 1-row arithmetic."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    hist = _ckpt(
+        sizes.groupBy("_c").agg(F.count("*").cast("long").alias("_k"))
+    )
+    tot = hist.agg(
+        F.sum("_k").cast("long").alias("_nk"),
+        F.sum(F.expr("_c * _k")).cast("long").alias("_nr"),
+        F.max("_c").cast("long").alias("_mx"),
+    )
+    w = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_c", F.sum("_k").over(w).cast("long").alias("_cum")
+    )
+    p99 = (
+        cum.crossJoin(tot)
+        .filter(F.expr("_cum >= (99 * _nk + 99) DIV 100"))
+        .agg(F.min("_c").cast("long").alias("_p99"))
+    )
+    return tot.crossJoin(p99).select(
+        F.col("_nk").alias("f_n_keys"),
+        F.col("_nr").alias("f_n_rows"),
+        F.col("_mx").alias("f_max_size"),
+        F.expr(
+            "CAST(CAST(_nr AS DECIMAL(38,0)) * 1000000 DIV _nk AS BIGINT)"
+        ).alias("f_mean_size_ppm"),
+        F.col("_p99").alias("f_p99_size"),
+        F.expr(
+            "CAST(CAST(_mx AS DECIMAL(38,0)) * 1000000 DIV _nr AS BIGINT)"
+        ).alias("f_top_share_ppm"),
+    )
+
+
+ORACLE["q_skew_audit"] = """
+    WITH sizes AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS _c
+        FROM orders GROUP BY 1
+    ),
+    hist AS (
+        SELECT _c, CAST(COUNT(*) AS BIGINT) AS _k FROM sizes GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(_k) AS BIGINT) AS _nk,
+               CAST(SUM(_c * _k) AS BIGINT) AS _nr,
+               CAST(MAX(_c) AS BIGINT) AS _mx
+        FROM hist
+    ),
+    cum AS (
+        SELECT _c,
+               CAST(SUM(_k) OVER (ORDER BY _c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS _cum
+        FROM hist
+    ),
+    p99 AS (
+        SELECT CAST(MIN(_c) AS BIGINT) AS _p99
+        FROM cum, tot WHERE _cum >= (99 * _nk + 99) // 100
+    )
+    SELECT _nk AS f_n_keys,
+           _nr AS f_n_rows,
+           _mx AS f_max_size,
+           CAST(CAST(_nr AS HUGEINT) * 1000000 // _nk AS BIGINT)
+               AS f_mean_size_ppm,
+           _p99 AS f_p99_size,
+           CAST(CAST(_mx AS HUGEINT) * 1000000 // _nr AS BIGINT)
+               AS f_top_share_ppm
+    FROM tot, p99
+"""
+QUERIES["q_skew_audit"] = q_skew_audit
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value rollup (cohort × months-since revenue matrix)
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE MATRIX, ORACLE-GATED — customers cohorted
+    by FIRST-order month, revenue rolled up by (cohort_month,
+    months_since_cohort) with active-customer counts and the running
+    cumulative LTV per cohort. q_retention's revenue-weighted sibling:
+    retention counts who came back, LTV sums what they spent. Months
+    arithmetic is pure integers — (year·12 + month) deltas, identical
+    both engines (Spark months_between returns DOUBLE and is never
+    used). Revenue rides integer cents; cum sums stay BIGINT/HUGEINT.
+
+    Scale: the first-order month per customer is a window MIN over the
+    customer partition — ONE exchange on o_custkey, no self-join; the
+    rollup aggregate is map-side combinable onto a calendar²-bounded
+    key (cohort months × months-since ≤ ~84² at any SF); the cumulative
+    window runs over that bounded frame partitioned by cohort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "_y"
+        ),
+    ).withColumn(
+        "_cm", F.min("_m").over(Window.partitionBy("o_custkey"))
+    )
+    cohort = base.groupBy("_cm", "_m").agg(
+        F.countDistinct("o_custkey").cast("long").alias("f_active"),
+        F.sum("_y").cast("long").alias("f_rev_cents"),
+    ).select(
+        F.col("_cm").alias("f_cohort_month"),
+        F.expr(
+            "CAST((year(_m) - year(_cm)) * 12 + (month(_m) - month(_cm))"
+            " AS BIGINT)"
+        ).alias("f_months_since"),
+        "f_active",
+        "f_rev_cents",
+    )
+    w = (
+        Window.partitionBy("f_cohort_month")
+        .orderBy("f_months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cohort.select(
+        "f_cohort_month",
+        "f_months_since",
+        "f_active",
+        "f_rev_cents",
+        F.sum("f_rev_cents").over(w).cast("long").alias("f_cum_cents"),
+    ).orderBy("f_cohort_month", "f_months_since")
+
+
+ORACLE["q_cohort_ltv"] = """
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS _m,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS _y,
+               MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+                   OVER (PARTITION BY o_custkey) AS _cm
+        FROM orders
+    ),
+    cohort AS (
+        SELECT _cm AS f_cohort_month,
+               CAST((year(_m) - year(_cm)) * 12
+                    + (month(_m) - month(_cm)) AS BIGINT)
+                   AS f_months_since,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS f_active,
+               CAST(SUM(_y) AS BIGINT) AS f_rev_cents
+        FROM base GROUP BY 1, 2
+    )
+    SELECT f_cohort_month, f_months_since, f_active, f_rev_cents,
+           CAST(SUM(f_rev_cents) OVER (
+                PARTITION BY f_cohort_month ORDER BY f_months_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_cum_cents
+    FROM cohort
+    ORDER BY f_cohort_month, f_months_since
+"""
+QUERIES["q_cohort_ltv"] = q_cohort_ltv
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: per-user event-type trigrams
+# ---------------------------------------------------------------------------
+
+_SEQ_MIN_SUP = 5
+_SEQ_TOP = 20
+
+
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING (PrefixSpan-lite), ORACLE-GATED — the
+    top-20 event-type TRIGRAMS across all per-user event sequences
+    (ordered by ts with event_id tiebreak), support ≥ 5. The
+    what-do-users-do-next probe behind q_event_transitions (bigram
+    Markov) — trigrams catch the funnel shapes bigrams blur. NULL
+    propagation is load-bearing: Spark ``concat`` (NOT concat_ws, which
+    SKIPS nulls and would fabricate truncated grams at sequence tails)
+    matches SQL ``||`` — a tail row with fewer than 2 successors yields
+    NULL and is filtered on both engines. LIMIT carries the full
+    deterministic ORDER BY (support DESC, gram ASC).
+
+    Scale: the lead window partitions by user_id (natural key, no
+    global sort); the gram aggregate is map-side combinable onto a
+    type³-bounded domain (≤ 125 grams here); top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(">"),
+            F.lead("event_type", 1).over(w),
+            F.lit(">"),
+            F.lead("event_type", 2).over(w),
+        ).alias("f_gram")
+    ).filter(F.col("f_gram").isNotNull())
+    counts = g.groupBy("f_gram").agg(
+        F.count("*").cast("long").alias("f_n")
+    )
+    return (
+        counts.filter(F.col("f_n") >= _SEQ_MIN_SUP)
+        .orderBy(F.col("f_n").desc(), F.col("f_gram").asc())
+        .limit(_SEQ_TOP)
+    )
+
+
+ORACLE["q_seq_patterns"] = f"""
+    WITH seq AS (
+        SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+                   || '>' || LEAD(event_type, 2) OVER w AS f_gram
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f_gram, CAST(COUNT(*) AS BIGINT) AS f_n
+    FROM seq WHERE f_gram IS NOT NULL
+    GROUP BY 1
+    HAVING COUNT(*) >= {_SEQ_MIN_SUP}
+    ORDER BY f_n DESC, f_gram ASC
+    LIMIT {_SEQ_TOP}
+"""
+QUERIES["q_seq_patterns"] = q_seq_patterns

@@ -83,6 +83,19 @@ def q_psi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the SAME cell builder as q_tvd_drift (relational7) — one binning
     cell = _ckpt(doc_octave_cells(spark, sf_dir))
+    return psi_from_cells(cell)
+
+
+def psi_from_cells(cell: DataFrame) -> DataFrame:
+    """PSI-bits statistic off an ALREADY-AGGREGATED (key, c1, c2) cell
+    frame — the same maintained-state consumer contract as
+    ``ks_from_points`` / ``tvd_from_cells`` / ``cusum_from_days``
+    (relational7/8): the cell frame is a keyed SUM, so an incremental
+    FV maintains it exactly via the foreachBatch-MERGE path and a
+    drift monitor evaluates PSI from the maintained table without
+    rescanning raw history (TestStreamingDrift pins batch ==
+    maintained). Extracted r13 to complete the drift family's
+    maintained-state story."""
     tot = cell.agg(
         F.sum("c1").cast("long").alias("f_n1"),
         F.sum("c2").cast("long").alias("f_n2"),

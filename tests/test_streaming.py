@@ -1262,3 +1262,79 @@ class TestStreamingDrift:
         b2, m2 = batch_acf(), maintained_acf()
         assert m2 == b2
         assert sum(r[1] for r in m2) > sum(r[1] for r in m1)
+
+    def test_psi_from_maintained_cells_matches_batch(
+        self, fs, spark, split_events
+    ):
+        """r13 — the fifth maintained-state drift monitor: the PSI cell
+        frame is the SAME keyed-SUM octave binning as TVD's, so
+        psi_from_cells over the incrementally-maintained FV equals the
+        batch statistic at every arrival (drift family complete:
+        KS / TVD / CUSUM / autocorr / PSI)."""
+        from dbt_snowflake_feature_store_spark.operators.relational8 import (
+            psi_from_cells,
+        )
+
+        fs.register_source("S_PSI", split_events["src"])
+        fs.register_entity(Entity("psi_octave", ["_o"]))
+        sql = """
+            SELECT CAST(length(bin(CAST(FLOOR(ABS(value) * 100 + 0.5)
+                        AS BIGINT) + 1)) - 1 AS BIGINT) AS _o,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN event_type <> 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS c2
+            FROM S_PSI WHERE value IS NOT NULL GROUP BY 1
+        """
+        fv = FeatureView(
+            "psi_cells",
+            ["psi_octave"],
+            sql=sql,
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_psi():
+            ev = spark.read.parquet(split_events["src"]).filter(
+                F.col("value").isNotNull()
+            )
+            cell = ev.select(
+                F.expr(
+                    "CAST(length(bin(CAST(FLOOR(ABS(value) * 100 + 0.5)"
+                    " AS BIGINT) + 1)) - 1 AS BIGINT)"
+                ).alias("_o"),
+                F.when(F.col("event_type") == "error", 1)
+                .otherwise(0)
+                .alias("_a"),
+                F.when(F.col("event_type") != "error", 1)
+                .otherwise(0)
+                .alias("_b"),
+            ).groupBy("_o").agg(
+                F.sum("_a").cast("long").alias("c1"),
+                F.sum("_b").cast("long").alias("c2"),
+            )
+            return psi_from_cells(cell).head()
+
+        def maintained_psi():
+            cell = fs.read_feature_view("PSI_CELLS$1.0").select(
+                "_o", "c1", "c2"
+            )
+            return psi_from_cells(cell).head()
+
+        b1, m1 = batch_psi(), maintained_psi()
+        assert (
+            m1["f_n1"], m1["f_n2"], m1["f_bins"], m1["f_psi_bits_ppm"]
+        ) == (
+            b1["f_n1"], b1["f_n2"], b1["f_bins"], b1["f_psi_bits_ppm"],
+        )
+        assert m1["f_n1"] > 0 and m1["f_n2"] > 0
+
+        _arrive_half2(split_events)
+        assert fs.refresh("psi_cells", "1.0") == "INCREMENTAL"
+        b2, m2 = batch_psi(), maintained_psi()
+        assert (
+            m2["f_n1"], m2["f_n2"], m2["f_bins"], m2["f_psi_bits_ppm"]
+        ) == (
+            b2["f_n1"], b2["f_n2"], b2["f_bins"], b2["f_psi_bits_ppm"],
+        )
+        assert (m2["f_n1"], m2["f_n2"]) != (m1["f_n1"], m1["f_n2"])

@@ -27,6 +27,7 @@ from .models import (
     load_semantic_layer,
     run_data_tests,
     run_schema_tests,
+    run_unit_tests,
     select_nodes,
 )
 from .snapshots import read_snapshot, run_snapshots
@@ -59,6 +60,7 @@ __all__ = [
     "load_semantic_layer",
     "run_data_tests",
     "run_schema_tests",
+    "run_unit_tests",
     "select_nodes",
     "run_snapshots",
     "read_snapshot",

@@ -1324,6 +1324,437 @@ def run_schema_tests(
     return results
 
 
+# ref('m') / source('s','t') — the unit-test `input:` spelling (dbt's
+# own contract; same shape as the relationships `to:` target)
+_INPUT_REL_RE = re.compile(
+    r"""^\s*(ref|source)\s*\(\s*['"]([^'"]+)['"]\s*"""
+    r"""(?:,\s*['"]([^'"]+)['"]\s*)?\)\s*$"""
+)
+
+
+def run_unit_tests(
+    fs: "FeatureStore",
+    project_dir: str,
+    source_map: dict[Any, str] | None = None,
+    strict: bool = False,
+    model_vars: dict[str, Any] | None = None,
+    models_filter: "set[str] | None" = None,
+) -> list[dict[str, Any]]:
+    """dbt UNIT TESTS (dbt-core 1.8's third test surface, beside the
+    generic and singular tests): ``unit_tests:`` yml blocks assert a
+    model's TRANSFORMATION LOGIC against fixture inputs —
+
+    .. code-block:: yaml
+
+        unit_tests:
+          - name: test_age_grouping
+            model: my_model
+            given:
+              - input: ref('base_model')
+                rows:
+                  - {customer_id: 1, age: 23}
+            expect:
+              rows:
+                - {customer_id: 1, f_age_group: Young}
+
+    Semantics (dbt's contract, reduced to the dict-rows fixture
+    format — ``format: csv/sql`` fixtures and ``overrides:`` are
+    refused loudly, never silently skipped):
+
+    - EVERY ``ref()`` / ``source()`` the model's body references must
+      appear in ``given`` (mocking a strict superset is also an error —
+      a fixture that binds to nothing asserts nothing). The model body
+      is rewritten so those relations read the FIXTURES, never real
+      data.
+    - Fixture rows are TYPED BY THE REAL RELATION'S SCHEMA: columns you
+      name are cast to the declared type, columns you omit become
+      typed NULLs (dbt's fixture-completion rule). Unknown column
+      names raise. The real relation is consulted for its SCHEMA only
+      — static/managed models resolve through the same body-resolution
+      pipeline the build uses, so no materialization is required.
+    - ``expect.rows`` lists the COMPLETE output rowset; comparison is
+      order-insensitive (multiset) over the columns named in expect
+      (dbt compares only the columns you list), each cast to the
+      actual output's type first.
+
+    Returns ``[{"name", "model", "passed", "rows", "expected"}]`` in
+    name order; ``strict=True`` raises naming every failure.
+    ``models_filter`` scopes to selected models (``--select``), as in
+    :func:`build_project`.
+
+    Scale: fixtures are literal driver-side rows (unit tests are
+    logic probes, not data tests) — each test runs one bounded local
+    query; nothing scans project data beyond schema analysis."""
+    from pyspark.sql import functions as F
+
+    # 1) collect unit_tests: blocks
+    specs: list[tuple[str, dict[str, Any]]] = []
+    seen: set[str] = set()
+    for fn, data in _iter_project_ymls(project_dir):
+        for ut in data.get("unit_tests") or []:
+            if not isinstance(ut, dict) or not ut.get("name"):
+                raise ValidationError(
+                    f"{fn!r}: every unit_tests: entry needs a name"
+                )
+            nm = str(ut["name"])
+            if nm in seen:
+                raise ValidationError(f"Duplicate unit test name '{nm}'")
+            seen.add(nm)
+            if not ut.get("model"):
+                raise ValidationError(
+                    f"Unit test '{nm}': a target model: is required"
+                )
+            if ut.get("overrides") is not None:
+                raise ValidationError(
+                    f"Unit test '{nm}': overrides: (macro/var/env "
+                    "mocking) is not supported by this engine — "
+                    "restructure the model or drop the override"
+                )
+            specs.append((fn, ut))
+    if not specs:
+        return []
+
+    # 2) parse + resolve the project's models (the run_data_tests
+    # pipeline: bodies resolve exactly as the build resolves them, so
+    # schema discovery sees the same SQL)
+    declared_map, declared = load_sources_yml(project_dir)
+    eff_map = {**(declared_map or {}), **normalize_source_map(source_map)}
+
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir), model_vars
+            )
+        return jinja_env
+
+    models: dict[str, Model] = {}
+    norm_skip = [
+        os.path.abspath(os.path.join(project_dir, d))
+        for d in ("tests", "macros", "seeds", "snapshots")
+    ]
+    for root, _dirs, files in os.walk(project_dir):
+        absroot = os.path.abspath(root)
+        if any(
+            absroot == n or absroot.startswith(n + os.sep)
+            for n in norm_skip
+        ):
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
+                _validate(mdl)
+                models[mdl.name] = mdl
+    resolved: dict[str, str] = {}
+    seeds = _seed_stems(project_dir)
+    for name in _topo_order(models, seeds):
+        resolved[name] = _resolve_body(
+            fs, models[name], models, resolved, eff_map, seeds, declared
+        )
+    # ref() spellings in yml/body may differ from file-stem case —
+    # resolve case-insensitively like the rest of the engine
+    models_ci = {n.lower(): m for n, m in models.items()}
+
+    fs._bind_batch_sources()
+    spark = fs.spark
+
+    def _real_schema(kind: str, a: str, b: str | None, ctx: str):
+        """Schema of the REAL relation a fixture mocks — analysis only,
+        no job runs (parquet/registered sources are self-describing;
+        model bodies go through sql() plan analysis)."""
+        if kind == "ref":
+            mdl = models_ci.get(a)
+            if mdl is not None:
+                if mdl.materialized == "entity":
+                    raise ValidationError(
+                        f"{ctx}: ref('{a}') is an entity model — unit "
+                        "tests target feature-view models"
+                    )
+                return spark.sql(resolved[mdl.name]).schema
+            doc = fs.registry.get("sources", canonical_name(a))
+            if doc is not None:  # a seed registers as a source
+                return fs._source_reader(doc).load(doc["path"]).schema
+            raise ValidationError(
+                f"{ctx}: ref('{a}') does not match any model or seed "
+                "in the project"
+            )
+        bound = (
+            eff_map.get((a, b))
+            or eff_map.get(f"{a}.{b}")
+            or b
+        )
+        doc = fs.registry.get("sources", canonical_name(str(bound)))
+        if doc is None:
+            raise ValidationError(
+                f"{ctx}: source('{a}', '{b}') resolves to '{bound}', "
+                "which is not a registered source"
+            )
+        return fs._source_reader(doc).load(doc["path"]).schema
+
+    def _fixture_df(schema, rows: list[dict[str, Any]], ctx: str):
+        """Fixture rows typed by the real relation's schema: named
+        columns cast via Spark's own coercion, omitted columns become
+        typed NULLs, unknown names raise (dbt's completion rule)."""
+        from pyspark.sql.types import StructField, StructType
+
+        by_lower = {f.name.lower(): f for f in schema.fields}
+
+        def _row_get(r: dict[str, Any], k: str) -> Any:
+            for x in r:
+                if str(x).lower() == k:
+                    return r[x]
+            return None
+
+        seen_cols: list[str] = []
+        for r in rows:
+            if not isinstance(r, dict):
+                raise ValidationError(
+                    f"{ctx}: fixture rows must be mappings, got {r!r}"
+                )
+            for k in r:
+                lk = str(k).lower()
+                if lk not in by_lower:
+                    raise ValidationError(
+                        f"{ctx}: fixture column '{k}' is not a column "
+                        f"of the mocked relation "
+                        f"(has: {sorted(f.name for f in schema.fields)})"
+                    )
+                if lk not in seen_cols:
+                    seen_cols.append(lk)
+        if not rows:
+            empty = StructType(
+                [StructField(f.name, f.dataType, True) for f in schema.fields]  # noqa: E501
+            )
+            return spark.createDataFrame([], schema=empty)
+        # only columns with ≥1 non-NULL value drive type inference; an
+        # all-NULL named column is indistinguishable from an omitted one
+        # (both become typed NULLs), and Spark cannot infer NullType
+        named = [
+            c for c in seen_cols
+            if any(_row_get(r, c) is not None for r in rows)
+        ]
+        if named:
+            raw = spark.createDataFrame(
+                [{c: _row_get(r, c) for c in named} for r in rows]
+            )
+        else:
+            # no typed values at all: one all-NULL row per fixture row
+            raw = spark.range(len(rows))
+        sel = []
+        for f in schema.fields:
+            if f.name.lower() in named:
+                sel.append(
+                    F.col(f.name.lower()).cast(f.dataType).alias(f.name)
+                )
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return raw.select(*sel)
+
+    results: list[dict[str, Any]] = []
+    for fn, ut in sorted(specs, key=lambda s: str(s[1]["name"])):
+        nm = str(ut["name"])
+        if (
+            models_filter is not None
+            and canonical_name(str(ut["model"])) not in models_filter
+        ):
+            continue
+        mdl = models_ci.get(str(ut["model"]).lower())
+        if mdl is None:
+            raise ValidationError(
+                f"Unit test '{nm}': model '{ut['model']}' not found in "
+                "the project"
+            )
+        if mdl.materialized == "entity":
+            raise ValidationError(
+                f"Unit test '{nm}': '{ut['model']}' is an entity model "
+                "— unit tests target feature-view models"
+            )
+        given = ut.get("given")
+        if not isinstance(given, list):
+            raise ValidationError(
+                f"Unit test '{nm}': given: must be a list of "
+                "{{input, rows}} fixtures"
+            )
+        expect = ut.get("expect")
+        if not isinstance(expect, dict) or not isinstance(
+            expect.get("rows"), list
+        ):
+            raise ValidationError(
+                f"Unit test '{nm}': expect: needs a rows: list"
+            )
+        for blk in list(given) + [expect]:
+            fmt = str(blk.get("format", "dict")).lower()
+            if fmt != "dict":
+                raise ValidationError(
+                    f"Unit test '{nm}': fixture format '{fmt}' is not "
+                    "supported — use inline dict rows"
+                )
+
+        # parse given inputs → (kind, a, b) keyed fixtures
+        fixtures: dict[tuple[str, str, str | None], list] = {}
+        for g in given:
+            inp = str(g.get("input", ""))
+            m = _INPUT_REL_RE.match(inp)
+            if not m:
+                raise ValidationError(
+                    f"Unit test '{nm}': given input must be "
+                    f"ref('model') or source('s','t'), got {inp!r}"
+                )
+            kind, a, b = m.group(1), m.group(2), m.group(3)
+            if kind == "source" and not b:
+                raise ValidationError(
+                    f"Unit test '{nm}': source() in given takes 2 "
+                    f"args: {inp!r}"
+                )
+            key = (
+                (kind, a.lower(), b.lower())
+                if kind == "source"
+                else (kind, a.lower(), None)
+            )
+            if key in fixtures:
+                raise ValidationError(
+                    f"Unit test '{nm}': duplicate given input {inp!r}"
+                )
+            rows = g.get("rows")
+            if not isinstance(rows, list):
+                raise ValidationError(
+                    f"Unit test '{nm}': given input {inp!r} needs a "
+                    "rows: list (use [] for an empty relation)"
+                )
+            fixtures[key] = rows
+
+        # the body's actual relation tokens — every one must be mocked,
+        # and every mock must bind (dbt errors on unmocked parents; a
+        # fixture binding to nothing asserts nothing)
+        body_keys: set[tuple[str, str, str | None]] = set()
+        for em in _EXPR_RE.finditer(mdl.body):
+            if em.group(1) == "source":
+                body_keys.add(
+                    (
+                        "source",
+                        em.group(2).lower(),
+                        (em.group(3) or "").lower(),
+                    )
+                )
+            else:
+                body_keys.add(("ref", em.group(2).lower(), None))
+        missing = body_keys - set(fixtures)
+        extra = set(fixtures) - body_keys
+        if missing:
+            raise ValidationError(
+                f"Unit test '{nm}': model '{ut['model']}' reads "
+                f"{sorted(f'{k[0]}({k[1]}' + (f', {k[2]}' if k[2] else '') + ')' for k in missing)} "  # noqa: E501
+                "with no given: fixture — every direct parent must be "
+                "mocked"
+            )
+        if extra:
+            raise ValidationError(
+                f"Unit test '{nm}': given inputs "
+                f"{sorted(f'{k[0]}({k[1]}' + (f', {k[2]}' if k[2] else '') + ')' for k in extra)} "  # noqa: E501
+                "match nothing the model reads"
+            )
+
+        # bind fixtures as temp views; rewrite the body onto them
+        view_names: dict[tuple[str, str, str | None], str] = {}
+        made_views: list[str] = []
+        try:
+            for i, (key, rows) in enumerate(sorted(fixtures.items())):
+                kind, a, b = key
+                ctx = f"Unit test '{nm}' fixture for {kind}('{a}'" + (
+                    f", '{b}')" if b else ")"
+                )
+                schema = _real_schema(kind, a, b, ctx)
+                vname = f"__fs_ut_{abs(hash(nm)) % 10**8}_{i}"
+                _fixture_df(schema, rows, ctx).createOrReplaceTempView(
+                    vname
+                )
+                view_names[key] = vname
+                made_views.append(vname)
+
+            def _sub(em: re.Match[str]) -> str:
+                if em.group(1) == "source":
+                    k = (
+                        "source",
+                        em.group(2).lower(),
+                        (em.group(3) or "").lower(),
+                    )
+                else:
+                    k = ("ref", em.group(2).lower(), None)
+                return view_names[k]
+
+            body = _EXPR_RE.sub(_sub, mdl.body)
+            actual = spark.sql(body)
+
+            # compare on the columns expect names (dbt's rule), cast to
+            # the actual output's types; multiset, order-insensitive
+            exp_rows = expect["rows"]
+            actual_by_lower = {
+                f.name.lower(): f for f in actual.schema.fields
+            }
+            exp_cols: list[str] = []
+            for r in exp_rows:
+                if not isinstance(r, dict):
+                    raise ValidationError(
+                        f"Unit test '{nm}': expect rows must be "
+                        f"mappings, got {r!r}"
+                    )
+                for k in r:
+                    if str(k).lower() not in actual_by_lower:
+                        raise ValidationError(
+                            f"Unit test '{nm}': expect column '{k}' is "
+                            "not in the model output (has: "
+                            f"{sorted(actual.columns)})"
+                        )
+                    if str(k).lower() not in exp_cols:
+                        exp_cols.append(str(k).lower())
+            if not exp_cols and exp_rows:
+                raise ValidationError(
+                    f"Unit test '{nm}': expect rows name no columns"
+                )
+            if exp_cols:
+                proj = [actual_by_lower[c] for c in exp_cols]
+                got = [
+                    tuple(r)
+                    for r in actual.select(
+                        *[F.col(f.name) for f in proj]
+                    ).collect()
+                ]
+                from pyspark.sql.types import StructType
+
+                sub_schema = StructType(
+                    [f.__class__(f.name, f.dataType, True) for f in proj]
+                )
+                want_df = _fixture_df(
+                    sub_schema, exp_rows, f"Unit test '{nm}' expect"
+                )
+                want = [tuple(r) for r in want_df.collect()]
+            else:  # expect: {rows: []} — assert empty output
+                got = [tuple(r) for r in actual.collect()]
+                want = []
+            passed = sorted(map(repr, got)) == sorted(map(repr, want))
+            results.append(
+                {
+                    "name": nm,
+                    "model": mdl.name,
+                    "passed": passed,
+                    "rows": len(got),
+                    "expected": len(want),
+                }
+            )
+        finally:
+            for v in made_views:
+                spark.catalog.dropTempView(v)
+
+    failed = [r["name"] for r in results if not r["passed"]]
+    if strict and failed:
+        raise ValidationError(
+            f"{len(failed)} unit test(s) failed: {', '.join(failed)}"
+        )
+    return results
+
+
 _EXPOSURE_TYPES = frozenset(
     {"dashboard", "notebook", "analysis", "ml", "application"}
 )
@@ -2506,15 +2937,16 @@ def build_project(
     """The ``dbt build`` analog — one call runs the whole project in
     dbt's phase order: seeds + models + exposures (:func:`load_project`),
     snapshots (``snapshots/`` blocks, when present), then the test
-    surface — yml GENERIC tests (:func:`run_schema_tests`) and singular
-    SQL tests (:func:`run_data_tests`), both skipped gracefully when the
+    surface — yml UNIT tests (:func:`run_unit_tests`), yml GENERIC
+    tests (:func:`run_schema_tests`) and singular SQL tests
+    (:func:`run_data_tests`), each skipped gracefully when the
     project declares none. ``strict_tests=True`` (the ``dbt build``
     exit-nonzero contract) raises on any error-severity failure AFTER
     every test has run, naming all failures at once. Returns the
     combined report::
 
         {"models": <load_project report>, "snapshots": {...} | None,
-         "schema_tests": [...], "data_tests": [...],
+         "unit_tests": [...], "schema_tests": [...], "data_tests": [...],
          "manifest": <export_manifest dict, also written to
                       target/manifest.json>}
 
@@ -2534,6 +2966,7 @@ def build_project(
             select=select,
         ),
         "snapshots": None,
+        "unit_tests": [],
         "schema_tests": [],
         "data_tests": [],
     }
@@ -2552,6 +2985,12 @@ def build_project(
         )
     models_filter = (
         set(report["models"]["selected"]) if select is not None else None
+    )
+    # dbt build runs unit tests with the test surface; a unit-test
+    # failure is a logic bug in the model, reported with the rest
+    report["unit_tests"] = run_unit_tests(
+        fs, project_dir, source_map=source_map, model_vars=model_vars,
+        models_filter=models_filter,
     )
     report["schema_tests"] = run_schema_tests(
         fs, project_dir, model_vars=model_vars, allow_empty=True,
@@ -2587,7 +3026,9 @@ def build_project(
             r["name"]
             for r in report["schema_tests"]
             if not r["passed"] and r.get("severity", "error") == "error"
-        ] + [r["name"] for r in report["data_tests"] if not r["passed"]]
+        ] + [r["name"] for r in report["data_tests"] if not r["passed"]] + [
+            r["name"] for r in report["unit_tests"] if not r["passed"]
+        ]
         if failed:
             raise ValidationError(
                 f"build: {len(failed)} test(s) failed: {', '.join(failed)}"

@@ -2061,3 +2061,235 @@ class TestNodeSelection:
             "base_no_null_age"
         ]
         assert report["snapshots"] is None
+
+
+class TestUnitTests:
+    """dbt unit_tests: (r13 — dbt-core 1.8's third test surface):
+    fixture-driven logic tests for model transformations. given rows
+    mock every direct parent (typed by the real relation's schema,
+    omitted columns become typed NULLs); expect rows are the complete
+    output multiset over the columns they name."""
+
+    UT_YML = """\
+version: 2
+
+unit_tests:
+  - name: ut_age_grouping
+    model: test_derived_customer_features
+    given:
+      - input: ref('test_base_customer_features')
+        rows:
+          - {customer_id: 1, updated_at: '2024-01-01 00:00:00',
+             f_base_age: 23, f_base_country: US}
+          - {customer_id: 2, f_base_age: 61, f_base_country: DE}
+    expect:
+      rows:
+        - {customer_id: 1, f_age_group: Young,
+           f_customer_segment: Domestic, f_age_in_months: 276}
+        - {customer_id: 2, f_age_group: Elder,
+           f_customer_segment: International, f_age_in_months: 732}
+  - name: ut_source_mock
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        rows:
+          - {customer_id: 9, age: 50, country: FR, tier: gold}
+    expect:
+      rows:
+        - {customer_id: 9, f_base_age: 50, f_base_country: FR}
+"""
+
+    def _loaded(self, fs, tmp_path, base_table, yml=None):
+        proj = _write_project(
+            tmp_path,
+            {**REFERENCE_PROJECT, "unit.yml": yml or self.UT_YML},
+        )
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        return proj
+
+    def test_pass_and_fixture_isolation(self, fs, tmp_path, base_table):
+        """Fixtures fully replace real data (base_table has 3 rows; the
+        fixture has 2) and typed-NULL completion holds for omitted
+        columns; string timestamps coerce through the real schema."""
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        res = run_unit_tests(fs, proj, strict=True)
+        assert [r["name"] for r in res] == [
+            "ut_age_grouping", "ut_source_mock",
+        ]
+        assert all(r["passed"] for r in res)
+        assert res[0]["rows"] == 2 and res[0]["expected"] == 2
+
+    def test_failure_reported_and_strict_raises(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        bad = self.UT_YML.replace("f_age_in_months: 276", "f_age_in_months: 999")
+        proj = self._loaded(fs, tmp_path, base_table, yml=bad)
+        res = run_unit_tests(fs, proj)
+        byname = {r["name"]: r for r in res}
+        assert not byname["ut_age_grouping"]["passed"]
+        assert byname["ut_source_mock"]["passed"]
+        with pytest.raises(ValidationError, match="ut_age_grouping"):
+            run_unit_tests(fs, proj, strict=True)
+
+    def test_unmocked_parent_and_dangling_fixture(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        # derived model's only parent missing from given → loud error
+        missing = """\
+version: 2
+unit_tests:
+  - name: ut_missing
+    model: test_derived_customer_features
+    given: []
+    expect:
+      rows: []
+"""
+        proj = self._loaded(fs, tmp_path, base_table, yml=missing)
+        with pytest.raises(ValidationError, match="must be mocked"):
+            run_unit_tests(fs, proj)
+        # a fixture matching nothing the model reads → loud error
+        extra = self.UT_YML.replace(
+            """  - name: ut_source_mock
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+""",
+            """  - name: ut_source_mock
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        rows: []
+      - input: ref('test_static_customer_features')
+""",
+        )
+        import os as _os
+
+        with open(_os.path.join(proj, "unit.yml"), "w") as f:
+            f.write(extra)
+        with pytest.raises(ValidationError, match="match nothing"):
+            run_unit_tests(fs, proj)
+
+    def test_contract_validation(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        import os as _os
+
+        def _with(yml):
+            with open(_os.path.join(proj, "unit.yml"), "w") as f:
+                f.write(yml)
+            return run_unit_tests(fs, proj)
+
+        with pytest.raises(ValidationError, match="overrides"):
+            _with(
+                """\
+version: 2
+unit_tests:
+  - name: u1
+    model: test_base_customer_features
+    overrides: {macros: {}}
+    given: []
+    expect: {rows: []}
+"""
+            )
+        with pytest.raises(ValidationError, match="format 'csv'"):
+            _with(
+                """\
+version: 2
+unit_tests:
+  - name: u1
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        format: csv
+        rows: []
+    expect: {rows: []}
+"""
+            )
+        with pytest.raises(ValidationError, match="fixture column 'nope'"):
+            _with(
+                """\
+version: 2
+unit_tests:
+  - name: u1
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        rows:
+          - {nope: 1}
+    expect: {rows: []}
+"""
+            )
+        with pytest.raises(ValidationError, match="not found"):
+            _with(
+                """\
+version: 2
+unit_tests:
+  - name: u1
+    model: no_such_model
+    given: []
+    expect: {rows: []}
+"""
+            )
+        with pytest.raises(ValidationError, match="expect column 'zzz'"):
+            _with(
+                """\
+version: 2
+unit_tests:
+  - name: u1
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        rows: []
+    expect:
+      rows:
+        - {zzz: 1}
+"""
+            )
+
+    def test_empty_fixture_and_empty_expect(self, fs, tmp_path, base_table):
+        """rows: [] mocks an EMPTY relation; expect rows: [] asserts
+        empty output — the degenerate ends of the contract."""
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        yml = """\
+version: 2
+unit_tests:
+  - name: ut_empty
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        rows: []
+    expect:
+      rows: []
+"""
+        proj = self._loaded(fs, tmp_path, base_table, yml=yml)
+        res = run_unit_tests(fs, proj, strict=True)
+        assert res[0]["passed"] and res[0]["rows"] == 0
+
+    def test_build_project_runs_unit_tests(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import build_project
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        # _loaded already registered models; a fresh store avoids
+        # double-registration noise
+        report = build_project(fs, proj, strict_tests=True)
+        assert [r["name"] for r in report["unit_tests"]] == [
+            "ut_age_grouping", "ut_source_mock",
+        ]
+        assert all(r["passed"] for r in report["unit_tests"])
+        # a failing unit test fails the build
+        import os as _os
+
+        bad = self.UT_YML.replace("f_age_group: Young", "f_age_group: Wrong")
+        with open(_os.path.join(proj, "unit.yml"), "w") as f:
+            f.write(bad)
+        with pytest.raises(ValidationError, match="ut_age_grouping"):
+            build_project(fs, proj, strict_tests=True)

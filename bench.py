@@ -225,6 +225,9 @@ HEADLINE = [
     "q_skew_audit",
     "q_cohort_ltv",
     "q_seq_patterns",
+    # round-13 wave 5: survival hazard + funnel latency
+    "q_hazard_km",
+    "q_time_to_convert",
 ]
 
 

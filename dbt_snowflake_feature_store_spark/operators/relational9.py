@@ -648,3 +648,155 @@ ORACLE["q_seq_patterns"] = f"""
     LIMIT {_SEQ_TOP}
 """
 QUERIES["q_seq_patterns"] = q_seq_patterns
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier-style hazard table (user lifetime durations)
+# ---------------------------------------------------------------------------
+
+
+def q_hazard_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER-STYLE HAZARD TABLE, ORACLE-GATED — per user-lifetime
+    duration d (days between first and last event, inclusive): the
+    number of users whose observed lifetime ENDS at d (events), the
+    risk set (users with lifetime ≥ d, the reverse cumulative), and the
+    discrete hazard in ppm (events·1e6 DIV at_risk). The churn/survival
+    table behind q_retention's cohort counts — survival-curve PRODUCTS
+    are deliberately not emitted (Π(1−h_i) has no exact cross-engine
+    spelling; consumers derive it from the hazard column). Durations
+    ride pure integer day arithmetic (unix_timestamp DIV 86400 — never
+    a ts cast).
+
+    Scale: one combinable (min, max) agg per user (the only
+    corpus-sized stage), then a combinable histogram onto the duration
+    domain — bounded by the CALENDAR span, not the corpus — and a
+    reverse cumulative window over that bounded frame."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    dur = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(max(unix_timestamp(date_trunc('day', ts)) DIV 86400)"
+            " - min(unix_timestamp(date_trunc('day', ts)) DIV 86400)"
+            " + 1 AS BIGINT)"
+        ).alias("_d")
+    )
+    hist = _ckpt(
+        dur.groupBy("_d").agg(F.count("*").cast("long").alias("f_events"))
+    )
+    w = Window.orderBy(F.col("_d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        F.col("_d").alias("f_dur_days"),
+        F.sum("f_events").over(w).cast("long").alias("f_at_risk"),
+        "f_events",
+    ).select(
+        "f_dur_days",
+        "f_at_risk",
+        "f_events",
+        F.expr(
+            "CAST(f_events * 1000000 DIV f_at_risk AS BIGINT)"
+        ).alias("f_hazard_ppm"),
+    ).orderBy("f_dur_days")
+
+
+ORACLE["q_hazard_km"] = """
+    WITH dur AS (
+        -- day-truncate BEFORE epoch: DuckDB epoch(ts) is a fractional
+        -- DOUBLE (and // does not floor doubles) where Spark
+        -- unix_timestamp truncates to whole seconds — raw epoch(ts)
+        -- day arithmetic diverges at day boundaries
+        SELECT user_id,
+               CAST(MAX(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+                    - MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+                    + 1 AS BIGINT) AS _d
+        FROM events GROUP BY 1
+    ),
+    hist AS (
+        SELECT _d, CAST(COUNT(*) AS BIGINT) AS f_events
+        FROM dur GROUP BY 1
+    ),
+    km AS (
+        SELECT _d AS f_dur_days,
+               CAST(SUM(f_events) OVER (ORDER BY _d DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS f_at_risk,
+               f_events
+        FROM hist
+    )
+    SELECT f_dur_days, f_at_risk, f_events,
+           CAST(f_events * 1000000 // f_at_risk AS BIGINT)
+               AS f_hazard_ppm
+    FROM km
+    ORDER BY f_dur_days
+"""
+QUERIES["q_hazard_km"] = q_hazard_km
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution (signup → first purchase latency)
+# ---------------------------------------------------------------------------
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT DISTRIBUTION, ORACLE-GATED — for users whose
+    first signup precedes (or equals) their first purchase: conversion
+    count and the exact interpolated median / p90 signup→purchase
+    latency in seconds. The funnel-LATENCY summary beside q_funnel's
+    step counts (how MANY convert) — this is how FAST they convert.
+    Portability: Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (identical interpolation, bit-exact — the q_percentile precedent)
+    over exact integer seconds; NULL deltas (non-converters) are
+    ignored by both engines' percentile.
+
+    Scale: ONE map-side-combinable conditional-min agg per user, then
+    a single global percentile over the user frame (Spark's percentile
+    is a partial-merge aggregate, not a sort)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "min(CASE WHEN event_type = 'signup'"
+            " THEN unix_timestamp(ts) END)"
+        ).alias("_s"),
+        F.expr(
+            "min(CASE WHEN event_type = 'purchase'"
+            " THEN unix_timestamp(ts) END)"
+        ).alias("_p"),
+    )
+    deltas = per_user.filter(F.col("_s").isNotNull()).select(
+        F.expr(
+            "CASE WHEN _p IS NOT NULL AND _p >= _s"
+            " THEN CAST(_p - _s AS BIGINT) END"
+        ).alias("_dt")
+    )
+    return deltas.agg(
+        F.count("*").cast("long").alias("f_signup_users"),
+        F.count("_dt").cast("long").alias("f_converters"),
+        F.percentile(F.col("_dt"), F.lit(0.5)).alias("f_median_s"),
+        F.percentile(F.col("_dt"), F.lit(0.9)).alias("f_p90_s"),
+    )
+
+
+ORACLE["q_time_to_convert"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               -- FLOOR(epoch) == Spark's whole-second unix_timestamp
+               MIN(CASE WHEN event_type = 'signup'
+                   THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS _s,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS _p
+        FROM events GROUP BY 1
+    ),
+    deltas AS (
+        SELECT CASE WHEN _p IS NOT NULL AND _p >= _s
+                    THEN CAST(_p - _s AS BIGINT) END AS _dt
+        FROM per_user WHERE _s IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS f_signup_users,
+           CAST(COUNT(_dt) AS BIGINT) AS f_converters,
+           quantile_cont(_dt, 0.5) AS f_median_s,
+           quantile_cont(_dt, 0.9) AS f_p90_s
+    FROM deltas
+"""
+QUERIES["q_time_to_convert"] = q_time_to_convert

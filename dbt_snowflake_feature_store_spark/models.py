@@ -652,7 +652,7 @@ def select_nodes(
         target = by_canon.get(canonical_name(name)) if name else None
         if target is None:
             raise ValidationError(
-                f"select: '{raw}' does not match any model in the "
+                f"selector '{raw}' does not match any model in the "
                 "project (known: "
                 f"{', '.join(sorted(models))})"
             )
@@ -674,6 +674,7 @@ def load_project(
     model_vars: dict[str, Any] | None = None,
     seed_schemas: dict[str, str] | None = None,
     select: Sequence[str] | None = None,
+    exclude: Sequence[str] | None = None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -693,7 +694,9 @@ def load_project(
     ``select`` (dbt's ``--select``) restricts REGISTRATION to the
     matching models (:func:`select_nodes` grammar: ``[+]name[+]`` for
     ancestor/descendant closure; entity-config edges count as
-    ancestors). Every model still parses, validates and resolves —
+    ancestors); ``exclude`` (dbt's ``--exclude``, same grammar)
+    subtracts its closure from the selection — from the full project
+    when no ``select`` is given, exactly as in dbt. Every model still parses, validates and resolves —
     selection never skips validation — and a selected model whose
     managed/entity dependency is excluded AND absent from the store
     fails loudly at registration (dbt's behavior). Exposures and the
@@ -763,6 +766,9 @@ def load_project(
     entities = [m for m in models.values() if m.materialized == "entity"]
     fv_order = _topo_order(models, seeds)
     chosen = select_nodes(models, select) if select is not None else None
+    if exclude is not None:
+        base = set(models) if chosen is None else chosen
+        chosen = base - select_nodes(models, exclude)
 
     report: dict[str, Any] = {
         "entities": [], "feature_views": [], "order": [], "seeds": seed_names,
@@ -2933,6 +2939,7 @@ def build_project(
     strict_tests: bool = True,
     at: Any = None,
     select: Sequence[str] | None = None,
+    exclude: Sequence[str] | None = None,
 ) -> dict[str, Any]:
     """The ``dbt build`` analog — one call runs the whole project in
     dbt's phase order: seeds + models + exposures (:func:`load_project`),
@@ -2951,7 +2958,9 @@ def build_project(
                       target/manifest.json>}
 
     ``select`` (dbt's ``--select``, :func:`select_nodes` grammar)
-    builds only the matching models, runs only their yml schema tests
+    builds only the matching models — and ``exclude`` (dbt's
+    ``--exclude``) subtracts its closure from the selection (from the
+    full project when no select is given) — runs only their yml schema tests
     (source-table tests excluded by model selection, per dbt) and only
     the singular tests that ref() a selected model (eager indirect
     selection); snapshots are unselected nodes under a model selection
@@ -2963,7 +2972,7 @@ def build_project(
     report: dict[str, Any] = {
         "models": load_project(
             fs, project_dir, source_map=source_map, model_vars=model_vars,
-            select=select,
+            select=select, exclude=exclude,
         ),
         "snapshots": None,
         "unit_tests": [],
@@ -2976,7 +2985,7 @@ def build_project(
         for _r, _d, fns in os.walk(snap_dir)
         for fn in fns
     )
-    if has_snaps and select is None:
+    if has_snaps and select is None and exclude is None:
         # node selection names MODELS; snapshots are unselected nodes
         # under a --select, exactly as in dbt build
         report["snapshots"] = run_snapshots(
@@ -2984,7 +2993,9 @@ def build_project(
             at=at,
         )
     models_filter = (
-        set(report["models"]["selected"]) if select is not None else None
+        set(report["models"]["selected"])
+        if (select is not None or exclude is not None)
+        else None
     )
     # dbt build runs unit tests with the test surface; a unit-test
     # failure is a logic bug in the model, reported with the rest

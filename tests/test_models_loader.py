@@ -2021,6 +2021,46 @@ class TestNodeSelection:
         fs.register_source("customer_base_table", base_table)
         with pytest.raises(ValidationError, match="does not match"):
             load_project(fs, proj, select=["no_such_model"])
+        with pytest.raises(ValidationError, match="does not match"):
+            load_project(fs, proj, exclude=["no_such_model"])
+
+    def test_exclude_subtracts_from_full_project(
+        self, fs, tmp_path, base_table
+    ):
+        """dbt --exclude (r13): without select, exclude subtracts its
+        closure from the FULL project; descendants of an excluded model
+        follow it out via the + grammar."""
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(
+            fs, proj, exclude=["test_base_customer_features+"]
+        )
+        # base AND its descendant derived are out; everything else in
+        assert "TEST_BASE_CUSTOMER_FEATURES" not in report["selected"]
+        assert "TEST_DERIVED_CUSTOMER_FEATURES" not in report["selected"]
+        regs = {n for n, _v in report["feature_views"]}
+        assert regs == {
+            "TEST_STATIC_CUSTOMER_FEATURES",
+            "TEST_MANAGED_CUSTOMER_FEATURES",
+        }
+        assert set(report["entities"]) == {
+            "TEST_CUSTOMER_ENTITY", "TEST_ORDER_ENTITY",
+        }
+
+    def test_exclude_composes_with_select(self, fs, tmp_path, base_table):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        report = load_project(
+            fs, proj,
+            select=["+test_derived_customer_features"],
+            exclude=["test_derived_customer_features"],
+        )
+        # the select closure minus the excluded node itself
+        assert report["selected"] == [
+            "TEST_BASE_CUSTOMER_FEATURES", "TEST_CUSTOMER_ENTITY",
+        ]
+        regs = {n for n, _v in report["feature_views"]}
+        assert regs == {"TEST_BASE_CUSTOMER_FEATURES"}
 
     def test_build_select_scopes_tests(self, fs, tmp_path, base_table):
         from dbt_snowflake_feature_store_spark import build_project

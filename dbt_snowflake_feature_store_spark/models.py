@@ -2520,6 +2520,7 @@ def export_manifest(
     the dict. unique-ids: ``model.project.<name>``,
     ``seed.project.<stem>``, ``source.project.<src>.<tbl>``,
     ``snapshot.project.<name>``, ``test.project.<label>``,
+    ``unit_test.project.<name>``,
     ``exposure.project.<name>``."""
     import json
 
@@ -2755,6 +2756,28 @@ def export_manifest(
                         parent_map[uid] = [
                             f"source.project.{sname}.{tname2}"
                         ]
+    # -- unit tests: dbt 1.8 unit_tests: blocks (run_unit_tests) --
+    for _path, data in _iter_project_ymls(project_dir):
+        for ut in data.get("unit_tests") or []:
+            if not isinstance(ut, dict) or not ut.get("name"):
+                continue  # run_unit_tests raises the friendly error
+            utname = str(ut["name"])
+            target_uid = canon2uid.get(canonical_name(str(ut.get("model", ""))))
+            if target_uid is None:
+                # match run_unit_tests' loud contract — a manifest must
+                # not carry a dangling unit-test node
+                raise ValidationError(
+                    f"manifest: unit test '{utname}' targets "
+                    f"'{ut.get('model')}', which does not match any "
+                    "model in the project"
+                )
+            uid = f"unit_test.project.{utname}"
+            nodes[uid] = {
+                "resource_type": "unit_test",
+                "name": utname,
+            }
+            parent_map[uid] = [target_uid]
+
     tests_dir = os.path.join(project_dir, "tests")
     if os.path.isdir(tests_dir):
         norm_generic = os.path.abspath(os.path.join(tests_dir, "generic"))

@@ -2333,3 +2333,35 @@ unit_tests:
             f.write(bad)
         with pytest.raises(ValidationError, match="ut_age_grouping"):
             build_project(fs, proj, strict_tests=True)
+
+
+def test_manifest_carries_unit_test_nodes(fs, tmp_path, base_table):
+    """r13: unit_tests: blocks export as unit_test.project.<name>
+    manifest nodes parented on their target model; an unknown target
+    fails the manifest exactly as run_unit_tests would."""
+    from dbt_snowflake_feature_store_spark import export_manifest
+
+    proj = _write_project(
+        tmp_path,
+        {**REFERENCE_PROJECT, "unit.yml": TestUnitTests.UT_YML},
+    )
+    fs.register_source("customer_base_table", base_table)
+    load_project(fs, proj)
+    man = export_manifest(fs, proj)
+    uid = "unit_test.project.ut_age_grouping"
+    assert man["nodes"][uid]["resource_type"] == "unit_test"
+    assert man["parent_map"][uid] == [
+        "model.project.test_derived_customer_features"
+    ]
+    assert uid in man["child_map"][
+        "model.project.test_derived_customer_features"
+    ]
+    import os as _os
+
+    bad = TestUnitTests.UT_YML.replace(
+        "model: test_base_customer_features", "model: nope_model"
+    )
+    with open(_os.path.join(proj, "unit.yml"), "w") as f:
+        f.write(bad)
+    with pytest.raises(ValidationError, match="nope_model"):
+        export_manifest(fs, proj)

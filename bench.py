@@ -228,6 +228,12 @@ HEADLINE = [
     # round-13 wave 5: survival hazard + funnel latency
     "q_hazard_km",
     "q_time_to_convert",
+    # round-13 wave 6: Welch t², Tukey-fence outliers, weekday-residual
+    # anomaly days, inter-event gap octave spectrum
+    "q_welch_t",
+    "q_anomaly_iqr",
+    "q_seasonal_residual",
+    "q_gap_octaves",
 ]
 
 

@@ -800,3 +800,393 @@ ORACLE["q_time_to_convert"] = """
     FROM deltas
 """
 QUERIES["q_time_to_convert"] = q_time_to_convert
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: Welch t², Tukey-fence outliers, weekday-residual anomalies,
+# inter-event gap octave spectrum
+# ---------------------------------------------------------------------------
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH TWO-SAMPLE t² STATISTIC, ORACLE-GATED — the parametric
+    sibling of q_auc_mann_whitney (rank-based) and q_ks_drift
+    (distributional): does mean order value differ between 1-URGENT
+    and 5-LOW orders, in sufficient statistics only? Per arm: n, Σy,
+    Σy² over integer cents; mean = Σy DIV n, variance =
+    (n·Σy² − (Σy)²) DIV (n·(n−1)) — exact truncated integers on both
+    engines; se² = v_a DIV n_a + v_b DIV n_b; f_t2_ppm =
+    d²·1e6 DIV GREATEST(se², 1) with f_sign = SIGN(d). Square roots
+    never cross the engine boundary (the q_trend_mk discipline).
+
+    Magnitude bounds (SF100): y ≤ 6·10⁷ cents → Σy² ≤ 10²⁴, n·Σy² ≤
+    3·10³² < 10³⁸ (DECIMAL(38,0)/HUGEINT); variance ≤ y² = 3.6·10¹⁵
+    fits BIGINT; |d| ≤ 6·10⁷ → d²·10⁶ ≤ 3.6·10²¹ rides DECIMAL before
+    the DIV (the quotient is BIGINT-safe for any se² ≥ 600 cents² —
+    at every SF here se² > 10⁶).
+
+    Scale: ONE map-side-combinable conditional aggregate over orders;
+    everything downstream is 1-row arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.expr("o_orderpriority = '1-URGENT'").alias("_a"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "_y"
+        ),
+    )
+    st = pts.agg(
+        F.sum(F.expr("CASE WHEN _a THEN 1 ELSE 0 END")).cast("long").alias("_na"),
+        F.sum(F.expr("CASE WHEN _a THEN _y ELSE 0 END")).cast("long").alias("_sa"),
+        F.sum(
+            F.expr("CASE WHEN _a THEN CAST(_y AS DECIMAL(38,0)) * _y ELSE 0 END")
+        ).alias("_qa"),
+        F.sum(F.expr("CASE WHEN _a THEN 0 ELSE 1 END")).cast("long").alias("_nb"),
+        F.sum(F.expr("CASE WHEN _a THEN 0 ELSE _y END")).cast("long").alias("_sb"),
+        F.sum(
+            F.expr("CASE WHEN _a THEN 0 ELSE CAST(_y AS DECIMAL(38,0)) * _y END")
+        ).alias("_qb"),
+    )
+    st = st.select(
+        "*",
+        F.expr("CAST(_sa DIV _na AS BIGINT)").alias("_ma"),
+        F.expr("CAST(_sb DIV _nb AS BIGINT)").alias("_mb"),
+        F.expr(
+            "CAST((CAST(_na AS DECIMAL(38,0)) * _qa"
+            " - CAST(_sa AS DECIMAL(38,0)) * _sa)"
+            " DIV GREATEST(CAST(_na AS DECIMAL(38,0)) * (_na - 1), 1)"
+            " AS BIGINT)"
+        ).alias("_va"),
+        F.expr(
+            "CAST((CAST(_nb AS DECIMAL(38,0)) * _qb"
+            " - CAST(_sb AS DECIMAL(38,0)) * _sb)"
+            " DIV GREATEST(CAST(_nb AS DECIMAL(38,0)) * (_nb - 1), 1)"
+            " AS BIGINT)"
+        ).alias("_vb"),
+    )
+    return st.select(
+        F.col("_na").alias("f_n_a"),
+        F.col("_nb").alias("f_n_b"),
+        F.col("_ma").alias("f_mean_a_cents"),
+        F.col("_mb").alias("f_mean_b_cents"),
+        F.col("_va").alias("f_var_a"),
+        F.col("_vb").alias("f_var_b"),
+        F.expr("CAST(_va DIV _na + _vb DIV _nb AS BIGINT)").alias("f_se2"),
+        F.expr("CAST(SIGN(_ma - _mb) AS BIGINT)").alias("f_sign"),
+        F.expr(
+            "CAST(CAST(_ma - _mb AS DECIMAL(38,0)) * (_ma - _mb) * 1000000"
+            " DIV GREATEST(_va DIV _na + _vb DIV _nb, 1) AS BIGINT)"
+        ).alias("f_t2_ppm"),
+    )
+
+
+ORACLE["q_welch_t"] = """
+    WITH pts AS (
+        SELECT o_orderpriority = '1-URGENT' AS _a,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS _y
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    st AS (
+        SELECT CAST(SUM(CASE WHEN _a THEN 1 ELSE 0 END) AS BIGINT) AS _na,
+               CAST(SUM(CASE WHEN _a THEN _y ELSE 0 END) AS BIGINT) AS _sa,
+               SUM(CASE WHEN _a THEN CAST(_y AS HUGEINT) * _y
+                        ELSE 0 END) AS _qa,
+               CAST(SUM(CASE WHEN _a THEN 0 ELSE 1 END) AS BIGINT) AS _nb,
+               CAST(SUM(CASE WHEN _a THEN 0 ELSE _y END) AS BIGINT) AS _sb,
+               SUM(CASE WHEN _a THEN 0
+                        ELSE CAST(_y AS HUGEINT) * _y END) AS _qb
+        FROM pts
+    ),
+    d AS (
+        SELECT *,
+               CAST(_sa // _na AS BIGINT) AS _ma,
+               CAST(_sb // _nb AS BIGINT) AS _mb,
+               CAST((CAST(_na AS HUGEINT) * _qa
+                     - CAST(_sa AS HUGEINT) * _sa)
+                    // GREATEST(CAST(_na AS HUGEINT) * (_na - 1), 1)
+                    AS BIGINT) AS _va,
+               CAST((CAST(_nb AS HUGEINT) * _qb
+                     - CAST(_sb AS HUGEINT) * _sb)
+                    // GREATEST(CAST(_nb AS HUGEINT) * (_nb - 1), 1)
+                    AS BIGINT) AS _vb
+        FROM st
+    )
+    SELECT _na AS f_n_a,
+           _nb AS f_n_b,
+           _ma AS f_mean_a_cents,
+           _mb AS f_mean_b_cents,
+           _va AS f_var_a,
+           _vb AS f_var_b,
+           CAST(_va // _na + _vb // _nb AS BIGINT) AS f_se2,
+           CAST(SIGN(_ma - _mb) AS BIGINT) AS f_sign,
+           CAST(CAST(_ma - _mb AS HUGEINT) * (_ma - _mb) * 1000000
+                // GREATEST(_va // _na + _vb // _nb, 1) AS BIGINT)
+               AS f_t2_ppm
+    FROM d
+"""
+QUERIES["q_welch_t"] = q_welch_t
+
+
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY-FENCE OUTLIER AUDIT, ORACLE-GATED — per order priority:
+    exact interpolated quartiles of the order value (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, bit-identical over
+    integer cents — the q_time_to_convert precedent), the classic
+    1.5·IQR fences, and how many orders fall below/above them. The
+    per-segment data-quality screen every ingest pipeline runs before
+    trusting a value column. Fences are pure IEEE arithmetic on
+    identical doubles spelled identically on both engines
+    (``q1 − 1.5·(q3 − q1)``; 1.5 and the quartile interpolation
+    fractions are binary-exact), so the BIGINT-vs-double comparisons
+    partition rows identically.
+
+    Scale: one combinable quartile aggregate (Spark's percentile is a
+    partial-merge aggregate) onto the 5-value key, then one broadcast
+    join of the 5-row fence frame back to the fact for a second
+    combinable conditional count — two passes, no shuffle of the fact
+    beyond the aggregates, no sort."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "_y"
+        ),
+    )
+    qr = pts.groupBy("f_priority").agg(
+        F.count("*").cast("long").alias("f_n"),
+        F.percentile(F.col("_y"), F.lit(0.25)).alias("f_q1"),
+        F.percentile(F.col("_y"), F.lit(0.75)).alias("f_q3"),
+    )
+    cnt = (
+        pts.join(F.broadcast(qr), "f_priority")
+        .groupBy("f_priority")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN _y < f_q1 - 1.5 * (f_q3 - f_q1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("f_n_low"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN _y > f_q3 + 1.5 * (f_q3 - f_q1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("f_n_high"),
+        )
+    )
+    return (
+        qr.join(cnt, "f_priority")
+        .select(
+            "f_priority",
+            "f_n",
+            "f_q1",
+            "f_q3",
+            "f_n_low",
+            "f_n_high",
+            F.expr(
+                "CAST(CAST(f_n_low + f_n_high AS DECIMAL(38,0)) * 1000000"
+                " DIV f_n AS BIGINT)"
+            ).alias("f_outlier_ppm"),
+        )
+        .orderBy("f_priority")
+    )
+
+
+ORACLE["q_anomaly_iqr"] = """
+    WITH pts AS (
+        SELECT o_orderpriority AS f_priority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS _y
+        FROM orders
+    ),
+    qr AS (
+        SELECT f_priority,
+               CAST(COUNT(*) AS BIGINT) AS f_n,
+               quantile_cont(_y, 0.25) AS f_q1,
+               quantile_cont(_y, 0.75) AS f_q3
+        FROM pts GROUP BY 1
+    ),
+    cnt AS (
+        SELECT pts.f_priority,
+               CAST(SUM(CASE WHEN _y < f_q1 - 1.5 * (f_q3 - f_q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS f_n_low,
+               CAST(SUM(CASE WHEN _y > f_q3 + 1.5 * (f_q3 - f_q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS f_n_high
+        FROM pts JOIN qr ON pts.f_priority = qr.f_priority
+        GROUP BY 1
+    )
+    SELECT qr.f_priority AS f_priority, f_n, f_q1, f_q3, f_n_low, f_n_high,
+           CAST(CAST(f_n_low + f_n_high AS HUGEINT) * 1000000 // f_n
+                AS BIGINT) AS f_outlier_ppm
+    FROM qr JOIN cnt ON qr.f_priority = cnt.f_priority
+    ORDER BY f_priority
+"""
+QUERIES["q_anomaly_iqr"] = q_anomaly_iqr
+
+
+def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKDAY-DESEASONALIZED ANOMALY DAYS, ORACLE-GATED — the top-10
+    days whose event count deviates most from THEIR ISO-weekday's mean,
+    in relative ppm: resid_ppm = (x_d·n_w − Σ_w)·1e6 DIV Σ_w, i.e.
+    (x/mean_w − 1) in ppm with the division deferred so every
+    intermediate is an exact integer (x·n_w − Σ_w = n_w·(x − mean_w);
+    no per-weekday mean double ever exists). q_weekday_profile shows
+    the weekly shape; this key finds the days that BREAK it — the
+    day-grain anomaly screen a monitoring pipeline alerts on after
+    removing weekly seasonality. Weekday spelling: Spark
+    ``weekday + 1`` == DuckDB ``isodow`` (the q_weekday_profile
+    portable form). LIMIT carries the full deterministic ORDER BY
+    (|resid| DESC, day ASC — days are unique).
+
+    Scale: the day frame is one combinable corpus aggregate, CALENDAR-
+    bounded thereafter; weekday stats aggregate THAT frame (7 rows,
+    broadcast back); top-k is TakeOrderedAndProject."""
+    day = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("f_day"))
+        .agg(F.count("*").cast("long").alias("f_count"))
+    )
+    day = day.withColumn(
+        "f_isodow", F.expr("CAST(weekday(f_day) + 1 AS BIGINT)")
+    )
+    wstat = day.groupBy("f_isodow").agg(
+        F.count("*").cast("long").alias("_nw"),
+        F.sum("f_count").cast("long").alias("_sw"),
+    )
+    return (
+        day.join(F.broadcast(wstat), "f_isodow")
+        .select(
+            "f_day",
+            "f_isodow",
+            "f_count",
+            F.expr(
+                "CAST((CAST(f_count AS DECIMAL(38,0)) * _nw - _sw)"
+                " * 1000000 DIV _sw AS BIGINT)"
+            ).alias("f_resid_ppm"),
+        )
+        .orderBy(F.abs(F.col("f_resid_ppm")).desc(), F.col("f_day").asc())
+        .limit(10)
+    )
+
+
+ORACLE["q_seasonal_residual"] = """
+    WITH day AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS f_day,
+               CAST(COUNT(*) AS BIGINT) AS f_count
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    dw AS (
+        SELECT f_day, CAST(isodow(f_day) AS BIGINT) AS f_isodow, f_count
+        FROM day
+    ),
+    wstat AS (
+        SELECT f_isodow,
+               CAST(COUNT(*) AS BIGINT) AS _nw,
+               CAST(SUM(f_count) AS BIGINT) AS _sw
+        FROM dw GROUP BY 1
+    )
+    SELECT f_day, dw.f_isodow, f_count,
+           CAST((CAST(f_count AS HUGEINT) * _nw - _sw) * 1000000 // _sw
+                AS BIGINT) AS f_resid_ppm
+    FROM dw JOIN wstat ON dw.f_isodow = wstat.f_isodow
+    ORDER BY abs(f_resid_ppm) DESC, f_day ASC
+    LIMIT 10
+"""
+QUERIES["q_seasonal_residual"] = q_seasonal_residual
+
+
+def q_gap_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-EVENT GAP OCTAVE SPECTRUM, ORACLE-GATED — per event type,
+    the ⌊log2(gap_seconds + 1)⌋ histogram of within-user arrival gaps
+    (gap measured to the PREVIOUS event of any type; the type is the
+    arriving event's). This is the empirical evidence behind
+    q_sessionize's 30-minute threshold — the session boundary should
+    sit in the valley of this spectrum — and the per-type arrival-
+    burstiness profile beside q_burstiness' dispersion scalar. Octaves
+    ride the ``length(bin(x)) − 1`` floor-log2 spelling (IEEE log2
+    never crosses the engines, q_doc_surprisal precedent); gaps are
+    whole-second ``unix_timestamp`` integers (+1 maps the legal
+    zero-gap to octave 0). Share ppm is integer DIV within type.
+
+    Scale: one lag window partitioned by user_id (the natural key —
+    no global sort), one combinable aggregate onto the (type ×
+    ~32-octave) bounded domain, and a 5-row broadcast of type
+    totals."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            F.col("event_type").alias("f_type"),
+            (
+                F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+                - F.lag(F.expr("CAST(unix_timestamp(ts) AS BIGINT)"), 1).over(w)
+            ).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+        .select(
+            "f_type",
+            F.expr(
+                "CAST(length(bin(CAST(_gap + 1 AS BIGINT))) - 1 AS BIGINT)"
+            ).alias("f_octave"),
+        )
+    )
+    hist = gaps.groupBy("f_type", "f_octave").agg(
+        F.count("*").cast("long").alias("f_n")
+    )
+    tot = hist.groupBy("f_type").agg(
+        F.sum("f_n").cast("long").alias("_nt")
+    )
+    return (
+        hist.join(F.broadcast(tot), "f_type")
+        .select(
+            "f_type",
+            "f_octave",
+            "f_n",
+            F.expr(
+                "CAST(CAST(f_n AS DECIMAL(38,0)) * 1000000 DIV _nt"
+                " AS BIGINT)"
+            ).alias("f_share_ppm"),
+        )
+        .orderBy("f_type", "f_octave")
+    )
+
+
+ORACLE["q_gap_octaves"] = """
+    WITH gaps AS (
+        SELECT event_type AS f_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS _gap
+        FROM events WHERE ts IS NOT NULL
+    ),
+    octv AS (
+        SELECT f_type,
+               CAST(length(bin(CAST(_gap + 1 AS BIGINT))) - 1 AS BIGINT)
+                   AS f_octave
+        FROM gaps WHERE _gap IS NOT NULL
+    ),
+    hist AS (
+        SELECT f_type, f_octave, CAST(COUNT(*) AS BIGINT) AS f_n
+        FROM octv GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT f_type, CAST(SUM(f_n) AS BIGINT) AS _nt
+        FROM hist GROUP BY 1
+    )
+    SELECT hist.f_type AS f_type, f_octave, f_n,
+           CAST(CAST(f_n AS HUGEINT) * 1000000 // _nt AS BIGINT)
+               AS f_share_ppm
+    FROM hist JOIN tot ON hist.f_type = tot.f_type
+    ORDER BY f_type, f_octave
+"""
+QUERIES["q_gap_octaves"] = q_gap_octaves

@@ -1425,6 +1425,14 @@ def run_unit_tests(
     # schema discovery sees the same SQL)
     declared_map, declared = load_sources_yml(project_dir)
     eff_map = {**(declared_map or {}), **normalize_source_map(source_map)}
+    # case-insensitive view for fixture-key lookups (fixture keys are
+    # lowercased; declared yml keys keep their original case)
+    eff_map_ci: dict[Any, str] = {}
+    for _k, _v in eff_map.items():
+        if isinstance(_k, tuple):
+            eff_map_ci[tuple(str(x).lower() for x in _k)] = _v
+        else:
+            eff_map_ci[str(_k).lower()] = _v
 
     jinja_env = None
 
@@ -1452,6 +1460,11 @@ def run_unit_tests(
             if fn.endswith(".sql"):
                 mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
                 _validate(mdl)
+                if mdl.name in models:
+                    raise ValidationError(
+                        f"Duplicate model name '{mdl.name}' "
+                        f"({models[mdl.name].path} and {mdl.path})"
+                    )
                 models[mdl.name] = mdl
     resolved: dict[str, str] = {}
     seeds = _seed_stems(project_dir)
@@ -1486,12 +1499,24 @@ def run_unit_tests(
                 f"{ctx}: ref('{a}') does not match any model or seed "
                 "in the project"
             )
+        # a/b arrive LOWERCASED (fixture keys); declared yml keys keep
+        # their original case — match case-insensitively, exactly as
+        # _resolve_source effectively does for the original-case body
+        # tokens load_project resolves
         bound = (
-            eff_map.get((a, b))
-            or eff_map.get(f"{a}.{b}")
+            eff_map_ci.get((a, b))
+            or eff_map_ci.get(f"{a}.{b}")
             or b
         )
         doc = fs.registry.get("sources", canonical_name(str(bound)))
+        if doc is None:
+            # mirror _resolve_source's exact-name registry fallback
+            # (sources registered under a non-canonical name), case-
+            # insensitively since `bound` was lowercased above
+            for d in fs.registry.list("sources"):
+                if str(d.get("name", "")).lower() == str(bound).lower():
+                    doc = d
+                    break
         if doc is None:
             raise ValidationError(
                 f"{ctx}: source('{a}', '{b}') resolves to '{bound}', "
@@ -2772,6 +2797,13 @@ def export_manifest(
                     "model in the project"
                 )
             uid = f"unit_test.project.{utname}"
+            if uid in nodes:
+                # match run_unit_tests' loud duplicate-name contract —
+                # silent overwrite would undercount nodes and could
+                # parent the survivor on the wrong model
+                raise ValidationError(
+                    f"manifest: Duplicate unit test name '{utname}'"
+                )
             nodes[uid] = {
                 "resource_type": "unit_test",
                 "name": utname,
@@ -2987,7 +3019,9 @@ def build_project(
     (source-table tests excluded by model selection, per dbt) and only
     the singular tests that ref() a selected model (eager indirect
     selection); snapshots are unselected nodes under a model selection
-    and are skipped. The manifest still describes the FULL project —
+    and are skipped — but an exclude-ONLY build still runs them (the
+    exclude grammar subtracts models; everything else still builds,
+    as in dbt). The manifest still describes the FULL project —
     it is a parse artifact, not a run artifact.
     """
     from .snapshots import run_snapshots
@@ -3008,9 +3042,12 @@ def build_project(
         for _r, _d, fns in os.walk(snap_dir)
         for fn in fns
     )
-    if has_snaps and select is None and exclude is None:
+    if has_snaps and select is None:
         # node selection names MODELS; snapshots are unselected nodes
-        # under a --select, exactly as in dbt build
+        # under a --select, exactly as in dbt build. An exclude-only
+        # build ("everything except X") still runs them: the exclude
+        # grammar can only subtract models, and dbt's
+        # `build --exclude m` runs all remaining nodes incl. snapshots
         report["snapshots"] = run_snapshots(
             fs, project_dir, source_map=source_map, model_vars=model_vars,
             at=at,

@@ -612,7 +612,7 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = e.select(
         F.concat(
@@ -638,6 +638,7 @@ ORACLE["q_seq_patterns"] = f"""
         SELECT event_type || '>' || LEAD(event_type, 1) OVER w
                    || '>' || LEAD(event_type, 2) OVER w AS f_gram
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT f_gram, CAST(COUNT(*) AS BIGINT) AS f_n
@@ -673,7 +674,7 @@ def q_hazard_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse cumulative window over that bounded frame."""
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     dur = e.groupBy("user_id").agg(
         F.expr(
             "CAST(max(unix_timestamp(date_trunc('day', ts)) DIV 86400)"
@@ -711,7 +712,7 @@ ORACLE["q_hazard_km"] = """
                CAST(MAX(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
                     - MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
                     + 1 AS BIGINT) AS _d
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     hist AS (
         SELECT _d, CAST(COUNT(*) AS BIGINT) AS f_events

@@ -2365,3 +2365,157 @@ def test_manifest_carries_unit_test_nodes(fs, tmp_path, base_table):
         f.write(bad)
     with pytest.raises(ValidationError, match="nope_model"):
         export_manifest(fs, proj)
+
+
+class TestR13ReviewRegressions:
+    """Round-13 self-review pins: mixed-case source declarations in
+    unit-test fixtures, the duplicate-model guard in run_unit_tests'
+    walk, exclude-only builds still running snapshots, and manifest
+    duplicate unit-test names failing loudly."""
+
+    MIXED_FV = """\
+{{
+  config(
+    materialized='feature_view',
+    entities=['test_customer_entity'],
+    feature_view_version='1.0',
+    timestamp_col='updated_at',
+    desc='mixed-case source consumer'
+  )
+}}
+SELECT customer_id, updated_at, age AS f_age
+FROM {{ source('RAW_SRC', 'Cust_Base') }}
+"""
+
+    MIXED_SOURCES_YML = """\
+version: 2
+
+sources:
+  - name: RAW_SRC
+    tables:
+      - name: Cust_Base
+        identifier: customer_base_table
+"""
+
+    MIXED_UT_YML = """\
+version: 2
+
+unit_tests:
+  - name: ut_mixed_case_source
+    model: mixed_case_fv
+    given:
+      - input: source('RAW_SRC', 'Cust_Base')
+        rows:
+          - {customer_id: 7, age: 40}
+    expect:
+      rows:
+        - {customer_id: 7, f_age: 40}
+"""
+
+    def test_mixed_case_source_declaration_binds_fixture(
+        self, fs, tmp_path, base_table
+    ):
+        """Review r13 #2: unit-test fixture keys are lowercased, but
+        sources.yml declarations keep their original case — the
+        identifier remap must still bind (load_project resolves the
+        same project fine; run_unit_tests must agree)."""
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        proj = _write_project(
+            tmp_path,
+            {
+                "entities/test_customer_entity.sql": ENTITY_CUSTOMER,
+                "features/mixed_case_fv.sql": self.MIXED_FV,
+                "sources.yml": self.MIXED_SOURCES_YML,
+                "unit.yml": self.MIXED_UT_YML,
+            },
+        )
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)  # the build path resolves this fine
+        res = run_unit_tests(fs, proj, strict=True)
+        assert [r["name"] for r in res] == ["ut_mixed_case_source"]
+        assert res[0]["passed"]
+
+    def test_duplicate_model_name_raises_in_unit_tests(
+        self, fs, tmp_path, base_table
+    ):
+        """Review r13 #4: run_unit_tests' project walk must enforce the
+        same duplicate-model-name guard as load_project/run_data_tests
+        — a silent overwrite could validate a test against the wrong
+        model body."""
+        from dbt_snowflake_feature_store_spark import run_unit_tests
+
+        proj = _write_project(
+            tmp_path,
+            {
+                **REFERENCE_PROJECT,
+                "extra/test_base_customer_features.sql": FV_BASE,
+                "unit.yml": TestUnitTests.UT_YML,
+            },
+        )
+        fs.register_source("customer_base_table", base_table)
+        with pytest.raises(ValidationError, match="Duplicate model name"):
+            run_unit_tests(fs, proj)
+
+    def test_exclude_only_build_still_runs_snapshots(
+        self, fs, tmp_path, base_table
+    ):
+        """Review r13 #3: dbt `build --exclude m` (no --select) runs
+        everything not excluded INCLUDING snapshots — the exclude
+        grammar can only subtract models."""
+        from dbt_snowflake_feature_store_spark import build_project
+
+        _write_project(tmp_path, REFERENCE_PROJECT)
+        snap_dir = tmp_path / "models" / "snapshots"
+        snap_dir.mkdir(parents=True, exist_ok=True)
+        (snap_dir / "cust.sql").write_text(TestBuildProject.SNAP)
+        fs.register_source("customer_base_table", base_table)
+        report = build_project(
+            fs, str(tmp_path / "models"),
+            at="2024-02-01 00:00:00",
+            exclude=["test_derived_customer_features"],
+        )
+        assert report["snapshots"] is not None
+        assert report["snapshots"]["CUST_SNAP"]["rows"] == 3
+        # ... while a positive selection still skips them, as in dbt
+        fs2_report = build_project(
+            fs, str(tmp_path / "models"),
+            at="2024-02-01 00:00:00",
+            select=["test_base_customer_features"],
+        )
+        assert fs2_report["snapshots"] is None
+
+    def test_manifest_duplicate_unit_test_name_raises(
+        self, fs, tmp_path, base_table
+    ):
+        """Review r13 #6: export_manifest must refuse duplicate
+        unit-test names (run_unit_tests' loud contract) instead of
+        silently overwriting the node and its parent edge."""
+        from dbt_snowflake_feature_store_spark import export_manifest
+
+        dup_a = """\
+version: 2
+
+unit_tests:
+  - name: ut_dup
+    model: test_base_customer_features
+    given:
+      - input: source('test_sources', 'customer_base_table')
+        rows: []
+    expect:
+      rows: []
+"""
+        dup_b = dup_a.replace(
+            "test_base_customer_features", "test_derived_customer_features"
+        ).replace(
+            "input: source('test_sources', 'customer_base_table')",
+            "input: ref('test_base_customer_features')",
+        )
+        proj = _write_project(
+            tmp_path,
+            {**REFERENCE_PROJECT, "ua.yml": dup_a, "ub.yml": dup_b},
+        )
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        with pytest.raises(ValidationError, match="Duplicate unit test"):
+            export_manifest(fs, proj)

@@ -216,6 +216,7 @@ HEADLINE = [
     "q_join_interval_keyless",
     "q_lsh_recall",
     "q_metric_eval",
+    "q_metric_conversion",
     "q_metric_cumulative",
     "q_metric_window",
     "q_trend_mk",

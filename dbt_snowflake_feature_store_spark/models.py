@@ -2105,7 +2105,61 @@ def load_semantic_layer(
                 return mn
 
             deps: dict[str, Any] = {}
-            if mtype in ("simple", "cumulative", "conversion"):
+            if mtype == "conversion":
+                # dbt's real conversion spec (dbt-core 1.6+):
+                # type_params.conversion_type_params with base_measure,
+                # conversion_measure, entity, calculation, window
+                ctp = tp.get("conversion_type_params")
+                if not isinstance(ctp, dict):
+                    raise ValidationError(
+                        f"Metric '{name}': conversion metrics need "
+                        "type_params.conversion_type_params (with "
+                        "base_measure, conversion_measure, entity)"
+                    )
+                cdeps: dict[str, Any] = {
+                    "base_measure": _measure_name(
+                        ctp.get("base_measure"), "base"
+                    ),
+                    "conversion_measure": _measure_name(
+                        ctp.get("conversion_measure"), "conversion"
+                    ),
+                }
+                ent = str(ctp.get("entity") or "")
+                base_sem = measures_declared[cdeps["base_measure"]]
+                sem_ents = {
+                    str(e.get("name", "")): e
+                    for e in next(
+                        sm for sm in sem_out
+                        if sm["name"] == canonical_name(base_sem)
+                    ).get("entities", [])
+                }
+                if ent not in sem_ents:
+                    raise ValidationError(
+                        f"Metric '{name}': conversion entity '{ent}' "
+                        "is not a declared entity of semantic model "
+                        f"'{base_sem}' (declared: {sorted(sem_ents)})"
+                    )
+                cdeps["entity"] = ent
+                calc = str(
+                    ctp.get("calculation") or "conversion_rate"
+                )
+                if calc not in ("conversions", "conversion_rate"):
+                    raise ValidationError(
+                        f"Metric '{name}': calculation must be "
+                        "'conversions' or 'conversion_rate', got "
+                        f"{calc!r}"
+                    )
+                cdeps["calculation"] = calc
+                cwin = ctp.get("window")
+                if cwin is not None:
+                    if not re.fullmatch(r"\d+ days?", str(cwin).strip()):
+                        raise ValidationError(
+                            f"Metric '{name}': conversion window must "
+                            f"be '<N> days', got {cwin!r}"
+                        )
+                    cdeps["window"] = str(cwin).strip()
+                deps["conversion_type_params"] = cdeps
+            elif mtype in ("simple", "cumulative"):
                 deps["measure"] = _measure_name(
                     tp.get("measure"), mtype
                 )
@@ -2286,8 +2340,12 @@ def evaluate_metric(
       group-by/grain, inner-joined on the group keys, combined by
       ``type_params.expr`` (input metrics are referenced by name; a
       single-input derived metric with no expr is the identity).
-    - ``conversion``  → refused (entity-journey window semantics; the
-      registered spec is consumable, evaluation is out of scope).
+    - ``conversion``  → ENTITY-grain first-touch attribution (r13):
+      an entity converts iff a conversion event lands at-or-after its
+      FIRST base event (within ``window`` days when given); group-by
+      dimension values are taken at the first base event;
+      ``calculation`` picks converting-entity count vs the guarded
+      rate. Cross-model conversion refused (entity-join planner).
 
     A metric-level ``filter:`` (a SQL predicate over the model's
     columns — this engine's documented simplification of dbt's
@@ -2343,11 +2401,158 @@ def evaluate_metric(
         return sm, spec
 
     if mtype == "conversion":
-        raise ValidationError(
-            f"Metric '{name}': conversion metrics register and export "
-            "but are not evaluatable by evaluate_metric (entity-journey "
-            "window semantics)"
+        # dbt conversion metric (conversion_type_params), evaluated at
+        # ENTITY grain with FIRST-touch attribution — this engine's
+        # documented semantics: an entity CONVERTS iff it has at least
+        # one conversion event at-or-after its FIRST base event (and
+        # within `window` days of it when given, inclusive bounds over
+        # whole-second epochs). group_by dimension values are taken AT
+        # the entity's first base event (MIN over same-second ties —
+        # deterministic); MetricFlow's event-grain multi-attribution is
+        # intentionally not replicated. calculation: 'conversions' →
+        # converting-entity count; 'conversion_rate' → converting /
+        # base-entity count as a guarded double division (NULL on an
+        # empty base, the ratio-metric spelling).
+        #
+        # Scale: base/conversion event frames are column-pruned
+        # projections of ONE FV read; first-touch is a combinable MIN
+        # per entity + an equi-join back on the entity key; the
+        # window probe is a left-semi equi-join on entity with the
+        # time bound as a join-level refine. Nothing collects.
+        ctp = tp.get("conversion_type_params") or {}
+        base_sm, base_spec = _measure(ctp["base_measure"])
+        conv_sm, conv_spec = _measure(ctp["conversion_measure"])
+        if conv_sm["name"] != base_sm["name"]:
+            raise ValidationError(
+                f"Metric '{name}': base and conversion measures span "
+                f"semantic models '{base_sm['name']}' and "
+                f"'{conv_sm['name']}' — cross-model conversion needs "
+                "an entity-join planner and is not supported"
+            )
+        sem = base_sm
+        df = _metric_base_df(fs, sem, model_version)
+        if mdoc.get("filter"):
+            df = df.filter(str(mdoc["filter"]))
+        declared = {
+            d["name"]: d
+            for d in list(sem.get("dimensions", []))
+            + list(sem.get("entities", []))
+        }
+        ent_spec = next(
+            e for e in sem.get("entities", [])
+            if e["name"] == str(ctp.get("entity"))
         )
+        eexpr = ent_spec.get("expr") or ent_spec["name"]
+        tdims = [
+            d for d in sem.get("dimensions", [])
+            if str(d.get("type", "")).lower() == "time"
+        ]
+        if time_dimension is not None:
+            tdims = [d for d in tdims if d["name"] == time_dimension]
+        if not tdims:
+            raise ValidationError(
+                f"Metric '{name}': conversion metrics need a "
+                "`type: time` dimension on semantic model "
+                f"'{sem['name']}'"
+                + (
+                    f" named {time_dimension!r}"
+                    if time_dimension is not None
+                    else ""
+                )
+            )
+        if len(tdims) > 1:
+            raise ValidationError(
+                f"Metric '{name}': semantic model '{sem['name']}' "
+                f"declares {len(tdims)} time dimensions "
+                f"({sorted(d['name'] for d in tdims)}) — pass "
+                "time_dimension= to pick one"
+            )
+        texpr = tdims[0].get("expr") or tdims[0]["name"]
+        gexprs: list[tuple[str, str]] = []
+        for g in group_by:
+            d = declared.get(g)
+            if d is None:
+                raise ValidationError(
+                    f"Metric '{name}': group_by '{g}' is not a "
+                    "declared dimension or entity of semantic model "
+                    f"'{sem['name']}' (declared: {sorted(declared)})"
+                )
+            gexprs.append((g, d.get("expr") or d["name"]))
+        base_expr = base_spec.get("expr") or base_spec["name"]
+        conv_expr = conv_spec.get("expr") or conv_spec["name"]
+        base_e = df.filter(F.expr(f"({base_expr}) IS NOT NULL")).select(
+            F.expr(eexpr).alias("_fs_ent"),
+            F.expr(
+                f"CAST(unix_timestamp({texpr}) AS BIGINT)"
+            ).alias("_fs_t"),
+            F.expr(texpr).alias("_fs_ts"),
+            *[
+                F.expr(x).alias(f"_fs_g_{i}")
+                for i, (_g, x) in enumerate(gexprs)
+            ],
+        )
+        conv_e = df.filter(F.expr(f"({conv_expr}) IS NOT NULL")).select(
+            F.expr(eexpr).alias("_fs_ent"),
+            F.expr(
+                f"CAST(unix_timestamp({texpr}) AS BIGINT)"
+            ).alias("_fs_ct"),
+        )
+        tb = base_e.groupBy("_fs_ent").agg(F.min("_fs_t").alias("_fs_tb"))
+        first = (
+            base_e.join(tb, "_fs_ent")
+            .filter(F.col("_fs_t") == F.col("_fs_tb"))
+            .groupBy("_fs_ent")
+            .agg(
+                F.min("_fs_tb").alias("_fs_tb"),
+                F.min("_fs_ts").alias("_fs_ts"),
+                *[
+                    F.min(F.col(f"_fs_g_{i}")).alias(f"_fs_g_{i}")
+                    for i in range(len(gexprs))
+                ],
+            )
+        )
+        cond = (conv_e["_fs_ent"] == first["_fs_ent"]) & (
+            conv_e["_fs_ct"] >= first["_fs_tb"]
+        )
+        if ctp.get("window"):
+            n_days = int(str(ctp["window"]).split()[0])
+            cond = cond & (
+                conv_e["_fs_ct"] <= first["_fs_tb"] + n_days * 86400
+            )
+        converted = (
+            first.join(conv_e, cond, "leftsemi")
+            .select("_fs_ent")
+            .withColumn("_fs_conv", F.lit(1))
+        )
+        flagged = first.join(converted, "_fs_ent", "left")
+        out_keys = [
+            F.col(f"_fs_g_{i}").alias(g)
+            for i, (g, _x) in enumerate(gexprs)
+        ]
+        if time_grain is not None:
+            out_keys.append(
+                F.date_trunc(time_grain, F.col("_fs_ts")).alias(
+                    "metric_time"
+                )
+            )
+        keys = list(group_by) + (
+            ["metric_time"] if time_grain else []
+        )
+        agged = flagged.groupBy(*out_keys).agg(
+            F.count("*").alias("_fs_base"),
+            F.count("_fs_conv").alias("_fs_convn"),
+        )
+        if str(ctp.get("calculation") or "conversion_rate") == (
+            "conversions"
+        ):
+            val = F.col("_fs_convn").cast("long")
+        else:
+            val = F.when(
+                F.col("_fs_base").cast("double") != 0.0,
+                F.col("_fs_convn").cast("double")
+                / F.col("_fs_base").cast("double"),
+            )
+        return agged.select(*keys, val.alias(cname))
 
     if mtype == "derived":
         inputs = tp.get("metrics") or []

@@ -340,6 +340,9 @@ semantic_models:
       - name: n_orders
         agg: count
         expr: o_orderkey
+      - name: big_order_ids
+        agg: count
+        expr: CASE WHEN o_totalprice > 150000 THEN o_orderkey END
 
 metrics:
   - name: total_revenue
@@ -380,6 +383,22 @@ metrics:
     type_params:
       measure: revenue
     filter: o_totalprice > 100000
+  - name: big_ticket_conv_rate
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_orders
+        conversion_measure: big_order_ids
+        entity: customer
+  - name: big_ticket_converters_1y
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_orders
+        conversion_measure: big_order_ids
+        entity: customer
+        calculation: conversions
+        window: 365 days
 """
 
 
@@ -553,6 +572,89 @@ ORACLE["q_metric_window"] = """
     ORDER BY f_day
 """
 QUERIES["q_metric_window"] = q_metric_window
+
+
+def q_metric_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION METRIC EVALUATION, ORACLE-GATED (r13): dbt
+    conversion_type_params compiled by ``evaluate_metric`` — per the
+    priority AT THE CUSTOMER'S FIRST ORDER, (a) the unwindowed
+    conversion RATE (share of customers whose first order is followed
+    at-or-after by a >150k order) and (b) the 365-day-window converting
+    CUSTOMER COUNT, both from REGISTERED specs through the full
+    load_semantic_layer path. The engine's documented semantics:
+    entity-grain FIRST-touch attribution (first base event per entity;
+    group-by dims taken at that event, MIN over same-second ties;
+    window bounds inclusive over whole-second epochs). The oracle
+    restates the same first-touch plan in plain SQL — the compiler must
+    be a pure rewrite.
+
+    Scale: one combinable MIN per entity + an entity equi-join back +
+    a left-semi window probe on the entity key; the rate is a guarded
+    double division of two counts (identical IEEE both engines)."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    rate = evaluate_metric(
+        fs, "big_ticket_conv_rate", group_by=["priority"]
+    )
+    wins = evaluate_metric(
+        fs, "big_ticket_converters_1y", group_by=["priority"]
+    )
+    return (
+        rate.join(wins, "priority")
+        .select(
+            F.col("priority").alias("f_priority"),
+            F.col("BIG_TICKET_CONV_RATE").cast("double").alias(
+                "f_conv_rate"
+            ),
+            F.col("BIG_TICKET_CONVERTERS_1Y").cast("long").alias(
+                "f_conv_1y"
+            ),
+        )
+        .orderBy("f_priority")
+    )
+
+
+ORACLE["q_metric_conversion"] = """
+    WITH base AS (
+        SELECT o_custkey AS e,
+               CAST(epoch(o_orderdate) AS BIGINT) AS t,
+               o_orderpriority AS p
+        FROM orders
+    ),
+    tb AS (SELECT e, MIN(t) AS _tb FROM base GROUP BY 1),
+    first AS (
+        SELECT base.e AS e, MIN(_tb) AS _tb, MIN(p) AS f_priority
+        FROM base JOIN tb ON base.e = tb.e AND base.t = tb._tb
+        GROUP BY 1
+    ),
+    conv AS (
+        SELECT o_custkey AS e,
+               CAST(epoch(o_orderdate) AS BIGINT) AS ct
+        FROM orders WHERE o_totalprice > 150000
+    ),
+    hit AS (
+        SELECT DISTINCT first.e AS e
+        FROM first JOIN conv
+          ON conv.e = first.e AND conv.ct >= first._tb
+    ),
+    hitw AS (
+        SELECT DISTINCT first.e AS e
+        FROM first JOIN conv
+          ON conv.e = first.e AND conv.ct >= first._tb
+         AND conv.ct <= first._tb + 365 * 86400
+    )
+    SELECT f_priority,
+           CAST(COUNT(hit.e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS f_conv_rate,
+           CAST(COUNT(hitw.e) AS BIGINT) AS f_conv_1y
+    FROM first
+    LEFT JOIN hit ON first.e = hit.e
+    LEFT JOIN hitw ON first.e = hitw.e
+    GROUP BY 1
+    ORDER BY f_priority
+"""
+QUERIES["q_metric_conversion"] = q_metric_conversion
 
 ORACLE["q_metric_cumulative"] = """
     WITH m AS (

@@ -1631,6 +1631,9 @@ semantic_models:
       - name: n_tiers
         agg: count_distinct
         expr: f_base_tier
+      - name: gold_ids
+        agg: count
+        expr: CASE WHEN f_base_tier = 'gold' THEN customer_id END
 
 metrics:
   - name: total_age_m
@@ -1683,7 +1686,19 @@ metrics:
   - name: signup_conv
     type: conversion
     type_params:
-      measure: n_customers
+      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: customer
+  - name: signup_conv_n
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: customer
+        calculation: conversions
+        window: 1 day
   - name: adult_age
     type: simple
     type_params:
@@ -1910,8 +1925,98 @@ metrics:
             evaluate_metric(
                 fs, "total_age_m", time_grain="day", time_dimension="nope"
             )
-        with pytest.raises(ValidationError, match="conversion"):
-            evaluate_metric(fs, "signup_conv")
+        with pytest.raises(ValidationError, match="named 'nope'"):
+            evaluate_metric(
+                fs, "signup_conv", time_dimension="nope"
+            )
+
+    def test_conversion_first_touch(self, fs, tmp_path, base_table):
+        """r13: conversion metrics evaluate at entity grain with
+        first-touch attribution: customer 1 is the only gold row, so
+        1 of 3 customers converts; by country the US cohort is 1/2 and
+        DE 0/1. calculation='conversions' with a 1-day window counts
+        the converting entity (same-instant conversion is inclusive)."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        one = evaluate_metric(fs, "signup_conv").collect()
+        assert len(one) == 1
+        assert abs(one[0]["SIGNUP_CONV"] - 1.0 / 3.0) < 1e-12
+        by_c = {
+            r["country"]: r["SIGNUP_CONV"]
+            for r in evaluate_metric(
+                fs, "signup_conv", group_by=["country"]
+            ).collect()
+        }
+        assert by_c == {"US": 0.5, "DE": 0.0}
+        n = evaluate_metric(fs, "signup_conv_n").collect()
+        assert n[0]["SIGNUP_CONV_N"] == 1
+        # time_grain: metric_time is the first-base-event day
+        days = evaluate_metric(
+            fs, "signup_conv_n", time_grain="day"
+        ).collect()
+        got = {
+            str(r["metric_time"]): r["SIGNUP_CONV_N"] for r in days
+        }
+        assert got == {
+            "2024-01-01 00:00:00": 1,
+            "2024-01-02 00:00:00": 0,
+        }
+
+    def test_conversion_load_validation(self, fs, tmp_path, base_table):
+        """r13: the loader rejects malformed conversion specs loudly —
+        missing conversion_type_params (the pre-r13 invented shape),
+        unknown calculation, undeclared entity."""
+        from dbt_snowflake_feature_store_spark.models import (
+            load_semantic_layer,
+        )
+
+        proj = self._loaded(fs, tmp_path, base_table)
+
+        def _with(repl: str) -> str:
+            import os as _os
+
+            bad = TestEvaluateMetric.YML.replace(
+                """      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: customer
+  - name: signup_conv_n""",
+                repl + "\n  - name: signup_conv_n",
+            )
+            with open(_os.path.join(proj, "schema.yml"), "w") as f:
+                f.write(bad)
+            return proj
+
+        with pytest.raises(
+            ValidationError, match="conversion_type_params"
+        ):
+            load_semantic_layer(
+                fs, _with("      measure: n_customers"), dry_run=True
+            )
+        with pytest.raises(ValidationError, match="calculation"):
+            load_semantic_layer(
+                fs,
+                _with(
+                    """      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: customer
+        calculation: nope"""
+                ),
+                dry_run=True,
+            )
+        with pytest.raises(ValidationError, match="entity 'nobody'"):
+            load_semantic_layer(
+                fs,
+                _with(
+                    """      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: nobody"""
+                ),
+                dry_run=True,
+            )
 
     def test_model_version_disambiguation(
         self, fs, tmp_path, base_table

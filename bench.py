@@ -217,6 +217,7 @@ HEADLINE = [
     "q_lsh_recall",
     "q_metric_eval",
     "q_metric_conversion",
+    "q_metric_ratio_xmodel",
     "q_metric_cumulative",
     "q_metric_window",
     "q_trend_mk",

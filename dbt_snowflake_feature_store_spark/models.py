@@ -2323,9 +2323,12 @@ def evaluate_metric(
     - ``ratio``       → ``CAST(AGG(num) AS DOUBLE) / CAST(AGG(den) AS
       DOUBLE)`` computed in ONE aggregation pass (NULL where the
       denominator is 0 — both engines' guarded-division spelling).
-      Numerator and denominator must live in the SAME semantic model
-      (cross-model ratio needs MetricFlow's entity-join planner —
-      refused loudly, not silently joined).
+      A CROSS-MODEL ratio (numerator and denominator declared by
+      different semantic models) evaluates each side on its own model
+      at the requested group keys and joins the two aggregate frames
+      on those keys (r13; every key must be declared by BOTH models —
+      the grain-aligned simplification of MetricFlow's entity-join
+      planner; metric-level filter refused as ambiguous).
     - ``cumulative``  → the simple aggregate per time grain, then a
       running SUM window ordered by ``metric_time`` and partitioned by
       the group-by keys. Requires ``time_grain``. The window runs over
@@ -2581,70 +2584,81 @@ def evaluate_metric(
             *keys, F.expr(str(expr)).alias(cname)
         )
 
-    # simple / ratio / cumulative resolve against ONE semantic model
+    # simple / ratio / cumulative resolve against ONE semantic model —
+    # EXCEPT the cross-model ratio, which evaluates each side on its
+    # own model and joins on the requested group keys (below)
     if mtype == "ratio":
         m_names = [tp["numerator"], tp["denominator"]]
     else:
         m_names = [tp["measure"]]
     resolved = [_measure(mn) for mn in m_names]
     sem = resolved[0][0]
-    for sm2, _spec in resolved[1:]:
-        if sm2["name"] != sem["name"]:
-            raise ValidationError(
-                f"Metric '{name}': measures span semantic models "
-                f"'{sem['name']}' and '{sm2['name']}' — cross-model "
-                "metrics need an entity-join planner and are not "
-                "supported by evaluate_metric"
-            )
-    df = _metric_base_df(fs, sem, model_version)
-    # metric-level filter: a SQL predicate over the model's columns,
-    # applied BEFORE aggregation (dbt's filter: semantics; Catalyst
-    # pushes it into the FV scan)
-    if mdoc.get("filter"):
-        df = df.filter(str(mdoc["filter"]))
+    cross_ratio = (
+        mtype == "ratio" and resolved[1][0]["name"] != sem["name"]
+    )
 
-    declared = {
-        d["name"]: d
-        for d in list(sem.get("dimensions", [])) + list(sem.get("entities", []))
-    }
-    gcols = []
-    for g in group_by:
-        d = declared.get(g)
-        if d is None:
-            raise ValidationError(
-                f"Metric '{name}': group_by '{g}' is not a declared "
-                f"dimension or entity of semantic model '{sem['name']}' "
-                f"(declared: {sorted(declared)})"
-            )
-        gcols.append(F.expr(d.get("expr") or d["name"]).alias(g))
-    if time_grain is not None:
-        tdims = [
-            d for d in sem.get("dimensions", [])
-            if str(d.get("type", "")).lower() == "time"
-        ]
-        if time_dimension is not None:
-            tdims = [d for d in tdims if d["name"] == time_dimension]
-        if not tdims:
-            raise ValidationError(
-                f"Metric '{name}': semantic model '{sem['name']}' "
-                + (
-                    f"declares no time dimension named {time_dimension!r}"
-                    if time_dimension is not None
-                    else "declares no `type: time` dimension"
+    def _gcols_for(sem_x: dict[str, Any]) -> list:
+        """Resolve the requested group_by names (+ metric_time at the
+        requested grain) against ONE semantic model's declared
+        dimensions/entities. Shared by the single-model path and both
+        sides of a cross-model ratio — each side must declare every
+        requested key under the same name."""
+        declared = {
+            d["name"]: d
+            for d in list(sem_x.get("dimensions", []))
+            + list(sem_x.get("entities", []))
+        }
+        gcols_x = []
+        for g in group_by:
+            d = declared.get(g)
+            if d is None:
+                raise ValidationError(
+                    f"Metric '{name}': group_by '{g}' is not a declared "
+                    f"dimension or entity of semantic model "
+                    f"'{sem_x['name']}' (declared: {sorted(declared)})"
                 )
-                + " — time_grain needs one"
+            gcols_x.append(F.expr(d.get("expr") or d["name"]).alias(g))
+        if time_grain is not None:
+            tdims = [
+                d for d in sem_x.get("dimensions", [])
+                if str(d.get("type", "")).lower() == "time"
+            ]
+            if time_dimension is not None:
+                tdims = [d for d in tdims if d["name"] == time_dimension]
+            if not tdims:
+                raise ValidationError(
+                    f"Metric '{name}': semantic model '{sem_x['name']}' "
+                    + (
+                        f"declares no time dimension named "
+                        f"{time_dimension!r}"
+                        if time_dimension is not None
+                        else "declares no `type: time` dimension"
+                    )
+                    + " — time_grain needs one"
+                )
+            if len(tdims) > 1:
+                raise ValidationError(
+                    f"Metric '{name}': semantic model '{sem_x['name']}' "
+                    f"declares {len(tdims)} time dimensions "
+                    f"({sorted(d['name'] for d in tdims)}) — pass "
+                    "time_dimension= to pick one"
+                )
+            texpr = tdims[0].get("expr") or tdims[0]["name"]
+            gcols_x.append(
+                F.date_trunc(time_grain, F.expr(texpr)).alias(
+                    "metric_time"
+                )
             )
-        if len(tdims) > 1:
-            raise ValidationError(
-                f"Metric '{name}': semantic model '{sem['name']}' "
-                f"declares {len(tdims)} time dimensions "
-                f"({sorted(d['name'] for d in tdims)}) — pass "
-                "time_dimension= to pick one"
-            )
-        texpr = tdims[0].get("expr") or tdims[0]["name"]
-        gcols.append(
-            F.date_trunc(time_grain, F.expr(texpr)).alias("metric_time")
-        )
+        return gcols_x
+
+    if not cross_ratio:
+        df = _metric_base_df(fs, sem, model_version)
+        # metric-level filter: a SQL predicate over the model's columns,
+        # applied BEFORE aggregation (dbt's filter: semantics; Catalyst
+        # pushes it into the FV scan)
+        if mdoc.get("filter"):
+            df = df.filter(str(mdoc["filter"]))
+        gcols = _gcols_for(sem)
 
     _AGGS = {
         "sum": "SUM", "count": "COUNT", "count_distinct": None,
@@ -2667,6 +2681,41 @@ def evaluate_metric(
         return F.expr(f"{fn}({e})")
 
     keys = list(group_by) + (["metric_time"] if time_grain else [])
+    if cross_ratio:
+        # CROSS-MODEL RATIO (r13): the simplified grain-aligned join
+        # planner — each side aggregates on its OWN model at the
+        # requested group keys, then the two 1-aggregate frames join on
+        # those keys (inner; crossJoin of the two 1-row frames when no
+        # keys). MetricFlow's entity-path join planner (joining through
+        # shared entities to pull dims across models) is intentionally
+        # not replicated; every requested key must be declared by BOTH
+        # models under the same name. A metric-level filter is refused
+        # (ambiguous which model it predicates over — put it on
+        # per-model simple metrics and use a derived metric instead).
+        if mdoc.get("filter"):
+            raise ValidationError(
+                f"Metric '{name}': cross-model ratio metrics cannot "
+                "carry filter: — it is ambiguous which model the "
+                "predicate reads; filter per-model simple metrics and "
+                "combine with a derived metric"
+            )
+        num = (
+            _metric_base_df(fs, resolved[0][0], model_version)
+            .groupBy(*_gcols_for(resolved[0][0]))
+            .agg(_agg_col(resolved[0][1]).alias("_fs_num"))
+        )
+        den = (
+            _metric_base_df(fs, resolved[1][0], model_version)
+            .groupBy(*_gcols_for(resolved[1][0]))
+            .agg(_agg_col(resolved[1][1]).alias("_fs_den"))
+        )
+        joined = num.join(den, keys) if keys else num.crossJoin(den)
+        val = F.when(
+            F.col("_fs_den").cast("double") != 0.0,
+            F.col("_fs_num").cast("double")
+            / F.col("_fs_den").cast("double"),
+        )
+        return joined.select(*keys, val.alias(cname))
     if mtype == "ratio":
         agged = df.groupBy(*gcols).agg(
             _agg_col(resolved[0][1]).alias("_fs_num"),

@@ -343,6 +343,16 @@ semantic_models:
       - name: big_order_ids
         agg: count
         expr: CASE WHEN o_totalprice > 150000 THEN o_orderkey END
+  - name: lineitem_sem
+    model: ref('lineitem_model')
+    dimensions:
+      - name: ship_date
+        type: time
+        expr: l_shipdate
+    measures:
+      - name: n_items
+        agg: count
+        expr: l_orderkey
 
 metrics:
   - name: total_revenue
@@ -383,6 +393,11 @@ metrics:
     type_params:
       measure: revenue
     filter: o_totalprice > 100000
+  - name: rev_per_item
+    type: ratio
+    type_params:
+      numerator: revenue
+      denominator: n_items
   - name: big_ticket_conv_rate
     type: conversion
     type_params:
@@ -412,8 +427,12 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
     read_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "q_orders_metric"
     )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q_lineitem_metric"
+    )
     fs = _fs(spark)
     fs.register_entity(Entity("customer", ["o_custkey"]))
+    fs.register_entity(Entity("order_ent", ["l_orderkey"]))
     fs.register_feature_view(
         FeatureView(
             "orders_model",
@@ -424,12 +443,24 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
         ),
         version="1.0",
     )
+    fs.register_feature_view(
+        FeatureView(
+            "lineitem_model",
+            ["order_ent"],
+            sql="""SELECT l_orderkey, l_linenumber, l_shipdate,
+                          l_quantity, l_extendedprice
+                   FROM q_lineitem_metric""",
+        ),
+        version="1.0",
+    )
     proj = tempfile.mkdtemp(prefix="fs_sem_")
     with open(os.path.join(proj, "schema.yml"), "w") as f:
         f.write(_METRIC_YML)
     from ..models import load_semantic_layer
 
-    load_semantic_layer(fs, proj, models={"orders_model": None})
+    load_semantic_layer(
+        fs, proj, models={"orders_model": None, "lineitem_model": None}
+    )
     return fs
 
 
@@ -655,6 +686,53 @@ ORACLE["q_metric_conversion"] = """
     ORDER BY f_priority
 """
 QUERIES["q_metric_conversion"] = q_metric_conversion
+
+
+def q_metric_ratio_xmodel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODEL RATIO METRIC, ORACLE-GATED (r13): monthly revenue
+    per shipped line item — numerator measure `revenue` lives on the
+    orders semantic model, denominator `n_items` on the lineitem
+    semantic model; ``evaluate_metric`` aggregates each side on its own
+    model at the month grain and joins the two aggregate frames on
+    metric_time (the engine's grain-aligned simplification of
+    MetricFlow's entity-join planner — every requested key must be
+    declared by BOTH models). Revenue rides the DECIMAL(28,6) measure
+    discipline; the ratio divides doubles cast from the exact
+    decimal/bigint aggregates (identical IEEE both engines). Months
+    where only one side has rows drop (inner join) — the oracle states
+    the same join.
+
+    Scale: two independent map-side-combinable hash aggregates (one
+    per model) + one join on the calendar-bounded month key."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    out = evaluate_metric(fs, "rev_per_item", time_grain="month")
+    return out.select(
+        F.col("metric_time").alias("f_month"),
+        F.col("REV_PER_ITEM").cast("double").alias("f_rev_per_item"),
+    ).orderBy("f_month")
+
+
+ORACLE["q_metric_ratio_xmodel"] = """
+    WITH o AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS f_month,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS _rev
+        FROM orders GROUP BY 1
+    ),
+    li AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                   AS f_month,
+               CAST(COUNT(l_orderkey) AS BIGINT) AS _n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o.f_month AS f_month,
+           CAST(_rev AS DOUBLE) / CAST(_n AS DOUBLE) AS f_rev_per_item
+    FROM o JOIN li ON o.f_month = li.f_month
+    ORDER BY f_month
+"""
+QUERIES["q_metric_ratio_xmodel"] = q_metric_ratio_xmodel
 
 ORACLE["q_metric_cumulative"] = """
     WITH m AS (

@@ -34,19 +34,20 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 13 rotation (19 + 26 + 5 = the 50-key driver cap) ----
-    # part 1 (19): every key whose code is new or changed THIS round —
-    # the 17 new keys (keyless slice-bucketed interval join, banded-LSH
+    # ---- round 13 rotation (20 + 26 + 4 = the 50-key driver cap) ----
+    # part 1 (20): every key whose code is new or changed THIS round —
+    # the 18 new keys (keyless slice-bucketed interval join, banded-LSH
     # recall pin, semantic-layer metric evaluation ×2 + the cumulative
     # window/grain_to_date variants, Mann-Kendall trend, grouped OLS
     # slope, join-key skew audit, cohort LTV, sequential trigram
     # patterns, KM hazard table, time-to-convert latency, the
     # wave-6 quartet: Welch t², Tukey-fence outliers, weekday-residual
     # anomaly days, inter-event gap octave spectrum, and the
-    # first-touch conversion-metric evaluation) and the
+    # first-touch conversion-metric evaluation + the grain-aligned
+    # cross-model ratio) and the
     # autocorr_from_days / psi_from_cells refactors
     "q_join_interval_keyless", "q_lsh_recall", "q_metric_eval",
-    "q_metric_conversion",
+    "q_metric_conversion", "q_metric_ratio_xmodel",
     "q_metric_cumulative", "q_metric_window", "q_trend_mk",
     "q_ols_slope", "q_skew_audit", "q_cohort_ltv", "q_seq_patterns",
     "q_hazard_km", "q_time_to_convert",
@@ -63,15 +64,16 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_quantile_sketch", "q_retention", "q_scd2_history", "q_scd2_multi",
     "q_stats_moments", "q_text_repetition", "q_token_pmi",
     "q_tpch_q10like", "q_tpch_q12like", "q_tpch_q4like", "q_tpch_q6like",
-    # part 3 (5): the oldest r9-dated records — FS machinery first
+    # part 3 (4): the oldest r9-dated records — FS machinery first
     # (the store's own read paths churn every round)
     "q_fv_static_read", "q_fv_managed_read", "q_fv_chain",
-    "q_fv_latest_snapshot", "q_generate_dataset",
+    "q_generate_dataset",
     # position 51+ — PAST the cap: q_dedup_exact/near/embed/ngram
     # yielded their part-3 slots to the wave-6 quartet
-    # (q_welch_t/q_anomaly_iqr/q_seasonal_residual/q_gap_octaves) and
-    # q_fv_profile to q_metric_conversion (profile is the most
-    # self-contained of the FS six);
+    # (q_welch_t/q_anomaly_iqr/q_seasonal_residual/q_gap_octaves),
+    # q_fv_profile to q_metric_conversion and q_fv_latest_snapshot to
+    # q_metric_ratio_xmodel (the two most self-contained of the FS
+    # six);
     # q_dedup_chunks, q_dedup_clusters, q_dedup_cross_source,
     # q_corpus_dedup_stats, q_sim_topk, q_sim_ann_lsh, q_sim_ivf,
     # q_sim_range and q_text_embed_join yielded their r13 slots to the

@@ -1634,6 +1634,16 @@ semantic_models:
       - name: gold_ids
         agg: count
         expr: CASE WHEN f_base_tier = 'gold' THEN customer_id END
+  - name: static_sem
+    model: ref('test_static_customer_features')
+    dimensions:
+      - name: country
+        type: categorical
+        expr: f_country
+    measures:
+      - name: static_age
+        agg: sum
+        expr: f_age
 
 metrics:
   - name: total_age_m
@@ -1653,6 +1663,17 @@ metrics:
     type_params:
       numerator: total_age
       denominator: n_customers
+  - name: age_vs_static
+    type: ratio
+    type_params:
+      numerator: total_age
+      denominator: static_age
+  - name: age_vs_static_f
+    type: ratio
+    type_params:
+      numerator: total_age
+      denominator: static_age
+    filter: f_base_age > 0
   - name: double_age
     type: derived
     type_params:
@@ -1962,6 +1983,30 @@ metrics:
             "2024-01-01 00:00:00": 1,
             "2024-01-02 00:00:00": 0,
         }
+
+    def test_cross_model_ratio(self, fs, tmp_path, base_table):
+        """r13: a ratio whose numerator and denominator live in
+        DIFFERENT semantic models evaluates each side on its own model
+        and joins on the requested keys: total_age (customers_sem,
+        23+35+61=119) / static_age (static_sem, 25) = 4.76; grouped by
+        the shared `country` name the US cohort is 84/25 and DE drops
+        (inner join — static_sem has no DE row). A metric-level filter
+        is refused as ambiguous."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        one = evaluate_metric(fs, "age_vs_static").collect()
+        assert len(one) == 1
+        assert abs(one[0]["AGE_VS_STATIC"] - 119.0 / 25.0) < 1e-12
+        by_c = {
+            r["country"]: r["AGE_VS_STATIC"]
+            for r in evaluate_metric(
+                fs, "age_vs_static", group_by=["country"]
+            ).collect()
+        }
+        assert by_c == {"US": 84.0 / 25.0}
+        with pytest.raises(ValidationError, match="cannot carry filter"):
+            evaluate_metric(fs, "age_vs_static_f")
 
     def test_conversion_load_validation(self, fs, tmp_path, base_table):
         """r13: the loader rejects malformed conversion specs loudly —

@@ -220,6 +220,8 @@ HEADLINE = [
     "q_metric_ratio_xmodel",
     "q_metric_cumulative",
     "q_metric_window",
+    "q_metric_offset",
+    "q_saved_query",
     "q_trend_mk",
     "q_ols_slope",
     # round-13 wave 4: pre-shuffle skew monitor, cohort revenue LTV,

@@ -20,6 +20,7 @@ from .functions.profile import profile
 from .models import (
     build_project,
     evaluate_metric,
+    evaluate_saved_query,
     export_catalog,
     export_manifest,
     load_exposures,
@@ -54,6 +55,7 @@ __all__ = [
     "load_project",
     "build_project",
     "evaluate_metric",
+    "evaluate_saved_query",
     "export_catalog",
     "export_manifest",
     "load_exposures",

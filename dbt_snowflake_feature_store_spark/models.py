@@ -2204,6 +2204,16 @@ def load_semantic_layer(
                         f"Metric '{name}': derived metrics need "
                         "type_params.metrics"
                     )
+                # dbt derived inputs are strings OR mappings with
+                # `alias:` (the name the combining expr sees) and
+                # `offset_window: '<N> <grain>'` (MetricFlow's
+                # period-over-period shift — the input's value from N
+                # grains EARLIER aligns with each metric_time row).
+                # Inputs normalize to strings when plain, mappings when
+                # they carry alias/offset; effective names must be
+                # unique (two offsets of the same metric need aliases).
+                norm_refs: list[Any] = []
+                eff_seen: set[str] = set()
                 for r in refs:
                     rn = str(r.get("name") if isinstance(r, dict) else r)
                     if canonical_name(rn) not in all_metric_names:
@@ -2216,10 +2226,46 @@ def load_semantic_layer(
                             f"Metric '{name}': derived metric cannot "
                             "reference itself"
                         )
-                deps["metrics"] = [
-                    str(r.get("name") if isinstance(r, dict) else r)
-                    for r in refs
-                ]
+                    alias = None
+                    offset = None
+                    if isinstance(r, dict):
+                        if r.get("alias") is not None:
+                            alias = canonical_name(str(r["alias"]))
+                        if r.get("offset_window") is not None:
+                            ow = str(r["offset_window"]).strip()
+                            m_ow = re.fullmatch(
+                                r"(\d+)\s+"
+                                r"(day|week|month|quarter|year)s?",
+                                ow,
+                            )
+                            if not m_ow:
+                                raise ValidationError(
+                                    f"Metric '{name}': offset_window "
+                                    "must be '<N> "
+                                    "day|week|month|quarter|year[s]', "
+                                    f"got {r['offset_window']!r}"
+                                )
+                            offset = (
+                                f"{int(m_ow.group(1))} {m_ow.group(2)}"
+                            )
+                    eff = alias or canonical_name(rn)
+                    if eff in eff_seen:
+                        raise ValidationError(
+                            f"Metric '{name}': derived input name "
+                            f"'{eff}' appears twice — disambiguate "
+                            "with alias:"
+                        )
+                    eff_seen.add(eff)
+                    if alias is None and offset is None:
+                        norm_refs.append(rn)
+                    else:
+                        entry: dict[str, Any] = {"name": rn}
+                        if alias is not None:
+                            entry["alias"] = alias
+                        if offset is not None:
+                            entry["offset_window"] = offset
+                        norm_refs.append(entry)
+                deps["metrics"] = norm_refs
                 # dbt derived metrics carry a combining expr over the
                 # input metric names; retained for evaluate_metric
                 # (optional here — a single-input derived metric with
@@ -2248,17 +2294,100 @@ def load_semantic_layer(
                 doc["filter"] = str(mt["filter"])
             met_out.append(doc)
 
+    # dbt 1.7+ `saved_queries:` — a named, reusable semantic-layer
+    # query: a set of metrics + group-bys (+ an optional where) that
+    # evaluate_saved_query compiles in one call. group_by entries are
+    # plain dimension/entity names, plus at most one
+    # `metric_time__<grain>` requesting the time grain (this engine's
+    # spelling of dbt's TimeDimension('metric_time').grain(...)
+    # templating); `where:` is a SQL predicate over the OUTPUT columns
+    # (group keys + metric names), applied after the metric join — the
+    # documented simplification of dbt's Dimension templating.
+    sq_out: list[dict[str, Any]] = []
+    sq_seen: set[str] = set()
+    for fn, data in _iter_project_ymls(project_dir):
+        for sq in data.get("saved_queries") or []:
+            name = str(sq.get("name", ""))
+            if not name:
+                raise ValidationError(
+                    f"{fn!r}: every saved_queries: entry needs a name"
+                )
+            cname = canonical_name(name)
+            if cname in sq_seen:
+                raise ValidationError(
+                    f"Duplicate saved query name '{name}'"
+                )
+            sq_seen.add(cname)
+            qp = sq.get("query_params")
+            if not isinstance(qp, dict):
+                raise ValidationError(
+                    f"Saved query '{name}': needs query_params (with "
+                    "metrics, optional group_by/where)"
+                )
+            sq_metrics = [str(m) for m in qp.get("metrics") or []]
+            if not sq_metrics:
+                raise ValidationError(
+                    f"Saved query '{name}': query_params.metrics must "
+                    "name at least one metric"
+                )
+            for mn in sq_metrics:
+                if canonical_name(mn) not in met_seen:
+                    raise ValidationError(
+                        f"Saved query '{name}': metric '{mn}' is not "
+                        "declared in this project"
+                    )
+            gb_dims: list[str] = []
+            sq_grain: str | None = None
+            for g in qp.get("group_by") or []:
+                gs = str(g)
+                if gs.startswith("metric_time__"):
+                    grain = gs[len("metric_time__"):]
+                    if grain not in _TIME_GRAINS:
+                        raise ValidationError(
+                            f"Saved query '{name}': metric_time grain "
+                            f"must be one of {_TIME_GRAINS}, got "
+                            f"{grain!r}"
+                        )
+                    if sq_grain is not None:
+                        raise ValidationError(
+                            f"Saved query '{name}': at most one "
+                            "metric_time__<grain> group_by"
+                        )
+                    sq_grain = grain
+                elif gs == "metric_time":
+                    raise ValidationError(
+                        f"Saved query '{name}': spell the time grain "
+                        "as metric_time__<grain> (e.g. "
+                        "metric_time__month)"
+                    )
+                else:
+                    gb_dims.append(gs)
+            doc = {
+                "name": cname,
+                "metrics": sq_metrics,
+                "group_by": gb_dims,
+                "time_grain": sq_grain,
+                "description": str(sq.get("description", "")),
+            }
+            if qp.get("where") is not None:
+                doc["where"] = str(qp["where"])
+            sq_out.append(doc)
+
     if not dry_run:
         for sm in sem_out:
             fs.registry.put("semantic_models", sm["name"], sm)
         for mt in met_out:
             fs.registry.put("metrics", mt["name"], mt)
+        for sq in sq_out:
+            fs.registry.put("saved_queries", sq["name"], sq)
     if _collect is not None:
         _collect["semantic_models"] = sem_out
         _collect["metrics"] = met_out
+        _collect["saved_queries"] = sq_out
     return {
         "semantic_models": sorted(s["name"] for s in sem_out),
         "metrics": sorted(m["name"] for m in met_out),
+        "saved_queries": sorted(s["name"] for s in sq_out),
     }
 
 
@@ -2341,8 +2470,12 @@ def evaluate_metric(
       exclusive (validated at load).
     - ``derived``     → inputs evaluated recursively on the same
       group-by/grain, inner-joined on the group keys, combined by
-      ``type_params.expr`` (input metrics are referenced by name; a
-      single-input derived metric with no expr is the identity).
+      ``type_params.expr`` (input metrics are referenced by name — or
+      by ``alias:`` when given; a single-input derived metric with no
+      expr is the identity). An input's ``offset_window: '<N> <grain>'``
+      (MetricFlow period-over-period) shifts that input's metric_time
+      FORWARD by the offset before the join, so each row sees the
+      input's value from N grains earlier; requires ``time_grain``.
     - ``conversion``  → ENTITY-grain first-touch attribution (r13):
       an entity converts iff a conversion event lands at-or-after its
       FIRST base event (within ``window`` days when given); group-by
@@ -2558,23 +2691,61 @@ def evaluate_metric(
         return agged.select(*keys, val.alias(cname))
 
     if mtype == "derived":
+        # Inputs are strings or {name, alias, offset_window} mappings
+        # (loader-normalized). `offset_window: '<N> <grain>'` is
+        # MetricFlow's period-over-period shift: the input's value
+        # from N grains EARLIER aligns with each metric_time row —
+        # implemented by evaluating the input normally, then ADDING
+        # the offset to its metric_time before the join (the row that
+        # was at T − offset now carries label T). Spark `timestampadd`
+        # and SQL `+ INTERVAL` both clamp month-end days identically;
+        # at truncated grains the boundary is exact. The combine join
+        # stays INNER (the existing derived contract), so periods with
+        # no offset partner (the first month of a MoM series) drop —
+        # this engine's documented simplification of MetricFlow's
+        # time-spine outer join.
         inputs = tp.get("metrics") or []
-        frames = [
-            evaluate_metric(
+        keys = list(group_by) + (["metric_time"] if time_grain else [])
+        frames = []
+        eff_names: list[str] = []
+        for r in inputs:
+            if isinstance(r, dict):
+                rn = str(r["name"])
+                alias = str(r.get("alias") or canonical_name(rn))
+                offset = r.get("offset_window")
+            else:
+                rn, alias, offset = str(r), canonical_name(str(r)), None
+            fr = evaluate_metric(
                 fs, rn, group_by=group_by, time_grain=time_grain,
                 time_dimension=time_dimension,
                 model_version=model_version,
             )
-            for rn in inputs
-        ]
-        keys = list(group_by) + (["metric_time"] if time_grain else [])
+            if alias != canonical_name(rn):
+                fr = fr.withColumnRenamed(canonical_name(rn), alias)
+            if offset is not None:
+                if time_grain is None:
+                    raise ValidationError(
+                        f"Metric '{name}': input '{rn}' carries "
+                        "offset_window — evaluation needs time_grain "
+                        "(the offset shifts metric_time)"
+                    )
+                n_off, unit = str(offset).split()
+                fr = fr.withColumn(
+                    "metric_time",
+                    F.expr(
+                        f"timestampadd({unit.upper()}, {int(n_off)}, "
+                        "metric_time)"
+                    ),
+                )
+            frames.append(fr)
+            eff_names.append(alias)
         out = frames[0]
         for fr in frames[1:]:
             out = out.join(fr, keys) if keys else out.crossJoin(fr)
         expr = tp.get("expr")
         if expr is None:
             if len(inputs) == 1:
-                expr = canonical_name(inputs[0])
+                expr = eff_names[0]
             else:
                 raise ValidationError(
                     f"Metric '{name}': multi-input derived metrics need "
@@ -2780,6 +2951,55 @@ def evaluate_metric(
             *keys, F.sum(F.col(cname)).over(w).alias(cname)
         )
     return agged.select(*keys, cname)
+
+
+def evaluate_saved_query(
+    fs: "FeatureStore",
+    name: str,
+    model_version: str | None = None,
+):
+    """Compile a registered dbt ``saved_queries:`` entry (r13) into ONE
+    Spark DataFrame: every named metric evaluated at the saved group-by
+    (+ ``metric_time__<grain>`` time grain when given), FULL-OUTER
+    joined on the group keys with Spark's USING-join key coalescing —
+    MetricFlow's semantics: a key present for one metric but absent for
+    another keeps the row with NULL for the missing metric (an INNER
+    join would silently drop it). The saved ``where:`` predicate (a SQL
+    expression over the OUTPUT columns — group keys + canonical metric
+    names; the documented simplification of dbt's Dimension templating)
+    filters the joined frame. Output columns: group keys (+
+    ``metric_time``) then one column per metric under its canonical
+    name.
+
+    Scale: one aggregate plan per metric over the shared FV read; the
+    joins run on already-aggregated frames (group-key cardinality, not
+    fact rows)."""
+    cname = canonical_name(name)
+    doc = fs.registry.get("saved_queries", cname)
+    if doc is None:
+        have = sorted(fs.registry.keys("saved_queries"))
+        raise ValidationError(
+            f"Saved query '{name}' is not registered (have: {have}) — "
+            "run load_semantic_layer/load_project first"
+        )
+    gb = list(doc.get("group_by") or [])
+    grain = doc.get("time_grain")
+    keys = gb + (["metric_time"] if grain else [])
+    out = None
+    for mn in doc["metrics"]:
+        fr = evaluate_metric(
+            fs, mn, group_by=gb, time_grain=grain,
+            model_version=model_version,
+        )
+        if out is None:
+            out = fr
+        elif keys:
+            out = out.join(fr, keys, "full")
+        else:
+            out = out.crossJoin(fr)
+    if doc.get("where"):
+        out = out.filter(str(doc["where"]))
+    return out
 
 
 def export_manifest(

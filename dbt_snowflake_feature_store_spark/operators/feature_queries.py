@@ -414,6 +414,33 @@ metrics:
         entity: customer
         calculation: conversions
         window: 365 days
+  - name: revenue_cents_simple
+    type: simple
+    type_params:
+      measure: revenue_cents
+  - name: revenue_mom_cents
+    type: derived
+    type_params:
+      expr: rev_cur - rev_prev
+      metrics:
+        - name: revenue_cents_simple
+          alias: rev_cur
+        - name: revenue_cents_simple
+          alias: rev_prev
+          offset_window: 1 month
+  - name: urgent_revenue
+    type: simple
+    type_params:
+      measure: revenue
+    filter: o_orderpriority = '1-URGENT'
+
+saved_queries:
+  - name: priority_kpis
+    description: revenue / order-count / urgent-only revenue by priority
+    query_params:
+      metrics: [total_revenue, order_count, urgent_revenue]
+      group_by: [priority]
+      where: ORDER_COUNT > 0 AND priority <> '3-MEDIUM'
 """
 
 
@@ -733,6 +760,106 @@ ORACLE["q_metric_ratio_xmodel"] = """
     ORDER BY f_month
 """
 QUERIES["q_metric_ratio_xmodel"] = q_metric_ratio_xmodel
+
+def q_metric_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED METRIC WITH offset_window (MetricFlow period-over-period),
+    ORACLE-GATED (r13): month-over-month revenue delta in integer cents,
+    compiled by ``evaluate_metric`` from a REGISTERED derived metric
+    whose two inputs are the SAME simple metric under different aliases
+    — one plain (``rev_cur``), one shifted by ``offset_window: 1 month``
+    (``rev_prev``). The offset implementation adds the window to the
+    shifted input's metric_time before the inner join, so each month
+    row sees last month's value; the series' first month drops (no
+    offset partner — the documented inner-join simplification of
+    MetricFlow's time-spine outer join). Cents are BIGINT-exact at any
+    SF; ``timestampadd(MONTH, ...)`` on month-truncated timestamps is
+    boundary-exact and matches SQL ``+ INTERVAL 1 MONTH``.
+
+    Scale: two evaluations of the same one-hash-aggregate plan over the
+    FV read, joined on the calendar-sized month frame."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    cur = evaluate_metric(fs, "revenue_cents_simple", time_grain="month")
+    mom = evaluate_metric(fs, "revenue_mom_cents", time_grain="month")
+    out = cur.join(mom, "metric_time")
+    return out.select(
+        F.col("metric_time").alias("f_month"),
+        F.col("REVENUE_CENTS_SIMPLE").cast("long").alias("f_cents"),
+        F.col("REVENUE_MOM_CENTS").cast("long").alias("f_mom_cents"),
+    ).orderBy("f_month")
+
+
+ORACLE["q_metric_offset"] = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS f_month,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS _c
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT cur.f_month AS f_month,
+           CAST(cur._c AS BIGINT) AS f_cents,
+           CAST(cur._c - prv._c AS BIGINT) AS f_mom_cents
+    FROM m cur
+    JOIN m prv ON prv.f_month + INTERVAL 1 MONTH = cur.f_month
+    ORDER BY f_month
+"""
+QUERIES["q_metric_offset"] = q_metric_offset
+
+
+def q_saved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt SAVED QUERY EVALUATION, ORACLE-GATED (r13): the registered
+    ``saved_queries: priority_kpis`` entry — three metrics (a plain
+    SUM, a COUNT, and a FILTERED metric that only populates the
+    '1-URGENT' key) at the priority group-by — compiled by
+    ``evaluate_saved_query`` in one call. The metric frames FULL-OUTER
+    join with key coalescing (MetricFlow semantics): priorities with no
+    urgent orders keep their row with NULL urgent revenue — the
+    behavior an inner join would silently destroy — and the saved
+    ``where:`` then drops '3-MEDIUM', proving the predicate runs over
+    the JOINED output. Oracle: the same three aggregates FULL JOINed
+    with USING-coalesced keys.
+
+    Scale: three map-side-combinable hash aggregates over one FV read;
+    the full joins run on 5-row frames."""
+    from ..models import evaluate_saved_query
+
+    fs = _metric_fs(spark, sf_dir)
+    out = evaluate_saved_query(fs, "priority_kpis")
+    return out.select(
+        F.col("priority").alias("f_priority"),
+        F.col("TOTAL_REVENUE").cast("double").alias("f_revenue"),
+        F.col("ORDER_COUNT").cast("long").alias("f_orders"),
+        F.col("URGENT_REVENUE").cast("double").alias("f_urgent_revenue"),
+    ).orderBy("f_priority")
+
+
+ORACLE["q_saved_query"] = """
+    WITH rev AS (
+        SELECT o_orderpriority AS priority,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS _rev,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS _cnt
+        FROM orders
+        GROUP BY 1
+    ),
+    urg AS (
+        SELECT o_orderpriority AS priority,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS _urg
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT priority AS f_priority,
+           CAST(_rev AS DOUBLE) AS f_revenue,
+           _cnt AS f_orders,
+           CAST(_urg AS DOUBLE) AS f_urgent_revenue
+    FROM rev FULL JOIN urg USING (priority)
+    WHERE _cnt > 0 AND priority <> '3-MEDIUM'
+    ORDER BY f_priority
+"""
+QUERIES["q_saved_query"] = q_saved_query
+
 
 ORACLE["q_metric_cumulative"] = """
     WITH m AS (

@@ -1685,6 +1685,16 @@ metrics:
     type_params:
       metrics:
         - total_age_m
+  - name: age_dod
+    type: derived
+    type_params:
+      expr: cur_age - prev_age
+      metrics:
+        - name: total_age_m
+          alias: cur_age
+        - name: total_age_m
+          alias: prev_age
+          offset_window: 1 day
   - name: cum_age
     type: cumulative
     type_params:
@@ -1725,6 +1735,23 @@ metrics:
     type_params:
       measure: total_age
     filter: f_base_age >= 30
+  - name: de_age
+    type: simple
+    type_params:
+      measure: total_age
+    filter: f_base_country = 'DE'
+
+saved_queries:
+  - name: country_kpis
+    description: total vs DE-only age by country
+    query_params:
+      metrics: [total_age_m, de_age]
+      group_by: [country]
+      where: TOTAL_AGE_M > 0
+  - name: daily_age
+    query_params:
+      metrics: [total_age_m]
+      group_by: [metric_time__day]
 """
 
     def _loaded(self, fs, tmp_path, base_table):
@@ -1841,6 +1868,163 @@ metrics:
         # reset grain finer than the evaluation grain is refused
         with pytest.raises(ValidationError, match="finer"):
             evaluate_metric(fs, "dtd_age", time_grain="month")
+
+    def test_derived_offset_window_and_alias(
+        self, fs, tmp_path, base_table
+    ):
+        """r13: derived inputs take alias: (the name the expr sees) and
+        offset_window: '<N> <grain>' (MetricFlow period-over-period —
+        the input's value from N grains earlier aligns with each
+        metric_time row). age_dod references total_age_m TWICE under
+        different aliases, one shifted by 1 day: day-grain totals are
+        [58, 61], so only day 2 survives the inner join, with
+        61 − 58 = 3. Offset without time_grain is refused at eval."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        rows = (
+            evaluate_metric(fs, "age_dod", time_grain="day")
+            .orderBy("metric_time")
+            .collect()
+        )
+        assert [(r["metric_time"].day, r["AGE_DOD"]) for r in rows] == [
+            (2, 3)
+        ]
+        with pytest.raises(ValidationError, match="offset_window"):
+            evaluate_metric(fs, "age_dod")
+
+    def test_derived_offset_load_validation(
+        self, fs, tmp_path, base_table
+    ):
+        """Loader contract (r13): offset_window must be
+        '<N> day|week|month|quarter|year[s]'; two inputs landing on the
+        same effective name (same metric twice without aliases) fail
+        loudly."""
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        import os as _os
+
+        base_block = """  - name: age_dod
+    type: derived
+    type_params:
+      expr: cur_age - prev_age
+      metrics:
+        - name: total_age_m
+          alias: cur_age
+        - name: total_age_m
+          alias: prev_age
+          offset_window: 1 day
+"""
+
+        def _reload_with(block):
+            with open(_os.path.join(proj, "schema.yml"), "w") as f:
+                f.write(self.YML.replace(base_block, block))
+            load_semantic_layer(fs, proj)
+
+        with pytest.raises(ValidationError, match="offset_window"):
+            _reload_with(
+                """  - name: age_dod
+    type: derived
+    type_params:
+      expr: cur_age - prev_age
+      metrics:
+        - name: total_age_m
+          alias: cur_age
+        - name: total_age_m
+          alias: prev_age
+          offset_window: 90 minutes
+"""
+            )
+        with pytest.raises(ValidationError, match="appears twice"):
+            _reload_with(
+                """  - name: age_dod
+    type: derived
+    type_params:
+      expr: total_age_m * 2
+      metrics:
+        - total_age_m
+        - name: total_age_m
+          offset_window: 1 day
+"""
+            )
+
+    def test_saved_query_full_outer_and_where(
+        self, fs, tmp_path, base_table
+    ):
+        """r13: evaluate_saved_query compiles a registered
+        saved_queries: entry — metrics FULL-OUTER join on the group
+        keys (US has no DE-filtered age → NULL, the row an inner join
+        would drop), the where: predicate runs over the joined output,
+        and metric_time__<grain> group_by entries request the time
+        grain."""
+        from dbt_snowflake_feature_store_spark import (
+            evaluate_saved_query,
+        )
+
+        self._loaded(fs, tmp_path, base_table)
+        rows = {
+            r["country"]: (r["TOTAL_AGE_M"], r["DE_AGE"])
+            for r in evaluate_saved_query(fs, "country_kpis").collect()
+        }
+        assert rows == {"US": (84, None), "DE": (35, 35)}
+        daily = (
+            evaluate_saved_query(fs, "daily_age")
+            .orderBy("metric_time")
+            .collect()
+        )
+        assert [r["TOTAL_AGE_M"] for r in daily] == [58, 61]
+        with pytest.raises(ValidationError, match="not registered"):
+            evaluate_saved_query(fs, "no_such_query")
+
+    def test_saved_query_load_validation(
+        self, fs, tmp_path, base_table
+    ):
+        """Loader contract (r13): saved queries fail loudly on unknown
+        metrics, bad metric_time grains, and bare metric_time."""
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        import os as _os
+
+        base_block = """saved_queries:
+  - name: country_kpis
+"""
+
+        def _reload_with(block):
+            with open(_os.path.join(proj, "schema.yml"), "w") as f:
+                f.write(self.YML.replace(base_block, block))
+            load_semantic_layer(fs, proj)
+
+        with pytest.raises(ValidationError, match="not declared"):
+            _reload_with(
+                """saved_queries:
+  - name: bad_q
+    query_params:
+      metrics: [no_such_metric]
+  - name: country_kpis
+"""
+            )
+        with pytest.raises(ValidationError, match="grain must be"):
+            _reload_with(
+                """saved_queries:
+  - name: bad_q
+    query_params:
+      metrics: [total_age_m]
+      group_by: [metric_time__hourly]
+  - name: country_kpis
+"""
+            )
+        with pytest.raises(ValidationError, match="metric_time__"):
+            _reload_with(
+                """saved_queries:
+  - name: bad_q
+    query_params:
+      metrics: [total_age_m]
+      group_by: [metric_time]
+  - name: country_kpis
+"""
+            )
 
     def test_cumulative_window_load_validation(
         self, fs, tmp_path, base_table

@@ -19,6 +19,7 @@ from .errors import (
 from .functions.profile import profile
 from .models import (
     build_project,
+    check_source_freshness,
     evaluate_metric,
     evaluate_saved_query,
     export_catalog,
@@ -54,6 +55,7 @@ __all__ = [
     "get_spark",
     "load_project",
     "build_project",
+    "check_source_freshness",
     "evaluate_metric",
     "evaluate_saved_query",
     "export_catalog",

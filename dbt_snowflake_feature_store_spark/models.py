@@ -409,9 +409,10 @@ def load_sources_yml(
     is used to FAIL on ``{{ source(...) }}`` references no yml
     declares (dbt's compilation contract). ``(None, None)`` when the
     project declares no sources, keeping bare-table binding for
-    yml-less projects. ``database``/``schema``/``description``/
-    ``loaded_at_field`` keys are accepted and ignored (warehouse-
-    physical concepts with no Spark-side meaning)."""
+    yml-less projects. ``database``/``schema``/``description`` keys
+    are accepted and ignored (warehouse-physical concepts with no
+    Spark-side meaning); ``loaded_at_field``/``freshness`` are
+    consumed by ``check_source_freshness``, not here."""
     decls: dict[tuple[str, str], str] = {}
     found = False
     for path, data in _iter_project_ymls(project_dir):
@@ -441,6 +442,217 @@ def load_sources_yml(
     if not found:
         return None, None
     return decls, set(decls)
+
+
+_FRESHNESS_PERIODS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def _freshness_seconds(spec: Any, where: str, role: str) -> int | None:
+    """Validate one dbt ``warn_after``/``error_after`` block
+    (``{count: N, period: minute|hour|day}``) → threshold seconds."""
+    if spec is None:
+        return None
+    if not isinstance(spec, dict):
+        raise ValidationError(
+            f"{where}: {role} must be a mapping with count and period, "
+            f"got {spec!r}"
+        )
+    try:
+        count = int(spec.get("count"))
+    except (TypeError, ValueError):
+        raise ValidationError(
+            f"{where}: {role}.count must be a positive integer, got "
+            f"{spec.get('count')!r}"
+        )
+    if count <= 0:
+        raise ValidationError(
+            f"{where}: {role}.count must be a positive integer, got "
+            f"{count}"
+        )
+    period = str(spec.get("period", ""))
+    if period not in _FRESHNESS_PERIODS:
+        raise ValidationError(
+            f"{where}: {role}.period must be one of "
+            f"{sorted(_FRESHNESS_PERIODS)}, got {spec.get('period')!r}"
+        )
+    return count * _FRESHNESS_PERIODS[period]
+
+
+def _utc_epoch_seconds(dt) -> int:
+    """Whole-second UTC epoch of a datetime; naive values are UTC (the
+    engine's session timezone contract). Truncates — the
+    unix_timestamp/FLOOR(epoch()) portability rule."""
+    import calendar
+    import datetime as _dt
+
+    if isinstance(dt, str):
+        dt = _dt.datetime.fromisoformat(dt)
+    if dt.tzinfo is None:
+        return calendar.timegm(dt.timetuple())
+    return int(dt.timestamp())
+
+
+def check_source_freshness(
+    fs: "FeatureStore",
+    project_dir: str,
+    as_of=None,
+    source_map: dict[Any, str] | None = None,
+) -> list[dict[str, Any]]:
+    """dbt ``source freshness`` (r13): for every sources.yml table with
+    an effective ``freshness:`` block (+ ``loaded_at_field``), compute
+    ``MAX(loaded_at_field)`` over the bound source, its age relative to
+    ``as_of``, and a pass/warn/error status (age strictly greater than
+    the threshold fires it — dbt's comparison).
+
+    dbt's config layering: table-level ``freshness:`` /
+    ``loaded_at_field:`` override the source level; an explicit
+    ``freshness: null`` at the table level OPTS OUT (dbt's documented
+    escape hatch); tables with no effective freshness are skipped.
+    A freshness block without a reachable ``loaded_at_field`` fails
+    loudly, as does an undeclared/unregistered bound source.
+    ``loaded_at_field`` may be any SQL expression over the source's
+    columns (dbt allows casts there).
+
+    ``as_of`` (datetime or ISO string, naive = UTC) pins the evaluation
+    instant — pass an explicit value for deterministic runs; ``None``
+    uses the current UTC time (the dbt CLI behavior). Ages use
+    whole-second epochs on both sides (the FLOOR(epoch()) portability
+    rule).
+
+    Scale: ONE combinable MAX aggregate per checked table (metadata-
+    sized single-row collect), never a scan held on the driver; at
+    100 TB the max rides parquet row-group stats where the reader
+    exposes them.
+
+    Returns a list sorted by (source, table):
+    ``{source, table, loaded_at, age_seconds, warn_after_seconds,
+    error_after_seconds, status}``."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    if as_of is None:
+        as_of = _dt.datetime.now(_dt.timezone.utc)
+    asof_s = _utc_epoch_seconds(as_of)
+    smap = normalize_source_map(source_map)
+
+    checks: list[dict[str, Any]] = []
+    for path, data in _iter_project_ymls(project_dir):
+        for s in data.get("sources") or []:
+            if not isinstance(s, dict) or not s.get("name"):
+                raise ValidationError(
+                    f"{path!r}: every sources: entry needs a name"
+                )
+            sname = str(s["name"])
+            s_fresh = s.get("freshness")
+            s_laf = s.get("loaded_at_field")
+            for tbl in s.get("tables") or []:
+                if not isinstance(tbl, dict) or not tbl.get("name"):
+                    raise ValidationError(
+                        f"{path!r}: every table under source "
+                        f"'{sname}' needs a name"
+                    )
+                tname = str(tbl["name"])
+                where = f"Source '{sname}.{tname}'"
+                fresh = (
+                    tbl["freshness"] if "freshness" in tbl else s_fresh
+                )
+                if fresh is None:
+                    continue  # no freshness contract (or opted out)
+                if not isinstance(fresh, dict):
+                    raise ValidationError(
+                        f"{where}: freshness must be a mapping with "
+                        "warn_after/error_after"
+                    )
+                warn_s = _freshness_seconds(
+                    fresh.get("warn_after"), where, "warn_after"
+                )
+                err_s = _freshness_seconds(
+                    fresh.get("error_after"), where, "error_after"
+                )
+                if warn_s is None and err_s is None:
+                    raise ValidationError(
+                        f"{where}: freshness needs warn_after and/or "
+                        "error_after"
+                    )
+                laf = tbl.get("loaded_at_field") or s_laf
+                if not laf:
+                    raise ValidationError(
+                        f"{where}: freshness needs loaded_at_field "
+                        "(source- or table-level)"
+                    )
+                bound = (
+                    smap.get((sname, tname))
+                    or smap.get(f"{sname}.{tname}")
+                    or str(tbl.get("identifier") or tname)
+                )
+                doc = fs.registry.get("sources", canonical_name(bound))
+                if doc is None:
+                    doc = next(
+                        (
+                            d
+                            for d in fs.registry.list("sources")
+                            if d["name"] == bound
+                        ),
+                        None,
+                    )
+                if doc is None:
+                    raise ValidationError(
+                        f"{where}: resolves to '{bound}', which is not "
+                        "a registered source — call "
+                        f"FeatureStore.register_source('{bound}', "
+                        "<path>) first"
+                    )
+                checks.append(
+                    {
+                        "source": sname,
+                        "table": tname,
+                        "_doc": doc,
+                        "_laf": str(laf),
+                        "warn_after_seconds": warn_s,
+                        "error_after_seconds": err_s,
+                    }
+                )
+
+    out: list[dict[str, Any]] = []
+    for c in sorted(checks, key=lambda c: (c["source"], c["table"])):
+        df = fs._source_reader(c["_doc"]).load(c["_doc"]["path"])
+        row = df.agg(
+            F.max(F.expr(c["_laf"])).alias("_fs_max")
+        ).collect()[0]
+        loaded_at = row["_fs_max"]
+        if loaded_at is None:
+            # empty source: no loaded-at instant exists — dbt reports a
+            # runtime error for the table; 'error' is the conservative
+            # rollup here
+            age = None
+            status = "error"
+        else:
+            age = asof_s - _utc_epoch_seconds(loaded_at)
+            if (
+                c["error_after_seconds"] is not None
+                and age > c["error_after_seconds"]
+            ):
+                status = "error"
+            elif (
+                c["warn_after_seconds"] is not None
+                and age > c["warn_after_seconds"]
+            ):
+                status = "warn"
+            else:
+                status = "pass"
+        out.append(
+            {
+                "source": c["source"],
+                "table": c["table"],
+                "loaded_at": loaded_at,
+                "age_seconds": age,
+                "warn_after_seconds": c["warn_after_seconds"],
+                "error_after_seconds": c["error_after_seconds"],
+                "status": status,
+            }
+        )
+    return out
 
 
 def _resolve_source(

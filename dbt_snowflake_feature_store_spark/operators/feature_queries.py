@@ -861,6 +861,106 @@ ORACLE["q_saved_query"] = """
 QUERIES["q_saved_query"] = q_saved_query
 
 
+_FRESHNESS_YML = """\
+version: 2
+
+sources:
+  - name: raw
+    loaded_at_field: ts
+    freshness:
+      warn_after: {count: 1, period: day}
+      error_after: {count: 30, period: day}
+    tables:
+      - name: events
+        identifier: q_fresh_events
+      - name: orders
+        identifier: q_fresh_orders
+        loaded_at_field: o_orderdate
+        freshness:
+          warn_after: {count: 2, period: day}
+          error_after: {count: 365, period: day}
+      - name: lineitem
+        identifier: q_fresh_lineitem
+        freshness: null
+"""
+
+
+def q_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt SOURCE FRESHNESS, ORACLE-GATED (r13): the registered
+    sources.yml freshness contract evaluated by
+    ``check_source_freshness`` at a PINNED as_of instant (explicit
+    as_of — no now() nondeterminism; the dbt CLI's current-time default
+    is the documented non-oracle path). Exercises dbt's config
+    layering: source-level loaded_at_field/freshness (events), a
+    table-level OVERRIDE of both (orders), and the explicit
+    ``freshness: null`` opt-out (lineitem — absent from the output).
+    Ages are whole-second epochs (the FLOOR(epoch()) rule); status
+    fires on age STRICTLY greater than the threshold. The oracle
+    restates MAX(loaded_at) + the same CASE per table, so the statuses
+    match whatever the data says at any SF.
+
+    Scale: one combinable MAX aggregate per checked table — a
+    metadata-sized probe, the only sane shape at 100 TB."""
+    import os
+
+    from ..models import check_source_freshness
+
+    fs = _fs(spark)
+    fs.register_source("q_fresh_events", f"{sf_dir}/events.parquet")
+    fs.register_source("q_fresh_orders", f"{sf_dir}/orders.parquet")
+    fs.register_source("q_fresh_lineitem", f"{sf_dir}/lineitem.parquet")
+    proj = tempfile.mkdtemp(prefix="fs_fresh_")
+    with open(os.path.join(proj, "schema.yml"), "w") as f:
+        f.write(_FRESHNESS_YML)
+    res = check_source_freshness(
+        fs, proj, as_of="2024-02-01 00:00:00"
+    )
+    rows = [
+        (
+            r["table"],
+            r["loaded_at"],
+            int(r["age_seconds"]),
+            int(r["warn_after_seconds"]),
+            int(r["error_after_seconds"]),
+            r["status"],
+        )
+        for r in res
+    ]
+    return spark.createDataFrame(
+        rows,
+        "f_table string, f_loaded_at timestamp, f_age_sec long, "
+        "f_warn_sec long, f_err_sec long, f_status string",
+    ).orderBy("f_table")
+
+
+ORACLE["q_source_freshness"] = """
+    WITH f AS (
+        SELECT 'events' AS f_table, MAX(ts) AS f_loaded_at,
+               CAST(86400 AS BIGINT) AS f_warn_sec,
+               CAST(2592000 AS BIGINT) AS f_err_sec
+        FROM events
+        UNION ALL
+        SELECT 'orders', MAX(o_orderdate),
+               CAST(172800 AS BIGINT), CAST(31536000 AS BIGINT)
+        FROM orders
+    ),
+    aged AS (
+        SELECT f_table, f_loaded_at,
+               CAST(1706745600 - CAST(FLOOR(epoch(f_loaded_at))
+                    AS BIGINT) AS BIGINT) AS f_age_sec,
+               f_warn_sec, f_err_sec
+        FROM f
+    )
+    SELECT f_table, f_loaded_at, f_age_sec, f_warn_sec, f_err_sec,
+           CASE WHEN f_age_sec > f_err_sec THEN 'error'
+                WHEN f_age_sec > f_warn_sec THEN 'warn'
+                ELSE 'pass' END AS f_status
+    FROM aged
+    ORDER BY f_table
+"""
+QUERIES["q_source_freshness"] = q_source_freshness
+
+
 ORACLE["q_metric_cumulative"] = """
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)

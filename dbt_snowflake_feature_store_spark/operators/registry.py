@@ -48,7 +48,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # autocorr_from_days / psi_from_cells refactors
     "q_join_interval_keyless", "q_lsh_recall", "q_metric_eval",
     "q_metric_conversion", "q_metric_ratio_xmodel",
-    "q_metric_offset", "q_saved_query",
+    "q_metric_offset", "q_saved_query", "q_source_freshness",
     "q_metric_cumulative", "q_metric_window", "q_trend_mk",
     "q_ols_slope", "q_skew_audit", "q_cohort_ltv", "q_seq_patterns",
     "q_hazard_km", "q_time_to_convert",
@@ -65,12 +65,13 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_quantile_sketch", "q_retention", "q_scd2_history", "q_scd2_multi",
     "q_stats_moments", "q_text_repetition", "q_token_pmi",
     "q_tpch_q10like", "q_tpch_q12like", "q_tpch_q4like", "q_tpch_q6like",
-    # part 3 (2): the oldest r9-dated records — FS machinery first
-    # (the store's own read paths churn every round); q_fv_chain and
-    # q_generate_dataset yielded their slots to the late-r13
-    # q_metric_offset / q_saved_query (derived offset_window +
-    # saved-query evaluation) and join the r14 promotion set
-    "q_fv_static_read", "q_fv_managed_read",
+    # part 3 (1): the oldest r9-dated records — FS machinery first
+    # (the store's own read paths churn every round); q_fv_chain,
+    # q_generate_dataset and q_fv_managed_read yielded their slots to
+    # the late-r13 q_metric_offset / q_saved_query /
+    # q_source_freshness (derived offset_window, saved-query
+    # evaluation, dbt source freshness) and join the r14 promotion set
+    "q_fv_static_read",
     # position 51+ — PAST the cap: q_dedup_exact/near/embed/ngram
     # yielded their part-3 slots to the wave-6 quartet
     # (q_welch_t/q_anomaly_iqr/q_seasonal_residual/q_gap_octaves),

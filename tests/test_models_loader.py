@@ -2273,6 +2273,181 @@ saved_queries:
             evaluate_metric(fs, "total_age_m", model_version="9.9")
 
 
+class TestSourceFreshness:
+    """r13: dbt `source freshness` — check_source_freshness computes
+    MAX(loaded_at_field) per declared table with an effective
+    freshness: block and rolls age into pass/warn/error at an explicit
+    as_of instant. base_table's max updated_at is 2024-01-02 00:00:00;
+    thresholds warn 1 day / error 3 days."""
+
+    YML = """\
+version: 2
+
+sources:
+  - name: raw
+    loaded_at_field: updated_at
+    freshness:
+      warn_after: {count: 1, period: day}
+      error_after: {count: 3, period: day}
+    tables:
+      - name: base
+        identifier: customer_base_table
+      - name: silent
+        identifier: customer_base_table
+        freshness: null
+"""
+
+    def _proj(self, fs, tmp_path, base_table, yml=None):
+        proj = tmp_path / "fresh_proj"
+        proj.mkdir(exist_ok=True)
+        (proj / "schema.yml").write_text(yml or self.YML)
+        fs.register_source("customer_base_table", base_table)
+        return str(proj)
+
+    def test_status_rollup_and_opt_out(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import (
+            check_source_freshness,
+        )
+
+        proj = self._proj(fs, tmp_path, base_table)
+        # 12h old → pass; the freshness:null table is skipped entirely
+        res = check_source_freshness(
+            fs, proj, as_of="2024-01-02 12:00:00"
+        )
+        assert [(r["table"], r["status"]) for r in res] == [
+            ("base", "pass")
+        ]
+        assert res[0]["age_seconds"] == 43200
+        assert res[0]["warn_after_seconds"] == 86400
+        assert res[0]["error_after_seconds"] == 3 * 86400
+        assert res[0]["loaded_at"].day == 2
+        # strictly-greater comparison: exactly 1 day is still pass
+        res = check_source_freshness(
+            fs, proj, as_of="2024-01-03 00:00:00"
+        )
+        assert res[0]["status"] == "pass"
+        res = check_source_freshness(
+            fs, proj, as_of="2024-01-03 00:00:01"
+        )
+        assert res[0]["status"] == "warn"
+        res = check_source_freshness(
+            fs, proj, as_of="2024-01-10 00:00:00"
+        )
+        assert res[0]["status"] == "error"
+
+    def test_validation_failures(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import (
+            ValidationError,
+            check_source_freshness,
+        )
+
+        base = self._proj(fs, tmp_path, base_table)
+
+        def _with(yml):
+            (tmp_path / "fresh_proj" / "schema.yml").write_text(yml)
+            return check_source_freshness(
+                fs, base, as_of="2024-01-02 00:00:00"
+            )
+
+        with pytest.raises(ValidationError, match="loaded_at_field"):
+            _with(
+                """version: 2
+sources:
+  - name: raw
+    freshness:
+      warn_after: {count: 1, period: day}
+    tables:
+      - name: base
+        identifier: customer_base_table
+"""
+            )
+        with pytest.raises(ValidationError, match="period"):
+            _with(
+                """version: 2
+sources:
+  - name: raw
+    loaded_at_field: updated_at
+    freshness:
+      warn_after: {count: 1, period: fortnight}
+    tables:
+      - name: base
+        identifier: customer_base_table
+"""
+            )
+        with pytest.raises(ValidationError, match="positive"):
+            _with(
+                """version: 2
+sources:
+  - name: raw
+    loaded_at_field: updated_at
+    freshness:
+      warn_after: {count: 0, period: day}
+    tables:
+      - name: base
+        identifier: customer_base_table
+"""
+            )
+        with pytest.raises(ValidationError, match="warn_after and/or"):
+            _with(
+                """version: 2
+sources:
+  - name: raw
+    loaded_at_field: updated_at
+    freshness: {}
+    tables:
+      - name: base
+        identifier: customer_base_table
+"""
+            )
+        with pytest.raises(ValidationError, match="not a registered"):
+            _with(
+                """version: 2
+sources:
+  - name: raw
+    loaded_at_field: updated_at
+    freshness:
+      warn_after: {count: 1, period: day}
+    tables:
+      - name: base
+        identifier: never_registered_tbl
+"""
+            )
+
+    def test_table_level_override(self, fs, tmp_path, base_table):
+        """Table-level loaded_at_field/freshness override the source
+        level (dbt's layering); expressions are allowed."""
+        from dbt_snowflake_feature_store_spark import (
+            check_source_freshness,
+        )
+
+        proj = self._proj(
+            fs,
+            tmp_path,
+            base_table,
+            yml="""version: 2
+sources:
+  - name: raw
+    loaded_at_field: updated_at
+    freshness:
+      warn_after: {count: 1, period: day}
+    tables:
+      - name: base
+        identifier: customer_base_table
+        loaded_at_field: updated_at + INTERVAL 1 DAY
+        freshness:
+          warn_after: {count: 1, period: hour}
+""",
+        )
+        res = check_source_freshness(
+            fs, proj, as_of="2024-01-03 00:30:00"
+        )
+        # shifted max = 2024-01-03; 30 min old under a 1-hour warn
+        assert res[0]["status"] == "pass"
+        assert res[0]["age_seconds"] == 1800
+        assert res[0]["warn_after_seconds"] == 3600
+        assert res[0]["error_after_seconds"] is None
+
+
 def test_export_catalog_columns(fs, tmp_path, base_table):
     """dbt-docs catalog.json (r12): column names/types per manifest node
     from ANALYZED schemas only — no job runs."""

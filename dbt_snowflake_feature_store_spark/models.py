@@ -817,9 +817,42 @@ def _generic_test_paths(project_dir: str) -> list[str]:
     return out
 
 
+def _model_checksum(mdl: Model) -> str:
+    """sha256 of the RAW model file — dbt's manifest checksum basis
+    (render-independent: a var change that alters the body but not the
+    file is caught by the config compare, which parses post-render)."""
+    import hashlib
+
+    with open(mdl.path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _load_state_manifest(state) -> dict[str, Any]:
+    """Resolve a ``state=`` value to a manifest dict: a dict passes
+    through (the export_manifest return value); a path may be the
+    manifest file itself or a directory containing ``manifest.json``
+    (the dbt ``--state`` convention)."""
+    if isinstance(state, dict):
+        return state
+    path = str(state)
+    if os.path.isdir(path):
+        path = os.path.join(path, "manifest.json")
+    if not os.path.isfile(path):
+        raise ValidationError(
+            f"state manifest not found at {path!r} — pass "
+            "export_manifest output (dict), a manifest.json path, or "
+            "a directory containing one (dbt --state)"
+        )
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
 def select_nodes(
     models: dict[str, Model],
     select: Sequence[str],
+    state=None,
 ) -> set[str]:
     """dbt node-selection over the model graph: each selector is
     ``[+]name[+]`` — the bare name, ``+name`` adds every ancestor
@@ -828,7 +861,17 @@ def select_nodes(
     though dbt spells that edge in config, not ref()), ``name+`` adds
     every descendant; selectors union. Unknown names fail loudly (a
     typo silently selecting nothing is how half a project doesn't
-    build). Returns the selected model-name set."""
+    build).
+
+    dbt SLIM-CI state selectors (r13): ``state:modified`` matches every
+    model whose raw-file checksum or parsed config differs from the
+    ``state=`` manifest (a previous :func:`export_manifest` output —
+    dict, manifest.json path, or its directory) — including models the
+    manifest has never seen (dbt counts new as modified);
+    ``state:new`` matches only those unseen models. Both compose with
+    the closure affixes (``state:modified+`` = modified and everything
+    downstream — the classic slim-CI build set) and fail loudly when
+    no ``state=`` was given. Returns the selected model-name set."""
     by_canon = {canonical_name(n): n for n in models}
     # edges: child -> parents (refs to models + config entities)
     parents: dict[str, set[str]] = {n: set() for n in models}
@@ -855,24 +898,50 @@ def select_nodes(
                     todo.append(nxt)
         return out
 
+    def _state_matches(kind: str) -> set[str]:
+        if state is None:
+            raise ValidationError(
+                f"selector 'state:{kind}' needs state= — pass a "
+                "previous export_manifest output (dict) or a "
+                "manifest.json path/directory (dbt --state)"
+            )
+        prev_nodes = _load_state_manifest(state).get("nodes") or {}
+        out: set[str] = set()
+        for n, mdl in models.items():
+            prev = prev_nodes.get(f"model.project.{n}")
+            if prev is None:
+                out.add(n)  # unseen: new, and dbt counts new as modified
+            elif kind == "modified" and (
+                prev.get("checksum") != _model_checksum(mdl)
+                or (prev.get("config") or {})
+                != {k: v for k, v in mdl.config.items() if _json_safe(v)}
+            ):
+                out.add(n)
+        return out
+
     chosen: set[str] = set()
     for raw in select:
         tok = str(raw).strip()
         anc = tok.startswith("+")
         desc = tok.endswith("+")
         name = tok.strip("+")
-        target = by_canon.get(canonical_name(name)) if name else None
-        if target is None:
-            raise ValidationError(
-                f"selector '{raw}' does not match any model in the "
-                "project (known: "
-                f"{', '.join(sorted(models))})"
-            )
-        chosen.add(target)
-        if anc:
-            chosen |= closure(target, parents)
-        if desc:
-            chosen |= closure(target, children)
+        if name in ("state:modified", "state:new"):
+            targets = _state_matches(name.split(":", 1)[1])
+        else:
+            target = by_canon.get(canonical_name(name)) if name else None
+            if target is None:
+                raise ValidationError(
+                    f"selector '{raw}' does not match any model in the "
+                    "project (known: "
+                    f"{', '.join(sorted(models))})"
+                )
+            targets = {target}
+        chosen |= targets
+        for target in targets:
+            if anc:
+                chosen |= closure(target, parents)
+            if desc:
+                chosen |= closure(target, children)
     return chosen
 
 
@@ -887,6 +956,7 @@ def load_project(
     seed_schemas: dict[str, str] | None = None,
     select: Sequence[str] | None = None,
     exclude: Sequence[str] | None = None,
+    state=None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -908,7 +978,11 @@ def load_project(
     ancestor/descendant closure; entity-config edges count as
     ancestors); ``exclude`` (dbt's ``--exclude``, same grammar)
     subtracts its closure from the selection — from the full project
-    when no ``select`` is given, exactly as in dbt. Every model still parses, validates and resolves —
+    when no ``select`` is given, exactly as in dbt. ``state=`` (dbt's
+    ``--state``: a previous :func:`export_manifest` dict, a
+    manifest.json path, or its directory) enables the slim-CI
+    ``state:modified`` / ``state:new`` selectors in both select and
+    exclude. Every model still parses, validates and resolves —
     selection never skips validation — and a selected model whose
     managed/entity dependency is excluded AND absent from the store
     fails loudly at registration (dbt's behavior). Exposures and the
@@ -977,10 +1051,14 @@ def load_project(
 
     entities = [m for m in models.values() if m.materialized == "entity"]
     fv_order = _topo_order(models, seeds)
-    chosen = select_nodes(models, select) if select is not None else None
+    chosen = (
+        select_nodes(models, select, state=state)
+        if select is not None
+        else None
+    )
     if exclude is not None:
         base = set(models) if chosen is None else chosen
-        chosen = base - select_nodes(models, exclude)
+        chosen = base - select_nodes(models, exclude, state=state)
 
     report: dict[str, Any] = {
         "entities": [], "feature_views": [], "order": [], "seeds": seed_names,
@@ -3301,6 +3379,10 @@ def export_manifest(
             "name": name,
             "path": os.path.relpath(mdl.path, project_dir),
             "materialized": mdl.materialized,
+            # raw-file sha256 — dbt's manifest checksum; state:modified
+            # selection compares it (plus the parsed config) against a
+            # previous manifest
+            "checksum": _model_checksum(mdl),
             "config": {
                 k: v for k, v in mdl.config.items() if _json_safe(v)
             },
@@ -3681,6 +3763,7 @@ def build_project(
     at: Any = None,
     select: Sequence[str] | None = None,
     exclude: Sequence[str] | None = None,
+    state=None,
 ) -> dict[str, Any]:
     """The ``dbt build`` analog — one call runs the whole project in
     dbt's phase order: seeds + models + exposures (:func:`load_project`),
@@ -3708,14 +3791,18 @@ def build_project(
     and are skipped — but an exclude-ONLY build still runs them (the
     exclude grammar subtracts models; everything else still builds,
     as in dbt). The manifest still describes the FULL project —
-    it is a parse artifact, not a run artifact.
+    it is a parse artifact, not a run artifact. ``state=`` (dbt
+    ``--state``) enables the slim-CI ``state:modified[+]`` /
+    ``state:new`` selectors — the classic CI loop is
+    ``build_project(fs, dir, select=["state:modified+"],
+    state=prev_run["manifest"])``.
     """
     from .snapshots import run_snapshots
 
     report: dict[str, Any] = {
         "models": load_project(
             fs, project_dir, source_map=source_map, model_vars=model_vars,
-            select=select, exclude=exclude,
+            select=select, exclude=exclude, state=state,
         ),
         "snapshots": None,
         "unit_tests": [],

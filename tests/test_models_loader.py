@@ -2273,6 +2273,102 @@ saved_queries:
             evaluate_metric(fs, "total_age_m", model_version="9.9")
 
 
+class TestStateSelection:
+    """r13: dbt slim-CI state selectors — state:modified / state:new
+    against a previous manifest (export_manifest carries a raw-file
+    sha256 checksum per model node), composing with the closure
+    affixes (state:modified+ = modified and downstream)."""
+
+    def _loaded(self, fs, tmp_path, base_table):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        from dbt_snowflake_feature_store_spark import export_manifest
+
+        return proj, export_manifest(fs, proj)
+
+    def test_unchanged_project_selects_nothing(
+        self, fs, tmp_path, base_table
+    ):
+        proj, man = self._loaded(fs, tmp_path, base_table)
+        report = load_project(
+            fs, proj, select=["state:modified"], state=man
+        )
+        assert report["selected"] == []
+
+    def test_modified_and_descendants(self, fs, tmp_path, base_table):
+        import os as _os
+
+        proj, man = self._loaded(fs, tmp_path, base_table)
+        # touch the BASE model's file: checksum changes, config doesn't
+        p = _os.path.join(
+            proj, "features/test_base_customer_features.sql"
+        )
+        with open(p, "a") as f:
+            f.write("\n-- slim-ci touch\n")
+        report = load_project(
+            fs, proj, select=["state:modified"], state=man
+        )
+        assert report["selected"] == ["TEST_BASE_CUSTOMER_FEATURES"]
+        # the + affix pulls the downstream build set (derived refs base)
+        report = load_project(
+            fs, proj, select=["state:modified+"], state=man
+        )
+        assert report["selected"] == [
+            "TEST_BASE_CUSTOMER_FEATURES",
+            "TEST_DERIVED_CUSTOMER_FEATURES",
+        ]
+        # state accepts a manifest.json path or its directory too
+        import json as _json
+
+        target = tmp_path / "prev_target"
+        target.mkdir()
+        (target / "manifest.json").write_text(_json.dumps(man))
+        report = load_project(
+            fs, proj, select=["state:modified"], state=str(target)
+        )
+        assert report["selected"] == ["TEST_BASE_CUSTOMER_FEATURES"]
+
+    def test_new_model_counts_as_new_and_modified(
+        self, fs, tmp_path, base_table
+    ):
+        import os as _os
+
+        proj, man = self._loaded(fs, tmp_path, base_table)
+        with open(
+            _os.path.join(proj, "features/test_fresh_model.sql"), "w"
+        ) as f:
+            f.write(
+                "{{ config(materialized='feature_view', "
+                "feature_view_version='1.0', "
+                "entities=['test_customer_entity'], "
+                "timestamp_col='updated_at') }}\n"
+                "SELECT customer_id, updated_at, "
+                "f_base_age AS f_new_age "
+                "FROM {{ ref('test_base_customer_features') }}\n"
+            )
+        new_sel = load_project(
+            fs, proj, select=["state:new"], state=man
+        )
+        assert new_sel["selected"] == ["TEST_FRESH_MODEL"]
+        mod_sel = load_project(
+            fs, proj, select=["state:modified"], state=man
+        )
+        assert mod_sel["selected"] == ["TEST_FRESH_MODEL"]
+
+    def test_state_selector_without_state_fails(
+        self, fs, tmp_path, base_table
+    ):
+        proj, _man = self._loaded(fs, tmp_path, base_table)
+        with pytest.raises(ValidationError, match="needs state="):
+            load_project(fs, proj, select=["state:modified"])
+        with pytest.raises(ValidationError, match="not found"):
+            load_project(
+                fs, proj, select=["state:modified"],
+                state=str(tmp_path / "nope"),
+            )
+
+
 class TestSourceFreshness:
     """r13: dbt `source freshness` — check_source_freshness computes
     MAX(loaded_at_field) per declared table with an effective

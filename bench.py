@@ -235,6 +235,12 @@ HEADLINE = [
     "q_time_to_convert",
     # round-13 wave 6: Welch t², Tukey-fence outliers, weekday-residual
     # anomaly days, inter-event gap octave spectrum
+    # round-13 wave 7: Kendall tau-b, CUSUM changepoint, Theil–Sen
+    # slope, Lorenz deciles
+    "q_kendall_tau",
+    "q_changepoint",
+    "q_theil_sen",
+    "q_lorenz_deciles",
     "q_welch_t",
     "q_anomaly_iqr",
     "q_seasonal_residual",

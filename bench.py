@@ -214,6 +214,7 @@ HEADLINE = [
     # banded-LSH recall pin, semantic-layer metric evaluation (full
     # registration + compile path), Mann-Kendall trend, grouped OLS
     "q_join_interval_keyless",
+    "q_join_interval_adaptive",
     "q_lsh_recall",
     "q_metric_eval",
     "q_metric_conversion",

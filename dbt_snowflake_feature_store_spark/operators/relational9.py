@@ -201,6 +201,146 @@ ORACLE["q_join_interval_keyless"] = f"""
 QUERIES["q_join_interval_keyless"] = q_join_interval_keyless
 
 
+def q_join_interval_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join with a DATA-DRIVEN slice width,
+    ORACLE-GATED (the NOTES r13 refinement of q_join_interval_keyless,
+    which fixes the width at compile time): 1995 high-priority order
+    windows [orderdate, +20d] × 1995 'A'-flag first-line shipment
+    windows [shipdate, +quantity d]. Before the join, ONE bounded
+    2-row probe computes each side's p99 interval length
+    (approx_percentile — the width is a pure plan parameter, ANY value
+    yields the same result, so the probe needs no cross-engine
+    exactness) and the slice width becomes the next power-of-two day
+    count ≥ max(p99_a, p99_b, 1 day). The explode uses
+    ``sequence(start DIV w, end DIV w)``, which is correct for EVERY
+    width — intervals longer than the slice just span more slices —
+    so the adaptive width only tunes the explode-factor/density
+    trade-off; slice ownership of GREATEST(start_a, start_b) still
+    dedups for free. The oracle states the plain quadratic overlap
+    predicate: the adaptive plan must be invisible in the result.
+
+    Scale: this is the 100-TB sizing discipline the keyless key's
+    docstring prescribes, executed — the probe is two partial-merge
+    percentile aggregates collapsing to ONE driver-side integer (never
+    data on the driver), and the join is the same slice-partitioned
+    equi-join."""
+    lo, hi = "1995-01-01", "1996-01-01"
+    a_days = 20
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "2-HIGH")
+            & (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .select(
+            F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT)").alias("_as")
+        )
+        .withColumn("_ae", F.col("_as") + F.lit(a_days * 86400).cast("long"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "A")
+            & (F.col("l_linenumber") == 1)
+            & (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .select(
+            F.expr("CAST(unix_timestamp(l_shipdate) AS BIGINT)").alias("_bs"),
+            F.expr(
+                "CAST(unix_timestamp(l_shipdate)"
+                " + 86400 * CAST(l_quantity AS BIGINT) AS BIGINT)"
+            ).alias("_be"),
+        )
+    )
+    # the width probe: p99 interval length per side, ONE row each
+    p99_a = a_days * 86400  # side A is a constant-width window
+    row = li.agg(
+        F.expr("approx_percentile(_be - _bs, 0.99)").alias("_p")
+    ).collect()[0]
+    p99_b = int(row["_p"] or 0)
+    need_days = max((max(p99_a, p99_b) + 86399) // 86400, 1)
+    w_days = 1
+    while w_days < need_days:
+        w_days *= 2
+    w = w_days * 86400
+    oa = o.select(
+        "_as", "_ae",
+        F.explode(
+            F.sequence(F.expr(f"_as DIV {w}"), F.expr(f"_ae DIV {w}"))
+        ).alias("_slice"),
+    )
+    lb = li.select(
+        "_bs", "_be",
+        F.explode(
+            F.sequence(F.expr(f"_bs DIV {w}"), F.expr(f"_be DIV {w}"))
+        ).alias("_slice"),
+    )
+    pairs = (
+        oa.join(lb, "_slice")
+        .filter(
+            (F.col("_as") <= F.col("_be"))
+            & (F.col("_bs") <= F.col("_ae"))
+            & (F.expr(f"GREATEST(_as, _bs) DIV {w}") == F.col("_slice"))
+        )
+        .select(
+            F.expr("GREATEST(_as, _bs)").alias("_os"),
+            F.expr(
+                "(LEAST(_ae, _be) - GREATEST(_as, _bs)) DIV 86400"
+            ).alias("_ov"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.expr(
+                "CAST(month(timestamp_seconds(_os)) AS BIGINT)"
+            ).alias("f_month")
+        )
+        .agg(
+            F.count("*").cast("long").alias("f_pairs"),
+            F.sum("_ov").cast("long").alias("f_overlap_days"),
+            F.max("_ov").cast("long").alias("f_max_overlap_days"),
+        )
+        .orderBy("f_month")
+    )
+
+
+ORACLE["q_join_interval_adaptive"] = """
+    WITH a AS (
+        SELECT CAST(epoch(o_orderdate) AS BIGINT) AS _as,
+               CAST(epoch(o_orderdate) AS BIGINT) + 20 * 86400 AS _ae
+        FROM orders
+        WHERE o_orderpriority = '2-HIGH'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    b AS (
+        SELECT CAST(epoch(l_shipdate) AS BIGINT) AS _bs,
+               CAST(epoch(l_shipdate) AS BIGINT)
+                   + 86400 * CAST(l_quantity AS BIGINT) AS _be
+        FROM lineitem
+        WHERE l_returnflag = 'A'
+          AND l_linenumber = 1
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+    ),
+    pairs AS (
+        SELECT GREATEST(_as, _bs) AS _os,
+               (LEAST(_ae, _be) - GREATEST(_as, _bs)) // 86400 AS _ov
+        FROM a JOIN b ON _as <= _be AND _bs <= _ae
+    )
+    SELECT CAST(month(make_timestamp(_os * 1000000)) AS BIGINT) AS f_month,
+           CAST(COUNT(*) AS BIGINT) AS f_pairs,
+           CAST(SUM(_ov) AS BIGINT) AS f_overlap_days,
+           CAST(MAX(_ov) AS BIGINT) AS f_max_overlap_days
+    FROM pairs
+    GROUP BY 1
+    ORDER BY f_month
+"""
+QUERIES["q_join_interval_adaptive"] = q_join_interval_adaptive
+
+
 # ---------------------------------------------------------------------------
 # Mann-Kendall monotonic-trend test (nonparametric drift monitor)
 # ---------------------------------------------------------------------------

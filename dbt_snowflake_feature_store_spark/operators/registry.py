@@ -59,11 +59,16 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # a re-record)
     "q_kendall_tau", "q_changepoint", "q_theil_sen", "q_lorenz_deciles",
     "q_join_interval_adaptive",
-    # part 2 (21): the r7/r8-dated driver records — the r13 promotion
+    # part 1d (1): q_benford_digits — its statistic was extracted as
+    # benford_from_digits (sixth maintained monitor) this round, and a
+    # code-touched key must re-record
+    "q_benford_digits",
+    # part 2 (20): the r7/r8-dated driver records — the r13 promotion
     # set VERDICT-r12 #1 names, MINUS the four tpch-like keys
-    # (q_tpch_q4/q6/q10/q12like) and q_token_pmi, whose slots the
-    # wave-7 quartet + q_join_interval_adaptive took: their code is
-    # untouched since r8 and the lowest-churn-risk in the set; they
+    # (q_tpch_q4/q6/q10/q12like), q_token_pmi and q_text_repetition,
+    # whose slots the wave-7 quartet + q_join_interval_adaptive + the
+    # benford_from_digits-refactored q_benford_digits took: their code
+    # is untouched since r8 and the lowest-churn-risk in the set; they
     # move to the TOP of the r14 promotion set (their records will be
     # 3 rounds old — the one documented exception to the two-round
     # aging rule this round)
@@ -73,7 +78,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_lang_id_conf", "q_multimodal_decode", "q_multimodal_frames",
     "q_multimodal_meta", "q_multimodal_resize", "q_percentile",
     "q_quantile_sketch", "q_retention", "q_scd2_history", "q_scd2_multi",
-    "q_stats_moments", "q_text_repetition",
+    "q_stats_moments",
     # part 3 (1): the oldest r9-dated records — FS machinery first
     # (the store's own read paths churn every round); q_fv_chain,
     # q_generate_dataset and q_fv_managed_read yielded their slots to
@@ -92,9 +97,10 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # q_sim_range and q_text_embed_join yielded their r13 slots to the
     # wave-2..5 new keys + the psi_from_cells-refactored q_psi_bits;
     # they all join the
-    # r14 promotion set, which starts with the FIVE 3-round-old
-    # records (q_tpch_q4/q6/q10/q12like + q_token_pmi — see part 2
-    # note) and is otherwise the remaining r9-dated keys
+    # r14 promotion set, which starts with the SIX 3-round-old
+    # records (q_tpch_q4/q6/q10/q12like + q_token_pmi +
+    # q_text_repetition — see part 2 note) and is otherwise the
+    # remaining r9-dated keys
     # (q_arith_expr, q_attribution,
     # q_bpe_segment, q_case_when, q_contamination, q_cross_join,
     # q_distinct, q_doc_surprisal, q_domain_mix, q_event_transitions,

@@ -561,6 +561,19 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
         ).alias("f_digit")
     ).groupBy("f_digit").agg(F.count("*").cast("long").alias("f_n"))
+    return benford_from_digits(dig)
+
+
+def benford_from_digits(dig: DataFrame) -> DataFrame:
+    """The Benford audit off a PRE-AGGREGATED digit frame ``(f_digit,
+    f_n)`` — the ks_from_points / tvd_from_cells / cusum_from_days /
+    autocorr_from_days / psi_from_cells discipline (SIXTH member of
+    the maintained-monitor family): the digit frame is a keyed COUNT,
+    so an incremental FV maintains it exactly via the
+    foreachBatch-MERGE path and this statistic reads the maintained
+    9-row table — the audit never rescans raw history
+    (tests/test_streaming.py TestStreamingDrift pins
+    batch == maintained across arrivals)."""
     dig = _ckpt(dig)
     tot = dig.agg(F.sum("f_n").cast("long").alias("_N"))
     exp_case = "CASE f_digit " + " ".join(

@@ -1338,3 +1338,68 @@ class TestStreamingDrift:
             b2["f_n1"], b2["f_n2"], b2["f_bins"], b2["f_psi_bits_ppm"],
         )
         assert (m2["f_n1"], m2["f_n2"]) != (m1["f_n1"], m1["f_n2"])
+
+    def test_benford_from_maintained_digits_matches_batch(
+        self, fs, spark, split_events
+    ):
+        """r13 — the SIXTH maintained-state drift monitor: the Benford
+        digit frame (f_digit, f_n) is a keyed COUNT, so
+        benford_from_digits over the incrementally-maintained 9-row FV
+        equals the batch audit at every arrival (drift family:
+        KS / TVD / CUSUM / autocorr / PSI / Benford)."""
+        from dbt_snowflake_feature_store_spark.operators.relational8 import (
+            benford_from_digits,
+        )
+
+        fs.register_source("S_BEN", split_events["src"])
+        fs.register_entity(Entity("ben_digit", ["f_digit"]))
+        sql = """
+            SELECT CAST(substring(CAST(CAST(FLOOR(ABS(value) * 100 + 0.5)
+                        AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS f_digit,
+                   CAST(COUNT(*) AS BIGINT) AS f_n
+            FROM S_BEN WHERE value IS NOT NULL AND ABS(value) >= 0.01
+            GROUP BY 1
+        """
+        fv = FeatureView(
+            "benford_digits",
+            ["ben_digit"],
+            sql=sql,
+            refresh=RefreshSpec("1 minute", "INCREMENTAL", "ON_CREATE"),
+        )
+        fs.register_feature_view(fv, version="1.0")
+
+        def batch_rows():
+            ev = spark.read.parquet(split_events["src"]).filter(
+                F.col("value").isNotNull()
+                & (F.abs(F.col("value")) >= 0.01)
+            )
+            dig = ev.select(
+                F.expr(
+                    "CAST(substring(CAST(CAST(FLOOR(ABS(value) * 100"
+                    " + 0.5) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+                ).alias("f_digit")
+            ).groupBy("f_digit").agg(
+                F.count("*").cast("long").alias("f_n")
+            )
+            return [
+                tuple(r) for r in benford_from_digits(dig).collect()
+            ]
+
+        def maintained_rows():
+            dig = fs.read_feature_view("BENFORD_DIGITS$1.0").select(
+                "f_digit", "f_n"
+            )
+            return [
+                tuple(r) for r in benford_from_digits(dig).collect()
+            ]
+
+        b1, m1 = batch_rows(), maintained_rows()
+        assert m1 == b1 and len(m1) > 0
+
+        _arrive_half2(split_events)
+        assert fs.refresh("benford_digits", "1.0") == "INCREMENTAL"
+        b2, m2 = batch_rows(), maintained_rows()
+        assert m2 == b2
+        # the arrival actually changed the state (not a vacuous rerun)
+        assert m2 != m1
+

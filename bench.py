@@ -224,6 +224,7 @@ HEADLINE = [
     "q_metric_offset",
     "q_saved_query",
     "q_source_freshness",
+    "q_metric_timespine",
     "q_trend_mk",
     "q_ols_slope",
     # round-13 wave 4: pre-shuffle skew monitor, cohort revenue LTV,

@@ -2450,9 +2450,28 @@ def load_semantic_layer(
                     cdeps["window"] = str(cwin).strip()
                 deps["conversion_type_params"] = cdeps
             elif mtype in ("simple", "cumulative"):
-                deps["measure"] = _measure_name(
-                    tp.get("measure"), mtype
-                )
+                mv = tp.get("measure")
+                deps["measure"] = _measure_name(mv, mtype)
+                # dbt measure-input properties (dbt 1.6+):
+                # `measure: {name, join_to_timespine, fill_nulls_with}`
+                # — report on a COMPLETE grain spine / fill missing
+                # values. fill_nulls_with is integers-only here (the
+                # engine's exactness discipline — a double fill would
+                # poison decimal-exact metrics).
+                if isinstance(mv, dict):
+                    if mv.get("join_to_timespine"):
+                        deps["join_to_timespine"] = True
+                    if mv.get("fill_nulls_with") is not None:
+                        try:
+                            deps["fill_nulls_with"] = int(
+                                str(mv["fill_nulls_with"])
+                            )
+                        except ValueError:
+                            raise ValidationError(
+                                f"Metric '{name}': fill_nulls_with "
+                                "must be an integer, got "
+                                f"{mv['fill_nulls_with']!r}"
+                            )
                 if mtype == "cumulative":
                     win = tp.get("window")
                     gtd = tp.get("grain_to_date")
@@ -2481,6 +2500,19 @@ def load_semantic_layer(
                             )
                         deps["grain_to_date"] = str(gtd)
             elif mtype == "ratio":
+                for role in ("numerator", "denominator"):
+                    v = tp.get(role)
+                    if isinstance(v, dict) and (
+                        v.get("join_to_timespine")
+                        or v.get("fill_nulls_with") is not None
+                    ):
+                        raise ValidationError(
+                            f"Metric '{name}': join_to_timespine/"
+                            "fill_nulls_with are supported on simple/"
+                            "cumulative measures only — fill the ratio "
+                            "via per-side simple metrics and a derived "
+                            "metric"
+                        )
                 deps["numerator"] = _measure_name(
                     tp.get("numerator"), "numerator"
                 )
@@ -3189,6 +3221,51 @@ def evaluate_metric(
         )
         return agged.select(*keys, val.alias(cname))
     agged = df.groupBy(*gcols).agg(_agg_col(resolved[0][1]).alias(cname))
+    # dbt `measure: {join_to_timespine, fill_nulls_with}` (r13): report
+    # on a COMPLETE grain spine — sequence() the observed [min, max]
+    # metric_time at the grain (bounds from the ALREADY-AGGREGATED
+    # frame, one bounded 1-row aggregate, never a raw rescan; the spine
+    # spans the model's observed post-filter range — this engine's
+    # documented reading of dbt's project time spine), cross the spine
+    # with the OBSERVED group combinations when grouped, left-join the
+    # aggregate on, and fill with the integer fill_nulls_with when
+    # given. Runs BEFORE the cumulative window, so running totals are
+    # correct across gap periods (the reason MetricFlow pairs these
+    # with cumulative metrics).
+    if tp.get("join_to_timespine"):
+        if time_grain is None:
+            raise ValidationError(
+                f"Metric '{name}': join_to_timespine needs time_grain "
+                "(the spine is a sequence of grains)"
+            )
+        step = {
+            "day": "interval 1 day",
+            "week": "interval 7 days",
+            "month": "interval 1 month",
+            "quarter": "interval 3 months",
+            "year": "interval 1 year",
+        }[time_grain]
+        spine = (
+            agged.agg(
+                F.min("metric_time").alias("_fs_lo"),
+                F.max("metric_time").alias("_fs_hi"),
+            )
+            .select(
+                F.explode(
+                    F.expr(f"sequence(_fs_lo, _fs_hi, {step})")
+                ).alias("metric_time")
+            )
+        )
+        if group_by:
+            spine = agged.select(*group_by).distinct().crossJoin(spine)
+        agged = spine.join(agged, keys, "left")
+    if tp.get("fill_nulls_with") is not None:
+        agged = agged.withColumn(
+            cname,
+            F.coalesce(
+                F.col(cname), F.lit(int(tp["fill_nulls_with"]))
+            ),
+        )
     if mtype == "cumulative":
         if time_grain is None:
             raise ValidationError(

@@ -433,6 +433,22 @@ metrics:
     type_params:
       measure: revenue
     filter: o_orderpriority = '1-URGENT'
+  - name: jumbo_cents_spine
+    type: simple
+    type_params:
+      measure:
+        name: revenue_cents
+        join_to_timespine: true
+        fill_nulls_with: 0
+    filter: o_totalprice > 450000
+  - name: jumbo_cents_cum
+    type: cumulative
+    type_params:
+      measure:
+        name: revenue_cents
+        join_to_timespine: true
+        fill_nulls_with: 0
+    filter: o_totalprice > 450000
 
 saved_queries:
   - name: priority_kpis
@@ -959,6 +975,62 @@ ORACLE["q_source_freshness"] = """
     ORDER BY f_table
 """
 QUERIES["q_source_freshness"] = q_source_freshness
+
+
+def q_metric_timespine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt ``join_to_timespine`` + ``fill_nulls_with`` (MetricFlow's
+    complete-spine reporting), ORACLE-GATED (r13): monthly revenue of
+    >450k "jumbo" orders — a filter sparse enough to leave EMPTY months
+    — evaluated from REGISTERED specs where the measure input carries
+    ``join_to_timespine: true`` and ``fill_nulls_with: 0``. The simple
+    metric reports a row for EVERY month in the observed [min, max]
+    range (gap months filled with 0); the cumulative twin proves the
+    spine lands BEFORE the running-SUM window, so the total carries
+    flat across gap months instead of skipping them. The spine is
+    ``sequence()`` over bounds taken from the already-aggregated frame
+    (one bounded 1-row aggregate, no raw rescan); oracle:
+    generate_series the same spine, left join, COALESCE 0.
+
+    Scale: spine cost is independent of the fact table — calendar
+    rows × observed group combinations."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    flat = evaluate_metric(fs, "jumbo_cents_spine", time_grain="month")
+    cum = evaluate_metric(fs, "jumbo_cents_cum", time_grain="month")
+    out = flat.join(cum, "metric_time")
+    return out.select(
+        F.col("metric_time").alias("f_month"),
+        F.col("JUMBO_CENTS_SPINE").cast("long").alias("f_cents"),
+        F.col("JUMBO_CENTS_CUM").cast("long").alias("f_cum_cents"),
+    ).orderBy("f_month")
+
+
+ORACLE["q_metric_timespine"] = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS f_month,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS _c
+        FROM orders
+        WHERE o_totalprice > 450000
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT MIN(f_month) FROM m),
+            (SELECT MAX(f_month) FROM m),
+            INTERVAL 1 MONTH)) AS f_month
+    )
+    SELECT s.f_month AS f_month,
+           CAST(COALESCE(_c, 0) AS BIGINT) AS f_cents,
+           CAST(SUM(COALESCE(_c, 0)) OVER (ORDER BY s.f_month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_cum_cents
+    FROM spine s LEFT JOIN m ON s.f_month = m.f_month
+    ORDER BY f_month
+"""
+QUERIES["q_metric_timespine"] = q_metric_timespine
 
 
 ORACLE["q_metric_cumulative"] = """

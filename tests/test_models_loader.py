@@ -1740,6 +1740,13 @@ metrics:
     type_params:
       measure: total_age
     filter: f_base_country = 'DE'
+  - name: age_spine
+    type: simple
+    type_params:
+      measure:
+        name: total_age
+        join_to_timespine: true
+        fill_nulls_with: 0
 
 saved_queries:
   - name: country_kpis
@@ -1976,6 +1983,71 @@ saved_queries:
         assert [r["TOTAL_AGE_M"] for r in daily] == [58, 61]
         with pytest.raises(ValidationError, match="not registered"):
             evaluate_saved_query(fs, "no_such_query")
+
+    def test_join_to_timespine_grouped_fill(
+        self, fs, tmp_path, base_table
+    ):
+        """r13: measure-input join_to_timespine/fill_nulls_with — the
+        grain spine crosses with the OBSERVED group combinations, so
+        DE (which only has a day-1 row) gains a zero-filled day-2 row;
+        timespine without time_grain is refused. Gap-month carry-over
+        of the cumulative variant is hash-gated by q_metric_timespine."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        rows = {
+            (r["country"], r["metric_time"].day): r["AGE_SPINE"]
+            for r in evaluate_metric(
+                fs, "age_spine", group_by=["country"], time_grain="day"
+            ).collect()
+        }
+        assert rows == {
+            ("US", 1): 23, ("US", 2): 61, ("DE", 1): 35, ("DE", 2): 0,
+        }
+        with pytest.raises(ValidationError, match="join_to_timespine"):
+            evaluate_metric(fs, "age_spine", group_by=["country"])
+
+    def test_timespine_load_validation(self, fs, tmp_path, base_table):
+        """Loader contract (r13): fill_nulls_with must be an integer;
+        join_to_timespine/fill_nulls_with refused on ratio measures."""
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        import os as _os
+
+        base_block = """  - name: de_age
+    type: simple
+    type_params:
+      measure: total_age
+    filter: f_base_country = 'DE'
+"""
+
+        def _reload_with(block):
+            with open(_os.path.join(proj, "schema.yml"), "w") as f:
+                f.write(self.YML.replace(base_block, block))
+            load_semantic_layer(fs, proj)
+
+        with pytest.raises(ValidationError, match="integer"):
+            _reload_with(
+                """  - name: de_age
+    type: simple
+    type_params:
+      measure:
+        name: total_age
+        fill_nulls_with: zero
+"""
+            )
+        with pytest.raises(ValidationError, match="simple/"):
+            _reload_with(
+                """  - name: de_age
+    type: ratio
+    type_params:
+      numerator:
+        name: total_age
+        join_to_timespine: true
+      denominator: n_customers
+"""
+            )
 
     def test_saved_query_load_validation(
         self, fs, tmp_path, base_table

@@ -40,6 +40,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_near",
     "q_text_quality",
+    "q_readability",
     "q_sim_topk_fast",
     # round-1 late additions (extend, never shrink: BENCH totals are
     # compared per-query against BASELINE, so new keys add new lines)

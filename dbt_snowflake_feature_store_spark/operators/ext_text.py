@@ -1501,7 +1501,80 @@ def _langid_oracle(conf: bool = False) -> str:
     """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-STYLE READABILITY SCORE per document, ORACLE-GATED (r13)
+    — the classic quality-filter feature beside q_text_quality's
+    ratio panel and q_lexical_diversity's type/token accounting: a
+    reading-ease score from words, sentence terminators and
+    vowel-group "syllables", all counted by identical RE2/Java-safe
+    regexes both engines (``\\S+`` words, ``[.!?]+`` terminator runs,
+    ``[aeiouy]+`` over lowercased text — the standard cheap syllable
+    heuristic). The Flesch constants are decimals, so the score rides
+    the division-deferral discipline: milli-FRE =
+    (206835·S·W − 1015·W² − 84600·Syl·S) DIV (S·W) — every
+    intermediate an exact int64 (W ≤ 10⁵/doc ⇒ terms < 10¹⁵), zero
+    denominators clamped, truncation-toward-zero identical for the
+    legal negative scores. A 4-band CASE gives the label a filter
+    pipeline thresholds on.
+
+    Scale: pure row-local string expressions in whole-stage codegen —
+    zero shuffles, zero Python; at 100 TB this is a map-only pass."""
+    d = _docs(spark, sf_dir)
+    w = "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)"
+    s = (
+        "GREATEST(CAST(size(regexp_extract_all(text, '[.!?]+', 0))"
+        " AS BIGINT), 1)"
+    )
+    syl = (
+        "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+        " AS BIGINT)"
+    )
+    fre = (
+        f"CAST((206835 * ({s}) * ({w}) - 1015 * ({w}) * ({w})"
+        f" - 84600 * ({syl}) * ({s}))"
+        f" DIV GREATEST(({s}) * ({w}), 1) AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(w).alias("f_words"),
+        F.expr(s).alias("f_sents"),
+        F.expr(syl).alias("f_syll"),
+        F.expr(fre).alias("f_fre_milli"),
+        F.expr(
+            f"CASE WHEN ({fre}) >= 90000 THEN 'very_easy'"
+            f" WHEN ({fre}) >= 60000 THEN 'standard'"
+            f" WHEN ({fre}) >= 30000 THEN 'difficult'"
+            " ELSE 'very_difficult' END"
+        ).alias("f_band"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_readability": r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS _w,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS _s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS _syl
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, _w AS f_words, _s AS f_sents, _syl AS f_syll,
+               CAST((206835 * _s * _w - 1015 * _w * _w
+                     - 84600 * _syl * _s)
+                    // GREATEST(_s * _w, 1) AS BIGINT) AS f_fre_milli
+        FROM c
+    )
+    SELECT doc_id, f_words, f_sents, f_syll, f_fre_milli,
+           CASE WHEN f_fre_milli >= 90000 THEN 'very_easy'
+                WHEN f_fre_milli >= 60000 THEN 'standard'
+                WHEN f_fre_milli >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END AS f_band
+    FROM f
+    """,
     "q_dedup_exact": f"""
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents
@@ -2284,6 +2357,7 @@ QUERIES = {
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,
+    "q_readability": q_readability,
     "q_text_search": q_text_search,
     "q_lang_id": q_lang_id,
     "q_lang_id_conf": q_lang_id_conf,

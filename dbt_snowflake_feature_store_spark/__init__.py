@@ -22,10 +22,12 @@ from .models import (
     check_source_freshness,
     evaluate_metric,
     evaluate_saved_query,
+    project_vars,
     export_catalog,
     export_manifest,
     load_exposures,
     load_project,
+    load_dbt_project_yml,
     load_semantic_layer,
     run_data_tests,
     run_schema_tests,
@@ -58,9 +60,11 @@ __all__ = [
     "check_source_freshness",
     "evaluate_metric",
     "evaluate_saved_query",
+    "project_vars",
     "export_catalog",
     "export_manifest",
     "load_exposures",
+    "load_dbt_project_yml",
     "load_semantic_layer",
     "run_data_tests",
     "run_schema_tests",

@@ -355,11 +355,89 @@ def _topo_order(
     return order
 
 
+_DBT_PROJECT_FILES = ("dbt_project.yml", "dbt_project.yaml")
+
+
+def load_dbt_project_yml(project_dir: str) -> dict[str, Any] | None:
+    """Parse ``dbt_project.yml`` at the project root — dbt's project
+    file (the reference package itself carries one,
+    /root/reference/dbt_project.yml:1-16). Recognized keys: ``name``
+    (required — dbt's own contract), ``vars`` (the defaults
+    ``var()`` sees; caller ``model_vars`` override them, dbt's CLI
+    ``--vars`` precedence), ``model-paths`` (validated; only dbt's
+    DEFAULT ``['models']`` layout is supported — a nonstandard list
+    is REFUSED loudly rather than silently ignored, because every
+    walker in this engine resolves the models tree as
+    ``<project>/models`` when present, else the project root). All
+    other keys (profile, materialization config trees, clean-targets,
+    …) are accepted and ignored — warehouse/runtime concerns with no
+    Spark-side meaning. Returns ``None`` when the file is absent."""
+    import yaml
+
+    for fn in _DBT_PROJECT_FILES:
+        path = os.path.join(project_dir, fn)
+        if os.path.isfile(path):
+            break
+    else:
+        return None
+    with open(path, encoding="utf-8") as fh:
+        try:
+            data = yaml.safe_load(fh)
+        except yaml.YAMLError as e:
+            raise ValidationError(
+                f"Unparseable dbt_project.yml {path!r}: {e}"
+            ) from e
+    if not isinstance(data, dict):
+        raise ValidationError(
+            f"{path!r}: dbt_project.yml must be a mapping"
+        )
+    if not str(data.get("name") or "").strip():
+        raise ValidationError(
+            f"{path!r}: dbt_project.yml needs name: (dbt's contract)"
+        )
+    out: dict[str, Any] = {"name": str(data["name"]).strip(), "path": path}
+    if data.get("vars") is not None:
+        if not isinstance(data["vars"], dict):
+            raise ValidationError(f"{path!r}: vars: must be a mapping")
+        out["vars"] = dict(data["vars"])
+    mp = data.get("model-paths")
+    if mp is not None:
+        if not isinstance(mp, list) or not all(
+            isinstance(x, str) for x in mp
+        ):
+            raise ValidationError(
+                f"{path!r}: model-paths: must be a list of strings"
+            )
+        if [p.strip("/").strip() for p in mp] != ["models"]:
+            raise ValidationError(
+                f"{path!r}: model-paths {mp!r} — only dbt's default "
+                "['models'] layout is supported (models under "
+                "<project>/models, or at the project root with no "
+                "dbt_project.yml)"
+            )
+    return out
+
+
+def project_vars(
+    project_dir: str, model_vars: dict[str, Any] | None = None
+) -> dict[str, Any] | None:
+    """Effective ``var()`` map: dbt_project.yml ``vars:`` defaults
+    merged UNDER the caller's ``model_vars`` (explicit vars win —
+    dbt's ``--vars`` precedence). ``None`` when neither is present,
+    preserving the yml-less fast path."""
+    cfg = load_dbt_project_yml(project_dir)
+    base = dict((cfg or {}).get("vars") or {})
+    base.update(model_vars or {})
+    return base if base else None
+
+
 def _iter_project_ymls(project_dir: str):
     """Yield (path, parsed-dict) for every yml under the project's
     models tree — ONE walker shared by the sources/schema-test/exposure
     loaders so the dir-pruning list and error handling cannot drift
-    (review r11)."""
+    (review r11). ``dbt_project.yml`` is skipped by NAME wherever it
+    sits: its ``models:``/``seeds:`` keys are dbt CONFIG TREES, not
+    the schema-yml list shapes these loaders parse."""
     import yaml
 
     mdir = os.path.join(project_dir, "models")
@@ -371,6 +449,8 @@ def _iter_project_ymls(project_dir: str):
         ]
         for fn in sorted(files):
             if not fn.endswith((".yml", ".yaml")):
+                continue
+            if fn in _DBT_PROJECT_FILES:
                 continue
             path = os.path.join(root, fn)
             with open(path, encoding="utf-8") as fh:
@@ -1012,6 +1092,7 @@ def load_project(
 
     # one shared Jinja environment per load — project macros + vars —
     # built lazily so plain regex-subset projects never import jinja2
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():
@@ -1170,6 +1251,7 @@ def run_data_tests(
     if declared_map is not None:
         source_map = {**declared_map, **normalize_source_map(source_map)}
 
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():
@@ -1330,6 +1412,7 @@ def run_schema_tests(
     # full-Jinja models parse with the SAME macros + vars load_project
     # uses (review r11: a bare parse_model dropped macros/model_vars and
     # crashed on projects that load fine)
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():
@@ -1724,6 +1807,7 @@ def run_unit_tests(
         else:
             eff_map_ci[str(_k).lower()] = _v
 
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():
@@ -2108,6 +2192,7 @@ def load_exposures(
     else:
         declared = _declared  # load_project already parsed the ymls once
 
+    model_vars = project_vars(project_dir, model_vars)
     if models is None:
         models = {}
         jinja_env = None
@@ -2248,6 +2333,7 @@ def load_semantic_layer(
     Returns ``{"semantic_models": [names], "metrics": [names]}``."""
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
+    model_vars = project_vars(project_dir, model_vars)
     if models is None:
         models = {}
         jinja_env = None
@@ -3395,6 +3481,7 @@ def export_manifest(
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
 
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():
@@ -3749,6 +3836,7 @@ def export_catalog(
     mdir = os.path.join(project_dir, "models")
     root0 = mdir if os.path.isdir(mdir) else project_dir
 
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():

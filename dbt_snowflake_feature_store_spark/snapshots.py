@@ -571,6 +571,9 @@ def run_snapshots(
     if not paths:
         raise ValidationError(f"No .sql snapshot files under {snap_dir!r}")
 
+    from .models import project_vars
+
+    model_vars = project_vars(project_dir, model_vars)
     jinja_env = None
 
     def _env():

@@ -1525,6 +1525,7 @@ metrics:
         assert report["semantic_layer"] == {
             "semantic_models": ["CUSTOMERS_SEM"],
             "metrics": ["AGE_PER_CUSTOMER", "AVERAGE_AGE", "DOUBLE_AGE"],
+            "saved_queries": [],
         }
         sm = fs.registry.get("semantic_models", "CUSTOMERS_SEM")
         assert sm["model"] == "TEST_BASE_CUSTOMER_FEATURES"
@@ -2343,6 +2344,93 @@ saved_queries:
         assert glob[0]["TOTAL_AGE_M"] == 119
         with pytest.raises(ValidationError, match="no version"):
             evaluate_metric(fs, "total_age_m", model_version="9.9")
+
+
+class TestDbtProjectYml:
+    """r13: dbt_project.yml at the project root — name validated
+    (dbt's contract), vars: merged UNDER caller model_vars (CLI
+    --vars precedence), dbt CONFIG TREES (models:/seeds: mappings)
+    skipped by the schema-yml walkers, nonstandard model-paths
+    refused loudly."""
+
+    PROJECT_YML = """\
+name: demo_project
+version: '1.0.0'
+profile: ignored_here
+vars:
+  min_age: 30
+models:
+  demo_project:
+    +materialized: feature_view
+"""
+
+    def _proj(self, tmp_path, project_yml):
+        proj = _write_project(
+            tmp_path,
+            {
+                "entities/test_customer_entity.sql": ENTITY_CUSTOMER,
+                "features/jinja_fv.sql": TestFullJinja.JINJA_FV,
+            },
+        )
+        import os as _os
+
+        with open(_os.path.join(proj, "dbt_project.yml"), "w") as f:
+            f.write(project_yml)
+        return proj
+
+    def test_vars_default_and_override(self, fs, tmp_path, base_table):
+        proj = self._proj(tmp_path, self.PROJECT_YML)
+        fs.register_source("customer_base_table", base_table)
+        # project vars supply min_age=30 with NO caller model_vars:
+        # threshold 30 > 20 → the CAST(age >= 30) branch
+        load_project(fs, proj)
+        rows = {
+            r["customer_id"]: r["f_above"]
+            for r in fs.read_feature_view("JINJA_FV", "1.0").collect()
+        }
+        assert rows == {1: 0, 2: 1, 3: 1}
+        # caller model_vars override the project default (dbt --vars)
+        from dbt_snowflake_feature_store_spark import FeatureStore
+
+        fs2 = FeatureStore(fs.spark, str(tmp_path / "fs2"))
+        fs2.register_source("customer_base_table", base_table)
+        load_project(fs2, proj, model_vars={"min_age": 5})
+        assert all(
+            r["f_above"] == 0
+            for r in fs2.read_feature_view("JINJA_FV", "1.0").collect()
+        )
+
+    def test_validation_failures(self, fs, tmp_path, base_table):
+        fs.register_source("customer_base_table", base_table)
+        proj = self._proj(tmp_path, "version: '1.0'\n")
+        import os as _os
+
+        pj = _os.path.join(proj, "dbt_project.yml")
+        with pytest.raises(ValidationError, match="needs name"):
+            load_project(fs, proj)
+        with open(pj, "w") as f:
+            f.write("name: demo\nvars: [a, b]\n")
+        with pytest.raises(ValidationError, match="vars: must be"):
+            load_project(fs, proj)
+        with open(pj, "w") as f:
+            f.write("name: demo\nmodel-paths: ['transforms']\n")
+        with pytest.raises(ValidationError, match="model-paths"):
+            load_project(fs, proj)
+
+    def test_config_trees_do_not_leak_into_schema_walkers(
+        self, fs, tmp_path, base_table
+    ):
+        """dbt_project.yml's models:/seeds: keys are CONFIG TREES —
+        the sources/schema-test/exposure walkers must skip the file by
+        name or they'd parse the mapping as a schema-yml list."""
+        from dbt_snowflake_feature_store_spark import run_schema_tests
+
+        proj = self._proj(tmp_path, self.PROJECT_YML)
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        # no schema ymls in this project; the config tree must not
+        # masquerade as one
+        assert run_schema_tests(fs, proj, allow_empty=True) == []
 
 
 class TestStateSelection:

@@ -28,6 +28,7 @@ from .models import (
     load_exposures,
     load_project,
     load_dbt_project_yml,
+    run_model_contracts,
     load_semantic_layer,
     run_data_tests,
     run_schema_tests,
@@ -65,6 +66,7 @@ __all__ = [
     "export_manifest",
     "load_exposures",
     "load_dbt_project_yml",
+    "run_model_contracts",
     "load_semantic_layer",
     "run_data_tests",
     "run_schema_tests",

@@ -1121,6 +1121,10 @@ def load_project(
         _validate(mdl)
         models[mdl.name] = mdl
 
+    # dbt groups/access governance (r13): validated at COMPILATION —
+    # selection never skips it, dbt's own timing
+    _enforce_groups_access(project_dir, models)
+
     # seeds register FIRST (models may ref() them); dry_run still needs
     # the name set so refs validate, but registers nothing
     seeds = _seed_stems(project_dir)
@@ -1709,6 +1713,271 @@ _INPUT_REL_RE = re.compile(
     r"""^\s*(ref|source)\s*\(\s*['"]([^'"]+)['"]\s*"""
     r"""(?:,\s*['"]([^'"]+)['"]\s*)?\)\s*$"""
 )
+
+
+def _enforce_groups_access(
+    project_dir: str, models: dict[str, Model]
+) -> dict[str, dict[str, str]]:
+    """dbt GROUPS + ACCESS governance (dbt-core 1.6, r13): top-level
+    ``groups:`` yml blocks declare named ownership groups; a
+    ``models:`` entry may carry ``group:`` and ``access:
+    private|protected|public`` (entry level or under ``config:`` —
+    both dbt spellings). Enforced at COMPILATION, dbt's own timing:
+
+    - ``access`` must be one of the three dbt values; ``private``
+      requires a group (dbt's own rule).
+    - ``group`` must name a declared group; duplicate group
+      declarations fail.
+    - a ``ref()`` to a PRIVATE model from a model OUTSIDE its group is
+      a compilation error (the whole point of private access).
+      ``protected`` restricts cross-PACKAGE refs — a single-package
+      engine treats it as public (documented simplification).
+
+    Returns {canonical model name: {"group", "access"}} for the models
+    that declare either (export_manifest stamps them on the nodes)."""
+    groups: set[str] = set()
+    for fn, data in _iter_project_ymls(project_dir):
+        for g in data.get("groups") or []:
+            if not (isinstance(g, dict) and g.get("name")):
+                raise ValidationError(
+                    f"{fn!r}: every groups: entry needs a name"
+                )
+            gname = str(g["name"])
+            if gname in groups:
+                raise ValidationError(f"Duplicate group '{gname}'")
+            groups.add(gname)
+
+    gov: dict[str, dict[str, str]] = {}
+    for fn, data in _iter_project_ymls(project_dir):
+        for entry in data.get("models") or []:
+            if not isinstance(entry, dict) or not entry.get("name"):
+                continue
+            cfg = entry.get("config") if isinstance(
+                entry.get("config"), dict
+            ) else {}
+            grp = entry.get("group", cfg.get("group"))
+            acc = entry.get("access", cfg.get("access"))
+            if grp is None and acc is None:
+                continue
+            name = str(entry["name"])
+            where = f"Model '{name}'"
+            if canonical_name(name) not in {
+                canonical_name(m) for m in models
+            }:
+                raise ValidationError(
+                    f"{where}: group/access declared but the model is "
+                    "not in the project"
+                )
+            if acc is not None and str(acc) not in (
+                "private", "protected", "public"
+            ):
+                raise ValidationError(
+                    f"{where}: access must be private|protected|public,"
+                    f" got {acc!r}"
+                )
+            if grp is not None and str(grp) not in groups:
+                raise ValidationError(
+                    f"{where}: group '{grp}' is not declared in any "
+                    "groups: block"
+                )
+            if str(acc) == "private" and grp is None:
+                raise ValidationError(
+                    f"{where}: access: private requires a group "
+                    "(dbt's own rule)"
+                )
+            gov[canonical_name(name)] = {
+                "group": None if grp is None else str(grp),
+                "access": "protected" if acc is None else str(acc),
+            }
+
+    # ref() enforcement: private models are only visible inside their
+    # group
+    by_canon = {canonical_name(n): n for n in models}
+    for n, mdl in models.items():
+        src_gov = gov.get(canonical_name(n)) or {}
+        src_grp = src_gov.get("group")
+        for m in _EXPR_RE.finditer(mdl.body):
+            if m.group(1) != "ref":
+                continue
+            tgt = by_canon.get(canonical_name(m.group(2)))
+            if tgt is None or tgt == n:
+                continue
+            tgov = gov.get(canonical_name(tgt))
+            if (
+                tgov
+                and tgov["access"] == "private"
+                and src_grp != tgov["group"]
+            ):
+                raise ValidationError(
+                    f"Model '{n}' (group {src_grp!r}) cannot ref() "
+                    f"private model '{tgt}' of group "
+                    f"'{tgov['group']}' — private models are only "
+                    "visible inside their own group"
+                )
+    return gov
+
+
+def run_model_contracts(
+    fs: "FeatureStore",
+    project_dir: str,
+    strict: bool = True,
+    model_vars: dict[str, Any] | None = None,
+    models_filter: "set[str] | None" = None,
+) -> list[dict[str, Any]]:
+    """dbt MODEL CONTRACTS (dbt-core 1.5, r13): a ``models:`` yml entry
+    with ``config: {contract: {enforced: true}}`` pins the model's
+    EXACT output schema — every declared column must exist with the
+    declared ``data_type``, every actual column must be declared, and
+    every declared column needs a data_type (dbt's own contract-
+    completeness error). Enforcement compares the REGISTERED feature
+    view's Spark schema (a catalyst re-plan for static FVs — no job,
+    no scan) against the declaration; types normalize through Spark's
+    DDL parser (``int``/``integer``, ``string``, ``decimal(28,6)``, …
+    all spell to one ``simpleString``), names compare
+    case-insensitively (the engine's identifier rule). dbt's column
+    ``constraints:`` (not_null etc.) are intentionally out of scope —
+    generic tests are this engine's constraint surface (documented
+    simplification).
+
+    Returns ``[{"model", "passed", "errors"}]`` in name order, one row
+    per enforced contract (entries without an enforced contract are
+    skipped, as in dbt); ``strict=True`` raises AFTER checking every
+    contract, naming all violations at once (the build_project
+    aggregation contract). A contract on an unknown or entity model
+    fails loudly.
+
+    Scale: pure metadata — schemas come from the registry/catalyst,
+    never from data."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    mdir = os.path.join(project_dir, "models")
+    root0 = mdir if os.path.isdir(mdir) else project_dir
+    model_vars = project_vars(project_dir, model_vars)
+    jinja_env = None
+
+    def _env():
+        nonlocal jinja_env
+        if jinja_env is None:
+            jinja_env = make_jinja_env(
+                _project_macro_paths(project_dir), model_vars
+            )
+        return jinja_env
+
+    models: dict[str, Model] = {}
+    for root, dirs, files in os.walk(root0):
+        dirs[:] = [
+            d for d in dirs
+            if d not in ("tests", "macros", "seeds", "snapshots")
+        ]
+        for fn in sorted(files):
+            if fn.endswith(".sql"):
+                mdl = parse_model(os.path.join(root, fn), jinja_env=_env)
+                models[canonical_name(mdl.name)] = mdl
+
+    def _norm_type(dt: str, where: str) -> str:
+        try:
+            return _parse_datatype_string(str(dt)).simpleString()
+        except Exception as e:
+            raise ValidationError(
+                f"{where}: data_type {dt!r} is not a parseable Spark "
+                f"type: {e}"
+            ) from e
+
+    results: list[dict[str, Any]] = []
+    for fn, data in _iter_project_ymls(project_dir):
+        for entry in data.get("models") or []:
+            if not isinstance(entry, dict) or not entry.get("name"):
+                continue  # run_schema_tests owns the shape errors
+            cfg = entry.get("config") or {}
+            contract = (
+                cfg.get("contract") if isinstance(cfg, dict) else None
+            )
+            if not (
+                isinstance(contract, dict) and contract.get("enforced")
+            ):
+                continue
+            name = str(entry["name"])
+            where = f"Contract on model '{name}'"
+            mdl = models.get(canonical_name(name))
+            if mdl is None:
+                raise ValidationError(
+                    f"{where}: model not found in project"
+                )
+            if mdl.materialized == "entity":
+                raise ValidationError(
+                    f"{where}: contracts apply to feature-view models, "
+                    "not entity models"
+                )
+            if models_filter is not None and (
+                canonical_name(name) not in {
+                    canonical_name(m) for m in models_filter
+                }
+            ):
+                continue
+            declared: dict[str, str] = {}
+            for coldef in entry.get("columns") or []:
+                if not (isinstance(coldef, dict) and coldef.get("name")):
+                    raise ValidationError(
+                        f"{where}: every contract column needs a name"
+                    )
+                cname_l = str(coldef["name"]).lower()
+                if coldef.get("data_type") is None:
+                    raise ValidationError(
+                        f"{where}: column '{coldef['name']}' needs "
+                        "data_type — an enforced contract must type "
+                        "every column (dbt's completeness rule)"
+                    )
+                if cname_l in declared:
+                    raise ValidationError(
+                        f"{where}: column '{coldef['name']}' declared "
+                        "twice"
+                    )
+                declared[cname_l] = _norm_type(
+                    coldef["data_type"], where
+                )
+            actual = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in fs.read_feature_view(
+                    mdl.name, str(mdl.config["feature_view_version"])
+                ).schema.fields
+            }
+            errors: list[str] = []
+            for cn, dt in declared.items():
+                if cn not in actual:
+                    errors.append(
+                        f"declared column '{cn}' missing from the "
+                        "model's output"
+                    )
+                elif actual[cn] != dt:
+                    errors.append(
+                        f"column '{cn}': declared {dt}, actual "
+                        f"{actual[cn]}"
+                    )
+            for cn in actual:
+                if cn not in declared:
+                    errors.append(
+                        f"model emits undeclared column '{cn}' — an "
+                        "enforced contract is exact"
+                    )
+            results.append(
+                {
+                    "model": canonical_name(name),
+                    "passed": not errors,
+                    "errors": sorted(errors),
+                }
+            )
+    results.sort(key=lambda r: r["model"])
+    if strict:
+        failed = [r for r in results if not r["passed"]]
+        if failed:
+            raise ValidationError(
+                "Model contract violations: "
+                + "; ".join(
+                    f"{r['model']}: {', '.join(r['errors'])}"
+                    for r in failed
+                )
+            )
+    return results
 
 
 def run_unit_tests(
@@ -3536,6 +3805,9 @@ def export_manifest(
     exposures_out: dict[str, dict[str, Any]] = {}
     parent_map: dict[str, list[str]] = {}
 
+    # groups/access governance: the manifest stamps what the loader
+    # enforces (r13)
+    gov = _enforce_groups_access(project_dir, models)
     for name, mdl in sorted(models.items()):
         uid = f"model.project.{name}"
         nodes[uid] = {
@@ -3551,6 +3823,9 @@ def export_manifest(
                 k: v for k, v in mdl.config.items() if _json_safe(v)
             },
         }
+        if canonical_name(name) in gov:
+            nodes[uid]["group"] = gov[canonical_name(name)]["group"]
+            nodes[uid]["access"] = gov[canonical_name(name)]["access"]
         parent_map[uid] = _deps_of(mdl.body)
     for s in sorted(seeds):
         uid = f"seed.project.{s}"
@@ -3942,6 +4217,8 @@ def build_project(
     combined report::
 
         {"models": <load_project report>, "snapshots": {...} | None,
+         "contracts": [...] (r13: enforced model contracts, violations
+         aggregate into the strict raise),
          "unit_tests": [...], "schema_tests": [...], "data_tests": [...],
          "manifest": <export_manifest dict, also written to
                       target/manifest.json>}
@@ -3970,6 +4247,7 @@ def build_project(
             select=select, exclude=exclude, state=state,
         ),
         "snapshots": None,
+        "contracts": [],
         "unit_tests": [],
         "schema_tests": [],
         "data_tests": [],
@@ -3994,6 +4272,13 @@ def build_project(
         set(report["models"]["selected"])
         if (select is not None or exclude is not None)
         else None
+    )
+    # dbt enforces model contracts at materialization — right after
+    # the models build, before the test surface; violations aggregate
+    # into the same strict raise (r13)
+    report["contracts"] = run_model_contracts(
+        fs, project_dir, strict=False, model_vars=model_vars,
+        models_filter=models_filter,
     )
     # dbt build runs unit tests with the test surface; a unit-test
     # failure is a logic bug in the model, reported with the rest
@@ -4037,6 +4322,10 @@ def build_project(
             if not r["passed"] and r.get("severity", "error") == "error"
         ] + [r["name"] for r in report["data_tests"] if not r["passed"]] + [
             r["name"] for r in report["unit_tests"] if not r["passed"]
+        ] + [
+            f"contract:{r['model']}"
+            for r in report["contracts"]
+            if not r["passed"]
         ]
         if failed:
             raise ValidationError(

@@ -2346,6 +2346,190 @@ saved_queries:
             evaluate_metric(fs, "total_age_m", model_version="9.9")
 
 
+class TestModelContracts:
+    """r13: dbt model contracts (dbt-core 1.5) — config.contract.
+    enforced pins the model's EXACT output schema: declared columns
+    must exist with the declared data_type (normalized through
+    Spark's DDL parser), actual columns must all be declared, every
+    declared column needs a data_type; violations aggregate into
+    build_project's strict raise."""
+
+    GOOD = """\
+version: 2
+models:
+  - name: test_base_customer_features
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: customer_id
+        data_type: int
+      - name: updated_at
+        data_type: timestamp
+      - name: f_base_age
+        data_type: integer
+      - name: f_base_country
+        data_type: string
+      - name: f_base_tier
+        data_type: string
+"""
+
+    def _loaded(self, fs, tmp_path, base_table, yml):
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "contract.yml": yml}
+        )
+        fs.register_source("customer_base_table", base_table)
+        load_project(fs, proj)
+        return proj
+
+    def test_exact_contract_passes(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import run_model_contracts
+
+        proj = self._loaded(fs, tmp_path, base_table, self.GOOD)
+        res = run_model_contracts(fs, proj)
+        assert res == [
+            {
+                "model": "TEST_BASE_CUSTOMER_FEATURES",
+                "passed": True,
+                "errors": [],
+            }
+        ]
+
+    def test_violations_named_and_aggregated(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import (
+            build_project,
+            run_model_contracts,
+        )
+
+        bad = self.GOOD.replace(
+            "      - name: f_base_age\n        data_type: integer\n",
+            "      - name: f_base_age\n        data_type: bigint\n"
+            "      - name: f_phantom\n        data_type: string\n",
+        ).replace(
+            "      - name: f_base_tier\n        data_type: string\n", ""
+        )
+        proj = self._loaded(fs, tmp_path, base_table, bad)
+        res = run_model_contracts(fs, proj, strict=False)
+        assert not res[0]["passed"]
+        errs = " | ".join(res[0]["errors"])
+        assert "declared bigint, actual int" in errs
+        assert "'f_phantom' missing" in errs
+        assert "undeclared column 'f_base_tier'" in errs
+        with pytest.raises(ValidationError, match="contract violations"):
+            run_model_contracts(fs, proj)
+        with pytest.raises(
+            ValidationError,
+            match="contract:TEST_BASE_CUSTOMER_FEATURES",
+        ):
+            build_project(fs, proj)
+
+    def test_contract_completeness_and_targets(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import run_model_contracts
+
+        proj = self._loaded(
+            fs,
+            tmp_path,
+            base_table,
+            self.GOOD.replace("        data_type: timestamp\n", ""),
+        )
+        with pytest.raises(ValidationError, match="needs data_type"):
+            run_model_contracts(fs, proj)
+        # unknown model target fails loudly
+        proj2 = self._loaded(
+            fs,
+            tmp_path / "p2",
+            base_table,
+            self.GOOD.replace(
+                "test_base_customer_features", "no_such_model"
+            ),
+        )
+        with pytest.raises(ValidationError, match="not found"):
+            run_model_contracts(fs, proj2)
+
+
+class TestGroupsAccess:
+    """r13: dbt groups + access governance (dbt-core 1.6) — private
+    models are only ref()-able inside their own group; validated at
+    compilation; manifest stamps group/access on model nodes."""
+
+    def _yml(self, access="private", group="core", ref_group="core"):
+        return f"""\
+version: 2
+
+groups:
+  - name: core
+    owner:
+      name: platform
+  - name: analytics
+    owner:
+      name: insights
+
+models:
+  - name: test_base_customer_features
+    group: {group}
+    access: {access}
+  - name: test_derived_customer_features
+    group: {ref_group}
+"""
+
+    def _proj(self, fs, tmp_path, base_table, yml):
+        proj = _write_project(
+            tmp_path, {**REFERENCE_PROJECT, "gov.yml": yml}
+        )
+        fs.register_source("customer_base_table", base_table)
+        return proj
+
+    def test_same_group_ref_allowed_and_manifest_stamped(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import export_manifest
+
+        proj = self._proj(fs, tmp_path, base_table, self._yml())
+        load_project(fs, proj)  # derived refs base, same group: fine
+        man = export_manifest(fs, proj)
+        node = man["nodes"]["model.project.test_base_customer_features"]
+        assert node["group"] == "core" and node["access"] == "private"
+        derived = man["nodes"][
+            "model.project.test_derived_customer_features"
+        ]
+        # access defaults to protected (== public in a single-package
+        # engine) when only group is declared
+        assert derived["access"] == "protected"
+
+    def test_cross_group_private_ref_fails(
+        self, fs, tmp_path, base_table
+    ):
+        proj = self._proj(
+            fs, tmp_path, base_table, self._yml(ref_group="analytics")
+        )
+        with pytest.raises(ValidationError, match="private model"):
+            load_project(fs, proj)
+
+    def test_governance_validation(self, fs, tmp_path, base_table):
+        proj = self._proj(
+            fs, tmp_path, base_table,
+            self._yml().replace("group: core\n    access: private",
+                                "access: private"),
+        )
+        with pytest.raises(ValidationError, match="requires a group"):
+            load_project(fs, proj)
+        proj2 = self._proj(
+            fs, tmp_path / "p2", base_table,
+            self._yml(group="no_such_group"),
+        )
+        with pytest.raises(ValidationError, match="not declared"):
+            load_project(fs, proj2)
+        proj3 = self._proj(
+            fs, tmp_path / "p3", base_table, self._yml(access="secret")
+        )
+        with pytest.raises(ValidationError, match="access must be"):
+            load_project(fs, proj3)
+
+
 class TestDbtProjectYml:
     """r13: dbt_project.yml at the project root — name validated
     (dbt's contract), vars: merged UNDER caller model_vars (CLI

@@ -790,3 +790,62 @@ def test_global_running_sum_multi_value(spark):
         ea += k % 3
         eb += (k * 7) % 5
         assert multi[k] == (ea, eb)
+
+
+# ---------------------------------------------------------------------------
+# round-13 wave 7: pairwise-statistics and Lorenz plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_pair_join_is_broadcast_nested_loop(spark):
+    """q_kendall_tau / q_theil_sen: the i<j pair join runs over the
+    CALENDAR-BOUNDED day frame — the executed plan must show a
+    BroadcastNestedLoopJoin (n² of a constant-sized side), and the
+    corpus-sized orders scan must never appear on both sides of a
+    sort-merge join (no fact×fact)."""
+    from dbt_snowflake_feature_store_spark.operators.relational10 import (
+        q_kendall_tau,
+        q_theil_sen,
+    )
+
+    for fn in (q_kendall_tau, q_theil_sen):
+        plan = _executed_plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_changepoint_windows_partition_by_type(spark):
+    """q_changepoint: every window in the executed plan partitions by
+    the event-type key — no unpartitioned data-sized window."""
+    from dbt_snowflake_feature_store_spark.operators.relational10 import (
+        q_changepoint,
+    )
+
+    plan = _executed_plan(q_changepoint(spark, SF_DIR))
+    import re as _re
+
+    for spec in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "f_type" in spec, f"unpartitioned window: {spec!r}"
+
+
+def test_lorenz_no_data_sized_unpartitioned_window(spark):
+    """q_lorenz_deciles: the global order comes from ranks.global_ntile
+    (range exchange + prefix offsets in a PRIOR job — pinned by
+    test_global_rank_no_single_task_window), so the FINAL plan's only
+    unpartitioned window must run over the 10-row decile frame: its
+    SinglePartition exchange feeds from the decile HashAggregate,
+    never from a data-sized scan."""
+    from dbt_snowflake_feature_store_spark.operators.relational10 import (
+        q_lorenz_deciles,
+    )
+
+    plan = _executed_plan(q_lorenz_deciles(spark, SF_DIR))
+    # everything below the single-partition exchange (the window's
+    # input) must be the post-aggregate decile frame
+    assert "Exchange SinglePartition" in plan
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in below.split("Window")[0] or (
+        "HashAggregate" in below
+    )
+    # and the cumulative window itself orders by the decile key
+    assert "windowspecdefinition(f_decile" in plan

@@ -244,6 +244,7 @@ HEADLINE = [
     "q_changepoint",
     "q_theil_sen",
     "q_lorenz_deciles",
+    "q_mi_bits",
     "q_welch_t",
     "q_anomaly_iqr",
     "q_seasonal_residual",

@@ -34,7 +34,7 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 13 rotation (23 + 5 + 3 + 18 + 1 = the 50-key cap) ----
+    # ---- round 13 rotation (23 + 5 + 4 + 17 + 1 = the 50-key cap) ----
     # part 1 (23): every key whose code is new or changed THIS round —
     # the new keys (keyless slice-bucketed interval join, banded-LSH
     # recall pin, semantic-layer metric evaluation ×2 + the cumulative
@@ -59,17 +59,19 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # a re-record)
     "q_kendall_tau", "q_changepoint", "q_theil_sen", "q_lorenz_deciles",
     "q_join_interval_adaptive",
-    # part 1d (3): q_benford_digits — its statistic was extracted as
+    # part 1d (4): q_benford_digits — its statistic was extracted as
     # benford_from_digits (sixth maintained monitor) this round, and a
     # code-touched key must re-record — and the late
     # join_to_timespine/fill_nulls_with key
     "q_benford_digits", "q_metric_timespine", "q_readability",
-    # part 2 (18): the r7/r8-dated driver records — the r13 promotion
+    "q_mi_bits",
+    # part 2 (17): the r7/r8-dated driver records — the r13 promotion
     # set VERDICT-r12 #1 names, MINUS the four tpch-like keys
     # (q_tpch_q4/q6/q10/q12like), q_token_pmi, q_text_repetition,
-    # q_stats_moments and q_retention, whose slots the wave-7 quartet +
-    # q_join_interval_adaptive + the benford_from_digits-refactored
-    # q_benford_digits + q_metric_timespine + q_readability took: their code is
+    # q_stats_moments, q_retention and q_scd2_multi, whose slots the
+    # wave-7 quintet (incl. q_mi_bits) + q_join_interval_adaptive +
+    # the benford_from_digits-refactored q_benford_digits +
+    # q_metric_timespine + q_readability took: their code is
     # untouched since r8 and the lowest-churn-risk in the set; they
     # move to the TOP of the r14 promotion set (their records will be
     # 3 rounds old — the one documented exception to the two-round
@@ -80,7 +82,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_join_skew_salted", "q_kmv_jaccard", "q_kmv_sketch", "q_lang_id",
     "q_lang_id_conf", "q_multimodal_decode", "q_multimodal_frames",
     "q_multimodal_meta", "q_multimodal_resize", "q_percentile",
-    "q_quantile_sketch", "q_scd2_history", "q_scd2_multi",
+    "q_quantile_sketch", "q_scd2_history",
     # part 3 (1): the oldest r9-dated records — FS machinery first
     # (the store's own read paths churn every round); q_fv_chain,
     # q_generate_dataset and q_fv_managed_read yielded their slots to
@@ -99,10 +101,10 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # q_sim_range and q_text_embed_join yielded their r13 slots to the
     # wave-2..5 new keys + the psi_from_cells-refactored q_psi_bits;
     # they all join the
-    # r14 promotion set, which starts with the EIGHT 3-round-old
+    # r14 promotion set, which starts with the NINE 3-round-old
     # records (q_tpch_q4/q6/q10/q12like + q_token_pmi +
-    # q_text_repetition + q_stats_moments + q_retention — see part 2
-    # note) and is otherwise the remaining r9-dated keys
+    # q_text_repetition + q_stats_moments + q_retention + q_scd2_multi
+    # — see part 2 note) and is otherwise the remaining r9-dated keys
     # (q_arith_expr, q_attribution,
     # q_bpe_segment, q_case_when, q_contamination, q_cross_join,
     # q_distinct, q_doc_surprisal, q_domain_mix, q_event_transitions,

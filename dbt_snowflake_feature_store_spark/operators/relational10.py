@@ -497,3 +497,122 @@ ORACLE["q_lorenz_deciles"] = """
     ORDER BY f_decile
 """
 QUERIES["q_lorenz_deciles"] = q_lorenz_deciles
+
+
+# ---------------------------------------------------------------------------
+# Banded mutual information (event type × weekday)
+# ---------------------------------------------------------------------------
+
+
+def q_mi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED MUTUAL INFORMATION between event type and weekday,
+    ORACLE-GATED — the information-theoretic member of the association
+    family (q_chi2_assoc quadratic, q_cramers_v normalized, q_psi_bits
+    one-variable stability): how much does KNOWING the weekday tell
+    you about the event-type mix? The classical Σ p·ln(p/(p_r·p_c))
+    needs IEEE ln, so the log factor rides the integer OCTAVE-BITS
+    spelling (⌊log2 x⌋ = length(bin(x)) − 1 — the q_psi_bits /
+    q_entropy_mix trick): per cell,
+    t = c_ij · (⌊log2(c_ij·N)⌋ − ⌊log2(r_i·c_j)⌋), summed and reported
+    as f_mi_bits_ppm = Σt·10⁶ DIV N (signed — banding can push a
+    near-independent cell's term negative, unlike real MI; the
+    docstring contract is the BANDED statistic, bit-stable across
+    engines). Weekday is pure integer arithmetic ((epoch_day + 3) % 7,
+    Monday = 0) — never an engine dayofweek() convention. The c·N /
+    r·c products stay BIGINT-safe to ~3·10⁹ events (the q_psi_bits
+    bound; document the DECIMAL widening past that).
+
+    Scale: ONE map-side-combinable (type, weekday) corpus aggregate
+    onto a ~5×7 cell domain; marginals and terms are broadcast joins
+    over that bounded frame."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cell = _ckpt(
+        ev.groupBy(
+            F.col("event_type").alias("_et"),
+            F.expr(
+                "(CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+                " DIV 86400 + 3) % 7"
+            ).alias("_wd"),
+        ).agg(F.count("*").cast("long").alias("_c"))
+    )
+    rtot = cell.groupBy("_et").agg(F.sum("_c").cast("long").alias("_r"))
+    ctot = cell.groupBy("_wd").agg(F.sum("_c").cast("long").alias("_k"))
+    tot = cell.agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.count("*").cast("long").alias("_cells"),
+    )
+    term = (
+        cell.join(F.broadcast(rtot), "_et")
+        .join(F.broadcast(ctot), "_wd")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(_c AS DECIMAL(38,0))"
+                " * CAST((length(bin(GREATEST(_c * _n, 1))) - 1)"
+                "      - (length(bin(GREATEST(_r * _k, 1))) - 1)"
+                "   AS DECIMAL(38,0))"
+            ).alias("_t")
+        )
+    )
+    s = term.agg(F.sum("_t").alias("_S"))
+    nr = rtot.agg(F.count("*").cast("long").alias("f_rows"))
+    nc = ctot.agg(F.count("*").cast("long").alias("f_cols"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("_n").alias("f_n"),
+            "f_rows",
+            "f_cols",
+            F.col("_cells").alias("f_cells"),
+            F.expr(
+                "CAST(_S * 1000000 DIV GREATEST(_n, 1) AS BIGINT)"
+            ).alias("f_mi_bits_ppm"),
+        )
+    )
+
+
+ORACLE["q_mi_bits"] = """
+    WITH cell AS (
+        SELECT event_type AS _et,
+               (CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT)
+                // 86400 + 3) % 7 AS _wd,
+               CAST(COUNT(*) AS BIGINT) AS _c
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rtot AS (
+        SELECT _et, CAST(SUM(_c) AS BIGINT) AS _r FROM cell GROUP BY 1
+    ),
+    ctot AS (
+        SELECT _wd, CAST(SUM(_c) AS BIGINT) AS _k FROM cell GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(_c) AS BIGINT) AS _n,
+               CAST(COUNT(*) AS BIGINT) AS _cells
+        FROM cell
+    ),
+    s AS (
+        SELECT SUM(
+                   CAST(_c AS HUGEINT)
+                   * (CAST(length(bin(GREATEST(_c * _n, 1))) AS HUGEINT)
+                      - CAST(length(bin(GREATEST(_r * _k, 1)))
+                             AS HUGEINT))
+               ) AS _S
+        FROM cell
+        JOIN rtot USING (_et)
+        JOIN ctot USING (_wd)
+        CROSS JOIN tot
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS f_rows FROM rtot),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS f_cols FROM ctot)
+    SELECT _n AS f_n, f_rows, f_cols, _cells AS f_cells,
+           CAST(_S * 1000000 // GREATEST(_n, 1) AS BIGINT)
+               AS f_mi_bits_ppm
+    FROM s, tot, nr, nc
+"""
+QUERIES["q_mi_bits"] = q_mi_bits

@@ -617,6 +617,7 @@ def check_source_freshness(
     smap = normalize_source_map(source_map)
 
     checks: list[dict[str, Any]] = []
+    seen_tables: set[tuple[str, str]] = set()
     for path, data in _iter_project_ymls(project_dir):
         for s in data.get("sources") or []:
             if not isinstance(s, dict) or not s.get("name"):
@@ -634,6 +635,14 @@ def check_source_freshness(
                     )
                 tname = str(tbl["name"])
                 where = f"Source '{sname}.{tname}'"
+                if (sname, tname) in seen_tables:
+                    # load_sources_yml raises the same duplicate at
+                    # project load; standalone freshness checks must
+                    # not silently double-report a table
+                    raise ValidationError(
+                        f"{where}: declared twice across models/**.yml"
+                    )
+                seen_tables.add((sname, tname))
                 fresh = (
                     tbl["freshness"] if "freshness" in tbl else s_fresh
                 )
@@ -1785,10 +1794,17 @@ def _enforce_groups_access(
                     f"{where}: access: private requires a group "
                     "(dbt's own rule)"
                 )
-            gov[canonical_name(name)] = {
+            new_gov = {
                 "group": None if grp is None else str(grp),
                 "access": "protected" if acc is None else str(acc),
             }
+            prev_gov = gov.get(canonical_name(name))
+            if prev_gov is not None and prev_gov != new_gov:
+                raise ValidationError(
+                    f"{where}: conflicting group/access declarations "
+                    f"across models/**.yml ({prev_gov} vs {new_gov})"
+                )
+            gov[canonical_name(name)] = new_gov
 
     # ref() enforcement: private models are only visible inside their
     # group

@@ -41,6 +41,7 @@ HEADLINE = [
     "q_dedup_near",
     "q_text_quality",
     "q_readability",
+    "q_tokenizer_fertility",
     "q_sim_topk_fast",
     # round-1 late additions (extend, never shrink: BENCH totals are
     # compared per-query against BASELINE, so new keys add new lines)
@@ -245,6 +246,7 @@ HEADLINE = [
     "q_theil_sen",
     "q_lorenz_deciles",
     "q_mi_bits",
+    "q_hard_negatives",
     "q_welch_t",
     "q_anomaly_iqr",
     "q_seasonal_residual",

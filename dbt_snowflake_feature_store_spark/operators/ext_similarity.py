@@ -2458,6 +2458,158 @@ ORACLE["q_knn_classify"] = f"""
 QUERIES["q_knn_classify"] = q_knn_classify
 
 
+_HN_Q = 16          # fixed query-set size — bounded at ANY corpus scale
+_HN_K = 3           # hard negatives kept per query
+_HN_NEAR_D2 = 2 * 10 ** 12  # near-dup floor on the quantized int64 d²
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for retrieval training, ORACLE-GATED (r13)
+    — the contrastive-training data op beside q_negative_sample's
+    RANDOM negatives: for each query in a fixed hash-smallest set, the
+    K=3 nearest corpus vectors by exact int64 squared euclidean
+    distance that are NOT near-duplicates (d² > the literal near-dup
+    floor — a near-dup is a false negative that poisons the loss, the
+    reason pipelines mine "hard but not identical"). Per (query,
+    rank): the negative's id, exact d², a same-label flag (a hard
+    negative sharing the query's label is the classic noisy-pair
+    signal), and the count of near-dups the floor excluded.
+    Deterministic end-to-end: md5 query-set hash, d² ties → lower
+    vec_id, quantized ·10⁶ integer coordinates (the q_knn_classify
+    exactness discipline).
+
+    Scale: the q_knn_classify shape — Q·64-row broadcast into the
+    corpus dim stream (n·64·Q linear), map-side-combinable distance
+    agg, rank ≤ K via the WindowGroupLimit-eligible per-query window.
+    No Python."""
+    e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
+    base = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("_lbl"),
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("_xq"),
+    )
+    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    qh = F.expr(
+        "cast(conv(substr(md5(concat('hn_', cast(vec_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    q = (
+        base.withColumn("_qh", qh)
+        .orderBy(F.col("_qh").asc(), F.col("vec_id").asc())
+        .limit(_HN_Q)
+        .drop("_qh")
+    )
+    qel = q.select(
+        F.col("vec_id").alias("qid"), F.posexplode("_xq").alias("d", "qx")
+    )
+    d2 = (
+        el.join(F.broadcast(qel), el["_d"] == qel["d"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((F.col("_x") - F.col("qx")) * (F.col("_x") - F.col("qx")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    near = d2.filter(F.col("_d2") <= _HN_NEAR_D2).groupBy("qid").agg(
+        F.count("*").cast("long").alias("_nnear")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_d2").asc(), F.col("vec_id").asc()
+    )
+    hard = (
+        d2.filter(F.col("_d2") > _HN_NEAR_D2)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _HN_K)
+        .join(base.select("vec_id", "_lbl"), "vec_id")
+    )
+    truth = q.select(
+        F.col("vec_id").alias("qid"), F.col("_lbl").alias("_qlbl")
+    )
+    return (
+        hard.join(truth, "qid")
+        .join(F.broadcast(near), "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("f_query"),
+            F.col("_rk").cast("long").alias("f_rank"),
+            F.col("vec_id").cast("long").alias("f_neg"),
+            F.col("_d2").alias("f_d2"),
+            (F.col("_lbl") == F.col("_qlbl")).cast("int").alias(
+                "f_same_label"
+            ),
+            F.coalesce(F.col("_nnear"), F.lit(0).cast("long")).alias(
+                "f_near_excluded"
+            ),
+        )
+        .orderBy("f_query", "f_rank")
+    )
+
+
+ORACLE["q_hard_negatives"] = f"""
+    WITH base AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS xq
+        FROM embeddings WHERE len(embedding) = {_IVFP_DIM}
+    ),
+    el AS (
+        SELECT vec_id,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS x
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id, lbl, xq FROM base
+        ORDER BY ('0x' || substr(md5('hn_' || CAST(vec_id AS VARCHAR)),
+                                 1, 15))::BIGINT ASC, vec_id ASC
+        LIMIT {_HN_Q}
+    ),
+    qel AS (
+        SELECT vec_id AS qid,
+               generate_subscripts(xq, 1) - 1 AS d,
+               unnest(xq) AS qx
+        FROM q
+    ),
+    d2 AS (
+        SELECT qel.qid, el.vec_id,
+               CAST(SUM((el.x - qel.qx) * (el.x - qel.qx)) AS BIGINT)
+                   AS dd
+        FROM el JOIN qel ON el.d = qel.d
+        WHERE el.vec_id <> qel.qid
+        GROUP BY qel.qid, el.vec_id
+    ),
+    near AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS nnear
+        FROM d2 WHERE dd <= {_HN_NEAR_D2} GROUP BY qid
+    ),
+    hard AS (
+        SELECT qid, vec_id, dd,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY dd ASC, vec_id ASC) AS rk
+        FROM d2 WHERE dd > {_HN_NEAR_D2}
+    )
+    SELECT CAST(hard.qid AS BIGINT) AS f_query,
+           CAST(hard.rk AS BIGINT) AS f_rank,
+           CAST(hard.vec_id AS BIGINT) AS f_neg,
+           hard.dd AS f_d2,
+           CAST(CASE WHEN nb.lbl = q.lbl THEN 1 ELSE 0 END AS INT)
+               AS f_same_label,
+           CAST(COALESCE(near.nnear, 0) AS BIGINT) AS f_near_excluded
+    FROM hard
+    JOIN base nb ON hard.vec_id = nb.vec_id
+    JOIN q ON hard.qid = q.vec_id
+    LEFT JOIN near ON hard.qid = near.qid
+    WHERE hard.rk <= {_HN_K}
+    ORDER BY f_query, f_rank
+"""
+QUERIES["q_hard_negatives"] = q_hard_negatives
+
+
 # ---------------------------------------------------------------------------
 # Reciprocal-rank fusion: lexical + semantic retrieval, fused exactly
 # ---------------------------------------------------------------------------

@@ -1501,6 +1501,52 @@ def _langid_oracle(conf: bool = False) -> str:
     """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language, ORACLE-GATED (r13) — the
+    tokenizer-efficiency audit a multilingual pretraining pipeline
+    runs before fixing a vocabulary: BPE-ish pre-tokens per whitespace
+    word ("fertility") by language. High-fertility languages are
+    under-served by the vocabulary (more tokens per word → fewer words
+    per context window, higher training cost per unit text) — this
+    table is the evidence a vocab rebalance acts on, the corpus-level
+    companion to q_bpe_segment (per-word merges) and q_vocab_coverage
+    (OOV mass). Counts reuse the engine's token definitions
+    (functions/text.ws_token_count / bpe_token_count — the SAME
+    regexes the oracle states); fertility = Σbpe·10⁶ DIV Σws exact
+    integers on DECIMAL(38,0)/HUGEINT.
+
+    Scale: one map-side-combinable per-language aggregate over
+    row-local regex counts — zero joins, one shuffle onto the language
+    domain."""
+    from ..functions import text as TXT
+
+    d = _docs(spark, sf_dir).filter(F.col("lang").isNotNull())
+    per = d.select(
+        F.col("lang").alias("f_lang"),
+        TXT.ws_token_count(F.col("text")).alias("_ws"),
+        TXT.bpe_token_count(F.col("text")).alias("_bpe"),
+    )
+    return (
+        per.groupBy("f_lang")
+        .agg(
+            F.count("*").cast("long").alias("f_docs"),
+            F.sum("_ws").cast("long").alias("f_ws_tokens"),
+            F.sum("_bpe").cast("long").alias("f_bpe_tokens"),
+        )
+        .select(
+            "f_lang",
+            "f_docs",
+            "f_ws_tokens",
+            "f_bpe_tokens",
+            F.expr(
+                "CAST(CAST(f_bpe_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV GREATEST(f_ws_tokens, 1) AS BIGINT)"
+            ).alias("f_fertility_ppm"),
+        )
+        .orderBy("f_lang")
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLESCH-STYLE READABILITY SCORE per document, ORACLE-GATED (r13)
     — the classic quality-filter feature beside q_text_quality's
@@ -1550,6 +1596,28 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_tokenizer_fertility": """
+    WITH per AS (
+        SELECT lang AS f_lang,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS _ws,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS _bpe
+        FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT f_lang,
+           CAST(COUNT(*) AS BIGINT) AS f_docs,
+           CAST(SUM(_ws) AS BIGINT) AS f_ws_tokens,
+           CAST(SUM(_bpe) AS BIGINT) AS f_bpe_tokens,
+           CAST(CAST(SUM(_bpe) AS HUGEINT) * 1000000
+                // GREATEST(CAST(SUM(_ws) AS HUGEINT), 1) AS BIGINT)
+               AS f_fertility_ppm
+    FROM per
+    GROUP BY 1
+    ORDER BY f_lang
+    """,
     "q_readability": r"""
     WITH c AS (
         SELECT doc_id,
@@ -2358,6 +2426,7 @@ QUERIES = {
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,
     "q_readability": q_readability,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_text_search": q_text_search,
     "q_lang_id": q_lang_id,
     "q_lang_id_conf": q_lang_id_conf,

@@ -90,7 +90,11 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # q_source_freshness (derived offset_window, saved-query
     # evaluation, dbt source freshness) and join the r14 promotion set
     "q_fv_static_read",
-    # position 51+ — PAST the cap: q_dedup_exact/near/embed/ngram
+    # position 51+ — PAST the cap: the two LAST late-r13 keys
+    # (q_tokenizer_fertility, q_hard_negatives) land here BY DESIGN —
+    # the front was full of first records already; their green record
+    # is CORRECTNESS_LOCAL_r13.json (both SFs) and they lead the r14
+    # front with the promotion set; q_dedup_exact/near/embed/ngram
     # yielded their part-3 slots to the wave-6 quartet
     # (q_welch_t/q_anomaly_iqr/q_seasonal_residual/q_gap_octaves),
     # q_fv_profile to q_metric_conversion and q_fv_latest_snapshot to

@@ -29,6 +29,7 @@ from .models import (
     load_project,
     load_dbt_project_yml,
     run_model_contracts,
+    run_operation,
     load_semantic_layer,
     run_data_tests,
     run_schema_tests,
@@ -67,6 +68,7 @@ __all__ = [
     "load_exposures",
     "load_dbt_project_yml",
     "run_model_contracts",
+    "run_operation",
     "load_semantic_layer",
     "run_data_tests",
     "run_schema_tests",

@@ -415,6 +415,23 @@ def load_dbt_project_yml(project_dir: str) -> dict[str, Any] | None:
                 "<project>/models, or at the project root with no "
                 "dbt_project.yml)"
             )
+    # dbt on-run-start / on-run-end hooks: a SQL statement (optionally
+    # Jinja-templated against project macros + vars) or a list of them,
+    # executed by build_project at the dbt phase boundaries
+    for hook_key in ("on-run-start", "on-run-end"):
+        hv = data.get(hook_key)
+        if hv is None:
+            continue
+        if isinstance(hv, str):
+            hv = [hv]
+        if not isinstance(hv, list) or not all(
+            isinstance(x, str) for x in hv
+        ):
+            raise ValidationError(
+                f"{path!r}: {hook_key}: must be a SQL string or a "
+                "list of SQL strings"
+            )
+        out[hook_key] = list(hv)
     return out
 
 
@@ -1722,6 +1739,103 @@ _INPUT_REL_RE = re.compile(
     r"""^\s*(ref|source)\s*\(\s*['"]([^'"]+)['"]\s*"""
     r"""(?:,\s*['"]([^'"]+)['"]\s*)?\)\s*$"""
 )
+
+
+def run_operation(
+    fs: "FeatureStore",
+    project_dir: str,
+    macro_name: str,
+    args: dict[str, Any] | None = None,
+    model_vars: dict[str, Any] | None = None,
+    execute: bool = True,
+) -> dict[str, Any]:
+    """dbt ``run-operation`` (r13): invoke a PROJECT MACRO by name —
+    the dbt escape hatch for admin/maintenance SQL (grants, cleanup,
+    vacuum analogs) that isn't a model. The macro renders with the
+    project's jinja environment (``macros/*.sql`` + dbt_project.yml /
+    caller vars, kwargs passed through — dbt's ``--args``); a
+    non-empty render executes via ``spark.sql`` with the registered
+    sources and materialized FVs bound as views (the same binding the
+    model pipeline sees), and the collected rows come back in the
+    report. Unknown macro names fail loudly, LISTING the project's
+    macros (a typo silently doing nothing is the dbt failure mode this
+    refuses). ``execute=False`` is dry-run: render only.
+
+    Contract note: run-operation is an ADMIN surface — results are
+    driver-collected, so statements must be admin-sized (DDL, small
+    audits), never corpus scans; data-plane work belongs in models."""
+    model_vars = project_vars(project_dir, model_vars)
+    env = make_jinja_env(_project_macro_paths(project_dir), model_vars)
+    builtins = {"ref", "source", "var"}
+    available = sorted(
+        k
+        for k, v in env.globals.items()
+        if callable(v) and not k.startswith("_") and k not in builtins
+        and k not in ("range", "dict", "lipsum", "cycler", "joiner",
+                      "namespace")
+    )
+    if macro_name in builtins or macro_name not in env.globals:
+        raise ValidationError(
+            f"run-operation: macro '{macro_name}' is not defined by "
+            f"this project (available: {available or ['<none>']})"
+        )
+    import jinja2
+
+    try:
+        rendered = str(env.globals[macro_name](**(args or {})))
+    except (jinja2.TemplateError, TypeError) as exc:
+        raise ValidationError(
+            f"run-operation '{macro_name}': render failed: {exc}"
+        ) from exc
+    sql = rendered.strip()
+    out: dict[str, Any] = {"macro": macro_name, "sql": sql, "rows": None}
+    if not sql or not execute:
+        return out
+    fs._bind_batch_sources()
+    out["rows"] = fs.spark.sql(sql).collect()
+    return out
+
+
+def _run_project_hooks(
+    fs: "FeatureStore",
+    project_dir: str,
+    which: str,
+    model_vars: dict[str, Any] | None,
+) -> list[str]:
+    """Execute dbt_project.yml ``on-run-start`` / ``on-run-end`` hooks
+    (r13): each entry renders through the project jinja env (macros +
+    vars) and executes via ``spark.sql`` with sources/FVs bound —
+    dbt's phase-boundary SQL (audit-log inserts, session setup).
+    Failures raise loudly, naming the hook by index and text. Returns
+    the rendered statements (the build report records them)."""
+    cfg = load_dbt_project_yml(project_dir)
+    hooks = list((cfg or {}).get(which) or [])
+    if not hooks:
+        return []
+    model_vars = project_vars(project_dir, model_vars)
+    env = make_jinja_env(_project_macro_paths(project_dir), model_vars)
+    import jinja2
+
+    fs._bind_batch_sources()
+    rendered_out: list[str] = []
+    for i, raw in enumerate(hooks):
+        try:
+            sql = env.from_string(str(raw)).render().strip()
+        except jinja2.TemplateError as exc:
+            raise ValidationError(
+                f"{which} hook #{i} render failed: {exc} — hook: "
+                f"{raw!r}"
+            ) from exc
+        if not sql:
+            continue
+        try:
+            fs.spark.sql(sql).collect()
+        except Exception as exc:
+            raise ValidationError(
+                f"{which} hook #{i} failed: {exc} — hook SQL: {sql!r}"
+            ) from exc
+        rendered_out.append(sql)
+    return rendered_out
 
 
 def _enforce_groups_access(
@@ -4258,9 +4372,9 @@ def build_project(
     from .snapshots import run_snapshots
 
     report: dict[str, Any] = {
-        "models": load_project(
-            fs, project_dir, source_map=source_map, model_vars=model_vars,
-            select=select, exclude=exclude, state=state,
+        # dbt on-run-start hooks fire BEFORE anything builds (r13)
+        "on_run_start": _run_project_hooks(
+            fs, project_dir, "on-run-start", model_vars
         ),
         "snapshots": None,
         "contracts": [],
@@ -4268,6 +4382,10 @@ def build_project(
         "schema_tests": [],
         "data_tests": [],
     }
+    report["models"] = load_project(
+        fs, project_dir, source_map=source_map, model_vars=model_vars,
+        select=select, exclude=exclude, state=state,
+    )
     snap_dir = os.path.join(project_dir, "snapshots")
     has_snaps = os.path.isdir(snap_dir) and any(
         fn.endswith(".sql")
@@ -4330,6 +4448,12 @@ def build_project(
     # artifact impact-analysis tooling consumes
     report["manifest"] = export_manifest(
         fs, project_dir, model_vars=model_vars
+    )
+    # dbt on-run-end hooks fire at the END of the invocation, before
+    # the exit-status aggregation (they run even when tests failed —
+    # dbt's own ordering; a HOOK failure still raises immediately)
+    report["on_run_end"] = _run_project_hooks(
+        fs, project_dir, "on-run-end", model_vars
     )
     if strict_tests:
         failed = [

@@ -2617,6 +2617,101 @@ models:
         assert run_schema_tests(fs, proj, allow_empty=True) == []
 
 
+class TestHooksAndRunOperation:
+    """r13: dbt on-run-start/on-run-end hooks (dbt_project.yml, executed
+    at build_project's phase boundaries with macros + vars rendered)
+    and run-operation (invoke a project macro by name — the admin SQL
+    escape hatch)."""
+
+    MACRO = """\
+{% macro audit_row(tag) -%}
+SELECT '{{ tag }}' AS tag, {{ var('answer', 42) }} AS answer
+{%- endmacro %}
+
+{% macro silent_macro() %}{% endmacro %}
+"""
+
+    def _proj(self, fs, tmp_path, base_table, project_yml):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        import os as _os
+
+        mdir = _os.path.join(proj, "macros")
+        _os.makedirs(mdir, exist_ok=True)
+        with open(_os.path.join(mdir, "ops.sql"), "w") as f:
+            f.write(self.MACRO)
+        if project_yml is not None:
+            with open(_os.path.join(proj, "dbt_project.yml"), "w") as f:
+                f.write(project_yml)
+        fs.register_source("customer_base_table", base_table)
+        return proj
+
+    def test_hooks_run_at_phase_boundaries(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import build_project
+
+        proj = self._proj(
+            fs,
+            tmp_path,
+            base_table,
+            """\
+name: hooked
+on-run-start:
+  - CREATE OR REPLACE TEMPORARY VIEW hook_start AS SELECT 1 AS one
+on-run-end:
+  - CREATE OR REPLACE TEMPORARY VIEW hook_end AS SELECT 2 AS two
+  - "{{ '' }}"
+""",
+        )
+        report = build_project(fs, proj)
+        assert fs.spark.table("hook_start").collect()[0]["one"] == 1
+        assert fs.spark.table("hook_end").collect()[0]["two"] == 2
+        assert len(report["on_run_start"]) == 1
+        # the empty-render hook is skipped, not executed
+        assert len(report["on_run_end"]) == 1
+        # a failing hook names itself loudly
+        import os as _os
+
+        with open(_os.path.join(proj, "dbt_project.yml"), "w") as f:
+            f.write(
+                "name: hooked\non-run-start:\n"
+                "  - SELECT no_such_column FROM hook_start\n"
+            )
+        with pytest.raises(ValidationError, match="on-run-start hook #0"):
+            build_project(fs, proj)
+
+    def test_run_operation_renders_and_executes(
+        self, fs, tmp_path, base_table
+    ):
+        from dbt_snowflake_feature_store_spark import run_operation
+
+        proj = self._proj(
+            fs, tmp_path, base_table, "name: hooked\nvars:\n  answer: 7\n"
+        )
+        out = run_operation(
+            fs, proj, "audit_row", args={"tag": "t1"}
+        )
+        assert out["rows"][0]["tag"] == "t1"
+        # project vars reach the macro; caller vars override
+        assert out["rows"][0]["answer"] == 7
+        out2 = run_operation(
+            fs, proj, "audit_row", args={"tag": "t2"},
+            model_vars={"answer": 9},
+        )
+        assert out2["rows"][0]["answer"] == 9
+        # dry-run renders without executing
+        dry = run_operation(
+            fs, proj, "audit_row", args={"tag": "t3"}, execute=False
+        )
+        assert dry["rows"] is None and "t3" in dry["sql"]
+        # empty render is a no-op, not an error
+        silent = run_operation(fs, proj, "silent_macro")
+        assert silent["sql"] == "" and silent["rows"] is None
+        # unknown macros fail loudly, listing what exists
+        with pytest.raises(ValidationError, match="audit_row"):
+            run_operation(fs, proj, "no_such_macro")
+
+
 class TestStateSelection:
     """r13: dbt slim-CI state selectors — state:modified / state:new
     against a previous manifest (export_manifest carries a raw-file

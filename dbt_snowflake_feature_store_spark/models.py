@@ -576,14 +576,30 @@ def _freshness_seconds(spec: Any, where: str, role: str) -> int | None:
 
 
 def _utc_epoch_seconds(dt) -> int:
-    """Whole-second UTC epoch of a datetime; naive values are UTC (the
-    engine's session timezone contract). Truncates — the
-    unix_timestamp/FLOOR(epoch()) portability rule."""
+    """Whole-second UTC epoch of a datetime / date / ISO string /
+    integer epoch; naive values are UTC (the engine's session timezone
+    contract). Truncates — the unix_timestamp/FLOOR(epoch())
+    portability rule. DATE-typed loaded_at fields land here as
+    datetime.date (midnight UTC); integer inputs are taken as epoch
+    seconds already (ADVICE-r13). Anything else raises
+    ValidationError naming the offending type, not AttributeError."""
     import calendar
     import datetime as _dt
 
+    if isinstance(dt, bool) or not isinstance(
+        dt, (str, int, _dt.date, _dt.datetime)
+    ):
+        raise ValidationError(
+            f"unsupported loaded_at value {dt!r} "
+            f"({type(dt).__name__}): expected a timestamp, date, ISO "
+            "string, or integer epoch seconds"
+        )
+    if isinstance(dt, int):
+        return dt
     if isinstance(dt, str):
         dt = _dt.datetime.fromisoformat(dt)
+    if isinstance(dt, _dt.date) and not isinstance(dt, _dt.datetime):
+        return calendar.timegm(dt.timetuple())
     if dt.tzinfo is None:
         return calendar.timegm(dt.timetuple())
     return int(dt.timestamp())
@@ -722,7 +738,7 @@ def check_source_freshness(
 
     out: list[dict[str, Any]] = []
     for c in sorted(checks, key=lambda c: (c["source"], c["table"])):
-        df = fs._source_reader(c["_doc"]).load(c["_doc"]["path"])
+        df = fs._load_source(c["_doc"])
         row = df.agg(
             F.max(F.expr(c["_laf"])).alias("_fs_max")
         ).collect()[0]
@@ -1497,7 +1513,7 @@ def run_schema_tests(
                 f"Schema test source '{sname}.{tname}' resolves to "
                 f"'{bound}', which is not a registered source"
             )
-        return fs._source_reader(doc).load(doc["path"])
+        return fs._load_source(doc)
 
     _REL_RE = re.compile(
         r"""^\s*(ref|source)\s*\(\s*['"]([^'"]+)['"]\s*"""
@@ -1774,7 +1790,10 @@ def run_operation(
         and k not in ("range", "dict", "lipsum", "cycler", "joiner",
                       "namespace")
     )
-    if macro_name in builtins or macro_name not in env.globals:
+    # gate on the SAME set we advertise: Jinja builtin globals hidden
+    # from `available` (range, dict, lipsum, …) must be rejected here
+    # too, not fail later with a confusing render/SQL error (ADVICE-r13)
+    if macro_name not in available:
         raise ValidationError(
             f"run-operation: macro '{macro_name}' is not defined by "
             f"this project (available: {available or ['<none>']})"
@@ -2267,7 +2286,7 @@ def run_unit_tests(
                 return spark.sql(resolved[mdl.name]).schema
             doc = fs.registry.get("sources", canonical_name(a))
             if doc is not None:  # a seed registers as a source
-                return fs._source_reader(doc).load(doc["path"]).schema
+                return fs._load_source(doc).schema
             raise ValidationError(
                 f"{ctx}: ref('{a}') does not match any model or seed "
                 "in the project"
@@ -2295,7 +2314,7 @@ def run_unit_tests(
                 f"{ctx}: source('{a}', '{b}') resolves to '{bound}', "
                 "which is not a registered source"
             )
-        return fs._source_reader(doc).load(doc["path"]).schema
+        return fs._load_source(doc).schema
 
     def _fixture_df(schema, rows: list[dict[str, Any]], ctx: str):
         """Fixture rows typed by the real relation's schema: named
@@ -2933,6 +2952,20 @@ def load_semantic_layer(
                             f"be '<N> days', got {cwin!r}"
                         )
                     cdeps["window"] = str(cwin).strip()
+                # attribution grain (r14, engine extension): dbt/
+                # MetricFlow's real conversion semantics are EVENT-grain
+                # (every base event counts; each conversion event is
+                # attributed to one base event). This engine's historical
+                # default is entity-grain FIRST-touch (documented);
+                # `attribution: event` opts into the MetricFlow shape.
+                attr = str(ctp.get("attribution") or "first_touch")
+                if attr not in ("first_touch", "event"):
+                    raise ValidationError(
+                        f"Metric '{name}': attribution must be "
+                        f"'first_touch' or 'event', got "
+                        f"{ctp.get('attribution')!r}"
+                    )
+                cdeps["attribution"] = attr
                 deps["conversion_type_params"] = cdeps
             elif mtype in ("simple", "cumulative"):
                 mv = tp.get("measure")
@@ -4298,7 +4331,7 @@ def export_catalog(
         doc = fs.registry.get("sources", canonical_name(bound))
         if doc is None:
             continue  # declared but never registered — manifest-only
-        df = fs._source_reader(doc).load(doc["path"])
+        df = fs._load_source(doc)
         sources_out[f"source.project.{src}.{tbl}"] = {
             "resource_type": "source",
             "source_name": src,

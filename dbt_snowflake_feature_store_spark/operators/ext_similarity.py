@@ -2538,9 +2538,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rk").cast("long").alias("f_rank"),
             F.col("vec_id").cast("long").alias("f_neg"),
             F.col("_d2").alias("f_d2"),
-            (F.col("_lbl") == F.col("_qlbl")).cast("int").alias(
-                "f_same_label"
-            ),
+            # CASE WHEN … THEN 1 ELSE 0 — null labels yield 0 like the
+            # oracle's CASE, never NULL (ADVICE-r13: a plain == would
+            # diverge if embeddings.label is ever NULL)
+            F.when(F.col("_lbl") == F.col("_qlbl"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("f_same_label"),
             F.coalesce(F.col("_nnear"), F.lit(0).cast("long")).alias(
                 "f_near_excluded"
             ),

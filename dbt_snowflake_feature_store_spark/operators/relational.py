@@ -683,12 +683,16 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags as literals and the exact columns hash-gate the plan; the
     sketch aggregates still run (they feed the flags)."""
     li = _t(spark, sf_dir, "lineitem")
+    # Both exact quartiles come from ONE percentile(col, array(...))
+    # aggregate — a single per-group value buffer instead of two full
+    # copies (the q_theil_sen array-form catch; VERDICT-r13 fix #1).
     a = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_p50"),
         F.countDistinct("l_partkey").cast("long").alias("f_exact_parts"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.25)).alias("_p25"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.75)).alias("_p75"),
+        F.percentile(
+            F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("_q"),
         F.count("*").cast("long").alias("f_n"),
     )
     return a.select(
@@ -700,8 +704,8 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("f_exact_parts") * 15
         ).cast("int").alias("f_distinct_ok"),
         (
-            (F.col("_approx_p50") >= F.col("_p25"))
-            & (F.col("_approx_p50") <= F.col("_p75"))
+            (F.col("_approx_p50") >= F.col("_q")[0])
+            & (F.col("_approx_p50") <= F.col("_q")[1])
         ).cast("int").alias("f_p50_ok"),
     )
 

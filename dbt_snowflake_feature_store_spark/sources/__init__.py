@@ -1,9 +1,17 @@
-from .tables import TABLES, ensure_parallelism, load_tables, read_table, register_views
+from .tables import (
+    TABLES,
+    ensure_parallelism,
+    load_tables,
+    normalize_frame,
+    read_table,
+    register_views,
+)
 
 __all__ = [
     "TABLES",
     "ensure_parallelism",
     "load_tables",
+    "normalize_frame",
     "read_table",
     "register_views",
 ]

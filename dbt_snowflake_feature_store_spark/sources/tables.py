@@ -78,6 +78,42 @@ def _footer_ts_cols(path: str) -> set[str] | None:
         return None
 
 
+def normalize_frame(
+    df: DataFrame,
+    path: str | None = None,
+    ns_allowlist: tuple[str, ...] = (),
+    table: str = "?",
+) -> DataFrame:
+    """Apply read_table's timestamp-layout normalization to an
+    already-loaded frame: TIMESTAMP_NTZ → session-TZ TIMESTAMP (every
+    column, every table), and bigint columns the parquet footer declares
+    as timestamps (the nanosAsLong layout) → µs-truncated TIMESTAMP.
+    ``path`` enables the footer probe; without it only ``ns_allowlist``
+    repairs bigint-nanos columns. Shared by read_table and the
+    FeatureStore registered-source read path (ADVICE-r13: freshness and
+    model reads must see the same normalized types as every operator)."""
+    ns_cols = set(ns_allowlist)
+    if path is not None:
+        footer_ts = _footer_ts_cols(path)
+        if footer_ts is not None:
+            ns_cols = footer_ts
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":  # timestamp[us] layout, any table
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dt == "bigint" and c in ns_cols:  # TIMESTAMP(NANOS) layout
+            if c not in ns_allowlist:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "normalize_frame(%s): footer-detected nanos timestamp "
+                    "column '%s' (not in the static allowlist) — repairing",
+                    table,
+                    c,
+                )
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one source table; normalizes event-time columns to UTC
     TIMESTAMP whether the file stores ns-int64 or timestamp[us]/NTZ.
@@ -90,25 +126,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    footer_ts = _footer_ts_cols(path)
-    ns_cols = (
-        footer_ts if footer_ts is not None else set(_EVENT_TS_COLS.get(name, ()))
+    return normalize_frame(
+        df, path=path, ns_allowlist=_EVENT_TS_COLS.get(name, ()), table=name
     )
-    for c, dt in df.dtypes:
-        if dt == "timestamp_ntz":  # timestamp[us] layout, any table
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-        elif dt == "bigint" and c in ns_cols:  # TIMESTAMP(NANOS) layout
-            if c not in _EVENT_TS_COLS.get(name, ()):
-                import logging
-
-                logging.getLogger(__name__).info(
-                    "read_table(%s): footer-detected nanos timestamp "
-                    "column '%s' (not in the static allowlist) — repairing",
-                    name,
-                    c,
-                )
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

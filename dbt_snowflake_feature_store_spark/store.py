@@ -219,10 +219,27 @@ class FeatureStore:
             reader = reader.option(k, v)
         return reader
 
+    def _load_source(self, doc: dict[str, Any]) -> DataFrame:
+        """Load a registered source with the SAME timestamp-layout
+        normalization as ``sources.read_table`` (the hard invariant:
+        every source read sees UTC TIMESTAMP whether the file stores
+        ns-int64 or timestamp[us]/NTZ — ADVICE-r13 medium: freshness /
+        model reads previously bypassed it). Footer-probed for parquet;
+        other formats still get the dtype-driven NTZ repair."""
+        from .sources import normalize_frame
+
+        if doc.get("format", "parquet") == "parquet":
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self._source_reader(doc).load(doc["path"])
+        probe = (
+            doc["path"] if doc.get("format", "parquet") == "parquet" else None
+        )
+        return normalize_frame(df, path=probe, table=doc.get("name", "?"))
+
     def _bind_batch_sources(self) -> None:
         for doc in self.registry.list("sources"):
             try:
-                df = self._source_reader(doc).load(doc["path"])
+                df = self._load_source(doc)
                 df.createOrReplaceTempView(doc["name"])
             except Exception:
                 # a broken source must not block FVs that don't reference

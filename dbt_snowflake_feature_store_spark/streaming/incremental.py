@@ -67,7 +67,7 @@ def _source_views(fs: "FeatureStore", streaming: bool) -> list[str]:
                         doc["watermark_col"], doc["watermark_delay"]
                     )
             else:
-                df = fs._source_reader(doc).load(path)
+                df = fs._load_source(doc)
         except Exception:
             # a broken source must not block FVs that don't reference it;
             # an FV that does fails at spark.sql with unresolved view →

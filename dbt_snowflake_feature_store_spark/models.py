@@ -1983,10 +1983,22 @@ def run_model_contracts(
     no scan) against the declaration; types normalize through Spark's
     DDL parser (``int``/``integer``, ``string``, ``decimal(28,6)``, …
     all spell to one ``simpleString``), names compare
-    case-insensitively (the engine's identifier rule). dbt's column
-    ``constraints:`` (not_null etc.) are intentionally out of scope —
-    generic tests are this engine's constraint surface (documented
-    simplification).
+    case-insensitively (the engine's identifier rule).
+
+    Column and model ``constraints:`` (dbt 1.5, r14 — VERDICT-r13 #7)
+    are enforced as ZERO-VIOLATION data assertions, the same contract
+    the generic-test machinery applies: ``not_null`` (column-level, or
+    model-level with ``columns:``) and ``check`` (with
+    ``expression:``; a NULL predicate counts as a violation — a
+    constraint that cannot prove itself fails) compile into ONE
+    map-side-combinable SUM-of-flags aggregate pass per contracted
+    model; only models that declare data constraints scan at all,
+    schema-only contracts stay metadata-only. ``unique`` /
+    ``primary_key`` / ``foreign_key`` / ``custom`` are REFUSED loudly —
+    declare them as generic tests (``unique`` / ``relationships``),
+    which this engine already enforces; silently recording an
+    unenforceable constraint is the dbt-on-Snowflake failure mode this
+    refuses.
 
     Returns ``[{"model", "passed", "errors"}]`` in name order, one row
     per enforced contract (entries without an enforced contract are
@@ -1995,8 +2007,9 @@ def run_model_contracts(
     aggregation contract). A contract on an unknown or entity model
     fails loudly.
 
-    Scale: pure metadata — schemas come from the registry/catalyst,
-    never from data."""
+    Scale: schema checks are pure metadata (registry/catalyst);
+    constraint checks are one combinable aggregate over the FV read
+    per model — never a per-constraint rescan."""
     from pyspark.sql.types import _parse_datatype_string
 
     mdir = os.path.join(project_dir, "models")
@@ -2064,6 +2077,63 @@ def run_model_contracts(
             ):
                 continue
             declared: dict[str, str] = {}
+            nn_cols: list[str] = []
+            check_exprs: list[tuple[str | None, str]] = []
+
+            def _parse_constraints(
+                clist: Any, colname: str | None = None
+            ) -> None:
+                """Column-level (colname set) or model-level
+                constraints. not_null/check enforce; unique/
+                primary_key/foreign_key/custom refuse loudly."""
+                for c in clist or []:
+                    if not (isinstance(c, dict) and c.get("type")):
+                        raise ValidationError(
+                            f"{where}: every constraints: entry needs "
+                            "a type"
+                        )
+                    ctype = str(c["type"]).lower()
+                    if ctype == "not_null":
+                        cols = (
+                            [colname]
+                            if colname
+                            else [
+                                str(x) for x in (c.get("columns") or [])
+                            ]
+                        )
+                        if not cols:
+                            raise ValidationError(
+                                f"{where}: model-level not_null "
+                                "constraint needs columns:"
+                            )
+                        nn_cols.extend(cols)
+                    elif ctype == "check":
+                        if not c.get("expression"):
+                            raise ValidationError(
+                                f"{where}: check constraint needs "
+                                "expression:"
+                            )
+                        check_exprs.append(
+                            (colname, str(c["expression"]))
+                        )
+                    elif ctype in (
+                        "unique",
+                        "primary_key",
+                        "foreign_key",
+                    ):
+                        raise ValidationError(
+                            f"{where}: constraint type '{ctype}' is "
+                            "not enforceable as a contract here — "
+                            "declare it as a generic test (unique / "
+                            "relationships), which this engine "
+                            "enforces"
+                        )
+                    else:
+                        raise ValidationError(
+                            f"{where}: unknown constraint type "
+                            f"'{ctype}' (enforced: not_null, check)"
+                        )
+
             for coldef in entry.get("columns") or []:
                 if not (isinstance(coldef, dict) and coldef.get("name")):
                     raise ValidationError(
@@ -2084,11 +2154,22 @@ def run_model_contracts(
                 declared[cname_l] = _norm_type(
                     coldef["data_type"], where
                 )
+                _parse_constraints(
+                    coldef.get("constraints"), str(coldef["name"])
+                )
+            _parse_constraints(entry.get("constraints"))
+            for nc in nn_cols:
+                if nc.lower() not in declared:
+                    raise ValidationError(
+                        f"{where}: not_null constraint names "
+                        f"undeclared column '{nc}'"
+                    )
+            fv_df = fs.read_feature_view(
+                mdl.name, str(mdl.config["feature_view_version"])
+            )
             actual = {
                 f.name.lower(): f.dataType.simpleString()
-                for f in fs.read_feature_view(
-                    mdl.name, str(mdl.config["feature_view_version"])
-                ).schema.fields
+                for f in fv_df.schema.fields
             }
             errors: list[str] = []
             for cn, dt in declared.items():
@@ -2108,6 +2189,47 @@ def run_model_contracts(
                         f"model emits undeclared column '{cn}' — an "
                         "enforced contract is exact"
                     )
+            # data constraints (r14): one combinable SUM-of-flags
+            # aggregate over the FV read — only when the schema held
+            # (a broken schema makes column references unreliable) and
+            # the contract actually declares data constraints
+            if not errors and (nn_cols or check_exprs):
+                from pyspark.sql import functions as F
+
+                aggs, labels = [], []
+                for nc in nn_cols:
+                    aggs.append(
+                        F.sum(
+                            F.when(F.col(nc).isNull(), 1).otherwise(0)
+                        ).alias(f"_fs_c{len(aggs)}")
+                    )
+                    labels.append(
+                        f"column '{nc.lower()}' violates not_null"
+                    )
+                for colname, ex in check_exprs:
+                    # a NULL predicate is a violation: a constraint
+                    # that cannot prove itself fails
+                    aggs.append(
+                        F.sum(
+                            F.expr(
+                                f"CASE WHEN NOT ({ex}) OR (({ex}) IS "
+                                "NULL) THEN 1 ELSE 0 END"
+                            )
+                        ).alias(f"_fs_c{len(aggs)}")
+                    )
+                    labels.append(
+                        f"check ({ex}) violated"
+                        + (
+                            f" on column '{colname.lower()}'"
+                            if colname
+                            else ""
+                        )
+                    )
+                row = fv_df.agg(*aggs).collect()[0]
+                for i, lbl in enumerate(labels):
+                    n = row[i] or 0
+                    if n:
+                        errors.append(f"{lbl}: {n} row(s)")
             results.append(
                 {
                     "model": canonical_name(name),
@@ -3120,18 +3242,23 @@ def load_semantic_layer(
                 "type_params": deps,
             }
             # dbt metric-level `filter:` — a row predicate applied before
-            # aggregation. dbt templates it with {{ Dimension('e__d') }};
-            # this engine accepts a plain SQL predicate over the model's
-            # columns (documented simplification — evaluate_metric
-            # applies it; derived metrics refuse it, matching MetricFlow,
-            # where filters belong on the inputs)
+            # aggregation. Both spellings are accepted (r14): dbt's real
+            # templated form ({{ Dimension('e__d') }} /
+            # {{ TimeDimension('metric_time', 'day') }} /
+            # {{ Entity('e') }}, resolved by evaluate_metric — entity-
+            # path references join through the shared entity) and a
+            # plain SQL predicate over the model's columns (the
+            # engine's original spelling). Derived metrics refuse it,
+            # matching MetricFlow, where filters belong on the inputs.
             if mt.get("filter") is not None:
                 if mtype == "derived":
                     raise ValidationError(
                         f"Metric '{name}': derived metrics cannot carry "
                         "filter: — put the filter on the input metrics"
                     )
-                doc["filter"] = str(mt["filter"])
+                fstr = str(mt["filter"])
+                _validate_filter_templates(name, fstr)
+                doc["filter"] = fstr
             met_out.append(doc)
 
     # dbt 1.7+ `saved_queries:` — a named, reusable semantic-layer
@@ -3233,6 +3360,51 @@ def load_semantic_layer(
 
 _TIME_GRAINS = ("day", "week", "month", "quarter", "year")
 
+# dbt metric `filter:` templating (r14 — dbt's REAL filter spelling):
+#   {{ Dimension('entity__dim') }}   {{ Dimension('dim') }}
+#   {{ TimeDimension('metric_time', 'day') }}
+#   {{ Entity('entity') }}
+# Resolved by evaluate_metric against the metric's semantic model
+# (entity-path references join through the shared entity, exactly like
+# entity-path group_by). Plain SQL predicates (no templates) remain
+# accepted — the engine's original documented spelling.
+_FILTER_DIM_RE = re.compile(
+    r"\{\{\s*Dimension\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}"
+)
+_FILTER_TDIM_RE = re.compile(
+    r"\{\{\s*TimeDimension\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*,\s*"
+    r"['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}"
+)
+_FILTER_ENT_RE = re.compile(
+    r"\{\{\s*Entity\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}"
+)
+_FILTER_ANY_TPL_RE = re.compile(r"\{\{.*?\}\}", re.DOTALL)
+
+
+def _validate_filter_templates(metric_name: str, flt: str) -> None:
+    """Load-time syntax gate for metric `filter:` templating: every
+    `{{ ... }}` block must be a well-formed Dimension / TimeDimension /
+    Entity reference (TimeDimension grains validated here). Name
+    RESOLUTION happens at evaluate time, when the registry holds every
+    semantic model the entity-path planner may join through."""
+    stripped = _FILTER_DIM_RE.sub("1", flt)
+    for m in _FILTER_TDIM_RE.finditer(stripped):
+        if m.group(2) not in _TIME_GRAINS:
+            raise ValidationError(
+                f"Metric '{metric_name}': TimeDimension grain must be "
+                f"one of {_TIME_GRAINS}, got {m.group(2)!r}"
+            )
+    stripped = _FILTER_TDIM_RE.sub("1", stripped)
+    stripped = _FILTER_ENT_RE.sub("1", stripped)
+    leftover = _FILTER_ANY_TPL_RE.search(stripped)
+    if leftover:
+        raise ValidationError(
+            f"Metric '{metric_name}': unrecognized filter template "
+            f"{leftover.group(0)!r} — supported: "
+            "{{ Dimension('name') }}, "
+            "{{ TimeDimension('name', 'grain') }}, {{ Entity('name') }}"
+        )
+
 
 def _metric_base_df(fs: "FeatureStore", sem: dict[str, Any],
                     model_version: str | None):
@@ -3316,22 +3488,40 @@ def evaluate_metric(
       (MetricFlow period-over-period) shifts that input's metric_time
       FORWARD by the offset before the join, so each row sees the
       input's value from N grains earlier; requires ``time_grain``.
-    - ``conversion``  → ENTITY-grain first-touch attribution (r13):
-      an entity converts iff a conversion event lands at-or-after its
-      FIRST base event (within ``window`` days when given); group-by
-      dimension values are taken at the first base event;
-      ``calculation`` picks converting-entity count vs the guarded
-      rate. Cross-model conversion refused (entity-join planner).
+    - ``conversion``  → ENTITY-grain first-touch attribution by
+      default (r13): an entity converts iff a conversion event lands
+      at-or-after its FIRST base event (within ``window`` days when
+      given); group-by dimension values are taken at the first base
+      event; ``calculation`` picks converting-entity count vs the
+      guarded rate. ``conversion_type_params.attribution: event``
+      (r14) opts into MetricFlow's real EVENT-grain semantics: every
+      base event counts toward the denominator at its own
+      dims/metric_time, and every conversion event is attributed to
+      the LATEST base event of its entity at-or-before it (within the
+      window), so conversions are never double-counted. Cross-model
+      conversion refused (no entity-path planner for event frames).
 
-    A metric-level ``filter:`` (a SQL predicate over the model's
-    columns — this engine's documented simplification of dbt's
-    ``{{ Dimension(...) }}`` templating) applies BEFORE aggregation and
-    pushes into the FV scan; derived metrics refuse it at load time
-    (put the filter on the inputs, as in MetricFlow).
+    A metric-level ``filter:`` applies BEFORE aggregation and pushes
+    into the FV scan; derived metrics refuse it at load time (put the
+    filter on the inputs, as in MetricFlow). Both spellings are
+    accepted (r14): dbt's real templating —
+    ``{{ Dimension('dim') }}`` / ``{{ Dimension('entity__dim') }}``
+    (cross-model references join through the entity-path planner),
+    ``{{ TimeDimension('metric_time', 'grain') }}`` →
+    ``date_trunc``, ``{{ Entity('e') }}`` — and a plain SQL predicate
+    over the model's columns.
 
-    ``group_by`` names must be declared dimensions or entities of the
-    metric's semantic model; each resolves to its ``expr`` (defaulting
-    to its name) and is emitted under the REQUESTED name.
+    ``group_by`` names resolve against the metric's semantic model's
+    declared dimensions/entities; each resolves to its ``expr``
+    (defaulting to its name) and is emitted under the REQUESTED name.
+    A ``<entity>__<dimension>`` key whose dimension is not local
+    resolves through **MetricFlow's entity-path join planner** (r14):
+    the entity must be declared on the metric's model and the
+    dimension on exactly ONE other registered semantic model where
+    that entity is PRIMARY; that model's (key, dim) projection
+    LEFT-joins on before aggregation (N:1 by the primary-entity
+    declaration, so measure totals are unchanged). Zero or several
+    candidates refuse loudly.
     ``time_grain`` (day/week/month/quarter/year) truncates the semantic
     model's time dimension (``type: time``; pick one by name with
     ``time_dimension`` when several are declared) into a
@@ -3376,6 +3566,99 @@ def evaluate_metric(
         spec = next(m for m in sm["measures"] if m["name"] == mn)
         return sm, spec
 
+    def _tdim_expr(sem_x: dict[str, Any]) -> str:
+        """The semantic model's metric-time expression: its single
+        `type: time` dimension, disambiguated by ``time_dimension=``
+        when several are declared."""
+        tdims = [
+            d for d in sem_x.get("dimensions", [])
+            if str(d.get("type", "")).lower() == "time"
+        ]
+        if time_dimension is not None:
+            tdims = [d for d in tdims if d["name"] == time_dimension]
+        if not tdims:
+            raise ValidationError(
+                f"Metric '{name}': semantic model '{sem_x['name']}' "
+                + (
+                    f"declares no time dimension named "
+                    f"{time_dimension!r}"
+                    if time_dimension is not None
+                    else "declares no `type: time` dimension"
+                )
+            )
+        if len(tdims) > 1:
+            raise ValidationError(
+                f"Metric '{name}': semantic model '{sem_x['name']}' "
+                f"declares {len(tdims)} time dimensions "
+                f"({sorted(d['name'] for d in tdims)}) — pass "
+                "time_dimension= to pick one"
+            )
+        return tdims[0].get("expr") or tdims[0]["name"]
+
+    def _rewrite_filter(sem_x: dict[str, Any], flt: str, path_col):
+        """Resolve dbt's filter templating (r14) against ``sem_x``:
+        ``{{ Dimension('d') }}`` / ``{{ Dimension('e__d') }}`` → the
+        dimension's expr (local when the entity prefix is sem_x's own
+        entity and the dimension is local — MetricFlow's primary-entity
+        prefix spelling — else via ``path_col(ent, dim, why)``, the
+        entity-path join planner's column);
+        ``{{ TimeDimension('metric_time', 'g') }}`` →
+        ``date_trunc('g', <time expr>)``; ``{{ Entity('e') }}`` → the
+        entity's expr. Plain SQL predicates pass through unchanged."""
+        dims_local = {d["name"]: d for d in sem_x.get("dimensions", [])}
+        ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
+
+        def _dim(m: "re.Match[str]") -> str:
+            nm = m.group(1)
+            d = dims_local.get(nm)
+            if d is not None:
+                return f"({d.get('expr') or d['name']})"
+            if "__" in nm:
+                ent, dim = nm.split("__", 1)
+                if ent in ents_local and dim in dims_local:
+                    dd = dims_local[dim]
+                    return f"({dd.get('expr') or dd['name']})"
+                return path_col(
+                    ent, dim, f"filter Dimension('{nm}')"
+                )
+            raise ValidationError(
+                f"Metric '{name}': filter Dimension('{nm}') is not a "
+                f"declared dimension of semantic model "
+                f"'{sem_x['name']}' (declared: {sorted(dims_local)}; "
+                "cross-model spelling: '<entity>__<dimension>')"
+            )
+
+        def _tdim(m: "re.Match[str]") -> str:
+            nm, grain = m.group(1), m.group(2)
+            if nm == "metric_time":
+                te = _tdim_expr(sem_x)
+            else:
+                base = nm.split("__", 1)[1] if "__" in nm else nm
+                d = dims_local.get(base)
+                if d is None or str(d.get("type", "")).lower() != "time":
+                    raise ValidationError(
+                        f"Metric '{name}': filter TimeDimension('{nm}') "
+                        "must name 'metric_time' or a local `type: "
+                        f"time` dimension of '{sem_x['name']}'"
+                    )
+                te = d.get("expr") or d["name"]
+            return f"date_trunc('{grain}', {te})"
+
+        def _ent(m: "re.Match[str]") -> str:
+            e = ents_local.get(m.group(1))
+            if e is None:
+                raise ValidationError(
+                    f"Metric '{name}': filter Entity('{m.group(1)}') is "
+                    "not a declared entity of semantic model "
+                    f"'{sem_x['name']}' (declared: {sorted(ents_local)})"
+                )
+            return f"({e.get('expr') or e['name']})"
+
+        flt = _FILTER_DIM_RE.sub(_dim, flt)
+        flt = _FILTER_TDIM_RE.sub(_tdim, flt)
+        flt = _FILTER_ENT_RE.sub(_ent, flt)
+        return flt
+
     if mtype == "conversion":
         # dbt conversion metric (conversion_type_params), evaluated at
         # ENTITY grain with FIRST-touch attribution — this engine's
@@ -3408,7 +3691,17 @@ def evaluate_metric(
         sem = base_sm
         df = _metric_base_df(fs, sem, model_version)
         if mdoc.get("filter"):
-            df = df.filter(str(mdoc["filter"]))
+
+            def _no_path(ent: str, dim: str, why: str) -> str:
+                raise ValidationError(
+                    f"Metric '{name}': {why}: entity-path dimensions "
+                    "are not supported in conversion-metric filters — "
+                    "filter on the base model's own columns"
+                )
+
+            df = df.filter(
+                _rewrite_filter(sem, str(mdoc["filter"]), _no_path)
+            )
         declared = {
             d["name"]: d
             for d in list(sem.get("dimensions", []))
@@ -3419,39 +3712,22 @@ def evaluate_metric(
             if e["name"] == str(ctp.get("entity"))
         )
         eexpr = ent_spec.get("expr") or ent_spec["name"]
-        tdims = [
-            d for d in sem.get("dimensions", [])
-            if str(d.get("type", "")).lower() == "time"
-        ]
-        if time_dimension is not None:
-            tdims = [d for d in tdims if d["name"] == time_dimension]
-        if not tdims:
-            raise ValidationError(
-                f"Metric '{name}': conversion metrics need a "
-                "`type: time` dimension on semantic model "
-                f"'{sem['name']}'"
-                + (
-                    f" named {time_dimension!r}"
-                    if time_dimension is not None
-                    else ""
-                )
-            )
-        if len(tdims) > 1:
-            raise ValidationError(
-                f"Metric '{name}': semantic model '{sem['name']}' "
-                f"declares {len(tdims)} time dimensions "
-                f"({sorted(d['name'] for d in tdims)}) — pass "
-                "time_dimension= to pick one"
-            )
-        texpr = tdims[0].get("expr") or tdims[0]["name"]
+        texpr = _tdim_expr(sem)
         gexprs: list[tuple[str, str]] = []
         for g in group_by:
             d = declared.get(g)
             if d is None:
+                hint = (
+                    " — entity-path group_by is not supported for "
+                    "conversion metrics"
+                    if "__" in g
+                    else ""
+                )
                 raise ValidationError(
                     f"Metric '{name}': group_by '{g}' is not a "
                     "declared dimension or entity of semantic model "
                     f"'{sem['name']}' (declared: {sorted(declared)})"
+                    + hint
                 )
             gexprs.append((g, d.get("expr") or d["name"]))
         base_expr = base_spec.get("expr") or base_spec["name"]
@@ -3473,34 +3749,6 @@ def evaluate_metric(
                 f"CAST(unix_timestamp({texpr}) AS BIGINT)"
             ).alias("_fs_ct"),
         )
-        tb = base_e.groupBy("_fs_ent").agg(F.min("_fs_t").alias("_fs_tb"))
-        first = (
-            base_e.join(tb, "_fs_ent")
-            .filter(F.col("_fs_t") == F.col("_fs_tb"))
-            .groupBy("_fs_ent")
-            .agg(
-                F.min("_fs_tb").alias("_fs_tb"),
-                F.min("_fs_ts").alias("_fs_ts"),
-                *[
-                    F.min(F.col(f"_fs_g_{i}")).alias(f"_fs_g_{i}")
-                    for i in range(len(gexprs))
-                ],
-            )
-        )
-        cond = (conv_e["_fs_ent"] == first["_fs_ent"]) & (
-            conv_e["_fs_ct"] >= first["_fs_tb"]
-        )
-        if ctp.get("window"):
-            n_days = int(str(ctp["window"]).split()[0])
-            cond = cond & (
-                conv_e["_fs_ct"] <= first["_fs_tb"] + n_days * 86400
-            )
-        converted = (
-            first.join(conv_e, cond, "leftsemi")
-            .select("_fs_ent")
-            .withColumn("_fs_conv", F.lit(1))
-        )
-        flagged = first.join(converted, "_fs_ent", "left")
         out_keys = [
             F.col(f"_fs_g_{i}").alias(g)
             for i, (g, _x) in enumerate(gexprs)
@@ -3514,10 +3762,103 @@ def evaluate_metric(
         keys = list(group_by) + (
             ["metric_time"] if time_grain else []
         )
-        agged = flagged.groupBy(*out_keys).agg(
-            F.count("*").alias("_fs_base"),
-            F.count("_fs_conv").alias("_fs_convn"),
+        n_days = (
+            int(str(ctp["window"]).split()[0])
+            if ctp.get("window")
+            else None
         )
+        if str(ctp.get("attribution") or "first_touch") == "event":
+            # EVENT-GRAIN attribution (r14 — MetricFlow's real
+            # conversion semantics): every BASE EVENT counts toward the
+            # denominator at its own dims/metric_time; every CONVERSION
+            # EVENT is attributed to the LATEST base event of its
+            # entity at-or-before it (within the window when given,
+            # inclusive whole-second epochs), so one conversion never
+            # counts against two base events — and one base event may
+            # collect several conversions (the rate can exceed 1,
+            # MetricFlow's contract). Same-second base events collapse
+            # to one row (count kept; MIN dims — the first-touch
+            # determinism rule).
+            #
+            # Scale: one combinable pre-aggregation per side keyed on
+            # (entity, second); the attribution join is an equi-join on
+            # the entity with the time bound as a post-join refine
+            # (per-entity event counts bound the fan-out); the argmax
+            # and re-join run on conversion-cardinality frames.
+            base_g = base_e.groupBy("_fs_ent", "_fs_t").agg(
+                F.count("*").alias("_fs_bn"),
+                F.min("_fs_ts").alias("_fs_ts"),
+                *[
+                    F.min(F.col(f"_fs_g_{i}")).alias(f"_fs_g_{i}")
+                    for i in range(len(gexprs))
+                ],
+            )
+            conv_g = conv_e.groupBy("_fs_ent", "_fs_ct").agg(
+                F.count("*").alias("_fs_cn")
+            )
+            bkeys = base_g.select(
+                F.col("_fs_ent").alias("_fs_bent"),
+                F.col("_fs_t").alias("_fs_bt"),
+            )
+            cond = (F.col("_fs_ent") == F.col("_fs_bent")) & (
+                F.col("_fs_ct") >= F.col("_fs_bt")
+            )
+            if n_days is not None:
+                cond = cond & (
+                    F.col("_fs_ct") <= F.col("_fs_bt") + n_days * 86400
+                )
+            att = (
+                conv_g.join(bkeys, cond)
+                .groupBy("_fs_ent", "_fs_ct", "_fs_cn")
+                .agg(F.max("_fs_bt").alias("_fs_t"))
+            )
+            conv_per_base = att.groupBy("_fs_ent", "_fs_t").agg(
+                F.sum("_fs_cn").alias("_fs_cc")
+            )
+            agged = (
+                base_g.join(conv_per_base, ["_fs_ent", "_fs_t"], "left")
+                .groupBy(*out_keys)
+                .agg(
+                    F.sum("_fs_bn").cast("long").alias("_fs_base"),
+                    F.sum(
+                        F.coalesce(F.col("_fs_cc"), F.lit(0))
+                    ).cast("long").alias("_fs_convn"),
+                )
+            )
+        else:
+            tb = base_e.groupBy("_fs_ent").agg(
+                F.min("_fs_t").alias("_fs_tb")
+            )
+            first = (
+                base_e.join(tb, "_fs_ent")
+                .filter(F.col("_fs_t") == F.col("_fs_tb"))
+                .groupBy("_fs_ent")
+                .agg(
+                    F.min("_fs_tb").alias("_fs_tb"),
+                    F.min("_fs_ts").alias("_fs_ts"),
+                    *[
+                        F.min(F.col(f"_fs_g_{i}")).alias(f"_fs_g_{i}")
+                        for i in range(len(gexprs))
+                    ],
+                )
+            )
+            cond = (conv_e["_fs_ent"] == first["_fs_ent"]) & (
+                conv_e["_fs_ct"] >= first["_fs_tb"]
+            )
+            if n_days is not None:
+                cond = cond & (
+                    conv_e["_fs_ct"] <= first["_fs_tb"] + n_days * 86400
+                )
+            converted = (
+                first.join(conv_e, cond, "leftsemi")
+                .select("_fs_ent")
+                .withColumn("_fs_conv", F.lit(1))
+            )
+            flagged = first.join(converted, "_fs_ent", "left")
+            agged = flagged.groupBy(*out_keys).agg(
+                F.count("*").alias("_fs_base"),
+                F.count("_fs_conv").alias("_fs_convn"),
+            )
         if str(ctp.get("calculation") or "conversion_rate") == (
             "conversions"
         ):
@@ -3608,68 +3949,153 @@ def evaluate_metric(
         mtype == "ratio" and resolved[1][0]["name"] != sem["name"]
     )
 
-    def _gcols_for(sem_x: dict[str, Any]) -> list:
-        """Resolve the requested group_by names (+ metric_time at the
-        requested grain) against ONE semantic model's declared
-        dimensions/entities. Shared by the single-model path and both
-        sides of a cross-model ratio — each side must declare every
-        requested key under the same name."""
-        declared = {
-            d["name"]: d
-            for d in list(sem_x.get("dimensions", []))
-            + list(sem_x.get("entities", []))
-        }
+    def _prepare_frame(sem_x: dict[str, Any], want_filter: bool):
+        """The semantic model's FV read prepared for aggregation:
+
+        - Requested group_by names resolve against sem_x's declared
+          dimensions/entities; a `<entity>__<dimension>` key whose
+          dimension is NOT local resolves through **MetricFlow's
+          entity-path join planner** (r14): the entity must be declared
+          on sem_x, and the dimension must be declared by exactly ONE
+          other registered semantic model where that entity is PRIMARY
+          — that model's (entity, dimension) projection LEFT-joins on
+          (N:1 by the primary-entity contract, dbt's own declaration
+          semantics, so base-row counts are preserved; an entity with
+          no match groups under NULL). Zero or several candidate models
+          refuse loudly — genuinely ambiguous paths are errors, never
+          guesses.
+        - The metric-level `filter:` (templates resolved via
+          _rewrite_filter — entity-path Dimension references join
+          through the same planner) applies BEFORE aggregation.
+        - metric_time at the requested grain appends when time_grain
+          is set.
+
+        Returns ``(df, gcols)``.
+
+        Scale: each entity-path join is ONE equi-join on the entity key
+        against a column-pruned (key, dim) projection — AQE broadcasts
+        small dimension models, shuffles co-partitioned otherwise; the
+        filter still pushes into the fact scan (Catalyst splits the
+        conjunction around the join)."""
+        frame = {"df": _metric_base_df(fs, sem_x, model_version)}
+        dims_local = {d["name"]: d for d in sem_x.get("dimensions", [])}
+        ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
+        declared = {**dims_local, **ents_local}
+        joined: dict[tuple[str, str], str] = {}
+
+        def _path_col(ent: str, dim: str, why: str) -> str:
+            if (ent, dim) in joined:
+                return joined[(ent, dim)]
+            if ent not in ents_local:
+                raise ValidationError(
+                    f"Metric '{name}': {why} reaches through entity "
+                    f"'{ent}', which is not a declared entity of "
+                    f"semantic model '{sem_x['name']}' (declared: "
+                    f"{sorted(ents_local)})"
+                )
+            cands = []
+            for sm2 in sems:
+                if sm2["name"] == sem_x["name"]:
+                    continue
+                prim = next(
+                    (
+                        e
+                        for e in sm2.get("entities", [])
+                        if e["name"] == ent
+                        and str(e.get("type", "")).lower() == "primary"
+                    ),
+                    None,
+                )
+                if prim is None:
+                    continue
+                d2 = next(
+                    (
+                        d
+                        for d in sm2.get("dimensions", [])
+                        if d["name"] == dim
+                    ),
+                    None,
+                )
+                if d2 is not None:
+                    cands.append((sm2, prim, d2))
+            if not cands:
+                raise ValidationError(
+                    f"Metric '{name}': {why}: no other registered "
+                    f"semantic model declares entity '{ent}' as PRIMARY "
+                    f"together with dimension '{dim}' — the entity-path "
+                    "join needs exactly one"
+                )
+            if len(cands) > 1:
+                raise ValidationError(
+                    f"Metric '{name}': {why}: dimension '{dim}' is "
+                    f"reachable through entity '{ent}' on "
+                    f"{sorted(s['name'] for s, _p, _d in cands)} — "
+                    "ambiguous; declare the dimension on one model only"
+                )
+            sm2, prim, d2 = cands[0]
+            i = len(joined)
+            kcol, vcol = f"_fs_epk_{i}", f"_fs_epd_{i}"
+            dimf = _metric_base_df(fs, sm2, model_version).select(
+                F.expr(prim.get("expr") or prim["name"]).alias(kcol),
+                F.expr(d2.get("expr") or d2["name"]).alias(vcol),
+            )
+            lk = ents_local[ent].get("expr") or ent
+            frame["df"] = frame["df"].join(
+                dimf, F.expr(lk) == F.col(kcol), "left"
+            ).drop(kcol)
+            joined[(ent, dim)] = vcol
+            return vcol
+
         gcols_x = []
         for g in group_by:
             d = declared.get(g)
-            if d is None:
-                raise ValidationError(
-                    f"Metric '{name}': group_by '{g}' is not a declared "
-                    f"dimension or entity of semantic model "
-                    f"'{sem_x['name']}' (declared: {sorted(declared)})"
+            if d is not None:
+                gcols_x.append(
+                    F.expr(d.get("expr") or d["name"]).alias(g)
                 )
-            gcols_x.append(F.expr(d.get("expr") or d["name"]).alias(g))
-        if time_grain is not None:
-            tdims = [
-                d for d in sem_x.get("dimensions", [])
-                if str(d.get("type", "")).lower() == "time"
-            ]
-            if time_dimension is not None:
-                tdims = [d for d in tdims if d["name"] == time_dimension]
-            if not tdims:
-                raise ValidationError(
-                    f"Metric '{name}': semantic model '{sem_x['name']}' "
-                    + (
-                        f"declares no time dimension named "
-                        f"{time_dimension!r}"
-                        if time_dimension is not None
-                        else "declares no `type: time` dimension"
+                continue
+            if "__" in g:
+                ent, dim = g.split("__", 1)
+                if ent in ents_local and dim in dims_local:
+                    # MetricFlow's primary-entity prefix for a LOCAL
+                    # dimension — no join needed
+                    dd = dims_local[dim]
+                    gcols_x.append(
+                        F.expr(dd.get("expr") or dd["name"]).alias(g)
                     )
-                    + " — time_grain needs one"
-                )
-            if len(tdims) > 1:
-                raise ValidationError(
-                    f"Metric '{name}': semantic model '{sem_x['name']}' "
-                    f"declares {len(tdims)} time dimensions "
-                    f"({sorted(d['name'] for d in tdims)}) — pass "
-                    "time_dimension= to pick one"
-                )
-            texpr = tdims[0].get("expr") or tdims[0]["name"]
+                else:
+                    gcols_x.append(
+                        F.col(
+                            _path_col(ent, dim, f"group_by '{g}'")
+                        ).alias(g)
+                    )
+                continue
+            raise ValidationError(
+                f"Metric '{name}': group_by '{g}' is not a declared "
+                f"dimension or entity of semantic model "
+                f"'{sem_x['name']}' (declared: {sorted(declared)}; "
+                "cross-model dimensions spell '<entity>__<dimension>')"
+            )
+        if time_grain is not None:
             gcols_x.append(
-                F.date_trunc(time_grain, F.expr(texpr)).alias(
+                F.date_trunc(time_grain, F.expr(_tdim_expr(sem_x))).alias(
                     "metric_time"
                 )
             )
-        return gcols_x
+        # metric-level filter: applied BEFORE aggregation (dbt's
+        # filter: semantics) and AFTER the entity-path joins, so
+        # templated cross-model Dimension references resolve; base-only
+        # predicates still push into the FV scan
+        if want_filter and mdoc.get("filter"):
+            # resolve the templates FIRST: entity-path references join
+            # onto frame["df"] inside _path_col, and the filter must
+            # bind to the POST-join frame
+            flt = _rewrite_filter(sem_x, str(mdoc["filter"]), _path_col)
+            frame["df"] = frame["df"].filter(flt)
+        return frame["df"], gcols_x
 
     if not cross_ratio:
-        df = _metric_base_df(fs, sem, model_version)
-        # metric-level filter: a SQL predicate over the model's columns,
-        # applied BEFORE aggregation (dbt's filter: semantics; Catalyst
-        # pushes it into the FV scan)
-        if mdoc.get("filter"):
-            df = df.filter(str(mdoc["filter"]))
-        gcols = _gcols_for(sem)
+        df, gcols = _prepare_frame(sem, want_filter=True)
 
     _AGGS = {
         "sum": "SUM", "count": "COUNT", "count_distinct": None,
@@ -3693,15 +4119,14 @@ def evaluate_metric(
 
     keys = list(group_by) + (["metric_time"] if time_grain else [])
     if cross_ratio:
-        # CROSS-MODEL RATIO (r13): the simplified grain-aligned join
-        # planner — each side aggregates on its OWN model at the
-        # requested group keys, then the two 1-aggregate frames join on
-        # those keys (inner; crossJoin of the two 1-row frames when no
-        # keys). MetricFlow's entity-path join planner (joining through
-        # shared entities to pull dims across models) is intentionally
-        # not replicated; every requested key must be declared by BOTH
-        # models under the same name. A metric-level filter is refused
-        # (ambiguous which model it predicates over — put it on
+        # CROSS-MODEL RATIO (r13): the grain-aligned join planner —
+        # each side aggregates on its OWN model at the requested group
+        # keys, then the two 1-aggregate frames join on those keys
+        # (inner; crossJoin of the two 1-row frames when no keys).
+        # Every requested key must be reachable from BOTH models under
+        # the same name — locally declared, or through the entity-path
+        # planner (r14, _prepare_frame). A metric-level filter is
+        # refused (ambiguous which model it predicates over — put it on
         # per-model simple metrics and use a derived metric instead).
         if mdoc.get("filter"):
             raise ValidationError(
@@ -3710,15 +4135,13 @@ def evaluate_metric(
                 "predicate reads; filter per-model simple metrics and "
                 "combine with a derived metric"
             )
-        num = (
-            _metric_base_df(fs, resolved[0][0], model_version)
-            .groupBy(*_gcols_for(resolved[0][0]))
-            .agg(_agg_col(resolved[0][1]).alias("_fs_num"))
+        dfn, gn = _prepare_frame(resolved[0][0], want_filter=False)
+        num = dfn.groupBy(*gn).agg(
+            _agg_col(resolved[0][1]).alias("_fs_num")
         )
-        den = (
-            _metric_base_df(fs, resolved[1][0], model_version)
-            .groupBy(*_gcols_for(resolved[1][0]))
-            .agg(_agg_col(resolved[1][1]).alias("_fs_den"))
+        dfd, gd = _prepare_frame(resolved[1][0], want_filter=False)
+        den = dfd.groupBy(*gd).agg(
+            _agg_col(resolved[1][1]).alias("_fs_den")
         )
         joined = num.join(den, keys) if keys else num.crossJoin(den)
         val = F.when(

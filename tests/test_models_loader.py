@@ -1617,6 +1617,9 @@ semantic_models:
       - name: country
         type: categorical
         expr: f_base_country
+      - name: tier_dim
+        type: categorical
+        expr: f_base_tier
       - name: updated_at
         type: time
     measures:
@@ -1637,6 +1640,10 @@ semantic_models:
         expr: CASE WHEN f_base_tier = 'gold' THEN customer_id END
   - name: static_sem
     model: ref('test_static_customer_features')
+    entities:
+      - name: customer
+        type: foreign
+        expr: customer_id
     dimensions:
       - name: country
         type: categorical
@@ -1748,6 +1755,49 @@ metrics:
         name: total_age
         join_to_timespine: true
         fill_nulls_with: 0
+  - name: static_by_tier
+    type: simple
+    type_params:
+      measure: static_age
+  - name: us_age_tpl
+    type: simple
+    type_params:
+      measure: total_age
+    filter: "{{ Dimension('country') }} = 'US'"
+  - name: gold_static_age
+    type: simple
+    type_params:
+      measure: static_age
+    filter: "{{ Dimension('customer__tier_dim') }} = 'gold'"
+  - name: late_age_tpl
+    type: simple
+    type_params:
+      measure: total_age
+    filter: "{{ TimeDimension('metric_time', 'day') }} >=
+      TIMESTAMP '2024-01-02'"
+  - name: small_id_age
+    type: simple
+    type_params:
+      measure: total_age
+    filter: "{{ Entity('customer') }} <= 2"
+  - name: gold_conv_evt
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: customer
+        attribution: event
+  - name: gold_conv_evt_n
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_customers
+        conversion_measure: gold_ids
+        entity: customer
+        attribution: event
+        calculation: conversions
+        window: 1 day
 
 saved_queries:
   - name: country_kpis
@@ -2345,6 +2395,174 @@ saved_queries:
         with pytest.raises(ValidationError, match="no version"):
             evaluate_metric(fs, "total_age_m", model_version="9.9")
 
+    def test_entity_path_group_by(self, fs, tmp_path, base_table):
+        """r14 (VERDICT-r13 #4): `<entity>__<dimension>` group_by pulls
+        a dimension across semantic models through the shared entity —
+        static_sem declares `customer` (foreign); customers_sem
+        declares it PRIMARY plus `tier_dim`, so static_age groups by
+        the pulled tier. The static model's single row is customer 1
+        (gold, age 25). The primary-entity prefix of a LOCAL dimension
+        resolves locally (no join)."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        rows = {
+            r["customer__tier_dim"]: r["STATIC_BY_TIER"]
+            for r in evaluate_metric(
+                fs, "static_by_tier", group_by=["customer__tier_dim"]
+            ).collect()
+        }
+        assert rows == {"gold": 25}
+        local = {
+            r["customer__country"]: r["TOTAL_AGE_M"]
+            for r in evaluate_metric(
+                fs, "total_age_m", group_by=["customer__country"]
+            ).collect()
+        }
+        assert local == {"US": 84, "DE": 35}
+
+    def test_entity_path_errors(self, fs, tmp_path, base_table):
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        with pytest.raises(ValidationError, match="reaches through"):
+            evaluate_metric(
+                fs, "static_by_tier", group_by=["nosuch__tier_dim"]
+            )
+        with pytest.raises(
+            ValidationError, match="needs exactly one"
+        ):
+            evaluate_metric(
+                fs, "static_by_tier", group_by=["customer__nosuchdim"]
+            )
+
+    def test_templated_filters(self, fs, tmp_path, base_table):
+        """r14 (VERDICT-r13 #5): dbt's real `filter:` templating —
+        local Dimension, entity-path Dimension (forces the planner
+        join), TimeDimension('metric_time', grain) and Entity all
+        resolve against the registered semantic model."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        assert (
+            evaluate_metric(fs, "us_age_tpl").collect()[0]["US_AGE_TPL"]
+            == 84
+        )
+        assert (
+            evaluate_metric(fs, "gold_static_age").collect()[0][
+                "GOLD_STATIC_AGE"
+            ]
+            == 25
+        )
+        assert (
+            evaluate_metric(fs, "late_age_tpl").collect()[0][
+                "LATE_AGE_TPL"
+            ]
+            == 61
+        )
+        assert (
+            evaluate_metric(fs, "small_id_age").collect()[0][
+                "SMALL_ID_AGE"
+            ]
+            == 58
+        )
+
+    def test_conversion_event_grain(self, fs, tmp_path, base_table):
+        """r14 (VERDICT-r13 #6): attribution: event — every base event
+        counts; each conversion event attributes to the LATEST base
+        event of its entity at-or-before it. With one event per
+        customer: 1 gold conversion / 3 base events, US cohort 1/2."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        one = evaluate_metric(fs, "gold_conv_evt").collect()
+        assert len(one) == 1
+        assert abs(one[0]["GOLD_CONV_EVT"] - 1.0 / 3.0) < 1e-12
+        by_c = {
+            r["country"]: r["GOLD_CONV_EVT"]
+            for r in evaluate_metric(
+                fs, "gold_conv_evt", group_by=["country"]
+            ).collect()
+        }
+        assert by_c == {"US": 0.5, "DE": 0.0}
+        n = evaluate_metric(fs, "gold_conv_evt_n").collect()
+        assert n[0]["GOLD_CONV_EVT_N"] == 1
+
+    def test_filter_template_load_validation(
+        self, fs, tmp_path, base_table
+    ):
+        """Load-time gates: unrecognized templates, bad TimeDimension
+        grains, and bad attribution values fail at load_semantic_layer
+        with named errors."""
+        for extra, msg in [
+            (
+                "  - name: bad_tpl\n    type: simple\n    type_params:\n"
+                "      measure: total_age\n"
+                '    filter: "{{ Metric(\'x\') }} = 1"\n',
+                "unrecognized filter template",
+            ),
+            (
+                "  - name: bad_grain\n    type: simple\n"
+                "    type_params:\n      measure: total_age\n"
+                "    filter: \"{{ TimeDimension('metric_time',"
+                " 'hourly') }} = 1\"\n",
+                "TimeDimension grain",
+            ),
+            (
+                "  - name: bad_attr\n    type: conversion\n"
+                "    type_params:\n      conversion_type_params:\n"
+                "        base_measure: n_customers\n"
+                "        conversion_measure: gold_ids\n"
+                "        entity: customer\n"
+                "        attribution: last_touch\n",
+                "attribution must be",
+            ),
+        ]:
+            bad_yml = self.YML.replace(
+                "saved_queries:", extra + "saved_queries:"
+            )
+            proj = _write_project(
+                tmp_path,
+                {**REFERENCE_PROJECT, "schema.yml": bad_yml},
+            )
+            fs.register_source("customer_base_table", base_table)
+            with pytest.raises(ValidationError, match=msg):
+                load_project(fs, proj)
+
+    def test_filter_template_resolution_errors(
+        self, fs, tmp_path, base_table
+    ):
+        """Evaluate-time template resolution errors name the missing
+        dimension/entity. Built via direct registry puts (the load
+        path is syntax-gated only)."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        fs.registry.put(
+            "metrics",
+            "BAD_DIM_M",
+            {
+                "name": "BAD_DIM_M",
+                "type": "simple",
+                "type_params": {"measure": "total_age"},
+                "filter": "{{ Dimension('nope') }} = 1",
+            },
+        )
+        with pytest.raises(ValidationError, match="Dimension\\('nope'\\)"):
+            evaluate_metric(fs, "BAD_DIM_M")
+        fs.registry.put(
+            "metrics",
+            "BAD_ENT_M",
+            {
+                "name": "BAD_ENT_M",
+                "type": "simple",
+                "type_params": {"measure": "total_age"},
+                "filter": "{{ Entity('nope') }} = 1",
+            },
+        )
+        with pytest.raises(ValidationError, match="Entity\\('nope'\\)"):
+            evaluate_metric(fs, "BAD_ENT_M")
+
 
 class TestModelContracts:
     """r13: dbt model contracts (dbt-core 1.5) — config.contract.
@@ -2449,6 +2667,96 @@ models:
         )
         with pytest.raises(ValidationError, match="not found"):
             run_model_contracts(fs, proj2)
+
+    def test_constraints_pass(self, fs, tmp_path, base_table):
+        """r14 (VERDICT-r13 #7): column not_null + check and
+        model-level check/not_null constraints enforce as
+        zero-violation scans; a clean model passes."""
+        from dbt_snowflake_feature_store_spark import run_model_contracts
+
+        yml = self.GOOD.replace(
+            "      - name: customer_id\n        data_type: int\n",
+            "      - name: customer_id\n        data_type: int\n"
+            "        constraints:\n"
+            "          - type: not_null\n"
+            "          - type: check\n"
+            "            expression: customer_id > 0\n",
+        ) + (
+            "    constraints:\n"
+            "      - type: not_null\n"
+            "        columns: [f_base_country, f_base_tier]\n"
+            "      - type: check\n"
+            "        expression: f_base_age BETWEEN 0 AND 150\n"
+        )
+        proj = self._loaded(fs, tmp_path, base_table, yml)
+        res = run_model_contracts(fs, proj)
+        assert res[0]["passed"] and res[0]["errors"] == []
+
+    def test_constraint_violations_counted(
+        self, fs, tmp_path, base_table
+    ):
+        """Violating rows are counted per constraint; a NULL check
+        predicate counts as a violation (a constraint that cannot
+        prove itself fails)."""
+        from dbt_snowflake_feature_store_spark import run_model_contracts
+
+        yml = self.GOOD + (
+            "    constraints:\n"
+            "      - type: check\n"
+            "        expression: f_base_age < 50\n"
+            "      - type: check\n"
+            "        expression: f_base_age > NULLIF(0, 0)\n"
+        )
+        proj = self._loaded(fs, tmp_path, base_table, yml)
+        res = run_model_contracts(fs, proj, strict=False)
+        errs = res[0]["errors"]
+        assert not res[0]["passed"]
+        assert any(
+            "check (f_base_age < 50) violated: 1 row(s)" in e
+            for e in errs
+        )
+        assert any(
+            "f_base_age > NULLIF(0, 0)) violated: 3 row(s)" in e
+            for e in errs
+        )
+        with pytest.raises(ValidationError, match="violated"):
+            run_model_contracts(fs, proj)
+
+    def test_constraint_refusals(self, fs, tmp_path, base_table):
+        """unique/primary_key/foreign_key refuse loudly toward generic
+        tests; malformed constraint blocks name the defect."""
+        from dbt_snowflake_feature_store_spark import run_model_contracts
+
+        cases = [
+            (
+                "    constraints:\n      - type: unique\n"
+                "        columns: [customer_id]\n",
+                "generic test",
+            ),
+            (
+                "    constraints:\n      - type: exotic\n",
+                "unknown constraint type",
+            ),
+            (
+                "    constraints:\n      - type: not_null\n",
+                "needs columns:",
+            ),
+            (
+                "    constraints:\n      - type: check\n",
+                "needs expression:",
+            ),
+            (
+                "    constraints:\n      - type: not_null\n"
+                "        columns: [no_such_col]\n",
+                "undeclared column",
+            ),
+        ]
+        for i, (extra, msg) in enumerate(cases):
+            proj = self._loaded(
+                fs, tmp_path / f"c{i}", base_table, self.GOOD + extra
+            )
+            with pytest.raises(ValidationError, match=msg):
+                run_model_contracts(fs, proj)
 
 
 class TestGroupsAccess:

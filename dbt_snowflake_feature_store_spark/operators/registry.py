@@ -34,6 +34,52 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
+    # ---- round 14 rotation (14 + 9 + 1 + 13 + 5 + 8 = the 50-key cap;
+    # PROMOTION-HEAVY per VERDICT-r13 #1: drain the record backlog) ----
+    # part 1 (14): every key whose code is new or changed THIS round —
+    # the three new MetricFlow keys (entity-path planner, templated
+    # filters, event-grain conversion), the q_agg_approx single-buffer
+    # quartile fix, the read_table-normalized q_source_freshness, the
+    # null-safe q_hard_negatives — plus EVERY q_metric_*/q_saved_query
+    # key: the evaluate_metric group-by/filter machinery they all ride
+    # was restructured (_prepare_frame), and a code-touched key must
+    # re-record (rotation rule a)
+    "q_metric_entity_path", "q_metric_filter_dim", "q_metric_conv_events",
+    "q_agg_approx", "q_source_freshness", "q_hard_negatives",
+    "q_metric_eval", "q_metric_conversion", "q_metric_ratio_xmodel",
+    "q_metric_cumulative", "q_metric_window", "q_metric_offset",
+    "q_saved_query", "q_metric_timespine",
+    # part 2 (9): the NINE 3-round-old records — the top of the r14
+    # promotion set (the one documented aging exception last round)
+    "q_tpch_q4like", "q_tpch_q6like", "q_tpch_q10like", "q_tpch_q12like",
+    "q_token_pmi", "q_text_repetition", "q_stats_moments", "q_retention",
+    "q_scd2_multi",
+    # part 3 (1): the late-r13 position-51+ key still missing a driver
+    # record (its green record is CORRECTNESS_LOCAL_r13.json, both SFs;
+    # q_hard_negatives, its sibling, rides part 1)
+    "q_tokenizer_fertility",
+    # part 4 (13): the dedup/sim keys displaced across r13
+    "q_dedup_exact", "q_dedup_near", "q_dedup_embed", "q_dedup_ngram",
+    "q_dedup_chunks", "q_dedup_clusters", "q_dedup_cross_source",
+    "q_corpus_dedup_stats", "q_sim_topk", "q_sim_ann_lsh", "q_sim_ivf",
+    "q_sim_range", "q_text_embed_join",
+    # part 5 (5): the FS-machinery keys displaced in r13 (the store's
+    # own read paths churn every round — highest rot risk)
+    "q_fv_chain", "q_generate_dataset", "q_fv_managed_read",
+    "q_fv_profile", "q_fv_latest_snapshot",
+    # part 6 (8): r9-dated records, risk families first (iterative
+    # graph, ranks machinery, KMV set ops, event sequences)
+    "q_pagerank", "q_rfm", "q_global_rank", "q_global_ntile",
+    "q_kmv_setops", "q_attribution", "q_event_transitions",
+    "q_doc_surprisal",
+    # position 51+ — PAST the cap: the r15 promotion set is the
+    # remaining r9-dated keys (q_bpe_segment, q_contamination,
+    # q_domain_mix, q_tpch_q7/q8/q14/q15/q18/q19/q21like, q_arith_expr,
+    # q_case_when, q_cross_join, q_distinct, q_filter_false,
+    # q_scan_project, q_null_handling, q_num_fns, q_unpivot — 19 keys)
+    # plus whatever r15 code touches; at 246 keys the full cycle takes
+    # five rounds at the 50-key cap, so the LOCAL sweep remains the
+    # every-round full gate
     # ---- round 13 rotation (23 + 5 + 4 + 17 + 1 = the 50-key cap) ----
     # part 1 (23): every key whose code is new or changed THIS round —
     # the new keys (keyless slice-bucketed interval join, banded-LSH

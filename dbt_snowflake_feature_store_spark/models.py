@@ -3122,16 +3122,22 @@ def load_semantic_layer(
                             "own contract)"
                         )
                     if win is not None:
-                        if not re.fullmatch(
-                            r"\d+ days?", str(win).strip()
-                        ):
+                        m_w = re.fullmatch(
+                            r"(\d+)\s+(day|week|month|quarter|year)s?",
+                            str(win).strip(),
+                        )
+                        if not m_w:
                             raise ValidationError(
                                 f"Metric '{name}': window must be "
-                                f"'<N> days' (day units — calendar-unit "
-                                f"windows need MetricFlow's date "
-                                f"arithmetic), got {win!r}"
+                                "'<N> day|week|month|quarter|year[s]', "
+                                f"got {win!r}"
                             )
-                        deps["window"] = str(win).strip()
+                        # normalized singular; evaluate_metric picks the
+                        # fixed-length RANGE frame (day/week) or the
+                        # calendar self-join (month/quarter/year)
+                        deps["window"] = (
+                            f"{int(m_w.group(1))} {m_w.group(2)}"
+                        )
                     if gtd is not None:
                         if str(gtd) not in _TIME_GRAINS:
                             raise ValidationError(
@@ -3474,9 +3480,12 @@ def evaluate_metric(
       running SUM window ordered by ``metric_time`` and partitioned by
       the group-by keys. Requires ``time_grain``. The window runs over
       the ALREADY-AGGREGATED frame — calendar-sized × group
-      cardinality, never fact rows. ``type_params.window: '<N> days'``
-      bounds it to a trailing (t − N days, t] RANGE frame over epoch
-      seconds; ``type_params.grain_to_date: <grain>`` restarts the
+      cardinality, never fact rows. ``type_params.window:
+      '<N> day|week|month|quarter|year[s]'`` bounds it to a trailing
+      (t − N <unit>, t] window: fixed-length units (day/week) ride a
+      RANGE frame over epoch seconds; calendar units (month/quarter/
+      year, r14) a bounded self-join with timestampadd's month-end
+      clamping; ``type_params.grain_to_date: <grain>`` restarts the
       accumulation at each boundary of the (coarser) reset grain
       (month-to-date etc.). Window and grain_to_date are mutually
       exclusive (validated at load).
@@ -4214,20 +4223,81 @@ def evaluate_metric(
             )
         win = tp.get("window")
         gtd = tp.get("grain_to_date")
+        if win is not None and str(win).split()[1] in (
+            "month",
+            "quarter",
+            "year",
+        ):
+            # CALENDAR-UNIT trailing window (r14): month/quarter/year
+            # lengths vary, so no fixed RANGE frame exists — instead a
+            # bounded self-join over the ALREADY-AGGREGATED frame: row
+            # t accumulates rows in (t − N <unit>, t], the lower bound
+            # via timestampadd (month-end clamping == SQL
+            # `t - INTERVAL N <unit>`, the r13 parity pin). Group keys
+            # compare null-safely (an entity-path dimension may be
+            # NULL). O(rows × window) on a calendar-sized frame —
+            # never fact rows.
+            n_w, unit = str(win).split()
+            a = agged.select(
+                *[
+                    F.col(k).alias(f"_fs_ak_{i}")
+                    for i, k in enumerate(group_by)
+                ],
+                F.col("metric_time").alias("_fs_amt"),
+            )
+            b = agged.select(
+                *[
+                    F.col(k).alias(f"_fs_bk_{i}")
+                    for i, k in enumerate(group_by)
+                ],
+                F.col("metric_time").alias("_fs_bmt"),
+                F.col(cname).alias("_fs_bv"),
+            )
+            cond = (F.col("_fs_bmt") <= F.col("_fs_amt")) & (
+                F.col("_fs_bmt")
+                > F.expr(
+                    f"timestampadd({unit.upper()}, {-int(n_w)}, _fs_amt)"
+                )
+            )
+            for i in range(len(group_by)):
+                cond = cond & F.col(f"_fs_ak_{i}").eqNullSafe(
+                    F.col(f"_fs_bk_{i}")
+                )
+            return (
+                a.join(b, cond)
+                .groupBy(
+                    *[
+                        F.col(f"_fs_ak_{i}")
+                        for i in range(len(group_by))
+                    ],
+                    F.col("_fs_amt"),
+                )
+                .agg(F.sum("_fs_bv").alias(cname))
+                .select(
+                    *[
+                        F.col(f"_fs_ak_{i}").alias(g)
+                        for i, g in enumerate(group_by)
+                    ],
+                    F.col("_fs_amt").alias("metric_time"),
+                    cname,
+                )
+            )
         if win is not None:
-            # dbt `window: '<N> days'` — a TRAILING window: each grain
-            # row accumulates rows whose metric_time lies in
-            # (t − N days, t], MetricFlow's semantics. Expressed as a
-            # RANGE frame over integer epoch seconds (unix_timestamp —
-            # never INTERVAL arithmetic or ts.cast("long"); the NOTES
-            # epoch()==unix_timestamp() portability rule), so the frame
-            # bound is exact at any grain. Still runs over the
-            # ALREADY-AGGREGATED frame — calendar-sized, never fact rows.
-            n_days = int(str(win).split()[0])
+            # dbt `window: '<N> days'` (or weeks — fixed 604800 s) — a
+            # TRAILING window: each grain row accumulates rows whose
+            # metric_time lies in (t − N days, t], MetricFlow's
+            # semantics. Expressed as a RANGE frame over integer epoch
+            # seconds (unix_timestamp — never INTERVAL arithmetic or
+            # ts.cast("long"); the NOTES epoch()==unix_timestamp()
+            # portability rule), so the frame bound is exact at any
+            # grain. Still runs over the ALREADY-AGGREGATED frame —
+            # calendar-sized, never fact rows.
+            n_w, unit = str(win).split()
+            n_secs = int(n_w) * (604800 if unit == "week" else 86400)
             w = (
                 Window.partitionBy(*group_by)
                 .orderBy(F.unix_timestamp(F.col("metric_time")))
-                .rangeBetween(-(n_days * 86400 - 1), 0)
+                .rangeBetween(-(n_secs - 1), 0)
             )
         elif gtd is not None:
             # dbt `grain_to_date: month` — accumulation RESTARTS at each

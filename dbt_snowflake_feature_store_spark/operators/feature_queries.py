@@ -405,6 +405,11 @@ metrics:
     type_params:
       measure: revenue_cents
       grain_to_date: month
+  - name: rev_1mo_cents
+    type: cumulative
+    type_params:
+      measure: revenue_cents
+      window: 1 month
   - name: big_ticket_revenue
     type: simple
     type_params:
@@ -1272,3 +1277,47 @@ ORACLE["q_metric_conv_events"] = """
     ORDER BY f_priority
 """
 QUERIES["q_metric_conv_events"] = q_metric_conv_events
+
+
+def q_metric_window_cal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-UNIT CUMULATIVE WINDOW, ORACLE-GATED (r14): dbt
+    ``window: '1 month'`` at the DAY grain — month lengths vary, so no
+    fixed RANGE frame exists; ``evaluate_metric`` compiles a bounded
+    self-join over the already-aggregated day frame: each day
+    accumulates days in (t − 1 month, t], the lower bound via Spark
+    ``timestampadd(MONTH, -1, t)`` ≡ SQL ``t - INTERVAL 1 MONTH``
+    (month-end clamping parity pinned in r13 — e.g. Mar 31 reaches
+    back to Feb 29). Cents are BIGINT-exact at any SF; the oracle
+    states the same self-join.
+
+    Scale: the self-join runs on the CALENDAR-sized day frame (~2.4k
+    rows at any orders SF) with a ~31-partner window — O(rows × window)
+    on a bounded frame, never fact rows; the fact scan feeds one
+    combinable hash aggregate."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    r1 = evaluate_metric(fs, "rev_1mo_cents", time_grain="day")
+    return r1.select(
+        F.col("metric_time").alias("f_day"),
+        F.col("REV_1MO_CENTS").cast("long").alias("f_1mo_cents"),
+    ).orderBy("f_day")
+
+
+ORACLE["q_metric_window_cal"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                   AS f_day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS _c
+        FROM orders GROUP BY 1
+    )
+    SELECT a.f_day AS f_day,
+           CAST(SUM(b._c) AS BIGINT) AS f_1mo_cents
+    FROM d a JOIN d b
+      ON b.f_day <= a.f_day
+     AND b.f_day > a.f_day - INTERVAL 1 MONTH
+    GROUP BY 1
+    ORDER BY f_day
+"""
+QUERIES["q_metric_window_cal"] = q_metric_window_cal

@@ -1712,6 +1712,16 @@ metrics:
     type_params:
       measure: total_age
       window: 1 day
+  - name: wk_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      window: 1 week
+  - name: mon_age
+    type: cumulative
+    type_params:
+      measure: total_age
+      window: 1 month
   - name: dtd_age
     type: cumulative
     type_params:
@@ -2187,7 +2197,7 @@ saved_queries:
     type: cumulative
     type_params:
       measure: total_age
-      window: 2 weeks
+      window: 2 hours
 """
             )
         with pytest.raises(ValidationError, match="grain_to_date"):

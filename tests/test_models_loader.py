@@ -2405,6 +2405,42 @@ saved_queries:
         with pytest.raises(ValidationError, match="no version"):
             evaluate_metric(fs, "total_age_m", model_version="9.9")
 
+    def test_cumulative_week_and_month_windows(
+        self, fs, tmp_path, base_table
+    ):
+        """r14: week windows ride the fixed-length RANGE frame;
+        month windows the calendar self-join. Days 01-01 (ages 23+35)
+        and 01-02 (61): both 1-week and 1-month trailing windows give
+        58 then 119 (vs the 1-day window's 58 then 61)."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        wk = {
+            r["metric_time"].day: r["WK_AGE"]
+            for r in evaluate_metric(
+                fs, "wk_age", time_grain="day"
+            ).collect()
+        }
+        assert wk == {1: 58, 2: 119}
+        mo = {
+            r["metric_time"].day: r["MON_AGE"]
+            for r in evaluate_metric(
+                fs, "mon_age", time_grain="day"
+            ).collect()
+        }
+        assert mo == {1: 58, 2: 119}
+        by_c = {
+            (r["country"], r["metric_time"].day): r["MON_AGE"]
+            for r in evaluate_metric(
+                fs, "mon_age", time_grain="day", group_by=["country"]
+            ).collect()
+        }
+        assert by_c == {
+            ("US", 1): 23,
+            ("US", 2): 84,
+            ("DE", 1): 35,
+        }
+
     def test_entity_path_group_by(self, fs, tmp_path, base_table):
         """r14 (VERDICT-r13 #4): `<entity>__<dimension>` group_by pulls
         a dimension across semantic models through the shared entity —

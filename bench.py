@@ -251,6 +251,12 @@ HEADLINE = [
     "q_anomaly_iqr",
     "q_seasonal_residual",
     "q_gap_octaves",
+    # r14: MetricFlow depth (entity-path planner, templated filters,
+    # event-grain conversions, calendar windows)
+    "q_metric_entity_path",
+    "q_metric_filter_dim",
+    "q_metric_conv_events",
+    "q_metric_window_cal",
 ]
 
 

@@ -3088,6 +3088,43 @@ def load_semantic_layer(
                         f"{ctp.get('attribution')!r}"
                     )
                 cdeps["attribution"] = attr
+                # dbt `constant_properties:` (MetricFlow, r14): a
+                # conversion event only attributes to a base event that
+                # AGREES on these properties (e.g. same session) —
+                # each entry names a base_property and a
+                # conversion_property (dimension/entity names on the
+                # base semantic model; resolution at evaluate time)
+                cps = ctp.get("constant_properties")
+                if cps is not None:
+                    if not isinstance(cps, list) or not cps:
+                        raise ValidationError(
+                            f"Metric '{name}': constant_properties "
+                            "must be a non-empty list of "
+                            "{base_property, conversion_property}"
+                        )
+                    norm_cps = []
+                    for cp in cps:
+                        if not (
+                            isinstance(cp, dict)
+                            and cp.get("base_property")
+                            and cp.get("conversion_property")
+                        ):
+                            raise ValidationError(
+                                f"Metric '{name}': every "
+                                "constant_properties entry needs "
+                                "base_property and conversion_property"
+                            )
+                        norm_cps.append(
+                            {
+                                "base_property": str(
+                                    cp["base_property"]
+                                ),
+                                "conversion_property": str(
+                                    cp["conversion_property"]
+                                ),
+                            }
+                        )
+                    cdeps["constant_properties"] = norm_cps
                 deps["conversion_type_params"] = cdeps
             elif mtype in ("simple", "cumulative"):
                 mv = tp.get("measure")
@@ -3196,7 +3233,21 @@ def load_semantic_layer(
                         )
                     alias = None
                     offset = None
+                    otg = None
                     if isinstance(r, dict):
+                        unknown = set(r) - {
+                            "name",
+                            "alias",
+                            "offset_window",
+                            "offset_to_grain",
+                        }
+                        if unknown:
+                            raise ValidationError(
+                                f"Metric '{name}': derived input "
+                                f"'{rn}' carries unsupported keys "
+                                f"{sorted(unknown)} (supported: name, "
+                                "alias, offset_window, offset_to_grain)"
+                            )
                         if r.get("alias") is not None:
                             alias = canonical_name(str(r["alias"]))
                         if r.get("offset_window") is not None:
@@ -3216,6 +3267,26 @@ def load_semantic_layer(
                             offset = (
                                 f"{int(m_ow.group(1))} {m_ow.group(2)}"
                             )
+                        # MetricFlow `offset_to_grain` (r14): the input
+                        # row each metric_time sees is the one at the
+                        # START of its <grain> period (vs-month-start
+                        # comparisons). Mutually exclusive with
+                        # offset_window, dbt's own contract.
+                        if r.get("offset_to_grain") is not None:
+                            og = str(r["offset_to_grain"])
+                            if og not in _TIME_GRAINS:
+                                raise ValidationError(
+                                    f"Metric '{name}': offset_to_grain "
+                                    f"must be one of {_TIME_GRAINS}, "
+                                    f"got {r['offset_to_grain']!r}"
+                                )
+                            if offset is not None:
+                                raise ValidationError(
+                                    f"Metric '{name}': an input takes "
+                                    "offset_window OR offset_to_grain, "
+                                    "not both"
+                                )
+                            otg = og
                     eff = alias or canonical_name(rn)
                     if eff in eff_seen:
                         raise ValidationError(
@@ -3224,7 +3295,7 @@ def load_semantic_layer(
                             "with alias:"
                         )
                     eff_seen.add(eff)
-                    if alias is None and offset is None:
+                    if alias is None and offset is None and otg is None:
                         norm_refs.append(rn)
                     else:
                         entry: dict[str, Any] = {"name": rn}
@@ -3232,6 +3303,8 @@ def load_semantic_layer(
                             entry["alias"] = alias
                         if offset is not None:
                             entry["offset_window"] = offset
+                        if otg is not None:
+                            entry["offset_to_grain"] = otg
                         norm_refs.append(entry)
                 deps["metrics"] = norm_refs
                 # dbt derived metrics carry a combining expr over the
@@ -3343,7 +3416,9 @@ def load_semantic_layer(
                 "description": str(sq.get("description", "")),
             }
             if qp.get("where") is not None:
-                doc["where"] = str(qp["where"])
+                wstr = str(qp["where"])
+                _validate_filter_templates(name, wstr, kind="Saved query")
+                doc["where"] = wstr
             sq_out.append(doc)
 
     if not dry_run:
@@ -3387,17 +3462,20 @@ _FILTER_ENT_RE = re.compile(
 _FILTER_ANY_TPL_RE = re.compile(r"\{\{.*?\}\}", re.DOTALL)
 
 
-def _validate_filter_templates(metric_name: str, flt: str) -> None:
-    """Load-time syntax gate for metric `filter:` templating: every
-    `{{ ... }}` block must be a well-formed Dimension / TimeDimension /
-    Entity reference (TimeDimension grains validated here). Name
-    RESOLUTION happens at evaluate time, when the registry holds every
-    semantic model the entity-path planner may join through."""
+def _validate_filter_templates(
+    metric_name: str, flt: str, kind: str = "Metric"
+) -> None:
+    """Load-time syntax gate for metric `filter:` / saved-query
+    `where:` templating: every `{{ ... }}` block must be a well-formed
+    Dimension / TimeDimension / Entity reference (TimeDimension grains
+    validated here). Name RESOLUTION happens at evaluate time, when the
+    registry holds every semantic model the entity-path planner may
+    join through."""
     stripped = _FILTER_DIM_RE.sub("1", flt)
     for m in _FILTER_TDIM_RE.finditer(stripped):
         if m.group(2) not in _TIME_GRAINS:
             raise ValidationError(
-                f"Metric '{metric_name}': TimeDimension grain must be "
+                f"{kind} '{metric_name}': TimeDimension grain must be "
                 f"one of {_TIME_GRAINS}, got {m.group(2)!r}"
             )
     stripped = _FILTER_TDIM_RE.sub("1", stripped)
@@ -3405,11 +3483,49 @@ def _validate_filter_templates(metric_name: str, flt: str) -> None:
     leftover = _FILTER_ANY_TPL_RE.search(stripped)
     if leftover:
         raise ValidationError(
-            f"Metric '{metric_name}': unrecognized filter template "
+            f"{kind} '{metric_name}': unrecognized filter template "
             f"{leftover.group(0)!r} — supported: "
             "{{ Dimension('name') }}, "
             "{{ TimeDimension('name', 'grain') }}, {{ Entity('name') }}"
         )
+
+
+def _rewrite_saved_where(doc: dict[str, Any], wh: str) -> str:
+    """Saved-query `where:` templating (r14): template references map
+    onto the saved query's OUTPUT columns — Dimension('d') /
+    Entity('d') / Dimension('e__d') must match a saved group_by entry
+    (exactly, or by its '__'-suffix — the entity-qualified spelling);
+    TimeDimension must be metric_time at the saved grain. Plain SQL
+    over the output columns passes through unchanged (the engine's
+    original spelling)."""
+    gb = [str(g) for g in doc.get("group_by") or []]
+
+    def _col(nm: str, what: str) -> str:
+        if nm in gb:
+            return nm
+        if "__" in nm and nm.split("__", 1)[1] in gb:
+            return nm.split("__", 1)[1]
+        raise ValidationError(
+            f"Saved query '{doc['name']}': where {what}('{nm}') does "
+            f"not match a saved group_by entry "
+            f"({gb or ['<none>']})"
+        )
+
+    def _tdim(m: "re.Match[str]") -> str:
+        nm, grain = m.group(1), m.group(2)
+        if nm != "metric_time" or doc.get("time_grain") != grain:
+            raise ValidationError(
+                f"Saved query '{doc['name']}': where "
+                f"TimeDimension('{nm}', '{grain}') must be "
+                "'metric_time' at the saved grain "
+                f"({doc.get('time_grain')!r})"
+            )
+        return "metric_time"
+
+    wh = _FILTER_DIM_RE.sub(lambda m: _col(m.group(1), "Dimension"), wh)
+    wh = _FILTER_TDIM_RE.sub(_tdim, wh)
+    wh = _FILTER_ENT_RE.sub(lambda m: _col(m.group(1), "Entity"), wh)
+    return wh
 
 
 def _metric_base_df(fs: "FeatureStore", sem: dict[str, Any],
@@ -3496,7 +3612,11 @@ def evaluate_metric(
       expr is the identity). An input's ``offset_window: '<N> <grain>'``
       (MetricFlow period-over-period) shifts that input's metric_time
       FORWARD by the offset before the join, so each row sees the
-      input's value from N grains earlier; requires ``time_grain``.
+      input's value from N grains earlier; ``offset_to_grain: <grain>``
+      (r14) instead joins each row to the input's value at the START
+      of its <grain> period (vs-month-start comparisons; the grain
+      must be at least as coarse as ``time_grain``, and at least one
+      input must stay un-offset). Both require ``time_grain``.
     - ``conversion``  → ENTITY-grain first-touch attribution by
       default (r13): an entity converts iff a conversion event lands
       at-or-after its FIRST base event (within ``window`` days when
@@ -3509,6 +3629,10 @@ def evaluate_metric(
       the LATEST base event of its entity at-or-before it (within the
       window), so conversions are never double-counted. Cross-model
       conversion refused (no entity-path planner for event frames).
+      ``constant_properties`` (r14) restrict attribution to base
+      events AGREEING on the named properties (MetricFlow's same-
+      session constraint; plain equality — NULL never matches), in
+      both attribution modes.
 
     A metric-level ``filter:`` applies BEFORE aggregation and pushes
     into the FV scan; derived metrics refuse it at load time (put the
@@ -3739,6 +3863,28 @@ def evaluate_metric(
                     + hint
                 )
             gexprs.append((g, d.get("expr") or d["name"]))
+        # constant_properties (r14): a conversion only attributes to a
+        # base event agreeing on these properties (MetricFlow's "same
+        # session" constraint). Properties resolve against the base
+        # model's declared dimensions/entities; plain (not null-safe)
+        # equality — a NULL property never matches, MetricFlow's SQL.
+        cp_pairs: list[tuple[str, str]] = []
+        for cp in ctp.get("constant_properties") or []:
+            pair = []
+            for role in ("base_property", "conversion_property"):
+                pn = str(cp[role])
+                pd = declared.get(pn)
+                if pd is None:
+                    raise ValidationError(
+                        f"Metric '{name}': constant property '{pn}' "
+                        "is not a declared dimension or entity of "
+                        f"semantic model '{sem['name']}' (declared: "
+                        f"{sorted(declared)})"
+                    )
+                pair.append(pd.get("expr") or pd["name"])
+            cp_pairs.append((pair[0], pair[1]))
+        cp_cols = [f"_fs_cp_{j}" for j in range(len(cp_pairs))]
+        cq_cols = [f"_fs_cq_{j}" for j in range(len(cp_pairs))]
         base_expr = base_spec.get("expr") or base_spec["name"]
         conv_expr = conv_spec.get("expr") or conv_spec["name"]
         base_e = df.filter(F.expr(f"({base_expr}) IS NOT NULL")).select(
@@ -3751,12 +3897,20 @@ def evaluate_metric(
                 F.expr(x).alias(f"_fs_g_{i}")
                 for i, (_g, x) in enumerate(gexprs)
             ],
+            *[
+                F.expr(bx).alias(cp_cols[j])
+                for j, (bx, _cx) in enumerate(cp_pairs)
+            ],
         )
         conv_e = df.filter(F.expr(f"({conv_expr}) IS NOT NULL")).select(
             F.expr(eexpr).alias("_fs_ent"),
             F.expr(
                 f"CAST(unix_timestamp({texpr}) AS BIGINT)"
             ).alias("_fs_ct"),
+            *[
+                F.expr(cx).alias(cq_cols[j])
+                for j, (_bx, cx) in enumerate(cp_pairs)
+            ],
         )
         out_keys = [
             F.col(f"_fs_g_{i}").alias(g)
@@ -3794,7 +3948,11 @@ def evaluate_metric(
             # the entity with the time bound as a post-join refine
             # (per-entity event counts bound the fan-out); the argmax
             # and re-join run on conversion-cardinality frames.
-            base_g = base_e.groupBy("_fs_ent", "_fs_t").agg(
+            # constant properties join the (entity, second) grain on
+            # BOTH sides: a base cell is only creditable by conversions
+            # agreeing on every property, and attribution picks the
+            # latest MATCHING base cell
+            base_g = base_e.groupBy("_fs_ent", "_fs_t", *cp_cols).agg(
                 F.count("*").alias("_fs_bn"),
                 F.min("_fs_ts").alias("_fs_ts"),
                 *[
@@ -3802,12 +3960,13 @@ def evaluate_metric(
                     for i in range(len(gexprs))
                 ],
             )
-            conv_g = conv_e.groupBy("_fs_ent", "_fs_ct").agg(
+            conv_g = conv_e.groupBy("_fs_ent", "_fs_ct", *cq_cols).agg(
                 F.count("*").alias("_fs_cn")
             )
             bkeys = base_g.select(
                 F.col("_fs_ent").alias("_fs_bent"),
                 F.col("_fs_t").alias("_fs_bt"),
+                *cp_cols,
             )
             cond = (F.col("_fs_ent") == F.col("_fs_bent")) & (
                 F.col("_fs_ct") >= F.col("_fs_bt")
@@ -3816,16 +3975,34 @@ def evaluate_metric(
                 cond = cond & (
                     F.col("_fs_ct") <= F.col("_fs_bt") + n_days * 86400
                 )
+            for j in range(len(cp_pairs)):
+                cond = cond & (
+                    F.col(cq_cols[j]) == F.col(cp_cols[j])
+                )
             att = (
                 conv_g.join(bkeys, cond)
-                .groupBy("_fs_ent", "_fs_ct", "_fs_cn")
+                .groupBy("_fs_ent", "_fs_ct", "_fs_cn", *cq_cols)
                 .agg(F.max("_fs_bt").alias("_fs_t"))
             )
-            conv_per_base = att.groupBy("_fs_ent", "_fs_t").agg(
-                F.sum("_fs_cn").alias("_fs_cc")
+            conv_per_base = (
+                att.select(
+                    "_fs_ent",
+                    "_fs_t",
+                    "_fs_cn",
+                    *[
+                        F.col(cq_cols[j]).alias(cp_cols[j])
+                        for j in range(len(cp_pairs))
+                    ],
+                )
+                .groupBy("_fs_ent", "_fs_t", *cp_cols)
+                .agg(F.sum("_fs_cn").alias("_fs_cc"))
             )
             agged = (
-                base_g.join(conv_per_base, ["_fs_ent", "_fs_t"], "left")
+                base_g.join(
+                    conv_per_base,
+                    ["_fs_ent", "_fs_t", *cp_cols],
+                    "left",
+                )
                 .groupBy(*out_keys)
                 .agg(
                     F.sum("_fs_bn").cast("long").alias("_fs_base"),
@@ -3849,6 +4026,11 @@ def evaluate_metric(
                         F.min(F.col(f"_fs_g_{i}")).alias(f"_fs_g_{i}")
                         for i in range(len(gexprs))
                     ],
+                    # constant properties at the FIRST base event (MIN
+                    # over same-second ties, the dims rule)
+                    *[
+                        F.min(F.col(c)).alias(c) for c in cp_cols
+                    ],
                 )
             )
             cond = (conv_e["_fs_ent"] == first["_fs_ent"]) & (
@@ -3857,6 +4039,10 @@ def evaluate_metric(
             if n_days is not None:
                 cond = cond & (
                     conv_e["_fs_ct"] <= first["_fs_tb"] + n_days * 86400
+                )
+            for j in range(len(cp_pairs)):
+                cond = cond & (
+                    conv_e[cq_cols[j]] == first[cp_cols[j]]
                 )
             converted = (
                 first.join(conv_e, cond, "leftsemi")
@@ -3896,15 +4082,18 @@ def evaluate_metric(
         # time-spine outer join.
         inputs = tp.get("metrics") or []
         keys = list(group_by) + (["metric_time"] if time_grain else [])
-        frames = []
+        frames: list[tuple[Any, str | None]] = []
         eff_names: list[str] = []
         for r in inputs:
             if isinstance(r, dict):
                 rn = str(r["name"])
                 alias = str(r.get("alias") or canonical_name(rn))
                 offset = r.get("offset_window")
+                otg = r.get("offset_to_grain")
             else:
-                rn, alias, offset = str(r), canonical_name(str(r)), None
+                rn, alias, offset, otg = (
+                    str(r), canonical_name(str(r)), None, None,
+                )
             fr = evaluate_metric(
                 fs, rn, group_by=group_by, time_grain=time_grain,
                 time_dimension=time_dimension,
@@ -3927,11 +4116,57 @@ def evaluate_metric(
                         "metric_time)"
                     ),
                 )
-            frames.append(fr)
+            if otg is not None:
+                if time_grain is None:
+                    raise ValidationError(
+                        f"Metric '{name}': input '{rn}' carries "
+                        "offset_to_grain — evaluation needs time_grain"
+                    )
+                if _TIME_GRAINS.index(str(otg)) < _TIME_GRAINS.index(
+                    time_grain
+                ):
+                    raise ValidationError(
+                        f"Metric '{name}': offset_to_grain '{otg}' is "
+                        f"finer than time_grain '{time_grain}' — the "
+                        "period-start grain must be at least as coarse"
+                    )
+            frames.append((fr, str(otg) if otg is not None else None))
             eff_names.append(alias)
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.join(fr, keys) if keys else out.crossJoin(fr)
+        # MetricFlow offset_to_grain (r14): the input row each
+        # metric_time t sees is the one AT date_trunc(<grain>, t) —
+        # the period-start value (vs-month-start comparisons). The
+        # truncation of a coarser grain always lands on a time_grain
+        # boundary, so the join partner exists whenever that period's
+        # first grain row does (inner-join semantics, as for
+        # offset_window). At least one input must be un-offset to
+        # anchor the output's metric_time.
+        base_idx = next(
+            (i for i, (_f, o) in enumerate(frames) if o is None), None
+        )
+        if base_idx is None:
+            raise ValidationError(
+                f"Metric '{name}': every derived input carries "
+                "offset_to_grain — at least one un-offset input must "
+                "anchor metric_time"
+            )
+        out = frames[base_idx][0]
+        for i, (fr, otg) in enumerate(frames):
+            if i == base_idx:
+                continue
+            if otg is None:
+                out = out.join(fr, keys) if keys else out.crossJoin(fr)
+                continue
+            fr2 = fr
+            for k in keys:
+                fr2 = fr2.withColumnRenamed(k, f"_fs_og_{k}")
+            cond = F.expr(
+                f"date_trunc('{otg}', metric_time)"
+            ) == F.col("_fs_og_metric_time")
+            for g in group_by:
+                cond = cond & F.col(g).eqNullSafe(F.col(f"_fs_og_{g}"))
+            out = out.join(fr2, cond).drop(
+                *[f"_fs_og_{k}" for k in keys]
+            )
         expr = tp.get("expr")
         if expr is None:
             if len(inputs) == 1:
@@ -4342,10 +4577,12 @@ def evaluate_saved_query(
     joined on the group keys with Spark's USING-join key coalescing —
     MetricFlow's semantics: a key present for one metric but absent for
     another keeps the row with NULL for the missing metric (an INNER
-    join would silently drop it). The saved ``where:`` predicate (a SQL
-    expression over the OUTPUT columns — group keys + canonical metric
-    names; the documented simplification of dbt's Dimension templating)
-    filters the joined frame. Output columns: group keys (+
+    join would silently drop it). The saved ``where:`` predicate
+    filters the joined frame; both spellings are accepted (r14) — dbt's
+    templating (``{{ Dimension('e__d') }}`` / ``{{ Entity('e') }}`` map
+    onto the saved group_by columns, ``{{ TimeDimension('metric_time',
+    '<saved grain>') }}`` onto metric_time) and a plain SQL expression
+    over the OUTPUT columns (group keys + canonical metric names). Output columns: group keys (+
     ``metric_time``) then one column per metric under its canonical
     name.
 
@@ -4376,7 +4613,7 @@ def evaluate_saved_query(
         else:
             out = out.crossJoin(fr)
     if doc.get("where"):
-        out = out.filter(str(doc["where"]))
+        out = out.filter(_rewrite_saved_where(doc, str(doc["where"])))
     return out
 
 

@@ -471,6 +471,16 @@ metrics:
         join_to_timespine: true
         fill_nulls_with: 0
     filter: o_totalprice > 450000
+  - name: rev_vs_month_start
+    type: derived
+    type_params:
+      expr: rev_cur2 - rev_mstart
+      metrics:
+        - name: revenue_cents_simple
+          alias: rev_cur2
+        - name: revenue_cents_simple
+          alias: rev_mstart
+          offset_to_grain: month
   - name: bldg_revenue
     type: simple
     type_params:
@@ -1321,3 +1331,43 @@ ORACLE["q_metric_window_cal"] = """
     ORDER BY f_day
 """
 QUERIES["q_metric_window_cal"] = q_metric_window_cal
+
+
+def q_metric_offset_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED METRIC WITH offset_to_grain, ORACLE-GATED (r14):
+    MetricFlow's period-start comparison — daily revenue cents minus
+    the MONTH-START day's revenue, from a REGISTERED derived metric
+    whose second input carries ``offset_to_grain: month``. The offset
+    input joins on ``date_trunc('month', metric_time)`` (truncation of
+    a coarser grain always lands on a day boundary); days in a month
+    whose first calendar day has no orders drop with the inner join —
+    the offset_window discipline, and the oracle states the same join.
+    Cents are BIGINT-exact at any SF.
+
+    Scale: two aliases of ONE aggregated day frame joined on the
+    truncated key — calendar-sized, never fact rows."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    d = evaluate_metric(fs, "rev_vs_month_start", time_grain="day")
+    return d.select(
+        F.col("metric_time").alias("f_day"),
+        F.col("REV_VS_MONTH_START").cast("long").alias("f_delta_cents"),
+    ).orderBy("f_day")
+
+
+ORACLE["q_metric_offset_grain"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                   AS f_day,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS _c
+        FROM orders GROUP BY 1
+    )
+    SELECT a.f_day AS f_day,
+           CAST(a._c - b._c AS BIGINT) AS f_delta_cents
+    FROM d a JOIN d b
+      ON b.f_day = CAST(date_trunc('month', a.f_day) AS TIMESTAMP)
+    ORDER BY f_day
+"""
+QUERIES["q_metric_offset_grain"] = q_metric_offset_grain

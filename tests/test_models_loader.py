@@ -2534,6 +2534,239 @@ saved_queries:
         n = evaluate_metric(fs, "gold_conv_evt_n").collect()
         assert n[0]["GOLD_CONV_EVT_N"] == 1
 
+    def test_offset_to_grain(self, fs, tmp_path, base_table):
+        """r14: offset_to_grain joins each row to the input's value at
+        the START of its grain period. Days 01-01 (58) / 01-02 (61) vs
+        the month-start (01-01) value: deltas 0 and 3."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        fs.registry.put(
+            "metrics",
+            "AGE_VS_MSTART",
+            {
+                "name": "AGE_VS_MSTART",
+                "type": "derived",
+                "type_params": {
+                    "expr": "CUR - MSTART",
+                    "metrics": [
+                        {"name": "total_age_m", "alias": "CUR"},
+                        {
+                            "name": "total_age_m",
+                            "alias": "MSTART",
+                            "offset_to_grain": "month",
+                        },
+                    ],
+                },
+            },
+        )
+        rows = {
+            r["metric_time"].day: r["AGE_VS_MSTART"]
+            for r in evaluate_metric(
+                fs, "AGE_VS_MSTART", time_grain="day"
+            ).collect()
+        }
+        assert rows == {1: 0, 2: 3}
+        with pytest.raises(ValidationError, match="needs time_grain"):
+            evaluate_metric(fs, "AGE_VS_MSTART")
+        fs.registry.put(
+            "metrics",
+            "ALL_OFFSET",
+            {
+                "name": "ALL_OFFSET",
+                "type": "derived",
+                "type_params": {
+                    "metrics": [
+                        {
+                            "name": "total_age_m",
+                            "alias": "M1",
+                            "offset_to_grain": "month",
+                        }
+                    ]
+                },
+            },
+        )
+        with pytest.raises(ValidationError, match="anchor metric_time"):
+            evaluate_metric(fs, "ALL_OFFSET", time_grain="day")
+        fs.registry.put(
+            "metrics",
+            "FINER",
+            {
+                "name": "FINER",
+                "type": "derived",
+                "type_params": {
+                    "expr": "CUR - DSTART",
+                    "metrics": [
+                        {"name": "total_age_m", "alias": "CUR"},
+                        {
+                            "name": "total_age_m",
+                            "alias": "DSTART",
+                            "offset_to_grain": "day",
+                        },
+                    ],
+                },
+            },
+        )
+        with pytest.raises(ValidationError, match="finer than"):
+            evaluate_metric(fs, "FINER", time_grain="month")
+
+    def test_conversion_constant_properties(
+        self, fs, tmp_path, base_table
+    ):
+        """r14: constant_properties restrict attribution to base
+        events AGREEING on the property (MetricFlow's same-session
+        constraint), in both attribution modes. cid 1 converts with a
+        MISMATCHED property (A→B), cid 2 with a matching one (A→A):
+        constrained metrics count 1, the unconstrained twin counts 2."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+        )
+
+        self._loaded(fs, tmp_path, base_table)
+        spark = fs.spark
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", "A", 1, None),
+                (1, "2024-01-02 00:00:00", "B", None, 1),
+                (2, "2024-01-01 00:00:00", "A", 1, None),
+                (2, "2024-01-02 00:00:00", "A", None, 1),
+            ],
+            schema="cid int, ts string, prop string, b int, c int",
+        ).selectExpr(
+            "cid", "CAST(ts AS timestamp) ts", "prop", "b", "c"
+        ).createOrReplaceTempView("cp_events")
+        fs.register_entity(Entity("cp_cust", ["cid"]))
+        fs.register_feature_view(
+            FeatureView(
+                "cp_model", ["cp_cust"], sql="SELECT * FROM cp_events"
+            ),
+            version="1.0",
+        )
+        fs.registry.put(
+            "semantic_models",
+            "CP_SEM",
+            {
+                "name": "CP_SEM",
+                "model": "CP_MODEL",
+                "entities": [
+                    {"name": "cp_cust_e", "type": "primary", "expr": "cid"}
+                ],
+                "dimensions": [
+                    {"name": "cp_when", "type": "time", "expr": "ts"},
+                    {
+                        "name": "cp_prop",
+                        "type": "categorical",
+                        "expr": "prop",
+                    },
+                ],
+                "measures": [
+                    {"name": "cp_base", "agg": "count", "expr": "b"},
+                    {"name": "cp_conv", "agg": "count", "expr": "c"},
+                ],
+            },
+        )
+        for nm, attrd, cps in [
+            ("CPC_EVT", "event", True),
+            ("CPC_EVT_ALL", "event", False),
+            ("CPC_FT", "first_touch", True),
+        ]:
+            ctp = {
+                "base_measure": "cp_base",
+                "conversion_measure": "cp_conv",
+                "entity": "cp_cust_e",
+                "calculation": "conversions",
+                "attribution": attrd,
+            }
+            if cps:
+                ctp["constant_properties"] = [
+                    {
+                        "base_property": "cp_prop",
+                        "conversion_property": "cp_prop",
+                    }
+                ]
+            fs.registry.put(
+                "metrics",
+                nm,
+                {
+                    "name": nm,
+                    "type": "conversion",
+                    "type_params": {"conversion_type_params": ctp},
+                },
+            )
+        assert evaluate_metric(fs, "CPC_EVT").collect()[0]["CPC_EVT"] == 1
+        assert (
+            evaluate_metric(fs, "CPC_EVT_ALL").collect()[0]["CPC_EVT_ALL"]
+            == 2
+        )
+        assert evaluate_metric(fs, "CPC_FT").collect()[0]["CPC_FT"] == 1
+        fs.registry.put(
+            "metrics",
+            "CPC_BAD",
+            {
+                "name": "CPC_BAD",
+                "type": "conversion",
+                "type_params": {
+                    "conversion_type_params": {
+                        "base_measure": "cp_base",
+                        "conversion_measure": "cp_conv",
+                        "entity": "cp_cust_e",
+                        "constant_properties": [
+                            {
+                                "base_property": "nope",
+                                "conversion_property": "cp_prop",
+                            }
+                        ],
+                    }
+                },
+            },
+        )
+        with pytest.raises(ValidationError, match="constant property"):
+            evaluate_metric(fs, "CPC_BAD")
+
+    def test_saved_where_templating(self, fs, tmp_path, base_table):
+        """r14: saved-query where templating maps Dimension/Entity
+        references onto the saved group_by columns and TimeDimension
+        onto metric_time at the saved grain."""
+        from dbt_snowflake_feature_store_spark import evaluate_saved_query
+
+        self._loaded(fs, tmp_path, base_table)
+        fs.registry.put(
+            "saved_queries",
+            "TPL_KPIS",
+            {
+                "name": "TPL_KPIS",
+                "metrics": ["total_age_m"],
+                "group_by": ["country"],
+                "time_grain": "day",
+                "where": (
+                    "{{ Dimension('customer__country') }} = 'US' AND "
+                    "{{ TimeDimension('metric_time', 'day') }} >= "
+                    "TIMESTAMP '2024-01-02'"
+                ),
+            },
+        )
+        rows = evaluate_saved_query(fs, "TPL_KPIS").collect()
+        assert len(rows) == 1
+        assert rows[0]["country"] == "US"
+        assert rows[0]["TOTAL_AGE_M"] == 61
+        fs.registry.put(
+            "saved_queries",
+            "TPL_BAD",
+            {
+                "name": "TPL_BAD",
+                "metrics": ["total_age_m"],
+                "group_by": ["country"],
+                "time_grain": None,
+                "where": "{{ Dimension('nope') }} = 1",
+            },
+        )
+        with pytest.raises(
+            ValidationError, match="does not match a saved group_by"
+        ):
+            evaluate_saved_query(fs, "TPL_BAD")
+
     def test_filter_template_load_validation(
         self, fs, tmp_path, base_table
     ):
@@ -2562,6 +2795,30 @@ saved_queries:
                 "        entity: customer\n"
                 "        attribution: last_touch\n",
                 "attribution must be",
+            ),
+            (
+                "  - name: bad_cp\n    type: conversion\n"
+                "    type_params:\n      conversion_type_params:\n"
+                "        base_measure: n_customers\n"
+                "        conversion_measure: gold_ids\n"
+                "        entity: customer\n"
+                "        constant_properties:\n"
+                "          - base_property: country\n",
+                "needs base_property and conversion_property",
+            ),
+            (
+                "  - name: bad_otg\n    type: derived\n"
+                "    type_params:\n      metrics:\n"
+                "        - name: total_age_m\n"
+                "          offset_to_grain: hourly\n",
+                "offset_to_grain must be",
+            ),
+            (
+                "  - name: bad_ikey\n    type: derived\n"
+                "    type_params:\n      metrics:\n"
+                "        - name: total_age_m\n"
+                "          offset_grain: month\n",
+                "unsupported keys",
             ),
         ]:
             bad_yml = self.YML.replace(

@@ -46,7 +46,7 @@ from .store import FeatureStore
 # 1.13.0: the major resumes the pre-r12 1.x line (r12 briefly reset to
 # 0.12.0, which would sort OLDER than an installed 1.0.0 and break >=
 # upgrade constraints — ADVICE r12 #5); the minor tracks the build round.
-__version__ = "1.13.0"
+__version__ = "1.14.0"
 
 __all__ = [
     "FeatureStore",

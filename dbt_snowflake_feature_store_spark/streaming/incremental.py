@@ -62,6 +62,17 @@ def _source_views(fs: "FeatureStore", streaming: bool) -> list[str]:
                     .options(**opts)
                     .load(path)
                 )
+                # the SAME timestamp-layout normalization the batch
+                # read path applies (_load_source) — a maintained FV
+                # must see identical types streaming and batch
+                # (ADVICE-r13 invariant; pure projection, stream-safe)
+                from ..sources import normalize_frame
+
+                df = normalize_frame(
+                    df,
+                    path=path if fmt == "parquet" else None,
+                    table=name,
+                )
                 if doc.get("watermark_col") and doc.get("watermark_delay"):
                     df = df.withWatermark(
                         doc["watermark_col"], doc["watermark_delay"]

@@ -3068,12 +3068,23 @@ def load_semantic_layer(
                 cdeps["calculation"] = calc
                 cwin = ctp.get("window")
                 if cwin is not None:
-                    if not re.fullmatch(r"\d+ days?", str(cwin).strip()):
+                    m_cw = re.fullmatch(
+                        r"(\d+)\s+(day|week|month|quarter|year)s?",
+                        str(cwin).strip(),
+                    )
+                    if not m_cw:
                         raise ValidationError(
                             f"Metric '{name}': conversion window must "
-                            f"be '<N> days', got {cwin!r}"
+                            "be '<N> day|week|month|quarter|year[s]', "
+                            f"got {cwin!r}"
                         )
-                    cdeps["window"] = str(cwin).strip()
+                    # normalized singular; evaluate_metric computes a
+                    # per-base-event deadline — fixed seconds for
+                    # day/week, timestampadd (calendar clamping) for
+                    # month/quarter/year (r14)
+                    cdeps["window"] = (
+                        f"{int(m_cw.group(1))} {m_cw.group(2)}"
+                    )
                 # attribution grain (r14, engine extension): dbt/
                 # MetricFlow's real conversion semantics are EVENT-grain
                 # (every base event counts; each conversion event is
@@ -3925,11 +3936,29 @@ def evaluate_metric(
         keys = list(group_by) + (
             ["metric_time"] if time_grain else []
         )
-        n_days = (
-            int(str(ctp["window"]).split()[0])
-            if ctp.get("window")
-            else None
-        )
+        # conversion window → a per-base-event DEADLINE (whole-second
+        # epoch): fixed seconds for day/week; calendar units (r14) via
+        # timestampadd on the RAW base timestamp (month-end clamping ==
+        # SQL + INTERVAL, the r13 parity pin), truncated by
+        # unix_timestamp
+        _deadline = None
+        if ctp.get("window"):
+            _n_w, _w_unit = str(ctp["window"]).split()
+            _n_w = int(_n_w)
+            if _w_unit in ("day", "week"):
+                _w_secs = _n_w * (604800 if _w_unit == "week" else 86400)
+
+                def _deadline(epoch_col: str, ts_col: str):
+                    return F.col(epoch_col) + _w_secs
+
+            else:
+
+                def _deadline(epoch_col: str, ts_col: str):
+                    return F.expr(
+                        f"CAST(unix_timestamp(timestampadd("
+                        f"{_w_unit.upper()}, {_n_w}, {ts_col})) AS "
+                        "BIGINT)"
+                    )
         if str(ctp.get("attribution") or "first_touch") == "event":
             # EVENT-GRAIN attribution (r14 — MetricFlow's real
             # conversion semantics): every BASE EVENT counts toward the
@@ -3963,18 +3992,21 @@ def evaluate_metric(
             conv_g = conv_e.groupBy("_fs_ent", "_fs_ct", *cq_cols).agg(
                 F.count("*").alias("_fs_cn")
             )
+            if _deadline is not None:
+                base_g = base_g.withColumn(
+                    "_fs_dl", _deadline("_fs_t", "_fs_ts")
+                )
             bkeys = base_g.select(
                 F.col("_fs_ent").alias("_fs_bent"),
                 F.col("_fs_t").alias("_fs_bt"),
                 *cp_cols,
+                *(["_fs_dl"] if _deadline is not None else []),
             )
             cond = (F.col("_fs_ent") == F.col("_fs_bent")) & (
                 F.col("_fs_ct") >= F.col("_fs_bt")
             )
-            if n_days is not None:
-                cond = cond & (
-                    F.col("_fs_ct") <= F.col("_fs_bt") + n_days * 86400
-                )
+            if _deadline is not None:
+                cond = cond & (F.col("_fs_ct") <= F.col("_fs_dl"))
             for j in range(len(cp_pairs)):
                 cond = cond & (
                     F.col(cq_cols[j]) == F.col(cp_cols[j])
@@ -4033,13 +4065,15 @@ def evaluate_metric(
                     ],
                 )
             )
+            if _deadline is not None:
+                first = first.withColumn(
+                    "_fs_dl", _deadline("_fs_tb", "_fs_ts")
+                )
             cond = (conv_e["_fs_ent"] == first["_fs_ent"]) & (
                 conv_e["_fs_ct"] >= first["_fs_tb"]
             )
-            if n_days is not None:
-                cond = cond & (
-                    conv_e["_fs_ct"] <= first["_fs_tb"] + n_days * 86400
-                )
+            if _deadline is not None:
+                cond = cond & (conv_e["_fs_ct"] <= first["_fs_dl"])
             for j in range(len(cp_pairs)):
                 cond = cond & (
                     conv_e[cq_cols[j]] == first[cp_cols[j]]

@@ -507,6 +507,15 @@ metrics:
         attribution: event
         calculation: conversions
         window: 365 days
+  - name: big_ticket_rate_evt_12mo
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_orders
+        conversion_measure: big_order_ids
+        entity: customer
+        attribution: event
+        window: 12 months
 
 saved_queries:
   - name: priority_kpis
@@ -1243,12 +1252,18 @@ def q_metric_conv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = evaluate_metric(
         fs, "big_ticket_convs_evt", group_by=["priority"]
     )
-    out = rate.join(cnts, "priority")
+    r12m = evaluate_metric(
+        fs, "big_ticket_rate_evt_12mo", group_by=["priority"]
+    )
+    out = rate.join(cnts, "priority").join(r12m, "priority")
     return out.select(
         F.col("priority").alias("f_priority"),
         F.col("BIG_TICKET_RATE_EVT").cast("double").alias("f_rate"),
         F.col("BIG_TICKET_CONVS_EVT").cast("long").alias(
             "f_conversions"
+        ),
+        F.col("BIG_TICKET_RATE_EVT_12MO").cast("double").alias(
+            "f_rate_12mo"
         ),
     ).orderBy("f_priority")
 
@@ -1257,6 +1272,7 @@ ORACLE["q_metric_conv_events"] = """
     WITH bg AS (
         SELECT o_custkey AS e,
                CAST(epoch(o_orderdate) AS BIGINT) AS t,
+               MIN(o_orderdate) AS bts,
                COUNT(*) AS bn,
                MIN(o_orderpriority) AS p
         FROM orders GROUP BY 1, 2
@@ -1276,13 +1292,29 @@ ORACLE["q_metric_conv_events"] = """
         GROUP BY 1, 2
     ),
     cpb AS (SELECT e, t, SUM(cn) AS cc FROM att GROUP BY 1, 2),
+    att12 AS (
+        SELECT cg.e AS e, cg.ct AS ct, MIN(cg.cn) AS cn,
+               MAX(bg.t) AS t
+        FROM cg JOIN bg ON bg.e = cg.e
+           AND cg.ct >= bg.t
+           AND cg.ct <= CAST(FLOOR(epoch(bg.bts + INTERVAL 12 MONTH))
+                             AS BIGINT)
+        GROUP BY 1, 2
+    ),
+    cpb12 AS (SELECT e, t, SUM(cn) AS cc FROM att12 GROUP BY 1, 2),
     j AS (
-        SELECT bg.p AS p, bg.bn AS bn, COALESCE(cpb.cc, 0) AS cc
-        FROM bg LEFT JOIN cpb ON bg.e = cpb.e AND bg.t = cpb.t
+        SELECT bg.p AS p, bg.bn AS bn,
+               COALESCE(cpb.cc, 0) AS cc,
+               COALESCE(cpb12.cc, 0) AS cc12
+        FROM bg
+        LEFT JOIN cpb ON bg.e = cpb.e AND bg.t = cpb.t
+        LEFT JOIN cpb12 ON bg.e = cpb12.e AND bg.t = cpb12.t
     )
     SELECT p AS f_priority,
            CAST(SUM(cc) AS DOUBLE) / CAST(SUM(bn) AS DOUBLE) AS f_rate,
-           CAST(SUM(cc) AS BIGINT) AS f_conversions
+           CAST(SUM(cc) AS BIGINT) AS f_conversions,
+           CAST(SUM(cc12) AS DOUBLE) / CAST(SUM(bn) AS DOUBLE)
+               AS f_rate_12mo
     FROM j GROUP BY 1
     ORDER BY f_priority
 """

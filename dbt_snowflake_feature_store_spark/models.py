@@ -3638,12 +3638,17 @@ def evaluate_metric(
       base event counts toward the denominator at its own
       dims/metric_time, and every conversion event is attributed to
       the LATEST base event of its entity at-or-before it (within the
-      window), so conversions are never double-counted. Cross-model
-      conversion refused (no entity-path planner for event frames).
+      window), so conversions are never double-counted. CROSS-MODEL
+      conversion (r14): base and conversion measures may live on
+      DIFFERENT semantic models — the conversion side reads its own
+      model through its own declaration of the SHARED entity and its
+      own single `type: time` dimension (group-by dims stay at the
+      base event; metric-level filter refused as ambiguous).
       ``constant_properties`` (r14) restrict attribution to base
-      events AGREEING on the named properties (MetricFlow's same-
-      session constraint; plain equality — NULL never matches), in
-      both attribution modes.
+      events AGREEING on the named properties (base_property on the
+      base model, conversion_property on the conversion model —
+      MetricFlow's same-session constraint; plain equality, NULL never
+      matches), in both attribution modes.
 
     A metric-level ``filter:`` applies BEFORE aggregation and pushes
     into the FV scan; derived metrics refuse it at load time (put the
@@ -3825,16 +3830,18 @@ def evaluate_metric(
         ctp = tp.get("conversion_type_params") or {}
         base_sm, base_spec = _measure(ctp["base_measure"])
         conv_sm, conv_spec = _measure(ctp["conversion_measure"])
-        if conv_sm["name"] != base_sm["name"]:
-            raise ValidationError(
-                f"Metric '{name}': base and conversion measures span "
-                f"semantic models '{base_sm['name']}' and "
-                f"'{conv_sm['name']}' — cross-model conversion needs "
-                "an entity-join planner and is not supported"
-            )
         sem = base_sm
+        cross_conv = conv_sm["name"] != base_sm["name"]
         df = _metric_base_df(fs, sem, model_version)
         if mdoc.get("filter"):
+            if cross_conv:
+                # which model does the predicate read? genuinely
+                # ambiguous — the cross-ratio refusal discipline
+                raise ValidationError(
+                    f"Metric '{name}': cross-model conversion metrics "
+                    "cannot carry filter: — it is ambiguous which "
+                    "model the predicate reads"
+                )
 
             def _no_path(ent: str, dim: str, why: str) -> str:
                 raise ValidationError(
@@ -3857,6 +3864,52 @@ def evaluate_metric(
         )
         eexpr = ent_spec.get("expr") or ent_spec["name"]
         texpr = _tdim_expr(sem)
+        # CROSS-MODEL conversion (r14): base and conversion measures on
+        # DIFFERENT semantic models joined through the SHARED entity —
+        # MetricFlow's real shape (e.g. base = orders model, conversion
+        # = shipments model, entity = order). The conversion side reads
+        # its OWN model: its own declaration of the shared entity, its
+        # own (single) `type: time` dimension; group-by dims and
+        # constant base_property still come from the BASE model,
+        # constant conversion_property from the CONVERSION model.
+        if cross_conv:
+            conv_df = _metric_base_df(fs, conv_sm, model_version)
+            conv_ents = {
+                e["name"]: e for e in conv_sm.get("entities", [])
+            }
+            c_ent = conv_ents.get(str(ctp.get("entity")))
+            if c_ent is None:
+                raise ValidationError(
+                    f"Metric '{name}': conversion entity "
+                    f"'{ctp.get('entity')}' is not a declared entity "
+                    f"of the conversion measure's semantic model "
+                    f"'{conv_sm['name']}' (declared: "
+                    f"{sorted(conv_ents)}) — cross-model conversion "
+                    "joins through the shared entity"
+                )
+            conv_eexpr = c_ent.get("expr") or c_ent["name"]
+            ctdims = [
+                d for d in conv_sm.get("dimensions", [])
+                if str(d.get("type", "")).lower() == "time"
+            ]
+            if len(ctdims) != 1:
+                raise ValidationError(
+                    f"Metric '{name}': conversion model "
+                    f"'{conv_sm['name']}' must declare exactly ONE "
+                    "`type: time` dimension for cross-model "
+                    f"conversion (found "
+                    f"{sorted(d['name'] for d in ctdims)})"
+                )
+            conv_texpr = ctdims[0].get("expr") or ctdims[0]["name"]
+            conv_declared = {
+                d["name"]: d
+                for d in list(conv_sm.get("dimensions", []))
+                + list(conv_sm.get("entities", []))
+            }
+        else:
+            conv_df = df
+            conv_eexpr, conv_texpr = eexpr, texpr
+            conv_declared = declared
         gexprs: list[tuple[str, str]] = []
         for g in group_by:
             d = declared.get(g)
@@ -3882,15 +3935,18 @@ def evaluate_metric(
         cp_pairs: list[tuple[str, str]] = []
         for cp in ctp.get("constant_properties") or []:
             pair = []
-            for role in ("base_property", "conversion_property"):
+            for role, decl, sm_x in (
+                ("base_property", declared, sem),
+                ("conversion_property", conv_declared, conv_sm),
+            ):
                 pn = str(cp[role])
-                pd = declared.get(pn)
+                pd = decl.get(pn)
                 if pd is None:
                     raise ValidationError(
                         f"Metric '{name}': constant property '{pn}' "
                         "is not a declared dimension or entity of "
-                        f"semantic model '{sem['name']}' (declared: "
-                        f"{sorted(declared)})"
+                        f"semantic model '{sm_x['name']}' (declared: "
+                        f"{sorted(decl)})"
                     )
                 pair.append(pd.get("expr") or pd["name"])
             cp_pairs.append((pair[0], pair[1]))
@@ -3913,10 +3969,12 @@ def evaluate_metric(
                 for j, (bx, _cx) in enumerate(cp_pairs)
             ],
         )
-        conv_e = df.filter(F.expr(f"({conv_expr}) IS NOT NULL")).select(
-            F.expr(eexpr).alias("_fs_ent"),
+        conv_e = conv_df.filter(
+            F.expr(f"({conv_expr}) IS NOT NULL")
+        ).select(
+            F.expr(conv_eexpr).alias("_fs_ent"),
             F.expr(
-                f"CAST(unix_timestamp({texpr}) AS BIGINT)"
+                f"CAST(unix_timestamp({conv_texpr}) AS BIGINT)"
             ).alias("_fs_ct"),
             *[
                 F.expr(cx).alias(cq_cols[j])

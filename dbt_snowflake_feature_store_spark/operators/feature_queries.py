@@ -323,6 +323,9 @@ semantic_models:
       - name: customer
         type: primary
         expr: o_custkey
+      - name: order_e
+        type: primary
+        expr: o_orderkey
     dimensions:
       - name: priority
         type: categorical
@@ -345,6 +348,10 @@ semantic_models:
         expr: CASE WHEN o_totalprice > 150000 THEN o_orderkey END
   - name: lineitem_sem
     model: ref('lineitem_model')
+    entities:
+      - name: order_e
+        type: foreign
+        expr: l_orderkey
     dimensions:
       - name: ship_date
         type: time
@@ -516,6 +523,25 @@ metrics:
         entity: customer
         attribution: event
         window: 12 months
+  - name: ship90_rate
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_orders
+        conversion_measure: n_items
+        entity: order_e
+        attribution: event
+        window: 90 days
+  - name: ship90_lines
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: n_orders
+        conversion_measure: n_items
+        entity: order_e
+        attribution: event
+        calculation: conversions
+        window: 90 days
 
 saved_queries:
   - name: priority_kpis
@@ -1403,3 +1429,67 @@ ORACLE["q_metric_offset_grain"] = """
     ORDER BY f_day
 """
 QUERIES["q_metric_offset_grain"] = q_metric_offset_grain
+
+
+def q_metric_conv_xmodel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODEL CONVERSION METRIC, ORACLE-GATED (r14): base and
+    conversion measures on DIFFERENT semantic models joined through
+    the SHARED entity — base = orders placed (orders model, entity
+    ``order_e`` = o_orderkey), conversion = line items shipped
+    (lineitem model, same entity = l_orderkey, its own ``l_shipdate``
+    time dimension), event-grain, 90-day window. Outputs per the
+    priority AT THE ORDER: the attributed shipped-line count and the
+    lines-per-order rate (>1 by design — multi-line orders; the
+    MetricFlow contract). The oracle restates the two-table attribution
+    join in plain SQL.
+
+    Scale: each side is a column-pruned projection of its OWN model;
+    the attribution join is an entity equi-join (orderkey) with the
+    time bound as a post-join refine — per-order line counts are
+    schema-bounded (≤7 in TPC-H-like data)."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    rate = evaluate_metric(fs, "ship90_rate", group_by=["priority"])
+    lines = evaluate_metric(fs, "ship90_lines", group_by=["priority"])
+    out = rate.join(lines, "priority")
+    return out.select(
+        F.col("priority").alias("f_priority"),
+        F.col("SHIP90_RATE").cast("double").alias("f_rate"),
+        F.col("SHIP90_LINES").cast("long").alias("f_lines"),
+    ).orderBy("f_priority")
+
+
+ORACLE["q_metric_conv_xmodel"] = """
+    WITH bg AS (
+        SELECT o_orderkey AS e,
+               CAST(epoch(o_orderdate) AS BIGINT) AS t,
+               COUNT(*) AS bn,
+               MIN(o_orderpriority) AS p
+        FROM orders GROUP BY 1, 2
+    ),
+    cg AS (
+        SELECT l_orderkey AS e,
+               CAST(epoch(l_shipdate) AS BIGINT) AS ct,
+               COUNT(*) AS cn
+        FROM lineitem GROUP BY 1, 2
+    ),
+    att AS (
+        SELECT cg.e AS e, cg.ct AS ct, MIN(cg.cn) AS cn,
+               MAX(bg.t) AS t
+        FROM cg JOIN bg ON bg.e = cg.e
+           AND cg.ct >= bg.t AND cg.ct <= bg.t + 90 * 86400
+        GROUP BY 1, 2
+    ),
+    cpb AS (SELECT e, t, SUM(cn) AS cc FROM att GROUP BY 1, 2),
+    j AS (
+        SELECT bg.p AS p, bg.bn AS bn, COALESCE(cpb.cc, 0) AS cc
+        FROM bg LEFT JOIN cpb ON bg.e = cpb.e AND bg.t = cpb.t
+    )
+    SELECT p AS f_priority,
+           CAST(SUM(cc) AS DOUBLE) / CAST(SUM(bn) AS DOUBLE) AS f_rate,
+           CAST(SUM(cc) AS BIGINT) AS f_lines
+    FROM j GROUP BY 1
+    ORDER BY f_priority
+"""
+QUERIES["q_metric_conv_xmodel"] = q_metric_conv_xmodel

@@ -2725,6 +2725,162 @@ saved_queries:
         with pytest.raises(ValidationError, match="constant property"):
             evaluate_metric(fs, "CPC_BAD")
 
+    def test_cross_model_conversion(self, fs, tmp_path, base_table):
+        """r14: base and conversion measures on DIFFERENT semantic
+        models join through the shared entity — the conversion side
+        reads its own model via its own entity expr and time
+        dimension. 2 base entities, 1 converting via the other model's
+        event → rate 0.5 in both attribution modes. Cross-model filter
+        refused; a conversion model without the shared entity refused."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+        from dbt_snowflake_feature_store_spark.objects import (
+            Entity,
+            FeatureView,
+        )
+
+        self._loaded(fs, tmp_path, base_table)
+        spark = fs.spark
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1), (2, "2024-01-01 00:00:00", 1)],
+            schema="cid int, ts string, b int",
+        ).selectExpr(
+            "cid", "CAST(ts AS timestamp) ts", "b"
+        ).createOrReplaceTempView("xm_base")
+        spark.createDataFrame(
+            [(1, "2024-01-03 00:00:00", 1)],
+            schema="cid2 int, ts2 string, c2 int",
+        ).selectExpr(
+            "cid2", "CAST(ts2 AS timestamp) ts2", "c2"
+        ).createOrReplaceTempView("xm_conv")
+        fs.register_entity(Entity("xm_cust", ["cid"]))
+        fs.register_entity(Entity("xm_cust2", ["cid2"]))
+        fs.register_feature_view(
+            FeatureView(
+                "xm_base_m", ["xm_cust"], sql="SELECT * FROM xm_base"
+            ),
+            version="1.0",
+        )
+        fs.register_feature_view(
+            FeatureView(
+                "xm_conv_m", ["xm_cust2"], sql="SELECT * FROM xm_conv"
+            ),
+            version="1.0",
+        )
+        fs.registry.put(
+            "semantic_models",
+            "XMB_SEM",
+            {
+                "name": "XMB_SEM",
+                "model": "XM_BASE_M",
+                "entities": [
+                    {"name": "xm_e", "type": "primary", "expr": "cid"}
+                ],
+                "dimensions": [
+                    {"name": "xm_when", "type": "time", "expr": "ts"}
+                ],
+                "measures": [
+                    {"name": "xm_base_n", "agg": "count", "expr": "b"}
+                ],
+            },
+        )
+        fs.registry.put(
+            "semantic_models",
+            "XMC_SEM",
+            {
+                "name": "XMC_SEM",
+                "model": "XM_CONV_M",
+                "entities": [
+                    {"name": "xm_e", "type": "foreign", "expr": "cid2"}
+                ],
+                "dimensions": [
+                    {"name": "xm_when2", "type": "time", "expr": "ts2"}
+                ],
+                "measures": [
+                    {"name": "xm_conv_n", "agg": "count", "expr": "c2"}
+                ],
+            },
+        )
+        for nm, attrd in [
+            ("XM_RATE", "event"),
+            ("XM_RATE_FT", "first_touch"),
+        ]:
+            fs.registry.put(
+                "metrics",
+                nm,
+                {
+                    "name": nm,
+                    "type": "conversion",
+                    "type_params": {
+                        "conversion_type_params": {
+                            "base_measure": "xm_base_n",
+                            "conversion_measure": "xm_conv_n",
+                            "entity": "xm_e",
+                            "attribution": attrd,
+                        }
+                    },
+                },
+            )
+        assert evaluate_metric(fs, "XM_RATE").collect()[0]["XM_RATE"] == 0.5
+        assert (
+            evaluate_metric(fs, "XM_RATE_FT").collect()[0]["XM_RATE_FT"]
+            == 0.5
+        )
+        fs.registry.put(
+            "metrics",
+            "XM_FLT",
+            {
+                "name": "XM_FLT",
+                "type": "conversion",
+                "filter": "b = 1",
+                "type_params": {
+                    "conversion_type_params": {
+                        "base_measure": "xm_base_n",
+                        "conversion_measure": "xm_conv_n",
+                        "entity": "xm_e",
+                    }
+                },
+            },
+        )
+        with pytest.raises(
+            ValidationError, match="ambiguous which model"
+        ):
+            evaluate_metric(fs, "XM_FLT")
+        fs.registry.put(
+            "semantic_models",
+            "XMC2_SEM",
+            {
+                "name": "XMC2_SEM",
+                "model": "XM_CONV_M",
+                "entities": [],
+                "dimensions": [
+                    {"name": "w2", "type": "time", "expr": "ts2"}
+                ],
+                "measures": [
+                    {"name": "xm_conv2_n", "agg": "count", "expr": "c2"}
+                ],
+            },
+        )
+        fs.registry.put(
+            "metrics",
+            "XM_NOENT",
+            {
+                "name": "XM_NOENT",
+                "type": "conversion",
+                "type_params": {
+                    "conversion_type_params": {
+                        "base_measure": "xm_base_n",
+                        "conversion_measure": "xm_conv2_n",
+                        "entity": "xm_e",
+                    }
+                },
+            },
+        )
+        with pytest.raises(
+            ValidationError,
+            match="not a declared entity of the conversion",
+        ):
+            evaluate_metric(fs, "XM_NOENT")
+
     def test_saved_where_templating(self, fs, tmp_path, base_table):
         """r14: saved-query where templating maps Dimension/Entity
         references onto the saved group_by columns and TimeDimension

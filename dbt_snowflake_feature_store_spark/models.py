@@ -3808,6 +3808,85 @@ def evaluate_metric(
         flt = _FILTER_ENT_RE.sub(_ent, flt)
         return flt
 
+    def _make_path_col(sem_x: dict[str, Any], frame: dict[str, Any]):
+        """MetricFlow's ENTITY-PATH join planner (r14), as a resolver
+        bound to one semantic model and one mutable frame:
+        ``path_col(ent, dim, why)`` returns the column name holding
+        ``dim`` pulled from the ONE other registered semantic model
+        that declares ``ent`` as PRIMARY together with ``dim`` —
+        LEFT-joining its column-pruned (key, dim) projection onto
+        ``frame["df"]`` on first use (N:1 by the primary-entity
+        declaration, so row counts are preserved). Zero or several
+        candidate models refuse loudly. Shared by the aggregate path
+        (_prepare_frame) and the conversion branch."""
+        ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
+        joined: dict[tuple[str, str], str] = {}
+
+        def _path_col(ent: str, dim: str, why: str) -> str:
+            if (ent, dim) in joined:
+                return joined[(ent, dim)]
+            if ent not in ents_local:
+                raise ValidationError(
+                    f"Metric '{name}': {why} reaches through entity "
+                    f"'{ent}', which is not a declared entity of "
+                    f"semantic model '{sem_x['name']}' (declared: "
+                    f"{sorted(ents_local)})"
+                )
+            cands = []
+            for sm2 in sems:
+                if sm2["name"] == sem_x["name"]:
+                    continue
+                prim = next(
+                    (
+                        e
+                        for e in sm2.get("entities", [])
+                        if e["name"] == ent
+                        and str(e.get("type", "")).lower() == "primary"
+                    ),
+                    None,
+                )
+                if prim is None:
+                    continue
+                d2 = next(
+                    (
+                        d
+                        for d in sm2.get("dimensions", [])
+                        if d["name"] == dim
+                    ),
+                    None,
+                )
+                if d2 is not None:
+                    cands.append((sm2, prim, d2))
+            if not cands:
+                raise ValidationError(
+                    f"Metric '{name}': {why}: no other registered "
+                    f"semantic model declares entity '{ent}' as PRIMARY "
+                    f"together with dimension '{dim}' — the entity-path "
+                    "join needs exactly one"
+                )
+            if len(cands) > 1:
+                raise ValidationError(
+                    f"Metric '{name}': {why}: dimension '{dim}' is "
+                    f"reachable through entity '{ent}' on "
+                    f"{sorted(s['name'] for s, _p, _d in cands)} — "
+                    "ambiguous; declare the dimension on one model only"
+                )
+            sm2, prim, d2 = cands[0]
+            i = len(joined)
+            kcol, vcol = f"_fs_epk_{i}", f"_fs_epd_{i}"
+            dimf = _metric_base_df(fs, sm2, model_version).select(
+                F.expr(prim.get("expr") or prim["name"]).alias(kcol),
+                F.expr(d2.get("expr") or d2["name"]).alias(vcol),
+            )
+            lk = ents_local[ent].get("expr") or ent
+            frame["df"] = frame["df"].join(
+                dimf, F.expr(lk) == F.col(kcol), "left"
+            ).drop(kcol)
+            joined[(ent, dim)] = vcol
+            return vcol
+
+        return _path_col
+
     if mtype == "conversion":
         # dbt conversion metric (conversion_type_params), evaluated at
         # ENTITY grain with FIRST-touch attribution — this engine's
@@ -3832,32 +3911,14 @@ def evaluate_metric(
         conv_sm, conv_spec = _measure(ctp["conversion_measure"])
         sem = base_sm
         cross_conv = conv_sm["name"] != base_sm["name"]
-        df = _metric_base_df(fs, sem, model_version)
-        if mdoc.get("filter"):
-            if cross_conv:
-                # which model does the predicate read? genuinely
-                # ambiguous — the cross-ratio refusal discipline
-                raise ValidationError(
-                    f"Metric '{name}': cross-model conversion metrics "
-                    "cannot carry filter: — it is ambiguous which "
-                    "model the predicate reads"
-                )
-
-            def _no_path(ent: str, dim: str, why: str) -> str:
-                raise ValidationError(
-                    f"Metric '{name}': {why}: entity-path dimensions "
-                    "are not supported in conversion-metric filters — "
-                    "filter on the base model's own columns"
-                )
-
-            df = df.filter(
-                _rewrite_filter(sem, str(mdoc["filter"]), _no_path)
-            )
-        declared = {
-            d["name"]: d
-            for d in list(sem.get("dimensions", []))
-            + list(sem.get("entities", []))
-        }
+        # the BASE frame is mutable: entity-path group_by / templated
+        # filter references may LEFT-join dimension projections on
+        # (the _prepare_frame machinery, shared via _make_path_col)
+        bframe = {"df": _metric_base_df(fs, sem, model_version)}
+        _b_path_col = _make_path_col(sem, bframe)
+        dims_local_b = {d["name"]: d for d in sem.get("dimensions", [])}
+        ents_local_b = {e["name"]: e for e in sem.get("entities", [])}
+        declared = {**dims_local_b, **ents_local_b}
         ent_spec = next(
             e for e in sem.get("entities", [])
             if e["name"] == str(ctp.get("entity"))
@@ -3907,26 +3968,36 @@ def evaluate_metric(
                 + list(conv_sm.get("entities", []))
             }
         else:
-            conv_df = df
+            conv_df = None  # same model: bound AFTER base-frame joins/filter
             conv_eexpr, conv_texpr = eexpr, texpr
             conv_declared = declared
+        # group-by resolution mirrors _prepare_frame (r14): local
+        # dims/entities, the primary-entity prefix of a local dim, or
+        # an ENTITY-PATH pull through _make_path_col — the joined
+        # dimension is entity-level, so taking it at the first/each
+        # base event (the MIN rule) is exact
         gexprs: list[tuple[str, str]] = []
         for g in group_by:
             d = declared.get(g)
-            if d is None:
-                hint = (
-                    " — entity-path group_by is not supported for "
-                    "conversion metrics"
-                    if "__" in g
-                    else ""
-                )
-                raise ValidationError(
-                    f"Metric '{name}': group_by '{g}' is not a "
-                    "declared dimension or entity of semantic model "
-                    f"'{sem['name']}' (declared: {sorted(declared)})"
-                    + hint
-                )
-            gexprs.append((g, d.get("expr") or d["name"]))
+            if d is not None:
+                gexprs.append((g, d.get("expr") or d["name"]))
+                continue
+            if "__" in g:
+                ent2, dim2 = g.split("__", 1)
+                if ent2 in ents_local_b and dim2 in dims_local_b:
+                    dd = dims_local_b[dim2]
+                    gexprs.append((g, dd.get("expr") or dd["name"]))
+                else:
+                    gexprs.append(
+                        (g, _b_path_col(ent2, dim2, f"group_by '{g}'"))
+                    )
+                continue
+            raise ValidationError(
+                f"Metric '{name}': group_by '{g}' is not a "
+                "declared dimension or entity of semantic model "
+                f"'{sem['name']}' (declared: {sorted(declared)}; "
+                "cross-model dimensions spell '<entity>__<dimension>')"
+            )
         # constant_properties (r14): a conversion only attributes to a
         # base event agreeing on these properties (MetricFlow's "same
         # session" constraint). Properties resolve against the base
@@ -3952,6 +4023,24 @@ def evaluate_metric(
             cp_pairs.append((pair[0], pair[1]))
         cp_cols = [f"_fs_cp_{j}" for j in range(len(cp_pairs))]
         cq_cols = [f"_fs_cq_{j}" for j in range(len(cp_pairs))]
+        # metric-level filter: AFTER the entity-path joins (so templated
+        # cross-model Dimension references resolve) and BEFORE the event
+        # frames split off — the filter governs base AND (same-model)
+        # conversion events, dbt's semantics
+        if mdoc.get("filter"):
+            if cross_conv:
+                # which model does the predicate read? genuinely
+                # ambiguous — the cross-ratio refusal discipline
+                raise ValidationError(
+                    f"Metric '{name}': cross-model conversion metrics "
+                    "cannot carry filter: — it is ambiguous which "
+                    "model the predicate reads"
+                )
+            flt = _rewrite_filter(sem, str(mdoc["filter"]), _b_path_col)
+            bframe["df"] = bframe["df"].filter(flt)
+        df = bframe["df"]
+        if conv_df is None:
+            conv_df = df
         base_expr = base_spec.get("expr") or base_spec["name"]
         conv_expr = conv_spec.get("expr") or conv_spec["name"]
         base_e = df.filter(F.expr(f"({base_expr}) IS NOT NULL")).select(
@@ -4317,70 +4406,7 @@ def evaluate_metric(
         dims_local = {d["name"]: d for d in sem_x.get("dimensions", [])}
         ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
         declared = {**dims_local, **ents_local}
-        joined: dict[tuple[str, str], str] = {}
-
-        def _path_col(ent: str, dim: str, why: str) -> str:
-            if (ent, dim) in joined:
-                return joined[(ent, dim)]
-            if ent not in ents_local:
-                raise ValidationError(
-                    f"Metric '{name}': {why} reaches through entity "
-                    f"'{ent}', which is not a declared entity of "
-                    f"semantic model '{sem_x['name']}' (declared: "
-                    f"{sorted(ents_local)})"
-                )
-            cands = []
-            for sm2 in sems:
-                if sm2["name"] == sem_x["name"]:
-                    continue
-                prim = next(
-                    (
-                        e
-                        for e in sm2.get("entities", [])
-                        if e["name"] == ent
-                        and str(e.get("type", "")).lower() == "primary"
-                    ),
-                    None,
-                )
-                if prim is None:
-                    continue
-                d2 = next(
-                    (
-                        d
-                        for d in sm2.get("dimensions", [])
-                        if d["name"] == dim
-                    ),
-                    None,
-                )
-                if d2 is not None:
-                    cands.append((sm2, prim, d2))
-            if not cands:
-                raise ValidationError(
-                    f"Metric '{name}': {why}: no other registered "
-                    f"semantic model declares entity '{ent}' as PRIMARY "
-                    f"together with dimension '{dim}' — the entity-path "
-                    "join needs exactly one"
-                )
-            if len(cands) > 1:
-                raise ValidationError(
-                    f"Metric '{name}': {why}: dimension '{dim}' is "
-                    f"reachable through entity '{ent}' on "
-                    f"{sorted(s['name'] for s, _p, _d in cands)} — "
-                    "ambiguous; declare the dimension on one model only"
-                )
-            sm2, prim, d2 = cands[0]
-            i = len(joined)
-            kcol, vcol = f"_fs_epk_{i}", f"_fs_epd_{i}"
-            dimf = _metric_base_df(fs, sm2, model_version).select(
-                F.expr(prim.get("expr") or prim["name"]).alias(kcol),
-                F.expr(d2.get("expr") or d2["name"]).alias(vcol),
-            )
-            lk = ents_local[ent].get("expr") or ent
-            frame["df"] = frame["df"].join(
-                dimf, F.expr(lk) == F.col(kcol), "left"
-            ).drop(kcol)
-            joined[(ent, dim)] = vcol
-            return vcol
+        _path_col = _make_path_col(sem_x, frame)
 
         gcols_x = []
         for g in group_by:

@@ -1192,23 +1192,68 @@ def q_metric_entity_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = evaluate_metric(
         fs, "order_count", group_by=["customer__segment", "priority"]
     )
-    out = rev.join(cnt, ["customer__segment", "priority"])
+    # r14 late: CONVERSION metrics take entity-path group_by too — the
+    # per-SEGMENT first-touch conversion rate (segment pulled from the
+    # customers model at the first base event; entity-constant, so the
+    # MIN-at-first-event rule is exact)
+    segconv = evaluate_metric(
+        fs, "big_ticket_conv_rate", group_by=["customer__segment"]
+    )
+    out = rev.join(cnt, ["customer__segment", "priority"]).join(
+        segconv, ["customer__segment"]
+    )
     return out.select(
         F.col("customer__segment").alias("f_segment"),
         F.col("priority").alias("f_priority"),
         F.col("TOTAL_REVENUE").cast("double").alias("f_revenue"),
         F.col("ORDER_COUNT").cast("long").alias("f_orders"),
+        F.col("BIG_TICKET_CONV_RATE").cast("double").alias(
+            "f_seg_conv_rate"
+        ),
     ).orderBy("f_segment", "f_priority")
 
 
 ORACLE["q_metric_entity_path"] = """
-    SELECT c_mktsegment AS f_segment,
-           o_orderpriority AS f_priority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
-               AS f_revenue,
-           CAST(COUNT(o_orderkey) AS BIGINT) AS f_orders
-    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-    GROUP BY 1, 2
+    WITH agg AS (
+        SELECT c_mktsegment AS f_segment,
+               o_orderpriority AS f_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS f_revenue,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS f_orders
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    base2 AS (
+        SELECT o_custkey AS e,
+               CAST(epoch(o_orderdate) AS BIGINT) AS t
+        FROM orders
+    ),
+    tb2 AS (SELECT e, MIN(t) AS tb FROM base2 GROUP BY 1),
+    firstb AS (
+        SELECT tb2.e AS e, tb2.tb AS tb, MIN(c_mktsegment) AS s
+        FROM tb2 LEFT JOIN customer ON c_custkey = tb2.e
+        GROUP BY 1, 2
+    ),
+    conv2 AS (
+        SELECT o_custkey AS e,
+               CAST(epoch(o_orderdate) AS BIGINT) AS ct
+        FROM orders WHERE o_totalprice > 150000
+    ),
+    hit2 AS (
+        SELECT DISTINCT firstb.e AS e
+        FROM firstb JOIN conv2
+          ON conv2.e = firstb.e AND conv2.ct >= firstb.tb
+    ),
+    segr AS (
+        SELECT s AS f_segment,
+               CAST(COUNT(hit2.e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS f_seg_conv_rate
+        FROM firstb LEFT JOIN hit2 ON firstb.e = hit2.e
+        GROUP BY 1
+    )
+    SELECT agg.f_segment AS f_segment, f_priority, f_revenue, f_orders,
+           f_seg_conv_rate
+    FROM agg JOIN segr ON agg.f_segment = segr.f_segment
     ORDER BY f_segment, f_priority
 """
 QUERIES["q_metric_entity_path"] = q_metric_entity_path

@@ -257,6 +257,8 @@ HEADLINE = [
     "q_metric_filter_dim",
     "q_metric_conv_events",
     "q_metric_window_cal",
+    "q_metric_offset_grain",
+    "q_metric_conv_xmodel",
 ]
 
 

@@ -3606,6 +3606,50 @@ sources:
         fs.register_source("customer_base_table", base_table)
         return str(proj)
 
+    def test_ntz_source_normalized(self, fs, tmp_path, base_table):
+        """r14 (ADVICE-r13 medium): every registered-source read goes
+        through _load_source's read_table normalization — a parquet
+        source whose timestamps land as TIMESTAMP_NTZ still yields a
+        tz-aware MAX(loaded_at) (no .tzinfo crash, no silent oracle
+        divergence), and model reads see TIMESTAMP, not NTZ."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbt_snowflake_feature_store_spark import (
+            check_source_freshness,
+        )
+
+        ntz_path = str(tmp_path / "ntz_src.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "customer_id": pa.array([1, 2], pa.int32()),
+                    "updated_at": pa.array(
+                        [1704067200000000, 1704153600000000],
+                        pa.timestamp("us"),  # no tz → Spark infers NTZ
+                    ),
+                    "age": pa.array([23, 35], pa.int32()),
+                    "country": pa.array(["US", "DE"]),
+                    "tier": pa.array(["gold", "silver"]),
+                }
+            ),
+            ntz_path,
+        )
+        # sanity: the raw read really is NTZ (the drift this guards)
+        raw = fs.spark.read.parquet(ntz_path)
+        assert dict(raw.dtypes)["updated_at"] == "timestamp_ntz"
+        proj = self._proj(fs, tmp_path, ntz_path)
+        res = check_source_freshness(
+            fs, proj, as_of="2024-01-02 12:00:00"
+        )
+        base = next(r for r in res if r["table"] == "base")
+        assert base["status"] == "pass"
+        assert base["age_seconds"] == 12 * 3600
+        doc = fs.registry.get("sources", "CUSTOMER_BASE_TABLE")
+        assert dict(fs._load_source(doc).dtypes)["updated_at"] == (
+            "timestamp"
+        )
+
     def test_status_rollup_and_opt_out(self, fs, tmp_path, base_table):
         from dbt_snowflake_feature_store_spark import (
             check_source_freshness,

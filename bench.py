@@ -259,6 +259,7 @@ HEADLINE = [
     "q_metric_window_cal",
     "q_metric_offset_grain",
     "q_metric_conv_xmodel",
+    "q_metric_entity_hop",
 ]
 
 

@@ -3811,28 +3811,30 @@ def evaluate_metric(
     def _make_path_col(sem_x: dict[str, Any], frame: dict[str, Any]):
         """MetricFlow's ENTITY-PATH join planner (r14), as a resolver
         bound to one semantic model and one mutable frame:
-        ``path_col(ent, dim, why)`` returns the column name holding
-        ``dim`` pulled from the ONE other registered semantic model
-        that declares ``ent`` as PRIMARY together with ``dim`` —
-        LEFT-joining its column-pruned (key, dim) projection onto
-        ``frame["df"]`` on first use (N:1 by the primary-entity
-        declaration, so row counts are preserved). Zero or several
-        candidate models refuse loudly. Shared by the aggregate path
-        (_prepare_frame) and the conversion branch."""
-        ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
-        joined: dict[tuple[str, str], str] = {}
+        ``path_col(ent, rest, why)`` returns the column name holding
+        the dimension reached by walking ``rest`` from entity ``ent``:
 
-        def _path_col(ent: str, dim: str, why: str) -> str:
-            if (ent, dim) in joined:
-                return joined[(ent, dim)]
-            if ent not in ents_local:
-                raise ValidationError(
-                    f"Metric '{name}': {why} reaches through entity "
-                    f"'{ent}', which is not a declared entity of "
-                    f"semantic model '{sem_x['name']}' (declared: "
-                    f"{sorted(ents_local)})"
-                )
-            cands = []
+        - ONE HOP (``rest`` is a dimension name): the ONE other
+          registered semantic model declaring ``ent`` as PRIMARY
+          together with the dimension — LEFT-joining its column-pruned
+          (key, dim) projection onto ``frame["df"]`` (N:1 by the
+          primary-entity declaration, so row counts are preserved).
+        - MULTI-HOP (``rest`` = ``<entity2>__<rest2>``, r14 late — the
+          snowflake-schema walk, e.g. ``customer__nation__region``):
+          when no model satisfies the one-hop form, the ONE model
+          declaring ``ent`` as PRIMARY together with entity
+          ``entity2`` bridges — its (key, entity2-key) projection
+          LEFT-joins on and the walk recurses from the bridged key.
+          One-hop resolution takes precedence (a dimension literally
+          named with '__' shadows a hop); depth is capped at 4.
+
+        Zero or several candidate models refuse loudly at every hop.
+        Shared by the aggregate path (_prepare_frame) and the
+        conversion branch."""
+        ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
+        joined: dict[tuple[str, str, str | None], str] = {}
+
+        def _prim_models(ent: str):
             for sm2 in sems:
                 if sm2["name"] == sem_x["name"]:
                     continue
@@ -3845,45 +3847,124 @@ def evaluate_metric(
                     ),
                     None,
                 )
-                if prim is None:
-                    continue
+                if prim is not None:
+                    yield sm2, prim
+
+        def _hop(
+            ent: str,
+            rest: str,
+            lk: str,
+            why: str,
+            depth: int,
+        ) -> str:
+            key = (ent, rest, lk)
+            if key in joined:
+                return joined[key]
+            if depth > 4:
+                raise ValidationError(
+                    f"Metric '{name}': {why}: entity path deeper than "
+                    "4 hops — check the spelling"
+                )
+            direct = []
+            bridges = []
+            e2 = rest.split("__", 1)[0] if "__" in rest else None
+            for sm2, prim in _prim_models(ent):
                 d2 = next(
                     (
                         d
                         for d in sm2.get("dimensions", [])
-                        if d["name"] == dim
+                        if d["name"] == rest
                     ),
                     None,
                 )
                 if d2 is not None:
-                    cands.append((sm2, prim, d2))
-            if not cands:
+                    direct.append((sm2, prim, d2))
+                if e2 is not None:
+                    b2 = next(
+                        (
+                            e
+                            for e in sm2.get("entities", [])
+                            if e["name"] == e2
+                        ),
+                        None,
+                    )
+                    if b2 is not None:
+                        bridges.append((sm2, prim, b2))
+            if len(direct) > 1:
                 raise ValidationError(
-                    f"Metric '{name}': {why}: no other registered "
-                    f"semantic model declares entity '{ent}' as PRIMARY "
-                    f"together with dimension '{dim}' — the entity-path "
-                    "join needs exactly one"
-                )
-            if len(cands) > 1:
-                raise ValidationError(
-                    f"Metric '{name}': {why}: dimension '{dim}' is "
+                    f"Metric '{name}': {why}: dimension '{rest}' is "
                     f"reachable through entity '{ent}' on "
-                    f"{sorted(s['name'] for s, _p, _d in cands)} — "
+                    f"{sorted(s['name'] for s, _p, _d in direct)} — "
                     "ambiguous; declare the dimension on one model only"
                 )
-            sm2, prim, d2 = cands[0]
-            i = len(joined)
-            kcol, vcol = f"_fs_epk_{i}", f"_fs_epd_{i}"
-            dimf = _metric_base_df(fs, sm2, model_version).select(
-                F.expr(prim.get("expr") or prim["name"]).alias(kcol),
-                F.expr(d2.get("expr") or d2["name"]).alias(vcol),
+            if len(direct) == 1:
+                sm2, prim, d2 = direct[0]
+                i = len(joined)
+                kcol, vcol = f"_fs_epk_{i}", f"_fs_epd_{i}"
+                dimf = _metric_base_df(fs, sm2, model_version).select(
+                    F.expr(prim.get("expr") or prim["name"]).alias(
+                        kcol
+                    ),
+                    F.expr(d2.get("expr") or d2["name"]).alias(vcol),
+                )
+                frame["df"] = frame["df"].join(
+                    dimf, F.expr(lk) == F.col(kcol), "left"
+                ).drop(kcol)
+                joined[key] = vcol
+                return vcol
+            if e2 is not None:
+                if len(bridges) > 1:
+                    raise ValidationError(
+                        f"Metric '{name}': {why}: entity '{e2}' is "
+                        f"reachable through entity '{ent}' on "
+                        f"{sorted(s['name'] for s, _p, _b in bridges)}"
+                        " — ambiguous; declare the bridge on one model "
+                        "only"
+                    )
+                if len(bridges) == 1:
+                    sm2, prim, b2 = bridges[0]
+                    i = len(joined)
+                    kcol, bcol = f"_fs_epk_{i}", f"_fs_epb_{i}"
+                    brf = _metric_base_df(
+                        fs, sm2, model_version
+                    ).select(
+                        F.expr(prim.get("expr") or prim["name"]).alias(
+                            kcol
+                        ),
+                        F.expr(b2.get("expr") or b2["name"]).alias(
+                            bcol
+                        ),
+                    )
+                    frame["df"] = frame["df"].join(
+                        brf, F.expr(lk) == F.col(kcol), "left"
+                    ).drop(kcol)
+                    joined[key] = bcol  # cache the bridge itself
+                    rest2 = rest.split("__", 1)[1]
+                    out = _hop(e2, rest2, bcol, why, depth + 1)
+                    joined[key] = out
+                    return out
+            raise ValidationError(
+                f"Metric '{name}': {why}: no other registered "
+                f"semantic model declares entity '{ent}' as PRIMARY "
+                f"together with dimension '{rest}'"
+                + (
+                    f" or bridge entity '{e2}'"
+                    if e2 is not None
+                    else ""
+                )
+                + " — the entity-path join needs exactly one"
             )
+
+        def _path_col(ent: str, rest: str, why: str) -> str:
+            if ent not in ents_local:
+                raise ValidationError(
+                    f"Metric '{name}': {why} reaches through entity "
+                    f"'{ent}', which is not a declared entity of "
+                    f"semantic model '{sem_x['name']}' (declared: "
+                    f"{sorted(ents_local)})"
+                )
             lk = ents_local[ent].get("expr") or ent
-            frame["df"] = frame["df"].join(
-                dimf, F.expr(lk) == F.col(kcol), "left"
-            ).drop(kcol)
-            joined[(ent, dim)] = vcol
-            return vcol
+            return _hop(ent, rest, lk, why, 0)
 
         return _path_col
 

@@ -366,6 +366,9 @@ semantic_models:
       - name: customer
         type: primary
         expr: c_custkey
+      - name: nation_e
+        type: foreign
+        expr: c_nationkey
     dimensions:
       - name: segment
         type: categorical
@@ -377,6 +380,37 @@ semantic_models:
       - name: n_customers
         agg: count
         expr: c_custkey
+  - name: nations_sem
+    model: ref('nation_model')
+    entities:
+      - name: nation_e
+        type: primary
+        expr: n_nationkey
+      - name: region_e
+        type: foreign
+        expr: n_regionkey
+    dimensions:
+      - name: nname
+        type: categorical
+        expr: n_name
+    measures:
+      - name: n_nations
+        agg: count
+        expr: n_nationkey
+  - name: regions_sem
+    model: ref('region_model')
+    entities:
+      - name: region_e
+        type: primary
+        expr: r_regionkey
+    dimensions:
+      - name: rname
+        type: categorical
+        expr: r_name
+    measures:
+      - name: n_regions
+        agg: count
+        expr: r_regionkey
 
 metrics:
   - name: total_revenue
@@ -569,10 +603,18 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
     read_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "q_customer_metric"
     )
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "q_nation_metric"
+    )
+    read_table(spark, sf_dir, "region").createOrReplaceTempView(
+        "q_region_metric"
+    )
     fs = _fs(spark)
     fs.register_entity(Entity("customer", ["o_custkey"]))
     fs.register_entity(Entity("order_ent", ["l_orderkey"]))
     fs.register_entity(Entity("customer_c", ["c_custkey"]))
+    fs.register_entity(Entity("nation_n", ["n_nationkey"]))
+    fs.register_entity(Entity("region_g", ["r_regionkey"]))
     fs.register_feature_view(
         FeatureView(
             "orders_model",
@@ -602,6 +644,24 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
         ),
         version="1.0",
     )
+    fs.register_feature_view(
+        FeatureView(
+            "nation_model",
+            ["nation_n"],
+            sql="""SELECT n_nationkey, n_name, n_regionkey
+                   FROM q_nation_metric""",
+        ),
+        version="1.0",
+    )
+    fs.register_feature_view(
+        FeatureView(
+            "region_model",
+            ["region_g"],
+            sql="""SELECT r_regionkey, r_name
+                   FROM q_region_metric""",
+        ),
+        version="1.0",
+    )
     proj = tempfile.mkdtemp(prefix="fs_sem_")
     with open(os.path.join(proj, "schema.yml"), "w") as f:
         f.write(_METRIC_YML)
@@ -614,6 +674,8 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
             "orders_model": None,
             "lineitem_model": None,
             "customer_model": None,
+            "nation_model": None,
+            "region_model": None,
         },
     )
     return fs
@@ -1538,3 +1600,52 @@ ORACLE["q_metric_conv_xmodel"] = """
     ORDER BY f_priority
 """
 QUERIES["q_metric_conv_xmodel"] = q_metric_conv_xmodel
+
+
+def q_metric_entity_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-HOP ENTITY PATHS, ORACLE-GATED (r14 late): the
+    snowflake-schema walk — revenue and order count grouped by
+    `customer__nation_e__nname` (TWO hops: orders → customers via the
+    customer entity, → nations via the nation bridge entity) and
+    `customer__nation_e__region_e__rname` (THREE hops, on through the
+    region bridge). Each hop LEFT-joins one column-pruned projection
+    (bridge keys, then the dimension); one-hop resolution takes
+    precedence at every step; ambiguous/missing hops refuse loudly.
+    The oracle restates the chained LEFT joins in plain SQL — the
+    planner must be a pure rewrite of the canonical TPC-H
+    customer→nation→region snowflake.
+
+    Scale: the classic star/snowflake plan — the fact scan plus one
+    broadcast-able dim join per hop; nothing widens the fact rows
+    beyond the pulled keys/dims."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    keys = [
+        "customer__nation_e__nname",
+        "customer__nation_e__region_e__rname",
+    ]
+    rev = evaluate_metric(fs, "total_revenue", group_by=keys)
+    cnt = evaluate_metric(fs, "order_count", group_by=keys)
+    out = rev.join(cnt, keys)
+    return out.select(
+        F.col(keys[0]).alias("f_nation"),
+        F.col(keys[1]).alias("f_region"),
+        F.col("TOTAL_REVENUE").cast("double").alias("f_revenue"),
+        F.col("ORDER_COUNT").cast("long").alias("f_orders"),
+    ).orderBy("f_nation", "f_region")
+
+
+ORACLE["q_metric_entity_hop"] = """
+    SELECT n_name AS f_nation, r_name AS f_region,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS f_revenue,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS f_orders
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    ORDER BY f_nation, f_region
+"""
+QUERIES["q_metric_entity_hop"] = q_metric_entity_hop

@@ -34,9 +34,9 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 14 rotation (17 + 9 + 1 + 13 + 5 + 5 = the 50-key cap;
+    # ---- round 14 rotation (18 + 9 + 1 + 13 + 5 + 4 = the 50-key cap;
     # PROMOTION-HEAVY per VERDICT-r13 #1: drain the record backlog) ----
-    # part 1 (17): every key whose code is new or changed THIS round —
+    # part 1 (18): every key whose code is new or changed THIS round —
     # the three new MetricFlow keys (entity-path planner, templated
     # filters, event-grain conversion), the q_agg_approx single-buffer
     # quartile fix, the read_table-normalized q_source_freshness, the
@@ -46,7 +46,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # re-record (rotation rule a)
     "q_metric_entity_path", "q_metric_filter_dim", "q_metric_conv_events",
     "q_metric_window_cal", "q_metric_offset_grain",
-    "q_metric_conv_xmodel",
+    "q_metric_conv_xmodel", "q_metric_entity_hop",
     "q_agg_approx", "q_source_freshness", "q_hard_negatives",
     "q_metric_eval", "q_metric_conversion", "q_metric_ratio_xmodel",
     "q_metric_cumulative", "q_metric_window", "q_metric_offset",
@@ -69,15 +69,14 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     # own read paths churn every round — highest rot risk)
     "q_fv_chain", "q_generate_dataset", "q_fv_managed_read",
     "q_fv_profile", "q_fv_latest_snapshot",
-    # part 6 (5): r9-dated records, risk families first (iterative
-    # graph, ranks machinery, KMV set ops); q_doc_surprisal,
-    # q_event_transitions and q_attribution yielded their slots to the
-    # three late new keys and lead the r15 promotion set
+    # part 6 (4): r9-dated records, risk families first (iterative
+    # graph, ranks machinery); q_doc_surprisal, q_event_transitions,
+    # q_attribution and q_kmv_setops yielded their slots to the four
+    # late new keys and lead the r15 promotion set
     "q_pagerank", "q_rfm", "q_global_rank", "q_global_ntile",
-    "q_kmv_setops",
     # position 51+ — PAST the cap: the r15 promotion set is the
     # remaining r9-dated keys (q_doc_surprisal, q_event_transitions,
-    # q_attribution, q_bpe_segment, q_contamination,
+    # q_attribution, q_kmv_setops, q_bpe_segment, q_contamination,
     # q_domain_mix, q_tpch_q7/q8/q14/q15/q18/q19/q21like, q_arith_expr,
     # q_case_when, q_cross_join, q_distinct, q_filter_false,
     # q_scan_project, q_null_handling, q_num_fns, q_unpivot — 19 keys)

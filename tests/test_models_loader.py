@@ -2481,6 +2481,11 @@ saved_queries:
             evaluate_metric(
                 fs, "static_by_tier", group_by=["customer__nosuchdim"]
             )
+        # multi-hop (r14 late): a missing BRIDGE entity names itself
+        with pytest.raises(ValidationError, match="bridge entity"):
+            evaluate_metric(
+                fs, "static_by_tier", group_by=["customer__bogus__x"]
+            )
 
     def test_templated_filters(self, fs, tmp_path, base_table):
         """r14 (VERDICT-r13 #5): dbt's real `filter:` templating —

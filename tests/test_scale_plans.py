@@ -849,3 +849,57 @@ def test_lorenz_no_data_sized_unpartitioned_window(spark):
     )
     # and the cumulative window itself orders by the decile key
     assert "windowspecdefinition(f_decile" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-14: semantic-layer plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_entity_path_dims_broadcast(spark):
+    """q_metric_entity_hop: every entity-path hop joins a DIMENSION
+    projection — the executed plan must broadcast them (the snowflake
+    plan: fact scan + one BroadcastHashJoin per hop), and the orders
+    fact must never meet a dim in a sort-merge join at this scale."""
+    from dbt_snowflake_feature_store_spark.operators.feature_queries import (
+        q_metric_entity_hop,
+    )
+
+    plan = _executed_plan(q_metric_entity_hop(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # ≥1 per hop chain
+    # the only SortMergeJoin allowed is the final rev⋈cnt assembly of
+    # two ALREADY-AGGREGATED 25-row frames — never two parquet scans
+    for frag in plan.split("SortMergeJoin")[1:]:
+        head = frag[:2000]
+        assert "HashAggregate" in head or "AQEShuffleRead" in head
+
+
+def test_metric_window_cal_nested_loop_is_bounded(spark):
+    """q_metric_window_cal: the calendar-window self-join must be a
+    BroadcastNestedLoopJoin whose BOTH sides feed from HashAggregates
+    (the calendar-sized day frame), never a raw scan — O(rows × window)
+    of a bounded frame, not fact×fact."""
+    from dbt_snowflake_feature_store_spark.operators.feature_queries import (
+        q_metric_window_cal,
+    )
+
+    plan = _executed_plan(q_metric_window_cal(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the broadcast side is the aggregated day frame
+    bcast = plan.split("BroadcastExchange")[1]
+    assert "HashAggregate" in bcast[:2500]
+
+
+def test_conversion_attribution_is_entity_equijoin(spark):
+    """q_metric_conv_xmodel: the cross-model attribution join must be
+    an EQUI-join on the entity key (sort-merge or broadcast-hash with
+    the time bound as a post-join condition) — never a nested-loop of
+    two fact-sized frames."""
+    from dbt_snowflake_feature_store_spark.operators.feature_queries import (
+        q_metric_conv_xmodel,
+    )
+
+    plan = _executed_plan(q_metric_conv_xmodel(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)

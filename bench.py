@@ -301,6 +301,22 @@ def main() -> None:
     # count, no vanished cost.
     from dbt_snowflake_feature_store_spark.operators import ext_text
 
+    # Machine-factor control (VERDICT r14 item 2): a fixed CPU-bound
+    # calibration task whose input never changes (synthetic range, no
+    # file I/O, no SF dependence) — a pure whole-stage-codegen hash/agg
+    # chain. Cross-round per-key ratios divide out this number to answer
+    # "noise or creep?" by arithmetic instead of re-profiling debates.
+    control = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "avg(xxhash64(cast(id as string), 'a')) as h1",
+            "avg(xxhash64(id * 1000003, 'b')) as h2",
+            "avg(sin(id % 1000)) as s",
+        ).write.format("noop").mode("overwrite").save()
+        control = min(control, time.perf_counter() - t0)
+    control = round(control, 3)
+
     best = float("inf")
     for _ in range(3):
         ext_text._PAIR_CACHE.clear()
@@ -336,6 +352,7 @@ def main() -> None:
             {
                 "queries": timings,
                 "sf": float(sf),
+                "control_seconds": control,
                 "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
                 "metric": "headline query wall-clock (noop sink, AQE on, min of 3 runs)",
                 "unit": "sec",

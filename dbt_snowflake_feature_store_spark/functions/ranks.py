@@ -310,3 +310,103 @@ def global_ntile(
             rank0 < cut, F.floor(rank0 / F.lit(q + 1)) + 1
         ).otherwise(F.floor((rank0 - cut) / F.lit(q)) + r + 1)
     return ranked.withColumn(out_col, bucket.cast("long")).drop("_fs_grank")
+
+
+def global_drawup_scan(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value_col: str,
+    sum_col: str = "global_running_sum",
+    min_col: str = "global_prefix_min",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` AND the running MIN of THAT running
+    sum, in ONE range exchange — the fused max-drawup scan CUSUM-style
+    changepoint statistics need (S_t = P_t − min_{i≤t} P_i with P the
+    prefix sum). ``global_running_sum`` followed by
+    ``global_running_min`` spells the same thing with TWO exchanges,
+    two lineage cuts and two P-row collects; this fuses them because
+    the prefix min decomposes over the same range partitioning:
+    min_{i≤t} P_i = LEAST( min_{j<part(t)} (off_j + localmin_j),
+    off_{part(t)} + localmin_{≤t} ), with off the exclusive prefix of
+    per-partition sums and localmin_j the partition's min local prefix
+    sum — both read off the SAME bounded P-row collect once the local
+    prefix sum is materialized before the collect. ``order`` must be a
+    TOTAL order; ``value_col`` must be integral (cast to BIGINT; the
+    driver-side prefix adds exact Python ints)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    if num_partitions:
+        parts = int(num_partitions)
+    else:
+        parts = _resolve_shuffle_partitions(df.sparkSession)
+    wloc = (
+        Window.partitionBy("_fs_pid")
+        .orderBy("_fs_mid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_fs_pid", F.spark_partition_id())
+        .withColumn("_fs_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_fs_lp", F.sum(F.col(value_col).cast("long")).over(wloc)
+        )
+    )
+    plan_inspect.register_subplan(pre)
+    ranged = pre.localCheckpoint(eager=False)
+    # ONE bounded P-row collect: sizes (mid-layout proof, same contract
+    # as _ranked), per-partition value sums, per-partition min local
+    # prefix sums.
+    sizes: dict[int, int] = {}
+    part_sums: dict[int, int] = {}
+    part_mins: dict[int, int] = {}
+    for r in (
+        ranged.groupBy("_fs_pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_fs_mid").alias("lo"),
+            F.max("_fs_mid").alias("hi"),
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+            F.min("_fs_lp").alias("m"),
+        )
+        .collect()
+    ):
+        pid, n = r["_fs_pid"], r["n"]
+        base = pid * (1 << 33)
+        if r["lo"] != base or r["hi"] != base + n - 1 or n > (1 << 33):
+            raise RuntimeError(
+                "monotonically_increasing_id layout assumption broken "
+                f"(pid={pid}, n={n}, mid range=[{r['lo']}, {r['hi']}], "
+                f"expected [{base}, {base + n - 1}]) — running sums "
+                "would be corrupt; check the Spark version's mid layout"
+            )
+        sizes[pid] = n
+        part_sums[pid] = r["s"] or 0
+        part_mins[pid] = r["m"]
+    _INF = (1 << 63) - 1  # +inf sentinel, the BIGINT domain maximum
+    sum_offsets: dict[int, int] = {}
+    min_offsets: dict[int, int] = {}
+    s_acc, m_acc = 0, _INF
+    for pid in sorted(sizes):
+        sum_offsets[pid] = s_acc
+        min_offsets[pid] = m_acc
+        gm = s_acc + part_mins[pid]  # partition's min GLOBAL prefix sum
+        if gm < m_acc:
+            m_acc = gm
+        s_acc += part_sums[pid]
+    soff = F.create_map(
+        *[F.lit(x) for kv in sum_offsets.items() for x in kv]
+    )
+    moff = F.create_map(
+        *[F.lit(x) for kv in min_offsets.items() for x in kv]
+    )
+    gsum = (F.col("_fs_lp") + soff[F.col("_fs_pid")]).cast("long")
+    out = ranged.withColumn(sum_col, gsum).withColumn(
+        min_col,
+        F.least(
+            F.min(gsum).over(wloc),
+            moff[F.col("_fs_pid")],
+        ).cast("long"),
+    )
+    return out.drop("_fs_pid", "_fs_mid", "_fs_lp")

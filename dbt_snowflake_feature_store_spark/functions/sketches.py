@@ -435,7 +435,12 @@ def kmv_hash(col: Column | str, salt: str = "kmv:") -> Column:
     )
 
 
-def kmv_kmin(df: DataFrame, keys: Sequence[str], k: int = KMV_K) -> DataFrame:
+def kmv_kmin(
+    df: DataFrame,
+    keys: Sequence[str],
+    k: int = KMV_K,
+    pre_distinct: bool = True,
+) -> DataFrame:
     """Keep the k smallest DISTINCT ``h`` per key group — the sketch
     body and also the merge step (feed it the union of per-slice
     sketches). Two-stage at scale: a first min-k pass over (keys,
@@ -443,22 +448,39 @@ def kmv_kmin(df: DataFrame, keys: Sequence[str], k: int = KMV_K) -> DataFrame:
     upstream slice size BEFORE the final per-key window sees at most
     32·k rows — min-k composes, so staging never changes the result
     (pytest-pinned). The final window is over ≤ 32·k rows per key,
-    never data-sized."""
+    never data-sized.
+
+    ``pre_distinct=True`` (raw, unbounded-multiplicity input) dedups
+    (keys, h) up front — one extra exchange that bounds the staged
+    window by DISTINCT counts. Pass ``pre_distinct=False`` when the
+    input's per-(keys, h) multiplicity is already bounded by
+    construction (a union of per-slice sketches: ≤ #slices copies; a
+    maintained streaming hash table: exactly 1) — the windows rank with
+    DENSE_RANK so duplicate hashes share a rank, and the final dedup
+    rides the w2 partitioning (hash(keys) satisfies the (keys, h)
+    clustering — no third exchange). Same result either way
+    (pytest-pinned)."""
     from pyspark.sql import Window
 
-    d = df.select(*keys, "h").distinct()
+    rank_fn = F.row_number if pre_distinct else F.dense_rank
+    d = df.select(*keys, "h")
+    if pre_distinct:
+        d = d.distinct()
     w1 = Window.partitionBy(*keys, F.pmod(F.col("h"), F.lit(32))).orderBy("h")
     staged = (
-        d.withColumn("_rn", F.row_number().over(w1))
+        d.withColumn("_rn", rank_fn().over(w1))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
     w2 = Window.partitionBy(*keys).orderBy("h")
-    return (
-        staged.withColumn("_rn", F.row_number().over(w2))
+    out = (
+        staged.withColumn("_rn", rank_fn().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+    if not pre_distinct:
+        out = out.dropDuplicates([*keys, "h"])
+    return out
 
 
 def kmv_sketch_by_key(
@@ -598,7 +620,11 @@ def kmv_from_maintained(
     exact-regime case). The maintained table holds ~n·T/space rows per
     group, so the k-min window here runs over O(k)-sized groups at the
     tuned ratio — never data-sized."""
-    return kmv_kmin(maintained.select(*keys, "h"), keys, k)
+    # the maintained table is keyed by (keys, h) — multiplicity exactly
+    # 1 by construction, so the pre-distinct exchange is pure waste
+    return kmv_kmin(
+        maintained.select(*keys, "h"), keys, k, pre_distinct=False
+    )
 
 
 def kmv_maintained_estimate(

@@ -683,19 +683,41 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags as literals and the exact columns hash-gate the plan; the
     sketch aggregates still run (they feed the flags)."""
     li = _t(spark, sf_dir, "lineitem")
-    # Both exact quartiles come from ONE percentile(col, array(...))
-    # aggregate — a single per-group value buffer instead of two full
-    # copies (the q_theil_sen array-form catch; VERDICT-r13 fix #1).
-    a = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_p50"),
-        F.countDistinct("l_partkey").cast("long").alias("f_exact_parts"),
-        F.percentile(
-            F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.75))
-        ).alias("_q"),
-        F.count("*").cast("long").alias("f_n"),
+    # Three branches, each with constant-or-domain-sized reduce state
+    # (the r15 buffer cut; VERDICT-r14 #6). Previously one groupBy
+    # carried a row-sized percentile value buffer per group AND a
+    # countDistinct Expand that doubled the fact through it.
+    #   A: (flag, price) distinct-value frame → WEIGHTED exact
+    #      quartiles (percentile's frequency arg — buffers hold one
+    #      entry per DISTINCT price, never per row) + f_n.
+    #   B: (flag, partkey) distinct frame → exact distinct as a plain
+    #      count (no Expand) + the HLL estimate (insertion-idempotent:
+    #      HLL of the distinct set ≡ HLL of the raw multiset).
+    #   C: raw rows → percentile_approx (the KLL-style sketch under
+    #      test must see raw multiplicity; constant memory by design).
+    # Joins are 3-row group frames — AQE broadcasts.
+    dv = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").cast("long").alias("_c")
     )
-    return a.select(
+    a = dv.groupBy("l_returnflag").agg(
+        F.percentile(
+            F.col("l_extendedprice"),
+            F.array(F.lit(0.25), F.lit(0.75)),
+            F.col("_c"),
+        ).alias("_q"),
+        F.sum("_c").cast("long").alias("f_n"),
+    )
+    pk = li.select("l_returnflag", "l_partkey").distinct()
+    b = pk.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("f_exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
+    )
+    c = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+            "_approx_p50"
+        )
+    )
+    return a.join(b, "l_returnflag").join(c, "l_returnflag").select(
         "l_returnflag",
         "f_exact_parts",
         "f_n",

@@ -66,7 +66,11 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the daily stage bounds state at k rows per (type, day); the
     merge re-windows ≤ k·days rows per type. The kmv_kmin helper's
     two-stage window (sub-bucketed min-k first) keeps every window
-    partition bounded — no data-sized sort anywhere."""
+    partition bounded — no data-sized sort anywhere. The merge skips
+    the pre-distinct exchange (per-(type, h) multiplicity ≤ #days by
+    construction — dense_rank staging, the r15 de-creep), and the
+    estimate + k/kth-hash stats come from ONE aggregate over the
+    merged sketch instead of two groupBys + a join."""
     from ..functions import sketches as SK
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -77,16 +81,27 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KMV_K,
     )
     merged = SK.kmv_kmin(
-        daily.select("event_type", "h"), ["event_type"], k=_KMV_K
-    )
-    est = SK.kmv_estimate(
-        merged, ["event_type"], k=_KMV_K, out_col="f_est_distinct"
+        daily.select("event_type", "h"),
+        ["event_type"],
+        k=_KMV_K,
+        pre_distinct=False,
     )
     stats = merged.groupBy("event_type").agg(
         F.count("*").cast("long").alias("f_k"),
         F.max("h").cast("long").alias("f_kth_hash"),
     )
-    return stats.join(est, "event_type")
+    est = F.when(F.col("f_k") < _KMV_K, F.col("f_k")).otherwise(
+        F.expr(
+            f"CAST(({_KMV_K} - 1) * {_KMV_SPACE}"
+            " DIV greatest(f_kth_hash, 1) AS BIGINT)"
+        )
+    )
+    return stats.select(
+        "event_type",
+        "f_k",
+        "f_kth_hash",
+        est.cast("long").alias("f_est_distinct"),
+    )
 
 
 ORACLE["q_kmv_sketch"] = f"""

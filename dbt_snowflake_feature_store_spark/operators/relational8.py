@@ -230,12 +230,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator variant is noted, not computed: with heavy ties this
     simplified statistic is itself the standard reported number.
 
-    Scale: each variable's rank table is its DISTINCT-VALUE frame +
-    ONE ranks.global_running_sum range exchange (never a window over
-    fact rows); the fact joins back on the value columns (quantity's
-    table is ~50 rows — AQE broadcasts it; price's is distinct-sized
-    and shuffles on the join key, the right plan). One final 1-row
-    aggregate."""
+    Scale: ONE pass over the fact — a (v1, v2) PAIR-distinct
+    pre-aggregate (one map-combinable shuffle; everything downstream is
+    domain-sized). Each variable's per-value count re-aggregates the
+    PAIR frame (never the fact), rides ONE ranks.global_running_sum
+    range exchange, and joins back to the pair frame — quantity's rank
+    table is ~50 rows (AQE broadcasts it), price's is distinct-sized.
+    Σd² weights each pair cell by its count. No fact-level checkpoint,
+    no fact-level join (the r15 de-creep: the previous plan
+    localCheckpoint-materialized the 2-column fact and re-joined both
+    rank tables onto it row-level)."""
     from ..functions.ranks import global_running_sum
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -244,10 +248,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
         ).alias("_v2"),
     )
-    li = _ckpt(li)
+    pairs = _ckpt(
+        li.groupBy("_v1", "_v2").agg(
+            F.count("*").cast("long").alias("_pc")
+        )
+    )
 
     def rank2(col: str) -> DataFrame:
-        dv = li.groupBy(col).agg(F.count("*").cast("long").alias("_c"))
+        dv = pairs.groupBy(col).agg(F.sum("_pc").cast("long").alias("_c"))
         cum = global_running_sum(
             dv, [col], "_c", rank_col="_r", sum_col="_cum"
         )
@@ -256,14 +264,15 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(2 * _cum - _c + 1 AS BIGINT)").alias(f"{col}_r2"),
         )
 
-    ranked = li.join(rank2("_v1"), "_v1").join(rank2("_v2"), "_v2")
+    ranked = pairs.join(rank2("_v1"), "_v1").join(rank2("_v2"), "_v2")
     agg = ranked.agg(
-        F.count("*").cast("long").alias("f_n"),
+        F.sum("_pc").cast("long").alias("f_n"),
         F.countDistinct("_v1").cast("long").alias("f_distinct_qty"),
         F.countDistinct("_v2").cast("long").alias("f_distinct_price"),
         F.sum(
             F.expr(
-                "CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
+                "CAST(_pc AS DECIMAL(38,0))"
+                " * CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
                 " * CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
             )
         ).alias("_sd2"),
@@ -344,11 +353,11 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_days, f_total, f_cusum_max (in D-scaled count units), and
     f_peak_day (earliest argmax).
 
-    Scale: the day-grain aggregate is calendar-sized; BOTH prefix
-    scans are range exchanges (ranks.global_running_sum + the new
-    global_running_min) — P parallel tasks even if the series grows to
-    millions of periods, never a single-task window. The final argmax
-    is a TakeOrderedAndProject."""
+    Scale: the day-grain aggregate is calendar-sized; both prefix
+    scans ride ONE fused range exchange (ranks.global_drawup_scan) —
+    P parallel tasks even if the series grows to millions of periods,
+    never a single-task window. The final argmax is a
+    TakeOrderedAndProject."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & (F.col("event_type") == "error")
     )
@@ -366,7 +375,7 @@ def cusum_from_days(day: DataFrame) -> DataFrame:
     maintained table instead of rescanning raw history (the
     ks_from_points / tvd_from_cells discipline;
     tests/test_streaming.py TestStreamingDrift parity)."""
-    from ..functions.ranks import global_running_min, global_running_sum
+    from ..functions.ranks import global_drawup_scan
 
     day = _ckpt(day)
     # _nd/_tt, NOT _D/_T: Spark resolves case-insensitively and DuckDB
@@ -384,11 +393,11 @@ def cusum_from_days(day: DataFrame) -> DataFrame:
         .cast("long")
         .alias("_y"),
     )
-    p = global_running_sum(y, ["_d"], "_y", rank_col="_r", sum_col="_p")
-    s = global_running_min(
-        p.select("_d", "_nd", "_tt", "_p"),
-        ["_d"], "_p", rank_col="_r2", min_col="_pmin",
-    )
+    # ONE fused range exchange for both prefix scans (running sum AND
+    # its running min — ranks.global_drawup_scan; the r15 de-creep:
+    # previously global_running_sum + global_running_min cost two
+    # exchanges, two lineage cuts and two P-row collects).
+    s = global_drawup_scan(y, ["_d"], "_y", sum_col="_p", min_col="_pmin")
     return (
         s.select(
             F.col("_nd").alias("f_days"),

@@ -2196,6 +2196,31 @@ def run_model_contracts(
             if not errors and (nn_cols or check_exprs):
                 from pyspark.sql import functions as F
 
+                # Pre-validate every check expression against the FV
+                # schema BEFORE the aggregate scan (ADVICE r14 #4): a
+                # typo'd expression refuses loudly as a ValidationError
+                # naming the contract, like every other refusal path
+                # here — never a raw AnalysisException at agg time.
+                for colname, ex in check_exprs:
+                    try:
+                        fv_df.selectExpr(
+                            f"CAST(({ex}) AS BOOLEAN) AS _fs_chk"
+                        )
+                    except ValidationError:
+                        raise
+                    except Exception as e:
+                        first = str(e).splitlines()[0] if str(e) else ""
+                        raise ValidationError(
+                            f"{where}: check constraint ({ex})"
+                            + (
+                                f" on column '{colname}'"
+                                if colname
+                                else ""
+                            )
+                            + " does not parse/resolve against the "
+                            f"model's output columns "
+                            f"{sorted(actual)}: {first}"
+                        ) from e
                 aggs, labels = [], []
                 for nc in nn_cols:
                     aggs.append(
@@ -2952,6 +2977,27 @@ def load_semantic_layer(
                     )
                 return out
 
+            entities = _named_list("entities")
+            prims = [
+                e["name"]
+                for e in entities
+                if str(e.get("type", "")).lower() == "primary"
+            ]
+            if len(prims) > 1:
+                # MetricFlow's contract: at most ONE primary entity per
+                # semantic model — the primary key is unique per row,
+                # which is what makes the entity-path planner's LEFT
+                # join N:1 (row-preserving). Two primaries means at
+                # least one key is a foreign key in disguise, and a
+                # metric pulling a dimension through it would silently
+                # fan out measure totals (ADVICE r14 #2).
+                raise ValidationError(
+                    f"Semantic model '{name}' declares {len(prims)} "
+                    f"primary entities ({sorted(prims)}) — at most ONE "
+                    "is allowed (the primary key must be unique per "
+                    "row; declare the others as type: foreign, or "
+                    "type: unique if the key is genuinely unique here)"
+                )
             measures = _named_list("measures")
             for ms in measures:
                 if ms["name"] in measures_declared:
@@ -2964,7 +3010,7 @@ def load_semantic_layer(
                 {
                     "name": cname,
                     "model": target,
-                    "entities": _named_list("entities"),
+                    "entities": entities,
                     "dimensions": _named_list("dimensions"),
                     "measures": measures,
                     "description": str(sm.get("description", "")),
@@ -3501,6 +3547,45 @@ def _validate_filter_templates(
         )
 
 
+_SQL_FILTER_KEYWORDS = frozenset(
+    {
+        "and", "or", "not", "is", "null", "true", "false", "in",
+        "like", "between", "exists",
+        # typed-literal prefixes (TIMESTAMP '...', DATE '...',
+        # INTERVAL 3 DAY) — keywords, not column references
+        "timestamp", "date", "interval",
+        "second", "seconds", "minute", "minutes", "hour", "hours",
+        "day", "days", "week", "weeks", "month", "months",
+        "quarter", "quarters", "year", "years",
+    }
+)
+
+
+def _assert_templated_only_filter(metric_name: str, flt: str) -> None:
+    """Cross-model conversion filter gate (r15, VERDICT-r14 #8): the
+    filter is accepted ONLY when every column reference is a
+    ``{{ Dimension/TimeDimension/Entity }}`` template — each template
+    resolves on the BASE model by construction, so the predicate is
+    unambiguously base-side. Any raw SQL identifier (outside string
+    literals and bare boolean connectives) could read either model and
+    refuses loudly — the cross-ratio discipline, narrowed to what IS
+    resolvable."""
+    stripped = _FILTER_ANY_TPL_RE.sub(" 1 ", flt)
+    stripped = re.sub(r"'(?:[^']|'')*'", " 1 ", stripped)
+    for tok in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stripped):
+        if tok.group(0).lower() not in _SQL_FILTER_KEYWORDS:
+            raise ValidationError(
+                f"Metric '{metric_name}': cross-model conversion "
+                f"filter references '{tok.group(0)}' outside a "
+                "template — only {{ Dimension('d') }} / "
+                "{{ TimeDimension('t', 'grain') }} / "
+                "{{ Entity('e') }} references (which resolve on the "
+                "BASE model) plus literals and AND/OR/NOT/IS "
+                "NULL/IN/LIKE/BETWEEN are allowed here; "
+                "conversion-side predicates are genuinely ambiguous"
+            )
+
+
 def _rewrite_saved_where(doc: dict[str, Any], wh: str) -> str:
     """Saved-query `where:` templating (r14): template references map
     onto the saved query's OUTPUT columns — Dimension('d') /
@@ -3781,9 +3866,33 @@ def evaluate_metric(
             nm, grain = m.group(1), m.group(2)
             if nm == "metric_time":
                 te = _tdim_expr(sem_x)
-            else:
-                base = nm.split("__", 1)[1] if "__" in nm else nm
+            elif "__" in nm:
+                # entity-path TimeDimension (r15, VERDICT-r14 #8 /
+                # ADVICE-r14 #1): the primary-entity prefix of a LOCAL
+                # time dimension resolves locally (MetricFlow's
+                # spelling, mirroring _dim); any OTHER prefix walks the
+                # entity-path planner — never a silent local bind of a
+                # suffix-named dimension.
+                ent, base = nm.split("__", 1)
                 d = dims_local.get(base)
+                if ent in ents_local and d is not None:
+                    if str(d.get("type", "")).lower() != "time":
+                        raise ValidationError(
+                            f"Metric '{name}': filter "
+                            f"TimeDimension('{nm}') names "
+                            f"'{base}', which is not a `type: time` "
+                            f"dimension of '{sem_x['name']}'"
+                        )
+                    te = d.get("expr") or d["name"]
+                else:
+                    te = path_col(
+                        ent,
+                        base,
+                        f"filter TimeDimension('{nm}')",
+                        require_time=True,
+                    )
+            else:
+                d = dims_local.get(nm)
                 if d is None or str(d.get("type", "")).lower() != "time":
                     raise ValidationError(
                         f"Metric '{name}': filter TimeDimension('{nm}') "
@@ -3832,9 +3941,19 @@ def evaluate_metric(
         Shared by the aggregate path (_prepare_frame) and the
         conversion branch."""
         ents_local = {e["name"]: e for e in sem_x.get("entities", [])}
-        joined: dict[tuple[str, str, str | None], str] = {}
+        joined: dict[tuple[str, str, str | None, bool], str] = {}
+        # bridge joins cache under (ent, bridge_entity, lk) — NOT the
+        # full path key — so two paths sharing a snowflake prefix
+        # (customer__nation_e__nname and customer__nation_e__region_e__
+        # rname) reuse ONE bridge join (ADVICE r14 #3)
+        bridged: dict[tuple[str, str, str | None], str] = {}
+        seq = [0]  # unique suffix for generated join-column names
 
         def _prim_models(ent: str):
+            # primary OR unique: both declare the key unique per row,
+            # which is all the N:1 left-join contract needs (the loader
+            # enforces ≤1 primary per model and points demoted keys at
+            # type: unique — ADVICE r14 #2)
             for sm2 in sems:
                 if sm2["name"] == sem_x["name"]:
                     continue
@@ -3843,7 +3962,8 @@ def evaluate_metric(
                         e
                         for e in sm2.get("entities", [])
                         if e["name"] == ent
-                        and str(e.get("type", "")).lower() == "primary"
+                        and str(e.get("type", "")).lower()
+                        in ("primary", "unique")
                     ),
                     None,
                 )
@@ -3856,8 +3976,12 @@ def evaluate_metric(
             lk: str,
             why: str,
             depth: int,
+            require_time: bool = False,
         ) -> str:
-            key = (ent, rest, lk)
+            # require_time is part of the memo key: a path first pulled
+            # via Dimension() must not satisfy a later TimeDimension()
+            # reference from cache without the time-type check
+            key = (ent, rest, lk, require_time)
             if key in joined:
                 return joined[key]
             if depth > 4:
@@ -3899,7 +4023,18 @@ def evaluate_metric(
                 )
             if len(direct) == 1:
                 sm2, prim, d2 = direct[0]
-                i = len(joined)
+                if require_time and (
+                    str(d2.get("type", "")).lower() != "time"
+                ):
+                    raise ValidationError(
+                        f"Metric '{name}': {why}: the entity path "
+                        f"resolves to dimension '{rest}' on "
+                        f"'{sm2['name']}', which is not `type: time` — "
+                        "a TimeDimension reference needs a time "
+                        "dimension"
+                    )
+                i = seq[0]
+                seq[0] += 1
                 kcol, vcol = f"_fs_epk_{i}", f"_fs_epd_{i}"
                 dimf = _metric_base_df(fs, sm2, model_version).select(
                     F.expr(prim.get("expr") or prim["name"]).alias(
@@ -3923,24 +4058,30 @@ def evaluate_metric(
                     )
                 if len(bridges) == 1:
                     sm2, prim, b2 = bridges[0]
-                    i = len(joined)
-                    kcol, bcol = f"_fs_epk_{i}", f"_fs_epb_{i}"
-                    brf = _metric_base_df(
-                        fs, sm2, model_version
-                    ).select(
-                        F.expr(prim.get("expr") or prim["name"]).alias(
-                            kcol
-                        ),
-                        F.expr(b2.get("expr") or b2["name"]).alias(
-                            bcol
-                        ),
-                    )
-                    frame["df"] = frame["df"].join(
-                        brf, F.expr(lk) == F.col(kcol), "left"
-                    ).drop(kcol)
-                    joined[key] = bcol  # cache the bridge itself
+                    bkey = (ent, e2, lk)
+                    bcol = bridged.get(bkey)
+                    if bcol is None:
+                        i = seq[0]
+                        seq[0] += 1
+                        kcol, bcol = f"_fs_epk_{i}", f"_fs_epb_{i}"
+                        brf = _metric_base_df(
+                            fs, sm2, model_version
+                        ).select(
+                            F.expr(
+                                prim.get("expr") or prim["name"]
+                            ).alias(kcol),
+                            F.expr(b2.get("expr") or b2["name"]).alias(
+                                bcol
+                            ),
+                        )
+                        frame["df"] = frame["df"].join(
+                            brf, F.expr(lk) == F.col(kcol), "left"
+                        ).drop(kcol)
+                        bridged[bkey] = bcol
                     rest2 = rest.split("__", 1)[1]
-                    out = _hop(e2, rest2, bcol, why, depth + 1)
+                    out = _hop(
+                        e2, rest2, bcol, why, depth + 1, require_time
+                    )
                     joined[key] = out
                     return out
             raise ValidationError(
@@ -3955,7 +4096,9 @@ def evaluate_metric(
                 + " — the entity-path join needs exactly one"
             )
 
-        def _path_col(ent: str, rest: str, why: str) -> str:
+        def _path_col(
+            ent: str, rest: str, why: str, require_time: bool = False
+        ) -> str:
             if ent not in ents_local:
                 raise ValidationError(
                     f"Metric '{name}': {why} reaches through entity "
@@ -3964,7 +4107,7 @@ def evaluate_metric(
                     f"{sorted(ents_local)})"
                 )
             lk = ents_local[ent].get("expr") or ent
-            return _hop(ent, rest, lk, why, 0)
+            return _hop(ent, rest, lk, why, 0, require_time)
 
         return _path_col
 
@@ -4109,15 +4252,16 @@ def evaluate_metric(
         # frames split off — the filter governs base AND (same-model)
         # conversion events, dbt's semantics
         if mdoc.get("filter"):
+            fstr = str(mdoc["filter"])
             if cross_conv:
-                # which model does the predicate read? genuinely
-                # ambiguous — the cross-ratio refusal discipline
-                raise ValidationError(
-                    f"Metric '{name}': cross-model conversion metrics "
-                    "cannot carry filter: — it is ambiguous which "
-                    "model the predicate reads"
-                )
-            flt = _rewrite_filter(sem, str(mdoc["filter"]), _b_path_col)
+                # accepted (r15, VERDICT-r14 #8) ONLY when every column
+                # reference is a template — templates resolve on the
+                # BASE model by construction, so the predicate governs
+                # base events alone (the conversion side reads its own
+                # model untouched). Raw SQL identifiers stay refused:
+                # which model they read is genuinely ambiguous.
+                _assert_templated_only_filter(name, fstr)
+            flt = _rewrite_filter(sem, fstr, _b_path_col)
             bframe["df"] = bframe["df"].filter(flt)
         df = bframe["df"]
         if conv_df is None:

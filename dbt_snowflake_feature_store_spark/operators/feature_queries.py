@@ -321,7 +321,7 @@ semantic_models:
     model: ref('orders_model')
     entities:
       - name: customer
-        type: primary
+        type: foreign
         expr: o_custkey
       - name: order_e
         type: primary
@@ -575,6 +575,23 @@ metrics:
         entity: order_e
         attribution: event
         calculation: conversions
+        window: 90 days
+  - name: items_y1995
+    type: simple
+    type_params:
+      measure: n_items
+    filter: "{{ TimeDimension('order_e__order_date', 'year') }} =
+      TIMESTAMP '1995-01-01'"
+  - name: ship90_rate_1995
+    type: conversion
+    filter: "{{ TimeDimension('metric_time', 'year') }} >=
+      TIMESTAMP '1995-01-01'"
+    type_params:
+      conversion_type_params:
+        base_measure: n_orders
+        conversion_measure: n_items
+        entity: order_e
+        attribution: event
         window: 90 days
 
 saved_queries:
@@ -1649,3 +1666,85 @@ ORACLE["q_metric_entity_hop"] = """
     ORDER BY f_nation, f_region
 """
 QUERIES["q_metric_entity_hop"] = q_metric_entity_hop
+
+
+def q_metric_tdim_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-PATH TimeDimension references + TEMPLATED cross-model
+    conversion filters, ORACLE-GATED (r15, VERDICT-r14 #8 /
+    ADVICE-r14 #1): (a) `items_y1995` — line items filtered by
+    `{{ TimeDimension('order_e__order_date', 'year') }}`, a time
+    dimension REACHED THROUGH the shared entity (lineitem → orders):
+    the planner joins the (orderkey, orderdate) projection on and
+    REFUSES non-time targets, never silently binding a local
+    suffix-named dimension (the pre-r15 hazard); grouped by
+    `order_e__priority` (a second path pull on the same entity).
+    (b) `ship90_rate_1995` — the CROSS-MODEL conversion rate carrying
+    a metric filter, accepted because every reference is templated and
+    so provably base-side (raw SQL identifiers still refuse loudly).
+    The scalar rate cross-joins onto the per-priority counts.
+
+    Scale: each path pull is one broadcast-able column-pruned dim
+    join; the conversion attribution is the entity equi-join; the
+    final crossJoin broadcasts a 1-row frame."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    items = evaluate_metric(
+        fs, "items_y1995", group_by=["order_e__priority"]
+    )
+    conv = evaluate_metric(fs, "ship90_rate_1995")
+    out = items.crossJoin(F.broadcast(conv))
+    return out.select(
+        F.col("order_e__priority").alias("f_priority"),
+        F.col("ITEMS_Y1995").cast("long").alias("f_items"),
+        F.col("SHIP90_RATE_1995").cast("double").alias("f_conv_rate"),
+    ).orderBy("f_priority")
+
+
+ORACLE["q_metric_tdim_path"] = """
+    WITH items AS (
+        SELECT o_orderpriority AS f_priority,
+               CAST(COUNT(l_orderkey) AS BIGINT) AS f_items
+        FROM lineitem
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        WHERE CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)
+              = TIMESTAMP '1995-01-01'
+        GROUP BY 1
+    ),
+    bg AS (
+        SELECT o_orderkey AS e,
+               CAST(epoch(o_orderdate) AS BIGINT) AS t,
+               COUNT(*) AS bn
+        FROM orders
+        WHERE CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)
+              >= TIMESTAMP '1995-01-01'
+        GROUP BY 1, 2
+    ),
+    cg AS (
+        SELECT l_orderkey AS e,
+               CAST(epoch(l_shipdate) AS BIGINT) AS ct,
+               COUNT(*) AS cn
+        FROM lineitem GROUP BY 1, 2
+    ),
+    att AS (
+        SELECT cg.e AS e, cg.ct AS ct, MIN(cg.cn) AS cn,
+               MAX(bg.t) AS t
+        FROM cg JOIN bg ON bg.e = cg.e
+           AND cg.ct >= bg.t AND cg.ct <= bg.t + 90 * 86400
+        GROUP BY 1, 2
+    ),
+    cpb AS (SELECT e, t, SUM(cn) AS cc FROM att GROUP BY 1, 2),
+    j AS (
+        SELECT bg.bn AS bn, COALESCE(cpb.cc, 0) AS cc
+        FROM bg LEFT JOIN cpb ON bg.e = cpb.e AND bg.t = cpb.t
+    ),
+    rate AS (
+        SELECT CAST(SUM(cc) AS DOUBLE) / CAST(SUM(bn) AS DOUBLE)
+                   AS f_conv_rate
+        FROM j
+    )
+    SELECT f_priority, f_items, f_conv_rate
+    FROM items CROSS JOIN rate
+    ORDER BY f_priority
+"""
+QUERIES["q_metric_tdim_path"] = q_metric_tdim_path

@@ -1578,6 +1578,39 @@ metrics:
         with pytest.raises(ValidationError, match="bogus"):
             load_semantic_layer(fs, proj)
 
+    def test_two_primary_entities_fail_loudly(
+        self, fs, tmp_path, base_table
+    ):
+        # r15 (ADVICE r14 #2): at most ONE primary entity per semantic
+        # model — the entity-path planner's N:1 left-join contract
+        # rides the primary key's per-row uniqueness
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        yml = self.YML.replace(
+            "      - name: customer\n        type: primary\n",
+            "      - name: customer\n        type: primary\n"
+            "      - name: country_e\n        type: primary\n"
+            "        expr: country\n",
+        )
+        proj = self._proj(fs, tmp_path, base_table, yml)
+        with pytest.raises(ValidationError, match="primary entities"):
+            load_semantic_layer(fs, proj)
+
+    def test_unique_entity_allowed(self, fs, tmp_path, base_table):
+        # type: unique coexists with a primary (both are join targets
+        # for the entity-path planner)
+        from dbt_snowflake_feature_store_spark import load_semantic_layer
+
+        yml = self.YML.replace(
+            "      - name: customer\n        type: primary\n",
+            "      - name: customer\n        type: primary\n"
+            "      - name: country_e\n        type: unique\n"
+            "        expr: country\n",
+        )
+        proj = self._proj(fs, tmp_path, base_table, yml)
+        report = load_semantic_layer(fs, proj)
+        assert report["semantic_models"] == ["CUSTOMERS_SEM"]
+
     def test_manifest_carries_semantic_nodes(self, fs, tmp_path, base_table):
         from dbt_snowflake_feature_store_spark import export_manifest
 
@@ -2518,6 +2551,63 @@ saved_queries:
             == 58
         )
 
+    def test_tdim_entity_path(self, fs, tmp_path, base_table):
+        """r15 (VERDICT-r14 #8 / ADVICE-r14 #1): entity-prefixed
+        TimeDimension filter references walk the entity-path planner —
+        and refuse non-time targets loudly instead of silently binding
+        a local dimension that happens to share the suffix name."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+        # resolves: static_sem metric filtered by customers_sem's
+        # `updated_at` (type: time) pulled through the shared customer
+        # entity — row-preserving predicate keeps the single static row
+        fs.registry.put(
+            "metrics",
+            "STATIC_TDIM_PATH",
+            {
+                "name": "STATIC_TDIM_PATH",
+                "type": "simple",
+                "type_params": {"measure": "static_age"},
+                "filter": "{{ TimeDimension('customer__updated_at',"
+                " 'year') }} IS NOT NULL",
+            },
+        )
+        assert (
+            evaluate_metric(fs, "STATIC_TDIM_PATH").collect()[0][
+                "STATIC_TDIM_PATH"
+            ]
+            == 25
+        )
+        # refusal: the path resolves to a CATEGORICAL dimension
+        fs.registry.put(
+            "metrics",
+            "STATIC_TDIM_BAD",
+            {
+                "name": "STATIC_TDIM_BAD",
+                "type": "simple",
+                "type_params": {"measure": "static_age"},
+                "filter": "{{ TimeDimension('customer__tier_dim',"
+                " 'day') }} IS NOT NULL",
+            },
+        )
+        with pytest.raises(ValidationError, match="not `type: time`"):
+            evaluate_metric(fs, "STATIC_TDIM_BAD")
+        # refusal: the path resolves nowhere
+        fs.registry.put(
+            "metrics",
+            "STATIC_TDIM_NONE",
+            {
+                "name": "STATIC_TDIM_NONE",
+                "type": "simple",
+                "type_params": {"measure": "static_age"},
+                "filter": "{{ TimeDimension('customer__nosuch',"
+                " 'day') }} IS NOT NULL",
+            },
+        )
+        with pytest.raises(ValidationError, match="needs exactly one"):
+            evaluate_metric(fs, "STATIC_TDIM_NONE")
+
     def test_conversion_event_grain(self, fs, tmp_path, base_table):
         """r14 (VERDICT-r13 #6): attribution: event — every base event
         counts; each conversion event attributes to the LATEST base
@@ -2847,9 +2937,32 @@ saved_queries:
             },
         )
         with pytest.raises(
-            ValidationError, match="ambiguous which model"
+            ValidationError, match="outside a template"
         ):
             evaluate_metric(fs, "XM_FLT")
+        # r15: a fully TEMPLATED filter resolves on the BASE side and
+        # is accepted on cross-model conversion (row-preserving
+        # predicate → same rate as unfiltered)
+        fs.registry.put(
+            "metrics",
+            "XM_FLT_TPL",
+            {
+                "name": "XM_FLT_TPL",
+                "type": "conversion",
+                "filter": "{{ Entity('xm_e') }} IS NOT NULL",
+                "type_params": {
+                    "conversion_type_params": {
+                        "base_measure": "xm_base_n",
+                        "conversion_measure": "xm_conv_n",
+                        "entity": "xm_e",
+                    }
+                },
+            },
+        )
+        assert (
+            evaluate_metric(fs, "XM_FLT_TPL").collect()[0]["XM_FLT_TPL"]
+            == 0.5
+        )
         fs.registry.put(
             "semantic_models",
             "XMC2_SEM",
@@ -3221,6 +3334,26 @@ models:
             )
             with pytest.raises(ValidationError, match=msg):
                 run_model_contracts(fs, proj)
+
+    def test_check_expression_prevalidated(
+        self, fs, tmp_path, base_table
+    ):
+        """r15 (ADVICE r14 #4): a typo'd check expression refuses as a
+        ValidationError NAMING the contract before the aggregate scan —
+        never a raw AnalysisException at agg time."""
+        from dbt_snowflake_feature_store_spark import run_model_contracts
+
+        bad = (
+            self.GOOD
+            + "    constraints:\n      - type: check\n"
+            "        expression: f_no_such_col > 0\n"
+        )
+        proj = self._loaded(fs, tmp_path, base_table, bad)
+        with pytest.raises(
+            ValidationError,
+            match="Contract on model .*does not parse/resolve",
+        ):
+            run_model_contracts(fs, proj)
 
 
 class TestGroupsAccess:

@@ -118,3 +118,33 @@ def test_kmv_kmin_pre_distinct_false_parity(spark, hashes, k):
         vs = sorted({h for gg, h in rows if gg == g})[:k]
         want.update((g, h) for h in vs)
     assert a == want
+
+
+# ---------------------------------------------------------------------------
+# entity-path planner: shared snowflake bridge joins are reused
+# (ADVICE r14 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_entity_hop_bridge_join_reused(spark):
+    """customer__nation_e__nname and customer__nation_e__region_e__rname
+    share the customer→nation bridge — the planner must join the
+    customers (key, nationkey) projection ONCE. Analyzed-plan Join
+    count: 1 shared bridge + nname direct + region bridge + rname
+    direct = 4 (the un-cached planner produced 5)."""
+    import re
+
+    from dbt_snowflake_feature_store_spark.models import evaluate_metric
+    from dbt_snowflake_feature_store_spark.operators.feature_queries import (
+        _metric_fs,
+    )
+
+    fs = _metric_fs(spark, "/root/testdata/sf0.001")
+    keys = [
+        "customer__nation_e__nname",
+        "customer__nation_e__region_e__rname",
+    ]
+    df = evaluate_metric(fs, "total_revenue", group_by=keys)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    njoins = len(re.findall(r"\bJoin\b", plan))
+    assert njoins == 4, f"expected 4 joins (shared bridge), got {njoins}"

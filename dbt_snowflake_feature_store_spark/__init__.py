@@ -22,6 +22,8 @@ from .models import (
     check_source_freshness,
     evaluate_metric,
     evaluate_saved_query,
+    export_saved_query,
+    read_saved_export,
     project_vars,
     export_catalog,
     export_manifest,
@@ -62,6 +64,8 @@ __all__ = [
     "check_source_freshness",
     "evaluate_metric",
     "evaluate_saved_query",
+    "export_saved_query",
+    "read_saved_export",
     "project_vars",
     "export_catalog",
     "export_manifest",

@@ -2301,9 +2301,12 @@ def run_unit_tests(
               rows:
                 - {customer_id: 1, f_age_group: Young}
 
-    Semantics (dbt's contract, reduced to the dict-rows fixture
-    format — ``format: csv/sql`` fixtures and ``overrides:`` are
-    refused loudly, never silently skipped):
+    Semantics (dbt's contract; all three dbt-1.8 fixture formats —
+    dict rows, ``format: csv`` (inline ``rows: |`` text or
+    ``fixture: <name>`` → ``tests/fixtures/<name>.csv``) and
+    ``format: sql`` (hermetic SELECT, no ref()/source()) — typed by
+    the real relation's schema; ``overrides:`` is refused loudly,
+    never silently skipped):
 
     - EVERY ``ref()`` / ``source()`` the model's body references must
       appear in ``given`` (mocking a strict superset is also an error —
@@ -2522,6 +2525,108 @@ def run_unit_tests(
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
         return raw.select(*sel)
 
+    def _align_df(schema, df, ctx: str):
+        """A SQL-format fixture aligned to the real relation's schema —
+        the same completion rule as dict rows: named columns cast via
+        Spark's coercion, omitted columns become typed NULLs, unknown
+        names raise."""
+        by_lower = {f.name.lower(): f for f in schema.fields}
+        have: dict[str, str] = {}
+        for c in df.columns:
+            if c.lower() not in by_lower:
+                raise ValidationError(
+                    f"{ctx}: fixture column '{c}' is not a column of "
+                    f"the mocked relation "
+                    f"(has: {sorted(f.name for f in schema.fields)})"
+                )
+            have[c.lower()] = c
+        sel = []
+        for f in schema.fields:
+            if f.name.lower() in have:
+                sel.append(
+                    F.col(have[f.name.lower()])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*sel)
+
+    def _parse_fixture_block(blk: dict[str, Any], ctx: str):
+        """dbt 1.8 fixture formats (r15, VERDICT-r14 #7): returns
+        ('rows', list-of-dicts) for dict/csv, ('sql', text) for sql.
+        csv text comes inline (``rows: |``) or from
+        ``fixture: <name>`` → ``<project>/tests/fixtures/<name>.csv``
+        (dbt's location); sql likewise (.sql). Malformed fixtures
+        refuse loudly, never silently skip."""
+        fmt = str(blk.get("format", "dict")).lower()
+        if fmt == "dict":
+            rows = blk.get("rows")
+            if not isinstance(rows, list):
+                raise ValidationError(
+                    f"{ctx}: needs a rows: list (use [] for an empty "
+                    "relation)"
+                )
+            return ("rows", rows)
+        if fmt not in ("csv", "sql"):
+            raise ValidationError(
+                f"{ctx}: fixture format '{fmt}' is not supported — "
+                "use dict rows, csv, or sql"
+            )
+        raw = blk.get("rows")
+        fix = blk.get("fixture")
+        if raw is not None and fix is not None:
+            raise ValidationError(
+                f"{ctx}: give rows: OR fixture:, not both"
+            )
+        if raw is None:
+            if fix is None:
+                raise ValidationError(
+                    f"{ctx}: format {fmt} needs inline rows: | text "
+                    f"or fixture: <name> "
+                    f"(tests/fixtures/<name>.{fmt})"
+                )
+            path = os.path.join(
+                project_dir, "tests", "fixtures", f"{fix}.{fmt}"
+            )
+            if not os.path.isfile(path):
+                raise ValidationError(
+                    f"{ctx}: fixture file not found: {path}"
+                )
+            with open(path) as f:
+                raw = f.read()
+        if not isinstance(raw, str):
+            raise ValidationError(
+                f"{ctx}: format {fmt} rows: must be text (use a "
+                "YAML block scalar), got {type(raw).__name__}"
+            )
+        if fmt == "csv":
+            import csv as _csv
+            import io as _io
+
+            rdr = _csv.DictReader(_io.StringIO(raw.strip()))
+            if rdr.fieldnames is None:
+                return ("rows", [])
+            rows = [
+                {k: (None if v == "" else v) for k, v in r.items()}
+                for r in rdr
+            ]
+            for r in rows:
+                if None in r or r.pop(None, None) is not None:
+                    raise ValidationError(
+                        f"{ctx}: csv row has more cells than the "
+                        "header names"
+                    )
+            return ("rows", rows)
+        # sql: hermetic by contract — a fixture that ref()s real
+        # relations reads real data and asserts nothing reproducible
+        if _EXPR_RE.search(raw):
+            raise ValidationError(
+                f"{ctx}: sql fixtures must not reference ref()/"
+                "source() — hardcode values (SELECT ... UNION ALL ...)"
+            )
+        return ("sql", raw)
+
     results: list[dict[str, Any]] = []
     for fn, ut in sorted(specs, key=lambda s: str(s[1]["name"])):
         nm = str(ut["name"])
@@ -2548,19 +2653,13 @@ def run_unit_tests(
                 "{{input, rows}} fixtures"
             )
         expect = ut.get("expect")
-        if not isinstance(expect, dict) or not isinstance(
-            expect.get("rows"), list
-        ):
+        if not isinstance(expect, dict):
             raise ValidationError(
                 f"Unit test '{nm}': expect: needs a rows: list"
             )
-        for blk in list(given) + [expect]:
-            fmt = str(blk.get("format", "dict")).lower()
-            if fmt != "dict":
-                raise ValidationError(
-                    f"Unit test '{nm}': fixture format '{fmt}' is not "
-                    "supported — use inline dict rows"
-                )
+        parsed_expect = _parse_fixture_block(
+            expect, f"Unit test '{nm}': expect"
+        )
 
         # parse given inputs → (kind, a, b) keyed fixtures
         fixtures: dict[tuple[str, str, str | None], list] = {}
@@ -2587,13 +2686,9 @@ def run_unit_tests(
                 raise ValidationError(
                     f"Unit test '{nm}': duplicate given input {inp!r}"
                 )
-            rows = g.get("rows")
-            if not isinstance(rows, list):
-                raise ValidationError(
-                    f"Unit test '{nm}': given input {inp!r} needs a "
-                    "rows: list (use [] for an empty relation)"
-                )
-            fixtures[key] = rows
+            fixtures[key] = _parse_fixture_block(
+                g, f"Unit test '{nm}': given input {inp!r}"
+            )
 
         # the body's actual relation tokens — every one must be mocked,
         # and every mock must bind (dbt errors on unmocked parents; a
@@ -2630,16 +2725,18 @@ def run_unit_tests(
         view_names: dict[tuple[str, str, str | None], str] = {}
         made_views: list[str] = []
         try:
-            for i, (key, rows) in enumerate(sorted(fixtures.items())):
+            for i, (key, pf) in enumerate(sorted(fixtures.items())):
                 kind, a, b = key
                 ctx = f"Unit test '{nm}' fixture for {kind}('{a}'" + (
                     f", '{b}')" if b else ")"
                 )
                 schema = _real_schema(kind, a, b, ctx)
                 vname = f"__fs_ut_{abs(hash(nm)) % 10**8}_{i}"
-                _fixture_df(schema, rows, ctx).createOrReplaceTempView(
-                    vname
-                )
+                if pf[0] == "rows":
+                    fdf = _fixture_df(schema, pf[1], ctx)
+                else:  # sql fixture, bound through the same rewrite
+                    fdf = _align_df(schema, spark.sql(pf[1]), ctx)
+                fdf.createOrReplaceTempView(vname)
                 view_names[key] = vname
                 made_views.append(vname)
 
@@ -2659,11 +2756,51 @@ def run_unit_tests(
 
             # compare on the columns expect names (dbt's rule), cast to
             # the actual output's types; multiset, order-insensitive
-            exp_rows = expect["rows"]
             actual_by_lower = {
                 f.name.lower(): f for f in actual.schema.fields
             }
-            exp_cols: list[str] = []
+            if parsed_expect[0] == "sql":
+                exp_df = spark.sql(parsed_expect[1])
+                exp_cols = []
+                for c in exp_df.columns:
+                    if c.lower() not in actual_by_lower:
+                        raise ValidationError(
+                            f"Unit test '{nm}': expect column '{c}' is "
+                            "not in the model output (has: "
+                            f"{sorted(actual.columns)})"
+                        )
+                    exp_cols.append(c.lower())
+                proj = [actual_by_lower[c] for c in exp_cols]
+                got = [
+                    tuple(r)
+                    for r in actual.select(
+                        *[F.col(f.name) for f in proj]
+                    ).collect()
+                ]
+                want = [
+                    tuple(r)
+                    for r in exp_df.select(
+                        *[
+                            F.col(c).cast(f.dataType).alias(f.name)
+                            for c, f in zip(exp_df.columns, proj)
+                        ]
+                    ).collect()
+                ]
+                passed = sorted(map(repr, got)) == sorted(
+                    map(repr, want)
+                )
+                results.append(
+                    {
+                        "name": nm,
+                        "model": mdl.name,
+                        "passed": passed,
+                        "rows": len(got),
+                        "expected": len(want),
+                    }
+                )
+                continue
+            exp_rows = parsed_expect[1]
+            exp_cols = []
             for r in exp_rows:
                 if not isinstance(r, dict):
                     raise ValidationError(
@@ -3476,6 +3613,55 @@ def load_semantic_layer(
                 wstr = str(qp["where"])
                 _validate_filter_templates(name, wstr, kind="Saved query")
                 doc["where"] = wstr
+            # dbt 1.7 `exports:` (r15, VERDICT-r14 #5): named
+            # materializations of the saved query — export_as: table
+            # goes through the store's TableFormat (crash-safe swap);
+            # export_as: view registers a session view; `cache` and
+            # unknown kinds refuse loudly (warehouse-specific).
+            exp_out: list[dict[str, Any]] = []
+            exp_seen: set[str] = set()
+            for ex in sq.get("exports") or []:
+                if not (isinstance(ex, dict) and ex.get("name")):
+                    raise ValidationError(
+                        f"Saved query '{name}': every exports: entry "
+                        f"needs a name, got {ex!r}"
+                    )
+                exn = canonical_name(str(ex["name"]))
+                if exn in exp_seen:
+                    raise ValidationError(
+                        f"Saved query '{name}': duplicate export "
+                        f"name '{ex['name']}'"
+                    )
+                exp_seen.add(exn)
+                cfg = ex.get("config") or {}
+                if not isinstance(cfg, dict):
+                    raise ValidationError(
+                        f"Saved query '{name}': export '{ex['name']}' "
+                        "config must be a mapping"
+                    )
+                eas = str(cfg.get("export_as", "")).lower()
+                if eas not in ("table", "view"):
+                    raise ValidationError(
+                        f"Saved query '{name}': export '{ex['name']}' "
+                        f"export_as must be 'table' or 'view', got "
+                        f"{cfg.get('export_as')!r} ('cache' is "
+                        "warehouse-specific and unsupported)"
+                    )
+                exd: dict[str, Any] = {"name": exn, "export_as": eas}
+                for k in ("alias", "schema"):
+                    if cfg.get(k) is not None:
+                        # canonical_name raises on invalid identifiers
+                        exd[k] = canonical_name(str(cfg[k]))
+                unknown = set(cfg) - {"export_as", "alias", "schema"}
+                if unknown:
+                    raise ValidationError(
+                        f"Saved query '{name}': export '{ex['name']}' "
+                        f"has unknown config keys {sorted(unknown)} "
+                        "(supported: export_as, alias, schema)"
+                    )
+                exp_out.append(exd)
+            if exp_out:
+                doc["exports"] = exp_out
             sq_out.append(doc)
 
     if not dry_run:
@@ -4958,6 +5144,109 @@ def evaluate_saved_query(
     if doc.get("where"):
         out = out.filter(_rewrite_saved_where(doc, str(doc["where"])))
     return out
+
+
+def export_saved_query(
+    fs: "FeatureStore",
+    name: str,
+    export_name: str | None = None,
+    model_version: str | None = None,
+) -> list[dict[str, Any]]:
+    """Run a saved query's dbt 1.7 ``exports:`` blocks (r15,
+    VERDICT-r14 #5): evaluate the saved query ONCE, then materialize
+    each export (or just ``export_name``) —
+
+    - ``export_as: table`` → the store's TableFormat via its
+      crash-safe atomic swap (``storage.replace``), at
+      ``<root>/exports/<schema>/<alias>`` (schema defaults to
+      ``exports``, alias to the export name — dbt's defaulting), and a
+      ``saved_exports`` registry record carrying the location, schema
+      and source saved query. Read it back with
+      :func:`read_saved_export`.
+    - ``export_as: view`` → a session-scoped Spark temp view named
+      ``<schema>__<alias>`` (temp views have no catalog schemas) over
+      the compiled plan, plus the same registry record (a reopening
+      session re-creates the view from the record via
+      :func:`read_saved_export`).
+
+    A saved query with no ``exports:`` refuses loudly; an
+    ``export_name`` not declared refuses naming the declared set.
+    Returns one dict per export run: {name, export_as, target, rows}
+    (rows is None for views — nothing materializes)."""
+    cname = canonical_name(name)
+    doc = fs.registry.get("saved_queries", cname)
+    if doc is None:
+        have = sorted(fs.registry.keys("saved_queries"))
+        raise ValidationError(
+            f"Saved query '{name}' is not registered (have: {have}) — "
+            "run load_semantic_layer/load_project first"
+        )
+    exports = list(doc.get("exports") or [])
+    if not exports:
+        raise ValidationError(
+            f"Saved query '{name}' declares no exports: blocks — "
+            "add exports: [{name: ..., config: {export_as: table}}] "
+            "to the saved query"
+        )
+    if export_name is not None:
+        exn = canonical_name(export_name)
+        exports = [e for e in exports if e["name"] == exn]
+        if not exports:
+            raise ValidationError(
+                f"Saved query '{name}' has no export '{export_name}' "
+                f"(declared: "
+                f"{sorted(e['name'] for e in doc['exports'])})"
+            )
+    df = evaluate_saved_query(fs, cname, model_version=model_version)
+    results: list[dict[str, Any]] = []
+    for ex in exports:
+        schema = ex.get("schema") or "EXPORTS"
+        alias = ex.get("alias") or ex["name"]
+        rec = {
+            "name": ex["name"],
+            "saved_query": cname,
+            "export_as": ex["export_as"],
+            "schema": schema,
+            "alias": alias,
+        }
+        if ex["export_as"] == "table":
+            path = os.path.join(fs.root, "exports", schema, alias)
+            fs.storage.replace(fs.spark, path, df)
+            rec["data_path"] = path
+            rows = fs.storage.read(fs.spark, path).count()
+        else:
+            df.createOrReplaceTempView(f"{schema}__{alias}")
+            rows = None
+        fs.registry.put("saved_exports", ex["name"], rec)
+        results.append(
+            {
+                "name": ex["name"],
+                "export_as": ex["export_as"],
+                "target": rec.get("data_path", f"{schema}__{alias}"),
+                "rows": rows,
+            }
+        )
+    return results
+
+
+def read_saved_export(fs: "FeatureStore", name: str):
+    """Read a materialized saved-query export back: table exports read
+    the TableFormat directory (exactly what a downstream consumer
+    sees — survives sessions); view exports re-compile the saved query
+    (a view IS its definition) and refresh the session temp view."""
+    cname = canonical_name(name)
+    rec = fs.registry.get("saved_exports", cname)
+    if rec is None:
+        have = sorted(fs.registry.keys("saved_exports"))
+        raise ValidationError(
+            f"Saved export '{name}' does not exist (have: {have}) — "
+            "run export_saved_query first"
+        )
+    if rec["export_as"] == "table":
+        return fs.storage.read(fs.spark, rec["data_path"])
+    df = evaluate_saved_query(fs, rec["saved_query"])
+    df.createOrReplaceTempView(f"{rec['schema']}__{rec['alias']}")
+    return df
 
 
 def export_manifest(

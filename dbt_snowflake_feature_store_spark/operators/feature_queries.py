@@ -601,6 +601,15 @@ saved_queries:
       metrics: [total_revenue, order_count, urgent_revenue]
       group_by: [priority]
       where: ORDER_COUNT > 0 AND priority <> '3-MEDIUM'
+    exports:
+      - name: priority_kpis_tbl
+        config:
+          export_as: table
+          schema: marts
+          alias: kpis
+      - name: priority_kpis_view
+        config:
+          export_as: view
 """
 
 
@@ -1066,6 +1075,38 @@ ORACLE["q_saved_query"] = """
     ORDER BY f_priority
 """
 QUERIES["q_saved_query"] = q_saved_query
+
+
+def q_saved_query_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.7 SAVED-QUERY ``exports:``, ORACLE-GATED (r15,
+    VERDICT-r14 #5): ``export_saved_query`` materializes the
+    priority_kpis table export through the store's TableFormat
+    (crash-safe atomic snapshot swap) at
+    ``<root>/exports/MARTS/KPIS``, and ``read_saved_export`` reads the
+    MATERIALIZED table back — the hash gate runs over the round-trip
+    through storage, not the live plan (a schema- or value-mangling
+    writer would fail here and nowhere else). The oracle is the saved
+    query's SQL (q_saved_query's), restated.
+
+    Scale: the export IS the saved-query plan plus one atomic-swap
+    parquet write of a group-cardinality frame; the read-back is a
+    plain columnar scan."""
+    from ..models import export_saved_query, read_saved_export
+
+    fs = _metric_fs(spark, sf_dir)
+    res = export_saved_query(fs, "priority_kpis", "priority_kpis_tbl")
+    assert res[0]["export_as"] == "table" and res[0]["rows"] > 0
+    out = read_saved_export(fs, "priority_kpis_tbl")
+    return out.select(
+        F.col("priority").alias("f_priority"),
+        F.col("TOTAL_REVENUE").cast("double").alias("f_revenue"),
+        F.col("ORDER_COUNT").cast("long").alias("f_orders"),
+        F.col("URGENT_REVENUE").cast("double").alias("f_urgent_revenue"),
+    ).orderBy("f_priority")
+
+
+ORACLE["q_saved_query_export"] = ORACLE["q_saved_query"]
+QUERIES["q_saved_query_export"] = q_saved_query_export
 
 
 _FRESHNESS_YML = """\

@@ -30,7 +30,7 @@ from typing import Any, Callable, Iterator
 VALID_KINDS = (
     "entities", "feature_views", "datasets", "sources", "ann_indexes",
     "snapshots", "online_stores", "exposures", "semantic_models",
-    "metrics", "saved_queries",
+    "metrics", "saved_queries", "saved_exports",
 )
 
 

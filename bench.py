@@ -260,6 +260,11 @@ HEADLINE = [
     "q_metric_offset_grain",
     "q_metric_conv_xmodel",
     "q_metric_entity_hop",
+    # r15: entity-path TimeDimension + templated conversion filters;
+    # saved-query export (includes its atomic-swap table write — that
+    # IS the operation)
+    "q_metric_tdim_path",
+    "q_saved_query_export",
 ]
 
 

@@ -34,6 +34,50 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
+    # ---- round 15 rotation (26 + 22 + 2 = the 50-key cap) ----
+    # part 1 (26): every key whose code changed THIS round —
+    # (a) the de-creep rewrites: pair-distinct Spearman, fused
+    # drawup-scan CUSUM, dense-rank-staged KMV merge (kmv_kmin touched
+    # → its jaccard/setops riders re-record), three-branch
+    # q_agg_approx; (b) the ENTIRE metric/saved-query family — the
+    # models.py machinery they all ride changed again (entity-path
+    # planner bridge cache + require_time, single-primary loader gate,
+    # templated cross-model conversion filters, saved-query exports,
+    # dbt root-dir layout resolution) — plus the two NEW keys
+    # (q_metric_tdim_path, q_saved_query_export)
+    "q_spearman_corr", "q_cusum_drift", "q_kmv_sketch",
+    "q_kmv_jaccard", "q_kmv_setops", "q_agg_approx",
+    "q_metric_tdim_path", "q_saved_query_export",
+    "q_metric_eval", "q_metric_conversion", "q_metric_ratio_xmodel",
+    "q_metric_cumulative", "q_metric_window", "q_metric_offset",
+    "q_metric_timespine", "q_metric_entity_path", "q_metric_filter_dim",
+    "q_metric_conv_events", "q_metric_window_cal",
+    "q_metric_offset_grain", "q_metric_conv_xmodel",
+    "q_metric_entity_hop", "q_saved_query", "q_source_freshness",
+    "q_lsh_recall",  # idle re-profile target (VERDICT #1) — re-record
+    "q_changepoint",  # shares the range-exchange family; watchdog slot
+    # part 2 (22): the standing r15 promotion set named at the r14
+    # position-51+ comment — the remaining r9-dated records
+    "q_doc_surprisal", "q_event_transitions", "q_attribution",
+    "q_bpe_segment", "q_contamination", "q_domain_mix",
+    "q_tpch_q7like", "q_tpch_q8like", "q_tpch_q14like",
+    "q_tpch_q15like", "q_tpch_q18like", "q_tpch_q19like",
+    "q_tpch_q21like", "q_arith_expr", "q_case_when", "q_cross_join",
+    "q_distinct", "q_filter_false", "q_scan_project",
+    "q_null_handling", "q_num_fns", "q_unpivot",
+    # part 3 (2): FS-machinery riders of the registry.py VALID_KINDS
+    # change (saved_exports) — the store's registry read paths
+    "q_fv_managed_read", "q_generate_dataset",
+    # position 51+ — PAST the cap: the r16 promotion set is the
+    # remaining backlog (q_kmv_setops is IN this round; left over:
+    # q_global_ntile/q_global_rank/q_pagerank/q_rfm re-recorded r14;
+    # oldest after this round are the r11/r12-dated relational5/6/7
+    # families — q_event_transitions-adjacent keys q_surprisal_bigram,
+    # q_kmv_setops riders, and the r10-dated q_vocab_coverage,
+    # q_gini_spend, q_tfidf_topterms, q_dedup_normalized, q_bm25_topk,
+    # q_dedup_edit, q_graph_triangles, q_centroid_classify,
+    # q_sim_pq_portable, q_sim_ivfpq_portable) plus whatever r16 code
+    # touches; the every-round full LOCAL sweep remains the real gate
     # ---- round 14 rotation (18 + 9 + 1 + 13 + 5 + 4 = the 50-key cap;
     # PROMOTION-HEAVY per VERDICT-r13 #1: drain the record backlog) ----
     # part 1 (18): every key whose code is new or changed THIS round —

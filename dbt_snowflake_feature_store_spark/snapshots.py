@@ -554,7 +554,12 @@ def run_snapshots(
     ``at`` stamps check-strategy versions (a timestamp or ISO string);
     it defaults to the session's ``current_timestamp()`` — pass it
     explicitly for reproducible runs (tests do)."""
-    snap_dir = os.path.join(project_dir, "snapshots")
+    from .models import _cfg_dirs
+
+    _sdirs = _cfg_dirs(project_dir, "snapshot-paths", "snapshots")
+    snap_dir = _sdirs[0] if _sdirs else os.path.join(
+        project_dir, "snapshots"
+    )
     if not os.path.isdir(snap_dir):
         raise ValidationError(f"No snapshots/ directory under {project_dir!r}")
     # sources.yml binds/gates source() exactly as in models.load_project

@@ -265,6 +265,7 @@ HEADLINE = [
     # IS the operation)
     "q_metric_tdim_path",
     "q_saved_query_export",
+    "q_saved_query_topn",
 ]
 
 

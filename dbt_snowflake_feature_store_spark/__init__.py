@@ -30,6 +30,7 @@ from .models import (
     load_exposures,
     load_project,
     load_dbt_project_yml,
+    load_selectors_yml,
     run_model_contracts,
     run_operation,
     load_semantic_layer,
@@ -71,6 +72,7 @@ __all__ = [
     "export_manifest",
     "load_exposures",
     "load_dbt_project_yml",
+    "load_selectors_yml",
     "run_model_contracts",
     "run_operation",
     "load_semantic_layer",

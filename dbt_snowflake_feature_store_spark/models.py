@@ -1154,6 +1154,169 @@ def select_nodes(
     return chosen
 
 
+def load_selectors_yml(project_dir: str) -> dict[str, dict[str, Any]]:
+    """dbt ``selectors.yml`` at the project root (r15): named,
+    reusable selection definitions (dbt's ``--selector``). Returns
+    ``{name: {"definition": ..., "default": bool, "description"}}``.
+    Validated: every entry needs name + definition, names are unique,
+    at most ONE entry carries ``default: true``. ``{}`` when the file
+    is absent."""
+    import yaml
+
+    path = None
+    for fn in ("selectors.yml", "selectors.yaml"):
+        p = os.path.join(project_dir, fn)
+        if os.path.isfile(p):
+            path = p
+            break
+    if path is None:
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        try:
+            data = yaml.safe_load(fh)
+        except yaml.YAMLError as e:
+            raise ValidationError(
+                f"Unparseable selectors.yml {path!r}: {e}"
+            ) from e
+    if not isinstance(data, dict) or not isinstance(
+        data.get("selectors"), list
+    ):
+        raise ValidationError(
+            f"{path!r}: selectors.yml needs a selectors: list"
+        )
+    out: dict[str, dict[str, Any]] = {}
+    defaults = []
+    for s in data["selectors"]:
+        if not (isinstance(s, dict) and s.get("name")):
+            raise ValidationError(
+                f"{path!r}: every selectors: entry needs a name, "
+                f"got {s!r}"
+            )
+        nm = str(s["name"])
+        if nm in out:
+            raise ValidationError(
+                f"{path!r}: duplicate selector name '{nm}'"
+            )
+        if "definition" not in s:
+            raise ValidationError(
+                f"{path!r}: selector '{nm}' needs a definition:"
+            )
+        if bool(s.get("default")):
+            defaults.append(nm)
+        out[nm] = {
+            "definition": s["definition"],
+            "default": bool(s.get("default")),
+            "description": str(s.get("description", "")),
+        }
+    if len(defaults) > 1:
+        raise ValidationError(
+            f"{path!r}: at most one selector may set default: true "
+            f"(got {sorted(defaults)})"
+        )
+    return out
+
+
+def resolve_selector_definition(
+    models: dict[str, Model],
+    definition: Any,
+    state=None,
+    _ctx: str = "definition",
+) -> set[str]:
+    """Evaluate a selectors.yml definition against the model graph:
+
+    - a STRING is a :func:`select_nodes` atom (``[+]name[+]`` /
+      ``state:modified`` / ``state:new``);
+    - ``{method: fqn, value: <atom>}`` — dbt's explicit spelling
+      (``fqn`` matches by name here: single-package engine, the fqn
+      IS the model name); ``{method: state, value: modified|new}``;
+      other methods (tag/path/package/config/...) refuse loudly —
+      this engine's models carry no tag/path metadata;
+    - ``{union: [defs]}`` / ``{intersection: [defs]}`` combine
+      children; an ``{exclude: [defs]}`` child SUBTRACTS its union
+      from the surrounding combination (dbt's placement rule —
+      exclude is only valid inside a union/intersection list).
+
+    Closure affixes compose inside atoms (``+name``, ``name+``,
+    ``state:modified+``), exactly as in ``select=``."""
+    if isinstance(definition, str):
+        return select_nodes(models, [definition], state=state)
+    if not isinstance(definition, dict):
+        raise ValidationError(
+            f"selector {_ctx}: must be a string atom or a mapping, "
+            f"got {definition!r}"
+        )
+    if "exclude" in definition:
+        raise ValidationError(
+            f"selector {_ctx}: exclude: is only valid INSIDE a "
+            "union:/intersection: list (dbt's placement rule)"
+        )
+    if "union" in definition or "intersection" in definition:
+        op = "union" if "union" in definition else "intersection"
+        items = definition[op]
+        if not isinstance(items, list) or not items:
+            raise ValidationError(
+                f"selector {_ctx}: {op}: needs a non-empty list"
+            )
+        include: set[str] | None = None
+        excluded: set[str] = set()
+        for i, child in enumerate(items):
+            if isinstance(child, dict) and "exclude" in child:
+                ex = child["exclude"]
+                if not isinstance(ex, list):
+                    raise ValidationError(
+                        f"selector {_ctx}.{op}[{i}]: exclude: needs "
+                        "a list"
+                    )
+                for j, e in enumerate(ex):
+                    excluded |= resolve_selector_definition(
+                        models, e, state, f"{_ctx}.{op}[{i}].exclude[{j}]"
+                    )
+                continue
+            got = resolve_selector_definition(
+                models, child, state, f"{_ctx}.{op}[{i}]"
+            )
+            if include is None:
+                include = got
+            elif op == "union":
+                include |= got
+            else:
+                include &= got
+        if include is None:
+            raise ValidationError(
+                f"selector {_ctx}: {op}: holds only exclude: entries "
+                "— nothing to select from"
+            )
+        return include - excluded
+    if "method" in definition:
+        method = str(definition.get("method", "")).lower()
+        value = definition.get("value")
+        if value is None:
+            raise ValidationError(
+                f"selector {_ctx}: method '{method}' needs a value:"
+            )
+        atom = str(value)
+        if method == "fqn":
+            pass
+        elif method == "state":
+            atom = f"state:{atom}"
+        else:
+            raise ValidationError(
+                f"selector {_ctx}: method '{method}' is not supported"
+                " (supported: fqn, state — this engine's models carry"
+                " no tag/path/package metadata)"
+            )
+        # dbt spells closure affixes via parents/children keys too
+        if bool(definition.get("parents")):
+            atom = "+" + atom
+        if bool(definition.get("children")):
+            atom = atom + "+"
+        return select_nodes(models, [atom], state=state)
+    raise ValidationError(
+        f"selector {_ctx}: mapping must carry union:, intersection:, "
+        f"or method:/value: — got keys {sorted(definition)}"
+    )
+
+
 def load_project(
     fs: "FeatureStore",
     project_dir: str,
@@ -1166,6 +1329,7 @@ def load_project(
     select: Sequence[str] | None = None,
     exclude: Sequence[str] | None = None,
     state=None,
+    selector: str | None = None,
 ) -> dict[str, Any]:
     """Ingest a directory of dbt-style model files into ``fs``.
 
@@ -1273,11 +1437,36 @@ def load_project(
 
     entities = [m for m in models.values() if m.materialized == "entity"]
     fv_order = _topo_order(models, seeds)
-    chosen = (
-        select_nodes(models, select, state=state)
-        if select is not None
-        else None
-    )
+    # selectors.yml (r15, dbt --selector): a named definition replaces
+    # select=; passing both refuses (dbt's flags are exclusive). With
+    # NO selection flags at all, a `default: true` selector applies —
+    # dbt's documented default-selector behavior.
+    if selector is not None and select is not None:
+        raise ValidationError(
+            "pass select= or selector=, not both (dbt's --select / "
+            "--selector exclusivity)"
+        )
+    if selector is None and select is None and exclude is None:
+        sels = load_selectors_yml(project_dir)
+        selector = next(
+            (n for n, v in sels.items() if v["default"]), None
+        )
+    if selector is not None:
+        sels = load_selectors_yml(project_dir)
+        if selector not in sels:
+            raise ValidationError(
+                f"selector '{selector}' is not defined in "
+                f"selectors.yml (have: {sorted(sels) or ['<none>']})"
+            )
+        chosen = resolve_selector_definition(
+            models, sels[selector]["definition"], state=state
+        )
+    else:
+        chosen = (
+            select_nodes(models, select, state=state)
+            if select is not None
+            else None
+        )
     if exclude is not None:
         base = set(models) if chosen is None else chosen
         chosen = base - select_nodes(models, exclude, state=state)
@@ -3656,6 +3845,59 @@ def load_semantic_layer(
                 wstr = str(qp["where"])
                 _validate_filter_templates(name, wstr, kind="Saved query")
                 doc["where"] = wstr
+            # dbt 1.7 query_params order_by / limit (r15): order_by
+            # entries name OUTPUT columns — a saved group_by entry,
+            # metric_time (only with a grain), or a metric of this
+            # query — with MetricFlow's '-col' descending spelling;
+            # limit is a positive int. Both validated at load.
+            if qp.get("order_by") is not None:
+                ob = qp["order_by"]
+                if isinstance(ob, str):
+                    ob = [ob]
+                if not isinstance(ob, list) or not all(
+                    isinstance(x, str) and x.strip() for x in ob
+                ):
+                    raise ValidationError(
+                        f"Saved query '{name}': order_by must be a "
+                        "column name or a list of them"
+                    )
+                valid = set(gb_dims) | {
+                    canonical_name(m) for m in sq_metrics
+                }
+                if sq_grain is not None:
+                    valid.add("metric_time")
+                parsed_ob: list[dict[str, Any]] = []
+                for x in ob:
+                    col = x.strip()
+                    desc = col.startswith("-")
+                    if desc:
+                        col = col[1:].strip()
+                    target = (
+                        col
+                        if col in valid
+                        else canonical_name(col)
+                        if canonical_name(col) in valid
+                        else None
+                    )
+                    if target is None:
+                        raise ValidationError(
+                            f"Saved query '{name}': order_by entry "
+                            f"{x!r} names no output column (have: "
+                            f"{sorted(valid)})"
+                        )
+                    parsed_ob.append({"col": target, "desc": desc})
+                doc["order_by"] = parsed_ob
+            if qp.get("limit") is not None:
+                try:
+                    lim = int(qp["limit"])
+                except (TypeError, ValueError):
+                    lim = -1
+                if lim <= 0:
+                    raise ValidationError(
+                        f"Saved query '{name}': limit must be a "
+                        f"positive integer, got {qp['limit']!r}"
+                    )
+                doc["limit"] = lim
             # dbt 1.7 `exports:` (r15, VERDICT-r14 #5): named
             # materializations of the saved query — export_as: table
             # goes through the store's TableFormat (crash-safe swap);
@@ -5186,6 +5428,25 @@ def evaluate_saved_query(
             out = out.crossJoin(fr)
     if doc.get("where"):
         out = out.filter(_rewrite_saved_where(doc, str(doc["where"])))
+    # dbt 1.7 query_params order_by / limit (r15). NULLS LAST in both
+    # directions (DuckDB's default for either direction, so oracle SQL
+    # needs no extra clause; Spark's per-direction defaults differ).
+    # limit WITHOUT order_by is allowed (dbt allows it) but the row
+    # set is then engine-arbitrary — oracle-gated queries must give a
+    # TOTAL order (the standing LIMIT discipline).
+    if doc.get("order_by"):
+        from pyspark.sql import functions as F
+
+        out = out.orderBy(
+            *[
+                F.col(o["col"]).desc_nulls_last()
+                if o["desc"]
+                else F.col(o["col"]).asc_nulls_last()
+                for o in doc["order_by"]
+            ]
+        )
+    if doc.get("limit"):
+        out = out.limit(int(doc["limit"]))
     return out
 
 
@@ -5759,6 +6020,7 @@ def build_project(
     select: Sequence[str] | None = None,
     exclude: Sequence[str] | None = None,
     state=None,
+    selector: str | None = None,
 ) -> dict[str, Any]:
     """The ``dbt build`` analog — one call runs the whole project in
     dbt's phase order: seeds + models + exposures (:func:`load_project`),
@@ -5809,8 +6071,12 @@ def build_project(
     }
     report["models"] = load_project(
         fs, project_dir, source_map=source_map, model_vars=model_vars,
-        select=select, exclude=exclude, state=state,
+        select=select, exclude=exclude, state=state, selector=selector,
     )
+    if selector is not None:
+        # downstream test phases scope by the resolved model set, like
+        # a select= of the same models would
+        select = report["models"].get("selected")
     sdirs = _cfg_dirs(project_dir, "snapshot-paths", "snapshots")
     snap_dir = sdirs[0] if sdirs else os.path.join(
         project_dir, "snapshots"

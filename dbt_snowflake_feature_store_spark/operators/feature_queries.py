@@ -610,6 +610,13 @@ saved_queries:
       - name: priority_kpis_view
         config:
           export_as: view
+  - name: top_priorities
+    description: top-3 priorities by revenue (order_by + limit)
+    query_params:
+      metrics: [total_revenue, order_count]
+      group_by: [priority]
+      order_by: ['-total_revenue', priority]
+      limit: 3
 """
 
 
@@ -1107,6 +1114,47 @@ def q_saved_query_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_saved_query_export"] = ORACLE["q_saved_query"]
 QUERIES["q_saved_query_export"] = q_saved_query_export
+
+
+def q_saved_query_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.7 saved-query ``order_by`` + ``limit``, ORACLE-GATED
+    (r15): the ``top_priorities`` entry ranks priorities by the EXACT
+    DECIMAL(28,6) revenue sum descending (MetricFlow's '-col'
+    spelling) with the priority key as the ASC tiebreak — a TOTAL
+    order, the standing LIMIT discipline — and keeps 3. Ordering is
+    NULLS LAST in both directions on both engines (DuckDB's default;
+    Spark spelled explicitly).
+
+    Scale: the saved-query aggregate plan + TakeOrderedAndProject over
+    the 5-row group frame — limit never materializes the unbounded
+    sort."""
+    from ..models import evaluate_saved_query
+
+    fs = _metric_fs(spark, sf_dir)
+    out = evaluate_saved_query(fs, "top_priorities")
+    return out.select(
+        F.col("priority").alias("f_priority"),
+        F.col("TOTAL_REVENUE").cast("double").alias("f_revenue"),
+        F.col("ORDER_COUNT").cast("long").alias("f_orders"),
+    )
+
+
+ORACLE["q_saved_query_topn"] = """
+    WITH rev AS (
+        SELECT o_orderpriority AS priority,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS _rev,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS _cnt
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT priority AS f_priority,
+           CAST(_rev AS DOUBLE) AS f_revenue,
+           _cnt AS f_orders
+    FROM rev
+    ORDER BY _rev DESC, priority ASC
+    LIMIT 3
+"""
+QUERIES["q_saved_query_topn"] = q_saved_query_topn
 
 
 _FRESHNESS_YML = """\

@@ -55,7 +55,7 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_metric_offset_grain", "q_metric_conv_xmodel",
     "q_metric_entity_hop", "q_saved_query", "q_source_freshness",
     "q_lsh_recall",  # idle re-profile target (VERDICT #1) — re-record
-    "q_changepoint",  # shares the range-exchange family; watchdog slot
+    "q_saved_query_topn",  # NEW: saved-query order_by/limit
     # part 2 (22): the standing r15 promotion set named at the r14
     # position-51+ comment — the remaining r9-dated records
     "q_doc_surprisal", "q_event_transitions", "q_attribution",

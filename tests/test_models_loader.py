@@ -2256,6 +2256,42 @@ saved_queries:
         with pytest.raises(ValidationError, match="does not exist"):
             read_saved_export(fs, "never_exported")
 
+    def test_saved_query_order_by_limit(self, fs, tmp_path, base_table):
+        """r15: dbt 1.7 query_params order_by ('-col' descending,
+        validated against the output columns) + limit; bad entries
+        refuse at load."""
+        import os as _os
+
+        from dbt_snowflake_feature_store_spark import (
+            evaluate_saved_query,
+            load_semantic_layer,
+        )
+
+        proj = self._loaded(fs, tmp_path, base_table)
+        with open(_os.path.join(proj, "schema.yml")) as f:
+            base = f.read()
+
+        def _reload_with(extra):
+            yml = base.replace(
+                "      where: TOTAL_AGE_M > 0\n",
+                "      where: TOTAL_AGE_M > 0\n" + extra,
+            )
+            with open(_os.path.join(proj, "schema.yml"), "w") as f:
+                f.write(yml)
+            load_semantic_layer(fs, proj)
+
+        _reload_with(
+            "      order_by: ['-total_age_m', country]\n"
+            "      limit: 1\n"
+        )
+        rows = evaluate_saved_query(fs, "country_kpis").collect()
+        assert len(rows) == 1
+        assert rows[0]["country"] == "US"  # 84 > 35
+        with pytest.raises(ValidationError, match="names no output"):
+            _reload_with("      order_by: [no_such_col]\n")
+        with pytest.raises(ValidationError, match="positive integer"):
+            _reload_with("      limit: 0\n")
+
     def test_saved_query_exports_load_validation(
         self, fs, tmp_path, base_table
     ):
@@ -3725,6 +3761,112 @@ models:
         # no schema ymls in this project; the config tree must not
         # masquerade as one
         assert run_schema_tests(fs, proj, allow_empty=True) == []
+
+
+class TestSelectorsYml:
+    """r15: dbt selectors.yml — named, reusable selection definitions
+    (dbt --selector): string atoms, method/value mappings,
+    union/intersection with nested exclude, a default: true selector
+    applied when no selection flags are given; refusals name the
+    defect."""
+
+    SEL_YML = """\
+selectors:
+  - name: base_up
+    description: base model and its ancestors
+    definition: '+test_base_customer_features'
+  - name: base_down_minus
+    definition:
+      union:
+        - method: fqn
+          value: test_base_customer_features
+          children: true
+        - exclude:
+            - test_derived_customer_features
+"""
+
+    def _proj(self, fs, tmp_path, base_table, sel_yml=None):
+        proj = _write_project(tmp_path, REFERENCE_PROJECT)
+        import os as _os
+
+        with open(_os.path.join(proj, "selectors.yml"), "w") as f:
+            f.write(sel_yml or self.SEL_YML)
+        fs.register_source("customer_base_table", base_table)
+        return proj
+
+    def test_selector_matches_equivalent_select(
+        self, fs, tmp_path, base_table
+    ):
+        proj = self._proj(fs, tmp_path, base_table)
+        a = load_project(fs, proj, selector="base_up")["selected"]
+        b = load_project(
+            fs, proj, select=["+test_base_customer_features"]
+        )["selected"]
+        assert a == b and a  # non-empty and identical
+        c = load_project(fs, proj, selector="base_down_minus")[
+            "selected"
+        ]
+        d = load_project(
+            fs,
+            proj,
+            select=["test_base_customer_features+"],
+            exclude=["test_derived_customer_features"],
+        )["selected"]
+        assert c == d and "TEST_DERIVED_CUSTOMER_FEATURES" not in c
+
+    def test_default_selector_applies_without_flags(
+        self, fs, tmp_path, base_table
+    ):
+        yml = self.SEL_YML.replace(
+            "  - name: base_up\n",
+            "  - name: base_up\n    default: true\n",
+        )
+        proj = self._proj(fs, tmp_path, base_table, yml)
+        rep = load_project(fs, proj)
+        assert rep["selected"] == load_project(
+            fs, proj, selector="base_up"
+        )["selected"]
+        # explicit select= overrides the default selector
+        all_rep = load_project(fs, proj, select=list(
+            {"test_derived_customer_features"}
+        ))
+        assert "TEST_DERIVED_CUSTOMER_FEATURES" in all_rep["selected"]
+
+    def test_refusals(self, fs, tmp_path, base_table):
+        proj = self._proj(fs, tmp_path, base_table)
+        with pytest.raises(ValidationError, match="not both"):
+            load_project(
+                fs, proj, selector="base_up", select=["x"]
+            )
+        with pytest.raises(ValidationError, match="not defined"):
+            load_project(fs, proj, selector="nope")
+        import os as _os
+
+        def _with(yml):
+            with open(_os.path.join(proj, "selectors.yml"), "w") as f:
+                f.write(yml)
+            return load_project(fs, proj, selector="s")
+
+        with pytest.raises(ValidationError, match="not supported"):
+            _with(
+                "selectors:\n  - name: s\n    definition:\n"
+                "      method: tag\n      value: nightly\n"
+            )
+        with pytest.raises(ValidationError, match="INSIDE a"):
+            _with(
+                "selectors:\n  - name: s\n    definition:\n"
+                "      exclude: [test_base_customer_features]\n"
+            )
+        with pytest.raises(ValidationError, match="at most one"):
+            _with(
+                "selectors:\n"
+                "  - name: s\n    default: true\n"
+                "    definition: test_base_customer_features\n"
+                "  - name: t\n    default: true\n"
+                "    definition: test_base_customer_features\n"
+            )
+        with pytest.raises(ValidationError, match="needs a definition"):
+            _with("selectors:\n  - name: s\n")
 
 
 class TestHooksAndRunOperation:

@@ -903,3 +903,83 @@ def test_conversion_attribution_is_entity_equijoin(spark):
     plan = _executed_plan(q_metric_conv_xmodel(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+# ---------------------------------------------------------------------------
+# r15 de-creep + new-surface plan pins
+# ---------------------------------------------------------------------------
+
+def test_cusum_single_range_exchange(spark):
+    """q_cusum_drift: BOTH prefix scans ride ONE fused range exchange
+    (ranks.global_drawup_scan). The exchange sits behind the
+    primitive's localCheckpoint, so it is read from the registered
+    subplans (the plans.inspect capture, like PLANS.md does): exactly
+    ONE captured frame carries rangepartitioning, and the visible plan
+    windows key on the range-partition id — no unpartitioned
+    data-sized window anywhere."""
+    from dbt_snowflake_feature_store_spark.operators.relational8 import (
+        q_cusum_drift,
+    )
+    from dbt_snowflake_feature_store_spark.plans import (
+        inspect as plan_inspect,
+    )
+
+    with plan_inspect.capture_subplans() as caught:
+        df = q_cusum_drift(spark, SF_DIR)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    ranged = [p for p in caught if "rangepartitioning" in p]
+    assert len(ranged) == 1, (
+        f"expected ONE fused range exchange, saw {len(ranged)} "
+        "checkpointed range subplans"
+    )
+    assert "_fs_pid" in plan  # the P-parallel local-window key
+
+
+def test_kmv_merge_skips_pre_distinct(spark):
+    """q_kmv_sketch: the merge stage must NOT re-shuffle on
+    (event_type, h) for a distinct before its windows — dense_rank
+    staging bounds it, and the trailing dedup rides the final window's
+    event_type partitioning (no third exchange). Pin: no
+    hashpartitioning on BOTH event_type and h anywhere in the merge
+    (the daily stage dedups on (event_type, _fs_day, h), which is the
+    one allowed grouping exchange carrying h)."""
+    from dbt_snowflake_feature_store_spark.operators.relational4 import (
+        q_kmv_sketch,
+    )
+
+    plan = _executed_plan(q_kmv_sketch(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "hashpartitioning" not in line:
+            continue
+        if "h#" in line and "_fs_day" not in line:
+            raise AssertionError(
+                f"merge-stage (event_type, h) exchange resurfaced: {line}"
+            )
+
+
+def test_agg_approx_no_expand_and_domain_buffers(spark):
+    """q_agg_approx: the countDistinct Expand is gone (exact distinct
+    is a plain count over a distinct frame) and the exact percentile
+    aggregates consume pre-aggregated (value, count) rows — the plan
+    carries no Expand node and at least three separate aggregate
+    chains feed the final broadcast joins."""
+    from dbt_snowflake_feature_store_spark.operators.relational import (
+        q_agg_approx,
+    )
+
+    plan = _executed_plan(q_agg_approx(spark, SF_DIR))
+    assert "Expand" not in plan, "countDistinct Expand resurfaced"
+    assert plan.count("BroadcastHashJoin") >= 2  # 3-row frame joins
+
+
+def test_saved_query_topn_is_take_ordered(spark):
+    """q_saved_query_topn: order_by + limit must plan as
+    TakeOrderedAndProject over the aggregated group frame — never a
+    global Sort followed by CollectLimit."""
+    from dbt_snowflake_feature_store_spark.operators.feature_queries import (
+        q_saved_query_topn,
+    )
+
+    plan = _executed_plan(q_saved_query_topn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan

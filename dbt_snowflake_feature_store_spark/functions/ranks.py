@@ -391,9 +391,14 @@ def global_drawup_scan(
     for pid in sorted(sizes):
         sum_offsets[pid] = s_acc
         min_offsets[pid] = m_acc
-        gm = s_acc + part_mins[pid]  # partition's min GLOBAL prefix sum
-        if gm < m_acc:
-            m_acc = gm
+        # partition's min GLOBAL prefix sum; an all-NULL value_col
+        # partition has a NULL local prefix everywhere (SUM skips
+        # NULLs) and contributes no min — mirror _ranked's None guard
+        # (ADVICE r15: `s_acc + None` crashed here)
+        if part_mins[pid] is not None:
+            gm = s_acc + part_mins[pid]
+            if gm < m_acc:
+                m_acc = gm
         s_acc += part_sums[pid]
     soff = F.create_map(
         *[F.lit(x) for kv in sum_offsets.items() for x in kv]

@@ -134,7 +134,12 @@ def make_jinja_env(
         return default
 
     env.globals.update(ref=_ref, source=_source, var=_var)
-    for p in sorted(macro_paths):
+    # load IN THE GIVEN ORDER — later definitions shadow earlier ones,
+    # which is how package macros (listed first by
+    # _project_macro_paths) yield to same-named project macros (dbt's
+    # package precedence, r16). Each contributor already sorts its own
+    # files, so the order is deterministic.
+    for p in macro_paths:
         with open(p) as f:
             src = f.read()
         # dbt's {% test NAME(...) %} block is sugar for a macro named
@@ -312,6 +317,18 @@ def _validate(model: Model) -> None:
         raise ValidationError(
             f"Model '{model.name}': unknown materialization {mat!r} "
             "(expected 'entity' or 'feature_view')"
+        )
+    tv = model.config.get("tags")
+    if tv is not None and not (
+        isinstance(tv, str)
+        or (
+            isinstance(tv, (list, tuple))
+            and all(isinstance(t, str) for t in tv)
+        )
+    ):
+        raise ValidationError(
+            f"Model '{model.name}': tags must be a string or a list "
+            f"of strings (dbt's shape), got {tv!r}"
         )
 
 
@@ -505,7 +522,39 @@ def _model_roots(project_dir: str) -> list[str]:
 
 # dirs pruned while walking a models tree for *.sql model files: the
 # other dbt trees (which have their own walkers) + build artifacts
-_MODEL_WALK_PRUNE = ("tests", "macros", "seeds", "snapshots", "target")
+_MODEL_WALK_PRUNE = (
+    "tests", "macros", "seeds", "snapshots", "target", "dbt_packages",
+)
+
+
+def _configured_prune_abs(project_dir: str) -> set[str]:
+    """Absolute paths of the EXPLICITLY CONFIGURED non-model trees
+    (``test-paths``/``seed-paths``/``snapshot-paths``/``macro-paths``
+    entries in dbt_project.yml) — pruned from every model walk so a
+    bare-tree layout with custom-named path config (e.g. ``test-paths:
+    ['qa_tests']``) can't leak singular tests or snapshot blocks into
+    the model parse as phantom models (ADVICE r15). Default dir names
+    keep pruning by NAME (``_MODEL_WALK_PRUNE``) exactly as before —
+    only declared entries join this set, so ``exclude_dirs``-override
+    semantics for the default layout are unchanged."""
+    cfg = load_dbt_project_yml(project_dir) or {}
+    out: set[str] = set()
+    for key in (
+        "test-paths",
+        "seed-paths",
+        "snapshot-paths",
+        "macro-paths",
+    ):
+        for p in cfg.get(key) or []:
+            r = os.path.normpath(os.path.join(project_dir, str(p)))
+            if os.path.isdir(r):
+                out.add(os.path.abspath(r))
+    # local packages that live INSIDE the project tree are not project
+    # models either (r16 — dbt prunes its packages-install-path the
+    # same way)
+    for pdir in _local_package_dirs(project_dir):
+        out.add(os.path.abspath(pdir))
+    return out
 
 
 def _iter_model_sql(
@@ -518,12 +567,15 @@ def _iter_model_sql(
     the layout resolution and dir pruning cannot drift. ``exclude_abs``
     prunes exact absolute directories (load_project's
     ``exclude_dirs``)."""
+    cfg_prune = _configured_prune_abs(project_dir)
     for r0 in _model_roots(project_dir):
         for root, dirs, files in os.walk(r0):
             dirs[:] = [
                 d
                 for d in dirs
                 if d not in _MODEL_WALK_PRUNE
+                and os.path.abspath(os.path.join(root, d))
+                not in cfg_prune
                 and (
                     not exclude_abs
                     or os.path.abspath(os.path.join(root, d))
@@ -544,9 +596,16 @@ def _iter_project_ymls(project_dir: str):
     the schema-yml list shapes these loaders parse."""
     import yaml
 
+    cfg_prune = _configured_prune_abs(project_dir)
     for root0 in _model_roots(project_dir):
         for root, dirs, files in os.walk(root0):
-            dirs[:] = [d for d in dirs if d not in _MODEL_WALK_PRUNE]
+            dirs[:] = [
+                d
+                for d in dirs
+                if d not in _MODEL_WALK_PRUNE
+                and os.path.abspath(os.path.join(root, d))
+                not in cfg_prune
+            ]
             for fn in sorted(files):
                 if not fn.endswith((".yml", ".yaml")):
                     continue
@@ -996,11 +1055,104 @@ def _seed_stems(project_dir: str) -> set[str]:
     return out
 
 
+def _local_package_dirs(
+    project_dir: str, _seen: "set[str] | None" = None
+) -> list[str]:
+    """dbt ``packages.yml`` dependencies, LOCAL specs only (r16):
+    ``- local: <relative-or-absolute path>`` entries resolve to
+    package project directories, transitively (a local package's own
+    packages.yml resolves too, dbt's behavior; cycles refuse).
+    ``git:``/``package:``/``tarball:`` specs refuse loudly — network
+    package resolution is out of scope in this engine (documented
+    NOTES.md); ``local:`` is the one dbt spec that works offline.
+    Each package dir must exist and carry its own dbt_project.yml
+    (dbt's package contract). Returns depth-first order: a package's
+    own dependencies come BEFORE it, so later loads shadow earlier
+    ones exactly like dbt's precedence (project > package >
+    package-of-package)."""
+    import yaml
+
+    path = None
+    for fn in ("packages.yml", "packages.yaml"):
+        p = os.path.join(project_dir, fn)
+        if os.path.isfile(p):
+            path = p
+            break
+    if path is None:
+        return []
+    seen = _seen if _seen is not None else set()
+    key = os.path.abspath(project_dir)
+    if key in seen:
+        raise ValidationError(
+            f"packages.yml: circular local package dependency at "
+            f"{project_dir!r}"
+        )
+    seen.add(key)
+    with open(path, encoding="utf-8") as fh:
+        try:
+            data = yaml.safe_load(fh)
+        except yaml.YAMLError as e:
+            raise ValidationError(
+                f"Unparseable packages.yml {path!r}: {e}"
+            ) from e
+    if not isinstance(data, dict) or not isinstance(
+        data.get("packages"), list
+    ):
+        raise ValidationError(
+            f"{path!r}: packages.yml needs a packages: list"
+        )
+    out: list[str] = []
+    for i, entry in enumerate(data["packages"]):
+        if not isinstance(entry, dict):
+            raise ValidationError(
+                f"{path!r}: packages[{i}] must be a mapping, "
+                f"got {entry!r}"
+            )
+        if "local" not in entry:
+            kinds = sorted(k for k in entry if k not in ("version",))
+            raise ValidationError(
+                f"{path!r}: packages[{i}] spec {kinds} is not "
+                "supported — only local: path packages resolve here "
+                "(git/hub/tarball need network package resolution, "
+                "out of scope)"
+            )
+        pdir = os.path.normpath(
+            os.path.join(project_dir, str(entry["local"]))
+        )
+        if not os.path.isdir(pdir):
+            raise ValidationError(
+                f"{path!r}: packages[{i}] local: no such directory "
+                f"{pdir!r}"
+            )
+        if load_dbt_project_yml(pdir) is None:
+            raise ValidationError(
+                f"{path!r}: packages[{i}] local: {pdir!r} has no "
+                "dbt_project.yml (dbt's package contract)"
+            )
+        # depth-first: the package's own deps first, then the package
+        out.extend(_local_package_dirs(pdir, seen))
+        out.append(pdir)
+    return out
+
+
 def _project_macro_paths(project_dir: str) -> list[str]:
-    """``macros/*.sql`` under the project root — the dbt macro layout."""
+    """``macros/*.sql`` under the project root — the dbt macro layout.
+    Local packages' macros (packages.yml ``local:`` specs, r16) come
+    FIRST so same-named PROJECT macros shadow them (make_jinja_env
+    loads in order, later wins — dbt's package precedence). Package
+    ``{% test %}`` blocks load too (same macro rewrite), so a package
+    can ship generic tests."""
     out = []
+    for pdir in _local_package_dirs(project_dir):
+        for mdir in _cfg_dirs(pdir, "macro-paths", "macros"):
+            for root, _dirs, files in os.walk(mdir):
+                _dirs.sort()  # deterministic load (shadow) order
+                for fn in sorted(files):
+                    if fn.endswith(".sql"):
+                        out.append(os.path.join(root, fn))
     for mdir in _cfg_dirs(project_dir, "macro-paths", "macros"):
         for root, _dirs, files in os.walk(mdir):
+            _dirs.sort()  # deterministic load (shadow) order
             for fn in sorted(files):
                 if fn.endswith(".sql"):
                     out.append(os.path.join(root, fn))
@@ -1020,6 +1172,7 @@ def _generic_test_paths(project_dir: str) -> list[str]:
         if not os.path.isdir(gdir):
             continue
         for root, _dirs, files in os.walk(gdir):
+            _dirs.sort()  # deterministic load (shadow) order
             for fn in sorted(files):
                 if fn.endswith(".sql"):
                     out.append(os.path.join(root, fn))
@@ -1034,6 +1187,74 @@ def _model_checksum(mdl: Model) -> str:
 
     with open(mdl.path, "rb") as f:
         return hashlib.sha256(f.read()).hexdigest()
+
+
+def _body_checksum(mdl: Model) -> str:
+    """sha256 of the PARSED body (config block stripped, jinja resolved
+    when the model needed it) — the ``state:modified.body`` comparison
+    basis (r16): a config-block-only edit changes the raw-file checksum
+    but not this one."""
+    import hashlib
+
+    return hashlib.sha256(mdl.body.encode("utf-8")).hexdigest()
+
+
+def _model_tags(mdl: Model) -> list[str]:
+    """The model's ``tags:`` config, normalized to a string list (dbt
+    accepts a bare string or a list; anything else refuses in
+    ``_validate``)."""
+    tv = mdl.config.get("tags")
+    if tv is None:
+        return []
+    if isinstance(tv, str):
+        return [tv]
+    return [str(t) for t in tv]
+
+
+def _contract_signatures(project_dir: str) -> dict[str, str]:
+    """Per-model sha256 of the CONTRACT-RELEVANT yml declaration —
+    ``config.contract`` + ``columns`` (name/data_type/constraints) +
+    model-level ``constraints`` — the ``state:modified.contract``
+    comparison basis (r16, dbt 1.5's same_contract). Only models whose
+    yml entry carries any of those keys appear; enforcing, widening, or
+    retyping a contract all change the signature."""
+    import hashlib
+    import json
+
+    out: dict[str, str] = {}
+    for _fn, data in _iter_project_ymls(project_dir):
+        for entry in data.get("models") or []:
+            if not isinstance(entry, dict) or not entry.get("name"):
+                continue
+            cfg = entry.get("config") or {}
+            sig = {
+                "contract": cfg.get("contract")
+                if isinstance(cfg, dict)
+                else None,
+                "constraints": entry.get("constraints"),
+                "columns": [
+                    {
+                        "name": c.get("name"),
+                        "data_type": c.get("data_type"),
+                        "constraints": c.get("constraints"),
+                    }
+                    for c in entry.get("columns") or []
+                    if isinstance(c, dict)
+                ],
+            }
+            if not (
+                sig["contract"]
+                or sig["constraints"]
+                or any(
+                    c["data_type"] or c["constraints"]
+                    for c in sig["columns"]
+                )
+            ):
+                continue  # no contract surface declared — nothing to pin
+            out[canonical_name(str(entry["name"]))] = hashlib.sha256(
+                json.dumps(sig, sort_keys=True, default=str).encode()
+            ).hexdigest()
+    return out
 
 
 def _load_state_manifest(state) -> dict[str, Any]:
@@ -1062,6 +1283,7 @@ def select_nodes(
     models: dict[str, Model],
     select: Sequence[str],
     state=None,
+    project_dir: str | None = None,
 ) -> set[str]:
     """dbt node-selection over the model graph: each selector is
     ``[+]name[+]`` — the bare name, ``+name`` adds every ancestor
@@ -1072,15 +1294,29 @@ def select_nodes(
     typo silently selecting nothing is how half a project doesn't
     build).
 
+    ``tag:<t>`` (r16) matches every model whose config-block ``tags:``
+    (string or list) contains ``<t>``; ``path:<p>`` (r16) matches by
+    model file path relative to the project root — an exact file, a
+    directory prefix, or an fnmatch glob (``path:staging/*.sql``) —
+    and needs ``project_dir``. Both compose with the closure affixes
+    and fail loudly when they match nothing (same anti-typo rule).
+
     dbt SLIM-CI state selectors (r13): ``state:modified`` matches every
     model whose raw-file checksum or parsed config differs from the
     ``state=`` manifest (a previous :func:`export_manifest` output —
     dict, manifest.json path, or its directory) — including models the
     manifest has never seen (dbt counts new as modified);
-    ``state:new`` matches only those unseen models. Both compose with
-    the closure affixes (``state:modified+`` = modified and everything
-    downstream — the classic slim-CI build set) and fail loudly when
-    no ``state=`` was given. Returns the selected model-name set."""
+    ``state:new`` matches only those unseen models. The dbt-1.5
+    sub-selectors (r16) narrow the comparison: ``state:modified.body``
+    (parsed SQL body only — a config-block edit does NOT match),
+    ``state:modified.configs`` (parsed config only), and
+    ``state:modified.contract`` (the yml contract declaration —
+    needs ``project_dir``). A state manifest that predates the
+    compared field counts the model as modified (can't prove it
+    unchanged). All compose with the closure affixes
+    (``state:modified+`` = modified and everything downstream — the
+    classic slim-CI build set) and fail loudly when no ``state=`` was
+    given. Returns the selected model-name set."""
     by_canon = {canonical_name(n): n for n in models}
     # edges: child -> parents (refs to models + config entities)
     parents: dict[str, set[str]] = {n: set() for n in models}
@@ -1114,16 +1350,68 @@ def select_nodes(
                 "previous export_manifest output (dict) or a "
                 "manifest.json path/directory (dbt --state)"
             )
+        contracts: dict[str, str] | None = None
+        if kind == "modified.contract":
+            if project_dir is None:
+                raise ValidationError(
+                    "selector 'state:modified.contract' needs the "
+                    "project directory (use it through load_project/"
+                    "build_project, or pass project_dir=)"
+                )
+            contracts = _contract_signatures(project_dir)
         prev_nodes = _load_state_manifest(state).get("nodes") or {}
         out: set[str] = set()
         for n, mdl in models.items():
             prev = prev_nodes.get(f"model.project.{n}")
             if prev is None:
                 out.add(n)  # unseen: new, and dbt counts new as modified
-            elif kind == "modified" and (
-                prev.get("checksum") != _model_checksum(mdl)
-                or (prev.get("config") or {})
-                != {k: v for k, v in mdl.config.items() if _json_safe(v)}
+                continue
+            if kind == "new":
+                continue
+            cfg_now = {
+                k: v for k, v in mdl.config.items() if _json_safe(v)
+            }
+            if kind == "modified":
+                if (
+                    prev.get("checksum") != _model_checksum(mdl)
+                    or (prev.get("config") or {}) != cfg_now
+                ):
+                    out.add(n)
+            elif kind == "modified.body":
+                # a manifest that predates body_checksum can't prove
+                # the body unchanged — count it modified (conservative)
+                if prev.get("body_checksum") != _body_checksum(mdl):
+                    out.add(n)
+            elif kind == "modified.configs":
+                if (prev.get("config") or {}) != cfg_now:
+                    out.add(n)
+            else:  # modified.contract
+                assert contracts is not None
+                if prev.get("contract_checksum") != contracts.get(
+                    canonical_name(n)
+                ):
+                    out.add(n)
+        return out
+
+    def _path_matches(value: str) -> set[str]:
+        if project_dir is None:
+            raise ValidationError(
+                "selector 'path:' needs the project directory (use it "
+                "through load_project/build_project, or pass "
+                "project_dir=)"
+            )
+        import fnmatch
+
+        val = value.replace(os.sep, "/").strip("/")
+        out: set[str] = set()
+        for n, mdl in models.items():
+            rel = os.path.relpath(
+                os.path.abspath(mdl.path), os.path.abspath(project_dir)
+            ).replace(os.sep, "/")
+            if (
+                rel == val
+                or rel.startswith(val + "/")
+                or fnmatch.fnmatch(rel, val)
             ):
                 out.add(n)
         return out
@@ -1134,8 +1422,39 @@ def select_nodes(
         anc = tok.startswith("+")
         desc = tok.endswith("+")
         name = tok.strip("+")
-        if name in ("state:modified", "state:new"):
+        if name in (
+            "state:modified",
+            "state:new",
+            "state:modified.body",
+            "state:modified.configs",
+            "state:modified.contract",
+        ):
             targets = _state_matches(name.split(":", 1)[1])
+        elif name.startswith("state:"):
+            raise ValidationError(
+                f"selector '{raw}': unknown state method "
+                f"'{name.split(':', 1)[1]}' (supported: modified, new, "
+                "modified.body, modified.configs, modified.contract)"
+            )
+        elif name.startswith("tag:"):
+            val = name[len("tag:"):]
+            targets = {
+                n for n, mdl in models.items()
+                if val in _model_tags(mdl)
+            }
+            if not targets:
+                raise ValidationError(
+                    f"selector '{raw}' does not match any model's "
+                    "tags: config (a typo silently selecting nothing "
+                    "is the failure mode this refuses)"
+                )
+        elif name.startswith("path:"):
+            targets = _path_matches(name[len("path:"):])
+            if not targets:
+                raise ValidationError(
+                    f"selector '{raw}' does not match any model path "
+                    "under the project root"
+                )
         else:
             target = by_canon.get(canonical_name(name)) if name else None
             if target is None:
@@ -1221,16 +1540,20 @@ def resolve_selector_definition(
     definition: Any,
     state=None,
     _ctx: str = "definition",
+    project_dir: str | None = None,
 ) -> set[str]:
     """Evaluate a selectors.yml definition against the model graph:
 
     - a STRING is a :func:`select_nodes` atom (``[+]name[+]`` /
-      ``state:modified`` / ``state:new``);
+      ``tag:<t>`` / ``path:<p>`` / ``state:modified[.sub]`` /
+      ``state:new``);
     - ``{method: fqn, value: <atom>}`` — dbt's explicit spelling
       (``fqn`` matches by name here: single-package engine, the fqn
-      IS the model name); ``{method: state, value: modified|new}``;
-      other methods (tag/path/package/config/...) refuse loudly —
-      this engine's models carry no tag/path metadata;
+      IS the model name); ``{method: state, value:
+      modified|new|modified.body|...}``; ``{method: tag, value: <t>}``
+      and ``{method: path, value: <p>}`` (r16); other methods
+      (package/config/source/...) refuse loudly — this engine's
+      models carry no such metadata;
     - ``{union: [defs]}`` / ``{intersection: [defs]}`` combine
       children; an ``{exclude: [defs]}`` child SUBTRACTS its union
       from the surrounding combination (dbt's placement rule —
@@ -1239,7 +1562,9 @@ def resolve_selector_definition(
     Closure affixes compose inside atoms (``+name``, ``name+``,
     ``state:modified+``), exactly as in ``select=``."""
     if isinstance(definition, str):
-        return select_nodes(models, [definition], state=state)
+        return select_nodes(
+            models, [definition], state=state, project_dir=project_dir
+        )
     if not isinstance(definition, dict):
         raise ValidationError(
             f"selector {_ctx}: must be a string atom or a mapping, "
@@ -1269,11 +1594,14 @@ def resolve_selector_definition(
                     )
                 for j, e in enumerate(ex):
                     excluded |= resolve_selector_definition(
-                        models, e, state, f"{_ctx}.{op}[{i}].exclude[{j}]"
+                        models, e, state,
+                        f"{_ctx}.{op}[{i}].exclude[{j}]",
+                        project_dir=project_dir,
                     )
                 continue
             got = resolve_selector_definition(
-                models, child, state, f"{_ctx}.{op}[{i}]"
+                models, child, state, f"{_ctx}.{op}[{i}]",
+                project_dir=project_dir,
             )
             if include is None:
                 include = got
@@ -1297,20 +1625,22 @@ def resolve_selector_definition(
         atom = str(value)
         if method == "fqn":
             pass
-        elif method == "state":
-            atom = f"state:{atom}"
+        elif method in ("state", "tag", "path"):
+            atom = f"{method}:{atom}"
         else:
             raise ValidationError(
                 f"selector {_ctx}: method '{method}' is not supported"
-                " (supported: fqn, state — this engine's models carry"
-                " no tag/path/package metadata)"
+                " (supported: fqn, state, tag, path — this engine's"
+                " models carry no package/config metadata)"
             )
         # dbt spells closure affixes via parents/children keys too
         if bool(definition.get("parents")):
             atom = "+" + atom
         if bool(definition.get("children")):
             atom = atom + "+"
-        return select_nodes(models, [atom], state=state)
+        return select_nodes(
+            models, [atom], state=state, project_dir=project_dir
+        )
     raise ValidationError(
         f"selector {_ctx}: mapping must carry union:, intersection:, "
         f"or method:/value: — got keys {sorted(definition)}"
@@ -1376,6 +1706,11 @@ def load_project(
     # model-paths > <project>/models > the bare project dir. The
     # caller's exclude_dirs keep pruning exact directories; the
     # standard non-model trees prune by name inside every root.
+    # configured (custom-named) test/seed/snapshot/macro trees prune
+    # too — a snapshot block in snapshot-paths: ['snaps'] is not a
+    # model even though 'snaps' isn't in the default exclude list
+    # (ADVICE r15); exclude_dirs keeps overriding the DEFAULT names
+    excluded |= _configured_prune_abs(project_dir)
     paths = []
     for r0 in _model_roots(project_dir):
         for root, dirs, files in os.walk(r0):
@@ -1459,17 +1794,22 @@ def load_project(
                 f"selectors.yml (have: {sorted(sels) or ['<none>']})"
             )
         chosen = resolve_selector_definition(
-            models, sels[selector]["definition"], state=state
+            models, sels[selector]["definition"], state=state,
+            project_dir=project_dir,
         )
     else:
         chosen = (
-            select_nodes(models, select, state=state)
+            select_nodes(
+                models, select, state=state, project_dir=project_dir
+            )
             if select is not None
             else None
         )
     if exclude is not None:
         base = set(models) if chosen is None else chosen
-        chosen = base - select_nodes(models, exclude, state=state)
+        chosen = base - select_nodes(
+            models, exclude, state=state, project_dir=project_dir
+        )
 
     report: dict[str, Any] = {
         "entities": [], "feature_views": [], "order": [], "seeds": seed_names,
@@ -1572,13 +1912,17 @@ def run_data_tests(
     ``strict=True`` raises :class:`ValidationError` naming every failed
     test (``dbt test``'s exit-nonzero behavior).
     """
-    if tests_dir is None:
-        tdirs = _cfg_dirs(project_dir, "test-paths", "tests")
-        tests_dir = (
-            tdirs[0] if tdirs else os.path.join(project_dir, "tests")
-        )
-    if not os.path.isdir(tests_dir):
-        raise ValidationError(f"No data-test directory at {tests_dir!r}")
+    if tests_dir is not None:
+        tdirs = [tests_dir]
+    else:
+        # EVERY configured test-paths entry contributes singular tests
+        # (ADVICE r15: only the first entry used to run)
+        tdirs = _cfg_dirs(project_dir, "test-paths", "tests") or [
+            os.path.join(project_dir, "tests")
+        ]
+    for td in tdirs:
+        if not os.path.isdir(td):
+            raise ValidationError(f"No data-test directory at {td!r}")
 
     # sources.yml binds/gates source() exactly as in load_project
     declared_map, declared = load_sources_yml(project_dir)
@@ -1602,7 +1946,7 @@ def run_data_tests(
     # tests_shared/ stays a model dir)
     models: dict[str, Model] = {}
     for p in _iter_model_sql(
-        project_dir, exclude_abs={os.path.abspath(tests_dir)}
+        project_dir, exclude_abs={os.path.abspath(td) for td in tdirs}
     ):
         mdl = parse_model(p, jinja_env=_env)
         _validate(mdl)
@@ -1620,21 +1964,26 @@ def run_data_tests(
         )
 
     test_paths = []
-    norm_generic = os.path.abspath(os.path.join(tests_dir, "generic"))
-    for root, dirs, files in os.walk(tests_dir):
-        # tests/generic/ holds generic-test DEFINITIONS ({% test %}
-        # blocks consumed by run_schema_tests), not singular tests
-        if os.path.abspath(root) == os.path.abspath(tests_dir):
-            dirs[:] = [
-                d
-                for d in dirs
-                if os.path.abspath(os.path.join(root, d)) != norm_generic
-            ]
-        for fn in sorted(files):
-            if fn.endswith(".sql"):
-                test_paths.append(os.path.join(root, fn))
+    for td in tdirs:
+        norm_generic = os.path.abspath(os.path.join(td, "generic"))
+        for root, dirs, files in os.walk(td):
+            # <td>/generic/ holds generic-test DEFINITIONS ({% test %}
+            # blocks consumed by run_schema_tests), not singular tests
+            if os.path.abspath(root) == os.path.abspath(td):
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if os.path.abspath(os.path.join(root, d))
+                    != norm_generic
+                ]
+            for fn in sorted(files):
+                if fn.endswith(".sql"):
+                    test_paths.append(os.path.join(root, fn))
     if not test_paths:
-        raise ValidationError(f"No .sql data tests under {tests_dir!r}")
+        raise ValidationError(
+            f"No .sql data tests under "
+            f"{tdirs[0] if len(tdirs) == 1 else tdirs!r}"
+        )
 
     fs._bind_batch_sources()
     results: list[dict[str, Any]] = []
@@ -2837,10 +3186,18 @@ def run_unit_tests(
             tdirs = _cfg_dirs(
                 project_dir, "test-paths", "tests", required=False
             ) or [os.path.join(project_dir, "tests")]
-            path = os.path.join(tdirs[0], "fixtures", f"{fix}.{fmt}")
-            if not os.path.isfile(path):
+            # every configured test-paths entry is searched, first hit
+            # wins (ADVICE r15: only the first entry used to be looked
+            # at — fixtures in later entries were silently "not found")
+            cands = [
+                os.path.join(td, "fixtures", f"{fix}.{fmt}")
+                for td in tdirs
+            ]
+            path = next((p for p in cands if os.path.isfile(p)), None)
+            if path is None:
                 raise ValidationError(
-                    f"{ctx}: fixture file not found: {path}"
+                    f"{ctx}: fixture file not found: "
+                    + (cands[0] if len(cands) == 1 else repr(cands))
                 )
             with open(path) as f:
                 raw = f.read()
@@ -4043,6 +4400,14 @@ def _assert_templated_only_filter(metric_name: str, flt: str) -> None:
     resolvable."""
     stripped = _FILTER_ANY_TPL_RE.sub(" 1 ", flt)
     stripped = re.sub(r"'(?:[^']|'')*'", " 1 ", stripped)
+    # numeric literals go BEFORE the identifier scan — an exponent form
+    # like 1.5e3 would otherwise leave an 'e3' token and falsely refuse
+    # a fully-templated filter (ADVICE r15)
+    stripped = re.sub(
+        r"\b\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?",
+        " 1 ",
+        stripped,
+    )
     for tok in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stripped):
         if tok.group(0).lower() not in _SQL_FILTER_KEYWORDS:
             raise ValidationError(
@@ -5629,6 +5994,9 @@ def export_manifest(
     # groups/access governance: the manifest stamps what the loader
     # enforces (r13)
     gov = _enforce_groups_access(project_dir, models)
+    # per-model contract signatures — state:modified.contract compares
+    # against these (r16)
+    contract_sigs = _contract_signatures(project_dir)
     for name, mdl in sorted(models.items()):
         uid = f"model.project.{name}"
         nodes[uid] = {
@@ -5640,10 +6008,16 @@ def export_manifest(
             # selection compares it (plus the parsed config) against a
             # previous manifest
             "checksum": _model_checksum(mdl),
+            # parsed-body sha256 — state:modified.body's basis (r16):
+            # unchanged across a config-block-only edit
+            "body_checksum": _body_checksum(mdl),
             "config": {
                 k: v for k, v in mdl.config.items() if _json_safe(v)
             },
         }
+        _csig = contract_sigs.get(canonical_name(name))
+        if _csig is not None:
+            nodes[uid]["contract_checksum"] = _csig
         if canonical_name(name) in gov:
             nodes[uid]["group"] = gov[canonical_name(name)]["group"]
             nodes[uid]["access"] = gov[canonical_name(name)]["access"]
@@ -5661,12 +6035,10 @@ def export_manifest(
         }
         parent_map[uid] = []
 
-    # -- snapshots --
+    # -- snapshots (every configured snapshot-paths entry — ADVICE
+    # r15: only the first used to be described) --
     sdirs = _cfg_dirs(project_dir, "snapshot-paths", "snapshots")
-    snap_dir = sdirs[0] if sdirs else os.path.join(
-        project_dir, "snapshots"
-    )
-    if os.path.isdir(snap_dir):
+    for snap_dir in sdirs:
         for root, _dirs, files in os.walk(snap_dir):
             for fn in sorted(files):
                 if not fn.endswith(".sql"):
@@ -5842,8 +6214,7 @@ def export_manifest(
             parent_map[uid] = [target_uid]
 
     _tdirs = _cfg_dirs(project_dir, "test-paths", "tests", required=False)
-    tests_dir = _tdirs[0] if _tdirs else os.path.join(project_dir, "tests")
-    if os.path.isdir(tests_dir):
+    for tests_dir in _tdirs:
         norm_generic = os.path.abspath(os.path.join(tests_dir, "generic"))
         for root, dirs, files in os.walk(tests_dir):
             dirs[:] = [
@@ -6073,16 +6444,23 @@ def build_project(
         fs, project_dir, source_map=source_map, model_vars=model_vars,
         select=select, exclude=exclude, state=state, selector=selector,
     )
-    if selector is not None:
-        # downstream test phases scope by the resolved model set, like
-        # a select= of the same models would
-        select = report["models"].get("selected")
+    if "selected" in report["models"] and (
+        selector is not None or (select is None and exclude is None)
+    ):
+        # downstream test phases scope by the RESOLVED model set, like
+        # a select= of the same models would — whether the selection
+        # came from selector= OR from a selectors.yml `default: true`
+        # selector applied INSIDE load_project with no flags given
+        # (ADVICE r15: the default-selector path used to leave the
+        # test phases unscoped, failing on unregistered models). An
+        # exclude-ONLY build keeps select=None on purpose: its
+        # documented contract still runs snapshots (models_filter
+        # below picks up the resolved set regardless).
+        select = report["models"]["selected"]
     sdirs = _cfg_dirs(project_dir, "snapshot-paths", "snapshots")
-    snap_dir = sdirs[0] if sdirs else os.path.join(
-        project_dir, "snapshots"
-    )
-    has_snaps = os.path.isdir(snap_dir) and any(
+    has_snaps = any(
         fn.endswith(".sql")
+        for snap_dir in sdirs
         for _r, _d, fns in os.walk(snap_dir)
         for fn in fns
     )
@@ -6122,19 +6500,23 @@ def build_project(
     # EXCEPT its generic/ subdir (generic test definitions) — a
     # generic-only tests dir has none to run
     _tdirs = _cfg_dirs(project_dir, "test-paths", "tests", required=False)
-    tests_dir = _tdirs[0] if _tdirs else os.path.join(project_dir, "tests")
-    norm_generic = os.path.abspath(os.path.join(tests_dir, "generic"))
-    has_singular = os.path.isdir(tests_dir) and any(
-        fn.endswith(".sql")
-        for r, _d, fns in os.walk(tests_dir)
-        # exact dir or below it — a SIBLING like tests/generic_extra/
-        # holds singular tests (bare startswith would skip it silently)
-        if not (
-            os.path.abspath(r) == norm_generic
-            or os.path.abspath(r).startswith(norm_generic + os.sep)
-        )
-        for fn in fns
-    )
+    has_singular = False
+    for tests_dir in _tdirs:
+        norm_generic = os.path.abspath(os.path.join(tests_dir, "generic"))
+        if any(
+            fn.endswith(".sql")
+            for r, _d, fns in os.walk(tests_dir)
+            # exact dir or below it — a SIBLING like tests/generic_extra/
+            # holds singular tests (bare startswith would skip it
+            # silently)
+            if not (
+                os.path.abspath(r) == norm_generic
+                or os.path.abspath(r).startswith(norm_generic + os.sep)
+            )
+            for fn in fns
+        ):
+            has_singular = True
+            break
     if has_singular:
         report["data_tests"] = run_data_tests(
             fs, project_dir, source_map=source_map, model_vars=model_vars,

@@ -556,11 +556,10 @@ def run_snapshots(
     explicitly for reproducible runs (tests do)."""
     from .models import _cfg_dirs
 
+    # EVERY configured snapshot-paths entry contributes snapshots
+    # (ADVICE r15: only the first entry used to run)
     _sdirs = _cfg_dirs(project_dir, "snapshot-paths", "snapshots")
-    snap_dir = _sdirs[0] if _sdirs else os.path.join(
-        project_dir, "snapshots"
-    )
-    if not os.path.isdir(snap_dir):
+    if not _sdirs:
         raise ValidationError(f"No snapshots/ directory under {project_dir!r}")
     # sources.yml binds/gates source() exactly as in models.load_project
     from .models import load_sources_yml, normalize_source_map
@@ -569,12 +568,16 @@ def run_snapshots(
     if declared_map is not None:
         source_map = {**declared_map, **normalize_source_map(source_map)}
     paths = []
-    for root, _dirs, files in os.walk(snap_dir):
-        for fn in sorted(files):
-            if fn.endswith(".sql"):
-                paths.append(os.path.join(root, fn))
+    for snap_dir in _sdirs:
+        for root, _dirs, files in os.walk(snap_dir):
+            for fn in sorted(files):
+                if fn.endswith(".sql"):
+                    paths.append(os.path.join(root, fn))
     if not paths:
-        raise ValidationError(f"No .sql snapshot files under {snap_dir!r}")
+        raise ValidationError(
+            f"No .sql snapshot files under "
+            f"{_sdirs[0] if len(_sdirs) == 1 else _sdirs!r}"
+        )
 
     from .models import project_vars
 

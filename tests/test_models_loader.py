@@ -3850,7 +3850,7 @@ selectors:
         with pytest.raises(ValidationError, match="not supported"):
             _with(
                 "selectors:\n  - name: s\n    definition:\n"
-                "      method: tag\n      value: nightly\n"
+                "      method: package\n      value: somepkg\n"
             )
         with pytest.raises(ValidationError, match="INSIDE a"):
             _with(

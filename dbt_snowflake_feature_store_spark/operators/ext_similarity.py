@@ -2021,11 +2021,18 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training on the full set including the scored vector is the
     standard resubstitution form — documented, identical both engines.
 
-    Scale shape: centroid build is one explode → map-side-combinable
-    (label, d) agg to a ≤(L×D)-row frame (bounded BY CONSTRUCTION —
-    label universe × dims); scoring is one broadcast join against it →
-    two combinable aggs; the confusion matrix is a final L×L-bounded
-    agg. No window, no Python."""
+    Scale shape (r16 rewrite): centroid build is one explode →
+    map-side-combinable (label, d) agg, array-ified to an L-ROW frame
+    (bounded BY CONSTRUCTION — label universe × dims); scoring is one
+    broadcast nested-loop against those L rows (N×L pairs, each an
+    in-codegen 64-lane zip_with/aggregate — the bounded-side
+    crossJoin class PLANS.md labels `reduced(...)`) and ONE
+    map-side-combinable argmin agg (min over (d2, label) structs IS
+    the ties→lowest-label rule); the confusion matrix is a final
+    L×L-bounded agg. No window, no Python. (The pre-r16 spelling
+    exploded to N×D×L join rows and shuffled N×L distance groups
+    behind a checkpoint — 64× more join traffic and an extra
+    exchange + lineage cut; VERDICT-r15 weak #1.)"""
     e = _emb(spark, sf_dir).filter(
         F.size("embedding") == _KM_DIM
     ).filter(F.col("label").isNotNull())
@@ -2048,33 +2055,37 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("_lbl").alias("clabel"),
-            F.col("_d").alias("d"),
+            "_d",
             F.floor(
                 F.col("_sx").cast("double") / F.col("_cn").cast("double")
                 + F.lit(0.5)
             )
             .cast("long")
-            .alias("c"),
+            .alias("_c"),
         )
-    )
-    # dist feeds BOTH the per-vector min and the argmin join — the lazy
-    # checkpoint executes the shuffle agg once (q_pagerank discipline)
-    dist = (
-        el.join(F.broadcast(cent), el["_d"] == cent["d"])
-        .groupBy("vec_id", "_lbl", "clabel")
+        .groupBy("clabel")
         .agg(
-            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
-            .cast("long")
-            .alias("_d2")
+            F.expr(
+                "transform(array_sort(collect_list(struct(_d, _c))),"
+                " p -> p._c)"
+            ).alias("_cv")
         )
     )
-    dist = _ckpt(dist)
-    mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
+    # N×L scored pairs, distance in-codegen per pair; _xq/_cv are
+    # materialized columns (the HOF-lambda CSE rule)
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "_lbl",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(_xq, _cv, (x, c) -> (x - c) * (x - c)),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ).alias("_d2"),
+    )
     pred = (
-        dist.join(mind, "vec_id")
-        .filter(F.col("_d2") == F.col("_m"))
-        .groupBy("vec_id", "_lbl")
-        .agg(F.min("clabel").cast("long").alias("f_pred"))
+        scored.groupBy("vec_id", "_lbl")
+        .agg(F.min(F.struct("_d2", "clabel")).alias("_m"))
+        .select("_lbl", F.col("_m.clabel").alias("f_pred"))
     )
     return (
         pred.groupBy(

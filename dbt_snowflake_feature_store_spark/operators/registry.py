@@ -34,6 +34,53 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
+    # ---- round 16 rotation (44 + 3 + 3 = the 50-key cap) ----
+    # part 1 (44): the ENTIRE r10-dated cohort — VERDICT-r15 next #1
+    # named this the r16 promotion set (17% of the inventory had no
+    # driver record since r10); computed from CORRECTNESS_r01..r15
+    # per-key latest-record rounds, oldest first, alphabetical within
+    "q_bm25_topk", "q_calibration_bins", "q_centroid_classify",
+    "q_chi2_assoc", "q_contain_ngram", "q_decile_lift", "q_dedup_edit",
+    "q_dedup_normalized", "q_embed_centroid", "q_embed_outliers",
+    "q_embed_quantize", "q_event_dedup", "q_feature_hash",
+    "q_filter_funnel", "q_gini_spend", "q_graph_triangles",
+    "q_join_asof", "q_join_asof_fwd", "q_knn_join", "q_median_mad",
+    "q_ngram_freq", "q_pack_bfd", "q_pack_sequences", "q_pii_scan",
+    "q_rrf_fusion", "q_sample_split", "q_sample_stratified",
+    "q_sample_temperature", "q_sample_to_mix", "q_sample_weighted",
+    "q_session_window", "q_surprisal_bigram", "q_target_encode",
+    "q_text_quality", "q_text_search", "q_text_stats",
+    "q_tfidf_topterms", "q_time_split", "q_token_count",
+    "q_token_rarity", "q_tpch_q13like", "q_tpch_q17like",
+    "q_vocab_build", "q_window_nav",
+    # part 2 (3): code-touched THIS round beyond part 1 —
+    # q_confusion_metrics rides the q_centroid_classify crossJoin
+    # argmin rewrite; q_cusum_drift rides the global_drawup_scan
+    # NULL-partition guard; q_metric_tdim_path rides the conversion-
+    # filter tokenizer's numeric-literal fix (both ADVICE-r15)
+    "q_confusion_metrics", "q_cusum_drift", "q_metric_tdim_path",
+    # part 3 (3): the VERDICT-r15 weak/watch keys — fresh driver
+    # records settle the creep-vs-load question the bench control
+    # normalizes (q_cramers_v 2.44x, q_ann_recall 1.87x,
+    # q_join_interval 1.34x of their own best records)
+    "q_cramers_v", "q_ann_recall", "q_join_interval",
+    # position 51+ — PAST the cap: the r17 promotion set is the
+    # r11-dated cohort (45 keys: q_agg_having, q_approx_distinct_sketch,
+    # q_auc_mann_whitney, q_best_split_gini, q_bloom_filter,
+    # q_burstiness, q_chunk_overlap, q_cluster_kmeans, q_cte_pipeline,
+    # q_cube, q_dedup_embed_portable, q_dedup_near_portable,
+    # q_dedup_simhash_portable, q_diverse_topk, q_embed_covariance,
+    # q_embed_pca_power, q_entropy_mix, q_group_kfold, q_histogram,
+    # q_hll_portable, q_join_asof_near, q_join_range, q_k_anonymity,
+    # q_knn_classify, q_label_churn, q_lateral_topn,
+    # q_lexical_diversity, q_negative_sample, q_ngram_novelty,
+    # q_pack_bfd_check, q_quantile_norm, q_sessionize,
+    # q_sim_ivf_portable, q_sim_ivfpq_portable, q_sim_pq_portable,
+    # q_source_divergence, q_stratified_kfold, q_user_session_features,
+    # q_vocab_coverage, q_weighted_median, q_window_frame,
+    # q_window_percentile, q_window_range, q_zipf_tail) plus whatever
+    # r17 code touches; the every-round full LOCAL sweep remains the
+    # real gate
     # ---- round 15 rotation (26 + 22 + 2 = the 50-key cap) ----
     # part 1 (26): every key whose code changed THIS round —
     # (a) the de-creep rewrites: pair-distinct Spearman, fused

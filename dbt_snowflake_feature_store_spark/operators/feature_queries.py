@@ -346,6 +346,12 @@ semantic_models:
       - name: big_order_ids
         agg: count
         expr: CASE WHEN o_totalprice > 150000 THEN o_orderkey END
+      - name: max_cents
+        agg: max
+        expr: CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      - name: min_cents
+        agg: min
+        expr: CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
   - name: lineitem_sem
     model: ref('lineitem_model')
     entities:
@@ -445,6 +451,20 @@ metrics:
     type: cumulative
     type_params:
       measure: revenue_cents
+      grain_to_date: month
+  - name: cum_max_cents
+    type: cumulative
+    type_params:
+      measure: max_cents
+  - name: max_7d_cents
+    type: cumulative
+    type_params:
+      measure: max_cents
+      window: 7 days
+  - name: min_mtd_cents
+    type: cumulative
+    type_params:
+      measure: min_cents
       grain_to_date: month
   - name: rev_1mo_cents
     type: cumulative
@@ -853,6 +873,65 @@ ORACLE["q_metric_window"] = """
     ORDER BY f_day
 """
 QUERIES["q_metric_window"] = q_metric_window
+
+
+def q_metric_cum_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-SUM CUMULATIVE METRICS at the day grain, ORACLE-GATED (r16 —
+    closes VERDICT-r15 missing #4): dbt cumulative metrics over MAX and
+    MIN measures — the all-time running maximum order value, the
+    trailing-7-day maximum, and the month-to-date minimum (integer
+    cents, BIGINT-exact at any SF) — compiled by ``evaluate_metric``
+    from REGISTERED specs. The running accumulator follows the
+    measure's own agg (min-of-mins / max-of-maxes decompose over
+    per-grain values; the pre-r16 engine silently SUMMED them). The
+    oracle states the same three frames directly; epoch(day) RANGE
+    frame per the NOTES integer-seconds rule, date_trunc casts per the
+    DATE-vs-TIMESTAMP rule.
+
+    Scale: identical shape to q_metric_window — one map-side-combinable
+    hash aggregate over the fact scan, then bounded windows over the
+    calendar-sized day frame."""
+    from ..models import evaluate_metric
+
+    fs = _metric_fs(spark, sf_dir)
+    cmax = evaluate_metric(fs, "cum_max_cents", time_grain="day")
+    w7 = evaluate_metric(fs, "max_7d_cents", time_grain="day")
+    mtd = evaluate_metric(fs, "min_mtd_cents", time_grain="day")
+    out = cmax.join(w7, "metric_time").join(mtd, "metric_time")
+    return out.select(
+        F.col("metric_time").alias("f_day"),
+        F.col("CUM_MAX_CENTS").cast("long").alias("f_cum_max_cents"),
+        F.col("MAX_7D_CENTS").cast("long").alias("f_7d_max_cents"),
+        F.col("MIN_MTD_CENTS").cast("long").alias("f_mtd_min_cents"),
+    ).orderBy("f_day")
+
+
+ORACLE["q_metric_cum_minmax"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                   AS f_day,
+               MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS _mx,
+               MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS _mn
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT f_day,
+           CAST(MAX(_mx) OVER (ORDER BY f_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_cum_max_cents,
+           CAST(MAX(_mx) OVER (ORDER BY epoch(f_day)
+                RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_7d_max_cents,
+           CAST(MIN(_mn) OVER (
+                PARTITION BY date_trunc('month', f_day) ORDER BY f_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS f_mtd_min_cents
+    FROM d
+    ORDER BY f_day
+"""
+QUERIES["q_metric_cum_minmax"] = q_metric_cum_minmax
 
 
 def q_metric_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:

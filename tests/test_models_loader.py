@@ -1671,6 +1671,12 @@ semantic_models:
       - name: gold_ids
         agg: count
         expr: CASE WHEN f_base_tier = 'gold' THEN customer_id END
+      - name: min_age
+        agg: min
+        expr: f_base_age
+      - name: max_age
+        agg: max
+        expr: f_base_age
   - name: static_sem
     model: ref('test_static_customer_features')
     entities:
@@ -1736,6 +1742,18 @@ metrics:
         - name: total_age_m
           alias: prev_age
           offset_window: 1 day
+  - name: cum_min_age
+    type: cumulative
+    type_params:
+      measure: min_age
+  - name: cum_max_age
+    type: cumulative
+    type_params:
+      measure: max_age
+  - name: cum_mean_age
+    type: cumulative
+    type_params:
+      measure: mean_age
   - name: cum_age
     type: cumulative
     type_params:
@@ -1966,6 +1984,33 @@ saved_queries:
         assert _vals("win_age") == [58, 61]
         assert _vals("dtd_age") == [58, 61]
         assert _vals("mtd_age") == [58, 119]
+
+    def test_cumulative_min_max_and_average_refusal(
+        self, fs, tmp_path, base_table
+    ):
+        """r16 (VERDICT-r15 missing #4): the cumulative accumulator
+        follows the measure's own agg — min-of-mins / max-of-maxes,
+        never a silent SUM of per-grain extrema; a cumulative over an
+        AVERAGE measure refuses loudly (per-grain means don't
+        compose)."""
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        self._loaded(fs, tmp_path, base_table)
+
+        def _vals(name):
+            return [
+                r[name.upper()]
+                for r in evaluate_metric(fs, name, time_grain="day")
+                .orderBy("metric_time")
+                .collect()
+            ]
+
+        # day mins [23, 61] -> running min [23, 23];
+        # day maxes [35, 61] -> running max [35, 61]
+        assert _vals("cum_min_age") == [23, 23]
+        assert _vals("cum_max_age") == [35, 61]
+        with pytest.raises(ValidationError, match="sum/count/min/max"):
+            evaluate_metric(fs, "cum_mean_age", time_grain="day")
         # reset grain finer than the evaluation grain is refused
         with pytest.raises(ValidationError, match="finer"):
             evaluate_metric(fs, "dtd_age", time_grain="month")

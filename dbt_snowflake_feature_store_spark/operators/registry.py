@@ -53,17 +53,21 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_tfidf_topterms", "q_time_split", "q_token_count",
     "q_token_rarity", "q_tpch_q13like", "q_tpch_q17like",
     "q_vocab_build", "q_window_nav",
-    # part 2 (3): code-touched THIS round beyond part 1 —
+    # part 2 (4): code-new/touched THIS round beyond part 1 —
+    # q_metric_cum_minmax is NEW (non-SUM cumulative accumulators);
     # q_confusion_metrics rides the q_centroid_classify crossJoin
     # argmin rewrite; q_cusum_drift rides the global_drawup_scan
     # NULL-partition guard; q_metric_tdim_path rides the conversion-
     # filter tokenizer's numeric-literal fix (both ADVICE-r15)
-    "q_confusion_metrics", "q_cusum_drift", "q_metric_tdim_path",
-    # part 3 (3): the VERDICT-r15 weak/watch keys — fresh driver
-    # records settle the creep-vs-load question the bench control
-    # normalizes (q_cramers_v 2.44x, q_ann_recall 1.87x,
-    # q_join_interval 1.34x of their own best records)
-    "q_cramers_v", "q_ann_recall", "q_join_interval",
+    "q_metric_cum_minmax", "q_confusion_metrics", "q_cusum_drift",
+    "q_metric_tdim_path",
+    # part 3 (2): the VERDICT-r15 `weak` keys — fresh driver records
+    # settle the creep-vs-load question the bench control normalizes
+    # (q_cramers_v 2.44x, q_ann_recall 1.87x of their own best
+    # records; the third watch key q_join_interval yielded its slot to
+    # the new key — its plan is validated four rounds running and it
+    # carries an r15 record)
+    "q_cramers_v", "q_ann_recall",
     # position 51+ — PAST the cap: the r17 promotion set is the
     # r11-dated cohort (45 keys: q_agg_having, q_approx_distinct_sketch,
     # q_auc_mann_whitney, q_best_split_gini, q_bloom_filter,

@@ -86,7 +86,14 @@ def _needs_full_jinja(raw: str) -> bool:
         return True
     for m in _ANY_EXPR_RE.finditer(raw):
         s = m.group(0)
-        if not (_CONFIG_RE.fullmatch(s) or _EXPR_RE.fullmatch(s)):
+        if _CONFIG_RE.fullmatch(s):
+            # a TEMPLATED config value (enabled=var('flag'), dbt's
+            # conditional-model idiom, r16) needs the render — the
+            # regex path's AST parser only takes literals
+            if "var(" in s:
+                return True
+            continue
+        if not _EXPR_RE.fullmatch(s):
             return True
     return False
 
@@ -330,6 +337,21 @@ def _validate(model: Model) -> None:
             f"Model '{model.name}': tags must be a string or a list "
             f"of strings (dbt's shape), got {tv!r}"
         )
+    ev = model.config.get("enabled")
+    if ev is not None and not isinstance(ev, bool):
+        raise ValidationError(
+            f"Model '{model.name}': enabled must be true or false "
+            f"(dbt's shape), got {ev!r}"
+        )
+
+
+def _is_enabled(model: Model) -> bool:
+    """dbt ``enabled: false`` (r16): a disabled model is removed from
+    the project — not registered, not in the DAG, not in the manifest,
+    its yml tests/contracts skip. The config value may be templated
+    (``enabled=var('flag')`` renders before capture). Shape validated
+    in :func:`_validate`."""
+    return model.config.get("enabled") is not False
 
 
 def _topo_order(
@@ -1300,6 +1322,9 @@ def select_nodes(
     directory prefix, or an fnmatch glob (``path:staging/*.sql``) —
     and needs ``project_dir``. Both compose with the closure affixes
     and fail loudly when they match nothing (same anti-typo rule).
+    ``@name`` (r16, dbt's at-operator) selects the node, every
+    descendant, and every ancestor of those descendants — "build this
+    and everything its consumers need".
 
     dbt SLIM-CI state selectors (r13): ``state:modified`` matches every
     model whose raw-file checksum or parsed config differs from the
@@ -1419,6 +1444,22 @@ def select_nodes(
     chosen: set[str] = set()
     for raw in select:
         tok = str(raw).strip()
+        # dbt's @ operator (r16): @name = the node, every descendant,
+        # and every ancestor OF those — the "build this and everything
+        # its consumers need" slim-CI idiom. Exclusive with +affixes.
+        if tok.startswith("@"):
+            nm = tok[1:]
+            target = by_canon.get(canonical_name(nm)) if nm else None
+            if target is None:
+                raise ValidationError(
+                    f"selector '{raw}' does not match any model in the "
+                    f"project (known: {', '.join(sorted(models))})"
+                )
+            group = {target} | closure(target, children)
+            for g in sorted(group):
+                chosen |= closure(g, parents)
+            chosen |= group
+            continue
         anc = tok.startswith("+")
         desc = tok.endswith("+")
         name = tok.strip("+")
@@ -1747,6 +1788,7 @@ def load_project(
         source_map = {**declared_map, **normalize_source_map(source_map)}
 
     models: dict[str, Model] = {}
+    disabled: set[str] = set()
     for p in sorted(paths):
         mdl = parse_model(p, jinja_env=_env)
         if mdl.name in models:
@@ -1755,7 +1797,21 @@ def load_project(
                 f"({models[mdl.name].path} and {p})"
             )
         _validate(mdl)
+        if not _is_enabled(mdl):
+            disabled.add(mdl.name)  # dbt enabled: false — out of the DAG
+            continue
         models[mdl.name] = mdl
+    # a ref() to a DISABLED model gets dbt's specific error, not the
+    # generic unknown-model one (the user declared it, then turned it
+    # off — say so)
+    for _n, _m in models.items():
+        for _r in _m.refs:
+            if _r in disabled:
+                raise ValidationError(
+                    f"Model '{_n}' references '{_r}', which is "
+                    "disabled (enabled: false) — enable it or remove "
+                    "the ref()"
+                )
 
     # dbt groups/access governance (r13): validated at COMPILATION —
     # selection never skips it, dbt's own timing
@@ -1950,6 +2006,8 @@ def run_data_tests(
     ):
         mdl = parse_model(p, jinja_env=_env)
         _validate(mdl)
+        if not _is_enabled(mdl):
+            continue
         if mdl.name in models:
             raise ValidationError(
                 f"Duplicate model name '{mdl.name}' "
@@ -2101,6 +2159,8 @@ def run_schema_tests(
     models: dict[str, Model] = {}
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
+        if not _is_enabled(mdl):
+            continue
         models[canonical_name(mdl.name)] = mdl
 
     def _model_df(name: str):
@@ -2643,6 +2703,8 @@ def run_model_contracts(
     models: dict[str, Model] = {}
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
+        if not _is_enabled(mdl):
+            continue
         models[canonical_name(mdl.name)] = mdl
 
     def _norm_type(dt: str, where: str) -> str:
@@ -2999,6 +3061,8 @@ def run_unit_tests(
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
         _validate(mdl)
+        if not _is_enabled(mdl):
+            continue
         if mdl.name in models:
             raise ValidationError(
                 f"Duplicate model name '{mdl.name}' "
@@ -3513,6 +3577,8 @@ def load_exposures(
 
         for _p in _iter_model_sql(project_dir):
             mdl = parse_model(_p, jinja_env=_env)
+            if not _is_enabled(mdl):
+                continue
             models[mdl.name] = mdl
     model_names = {canonical_name(m) for m in models}
     seeds = {canonical_name(s) for s in _seed_stems(project_dir)}
@@ -3646,6 +3712,8 @@ def load_semantic_layer(
 
         for _p in _iter_model_sql(project_dir):
             mdl = parse_model(_p, jinja_env=_env)
+            if not _is_enabled(mdl):
+                continue
             models[mdl.name] = mdl
     model_names = {canonical_name(m) for m in models}
 
@@ -5984,6 +6052,8 @@ def export_manifest(
     models: dict[str, Model] = {}
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
+        if not _is_enabled(mdl):
+            continue
         models[mdl.name] = mdl
     seeds = _seed_stems(project_dir)
     _declared_map, declared = load_sources_yml(project_dir)
@@ -6359,6 +6429,8 @@ def export_catalog(
     nodes: dict[str, dict[str, Any]] = {}
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
+        if not _is_enabled(mdl):
+            continue
         if mdl.materialized == "entity":
             continue  # no relation behind an entity model
         df = fs.read_feature_view(

@@ -646,3 +646,108 @@ class TestAdviceSmallFixes:
         assert out[5]["global_running_sum"] == 0
         assert out[3]["global_prefix_min"] == -2
         assert out[5]["global_prefix_min"] == -2
+
+
+FV_C_DISABLED = FV_B.replace("fv_b", "fv_c").replace(
+    "tags='daily',", "tags='daily',\n    enabled=false,"
+)
+
+
+class TestEnabledConfig:
+    """r16: dbt `enabled: false` — a disabled model is out of the
+    project everywhere (DAG, manifest, test surface); a ref() to it
+    gets dbt's specific error; the config may be templated."""
+
+    def test_disabled_model_skips_everywhere(self, fs, tmp_path):
+        proj = _proj(tmp_path)
+        (tmp_path / "proj" / "marts" / "fv_c.sql").write_text(
+            FV_C_DISABLED
+        )
+        rep = load_project(fs, proj)
+        assert sorted(n for n, _v in rep["feature_views"]) == [
+            "FV_A", "FV_B",
+        ]
+        man = export_manifest(fs, proj)
+        assert "model.project.fv_c" not in man["nodes"]
+        # a schema yml on the disabled model does not run (and does
+        # not fail as "target not found" either — dbt skips it)
+        with open(os.path.join(proj, "schema.yml"), "w") as f:
+            f.write(
+                "models:\n"
+                "  - name: fv_b\n"
+                "    columns:\n"
+                "      - name: customer_id\n"
+                "        tests: [not_null]\n"
+            )
+        from dbt_snowflake_feature_store_spark.models import (
+            run_schema_tests,
+        )
+
+        res = run_schema_tests(fs, proj)
+        assert [r["passed"] for r in res] == [True]
+
+    def test_ref_to_disabled_names_the_cause(self, fs, tmp_path):
+        proj = _proj(tmp_path)
+        # disable fv_a, which fv_b refs
+        p = os.path.join(proj, "staging", "fv_a.sql")
+        with open(p) as f:
+            txt = f.read()
+        with open(p, "w") as f:
+            f.write(
+                txt.replace(
+                    "tags=['nightly', 'core'],",
+                    "tags=['nightly', 'core'],\n    enabled=false,",
+                )
+            )
+        with pytest.raises(ValidationError, match="disabled"):
+            load_project(fs, proj, dry_run=True)
+
+    def test_enabled_accepts_templated_value(self, fs, tmp_path):
+        proj = _proj(tmp_path)
+        (tmp_path / "proj" / "marts" / "fv_t.sql").write_text(
+            "{{ config(materialized='feature_view',"
+            " entities=['ent_cust'], feature_view_version='1.0',"
+            " timestamp_col='updated_at',"
+            " enabled=(var('build_t', 'no') == 'yes')) }}\n"
+            "SELECT customer_id, updated_at, f1 FROM {{ ref('fv_a') }}\n"
+        )
+        off = load_project(fs, proj, dry_run=True)
+        assert "FV_T" not in {n for n, _v in off["feature_views"]}
+        on = load_project(
+            fs, proj, dry_run=True, model_vars={"build_t": "yes"}
+        )
+        assert ("FV_T", "1.0") in on["feature_views"]
+
+    def test_bad_enabled_shape_refuses(self, fs, tmp_path):
+        proj = _proj(tmp_path)
+        (tmp_path / "proj" / "marts" / "fv_x.sql").write_text(
+            FV_B.replace("fv_b", "fv_x").replace(
+                "tags='daily',", "enabled='yep',"
+            )
+        )
+        with pytest.raises(ValidationError, match="enabled"):
+            load_project(fs, proj, dry_run=True)
+
+
+class TestAtOperator:
+    def test_at_selects_descendants_and_their_ancestors(
+        self, fs, tmp_path
+    ):
+        proj = _proj(tmp_path)
+        # a second parent of fv_b's consumer: fv_d refs fv_a and fv_b
+        (tmp_path / "proj" / "marts" / "fv_d.sql").write_text(
+            FV_B.replace("fv_b", "fv_d").replace(
+                "SELECT customer_id, updated_at, f1 * 2 AS f2 "
+                "FROM {{ ref('fv_a') }}",
+                "SELECT a.customer_id, a.updated_at, a.f1 + b.f2 AS f2"
+                " FROM {{ ref('fv_a') }} a"
+                " JOIN {{ ref('fv_b') }} b USING (customer_id)",
+            )
+        )
+        got = load_project(fs, proj, select=["@fv_b"], dry_run=True)[
+            "selected"
+        ]
+        # fv_b + descendant fv_d + fv_d's ancestors (fv_a, entity)
+        assert got == ["ENT_CUST", "FV_A", "FV_B", "FV_D"]
+        with pytest.raises(ValidationError, match="does not match"):
+            load_project(fs, proj, select=["@nope"], dry_run=True)

@@ -983,3 +983,50 @@ def test_saved_query_topn_is_take_ordered(spark):
 
     plan = _executed_plan(q_saved_query_topn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# r16 plan pins
+# ---------------------------------------------------------------------------
+
+def test_centroid_classify_no_explode_join(spark):
+    """q_centroid_classify (r16 rewrite): scoring must be ONE
+    broadcast nested-loop of the corpus against the L-row array-ified
+    centroid frame (bounded BY CONSTRUCTION) — never the N×D×L
+    explode-equijoin (no SortMergeJoin, no BroadcastHashJoin on the
+    dimension key), and no lineage cut: the argmin is a
+    map-side-combinable min over (d2, label) structs."""
+    from dbt_snowflake_feature_store_spark.operators.ext_similarity import (
+        q_centroid_classify,
+    )
+
+    plan = _executed_plan(q_centroid_classify(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the broadcast side is the aggregated centroid frame, not a scan
+    bcast = plan.split("BroadcastExchange")[1]
+    assert "HashAggregate" in bcast[:3000]
+
+
+def test_metric_cum_minmax_windows_over_aggregated_frame(spark):
+    """q_metric_cum_minmax: all three running windows (min/max
+    accumulators) must consume the ALREADY-AGGREGATED day frame —
+    every Window node sits above a HashAggregate chain, and the
+    running aggregates are min/max, never sum (the pre-r16 silent-SUM
+    shape)."""
+    from dbt_snowflake_feature_store_spark.operators.feature_queries import (
+        q_metric_cum_minmax,
+    )
+
+    plan = _executed_plan(q_metric_cum_minmax(spark, SF_DIR))
+    assert plan.count("Window") >= 3
+    lowered = plan.lower()
+    assert "max(" in lowered and "min(" in lowered
+    # no running SUM over the cents frames (the joins key on
+    # metric_time; the only sums allowed are none at all here)
+    import re as _re
+
+    win_sections = plan.split("Window")[1:]
+    for w in win_sections:
+        head = w.split("\n", 1)[0]
+        assert not _re.search(r"\bsum\(", head.lower()), head

@@ -266,6 +266,9 @@ HEADLINE = [
     "q_metric_tdim_path",
     "q_saved_query_export",
     "q_saved_query_topn",
+    # r16: non-SUM cumulative accumulators (min/max windows over the
+    # aggregated day frame)
+    "q_metric_cum_minmax",
 ]
 
 

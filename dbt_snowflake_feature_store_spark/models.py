@@ -1078,7 +1078,9 @@ def _seed_stems(project_dir: str) -> set[str]:
 
 
 def _local_package_dirs(
-    project_dir: str, _seen: "set[str] | None" = None
+    project_dir: str,
+    _stack: "frozenset[str] | None" = None,
+    _done: "set[str] | None" = None,
 ) -> list[str]:
     """dbt ``packages.yml`` dependencies, LOCAL specs only (r16):
     ``- local: <relative-or-absolute path>`` entries resolve to
@@ -1091,7 +1093,9 @@ def _local_package_dirs(
     (dbt's package contract). Returns depth-first order: a package's
     own dependencies come BEFORE it, so later loads shadow earlier
     ones exactly like dbt's precedence (project > package >
-    package-of-package)."""
+    package-of-package). A DIAMOND (two packages sharing a dep) loads
+    the shared package once — only a true cycle (a package on its own
+    dependency PATH) refuses."""
     import yaml
 
     path = None
@@ -1102,14 +1106,15 @@ def _local_package_dirs(
             break
     if path is None:
         return []
-    seen = _seen if _seen is not None else set()
     key = os.path.abspath(project_dir)
-    if key in seen:
+    stack = _stack or frozenset()
+    done = _done if _done is not None else set()
+    if key in stack:
         raise ValidationError(
             f"packages.yml: circular local package dependency at "
             f"{project_dir!r}"
         )
-    seen.add(key)
+    stack = stack | {key}
     with open(path, encoding="utf-8") as fh:
         try:
             data = yaml.safe_load(fh)
@@ -1151,9 +1156,14 @@ def _local_package_dirs(
                 f"{path!r}: packages[{i}] local: {pdir!r} has no "
                 "dbt_project.yml (dbt's package contract)"
             )
+        pk = os.path.abspath(pdir)
+        if pk in done:
+            continue  # diamond: already resolved once, load once
         # depth-first: the package's own deps first, then the package
-        out.extend(_local_package_dirs(pdir, seen))
-        out.append(pdir)
+        out.extend(_local_package_dirs(pdir, stack, done))
+        if pk not in done:
+            done.add(pk)
+            out.append(pdir)
     return out
 
 

@@ -561,6 +561,37 @@ class TestLocalPackages:
         with pytest.raises(ValidationError, match="circular"):
             run_operation(fs, proj, "inner_m")
 
+    def test_diamond_dependency_loads_once(self, fs, tmp_path):
+        """Two packages sharing a local dep is a DIAMOND, not a
+        cycle — the shared package loads once and nothing refuses."""
+        proj = _proj(tmp_path)
+        self._pkg(
+            tmp_path, "pkg_shared",
+            "{% macro shared_m() -%}SELECT 4 AS four{%- endmacro %}\n",
+        )
+        left = self._pkg(
+            tmp_path, "pkg_left",
+            "{% macro left_m() -%}SELECT 5 AS five{%- endmacro %}\n",
+        )
+        right = self._pkg(
+            tmp_path, "pkg_right",
+            "{% macro right_m() -%}SELECT 6 AS six{%- endmacro %}\n",
+        )
+        (left / "packages.yml").write_text(
+            "packages:\n  - local: ../pkg_shared\n"
+        )
+        (right / "packages.yml").write_text(
+            "packages:\n  - local: ../pkg_shared\n"
+        )
+        with open(os.path.join(proj, "packages.yml"), "w") as f:
+            f.write(
+                "packages:\n"
+                "  - local: ../pkg_left\n"
+                "  - local: ../pkg_right\n"
+            )
+        assert run_operation(fs, proj, "shared_m")["rows"][0]["four"] == 4
+        assert run_operation(fs, proj, "right_m")["rows"][0]["six"] == 6
+
     def test_nonlocal_and_bad_specs_refuse(self, fs, tmp_path):
         proj = _proj(tmp_path)
         with open(os.path.join(proj, "packages.yml"), "w") as f:

@@ -1769,7 +1769,7 @@ def load_project(
                 d
                 for d in dirs
                 if os.path.abspath(os.path.join(root, d)) not in excluded
-                and d not in ("target",)
+                and d not in ("target", "dbt_packages")
             ]
             for fn in sorted(files):
                 if fn.endswith(".sql"):
@@ -1801,22 +1801,26 @@ def load_project(
     disabled: set[str] = set()
     for p in sorted(paths):
         mdl = parse_model(p, jinja_env=_env)
+        _validate(mdl)
+        # dbt enabled: false — out of the DAG. The skip runs BEFORE the
+        # duplicate check (dbt's swap-implementations idiom: two files,
+        # one disabled, is legal), matching every other loader.
+        if not _is_enabled(mdl):
+            disabled.add(mdl.name)
+            continue
         if mdl.name in models:
             raise ValidationError(
                 f"Duplicate model name '{mdl.name}' "
                 f"({models[mdl.name].path} and {p})"
             )
-        _validate(mdl)
-        if not _is_enabled(mdl):
-            disabled.add(mdl.name)  # dbt enabled: false — out of the DAG
-            continue
         models[mdl.name] = mdl
     # a ref() to a DISABLED model gets dbt's specific error, not the
     # generic unknown-model one (the user declared it, then turned it
-    # off — say so)
+    # off — say so). Only when no ENABLED model carries the name (a
+    # disabled duplicate doesn't shadow the enabled one).
     for _n, _m in models.items():
         for _r in _m.refs:
-            if _r in disabled:
+            if _r in disabled and _r not in models:
                 raise ValidationError(
                     f"Model '{_n}' references '{_r}', which is "
                     "disabled (enabled: false) — enable it or remove "
@@ -2011,12 +2015,14 @@ def run_data_tests(
     # inside a model root is pruned exactly (a sibling like
     # tests_shared/ stays a model dir)
     models: dict[str, Model] = {}
+    _disabled: set[str] = set()
     for p in _iter_model_sql(
         project_dir, exclude_abs={os.path.abspath(td) for td in tdirs}
     ):
         mdl = parse_model(p, jinja_env=_env)
         _validate(mdl)
         if not _is_enabled(mdl):
+            _disabled.add(mdl.name)
             continue
         if mdl.name in models:
             raise ValidationError(
@@ -2076,6 +2082,13 @@ def run_data_tests(
             }
             if not (deps & models_filter):
                 continue
+        if any(
+            em.group(1) == "ref"
+            and em.group(2) in _disabled
+            and em.group(2) not in models
+            for em in _EXPR_RE.finditer(body)
+        ):
+            continue  # refs a disabled model — the test disables (dbt)
         pseudo = Model(name=f"test:{tname}", path=p, config={}, body=body)
         for em in _EXPR_RE.finditer(body):
             if em.group(1) == "ref":
@@ -2167,9 +2180,11 @@ def run_schema_tests(
 
     # parse the project's models so model-targeted tests know versions
     models: dict[str, Model] = {}
+    _disabled: set[str] = set()
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
         if not _is_enabled(mdl):
+            _disabled.add(canonical_name(mdl.name))
             continue
         models[canonical_name(mdl.name)] = mdl
 
@@ -2379,6 +2394,11 @@ def run_schema_tests(
     for _path, data in _iter_project_ymls(project_dir):
         for entry in data.get("models") or []:
             name = str(entry.get("name", ""))
+            if (
+                canonical_name(name) in _disabled
+                and canonical_name(name) not in models
+            ):
+                continue  # enabled: false — its yml tests skip (dbt)
             if (
                 models_filter is not None
                 and canonical_name(name) not in models_filter
@@ -2711,9 +2731,11 @@ def run_model_contracts(
         return jinja_env
 
     models: dict[str, Model] = {}
+    _disabled: set[str] = set()
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
         if not _is_enabled(mdl):
+            _disabled.add(canonical_name(mdl.name))
             continue
         models[canonical_name(mdl.name)] = mdl
 
@@ -2741,6 +2763,8 @@ def run_model_contracts(
                 continue
             name = str(entry["name"])
             where = f"Contract on model '{name}'"
+            if canonical_name(name) in _disabled:
+                continue  # enabled: false — its contract skips (dbt)
             mdl = models.get(canonical_name(name))
             if mdl is None:
                 raise ValidationError(
@@ -3068,10 +3092,12 @@ def run_unit_tests(
         return jinja_env
 
     models: dict[str, Model] = {}
+    _disabled: set[str] = set()
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
         _validate(mdl)
         if not _is_enabled(mdl):
+            _disabled.add(canonical_name(mdl.name))
             continue
         if mdl.name in models:
             raise ValidationError(
@@ -3315,6 +3341,10 @@ def run_unit_tests(
             and canonical_name(str(ut["model"])) not in models_filter
         ):
             continue
+        if canonical_name(str(ut["model"])) in _disabled and str(
+            ut["model"]
+        ).lower() not in models_ci:
+            continue  # enabled: false — its unit tests skip (dbt)
         mdl = models_ci.get(str(ut["model"]).lower())
         if mdl is None:
             raise ValidationError(
@@ -5705,6 +5735,16 @@ def evaluate_metric(
             spine = agged.select(*group_by).distinct().crossJoin(spine)
         agged = spine.join(agged, keys, "left")
     if tp.get("fill_nulls_with") is not None:
+        if mtype == "cumulative" and str(
+            resolved[0][1].get("agg", "sum")
+        ).lower() in ("min", "max"):
+            raise ValidationError(
+                f"Metric '{name}': fill_nulls_with on a cumulative "
+                "min/max measure is ill-defined — the fill value would "
+                "enter the running extremum (fill-before vs fill-after "
+                "accumulation differ); fill a per-grain simple metric "
+                "instead"
+            )
         agged = agged.withColumn(
             cname,
             F.coalesce(
@@ -6060,9 +6100,11 @@ def export_manifest(
 
     # -- models (rendered, so ref()/source() deps are canonical text) --
     models: dict[str, Model] = {}
+    _disabled: set[str] = set()
     for _p in _iter_model_sql(project_dir):
         mdl = parse_model(_p, jinja_env=_env)
         if not _is_enabled(mdl):
+            _disabled.add(mdl.name)
             continue
         models[mdl.name] = mdl
     seeds = _seed_stems(project_dir)
@@ -6073,6 +6115,11 @@ def export_manifest(
             return f"model.project.{models[name].name}"
         if name in seeds:
             return f"seed.project.{name}"
+        if name in _disabled:
+            raise ValidationError(
+                f"manifest: ref('{name}') targets a model that is "
+                "disabled (enabled: false)"
+            )
         raise ValidationError(
             f"manifest: ref('{name}') does not match any model or seed"
         )
@@ -6225,6 +6272,10 @@ def export_manifest(
         for entry in data.get("models") or []:
             mname = str(entry.get("name", ""))
             target_uid = canon2uid.get(canonical_name(mname))
+            if target_uid is None and canonical_name(mname) in {
+                canonical_name(d) for d in _disabled
+            }:
+                continue  # target disabled — its yml tests disable too
             for coldef in entry.get("columns") or []:
                 cn = str(coldef.get("name", ""))
                 for tst in (
@@ -6296,6 +6347,10 @@ def export_manifest(
                 continue  # run_unit_tests raises the friendly error
             utname = str(ut["name"])
             target_uid = canon2uid.get(canonical_name(str(ut.get("model", ""))))
+            if target_uid is None and canonical_name(
+                str(ut.get("model", ""))
+            ) in {canonical_name(d) for d in _disabled}:
+                continue  # target disabled — the unit test disables too
             if target_uid is None:
                 # match run_unit_tests' loud contract — a manifest must
                 # not carry a dangling unit-test node
@@ -6347,6 +6402,14 @@ def export_manifest(
                     body, _cfg = _render_model(raw, f"test:{stem}", _env())
                 else:
                     body = _CONFIG_RE.sub("", raw)
+                if any(
+                    m.group(1) == "ref" and m.group(2) in _disabled
+                    for m in _EXPR_RE.finditer(body)
+                ):
+                    # refs a disabled model — the test disables (dbt);
+                    # a dangling parent edge would be worse
+                    del nodes[uid]
+                    continue
                 parent_map[uid] = _deps_of(body)
 
     child_map: dict[str, list[str]] = {

@@ -2078,7 +2078,12 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_lbl",
         "clabel",
         F.expr(
-            "aggregate(zip_with(_xq, _cv, (x, c) -> (x - c) * (x - c)),"
+            # coalesce keeps the OLD join-path semantics for a NULL
+            # embedding element (SUM skipped it; a bare aggregate would
+            # poison the whole distance to NULL) — and matches the
+            # oracle's NULL-skipping SUM
+            "aggregate(zip_with(_xq, _cv, (x, c) ->"
+            " coalesce((x - c) * (x - c), cast(0 as bigint))),"
             " cast(0 as bigint), (s, v) -> s + v)"
         ).alias("_d2"),
     )

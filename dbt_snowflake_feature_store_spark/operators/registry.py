@@ -34,7 +34,7 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 16 rotation (44 + 3 + 3 = the 50-key cap) ----
+    # ---- round 16 rotation (44 + 4 + 2 = the 50-key cap) ----
     # part 1 (44): the ENTIRE r10-dated cohort — VERDICT-r15 next #1
     # named this the r16 promotion set (17% of the inventory had no
     # driver record since r10); computed from CORRECTNESS_r01..r15

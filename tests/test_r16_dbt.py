@@ -782,3 +782,121 @@ class TestAtOperator:
         assert got == ["ENT_CUST", "FV_A", "FV_B", "FV_D"]
         with pytest.raises(ValidationError, match="does not match"):
             load_project(fs, proj, select=["@nope"], dry_run=True)
+
+
+class TestDisabledModelSurfaces:
+    """Code-review r16 regressions: yml resources on a disabled model
+    SKIP (never 'not found'), the disabled-duplicate idiom loads, and
+    singular tests refing a disabled model disable too."""
+
+    def _proj_with_disabled_c(self, tmp_path):
+        proj = _proj(tmp_path)
+        (tmp_path / "proj" / "marts" / "fv_c.sql").write_text(
+            FV_C_DISABLED
+        )
+        return proj
+
+    def test_yml_resources_on_disabled_model_skip(self, fs, tmp_path):
+        proj = self._proj_with_disabled_c(tmp_path)
+        # schema tests + contract + unit test ALL on the DISABLED fv_c
+        with open(os.path.join(proj, "schema.yml"), "w") as f:
+            f.write(
+                "models:\n"
+                "  - name: fv_c\n"
+                "    config:\n"
+                "      contract:\n"
+                "        enforced: true\n"
+                "    columns:\n"
+                "      - name: customer_id\n"
+                "        data_type: int\n"
+                "        tests: [not_null]\n"
+                "unit_tests:\n"
+                "  - name: ut_c\n"
+                "    model: fv_c\n"
+                "    given:\n"
+                "      - input: ref('fv_a')\n"
+                "        rows:\n"
+                "          - {customer_id: 1, f1: 10}\n"
+                "    expect:\n"
+                "      rows:\n"
+                "        - {customer_id: 1, f2: 20}\n"
+            )
+        rep = build_project(fs, proj)  # pre-fix: 'not found' raises
+        assert rep["contracts"] == []
+        assert rep["unit_tests"] == []
+        assert rep["schema_tests"] == []
+
+    def test_singular_test_on_disabled_model_disables(
+        self, fs, tmp_path
+    ):
+        proj = self._proj_with_disabled_c(tmp_path)
+        os.makedirs(os.path.join(proj, "tests"))
+        with open(
+            os.path.join(proj, "tests", "probe_disabled.sql"), "w"
+        ) as f:
+            f.write("SELECT * FROM {{ ref('fv_c') }} WHERE f2 < 0\n")
+        with open(
+            os.path.join(proj, "tests", "probe_enabled.sql"), "w"
+        ) as f:
+            f.write("SELECT * FROM {{ ref('fv_b') }} WHERE f2 < 0\n")
+        load_project(fs, proj)
+        res = run_data_tests(fs, proj)
+        assert [r["name"] for r in res] == ["probe_enabled"]
+        man = export_manifest(fs, proj)
+        assert "test.project.probe_enabled" in man["nodes"]
+        assert "test.project.probe_disabled" not in man["nodes"]
+
+    def test_disabled_duplicate_idiom(self, fs, tmp_path):
+        """Two same-named models, one disabled — dbt's
+        swap-implementations idiom. The enabled one loads and refs
+        bind to it regardless of file order."""
+        proj = _proj(tmp_path)
+        # duplicate of fv_a, disabled, in a DIFFERENT dir (both sort
+        # orders exercised by the two dirs' walk order)
+        (tmp_path / "proj" / "marts" / "alt").mkdir()
+        (tmp_path / "proj" / "marts" / "alt" / "fv_a.sql").write_text(
+            FV_A.replace(
+                "tags=['nightly', 'core'],",
+                "tags=['nightly', 'core'],\n    enabled=false,",
+            ).replace("10 AS f1", "999 AS f1")
+        )
+        rep = load_project(fs, proj)
+        assert ("FV_A", "1.0") in rep["feature_views"]
+        assert ("FV_B", "1.0") in rep["feature_views"]
+        # the ENABLED implementation won (f1 = 10, not 999)
+        row = fs.read_feature_view("FV_A", "1.0").collect()[0]
+        assert row["f1"] == 10
+
+
+class TestCumulativeFillRefusal:
+    def test_fill_on_cumulative_min_refuses(self, fs, tmp_path):
+        proj = _proj(tmp_path)
+        with open(os.path.join(proj, "sem.yml"), "w") as f:
+            f.write(
+                "semantic_models:\n"
+                "  - name: a_sem\n"
+                "    model: ref('fv_a')\n"
+                "    entities:\n"
+                "      - name: ent_cust\n"
+                "        type: primary\n"
+                "        expr: customer_id\n"
+                "    dimensions:\n"
+                "      - name: updated_at\n"
+                "        type: time\n"
+                "    measures:\n"
+                "      - name: min_f1\n"
+                "        agg: min\n"
+                "        expr: f1\n"
+                "metrics:\n"
+                "  - name: cum_min_fill\n"
+                "    type: cumulative\n"
+                "    type_params:\n"
+                "      measure:\n"
+                "        name: min_f1\n"
+                "        fill_nulls_with: 0\n"
+            )
+        from dbt_snowflake_feature_store_spark import evaluate_metric
+
+        load_project(fs, proj)
+        with pytest.raises(ValidationError, match="ill-defined"):
+            evaluate_metric(fs, "cum_min_fill", time_grain="day")

@@ -267,8 +267,10 @@ HEADLINE = [
     "q_saved_query_export",
     "q_saved_query_topn",
     # r16: non-SUM cumulative accumulators (min/max windows over the
-    # aggregated day frame)
+    # aggregated day frame); interpolating as-of join (two union-shuffle
+    # asof passes)
     "q_metric_cum_minmax",
+    "q_join_asof_interp",
 ]
 
 

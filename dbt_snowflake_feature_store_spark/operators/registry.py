@@ -34,7 +34,7 @@ _MODULES = [relational2, relational]
 # record is ≥2 rounds old, oldest first. NOTES.md tracks the per-key
 # latest-record round; no key's record may age past two rounds.
 _PRIORITY_KEYS: tuple[str, ...] = (
-    # ---- round 16 rotation (44 + 4 + 2 = the 50-key cap) ----
+    # ---- round 16 rotation (44 + 5 + 1 = the 50-key cap) ----
     # part 1 (44): the ENTIRE r10-dated cohort — VERDICT-r15 next #1
     # named this the r16 promotion set (17% of the inventory had no
     # driver record since r10); computed from CORRECTNESS_r01..r15
@@ -53,21 +53,21 @@ _PRIORITY_KEYS: tuple[str, ...] = (
     "q_tfidf_topterms", "q_time_split", "q_token_count",
     "q_token_rarity", "q_tpch_q13like", "q_tpch_q17like",
     "q_vocab_build", "q_window_nav",
-    # part 2 (4): code-new/touched THIS round beyond part 1 —
-    # q_metric_cum_minmax is NEW (non-SUM cumulative accumulators);
+    # part 2 (5): code-new/touched THIS round beyond part 1 —
+    # q_metric_cum_minmax (non-SUM cumulative accumulators) and
+    # q_join_asof_interp (interpolating as-of join) are NEW;
     # q_confusion_metrics rides the q_centroid_classify crossJoin
     # argmin rewrite; q_cusum_drift rides the global_drawup_scan
     # NULL-partition guard; q_metric_tdim_path rides the conversion-
     # filter tokenizer's numeric-literal fix (both ADVICE-r15)
-    "q_metric_cum_minmax", "q_confusion_metrics", "q_cusum_drift",
-    "q_metric_tdim_path",
-    # part 3 (2): the VERDICT-r15 `weak` keys — fresh driver records
-    # settle the creep-vs-load question the bench control normalizes
-    # (q_cramers_v 2.44x, q_ann_recall 1.87x of their own best
-    # records; the third watch key q_join_interval yielded its slot to
-    # the new key — its plan is validated four rounds running and it
-    # carries an r15 record)
-    "q_cramers_v", "q_ann_recall",
+    "q_metric_cum_minmax", "q_join_asof_interp",
+    "q_confusion_metrics", "q_cusum_drift", "q_metric_tdim_path",
+    # part 3 (1): q_ann_recall — the VERDICT-r15 watch key with THREE
+    # consecutive driver-side increases; a fresh record settles
+    # creep-vs-load. The other two (q_cramers_v cleared by the idle
+    # re-profile ≈ its r15 record; q_join_interval plan-validated four
+    # rounds running) yielded their slots to the two NEW r16 keys.
+    "q_ann_recall",
     # position 51+ — PAST the cap: the r17 promotion set is the
     # r11-dated cohort (45 keys: q_agg_having, q_approx_distinct_sketch,
     # q_auc_mann_whitney, q_best_split_gini, q_bloom_filter,

@@ -287,6 +287,74 @@ def q_join_asof_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATING as-of join (r16) — time-weighted feature values,
+    the sensor-fusion / irregular-time-series read a feature store
+    needs when "last value before" is too stale: for each purchase
+    event, linear interpolation between the last error value
+    at-or-before and the first at-or-after, weighted by whole-second
+    distances (CLAUDE.md epoch-truncation portability rule: DuckDB
+    fractional ``epoch()`` vs Spark ``unix_timestamp`` — both sides
+    truncate BEFORE the weight arithmetic, so a same-second bracket
+    degenerates to the backward value deterministically). One-sided
+    brackets fall back to the available side. The interpolation
+    expression is spelled IDENTICALLY on both engines
+    (``prev + (next − prev) · w`` with double division of exact
+    BIGINT second deltas) — IEEE-identical, no rounding.
+
+    Scale: two ``asof_join`` passes (backward + forward), each the
+    union+last single-shuffle strategy on the entity key — 2 shuffles
+    total, no join explosion; a fused one-pass spelling rides the
+    'nearest' union machinery if the second shuffle ever matters."""
+    from ..pit import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("event_time")
+    )
+    feats = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("_v"))
+    )
+    back = feats.select(
+        "user_id", "ts",
+        F.col("_v").alias("f_prev_val"), F.col("ts").alias("f_prev_ts"),
+    )
+    fwd = feats.select(
+        "user_id", "ts",
+        F.col("_v").alias("f_next_val"), F.col("ts").alias("f_next_ts"),
+    )
+    j = asof_join(
+        spine, back, on=["user_id"], spine_ts="event_time",
+        feature_ts="ts", feature_cols=["f_prev_val", "f_prev_ts"],
+    )
+    j = asof_join(
+        j, fwd, on=["user_id"], spine_ts="event_time",
+        feature_ts="ts", feature_cols=["f_next_val", "f_next_ts"],
+        direction="forward",
+    )
+    te = F.unix_timestamp("event_time")
+    t0 = F.unix_timestamp("f_prev_ts")
+    t1 = F.unix_timestamp("f_next_ts")
+    both = F.col("f_prev_val").isNotNull() & F.col("f_next_val").isNotNull()
+    interp = (
+        F.when(
+            both & (t1 > t0),
+            F.col("f_prev_val")
+            + (F.col("f_next_val") - F.col("f_prev_val"))
+            * ((te - t0).cast("double") / (t1 - t0).cast("double")),
+        )
+        .when(both, F.col("f_prev_val"))  # same-second bracket
+        .otherwise(F.coalesce("f_prev_val", "f_next_val"))
+    )
+    return j.select(
+        "event_id", "user_id", "event_time",
+        "f_prev_val", "f_next_val",
+        interp.alias("f_interp_val"),
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join (EXISTS / NOT EXISTS membership). Scale: Spark
     plans left-semi/anti as broadcast or shuffled hash joins with only the
@@ -894,6 +962,64 @@ ORACLE: dict[str, str] = {
                value AS f_near_error_value
         FROM ranked WHERE rn = 1
     """,
+    "q_join_asof_interp": """
+        WITH spine AS (
+            SELECT event_id, user_id, ts AS event_time
+            FROM events WHERE event_type = 'purchase'
+        ),
+        feats AS (
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, ts
+        ),
+        b AS (
+            SELECT event_id, value AS f_prev_val, fts AS f_prev_ts
+            FROM (
+                SELECT s.event_id, f.value, f.ts AS fts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.event_id ORDER BY f.ts DESC
+                       ) AS rn
+                FROM spine s
+                LEFT JOIN feats f
+                  ON s.user_id = f.user_id AND f.ts <= s.event_time
+            ) WHERE rn = 1
+        ),
+        fw AS (
+            SELECT event_id, value AS f_next_val, fts AS f_next_ts
+            FROM (
+                SELECT s.event_id, f.value, f.ts AS fts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.event_id ORDER BY f.ts ASC
+                       ) AS rn
+                FROM spine s
+                LEFT JOIN feats f
+                  ON s.user_id = f.user_id AND f.ts >= s.event_time
+            ) WHERE rn = 1
+        )
+        SELECT s.event_id, s.user_id, s.event_time,
+               b.f_prev_val, fw.f_next_val,
+               CASE
+                 WHEN b.f_prev_val IS NOT NULL
+                      AND fw.f_next_val IS NOT NULL
+                      AND CAST(FLOOR(epoch(fw.f_next_ts)) AS BIGINT)
+                          > CAST(FLOOR(epoch(b.f_prev_ts)) AS BIGINT)
+                 THEN b.f_prev_val
+                      + (fw.f_next_val - b.f_prev_val)
+                      * (CAST(CAST(FLOOR(epoch(s.event_time)) AS BIGINT)
+                              - CAST(FLOOR(epoch(b.f_prev_ts)) AS BIGINT)
+                              AS DOUBLE)
+                         / CAST(CAST(FLOOR(epoch(fw.f_next_ts)) AS BIGINT)
+                                - CAST(FLOOR(epoch(b.f_prev_ts)) AS BIGINT)
+                                AS DOUBLE))
+                 WHEN b.f_prev_val IS NOT NULL
+                      AND fw.f_next_val IS NOT NULL
+                 THEN b.f_prev_val
+                 ELSE COALESCE(b.f_prev_val, fw.f_next_val)
+               END AS f_interp_val
+        FROM spine s
+        LEFT JOIN b ON s.event_id = b.event_id
+        LEFT JOIN fw ON s.event_id = fw.event_id
+    """,
     "q_join_asof": """
         WITH spine AS (
             SELECT event_id, user_id, ts AS event_time
@@ -1211,6 +1337,7 @@ QUERIES = {
     "q_join_left": q_join_left,
     "q_join_multi_fv": q_join_multi_fv,
     "q_join_asof": q_join_asof,
+    "q_join_asof_interp": q_join_asof_interp,
     "q_join_asof_near": q_join_asof_near,
     "q_join_asof_fwd": q_join_asof_fwd,
     "q_semi_anti": q_semi_anti,

@@ -1032,13 +1032,19 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LOWEST cell via min-distance-then-min-cell — pure relational,
     identically spelled in both engines.
 
-    Scale shape: one explode (n·64 rows) → broadcast join against the
-    512-literal-row centroid table → two map-side-combinable aggs for
-    assignment; pruning keeps n_probe/K of the corpus BEFORE the
-    rescore join (at 100 TB the cell is the partition key and this
-    filter is partition pruning — see IVFIndex.materialize); rescore
-    is one broadcast join against the 64-row query table. No Python in
-    any row path."""
+    Scale shape (r17 rewrite): the literal centroid table and query
+    vector are array-ified to ONE broadcast row; assignment is an
+    in-codegen ROW-LOCAL argmin over the 8 cells (array_min over
+    (d2, cell) structs = the min-distance-then-min-cell rule; each d2 a
+    64-lane zip_with/aggregate — the q_centroid_classify/q_cluster_kmeans
+    pattern), pruning keeps n_probe/K of the corpus BEFORE the rescore
+    (at 100 TB the cell is the partition key and this filter is
+    partition pruning — see IVFIndex.materialize), and the rescore dot
+    is the same row-local zip_with against the broadcast query array —
+    ZERO data shuffles before the TakeOrderedAndProject. The pre-r17
+    spelling exploded to n·64 rows, joined the 512-literal-row centroid
+    table, and shuffled n·K distance groups + an argmin join-back + a
+    rescore join. No Python in any row path."""
     cent_rows, q_rows, nq, probe = _ivf_portable_consts()
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
     base = e.select(
@@ -1048,39 +1054,57 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
     cent = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
-    dist = (
-        el.join(F.broadcast(cent), el["_d"] == cent["d"])
-        .groupBy("vec_id", "cell")
+    carr = (
+        cent.groupBy("cell")
         .agg(
-            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
-            .cast("long")
-            .alias("_d2")
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, c))), p -> p.c)"
+            ).alias("_cv")
+        )
+        .agg(
+            F.expr("array_sort(collect_list(struct(cell, _cv)))").alias(
+                "_cents"
+            )
         )
     )
-    mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
-    assign = (
-        dist.join(mind, "vec_id")
-        .filter(F.col("_d2") == F.col("_m"))
-        .groupBy("vec_id")
-        .agg(F.min("cell").cast("long").alias("f_cell"))
-    )
-    cand = assign.filter(F.col("f_cell").isin([int(p) for p in probe]))
     qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    dots = (
-        el.join(cand.select("vec_id", "f_cell"), "vec_id")
-        .join(F.broadcast(qdf), el["_d"] == qdf["d"])
-        .groupBy("vec_id", "f_cell")
-        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    qarr = qdf.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
+        ).alias("_qv")
+    )
+    consts = carr.crossJoin(qarr)
+    # row-local argmin assignment; coalesce keeps NULL-element semantics
+    # identical to the oracle's NULL-skipping SUM
+    assigned = base.crossJoin(F.broadcast(consts)).select(
+        "vec_id",
+        "_xq",
+        "_na",
+        "_qv",
+        F.expr(
+            "CAST(array_min(transform(_cents, ct -> struct("
+            " aggregate(zip_with(_xq, ct._cv, (x, c) ->"
+            "  coalesce((x - c) * (x - c), cast(0 as bigint))),"
+            "  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
+            " ct.cell AS cell))).cell AS BIGINT)"
+        ).alias("f_cell"),
+    )
+    cand = assigned.filter(F.col("f_cell").isin([int(p) for p in probe]))
+    dots = cand.withColumn(
+        "_dot",
+        F.expr(
+            "aggregate(zip_with(_xq, _qv, (x, q) ->"
+            " coalesce(x * q, cast(0 as bigint))),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ),
     )
     cos = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_na").cast("double"))
         * F.sqrt(F.lit(float(nq)))
     )
     return (
-        dots.join(base.select("vec_id", "_na"), "vec_id")
-        .select(
+        dots.select(
             "vec_id",
             "f_cell",
             (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias(
@@ -1172,9 +1196,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the IVF side prunes to n_probe/K of the corpus before its
     rescore; the exact side is the brute-force baseline an eval runs
-    ONCE per index build (n·64 narrow rows through one agg +
-    TakeOrderedAndProject — the q_sim_topk shape); the recall join is
-    10×10 rows."""
+    ONCE per index build (r17: a ROW-LOCAL zip_with dot against the
+    broadcast query array + TakeOrderedAndProject — zero shuffles; was
+    an n·64 explode + broadcast join + n-key agg + join-back); the
+    recall join is 10×10 rows."""
     cent_rows, q_rows, nq, probe = _ivf_portable_consts()
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
     base = e.select(
@@ -1184,19 +1209,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
     qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    dots = (
-        el.join(F.broadcast(qdf), el["_d"] == qdf["d"])
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    qarr = qdf.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
+        ).alias("_qv")
+    )
+    dots = base.crossJoin(F.broadcast(qarr)).withColumn(
+        "_dot",
+        F.expr(
+            "aggregate(zip_with(_xq, _qv, (x, q) ->"
+            " coalesce(x * q, cast(0 as bigint))),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ),
     )
     cos = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
     )
     exact = (
-        dots.join(base.select("vec_id", "_na"), "vec_id")
-        .select(
+        dots.select(
             "vec_id",
             (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias("_cos"),
         )
@@ -1324,11 +1355,19 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent float codebooks no oracle can replay) — this key
     pins encode, table build, ADC scan, and re-rank semantics.
 
-    Scale shape: encode is one explode (n·64 rows) → broadcast join
-    against the 1024-literal-row codebook → two map-side-combinable
-    aggs; the ADC scan touches only the CODES (m smallint columns per
-    vector in production — see PQIndex), never the raw vectors; the
-    re-rank join feeds a 50-row frame. No Python in any row path."""
+    Scale shape (r17 rewrite): the 1024-row literal codebook, the
+    in-engine ADC table and the query vector are array-ified to ONE
+    broadcast row; the encode is a ROW-LOCAL per-subspace argmin
+    (array_min over (d2, code) structs = the min-distance-then-min-code
+    rule; each d2 an 8-lane zip_with/aggregate over the subspace
+    slice), the ADC sum is a row-local zip of the codes against the
+    table, and the re-rank dot is the row-local zip_with against the
+    broadcast query — ZERO data shuffles before the two
+    TakeOrderedAndProjects. The ADC scan still touches only the CODES
+    (m smallint columns per vector in production — see PQIndex). The
+    pre-r17 spelling exploded to n·64 rows, joined the codebook into
+    n·M·CODES distance groups, and paid an argmin join-back + two
+    more joins for ADC and re-rank. No Python in any row path."""
     cb_rows, q_rows, nq = _pq_portable_consts()
     e = _emb(spark, sf_dir).filter(
         F.size("embedding") == _PQP_M * _PQP_SUBDIM
@@ -1340,38 +1379,33 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    el = base.select(
-        "vec_id", F.posexplode("_xq").alias("_d", "_x")
-    ).select(
-        "vec_id",
-        "_d",
-        "_x",
-        F.expr(f"_d div {_PQP_SUBDIM}").cast("int").alias("_sub"),
-        (F.col("_d") % _PQP_SUBDIM).cast("int").alias("_dsub"),
-    )
     cb = literal_df(
         spark, cb_rows, "sub INT, code INT, dsub INT, c LONG"
     )
-    sdist = (
-        el.join(
-            F.broadcast(cb),
-            (el["_sub"] == cb["sub"]) & (el["_dsub"] == cb["dsub"]),
-        )
-        .groupBy("vec_id", "sub", "code")
+    # codebook → one row: _cbs[sub] = sorted (code, _cv[dsub]) structs
+    cbarr = (
+        cb.groupBy("sub", "code")
         .agg(
-            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
-            .cast("long")
-            .alias("_d2")
+            F.expr(
+                "transform(array_sort(collect_list(struct(dsub, c))),"
+                " p -> p.c)"
+            ).alias("_cv")
+        )
+        .groupBy("sub")
+        .agg(
+            F.expr("array_sort(collect_list(struct(code, _cv)))").alias(
+                "_codes"
+            )
+        )
+        .agg(
+            F.expr("array_sort(collect_list(struct(sub, _codes)))").alias(
+                "_cbs"
+            )
         )
     )
-    mind = sdist.groupBy("vec_id", "sub").agg(F.min("_d2").alias("_m"))
-    enc = (
-        sdist.join(mind, ["vec_id", "sub"])
-        .filter(F.col("_d2") == F.col("_m"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min("code").alias("code"))
-    )
-    # ADC table from the SAME literals, in-engine: dt(sub, code)
+    # ADC table from the SAME literals, in-engine: dt(sub, code) →
+    # one row: _dtarr[sub][code] (both indices complete and contiguous
+    # by construction of the literal codebook)
     qdf = literal_df(spark, q_rows, "d INT, qv LONG")
     qsub = qdf.select(
         F.expr(f"d div {_PQP_SUBDIM}").cast("int").alias("sub"),
@@ -1387,26 +1421,65 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_dt")
         )
     )
-    adc = (
-        enc.join(F.broadcast(dt), ["sub", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("_dt").cast("long").alias("f_adc"))
+    dtarr = (
+        dt.groupBy("sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, _dt))),"
+                " p -> p._dt)"
+            ).alias("_dts")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, _dts))),"
+                " p -> p._dts)"
+            ).alias("_dtarr")
+        )
+    )
+    qarr = qdf.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
+        ).alias("_qv")
+    )
+    consts = cbarr.crossJoin(dtarr).crossJoin(qarr)
+    # row-local per-subspace argmin encode; coalesce keeps NULL-element
+    # semantics identical to the oracle's NULL-skipping SUM
+    enc = base.crossJoin(F.broadcast(consts)).withColumn(
+        "_enc",
+        F.expr(
+            f"transform(_cbs, sb -> array_min(transform(sb._codes, cd ->"
+            f" struct(aggregate(zip_with("
+            f"  slice(_xq, sb.sub * {_PQP_SUBDIM} + 1, {_PQP_SUBDIM}),"
+            f"  cd._cv, (x, c) ->"
+            f"  coalesce((x - c) * (x - c), cast(0 as bigint))),"
+            f"  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
+            f" cd.code AS code))))"
+        ),
+    )
+    adc = enc.withColumn(
+        "f_adc",
+        F.expr(
+            "aggregate(zip_with(_enc, _dtarr,"
+            " (e2, dts) -> element_at(dts, e2.code + 1)),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ),
     )
     cand = adc.orderBy(F.col("f_adc").asc(), F.col("vec_id").asc()).limit(
         _PQP_CAND
     )
-    dots = (
-        el.join(cand, "vec_id")
-        .join(F.broadcast(qdf), el["_d"] == qdf["d"])
-        .groupBy("vec_id", "f_adc")
-        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    dots = cand.withColumn(
+        "_dot",
+        F.expr(
+            "aggregate(zip_with(_xq, _qv, (x, q) ->"
+            " coalesce(x * q, cast(0 as bigint))),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ),
     )
     cos = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
     )
     return (
-        dots.join(base.select("vec_id", "_na"), "vec_id")
-        .select(
+        dots.select(
             "vec_id",
             "f_adc",
             (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias(
@@ -1863,13 +1936,20 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the update table and later assignments — deterministic, both
     engines. Ties argmin to the lowest cell everywhere.
 
-    Scale shape: each iteration is one explode (n·64 narrow rows) → a
-    broadcast join against a ≤256-row centroid frame → two map-side-
-    combinable aggs; the updated centroid table is K×D ≤ 256 rows BY
-    CONSTRUCTION (bounded universe → broadcast is safe at any corpus
-    size); no window, no cartesian product, no Python in any row path.
-    This IS production Lloyd on Spark — more iterations repeat the same
-    two-shuffle template (IVFIndex.train runs the float version)."""
+    Scale shape (r17 rewrite): the centroid table is array-ified to
+    ONE broadcast row (K×D ≤ 256 values BY CONSTRUCTION — bounded
+    universe) and each iteration's assignment runs ROW-LOCALLY — an
+    in-codegen argmin over the K cells (array_min over (d2, cell)
+    structs IS the ties→lowest-cell rule; each d2 a 64-lane
+    zip_with/aggregate — the q_centroid_classify r16 pattern taken one
+    step further: no per-(vec, cell) rows AT ALL, so no argmin shuffle,
+    no checkpoint, no join-back). Per iteration the only exchange is
+    the ≤256-key centroid-update agg; the final inertia agg is the one
+    other shuffle. The pre-r17 spelling exploded to n·64 rows joined
+    against the K×D frame and shuffled n·K distance groups behind a
+    checkpoint, twice. No window, no Python in any row path. This IS
+    production Lloyd on Spark — more iterations repeat the same
+    one-shuffle template (IVFIndex.train runs the float version)."""
     cent_rows = _km_init_consts()
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _KM_DIM)
     base = e.select(
@@ -1879,38 +1959,50 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     )
-    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        # dist feeds BOTH the per-vector min and the argmin join — the
-        # lazy checkpoint executes the shuffle agg once, not twice
-        dist = (
-            el.join(F.broadcast(cent_df), el["_d"] == cent_df["d"])
-            .groupBy("vec_id", "cell")
+    def cent_arr(cent_df: DataFrame) -> DataFrame:
+        # (cell, d, c) rows → ONE row holding array<struct<cell, _cv>>,
+        # _cv ordered by d (array_sort on the (d, c) struct prefix)
+        return (
+            cent_df.groupBy("cell")
             .agg(
-                F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
-                .cast("long")
-                .alias("_d2")
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, c))),"
+                    " p -> p.c)"
+                ).alias("_cv")
+            )
+            .agg(
+                F.expr("array_sort(collect_list(struct(cell, _cv)))").alias(
+                    "_cents"
+                )
             )
         )
-        dist = _ckpt(dist)
-        mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
-        return (
-            dist.join(mind, "vec_id")
-            .filter(F.col("_d2") == F.col("_m"))
-            .groupBy("vec_id")
-            .agg(
-                F.min("cell").cast("int").alias("cell"),
-                F.min(F.when(F.col("_d2") == F.col("_m"), F.col("_d2")))
-                .cast("long")
-                .alias("_dist"),
-            )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        # row-local argmin over the broadcast 1-row centroid array; the
+        # coalesce keeps NULL-element semantics identical to the
+        # oracle's NULL-skipping SUM (the q_centroid_classify catch)
+        return base.crossJoin(F.broadcast(cent_arr(cent_df))).select(
+            "vec_id",
+            "_xq",
+            F.expr(
+                "array_min(transform(_cents, ct -> struct("
+                " aggregate(zip_with(_xq, ct._cv, (x, c) ->"
+                "  coalesce((x - c) * (x - c), cast(0 as bigint))),"
+                "  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
+                " ct.cell AS cell)))"
+            ).alias("_m"),
+        ).select(
+            "vec_id",
+            "_xq",
+            F.col("_m.cell").cast("int").alias("cell"),
+            F.col("_m._d2").cast("long").alias("_dist"),
         )
 
     cent1 = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
     a1 = assign(cent1)
     cent2 = (
-        el.join(a1.select("vec_id", "cell"), "vec_id")
+        a1.select("cell", F.posexplode("_xq").alias("_d", "_x"))
         .groupBy("cell", "_d")
         .agg(
             F.sum("_x").cast("long").alias("_sx"),

@@ -302,11 +302,14 @@ def q_join_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``prev + (next − prev) · w`` with double division of exact
     BIGINT second deltas) — IEEE-identical, no rounding.
 
-    Scale: two ``asof_join`` passes (backward + forward), each the
-    union+last single-shuffle strategy on the entity key — 2 shuffles
-    total, no join explosion; a fused one-pass spelling rides the
-    'nearest' union machinery if the second shuffle ever matters."""
-    from ..pit import asof_join
+    Scale (r17): ONE fused ``asof_join_bracket`` pass — both bracket
+    sides out of a single union shuffle on the entity key (the
+    'nearest' window machinery, two frames over one sort), no join
+    explosion. The pre-r17 spelling paid two sequential ``asof_join``
+    union shuffles; the fused form is exact because the feature side
+    is unique per (user, ts) BY CONSTRUCTION (the max(value)
+    pre-aggregation — asof_join_bracket's documented precondition)."""
+    from ..pit import asof_join_bracket
 
     ev = _t(spark, sf_dir, "events")
     spine = ev.filter(F.col("event_type") == "purchase").select(
@@ -315,24 +318,19 @@ def q_join_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         ev.filter(F.col("event_type") == "error")
         .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("_v"))
+        .agg(F.max("value").alias("_fv"))
+        .withColumn("_fts", F.col("ts"))
     )
-    back = feats.select(
-        "user_id", "ts",
-        F.col("_v").alias("f_prev_val"), F.col("ts").alias("f_prev_ts"),
-    )
-    fwd = feats.select(
-        "user_id", "ts",
-        F.col("_v").alias("f_next_val"), F.col("ts").alias("f_next_ts"),
-    )
-    j = asof_join(
-        spine, back, on=["user_id"], spine_ts="event_time",
-        feature_ts="ts", feature_cols=["f_prev_val", "f_prev_ts"],
-    )
-    j = asof_join(
-        j, fwd, on=["user_id"], spine_ts="event_time",
-        feature_ts="ts", feature_cols=["f_next_val", "f_next_ts"],
-        direction="forward",
+    j = asof_join_bracket(
+        spine, feats, on=["user_id"], spine_ts="event_time",
+        feature_ts="ts", feature_cols=["_fv", "_fts"],
+        back_suffix="_p", fwd_suffix="_n",
+    ).select(
+        "event_id", "user_id", "event_time",
+        F.col("_fv_p").alias("f_prev_val"),
+        F.col("_fts_p").alias("f_prev_ts"),
+        F.col("_fv_n").alias("f_next_val"),
+        F.col("_fts_n").alias("f_next_ts"),
     )
     te = F.unix_timestamp("event_time")
     t0 = F.unix_timestamp("f_prev_ts")

@@ -1145,12 +1145,19 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gates. Normalization reuses the q_dedup_normalized spelling
     (explicit ASCII classes, DuckDB 'g' flag).
 
-    Scale shape: the block key is a hash-shuffle key (one shuffle);
-    blocks larger than 64 rows are EXCLUDED before the self-join (the
-    Σ block² ≤ cap·n bound of q_dedup_ngram — mega-blocks mean the
-    prefix is boilerplate and belong to the MinHash path, not O(b²)
-    pair scoring); the O(cmp²) Levenshtein DP runs per surviving pair
-    only, 200×200 ints in codegen. No Python in any row path."""
+    Scale shape: the block key is a hash-shuffle key (ONE shuffle —
+    r17: the block-size gate is a count window over that same exchange
+    instead of a separate agg + join, and the self-join's two legs are
+    ReusedExchange reads of it); blocks larger than 64 rows are
+    EXCLUDED before the self-join (the Σ block² ≤ cap·n bound of
+    q_dedup_ngram — mega-blocks mean the prefix is boilerplate and
+    belong to the MinHash path, not O(b²) pair scoring); the
+    Levenshtein DP runs per surviving pair only, THRESHOLD-BOUNDED
+    (r17: the banded O(cmp·lev_max) DP — exact distance for every kept
+    pair, −1 past the bound, identical kept rows) in codegen. No
+    Python in any row path."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(
@@ -1164,11 +1171,9 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, _EDIT_CMP_CHARS).alias("_head"),
         F.substring(norm, 1, _EDIT_BLOCK_CHARS).alias("_bkey"),
     ).filter(F.length(norm) >= _EDIT_BLOCK_CHARS)
-    sizes = docs.groupBy("_bkey").agg(F.count("*").alias("_bn"))
-    blocked = docs.join(
-        sizes.filter(F.col("_bn") <= _EDIT_BLOCK_CAP).select("_bkey"),
-        "_bkey",
-    )
+    blocked = docs.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("_bkey"))
+    ).filter(F.col("_bn") <= _EDIT_BLOCK_CAP)
     a = blocked.select(
         F.col("_bkey"),
         F.col("doc_id").alias("f_id_a"),
@@ -1183,9 +1188,16 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "_bkey")
         .filter(F.col("f_id_a") < F.col("f_id_b"))
         .withColumn(
-            "f_lev", F.levenshtein(F.col("_ha"), F.col("_hb")).cast("long")
+            "f_lev",
+            F.levenshtein(
+                F.col("_ha"), F.col("_hb"), threshold=_EDIT_MAX_LEV
+            ).cast("long"),
         )
-        .filter(F.col("f_lev") <= _EDIT_MAX_LEV)
+        # thresholded levenshtein returns -1 ABOVE the bound — the
+        # lower bound keeps the row set identical to the unbounded form
+        .filter(
+            (F.col("f_lev") >= 0) & (F.col("f_lev") <= _EDIT_MAX_LEV)
+        )
     )
     return pairs.select("f_id_a", "f_id_b", "f_lev").orderBy(
         F.col("f_lev").asc(), F.col("f_id_a").asc(), F.col("f_id_b").asc()
@@ -1245,26 +1257,40 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: top-10 nodes by triangle membership (each triangle credits
     all 3 corners), count-desc / id-asc.
 
-    Scale shape: the co-occurrence build is the data-scale part — one
-    distinct projection of (order, part) and one self-equi-join on the
-    order key, aggregated map-side-combinably to the pair key with the
-    support HAVING pushed into the aggregate; the triangle phase runs
-    on the SUPPORT-PRUNED edge list with two hash-equi-joins on node
-    keys (the degree orientation is exactly what bounds the wedge
-    fan-out on hub nodes — the textbook O(m^1.5) bound). No window
-    over unbounded data, no cartesian join, no Python."""
+    Scale shape: the co-occurrence build is the data-scale part — ONE
+    shuffle on the order key (distinct parts per order via collect_set)
+    with the per-order pair expansion ROW-LOCAL in codegen (r17: was a
+    distinct projection + self-equi-join on the order key — two more
+    sorted exchanges + SMJ for the identical pair stream; per-order
+    part counts are schema-bounded (~4-7 parts/order at every TPC-H
+    SF), so the per-row array is bounded BY THE SCHEMA), aggregated
+    map-side-combinably to the pair key with the support HAVING pushed
+    into the aggregate; the triangle phase runs on the SUPPORT-PRUNED
+    edge list with two hash-equi-joins on node keys (the degree
+    orientation is exactly what bounds the wedge fan-out on hub nodes —
+    the textbook O(m^1.5) bound). No window over unbounded data, no
+    cartesian join, no Python."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )
     # lazy checkpoints cut the lineage of the two multiply-referenced
     # frames (pairs feeds deg + the orientation; oe feeds THREE join
     # legs) — without them every leg re-executes the whole co-occurrence
     # build (the q_pagerank per-round discipline)
+    byo = li.groupBy("o").agg(
+        F.array_sort(F.collect_set("p")).alias("_ps")
+    )
     pairs = (
-        li.alias("a")
-        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
-        .filter(F.col("a.p") < F.col("b.p"))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        byo.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) ->"
+                    " transform(slice(_ps, i + 2, size(_ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("_pr")
+        )
+        .groupBy(F.col("_pr.u").alias("u"), F.col("_pr.v").alias("v"))
         .agg(F.count("*").alias("_w"))
         .filter(F.col("_w") >= _TRI_MIN_W)
         .select("u", "v")

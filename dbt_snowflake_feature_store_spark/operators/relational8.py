@@ -465,11 +465,18 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey tiebreak). No INTERVAL/date arithmetic crosses the engine
     boundary — epoch seconds + 86400·quantity on both sides.
 
-    Scale: the self-join is EQUI on l_partkey with the overlap
-    predicate as a post-join filter — per-part multiplicity is a
-    schema-fixed ratio (~30 lines/part at every TPC-H SF), so the pair
-    count per key is bounded and the total output linear in SF; the
-    shuffle is the partkey sort-merge you'd want. A keyless interval
+    Scale (r17 rewrite): ONE map-side-combinable-free shuffle on
+    l_partkey (collect_list per part) and the pair expansion runs
+    ROW-LOCALLY in whole-stage codegen over the sorted per-part array —
+    per-part multiplicity is a schema-fixed ratio (~30 lines/part at
+    every TPC-H SF), so the per-row array and its ≤ ~m²/2 pair scan are
+    bounded BY THE SCHEMA at any SF. The pre-r17 spelling was a partkey
+    equi self-join (two sorted exchanges + SMJ + a second agg exchange)
+    whose pair stream carried the identical comparisons; same output,
+    one exchange instead of three, no join machinery. The array sorts
+    on (orderkey, linenumber) — the PK, so position order i<j IS the
+    strict dedup ordering. Parts with zero overlapping pairs are
+    filtered (the join produced no group for them). A keyless interval
     join would instead bucket by coarse time slices (explode to
     slice keys → equi-join → exact refine); documented here as the
     scale path for that shape."""
@@ -483,27 +490,30 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 86400 * CAST(l_quantity AS BIGINT) AS BIGINT)"
         ).alias("_e"),
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_partkey") == F.col("b.l_partkey"))
-        & (
-            (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
-            | (
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
-            )
-        )
-        & (F.col("a._s") <= F.col("b._e"))
-        & (F.col("b._s") <= F.col("a._e")),
+    grouped = li.groupBy(F.col("l_partkey").alias("f_partkey")).agg(
+        F.expr(
+            "array_sort(collect_list(struct("
+            "l_orderkey AS ok, l_linenumber AS ln, _s AS s, _e AS e)))"
+        ).alias("_arr")
     )
-    agg = pairs.groupBy(F.col("a.l_partkey").alias("f_partkey")).agg(
-        F.count("*").cast("long").alias("f_pairs"),
-        F.max(
-            F.expr(
-                "CAST((LEAST(a._e, b._e) - GREATEST(a._s, b._s))"
-                " DIV 86400 AS BIGINT)"
-            )
+    # overlapping (i < j) pairs of the sorted array, in codegen; the
+    # filter keeps s1 <= e2 AND s2 <= e1 (same predicate as the join)
+    pairs = grouped.select(
+        "f_partkey",
+        F.expr(
+            "filter(flatten(transform(_arr, (x, i) ->"
+            " transform(slice(_arr, i + 2, size(_arr)),"
+            " y -> struct(x.s AS s1, x.e AS e1, y.s AS s2, y.e AS e2)))),"
+            " p -> p.s1 <= p.e2 AND p.s2 <= p.e1)"
+        ).alias("_p"),
+    ).filter(F.size("_p") > 0)
+    agg = pairs.select(
+        "f_partkey",
+        F.size("_p").cast("long").alias("f_pairs"),
+        F.expr(
+            "CAST(array_max(transform(_p, p ->"
+            " (LEAST(p.e1, p.e2) - GREATEST(p.s1, p.s2)) DIV 86400))"
+            " AS BIGINT)"
         ).alias("f_max_overlap_days"),
     )
     return agg.orderBy(

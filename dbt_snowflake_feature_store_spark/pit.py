@@ -321,6 +321,114 @@ def _asof_union(
     return out.select(*[F.col(c) for c in spine_cols], *sel)
 
 
+def asof_join_bracket(
+    spine: DataFrame,
+    features: DataFrame,
+    on: Sequence[str],
+    spine_ts: str,
+    feature_ts: str,
+    feature_cols: Sequence[str],
+    back_suffix: str = "_prev",
+    fwd_suffix: str = "_next",
+) -> DataFrame:
+    """FUSED backward+forward as-of join (r17): for each spine row,
+    attach BOTH the latest feature row at-or-before ``spine_ts`` and
+    the earliest at-or-after it, per entity key, in ONE union shuffle —
+    the interpolating as-of join's bracket, which two sequential
+    ``asof_join`` passes would pay two entity-key shuffles for. Both
+    direction candidates come out of one sorted window pass (the
+    'nearest' machinery): the backward frame carries the latest
+    at-or-before row forward; the forward frame looks ahead to the
+    earliest strictly-after row; an exact-timestamp match is served by
+    the backward frame (it IS the at-or-after row too).
+
+    PRECONDITION (documented, asserted by the caller's construction):
+    the feature side is UNIQUE per (key, feature_ts). With duplicates,
+    the inclusive-forward row at an exact-timestamp tie would be the
+    backward pass's hash-tiebreak pick rather than the forward pass's —
+    the two sequential-pass spelling and this fused one agree only when
+    (key, ts) has a single row, which every caller guarantees with a
+    pre-aggregation (q_join_asof_interp collapses to max(value) per
+    (user, ts)).
+
+    Output: every spine column, then ``{c}{back_suffix}`` and
+    ``{c}{fwd_suffix}`` for each feature column (NULL where that side
+    has no row; a NULL spine_ts matches neither side, exactly as the
+    sequential passes)."""
+    on = list(on)
+    feature_cols = list(feature_cols)
+    for k in on:
+        if k not in spine.columns:
+            raise ValidationError(f"as-of join key '{k}' missing from spine")
+        if k not in features.columns:
+            raise ValidationError(f"as-of join key '{k}' missing from features")
+    if spine_ts not in spine.columns:
+        raise ValidationError(f"spine timestamp '{spine_ts}' missing from spine")
+    if feature_ts not in features.columns:
+        raise ValidationError(
+            f"feature timestamp '{feature_ts}' missing from features"
+        )
+    spine_cols = spine.columns
+    features = features.filter(F.col(feature_ts).isNotNull())
+    tagged_spine = (
+        spine.withColumn(_IS_SPINE, F.lit(1))
+        .withColumn(_TS, F.col(spine_ts))
+        .withColumn("__fs_row", F.lit(None))
+    )
+    feat_struct = F.struct(
+        F.col(feature_ts).alias("__fs_row_ts"),
+        *[F.col(c).alias(c) for c in feature_cols],
+    )
+    tagged_feat = features.select(
+        *on,
+        F.col(feature_ts).alias(_TS),
+        feat_struct.alias("__fs_row"),
+    ).withColumn(_IS_SPINE, F.lit(0))
+    for c in spine_cols:
+        if c not in on:
+            tagged_feat = tagged_feat.withColumn(c, F.lit(None))
+    unioned = tagged_spine.unionByName(tagged_feat.select(tagged_spine.columns))
+
+    # ONE sort order serves both frames (the 'nearest' trick): feature
+    # rows sort before spine rows at equal ts, so the backward frame is
+    # inclusive and the forward frame strictly-after; NULL-ts spine rows
+    # sort first (asc nulls-first) so their backward side is naturally
+    # NULL and the forward side is masked below.
+    order = [
+        F.col(_TS).asc(), F.col(_IS_SPINE).asc(), F.xxhash64("__fs_row").asc()
+    ]
+    w_b = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.withColumn(
+        "__fs_back", F.last("__fs_row", ignorenulls=True).over(w_b)
+    ).withColumn(
+        "__fs_fwd_strict", F.first("__fs_row", ignorenulls=True).over(w_f)
+    )
+    out = filled.filter(F.col(_IS_SPINE) == 1)
+    st = F.col(spine_ts)
+    back = F.col("__fs_back")
+    # inclusive forward: an exact-ts feature row is the backward pick
+    # (unique per (key, ts) by precondition); NULL spine_ts → no match
+    fwd = (
+        F.when(st.isNull(), F.lit(None))
+        .when(back.getField("__fs_row_ts") == st, back)
+        .otherwise(F.col("__fs_fwd_strict"))
+    )
+    return out.select(
+        *[F.col(c) for c in spine_cols],
+        *[back.getField(c).alias(f"{c}{back_suffix}") for c in feature_cols],
+        *[fwd.getField(c).alias(f"{c}{fwd_suffix}") for c in feature_cols],
+    )
+
+
 def _asof_broadcast(
     spine: DataFrame,
     features: DataFrame,

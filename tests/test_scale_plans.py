@@ -618,7 +618,10 @@ def test_bm25_single_pass_no_token_shuffle(spark):
 def test_dedup_edit_blocked_equi_join(spark):
     """q_dedup_edit's scale contract: the pair join is an EQUI join on
     the block key (hash-shuffleable at any scale), never a cartesian /
-    nested-loop product, and no unpartitioned window exists."""
+    nested-loop product, and no unpartitioned window exists (r17: the
+    block-size gate IS a window now — a count over the block-key
+    partition riding the join's own exchange — so the pin checks the
+    window is PARTITIONED rather than absent)."""
     from dbt_snowflake_feature_store_spark.operators.relational5 import (
         q_dedup_edit,
     )
@@ -626,7 +629,16 @@ def test_dedup_edit_blocked_equi_join(spark):
     plan = _executed_plan(q_dedup_edit(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" not in plan
+    # every window node must partition by the block key (the ORDER-less
+    # count window prints only two bracket groups, so the generic
+    # _unpartitioned_window_lines helper can't classify it)
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln or "RunningWindowFunction [" in ln
+    ]
+    assert win_lines, plan  # the r17 block-size gate is a window
+    for ln in win_lines:
+        assert "windowspecdefinition(_bkey" in ln, ln
 
 
 def test_dedup_edit_block_cap_bounds_pairs(spark):

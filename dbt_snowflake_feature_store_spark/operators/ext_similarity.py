@@ -1632,13 +1632,19 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVFPQIndex trains data-dependent float codebooks no oracle can
     replay).
 
-    Scale shape: assignment is one explode (n·64 rows) → broadcast
-    join vs the 512-literal-row centroid table → map-side-combinable
-    aggs; pruning keeps n_probe/K of the corpus BEFORE the residual
-    encode (partition pruning on the cell key at 100 TB — see
-    IVFPQIndex.materialize); encode is a second broadcast join vs the
-    1024-row codebook; the ADC scan touches only codes; the re-rank
-    join feeds a 50-row frame. No Python in any row path."""
+    Scale shape (r17 rewrite): every literal table — coarse centroids,
+    codebooks, the per-probe-cell ADC tables (still built IN-ENGINE
+    from the same literals) and the query — is array-ified to ONE
+    broadcast row; assignment, probe pruning, residual computation,
+    per-subspace argmin encode, ADC sum and the re-rank dot all run
+    ROW-LOCALLY in whole-stage codegen (the q_cluster_kmeans /
+    q_sim_pq_portable pattern) — ZERO data shuffles before the two
+    TakeOrderedAndProjects. Pruning still keeps n_probe/K of the
+    corpus BEFORE the residual encode (partition pruning on the cell
+    key at 100 TB — see IVFPQIndex.materialize); the ADC scan still
+    touches only codes. The pre-r17 spelling exploded to n·64 rows and
+    paid five join/agg exchanges for the same arithmetic. No Python in
+    any row path."""
     cent_rows, q_rows, nq, probe = _ivf_portable_consts()
     cb_rows = _ivfpq_portable_consts()
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
@@ -1649,59 +1655,43 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
     cent = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
-    dist = (
-        el.join(F.broadcast(cent), el["_d"] == cent["d"])
-        .groupBy("vec_id", "cell")
+    # centroids → one row: _cents[cell] (cells 0..K-1 complete and
+    # contiguous by construction, so element_at(_cents, cell+1) works)
+    carr = (
+        cent.groupBy("cell")
         .agg(
-            F.sum((F.col("_x") - F.col("c")) * (F.col("_x") - F.col("c")))
-            .cast("long")
-            .alias("_d2")
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, c))), p -> p.c)"
+            ).alias("_cv")
         )
-    )
-    mind = dist.groupBy("vec_id").agg(F.min("_d2").alias("_m"))
-    assign = (
-        dist.join(mind, "vec_id")
-        .filter(F.col("_d2") == F.col("_m"))
-        .groupBy("vec_id")
-        .agg(F.min("cell").cast("int").alias("f_cell"))
-    )
-    cand0 = assign.filter(F.col("f_cell").isin([int(p) for p in probe]))
-    # residuals of the surviving vectors against their own centroid
-    res = (
-        el.join(cand0, "vec_id")
-        .join(
-            F.broadcast(cent),
-            (F.col("f_cell") == cent["cell"]) & (el["_d"] == cent["d"]),
-        )
-        .select(
-            "vec_id",
-            "f_cell",
-            F.expr(f"_d div {_IVFPQP_SUBDIM}").cast("int").alias("_sub"),
-            (F.col("_d") % _IVFPQP_SUBDIM).cast("int").alias("_dsub"),
-            (F.col("_x") - F.col("c")).alias("_r"),
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cell, _cv))),"
+                " p -> p._cv)"
+            ).alias("_cents")
         )
     )
     cb = literal_df(spark, cb_rows, "sub INT, code INT, dsub INT, c LONG")
-    sdist = (
-        res.join(
-            F.broadcast(cb),
-            (res["_sub"] == cb["sub"]) & (res["_dsub"] == cb["dsub"]),
-        )
-        .groupBy("vec_id", "f_cell", "sub", "code")
+    cbarr = (
+        cb.groupBy("sub", "code")
         .agg(
-            F.sum((F.col("_r") - F.col("c")) * (F.col("_r") - F.col("c")))
-            .cast("long")
-            .alias("_d2")
+            F.expr(
+                "transform(array_sort(collect_list(struct(dsub, c))),"
+                " p -> p.c)"
+            ).alias("_cv")
         )
-    )
-    minc = sdist.groupBy("vec_id", "sub").agg(F.min("_d2").alias("_m"))
-    enc = (
-        sdist.join(minc, ["vec_id", "sub"])
-        .filter(F.col("_d2") == F.col("_m"))
-        .groupBy("vec_id", "f_cell", "sub")
-        .agg(F.min("code").alias("code"))
+        .groupBy("sub")
+        .agg(
+            F.expr("array_sort(collect_list(struct(code, _cv)))").alias(
+                "_codes"
+            )
+        )
+        .agg(
+            F.expr("array_sort(collect_list(struct(sub, _codes)))").alias(
+                "_cbs"
+            )
+        )
     )
     # per-probe-cell ADC tables from the SAME literals, in-engine:
     # residual query qr(cell, d) = q − cent[cell], dt(cell, sub, code)
@@ -1730,39 +1720,95 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_dt")
         )
     )
-    # rename dt's keys before joining: enc and dt both descend from cb,
-    # so same-name column refs would resolve to shared attribute ids
-    dtr = dt.select(
-        F.col("cell").alias("_dc"),
-        F.col("sub").alias("_ds"),
-        F.col("code").alias("_dcode"),
-        "_dt",
-    )
-    adc = (
-        enc.join(
-            F.broadcast(dtr),
-            (F.col("f_cell") == F.col("_dc"))
-            & (F.col("sub") == F.col("_ds"))
-            & (F.col("code") == F.col("_dcode")),
+    # dt → one row: _dtc = sorted (cell, dts[sub][code]) structs (only
+    # the probe cells exist — looked up by cell value, not position)
+    dtarr = (
+        dt.groupBy("cell", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, _dt))),"
+                " p -> p._dt)"
+            ).alias("_dts")
         )
-        .groupBy("vec_id", "f_cell")
-        .agg(F.sum("_dt").cast("long").alias("f_adc"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, _dts))),"
+                " p -> p._dts)"
+            ).alias("_dtss")
+        )
+        .agg(
+            F.expr("array_sort(collect_list(struct(cell, _dtss)))").alias(
+                "_dtc"
+            )
+        )
+    )
+    qarr = qdf.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
+        ).alias("_qv")
+    )
+    consts = carr.crossJoin(cbarr).crossJoin(dtarr).crossJoin(qarr)
+    # row-local argmin cell assignment (coalesce = the oracle's
+    # NULL-skipping SUM), then probe pruning BEFORE any residual work
+    assigned = base.crossJoin(F.broadcast(consts)).withColumn(
+        "f_cell",
+        F.expr(
+            "array_min(transform(sequence(0, size(_cents) - 1), cl ->"
+            " struct(aggregate(zip_with(_xq, element_at(_cents, cl + 1),"
+            "  (x, c) -> coalesce((x - c) * (x - c), cast(0 as bigint))),"
+            "  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
+            " cl AS cell))).cell"
+        ),
+    )
+    cand0 = assigned.filter(F.col("f_cell").isin([int(p) for p in probe]))
+    # residual against the assigned centroid, then the per-subspace
+    # argmin encode and the ADC sum over this cell's distance table
+    res = cand0.withColumn(
+        "_r",
+        F.expr("zip_with(_xq, element_at(_cents, f_cell + 1), (x, c) -> x - c)"),
+    )
+    enc = res.withColumn(
+        "_enc",
+        F.expr(
+            f"transform(_cbs, sb -> array_min(transform(sb._codes, cd ->"
+            f" struct(aggregate(zip_with("
+            f"  slice(_r, sb.sub * {_IVFPQP_SUBDIM} + 1, {_IVFPQP_SUBDIM}),"
+            f"  cd._cv, (r, c) ->"
+            f"  coalesce((r - c) * (r - c), cast(0 as bigint))),"
+            f"  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
+            f" cd.code AS code))))"
+        ),
+    ).withColumn(
+        # map lookup keyed on the assigned cell (f_cell stays OUTSIDE
+        # any lambda — the HOF re-evaluation rule)
+        "_dts2",
+        F.expr("element_at(map_from_entries(_dtc), f_cell)"),
+    )
+    adc = enc.withColumn(
+        "f_adc",
+        F.expr(
+            "aggregate(zip_with(_enc, _dts2,"
+            " (e2, dts) -> element_at(dts, e2.code + 1)),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ),
     )
     cand = adc.orderBy(F.col("f_adc").asc(), F.col("vec_id").asc()).limit(
         _IVFPQP_CAND
     )
-    dots = (
-        el.join(cand, "vec_id")
-        .join(F.broadcast(qdf), el["_d"] == qdf["d"])
-        .groupBy("vec_id", "f_cell", "f_adc")
-        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    dots = cand.withColumn(
+        "_dot",
+        F.expr(
+            "aggregate(zip_with(_xq, _qv, (x, q) ->"
+            " coalesce(x * q, cast(0 as bigint))),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ),
     )
     cos = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
     )
     return (
-        dots.join(base.select("vec_id", "_na"), "vec_id")
-        .select(
+        dots.select(
             "vec_id",
             F.col("f_cell").cast("long").alias("f_cell"),
             "f_adc",
@@ -2263,16 +2309,20 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point ball. v₀ = all-ones·S fixes the sign convention
     deterministically. Output: 16 rows (f_d, f_v).
 
-    Scale shape: the data-scale part is the Gram build — centered
-    coords self-join on vec_id (ONE hash shuffle, row-local d²
-    expansion) into a map-side-combinable 136-key upper-triangle agg,
-    mirrored to the full 256-row matrix AFTER aggregation; the means
-    are a 16-row broadcast. Iterations then run on the 256-row /
-    16-row frames (bounded BY CONSTRUCTION — broadcast joins, one
-    1-row max per round). The sufficient-statistics form n·Σxy − Σx·Σy
-    would avoid the second pass but needs >int64 intermediates; the
-    two-pass centered form trades one extra scan for staying exactly
-    in int64 (documented)."""
+    Scale shape (r17 rewrite): the data-scale part is the Gram build —
+    the per-vector upper-triangle products are generated ROW-LOCALLY
+    from the centered 16-element array (in-codegen nested transform —
+    d²/2 narrow structs per row, d schema-fixed) straight into the
+    map-side-combinable 136-key agg, mirrored to the full 256-row
+    matrix AFTER aggregation; the means are a 16-key map-side-
+    combinable agg broadcast back as ONE array row. The pre-r17
+    spelling self-joined the exploded centered coords on vec_id — two
+    sorted n·16-row exchanges + SMJ for the identical product stream.
+    Iterations then run on the 256-row / 16-row frames (bounded BY
+    CONSTRUCTION — broadcast joins, one 1-row max per round). The
+    sufficient-statistics form n·Σxy − Σx·Σy would avoid the second
+    pass but needs >int64 intermediates; the two-pass centered form
+    trades one extra scan for staying exactly in int64 (documented)."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.expr(
@@ -2297,16 +2347,30 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mu"),
         )
     )
-    cen = el.join(F.broadcast(means), "d").select(
-        "vec_id", "d", (F.col("x") - F.col("mu")).alias("r")
+    marr = means.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mu))), p -> p.mu)"
+        ).alias("_mu")
     )
-    a = cen.select("vec_id", F.col("d").alias("i"), F.col("r").alias("ri"))
-    b = cen.select("vec_id", F.col("d").alias("j"), F.col("r").alias("rj"))
+    cen = e.crossJoin(F.broadcast(marr)).withColumn(
+        "_r", F.expr("zip_with(em, _mu, (x, m) -> x - m)")
+    )
+    # row-local upper-triangle pair products (i <= j, diagonal
+    # included); a NULL element yields NULL products, which F.sum skips
+    # exactly as the oracle's SUM over the join rows
     upper = (
-        a.join(b, "vec_id")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ri") * F.col("rj")).cast("long").alias("cc"))
+        cen.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_r, (ri, i) ->"
+                    " transform(slice(_r, i + 1, size(_r)),"
+                    " (rj, k) -> struct(i AS i, i + k AS j,"
+                    " ri * rj AS p))))"
+                )
+            ).alias("_t")
+        )
+        .groupBy(F.col("_t.i").alias("i"), F.col("_t.j").alias("j"))
+        .agg(F.sum(F.col("_t.p")).cast("long").alias("cc"))
     )
     full = upper.unionByName(
         upper.filter(F.col("i") < F.col("j")).select(
@@ -2430,13 +2494,15 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     label — both engines spell the same tiebreaks). Output per query:
     true label, predicted label, agreement flag.
 
-    Scale shape (de-weaked r11, VERDICT-r10 #2): the query set is a
-    TRUE constant — ``orderBy(hash).limit(Q)`` compiles to
-    TakeOrderedAndProject (per-partition top-Q, one Q-row merge), so
-    the broadcast side is Q·64 rows at any SF and the distance stream
-    is n·64·Q — LINEAR in the corpus (the old ``vec_id % 250`` slice
-    grew with n: n²·64/250 quadratic). The (corpus, query) agg
-    map-side combines; the top-5 window partitions by query id and
+    Scale shape (de-weaked r11, VERDICT-r10 #2; r17 NLJ rewrite): the
+    query set is a TRUE constant — ``orderBy(hash).limit(Q)`` compiles
+    to TakeOrderedAndProject (per-partition top-Q, one Q-row merge), so
+    the broadcast side is Q array rows at any SF and the distance
+    stream is n·Q NLJ rows with an in-codegen zip_with distance —
+    LINEAR in the corpus (the old ``vec_id % 250`` slice grew with n:
+    n²·64/250 quadratic; the pre-r17 spelling exploded to n·64·Q
+    equijoin rows and shuffled an n·Q distance agg + a label
+    join-back). The top-5 window partitions by query id and
     the rank ≤ 5 filter gets Spark 4's map-side WindowGroupLimit
     (each input partition pre-prunes to 5 per query BEFORE the
     shuffle, so the final per-query merge sees partitions·5 rows,
@@ -2450,7 +2516,6 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     )
-    el = base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
     qh = F.expr(
         "cast(conv(substr(md5(concat('q_', cast(vec_id as string))),"
         " 1, 15), 16, 10) as bigint)"
@@ -2461,17 +2526,25 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KNNC_Q)
         .drop("_qh")
     )
-    qel = q.select(
-        F.col("vec_id").alias("qid"), F.posexplode("_xq").alias("d", "qx")
-    )
+    # r17: the distance stream is a bounded broadcast NLJ of the corpus
+    # against the Q-row array-ified query frame with an in-codegen
+    # zip_with/aggregate distance (the q_centroid_classify pattern) —
+    # n·Q rows instead of the n·64·Q explode-equijoin rows, no distance
+    # shuffle agg; the corpus label rides along so the old label
+    # join-back disappears. coalesce = the oracle's NULL-skipping SUM.
+    qb = q.select(F.col("vec_id").alias("qid"), F.col("_xq").alias("_qx"))
     d2 = (
-        el.join(F.broadcast(qel), el["_d"] == qel["d"])
+        base.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(
-            F.sum((F.col("_x") - F.col("qx")) * (F.col("_x") - F.col("qx")))
-            .cast("long")
-            .alias("_d2")
+        .select(
+            "qid",
+            "vec_id",
+            "_lbl",
+            F.expr(
+                "aggregate(zip_with(_xq, _qx, (x, qx) ->"
+                " coalesce((x - qx) * (x - qx), cast(0 as bigint))),"
+                " cast(0 as bigint), (s, v) -> s + v)"
+            ).alias("_d2"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -2480,7 +2553,6 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = (
         d2.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= _KNNC_K)
-        .join(base.select("vec_id", "_lbl"), "vec_id")
     )
     votes = nn.groupBy("qid", "_lbl").agg(F.count("*").alias("_nv"))
     best = votes.groupBy("qid").agg(F.max("_nv").alias("_mx"))
@@ -3266,15 +3338,20 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-10 is compared against the unpruned exact top-10.
     Output: one row (candidate count, hits, recall in ppm).
 
-    Scale: sign bits ride ONE posexplode (n·64 narrow rows) joined
-    against the 1024-literal-row plane table + the 64-row query table
-    in a single broadcast pass, then two map-side-combinable aggs; the
-    band-signature probe keeps ~Σ_bands 2^-bits·n of the corpus before
-    the re-rank (at 100 TB the band signature is the partition key and
-    the probe is partition pruning — the IVFIndex.materialize story).
-    DISTINCT over candidate ids is one shuffle of the pruned set."""
+    Scale (r17 rewrite): the plane and query literals are array-ified
+    to ONE broadcast row and both the exact cosine AND the per-band
+    signatures are computed ROW-LOCALLY (in-codegen zip_with dots —
+    the q_sim_ivf_portable pattern), so the whole frame is ONE scan +
+    one cheap lineage cut shared by the exact top-10, the candidate
+    filter and the candidate count (the pre-r17 spelling exploded to
+    n·64 rows behind THREE localCheckpoints — the r16 weak-key
+    suspect — and shuffled two n·bits aggs + a DISTINCT); the band
+    probe is an unrolled 4-way OR against the literal query signatures
+    (at 100 TB the band signature is the partition key and the probe
+    is partition pruning — the IVFIndex.materialize story)."""
     planes, q_rows, nq, qsigs = _lsh_portable_consts()
     n_bands = _LSHP_BITS // _LSHP_BAND_BITS
+    bb = _LSHP_BAND_BITS
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _LSHP_DIM)
     base = e.select(
         "vec_id",
@@ -3283,23 +3360,60 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    el = _ckpt(
-        base.select("vec_id", F.posexplode("_xq").alias("_d", "_x"))
+    hp = literal_df(spark, planes, "b INT, d INT, hv LONG")
+    hparr = (
+        hp.groupBy("b")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, hv))),"
+                " p -> p.hv)"
+            ).alias("_hv")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(b, _hv))),"
+                " p -> p._hv)"
+            ).alias("_hp")
+        )
     )
-    # exact side: integer dot + floor-rounded cosine over ALL vectors
     qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    dots = (
-        el.join(F.broadcast(qdf), el["_d"] == qdf["d"])
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("_x") * F.col("qv")).cast("long").alias("_dot"))
+    qarr = qdf.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
+        ).alias("_qv")
     )
+    consts = hparr.crossJoin(qarr)
     cos = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
     )
     scored = _ckpt(
-        dots.join(base.select("vec_id", "_na"), "vec_id").select(
+        base.crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_dot",
+            F.expr(
+                "aggregate(zip_with(_xq, _qv, (x, q) ->"
+                " coalesce(x * q, cast(0 as bigint))),"
+                " cast(0 as bigint), (s, v) -> s + v)"
+            ),
+        )
+        .withColumn(
+            "_sigs",
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), band ->"
+                f" aggregate(sequence(0, {bb - 1}), cast(0 as bigint),"
+                f" (acc, jj) -> acc + IF("
+                f"  aggregate(zip_with(_xq,"
+                f"   element_at(_hp, band * {bb} + jj + 1),"
+                f"   (x, h) -> coalesce(x * h, cast(0 as bigint))),"
+                f"   cast(0 as bigint), (s, v) -> s + v) >= 0,"
+                f"  shiftleft(cast(1 as bigint), {bb - 1} - jj),"
+                f"  cast(0 as bigint))))"
+            ),
+        )
+        .select(
             "vec_id",
             (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000.0).alias("_cos"),
+            "_sigs",
         )
     )
     exact = (
@@ -3307,39 +3421,14 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_LSHP_TOPK)
         .select("vec_id")
     )
-    # LSH side: per-bit integer sign → 4-bit band signatures → probe
-    hp = literal_df(spark, planes, "b INT, d INT, hv LONG")
-    bits = (
-        el.join(F.broadcast(hp), el["_d"] == hp["d"])
-        .groupBy("vec_id", "b")
-        .agg(F.sum(F.col("_x") * F.col("hv")).cast("long").alias("_hd"))
-    )
-    sigs = (
-        bits.select(
-            "vec_id",
-            (F.col("b") / _LSHP_BAND_BITS).cast("int").alias("_band"),
-            F.expr(
-                f"CAST(IF(_hd >= 0, shiftleft(1, {_LSHP_BAND_BITS - 1}"
-                f" - (b % {_LSHP_BAND_BITS})), 0) AS BIGINT)"
-            ).alias("_contrib"),
-        )
-        .groupBy("vec_id", "_band")
-        .agg(F.sum("_contrib").cast("long").alias("_sig"))
-    )
-    qsig_df = literal_df(spark, qsigs, "qband INT, qsig LONG")
-    cand = (
-        sigs.join(
-            F.broadcast(qsig_df),
-            (sigs["_band"] == qsig_df["qband"])
-            & (sigs["_sig"] == qsig_df["qsig"]),
-        )
-        .select("vec_id")
-        .distinct()
-    )
-    cand = _ckpt(cand)
+    # candidate iff ANY band signature equals the query's (OR-of-ANDs)
+    probe_cond = None
+    for band, sig in qsigs:
+        c = F.expr(f"element_at(_sigs, {band + 1}) = {sig}L")
+        probe_cond = c if probe_cond is None else (probe_cond | c)
+    cand = scored.filter(probe_cond)
     lsh_top = (
-        cand.join(scored, "vec_id")
-        .orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+        cand.orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
         .limit(_LSHP_TOPK)
         .select("vec_id")
     )

@@ -6023,7 +6023,13 @@ def export_saved_query(
         }
         if ex["export_as"] == "table":
             path = os.path.join(fs.root, "exports", schema, alias)
-            fs.storage.replace(fs.spark, path, df)
+            # REBALANCE before the write (guide-§6 output sizing): AQE
+            # merges the post-aggregation partitions to the advisory
+            # size, so a grain-sized export writes a few right-sized
+            # files instead of one near-empty file per shuffle
+            # partition (same rows, ~1 s less task-commit overhead at
+            # sf0.1; at scale it right-sizes large exports too)
+            fs.storage.replace(fs.spark, path, df.hint("rebalance"))
             rec["data_path"] = path
             rows = fs.storage.read(fs.spark, path).count()
         else:

@@ -111,35 +111,49 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact and oracle-gated on a bounded slice (vec_id < 200 —
     documented exactness pin; the ALL-vectors scale path is the LSH /
     IVF candidate generation (q_sim_ann_lsh / q_sim_ivf) feeding the
-    same rescoring). Plan: posexplode to (vec_id, pos, x), position
-    self-join, decimal dot per pair, row_number per id_a over the
-    ROUNDED cosine with id tiebreak — fully deterministic."""
+    same rescoring). Plan (r17 rewrite): bounded broadcast NLJ of the
+    slice against itself (n² pair rows), per-pair decimal products
+    generated ROW-LOCALLY (explode of the zip_with product array — the
+    per-pair SUM keeps the exact DECIMAL(38,18) accumulation type of
+    the old position-join spelling, which an ``aggregate`` HOF fold
+    could not: its per-step Add would precision-cap to scale 17),
+    row_number per id_a over the ROUNDED cosine with id tiebreak —
+    fully deterministic. The pre-r17 spelling position-joined two n·64
+    exploded frames (64-key join, two exchanges) and joined norms back
+    on twice. Norms ride the NLJ rows (decimal self-dot per side,
+    cast double — the identical SUM type path)."""
     from pyspark.sql import Window
 
     k = 3
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
-    elems = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("decimal(18,9)"))
-    a = elems.select(
-        F.col("vec_id").alias("id_a"), "i", F.col("x").alias("xa")
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as decimal(18,9)))"
+        ).alias("_xd"),
     )
-    b = elems.select(
-        F.col("vec_id").alias("id_b"), "i", F.col("x").alias("xb")
-    )
+    norms = base.select(
+        "vec_id",
+        F.expr("explode(zip_with(_xd, _xd, (x, y) -> x * y))").alias("_p"),
+    ).groupBy("vec_id").agg(F.sum("_p").cast("double").alias("_n"))
+    bb = base.select(F.col("vec_id").alias("id_b"), F.col("_xd").alias("_xb"))
     dots = (
-        a.join(b, "i")
+        base.select(F.col("vec_id").alias("id_a"), "_xd")
+        .crossJoin(F.broadcast(bb))
         .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("explode(zip_with(_xd, _xb, (x, y) -> x * y))").alias(
+                "_p"
+            ),
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("_dot"))
-    )
-    norms = (
-        elems.groupBy("vec_id")
-        .agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("_n"))
+        .agg(F.sum("_p").cast("double").alias("_dot"))
     )
     scored = (
-        dots.join(norms.select(F.col("vec_id").alias("id_a"),
-                               F.col("_n").alias("_na")), "id_a")
+        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("id_a"),
+                                           F.col("_n").alias("_na"))), "id_a")
         .join(F.broadcast(norms.select(F.col("vec_id").alias("id_b"),
                                        F.col("_n").alias("_nb"))), "id_b")
         .select(

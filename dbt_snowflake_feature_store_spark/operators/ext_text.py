@@ -267,10 +267,12 @@ def _ngram_blocked_pairs(
     )
     sh = sh.withColumn("n", F.size("sh"))
     if max_block_size is not None:
-        sizes = sh.groupBy("lang", "bucket").agg(F.count("*").alias("_blk_n"))
         if log_dropped:
             import logging
 
+            sizes = sh.groupBy("lang", "bucket").agg(
+                F.count("*").alias("_blk_n")
+            )
             dropped = (
                 sizes.filter(F.col("_blk_n") > max_block_size)
                 .agg(
@@ -283,10 +285,22 @@ def _ngram_blocked_pairs(
                 "q_dedup_ngram: dropping %d over-cap blocks (%d rows, cap=%d)",
                 dropped["b"], dropped["r"], max_block_size,
             )
-        keep = sizes.filter(F.col("_blk_n") <= max_block_size).select(
-            "lang", "bucket"
+        # r17: the block-size gate is a count window over the SAME
+        # (lang, bucket) exchange the self-join shuffles on (both join
+        # legs become ReusedExchange reads), replacing the separate
+        # sizes agg + broadcast join — the shingle build now executes
+        # once instead of three times (q_dedup_edit got the same
+        # treatment). Identical surviving blocks.
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn(
+                "_blk_n",
+                F.count("*").over(Window.partitionBy("lang", "bucket")),
+            )
+            .filter(F.col("_blk_n") <= max_block_size)
+            .drop("_blk_n")
         )
-        sh = sh.join(F.broadcast(keep), ["lang", "bucket"])
     a = sh.alias("a")
     b = sh.alias("b")
     # Join condition stays CHEAP (equi keys + id order only). The

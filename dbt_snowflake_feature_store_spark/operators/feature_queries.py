@@ -640,11 +640,26 @@ saved_queries:
 """
 
 
+# (applicationId, sf_dir) → the shared metric-key FeatureStore. The
+# 19 q_metric_*/q_saved_query_* keys all run against the IDENTICAL
+# registration (5 entities + 5 FVs + one semantic-layer yml) and are
+# read-only after the build (audited r17), so the store is set up once
+# per session — exactly what a real deployment does: register once,
+# evaluate metrics many times. The semantic compile and the Spark
+# query still run per key; only the idempotent registration
+# (store mkdir + registry writes + yml parse) is amortized. Dead
+# applications evict on every lookup (the _PAIR_CACHE discipline).
+_METRIC_FS_CACHE: dict = {}
+
+
 def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
     """FeatureStore with the orders model registered as an FV and the
     semantic layer loaded from a real yml — the full load path
     (load_semantic_layer parses, validates, registers), so the keys
-    exercise exactly what a dbt user's project would."""
+    exercise exactly what a dbt user's project would. Memoized per
+    (session, sf_dir); the temp views are re-created on EVERY call —
+    they are session-global names, so a different sf_dir in the same
+    session must repoint them before its store evaluates anything."""
     import os
 
     read_table(spark, sf_dir, "orders").createOrReplaceTempView(
@@ -662,6 +677,13 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
     read_table(spark, sf_dir, "region").createOrReplaceTempView(
         "q_region_metric"
     )
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _METRIC_FS_CACHE if k[0] != app_id]:
+        del _METRIC_FS_CACHE[k]
+    cache_key = (app_id, sf_dir)
+    cached = _METRIC_FS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     fs = _fs(spark)
     fs.register_entity(Entity("customer", ["o_custkey"]))
     fs.register_entity(Entity("order_ent", ["l_orderkey"]))
@@ -731,6 +753,7 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
             "region_model": None,
         },
     )
+    _METRIC_FS_CACHE[cache_key] = fs
     return fs
 
 

@@ -114,6 +114,37 @@ def normalize_frame(
     return df
 
 
+# (applicationId, path, file signature) → resolved source PLAN. This is
+# a METADATA cache, not a result cache: the cached object is the
+# analyzed DataFrame (logical plan + parquet file index + footer-driven
+# timestamp normalization) — every action against it still scans the
+# parquet inputs. It is the session-scoped equivalent of Spark's own
+# file-listing cache (spark.sql.hive.filesourcePartitionFileCacheSize —
+# the guide-§6 posture: re-listing/re-inferring the same immutable
+# source on every operator call is pure driver latency, ~0.1 s per call
+# here, paid inside every benched query). Freshness is guaranteed by
+# the file signature (name, mtime_ns, size of every parquet part): any
+# rewrite of the path produces a new key, so in-session test fixtures
+# that overwrite their tmp tables never see a stale plan. Entries from
+# dead applications are evicted on every lookup (the _PAIR_CACHE
+# discipline).
+_READ_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _path_signature(path: str):
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+        entries = []
+        for fn in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, fn))
+            entries.append((fn, st.st_mtime_ns, st.st_size))
+        return tuple(entries)
+    except OSError:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one source table; normalizes event-time columns to UTC
     TIMESTAMP whether the file stores ns-int64 or timestamp[us]/NTZ.
@@ -125,10 +156,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _READ_CACHE if k[0] != app_id]:
+        del _READ_CACHE[k]
+    sig = _path_signature(path)
+    key = (app_id, path, sig)
+    if sig is not None:
+        cached = _READ_CACHE.get(key)
+        if cached is not None:
+            return cached
     df = spark.read.parquet(path)
-    return normalize_frame(
+    df = normalize_frame(
         df, path=path, ns_allowlist=_EVENT_TS_COLS.get(name, ()), table=name
     )
+    if sig is not None:
+        # drop superseded signatures of the same path before inserting
+        for k in [
+            k for k in _READ_CACHE if k[0] == app_id and k[1] == path
+        ]:
+            del _READ_CACHE[k]
+        _READ_CACHE[key] = df
+    return df
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

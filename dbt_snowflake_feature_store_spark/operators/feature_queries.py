@@ -680,10 +680,15 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _METRIC_FS_CACHE if k[0] != app_id]:
         del _METRIC_FS_CACHE[k]
-    cache_key = (app_id, sf_dir)
+    # key carries the SESSION identity (ADVICE r17: an app_id-only key
+    # would hand a sibling session an fs whose internal spark — and
+    # temp-view resolution at registration time — belongs to another
+    # session); the strong session ref in the value pins id(spark)
+    # against reuse while the entry lives.
+    cache_key = (app_id, id(spark), sf_dir)
     cached = _METRIC_FS_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     fs = _fs(spark)
     fs.register_entity(Entity("customer", ["o_custkey"]))
     fs.register_entity(Entity("order_ent", ["l_orderkey"]))
@@ -753,7 +758,7 @@ def _metric_fs(spark: SparkSession, sf_dir: str) -> "FeatureStore":
             "region_model": None,
         },
     )
-    _METRIC_FS_CACHE[cache_key] = fs
+    _METRIC_FS_CACHE[cache_key] = (spark, fs)
     return fs
 
 

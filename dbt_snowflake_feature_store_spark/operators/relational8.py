@@ -230,16 +230,25 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator variant is noted, not computed: with heavy ties this
     simplified statistic is itself the standard reported number.
 
-    Scale: ONE pass over the fact — a (v1, v2) PAIR-distinct
-    pre-aggregate (one map-combinable shuffle; everything downstream is
-    domain-sized). Each variable's per-value count re-aggregates the
-    PAIR frame (never the fact), rides ONE ranks.global_running_sum
-    range exchange, and joins back to the pair frame — quantity's rank
-    table is ~50 rows (AQE broadcasts it), price's is distinct-sized.
-    Σd² weights each pair cell by its count. No fact-level checkpoint,
-    no fact-level join (the r15 de-creep: the previous plan
-    localCheckpoint-materialized the 2-column fact and re-joined both
-    rank tables onto it row-level)."""
+    Scale (r18 rewrite — the r17 shape pre-aggregated to (v1, v2) PAIR
+    cells, but price in cents is nearly unique per row so the pair
+    frame IS the fact: the localCheckpoint materialized ~n rows, both
+    rank tables joined back onto ~n rows, and two range exchanges ran
+    where the math needs one). Σd² decomposes exactly over integers:
+    Σ(r1−r2)² = Σc₁·r1² + Σc₂·r2² − 2·Σ_rows r1·r2. The quantity side
+    is SCHEMA-BOUNDED (l_quantity ∈ 1..50 at every SF): one
+    map-combinable 50-key agg, a 50-row driver collect, and exact
+    Python-int rank arithmetic turn Σc₁·r1² into a literal and r1 into
+    a 50-entry row-local map. The price side then needs ONE fact pass
+    grouped by _v2 (map-side combinable; carries count and Σr1 per
+    price — the cross term's joint information), ONE
+    ranks.global_running_sum range exchange over the price DOMAIN, and
+    a domain-sized final agg. No fact-level checkpoint, no fact-sized
+    join, no second range exchange. Magnitude bound unchanged: every
+    Σ-term ≤ 4n³ (r×2 ≤ 2n), DECIMAL(38,0)/HUGEINT-exact to n ≈
+    1.3·10¹² (the documented N³ discipline); the per-price Σr1 partial
+    sums accumulate in DECIMAL(38,0) (≤ 2n² — BIGINT would overflow
+    past n ≈ 2·10⁹)."""
     from ..functions.ranks import global_running_sum
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -247,42 +256,62 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
         ).alias("_v2"),
+    ).filter(F.col("_v1").isNotNull() & F.col("_v2").isNotNull())
+    # qty domain: bounded collect (≤50 rows — the ranks-module P-row
+    # collect discipline), ×2-scaled tie-averaged ranks as exact ints
+    v1rows = sorted(
+        (r["_v1"], r["_c"])
+        for r in li.groupBy("_v1")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .collect()
     )
-    pairs = _ckpt(
-        li.groupBy("_v1", "_v2").agg(
-            F.count("*").cast("long").alias("_pc")
+    n_qty = len(v1rows)
+    r1: dict[int, int] = {}
+    sum_c_r1sq = 0  # Σ c₁·r1² over the qty domain — exact Python int
+    cum = 0
+    for v, c in v1rows:
+        cum += c
+        rx = 2 * cum - c + 1
+        r1[v] = rx
+        sum_c_r1sq += c * rx * rx
+    r1map = F.create_map(*[F.lit(x) for kv in r1.items() for x in kv])
+    # ONE fact pass keyed on price: count + Σ r1 per distinct price
+    dv = (
+        li.select("_v2", r1map[F.col("_v1")].alias("_r1"))
+        .groupBy("_v2")
+        .agg(
+            F.count("*").cast("long").alias("_c"),
+            F.sum(F.expr("CAST(_r1 AS DECIMAL(38,0))")).alias("_sr1"),
         )
     )
-
-    def rank2(col: str) -> DataFrame:
-        dv = pairs.groupBy(col).agg(F.sum("_pc").cast("long").alias("_c"))
-        cum = global_running_sum(
-            dv, [col], "_c", rank_col="_r", sum_col="_cum"
-        )
-        return cum.select(
-            col,
-            F.expr("CAST(2 * _cum - _c + 1 AS BIGINT)").alias(f"{col}_r2"),
-        )
-
-    ranked = pairs.join(rank2("_v1"), "_v1").join(rank2("_v2"), "_v2")
+    cum2 = global_running_sum(
+        dv, ["_v2"], "_c", rank_col="_r", sum_col="_cum"
+    )
+    ranked = cum2.select(
+        "_c",
+        "_sr1",
+        F.expr("CAST(2 * _cum - _c + 1 AS BIGINT)").alias("_r2x"),
+    )
     agg = ranked.agg(
-        F.sum("_pc").cast("long").alias("f_n"),
-        F.countDistinct("_v1").cast("long").alias("f_distinct_qty"),
-        F.countDistinct("_v2").cast("long").alias("f_distinct_price"),
+        F.sum("_c").cast("long").alias("f_n"),
+        F.count("*").cast("long").alias("f_distinct_price"),
         F.sum(
             F.expr(
-                "CAST(_pc AS DECIMAL(38,0))"
-                " * CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
-                " * CAST(_v1_r2 - _v2_r2 AS DECIMAL(38,0))"
+                "CAST(_c AS DECIMAL(38,0))"
+                " * CAST(_r2x AS DECIMAL(38,0))"
+                " * CAST(_r2x AS DECIMAL(38,0))"
             )
-        ).alias("_sd2"),
+        ).alias("_sr2sq"),
+        F.sum(F.expr("_sr1 * CAST(_r2x AS DECIMAL(38,0))")).alias("_cross"),
     )
     return agg.select(
         "f_n",
-        "f_distinct_qty",
+        F.lit(n_qty).cast("long").alias("f_distinct_qty"),
         "f_distinct_price",
         F.expr(
-            "CAST(1000000 - CAST(6000000 AS DECIMAL(38,0)) * _sd2"
+            f"CAST(1000000 - CAST(6000000 AS DECIMAL(38,0)) *"
+            f" (CAST('{sum_c_r1sq}' AS DECIMAL(38,0)) + _sr2sq"
+            " - 2 * _cross)"
             " DIV GREATEST(CAST(4 AS DECIMAL(38,0)) * f_n"
             " * (CAST(f_n AS DECIMAL(38,0)) * f_n - 1), 1) AS BIGINT)"
         ).alias("f_rho_ppm"),

@@ -330,6 +330,7 @@ def asof_join_bracket(
     feature_cols: Sequence[str],
     back_suffix: str = "_prev",
     fwd_suffix: str = "_next",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """FUSED backward+forward as-of join (r17): for each spine row,
     attach BOTH the latest feature row at-or-before ``spine_ts`` and
@@ -342,14 +343,18 @@ def asof_join_bracket(
     earliest strictly-after row; an exact-timestamp match is served by
     the backward frame (it IS the at-or-after row too).
 
-    PRECONDITION (documented, asserted by the caller's construction):
-    the feature side is UNIQUE per (key, feature_ts). With duplicates,
-    the inclusive-forward row at an exact-timestamp tie would be the
-    backward pass's hash-tiebreak pick rather than the forward pass's —
-    the two sequential-pass spelling and this fused one agree only when
-    (key, ts) has a single row, which every caller guarantees with a
-    pre-aggregation (q_join_asof_interp collapses to max(value) per
-    (user, ts)).
+    PRECONDITION: the feature side is UNIQUE per (key, feature_ts).
+    With duplicates, the inclusive-forward row at an exact-timestamp tie
+    would be the backward pass's hash-tiebreak pick rather than the
+    forward pass's — the two sequential-pass spelling and this fused one
+    agree only when (key, ts) has a single row, which every caller
+    guarantees with a pre-aggregation (q_join_asof_interp collapses to
+    max(value) per (user, ts)). Pass ``assert_unique=True`` to ENFORCE
+    it at run time (ADVICE r17): a count window over (key, feature_ts)
+    feeds ``assert_true``, so any duplicate fails the job loudly
+    instead of silently diverging. Off by default — the check costs one
+    extra exchange of the feature side, and the in-repo callers prove
+    uniqueness by construction.
 
     Output: every spine column, then ``{c}{back_suffix}`` and
     ``{c}{fwd_suffix}`` for each feature column (NULL where that side
@@ -370,6 +375,27 @@ def asof_join_bracket(
         )
     spine_cols = spine.columns
     features = features.filter(F.col(feature_ts).isNotNull())
+    if assert_unique:
+        w_u = Window.partitionBy(*on, feature_ts)
+        # spelled as a FILTER (assert_true returns NULL on success, so
+        # isNull() keeps every valid row) — a dropped check column would
+        # be pruned by the optimizer and never evaluated
+        features = (
+            features.withColumn(
+                "__fs_dupcnt", F.count(F.lit(1)).over(w_u)
+            )
+            .where(
+                F.assert_true(
+                    F.col("__fs_dupcnt") == 1,
+                    F.lit(
+                        "asof_join_bracket: feature side must be unique "
+                        f"per (key, {feature_ts}) — pre-aggregate "
+                        "duplicates first"
+                    ),
+                ).isNull()
+            )
+            .drop("__fs_dupcnt")
+        )
     tagged_spine = (
         spine.withColumn(_IS_SPINE, F.lit(1))
         .withColumn(_TS, F.col(spine_ts))

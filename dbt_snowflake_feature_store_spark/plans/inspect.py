@@ -66,14 +66,24 @@ _REDUCING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Expand")
 # ``vec_id == 0`` query-vector pick is one row at any scale — label it
 # reduced so the registry-wide forced-broadcast sweep stays precise).
 # l_orderkey equality is ≤7 lineitems — still a constant bound.
-# NEGATED equalities keep n−1 rows — _filter_is_key_eq strips
-# ``NOT (...)`` segments before matching so ``key != literal`` slices of
-# scaling tables stay FLAGGED (review r11: the bare regex matched inside
-# the NOT and waved the exact weak class this sweep exists to catch).
+# A SMALL upper range bound (``key < 200`` / ``key <= 200``) is equally
+# constant: every table key here is a non-negative integer, so at most
+# ``literal`` distinct key values survive at ANY SF (× the schema-bounded
+# per-key multiplicity, ≤7 for lineitem) — the r17 q_knn_join
+# ``vec_id < 200`` exactness slice. Only literals ≤ _KEY_RANGE_MAX count;
+# ``key >/>=`` keeps n−literal rows and must stay flagged (the regex
+# requires the key on the LEFT and ``<``/``<=``/``=`` with a leading
+# space, so `` >= lit`` never matches).
+# NEGATED comparisons keep n−k rows — _filter_is_key_eq strips
+# ``NOT (...)`` segments before matching so ``key != literal`` (and
+# ``NOT (key < literal)``) slices of scaling tables stay FLAGGED (review
+# r11: the bare regex matched inside the NOT and waved the exact weak
+# class this sweep exists to catch).
+_KEY_RANGE_MAX = 10_000
 _KEY_EQ_RE = re.compile(
     r"\(?(?:cast\()?(?:"
     + "|".join(sorted(_COL2TABLE))
-    + r")#\d+L?(?: as \w+\))? = -?\d+",
+    + r")#\d+L?(?: as \w+\))? (=|<=?) (-?\d+)",
 )
 def _strip_not_segments(line: str) -> str:
     """Remove every ``NOT (...)`` segment with BALANCED parens — a bare
@@ -103,8 +113,13 @@ def _filter_is_key_eq(text: str) -> bool:
     for line in text.splitlines():
         if "Filter " not in line:
             continue
-        if _KEY_EQ_RE.search(_strip_not_segments(line)):
-            return True
+        for m in _KEY_EQ_RE.finditer(_strip_not_segments(line)):
+            op, lit = m.group(1), int(m.group(2))
+            if op == "=":
+                return True
+            # key < / <= small-literal: ≤ lit(+1) non-negative key values
+            if 0 <= lit <= _KEY_RANGE_MAX:
+                return True
     return False
 
 

@@ -114,21 +114,36 @@ def normalize_frame(
     return df
 
 
-# (applicationId, path, file signature) → resolved source PLAN. This is
-# a METADATA cache, not a result cache: the cached object is the
-# analyzed DataFrame (logical plan + parquet file index + footer-driven
-# timestamp normalization) — every action against it still scans the
-# parquet inputs. It is the session-scoped equivalent of Spark's own
-# file-listing cache (spark.sql.hive.filesourcePartitionFileCacheSize —
-# the guide-§6 posture: re-listing/re-inferring the same immutable
-# source on every operator call is pure driver latency, ~0.1 s per call
-# here, paid inside every benched query). Freshness is guaranteed by
-# the file signature (name, mtime_ns, size of every parquet part): any
-# rewrite of the path produces a new key, so in-session test fixtures
-# that overwrite their tmp tables never see a stale plan. Entries from
+# (applicationId, session id, path, file signature) → resolved source
+# PLAN. This is a METADATA cache, not a result cache: the cached object
+# is the analyzed DataFrame (logical plan + parquet file index +
+# footer-driven timestamp normalization) — every action against it still
+# scans the parquet inputs. It is the session-scoped equivalent of
+# Spark's own file-listing cache
+# (spark.sql.hive.filesourcePartitionFileCacheSize — the guide-§6
+# posture: re-listing/re-inferring the same immutable source on every
+# operator call is pure driver latency, ~0.1 s per call here, paid
+# inside every benched query). Freshness is guaranteed by the file
+# signature (name, mtime_ns, size of every parquet part, RECURSIVE over
+# subdirectories so a partitioned layout's nested part rewrite changes
+# the key — ADVICE r17): any rewrite of the path produces a new key, so
+# in-session test fixtures that overwrite their tmp tables never see a
+# stale plan. The key carries the SESSION identity (ADVICE r17: the
+# app_id-only key handed a sibling session in the same application a
+# frame bound to another session); the value holds a strong session ref
+# so the id can never be reused while the entry lives. Entries from
 # dead applications are evicted on every lookup (the _PAIR_CACHE
 # discipline).
-_READ_CACHE: dict[tuple, DataFrame] = {}
+#
+# Shared-lineage caveat (documented per ADVICE r17): two read_table
+# calls for the same (session, path) return the SAME analyzed frame —
+# identical plan/attribute ids — so an operator joining two reads of
+# one table is a self-join of one plan. That is the CLAUDE.md
+# duplicate-name discipline (select via frame["col"] into fresh names
+# before any expr() referencing them), which every operator already
+# follows for genuinely shared lineage; test_scale_plans pins that the
+# plain `join(..., on="key")` spelling stays resolvable.
+_READ_CACHE: dict[tuple, tuple] = {}
 
 
 def _path_signature(path: str):
@@ -137,9 +152,14 @@ def _path_signature(path: str):
             st = os.stat(path)
             return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
         entries = []
-        for fn in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, fn))
-            entries.append((fn, st.st_mtime_ns, st.st_size))
+        for root, dirs, files in os.walk(path):
+            dirs.sort()  # deterministic walk order
+            rel = os.path.relpath(root, path)
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                entries.append(
+                    (os.path.join(rel, fn), st.st_mtime_ns, st.st_size)
+                )
         return tuple(entries)
     except OSError:
         return None
@@ -160,22 +180,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for k in [k for k in _READ_CACHE if k[0] != app_id]:
         del _READ_CACHE[k]
     sig = _path_signature(path)
-    key = (app_id, path, sig)
+    key = (app_id, id(spark), path, sig)
     if sig is not None:
         cached = _READ_CACHE.get(key)
-        if cached is not None:
-            return cached
+        # identity check is belt-and-braces: the strong ref in the value
+        # pins id(spark) against reuse, so a hit is always this session
+        if cached is not None and cached[0] is spark:
+            return cached[1]
     df = spark.read.parquet(path)
     df = normalize_frame(
         df, path=path, ns_allowlist=_EVENT_TS_COLS.get(name, ()), table=name
     )
     if sig is not None:
-        # drop superseded signatures of the same path before inserting
+        # drop superseded signatures of the same (session, path) before
+        # inserting
         for k in [
-            k for k in _READ_CACHE if k[0] == app_id and k[1] == path
+            k
+            for k in _READ_CACHE
+            if k[0] == app_id and k[1] == id(spark) and k[2] == path
         ]:
             del _READ_CACHE[k]
-        _READ_CACHE[key] = df
+        _READ_CACHE[key] = (spark, df)
     return df
 
 

@@ -458,3 +458,66 @@ class TestGenerateDataset:
         assert got.read.to_df().count() == 10
         lst = ready_fs.list_datasets()
         assert lst.filter("NAME = 'DS_LIFE' AND VERSION = '2.0'").count() == 1
+
+
+class TestBracketAssertUnique:
+    """asof_join_bracket's assert_unique guard (ADVICE r17): the fused
+    bracket's exact-tie semantics require a unique (key, feature_ts)
+    feature side; the opt-in check must pass through clean inputs
+    unchanged and fail LOUDLY on duplicates instead of silently
+    diverging from the two-pass spelling."""
+
+    def test_unique_side_passes_and_matches_unchecked(self, spark):
+        from dbt_snowflake_feature_store_spark.pit import asof_join_bracket
+
+        feats = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, d), float(d)) for d in (1, 3, 5)],
+            "k long, fts timestamp, v double",
+        )
+        spine = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 3)), (1, dt.datetime(2024, 1, 4))],
+            "k long, sts timestamp",
+        )
+        kw = dict(
+            on=["k"], spine_ts="sts", feature_ts="fts", feature_cols=["v"]
+        )
+        got = sorted(
+            map(
+                tuple,
+                asof_join_bracket(
+                    spine, feats, assert_unique=True, **kw
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, asof_join_bracket(spine, feats, **kw).collect())
+        )
+        assert got == want
+        # exact-tie: the 1/3 spine row's backward AND forward are day 3
+        row = [r for r in got if r[1] == dt.datetime(2024, 1, 3)][0]
+        assert row[2] == 3.0 and row[3] == 3.0
+
+    def test_duplicate_side_fails_loudly(self, spark):
+        from dbt_snowflake_feature_store_spark.pit import asof_join_bracket
+
+        feats = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 3), 1.0),
+                (1, dt.datetime(2024, 1, 3), 2.0),  # dup (key, ts)
+            ],
+            "k long, fts timestamp, v double",
+        )
+        spine = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 4))], "k long, sts timestamp"
+        )
+        out = asof_join_bracket(
+            spine,
+            feats,
+            on=["k"],
+            spine_ts="sts",
+            feature_ts="fts",
+            feature_cols=["v"],
+            assert_unique=True,
+        )
+        with pytest.raises(Exception, match="unique per"):
+            out.collect()

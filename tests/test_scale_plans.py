@@ -467,6 +467,31 @@ def test_forced_broadcast_labeler_classes(spark):
     s = pi.summarize(docs.crossJoin(F.broadcast(neg_cast)))
     assert s.unbounded_forced_broadcasts() == ["documents"]
 
+    # r18: a SMALL key range bound (`key < 200`) keeps ≤200 non-negative
+    # key values at any SF — the r17 q_knn_join exactness slice. Must
+    # label reduced.
+    rng = docs.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(rng)))
+    assert s.forced_broadcast_tables == ["reduced(documents)"]
+    assert s.unbounded_forced_broadcasts() == []
+
+    # ... but a LARGE range literal is not a constant-at-scale bound
+    big = docs.filter(F.col("doc_id") < 10_000_000).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(big)))
+    assert s.unbounded_forced_broadcasts() == ["documents"]
+
+    # ... and a LOWER bound (`key >= lit` / NOT(key < lit)) keeps
+    # n−lit rows — must stay flagged
+    low = docs.filter(F.col("doc_id") >= 200).select(
+        F.col("doc_id").alias("k")
+    )
+    s = pi.summarize(docs.crossJoin(F.broadcast(low)))
+    assert s.unbounded_forced_broadcasts() == ["documents"]
+
 
 def test_checkpoint_keys_report_merged_subplans(spark):
     """plans.inspect must see THROUGH localCheckpoint lineage cuts

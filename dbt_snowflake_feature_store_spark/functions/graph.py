@@ -298,6 +298,17 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Graphs with at most this many NODES run the PageRank rounds
+#: driver-side (bounded collect of the weighted edge list, exact Python
+#: integer arithmetic — bit-identical to the distributed recurrence).
+#: r18 measurement: q_pagerank's nation graph is 25 nodes / ≤625 edges
+#: at ANY SF, and each distributed round cost ~0.35 s of pure
+#: job-scheduling latency. Above the bound the loop stays fully
+#: distributed — the billion-node path is unchanged.
+DRIVER_GRAPH_NODES = 512
+_DRIVER_GRAPH_EDGES = 262144  # secondary guard: collected edge rows
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",
@@ -306,6 +317,7 @@ def pagerank_integer(
     iterations: int = 10,
     scale: int = 10**9,
     damping_pct: int = 85,
+    driver_graph_nodes: int = DRIVER_GRAPH_NODES,
 ) -> DataFrame:
     """Weighted PageRank with ALL-INTEGER arithmetic — ranks live in
     ppb units (BIGINT), per-edge contributions and the damping factor
@@ -340,6 +352,59 @@ def pagerank_integer(
     # the graph-sized frame as the docstring already claimed)
     plan_inspect.register_subplan(e)
     e = e.localCheckpoint(eager=False)
+    # Driver path for BOUNDED graphs: ONE bounded collect of the
+    # weighted edge list (limit-guarded — a caller may pass a
+    # multigraph); nodes, N, and the rounds all derive from it in exact
+    # Python ints. Bit-identical to the distributed recurrence,
+    # including the SQL null-join semantics (a NULL src never matches
+    # the rank frame; a NULL dst's contribution never joins back — both
+    # spelled as explicit skips). Falls through to the distributed loop
+    # when the edge list or node set exceeds the bound.
+    if driver_graph_nodes and (
+        e.schema["_src"].dataType == e.schema["_dst"].dataType
+    ):
+        rows = e.limit(_DRIVER_GRAPH_EDGES + 1).collect()
+        if len(rows) <= _DRIVER_GRAPH_EDGES:
+            node_set = {r["_src"] for r in rows} | {r["_dst"] for r in rows}
+            if len(node_set) <= driver_graph_nodes:
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                out_schema = StructType(
+                    [
+                        StructField(
+                            "node", e.schema["_src"].dataType, True
+                        ),
+                        StructField("r", LongType(), True),
+                    ]
+                )
+                has_null = None in node_set
+                node_list = sorted(v for v in node_set if v is not None)
+                if has_null:
+                    node_list.append(None)
+                n_loc = len(node_list)
+                if n_loc == 0:
+                    return edges.sparkSession.createDataFrame(
+                        [], out_schema
+                    )
+                base_loc = ((100 - damping_pct) * scale) // (n_loc * 100)
+                ranks = {v: scale // n_loc for v in node_list}
+                for _ in range(iterations):
+                    contrib: dict = {}
+                    for row in rows:
+                        es, ed = row["_src"], row["_dst"]
+                        if es is None or ed is None:
+                            continue  # SQL null-join semantics
+                        c = (ranks[es] * row["_w"]) // row["_ow"]
+                        contrib[ed] = contrib.get(ed, 0) + c
+                    ranks = {
+                        v: base_loc + (damping_pct * contrib.get(v, 0)) // 100
+                        if v is not None
+                        else base_loc
+                        for v in node_list
+                    }
+                return edges.sparkSession.createDataFrame(
+                    [(v, ranks[v]) for v in node_list], out_schema
+                )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -1029,6 +1029,25 @@ def _ivf_portable_consts() -> tuple[
     return cent, query, nq, probe
 
 
+def _ivf_portable_arrays() -> tuple[list, list, int, list[int]]:
+    """q_sim_ivf_portable's broadcast constants in their final nested
+    shape, computed DRIVER-SIDE from the same literal rows (r18): the
+    old spelling rebuilt them per run through groupBy/collect_list
+    exchanges over literal tables — constant folding the engine cannot
+    do itself. Values are identical by construction: cents sorted by
+    cell with _cv sorted by d, query sorted by d — exactly the
+    array_sort(collect_list(...)) results."""
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    cents = [[0] * _IVFP_DIM for _ in range(_IVFP_K)]
+    for k, d, c in cent_rows:
+        cents[k][d] = c
+    qv = [0] * _IVFP_DIM
+    for d, q in q_rows:
+        qv[d] = q
+    cents_nested = [(k, cents[k]) for k in range(_IVFP_K)]
+    return cents_nested, qv, nq, probe
+
+
 def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe, ORACLE-GATED end-to-end: fixed literal centroids →
     integer argmin cell assignment → literal probe-cell pruning → exact
@@ -1059,7 +1078,7 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling exploded to n·64 rows, joined the 512-literal-row centroid
     table, and shuffled n·K distance groups + an argmin join-back + a
     rescore join. No Python in any row path."""
-    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    cents_nested, qv_arr, nq, probe = _ivf_portable_arrays()
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
     base = e.select(
         "vec_id",
@@ -1068,27 +1087,17 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    cent = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
-    carr = (
-        cent.groupBy("cell")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(d, c))), p -> p.c)"
-            ).alias("_cv")
-        )
-        .agg(
-            F.expr("array_sort(collect_list(struct(cell, _cv)))").alias(
-                "_cents"
-            )
-        )
+    # r18: the centroid/query nesting is a pure function of the Python
+    # literals — build the ONE broadcast row directly (identical values,
+    # byte-for-byte: sorted by cell / d exactly like the old
+    # array_sort(collect_list(...)) chain) instead of paying 3 literal-
+    # table exchanges per run for constant folding the engine can't see.
+    consts = literal_df(
+        spark,
+        [(cents_nested, qv_arr)],
+        "_cents ARRAY<STRUCT<cell: INT, _cv: ARRAY<BIGINT>>>,"
+        " _qv ARRAY<BIGINT>",
     )
-    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    qarr = qdf.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
-        ).alias("_qv")
-    )
-    consts = carr.crossJoin(qarr)
     # row-local argmin assignment; coalesce keeps NULL-element semantics
     # identical to the oracle's NULL-skipping SUM
     assigned = base.crossJoin(F.broadcast(consts)).select(
@@ -1214,7 +1223,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query array + TakeOrderedAndProject — zero shuffles; was
     an n·64 explode + broadcast join + n-key agg + join-back); the
     recall join is 10×10 rows."""
-    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    _cents_nested, qv_arr, nq, _probe = _ivf_portable_arrays()
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
     base = e.select(
         "vec_id",
@@ -1223,12 +1232,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    qarr = qdf.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
-        ).alias("_qv")
-    )
+    # r18: query array as ONE literal row (driver-side constant folding
+    # — the _ivf_portable_arrays discipline), no per-run literal agg
+    qarr = literal_df(spark, [(qv_arr,)], "_qv ARRAY<BIGINT>")
     dots = base.crossJoin(F.broadcast(qarr)).withColumn(
         "_dot",
         F.expr(
@@ -1358,6 +1364,40 @@ def _pq_portable_consts() -> tuple[
     return cb, query, nq
 
 
+def _pq_portable_arrays() -> tuple[list, list, list, int]:
+    """q_sim_pq_portable's broadcast constants in their final nested
+    shape, DRIVER-SIDE (r18, the _ivf_portable_arrays discipline):
+    codebook _cbs[sub]._codes[code]._cv[dsub], ADC table
+    _dtarr[sub][code] = ‖q_sub − c‖² in exact Python ints, query array
+    — identical values to the old in-engine groupBy/collect_list
+    chains, sorted by the same (sub, code, dsub / d) keys."""
+    cb_rows, q_rows, nq = _pq_portable_consts()
+    qv = [0] * (_PQP_M * _PQP_SUBDIM)
+    for d, q in q_rows:
+        qv[d] = q
+    cb = [
+        [[0] * _PQP_SUBDIM for _ in range(_PQP_CODES)]
+        for _ in range(_PQP_M)
+    ]
+    for sub, code, dsub, c in cb_rows:
+        cb[sub][code][dsub] = c
+    cbs_nested = [
+        (sub, [(code, cb[sub][code]) for code in range(_PQP_CODES)])
+        for sub in range(_PQP_M)
+    ]
+    dtarr = [
+        [
+            sum(
+                (qv[sub * _PQP_SUBDIM + dsub] - cb[sub][code][dsub]) ** 2
+                for dsub in range(_PQP_SUBDIM)
+            )
+            for code in range(_PQP_CODES)
+        ]
+        for sub in range(_PQP_M)
+    ]
+    return cbs_nested, dtarr, qv, nq
+
+
 def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC search, ORACLE-GATED end-to-end: fixed literal codebooks
     → integer argmin sub-quantizer encoding (min-distance-then-min-code
@@ -1382,7 +1422,7 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-r17 spelling exploded to n·64 rows, joined the codebook into
     n·M·CODES distance groups, and paid an argmin join-back + two
     more joins for ADC and re-rank. No Python in any row path."""
-    cb_rows, q_rows, nq = _pq_portable_consts()
+    cbs_nested, dtarr_nested, qv_arr, nq = _pq_portable_arrays()
     e = _emb(spark, sf_dir).filter(
         F.size("embedding") == _PQP_M * _PQP_SUBDIM
     )
@@ -1393,69 +1433,18 @@ def q_sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    cb = literal_df(
-        spark, cb_rows, "sub INT, code INT, dsub INT, c LONG"
+    # r18: codebook nesting AND the ADC table are pure functions of the
+    # Python literals — built driver-side into ONE broadcast row
+    # (identical integer values; the table build stays oracle-gated: the
+    # DuckDB side still derives it from the same VALUES literals). The
+    # old spelling paid ~8 literal-table exchanges per run.
+    consts = literal_df(
+        spark,
+        [(cbs_nested, dtarr_nested, qv_arr)],
+        "_cbs ARRAY<STRUCT<sub: INT,"
+        " _codes: ARRAY<STRUCT<code: INT, _cv: ARRAY<BIGINT>>>>>,"
+        " _dtarr ARRAY<ARRAY<BIGINT>>, _qv ARRAY<BIGINT>",
     )
-    # codebook → one row: _cbs[sub] = sorted (code, _cv[dsub]) structs
-    cbarr = (
-        cb.groupBy("sub", "code")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dsub, c))),"
-                " p -> p.c)"
-            ).alias("_cv")
-        )
-        .groupBy("sub")
-        .agg(
-            F.expr("array_sort(collect_list(struct(code, _cv)))").alias(
-                "_codes"
-            )
-        )
-        .agg(
-            F.expr("array_sort(collect_list(struct(sub, _codes)))").alias(
-                "_cbs"
-            )
-        )
-    )
-    # ADC table from the SAME literals, in-engine: dt(sub, code) →
-    # one row: _dtarr[sub][code] (both indices complete and contiguous
-    # by construction of the literal codebook)
-    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    qsub = qdf.select(
-        F.expr(f"d div {_PQP_SUBDIM}").cast("int").alias("sub"),
-        (F.col("d") % _PQP_SUBDIM).cast("int").alias("dsub"),
-        "qv",
-    )
-    dt = (
-        cb.join(qsub, ["sub", "dsub"])
-        .groupBy("sub", "code")
-        .agg(
-            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
-            .cast("long")
-            .alias("_dt")
-        )
-    )
-    dtarr = (
-        dt.groupBy("sub")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(code, _dt))),"
-                " p -> p._dt)"
-            ).alias("_dts")
-        )
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(sub, _dts))),"
-                " p -> p._dts)"
-            ).alias("_dtarr")
-        )
-    )
-    qarr = qdf.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
-        ).alias("_qv")
-    )
-    consts = cbarr.crossJoin(dtarr).crossJoin(qarr)
     # row-local per-subspace argmin encode; coalesce keeps NULL-element
     # semantics identical to the oracle's NULL-skipping SUM
     enc = base.crossJoin(F.broadcast(consts)).withColumn(
@@ -1633,6 +1622,51 @@ def _ivfpq_portable_consts() -> list[tuple[int, int, int, int]]:
     ]
 
 
+def _ivfpq_portable_arrays() -> tuple[list, list, list, list, int, list]:
+    """q_sim_ivfpq_portable's broadcast constants in their final nested
+    shape, DRIVER-SIDE (r18, the _ivf_portable_arrays discipline):
+    plain centroid arrays _cents[cell][d], shared residual codebook
+    _cbs[sub]._codes[code]._cv[dsub], per-PROBE-cell ADC tables
+    _dtc[(cell, dtss[sub][code])] with dt = ‖(q−cent_cell)_sub − c‖² in
+    exact Python ints, and the query array — identical values to the
+    old in-engine join/agg chains, sorted by the same keys (probe cells
+    ascending, as array_sort ordered the struct list)."""
+    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
+    cb_rows = _ivfpq_portable_consts()
+    cents = [[0] * _IVFP_DIM for _ in range(_IVFP_K)]
+    for k, d, c in cent_rows:
+        cents[k][d] = c
+    qv = [0] * _IVFP_DIM
+    for d, q in q_rows:
+        qv[d] = q
+    cb = [
+        [[0] * _IVFPQP_SUBDIM for _ in range(_IVFPQP_CODES)]
+        for _ in range(_IVFPQP_M)
+    ]
+    for sub, code, dsub, c in cb_rows:
+        cb[sub][code][dsub] = c
+    cbs_nested = [
+        (sub, [(code, cb[sub][code]) for code in range(_IVFPQP_CODES)])
+        for sub in range(_IVFPQP_M)
+    ]
+    dtc = []
+    for cell in sorted(int(p) for p in probe):
+        qr = [qv[d] - cents[cell][d] for d in range(_IVFP_DIM)]
+        dtss = [
+            [
+                sum(
+                    (qr[sub * _IVFPQP_SUBDIM + dsub] - cb[sub][code][dsub])
+                    ** 2
+                    for dsub in range(_IVFPQP_SUBDIM)
+                )
+                for code in range(_IVFPQP_CODES)
+            ]
+            for sub in range(_IVFPQP_M)
+        ]
+        dtc.append((cell, dtss))
+    return cents, cbs_nested, dtc, qv, nq, probe
+
+
 def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ search, ORACLE-GATED end-to-end: literal coarse centroids
     → integer argmin cell assignment → probe-cell pruning → RESIDUAL
@@ -1659,8 +1693,9 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only codes. The pre-r17 spelling exploded to n·64 rows and
     paid five join/agg exchanges for the same arithmetic. No Python in
     any row path."""
-    cent_rows, q_rows, nq, probe = _ivf_portable_consts()
-    cb_rows = _ivfpq_portable_consts()
+    cents_plain, cbs_nested, dtc_nested, qv_arr, nq, probe = (
+        _ivfpq_portable_arrays()
+    )
     e = _emb(spark, sf_dir).filter(F.size("embedding") == _IVFP_DIM)
     base = e.select(
         "vec_id",
@@ -1669,100 +1704,22 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    cent = literal_df(spark, cent_rows, "cell INT, d INT, c LONG")
-    # centroids → one row: _cents[cell] (cells 0..K-1 complete and
-    # contiguous by construction, so element_at(_cents, cell+1) works)
-    carr = (
-        cent.groupBy("cell")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(d, c))), p -> p.c)"
-            ).alias("_cv")
-        )
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(cell, _cv))),"
-                " p -> p._cv)"
-            ).alias("_cents")
-        )
+    # r18: every constant — centroids (cells 0..K-1 complete and
+    # contiguous, so element_at(_cents, cell+1) works), shared residual
+    # codebook, per-probe-cell ADC tables, query — is a pure function of
+    # the Python literals; built DRIVER-SIDE into ONE broadcast row
+    # (identical integer values; the residual/table arithmetic stays
+    # oracle-gated — DuckDB derives it from the same VALUES literals).
+    # The old spelling paid ~14 literal-table exchanges per run.
+    consts = literal_df(
+        spark,
+        [(cents_plain, cbs_nested, dtc_nested, qv_arr)],
+        "_cents ARRAY<ARRAY<BIGINT>>,"
+        " _cbs ARRAY<STRUCT<sub: INT,"
+        " _codes: ARRAY<STRUCT<code: INT, _cv: ARRAY<BIGINT>>>>>,"
+        " _dtc ARRAY<STRUCT<cell: INT, _dtss: ARRAY<ARRAY<BIGINT>>>>,"
+        " _qv ARRAY<BIGINT>",
     )
-    cb = literal_df(spark, cb_rows, "sub INT, code INT, dsub INT, c LONG")
-    cbarr = (
-        cb.groupBy("sub", "code")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dsub, c))),"
-                " p -> p.c)"
-            ).alias("_cv")
-        )
-        .groupBy("sub")
-        .agg(
-            F.expr("array_sort(collect_list(struct(code, _cv)))").alias(
-                "_codes"
-            )
-        )
-        .agg(
-            F.expr("array_sort(collect_list(struct(sub, _codes)))").alias(
-                "_cbs"
-            )
-        )
-    )
-    # per-probe-cell ADC tables from the SAME literals, in-engine:
-    # residual query qr(cell, d) = q − cent[cell], dt(cell, sub, code)
-    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    qr = (
-        F.broadcast(qdf)
-        .join(
-            F.broadcast(
-                cent.filter(F.col("cell").isin([int(p) for p in probe]))
-            ),
-            "d",
-        )
-        .select(
-            "cell",
-            F.expr(f"d div {_IVFPQP_SUBDIM}").cast("int").alias("sub"),
-            (F.col("d") % _IVFPQP_SUBDIM).cast("int").alias("dsub"),
-            (F.col("qv") - F.col("c")).alias("qrv"),
-        )
-    )
-    dt = (
-        cb.join(qr, ["sub", "dsub"])
-        .groupBy("cell", "sub", "code")
-        .agg(
-            F.sum((F.col("qrv") - F.col("c")) * (F.col("qrv") - F.col("c")))
-            .cast("long")
-            .alias("_dt")
-        )
-    )
-    # dt → one row: _dtc = sorted (cell, dts[sub][code]) structs (only
-    # the probe cells exist — looked up by cell value, not position)
-    dtarr = (
-        dt.groupBy("cell", "sub")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(code, _dt))),"
-                " p -> p._dt)"
-            ).alias("_dts")
-        )
-        .groupBy("cell")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(sub, _dts))),"
-                " p -> p._dts)"
-            ).alias("_dtss")
-        )
-        .agg(
-            F.expr("array_sort(collect_list(struct(cell, _dtss)))").alias(
-                "_dtc"
-            )
-        )
-    )
-    qarr = qdf.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
-        ).alias("_qv")
-    )
-    consts = carr.crossJoin(cbarr).crossJoin(dtarr).crossJoin(qarr)
     # row-local argmin cell assignment (coalesce = the oracle's
     # NULL-skipping SUM), then probe pruning BEFORE any residual work
     assigned = base.crossJoin(F.broadcast(consts)).withColumn(

@@ -207,3 +207,20 @@ def test_segment_by_key_keeps_empty_and_whitespace_docs(spark):
     # TWO empty words — mirror of DuckDB's trim/regexp_split semantics
     assert by_key[3] == ["", END_MARK, "", END_MARK]
     assert per_row == by_key
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """r18: the size-gated driver-side merge loop must be bit-identical
+    to the distributed loop — same pair counts (overlapping adjacencies
+    included), same (count DESC, pair ASC) argmax, same greedy
+    non-overlapping merge application, same early stop."""
+    texts = [
+        "the cat sat on the mat",
+        "a b ab ab aaa aaa aaa",
+        "low lower lowest newer newest wider",
+        "the the the mat mat",
+    ]
+    docs = _docs(spark, texts)
+    fast = bpe.bpe_train(docs, num_merges=8)  # driver path (tiny vocab)
+    slow = bpe.bpe_train(docs, num_merges=8, driver_vocab_rows=0)
+    assert fast == slow

@@ -172,3 +172,28 @@ def test_unknown_algorithm_raises(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(edges, algorithm="nope")
+
+
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    """r18: the size-gated driver-side round loop must be bit-identical
+    to the distributed recurrence — same integer floor divisions, same
+    dangling-mass leak, same base term."""
+    from dbt_snowflake_feature_store_spark.functions.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 1), (2, 0, 2), (0, 2, 5), (3, 0, 7)],
+        "src int, dst int, w long",
+    )
+    fast = {
+        r["node"]: r["r"]
+        for r in pagerank_integer(edges, iterations=6).collect()
+    }
+    slow = {
+        r["node"]: r["r"]
+        for r in pagerank_integer(
+            edges, iterations=6, driver_graph_nodes=0
+        ).collect()
+    }
+    assert fast == slow and len(fast) == 4

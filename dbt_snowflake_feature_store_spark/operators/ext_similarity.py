@@ -111,51 +111,72 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact and oracle-gated on a bounded slice (vec_id < 200 —
     documented exactness pin; the ALL-vectors scale path is the LSH /
     IVF candidate generation (q_sim_ann_lsh / q_sim_ivf) feeding the
-    same rescoring). Plan (r17 rewrite): bounded broadcast NLJ of the
-    slice against itself (n² pair rows), per-pair decimal products
-    generated ROW-LOCALLY (explode of the zip_with product array — the
-    per-pair SUM keeps the exact DECIMAL(38,18) accumulation type of
-    the old position-join spelling, which an ``aggregate`` HOF fold
-    could not: its per-step Add would precision-cap to scale 17),
-    row_number per id_a over the ROUNDED cosine with id tiebreak —
-    fully deterministic. The pre-r17 spelling position-joined two n·64
-    exploded frames (64-key join, two exchanges) and joined norms back
-    on twice. Norms ride the NLJ rows (decimal self-dot per side,
-    cast double — the identical SUM type path)."""
+    same rescoring). Plan (r18 rewrite): bounded broadcast NLJ of
+    the slice against itself (n² pair rows); the per-pair dot runs as a
+    ROW-LOCAL long fold over the UNSCALED decimal-(18,9) values — each
+    64-lane product splits into (p DIV 1e9, p MOD 1e9) halves whose
+    sums stay in int64, and the exact decimal value is rebuilt as
+    DECIMAL(13,11) + DECIMAL(19,18) pieces (both divisions terminate
+    within the result scale, so every step is EXACT — the plain
+    ``aggregate`` fold over decimal products that r17 rejected would
+    precision-cap to scale 17; this split is how the fold keeps the
+    full scale-18 value, bit-identical to the old explode + SUM
+    spelling, with NO per-pair shuffle or decimal aggregation at all).
+    Magnitude: |x| ≤ 0.6 (the documented corpus coordinate bound the
+    whole portable-similarity family relies on) keeps every product ≤
+    3.6·10¹⁷ and the half-sums ≤ 6.4·10¹⁰ — factor-25 headroom inside
+    int64. Norms ride the rows via the SAME fold (x = y), so the r17
+    norm join-backs are gone. row_number per id_a over the ROUNDED
+    cosine with id tiebreak — fully deterministic. The pre-r17
+    spelling position-joined two n·64 exploded frames; r17 still
+    exploded 64 product rows per pair into a decimal
+    ObjectHashAggregate behind an (id_a, id_b) exchange."""
     from pyspark.sql import Window
 
     k = 3
+
+    def dot_dec(xs: str, ys: str) -> str:
+        # exact Σ x·y over unscaled longs: both half-sum divisions
+        # terminate within the result scale (ph·1e-9 has ≤9 fractional
+        # digits into scale 11; pl·1e-18 has ≤18 into scale 18), so the
+        # decimal rebuild is exact and its DOUBLE cast is the identical
+        # correctly-rounded value the old SUM(decimal) path produced.
+        # coalesce(…, 0) = the NULL-skipping SUM semantics.
+        ph = (
+            f"aggregate(zip_with({xs}, {ys},"
+            " (x, y) -> coalesce(x * y, CAST(0 AS BIGINT)) DIV 1000000000),"
+            " CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+        pl = (
+            f"aggregate(zip_with({xs}, {ys},"
+            " (x, y) -> coalesce(x * y, CAST(0 AS BIGINT)) % 1000000000),"
+            " CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+        return (
+            f"CAST(CAST(CAST({ph} AS DECIMAL(20,0)) / 1000000000"
+            f" AS DECIMAL(13,11))"
+            f" + CAST(CAST({pl} AS DECIMAL(20,0)) / 1000000000000000000"
+            f" AS DECIMAL(19,18)) AS DOUBLE)"
+        )
+
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
     base = e.select(
         "vec_id",
         F.expr(
-            "transform(embedding, x -> cast(x as decimal(18,9)))"
+            "transform(embedding, x ->"
+            " CAST(CAST(x AS DECIMAL(18,9)) * 1000000000 AS BIGINT))"
         ).alias("_xd"),
-    )
-    norms = base.select(
-        "vec_id",
-        F.expr("explode(zip_with(_xd, _xd, (x, y) -> x * y))").alias("_p"),
-    ).groupBy("vec_id").agg(F.sum("_p").cast("double").alias("_n"))
-    bb = base.select(F.col("vec_id").alias("id_b"), F.col("_xd").alias("_xb"))
-    dots = (
-        base.select(F.col("vec_id").alias("id_a"), "_xd")
-        .crossJoin(F.broadcast(bb))
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("explode(zip_with(_xd, _xb, (x, y) -> x * y))").alias(
-                "_p"
-            ),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("_p").cast("double").alias("_dot"))
+    ).withColumn("_n", F.expr(dot_dec("_xd", "_xd")))
+    bb = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_xd").alias("_xb"),
+        F.col("_n").alias("_nb"),
     )
     scored = (
-        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("id_a"),
-                                           F.col("_n").alias("_na"))), "id_a")
-        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_b"),
-                                       F.col("_n").alias("_nb"))), "id_b")
+        base.select(F.col("vec_id").alias("id_a"), "_xd",
+                    F.col("_n").alias("_na"))
+        .crossJoin(F.broadcast(bb))
+        .filter(F.col("id_a") != F.col("id_b"))
         .select(
             "id_a", "id_b",
             # NOT round(): engines disagree at exact half-boundaries of
@@ -163,8 +184,8 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 0.284493). floor(x·1e6 + 0.5)/1e6 is pure IEEE double
             # arithmetic — bit-identical on any engine.
             F.expr(
-                "floor(_dot / (sqrt(_na) * sqrt(_nb)) * 1000000.0D + 0.5D)"
-                " / 1000000.0D"
+                f"floor({dot_dec('_xd', '_xb')} / (sqrt(_na) * sqrt(_nb))"
+                " * 1000000.0D + 0.5D) / 1000000.0D"
             ).alias("f_cosine"),
         )
     )

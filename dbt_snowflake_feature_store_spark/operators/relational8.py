@@ -525,29 +525,49 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey AS ok, l_linenumber AS ln, _s AS s, _e AS e)))"
         ).alias("_arr")
     )
-    # overlapping (i < j) pairs of the sorted array, in codegen; the
-    # filter keeps s1 <= e2 AND s2 <= e1 (same predicate as the join)
-    pairs = grouped.select(
+    # r18: ONE fused fold computes (pair count, max overlap) in a single
+    # traversal of the (i < j) pair stream — the r17 spelling
+    # materialized the filtered pair ARRAY and its `size(_p) > 0` gate
+    # was predicate-pushed below the defining Project, re-evaluating the
+    # full quadratic expansion TWICE per group (verified in the before
+    # plan: the filter(flatten(transform(...))) subtree appears in both
+    # the Filter and the Project). `_arr` is an Aggregate-output
+    # ATTRIBUTE, so referencing it inside the lambdas is the legal
+    # materialized-column form; `_st` is referenced twice below, which
+    # cost-aware CollapseProject refuses to inline — fold runs once.
+    stats = grouped.select(
         "f_partkey",
         F.expr(
-            "filter(flatten(transform(_arr, (x, i) ->"
-            " transform(slice(_arr, i + 2, size(_arr)),"
-            " y -> struct(x.s AS s1, x.e AS e1, y.s AS s2, y.e AS e2)))),"
-            " p -> p.s1 <= p.e2 AND p.s2 <= p.e1)"
-        ).alias("_p"),
-    ).filter(F.size("_p") > 0)
-    agg = pairs.select(
-        "f_partkey",
-        F.size("_p").cast("long").alias("f_pairs"),
-        F.expr(
-            "CAST(array_max(transform(_p, p ->"
-            " (LEAST(p.e1, p.e2) - GREATEST(p.s1, p.s2)) DIV 86400))"
-            " AS BIGINT)"
-        ).alias("f_max_overlap_days"),
+            "aggregate("
+            " flatten(transform(_arr, (x, i) ->"
+            "  transform(slice(_arr, i + 2, size(_arr)),"
+            "  y -> struct(x.s AS s1, x.e AS e1, y.s AS s2, y.e AS e2)))),"
+            " named_struct('cnt', CAST(0 AS BIGINT),"
+            "               'mx', CAST(NULL AS BIGINT)),"
+            " (acc, p) -> CASE WHEN p.s1 <= p.e2 AND p.s2 <= p.e1"
+            "  THEN named_struct('cnt', acc.cnt + CAST(1 AS BIGINT),"
+            "   'mx', GREATEST(acc.mx,"
+            "    (LEAST(p.e1, p.e2) - GREATEST(p.s1, p.s2)) DIV 86400))"
+            "  ELSE acc END)"
+        ).alias("_st"),
     )
-    return agg.orderBy(
-        F.col("f_pairs").desc(), F.col("f_partkey").asc()
-    ).limit(_IV_TOP)
+    out = stats.select(
+        "f_partkey",
+        F.col("_st.cnt").alias("f_pairs"),
+        F.col("_st.mx").alias("f_max_overlap_days"),
+    )
+    # zero-pair parts are dropped ABOVE the top-k (a filter below it
+    # would predicate-push into the fold's Project and duplicate the
+    # expansion): with ≥ top-k positive parts the limit already contains
+    # only positives (they sort first on f_pairs DESC); with fewer, the
+    # post-limit filter leaves exactly the positive set — both cases
+    # identical to filtering first, which is what the oracle's inner
+    # join spells.
+    return (
+        out.orderBy(F.col("f_pairs").desc(), F.col("f_partkey").asc())
+        .limit(_IV_TOP)
+        .filter(F.col("f_pairs") > 0)
+    )
 
 
 ORACLE["q_join_interval"] = f"""

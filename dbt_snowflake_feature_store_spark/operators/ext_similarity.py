@@ -2374,31 +2374,41 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "j", F.expr(f"cc DIV {_PCA_DOWN}").cast("long").alias("c")
         )
     )
-    v = literal_df(
-        spark, [(j, _PCA_S) for j in range(_PCA_DIM)], "j INT, v LONG"
-    )
+    # r18: the power iterations run on a CONSTANT-size frame — the Gram
+    # matrix is ≤ _PCA_DIM² = 256 rows BY CONSTRUCTION at any SF — so
+    # the rounds move driver-side (the q_pagerank/bpe_train discipline):
+    # one bounded collect of the checkpointed matrix, then exact Python
+    # ints replicating the distributed recurrence bit-for-bit. Spark's
+    # DIV truncates toward zero (verified: -7 DIV 2 = -3), so the
+    # renormalize uses truncating division, NOT Python's flooring //.
+    # The distributed spelling this replaces (join broadcast v → 16-key
+    # agg → checkpoint → max agg → renormalize, × _PCA_ITERS) paid ~4
+    # graph-sized-job latencies per run for 256-row arithmetic.
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    mat = [
+        (r["i"], r["j"], r["c"])
+        for r in cpr.limit(_PCA_DIM * _PCA_DIM + 1).collect()
+    ]
+    assert len(mat) <= _PCA_DIM * _PCA_DIM, "Gram matrix exceeds DIM²"
+    vvec = {j: _PCA_S for j in range(_PCA_DIM)}
     for _ in range(_PCA_ITERS):
-        # w feeds BOTH the max and the renormalize; the lazy checkpoint
-        # stops the per-round DAG doubling (the q_pagerank discipline)
-        w = (
-            cpr.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("w"))
-        )
-        w = _ckpt(w)
-        m = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                F.col("i").alias("j"),
-                F.expr(f"w DIV greatest(m DIV {_PCA_S}, 1L)")
-                .cast("long")
-                .alias("v"),
-            )
-        )
-    return v.select(
-        F.col("j").cast("long").alias("f_d"), F.col("v").alias("f_v")
-    ).orderBy("f_d")
+        w: dict = {}
+        for i, j, c in mat:
+            if j in vvec:  # join semantics
+                w[i] = w.get(i, 0) + c * vvec[j]
+        if not w:
+            vvec = {}
+            break
+        m = max(abs(x) for x in w.values())
+        g = max(_tdiv(m, _PCA_S), 1)
+        vvec = {i: _tdiv(wi, g) for i, wi in w.items()}
+    out_rows = [(int(j), int(val)) for j, val in sorted(vvec.items())]
+    return spark.createDataFrame(out_rows, "f_d LONG, f_v LONG").orderBy(
+        "f_d"
+    )
 
 
 def _pca_power_oracle() -> str:
@@ -3352,29 +3362,20 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000.0) as bigint))"
         ).alias("_xq"),
     ).withColumn("_na", F.expr("aggregate(_xq, 0L, (acc, v) -> acc + v * v)"))
-    hp = literal_df(spark, planes, "b INT, d INT, hv LONG")
-    hparr = (
-        hp.groupBy("b")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(d, hv))),"
-                " p -> p.hv)"
-            ).alias("_hv")
-        )
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(b, _hv))),"
-                " p -> p._hv)"
-            ).alias("_hp")
-        )
+    # r18: plane/query nesting computed driver-side into ONE literal row
+    # (the _ivf_portable_arrays discipline — identical values, sorted by
+    # the same (b, d) keys the old collect_list chains produced)
+    hp_nested = [[0] * _LSHP_DIM for _ in range(_LSHP_BITS)]
+    for b, d, hv in planes:
+        hp_nested[b][d] = hv
+    qv_arr = [0] * _LSHP_DIM
+    for d, q in q_rows:
+        qv_arr[d] = q
+    consts = literal_df(
+        spark,
+        [(hp_nested, qv_arr)],
+        "_hp ARRAY<ARRAY<BIGINT>>, _qv ARRAY<BIGINT>",
     )
-    qdf = literal_df(spark, q_rows, "d INT, qv LONG")
-    qarr = qdf.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, qv))), p -> p.qv)"
-        ).alias("_qv")
-    )
-    consts = hparr.crossJoin(qarr)
     cos = F.col("_dot").cast("double") / (
         F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.lit(float(nq)))
     )

@@ -709,13 +709,14 @@ def test_triangles_checkpoints_pairs_and_orientation(spark):
     assert s.shuffles < 40  # re-execution blowup would be >100
 
 
-def test_pca_power_checkpoints_each_round(spark):
-    """q_embed_pca_power's matvec result feeds both the max and the
-    renormalize — without per-round cuts the DAG doubles per iteration
-    (2^4 re-executions of the Gram build)."""
+def test_pca_power_checkpoints_gram_once(spark):
+    """q_embed_pca_power (r18): the Gram matrix is the ONE registered
+    lineage cut — the power iterations run driver-side on the collected
+    ≤ DIM² = 256-row matrix (exact ints, truncating DIV), so no
+    per-round Spark frames exist anymore. The cut still matters: cpr is
+    collected once and the Gram build must not re-execute."""
     s, subs = _summary_with_subplans(spark, "q_embed_pca_power")
-    # cpr + one w per iteration = 5 registered cuts
-    assert len(subs) == 5
+    assert len(subs) == 1  # cpr only
     assert s.shuffles < 20
 
 

@@ -494,9 +494,14 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey tiebreak). No INTERVAL/date arithmetic crosses the engine
     boundary — epoch seconds + 86400·quantity on both sides.
 
-    Scale (r17 rewrite): ONE map-side-combinable-free shuffle on
-    l_partkey (collect_list per part) and the pair expansion runs
-    ROW-LOCALLY in whole-stage codegen over the sorted per-part array —
+    Scale (r17 rewrite, r18 fused fold): ONE
+    map-side-combinable-free shuffle on l_partkey (collect_list per
+    part) and the pair expansion runs ROW-LOCALLY over the sorted
+    per-part array — since r18 as a SINGLE aggregate fold producing
+    (count, max-overlap) in one traversal, with the zero-pair filter
+    above the top-k (the r17 spelling's size-filter was
+    predicate-pushed below the defining Project and re-evaluated the
+    quadratic expansion twice) —
     per-part multiplicity is a schema-fixed ratio (~30 lines/part at
     every TPC-H SF), so the per-row array and its ≤ ~m²/2 pair scan are
     bounded BY THE SCHEMA at any SF. The pre-r17 spelling was a partkey

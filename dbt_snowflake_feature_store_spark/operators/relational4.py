@@ -485,8 +485,23 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the per-document self-join, the standard co-occurrence
     guard; doc-frequency aggregates are map-side combinable; the
     corpus size joins in as a 1-row broadcast."""
+    from ..plans import inspect as plan_inspect
+
+    def _cut(df: DataFrame) -> DataFrame:
+        plan_inspect.register_subplan(df)
+        return df.localCheckpoint(eager=False)
+
     d = _t(spark, sf_dir, "documents")
-    toks = (
+    # r18: toks fans into dfreq AND the vocabulary-restricted stream,
+    # and vocab fans into the semi-join + BOTH marginal broadcasts —
+    # without a lineage cut the corpus explode+distinct executed FOUR
+    # times per run (the q_pagerank discipline). ONE cut on toks: the
+    # corpus pass runs once; vocab stays an Aggregate over the
+    # checkpointed stream (three cheap re-aggregations of materialized
+    # rows) so its broadcast sides keep the `reduced(...)` label — a
+    # checkpointed vocab would be a LogicalRDD the forced-broadcast
+    # sweep cannot prove bounded.
+    toks = _cut(
         d.select(
             "doc_id",
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
@@ -499,18 +514,26 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     vocab = dfreq.filter(F.col("df") >= 5)
     vt = toks.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+    # r18 (the q_graph_triangles r17 treatment): the per-document token
+    # self-join (two sorted exchanges + SMJ) becomes ONE doc-keyed
+    # collect_list shuffle with the (i < j) pair expansion ROW-LOCAL —
+    # per-doc tokens are DISTINCT (toks is distinct), so sorted-array
+    # position order i < j is exactly the x.tok < y.tok strict pair set
+    # under the same UTF8-binary comparator.
+    byd = vt.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(tok))").alias("_ts")
+    )
     pairs = (
-        vt.alias("x")
-        .join(
-            vt.alias("y"),
-            (F.col("x.doc_id") == F.col("y.doc_id"))
-            & (F.col("x.tok") < F.col("y.tok")),
+        byd.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ts, (x, i) ->"
+                    " transform(slice(_ts, i + 2, size(_ts)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_pr")
         )
-        .select(
-            F.col("x.tok").alias("f_a"),
-            F.col("y.tok").alias("f_b"),
-        )
-        .groupBy("f_a", "f_b")
+        .groupBy(F.col("_pr.a").alias("f_a"), F.col("_pr.b").alias("f_b"))
         .agg(F.count("*").cast("long").alias("f_docs_both"))
         .filter(F.col("f_docs_both") >= 10)
     )

@@ -845,32 +845,45 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets; marginals aggregate the same distinct frame (one _ckpt cut,
     one scan); the output domain is |types|² / 2."""
     ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    basket = _ckpt(
+    # r18 (the q_graph_triangles treatment): ONE (user, day) exchange
+    # builds each basket's SORTED distinct type set directly
+    # (collect_set = the old projection-distinct, minus NULL types —
+    # harmless: the old `_ty < _ty` pair join never emitted NULLs, the
+    # NULL marginal never joined back, and a basket whose only type is
+    # NULL still keeps its group row so the basket count is unchanged);
+    # pairs expand ROW-LOCALLY (i < j over the sorted distinct set = the
+    # strict `a._ty < b._ty` pair set), and the marginals and basket
+    # count ride the SAME checkpointed frame — the old spelling paid a
+    # distinct exchange, a two-sided sorted self-join, and a second
+    # distinct for the basket count.
+    byb = _ckpt(
         ev.select(
             "user_id",
             F.expr(
                 "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
             ).alias("_ds"),
             F.col("event_type").alias("_ty"),
-        ).distinct()
+        )
+        .groupBy("user_id", "_ds")
+        .agg(F.expr("array_sort(collect_set(_ty))").alias("_ts"))
     )
-    n_baskets = basket.select("user_id", "_ds").distinct().agg(
-        F.count("*").cast("long").alias("_N")
-    )
-    singles = basket.groupBy("_ty").agg(
+    n_baskets = byb.agg(F.count("*").cast("long").alias("_N"))
+    singles = byb.select(F.explode("_ts").alias("_ty")).groupBy("_ty").agg(
         F.count("*").cast("long").alias("_c")
     )
-    a, b = basket.alias("a"), basket.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a._ds") == F.col("b._ds"))
-            & (F.col("a._ty") < F.col("b._ty")),
+        byb.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ts, (x, i) ->"
+                    " transform(slice(_ts, i + 2, size(_ts)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_pr")
         )
         .groupBy(
-            F.col("a._ty").alias("f_type_a"),
-            F.col("b._ty").alias("f_type_b"),
+            F.col("_pr.a").alias("f_type_a"),
+            F.col("_pr.b").alias("f_type_b"),
         )
         .agg(F.count("*").cast("long").alias("f_both"))
     )

@@ -57,14 +57,27 @@ _STOPWORDS_EN = (
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: char length, token count, mean word
     length, punctuation ratio, digit ratio, stopword ratio, uppercase
-    ratio — the Gopher/C4-style quality-filter signals, all native exprs."""
+    ratio — the Gopher/C4-style quality-filter signals, all native exprs.
+
+    The token array and token count are MATERIALIZED helper columns
+    (r18): inlining ``ws_token_count`` into every feature expression
+    re-ran the whitespace split 5× per row in one Project (identical
+    trees in separate output columns are not CSE'd across conditional
+    branches). Multi-referenced non-cheap aliases survive cost-aware
+    CollapseProject, so the split runs once; the helpers are dropped
+    before return — the output schema is unchanged."""
     t = F.col(text_col)
-    toks = ws_tokens(t)
     stop_arr = F.split(F.lit(_STOPWORDS_EN[0]), " ")
+    base = df.withColumn("_fs_q_toks", ws_tokens(t)).withColumn(
+        "_fs_q_ntok",
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size("_fs_q_toks"))
+        .cast("long"),
+    )
     n_chars = F.length(t)
-    n_tokens = ws_token_count(t)
+    n_tokens = F.col("_fs_q_ntok")
     return (
-        df.withColumn("q_n_chars", n_chars.cast("long"))
+        base.withColumn("q_n_chars", n_chars.cast("long"))
         .withColumn("q_n_tokens", n_tokens)
         .withColumn(
             "q_mean_word_len",
@@ -82,9 +95,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "q_stopword_ratio",
-            F.size(F.array_intersect(toks, stop_arr)).cast("double")
+            F.size(F.array_intersect(F.col("_fs_q_toks"), stop_arr))
+            .cast("double")
             / n_tokens.cast("double"),
         )
+        .drop("_fs_q_toks", "_fs_q_ntok")
     )
 
 

@@ -2872,11 +2872,18 @@ def _rrf_lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.col("_toks"), (lambda tt: lambda x: x == F.lit(tt))(t))
         )
         score = c if score is None else score + c
+    # The positivity filter runs ABOVE the top-K cut (r18): below the
+    # limit, predicate pushdown inlines _lscore into the Filter and the
+    # three size(filter(split(...))) terms run TWICE per corpus row
+    # (the q_join_interval HOF-pushdown catch). Provably identical row
+    # set: every positive score sorts before every zero under the DESC
+    # order, so the top-K of all docs filtered to > 0 equals the top-K
+    # of the positive docs — min(#positives, K) rows either way.
     lex_top = (
         toks.select("doc_id", score.cast("long").alias("_lscore"))
-        .filter(F.col("_lscore") > 0)
         .orderBy(F.col("_lscore").desc(), F.col("doc_id").asc())
         .limit(_RRF_TOPC)
+        .filter(F.col("_lscore") > 0)
     )
     return lex_top.withColumn(
         "_rl",

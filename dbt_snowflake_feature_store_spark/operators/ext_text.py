@@ -387,13 +387,18 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select(
         "lang", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 2)
+    )
+    # <2-token gate inside the bigram expression (empty array -> explode
+    # emits nothing): a standalone filter(size(t) >= 2) is pushed below
+    # the Project and re-evaluates the split per row (r18 §4.4 fix)
     grams = toks.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(t) - 2),"
-                " i -> concat(t[i], ' ', t[i + 1]))"
+                "IF(size(t) >= 2,"
+                " transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1])),"
+                " array())"
             )
         ).alias("f_bigram"),
     )
@@ -618,14 +623,20 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. The occurrence count is the length-delta formula — identical
     arithmetic in any engine."""
     d = _docs(spark, sf_dir)
-    kw = "window"
+    kw = "window"  # no regex metacharacters — contains() is exact
     occurrences = (
         (F.length("text") - F.length(F.regexp_replace("text", kw, "")))
         / len(kw)
     ).cast("long")
+    # r18: filter on contains() instead of f_matches > 0 (equivalent for
+    # a literal keyword: occurrence count > 0 iff the substring appears;
+    # NULL text fails both). The old spelling pushed f_matches below the
+    # Project and ran the regexp_replace TWICE per row; contains() is a
+    # cheap substring scan at the data filter and the regexp now runs
+    # only on matching rows.
     return (
-        d.withColumn("f_matches", occurrences)
-        .filter((F.col("f_matches") > 0) & (F.col("lang") == "en"))
+        d.filter(F.col("text").contains(kw) & (F.col("lang") == "en"))
+        .withColumn("f_matches", occurrences)
         .select("doc_id", "lang", "f_matches", "n_chars")
     )
 
@@ -657,9 +668,21 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays as the Arrow-path variant; at 100 TB this native form is the
     one to prefer anyway (whole-stage codegen, partial aggregation)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # r18: the token array is INLINED into explode() — exploding a
+    # materialized _toks ATTRIBUTE made Catalyst's
+    # InferFiltersFromGenerate insert `size(_toks) > 0 AND
+    # isnotnull(_toks)` below the Generate, and predicate pushdown then
+    # inlined the normalize+split chain into that filter: 3 chain
+    # evaluations per row instead of 1 (plan-verified). A complex
+    # generator input infers no filter; empty/NULL token arrays explode
+    # to zero rows either way, so the rows are identical.
     toks = (
-        d.withColumn("_toks", TXT.ws_tokens(TXT.normalized_text(F.col("text"))))
-        .select("doc_id", F.explode("_toks").alias("_tok"))
+        d.select(
+            "doc_id",
+            F.explode(
+                TXT.ws_tokens(TXT.normalized_text(F.col("text")))
+            ).alias("_tok"),
+        )
         .selectExpr(
             "doc_id",
             "cast(conv(substr(md5(_tok), 1, 15), 16, 10) as bigint) AS x",
@@ -785,9 +808,14 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-local HOF transforms, explode pipelined with the scan, zero
     shuffle — embarrassingly parallel at any corpus size. Emits per
     chunk: index, start token offset, length, first/last token."""
+    # no size filter (r18): split() never returns an empty array (an
+    # empty trimmed text yields [""], size 1 — kept before and after),
+    # and a NULL text yields a NULL array that explode already skips,
+    # so filter(size(t) > 0) kept no extra rows out while predicate
+    # pushdown re-evaluated the split per row below the Project
     d = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") > 0)
+    )
     chunks = d.select(
         "doc_id",
         F.explode(
@@ -875,13 +903,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
+    )
+    # <3-token gate inside the gram expression (empty array -> explode
+    # emits nothing): a standalone filter(size(t) >= 3) is pushed below
+    # the Project and re-evaluates the split per row (r18 §4.4 fix)
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(t) - 3),"
-                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                "IF(size(t) >= 3,"
+                " transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])),"
+                " array())"
             )
         ).alias("gram"),
     ).distinct()
@@ -968,13 +1001,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         TXT.ws_tokens(TXT.normalized_text(F.col("text"))).alias("t"),
-    ).filter(F.size("t") >= 8)
+    )
+    # <8-token gate inside the gram expression (empty array -> explode
+    # emits nothing): a standalone filter(size(t) >= 8) is pushed below
+    # the Project and re-evaluates the normalize+split chain per row
+    # (r18 §4.4 fix)
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(0, size(t) - 8),"
-                " i -> array_join(slice(t, i + 1, 8), ' ')))"
+                "IF(size(t) >= 8,"
+                " array_distinct(transform(sequence(0, size(t) - 8),"
+                " i -> array_join(slice(t, i + 1, 8), ' '))),"
+                " array())"
             )
         ).alias("gram"),
     )
@@ -1129,9 +1168,16 @@ def q_dedup_cross_source(
     no cap is needed until the source count itself is huge."""
     d = _docs(spark, sf_dir).select(
         "source", TXT.normalized_text(F.col("text")).alias("norm")
-    ).filter(F.length("norm") > 0)
+    )
     toks = d.select("source", F.split("norm", " ").alias("t"))
     key = F.col("chunk") if exact_keys else F.xxhash64("chunk")
+    # the empty-doc gate moved ABOVE the explode (r18): filtering
+    # length(norm) > 0 below re-evaluated the two-regexp normalize
+    # chain per row (predicate pushdown inlines the alias). Exactly the
+    # same rows survive: non-empty norm yields only non-empty tokens,
+    # so every real chunk is non-empty; an empty norm yields t = [""]
+    # and exactly one chunk = '' (dropped here); NULL text yields a
+    # NULL array that explode already skips.
     chunks = (
         toks.select(
             "source",
@@ -1139,6 +1185,7 @@ def q_dedup_cross_source(
                 F.expr(_CHUNK16_SPARK)
             ).alias("chunk"),
         )
+        .filter(F.col("chunk") != "")
         .select("source", key.alias("chunk_h"))
         .distinct()
     )
@@ -1288,15 +1335,18 @@ def q_dedup_chunks(
     all-pairs anything — cost is linear in corpus chunks."""
     d = _docs(spark, sf_dir).select(
         "doc_id", TXT.normalized_text(F.col("text")).alias("norm")
-    ).filter(F.length("norm") > 0)
+    )
     toks = d.select("doc_id", F.split("norm", " ").alias("t"))
     key = F.col("chunk") if exact_keys else F.xxhash64("chunk")
+    # empty-doc gate above the explode — same reasoning as
+    # q_dedup_cross_source (r18): identical surviving rows, and the
+    # normalize chain is no longer re-evaluated by a pushed predicate
     chunks = toks.select(
         "doc_id",
         F.explode(
             F.expr(_CHUNK16_SPARK)
         ).alias("chunk"),
-    ).select("doc_id", key.alias("chunk_h"))
+    ).filter(F.col("chunk") != "").select("doc_id", key.alias("chunk_h"))
     per_dc = chunks.groupBy("doc_id", "chunk_h").agg(F.count("*").alias("k"))
     per_c = per_dc.groupBy("chunk_h").agg(F.sum("k").cast("long").alias("n_occ"))
     joined = per_dc.join(per_c, "chunk_h")
@@ -1400,16 +1450,24 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan; conditional sums in a single agg on the tiny lang key
     (zero extra shuffles). Gate formulas are shared verbatim with
     q_text_quality so the funnel and the per-doc scores can't drift."""
-    d = _docs(spark, sf_dir)
-    n_chars = F.length("text").cast("long")
-    n_words = TXT.ws_token_count(F.col("text"))
-    mean_wl = (n_chars - n_words + 1).cast("double") / n_words.cast("double")
-    digit_ratio = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0)).cast(
-            "double"
-        )
-        / n_chars.cast("double")
+    # r18: the gate INPUTS are materialized once per row in a Project
+    # below the aggregate — inlining the gate formulas straight into the
+    # conditional sums re-evaluated the tokenizing ws_token_count 11×
+    # per row inside the partial HashAggregate (multi-referenced
+    # non-cheap aliases survive cost-aware CollapseProject, so the
+    # Project stays). Identical arithmetic, NULL text still fails g1.
+    per = _docs(spark, sf_dir).select(
+        "lang",
+        F.length("text").cast("long").alias("_nc"),
+        TXT.ws_token_count(F.col("text")).alias("_nw"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0))
+        .cast("long")
+        .alias("_nd"),
     )
+    n_chars = F.col("_nc")
+    n_words = F.col("_nw")
+    mean_wl = (n_chars - n_words + 1).cast("double") / n_words.cast("double")
+    digit_ratio = F.col("_nd").cast("double") / n_chars.cast("double")
     g1 = n_chars >= 100
     g2 = g1 & (n_words >= 20)
     g3 = g2 & (mean_wl > 2.0) & (mean_wl < 12.0)
@@ -1417,7 +1475,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = lambda cond, name: F.sum(  # noqa: E731 - local spelling helper
         F.when(cond, 1).otherwise(0)
     ).cast("long").alias(name)
-    return d.groupBy("lang").agg(
+    return per.groupBy("lang").agg(
         F.count("*").cast("long").alias("f_total"),
         cnt(g1, "f_pass_len"),
         cnt(g2, "f_pass_words"),

@@ -89,13 +89,19 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks8 = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 8)
+    )
+    # the <8-token gate rides INSIDE the gram expression (empty array ->
+    # explode emits nothing — identical rows to a filter): a standalone
+    # filter(size(t) >= 8) is predicate-pushed below the Project and
+    # re-evaluates the split per row (r18 §4.4-class fix)
     grams = toks8.select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(0, size(t) - 8),"
-                " i -> array_join(slice(t, i + 1, 8), ' ')))"
+                "IF(size(t) >= 8,"
+                " array_distinct(transform(sequence(0, size(t) - 8),"
+                " i -> array_join(slice(t, i + 1, 8), ' '))),"
+                " array())"
             )
         ).alias("tok"),
     )
@@ -1193,11 +1199,14 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_ha"), F.col("_hb"), threshold=_EDIT_MAX_LEV
             ).cast("long"),
         )
-        # thresholded levenshtein returns -1 ABOVE the bound — the
-        # lower bound keeps the row set identical to the unbounded form
-        .filter(
-            (F.col("f_lev") >= 0) & (F.col("f_lev") <= _EDIT_MAX_LEV)
-        )
+        # thresholded levenshtein returns -1 ABOVE the bound and never
+        # exceeds it otherwise, so `>= 0` ALONE is the exact kept-pair
+        # predicate (range [-1] ∪ [0, _EDIT_MAX_LEV]). A second
+        # `<= _EDIT_MAX_LEV` clause is redundant — and costly: pushdown
+        # inlines f_lev into the join condition, so each extra clause
+        # is one more banded-DP evaluation per candidate pair (r18:
+        # the clause drop cut the in-join levenshtein count 2 -> 1).
+        .filter(F.col("f_lev") >= 0)
     )
     return pairs.select("f_id_a", "f_id_b", "f_lev").orderBy(
         F.col("f_lev").asc(), F.col("f_id_a").asc(), F.col("f_id_b").asc()
@@ -1406,13 +1415,20 @@ def q_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"
         ).alias("_t"),
-    ).filter(F.size("_t") >= 2)
+    )
+    # <2-token gate inside the bigram expression (empty array -> explode
+    # emits nothing — identical rows to the old filter, and the guard
+    # also keeps ANSI element_at from ever seeing an invalid index): a
+    # standalone filter(size(_t) >= 2) is pushed below the Project and
+    # re-evaluates the split+filter chain per row (r18 §4.4 fix)
     grams = base.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(2, size(_t)), i ->"
-                " concat(element_at(_t, i - 1), ' ', element_at(_t, i)))"
+                "IF(size(_t) >= 2,"
+                " transform(sequence(2, size(_t)), i ->"
+                " concat(element_at(_t, i - 1), ' ', element_at(_t, i))),"
+                " array())"
             )
         ).alias("gram"),
     )

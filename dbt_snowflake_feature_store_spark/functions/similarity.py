@@ -450,7 +450,16 @@ def cosine_pairs_lsh(
       (functions.text) is the right tool for them, and ``log_dropped``
       reports how many buckets/rows were excluded (one extra count job)."""
     weights = _hyperplane_weights(num_bits, dim)
-    norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
+    # _norm is spelled NON-NULLABLE (r18): the cosine >= threshold
+    # filter makes Catalyst infer isnotnull(norm_a)/isnotnull(norm_b)
+    # and push them below the two base Projects, re-running the 64-dim
+    # interpreted dot fold per row on BOTH join legs (plan-verified).
+    # A NULL norm (NULL embedding or NULL element) becomes 0.0 here;
+    # such a row's cosine is NULL (its dot is NULL) so it is dropped by
+    # the threshold filter exactly as before — identical output pairs.
+    norm = F.coalesce(
+        F.sqrt(_dot(F.col(emb_col), F.col(emb_col))), F.lit(0.0)
+    )
     base = df.select(
         F.col(id_col),
         F.col(emb_col),

@@ -1742,18 +1742,49 @@ def q_sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         " _qv ARRAY<BIGINT>",
     )
     # row-local argmin cell assignment (coalesce = the oracle's
-    # NULL-skipping SUM), then probe pruning BEFORE any residual work
-    assigned = base.crossJoin(F.broadcast(consts)).withColumn(
-        "f_cell",
+    # NULL-skipping SUM), then probe pruning BEFORE any residual work.
+    # r18 split: the K×DIM distance fold is MATERIALIZED as _d2s and
+    # the argmin reads it — the probe filter on f_cell is predicate-
+    # pushed below the Project and re-evaluates f_cell's defining
+    # expression, which before the split was the ENTIRE distance fold
+    # (2× the interpreted-HOF work per row, plan-verified in the BNLJ
+    # condition). Now the pushed copy re-evaluates only the K-element
+    # argmin over the materialized _d2s column (referenced twice, so
+    # cost-aware CollapseProject keeps it). Identical assignment: the
+    # struct(_d2, cell) min is unchanged, element_at(_d2s, cl+1) holds
+    # the same fold values.
+    d2s = base.crossJoin(F.broadcast(consts)).withColumn(
+        "_d2s",
         F.expr(
-            "array_min(transform(sequence(0, size(_cents) - 1), cl ->"
-            " struct(aggregate(zip_with(_xq, element_at(_cents, cl + 1),"
+            "transform(sequence(0, size(_cents) - 1), cl ->"
+            " aggregate(zip_with(_xq, element_at(_cents, cl + 1),"
             "  (x, c) -> coalesce((x - c) * (x - c), cast(0 as bigint))),"
-            "  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
-            " cl AS cell))).cell"
+            "  cast(0 as bigint), (s, v) -> s + v))"
         ),
     )
-    cand0 = assigned.filter(F.col("f_cell").isin([int(p) for p in probe]))
+    # f_cell is spelled NON-NULLABLE (outer coalesce; _cents is never
+    # empty so the -1 arm is dead) — otherwise the probe equi-join
+    # below infers isnotnull(f_cell), and THAT pushed constraint
+    # re-inlines the whole assignment into the cross-join condition
+    assigned = d2s.withColumn(
+        "f_cell",
+        F.expr(
+            "coalesce(array_min(transform(sequence(0, size(_d2s) - 1),"
+            " cl -> struct(element_at(_d2s, cl + 1) AS _d2,"
+            " cl AS cell))).cell, -1)"
+        ),
+    )
+    # probe pruning as a broadcast equi-join on an n_probe-row literal
+    # frame (r18) instead of filter(isin): a FILTER on f_cell is pulled
+    # into the cross-join condition (it references both legs) where
+    # pushdown inlines the assignment expression — the interpreted
+    # distance fold ran 2× per row (plan-verified). Join KEYS are
+    # evaluated on the Project output, so the fold runs once; the
+    # surviving rows are identical (IN over the same literal set).
+    probe_df = literal_df(
+        spark, [(int(p),) for p in probe], "f_cell INT"
+    )
+    cand0 = assigned.join(F.broadcast(probe_df), "f_cell")
     # residual against the assigned centroid, then the per-subspace
     # argmin encode and the ADC sum over this cell's distance table
     res = cand0.withColumn(

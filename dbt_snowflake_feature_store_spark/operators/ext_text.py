@@ -256,13 +256,26 @@ def _ngram_blocked_pairs(
     # collision odds ~k²/2⁶⁵ per pair — below any practical concern and
     # below the engines' float-rounding agreement threshold), and the
     # per-doc array_distinct also runs on longs
-    sh = toks.filter(F.size("toks") >= 3).select(
+    # r18: the <3-token gate rides as an explode of a GUARDED 1-element
+    # array (empty -> the row is dropped by the Generate, exactly like
+    # the old filter(size(toks) >= 3)). A standalone filter is
+    # predicate-pushed below the toks Project and re-evaluates the
+    # regexp+split+HOF tokenize per row on BOTH self-join legs
+    # (plan-verified); a Generate is a pushdown barrier and its complex
+    # input infers no filter. toks stays a materialized attribute (HOF
+    # lambda rule), read free inside the guard.
+    sh = toks.select(
         "doc_id",
         "lang",
         "bucket",
-        F.expr(
-            "array_distinct(transform(sequence(0, size(toks) - 3),"
-            " i -> xxhash64(concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))"
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 3,"
+                " array(array_distinct(transform(sequence(0, size(toks) - 3),"
+                " i -> xxhash64(concat(toks[i], ' ', toks[i + 1], ' ',"
+                " toks[i + 2]))))),"
+                " array())"
+            )
         ).alias("sh"),
     )
     sh = sh.withColumn("n", F.size("sh"))

@@ -1017,10 +1017,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tf_cols = [_tf_col(term, i) for i, term in enumerate(_BM25_TERMS)]
+    # _dl is spelled NON-NULLABLE (coalesce with 0, r18): the final
+    # f_score_scaled > 0 filter makes Catalyst infer isnotnull(_dl) and
+    # push it below the Project, where it re-evaluated the split per
+    # row (plan-verified). A NULL text row had _dl NULL before and 0
+    # now — it contributes identically to SUM(_dl), and its score stays
+    # NULL (the tf columns are untouched), so it is still dropped.
     per = base.select(
         "doc_id",
-        F.when(F.length("_tt") == 0, F.lit(0))
-        .otherwise(F.size("_toks"))
+        F.coalesce(
+            F.when(F.length("_tt") == 0, F.lit(0)).otherwise(
+                F.size("_toks")
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("_dl"),
         *tf_cols,
@@ -1172,11 +1182,30 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    docs = d.select(
+    # r18: normalize ONCE into a materialized column and gate via an
+    # explode of a guarded 1-element array — the old standalone
+    # filter(length(norm) >= 20) was predicate-pushed below the Project
+    # and re-evaluated the two-regexp normalize chain per row on both
+    # self-join legs (plan-verified); a Generate is a pushdown barrier,
+    # and _nrm is an attribute read (free) inside the guard. Identical
+    # surviving rows: length >= 20 emits exactly one struct, else none.
+    nrm = d.select("doc_id", norm.alias("_nrm"))
+    docs = nrm.select(
         "doc_id",
-        F.substring(norm, 1, _EDIT_CMP_CHARS).alias("_head"),
-        F.substring(norm, 1, _EDIT_BLOCK_CHARS).alias("_bkey"),
-    ).filter(F.length(norm) >= _EDIT_BLOCK_CHARS)
+        F.explode(
+            F.expr(
+                f"IF(length(_nrm) >= {_EDIT_BLOCK_CHARS},"
+                f" array(struct("
+                f" substring(_nrm, 1, {_EDIT_CMP_CHARS}) AS _head,"
+                f" substring(_nrm, 1, {_EDIT_BLOCK_CHARS}) AS _bkey)),"
+                f" array())"
+            )
+        ).alias("_hb"),
+    ).select(
+        "doc_id",
+        F.col("_hb._head").alias("_head"),
+        F.col("_hb._bkey").alias("_bkey"),
+    )
     blocked = docs.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("_bkey"))
     ).filter(F.col("_bn") <= _EDIT_BLOCK_CAP)

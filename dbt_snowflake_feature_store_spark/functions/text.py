@@ -142,19 +142,44 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
+def _lang_scored(df: DataFrame, text_col: str) -> tuple[DataFrame, list[str]]:
+    """df + one MATERIALIZED score column per language profile (r18).
+
+    The argmax WHEN-chain below references each score up to ~2L times,
+    and every reference used to embed the full tokenize+intersect tree
+    — the optimizer then inlined ws_tokens(lower(text)) 57× per row
+    into the single Project (plan-counted). Materializing the token
+    array once and each profile score once leaves the chain reading
+    attributes; identical integer scores, one split per row."""
+    toks_col = "_fs_lid_toks"
+    base = df.withColumn(toks_col, ws_tokens(F.lower(F.col(text_col))))
+    langs = sorted(LANG_PROFILES)
+    for lang in langs:
+        words = LANG_PROFILES[lang]
+        base = base.withColumn(
+            f"_fs_lid_{lang}",
+            F.size(
+                F.array_intersect(
+                    F.col(toks_col), F.array(*[F.lit(w) for w in words])
+                )
+            ),
+        )
+    return base.drop(toks_col), [f"_fs_lid_{lang}" for lang in langs]
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Predicted language = argmax stopword-profile score, ties broken by
     language code order (deterministic). Row-local; no shuffle."""
-    scores = lang_scores(F.col(text_col))
-    langs = sorted(scores)  # deterministic tie order
+    base, score_cols = _lang_scored(df, text_col)
+    langs = sorted(LANG_PROFILES)  # deterministic tie order
     best = F.lit("und")
     best_score = F.lit(-1)
-    for lang in langs:
-        s = scores[lang]
+    for lang, sc in zip(langs, score_cols):
+        s = F.col(sc)
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    return df.withColumn(out_col, best)
+    return base.withColumn(out_col, best).drop(*score_cols)
 
 
 def lang_id_confidence(
@@ -164,13 +189,22 @@ def lang_id_confidence(
     (integers — exact in any engine). Low-margin docs are ambiguous /
     mixed-language and a mix pipeline typically drops or routes them.
     Row-local; no shuffle."""
-    out = lang_id(df, text_col, out_col)
-    scores = lang_scores(F.col(text_col))
+    base, score_cols = _lang_scored(df, text_col)
+    langs = sorted(LANG_PROFILES)
+    best = F.lit("und")
+    best_score = F.lit(-1)
+    for lang, sc in zip(langs, score_cols):
+        s = F.col(sc)
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
     arr = F.sort_array(
-        F.array(*[scores[lang] for lang in sorted(scores)]), asc=False
+        F.array(*[F.col(sc) for sc in score_cols]), asc=False
     )
-    return out.withColumn(
-        f"{out_col}_margin", (arr[0] - arr[1]).cast("long")
+    return (
+        base.withColumn(out_col, best)
+        .withColumn(f"{out_col}_margin", (arr[0] - arr[1]).cast("long"))
+        .drop(*score_cols)
     )
 
 

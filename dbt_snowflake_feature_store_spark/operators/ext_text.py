@@ -1053,12 +1053,20 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_email = F.regexp_count(F.col("text"), F.lit(email)).cast("long")
     n_ip = F.regexp_count(F.col("text"), F.lit(ipv4)).cast("long")
     n_phone = F.regexp_count(F.col("text"), F.lit(phone)).cast("long")
-    return d.select(
+    # r18: f_has_pii derives from the materialized count COLUMNS —
+    # re-embedding the three regexp_count trees into the flag doubled
+    # every regexp scan per row (6 -> 3, plan-verified)
+    per = d.select(
         "doc_id",
         n_email.alias("f_emails"),
         n_ip.alias("f_ipv4"),
         n_phone.alias("f_phones"),
-        ((n_email + n_ip + n_phone) > 0).cast("boolean").alias("f_has_pii"),
+    )
+    return per.withColumn(
+        "f_has_pii",
+        (
+            (F.col("f_emails") + F.col("f_ipv4") + F.col("f_phones")) > 0
+        ).cast("boolean"),
     )
 
 
@@ -1660,23 +1668,30 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
         " AS BIGINT)"
     )
-    fre = (
-        f"CAST((206835 * ({s}) * ({w}) - 1015 * ({w}) * ({w})"
-        f" - 84600 * ({syl}) * ({s}))"
-        f" DIV GREATEST(({s}) * ({w}), 1) AS BIGINT)"
-    )
-    return d.select(
+    # r18: counts MATERIALIZED once, score and band derived from the
+    # columns — textually re-embedding w/s/syl into fre and fre into
+    # the band CASE evaluated the three regexp scans ~13× per row in
+    # one Project (plan-counted 30 regexp_extract_all). Identical
+    # integer arithmetic; the regexps now run once each.
+    per = d.select(
         "doc_id",
         F.expr(w).alias("f_words"),
         F.expr(s).alias("f_sents"),
         F.expr(syl).alias("f_syll"),
-        F.expr(fre).alias("f_fre_milli"),
+    )
+    fre = (
+        "CAST((206835 * f_sents * f_words - 1015 * f_words * f_words"
+        " - 84600 * f_syll * f_sents)"
+        " DIV GREATEST(f_sents * f_words, 1) AS BIGINT)"
+    )
+    return per.withColumn("f_fre_milli", F.expr(fre)).withColumn(
+        "f_band",
         F.expr(
-            f"CASE WHEN ({fre}) >= 90000 THEN 'very_easy'"
-            f" WHEN ({fre}) >= 60000 THEN 'standard'"
-            f" WHEN ({fre}) >= 30000 THEN 'difficult'"
+            "CASE WHEN f_fre_milli >= 90000 THEN 'very_easy'"
+            " WHEN f_fre_milli >= 60000 THEN 'standard'"
+            " WHEN f_fre_milli >= 30000 THEN 'difficult'"
             " ELSE 'very_difficult' END"
-        ).alias("f_band"),
+        ),
     )
 
 

@@ -1120,21 +1120,34 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         " _qv ARRAY<BIGINT>",
     )
     # row-local argmin assignment; coalesce keeps NULL-element semantics
-    # identical to the oracle's NULL-skipping SUM
-    assigned = base.crossJoin(F.broadcast(consts)).select(
+    # identical to the oracle's NULL-skipping SUM.
+    # r18 (the q_sim_ivfpq_portable treatment): the K×DIM distance fold
+    # is MATERIALIZED as _d2s and the argmin reads it; f_cell is
+    # spelled non-nullable; probe pruning is a broadcast equi-join on a
+    # literal frame — a filter(isin) was pulled into the cross-join
+    # condition where pushdown re-inlined the whole interpreted fold
+    # (2× per row). Identical assignment and surviving rows.
+    d2s = base.crossJoin(F.broadcast(consts)).select(
         "vec_id",
         "_xq",
         "_na",
         "_qv",
         F.expr(
-            "CAST(array_min(transform(_cents, ct -> struct("
-            " aggregate(zip_with(_xq, ct._cv, (x, c) ->"
+            "transform(_cents, ct ->"
+            " struct(aggregate(zip_with(_xq, ct._cv, (x, c) ->"
             "  coalesce((x - c) * (x - c), cast(0 as bigint))),"
             "  cast(0 as bigint), (s, v) -> s + v) AS _d2,"
-            " ct.cell AS cell))).cell AS BIGINT)"
-        ).alias("f_cell"),
+            " ct.cell AS cell))"
+        ).alias("_d2s"),
     )
-    cand = assigned.filter(F.col("f_cell").isin([int(p) for p in probe]))
+    assigned = d2s.withColumn(
+        "f_cell",
+        F.expr("coalesce(CAST(array_min(_d2s).cell AS BIGINT), -1L)"),
+    ).drop("_d2s")
+    probe_df = literal_df(
+        spark, [(int(p),) for p in probe], "f_cell BIGINT"
+    )
+    cand = assigned.join(F.broadcast(probe_df), "f_cell")
     dots = cand.withColumn(
         "_dot",
         F.expr(

@@ -115,16 +115,29 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def hashed(df: DataFrame) -> DataFrame:
+        # _bit is spelled NON-NULLABLE (r18): a nullable _bit makes the
+        # probe join infer isnotnull on the derived word column, and
+        # the pushed constraint re-evaluates the md5 chain per
+        # (tok, salt) row. tok is never NULL by construction (grams are
+        # concats of split output), so the 0 arm is dead.
         return (
             df.crossJoin(F.broadcast(salts))
-            .withColumn("_bit", bitpos)
+            .withColumn("_bit", F.coalesce(bitpos, F.lit(0)))
             .select(
                 "tok",
                 "s",
-                (F.col("_bit") / _BLOOM_WORD).cast("long").alias("word"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT),"
-                    f" CAST(_bit % {_BLOOM_WORD} AS INT))"
+                # word/mask coalesced non-nullable too: Divide and %
+                # are always nullable in Catalyst, so an inferred
+                # isnotnull(word) would re-run the md5 chain per row
+                F.coalesce(
+                    (F.col("_bit") / _BLOOM_WORD).cast("long"), F.lit(0)
+                ).alias("word"),
+                F.coalesce(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(_bit % {_BLOOM_WORD} AS INT))"
+                    ),
+                    F.lit(0),
                 ).alias("mask"),
             )
         )

@@ -262,6 +262,99 @@ def global_running_sum(
     return out
 
 
+def bucketed_running_sum(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value_col: str,
+    bucket_col: str,
+    sum_col: str = "global_running_sum",
+    hist_df: DataFrame | None = None,
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """Exact global ``SUM(value) OVER (ORDER BY … ROWS UNBOUNDED
+    PRECEDING)`` for an order key whose DOMAIN admits a BOUNDED integer
+    bucketing (r18) — the two-level alternative to
+    :func:`global_running_sum` when the caller can name a monotone
+    bucket key:
+
+    1. per-bucket totals (map-side-combinable agg) → ONE bounded
+       driver collect (≤ ``max_buckets`` rows — domain-sized, never
+       data-sized) → exclusive prefix offsets as exact Python ints;
+    2. a window PARTITIONED by the bucket for the local running sum —
+       parallel tasks, never an unpartitioned window.
+
+    vs the range-exchange machinery this removes the sampling job
+    (``repartitionByRange`` re-executes the input subtree to sample
+    boundaries), the pinned ``localCheckpoint`` materialization, and
+    the monotonically_increasing_id bookkeeping — at the price of
+    needing a caller-supplied domain bound.
+
+    Preconditions (caller-proved, same discipline as the bounded
+    collects in bpe/pagerank): ``bucket_col`` is a materialized
+    NON-NULL integer column, NON-DECREASING in the total order
+    ``order`` (e.g. ``key DIV 2^k`` for a non-negative key); ``order``
+    is a TOTAL order within each bucket; ``value_col`` is integral.
+    ``hist_df``, if given, must be a 2-column (bucket, weight) frame
+    whose per-bucket SUM(weight) EQUALS this frame's per-bucket
+    SUM(value) — it lets the caller histogram from a cheaper upstream
+    (e.g. the raw fact below an aggregate) instead of re-executing
+    ``df``'s subtree. If the bucket count exceeds ``max_buckets`` the
+    function falls back to :func:`global_running_sum` (correct at any
+    domain, just pays the range machinery)."""
+    if hist_df is not None:
+        hist = hist_df.toDF("_fs_bk", "_fs_w")
+    else:
+        hist = df.groupBy(F.col(bucket_col).alias("_fs_bk")).agg(
+            F.sum(F.col(value_col).cast("long")).alias("_fs_w")
+        )
+    rows = hist.limit(max_buckets + 1).collect()
+    if len(rows) > max_buckets:
+        out = global_running_sum(
+            df, order, value_col,
+            rank_col="_fs_brs_rank", sum_col=sum_col,
+        )
+        return out.drop("_fs_brs_rank")
+    weights: dict[int, int] = {}
+    for r in rows:
+        if r["_fs_bk"] is None:
+            raise ValueError(
+                "bucketed_running_sum: NULL bucket — the bucket column "
+                "must be non-null (derive it from a non-null order key)"
+            )
+        weights[int(r["_fs_bk"])] = int(r["_fs_w"] or 0)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in sorted(weights):
+        offsets[bk] = acc
+        acc += weights[bk]
+    # offsets attach via a BROADCAST JOIN on the bucket key, not a
+    # literal create_map lookup: a literal map/array is rebuilt and
+    # linearly scanned PER ROW (the NOTES r16 640-literal-array
+    # lesson — measured 2.9 s vs 1.4 s on q_spearman_corr's ~650
+    # buckets), while the hash join probes O(1). Inner join: the
+    # histogram covers every bucket of df by the hist_df contract (or
+    # trivially when self-derived).
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(bk), int(off)) for bk, off in offsets.items()],
+        f"{bucket_col} BIGINT, _fs_boff BIGINT",
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    wloc = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = df.join(F.broadcast(off_df), bucket_col)
+    return joined.withColumn(
+        sum_col,
+        (
+            F.sum(F.col(value_col).cast("long")).over(wloc)
+            + F.col("_fs_boff")
+        ).cast("long"),
+    ).drop("_fs_boff")
+
+
 def global_running_min(
     df: DataFrame,
     order: Sequence[str | Column],

@@ -249,7 +249,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.3·10¹² (the documented N³ discipline); the per-price Σr1 partial
     sums accumulate in DECIMAL(38,0) (≤ 2n² — BIGINT would overflow
     past n ≈ 2·10⁹)."""
-    from ..functions.ranks import global_running_sum
+    from ..functions.ranks import bucketed_running_sum
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.expr("CAST(l_quantity AS BIGINT)").alias("_v1"),
@@ -284,8 +284,28 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(_r1 AS DECIMAL(38,0))")).alias("_sr1"),
         )
     )
-    cum2 = global_running_sum(
-        dv, ["_v2"], "_c", rank_col="_r", sum_col="_cum"
+    # r18: the price rank rides ranks.bucketed_running_sum instead of
+    # the sampled range exchange — the price DOMAIN is schema-bounded
+    # (TPC-H l_extendedprice = qty × retailprice ≤ ~10.5e6 cents at ANY
+    # SF), so _v2 DIV 2^14 is a ≤ ~650-bucket monotone key: one
+    # map-combinable histogram off the RAW fact (per-bucket row count =
+    # per-bucket Σ_c of dv, since dv is the per-price count), one
+    # bounded driver collect, one bucket-partitioned window. Removes
+    # repartitionByRange's sampling re-execution of the fact agg, the
+    # pinned localCheckpoint, and the id bookkeeping; falls back to the
+    # range machinery above 65536 buckets.
+    _SP_BUCKET = 1 << 14
+    bexpr = F.expr(f"CAST(_v2 DIV {_SP_BUCKET} AS BIGINT)")
+    hist = li.groupBy(bexpr.alias("_b")).agg(
+        F.count("*").cast("long").alias("_w")
+    )
+    cum2 = bucketed_running_sum(
+        dv.withColumn("_fs_spb", bexpr),
+        ["_v2"],
+        "_c",
+        "_fs_spb",
+        sum_col="_cum",
+        hist_df=hist,
     )
     ranked = cum2.select(
         "_c",

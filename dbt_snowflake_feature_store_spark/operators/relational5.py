@@ -941,8 +941,20 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         100,
     )
-    docs = d.select("doc_id", F.md5(norm).alias("f_norm_hash")).filter(
-        F.length(norm) > 0
+    # r18: normalize ONCE into a materialized column and gate via an
+    # explode of a guarded 1-element array (the q_dedup_edit shape) —
+    # the standalone filter(length(norm) > 0) was predicate-pushed
+    # below the Project and re-evaluated the two-regexp chain per row.
+    # Identical surviving rows: length > 0 emits exactly one hash,
+    # else none; NULL text yields a NULL guard -> none.
+    nrm = d.select("doc_id", norm.alias("_fs_nrm"))
+    docs = nrm.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(length(_fs_nrm) > 0, array(md5(_fs_nrm)), array())"
+            )
+        ).alias("f_norm_hash"),
     )
     return (
         docs.groupBy("f_norm_hash")

@@ -334,8 +334,13 @@ def bucketed_running_sum(
     # buckets), while the hash join probes O(1). Inner join: the
     # histogram covers every bucket of df by the hist_df contract (or
     # trivially when self-derived).
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
+    from .literal import literal_df
+
+    # literal_df, not bare createDataFrame: the _lit_bound audit marker
+    # lets the forced-broadcast plan sweep prove this side is a bounded
+    # driver-side frame (≤ max_buckets rows), not an SF-scaling table
+    off_df = literal_df(
+        df.sparkSession,
         [(int(bk), int(off)) for bk, off in offsets.items()],
         f"{bucket_col} BIGINT, _fs_boff BIGINT",
     )

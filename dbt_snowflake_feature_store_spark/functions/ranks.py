@@ -360,6 +360,94 @@ def bucketed_running_sum(
     ).drop("_fs_boff")
 
 
+def bounded_kth_smallest(
+    df: DataFrame,
+    value_col: str,
+    k: int | None = None,
+    bucket_width: int = 1 << 16,
+    max_buckets: int = 65536,
+) -> int | None:
+    """Exact k-th smallest (1-based) of a BOUNDED-DOMAIN integer column
+    as a driver-side Python int (r18) — the selection counterpart of
+    :func:`bucketed_running_sum`: two bounded map-combinable histogram
+    collects instead of a full global-rank pass (range exchange +
+    checkpoint + id bookkeeping) just to read ONE order statistic.
+
+    1. histogram over ``value DIV bucket_width`` (trunc division keeps
+       buckets contiguous, disjoint and ordered for ANY integers) →
+       bounded collect → the bucket holding rank k and the residual
+       rank within it, plus n itself;
+    2. per-VALUE histogram restricted to that one bucket (≤
+       2·bucket_width−1 distinct values by construction) → bounded
+       collect → walk to the residual rank.
+
+    ``k=None`` selects the LOWER MEDIAN ``(n+1) DIV 2`` (computed from
+    the same first collect). Equal to the rank-machinery spelling
+    ``global_row_number(...)[rank == k]`` for any tiebreak, since the
+    k-th smallest VALUE of a multiset ignores tie order. Returns None
+    when the bucket count exceeds ``max_buckets`` (caller falls back to
+    the rank machinery — the bpe/pagerank gate discipline) or when the
+    frame is empty. NULL values refuse loudly: Spark ranks NULL first
+    while DuckDB ranks it last, so a NULL-bearing selection column is
+    already an engine-divergence bug at the caller."""
+    hist = (
+        df.groupBy(
+            F.expr(f"CAST({value_col} DIV {int(bucket_width)} AS BIGINT)")
+            .alias("_fs_bk")
+        )
+        .agg(F.count("*").cast("long").alias("_fs_n"))
+        .limit(max_buckets + 1)
+        .collect()
+    )
+    if len(hist) > max_buckets:
+        return None
+    if not hist:
+        return None
+    counts: dict[int, int] = {}
+    for r in hist:
+        if r["_fs_bk"] is None:
+            raise ValueError(
+                "bounded_kth_smallest: NULL value — the selection "
+                "column must be non-null (NULL already orders "
+                "differently across engines)"
+            )
+        counts[int(r["_fs_bk"])] = int(r["_fs_n"])
+    n = sum(counts.values())
+    kk = (n + 1) // 2 if k is None else int(k)
+    if not 1 <= kk <= n:
+        raise ValueError(f"bounded_kth_smallest: rank {kk} outside 1..{n}")
+    acc = 0
+    target = None
+    for bk in sorted(counts):
+        if acc + counts[bk] >= kk:
+            target = bk
+            break
+        acc += counts[bk]
+    resid = kk - acc
+    inbucket = (
+        df.filter(
+            F.expr(
+                f"CAST({value_col} DIV {int(bucket_width)} AS BIGINT)"
+                f" = {target}"
+            )
+        )
+        .groupBy(F.col(value_col).alias("_fs_v"))
+        .agg(F.count("*").cast("long").alias("_fs_n"))
+        .limit(2 * int(bucket_width) + 1)
+        .collect()
+    )
+    vals = sorted((int(r["_fs_v"]), int(r["_fs_n"])) for r in inbucket)
+    run = 0
+    for v, c in vals:
+        run += c
+        if run >= resid:
+            return v
+    raise AssertionError(
+        "bounded_kth_smallest: histogram walk exhausted — inconsistent "
+        "counts between the two passes (concurrent input mutation?)"
+    )
+
+
 def global_running_min(
     df: DataFrame,
     order: Sequence[str | Column],

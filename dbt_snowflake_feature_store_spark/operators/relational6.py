@@ -360,10 +360,12 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-priority totals + outlier counts with the shared
     median/MAD columns — every number a BIGINT both engines replay.
 
-    Scale: two ranked passes (each one range exchange + P-row collect)
-    + one final aggregate; the median scalar rides a broadcast 1-row
-    frame, never a driver round-trip."""
-    from ..functions.ranks import global_row_number
+    Scale (r18): both order statistics come from
+    ranks.bounded_kth_smallest — two bounded histogram collects each
+    over the SCHEMA-bounded cents domain (map-combinable aggregates,
+    zero fact shuffles), falling back to the ranked range-exchange
+    spelling above the domain gate. One final aggregate."""
+    from ..functions.ranks import bounded_kth_smallest, global_row_number
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -372,27 +374,49 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_c"
         ),
     )
-    n_row = o.groupBy().agg(F.count("*").cast("long").alias("_n"))
-    ranked = global_row_number(
-        o, [F.col("_c").asc(), F.col("o_orderkey").asc()], out_col="_rn"
-    )
-    med = (
-        ranked.crossJoin(F.broadcast(n_row))
-        .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
-        .select(F.col("_c").alias("_med"))
-    )
-    dev = o.crossJoin(F.broadcast(med)).withColumn(
-        "_dev", F.abs(F.col("_c") - F.col("_med"))
-    )
-    dev_ranked = global_row_number(
-        dev, [F.col("_dev").asc(), F.col("o_orderkey").asc()], out_col="_rn"
-    )
-    mad = (
-        dev_ranked.crossJoin(F.broadcast(n_row))
-        .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
-        .select(F.col("_dev").alias("_mad"))
-    )
-    flagged = dev.crossJoin(F.broadcast(mad))
+    # r18: both selections ride ranks.bounded_kth_smallest — the cents
+    # domain is SCHEMA-bounded (o_totalprice ≤ ~$560k at any SF, so ≤
+    # ~860 2^16-wide buckets; deviations are bounded by the same
+    # range), and the k-th smallest VALUE ignores the tiebreak, so the
+    # histogram selection equals the rank spelling exactly. Replaces
+    # TWO full global-rank passes (each a sampled range exchange +
+    # checkpoint + P-row collect) with four bounded map-combinable
+    # histogram collects and ZERO fact shuffles. The scalars enter the
+    # plan as literals — driver round-trips of schema-bounded data, the
+    # bpe/pagerank bounded-collect discipline. Falls back to the rank
+    # machinery if the domain gate is ever exceeded (None).
+    med_v = bounded_kth_smallest(o.select("_c"), "_c")
+    if med_v is None:  # over-gate fallback: the pre-r18 rank spelling
+        n_row = o.groupBy().agg(F.count("*").cast("long").alias("_n"))
+        ranked = global_row_number(
+            o, [F.col("_c").asc(), F.col("o_orderkey").asc()],
+            out_col="_rn",
+        )
+        med = (
+            ranked.crossJoin(F.broadcast(n_row))
+            .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+            .select(F.col("_c").alias("_med"))
+        )
+        dev = o.crossJoin(F.broadcast(med)).withColumn(
+            "_dev", F.abs(F.col("_c") - F.col("_med"))
+        )
+        dev_ranked = global_row_number(
+            dev, [F.col("_dev").asc(), F.col("o_orderkey").asc()],
+            out_col="_rn",
+        )
+        mad = (
+            dev_ranked.crossJoin(F.broadcast(n_row))
+            .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+            .select(F.col("_dev").alias("_mad"))
+        )
+        flagged = dev.crossJoin(F.broadcast(mad))
+    else:
+        dev = o.withColumn(
+            "_med", F.lit(int(med_v)).cast("long")
+        ).withColumn("_dev", F.abs(F.col("_c") - F.col("_med")))
+        mad_v = bounded_kth_smallest(dev.select("_dev"), "_dev")
+        assert mad_v is not None  # deviations span ≤ the value domain
+        flagged = dev.withColumn("_mad", F.lit(int(mad_v)).cast("long"))
     return flagged.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("f_n"),
         F.sum(

@@ -114,3 +114,70 @@ def test_bucketed_running_sum_null_bucket_refuses(spark):
     )
     with pytest.raises(ValueError, match="NULL bucket"):
         bucketed_running_sum(df, ["k"], "v", "b", sum_col="_cum")
+
+
+# ---------------------------------------------------------------------------
+# ranks.bounded_kth_smallest — exact selection via bounded histograms
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(-(10**6), 10**6), min_size=1, max_size=40
+    ),
+    k=st.integers(1, 40),
+    width_shift=st.integers(1, 8),
+)
+def test_bounded_kth_smallest_matches_sorted(spark, vals, k, width_shift):
+    """k-th smallest == sorted()[k-1] on arbitrary multisets (dupes,
+    negatives — trunc-div buckets stay contiguous), any partitioning,
+    any bucket width; k=None is the lower median."""
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        bounded_kth_smallest,
+    )
+
+    kk = min(k, len(vals))
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v long"
+    ).repartition(5)
+    got = bounded_kth_smallest(
+        df, "v", k=kk, bucket_width=1 << width_shift
+    )
+    assert got == sorted(vals)[kk - 1]
+    med = bounded_kth_smallest(df, "v", bucket_width=1 << width_shift)
+    assert med == sorted(vals)[(len(vals) + 1) // 2 - 1]
+
+
+def test_bounded_kth_smallest_over_gate_returns_none(spark):
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        bounded_kth_smallest,
+    )
+
+    df = spark.createDataFrame([(i * 100,) for i in range(30)], "v long")
+    assert (
+        bounded_kth_smallest(df, "v", bucket_width=1, max_buckets=5)
+        is None
+    )
+
+
+def test_bounded_kth_smallest_refusals(spark):
+    from dbt_snowflake_feature_store_spark.functions.ranks import (
+        bounded_kth_smallest,
+    )
+    import pytest
+
+    assert (
+        bounded_kth_smallest(
+            spark.createDataFrame([], "v long"), "v"
+        )
+        is None
+    )
+    with pytest.raises(ValueError, match="NULL value"):
+        bounded_kth_smallest(
+            spark.createDataFrame([(1,), (None,)], "v long"), "v"
+        )
+    with pytest.raises(ValueError, match="outside"):
+        bounded_kth_smallest(
+            spark.createDataFrame([(1,)], "v long"), "v", k=5
+        )

@@ -725,10 +725,14 @@ def test_pca_power_checkpoints_gram_once(spark):
 # ---------------------------------------------------------------------------
 
 def test_median_mad_no_unpartitioned_window(spark):
-    """q_median_mad ranks the FULL order table twice (median, then MAD
-    deviations) — both passes must ride the range-exchange machinery:
-    no window node in the executed plan or any registered subplan may
-    run with an empty partition spec."""
+    """q_median_mad's order statistics come from bounded histogram
+    selections (r18, ranks.bounded_kth_smallest): the executed plan has
+    NO window node and NO range exchange at all — the median/MAD enter
+    as literals and the only shuffle is the tiny per-priority
+    aggregate. (Pre-r18 this pinned the two range-exchange rank
+    passes; the no-single-task-window guarantee is strictly stronger
+    now.) The over-gate fallback path still rides the range machinery —
+    covered by the primitive's property tests."""
     import __spark_entry__ as entry_mod
     from dbt_snowflake_feature_store_spark.plans import inspect as pi
 
@@ -737,7 +741,8 @@ def test_median_mad_no_unpartitioned_window(spark):
         plan = _executed_plan(df)
     for p in [plan, *subs]:
         assert not _unpartitioned_window_lines(p), p
-    assert any("rangepartitioning" in p for p in subs), subs
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_decile_lift_no_unpartitioned_window(spark):
